@@ -1,0 +1,59 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** Schema-declared ingestion (reference ops 1, 2, 14, 16 — SURVEY.md §2).
+  *
+  * The reference bulk-loads two S3 JSON corpora with Redshift COPY:
+  *   - log events via a JSONPaths file (positional mapping + camelCase→
+  *     snake_case rename, sql_queries.py:102–107, dwh.cfg:13),
+  *   - songs via `JSON 'auto'` (name mapping, sql_queries.py:109–114),
+  * both with `TIMEFORMAT 'epochmillisecs'` for timestamp columns.
+  *
+  * Spark-first mapping: `spark.read.schema(...).json(path)` name-matches
+  * fields exactly like `JSON 'auto'`; the JSONPaths positional contract
+  * becomes the explicit rename list below (single source of truth, in the
+  * JSONPaths order). Epoch millis → `timestamp_millis`. At cluster scale
+  * the JSON reader splits files across tasks natively — the COPY fan-out
+  * (reference manage_cluster.py:34–36) needs no code here.
+  */
+object Ingest {
+
+  /** JSONPaths-ordered (jsonField -> stagingColumn) rename list. */
+  val logRenames: Seq[(String, String)] = Seq(
+    "artist" -> "artist", "auth" -> "auth", "firstName" -> "first_name",
+    "gender" -> "gender", "itemInSession" -> "item_in_session",
+    "lastName" -> "last_name", "length" -> "length", "level" -> "level",
+    "location" -> "location", "method" -> "method", "page" -> "page",
+    "registration" -> "registration", "sessionId" -> "session_id",
+    "song" -> "song", "status" -> "status", "ts" -> "ts",
+    "userAgent" -> "user_agent", "userId" -> "user_id")
+
+  private val epochMillisCols = Set("registration", "ts")
+
+  /** Raw JSON log events → staging_events layout (op 1 + 14 + 16). */
+  def readLogEvents(spark: SparkSession, path: String): DataFrame =
+    stageLogEvents(spark.read.schema(Schemas.logEventJson).json(path))
+
+  /** The staging transform alone, for testing and for non-JSON inputs:
+    * rename camelCase→snake_case in JSONPaths order, convert epoch millis.
+    */
+  def stageLogEvents(raw: DataFrame): DataFrame = {
+    val cols = logRenames.map { case (from, to) =>
+      if (epochMillisCols.contains(from)) timestamp_millis(col(from)).as(to)
+      else col(from).as(to)
+    }
+    raw.select(cols: _*)
+  }
+
+  /** Song metadata, name-matched like `JSON 'auto'` (op 2). */
+  def readSongs(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.songJson).json(path)
+      .select(Schemas.songJson.fieldNames.map(col).toSeq: _*)
+
+  /** Parquet-backed variant so the same transforms run on harness testdata. */
+  def readTable(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared column-level building blocks. Everything here composes built-in
+  * `org.apache.spark.sql.functions` (whole-stage-codegen'd) — no Scala/JVM
+  * UDFs anywhere, so every expression stays inside WholeStageCodegen spans
+  * and survives a 100 TB plan unchanged.
+  */
+object Fns {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Sliding word n-gram shingles (duplicates preserved; wrap in
+    * array_distinct for set semantics). Empty array when < n tokens.
+    * Indices are guarded so `element_at` never goes out of range (Spark 4
+    * runs ANSI mode by default, where that is a runtime error).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(array())
+
+  /** Dot product of two double arrays — sequential left fold, so the IEEE
+    * result is reproducible for a given element order.
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  /** Cosine similarity over arrays already cast to double. */
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  val FpMod = 1000000007L
+
+  /** Cheap deterministic per-token hash that is also expressible in ANSI-ish
+    * SQL (length/first/last code points) — used by the rolling document
+    * fingerprint so the DuckDB oracle can reproduce it exactly.
+    */
+  def tokenHash(tok: Column): Column =
+    (length(tok) * 131 + ascii(substring(tok, 1, 1)) * 7 +
+      ascii(substring(tok, -1, 1))).cast("long") % FpMod
+
+  /** Polynomial rolling hash over a token array (Rabin–Karp style):
+    * h = fold(tokens, 0, (acc, t) -> (acc*31 + tokenHash(t)) mod p).
+    */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => (acc * 31L + tokenHash(t)) % FpMod)
+
+  /** k-th MinHash permutation of a 64-bit base hash: (a_k*h + b_k) mod p
+    * with p = 2^31 - 1 and per-permutation constants derived from k. All
+    * operands stay below 2^31, so the product fits a long without overflow
+    * (Spark 4 ANSI mode makes long overflow a runtime error). Base hash is
+    * xxhash64 (built-in, codegen'd), folded into [0, p).
+    */
+  val MinHashPrime = 2147483647L // 2^31 - 1
+
+  def minhashPerm(baseHash: Column, k: Int): Column = {
+    // Deterministic multiplier/offset per permutation index, both in [1, p).
+    val a = (0x9E3779B97F4A7C15L * (2 * k + 1) & 0x7FFFFFFFL) | 1L
+    val b = 0xC2B2AE3D27D4EB4FL * (k + 1) & 0x7FFFFFFFL
+    pmod(pmod(baseHash, lit(MinHashPrime)) * lit(a) + lit(b), lit(MinHashPrime))
+  }
+
+  /** Non-negative modulo. */
+  def pmod(x: Column, m: Column): Column = ((x % m) + m) % m
+}

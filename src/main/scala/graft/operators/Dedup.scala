@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Document deduplication for large-scale training-data pipelines: exact,
+  * exact n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine
+  * near-dup. All pure DataFrame ops — every stage is a hash shuffle or a
+  * broadcast, nothing driver-side, so each scales horizontally.
+  *
+  * Scale notes (100 TB posture):
+  *  - `ngramJaccardPairs` is the exact inverted-index join: shuffles by
+  *    shingle, O(sum of posting-list²) pairs. It is the *verifier*; at
+  *    corpus scale you first narrow candidates with `lshCandidatePairs`
+  *    (MinHash banding) and verify only those — `minhashDedupPairs` wires
+  *    the two together.
+  *  - Hot shingles (stopword runs) skew the posting-list join; AQE skew
+  *    handling splits them, and `maxShingleFreq` can drop degenerate
+  *    postings entirely (a standard recall/cost trade documented at the
+  *    call site).
+  */
+object Dedup {
+
+  /** Exact dedup via hash groupBy: one row per distinct text, keeping the
+    * smallest id (deterministic, unlike dropDuplicates' arbitrary row).
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), md5(col(textCol).cast("binary")).as("text_md5"))
+
+  /** (doc_id, shingle) — the distinct word-n-gram set per document. */
+  def shingleSets(docs: DataFrame, n: Int,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(Fns.shingles(Fns.tokens(col(textCol)), n))).as("shingle"))
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via inverted-index join.
+    * `maxShingleFreq`, when set, drops shingles appearing in more than that
+    * many documents before the self-join (skew guard; off by default so
+    * results stay exact).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                        maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sets = shingleSets(docs, n)
+    val postings = maxShingleFreq match {
+      case Some(cap) =>
+        val hot = sets.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        sets.join(hot, Seq("shingle"), "left_anti")
+      case None => sets
+    }
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    jaccardFromPostings(postings, sizes).filter(col("jaccard") >= threshold)
+  }
+
+  /** Intersection counts from an inverted index + Jaccard. The division is
+    * a single exact-integer ratio, so the double is bit-identical across
+    * engines (oracle-safe without rounding).
+    */
+  private def jaccardFromPostings(postings: DataFrame, sizes: DataFrame): DataFrame = {
+    val a = postings.as("a")
+    val b = postings.as("b")
+    val inter = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+  }
+
+  /** MinHash signature: doc_id + `numPerms` min-hashed shingle values.
+    * One shuffle (groupBy doc) regardless of numPerms — the permutations
+    * are computed columnwise on the exploded postings.
+    */
+  def minhashSignatures(docs: DataFrame, n: Int, numPerms: Int): DataFrame = {
+    val sets = shingleSets(docs, n)
+      .withColumn("h", Fns.pmod(xxhash64(col("shingle")), lit(Fns.MinHashPrime)))
+    val mins = (0 until numPerms).map(k => min(Fns.minhashPerm(col("h"), k)).as(s"mh$k"))
+    sets.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numPerms).map(k => col(s"mh$k")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
+    * bucket-join docs sharing any band hash. Candidate recall for true
+    * Jaccard s is 1-(1-s^r)^b. Returns distinct (doc_a < doc_b) pairs.
+    */
+  def lshCandidatePairs(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = signatures.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
+          xxhash64(bnd, concat_ws(",",
+            (0 until rowsPerBand).map(r =>
+              element_at(col("sig"), bnd * rowsPerBand + r + 1).cast("string")): _*)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup with exact verification: LSH narrows to candidate
+    * pairs, then exact shingle-Jaccard is computed for candidates only.
+    * Output schema matches `ngramJaccardPairs` (the all-pairs oracle).
+    */
+  def minhashDedupPairs(docs: DataFrame, n: Int, threshold: Double,
+                        numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val candidates = lshCandidatePairs(minhashSignatures(docs, n, numPerms),
+      bands, numPerms / bands)
+    val sets = shingleSets(docs, n)
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sets.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit vote of xxhash64 token
+    * hashes, sign → bit. Computed columnwise: 64 conditional sums in one
+    * aggregation, then the fingerprint is assembled without overflow by
+    * setting bits via bitwise OR (ANSI-safe).
+    */
+  def simhash64(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toked = docs.select(col(idCol).as("doc_id"),
+      explode(Fns.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$bit")
+    }
+    val voted = toked.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64).map { bit =>
+      when(col(s"v$bit") > 0,
+        lit(if (bit == 63) Long.MinValue else 1L << bit)).otherwise(lit(0L))
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    voted.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
+    * pigeonhole blocking: split 64 bits into (maxHamming+1) blocks — any
+    * pair within distance k must agree exactly on ≥ 1 block — bucket-join
+    * on (block idx, block bits), then verify with bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val width = 64 / nBlocks
+    val sh = simhash64(docs)
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBlocks).map { blk =>
+        shiftrightunsigned(col("simhash"), blk * width)
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)))
+      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "blk_bits")
+    blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.blk_bits") === col("y.blk_bits") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (exact, all-pairs). The quadratic
+    * join is the verifier / small-N path; at corpus scale route through
+    * `Similarity.lshBuckets` first and verify within buckets.
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Fns.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

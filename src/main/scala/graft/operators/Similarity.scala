@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact baseline — broadcast the (small) query set
+  *    against the corpus, one codegen'd cosine per (query, vector) pair,
+  *    per-query top-k via window rank. Corpus-side scan parallelism is
+  *    Spark-native; no shuffle except the final per-query rank, which is
+  *    keyed by query_id (tiny).
+  *  - `lshAnnTopK`: scale path — random-hyperplane (SRP) LSH buckets the
+  *    corpus once, queries probe only their own bucket, so the pair count
+  *    drops from |Q|·N to |Q|·N/2^H on average. Recall < 1; raise
+  *    `nTables` for multi-probe.
+  *
+  * Hyperplanes are generated from a fixed seed so plans are deterministic
+  * and resumable — no Math.random at plan time.
+  */
+object Similarity {
+
+  /** Literal hyperplane matrix: `nPlanes` × `dim`, seeded PRNG. */
+  private def hyperplanes(dim: Int, nPlanes: Int, seed: Long, table: Int): Array[Array[Double]] = {
+    val rng = new java.util.Random(seed + 7919L * table)
+    Array.fill(nPlanes, dim)(rng.nextGaussian())
+  }
+
+  private def toDouble(vec: Column): Column = vec.cast("array<double>")
+
+  /** Exact cosine top-k for each query vector. `queries` must be small
+    * enough to broadcast (it is hinted); corpus side streams.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Fns.cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** SRP-LSH signature: H sign bits packed into a long bucket id. */
+  def srpBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L,
+                table: Int = 0): Column = {
+    val planes = hyperplanes(dim, nPlanes, seed, table)
+    (0 until nPlanes).map { h =>
+      val w = planes(h)
+      // dot(vec, w) with literal weights: sum over guarded element_at.
+      val dot = (0 until dim).map(d => element_at(vec, d + 1) * lit(w(d)))
+        .reduce((a: Column, b: Column) => a + b)
+      when(dot >= 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k: queries probe their SRP bucket per table; union of tables,
+    * dedup, then per-query rank. Exactness traded for a 2^nPlanes-fold
+    * candidate reduction.
+    */
+  def lshAnnTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                 nPlanes: Int = 8, nTables: Int = 2,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val q0 = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val candidates = (0 until nTables).map { t =>
+      val cb = c0.withColumn("bucket", srpBucket(col("cv"), dim, nPlanes, table = t))
+      val qb = q0.withColumn("bucket", srpBucket(col("qv"), dim, nPlanes, table = t))
+      cb.join(broadcast(qb), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+    }.reduce(_ unionByName _).dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"),
+        Fns.cosine(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Text analysis for training-data pipelines: language-ID (marker-token
+  * heuristic), quality scoring, token counting, document fingerprinting.
+  * Everything is per-row expression work — embarrassingly parallel, no
+  * shuffle at all — so throughput is bounded only by scan speed.
+  */
+object TextAnalysis {
+
+  /** Marker lexicons, fixed priority order for deterministic argmax
+    * tie-breaking (first wins).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "que", "es", "una", "para"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "dans", "pour", "avec"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4", "you3", "wo3", "ta1"))
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit): _*)))
+
+  /** Heuristic language-ID: count marker tokens per language, pick the
+    * highest-scoring language (priority order breaks ties; 'und' when no
+    * marker hits at all).
+    */
+  def langId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = Fns.tokens(col(textCol))
+    val scored = docs.select(col(idCol).as("doc_id"),
+      langMarkers.map { case (lang, m) => markerCount(toks, m).as(s"s_$lang") }: _*)
+    // argmax with fixed priority: lang_i wins iff s_i > all earlier and >= all later.
+    val langs = langMarkers.map(_._1)
+    val best = langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), elseCol) =>
+      val s = col(s"s_$lang")
+      val beatsEarlier = langs.take(i).map(l => s > col(s"s_$l"))
+      val beatsLater = langs.drop(i + 1).map(l => s >= col(s"s_$l"))
+      val cond = (beatsEarlier ++ beatsLater :+ (s > 0))
+        .reduce((a: Column, b: Column) => a && b)
+      when(cond, lit(lang)).otherwise(elseCol)
+    }
+    scored.select((col("doc_id") +: langs.map(l => col(s"s_$l"))) :+ best.as("lang_pred"): _*)
+  }
+
+  /** Quality metrics: token counts, distinct ratio, average token length,
+    * stopword ratio. All ratios are single exact-integer divisions →
+    * bit-identical across engines.
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "in", "a", "is", "it", "for", "on")
+
+  def quality(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = Fns.tokens(col(textCol))
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks)).as("avg_token_len"),
+      (markerCount(toks, stopwords).cast("double") / size(toks)).as("stopword_ratio"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("distinct_ratio"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
+    * (ceil(chars/4) per token — the common "~4 chars per token" rule).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = Fns.tokens(col(textCol))
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(toks).as("n_ws_tokens"),
+      aggregate(toks, lit(0L), (acc, t) => acc + floor((length(t) + 3) / 4.0))
+        .as("n_bpe_est"))
+  }
+
+  /** Rolling-hash document fingerprint (order-sensitive, unlike the
+    * shingle-set dedup keys): Rabin–Karp fold over tokens.
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      Fns.rollingFingerprint(Fns.tokens(col(textCol))).as("fingerprint"))
+}

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface. The reference is batch-only (COPY), so
+  * this is forward capability: the same transform bodies run unchanged on
+  * a batch DataFrame or a `readStream` DataFrame — Spark's unified API.
+  * Tests drive them with `MemoryStream`; production would swap the source
+  * for Kafka/files and add `writeStream` sinks with checkpointing.
+  */
+object StreamingJobs {
+
+  /** Tumbling-window counts per event type. On a streaming input, callers
+    * should first apply `withWatermark("ts", …)` so state is bounded —
+    * `windowedCounts(df.withWatermark("ts", "1 hour"))`.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding-window rates (5 min window, 1 min slide). */
+  def slidingRates(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "5 minutes", "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  /** Watermarked streaming variant — late data beyond the watermark is
+    * dropped and per-key state is garbage-collected.
+    */
+  def streamingWindowedCounts(stream: DataFrame, watermark: String = "10 minutes",
+                              windowLen: String = "1 hour"): DataFrame =
+    windowedCounts(stream.withWatermark("ts", watermark), windowLen)
+}
