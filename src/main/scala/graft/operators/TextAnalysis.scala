@@ -30,8 +30,8 @@ object TextAnalysis {
     */
   def langId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = Fns.tokens(col(textCol))
-    val scored = docs.select(col(idCol).as("doc_id"),
-      langMarkers.map { case (lang, m) => markerCount(toks, m).as(s"s_$lang") }: _*)
+    val scored = docs.select((col(idCol).as("doc_id") +:
+      langMarkers.map { case (lang, m) => markerCount(toks, m).as(s"s_$lang") }): _*)
     // argmax with fixed priority: lang_i wins iff s_i > all earlier and >= all later.
     val langs = langMarkers.map(_._1)
     val best = langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), elseCol) =>
