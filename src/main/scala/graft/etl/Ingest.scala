@@ -55,5 +55,19 @@ object Ingest {
 
   /** Parquet-backed variant so the same transforms run on harness testdata. */
   def readTable(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") readEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The harness `events` table stores `ts` as parquet timestamp[ns], which
+    * Spark only reads with `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (arrives as LongType nanos). Truncate to micros — integer `div`, NOT
+    * `/`, because 2024-epoch nanos ≈ 1.7e18 exceed double's 53-bit mantissa
+    * — exactly matching DuckDB's ns→us truncation so oracle hashes align.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
 }

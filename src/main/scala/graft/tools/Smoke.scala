@@ -13,21 +13,16 @@ object Smoke {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    println(s"DOCS ROWS = ${docs.count()}")
-    println("--- langId on documents ---")
-    graft.operators.TextAnalysis.langId(docs).show(8, truncate = false)
-    println("--- langId edge: empty input ---")
-    graft.operators.TextAnalysis.langId(docs.limit(0)).show()
-    println("--- langId edge: hand rows ---")
-    graft.operators.TextAnalysis.langId(
-      Seq((1L, "der die das und ist"), (2L, ""), (3L, "the of to in the"))
-        .toDF("doc_id", "text")).show()
+    val events = graft.etl.Ingest.readEvents(spark, sfDir)
+    events.printSchema()
+    events.select($"ts").orderBy($"event_id").show(3, truncate = false)
+    println("EVENTS ROWS = " + events.count())
     spark.stop()
   }
 }
