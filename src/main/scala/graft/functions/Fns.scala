@@ -34,9 +34,16 @@ object Fns {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
-  /** Cosine similarity over arrays already cast to double. */
-  def cosine(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity over arrays already cast to double. NULL (not NaN)
+    * when either vector has zero norm — NaN sorts above every value in
+    * Spark, so an unguarded zero vector would pass `>= threshold` filters
+    * and take rank 1 in top-k. NULL drops out of both.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na > 0 && nb > 0, dotProduct(a, b) / (na * nb))
+  }
 
   val FpMod = 1000000007L
 
