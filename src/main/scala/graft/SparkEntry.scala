@@ -1,13 +1,580 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.analytics.Analytics
+import graft.etl.{Ingest, Transforms}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.StreamingJobs
+
+/** Driver contract: every implemented operator (SURVEY.md §2 + the
+  * LLM-data-pipeline set) registered as a named query over the harness
+  * testdata, with a DuckDB oracle where the semantics are ANSI-SQL
+  * expressible.
+  *
+  * Determinism rules (the driver hash-compares Spark output vs DuckDB):
+  *  - every query ends in an ORDER BY over a unique column set, mirrored in
+  *    the oracle (harmless for Bench: Catalyst's EliminateSorts removes the
+  *    sort under the bench's count() action);
+  *  - aggregated doubles go through an exact DECIMAL sum and back to double
+  *    (order-independent, so bit-identical across engines AND across
+  *    cluster re-partitionings — per-row double arithmetic is left raw,
+  *    IEEE ops in a fixed order are already deterministic);
+  *  - computed integers are cast to long on the Spark side and BIGINT in
+  *    the oracle (DuckDB's natural type for counts/extracts);
+  *  - generated surrogate ids use row_number over an explicit total order
+  *    (SURVEY.md §7.4.4), only in oracle-compared entries;
+  *  - cosine outputs are rounded to 6 decimals on both sides (the one
+  *    place engines legitimately differ in accumulation order).
+  *
+  * No-oracle entries (driver records rows-only): dedup_simhash and
+  * ann_lsh_topk hash with xxhash64 / JVM-seeded hyperplanes that DuckDB
+  * cannot reproduce.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Ingest.readTable(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- headline aggregations (analytics capability, README.md:9) ----
+
+    // TPC-H Q1-style pricing summary: scan-heavy groupBy with exact
+    // decimal sums; the canonical bench headliner.
+    "q1_pricing" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,8)")).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q3-style: 3-way join (two broadcastable dims) + agg + top-k.
+    "q3_top_orders" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem")
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("c_custkey"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,8)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ---- SURVEY §2 core operators over the testdata analogs ----
+
+    // op 1: positional JSON path extraction (JSONPaths ≈ ordered path list).
+    "op01_json_positional" -> ((s, dir) =>
+      T(s, dir, "events").select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")),
+
+    // op 2: name-matched JSON mapping (`JSON 'auto'` semantics).
+    "op02_json_auto" -> ((s, dir) =>
+      T(s, dir, "events").select(col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k"))
+        .orderBy("event_id")),
+
+    // op 6: 3-column compound inner equi-join (song=title AND
+    // artist=artist_name AND length=duration analog, incl. a double key).
+    "op06_join3" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem")
+      val dim = l.groupBy("l_partkey", "l_suppkey")
+        .agg(min("l_extendedprice").as("min_price"))
+        .withColumnRenamed("l_partkey", "d_partkey")
+        .withColumnRenamed("l_suppkey", "d_suppkey")
+      l.join(dim,
+          l("l_partkey") === col("d_partkey") &&
+          l("l_suppkey") === col("d_suppkey") &&
+          l("l_extendedprice") === col("min_price"))
+        .select(l("l_orderkey"), l("l_linenumber"), l("l_partkey"),
+          l("l_suppkey"), l("l_extendedprice"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // order by every output column for a total order.
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_extendedprice")
+    }),
+
+    // op 7: string-equality filter (page = 'NextSong' analog).
+    "op07_filter" -> ((s, dir) =>
+      T(s, dir, "events").filter(col("event_type") === "click")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")),
+
+    // op 8: projection + aliasing with per-row arithmetic.
+    "op08_project" -> ((s, dir) =>
+      T(s, dir, "lineitem").select(
+          col("l_orderkey").as("order_id"), col("l_linenumber").as("line_no"),
+          col("l_quantity").as("qty"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+        .orderBy("order_id", "line_no", "qty", "net_price")),
+
+    // op 9 verbatim: projection with no dedup (reference users insert).
+    "op09_users_verbatim" -> ((s, dir) =>
+      T(s, dir, "events").select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")),
+
+    // op 9 idiomatic variant: keep the latest row per key (SURVEY §7.4.3).
+    "op09_dedup_latest" -> ((s, dir) =>
+      Transforms.dedupLatest(T(s, dir, "events"), Seq("user_id"), Seq("ts", "event_id"))
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")),
+
+    // op 10: sentinel → NULL CASE normalization (year=0 analog on p_size=1).
+    "op10_nullif" -> ((s, dir) =>
+      T(s, dir, "part").select(col("p_partkey"), col("p_name"),
+          when(col("p_size") =!= 1, col("p_size")).as("p_size_n"))
+        .orderBy("p_partkey")),
+
+    // op 11: 2-column compound equi-join.
+    "op11_join2" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem")
+      val d = l.groupBy("l_partkey", "l_suppkey").agg(count(lit(1)).as("n_li"))
+      l.join(d, Seq("l_partkey", "l_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("n_li"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
+    // op 12: DISTINCT timestamps (time-dimension source).
+    "op12_distinct" -> ((s, dir) =>
+      T(s, dir, "events").select(col("ts").as("start_time")).distinct()
+        .orderBy("start_time")),
+
+    // ops 12+13: the full time dimension — DISTINCT + 6 date parts incl.
+    // the Redshift dow (0=Sunday) off-by-one fix.
+    "op13_timedim" -> ((s, dir) => {
+      val t = Transforms.buildTime(T(s, dir, "events"))
+      t.select(col("start_time") +:
+          Seq("hour", "day", "week", "month", "year", "weekday")
+            .map(c => col(c).cast("long").as(c)): _*)
+        .orderBy("start_time")
+    }),
+
+    // op 14: epoch-millis → timestamp (TIMEFORMAT 'epochmillisecs').
+    "op14_epoch_ms" -> ((s, dir) =>
+      T(s, dir, "events").select(col("event_id"),
+          timestamp_millis(unix_millis(col("ts"))).as("ts_ms"))
+        .orderBy("event_id")),
+
+    // op 15: surrogate-key generation (deterministic oracle variant).
+    "op15_surrogate" -> ((s, dir) =>
+      Transforms.withDeterministicId(
+          T(s, dir, "events").select("event_id", "event_type"), Seq("event_id"), "sk")
+        .orderBy("event_id")),
+
+    // op 16: typed-load casts + NOT NULL validation filter.
+    "op16_typed_cast" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_returnflag").isNotNull && col("l_quantity").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+          col("l_quantity").cast("long").as("qty_int"), col("l_returnflag"))
+        .orderBy("l_orderkey", "line_no", "qty_int", "l_returnflag")),
+
+    // ---- analytics module (star-schema read side) ----
+
+    "ana_top_parts" -> ((s, dir) => {
+      val plays = T(s, dir, "lineitem").select(col("l_partkey").as("song_id"))
+      val songs = T(s, dir, "part")
+        .select(col("p_partkey").as("song_id"), col("p_name").as("title"))
+      Analytics.topSongs(plays, songs, 10)
+    }),
+
+    "ana_plays_by_time" -> ((s, dir) => {
+      val plays = T(s, dir, "events").select(col("ts").as("start_time"))
+      val time = Transforms.buildTime(T(s, dir, "events"))
+      Analytics.playsByTime(plays, time)
+        .select(col("hour").cast("long").as("hour"),
+          col("weekday").cast("long").as("weekday"), col("n_plays"))
+        .orderBy("hour", "weekday")
+    }),
+
+    "ana_user_activity" -> ((s, dir) => {
+      val plays = T(s, dir, "events").select(col("user_id"),
+        col("event_type").as("level"),
+        get_json_object(col("props"), "$.k").cast("int").as("session_id"))
+      Analytics.userActivity(plays).orderBy("user_id", "level")
+    }),
+
+    "ana_favorite_type" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val plays = e.select(col("user_id"), col("event_type").as("artist_id"))
+      val artists = T(s, dir, "events")
+        .select(col("event_type").as("artist_id"), upper(col("event_type")).as("name"))
+        .distinct()
+      Analytics.favoriteArtist(plays, artists).orderBy("user_id")
+    }),
+
+    // ---- LLM-data-pipeline: deduplication ----
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(T(s, dir, "documents")).orderBy("keep_id")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), 3, 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    // Oracle is the exact all-pairs Jaccard: at threshold 0.5 with 64
+    // perms / 16 bands (r=4) and the corpus' bimodal similarity (near-dups
+    // are ≥0.9, background <0.1), LSH recall is 1 − (1 − 0.9⁴)¹⁶ ≈ 1−4e−8.
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashDedupPairs(T(s, dir, "documents"), 3, 0.5, 64, 16)
+        .orderBy("doc_a", "doc_b")),
+
+    // xxhash64-based; not reproducible in DuckDB → rows-only check.
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(T(s, dir, "documents"), 3)
+        .orderBy("doc_a", "doc_b")),
+
+    "dedup_embed_cosine" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(T(s, dir, "embeddings"), 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")),
+
+    // ---- LLM-data-pipeline: similarity search ----
+
+    "ann_brute_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Seeded-JVM hyperplanes; not reproducible in DuckDB → rows-only.
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.lshAnnTopK(emb, emb.filter(col("vec_id") < 8), 10, dim = 64,
+          nPlanes = 8, nTables = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- LLM-data-pipeline: text analysis ----
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(T(s, dir, "documents")).orderBy("doc_id")),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(T(s, dir, "documents")).orderBy("doc_id")),
+
+    "text_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(T(s, dir, "documents")).orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(T(s, dir, "documents")).orderBy("doc_id")),
+
+    // ---- LLM-data-pipeline: multimodal plumbing ----
+
+    "mm_metadata" -> ((s, dir) =>
+      Multimodal.metadata(
+          Multimodal.assetsFrom(T(s, dir, "documents"), "doc_id", "text"))
+        .select(col("asset_id"), col("kind"),
+          col("n_bytes").cast("long").as("n_bytes"), col("checksum"),
+          col("header_code").cast("long").as("header_code"))
+        .orderBy("asset_id")),
+
+    // Decoded via the labeled stub codec; width/height/n_bytes are
+    // deterministic functions of the payload bytes, so oracle-checkable.
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decode(s,
+          Multimodal.assetsFrom(T(s, dir, "documents"), "doc_id", "text")).toDF()
+        .select(col("asset_id"), col("kind"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+        .orderBy("asset_id")),
+
+    // ---- streaming surface (batch-unified bodies) ----
+
+    "stream_tumbling" -> ((s, dir) =>
+      StreamingJobs.windowedCounts(T(s, dir, "events"), "1 hour")
+        .orderBy("window_start", "event_type")),
+
+    "stream_sliding" -> ((s, dir) =>
+      StreamingJobs.slidingRates(T(s, dir, "events"))
+        .orderBy("window_start"))
+  )
+
+  /** Shared oracle fragment: per-document whitespace tokens. */
+  private val docToks =
+    "SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents"
+
+  /** Exact all-pairs trigram Jaccard ≥ 0.5 (oracle for both the exact
+    * inverted-index query and the MinHash+LSH query — see above).
+    */
+  private val ngramJaccardOracle =
+    s"""WITH base AS ($docToks),
+       |toks AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM base),
+       |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS shingle
+       |       FROM toks a
+       |       JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       |       JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS ni
+       |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT da AS doc_a, db AS doc_b,
+       |       CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = da
+       |JOIN sizes sb ON sb.doc_id = db
+       |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val stopwordList =
+    TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, o_orderdate, c_custkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "op01_json_positional" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "op02_json_auto" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "op06_join3" ->
+      """WITH dim AS (SELECT l_partkey AS d_partkey, l_suppkey AS d_suppkey,
+        |                    min(l_extendedprice) AS min_price
+        |             FROM lineitem GROUP BY 1, 2)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey, l.l_extendedprice
+        |FROM lineitem l JOIN dim
+        |  ON l.l_partkey = d_partkey AND l.l_suppkey = d_suppkey
+        | AND l.l_extendedprice = min_price
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice""".stripMargin,
+
+    "op07_filter" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "op08_project" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_quantity AS qty,
+        |  l_extendedprice * (1.0 - l_discount) AS net_price
+        |FROM lineitem ORDER BY order_id, line_no, qty, net_price""".stripMargin,
+
+    "op09_users_verbatim" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "op09_dedup_latest" ->
+      """SELECT user_id, event_id, event_type FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "op10_nullif" ->
+      """SELECT p_partkey, p_name, CASE WHEN p_size <> 1 THEN p_size END AS p_size_n
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "op11_join2" ->
+      """WITH d AS (SELECT l_partkey, l_suppkey, count(*) AS n_li
+        |           FROM lineitem GROUP BY 1, 2)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey, d.n_li
+        |FROM lineitem l JOIN d USING (l_partkey, l_suppkey)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "op12_distinct" ->
+      "SELECT DISTINCT ts AS start_time FROM events ORDER BY start_time",
+
+    "op13_timedim" ->
+      """SELECT ts AS start_time,
+        |  EXTRACT(hour FROM ts) AS hour, EXTRACT(day FROM ts) AS day,
+        |  weekofyear(ts) AS week, EXTRACT(month FROM ts) AS month,
+        |  EXTRACT(year FROM ts) AS year, dayofweek(ts) AS weekday
+        |FROM (SELECT DISTINCT ts FROM events) ORDER BY start_time""".stripMargin,
+
+    "op14_epoch_ms" ->
+      """SELECT event_id, epoch_ms(epoch_ms(ts)) AS ts_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "op15_surrogate" ->
+      """SELECT event_id, event_type,
+        |  CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) AS sk
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "op16_typed_cast" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        |  CAST(l_quantity AS BIGINT) AS qty_int, l_returnflag
+        |FROM lineitem
+        |WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |ORDER BY l_orderkey, line_no, qty_int, l_returnflag""".stripMargin,
+
+    "ana_top_parts" ->
+      """SELECT l_partkey AS song_id, p_name AS title, count(*) AS n_plays
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY n_plays DESC, song_id LIMIT 10""".stripMargin,
+
+    "ana_plays_by_time" ->
+      """SELECT EXTRACT(hour FROM ts) AS hour, dayofweek(ts) AS weekday,
+        |  count(*) AS n_plays
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ana_user_activity" ->
+      """SELECT user_id, event_type AS level, count(*) AS n_plays,
+        |  count(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER)) AS n_sessions
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ana_favorite_type" ->
+      """SELECT user_id, artist_id, name, n_plays FROM (
+        |  SELECT user_id, event_type AS artist_id, upper(event_type) AS name,
+        |         count(*) AS n_plays
+        |  FROM events GROUP BY 1, 2, 3) t
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n_plays DESC, artist_id) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_md5
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+
+    "dedup_minhash_lsh" -> ngramJaccardOracle,
+
+    // list_transform to DOUBLE first: DuckDB computes FLOAT[] cosines in
+    // float32, Spark casts to array<double> — must match Spark's double math.
+    "dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_brute_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qe FROM e WHERE vec_id < 8),
+        |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |             list_cosine_similarity(qe, c.v) AS cos
+        |      FROM q, e c WHERE c.vec_id <> query_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+        |  neighbor_id, round(cos, 6) AS cosine
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH base AS ($docToks)
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+         |    / len(toks) AS avg_token_len,
+         |  CAST(len(list_filter(toks, t -> list_contains($stopwordList, t))) AS DOUBLE)
+         |    / len(toks) AS stopword_ratio,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      val scores = TextAnalysis.langMarkers.map { case (lang, m) =>
+        val markers = m.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(toks, t -> list_contains($markers, t))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n  ")
+      // Same argmax-with-priority as TextAnalysis.langId: lang i wins iff
+      // its score beats (strictly) all earlier and (weakly) all later.
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val cases = langs.zipWithIndex.map { case (lang, i) =>
+        val earlier = langs.take(i).map(l => s"s_$lang > s_$l")
+        val later = langs.drop(i + 1).map(l => s"s_$lang >= s_$l")
+        val conds = (earlier ++ later :+ s"s_$lang > 0").mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }.mkString("\n    ")
+      s"""WITH base AS ($docToks),
+         |scored AS (SELECT doc_id,
+         |  $scores
+         |FROM base)
+         |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+         |  CASE $cases
+         |    ELSE 'und' END AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "text_token_counts" ->
+      s"""WITH base AS ($docToks)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+         |  CAST(list_aggregate(list_transform(toks, t -> (length(t) + 3) // 4), 'sum') AS BIGINT) AS n_bpe_est
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH base AS ($docToks)
+         |SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(toks, t ->
+         |        (length(t) * 131 + ascii(substr(t, 1, 1)) * 7 + ascii(right(t, 1))) % 1000000007)),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "mm_metadata" ->
+      """SELECT doc_id AS asset_id, 'image' AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  CAST(ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1)) AS BIGINT) AS header_code
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "mm_decode" ->
+      """SELECT doc_id AS asset_id, 'image' AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(64 + (ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1))) % 1024 AS BIGINT) AS width,
+        |  CAST(64 + (ascii(substr(text, 3, 1)) * 256 + ascii(substr(text, 4, 1))) % 1024 AS BIGINT) AS height
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_sliding" ->
+      """SELECT window_start, count(*) AS n FROM (
+        |  SELECT date_trunc('minute', ts) - k * (INTERVAL 1 MINUTE) AS window_start
+        |  FROM events CROSS JOIN range(5) t(k))
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }

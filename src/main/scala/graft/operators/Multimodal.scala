@@ -42,12 +42,16 @@ object Multimodal {
     val width = 64 + (at(0) * 256 + at(1)) % 1024
     val height = 64 + (at(2) * 256 + at(3)) % 1024
     // Fake 8-dim feature vector: windowed byte averages, normalized.
-    val features = Array.tabulate(8) { k =>
-      val lo = k * n / 8; val hi = math.max(lo + 1, (k + 1) * n / 8)
-      var s = 0L; var i = lo
-      while (i < hi) { s += (bytes(i) & 0xFF); i += 1 }
-      (s.toDouble / (hi - lo) / 255.0).toFloat
-    }
+    // Empty payloads get a zero vector (hi is clamped past n when n == 0,
+    // so the unguarded loop would read bytes(0)).
+    val features =
+      if (n == 0) Array.fill(8)(0.0f)
+      else Array.tabulate(8) { k =>
+        val lo = k * n / 8; val hi = math.max(lo + 1, (k + 1) * n / 8)
+        var s = 0L; var i = lo
+        while (i < hi) { s += (bytes(i) & 0xFF); i += 1 }
+        (s.toDouble / (hi - lo) / 255.0).toFloat
+      }
     DecodedAsset(a.asset_id, a.kind, n, width, height, features)
   }
 

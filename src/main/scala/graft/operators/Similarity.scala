@@ -48,17 +48,22 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** SRP-LSH signature: H sign bits packed into a long bucket id. */
+  /** SRP-LSH signature: H sign bits packed into a long bucket id.
+    *
+    * Each hyperplane is ONE array literal + a zip_with/aggregate dot
+    * product — O(nPlanes) expression nodes, not O(nPlanes × dim) unrolled
+    * element_at terms, so plans stay analyzable at real embedding dims
+    * (768+). Vectors whose length ≠ `dim` get a NULL bucket and drop out
+    * of the bucket join instead of raising an ANSI element_at error.
+    */
   def srpBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L,
                 table: Int = 0): Column = {
     val planes = hyperplanes(dim, nPlanes, seed, table)
-    (0 until nPlanes).map { h =>
-      val w = planes(h)
-      // dot(vec, w) with literal weights: sum over guarded element_at.
-      val dot = (0 until dim).map(d => element_at(vec, d + 1) * lit(w(d)))
-        .reduce((a: Column, b: Column) => a + b)
+    val bits = (0 until nPlanes).map { h =>
+      val dot = Fns.dotProduct(vec, typedlit(planes(h).toSeq))
       when(dot >= 0, lit(1L << h)).otherwise(lit(0L))
     }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    when(size(vec) === dim, bits)
   }
 
   /** ANN top-k: queries probe their SRP bucket per table; union of tables,

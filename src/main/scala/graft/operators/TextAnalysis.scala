@@ -31,7 +31,8 @@ object TextAnalysis {
   def langId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = Fns.tokens(col(textCol))
     val scored = docs.select((col(idCol).as("doc_id") +:
-      langMarkers.map { case (lang, m) => markerCount(toks, m).as(s"s_$lang") }): _*)
+      langMarkers.map { case (lang, m) =>
+        markerCount(toks, m).cast("long").as(s"s_$lang") }): _*)
     // argmax with fixed priority: lang_i wins iff s_i > all earlier and >= all later.
     val langs = langMarkers.map(_._1)
     val best = langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), elseCol) =>
@@ -54,11 +55,13 @@ object TextAnalysis {
 
   def quality(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = Fns.tokens(col(textCol))
+    // Counts are cast to long: the semantic type at corpus scale, and the
+    // natural BIGINT the DuckDB oracle produces.
     docs.select(
       col(idCol).as("doc_id"),
-      length(col(textCol)).as("n_chars"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_distinct"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
       (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
         size(toks)).as("avg_token_len"),
       (markerCount(toks, stopwords).cast("double") / size(toks)).as("stopword_ratio"),
@@ -72,7 +75,7 @@ object TextAnalysis {
     val toks = Fns.tokens(col(textCol))
     docs.select(
       col(idCol).as("doc_id"),
-      size(toks).as("n_ws_tokens"),
+      size(toks).cast("long").as("n_ws_tokens"),
       aggregate(toks, lit(0L), (acc, t) => acc + floor((length(t) + 3) / 4.0))
         .as("n_bpe_est"))
   }

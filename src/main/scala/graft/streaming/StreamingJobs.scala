@@ -17,7 +17,11 @@ object StreamingJobs {
     */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
     events.groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // Exact decimal sum, surfaced as double: order-independent, so the
+      // result is bit-identical across partitionings/engines — raw double
+      // sums drift with aggregation order at cluster scale.
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 

@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/parity.py /root/testdata/sf0.01 /tmp/v01
+Reads <out>/oracle_sql.json, runs each SQL in DuckDB over views named after
+the sf-dir parquet tables, reads the Spark parquet dump for the same key,
+sorts columns by name, and compares rows / dtypes / values exactly.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    t = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+keys = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+fails = []
+for k in keys:
+    spark_files = glob.glob(f"{out_dir}/{k}/*.parquet")
+    sdf = con.sql(f"SELECT * FROM read_parquet({spark_files!r})").df()
+    if k not in oracle:
+        print(f"{k:24s} rows-only: {len(sdf)} rows")
+        continue
+    try:
+        odf = con.sql(oracle[k]).df()
+    except Exception as e:
+        print(f"{k:24s} ORACLE SQL ERROR: {str(e)[:160]}")
+        fails.append(k); continue
+    sdf = sdf.reindex(sorted(sdf.columns), axis=1)
+    odf = odf.reindex(sorted(odf.columns), axis=1)
+    problems = []
+    if list(sdf.columns) != list(odf.columns):
+        problems.append(f"cols spark={list(sdf.columns)} oracle={list(odf.columns)}")
+    elif len(sdf) != len(odf):
+        problems.append(f"rows spark={len(sdf)} oracle={len(odf)}")
+    else:
+        if list(map(str, sdf.dtypes)) != list(map(str, odf.dtypes)):
+            problems.append(f"dtypes spark={list(map(str,sdf.dtypes))} oracle={list(map(str,odf.dtypes))}")
+        for c in sdf.columns:
+            a, b = sdf[c], odf[c]
+            neq = ~((a == b) | (a.isna() & b.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                problems.append(f"col {c}: {int(neq.sum())} diffs, first@{i}: spark={a[i]!r} oracle={b[i]!r}")
+    if problems:
+        fails.append(k)
+        print(f"{k:24s} FAIL  " + " | ".join(problems)[:400])
+    else:
+        print(f"{k:24s} OK    ({len(sdf)} rows)")
+print(f"\n{len(keys)-len(fails)}/{len(keys)} green" + (f"; FAILING: {fails}" if fails else ""))
+sys.exit(1 if fails else 0)
