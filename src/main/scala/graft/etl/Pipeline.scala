@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 
 /** End-to-end ELT orchestration (reference ops 3,4,5,17: create_tables.py +
   * etl.py — drop/create, 2 COPYs, 5 INSERT…SELECTs run sequentially with a
@@ -8,16 +8,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Spark-first shape: read staging once, cache it (it feeds all five
   * transforms, like Redshift's staging tables feed five INSERTs), then five
-  * append-mode parquet writes. `songplays` is partitioned by (year, month)
-  * of start_time so downstream time-range queries get partition pruning —
+  * parquet writes. `songplays` is partitioned by (year, month) of
+  * start_time so downstream time-range queries get partition pruning —
   * the 100 TB posture the reference's EVEN distribution lacks.
+  *
+  * Default mode is Overwrite: the reference's `make etl` always drops and
+  * recreates every table first (create_tables.py:12–44), so a re-run is
+  * idempotent. Append reproduces the raw INSERT behavior for callers that
+  * stage their own teardown.
   */
 object Pipeline {
 
   final case class Result(counts: Map[String, Long], failures: Map[String, Throwable])
 
   def run(spark: SparkSession, events: DataFrame, songs: DataFrame,
-          outDir: String): Result = {
+          outDir: String, saveMode: SaveMode = SaveMode.Overwrite): Result = {
     import org.apache.spark.sql.functions._
 
     val se = events.cache()
@@ -39,12 +44,17 @@ object Pipeline {
     val (counts, failures) = writes.foldLeft(
       (Map.empty[String, Long], Map.empty[String, Throwable])) {
       case ((ok, bad), (name, df, parts)) =>
-        // Log-and-continue per statement, like etl.py:27–30/49–50.
+        // Log-and-continue per statement, like etl.py:27–30/49–50. Row
+        // counts ride the write itself via observe() — no second scan of
+        // the written table (a full re-read per write would be a genuine
+        // extra pass at 100 TB).
         try {
-          val w = df.write.mode(SaveMode.Append)
+          val obs = Observation(s"rows_$name")
+          val observed = df.observe(obs, count(lit(1)).as("n"))
+          val w = observed.write.mode(saveMode)
           (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
             .parquet(s"$outDir/$name")
-          (ok + (name -> spark.read.parquet(s"$outDir/$name").count()), bad)
+          (ok + (name -> obs.get("n").asInstanceOf[Long]), bad)
         } catch { case e: Throwable => (ok, bad + (name -> e)) }
     }
     se.unpersist(); ss.unpersist()

@@ -41,6 +41,8 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Fns.cosine(col("qv"), col("cv")).as("cosine"))
+      // NULL cosine (zero-norm vector) must not occupy a top-k slot.
+      .filter(col("cosine").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -87,6 +89,7 @@ object Similarity {
     candidates
       .select(col("query_id"), col("neighbor_id"),
         Fns.cosine(col("qv"), col("cv")).as("cosine"))
+      .filter(col("cosine").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Seeded corpus: 20 base docs over a small vocab, 5 near-dup copies
+    * (one token perturbed), 3 exact dups. Deterministic.
+    */
+  private lazy val corpus: DataFrame = {
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (0 until 20).map { i =>
+      (i.toLong, Seq.fill(40)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val nearDups = (0 until 5).map { i =>
+      val toks = base(i)._2.split(" ")
+      toks(rng.nextInt(toks.length)) = "OMEGA"
+      (100L + i, toks.mkString(" "))
+    }
+    val exactDups = (0 until 3).map(i => (200L + i, base(i)._2))
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup: one row per distinct text, keeping the min id") {
+    val out = Dedup.exact(corpus)
+    assert(out.count() == 25) // 28 docs, 3 exact dups collapse
+    val dupRow = out.filter($"n_copies" === 2).collect()
+    assert(dupRow.length == 3)
+    assert(dupRow.forall(_.getAs[Long]("keep_id") < 20)) // base id kept, not 200+
+  }
+
+  test("ngram Jaccard finds near-dups and exact dups, nothing else") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, 3, 0.5).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dups at jaccard 1.0
+    (0 until 3).foreach(i => assert(pairSet.contains((i.toLong, 200L + i))))
+    // near-dups: one perturbed token kills <= 3 of 38 shingles -> j >= 0.84
+    (0 until 5).foreach(i => assert(pairSet.contains((i.toLong, 100L + i))))
+    val jac = pairs.map(_.getDouble(2))
+    assert(jac.forall(j => j >= 0.5 && j <= 1.0))
+  }
+
+  test("MinHash+LSH verified pairs equal the exact pairs at threshold 0.5") {
+    val exact = Dedup.ngramJaccardPairs(corpus, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashDedupPairs(corpus, 3, 0.5, 64, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact) // candidate recall ~1 at j>=0.84; verify is exact
+  }
+
+  test("LSH candidates are a superset of true high-similarity pairs") {
+    val sigs = Dedup.minhashSignatures(corpus, 3, 64)
+    val cands = Dedup.lshCandidatePairs(sigs, 16, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truePairs = Dedup.ngramJaccardPairs(corpus, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.subsetOf(cands))
+  }
+
+  test("SimHash: exact dups at hamming 0; near-dups within the radius") {
+    val pairs = Dedup.simhashPairs(corpus, 3).collect()
+    val byPair = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    (0 until 3).foreach(i => assert(byPair((i.toLong, 200L + i)) == 0))
+    assert(pairs.forall(_.getInt(2) <= 3))
+  }
+
+  test("embedding near-dup: zero-norm vector produces no pair (NaN guard)") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 1e-6f)), (3L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, 0.9).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+}

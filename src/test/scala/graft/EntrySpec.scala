@@ -1,0 +1,24 @@
+package graft
+
+/** Harness-contract invariants + sf0.001 smoke over every registered query. */
+class EntrySpec extends SparkSpec {
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query; rows-only set is exactly the 2 known") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
+      Set("dedup_simhash", "ann_lsh_topk"))
+  }
+
+  test("all registered queries execute at sf0.001 and are non-degenerate") {
+    val allowedEmpty = Set("dedup_ngram_jaccard", "dedup_minhash_lsh",
+      "dedup_simhash", "dedup_embed_cosine") // near-dup yield at tiny sf may be 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val n = fn(spark, "/root/testdata/sf0.001").count()
+      assert(n > 0 || allowedEmpty.contains(name), s"$name returned 0 rows")
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+class FnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens drops empty strings from repeated spaces") {
+    val out = Seq("a  b ", " ", "x").toDF("t")
+      .select(Fns.tokens($"t").as("toks")).collect()
+    assert(out(0).getSeq[String](0) == Seq("a", "b"))
+    assert(out(1).getSeq[String](0) == Seq())
+    assert(out(2).getSeq[String](0) == Seq("x"))
+  }
+
+  test("shingles: n greater than token count yields empty array, not error") {
+    val out = Seq("a b", "a b c d").toDF("t")
+      .select(Fns.shingles(Fns.tokens($"t"), 3).as("sh")).collect()
+    assert(out(0).getSeq[String](0) == Seq())
+    assert(out(1).getSeq[String](0) == Seq("a b c", "b c d"))
+  }
+
+  test("cosine: identical=1, orthogonal=0, zero-norm=NULL (not NaN)") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")
+    val out = df.select(Fns.cosine($"a", $"b").as("c")).collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1).getDouble(0)) < 1e-12)
+    assert(out(2).isNullAt(0))
+  }
+
+  test("minhashPerm stays in [0, p) for extreme and random hashes") {
+    val rng = new scala.util.Random(42)
+    val hashes = Seq(Long.MinValue, Long.MaxValue, 0L, -1L) ++
+      Seq.fill(200)(rng.nextLong())
+    val df = hashes.toDF("h")
+    val cols = (0 until 8).map(k => Fns.minhashPerm($"h", k).as(s"p$k"))
+    val row = df.select(cols: _*)
+      .agg(least((0 until 8).map(k => min(col(s"p$k"))): _*).as("lo"),
+           greatest((0 until 8).map(k => max(col(s"p$k"))): _*).as("hi"))
+      .collect()(0)
+    assert(row.getLong(0) >= 0L)
+    assert(row.getLong(1) < Fns.MinHashPrime)
+  }
+
+  test("tokenHash and rollingFingerprint match hand computation") {
+    // tokenHash("abc") = 3*131 + 97*7 + 99 = 1171
+    val th = Seq("abc").toDF("t").select(Fns.tokenHash($"t")).collect()(0).getLong(0)
+    assert(th == 1171L)
+    // fingerprint("abc abc") = (0*31+1171)*31 + 1171 mod p = 37472
+    val fp = Seq("abc abc").toDF("t")
+      .select(Fns.rollingFingerprint(Fns.tokens($"t"))).collect()(0).getLong(0)
+    assert(fp == (1171L * 31 + 1171) % Fns.FpMod)
+  }
+
+  test("dotProduct via zip_with handles unequal lengths as NULL sum") {
+    val out = Seq((Seq(1.0, 2.0), Seq(3.0))).toDF("a", "b")
+      .select(Fns.dotProduct($"a", $"b").as("d")).collect()
+    assert(out(0).isNullAt(0)) // zip_with pads with null -> null product
+  }
+}

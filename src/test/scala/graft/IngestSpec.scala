@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import graft.etl.Ingest
+
+/** JSON ingestion — both reference mapping modes (SURVEY §2 ops 1, 2, 14, 16). */
+class IngestSpec extends SparkSpec {
+
+  private lazy val dir = Files.createTempDirectory("graft-ingest").toString
+
+  private lazy val logPath = {
+    val p = s"$dir/log.json"
+    Files.writeString(java.nio.file.Paths.get(p),
+      """{"artist":"A","auth":"Logged In","firstName":"Ada","gender":"F","itemInSession":0,"lastName":"L","length":233.40363,"level":"paid","location":"X","method":"PUT","page":"NextSong","registration":1541016707796,"sessionId":100,"song":"S","status":200,"ts":1541105830796,"userAgent":"UA","userId":"10"}
+        |{"artist":null,"auth":"Logged Out","firstName":null,"gender":null,"itemInSession":1,"lastName":null,"length":null,"level":"free","location":null,"method":"GET","page":"Home","registration":null,"sessionId":101,"song":null,"status":307,"ts":1541105830900,"userAgent":null,"userId":""}""".stripMargin)
+    p
+  }
+
+  private lazy val songPath = {
+    val p = s"$dir/songs.json"
+    Files.writeString(java.nio.file.Paths.get(p),
+      """{"num_songs":1,"artist_id":"AR1","artist_latitude":51.5,"artist_longitude":-0.1,"artist_location":"L","artist_name":"N","song_id":"SO1","title":"T","duration":233.40363,"year":0}""")
+    p
+  }
+
+  test("readLogEvents: JSONPaths-ordered rename + epoch-millis conversion") {
+    val df = Ingest.readLogEvents(spark, logPath)
+    assert(df.columns.toSeq == Ingest.logRenames.map(_._2))
+    val rows = df.orderBy("ts").collect()
+    assert(rows(0).getAs[java.sql.Timestamp]("ts").toInstant.toEpochMilli == 1541105830796L)
+    assert(rows(0).getAs[java.sql.Timestamp]("registration").toInstant.toEpochMilli == 1541016707796L)
+    assert(rows(0).getAs[String]("first_name") == "Ada")
+    // nulls and empty user_id survive verbatim (op 16 NOT NULL is a
+    // test-level assertion in the reference, not a silent drop)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("registration")))
+    assert(rows(1).getAs[String]("user_id") == "")
+  }
+
+  test("readSongs: name-matched load (`JSON 'auto'` semantics)") {
+    val df = Ingest.readSongs(spark, songPath)
+    val r = df.collect()(0)
+    assert(r.getAs[String]("song_id") == "SO1")
+    assert(r.getAs[Double]("duration") == 233.40363)
+    assert(r.getAs[Int]("year") == 0)
+    assert(df.schema("artist_latitude").dataType.typeName == "double")
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK ranks by exact cosine, deterministic tie-break") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // query
+      (2L, Seq(0.9f, 0.1f)),   // closest
+      (3L, Seq(0.5f, 0.5f)),
+      (4L, Seq(0.0f, 1.0f)),   // orthogonal
+      (5L, Seq(0.0f, 0.0f))    // zero vector: must never rank
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(corpus, corpus.filter($"vec_id" === 1), 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L, 4L))
+    assert(!out.map(_.getAs[Long]("neighbor_id")).contains(5L))
+    assert(out(0).getAs[Double]("cosine") > out(1).getAs[Double]("cosine"))
+  }
+
+  test("srpBucket plans and runs at dim=512 (no expression blowup)") {
+    val rng = new scala.util.Random(3)
+    val vecs = (0L until 20L).map(i => (i, Seq.fill(512)(rng.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshAnnTopK(vecs, vecs.filter($"vec_id" < 2), 5,
+      dim = 512, nPlanes = 8, nTables = 2)
+    assert(out.count() > 0) // found neighbors through the bucket join
+  }
+
+  test("srpBucket: wrong-length vectors get NULL bucket and drop out") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Seq(1.0f, 2.0f, 3.0f, 4.1f)),
+      (3L, Seq(1.0f, 2.0f))  // truncated vector
+    ).toDF("vec_id", "embedding")
+    val bucketed = vecs.withColumn("b",
+      Similarity.srpBucket(col("embedding"), dim = 4, nPlanes = 4))
+    val rows = bucketed.orderBy("vec_id").collect()
+    assert(!rows(0).isNullAt(2) && !rows(1).isNullAt(2))
+    assert(rows(2).isNullAt(2))
+    val ann = Similarity.lshAnnTopK(vecs, vecs.filter($"vec_id" === 1), 5, dim = 4,
+      nPlanes = 2, nTables = 2)
+    assert(!ann.select("neighbor_id").collect().map(_.getLong(0)).contains(3L))
+  }
+
+  test("LSH ANN results are a subset of brute-force with identical cosines") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 50L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(vecs, q, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ann = Similarity.lshAnnTopK(vecs, q, 10, dim = 16, nPlanes = 4, nTables = 2)
+      .collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(math.abs(brute(key) - r.getDouble(3)) < 1e-12)
+    }
+  }
+}

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (sbt forks one test JVM). */
+object SparkSpec {
+  lazy val session: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-test-wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSpec.session
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}

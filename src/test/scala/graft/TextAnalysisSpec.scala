@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId: marker majority wins; priority breaks ties; und fallback") {
+    val docs = Seq(
+      (1L, "the cat and the dog of to in"),        // en
+      (2L, "der hund und die katze ist nicht"),    // de
+      (3L, "xyzzy plugh qwerty"),                  // no markers -> und
+      (4L, "the der")                              // 1-1 tie -> en (priority)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(docs).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("lang_pred")).toSeq == Seq("en", "de", "und", "en"))
+    assert(out(0).getAs[Long]("s_en") == 6L) // the×2, and, of, to, in — occurrences count
+  }
+
+  test("quality: exact ratios on a hand-built doc") {
+    val docs = Seq((1L, "a a bb")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(docs).collect()(0)
+    assert(r.getAs[Long]("n_chars") == 6L)
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("n_distinct") == 2L)
+    assert(math.abs(r.getAs[Double]("avg_token_len") - 4.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 3) < 1e-12) // 'a' twice
+    assert(math.abs(r.getAs[Double]("distinct_ratio") - 2.0 / 3) < 1e-12)
+  }
+
+  test("tokenCounts: BPE estimate is ceil(len/4) per token") {
+    val docs = Seq((1L, "abcd abcdefgh x")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(docs).collect()(0)
+    assert(r.getAs[Long]("n_ws_tokens") == 3L)
+    assert(r.getAs[Long]("n_bpe_est") == 1L + 2L + 1L)
+  }
+
+  test("fingerprint is order-sensitive (unlike shingle sets)") {
+    val docs = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(docs).collect().map(_.getAs[Long]("fingerprint"))
+    assert(fps(0) != fps(1))
+  }
+}
