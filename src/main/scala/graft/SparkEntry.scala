@@ -34,8 +34,12 @@ import graft.streaming.StreamingJobs
   */
 object SparkEntry {
 
-  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    // Every query funnels through here: make graft's native expressions
+    // (graft_cosine) available on whatever session the driver hands us.
+    graft.expressions.GraftFunctions.register(s)
     Ingest.readTable(s, dir, name)
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =

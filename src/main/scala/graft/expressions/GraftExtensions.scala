@@ -1,0 +1,45 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for graft's native expressions.
+  *
+  * Two paths, same registry entries:
+  *  - config-time: `spark.sql.extensions=graft.expressions.GraftExtensions`
+  *  - runtime: `GraftFunctions.register(spark)` (idempotent) for sessions
+  *    that already exist — the harness mains and `SparkEntry.queries` use
+  *    this so any caller-provided session works.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val all: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_cosine(a, b) takes two arrays")
+        CosineSimilarity(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_shingles(text, n) takes two arguments")
+        ShingleHashes(children.head, children(1))
+      }))
+
+  /** Idempotent runtime registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

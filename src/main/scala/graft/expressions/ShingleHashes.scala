@@ -1,0 +1,119 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word-n-gram shingles of a document, as 64-bit hashes — one
+  * native pass (tokenize on spaces, roll the n-gram window, hash, dedupe).
+  *
+  * Replaces the interpreted HOF pipeline
+  * `array_distinct(transform(sequence(...), i -> concat_ws(...)))`, which
+  * dominated the dedup operators' runtime (~5 s per evaluation over 5k
+  * docs at sf0.1 — and self-joins evaluate their subtree twice). Emitting
+  * hashes instead of strings also shrinks the posting-list shuffle to
+  * 8-byte keys. 64-bit collisions are negligible at corpus scale
+  * (~N²/2⁶⁵), so set sizes and intersection counts match the string-set
+  * formulation — the DuckDB oracle stays string-based and hash-parity is
+  * verified by the driver.
+  *
+  * `right` is the n-gram size (foldable int). Fewer than n tokens yields
+  * an empty array, matching [[graft.functions.Fns.shingles]].
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles(text, n) requires (string, foldable int), got $l and $r")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "graft_shingles"
+
+  @transient private lazy val n: Int =
+    right.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(t: Any, nVal: Any): Any =
+    ShingleUtil.shingleHashes(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // The runtime lives in a Scala object; hand the generated Java a
+    // reference to it instead of spelling out the $-mangled class name.
+    val util = ctx.addReferenceObj("shingleUtil", ShingleUtil,
+      ShingleUtil.getClass.getName)
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = $util.shingleHashes($t, $n);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Runtime for [[ShingleHashes]] — called from generated code; ships to
+  * executors inside the codegen references array, hence Serializable.
+  */
+object ShingleUtil extends Serializable {
+
+  /** MurmurHash3 fmix64 finalizer: full avalanche over the polynomial
+    * rolling combination so LSH banding sees well-mixed bits.
+    */
+  private def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** FNV-1a 64 over a byte slice. */
+  private def fnv1a(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    // Token hashes: split on single spaces, skip empty tokens (consecutive
+    // spaces) — same semantics as Fns.tokens.
+    var tokCount = 0
+    var tokHashes = new Array[Long](math.max(8, bytes.length / 4))
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) {
+          if (tokCount == tokHashes.length)
+            tokHashes = java.util.Arrays.copyOf(tokHashes, tokCount * 2)
+          tokHashes(tokCount) = fnv1a(bytes, start, i)
+          tokCount += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (tokCount < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long](tokCount * 2)
+    val out = new Array[Long](tokCount - n + 1)
+    var outLen = 0
+    var w = 0
+    while (w + n <= tokCount) {
+      var h = 0L
+      var k = 0
+      while (k < n) { h = h * 0x9E3779B97F4A7C15L + tokHashes(w + k); k += 1 }
+      h = fmix64(h)
+      if (seen.add(h)) { out(outLen) = h; outLen += 1 }
+      w += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, outLen))
+  }
+}

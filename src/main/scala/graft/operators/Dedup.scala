@@ -30,11 +30,17 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), md5(col(textCol).cast("binary")).as("text_md5"))
 
-  /** (doc_id, shingle) — the distinct word-n-gram set per document. */
+  /** (doc_id, shingle) — the distinct word-n-gram set per document, as
+    * 64-bit shingle hashes via the native
+    * [[graft.expressions.ShingleHashes]] expression (one codegen'd pass;
+    * the interpreted `array_distinct ∘ transform` HOF pipeline was the
+    * dominant cost of every dedup operator, and hashing shrinks the
+    * posting shuffle to 8-byte keys).
+    */
   def shingleSets(docs: DataFrame, n: Int,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(Fns.shingles(Fns.tokens(col(textCol)), n))).as("shingle"))
+        explode(call_function("graft_shingles", col(textCol), lit(n))).as("shingle"))
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via inverted-index join.
     * `maxShingleFreq`, when set, drops shingles appearing in more than that
@@ -91,11 +97,12 @@ object Dedup {
     * Jaccard s is 1-(1-s^r)^b. Returns distinct (doc_a < doc_b) pairs.
     */
   def lshCandidatePairs(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    // Band hash = xxhash64 over (band idx, the band's signature slots) —
+    // pure long hashing, no intermediate string building.
     val banded = signatures.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
-          xxhash64(bnd, concat_ws(",",
-            (0 until rowsPerBand).map(r =>
-              element_at(col("sig"), bnd * rowsPerBand + r + 1).cast("string")): _*)))))
+          xxhash64(bnd +: (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), bnd * rowsPerBand + r + 1)): _*))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&

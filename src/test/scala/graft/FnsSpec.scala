@@ -56,6 +56,22 @@ class FnsSpec extends SparkSpec {
     assert(fp == (1171L * 31 + 1171) % Fns.FpMod)
   }
 
+  test("native codegen cosine is bit-identical to the interpreted fold") {
+    val rng = new scala.util.Random(99)
+    val rows = Seq.fill(300)((Seq.fill(64)(rng.nextGaussian()), Seq.fill(64)(rng.nextGaussian()))) ++
+      Seq((Seq.fill(64)(0.0), Seq.fill(64)(1.0))) // zero-norm row
+    val df = rows.toDF("a", "b")
+      .select(Fns.cosine($"a", $"b").as("fast"), Fns.cosineInterpreted($"a", $"b").as("ref"))
+    val bad = df.filter(!($"fast" <=> $"ref")).count()
+    assert(bad == 0) // <=> is null-safe: NULL==NULL passes, any drift fails
+  }
+
+  test("native cosine: mismatched lengths yield NULL, not an error") {
+    val out = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(Fns.cosine($"a", $"b")).collect()
+    assert(out(0).isNullAt(0))
+  }
+
   test("dotProduct via zip_with handles unequal lengths as NULL sum") {
     val out = Seq((Seq(1.0, 2.0), Seq(3.0))).toDF("a", "b")
       .select(Fns.dotProduct($"a", $"b").as("d")).collect()

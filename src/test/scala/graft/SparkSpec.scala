@@ -20,6 +20,7 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = SparkSpec.session
     s.sparkContext.setLogLevel("ERROR")
+    graft.expressions.GraftFunctions.register(s)
     s
   }
 }
