@@ -317,7 +317,13 @@ object SparkEntry {
 
     "stream_sliding" -> ((s, dir) =>
       StreamingJobs.slidingRates(T(s, dir, "events"))
-        .orderBy("window_start"))
+        .orderBy("window_start")),
+
+    // Sessionization via native session_window (strict >gap starts a new
+    // session — adjacent windows merge; see StreamingSpec).
+    "stream_session" -> ((s, dir) =>
+      StreamingJobs.sessionize(T(s, dir, "events"), "30 minutes")
+        .orderBy("user_id", "session_start"))
   )
 
   /** Shared oracle fragment: per-document whitespace tokens. */
@@ -579,6 +585,24 @@ object SparkEntry {
       """SELECT window_start, count(*) AS n FROM (
         |  SELECT date_trunc('minute', ts) - k * (INTERVAL 1 MINUTE) AS window_start
         |  FROM events CROSS JOIN range(5) t(k))
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Gaps-and-islands formulation of session_window: a session breaks
+    // only on a STRICTLY larger-than-gap silence (adjacency merges).
+    "stream_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

@@ -37,4 +37,18 @@ object StreamingJobs {
   def streamingWindowedCounts(stream: DataFrame, watermark: String = "10 minutes",
                               windowLen: String = "1 hour"): DataFrame =
     windowedCounts(stream.withWatermark("ts", watermark), windowLen)
+
+  /** Sessionization: per-user sessions that close after `gap` of
+    * inactivity. `session_window` is Spark's native session operator —
+    * state-merging, watermark-compatible (add `withWatermark` on a
+    * stream), and batch-unified. A session spans [first event,
+    * last event + gap); adjacent windows merge, so only a strictly
+    * larger-than-gap silence starts a new session.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 userCol: String = "user_id"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
 }

@@ -36,6 +36,47 @@ class StreamingSpec extends SparkSpec {
       == "2024-01-01T10:05:00Z")
   }
 
+  test("sessionize: >gap closes a session; exact-gap adjacency merges") {
+    val ev = Seq(
+      (10L, "2024-01-01 10:00:00"), (10L, "2024-01-01 10:29:00"), // one session
+      (10L, "2024-01-01 11:30:00"),                               // 61 min later: new
+      (20L, "2024-01-01 10:00:00"), (20L, "2024-01-01 10:30:00")  // exactly gap: merge
+    ).toDF("user_id", "s").select($"user_id", to_timestamp($"s").as("ts"))
+    val out = StreamingJobs.sessionize(ev, "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    val rows = out.map(r => (r.getLong(0),
+      r.getAs[java.sql.Timestamp]("session_start").toInstant.toString,
+      r.getAs[java.sql.Timestamp]("session_end").toInstant.toString,
+      r.getAs[Long]("n_events")))
+    assert(rows.toSeq == Seq(
+      (10L, "2024-01-01T10:00:00Z", "2024-01-01T10:59:00Z", 2L),
+      (10L, "2024-01-01T11:30:00Z", "2024-01-01T12:00:00Z", 1L),
+      (20L, "2024-01-01T10:00:00Z", "2024-01-01T11:00:00Z", 2L)))
+  }
+
+  test("mapGroupsWithState: running per-user profiles across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, String, Double, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("user_id", "event_type", "value", "ts")
+    val q = graft.streaming.StatefulJobs.userProfiles(spark, stream)
+      .writeStream.format("memory").queryName("profiles")
+      .outputMode(graft.streaming.StatefulJobs.outputMode).start()
+    try {
+      mem.addData((1L, "click", 1.0, ts("2024-01-01 10:00:00")),
+        (1L, "view", 2.0, ts("2024-01-01 10:01:00")),
+        (2L, "click", 5.0, ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      mem.addData((1L, "purchase", 4.0, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable() // state carries across micro-batches
+      val last = spark.table("profiles").orderBy($"n_events".desc).collect()
+      val u1 = last.find(_.getLong(0) == 1L).get
+      assert(u1.getAs[Long]("n_events") == 3L)
+      assert(u1.getAs[Double]("total_value") == 7.0)
+      assert(u1.getAs[String]("last_type") == "purchase")
+    } finally q.stop()
+  }
+
   test("same body runs as a real structured stream with a watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
