@@ -264,6 +264,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Hash-sampled centroids (xxhash64); not reproducible in DuckDB →
+    // rows-only. IVF is the inverted-list scale path beside SRP-LSH.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), 10,
+          nClusters = 16, nProbe = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Seeded-JVM hyperplanes; not reproducible in DuckDB → rows-only.
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")

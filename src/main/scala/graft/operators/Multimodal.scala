@@ -63,6 +63,45 @@ object Multimodal {
     assets.as[Asset].mapPartitions(_.map(decodeStub))
   }
 
+  /** Resize: recompute the decoded representation at a target geometry.
+    * The stub scales the fake feature vector deterministically; a real
+    * implementation re-decodes at (w, h). Same narrow-map shape as decode.
+    */
+  def resize(spark: SparkSession, assets: DataFrame, w: Int, h: Int): Dataset[DecodedAsset] = {
+    import spark.implicits._
+    assets.as[Asset].mapPartitions(_.map { a =>
+      val d = decodeStub(a)
+      val sx = w.toFloat / math.max(1, d.width)
+      val sy = h.toFloat / math.max(1, d.height)
+      d.copy(width = w, height = h,
+        features = d.features.map(f => (f * math.sqrt(sx * sy)).toFloat))
+    })
+  }
+
+  final case class Frame(asset_id: Long, frame_idx: Int, offset: Int,
+                         frame_checksum: Long)
+
+  /** Frame sampling for "video" payloads: k evenly spaced byte windows,
+    * each fingerprinted — one input row fans out to k frame rows (the
+    * shape a real codec's keyframe sampler produces). Narrow flatMap; the
+    * raw payload still never crosses a shuffle.
+    */
+  def sampleFrames(spark: SparkSession, assets: DataFrame, k: Int): Dataset[Frame] = {
+    import spark.implicits._
+    assets.as[Asset].flatMap { a =>
+      val n = a.payload.length
+      if (n == 0) Seq.empty
+      else (0 until k).map { i =>
+        val off = (i.toLong * n / k).toInt
+        val until = math.min(n, off + math.max(1, n / k))
+        var h = 0xcbf29ce484222325L
+        var j = off
+        while (j < until) { h ^= a.payload(j) & 0xffL; h *= 0x100000001b3L; j += 1 }
+        Frame(a.asset_id, i, off, h)
+      }
+    }
+  }
+
   /** Pure-expression metadata extraction (no decode): byte length, content
     * checksum, header bytes. This is the cheap pre-filter that runs before
     * any expensive codec work at scale.

@@ -68,6 +68,71 @@ object Similarity {
     when(size(vec) === dim, bits)
   }
 
+  /** IVF (inverted-file) coarse quantizer: deterministic hash-sampled
+    * centroids — every ~(corpusSize/nClusters)-th vector by id hash, so
+    * selection is stable across runs and cluster sizes are balanced in
+    * expectation. A Lloyd refinement pass is deliberately omitted: at
+    * corpus scale the win is the inverted list structure, not centroid
+    * polish (document-embedding corpora are near-isotropic), and
+    * hash-sampling is one scan with no iteration barrier.
+    */
+  def ivfCentroids(corpus: DataFrame, nClusters: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(1L, n / nClusters)
+    corpus
+      .filter(Fns.pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      // the sampled set is ~nClusters rows; the sort is tiny and makes
+      // the limit deterministic across partitionings
+      .orderBy(col(idCol))
+      .limit(nClusters)
+      .select(col(idCol).as("centroid_id"), toDouble(col(vecCol)).as("centroid"))
+  }
+
+  /** Assign each vector to its `nProbe` highest-cosine centroids.
+    * Centroids are broadcast (they are tiny by construction); output is
+    * (id, v, cluster) — one row per probe.
+    */
+  private def assign(vectors: DataFrame, centroids: DataFrame, nProbe: Int,
+                     idName: String, vecName: String): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .select(col(idName), col(vecName),
+        col("centroid_id"),
+        Fns.cosine(col(vecName), col("centroid")).as("c_cos"))
+      .filter(col("c_cos").isNotNull)
+    val w = Window.partitionBy(col(idName))
+      .orderBy(col("c_cos").desc, col("centroid_id").asc)
+    scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nProbe)
+      .select(col(idName), col(vecName), col("centroid_id"))
+  }
+
+  /** IVF ANN top-k — the second scale path beside SRP-LSH: corpus vectors
+    * live in exactly one inverted list; queries probe their `nProbe`
+    * nearest lists, so the pair count drops from |Q|·N to
+    * ~|Q|·N·nProbe/nClusters. The candidate join is keyed by centroid —
+    * a plain shuffle/broadcast join, no all-pairs anywhere.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nClusters: Int,
+              nProbe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nClusters, idCol, vecCol)
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val q0 = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val corpusLists = assign(c0, cents, 1, "neighbor_id", "cv")
+    val queryProbes = assign(q0, cents, nProbe, "query_id", "qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpusLists.join(broadcast(queryProbes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Fns.cosine(col("qv"), col("cv")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** ANN top-k: queries probe their SRP bucket per table; union of tables,
     * dedup, then per-query rank. Exactness traded for a 2^nPlanes-fold
     * candidate reduction.

@@ -10,7 +10,7 @@ class EntrySpec extends SparkSpec {
   test("every oracle key has a query; rows-only set is exactly the 2 known") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
-      Set("dedup_simhash", "ann_lsh_topk"))
+      Set("dedup_simhash", "ann_lsh_topk", "ann_ivf_topk"))
   }
 
   test("all registered queries execute at sf0.001 and are non-degenerate") {

@@ -26,6 +26,28 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.kind == "image"))
   }
 
+  test("resize: target geometry with rescaled features, same row count") {
+    val docs = Seq((1L, "some payload bytes")).toDF("doc_id", "text")
+    val assets = Multimodal.assetsFrom(docs, "doc_id", "text")
+    val r = Multimodal.resize(spark, assets, 224, 224).collect()(0)
+    assert(r.width == 224 && r.height == 224)
+    assert(r.features.length == 8)
+  }
+
+  test("frameSample: k frames per asset, deterministic fingerprints") {
+    val docs = Seq((1L, "a" * 100), (2L, "")).toDF("doc_id", "text")
+    val assets = Multimodal.assetsFrom(docs, "doc_id", "text", kind = "video")
+    val frames = Multimodal.sampleFrames(spark, assets, 4).collect()
+    assert(frames.count(_.asset_id == 1L) == 4) // empty payload -> no frames
+    assert(frames.count(_.asset_id == 2L) == 0)
+    val offs = frames.filter(_.asset_id == 1L).sortBy(_.frame_idx).map(_.offset)
+    assert(offs.toSeq == Seq(0, 25, 50, 75))
+    val again = Multimodal.sampleFrames(spark, assets, 4).collect()
+      .filter(_.asset_id == 1L).sortBy(_.frame_idx).map(_.frame_checksum)
+    assert(frames.filter(_.asset_id == 1L).sortBy(_.frame_idx)
+      .map(_.frame_checksum).toSeq == again.toSeq)
+  }
+
   test("metadata: pure-expression pre-filter fields") {
     val docs = Seq((7L, "AB")).toDF("doc_id", "text")
     val m = Multimodal.metadata(Multimodal.assetsFrom(docs, "doc_id", "text")).collect()(0)

@@ -46,6 +46,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!ann.select("neighbor_id").collect().map(_.getLong(0)).contains(3L))
   }
 
+  test("IVF ANN: candidates only from probed lists, cosines exact, k-capped") {
+    val rng = new scala.util.Random(21)
+    // 4 well-separated clusters in 8-dim space + noise
+    val centers = Seq.tabulate(4)(c => Array.tabulate(8)(d => if (d == c * 2) 10.0 else 0.0))
+    val vecs = (0L until 80L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(v => (v + rng.nextGaussian() * 0.1).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 2)
+    val out = Similarity.ivfTopK(vecs, q, 5, nClusters = 8, nProbe = 3).collect()
+    assert(out.nonEmpty)
+    val brute = Similarity.bruteForceTopK(vecs, q, 80).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    out.foreach { r =>
+      assert(math.abs(brute((r.getLong(0), r.getLong(2))) - r.getDouble(3)) < 1e-12)
+    }
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length <= 5))
+    // with generous probing of separated clusters, the true top-1 is found
+    val top1 = out.filter(_.getAs[Int]("rank") == 1).map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bruteTop1 = Similarity.bruteForceTopK(vecs, q, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(top1 == bruteTop1)
+  }
+
   test("LSH ANN results are a subset of brute-force with identical cosines") {
     val rng = new scala.util.Random(11)
     val vecs = (0L until 50L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
