@@ -1,11 +1,12 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.analytics.Analytics
 import graft.etl.{Ingest, Transforms}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.StreamingJobs
 
 /** Driver contract: every implemented operator (SURVEY.md §2 + the
@@ -82,6 +83,60 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
+
+    // Point-in-time join: each click gets the user's latest prior signup
+    // value. Spark lacks a native as-of join; see operators/AsOfJoin.
+    "asof_join" -> ((s, dir) => {
+      val clicks = T(s, dir, "events").filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val signups = T(s, dir, "events").filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+      AsOfJoin.asOf(clicks, signups, "user_id", "ts", "ts", Seq("signup_value"))
+        .select("event_id", "user_id", "signup_value")
+        .orderBy("event_id")
+    }),
+
+    // Left-semi: customers that placed at least one order.
+    "q_semi_join" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // Left-anti: parts with no shipment in the last months of the data.
+    "q_anti_join" -> ((s, dir) => {
+      val p = T(s, dir, "part")
+      val l = T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2001-06-01").cast("timestamp"))
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name").orderBy("p_partkey")
+    }),
+
+    // Set op: distinct union of two filtered projections.
+    "q_union" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      e.filter(col("event_type") === "click").select("user_id")
+        .union(T(s, dir, "events").filter(col("event_type") === "view").select("user_id"))
+        .distinct().orderBy("user_id")
+    }),
+
+    // Grouping sets: ROLLUP over (returnflag, linestatus) with exact sums.
+    "q_rollup" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Windowed analytics: per-user running event count + previous value.
+    "q_window_running" -> ((s, dir) =>
+      T(s, dir, "events").select(col("event_id"), col("user_id"),
+          count(lit(1)).over(Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")).as("running_n"),
+          lag(col("value"), 1).over(Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")).as("prev_value"))
+        .orderBy("event_id")),
 
     // ---- SURVEY §2 core operators over the testdata analogs ----
 
@@ -390,6 +445,45 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "asof_join" ->
+      """SELECT l.event_id, l.user_id, r.value AS signup_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey
+        |    AND l_shipdate >= TIMESTAMP '2001-06-01 00:00:00')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_union" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'view'
+        |ORDER BY user_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_n,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "op01_json_positional" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k

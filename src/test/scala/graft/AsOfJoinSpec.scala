@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOf: latest right row at or before each left time, per key") {
+    val trades = Seq(
+      (1L, "A", t("2024-01-01 10:00:05")),
+      (2L, "A", t("2024-01-01 10:00:10")),
+      (3L, "B", t("2024-01-01 10:00:03")),
+      (4L, "C", t("2024-01-01 10:00:03"))) // no quotes for C
+      .toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", t("2024-01-01 10:00:00"), 100.0),
+      ("A", t("2024-01-01 10:00:07"), 101.0),
+      ("A", t("2024-01-01 10:00:30"), 999.0), // after both trades
+      ("B", t("2024-01-01 10:00:03"), 50.0))  // exactly at trade time
+      .toDF("sym", "qts", "price")
+    val out = AsOfJoin.asOf(trades, quotes, "sym", "ts", "qts", Seq("price"))
+      .orderBy("trade_id").collect()
+    assert(out.map(r => (r.getLong(0), Option(r.get(r.fieldIndex("price"))))).toSeq == Seq(
+      (1L, Some(100.0)),  // 10:00:00 quote, not the later one
+      (2L, Some(101.0)),  // picks the 10:00:07 update
+      (3L, Some(50.0)),   // inclusive: equal timestamps match
+      (4L, None)))        // left-join semantics: no prior quote -> null
+  }
+
+  test("asOf preserves all left rows and columns") {
+    val l = Seq((1L, "A", t("2024-01-01 00:00:01"), "extra"))
+      .toDF("id", "k", "ts", "payload")
+    val r = Seq(("A", t("2024-01-01 00:00:00"), 7.0)).toDF("k", "rts", "v")
+    val out = AsOfJoin.asOf(l, r, "k", "ts", "rts", Seq("v"))
+    assert(out.columns.toSet == Set("id", "k", "ts", "payload", "v"))
+    assert(out.collect()(0).getAs[Double]("v") == 7.0)
+  }
+}
