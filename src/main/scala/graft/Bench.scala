@@ -13,8 +13,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the alphabetically-first query doesn't absorb
-    // several seconds of one-time JIT + classloading cost.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // several seconds of one-time JIT + classloading cost. Runs on the
+    // sf0.001 fixture (NOT the benched sfDir — no page-cache preloading
+    // of timed data), covering the parquet reader, agg, window and
+    // events-timestamp paths.
+    Seq("q1_pricing", "op09_dedup_latest", "ana_favorite_type").foreach { q =>
+      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
     // (name, seconds, error) — a throwing query must NOT be recorded as a
     // normal fast timing; it gets an entry in "errors" instead.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

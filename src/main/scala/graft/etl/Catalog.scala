@@ -42,6 +42,20 @@ object Catalog {
   def insertInto(df: DataFrame, name: String): Unit =
     df.write.mode(SaveMode.Append).insertInto(name)
 
+  /** Bucketed materialization: co-locates future joins/aggregations on
+    * `bucketCols` — two tables bucketed the same way join with ZERO
+    * shuffle exchanges (verified by plan assertion in PipelineSpec).
+    * This is the warehouse-side answer to repeated large-fact joins that
+    * the reference's EVEN distribution forces to re-shuffle every query.
+    */
+  def materializeBucketed(df: DataFrame, name: String,
+                          bucketCols: Seq[String], numBuckets: Int,
+                          mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(name)
+
   /** Row counts for the five warehouse tables (etl sanity report). */
   def counts(spark: SparkSession): Map[String, Long] =
     Seq("time", "users", "songs", "artists", "songplays")

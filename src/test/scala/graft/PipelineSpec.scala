@@ -57,6 +57,28 @@ class PipelineSpec extends SparkSpec {
     assert(r.counts.keySet.contains("time") && r.counts.keySet.contains("users"))
   }
 
+  test("bucketed tables join with zero shuffle exchanges") {
+    val facts = (1L to 1000L).map(i => (i % 100, i, i * 2.0))
+      .toDF("key", "id", "amount")
+    val dims = (0L until 100L).map(i => (i, s"name$i")).toDF("key", "name")
+    spark.sql("DROP TABLE IF EXISTS b_facts")
+    spark.sql("DROP TABLE IF EXISTS b_dims")
+    Catalog.materializeBucketed(facts, "b_facts", Seq("key"), 8)
+    Catalog.materializeBucketed(dims, "b_dims", Seq("key"), 8)
+    // disable broadcast so the bucket co-location is what's being tested
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = spark.table("b_facts").join(spark.table("b_dims"), "key")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free join:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_dims")
+    }
+  }
+
   test("catalog: create x7 idempotent, insertInto appends, drop x7 idempotent") {
     Catalog.dropTables(spark)
     Catalog.createTables(spark)

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.etl.Transforms
+import graft.functions.Fns
+
+/** SURVEY §5.3 property tests. Strategy: ScalaCheck generators produce a
+  * few hundred deterministic samples (fixed seed), which are evaluated in
+  * ONE Spark job per property — per-sample Spark jobs would take minutes.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("time dimension invariants hold for arbitrary epoch millis") {
+    // full epoch-millis range of interest: 1970..2100
+    val millis = samples(Gen.choose(0L, 4102444800000L), 400)
+    val df = millis.toDF("ms").select(timestamp_millis($"ms").as("ts"))
+    val time = Transforms.buildTime(df)
+    val bad = time.filter(
+      $"weekday" < 0 || $"weekday" > 6 ||
+      $"hour" < 0 || $"hour" > 23 ||
+      $"day" < 1 || $"day" > 31 ||
+      $"week" < 1 || $"week" > 53 ||
+      $"month" < 1 || $"month" > 12 ||
+      $"year" < 1970 || $"year" > 2100).count()
+    assert(bad == 0)
+    // one output row per distinct input timestamp
+    assert(time.count() == df.distinct().count())
+  }
+
+  test("songplays is contained in the NextSong-filtered events") {
+    val pages = Gen.oneOf("NextSong", "Home", "Logout")
+    val songs = Gen.oneOf("S1", "S2", "S3", "S4")
+    val ev = samples(Gen.zip(songs, pages, Gen.choose(0L, 1e12.toLong)), 300)
+      .zipWithIndex.map { case ((s, p, ts), i) =>
+        (s, "Art", 100.0, ts, i.toString, "free", i, "L", "UA", p) }
+      .toDF("song", "artist", "length", "ts_millis", "user_id", "level",
+        "session_id", "location", "user_agent", "page")
+      .withColumn("ts", timestamp_millis($"ts_millis")).drop("ts_millis")
+    val ss = Seq(("SO1", "AR1", "S1", "Art", 100.0), ("SO2", "AR2", "S2", "Art", 100.0))
+      .toDF("song_id", "artist_id", "title", "artist_name", "duration")
+    val sp = Transforms.buildSongplays(ev, ss)
+    val nextSong = ev.filter($"page" === "NextSong")
+    assert(sp.count() ==
+      nextSong.filter($"song".isin("S1", "S2") && $"artist" === "Art").count())
+    // every songplay's user exists in the filtered events
+    assert(sp.join(nextSong, Seq("user_id"), "left_anti").count() == 0)
+  }
+
+  test("shingle hash sets: size <= max(0, tokens - n + 1); parity with strings") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val text = Gen.choose(0, 12).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    val docs = samples(text, 300).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = docs.select(
+      size(call_function("graft_shingles", $"text", lit(3))).as("n_hashed"),
+      size(array_distinct(Fns.shingles(Fns.tokens($"text"), 3))).as("n_string"),
+      size(Fns.tokens($"text")).as("n_toks"))
+    // hashed-set cardinality == distinct string-shingle cardinality
+    assert(out.filter($"n_hashed" =!= $"n_string").count() == 0)
+    assert(out.filter($"n_hashed" > greatest(lit(0), $"n_toks" - 2)).count() == 0)
+  }
+
+  test("cosine is in [-1, 1] (or NULL) for arbitrary vectors") {
+    val vec = Gen.listOfN(8, Gen.choose(-100.0, 100.0))
+    val zero = Gen.const(List.fill(8)(0.0))
+    val pairs = samples(Gen.zip(Gen.frequency(9 -> vec, 1 -> zero), vec), 300)
+    val df = pairs.toDF("a", "b")
+      .select(Fns.cosine($"a", $"b").as("c"))
+    assert(df.filter($"c" < -1.0000000001 || $"c" > 1.0000000001).count() == 0)
+    // zero vectors produce NULL, never NaN
+    assert(df.filter(isnan($"c")).count() == 0)
+  }
+
+  test("minhash permutations stay in [0, p) across the full long range") {
+    val hashes = samples(Gen.choose(Long.MinValue, Long.MaxValue), 500)
+    val df = hashes.toDF("h")
+    val cols = (0 until 16).map(k => Fns.minhashPerm($"h", k).as(s"p$k"))
+    val bad = df.select(cols: _*).filter(
+      (0 until 16).map(k => col(s"p$k") < 0 || col(s"p$k") >= Fns.MinHashPrime)
+        .reduce(_ || _)).count()
+    assert(bad == 0)
+  }
+}
