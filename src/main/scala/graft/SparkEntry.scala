@@ -249,6 +249,69 @@ object SparkEntry {
           col("l_quantity").cast("long").as("qty_int"), col("l_returnflag"))
         .orderBy("l_orderkey", "line_no", "qty_int", "l_returnflag")),
 
+    // ops 3+4: CREATE x7 / DROP x7 / re-CREATE — exercised live against
+    // the session catalog; returns the declared table inventory, which
+    // the oracle pins as a VALUES literal. Idempotence is what's tested:
+    // any failure in the drop/create cycle aborts the query.
+    "op03_04_catalog" -> ((s, dir) => {
+      T(s, dir, "region").count() // registers graft functions; touches dir
+      etl.Catalog.dropTables(s)
+      etl.Catalog.createTables(s)
+      etl.Catalog.createTables(s) // IF NOT EXISTS: no-op
+      etl.Catalog.dropTables(s)
+      etl.Catalog.createTables(s) // IF EXISTS semantics: full cycle twice
+      val inventory = etl.Catalog.tables.map { case (n, schema) =>
+        (n, schema.fields.length.toLong, s.catalog.tableExists(n))
+      }
+      etl.Catalog.dropTables(s)
+      import s.implicits._
+      inventory.toDF("table_name", "n_cols", "existed")
+        .filter(col("existed")).drop("existed").orderBy("table_name")
+    }),
+
+    // op 5: INSERT…SELECT append — two appends of the time dimension into
+    // a cataloged table must double the row count; the oracle computes
+    // the same invariant (2 × distinct ts) straight from events.
+    "op05_insert_append" -> ((s, dir) => {
+      val time = Transforms.buildTime(T(s, dir, "events"))
+      s.sql("DROP TABLE IF EXISTS graft_op05_time")
+      time.limit(0).write.saveAsTable("graft_op05_time")
+      etl.Catalog.insertInto(time, "graft_op05_time")
+      etl.Catalog.insertInto(time, "graft_op05_time")
+      val n = s.table("graft_op05_time").count()
+      s.sql("DROP TABLE IF EXISTS graft_op05_time")
+      import s.implicits._
+      Seq(n).toDF("n")
+    }),
+
+    // op 17: the whole orchestration — staging frames mapped from events
+    // (constant join keys so every transform's output count has a closed
+    // form the oracle computes straight from events), Pipeline.run with
+    // cached staging + five observed writes, counts returned.
+    "op17_pipeline_e2e" -> ((s, dir) => {
+      val se = T(s, dir, "events").select(
+        col("event_type").as("song"), lit("X").as("artist"),
+        lit(1.0).as("length"), col("ts"),
+        col("user_id").cast("string").as("user_id"),
+        col("event_type").as("level"),
+        col("event_id").cast("int").as("session_id"),
+        lit("L").as("location"), lit("UA").as("user_agent"),
+        when(col("event_type") === "click", "NextSong").otherwise("Home").as("page"),
+        lit("FN").as("first_name"), lit("LN").as("last_name"), lit("F").as("gender"))
+      val ss = T(s, dir, "events").select(col("event_type")).distinct().select(
+        concat(lit("SO_"), col("event_type")).as("song_id"),
+        concat(lit("AR_"), col("event_type")).as("artist_id"),
+        col("event_type").as("title"), lit("X").as("artist_name"),
+        lit(1.0).as("duration"), lit(0).as("year"),
+        lit("Loc").as("artist_location"),
+        lit(1.5).as("artist_latitude"), lit(2.5).as("artist_longitude"))
+      val out = java.nio.file.Files.createTempDirectory("graft-op17").toString
+      val r = etl.Pipeline.run(s, se, ss, out)
+      require(r.failures.isEmpty, s"pipeline failures: ${r.failures.keySet}")
+      import s.implicits._
+      r.counts.toSeq.toDF("table_name", "n").orderBy("table_name")
+    }),
+
     // ---- analytics module (star-schema read side) ----
 
     "ana_top_parts" -> ((s, dir) => {
@@ -492,6 +555,27 @@ object SparkEntry {
     "op02_json_auto" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "op03_04_catalog" ->
+      """SELECT * FROM (VALUES
+        |  ('artists', CAST(5 AS BIGINT)), ('songplays', 9), ('songs', 5),
+        |  ('staging_events', 18), ('staging_songs', 10), ('time', 7),
+        |  ('users', 5)) t(table_name, n_cols)
+        |ORDER BY table_name""".stripMargin,
+
+    "op05_insert_append" ->
+      "SELECT CAST(2 * count(DISTINCT ts) AS BIGINT) AS n FROM events",
+
+    // Closed forms of the five star-table cardinalities under the op17
+    // staging mapping: every event matches exactly one song row on the
+    // (song=title, artist=artist_name[, length=duration]) keys.
+    "op17_pipeline_e2e" ->
+      """SELECT 'artists' AS table_name, CAST(count(*) AS BIGINT) AS n FROM events
+        |UNION ALL SELECT 'songplays', count(*) FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'songs', count(DISTINCT event_type) FROM events
+        |UNION ALL SELECT 'time', count(DISTINCT ts) FROM events
+        |UNION ALL SELECT 'users', count(*) FROM events
+        |ORDER BY table_name""".stripMargin,
 
     "op06_join3" ->
       """WITH dim AS (SELECT l_partkey AS d_partkey, l_suppkey AS d_suppkey,
