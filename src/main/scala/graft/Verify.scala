@@ -14,6 +14,9 @@ object Verify {
       // events.parquet stores ts as timestamp[ns]; read as long nanos
       // (Ingest.readEvents truncates to micros, matching DuckDB).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // catalog DDL queries must not depend on the driver's CWD
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -35,6 +35,18 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_shingles(text, n) takes two arguments")
         ShingleHashes(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot(a, b) takes two arrays")
+        ArrayDot(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_simhash(text) takes one argument")
+        SimHash64(children.head)
       }))
 
   /** Idempotent runtime registration into an existing session. */

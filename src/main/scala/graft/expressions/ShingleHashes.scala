@@ -81,6 +81,39 @@ object ShingleUtil extends Serializable {
     h
   }
 
+  /** One-pass 64-bit SimHash: whitespace tokens hashed with Spark's own
+    * XXH64 (seed 42 — exactly `functions.xxhash64` on the token string,
+    * so fingerprints match the columnwise bit-vote formulation), per-bit
+    * majority vote on the stack, sign → bit. Empty-token documents hash
+    * to 0 — callers filter them out to preserve "no tokens, no row".
+    */
+  def simhash64(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val votes = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+            i - start, 42L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
   def shingleHashes(text: UTF8String, n: Int): ArrayData = {
     val bytes = text.getBytes
     // Token hashes: split on single spaces, skip empty tokens (consecutive

@@ -137,25 +137,17 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit vote of xxhash64 token
-    * hashes, sign → bit. Computed columnwise: 64 conditional sums in one
-    * aggregation, then the fingerprint is assembled without overflow by
-    * setting bits via bitwise OR (ANSI-safe).
+    * hashes, sign → bit — computed by the native one-pass
+    * [[graft.expressions.SimHash64]] expression (the columnwise
+    * explode + 64-aggregate formulation shuffled every token; this
+    * shuffles nothing). Token hash is Spark's xxhash64(seed 42), so
+    * fingerprints equal the columnwise version's. Docs with no tokens
+    * produce no row, like a groupBy over zero token rows.
     */
-  def simhash64(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toked = docs.select(col(idCol).as("doc_id"),
-      explode(Fns.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$bit")
-    }
-    val voted = toked.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64).map { bit =>
-      when(col(s"v$bit") > 0,
-        lit(if (bit == 63) Long.MinValue else 1L << bit)).otherwise(lit(0L))
-    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-    voted.select(col("doc_id"), fp.as("simhash"))
-  }
+  def simhash64(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.filter(size(Fns.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        call_function("graft_simhash", col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
     * pigeonhole blocking: split 64 bits into (maxHamming+1) blocks — any

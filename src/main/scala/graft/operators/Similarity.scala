@@ -61,8 +61,9 @@ object Similarity {
   def srpBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L,
                 table: Int = 0): Column = {
     val planes = hyperplanes(dim, nPlanes, seed, table)
+    val v = toDouble(vec) // accept float or double arrays
     val bits = (0 until nPlanes).map { h =>
-      val dot = Fns.dotProduct(vec, typedlit(planes(h).toSeq))
+      val dot = call_function("graft_dot", v, typedlit(planes(h).toSeq))
       when(dot >= 0, lit(1L << h)).otherwise(lit(0L))
     }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
     when(size(vec) === dim, bits)

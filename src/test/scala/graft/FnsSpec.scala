@@ -66,6 +66,15 @@ class FnsSpec extends SparkSpec {
     assert(bad == 0) // <=> is null-safe: NULL==NULL passes, any drift fails
   }
 
+  test("native graft_dot is bit-identical to the zip_with fold") {
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(200)((Seq.fill(32)(rng.nextGaussian()), Seq.fill(32)(rng.nextGaussian())))
+    val df = rows.toDF("a", "b").select(
+      call_function("graft_dot", $"a", $"b").as("fast"),
+      Fns.dotProduct($"a", $"b").as("ref"))
+    assert(df.filter(!($"fast" <=> $"ref")).count() == 0)
+  }
+
   test("native cosine: mismatched lengths yield NULL, not an error") {
     val out = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
       .select(Fns.cosine($"a", $"b")).collect()
