@@ -47,6 +47,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_simhash(text) takes one argument")
         SimHash64(children.head)
+      }),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_minhash(text, n, numPerms) takes three arguments")
+        MinHashSignature(children.head, children(1), children(2))
       }))
 
   /** Idempotent runtime registration into an existing session. */

@@ -114,7 +114,48 @@ object ShingleUtil extends Serializable {
     fp
   }
 
-  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+  /** MinHash signature in the same single pass: for each distinct shingle
+    * hash s, base = pmod(xxhash64(s), p) with Spark's XXH64(seed 42) on
+    * the long — exactly `xxhash64(shingle)` over the hashed-shingle
+    * column — then perm_k = (base·a_k + b_k) mod p with the constants of
+    * [[graft.functions.Fns.minhashPerm]]; the signature is the
+    * elementwise min. Returns NULL when the document has fewer than n
+    * tokens (no shingles ⇒ no signature row, matching the groupBy
+    * formulation it replaces).
+    */
+  def minhashSignature(text: UTF8String, n: Int, numPerms: Int): ArrayData = {
+    val shingles = shingleHashArray(text, n)
+    if (shingles.isEmpty) return null
+    val p = graft.functions.Fns.MinHashPrime
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    val as = new Array[Long](numPerms)
+    val bs = new Array[Long](numPerms)
+    var k = 0
+    while (k < numPerms) {
+      as(k) = (0x9E3779B97F4A7C15L * (2 * k + 1) & 0x7FFFFFFFL) | 1L
+      bs(k) = 0xC2B2AE3D27D4EB4FL * (k + 1) & 0x7FFFFFFFL
+      k += 1
+    }
+    var i = 0
+    while (i < shingles.length) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(shingles(i), 42L)
+      val base = ((h % p) + p) % p
+      k = 0
+      while (k < numPerms) {
+        val v = (((base * as(k) + bs(k)) % p) + p) % p
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def shingleHashes(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(shingleHashArray(text, n))
+
+  private def shingleHashArray(text: UTF8String, n: Int): Array[Long] = {
     val bytes = text.getBytes
     // Token hashes: split on single spaces, skip empty tokens (consecutive
     // spaces) — same semantics as Fns.tokens.
@@ -134,7 +175,7 @@ object ShingleUtil extends Serializable {
       }
       i += 1
     }
-    if (tokCount < n) return new GenericArrayData(Array.emptyLongArray)
+    if (tokCount < n) return Array.emptyLongArray
     val seen = new java.util.HashSet[java.lang.Long](tokCount * 2)
     val out = new Array[Long](tokCount - n + 1)
     var outLen = 0
@@ -147,6 +188,6 @@ object ShingleUtil extends Serializable {
       if (seen.add(h)) { out(outLen) = h; outLen += 1 }
       w += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, outLen))
+    java.util.Arrays.copyOf(out, outLen)
   }
 }

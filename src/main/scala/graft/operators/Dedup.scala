@@ -80,17 +80,18 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** MinHash signature: doc_id + `numPerms` min-hashed shingle values.
-    * One shuffle (groupBy doc) regardless of numPerms — the permutations
-    * are computed columnwise on the exploded postings.
+  /** MinHash signature: doc_id + `numPerms` min-hashed shingle values,
+    * computed per document in one native pass
+    * ([[graft.expressions.MinHashSignature]]) — ZERO shuffles; the
+    * explode + groupBy formulation this replaces shuffled every posting
+    * row. Signatures are identical (same shingle hashes, same xxhash64
+    * base, same permutation constants). Docs with < n tokens produce no
+    * row, like a groupBy over zero postings.
     */
-  def minhashSignatures(docs: DataFrame, n: Int, numPerms: Int): DataFrame = {
-    val sets = shingleSets(docs, n)
-      .withColumn("h", Fns.pmod(xxhash64(col("shingle")), lit(Fns.MinHashPrime)))
-    val mins = (0 until numPerms).map(k => min(Fns.minhashPerm(col("h"), k)).as(s"mh$k"))
-    sets.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until numPerms).map(k => col(s"mh$k")): _*).as("sig"))
-  }
+  def minhashSignatures(docs: DataFrame, n: Int, numPerms: Int): DataFrame =
+    docs.select(col("doc_id"),
+        call_function("graft_minhash", col("text"), lit(n), lit(numPerms)).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
     * bucket-join docs sharing any band hash. Candidate recall for true
