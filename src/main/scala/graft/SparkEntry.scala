@@ -355,6 +355,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), 3, 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // Same exact semantics via PPJoin-style prefix filtering — the
+    // scale path when posting-list df² makes the naive join quadratic
+    // (slower at this sf, bounded at corpus scale; tested equal).
+    "dedup_ngram_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsPrefix(T(s, dir, "documents"), 3, 0.5)
+        .orderBy("doc_a", "doc_b")),
+
     // Oracle is the exact all-pairs Jaccard: at threshold 0.5 with 64
     // perms / 16 bands (r=4) and the corpus' bimodal similarity (near-dups
     // are ≥0.9, background <0.1), LSH recall is 1 − (1 − 0.9⁴)¹⁶ ≈ 1−4e−8.
@@ -670,6 +677,8 @@ object SparkEntry {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+
+    "dedup_ngram_prefix" -> ngramJaccardOracle,
 
     "dedup_minhash_lsh" -> ngramJaccardOracle,
 

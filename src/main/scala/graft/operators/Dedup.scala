@@ -61,6 +61,52 @@ object Dedup {
     jaccardFromPostings(postings, sizes).filter(col("jaccard") >= threshold)
   }
 
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via PPJoin-style prefix
+    * filtering (Bayardo et al. "Scaling Up All Pairs Similarity Search",
+    * Xiao et al. PPJoin): order each document's shingles by ascending
+    * global document frequency; a pair with J ≥ t must share a shingle
+    * within the first ⌊(1−t)·|d|⌋+1 of each side, so only those prefix
+    * postings are self-joined. Prefixes concentrate on RARE shingles, so
+    * the candidate join is bounded by low-df posting lists instead of the
+    * full Σdf² — the property that keeps exact similarity join alive at
+    * corpus scale. Candidates are then verified with exact intersection
+    * counts; output ≡ [[ngramJaccardPairs]].
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = shingleSets(docs, n)
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = sets.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefix = sets.join(dfreq, "shingle").join(sizes, "doc_id")
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)))
+      .filter(col("__r") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select("doc_id", "shingle")
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyCandidates(candidates, sets, sizes).filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard for candidate pairs only: intersection via a postings
+    * join restricted to the candidates, denominators from set sizes.
+    */
+  private def verifyCandidates(candidates: DataFrame, sets: DataFrame,
+                               sizes: DataFrame): DataFrame = {
+    val inter = candidates
+      .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sets.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+  }
+
   /** Intersection counts from an inverted index + Jaccard. The division is
     * a single exact-integer ratio, so the double is bit-identical across
     * engines (oracle-safe without rounding).
@@ -123,18 +169,7 @@ object Dedup {
       bands, numPerms / bands)
     val sets = shingleSets(docs, n)
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = candidates
-      .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sets.as("b"),
-        col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyCandidates(candidates, sets, sizes).filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit vote of xxhash64 token

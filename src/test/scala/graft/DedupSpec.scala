@@ -44,6 +44,16 @@ class DedupSpec extends SparkSpec {
     assert(jac.forall(j => j >= 0.5 && j <= 1.0))
   }
 
+  test("prefix-filtered exact Jaccard equals the naive inverted-index join") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val naive = Dedup.ngramJaccardPairs(corpus, 3, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefix = Dedup.ngramJaccardPairsPrefix(corpus, 3, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefix == naive, s"threshold $t")
+    }
+  }
+
   test("MinHash+LSH verified pairs equal the exact pairs at threshold 0.5") {
     val exact = Dedup.ngramJaccardPairs(corpus, 3, 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -14,8 +14,8 @@ class EntrySpec extends SparkSpec {
   }
 
   test("all registered queries execute at sf0.001 and are non-degenerate") {
-    val allowedEmpty = Set("dedup_ngram_jaccard", "dedup_minhash_lsh",
-      "dedup_simhash", "dedup_embed_cosine") // near-dup yield at tiny sf may be 0
+    val allowedEmpty = Set("dedup_ngram_jaccard", "dedup_ngram_prefix",
+      "dedup_minhash_lsh", "dedup_simhash", "dedup_embed_cosine")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val n = fn(spark, "/root/testdata/sf0.001").count()
       assert(n > 0 || allowedEmpty.contains(name), s"$name returned 0 rows")
