@@ -255,15 +255,13 @@ object SparkEntry {
     // any failure in the drop/create cycle aborts the query.
     "op03_04_catalog" -> ((s, dir) => {
       T(s, dir, "region").count() // registers graft functions; touches dir
-      etl.Catalog.dropTables(s)
+      etl.Catalog.dropTables(s)   // IF EXISTS: safe when absent
       etl.Catalog.createTables(s)
       etl.Catalog.createTables(s) // IF NOT EXISTS: no-op
-      etl.Catalog.dropTables(s)
-      etl.Catalog.createTables(s) // IF EXISTS semantics: full cycle twice
       val inventory = etl.Catalog.tables.map { case (n, schema) =>
         (n, schema.fields.length.toLong, s.catalog.tableExists(n))
       }
-      etl.Catalog.dropTables(s)
+      etl.Catalog.dropTables(s)   // leave the catalog clean
       import s.implicits._
       inventory.toDF("table_name", "n_cols", "existed")
         .filter(col("existed")).drop("existed").orderBy("table_name")
