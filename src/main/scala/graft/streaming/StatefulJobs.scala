@@ -57,4 +57,53 @@ object StatefulJobs {
 
   /** The output mode the streaming sink should use with [[userProfiles]]. */
   val outputMode: OutputMode = OutputMode.Update()
+
+  final case class SessionSummary(user_id: Long, n_events: Long,
+                                  first_ms: Long, last_ms: Long)
+
+  /** Closed-session emission via `flatMapGroupsWithState`: events
+    * accumulate in per-user state and NOTHING is emitted until the
+    * watermark passes the session gap — then the timeout fires and the
+    * finished session is emitted exactly once (0 or 1 rows per
+    * invocation: the flatMap shape). This is the arbitrary-state
+    * formulation of sessionize() for sinks that must only see final
+    * sessions (append-mode semantics).
+    */
+  private[streaming] def closeSessions(gapMs: Long)(
+      userId: Long, events: Iterator[UserEvent],
+      state: GroupState[SessionSummary]): Iterator[SessionSummary] = {
+    if (state.hasTimedOut) {
+      val done = state.get
+      state.remove()
+      Iterator.single(done)
+    } else {
+      val sorted = events.toSeq.sortBy(_.ts.getTime)
+      val prev = state.getOption
+      val first = prev.map(_.first_ms).getOrElse(sorted.head.ts.getTime)
+      val last = math.max(prev.map(_.last_ms).getOrElse(Long.MinValue),
+        sorted.last.ts.getTime)
+      val n = prev.map(_.n_events).getOrElse(0L) + sorted.size
+      state.update(SessionSummary(userId, n, first, last))
+      state.setTimeoutTimestamp(last + gapMs)
+      Iterator.empty
+    }
+  }
+
+  /** Stream of CLOSED sessions (gap-terminated), append-mode. The
+    * watermark must be at least the session gap for timely closure.
+    */
+  def closedSessions(spark: SparkSession, events: DataFrame,
+                     gap: String = "30 minutes",
+                     watermark: String = "30 minutes"): Dataset[SessionSummary] = {
+    import spark.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val ms = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    val src = events.select("user_id", "event_type", "value", "ts")
+    val marked = if (src.isStreaming) src.withWatermark("ts", watermark) else src
+    marked.as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(closeSessions(ms))
+  }
 }

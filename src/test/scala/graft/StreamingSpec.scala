@@ -77,6 +77,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: sessions emit only when the watermark closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, String, Double, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("user_id", "event_type", "value", "ts")
+    val q = graft.streaming.StatefulJobs
+      .closedSessions(spark, stream, gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "click", 1.0, ts("2024-01-01 10:00:00")),
+        (1L, "view", 2.0, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // session still open
+      // An event far in the future advances the watermark past the gap.
+      mem.addData((2L, "click", 1.0, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      mem.addData((2L, "view", 1.0, ts("2024-01-01 12:00:01")))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+      assert(rows.length == 1) // user 1's session closed; user 2's still open
+      assert(rows(0).getLong(0) == 1L)
+      assert(rows(0).getAs[Long]("n_events") == 2L)
+      assert(rows(0).getAs[Long]("first_ms") == ts("2024-01-01 10:00:00").getTime)
+      assert(rows(0).getAs[Long]("last_ms") == ts("2024-01-01 10:05:00").getTime)
+    } finally q.stop()
+  }
+
   test("same body runs as a real structured stream with a watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
