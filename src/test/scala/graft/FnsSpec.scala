@@ -46,6 +46,19 @@ class FnsSpec extends SparkSpec {
     assert(row.getLong(1) < Fns.MinHashPrime)
   }
 
+  test("graft functions are callable from plain SQL") {
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       graft_dot(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS d,
+        |       size(graft_shingles('a b c d', 3)) AS s,
+        |       graft_simhash('hello world') AS h,
+        |       size(graft_minhash('a b c d', 3, 8)) AS m""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 23.0)
+    assert(r.getInt(2) == 2)
+    assert(r.getInt(4) == 8)
+  }
+
   test("tokenHash and rollingFingerprint match hand computation") {
     // tokenHash("abc") = 3*131 + 97*7 + 99 = 1171
     val th = Seq("abc").toDF("t").select(Fns.tokenHash($"t")).collect()(0).getLong(0)
