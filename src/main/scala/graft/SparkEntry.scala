@@ -744,6 +744,7 @@ object SparkEntry {
     "text_token_counts" ->
       s"""WITH base AS ($docToks)
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.subwordPattern.replace("\\", "\\\\")}')) AS BIGINT) AS n_subwords,
          |  CAST(list_aggregate(list_transform(toks, t -> (length(t) + 3) // 4), 'sum') AS BIGINT) AS n_bpe_est
          |FROM base ORDER BY doc_id""".stripMargin,
 

@@ -134,9 +134,10 @@ object Dedup {
     * base, same permutation constants). Docs with < n tokens produce no
     * row, like a groupBy over zero postings.
     */
-  def minhashSignatures(docs: DataFrame, n: Int, numPerms: Int): DataFrame =
-    docs.select(col("doc_id"),
-        call_function("graft_minhash", col("text"), lit(n), lit(numPerms)).as("sig"))
+  def minhashSignatures(docs: DataFrame, n: Int, numPerms: Int,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        call_function("graft_minhash", col(textCol), lit(n), lit(numPerms)).as("sig"))
       .filter(col("sig").isNotNull)
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,

@@ -68,14 +68,22 @@ object TextAnalysis {
       (size(array_distinct(toks)).cast("double") / size(toks)).as("distinct_ratio"))
   }
 
-  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
-    * (ceil(chars/4) per token — the common "~4 chars per token" rule).
+  /** BPE-ish segmentation regex: letter runs, digit runs, punctuation
+    * runs. Deliberately ASCII-class-based so Java regex (Spark) and RE2
+    * (DuckDB oracle) agree exactly.
+    */
+  val subwordPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+  /** Token counting: whitespace tokens, a BPE-ish subword-regex count,
+    * and the ceil(chars/4) estimate (the "~4 chars per token" rule).
     */
   def tokenCounts(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = Fns.tokens(col(textCol))
     docs.select(
       col(idCol).as("doc_id"),
       size(toks).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(subwordPattern), lit(0)))
+        .cast("long").as("n_subwords"),
       aggregate(toks, lit(0L), (acc, t) => acc + floor((length(t) + 3) / 4.0))
         .as("n_bpe_est"))
   }

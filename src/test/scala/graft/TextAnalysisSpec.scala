@@ -35,6 +35,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_bpe_est") == 1L + 2L + 1L)
   }
 
+  test("tokenCounts: subword regex splits letter/digit/punct runs") {
+    val docs = Seq((1L, "hello42 world, x-1")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(docs).collect()(0)
+    // hello|42, world|',', x|-|1 -> 7 subwords
+    assert(r.getAs[Long]("n_subwords") == 7L)
+  }
+
   test("fingerprint is order-sensitive (unlike shingle sets)") {
     val docs = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("doc_id", "text")
     val fps = TextAnalysis.fingerprint(docs).collect().map(_.getAs[Long]("fingerprint"))
