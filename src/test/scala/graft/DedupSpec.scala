@@ -44,6 +44,18 @@ class DedupSpec extends SparkSpec {
     assert(jac.forall(j => j >= 0.5 && j <= 1.0))
   }
 
+  test("maxShingleFreq skew cap only removes pairs, never adds; huge cap is exact") {
+    val exact = Dedup.ngramJaccardPairs(corpus, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val capped = Dedup.ngramJaccardPairs(corpus, 3, 0.5, maxShingleFreq = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // dropping hot shingles can only lower intersections -> pair subset
+    assert(capped.toSet.subsetOf(exact.map(p => (p._1, p._2)).toSet))
+    val cappedHuge = Dedup.ngramJaccardPairs(corpus, 3, 0.5, maxShingleFreq = Some(1000000))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cappedHuge.toSet == exact.toSet) // cap above every df is a no-op
+  }
+
   test("prefix-filtered exact Jaccard equals the naive inverted-index join") {
     for (t <- Seq(0.3, 0.5, 0.8)) {
       val naive = Dedup.ngramJaccardPairs(corpus, 3, t).collect()
