@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.analytics.Analytics
 import graft.etl.{Ingest, Transforms}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.StreamingJobs
 
 /** Driver contract: every implemented operator (SURVEY.md §2 + the
@@ -377,6 +377,18 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
 
+    // ---- LLM-data-pipeline: deterministic sampling / data mixing ----
+
+    "sample_deterministic" -> ((s, dir) =>
+      Sampling.deterministicSample(T(s, dir, "events"), "event_id", 0.1)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")),
+
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedQuota(T(s, dir, "documents"), "lang", "doc_id", 40)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     // ---- LLM-data-pipeline: similarity search ----
 
     "ann_brute_topk" -> ((s, dir) => {
@@ -669,6 +681,19 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2, 3) t
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n_plays DESC, artist_id) = 1
         |ORDER BY user_id""".stripMargin,
+
+    // (key * 2654435761) mod 2^32 — Knuth multiplicative hash, chosen so
+    // the oracle reproduces the selection exactly in ANSI SQL.
+    "sample_deterministic" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE (event_id * 2654435761) % 4294967296 < CAST(0.1 * 4294967296 AS BIGINT)
+        |ORDER BY event_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 40
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_md5

@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = (1L to 10000L).map(i => (i, s"src${i % 7}")).toDF("id", "src")
+
+  test("deterministicSample: reproducible, near-target rate, partition-independent") {
+    val a = Sampling.deterministicSample(rows, "id", 0.1)
+    val n = a.count()
+    assert(n > 800 && n < 1200, s"rate off: $n/10000")
+    val b = Sampling.deterministicSample(rows.repartition(13), "id", 0.1)
+    assert(b.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      a.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // monotone: a smaller fraction selects a subset of a larger one
+    val small = Sampling.deterministicSample(rows, "id", 0.05)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a.select("id").collect().map(_.getLong(0)).toSet))
+  }
+
+  test("stratifiedQuota: at most quota rows per stratum, deterministic") {
+    val q = Sampling.stratifiedQuota(rows, "src", "id", 50)
+    val perStratum = q.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum.values.forall(_ == 50L)) // every stratum has >= 50 rows
+    assert(perStratum.size == 7)
+    val again = Sampling.stratifiedQuota(rows.repartition(11), "src", "id", 50)
+    assert(again.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      q.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+}
