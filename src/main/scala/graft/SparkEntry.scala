@@ -434,6 +434,13 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(T(s, dir, "documents")).orderBy("doc_id")),
 
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.normalize(T(s, dir, "documents")).orderBy("doc_id")),
+
+    // Token-budget packing: docs -> ~400-subword training sequences.
+    "text_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(T(s, dir, "documents"), 400).orderBy("doc_id")),
+
     // ---- LLM-data-pipeline: multimodal plumbing ----
 
     "mm_metadata" -> ((s, dir) =>
@@ -782,6 +789,22 @@ object SparkEntry {
          |        (length(t) * 131 + ascii(substr(t, 1, 1)) * 7 + ascii(right(t, 1))) % 1000000007)),
          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
          |FROM base ORDER BY doc_id""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS text_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_pack" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(len(regexp_extract_all(text,
+         |    '${TextAnalysis.subwordPattern}')) AS BIGINT) AS n_subwords
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_subwords,
+         |        sum(n_subwords) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM base)
+         |SELECT doc_id, n_subwords,
+         |  CAST(floor((cum - n_subwords) / 400.0) AS BIGINT) AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "mm_metadata" ->
       """SELECT doc_id AS asset_id, 'image' AS kind,

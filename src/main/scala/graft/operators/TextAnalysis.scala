@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
 
@@ -94,4 +95,30 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       Fns.rollingFingerprint(Fns.tokens(col(textCol))).as("fingerprint"))
+
+  /** Canonical text normalization: lowercase, collapse whitespace runs,
+    * trim. Pure per-row expressions (narrow, scan-bound); regex classes
+    * are ASCII so Java and RE2 agree.
+    */
+  def normalize(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      trim(regexp_replace(lower(col(textCol)), " +", " ")).as("text_norm"))
+
+  /** Token-budget sequence packing: assign documents (in id order) to
+    * training sequences of ~`budget` subword tokens via cumulative token
+    * count — seq_id = floor((cumsum − n)/budget), i.e. a document starts
+    * a new sequence when the running total crosses the budget. The
+    * running cumsum is one ordered window; at corpus scale partition the
+    * window by a shard column so no global sort is required (the
+    * registered query is the oracle-comparable global variant).
+    */
+  def packSequences(docs: DataFrame, budget: Int,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = tokenCounts(docs, textCol, idCol).select(col("doc_id"), col("n_subwords"))
+    toks.withColumn("cum", sum(col("n_subwords")).over(w))
+      .select(col("doc_id"), col("n_subwords"),
+        floor((col("cum") - col("n_subwords")) / budget).as("seq_id"))
+  }
 }

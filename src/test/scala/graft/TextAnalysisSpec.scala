@@ -42,6 +42,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_subwords") == 7L)
   }
 
+  test("normalize: lowercase, collapse spaces, trim") {
+    val docs = Seq((1L, "  Hello   WORLD  x ")).toDF("doc_id", "text")
+    val r = TextAnalysis.normalize(docs).collect()(0)
+    assert(r.getString(1) == "hello world x")
+  }
+
+  test("packSequences: new sequence when the running budget is crossed") {
+    // subword counts: 3 docs of 3 tokens each, budget 5:
+    // cum-n = 0, 3, 6 -> seq ids 0, 0, 1
+    val docs = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i")).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, 5).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("seq_id")).toSeq == Seq(0L, 0L, 1L))
+    assert(out.map(_.getAs[Long]("n_subwords")).toSeq == Seq(3L, 3L, 3L))
+  }
+
   test("fingerprint is order-sensitive (unlike shingle sets)") {
     val docs = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("doc_id", "text")
     val fps = TextAnalysis.fingerprint(docs).collect().map(_.getAs[Long]("fingerprint"))
