@@ -377,6 +377,29 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
 
+    // Distribution profiling: exact interpolated percentiles + moments
+    // per group — the per-column statistics a data-quality pass emits.
+    "q_profile_stats" -> ((s, dir) =>
+      T(s, dir, "events").groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          round(min("value"), 6).as("v_min"),
+          round(max("value"), 6).as("v_max"),
+          round(stddev("value"), 6).as("v_std"))
+        .orderBy("event_type")),
+
+    // Fixed-width histogram of a numeric column: integer bucket counts
+    // (explicit floor arithmetic — width_bucket semantics, portable).
+    "q_histogram" -> ((s, dir) =>
+      T(s, dir, "events")
+        .select(when(col("value") < 0, lit(0L))
+          .when(col("value") >= 100, lit(11L))
+          .otherwise(floor(col("value") / 10) + 1).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
     // ---- LLM-data-pipeline: deterministic sampling / data mixing ----
 
     "sample_deterministic" -> ((s, dir) =>
@@ -688,6 +711,21 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2, 3) t
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n_plays DESC, artist_id) = 1
         |ORDER BY user_id""".stripMargin,
+
+    "q_profile_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  round(min(value), 6) AS v_min,
+        |  round(max(value), 6) AS v_max,
+        |  round(stddev_samp(value), 6) AS v_std
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CASE WHEN value < 0 THEN 0 WHEN value >= 100 THEN 11
+        |            ELSE CAST(floor(value / 10) AS BIGINT) + 1 END AS bucket,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // (key * 2654435761) mod 2^32 — Knuth multiplicative hash, chosen so
     // the oracle reproduces the selection exactly in ANSI SQL.
