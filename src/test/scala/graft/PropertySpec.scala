@@ -66,6 +66,31 @@ class PropertySpec extends SparkSpec {
     assert(out.filter($"n_hashed" > greatest(lit(0), $"n_toks" - 2)).count() == 0)
   }
 
+  test("asOf join matches a brute-force reference on random event streams") {
+    import graft.operators.AsOfJoin
+    val g = Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 1000L))
+    val lefts = samples(g, 120).zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, s"k$k", new java.sql.Timestamp(t * 1000)) }
+    // distinct right timestamps per key so the latest-prior row is unique
+    val rights = samples(g, 80).map { case (k, t) => (s"k$k", t) }
+      .distinct.zipWithIndex
+      .map { case ((k, t), i) => (k, new java.sql.Timestamp(t * 1000), i.toDouble) }
+    // mirror the unique-latest requirement: dedup rights on (key, ts)
+    val rightsUnique = rights.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val expectedU = lefts.map { case (id, k, ts) =>
+      val prior = rightsUnique.filter(r => r._1 == k && !r._2.after(ts))
+      id -> (if (prior.isEmpty) None else Some(prior.maxBy(_._2.getTime)._3))
+    }.toMap
+    val out = AsOfJoin.asOf(
+        lefts.toDF("id", "k", "ts"),
+        rightsUnique.toDF("k", "rts", "v"),
+        "k", "ts", "rts", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getDouble(r.fieldIndex("v")))))
+      .toMap
+    assert(out == expectedU)
+  }
+
   test("cosine is in [-1, 1] (or NULL) for arbitrary vectors") {
     val vec = Gen.listOfN(8, Gen.choose(-100.0, 100.0))
     val zero = Gen.const(List.fill(8)(0.0))
