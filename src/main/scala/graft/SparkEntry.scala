@@ -400,6 +400,17 @@ object SparkEntry {
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")),
 
+    // Pure-SQL usage of the native extension functions: the documents
+    // table as a temp view, queried with spark.sql text.
+    "q_sql_native_fns" -> ((s, dir) => {
+      T(s, dir, "documents").createOrReplaceTempView("graft_docs")
+      s.sql(
+        """SELECT doc_id,
+          |  CAST(size(graft_shingles(text, 3)) AS BIGINT) AS n_shingles,
+          |  size(graft_minhash(text, 3, 32)) AS sig_len
+          |FROM graft_docs ORDER BY doc_id""".stripMargin)
+    }),
+
     // ---- LLM-data-pipeline: deterministic sampling / data mixing ----
 
     "sample_deterministic" -> ((s, dir) =>
@@ -711,6 +722,22 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2, 3) t
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n_plays DESC, artist_id) = 1
         |ORDER BY user_id""".stripMargin,
+
+    // n_shingles == count of DISTINCT trigrams (hash-set cardinality);
+    // signature length is the constant numPerms.
+    "q_sql_native_fns" ->
+      s"""WITH base AS ($docToks),
+         |toks AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM base),
+         |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS shingle
+         |       FROM toks a
+         |       JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |       JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2)
+         |SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_shingles,
+         |       CASE WHEN s.n IS NULL THEN NULL ELSE 32 END AS sig_len
+         |FROM documents d
+         |LEFT JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) s
+         |  ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_profile_stats" ->
       """SELECT event_type, count(*) AS n,
