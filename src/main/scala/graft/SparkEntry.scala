@@ -754,17 +754,19 @@ object SparkEntry {
         |       count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // (key * 2654435761) mod 2^32 — Knuth multiplicative hash, chosen so
-    // the oracle reproduces the selection exactly in ANSI SQL.
+    // ((key mod 2^31) * 2654435761) mod 2^32 — Knuth multiplicative hash
+    // with the key folded first so the product can't overflow BIGINT;
+    // plain ANSI arithmetic so the oracle reproduces selections exactly.
     "sample_deterministic" ->
       """SELECT event_id, user_id, event_type FROM events
-        |WHERE (event_id * 2654435761) % 4294967296 < CAST(0.1 * 4294967296 AS BIGINT)
+        |WHERE ((event_id % 2147483648) * 2654435761) % 4294967296
+        |      < CAST(0.1 * 4294967296 AS BIGINT)
         |ORDER BY event_id""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang
-        |  ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 40
+        |  ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) <= 40
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->

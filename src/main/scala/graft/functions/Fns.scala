@@ -63,8 +63,10 @@ object Fns {
     * fingerprint so the DuckDB oracle can reproduce it exactly.
     */
   def tokenHash(tok: Column): Column =
-    (length(tok) * 131 + ascii(substring(tok, 1, 1)) * 7 +
-      ascii(substring(tok, -1, 1))).cast("long") % FpMod
+    // length cast to long BEFORE the multiply: int arithmetic would be an
+    // ANSI overflow error for pathological multi-megabyte tokens.
+    (length(tok).cast("long") * 131 + ascii(substring(tok, 1, 1)) * 7 +
+      ascii(substring(tok, -1, 1))) % FpMod
 
   /** Polynomial rolling hash over a token array (Rabin–Karp style):
     * h = fold(tokens, 0, (acc, t) -> (acc*31 + tokenHash(t)) mod p).

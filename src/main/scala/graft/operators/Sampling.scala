@@ -18,11 +18,17 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   private val Knuth = 2654435761L
+  private val M31 = 2147483648L // 2^31
   private val M32 = 4294967296L // 2^32
 
-  /** Uniform bucket in [0, 2^32) from a numeric key. */
+  /** Uniform bucket in [0, 2^32) from a numeric key. The key is folded
+    * into [0, 2^31) BEFORE the multiply: 2^31 · 2654435761 < 2^63, so the
+    * product never overflows a long (Spark 4 ANSI mode makes overflow a
+    * runtime error — an unfolded key past ~3.5e9 would kill the job at
+    * exactly the corpus sizes this exists for).
+    */
   def samplingHash(key: Column): Column =
-    pmod(key.cast("long") * Knuth, lit(M32))
+    pmod(pmod(key.cast("long"), lit(M31)) * Knuth, lit(M32))
 
   /** Keep ~fraction of rows, chosen by key hash — same rows every run,
     * every engine, any partitioning. Narrow (no shuffle).

@@ -94,6 +94,12 @@ class FnsSpec extends SparkSpec {
     assert(out(0).isNullAt(0))
   }
 
+  test("tokenHash handles multi-megabyte tokens without ANSI overflow") {
+    val tok = "x" * 17000000 // length*131 overflows int32; must be long math
+    val v = Seq(tok).toDF("t").select(Fns.tokenHash($"t")).collect()(0).getLong(0)
+    assert(v >= 0 && v < Fns.FpMod)
+  }
+
   test("dotProduct via zip_with handles unequal lengths as NULL sum") {
     val out = Seq((Seq(1.0, 2.0), Seq(3.0))).toDF("a", "b")
       .select(Fns.dotProduct($"a", $"b").as("d")).collect()

@@ -20,6 +20,13 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(a.select("id").collect().map(_.getLong(0)).toSet))
   }
 
+  test("samplingHash survives keys past 2^31 (no ANSI overflow)") {
+    val big = Seq(Long.MaxValue, 4294967296L, 2147483648L, 0L).toDF("id")
+    val out = big.select(graft.operators.Sampling.samplingHash($"id").as("h"))
+      .collect().map(_.getLong(0))
+    assert(out.forall(h => h >= 0 && h < 4294967296L))
+  }
+
   test("stratifiedQuota: at most quota rows per stratum, deterministic") {
     val q = Sampling.stratifiedQuota(rows, "src", "id", 50)
     val perStratum = q.groupBy("src").count().collect()
