@@ -28,6 +28,8 @@ object AsOfJoin {
            valueCols: Seq[String]): DataFrame = {
     require(valueCols.forall(c => !left.columns.contains(c)),
       s"valueCols ${valueCols.mkString(",")} must not collide with left columns")
+    require(!(left.columns ++ valueCols).exists(Set("__t", "__is_left")),
+      "columns __t and __is_left are reserved by asOf")
     val l2 = left
       .withColumn("__t", col(leftTime))
       .withColumn("__is_left", lit(1))

@@ -192,6 +192,10 @@ object Dedup {
     * on (block idx, block bits), then verify with bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // maxHamming = 0 would make the block width 64 and `1L << 64` wraps
+    // to an empty mask (and near-dup at distance 0 is just exact dedup).
+    require(maxHamming >= 1 && maxHamming <= 16,
+      s"maxHamming must be in [1, 16], got $maxHamming")
     val nBlocks = maxHamming + 1
     val width = 64 / nBlocks
     val sh = simhash64(docs)

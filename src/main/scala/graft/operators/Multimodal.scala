@@ -93,7 +93,8 @@ object Multimodal {
       if (n == 0) Seq.empty
       else (0 until k).map { i =>
         val off = (i.toLong * n / k).toInt
-        val until = math.min(n, off + math.max(1, n / k))
+        // long math: off + chunk can exceed Int.MaxValue for GB payloads
+        val until = math.min(n.toLong, off.toLong + math.max(1, n / k)).toInt
         var h = 0xcbf29ce484222325L
         var j = off
         while (j < until) { h ^= a.payload(j) & 0xffL; h *= 0x100000001b3L; j += 1 }

@@ -98,6 +98,8 @@ object StatefulJobs {
     import spark.implicits._
     val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(gapMs.months == 0,
+      "month-based gaps have no fixed millisecond length; use days/hours/minutes")
     val ms = gapMs.days * 86400000L + gapMs.microseconds / 1000L
     val src = events.select("user_id", "event_type", "value", "ts")
     val marked = if (src.isStreaming) src.withWatermark("ts", watermark) else src
