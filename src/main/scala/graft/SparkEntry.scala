@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.analytics.Analytics
 import graft.etl.{Ingest, Transforms}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Sampling, Similarity, Skew, TextAnalysis}
 import graft.streaming.StreamingJobs
 
 /** Driver contract: every implemented operator (SURVEY.md §2 + the
@@ -29,9 +29,11 @@ import graft.streaming.StreamingJobs
   *  - cosine outputs are rounded to 6 decimals on both sides (the one
   *    place engines legitimately differ in accumulation order).
   *
-  * No-oracle entries (driver records rows-only): dedup_simhash and
-  * ann_lsh_topk hash with xxhash64 / JVM-seeded hyperplanes that DuckDB
-  * cannot reproduce.
+  * Every registered query has a DuckDB oracle — including the hash-driven
+  * ones: SimHash votes and sampling use ANSI-expressible integer mixes,
+  * and the SRP hyperplane / perturbation constants are embedded in the
+  * generated oracle SQL as literals, so DuckDB reproduces bucket
+  * assignments and fingerprints bit-for-bit.
   */
 object SparkEntry {
 
@@ -367,13 +369,34 @@ object SparkEntry {
       Dedup.minhashDedupPairs(T(s, dir, "documents"), 3, 0.5, 64, 16)
         .orderBy("doc_a", "doc_b")),
 
-    // xxhash64-based; not reproducible in DuckDB → rows-only check.
+    // Pigeonhole-blocked SimHash pairs; the ANSI-expressible token hash
+    // (code-point polynomial + per-bit affine remix) lets the oracle
+    // rebuild the 64-bit fingerprints and check the pair set exactly.
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("doc_a", "doc_b")),
 
     "dedup_embed_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(T(s, dir, "embeddings"), 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")),
+
+    // The SRP-LSH scale path for embedding near-dup, against the exact
+    // all-pairs oracle. The synthetic embeddings are isotropic (pairwise
+    // cosines ≲ 0.62 — no natural near-dups), so the query plants them:
+    // corpus = embeddings ∪ deterministically perturbed copies (ε = 0.003
+    // multiplicative hash noise per coordinate, cosine ≈ 1 − O(ε²) ≥
+    // 0.9999), rebuilt verbatim by the oracle. At θ/π ≤ 1.5e-3 a planted
+    // pair misses one 8-plane table w.p. 1 − (1 − θ/π)⁸ ≤ 0.012, so the
+    // 6-table miss probability is ≤ 0.012⁶ ≈ 3e-12 per pair — the same
+    // shape of recall argument as dedup_minhash_lsh above. Background
+    // pairs that sneak into a bucket are removed by the exact cosine
+    // verify, so false positives are impossible.
+    "dedup_embed_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairsLsh(
+          augmentedEmbeddings(T(s, dir, "embeddings")), 0.95,
+          dim = 64, nPlanes = 8, nTables = 6)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
 
@@ -433,8 +456,10 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // Hash-sampled centroids (xxhash64); not reproducible in DuckDB →
-    // rows-only. IVF is the inverted-list scale path beside SRP-LSH.
+    // IVF is the inverted-list scale path beside SRP-LSH. Centroids are
+    // the nClusters smallest samplingHash(id) vectors — ANSI arithmetic,
+    // so the oracle selects the identical set and checks the full
+    // assign→probe→rank pipeline.
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), 10,
@@ -444,7 +469,9 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // Seeded-JVM hyperplanes; not reproducible in DuckDB → rows-only.
+    // Seed-fixed hyperplanes (java.util.Random — algorithm pinned by the
+    // Java spec) are embedded as literal double arrays in the generated
+    // oracle SQL, so DuckDB reproduces every bucket and the candidate set.
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.lshAnnTopK(emb, emb.filter(col("vec_id") < 8), 10, dim = 64,
@@ -472,8 +499,16 @@ object SparkEntry {
       TextAnalysis.normalize(T(s, dir, "documents")).orderBy("doc_id")),
 
     // Token-budget packing: docs -> ~400-subword training sequences.
+    // Global-window variant — oracle-comparable but single-partition;
+    // kept as the semantic baseline for the sharded scale path below.
     "text_pack" -> ((s, dir) =>
       TextAnalysis.packSequences(T(s, dir, "documents"), 400).orderBy("doc_id")),
+
+    // The scale path: cumsum window partitioned by language shard, so
+    // packing is one hash shuffle + per-shard sorts (no global sort).
+    "text_pack_sharded" -> ((s, dir) =>
+      TextAnalysis.packSequencesSharded(T(s, dir, "documents"), 400, "lang")
+        .orderBy("doc_id")),
 
     // ---- LLM-data-pipeline: multimodal plumbing ----
 
@@ -496,6 +531,62 @@ object SparkEntry {
           col("height").cast("long").as("height"))
         .orderBy("asset_id")),
 
+    // ---- ingestion / warehouse plumbing, end-to-end ----
+
+    // Ops 1+2+14 against REAL JSON files (the COPY statements'
+    // fidelity check, reference sql_queries.py:102–114): shape events
+    // into the reference's camelCase log-event JSON with epoch-millis
+    // timestamps, write it out, bulk-read it back through the declared
+    // schema + JSONPaths rename list (Ingest.readLogEvents), project.
+    // The oracle computes the same projection straight from the parquet
+    // table, so the whole write→scan→rename→epoch-convert path is
+    // hash-checked, not just the staging transform.
+    "op01_02_json_copy" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
+      T(s, dir, "events").select(
+          col("event_type").as("artist"),
+          lit("Logged In").as("auth"),
+          col("user_id").cast("string").as("userId"),
+          col("event_id").cast("int").as("sessionId"),
+          col("event_type").as("song"),
+          col("value").as("length"),
+          unix_millis(col("ts")).as("ts"),
+          lit("NextSong").as("page"),
+          lit(200).as("status"))
+        .write.mode("overwrite").json(tmp)
+      Ingest.readLogEvents(s, tmp)
+        .select(col("session_id"), col("user_id"), col("song"), col("length"),
+          col("ts"))
+        .orderBy("session_id")
+    }),
+
+    // Bucketed co-located join (Catalog.materializeBucketed): both sides
+    // land pre-hashed and pre-sorted on the join key, so the sort-merge
+    // join AND the follow-up aggregation on the same key run with ZERO
+    // shuffle exchanges (plan-asserted in PipelineSpec) — the warehouse
+    // answer to repeated large-fact joins. Oracle = the plain join.
+    "op_bucketed_join" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val o = T(s, dir, "orders").select("o_orderkey", "o_custkey")
+      etl.Catalog.materializeBucketed(l, "graft_bj_lineitem", Seq("l_orderkey"), 8)
+      etl.Catalog.materializeBucketed(o, "graft_bj_orders", Seq("o_orderkey"), 8)
+      val lb = s.table("graft_bj_lineitem")
+      val ob = s.table("graft_bj_orders")
+      lb.join(ob.hint("merge"), lb("l_orderkey") === ob("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_li"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        .orderBy("l_orderkey")
+    }),
+
+    // Two-phase salted aggregation over the known-skewed event_type key
+    // (Skew.saltedCount): hot keys spread across 16 reducers in the
+    // partial phase, then the tiny partials collapse. Result — and the
+    // oracle — is exactly the plain GROUP BY count.
+    "q_skew_salted" -> ((s, dir) =>
+      Skew.saltedCount(T(s, dir, "events"), Seq("event_type"), 16, Seq("event_id"))
+        .orderBy("event_type")),
+
     // ---- streaming surface (batch-unified bodies) ----
 
     "stream_tumbling" -> ((s, dir) =>
@@ -512,6 +603,29 @@ object SparkEntry {
       StreamingJobs.sessionize(T(s, dir, "events"), "30 minutes")
         .orderBy("user_id", "session_start"))
   )
+
+  /** Near-dup demo corpus for the LSH dedup query: embeddings ∪
+    * deterministically perturbed copies (id + 1 000 000). Copy coordinate
+    * i is v_i · (1 + ε·u) with u = samplingHash(id·64 + i)/2³¹ − 1 ∈
+    * [−1, 1) — every arithmetic step is ANSI-expressible and ordered
+    * identically in the oracle, so both engines build bit-identical
+    * corpora; each planted pair lands at cosine ≈ 1 − O(ε²) ≥ 0.9999.
+    */
+  private def augmentedEmbeddings(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    // The id is renamed before the projection: a lambda inside transform()
+    // is resolved LATE, against the projection's own output, so an
+    // unrenamed col("vec_id") would silently bind to the shifted alias and
+    // hash the wrong key (found the hard way — the oracle caught it).
+    val perturbed = base.withColumnRenamed("vec_id", "orig_id")
+      .select((col("orig_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0) + lit(0.003) *
+            (Sampling.samplingHash(col("orig_id") * 64 + i) / lit(2147483648.0)
+              - lit(1.0)))).as("embedding"))
+    base.unionByName(perturbed)
+  }
 
   /** Shared oracle fragment: per-document whitespace tokens. */
   private val docToks =
@@ -541,6 +655,122 @@ object SparkEntry {
 
   private val stopwordList =
     TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Shared oracle fragment: embeddings as DOUBLE lists. */
+  private val embCte =
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+
+  /** SimHash oracle: rebuild the 64-bit fingerprints from the
+    * ANSI-expressible token hash (ShingleUtil.tokenHash31 + the per-bit
+    * affine remixes, constants embedded below), pack them into a BIGINT
+    * (bit 63 via the two's-complement weight), then exact all-pairs
+    * Hamming ≤ 3 — the pigeonhole blocking on the Spark side is lossless,
+    * so blocked output ≡ all-pairs output.
+    */
+  private val simhashOracle: String = {
+    import graft.expressions.ShingleUtil
+    val p = ShingleUtil.SimHashPrime
+    val bits = (0 until 64).map { k =>
+      val a = ShingleUtil.simhashA(k)
+      val b = ShingleUtil.simhashB(k)
+      val weight = if (k == 63) "(-9223372036854775807 - 1)" else (1L << k).toString
+      s"(CASE WHEN 2 * len(list_filter(hl, h -> (h * $a + $b) % $p >= 1073741824)) > len(hl) THEN CAST($weight AS BIGINT) ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH base AS ($docToks),
+       |hs AS (SELECT doc_id, list_transform(toks, t ->
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
+       |           (acc, x) -> (acc * 131 + x) % $p)) AS hl
+       |       FROM base WHERE len(toks) > 0),
+       |sh AS (SELECT doc_id, $bits AS simhash FROM hs)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** IVF oracle: identical centroid selection (nClusters smallest
+    * samplingHash(id)), nearest-centroid corpus assignment, nProbe query
+    * probes, bucket join, per-query rank — the full inverted-list
+    * pipeline in SQL.
+    */
+  private val ivfOracle: String =
+    s"""WITH e AS ($embCte),
+       |cent AS (SELECT vec_id AS centroid_id, v AS centroid FROM e
+       |         ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+       |         LIMIT 16),
+       |ca AS (SELECT vec_id, v, centroid_id,
+       |              row_number() OVER (PARTITION BY vec_id
+       |                ORDER BY list_cosine_similarity(v, centroid) DESC, centroid_id) AS r
+       |       FROM e CROSS JOIN cent),
+       |corp AS (SELECT vec_id AS neighbor_id, v AS cv, centroid_id FROM ca WHERE r <= 1),
+       |qp AS (SELECT vec_id AS query_id, v AS qv, centroid_id FROM ca
+       |       WHERE vec_id < 8 AND r <= 4),
+       |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+       |      FROM corp JOIN qp USING (centroid_id)
+       |      WHERE query_id <> neighbor_id)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |  neighbor_id, round(cos, 6) AS cosine
+       |FROM s
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** SRP-LSH ANN oracle: the seed-42 hyperplanes are embedded as literal
+    * double arrays (java.util.Random's algorithm is pinned by the Java
+    * spec and Double.toString round-trips exactly), buckets recomputed
+    * per table, candidates = bucket-mates, then exact cosine rank.
+    */
+  private val srpAnnOracle: String = {
+    def planeLit(pl: Array[Double]) = pl.map(_.toString).mkString("[", ", ", "]")
+    val tables = (0 until 2).map { t =>
+      val planes = Similarity.hyperplanes(64, 8, 42L, t)
+      val bucket = (0 until 8).map { h =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(planes(h))}) >= 0 THEN ${1L << h} ELSE 0 END)"
+      }.mkString("\n     + ")
+      s"SELECT vec_id, v, $t AS tbl, $bucket AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS ($embCte),
+       |b AS ($tables),
+       |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |         FROM b c JOIN b q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |         WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+       |         GROUP BY 1, 2),
+       |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qe.v, ce.v) AS cos
+       |      FROM cand JOIN e qe ON qe.vec_id = query_id
+       |                JOIN e ce ON ce.vec_id = neighbor_id)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |  neighbor_id, round(cos, 6) AS cosine
+       |FROM s
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** LSH embedding-dedup oracle: rebuild the augmented corpus (original ∪
+    * ε-perturbed copies — same hash noise, same operation order as
+    * [[augmentedEmbeddings]]) and run the exact all-pairs cosine join; the
+    * LSH path must recover every pair (miss probability ≈ 3e-12 per pair,
+    * see the query's comment).
+    */
+  private val embedLshOracle: String = {
+    val idx = (1 to 64).mkString("[", ", ", "]")
+    s"""WITH e0 AS ($embCte),
+       |aug AS (
+       |  SELECT vec_id AS id, v FROM e0
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_transform($idx, i ->
+       |    v[i] * (CAST(1.0 AS DOUBLE) + CAST(0.003 AS DOUBLE) *
+       |      ((((vec_id * 64 + i - 1) % 2147483648) * 2654435761) % 4294967296
+       |        / CAST(2147483648.0 AS DOUBLE) - CAST(1.0 AS DOUBLE))))
+       |  FROM e0)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+       |FROM aug a JOIN aug b ON a.id < b.id
+       |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -779,6 +1009,14 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> ngramJaccardOracle,
 
+    "dedup_simhash" -> simhashOracle,
+
+    "dedup_embed_lsh" -> embedLshOracle,
+
+    "ann_ivf_topk" -> ivfOracle,
+
+    "ann_lsh_topk" -> srpAnnOracle,
+
     // list_transform to DOUBLE first: DuckDB computes FLOAT[] cosines in
     // float32, Spark casts to array<double> — must match Spark's double math.
     "dedup_embed_cosine" ->
@@ -872,6 +1110,34 @@ object SparkEntry {
          |SELECT doc_id, n_subwords,
          |  CAST(floor((cum - n_subwords) / 400.0) AS BIGINT) AS seq_id
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_pack_sharded" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang AS shard, CAST(len(regexp_extract_all(text,
+         |    '${TextAnalysis.subwordPattern}')) AS BIGINT) AS n_subwords
+         |  FROM documents),
+         |c AS (SELECT doc_id, shard, n_subwords,
+         |        sum(n_subwords) OVER (PARTITION BY shard ORDER BY doc_id
+         |                              ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM base)
+         |SELECT doc_id, shard, n_subwords,
+         |  CAST(floor((cum - n_subwords) / 400.0) AS BIGINT) AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "op01_02_json_copy" ->
+      """SELECT CAST(event_id AS INTEGER) AS session_id,
+        |  CAST(user_id AS VARCHAR) AS user_id, event_type AS song,
+        |  value AS length, epoch_ms(epoch_ms(ts)) AS ts
+        |FROM events ORDER BY session_id""".stripMargin,
+
+    "op_bucketed_join" ->
+      """SELECT l_orderkey, count(*) AS n_li,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_skew_salted" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
 
     "mm_metadata" ->
       """SELECT doc_id AS asset_id, 'image' AS kind,

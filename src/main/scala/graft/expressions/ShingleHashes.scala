@@ -81,26 +81,62 @@ object ShingleUtil extends Serializable {
     h
   }
 
-  /** One-pass 64-bit SimHash: whitespace tokens hashed with Spark's own
-    * XXH64 (seed 42 — exactly `functions.xxhash64` on the token string,
-    * so fingerprints match the columnwise bit-vote formulation), per-bit
-    * majority vote on the stack, sign → bit. Empty-token documents hash
-    * to 0 — callers filter them out to preserve "no tokens, no row".
+  /** SimHash modulus: 2^31 − 1, shared with the MinHash permutations. */
+  val SimHashPrime: Long = 2147483647L
+
+  /** Per-bit multiplier/offset for the 64 SimHash vote permutations —
+    * same derivation as [[graft.functions.Fns.minhashPerm]]'s constants.
+    * Public so the oracle-SQL generator embeds the exact values.
+    */
+  val simhashA: Array[Long] =
+    Array.tabulate(64)(k => (0x9E3779B97F4A7C15L * (2 * k + 1) & 0x7FFFFFFFL) | 1L)
+  val simhashB: Array[Long] =
+    Array.tabulate(64)(k => 0xC2B2AE3D27D4EB4FL * (k + 1) & 0x7FFFFFFFL)
+
+  /** ANSI-expressible 31-bit token hash: polynomial roll of the token's
+    * Unicode code points, h = fold(cp, 0, (acc, c) → (acc·131 + c) mod p)
+    * with p = 2^31 − 1 — exactly DuckDB's
+    * `list_reduce(list_prepend(0, list_transform(string_split(t, ''),
+    * c -> ord(c))), (acc, x) -> (acc * 131 + x) % 2147483647)`, so the
+    * oracle reproduces fingerprints bit-for-bit (DuckDB splits to code
+    * points and `ord` yields the code point; this loop iterates the same).
+    */
+  def tokenHash31(bytes: Array[Byte], from: Int, until: Int): Long = {
+    val s = UTF8String.fromBytes(bytes, from, until - from).toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131 + cp) % SimHashPrime
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** One-pass 64-bit SimHash: whitespace tokens hashed with the
+    * ANSI-expressible [[tokenHash31]], then bit k's ±1 vote is the high
+    * half of an affine remix (h·a_k + b_k) mod p — h < p and a_k < 2^31,
+    * so the product stays under 2^62 (no overflow) — majority vote on the
+    * stack, sign → bit. Every piece is plain integer arithmetic, so the
+    * DuckDB oracle computes identical fingerprints (xxhash64, which this
+    * replaced, has no DuckDB analog and forced a rows-only check).
+    * Empty-token documents hash to 0 — callers filter them out to
+    * preserve "no tokens, no row".
     */
   def simhash64(text: UTF8String): Long = {
     val bytes = text.getBytes
     val votes = new Array[Int](64)
+    val half = (SimHashPrime + 1) / 2 // 1073741824: perm ≥ half ⇒ +1 vote
     var start = 0
     var i = 0
     while (i <= bytes.length) {
       if (i == bytes.length || bytes(i) == ' ') {
         if (i > start) {
-          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
-            i - start, 42L)
+          val h = tokenHash31(bytes, start, i)
           var b = 0
           while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            val perm = (h * simhashA(b) + simhashB(b)) % SimHashPrime
+            if (perm >= half) votes(b) += 1 else votes(b) -= 1
             b += 1
           }
         }

@@ -7,7 +7,10 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash of a document in one native pass: tokenize on spaces,
-  * hash each token, per-bit majority vote, sign → bit.
+  * hash each token with the ANSI-expressible code-point polynomial of
+  * [[ShingleUtil.tokenHash31]], per-bit majority vote via affine remixes
+  * mod 2³¹−1, sign → bit. Every step is plain integer arithmetic, so a
+  * DuckDB oracle reproduces the fingerprints exactly.
   *
   * Replaces explode(tokens) + groupBy(doc) with 64 columnwise
   * conditional sums — that shape shuffles every token and evaluates 64

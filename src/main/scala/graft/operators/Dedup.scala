@@ -173,13 +173,15 @@ object Dedup {
     verifyCandidates(candidates, sets, sizes).filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-bit vote of xxhash64 token
-    * hashes, sign → bit — computed by the native one-pass
-    * [[graft.expressions.SimHash64]] expression (the columnwise
-    * explode + 64-aggregate formulation shuffled every token; this
-    * shuffles nothing). Token hash is Spark's xxhash64(seed 42), so
-    * fingerprints equal the columnwise version's. Docs with no tokens
-    * produce no row, like a groupBy over zero token rows.
+  /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes from an
+    * ANSI-expressible token hash (code-point polynomial mod 2³¹−1, then a
+    * per-bit affine remix — see
+    * [[graft.expressions.ShingleUtil.tokenHash31]]), sign → bit — computed
+    * by the native one-pass [[graft.expressions.SimHash64]] expression
+    * (the columnwise explode + 64-aggregate formulation shuffled every
+    * token; this shuffles nothing). Plain integer arithmetic throughout,
+    * so the DuckDB oracle reproduces fingerprints exactly. Docs with no
+    * tokens produce no row, like a groupBy over zero token rows.
     */
   def simhash64(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.filter(size(Fns.tokens(col(textCol))) > 0)
@@ -215,8 +217,9 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs (exact, all-pairs). The quadratic
-    * join is the verifier / small-N path; at corpus scale route through
-    * `Similarity.lshBuckets` first and verify within buckets.
+    * join is the verifier / small-N path; at corpus scale use
+    * [[embeddingNearDupPairsLsh]], which routes through
+    * [[graft.operators.Similarity.lshBuckets]] and verifies within buckets.
     */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -225,6 +228,44 @@ object Dedup {
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         Fns.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup pairs at scale: SRP-LSH bucketing via
+    * [[graft.operators.Similarity.lshBuckets]] over `nTables` hash tables,
+    * within-(table, bucket) self-join for candidates, exact codegen'd
+    * cosine verification, union-dedup across tables. Every stage is a hash
+    * shuffle keyed by (tbl, bucket) or (id_a, id_b) — no all-pairs join
+    * anywhere, so the O(N²) of [[embeddingNearDupPairs]] becomes
+    * O(N²·nTables/2^nPlanes) bucket-local work that spreads across
+    * executors.
+    *
+    * Recall: a pair at angle θ shares one table's bucket with probability
+    * (1 − θ/π)^nPlanes, so the miss probability over nTables independent
+    * tables is (1 − (1 − θ/π)^nPlanes)^nTables — for the near-dup regime
+    * this operator targets (cosine ≥ ~0.95, θ/π ≲ 0.1) the defaults give
+    * per-pair miss < 1e-10. Like all LSH, it is NOT a substitute for the
+    * exact join at low thresholds (θ near π/2): there (1 − θ/π)^nPlanes
+    * offers no separation and the honest scale path is a block-partitioned
+    * exact join. Vectors ride along in the bucket rows so verification
+    * needs no join back to the corpus (candidate rows are rare by
+    * construction; duplicating 8·dim bytes per collision beats a second
+    * corpus shuffle).
+    */
+  def embeddingNearDupPairsLsh(embeddings: DataFrame, threshold: Double, dim: Int,
+                               nPlanes: Int = 8, nTables: Int = 6, seed: Long = 42L,
+                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = Similarity.lshBuckets(embeddings, dim, nPlanes, nTables, seed, idCol, vecCol)
+    val candidates = b.as("a").join(b.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      // a pair colliding in several tables carries identical (va, vb) on
+      // every row, so keeping an arbitrary one is deterministic
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .select(col("id_a"), col("id_b"), Fns.cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -23,8 +23,12 @@ import graft.functions.Fns
   */
 object Similarity {
 
-  /** Literal hyperplane matrix: `nPlanes` × `dim`, seeded PRNG. */
-  private def hyperplanes(dim: Int, nPlanes: Int, seed: Long, table: Int): Array[Array[Double]] = {
+  /** Literal hyperplane matrix: `nPlanes` × `dim`, seeded PRNG
+    * (`java.util.Random` — algorithm fixed by the Java spec, so identical
+    * on every JVM). `private[graft]` so the oracle-SQL generator can embed
+    * the exact plane values as literals.
+    */
+  private[graft] def hyperplanes(dim: Int, nPlanes: Int, seed: Long, table: Int): Array[Array[Double]] = {
     val rng = new java.util.Random(seed + 7919L * table)
     Array.fill(nPlanes, dim)(rng.nextGaussian())
   }
@@ -69,26 +73,25 @@ object Similarity {
     when(size(vec) === dim, bits)
   }
 
-  /** IVF (inverted-file) coarse quantizer: deterministic hash-sampled
-    * centroids — every ~(corpusSize/nClusters)-th vector by id hash, so
-    * selection is stable across runs and cluster sizes are balanced in
-    * expectation. A Lloyd refinement pass is deliberately omitted: at
-    * corpus scale the win is the inverted list structure, not centroid
-    * polish (document-embedding corpora are near-isotropic), and
-    * hash-sampling is one scan with no iteration barrier.
+  /** IVF (inverted-file) coarse quantizer: the `nClusters` vectors with
+    * the smallest [[Sampling.samplingHash]] of their id — a deterministic
+    * pseudorandom sample that is stable across runs, partitionings, and
+    * engines (the hash is plain ANSI arithmetic, so the DuckDB oracle
+    * selects the identical centroid set). Runs as a distributed top-k
+    * (`TakeOrderedAndProject`): per-partition heaps + one tiny merge, NO
+    * preparatory `count()` scan of the corpus. A Lloyd refinement pass is
+    * deliberately omitted: at corpus scale the win is the inverted list
+    * structure, not centroid polish (document-embedding corpora are
+    * near-isotropic), and hash-ranked sampling needs no iteration barrier.
     */
   def ivfCentroids(corpus: DataFrame, nClusters: Int,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val n = corpus.count()
-    val stride = math.max(1L, n / nClusters)
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     corpus
-      .filter(Fns.pmod(xxhash64(col(idCol)), lit(stride)) === 0)
-      // the sampled set is ~nClusters rows; the sort is tiny and makes
-      // the limit deterministic across partitionings
-      .orderBy(col(idCol))
+      .select(col(idCol).as("centroid_id"), toDouble(col(vecCol)).as("centroid"),
+        Sampling.samplingHash(col(idCol)).as("__h"))
+      .orderBy(col("__h"), col("centroid_id"))
       .limit(nClusters)
-      .select(col(idCol).as("centroid_id"), toDouble(col(vecCol)).as("centroid"))
-  }
+      .drop("__h")
 
   /** Assign each vector to its `nProbe` highest-cosine centroids.
     * Centroids are broadcast (they are tiny by construction); output is
@@ -132,6 +135,27 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** SRP bucket assignments for a whole corpus, exploded over `nTables`
+    * hash tables: one row per (table, vector) with its bucket id — the
+    * shared bucketing primitive behind [[lshAnnTopK]] and
+    * [[graft.operators.Dedup.embeddingNearDupPairsLsh]]. Joining this
+    * frame to itself (or to a probe set) on (tbl, bucket) replaces an
+    * all-pairs comparison with 2^nPlanes-fold-smaller bucket-local joins —
+    * a plain hash shuffle on the bucket key, horizontal at any corpus
+    * size. Carries the (double-cast) vector so bucket-mates can be
+    * verified with an exact cosine without a second pass over the corpus.
+    */
+  def lshBuckets(vectors: DataFrame, dim: Int, nPlanes: Int, nTables: Int,
+                 seed: Long = 42L,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    (0 until nTables).map { t =>
+      base.select(lit(t).as("tbl"),
+        srpBucket(col("v"), dim, nPlanes, seed, t).as("bucket"),
+        col("id"), col("v"))
+    }.reduce(_ unionByName _)
   }
 
   /** ANN top-k: queries probe their SRP bucket per table; union of tables,

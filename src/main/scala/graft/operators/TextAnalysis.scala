@@ -104,13 +104,17 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"),
       trim(regexp_replace(lower(col(textCol)), " +", " ")).as("text_norm"))
 
-  /** Token-budget sequence packing: assign documents (in id order) to
-    * training sequences of ~`budget` subword tokens via cumulative token
-    * count — seq_id = floor((cumsum − n)/budget), i.e. a document starts
-    * a new sequence when the running total crosses the budget. The
-    * running cumsum is one ordered window; at corpus scale partition the
-    * window by a shard column so no global sort is required (the
-    * registered query is the oracle-comparable global variant).
+  /** Token-budget sequence packing, GLOBAL variant: assign documents (in
+    * id order) to training sequences of ~`budget` subword tokens via
+    * cumulative token count — seq_id = floor((cumsum − n)/budget), i.e. a
+    * document starts a new sequence when the running total crosses the
+    * budget.
+    *
+    * ORACLE-ONLY: the unpartitioned ordered window funnels the whole
+    * corpus through a single-partition sort — fine for an sf0.01
+    * correctness dump, wrong at scale. Production packing is
+    * [[packSequencesSharded]], whose window is partitioned by a shard
+    * column and therefore spreads across executors.
     */
   def packSequences(docs: DataFrame, budget: Int,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -119,6 +123,27 @@ object TextAnalysis {
     val toks = tokenCounts(docs, textCol, idCol).select(col("doc_id"), col("n_subwords"))
     toks.withColumn("cum", sum(col("n_subwords")).over(w))
       .select(col("doc_id"), col("n_subwords"),
+        floor((col("cum") - col("n_subwords")) / budget).as("seq_id"))
+  }
+
+  /** Token-budget sequence packing, SHARDED (the scale path): the running
+    * cumsum window is partitioned by `shardCol` (language, source, a hash
+    * bucket — any column training treats as an independent stream), so the
+    * pack is one hash shuffle on the shard key and a per-shard sort that
+    * parallelizes across executors instead of a global single-partition
+    * sort. Sequence ids are per-shard; (shard, seq_id) is the global
+    * sequence key. Semantics within a shard are identical to
+    * [[packSequences]].
+    */
+  def packSequencesSharded(docs: DataFrame, budget: Int, shardCol: String,
+                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = docs.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
+      size(regexp_extract_all(col(textCol), lit(subwordPattern), lit(0)))
+        .cast("long").as("n_subwords"))
+    toks.withColumn("cum", sum(col("n_subwords")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_subwords"),
         floor((col("cum") - col("n_subwords")) / budget).as("seq_id"))
   }
 }

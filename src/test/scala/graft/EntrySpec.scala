@@ -7,10 +7,10 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle key has a query; rows-only set is exactly the 2 known") {
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
-      Set("dedup_simhash", "ann_lsh_topk", "ann_ivf_topk"))
+  test("queries and oracles cover exactly the same keys — no rows-only entries") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      s"mismatch: queries-only=${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet} " +
+        s"oracles-only=${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
   }
 
   test("all registered queries execute at sf0.001 and are non-degenerate") {
