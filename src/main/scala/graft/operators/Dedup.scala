@@ -73,20 +73,48 @@ object Dedup {
     * counts; output ≡ [[ngramJaccardPairs]].
     */
   def ngramJaccardPairsPrefix(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sets = shingleSets(docs, n)
-    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val dfreq = sets.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val prefix = sets.join(dfreq, "shingle").join(sizes, "doc_id")
-      .withColumn("__r", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)))
-      .filter(col("__r") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select("doc_id", "shingle")
+    // One groupBy materializes everything the algorithm needs per doc:
+    // the full (distinct) shingle-hash set ordered by ascending global df
+    // and its size. Every later stage works off this frame, so the
+    // postings are shuffled twice total (df agg, df join → doc agg)
+    // instead of once per stage — the dominant cost at corpus scale.
+    val docsets = sets.join(dfreq, "shingle")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("sorted"),
+        count(lit(1)).as("n_sh"))
+      .select(col("doc_id"), col("n_sh"),
+        transform(col("sorted"), s => s.getField("shingle")).as("shingles"))
+    // PPJoin prefix: a pair with J ≥ t must share a shingle within the
+    // first ⌊(1−t)·|d|⌋+1 RAREST shingles of each side — only those are
+    // exploded into the candidate self-join.
+    val prefix = docsets.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("shingles"), lit(1),
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
+        .as("shingle"))
     val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          // length-ratio prune: J ≥ t forces t·max(|a|,|b|) ≤ min(|a|,|b|).
+          // The 1e-9 slack only ever ADMITS borderline candidates (double
+          // rounding must not reject a valid pair); the exact verify decides.
+          col("a.n_sh") >= lit(threshold) * col("b.n_sh") - lit(1e-9) &&
+          col("b.n_sh") >= lit(threshold) * col("a.n_sh") - lit(1e-9))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyCandidates(candidates, sets, sizes).filter(col("jaccard") >= threshold)
+    // Exact verify on the carried hash arrays: one array_intersect per
+    // candidate pair — no re-shuffle of the posting lists. Division is a
+    // single exact-integer ratio (oracle-safe, same as jaccardFromPostings).
+    val da = docsets.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
+      col("shingles").as("sh_a"))
+    val db = docsets.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
+      col("shingles").as("sh_b"))
+    candidates.join(da, "doc_a").join(db, "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Exact Jaccard for candidate pairs only: intersection via a postings

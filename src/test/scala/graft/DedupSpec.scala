@@ -90,6 +90,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getInt(2) <= 3))
   }
 
+  test("LSH embedding near-dup equals the exact all-pairs join on a planted corpus") {
+    // 40 seeded 64-dim vectors + a perturbed copy of each (cosine ≈ 1):
+    // the near-dup regime the SRP path is built for.
+    val rng = new scala.util.Random(11)
+    val base = (0 until 40).map(i => (i.toLong, Seq.fill(64)(rng.nextGaussian().toFloat)))
+    val copies = base.map { case (id, v) =>
+      (id + 1000L, v.map(x => x * (1.0f + 0.002f * rng.nextFloat())))
+    }
+    val emb = (base ++ copies).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairs(emb, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.embeddingNearDupPairsLsh(emb, 0.95, dim = 64,
+        nPlanes = 8, nTables = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.size == 40) // every planted pair, nothing else
+    assert(lsh == exact)
+  }
+
+  test("lshBuckets emits one row per (table, vector); buckets within plane range") {
+    val rng = new scala.util.Random(13)
+    val emb = (0 until 10).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val b = graft.operators.Similarity.lshBuckets(emb, dim = 16, nPlanes = 4, nTables = 3)
+      .collect()
+    assert(b.length == 30)
+    assert(b.map(_.getInt(0)).toSet == Set(0, 1, 2))
+    assert(b.forall { r => val bk = r.getLong(1); bk >= 0 && bk < 16 })
+  }
+
   test("embedding near-dup: zero-norm vector produces no pair (NaN guard)") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 1e-6f)), (3L, Seq(0.0f, 0.0f)))

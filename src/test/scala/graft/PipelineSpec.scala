@@ -72,6 +72,12 @@ class PipelineSpec extends SparkSpec {
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"expected shuffle-free join:\n$plan")
       assert(joined.count() == 1000)
+      // the registered op_bucketed_join shape: aggregation on the bucket
+      // key after the join also needs no exchange
+      val agg = joined.groupBy("key").agg(org.apache.spark.sql.functions.sum("amount"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), s"expected shuffle-free join+agg:\n$aggPlan")
+      assert(agg.count() == 100)
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.sql("DROP TABLE IF EXISTS b_facts")

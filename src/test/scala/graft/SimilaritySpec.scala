@@ -85,4 +85,16 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(brute(key) - r.getDouble(3)) < 1e-12)
     }
   }
+
+  test("ivfCentroids: exactly nClusters rows, stable across runs and partitionings") {
+    val rng = new scala.util.Random(31)
+    val vecs = (0L until 100L).map(i => (i, Seq.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.ivfCentroids(vecs, 10).collect()
+      .map(_.getLong(0)).toSeq
+    val b = Similarity.ivfCentroids(vecs.repartition(7), 10).collect()
+      .map(_.getLong(0)).toSeq
+    assert(a.length == 10)
+    assert(a.sorted == b.sorted) // hash-ranked selection: partitioning-independent
+  }
 }

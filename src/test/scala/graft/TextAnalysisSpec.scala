@@ -57,6 +57,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_subwords")).toSeq == Seq(3L, 3L, 3L))
   }
 
+  test("packSequencesSharded: per-shard cumsum equals global packing of each shard") {
+    val docs = Seq(
+      (1L, "a b c", "en"), (2L, "d e f", "en"), (3L, "g h i", "en"),
+      (4L, "j k", "de"), (5L, "l m n o", "de"), (6L, "p", "de"))
+      .toDF("doc_id", "text", "lang")
+    val sharded = TextAnalysis.packSequencesSharded(docs, 5, "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    for (shard <- Seq("en", "de")) {
+      val global = TextAnalysis.packSequences(
+          docs.filter($"lang" === shard).drop("lang"), 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val fromSharded = sharded.filter(_._2 == shard)
+        .map(t => (t._1, t._3, t._4)).toSet
+      assert(fromSharded == global, s"shard $shard")
+    }
+  }
+
   test("fingerprint is order-sensitive (unlike shingle sets)") {
     val docs = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("doc_id", "text")
     val fps = TextAnalysis.fingerprint(docs).collect().map(_.getAs[Long]("fingerprint"))
