@@ -53,6 +53,13 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 3, "graft_minhash(text, n, numPerms) takes three arguments")
         MinHashSignature(children.head, children(1), children(2))
+      }),
+    (FunctionIdentifier("graft_srp"),
+      new ExpressionInfo(classOf[SrpBuckets].getName, "graft_srp"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "graft_srp(vec, dim, nPlanes, nTables, seed) takes five arguments")
+        SrpBuckets(children.head, children(1), children(2), children(3), children(4))
       }))
 
   /** Idempotent runtime registration into an existing session. */

@@ -284,16 +284,19 @@ object Dedup {
                                nPlanes: Int = 8, nTables: Int = 6, seed: Long = 42L,
                                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val b = Similarity.lshBuckets(embeddings, dim, nPlanes, nTables, seed, idCol, vecCol)
-    val candidates = b.as("a").join(b.as("b"),
+    // Cosine + threshold BEFORE the cross-table dedup: the verify is one
+    // fused codegen'd expression per collision row, so re-evaluating it
+    // for a pair that collides in several tables is far cheaper than
+    // dragging both 8·dim-byte vectors through the dedup shuffle — after
+    // the filter, only genuine near-dup rows (id_a, id_b, cosine) ride
+    // the final exchange. Colliding rows of one pair carry an identical
+    // cosine, so dropDuplicates stays deterministic.
+    b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      // a pair colliding in several tables carries identical (va, vb) on
-      // every row, so keeping an arbitrary one is deterministic
-      .dropDuplicates("id_a", "id_b")
-    candidates
-      .select(col("id_a"), col("id_b"), Fns.cosine(col("va"), col("vb")).as("cosine"))
+        Fns.cosine(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -151,11 +151,15 @@ object Similarity {
                  seed: Long = 42L,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-    (0 until nTables).map { t =>
-      base.select(lit(t).as("tbl"),
-        srpBucket(col("v"), dim, nPlanes, seed, t).as("bucket"),
+    // All nTables buckets come from ONE fused native pass (graft_srp) and
+    // are posexploded — a per-table union would rescan the corpus nTables
+    // times, and the composed per-plane srpBucket tree is too large for
+    // codegen (it falls back to interpreted eval; see SrpBuckets docs).
+    base
+      .select(posexplode(call_function("graft_srp", col("v"),
+          lit(dim), lit(nPlanes), lit(nTables), lit(seed))),
         col("id"), col("v"))
-    }.reduce(_ unionByName _)
+      .select(col("pos").as("tbl"), col("col").as("bucket"), col("id"), col("v"))
   }
 
   /** ANN top-k: queries probe their SRP bucket per table; union of tables,
@@ -165,15 +169,18 @@ object Similarity {
   def lshAnnTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
                  nPlanes: Int = 8, nTables: Int = 2,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c0 = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-    val q0 = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-    val candidates = (0 until nTables).map { t =>
-      val cb = c0.withColumn("bucket", srpBucket(col("cv"), dim, nPlanes, table = t))
-      val qb = q0.withColumn("bucket", srpBucket(col("qv"), dim, nPlanes, table = t))
-      cb.join(broadcast(qb), Seq("bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
-    }.reduce(_ unionByName _).dropDuplicates("query_id", "neighbor_id")
+    // One corpus pass emits every table's bucket (lshBuckets posexplode);
+    // the tiny probe set is bucketed the same way and broadcast, so the
+    // candidate join is keyed by (tbl, bucket) — per-table unions would
+    // rescan the corpus nTables times.
+    val cb = lshBuckets(corpus, dim, nPlanes, nTables, 42L, idCol, vecCol)
+      .select(col("tbl"), col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val qb = lshBuckets(queries, dim, nPlanes, nTables, 42L, idCol, vecCol)
+      .select(col("tbl"), col("bucket"), col("id").as("query_id"), col("v").as("qv"))
+    val candidates = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates
