@@ -587,6 +587,30 @@ object SparkEntry {
       Skew.saltedCount(T(s, dir, "events"), Seq("event_type"), 16, Seq("event_id"))
         .orderBy("event_type")),
 
+    // Frame sampling fan-out: one "video" payload → k evenly spaced byte
+    // windows (narrow flatMap, payloads never shuffle). The oracle
+    // recomputes the window offsets and the k-per-asset fan-out; the FNV
+    // frame checksum needs mod-2^64 wrap (not ANSI) and stays spec-covered.
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(s,
+          Multimodal.assetsFrom(T(s, dir, "documents"), "doc_id", "text", "video"), 4)
+        .toDF()
+        .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("offset").cast("long").as("offset"))
+        .orderBy("asset_id", "frame_idx")),
+
+    // Skew-spread equi-join (Skew.saltedJoin): the big skewed side is
+    // content-salted, the small side replicated, joined on (key, salt) —
+    // result is exactly the plain join, which is the oracle.
+    "q_skew_salted_join" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val dim = e.select(col("event_type")).distinct()
+        .select(col("event_type"), upper(col("event_type")).as("type_name"))
+      Skew.saltedJoin(e, dim, "event_type", 16, Seq("event_id"))
+        .select("event_id", "event_type", "type_name")
+        .orderBy("event_id")
+    }),
+
     // ---- streaming surface (batch-unified bodies) ----
 
     "stream_tumbling" -> ((s, dir) =>
@@ -1138,6 +1162,17 @@ object SparkEntry {
 
     "q_skew_salted" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+
+    "mm_frames" ->
+      """SELECT doc_id AS asset_id, i AS frame_idx,
+        |  CAST(i * octet_length(encode(text)) // 4 AS BIGINT) AS offset
+        |FROM documents CROSS JOIN range(4) t(i)
+        |WHERE octet_length(encode(text)) > 0
+        |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    "q_skew_salted_join" ->
+      """SELECT event_id, event_type, upper(event_type) AS type_name
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "mm_metadata" ->
       """SELECT doc_id AS asset_id, 'image' AS kind,
