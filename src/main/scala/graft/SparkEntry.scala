@@ -400,6 +400,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
 
+    // Cluster resolution: pairwise near-dup output → per-doc cluster_id
+    // (min reachable id; keep = doc_id == cluster_id). Oracle computes
+    // the true transitive closure with a recursive CTE, so the bounded
+    // min-propagation is checked against exact connected components.
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.dedupClusters(docs, Dedup.ngramJaccardPairs(docs, 3, 0.5))
+        .orderBy("doc_id")
+    }),
+
     // Distribution profiling: exact interpolated percentiles + moments
     // per group — the per-column statistics a data-quality pass emits.
     "q_profile_stats" -> ((s, dir) =>
@@ -481,6 +491,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Symmetric int8 quantization, exploded to (vec_id, i, q) rows so the
+    // driver's scalar hash-compare covers every code.
+    "emb_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(T(s, dir, "embeddings"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"), posexplode(col("q")))
+        .select(col("vec_id"), col("scale"), col("pos").cast("long").as("i"),
+          col("col").cast("long").as("q"))
+        .orderBy("vec_id", "i")),
+
     // ---- LLM-data-pipeline: text analysis ----
 
     "text_quality" -> ((s, dir) =>
@@ -497,6 +516,11 @@ object SparkEntry {
 
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(T(s, dir, "documents")).orderBy("doc_id")),
+
+    // Gopher/C4-style repetition quality signal: duplicated-n-gram
+    // fractions for n = 2, 3 (exact integer ratios, oracle bit-identical).
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(T(s, dir, "documents")).orderBy("doc_id")),
 
     // Token-budget packing: docs -> ~400-subword training sequences.
     // Global-window variant — oracle-comparable but single-partition;
@@ -1035,6 +1059,23 @@ object SparkEntry {
 
     "dedup_simhash" -> simhashOracle,
 
+    // Exact connected components via transitive closure over the same
+    // pair set the Spark side derives (the all-pairs Jaccard oracle,
+    // nested as a subquery); singletons keep their own id.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |pr AS (SELECT doc_a, doc_b FROM ($ngramJaccardOracle) q0),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS doc_id, min(dst) AS m FROM reach GROUP BY 1)
+         |SELECT d.doc_id, least(coalesce(l.m, d.doc_id), d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "dedup_embed_lsh" -> embedLshOracle,
 
     "ann_ivf_topk" -> ivfOracle,
@@ -1122,6 +1163,36 @@ object SparkEntry {
     "text_normalize" ->
       """SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS text_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH base AS ($docToks),
+         |toks AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM base),
+         |sh2 AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t AS s
+         |        FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+         |sh3 AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+         |        FROM toks a
+         |        JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |        JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+         |n2 AS (SELECT doc_id, count(*) AS d2 FROM sh2 GROUP BY 1),
+         |n3 AS (SELECT doc_id, count(*) AS d3 FROM sh3 GROUP BY 1)
+         |SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(b.toks) - 1 > 0
+         |       THEN CAST(1.0 AS DOUBLE) - CAST(coalesce(d2, 0) AS DOUBLE) / (len(b.toks) - 1) END AS dup2_ratio,
+         |  CASE WHEN len(b.toks) - 2 > 0
+         |       THEN CAST(1.0 AS DOUBLE) - CAST(coalesce(d3, 0) AS DOUBLE) / (len(b.toks) - 2) END AS dup3_ratio
+         |FROM base b LEFT JOIN n2 USING (doc_id) LEFT JOIN n3 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "emb_quantize" ->
+      s"""WITH e AS ($embCte),
+         |s AS (SELECT vec_id, v,
+         |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+         |      FROM e)
+         |SELECT vec_id, round(scale, 6) AS scale, CAST(i - 1 AS BIGINT) AS i,
+         |  CAST(floor(v[i] * CAST(127.0 AS DOUBLE) / scale + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+         |FROM s CROSS JOIN range(1, 65) t(i)
+         |WHERE scale > 0
+         |ORDER BY vec_id, i""".stripMargin,
 
     "text_pack" ->
       s"""WITH base AS (

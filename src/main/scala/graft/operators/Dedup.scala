@@ -244,6 +244,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-dup pairs: every document gets the
+    * smallest doc id reachable through the pair graph as `cluster_id`
+    * (its own id when unpaired) — the step that turns pairwise dedup
+    * output into keep/drop decisions (keep = doc_id == cluster_id).
+    *
+    * Iterative min-label propagation: each round, a doc's label becomes
+    * the min of its own and its neighbors' labels — one hash join + one
+    * groupBy per round, all keyed shuffles, nothing driver-side. After
+    * `maxIter` rounds labels are exact for every component of diameter ≤
+    * maxIter; near-dup components are cliques or short chains (exact dups
+    * are diameter 1), so the default 8 is generous. At corpus scale,
+    * checkpoint `labels` every few rounds to truncate lineage — the loop
+    * itself stays a fixed, data-independent round count (no convergence
+    * `count()` action on the driver).
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 8,
+                    idCol: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+    for (_ <- 1 to maxIter) {
+      val prop = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min("cluster_id").as("nb_min"))
+      labels = labels.join(prop, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
+            .as("cluster_id"))
+    }
+    labels.select(col("id").as(idCol), col("cluster_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (exact, all-pairs). The quadratic
     * join is the verifier / small-N path; at corpus scale use
     * [[embeddingNearDupPairsLsh]], which routes through

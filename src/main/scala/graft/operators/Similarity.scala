@@ -73,6 +73,25 @@ object Similarity {
     when(size(vec) === dim, bits)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the 4–8×
+    * storage/shuffle-bandwidth reduction step before ANN indexing at
+    * corpus scale. scale = max |v_i|; q_i = floor(v_i·127/scale + 0.5) ∈
+    * [−127, 127] — the explicit floor(x + 0.5) rounding has no
+    * round-half-to-even ambiguity, so every engine reproduces the codes
+    * exactly. Zero/empty vectors get NULL scale and codes (they carry no
+    * direction to preserve). Pure per-row expressions, no shuffle.
+    */
+  def quantizeInt8(embeddings: DataFrame,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = toDouble(col(vecCol))
+    val scale = array_max(transform(v, x => abs(x)))
+    embeddings.select(col(idCol).as("vec_id"),
+      when(scale > 0, scale).as("scale"),
+      when(scale > 0,
+        transform(v, x => floor(x * lit(127.0) / scale + lit(0.5)).cast("int")))
+        .as("q"))
+  }
+
   /** IVF (inverted-file) coarse quantizer: the `nClusters` vectors with
     * the smallest [[Sampling.samplingHash]] of their id — a deterministic
     * pseudorandom sample that is stable across runs, partitionings, and

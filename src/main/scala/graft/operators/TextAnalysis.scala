@@ -89,6 +89,24 @@ object TextAnalysis {
         .as("n_bpe_est"))
   }
 
+  /** Repetition scoring (the Gopher/C4-style quality signal): fraction of
+    * duplicated word n-grams per document, 1 − distinct/total for n = 2
+    * and 3. Distinct counts come from the native `graft_shingles` hash
+    * set (64-bit collisions are ~N²/2⁶⁵ — negligible); totals are plain
+    * token arithmetic. Pure per-row expressions, no shuffle; ratios are
+    * single exact-integer divisions, so the oracle matches bit-for-bit.
+    */
+  def repetition(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nToks = size(Fns.tokens(col(textCol))).cast("long")
+    def dupRatio(n: Int): Column = {
+      val total = greatest(nToks - (n - 1), lit(0L))
+      val distinctN = size(call_function("graft_shingles", col(textCol), lit(n))).cast("long")
+      when(total > 0, lit(1.0) - distinctN.cast("double") / total)
+    }
+    docs.select(col(idCol).as("doc_id"), nToks.as("n_tokens"),
+      dupRatio(2).as("dup2_ratio"), dupRatio(3).as("dup3_ratio"))
+  }
+
   /** Rolling-hash document fingerprint (order-sensitive, unlike the
     * shingle-set dedup keys): Rabin–Karp fold over tokens.
     */

@@ -90,6 +90,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getInt(2) <= 3))
   }
 
+  test("dedupClusters: min-propagation labels chains, cliques, and singletons exactly") {
+    val docs = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // chain 0-1-2-3 (diameter 3), clique {5,6,7}, singleton 4, pair 8-9
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L), (5L, 7L), (6L, 7L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.dedupClusters(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 8L))
+    // survivors = docs whose id equals their cluster id
+    assert(labels.count { case (d, c) => d == c } == 4)
+  }
+
+  test("dedupClusters on the seeded corpus: exact+near dup triples collapse to base id") {
+    val labels = Dedup.dedupClusters(corpus, Dedup.ngramJaccardPairs(corpus, 3, 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 3).foreach { i => // base i, near-dup 100+i, exact dup 200+i
+      assert(labels(100L + i) == i.toLong && labels(200L + i) == i.toLong)
+    }
+    assert(labels(10L) == 10L) // un-duplicated base doc keeps its id
+  }
+
   test("LSH embedding near-dup equals the exact all-pairs join on a planted corpus") {
     // 40 seeded 64-dim vectors + a perturbed copy of each (cosine ≈ 1):
     // the near-dup regime the SRP path is built for.
