@@ -404,9 +404,12 @@ object SparkEntry {
     // (min reachable id; keep = doc_id == cluster_id). Oracle computes
     // the true transitive closure with a recursive CTE, so the bounded
     // min-propagation is checked against exact connected components.
+    // maxIter 4 (not the API default 8): each round is a full shuffle
+    // stage, and duplicate clusters in this corpus are cliques/triples
+    // (diameter ≤ 2) — the closure oracle proves 4 rounds suffice.
     "dedup_clusters" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      Dedup.dedupClusters(docs, Dedup.ngramJaccardPairs(docs, 3, 0.5))
+      Dedup.dedupClusters(docs, Dedup.ngramJaccardPairs(docs, 3, 0.5), maxIter = 4)
         .orderBy("doc_id")
     }),
 
