@@ -98,6 +98,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Bucketized range join (operators/RangeJoin): clicks matched to the
+    // 1-hour window after each same-user signup. The naive theta-join
+    // plans as a nested loop; binning the time axis turns it into one
+    // hash join on (user_id, bin) + exact containment filter.
+    "q_range_join" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("p"))
+      val signups = T(s, dir, "events").filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          unix_millis(col("ts")).as("w_start"),
+          (unix_millis(col("ts")) + 3600000L).as("w_end"))
+      operators.RangeJoin.pointInInterval(clicks, signups, "p", "w_start", "w_end",
+          Seq("user_id"), binWidth = 3600000L)
+        .select("event_id", "signup_id")
+        .orderBy("event_id", "signup_id")
+    }),
+
     // Left-semi: customers that placed at least one order.
     "q_semi_join" -> ((s, dir) => {
       val c = T(s, dir, "customer")
@@ -854,6 +872,16 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT c.event_id, s.event_id AS signup_id
+        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS p FROM events
+        |      WHERE event_type = 'click') c
+        |JOIN (SELECT event_id, user_id, epoch_ms(ts) AS st,
+        |             epoch_ms(ts) + 3600000 AS en FROM events
+        |      WHERE event_type = 'signup') s
+        |  ON c.user_id = s.user_id AND c.p >= s.st AND c.p <= s.en
+        |ORDER BY c.event_id, signup_id""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
