@@ -477,6 +477,14 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // Deterministic training-order shuffle: the output's ROW ORDER is the
+    // shuffle (the driver's hash-compare is order-sensitive, so the
+    // pseudorandom permutation itself is what's verified).
+    "sample_shuffle" -> ((s, dir) =>
+      Sampling.deterministicShuffle(
+          T(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"))),
+
     // ---- LLM-data-pipeline: similarity search ----
 
     "ann_brute_topk" -> ((s, dir) => {
@@ -537,6 +545,10 @@ object SparkEntry {
 
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(T(s, dir, "documents")).orderBy("doc_id")),
+
+    // URL/email redaction (ASCII regex, RE2-compatible with the oracle).
+    "text_scrub" -> ((s, dir) =>
+      TextAnalysis.scrub(T(s, dir, "documents")).orderBy("doc_id")),
 
     // Gopher/C4-style repetition quality signal: duplicated-n-gram
     // fractions for n = 2, 3 (exact integer ratios, oracle bit-identical).
@@ -1081,6 +1093,16 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_md5
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "sample_shuffle" ->
+      """SELECT doc_id, lang FROM documents
+        |ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id""".stripMargin,
+
+    "text_scrub" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '${TextAnalysis.urlPattern}', '<URL>', 'g'),
+         |    '${TextAnalysis.emailPattern}', '<EMAIL>', 'g') AS text_scrubbed
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
 

@@ -36,6 +36,15 @@ object Sampling {
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(samplingHash(col(keyCol)) < (fraction * M32).toLong)
 
+  /** Deterministic training-order shuffle: reorder the corpus by the key
+    * hash — the same pseudorandom order every run and every engine (a
+    * `rand()`-seeded sort is neither). At scale this is one
+    * range-partitioned sort, exactly the write-side ORDER BY of a
+    * training-data export; downstream sequence packing consumes it.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String): DataFrame =
+    df.orderBy(samplingHash(col(keyCol)).asc, col(keyCol).asc)
+
   /** At most `quota` rows per stratum, picked in hash order (a stable,
     * pseudorandom-but-reproducible per-stratum ranking) — the data-mixing
     * primitive: cap each source/language/domain at a budget. One shuffle

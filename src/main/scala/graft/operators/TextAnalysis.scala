@@ -114,6 +114,20 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"),
       Fns.rollingFingerprint(Fns.tokens(col(textCol))).as("fingerprint"))
 
+  /** PII-style redaction: URLs then emails replaced with fixed tags
+    * (URL first — an address embedded in a URL must not leave a partial
+    * match behind). ASCII character classes only, so Java regex (Spark)
+    * and RE2 (the DuckDB oracle) agree exactly. Pure per-row expressions,
+    * no shuffle — the cheap scrub pass every training corpus runs.
+    */
+  val urlPattern = "https?://[^ ]+"
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def scrub(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      regexp_replace(regexp_replace(col(textCol), urlPattern, "<URL>"),
+        emailPattern, "<EMAIL>").as("text_scrubbed"))
+
   /** Canonical text normalization: lowercase, collapse whitespace runs,
     * trim. Pure per-row expressions (narrow, scan-bound); regex classes
     * are ASCII so Java and RE2 agree.

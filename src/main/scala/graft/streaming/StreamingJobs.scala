@@ -38,6 +38,19 @@ object StreamingJobs {
                               windowLen: String = "1 hour"): DataFrame =
     windowedCounts(stream.withWatermark("ts", watermark), windowLen)
 
+  /** In-flight exact dedup for streams: keep the first arrival per key,
+    * drop replays that land within the watermark horizon —
+    * `dropDuplicatesWithinWatermark`, so per-key state is GARBAGE-
+    * COLLECTED once the watermark passes it (plain `dropDuplicates` on a
+    * stream retains every key forever — unbounded state at corpus scale).
+    * The at-least-once ingestion front of a training-data pipeline runs
+    * exactly this shape.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Sessionization: per-user sessions that close after `gap` of
     * inactivity. `session_window` is Spark's native session operator —
     * state-merging, watermark-compatible (add `withWatermark` on a

@@ -122,4 +122,26 @@ class StreamingSpec extends SparkSpec {
       assert(rows(0).getAs[Double]("total_value") == 3.0)
     } finally q.stop()
   }
+
+  test("streaming dedup: replays within the watermark horizon are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("ts", "event_id", "event_type")
+    val out = StreamingJobs.dedupStream(stream, Seq("event_id"), "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click"),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click"), // replay, same batch
+        (java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 2L, "view"))
+      q.processAllAvailable()
+      mem.addData( // replay of id 1 in a later micro-batch, still in horizon
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click"),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:06:00"), 3L, "view"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getAs[Long]("event_id"))
+      assert(ids.sorted.toSeq == Seq(1L, 2L, 3L)) // each id exactly once
+    } finally q.stop()
+  }
 }
