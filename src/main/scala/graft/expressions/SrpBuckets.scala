@@ -11,9 +11,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
 /** All `nTables` SRP-LSH bucket ids of a vector in ONE fused native pass:
   * `graft_srp(vec, dim, nPlanes, nTables, seed)` → `array<long>` of length
   * nTables (bucket of table t at index t), NULL when the vector's length ≠
-  * dim or an element is NULL — a null array posexplodes to zero rows, so
-  * malformed vectors drop out of bucket joins exactly like the composed
-  * form's null bucket.
+  * dim or any element is NULL — a null array posexplodes to zero rows, so
+  * malformed vectors drop out of bucket joins. (The composed `srpBucket`
+  * form differs on ONE input class: a correct-length vector with a NULL
+  * element got a zero-bit bucket there, here it is dropped entirely —
+  * deliberate, since its cosine is NULL and can never verify; pinned by
+  * a DedupSpec test.)
   *
   * Replaces the composed `srpBucket` tree (nTables × nPlanes `graft_dot`
   * calls against 64-element array literals): that tree exceeds the
@@ -21,8 +24,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * eval — the dominant cost of the LSH operators. Here the whole
   * hyperplane bank lives in one reference object and the dots run in a
   * tight loop, with the identical left-to-right IEEE accumulation and
-  * `dot >= 0` sign rule, so buckets are bit-identical to the composed
-  * form AND to the oracle SQL's literal-embedded `list_dot_product`.
+  * `dot >= 0` sign rule, so buckets of valid vectors are bit-identical to
+  * the composed form AND to the oracle SQL's literal-embedded
+  * `list_dot_product`.
   *
   * The hyperplanes are [[graft.operators.Similarity.hyperplanes]] — the
   * same matrices the oracle generator embeds as SQL literals.

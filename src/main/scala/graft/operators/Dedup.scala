@@ -256,15 +256,20 @@ object Dedup {
     * maxIter; near-dup components are cliques or short chains (exact dups
     * are diameter 1), so the default 8 is generous. The loop is a fixed,
     * data-independent round count (no convergence `count()` action on the
-    * driver), and the edge list is materialized ONCE with localCheckpoint
-    * — without it every round re-evaluates the (expensive) pair-mining
-    * subtree, since each of the maxIter joins embeds it in the final DAG.
+    * driver), and the edge list is materialized ONCE with a LAZY
+    * localCheckpoint — without it every round re-evaluates the
+    * (expensive) pair-mining subtree, since each of the maxIter joins
+    * embeds it in the final DAG. Lazy (not eager) so that merely
+    * CONSTRUCTING the frame (plan inspection, dry runs) triggers no job;
+    * the blocks live until the session ends — callers looping over many
+    * threshold sweeps in one session should checkpoint/unpersist
+    * explicitly.
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 8,
                     idCol: String = "doc_id"): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
     for (_ <- 1 to maxIter) {
       val prop = edges.join(labels, col("dst") === col("id"))

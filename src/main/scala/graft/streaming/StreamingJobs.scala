@@ -47,8 +47,8 @@ object StreamingJobs {
     * exactly this shape.
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
-                  watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark)
+                  watermark: String = "1 hour", tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** Sessionization: per-user sessions that close after `gap` of

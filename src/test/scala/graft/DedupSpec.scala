@@ -130,6 +130,20 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("lshBuckets drops wrong-length and null-element vectors entirely") {
+    val emb = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(1.0F, 2.0F)),
+        |  (2L, array(1.0F)),
+        |  (3L, array(1.0F, CAST(NULL AS FLOAT))),
+        |  (4L, CAST(NULL AS ARRAY<FLOAT>))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val b = graft.operators.Similarity.lshBuckets(emb, dim = 2, nPlanes = 2, nTables = 3)
+    // wrong-length, null-element, and null vectors all posexplode to zero
+    // rows (their cosine could never verify); only the valid vector buckets
+    assert(b.collect().map(_.getLong(2)).toSet == Set(1L))
+  }
+
   test("lshBuckets emits one row per (table, vector); buckets within plane range") {
     val rng = new scala.util.Random(13)
     val emb = (0 until 10).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian().toFloat)))
