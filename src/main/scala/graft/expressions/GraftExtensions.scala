@@ -14,8 +14,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    this so any caller-provided session works.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    // Opt-in plan rewrite (inert unless spark.graft.rangeJoin.binWidth > 0).
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+  }
 }
 
 object GraftFunctions {
@@ -67,4 +70,14 @@ object GraftFunctions {
     all.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+
+  /** Runtime (post-creation) injection of the graft optimizer rules —
+    * the per-session analog of the config-time extension path, via
+    * Spark's public `experimental.extraOptimizations` hook. Idempotent.
+    */
+  def registerOptimizations(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.RangeJoinRule))
+      spark.experimental.extraOptimizations = cur :+ graft.plans.RangeJoinRule
+  }
 }

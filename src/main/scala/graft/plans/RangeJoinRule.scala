@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: rewrites a naive point-in-interval theta-join into the
+  * binned [[graft.operators.RangeJoin]] shape, so the declarative form
+  *
+  *   points.join(intervals, p >= s && p <= e [&& k1 == k2 …])
+  *
+  * — which Spark plans as a BroadcastNestedLoopJoin (or as a hash join on
+  * the equi keys alone, with every same-key pair evaluated against the
+  * range) — becomes a HASH join on (equiKeys…, bin) followed by the exact
+  * original predicate. Semantics are identical: integer `div` binning is
+  * monotonic, so s ≤ p ≤ e implies bin(s) ≤ bin(p) ≤ bin(e); the bin join
+  * only removes pairs that cannot match, and the re-applied original
+  * condition decides exactly.
+  *
+  * Opt-in: inert unless `spark.graft.rangeJoin.binWidth` is set to a
+  * positive long (the bin width in the range column's own units — pick it
+  * near the typical interval length). Enable per session via
+  * `spark.experimental.extraOptimizations ++= Seq(RangeJoinRule)` or the
+  * `graft.expressions.GraftExtensions` config-time extension. The rule is
+  * idempotent: its output join carries a bin-equality condition and no
+  * range conjuncts, so it never matches its own rewrite.
+  */
+object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  val BinWidthKey = "spark.graft.rangeJoin.binWidth"
+
+  private def binWidth: Option[Long] =
+    try {
+      val w = SQLConf.get.getConfString(BinWidthKey, "0").toLong
+      if (w > 0) Some(w) else None
+    } catch { case _: NumberFormatException => None }
+
+  private def isRangeType(e: Expression): Boolean =
+    e.dataType == LongType || e.dataType == IntegerType
+
+  /** (point, bound) when `ge` is point-from-one-side >= bound-from-other. */
+  private def asLowerBound(left: LogicalPlan, right: LogicalPlan,
+                           p: Expression, b: Expression): Boolean =
+    p.references.nonEmpty && b.references.nonEmpty &&
+      ((p.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+        (p.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = binWidth match {
+    case None => plan
+    case Some(w) => plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        // find p >= s and p <= e over the same point expression, with the
+        // point on one side and both bounds on the other
+        val lowers = conjuncts.collect {
+          case c @ GreaterThanOrEqual(p, s) if asLowerBound(left, right, p, s) => (c, p, s)
+          case c @ LessThanOrEqual(s, p) if asLowerBound(left, right, p, s) => (c, p, s)
+        }
+        val uppers = conjuncts.collect {
+          case c @ LessThanOrEqual(p, e) if asLowerBound(left, right, p, e) => (c, p, e)
+          case c @ GreaterThanOrEqual(e, p) if asLowerBound(left, right, p, e) => (c, p, e)
+        }
+        val pair = (for {
+          (lc, p1, s) <- lowers
+          (uc, p2, e) <- uppers
+          if p1.semanticEquals(p2) && isRangeType(p1) && isRangeType(s) && isRangeType(e)
+          // both bounds must come from the SAME side, opposite the point
+          if s.references.subsetOf(left.outputSet) == e.references.subsetOf(left.outputSet)
+          if s.references.subsetOf(left.outputSet) != p1.references.subsetOf(left.outputSet)
+        } yield (lc, uc, p1, s, e)).headOption
+        pair match {
+          case None => j
+          case Some((lc, uc, p, s, e)) =>
+            val width = Literal(w, LongType)
+            def div(x: Expression) =
+              IntegralDivide(Cast(x, LongType), width)
+            val pointOnLeft = p.references.subsetOf(left.outputSet)
+            val (pointPlan, ivPlan) = if (pointOnLeft) (left, right) else (right, left)
+            // point side: one bin column
+            val pBinAlias = Alias(div(p), "__graft_bin_p")()
+            val pointBinned = Project(pointPlan.output :+ pBinAlias, pointPlan)
+            // interval side: explode the covered bin range
+            val ivBinAttr = AttributeReference("__graft_bin_iv", LongType, nullable = true)()
+            // Sequence is TimeZoneAware: without an explicit zone it stays
+            // unresolved and fails post-rule plan validation.
+            val bins = Sequence(div(s), div(e), None,
+              Some(SQLConf.get.sessionLocalTimeZone))
+            val ivBinned = Generate(Explode(bins),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(ivBinAttr), child = ivPlan)
+            val binEq = EqualTo(pBinAlias.toAttribute, ivBinAttr)
+            val others = conjuncts.filterNot(c => c.fastEquals(lc) || c.fastEquals(uc))
+            val (newL, newR) = if (pointOnLeft) (pointBinned, ivBinned) else (ivBinned, pointBinned)
+            val newJoin = Join(newL, newR, Inner,
+              Some((others :+ binEq).reduce(And)), hint)
+            // re-apply the exact range predicates, restore the output
+            Project(j.output, Filter(And(lc, uc), newJoin))
+        }
+    }
+  }
+}

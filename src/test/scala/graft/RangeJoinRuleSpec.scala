@@ -1,0 +1,69 @@
+package graft
+
+import graft.plans.RangeJoinRule
+import org.apache.spark.sql.functions._
+
+class RangeJoinRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtures = {
+    val rng = new scala.util.Random(23)
+    val points = (0 until 200).map(i =>
+      (i.toLong, rng.nextInt(4).toLong, rng.nextInt(5000).toLong))
+      .toDF("pid", "pk", "p")
+    val ivs = (0 until 60).map { i =>
+      val s = rng.nextInt(5000).toLong
+      (1000L + i, rng.nextInt(4).toLong, s, s + rng.nextInt(400))
+    }.toDF("iid", "ik", "s", "e")
+    (points, ivs)
+  }
+
+  private def naive(points: org.apache.spark.sql.DataFrame,
+                    ivs: org.apache.spark.sql.DataFrame) =
+    points.join(ivs, $"pk" === $"ik" && $"p" >= $"s" && $"p" <= $"e")
+      .select("pid", "iid")
+
+  test("RangeJoinRule rewrites the theta-join to a hash join and preserves results") {
+    val (points, ivs) = fixtures
+    val expected = naive(points, ivs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    graft.expressions.GraftFunctions.registerOptimizations(spark)
+    spark.conf.set(RangeJoinRule.BinWidthKey, "500")
+    try {
+      val rewritten = naive(points, ivs)
+      val physical = rewritten.queryExecution.executedPlan.toString
+      assert(!physical.contains("NestedLoop"),
+        s"expected the binned hash-join rewrite, got:\n$physical")
+      assert(physical.contains("Generate") || physical.contains("explode"),
+        s"expected the interval-side bin explode in:\n$physical")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    } finally spark.conf.unset(RangeJoinRule.BinWidthKey)
+  }
+
+  test("RangeJoinRule rewrites even without an equi key (pure range join)") {
+    val (points, ivs) = fixtures
+    val expected = points.join(ivs, $"p" >= $"s" && $"p" <= $"e")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.expressions.GraftFunctions.registerOptimizations(spark)
+    spark.conf.set(RangeJoinRule.BinWidthKey, "500")
+    try {
+      val rewritten = points.join(ivs, $"p" >= $"s" && $"p" <= $"e").select("pid", "iid")
+      val physical = rewritten.queryExecution.executedPlan.toString
+      assert(!physical.contains("NestedLoop"), s"expected hash join, got:\n$physical")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    } finally spark.conf.unset(RangeJoinRule.BinWidthKey)
+  }
+
+  test("RangeJoinRule is inert without the binWidth config") {
+    val (points, ivs) = fixtures
+    graft.expressions.GraftFunctions.registerOptimizations(spark)
+    val expected = naive(points, ivs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no config set: results still correct, no rewrite requirement asserted
+    assert(naive(points, ivs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+  }
+}
