@@ -422,6 +422,17 @@ object SparkEntry {
     // (min reachable id; keep = doc_id == cluster_id). Oracle computes
     // the true transitive closure with a recursive CTE, so the bounded
     // min-propagation is checked against exact connected components.
+    // Decontamination: near-dup pairs that CROSS source boundaries — the
+    // train/heldout leakage check. Oracle = the exact all-pairs Jaccard
+    // joined back to both documents' sources.
+    "dedup_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.crossGroupPairs(Dedup.ngramJaccardPairs(docs, 3, 0.5), docs, "source")
+        .select(col("doc_a"), col("doc_b"), col("group_a"), col("group_b"),
+          col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // maxIter 4 (not the API default 8): each round is a full shuffle
     // stage, and duplicate clusters in this corpus are cliques/triples
     // (diameter ≤ 2) — the closure oracle proves 4 rounds suffice.
@@ -549,6 +560,11 @@ object SparkEntry {
     // URL/email redaction (ASCII regex, RE2-compatible with the oracle).
     "text_scrub" -> ((s, dir) =>
       TextAnalysis.scrub(T(s, dir, "documents")).orderBy("doc_id")),
+
+    // Fixed-size token chunking with overlap (40-token chunks, 10 shared).
+    "text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(T(s, dir, "documents"), 40, 10)
+        .orderBy("doc_id", "chunk_idx")),
 
     // Gopher/C4-style repetition quality signal: duplicated-n-gram
     // fractions for n = 2, 3 (exact integer ratios, oracle bit-identical).
@@ -1113,6 +1129,25 @@ object SparkEntry {
          |  regexp_replace(regexp_replace(text, '${TextAnalysis.urlPattern}', '<URL>', 'g'),
          |    '${TextAnalysis.emailPattern}', '<EMAIL>', 'g') AS text_scrubbed
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // chunkLen 40, step 30; the k bound (range 0..63) is generous for the
+    // corpus' ≤100-token docs and the WHERE re-derives the exact count.
+    "text_chunk" ->
+      s"""WITH base AS ($docToks),
+         |nz AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+         |  array_to_string(toks[k * 30 + 1 : k * 30 + 40], ' ') AS chunk_text
+         |FROM nz CROSS JOIN range(0, 64) t(k)
+         |WHERE k <= (n - 1) // 30
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "dedup_decontaminate" ->
+      s"""SELECT p.doc_a, p.doc_b, da.source AS group_a, db.source AS group_b, p.jaccard
+         |FROM ($ngramJaccardOracle) p
+         |JOIN documents da ON p.doc_a = da.doc_id
+         |JOIN documents db ON p.doc_b = db.doc_id
+         |WHERE da.source <> db.source
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
 

@@ -244,6 +244,22 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Decontamination view of a near-dup pair set: keep only the pairs
+    * whose two documents belong to DIFFERENT groups (train vs. heldout
+    * split, distinct sources, …) and attach both group labels — the
+    * cross-set leakage a training pipeline must surface before mixing.
+    * Two broadcast-or-hash joins against the (id → group) projection;
+    * the heavy lifting stays in the pair miner.
+    */
+  def crossGroupPairs(pairs: DataFrame, docs: DataFrame, groupCol: String,
+                      idCol: String = "doc_id"): DataFrame = {
+    val g = docs.select(col(idCol).as("__gid"), col(groupCol).as("__grp"))
+    pairs
+      .join(g.withColumnRenamed("__gid", "doc_a").withColumnRenamed("__grp", "group_a"), "doc_a")
+      .join(g.withColumnRenamed("__gid", "doc_b").withColumnRenamed("__grp", "group_b"), "doc_b")
+      .filter(col("group_a") =!= col("group_b"))
+  }
+
   /** Connected components over near-dup pairs: every document gets the
     * smallest doc id reachable through the pair graph as `cluster_id`
     * (its own id when unpaired) — the step that turns pairwise dedup

@@ -136,6 +136,30 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"),
       trim(regexp_replace(lower(col(textCol)), " +", " ")).as("text_norm"))
 
+  /** Fixed-size token chunking with overlap (the RAG / long-document
+    * pretraining splitter): document → chunks of ≤ `chunkLen` whitespace
+    * tokens, a new chunk every `chunkLen − overlap` tokens, last chunk
+    * truncated. Pure per-row explode — no shuffle, payload-local, so
+    * 100 TB chunks at scan parallelism. Chunk k covers tokens
+    * [k·step, k·step + chunkLen); k ranges to ⌊(n−1)/step⌋ so every
+    * token lands in ≥ 1 chunk and no empty chunks are emitted.
+    */
+  def chunk(docs: DataFrame, chunkLen: Int, overlap: Int,
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkLen > 0 && overlap >= 0 && overlap < chunkLen,
+      s"need 0 <= overlap < chunkLen, got chunkLen=$chunkLen overlap=$overlap")
+    val step = chunkLen - overlap
+    docs
+      .select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("toks")) - 1) / step).cast("int")),
+          k => concat_ws(" ", slice(col("toks"), k * step + 1, lit(chunkLen))))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"))
+  }
+
   /** Token-budget sequence packing, GLOBAL variant: assign documents (in
     * id order) to training sequences of ~`budget` subword tokens via
     * cumulative token count — seq_id = floor((cumsum − n)/budget), i.e. a

@@ -90,6 +90,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getInt(2) <= 3))
   }
 
+  test("crossGroupPairs keeps only pairs spanning different groups") {
+    val docs = Seq((1L, "train"), (2L, "train"), (3L, "held"), (4L, "held"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L, 1.0), (1L, 3L, 0.9), (3L, 4L, 0.8))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val out = Dedup.crossGroupPairs(pairs, docs, "source")
+      .select("doc_a", "doc_b", "group_a", "group_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 3L, "train", "held"))) // within-group pairs dropped
+  }
+
   test("dedupClusters: min-propagation labels chains, cliques, and singletons exactly") {
     val docs = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     // chain 0-1-2-3 (diameter 3), clique {5,6,7}, singleton 4, pair 8-9
