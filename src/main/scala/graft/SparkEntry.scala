@@ -418,10 +418,6 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
 
-    // Cluster resolution: pairwise near-dup output → per-doc cluster_id
-    // (min reachable id; keep = doc_id == cluster_id). Oracle computes
-    // the true transitive closure with a recursive CTE, so the bounded
-    // min-propagation is checked against exact connected components.
     // Decontamination: near-dup pairs that CROSS source boundaries — the
     // train/heldout leakage check. Oracle = the exact all-pairs Jaccard
     // joined back to both documents' sources.
@@ -433,6 +429,10 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Cluster resolution: pairwise near-dup output → per-doc cluster_id
+    // (min reachable id; keep = doc_id == cluster_id). Oracle computes
+    // the true transitive closure with a recursive CTE, so the bounded
+    // min-propagation is checked against exact connected components.
     // maxIter 4 (not the API default 8): each round is a full shuffle
     // stage, and duplicate clusters in this corpus are cliques/triples
     // (diameter ≤ 2) — the closure oracle proves 4 rounds suffice.
@@ -1131,14 +1131,15 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     // chunkLen 40, step 30; the k bound (range 0..63) is generous for the
-    // corpus' ≤100-token docs and the WHERE re-derives the exact count.
+    // corpus' ≤100-token docs and the WHERE re-derives the exact count
+    // (kMax = ceil((n − 40)/30), min 0 — no pure-suffix trailing chunk).
     "text_chunk" ->
       s"""WITH base AS ($docToks),
          |nz AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0)
          |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
          |  array_to_string(toks[k * 30 + 1 : k * 30 + 40], ' ') AS chunk_text
          |FROM nz CROSS JOIN range(0, 64) t(k)
-         |WHERE k <= (n - 1) // 30
+         |WHERE k <= greatest(CAST(ceil((n - 40) / 30.0) AS BIGINT), 0)
          |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "dedup_decontaminate" ->

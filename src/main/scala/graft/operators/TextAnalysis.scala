@@ -141,20 +141,25 @@ object TextAnalysis {
     * tokens, a new chunk every `chunkLen − overlap` tokens, last chunk
     * truncated. Pure per-row explode — no shuffle, payload-local, so
     * 100 TB chunks at scan parallelism. Chunk k covers tokens
-    * [k·step, k·step + chunkLen); k ranges to ⌊(n−1)/step⌋ so every
-    * token lands in ≥ 1 chunk and no empty chunks are emitted.
+    * [k·step, k·step + chunkLen); k ranges to ⌈(n − chunkLen)/step⌉
+    * (min 0), so every token lands in ≥ 1 chunk AND every chunk after
+    * the first contributes ≥ 1 token its predecessor didn't — a final
+    * chunk that would be a pure suffix of the previous one is skipped
+    * (it would systematically duplicate document tails into the corpus).
     */
   def chunk(docs: DataFrame, chunkLen: Int, overlap: Int,
             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(chunkLen > 0 && overlap >= 0 && overlap < chunkLen,
       s"need 0 <= overlap < chunkLen, got chunkLen=$chunkLen overlap=$overlap")
     val step = chunkLen - overlap
+    val kMax = greatest(
+      ceil((size(col("toks")) - lit(chunkLen)).cast("double") / step), lit(0L))
     docs
       .select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
         posexplode(transform(
-          sequence(lit(0), floor((size(col("toks")) - 1) / step).cast("int")),
+          sequence(lit(0), kMax.cast("int")),
           k => concat_ws(" ", slice(col("toks"), k * step + 1, lit(chunkLen))))))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
         col("col").as("chunk_text"))

@@ -22,11 +22,18 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *
   * Opt-in: inert unless `spark.graft.rangeJoin.binWidth` is set to a
   * positive long (the bin width in the range column's own units — pick it
-  * near the typical interval length). Enable per session via
+  * near the typical interval length: too-small widths make wide intervals
+  * explode to huge bin arrays, and `Sequence` hard-errors past the array
+  * limit rather than silently degrading). Enable per session via
   * `spark.experimental.extraOptimizations ++= Seq(RangeJoinRule)` or the
-  * `graft.expressions.GraftExtensions` config-time extension. The rule is
-  * idempotent: its output join carries a bin-equality condition and no
-  * range conjuncts, so it never matches its own rewrite.
+  * `graft.expressions.GraftExtensions` config-time extension. The rule
+  * never matches its own rewrite: the output join condition references
+  * `__graft_bin*` attributes, which is the skip marker — this holds even
+  * inside the fixed-point operator-optimization batch, where
+  * PushPredicateThroughJoin folds the re-applied range filter straight
+  * back into the join condition (without the marker the two rules would
+  * ping-pong until the iteration limit; caught by RangeJoinRuleSpec's
+  * extension-path test).
   */
 object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -48,10 +55,21 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       ((p.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
         (p.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet)))
 
+  /** The rewrite marker: any join whose condition already references a
+    * bin attribute is our own output (possibly with the range filter
+    * pushed back down by PushPredicateThroughJoin when the rule runs
+    * inside the fixed-point operator-optimization batch) — matching it
+    * again would ping-pong with pushdown forever.
+    */
+  private val BinPrefix = "__graft_bin"
+
+  private def alreadyRewritten(cond: Expression): Boolean =
+    cond.references.exists(_.name.startsWith(BinPrefix))
+
   override def apply(plan: LogicalPlan): LogicalPlan = binWidth match {
     case None => plan
     case Some(w) => plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint) =>
+      case j @ Join(left, right, Inner, Some(cond), hint) if !alreadyRewritten(cond) =>
         val conjuncts = splitConjunctivePredicates(cond)
         // find p >= s and p <= e over the same point expression, with the
         // point on one side and both bounds on the other
@@ -85,9 +103,13 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             // interval side: explode the covered bin range
             val ivBinAttr = AttributeReference("__graft_bin_iv", LongType, nullable = true)()
             // Sequence is TimeZoneAware: without an explicit zone it stays
-            // unresolved and fails post-rule plan validation.
-            val bins = Sequence(div(s), div(e), None,
+            // unresolved and fails post-rule plan validation. Inverted
+            // intervals (s > e) match nothing but would make Sequence
+            // enumerate the whole descending span — emit zero bins instead.
+            val seq = Sequence(div(s), div(e), None,
               Some(SQLConf.get.sessionLocalTimeZone))
+            val bins = If(LessThanOrEqual(div(s), div(e)), seq,
+              Literal.create(Array.emptyLongArray, seq.dataType))
             val ivBinned = Generate(Explode(bins),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(ivBinAttr), child = ivPlan)

@@ -57,13 +57,29 @@ class RangeJoinRuleSpec extends SparkSpec {
     } finally spark.conf.unset(RangeJoinRule.BinWidthKey)
   }
 
-  test("RangeJoinRule is inert without the binWidth config") {
+  test("RangeJoinRule is inert without the binWidth config (no bin columns in plan)") {
     val (points, ivs) = fixtures
     graft.expressions.GraftFunctions.registerOptimizations(spark)
-    val expected = naive(points, ivs).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // no config set: results still correct, no rewrite requirement asserted
-    assert(naive(points, ivs).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    assert(!spark.conf.getOption(RangeJoinRule.BinWidthKey).exists(_ != "0"))
+    val plan = naive(points, ivs).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__graft_bin"), s"rule fired without config:\n$plan")
+  }
+
+  test("RangeJoinRule does not re-match after pushdown folds the filter back (no ping-pong)") {
+    // Inside the fixed-point operator-optimization batch (the
+    // injectOptimizerRule path), PushPredicateThroughJoin pushes the
+    // re-applied range filter straight back into the join condition; the
+    // __graft_bin marker must stop the rule from rewriting its own output
+    // or the two rules alternate until the iteration limit.
+    val (points, ivs) = fixtures
+    spark.conf.set(RangeJoinRule.BinWidthKey, "500")
+    try {
+      val analyzed = naive(points, ivs).queryExecution.analyzed
+      val once = RangeJoinRule(analyzed)
+      assert(once.toString.contains("__graft_bin")) // rewrite fired
+      val pushed = org.apache.spark.sql.catalyst.optimizer.PushDownPredicates(once)
+      val twice = RangeJoinRule(pushed)
+      assert(twice.fastEquals(pushed), "rule re-matched its own pushed-down output")
+    } finally spark.conf.unset(RangeJoinRule.BinWidthKey)
   }
 }

@@ -74,14 +74,17 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
-  test("chunk: overlapping windows cover every token; last chunk truncates") {
-    // 7 tokens, chunkLen 3, overlap 1 -> step 2 -> starts 0,2,4,6
-    val docs = Seq((1L, "a b c d e f g"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+  test("chunk: windows cover every token; no pure-suffix trailing chunk") {
+    // 7 tokens, chunkLen 3, overlap 1 -> step 2 -> kMax = ceil(4/2) = 2:
+    // starts 0,2,4 — a 4th chunk ("g") would be a suffix of "e f g".
+    val docs = Seq((1L, "a b c d e f g"), (2L, ""), (3L, "x"), (4L, "p q r s"))
+      .toDF("doc_id", "text")
     val out = TextAnalysis.chunk(docs, 3, 1).orderBy("doc_id", "chunk_idx").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(out.toSeq == Seq(
-      (1L, 0L, "a b c"), (1L, 1L, "c d e"), (1L, 2L, "e f g"), (1L, 3L, "g"),
-      (3L, 0L, "x"))) // empty doc emits nothing; 1-token doc emits itself
+      (1L, 0L, "a b c"), (1L, 1L, "c d e"), (1L, 2L, "e f g"),
+      (3L, 0L, "x"), // empty doc emits nothing; 1-token doc emits itself
+      (4L, 0L, "p q r"), (4L, 1L, "r s"))) // truncated tail with a new token
   }
 
   test("fingerprint is order-sensitive (unlike shingle sets)") {
