@@ -65,6 +65,40 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(!plan.contains("__graft_bin"), s"rule fired without config:\n$plan")
   }
 
+  test("config-time GraftExtensions path: rule runs inside the fixed-point batch without ping-pong") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // ensure the shared session (and its context) exists
+    // getOrCreate returns the active session and IGNORES withExtensions,
+    // so detach the shared session first; the global SparkContext is
+    // reused, only the session (with injected extensions) is new.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .withExtensions(new graft.expressions.GraftExtensions()).getOrCreate()
+    try {
+      assert(ext ne base)
+      // extensions injected at build time + per-session conf: the rule
+      // participates in the fixed-point operator-optimization batch here,
+      // the exact environment where the unguarded version overflowed.
+      ext.conf.set(RangeJoinRule.BinWidthKey, "500")
+      import ext.implicits._
+      val points = (0L until 100L).map(i => (i, i % 5000)).toDF("pid", "p")
+      val ivs = (0L until 30L).map(i => (1000L + i, i * 150, i * 150 + 400))
+        .toDF("iid", "s", "e")
+      val joined = points.join(ivs, $"p" >= $"s" && $"p" <= $"e").select("pid", "iid")
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        p <- 0L until 100L; i <- 0L until 30L
+        if p >= i * 150 && p <= i * 150 + 400
+      } yield (p, 1000L + i)).toSet
+      assert(got == expected)
+    } finally {
+      ext.conf.unset(RangeJoinRule.BinWidthKey)
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
   test("RangeJoinRule does not re-match after pushdown folds the filter back (no ping-pong)") {
     // Inside the fixed-point operator-optimization batch (the
     // injectOptimizerRule path), PushPredicateThroughJoin pushes the
