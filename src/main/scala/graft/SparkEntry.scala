@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.analytics.Analytics
-import graft.etl.{Ingest, Transforms}
+import graft.etl.{Ingest, Merge, Transforms}
 import graft.operators.{AsOfJoin, Dedup, Multimodal, Sampling, Similarity, Skew, TextAnalysis}
 import graft.streaming.StreamingJobs
 
@@ -694,6 +694,51 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- incremental warehouse merge (etl/Merge) ----
+
+    // Latest-wins upsert, run INCREMENTALLY: initial load of the
+    // pre-cutoff batch into an empty target, then merge of the
+    // post-cutoff delta on top. The oracle computes the ONE-SHOT form
+    // (latest row per user over all of events), so the hash-match proves
+    // the incremental path is byte-equivalent to the batch path — the
+    // soundness contract of incremental loading. One shuffle per merge,
+    // key-partitioned window, no global sort.
+    "merge_upsert" -> ((s, dir) => {
+      val e = T(s, dir, "events").select("user_id", "ts", "event_id", "value")
+      val cutoff = lit("2024-01-20").cast("timestamp")
+      val initial = Merge.upsert(e.limit(0), e.filter(col("ts") < cutoff),
+        Seq("user_id"), Seq("ts", "event_id"))
+      Merge.upsert(initial, e.filter(col("ts") >= cutoff),
+          Seq("user_id"), Seq("ts", "event_id"))
+        .orderBy("user_id")
+    }),
+
+    // CDC apply with tombstones: event_type='error' rows act as deletes.
+    // Same incremental-vs-one-shot proof shape as merge_upsert: replaying
+    // the change stream in two batches must equal replaying it at once
+    // (the oracle), including keys whose final change is a delete.
+    "merge_cdc" -> ((s, dir) => {
+      val changes = T(s, dir, "events").select(
+        col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
+      val cutoff = lit("2024-01-20").cast("timestamp")
+      val state1 = Merge.applyChanges(changes.drop("op").limit(0),
+        changes.filter(col("ts") < cutoff),
+        Seq("user_id"), Seq("ts", "event_id"), "op", "D")
+      Merge.applyChanges(state1, changes.filter(col("ts") >= cutoff),
+          Seq("user_id"), Seq("ts", "event_id"), "op", "D")
+        .orderBy("user_id")
+    }),
+
+    // SCD Type 2 history: each user's event_type change stream collapsed
+    // into versioned validity intervals (runs of equal states merge).
+    // is_current goes out as 0/1 BIGINT — engine-portable, unlike bools.
+    "merge_scd2" -> ((s, dir) =>
+      Merge.scdType2(T(s, dir, "events"), Seq("user_id"), "ts", "event_id",
+          "event_type")
+        .withColumn("is_current", col("is_current").cast("long"))
+        .orderBy("user_id", "version")),
+
     // ---- streaming surface (batch-unified bodies) ----
 
     "stream_tumbling" -> ((s, dir) =>
@@ -1357,6 +1402,38 @@ object SparkEntry {
         |  CAST(64 + (ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1))) % 1024 AS BIGINT) AS width,
         |  CAST(64 + (ascii(substr(text, 3, 1)) * 256 + ascii(substr(text, 4, 1))) % 1024 AS BIGINT) AS height
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "merge_upsert" ->
+      """SELECT user_id, ts, event_id, value FROM (
+        |  SELECT user_id, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "merge_cdc" ->
+      """SELECT user_id, ts, event_id, value FROM (
+        |  SELECT user_id, ts, event_id, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+
+    "merge_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |chg AS (
+        |  SELECT user_id, ts, event_id, event_type FROM o
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version,
+        |  CAST(lead(ts) OVER w2 IS NULL AS BIGINT) AS is_current
+        |FROM chg WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
 
     "stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -1,0 +1,85 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental-warehouse merge primitives: latest-wins upsert, CDC apply
+  * with tombstones, and SCD Type 2 history construction.
+  *
+  * The reference loads append-only (INSERT…SELECT ×5, sql_queries.py:118–151)
+  * and leans on unenforced PKs; a production warehouse re-loading the same
+  * dimensions daily needs MERGE semantics instead. Each operator here is
+  * the declarative Spark formulation: one hash shuffle on the business
+  * key, a key-partitioned window (never a global sort), and no driver-side
+  * state — so the same plan that merges 60k rows merges 100 TB, with AQE
+  * handling skewed keys.
+  *
+  * Incremental == batch equivalence is the correctness contract: applying
+  * updates on top of a previously-merged target gives byte-identical
+  * results to one-shot merging the full history (proven in MergeSpec and
+  * by the registered queries' oracles, which compute the one-shot form).
+  */
+object Merge {
+
+  private def latestPerKey(df: DataFrame, keyCols: Seq[String],
+                           versionCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(versionCols.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Latest-wins upsert: rows from `updates` replace same-key rows in
+    * `target`; unmatched update rows insert. `versionCols` must totally
+    * order rows within a key across BOTH sides (e.g. event time + a
+    * unique tiebreaker id) — with a total order the merge is associative,
+    * which is what makes incremental loading sound: upsert(upsert(t, d1), d2)
+    * == upsert(t, d1 ∪ d2).
+    */
+  def upsert(target: DataFrame, updates: DataFrame,
+             keyCols: Seq[String], versionCols: Seq[String]): DataFrame =
+    latestPerKey(target.unionByName(updates), keyCols, versionCols)
+
+  /** CDC apply: `changes` carries an op marker column; the latest change
+    * per key wins, and a winning tombstone (`opCol === deleteOp`) removes
+    * the key. `target` rows are treated as earlier upserts. The same
+    * total-order requirement as [[upsert]] applies; deletes only beat
+    * target rows when their version is newer, so replaying a prefix of the
+    * change stream then the suffix equals replaying it all at once.
+    */
+  def applyChanges(target: DataFrame, changes: DataFrame,
+                   keyCols: Seq[String], versionCols: Seq[String],
+                   opCol: String, deleteOp: String): DataFrame = {
+    val tagged = target.withColumn(opCol, lit("U")).unionByName(changes)
+    latestPerKey(tagged, keyCols, versionCols)
+      .filter(col(opCol) =!= deleteOp)
+      .drop(opCol)
+  }
+
+  /** SCD Type 2: collapse a change stream into versioned history rows —
+    * one row per (key, run of identical `trackedCol` values), with
+    * `valid_from`/`valid_to` half-open intervals, a per-key `version`
+    * number, and `is_current` on the open row.
+    *
+    * Change detection is null-safe (`<=>`): a genuine NULL state is a
+    * state, distinct from "no previous row". Two key-partitioned windows
+    * over one shuffle; `tieCol` (a unique id) makes the within-key order
+    * total so the history is deterministic under equal timestamps.
+    */
+  def scdType2(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+               tieCol: String, trackedCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val transitions = changes
+      .withColumn("__prev", lag(col(trackedCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || !(col(trackedCol) <=> col("__prev")))
+    transitions
+      .select((keys :+ col(trackedCol).as("state") :+ col(tsCol).as("valid_from") :+
+        lead(col(tsCol), 1).over(w).as("valid_to") :+
+        row_number().over(w).cast("long").as("version")): _*)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}
