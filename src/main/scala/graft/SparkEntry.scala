@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.analytics.Analytics
 import graft.etl.{Ingest, Merge, Transforms}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Sampling, Similarity, Sketch, Skew, TextAnalysis}
 import graft.streaming.StreamingJobs
 
 /** Driver contract: every implemented operator (SURVEY.md §2 + the
@@ -495,6 +495,38 @@ object SparkEntry {
       Sampling.deterministicShuffle(
           T(s, dir, "documents").select("doc_id", "lang"), "doc_id")
         .select(col("doc_id"), col("lang"))),
+
+    // ---- LLM-data-pipeline: mergeable sketches ----
+
+    // Count-Min Sketch built INCREMENTALLY: register tables for the pre-
+    // and post-cutoff halves of the stream, union-merged by summing
+    // counts, then probed for every distinct key. The oracle recomputes
+    // the ONE-SHOT sketch from the same ANSI hash chain, so the
+    // hash-match proves (a) the register contents bit-for-bit and
+    // (b) merge(build(A), build(B)) == build(A ∪ B) — the sketch's
+    // associativity contract. Estimates are exact here (width 32 ≥ key
+    // cardinality ⇒ no collisions); CMS error bounds are covered in
+    // SketchSpec with a deliberately undersized width.
+    "sketch_cms" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val cutoff = lit("2024-01-20").cast("timestamp")
+      val part1 = Sketch.cmsBuild(e.filter(col("ts") < cutoff), "event_type", 4, 32)
+      val part2 = Sketch.cmsBuild(e.filter(col("ts") >= cutoff), "event_type", 4, 32)
+      val merged = part1.unionByName(part2)
+        .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+      Sketch.cmsEstimate(merged, e.select("event_type").distinct(), "event_type", 4, 32)
+        .orderBy("event_type")
+    }),
+
+    // HyperLogLog distinct(event_id), m = 64. Registers are pure integer
+    // arithmetic; the harmonic sum is exact in IEEE (every term a
+    // multiple of 2⁻²⁷), exported both as the integer register checksum
+    // `sum_inv_scaled` and the rounded `est`. 10k keys into 64 buckets
+    // leaves no zero registers, so the raw estimator path (no libm ln)
+    // is what's exercised end-to-end.
+    "sketch_hll" -> ((s, dir) =>
+      Sketch.hllEstimate(
+        Sketch.hllRegisters(T(s, dir, "events"), "event_id", 6), 6)),
 
     // ---- LLM-data-pipeline: similarity search ----
 
@@ -1168,6 +1200,67 @@ object SparkEntry {
     "sample_shuffle" ->
       """SELECT doc_id, lang FROM documents
         |ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id""".stripMargin,
+
+    // One-shot CMS recomputed from the same ANSI hash chain (code-point
+    // polynomial mod 2³¹−1, per-row affine remix, Knuth fold): counting
+    // events through each key's (row, bucket) cells reproduces the
+    // registers exactly, including cross-key collisions.
+    "sketch_cms" -> {
+      val consts = (0 until 4).map(r =>
+        s"($r, ${1103515245L * (r + 1) % 2147483647L}, " +
+          s"${12345L * (r + 1) % 2147483647L})").mkString(", ")
+      s"""WITH consts(r, a, b) AS (VALUES $consts),
+         |kh AS (
+         |  SELECT event_type,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(length(event_type)),
+         |        i -> ascii(substr(event_type, CAST(i + 1 AS INT), 1)))),
+         |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h
+         |  FROM (SELECT DISTINCT event_type FROM events) k),
+         |kb AS (
+         |  SELECT event_type, r,
+         |    ((((h * a + b) % 2147483647) * 2654435761) % 4294967296) % 32 AS bucket
+         |  FROM kh CROSS JOIN consts),
+         |counts AS (
+         |  SELECT kb.r, kb.bucket, count(*) AS cnt
+         |  FROM events e JOIN kb ON e.event_type = kb.event_type
+         |  GROUP BY kb.r, kb.bucket)
+         |SELECT kb.event_type, min(c.cnt) AS est
+         |FROM kb JOIN counts c ON kb.r = c.r AND kb.bucket = c.bucket
+         |GROUP BY kb.event_type
+         |ORDER BY kb.event_type""".stripMargin
+    },
+
+    // HLL registers from the Knuth 32-bit fold of event_id: bucket = low
+    // 6 bits, ρ = lowest-set-bit position of the 26-bit suffix (unrolled
+    // CASE — no loops, no log2). The harmonic sum uses shift-then-divide
+    // (exact powers of two), so everything before the final round(.,4)
+    // is bit-pinned across engines.
+    "sketch_hll" -> {
+      val alphaM2 = 0.709 * 64 * 64
+      val rhoCase = (1 to 26).map(j =>
+        s"WHEN w % ${1L << j} = ${1L << (j - 1)} THEN $j").mkString(" ")
+      s"""WITH h1 AS (
+         |  SELECT ((event_id % 2147483648) * 2654435761) % 4294967296 AS h1
+         |  FROM events),
+         |h2 AS (SELECT (xor(h1, h1 >> 16) * 1597334677) % 4294967296 AS h2 FROM h1),
+         |h AS (SELECT xor(h2, h2 >> 16) AS h FROM h2),
+         |wb AS (SELECT h % 64 AS bucket, h // 64 AS w FROM h),
+         |rho AS (SELECT bucket,
+         |  CASE WHEN w = 0 THEN 27 $rhoCase END AS rho FROM wb),
+         |reg AS (SELECT bucket, max(rho) AS max_rho FROM rho GROUP BY bucket),
+         |agg AS (SELECT count(*) AS nonzero,
+         |  sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << max_rho)) AS s
+         |  FROM reg)
+         |SELECT CAST(64 AS BIGINT) AS m,
+         |  CAST(64 - nonzero AS BIGINT) AS zeros,
+         |  CAST((s + (64 - nonzero)) * 134217728 AS BIGINT) AS sum_inv_scaled,
+         |  round(CASE WHEN CAST('$alphaM2' AS DOUBLE) / (s + (64 - nonzero)) <= 160
+         |               AND nonzero < 64
+         |        THEN 64 * ln(CAST(64 AS DOUBLE) / (64 - nonzero))
+         |        ELSE CAST('$alphaM2' AS DOUBLE) / (s + (64 - nonzero)) END, 4) AS est
+         |FROM agg""".stripMargin
+    },
 
     "text_scrub" ->
       s"""SELECT doc_id,

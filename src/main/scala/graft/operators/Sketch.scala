@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Mergeable cardinality / frequency sketches, built as plain declarative
+  * aggregations so they inherit Spark's map-side partial aggregation: each
+  * executor folds its partitions into a tiny register table and only the
+  * registers shuffle. That IS the sketch property that matters at 100 TB —
+  * the shuffle payload is O(sketch size), not O(rows) — and it falls out
+  * of `groupBy(bucket).agg(...)` for free; no custom Aggregator needed.
+  *
+  * Every hash here is an ANSI-expressible integer mix (code-point
+  * polynomial mod 2³¹−1, Knuth multiplicative fold — the
+  * [[graft.operators.Sampling.samplingHash]] pattern), so a DuckDB oracle
+  * reproduces the registers bit-for-bit: the sketch contents are
+  * *verified*, not just the estimates eyeballed. The reference has no
+  * sketch surface (its COPY/INSERT warehouse is exact-only,
+  * sql_queries.py:118–151); this is extension surface for corpus-scale
+  * profiling where exact DISTINCT/GROUP BY are a full shuffle of the key
+  * universe.
+  */
+object Sketch {
+
+  private val P31 = 2147483647L // 2^31 - 1 (Mersenne)
+  private val Knuth = 2654435761L
+  private val M31 = 2147483648L // 2^31
+  private val M32 = 4294967296L // 2^32
+
+  /** Code-point polynomial hash of a string, mod 2³¹−1: fold(chars, 0,
+    * (acc, c) -> (acc·131 + c) mod p). Character-exact (unlike
+    * [[Fns.tokenHash]]'s cheap length/first/last mix) and loop-free in
+    * both engines (Spark `aggregate` HOF / DuckDB `list_reduce`). Operands
+    * stay < 2³¹ so acc·131 + c < 2³⁸ — no ANSI long overflow.
+    */
+  def stringHash(s: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(s)), i => ascii(substring(s, i, lit(1)))),
+      lit(0L),
+      (acc, c) => (acc * 131L + c) % P31)
+
+  /** Row i of a d-row CMS re-mixes the base hash with an affine map mod
+    * 2³¹−1, then folds into [0, width) with the Knuth multiplicative
+    * step — pairwise-independent enough for count estimation, and every
+    * constant is a plain literal the oracle SQL repeats verbatim.
+    */
+  def cmsBucket(baseHash: Column, row: Int, width: Int): Column = {
+    val a = 1103515245L * (row + 1) % P31
+    val b = 12345L * (row + 1) % P31
+    Fns.pmod(Fns.pmod(baseHash * a + b, lit(P31)) * Knuth, lit(M32)) % width
+  }
+
+  /** Count-Min Sketch build: one row per (sketch row, bucket) with the
+    * summed hit count. A single explode (d small structs per input row)
+    * feeding one hash aggregation — map-side combine shrinks each task's
+    * contribution to ≤ d·width registers before the shuffle, so the
+    * exchange moves kilobytes regardless of input size. Registers of two
+    * corpora union-merge by `groupBy(row, bucket).sum(cnt)` — the sketch
+    * is associative by construction.
+    */
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    val h = stringHash(col(keyCol))
+    df.select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("row"), cmsBucket(h, r, width).as("bucket"))): _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate lookup: for each probe key, min over the d rows of its
+    * bucket counts (classic CMS upper bound: est ≥ true count, with
+    * overshoot bounded by collisions). `probes` is tiny (the keys you ask
+    * about) — broadcast side of the join against the register table.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    val h = stringHash(col(keyCol))
+    val probeBuckets = probes
+      .select(col(keyCol), explode(array((0 until depth).map(r =>
+        struct(lit(r).as("row"), cmsBucket(h, r, width).as("bucket"))): _*)).as("rb"))
+      .select(col(keyCol), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+    sketch.join(broadcast(probeBuckets), Seq("row", "bucket"))
+      .groupBy(keyCol)
+      .agg(min("cnt").as("est"))
+  }
+
+  /** 32-bit avalanche hash: Knuth multiplicative fold, then an
+    * xor-shift-multiply-xor-shift finisher (murmur/xxhash fmix shape).
+    * The finisher is what makes a *lowest-set-bit* statistic sound: an
+    * odd multiplier mod 2³² preserves trailing-zero counts (tz(k·K) =
+    * tz(k)), so without it HLL's ρ would read the raw key's structure,
+    * not a uniform draw (observed: ~2× overestimate on sequential ids).
+    * All steps are ANSI-expressible: xor, right-shift, one folded
+    * multiply (second constant < 2³¹ so the product stays below 2⁶³).
+    */
+  def avalanche32(key: Column): Column = {
+    val h1 = Fns.pmod(Fns.pmod(key.cast("long"), lit(M31)) * Knuth, lit(M32))
+    val h2 = Fns.pmod(h1.bitwiseXOR(shiftright(h1, 16)) * 1597334677L, lit(M32))
+    h2.bitwiseXOR(shiftright(h2, 16))
+  }
+
+  /** HyperLogLog distinct-count over a numeric key, m = 2^b buckets.
+    *
+    * Register build is pure integer arithmetic: h = Knuth-fold of the key
+    * into [0, 2³²); bucket = h mod m; w = h div m (a (32−b)-bit suffix);
+    * ρ(w) = position of the lowest set bit (1-based), Wmax+1 when w = 0 —
+    * an unrolled CASE over the 32−b possible positions, identical in both
+    * engines (no log2, no loops). One `groupBy(bucket).max(rho)` — again
+    * map-side combined to m registers per task.
+    *
+    * The harmonic denominator Σ 2^−M_j is EXACT in IEEE double: every term
+    * is a multiple of 2^−Wmax−1 and the sum has < 53 significand bits, so
+    * summation order cannot change it — the one place a float survives
+    * cross-engine hashing untouched. It is additionally exported as the
+    * integer `sum_inv_scaled` = Σ·2^Wmax+1 for a float-free oracle row.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, b: Int): DataFrame = {
+    val m = 1 << b
+    val wBits = 32 - b
+    val h = avalanche32(col(keyCol))
+    val w = h.divide(lit(m)).cast("long")
+    // rho = index of lowest set bit of w (1-based); wBits+1 when w == 0.
+    val rho = (1 to wBits).foldLeft(when(w === 0, wBits + 1)) { (acc, j) =>
+      acc.when(Fns.pmod(w, lit(1L << j)) === (1L << (j - 1)), j)
+    }
+    df.select((h % m).cast("long").as("bucket"), rho.cast("long").as("rho"))
+      .groupBy("bucket").agg(max("rho").as("max_rho"))
+  }
+
+  /** Collapse registers to the single HLL estimate row. Missing buckets
+    * count as register 0 (`zeros` = m − observed non-zero buckets).
+    * `est` is the raw HLL estimator α_m·m²/Σ with the standard
+    * small-range linear-counting correction (E ≤ 2.5m and zeros > 0 →
+    * m·ln(m/zeros)); rounded to 4 decimals — the only cross-engine float
+    * risk is that final `ln`, and only in its last ulp.
+    */
+  def hllEstimate(registers: DataFrame, b: Int): DataFrame = {
+    val m = 1 << b
+    val wBits = 32 - b
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val scale = math.pow(2.0, wBits + 1)
+    registers
+      .agg(count(lit(1)).as("nonzero"),
+        // 1/2^rho via an integer shift then one exact division — never
+        // libm pow, whose last-ulp behavior is not pinned across engines.
+        sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), CAST(max_rho AS INT))"))
+          .as("sum_inv_nz"))
+      .select(
+        lit(m).cast("long").as("m"),
+        (lit(m) - col("nonzero")).cast("long").as("zeros"),
+        // integer-exact register checksum: Σ 2^(Wmax+1−rho) over non-zero
+        // buckets + zeros·2^(Wmax+1); matches Σ2^−M_j scaled by 2^(Wmax+1)
+        ((col("sum_inv_nz") + (lit(m) - col("nonzero"))) * scale)
+          .cast("long").as("sum_inv_scaled"),
+        round(
+          when((lit(alpha * m * m) / (col("sum_inv_nz") + (lit(m) - col("nonzero")))) <= 2.5 * m
+              && col("nonzero") < m,
+            lit(m) * log(lit(m).cast("double") / (lit(m) - col("nonzero"))))
+          .otherwise(lit(alpha * m * m) / (col("sum_inv_nz") + (lit(m) - col("nonzero")))),
+          4).as("est"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketch
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2000 rows over a zipf-ish key distribution: key k appears ~2000/k times.
+  private lazy val keyed = (1L to 2000L)
+    .map(i => (i, s"key${(math.sqrt(i.toDouble).toLong % 40) + 1}"))
+    .toDF("id", "k")
+
+  test("stringHash matches the reference code-point polynomial") {
+    // independently computed: fold('click', 0, acc*131 + cp mod 2^31-1)
+    val expected = "click".foldLeft(0L)((acc, c) => (acc * 131 + c) % 2147483647L)
+    val got = Seq("click").toDF("s")
+      .select(Sketch.stringHash($"s")).head().getLong(0)
+    assert(got == expected)
+    // character-exact: anagrams and same-length strings must differ
+    val hs = Seq("abc", "acb", "bac", "xyz").toDF("s")
+      .select(Sketch.stringHash($"s")).collect().map(_.getLong(0))
+    assert(hs.distinct.length == 4)
+  }
+
+  test("CMS estimate is an upper bound, exact when width is ample") {
+    val exact = keyed.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probes = keyed.select("k").distinct()
+
+    // tight width (8 buckets for 40 keys): collisions guaranteed, but the
+    // CMS guarantee est >= true must hold for every key
+    val tight = Sketch.cmsEstimate(
+      Sketch.cmsBuild(keyed, "k", 4, 8), probes, "k", 4, 8)
+    tight.collect().foreach { r =>
+      assert(r.getLong(1) >= exact(r.getString(0)),
+        s"CMS under-estimated ${r.getString(0)}")
+    }
+
+    // ample width (256 buckets): min over 4 rows should dodge collisions
+    val wide = Sketch.cmsEstimate(
+      Sketch.cmsBuild(keyed, "k", 4, 256), probes, "k", 4, 256)
+    wide.collect().foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)),
+        s"CMS inexact at width 256 for ${r.getString(0)}")
+    }
+  }
+
+  test("CMS merge of split builds equals the one-shot sketch") {
+    val oneShot = Sketch.cmsBuild(keyed, "k", 4, 16)
+    val merged = Sketch.cmsBuild(keyed.filter($"id" <= 900), "k", 4, 16)
+      .unionByName(Sketch.cmsBuild(keyed.filter($"id" > 900), "k", 4, 16))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val a = oneShot.orderBy("row", "bucket").collect().toSeq
+    val b = merged.orderBy("row", "bucket").collect().toSeq
+    assert(a == b)
+  }
+
+  test("HLL estimate lands within expected error of true cardinality") {
+    val n = 20000L
+    val df = (1L to n).toDF("id")
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(df, "id", 6), 6)
+      .head().getAs[Double]("est")
+    // m=64 -> standard error 1.04/8 = 13%; allow 3 sigma
+    assert(math.abs(est - n) / n < 0.4, s"HLL est $est for true $n")
+  }
+
+  test("HLL registers merge by max, matching the one-shot registers") {
+    val df = (1L to 5000L).toDF("id")
+    val oneShot = Sketch.hllRegisters(df, "id", 6)
+    val merged = Sketch.hllRegisters(df.filter($"id" % 2 === 0), "id", 6)
+      .unionByName(Sketch.hllRegisters(df.filter($"id" % 2 === 1), "id", 6))
+      .groupBy("bucket").agg(max("max_rho").as("max_rho"))
+    assert(oneShot.orderBy("bucket").collect().toSeq ==
+      merged.orderBy("bucket").collect().toSeq)
+  }
+
+  test("HLL small-range correction engages on tiny cardinalities") {
+    val df = (1L to 10L).toDF("id")
+    val row = Sketch.hllEstimate(Sketch.hllRegisters(df, "id", 6), 6).head()
+    assert(row.getAs[Long]("zeros") > 0)
+    val est = row.getAs[Double]("est")
+    assert(est > 5 && est < 20, s"linear-counting estimate off: $est")
+  }
+}
