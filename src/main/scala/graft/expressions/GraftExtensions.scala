@@ -63,6 +63,12 @@ object GraftFunctions {
         require(children.size == 5,
           "graft_srp(vec, dim, nPlanes, nTables, seed) takes five arguments")
         SrpBuckets(children.head, children(1), children(2), children(3), children(4))
+      }),
+    (FunctionIdentifier("graft_quant8"),
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "graft_quant8"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_quant8(vec) takes one array argument")
+        QuantizeInt8(children.head)
       }))
 
   /** Idempotent runtime registration into an existing session. */

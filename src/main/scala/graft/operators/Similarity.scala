@@ -83,13 +83,14 @@ object Similarity {
     */
   def quantizeInt8(embeddings: DataFrame,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = toDouble(col(vecCol))
-    val scale = array_max(transform(v, x => abs(x)))
+    // One fused native pass (graft_quant8): max|v_i| + the 127/scale codes
+    // in a single codegen'd loop. The composed-HOF form (transform with an
+    // embedded array_max) re-evaluated the max per ELEMENT — O(dim²) and
+    // interpreted — and the filter inferred under posexplode duplicated the
+    // whole tree again (measured ~25 s at a 2k×64 corpus vs <0.3 s fused).
+    val s = call_function("graft_quant8", toDouble(col(vecCol)))
     embeddings.select(col(idCol).as("vec_id"),
-      when(scale > 0, scale).as("scale"),
-      when(scale > 0,
-        transform(v, x => floor(x * lit(127.0) / scale + lit(0.5)).cast("int")))
-        .as("q"))
+      s.getField("scale").as("scale"), s.getField("q").as("q"))
   }
 
   /** IVF (inverted-file) coarse quantizer: the `nClusters` vectors with

@@ -30,6 +30,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() > 0) // found neighbors through the bucket join
   }
 
+  test("quantizeInt8: native codes match floor(x*127/max|v|+0.5); degenerate rows NULL") {
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)), // scale 1.0 → codes 64, -127, 32
+      (2L, Seq(0.0f, 0.0f)),         // zero vector → NULL scale and codes
+      (3L, Seq.empty[Float])         // empty → NULL
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs).orderBy("vec_id").collect()
+    assert(out(0).getAs[Double]("scale") == 1.0)
+    assert(out(0).getSeq[Int](2).toList == List(64, -127, 32))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+    // every code bounded: |q_i| <= 127 by construction (scale = max |v_i|)
+    val rng = new scala.util.Random(7)
+    val rand = (0L until 50L).map(i => (i, Seq.fill(64)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.quantizeInt8(rand)
+      .select(explode(col("q")).as("c")).agg(max(abs(col("c")))).head.getInt(0)
+    assert(codes <= 127)
+  }
+
   test("srpBucket: wrong-length vectors get NULL bucket and drop out") {
     val vecs = Seq(
       (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
