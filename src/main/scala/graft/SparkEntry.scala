@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.analytics.Analytics
 import graft.etl.{Ingest, Merge, Transforms}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Sampling, Similarity, Sketch, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Dedup, Layout, Multimodal, Sampling, Similarity, Sketch, Skew, TextAnalysis}
 import graft.streaming.StreamingJobs
 
 /** Driver contract: every implemented operator (SURVEY.md §2 + the
@@ -123,6 +123,29 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .select("c_custkey", "c_name").orderBy("c_custkey")
     }),
+
+    // Bloom-pruned semi-join: build Spark's bloom sketch over the dim keys
+    // in a scalar subquery, discard fact rows pre-shuffle, exact residual
+    // join removes false positives — result ≡ the plain EXISTS oracle.
+    "q_bloom_semi_join" -> ((s, dir) =>
+      BloomJoin.bloomSemiJoin(
+          T(s, dir, "orders"),
+          T(s, dir, "customer").filter(col("c_nationkey") === 5),
+          "o_custkey", "c_custkey", estimatedItems = 10000L)
+        .select("o_orderkey", "o_custkey").orderBy("o_orderkey")),
+
+    // Exact distributed quantiles per group (Spark's `percentile` builds a
+    // value→count map per group — no global sort; the sketch path at
+    // 100 TB is approx_percentile, same plan shape, bounded memory).
+    "q_quantiles" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90"),
+          percentile(col("l_extendedprice"), lit(0.95)).as("price_p95"))
+        .select(col("l_returnflag"), round(col("p50"), 6).as("p50"),
+          round(col("p90"), 6).as("p90"), round(col("price_p95"), 6).as("price_p95"))
+        .orderBy("l_returnflag")),
 
     // Left-anti: parts with no shipment in the last months of the data.
     "q_anti_join" -> ((s, dir) => {
@@ -496,6 +519,13 @@ object SparkEntry {
           T(s, dir, "documents").select("doc_id", "lang"), "doc_id")
         .select(col("doc_id"), col("lang"))),
 
+    // Temperature-weighted data mixing (quota_src ∝ √n_src, τ = 2):
+    // low-resource languages up-weighted vs a proportional sample.
+    "sample_mixture" -> ((s, dir) =>
+      Sampling.temperatureMixture(
+          T(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id", 1000L)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // ---- LLM-data-pipeline: mergeable sketches ----
 
     // Count-Min Sketch built INCREMENTALLY: register tables for the pre-
@@ -572,7 +602,23 @@ object SparkEntry {
           col("col").cast("long").as("q"))
         .orderBy("vec_id", "i")),
 
+    // Unit-norm pre-pass (native graft_l2norm), exploded per element.
+    // Per-row IEEE arithmetic (square-sum fold, sqrt, divide) is exact on
+    // both engines; rounded to 6 dp to match house style for vector math.
+    "emb_normalize" -> ((s, dir) =>
+      Similarity.normalizeL2(T(s, dir, "embeddings"))
+        .select(col("vec_id"), posexplode(col("unit")))
+        .select(col("vec_id"), col("pos").cast("long").as("i"),
+          round(col("col"), 6).as("x"))
+        .orderBy("vec_id", "i")),
+
     // ---- LLM-data-pipeline: text analysis ----
+
+    // Per-doc top-5 TF-IDF terms: (doc,term) tf shuffle + term df shuffle
+    // + broadcast corpus count + per-doc top-k window.
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(T(s, dir, "documents"), 5)
+        .orderBy("doc_id", "rank")),
 
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(T(s, dir, "documents")).orderBy("doc_id")),
@@ -694,6 +740,18 @@ object SparkEntry {
         .orderBy("l_orderkey")
     }),
 
+    // Z-order layout: Morton key over (l_partkey, l_suppkey) + range
+    // repartition + partition-local sort. The verified output is the
+    // key and the resulting total order — the bit-interleave is mirrored
+    // exactly in the oracle's shift/and/or SQL.
+    "layout_zorder" -> ((s, dir) =>
+      Layout.zorderLayout(
+          T(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+          "l_partkey", "l_suppkey", bits = 16)
+        .withColumn("zkey", Layout.zorderKey2(col("l_partkey"), col("l_suppkey"), 16))
+        .orderBy("zkey", "l_orderkey", "l_linenumber")),
+
     // Two-phase salted aggregation over the known-skewed event_type key
     // (Skew.saltedCount): hot keys spread across 16 reducers in the
     // partial phase, then the tiny partials collapse. Result — and the
@@ -785,7 +843,21 @@ object SparkEntry {
     // session — adjacent windows merge; see StreamingSpec).
     "stream_session" -> ((s, dir) =>
       StreamingJobs.sessionize(T(s, dir, "events"), "30 minutes")
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // Stream-stream interval join (batch-unified body): views within
+    // 6 hours after each click, per user. On streams both sides get
+    // watermarks and the range bound GCs the join state (StreamingSpec
+    // drives that path on MemoryStreams).
+    "stream_interval_join" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      StreamingJobs.intervalJoin(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "view"), "6 hours")
+        .select(col("user_id"), col("l_id").as("click_id"),
+          col("r_id").as("view_id"))
+        .orderBy("user_id", "click_id", "view_id")
+    })
   )
 
   /** Near-dup demo corpus for the LSH dedup query: embeddings ∪
@@ -1003,6 +1075,25 @@ object SparkEntry {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)
         |ORDER BY c_custkey""".stripMargin,
 
+    // The bloom pre-filter admits a superset (false positives only); the
+    // exact residual semi-join collapses it back to plain EXISTS.
+    "q_bloom_semi_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM customer
+        |  WHERE c_custkey = o_custkey AND c_nationkey = 5)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Both engines interpolate lower + (upper - lower)·frac at position
+    // (n-1)·q; round(…,6) absorbs any last-ulp libm divergence.
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS price_p95
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q_anti_join" ->
       """SELECT p_partkey, p_name FROM part
         |WHERE NOT EXISTS (
@@ -1200,6 +1291,27 @@ object SparkEntry {
     "sample_shuffle" ->
       """SELECT doc_id, lang FROM documents
         |ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id""".stripMargin,
+
+    // Temperature mixing (τ = 2): quotas from exact-DECIMAL-summed √n
+    // weights, rows picked per source in samplingHash order. The √n →
+    // DECIMAL(28,10) routing makes every step engine-identical (a double
+    // can never hit the decimal cast's rounding tie — k.5×10⁻¹⁰ has a
+    // factor-5 denominator).
+    "sample_mixture" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_src FROM documents GROUP BY 1),
+        |w AS (SELECT lang,
+        |        CAST(sqrt(CAST(n_src AS DOUBLE)) AS DECIMAL(28,10)) AS w
+        |      FROM counts),
+        |t AS (SELECT sum(w) AS w_tot FROM w),
+        |q AS (SELECT lang,
+        |        CAST(floor(1000.0 * (CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE))) AS BIGINT) AS quota
+        |      FROM w CROSS JOIN t),
+        |r AS (SELECT d.doc_id, d.lang,
+        |        row_number() OVER (PARTITION BY d.lang
+        |          ORDER BY ((d.doc_id % 2147483648) * 2654435761) % 4294967296, d.doc_id) AS rn
+        |      FROM documents d)
+        |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
 
     // One-shot CMS recomputed from the same ANSI hash chain (code-point
     // polynomial mod 2³¹−1, per-row affine remix, Knuth fold): counting
@@ -1431,6 +1543,31 @@ object SparkEntry {
          |WHERE scale > 0
          |ORDER BY vec_id, i""".stripMargin,
 
+    // Per-row IEEE math end-to-end (square-sum fold ≡ list_dot_product,
+    // correctly-rounded sqrt, exact divide); 6-dp rounding is house style.
+    "emb_normalize" ->
+      s"""WITH e AS ($embCte),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+         |SELECT vec_id, CAST(i - 1 AS BIGINT) AS i, round(v[i] / nrm, 6) AS x
+         |FROM n CROSS JOIN range(1, 65) t(i)
+         |WHERE nrm > 0
+         |ORDER BY vec_id, i""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH base AS ($docToks),
+         |t AS (SELECT doc_id, unnest(toks) AS term FROM base),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, term, tf, df,
+         |        tf * ln((n_docs + 1.0) / (df + 1.0)) AS tfidf
+         |      FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY tfidf DESC, term ASC) AS rnk FROM s)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, tf, df,
+         |  round(tfidf, 6) AS tfidf
+         |FROM r WHERE rnk <= 5 ORDER BY doc_id, rank""".stripMargin,
+
     "text_pack" ->
       s"""WITH base AS (
          |  SELECT doc_id, CAST(len(regexp_extract_all(text,
@@ -1470,6 +1607,14 @@ object SparkEntry {
 
     "q_skew_salted" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+
+    // Bit-for-bit mirror of Layout.zorderKey2Sql — generated from the
+    // same code that builds the Spark Column, so they cannot drift.
+    "layout_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  ${operators.Layout.zorderKey2Sql("l_partkey", "l_suppkey", 16)} AS zkey
+         |FROM lineitem
+         |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin,
 
     "mm_frames" ->
       """SELECT doc_id AS asset_id, i AS frame_idx,
@@ -1556,6 +1701,13 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "stream_interval_join" ->
+      """SELECT l.user_id, l.event_id AS click_id, r.event_id AS view_id
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |  AND l.event_type = 'click' AND r.event_type = 'view'
+        |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+        |ORDER BY l.user_id, click_id, view_id""".stripMargin
   )
 }

@@ -69,6 +69,41 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_quant8(vec) takes one array argument")
         QuantizeInt8(children.head)
+      }),
+    (FunctionIdentifier("graft_l2norm"),
+      new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2norm"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_l2norm(vec) takes one array argument")
+        L2Normalize(children.head)
+      }),
+    // Spark's own bloom-filter sketch pair (the engine uses them for
+    // runtime join filtering) surfaced under stable names: the aggregate
+    // is registry-internal upstream, so expose it here for the
+    // BloomJoin scalar-subquery pattern. Public Apache Spark classes —
+    // codegen'd XxHash64 updates, merge-able buffers.
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.size <= 3,
+          "graft_bloom_agg(key[, estimatedItems[, numBits]]) takes 1-3 arguments")
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        children match {
+          case Seq(c) => new BloomFilterAggregate(c)
+          case Seq(c, n) => new BloomFilterAggregate(c, n)
+          case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+        }
+      }),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_might_contain(bloom, key) takes two arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
       }))
 
   /** Idempotent runtime registration into an existing session. */

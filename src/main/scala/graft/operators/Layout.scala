@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: multidimensional clustering for scan pruning.
+  *
+  * At 100 TB the dominant cost of any selective query is the scan, and the
+  * scan is only prunable if the file/row-group min–max ranges are tight on
+  * the filtered columns. A sort on one column gives perfect pruning on
+  * that column and none on any other; a Z-order (Morton) sort interleaves
+  * the bits of several columns so EVERY interleaved column gets
+  * locality — the standard layout trick (Delta/Iceberg `ZORDER BY`,
+  * re-expressed here as plain Spark: a computed key + one range
+  * partitioning).
+  *
+  * The key is built from plain integer bit-ops (shift/and/or) — fully
+  * whole-stage-codegen'd, no UDF, and exactly reproducible in ANSI SQL,
+  * so the DuckDB oracle checks the interleave bit-for-bit.
+  */
+object Layout {
+
+  /** Morton key interleaving the low `bits` bits of two non-negative
+    * integer columns: bit i of `x` lands at position 2i, bit i of `y` at
+    * 2i+1. 2·bits ≤ 62 keeps the key in a positive long. Values ≥ 2^bits
+    * simply truncate (high bits beyond the interleave window don't
+    * cluster) — callers pick `bits` to cover their key domain.
+    */
+  def zorderKey2(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"need 1 <= bits <= 31, got $bits")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** The matching ANSI SQL fragment (DuckDB / any engine with `&`, `|`,
+    * `>>`, `<<` on BIGINT) — kept next to the Column builder so the two
+    * formulations can never drift apart.
+    */
+  def zorderKey2Sql(x: String, y: String, bits: Int = 16): String =
+    ((0 until bits).map(i => s"(((CAST($x AS BIGINT) >> $i) & 1) << ${2 * i})") ++
+      (0 until bits).map(i => s"(((CAST($y AS BIGINT) >> $i) & 1) << ${2 * i + 1})"))
+      .mkString("(", " | ", ")")
+
+  /** Re-cluster a table on the Z-key of two columns: one range
+    * partitioning (sampled boundaries → balanced output files) plus a
+    * partition-local sort. This is the write-side layout pass — run it
+    * once per ingest batch, and every downstream filter on EITHER column
+    * prunes files by min–max. No global single-partition sort anywhere.
+    */
+  def zorderLayout(df: DataFrame, xCol: String, yCol: String,
+                   bits: Int = 16, numPartitions: Int = 0): DataFrame = {
+    val keyed = df.withColumn("__zkey", zorderKey2(col(xCol), col(yCol), bits))
+    val ranged =
+      if (numPartitions > 0) keyed.repartitionByRange(numPartitions, col("__zkey"))
+      else keyed.repartitionByRange(col("__zkey"))
+    ranged.sortWithinPartitions(col("__zkey")).drop("__zkey")
+  }
+}

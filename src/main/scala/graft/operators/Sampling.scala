@@ -58,4 +58,48 @@ object Sampling {
       .filter(col("__r") <= quota)
       .drop("__r")
   }
+
+  /** Temperature-weighted data mixing: draw ~`totalBudget` rows with
+    * per-source quotas ∝ n_src^(1/τ) at τ = 2 — the standard up-weighting
+    * of low-resource sources (multilingual / multi-domain pretraining
+    * mixes) that a proportional sample would starve.
+    *
+    * Determinism across engines is engineered, not hoped for:
+    *  - √n is IEEE-correctly-rounded in every engine;
+    *  - each weight is routed through DECIMAL(28,10) so the cross-source
+    *    sum is exact and independent of aggregation order (a double sum
+    *    is neither);
+    *  - a double can never equal the half-way point of a 10-dp decimal
+    *    (k.5×10⁻¹⁰ has a factor-5 denominator), so the decimal cast never
+    *    hits its rounding tie;
+    *  - rows fill each quota in `samplingHash` order — reproducible for
+    *    any partitioning.
+    *
+    * Shuffle shape: one tiny per-source count aggregate, its exact-decimal
+    * total as a broadcast single row (no driver action), the quota map
+    * broadcast back onto the corpus, and one window shuffle on the source
+    * key for the per-source ranking. Skew note: the ranking window puts
+    * each source in one task chain — for a source with billions of rows,
+    * pre-filter with [[deterministicSample]] at ~2× the target fraction,
+    * then rank only the survivors.
+    */
+  def temperatureMixture(df: DataFrame, sourceCol: String, keyCol: String,
+                         totalBudget: Long): DataFrame = {
+    val counts = df.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__n_src"))
+    val weighted = counts.withColumn("__w",
+      sqrt(col("__n_src").cast("double")).cast("decimal(28,10)"))
+    val total = weighted.agg(sum(col("__w")).as("__w_tot"))
+    val quotas = weighted.crossJoin(broadcast(total))
+      .select(col("__src"),
+        floor(lit(totalBudget.toDouble) *
+          (col("__w").cast("double") / col("__w_tot").cast("double")))
+          .cast("long").as("__quota"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(samplingHash(col(keyCol)).asc, col(keyCol).asc)
+    df.join(broadcast(quotas), col(sourceCol) === col("__src"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= col("__quota"))
+      .drop("__src", "__quota", "__r")
+  }
 }

@@ -81,6 +81,17 @@ object Similarity {
     * exactly. Zero/empty vectors get NULL scale and codes (they carry no
     * direction to preserve). Pure per-row expressions, no shuffle.
     */
+  /** L2-normalize the embedding column to unit vectors (native
+    * `graft_l2norm`, one codegen'd pass, no shuffle) — the standard
+    * pre-pass that turns cosine into plain dot product downstream and
+    * makes quantization scales comparable corpus-wide. Zero/empty/NULL
+    * vectors come back NULL (they carry no direction).
+    */
+  def normalizeL2(embeddings: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol).as("vec_id"),
+      call_function("graft_l2norm", toDouble(col(vecCol))).as("unit"))
+
   def quantizeInt8(embeddings: DataFrame,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // One fused native pass (graft_quant8): max|v_i| + the 127/scale codes

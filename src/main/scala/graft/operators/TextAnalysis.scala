@@ -165,6 +165,37 @@ object TextAnalysis {
         col("col").as("chunk_text"))
   }
 
+  /** Per-document top-k TF-IDF terms — the classic keyword/feature
+    * extractor (df-weighted so corpus-wide boilerplate ranks below
+    * document-specific vocabulary). Smoothed idf = ln((N+1)/(df+1)).
+    *
+    * Shuffle shape at corpus scale: one hash shuffle on (doc, term) for
+    * the tf counts (map-side partial aggregation absorbs in-document
+    * repeats), one much smaller shuffle on term for the df counts, the
+    * corpus size N as a broadcast single-row aggregate (no driver
+    * action), and the top-k window partitioned by doc — every stage
+    * horizontal. Scores are rounded to 6 dp at the edge only; the rank
+    * is taken on the raw double (ties broken by term) so ordering never
+    * depends on the rounding.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(Fns.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("df"), round(col("tfidf"), 6).as("tfidf"))
+  }
+
   /** Token-budget sequence packing, GLOBAL variant: assign documents (in
     * id order) to training sequences of ~`budget` subword tokens via
     * cumulative token count — seq_id = floor((cumsum − n)/budget), i.e. a

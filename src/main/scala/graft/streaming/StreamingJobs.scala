@@ -51,6 +51,29 @@ object StreamingJobs {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join: each left event paired with the right
+    * events of the same user that land within [left.ts, left.ts + within]
+    * — attribution ("which views followed this click"), enrichment,
+    * conversion funnels. Batch-unified: on batch inputs it is a plain
+    * equi-join with a range residual (hash shuffle on user_id, the range
+    * applied as a post-probe filter); on streaming inputs, callers apply
+    * `withWatermark` on BOTH sides first — the time-range condition then
+    * bounds both join states, so Spark garbage-collects rows older than
+    * `watermark + within` instead of buffering the streams forever.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, within: String = "10 minutes",
+                   userCol: String = "user_id", tsCol: String = "ts",
+                   idCol: String = "event_id"): DataFrame = {
+    val l = left.select(col(userCol).as("user_id"), col(tsCol).as("l_ts"),
+      col(idCol).as("l_id"))
+    val r = right.select(col(userCol).as("r_user"), col(tsCol).as("r_ts"),
+      col(idCol).as("r_id"))
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Sessionization: per-user sessions that close after `gap` of
     * inactivity. `session_window` is Spark's native session operator —
     * state-merging, watermark-compatible (add `withWatermark` on a

@@ -37,4 +37,22 @@ class SamplingSpec extends SparkSpec {
     assert(again.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       q.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("temperatureMixture: quotas ∝ sqrt(n), low-resource sources up-weighted") {
+    // sources of 100 and 400 rows: weights 10 and 20 -> quotas 33 and 66
+    // of a 100-row budget (vs 20/80 proportional).
+    val mix = (0L until 100L).map(i => (i, "small")) ++
+      (100L until 500L).map(i => (i, "large"))
+    val df = mix.toDF("id", "src")
+    val out = Sampling.temperatureMixture(df, "src", "id", 100L)
+    val per = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per == Map("small" -> 33L, "large" -> 66L))
+    // deterministic under repartitioning
+    val again = Sampling.temperatureMixture(df.repartition(13), "src", "id", 100L)
+    assert(again.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // output schema is the input schema (helper columns dropped)
+    assert(out.columns.toSeq == Seq("id", "src"))
+  }
 }

@@ -50,6 +50,24 @@ class SimilaritySpec extends SparkSpec {
     assert(codes <= 127)
   }
 
+  test("normalizeL2: unit norm out; zero/empty vectors NULL") {
+    val vecs = Seq(
+      (1L, Seq(3.0f, 4.0f)),
+      (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    val out = Similarity.normalizeL2(vecs).orderBy("vec_id").collect()
+    assert(out(0).getSeq[Double](1).toList == List(0.6, 0.8))
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+    // norm of every non-degenerate output is 1 (to double precision)
+    val rng = new scala.util.Random(13)
+    val rand = (0L until 30L).map(i => (i, Seq.fill(64)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val norms = Similarity.normalizeL2(rand)
+      .select(call_function("graft_dot", col("unit"), col("unit")).as("n2"))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-12))
+  }
+
   test("srpBucket: wrong-length vectors get NULL bucket and drop out") {
     val vecs = Seq(
       (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),

@@ -144,4 +144,44 @@ class StreamingSpec extends SparkSpec {
       assert(ids.sorted.toSeq == Seq(1L, 2L, 3L)) // each id exactly once
     } finally q.stop()
   }
+
+  test("intervalJoin batch: only right events inside [l_ts, l_ts+within] pair up") {
+    def ev(id: Long, user: Long, s: String) = (id, user, java.sql.Timestamp.valueOf(s))
+    val clicks = Seq(ev(1L, 7L, "2024-01-01 10:00:00")).toDF("event_id", "user_id", "ts")
+    val views = Seq(
+      ev(10L, 7L, "2024-01-01 10:05:00"),  // in window
+      ev(11L, 7L, "2024-01-01 10:10:00"),  // boundary: inclusive
+      ev(12L, 7L, "2024-01-01 10:10:01"),  // past the bound
+      ev(13L, 7L, "2024-01-01 09:59:59"),  // before the click
+      ev(14L, 8L, "2024-01-01 10:05:00"))  // other user
+      .toDF("event_id", "user_id", "ts")
+    val out = StreamingJobs.intervalJoin(clicks, views, "10 minutes")
+      .orderBy("r_id").collect()
+    assert(out.map(_.getAs[Long]("r_id")).toSeq == Seq(10L, 11L))
+  }
+
+  test("intervalJoin streams: watermarked stream-stream join emits matches in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val lMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val l = lMem.toDF().toDF("event_id", "user_id", "ts").withWatermark("ts", "1 minute")
+    val r = rMem.toDF().toDF("event_id", "user_id", "ts").withWatermark("ts", "1 minute")
+    val q = StreamingJobs.intervalJoin(l, r, "10 minutes")
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      lMem.addData((1L, 7L, ts("2024-01-01 10:00:00")))
+      rMem.addData((10L, 7L, ts("2024-01-01 10:05:00")),
+        (12L, 7L, ts("2024-01-01 10:20:00")), // outside the 10-min bound
+        (14L, 8L, ts("2024-01-01 10:05:00"))) // other user
+      q.processAllAvailable()
+      // Advance both watermarks far past the interval so results finalize.
+      lMem.addData((2L, 9L, ts("2024-01-01 12:00:00")))
+      rMem.addData((20L, 9L, ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      val pairs = spark.table("ij").collect()
+        .map(row => (row.getAs[Long]("l_id"), row.getAs[Long]("r_id"))).toSet
+      assert(pairs == Set((1L, 10L)))
+    } finally q.stop()
+  }
 }

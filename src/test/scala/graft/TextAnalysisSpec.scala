@@ -92,4 +92,24 @@ class TextAnalysisSpec extends SparkSpec {
     val fps = TextAnalysis.fingerprint(docs).collect().map(_.getAs[Long]("fingerprint"))
     assert(fps(0) != fps(1))
   }
+
+  test("tfidfTopK: document-specific terms outrank corpus-wide boilerplate") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog ate the bone"),
+      (3L, "the bird flew over the house")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, 2).orderBy("doc_id", "rank").collect()
+    // 'the' appears in every doc -> df 3 -> smallest idf; tf 2 doesn't save it
+    // against df-1 terms, so the top slots go to document-specific words.
+    assert(out.length == 6) // 2 per doc
+    val doc1Terms = out.filter(_.getLong(0) == 1L).map(_.getAs[String]("term")).toSet
+    assert(!doc1Terms.contains("the"))
+    assert(doc1Terms.subsetOf(Set("cat", "sat", "mat", "on")))
+    // rank 1 term of each doc has df = 1 (unique to the doc)
+    assert(out.filter(_.getAs[Long]("rank") == 1L).forall(_.getAs[Long]("df") == 1L))
+    // ties broken by term asc: doc 1's df-1 terms all have tf 1, so rank
+    // order is alphabetical among them
+    val doc1 = out.filter(_.getLong(0) == 1L).map(_.getAs[String]("term")).toSeq
+    assert(doc1 == doc1.sorted)
+  }
 }
