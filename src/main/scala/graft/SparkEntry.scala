@@ -465,6 +465,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Survivor selection: keep the longest member of each near-dup
+    // cluster (score = n_chars, exact integer — tie by doc_id).
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val clusters = Dedup.dedupClusters(docs,
+        Dedup.ngramJaccardPairs(docs, 3, 0.5), maxIter = 4)
+      Dedup.keepBest(clusters, docs.select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars")), "n_chars")
+        .select(col("cluster_id"), col("keep_id"), col("n_members"),
+          col("best_score"))
+        .orderBy("cluster_id")
+    }),
+
+    // Leak-free split: hash the CLUSTER id, not the doc id, so near-dups
+    // can never straddle the train/eval boundary.
+    "sample_split" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val clusters = Dedup.dedupClusters(docs,
+        Dedup.ngramJaccardPairs(docs, 3, 0.5), maxIter = 4)
+      Sampling.assignSplit(clusters, "cluster_id", 0.1, 0.1)
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // Distribution profiling: exact interpolated percentiles + moments
     // per group — the per-column statistics a data-quality pass emits.
     "q_profile_stats" -> ((s, dir) =>
@@ -908,6 +932,24 @@ object SparkEntry {
        |JOIN sizes sb ON sb.doc_id = db
        |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Shared oracle fragment (requires WITH RECURSIVE): exact connected
+    * components over the trigram-Jaccard ≥ 0.5 near-dup graph →
+    * `clusters(doc_id, cluster_id)` with cluster_id = min reachable id.
+    * Used by dedup_clusters, dedup_keep_best and sample_split.
+    */
+  private val clusterLabelsCte =
+    s"""pr AS (SELECT doc_a, doc_b FROM ($ngramJaccardOracle) q0),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |          UNION SELECT doc_b, doc_a FROM pr),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lab AS (SELECT src AS doc_id, min(dst) AS m FROM reach GROUP BY 1),
+       |clusters AS (
+       |  SELECT d.doc_id, least(coalesce(l.m, d.doc_id), d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id)""".stripMargin
 
   private val stopwordList =
     TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1412,18 +1454,31 @@ object SparkEntry {
     // pair set the Spark side derives (the all-pairs Jaccard oracle,
     // nested as a subquery); singletons keep their own id.
     "dedup_clusters" ->
-      s"""WITH RECURSIVE
-         |pr AS (SELECT doc_a, doc_b FROM ($ngramJaccardOracle) q0),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-         |          UNION SELECT doc_b, doc_a FROM pr),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |lab AS (SELECT src AS doc_id, min(dst) AS m FROM reach GROUP BY 1)
-         |SELECT d.doc_id, least(coalesce(l.m, d.doc_id), d.doc_id) AS cluster_id
-         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH RECURSIVE $clusterLabelsCte
+         |SELECT doc_id, cluster_id FROM clusters
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $clusterLabelsCte,
+         |m AS (SELECT c.cluster_id, c.doc_id, d.n_chars,
+         |        row_number() OVER (PARTITION BY c.cluster_id
+         |          ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk,
+         |        count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+         |      FROM clusters c JOIN documents d USING (doc_id))
+         |SELECT cluster_id, doc_id AS keep_id,
+         |  CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(n_chars AS BIGINT) AS best_score
+         |FROM m WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+
+    "sample_split" ->
+      s"""WITH RECURSIVE $clusterLabelsCte
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ((cluster_id % 2147483648) * 2654435761) % 4294967296
+         |         < ${Sampling.splitCut(0.1)} THEN 'val'
+         |       WHEN ((cluster_id % 2147483648) * 2654435761) % 4294967296
+         |         < ${Sampling.splitCut(0.2)} THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM clusters ORDER BY doc_id""".stripMargin,
 
     "dedup_embed_lsh" -> embedLshOracle,
 

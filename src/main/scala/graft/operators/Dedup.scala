@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
 
@@ -296,6 +297,26 @@ object Dedup {
             .as("cluster_id"))
     }
     labels.select(col("id").as(idCol), col("cluster_id"))
+  }
+
+  /** Per-cluster survivor selection — the step after cluster resolution in
+    * every dedup pipeline: of each near-dup cluster keep the single best
+    * document by a quality score (longest, highest-quality-model score,
+    * freshest…), ties broken by id so the choice is total and
+    * reproducible. One window shuffle keyed by cluster_id; the rank and
+    * the member count share the same partition, so it costs one exchange.
+    */
+  def keepBest(clusters: DataFrame, quality: DataFrame, scoreCol: String,
+               idCol: String = "doc_id"): DataFrame = {
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val joined = clusters.join(quality, idCol)
+    joined
+      .withColumn("__rk", row_number().over(
+        byCluster.orderBy(col(scoreCol).desc, col(idCol).asc)))
+      .withColumn("n_members", count(lit(1)).over(byCluster).cast("long"))
+      .filter(col("__rk") === 1)
+      .select(col("cluster_id"), col(idCol).as("keep_id"), col("n_members"),
+        col(scoreCol).as("best_score"))
   }
 
   /** Embedding-cosine near-duplicate pairs (exact, all-pairs). The quadratic

@@ -59,6 +59,28 @@ object Sampling {
       .drop("__r")
   }
 
+  /** Split-boundary hash cut for `assignSplit` — exposed so oracle SQL can
+    * embed the exact same literal.
+    */
+  def splitCut(frac: Double): Long = (frac * M32).toLong
+
+  /** Deterministic train/val/test assignment by key hash: same row → same
+    * split on every run, engine, and partitioning. Key on a CLUSTER id
+    * (e.g. [[graft.operators.Dedup.dedupClusters]] output) rather than the
+    * row id and near-duplicates can never straddle the eval boundary — the
+    * standard guard against train→test leakage. Narrow, no shuffle.
+    */
+  def assignSplit(df: DataFrame, keyCol: String,
+                  valFrac: Double, testFrac: Double): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
+      s"need valFrac + testFrac < 1, got $valFrac + $testFrac")
+    val h = samplingHash(col(keyCol))
+    df.withColumn("split",
+      when(h < splitCut(valFrac), "val")
+        .when(h < splitCut(valFrac + testFrac), "test")
+        .otherwise("train"))
+  }
+
   /** Temperature-weighted data mixing: draw ~`totalBudget` rows with
     * per-source quotas ∝ n_src^(1/τ) at τ = 2 — the standard up-weighting
     * of low-resource sources (multilingual / multi-domain pretraining

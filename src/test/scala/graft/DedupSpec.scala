@@ -173,4 +173,17 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.embeddingNearDupPairs(emb, 0.9).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
+
+  test("keepBest: highest score survives per cluster, ties broken by id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 7L), (5L, 2L), (6L, 2L))
+      .toDF("doc_id", "score")
+    val out = Dedup.keepBest(clusters, quality, "score").orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 3L, 30L), // 2 beats 3 on the id tiebreak, 3 members
+      (4L, 4L, 1L, 7L),  // singleton keeps itself
+      (5L, 5L, 2L, 2L))) // all-tied cluster keeps the smallest id
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.countDistinct
 import graft.operators.Sampling
 
 class SamplingSpec extends SparkSpec {
@@ -54,5 +55,23 @@ class SamplingSpec extends SparkSpec {
       out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
     // output schema is the input schema (helper columns dropped)
     assert(out.columns.toSeq == Seq("id", "src"))
+  }
+
+  test("assignSplit: total, deterministic, roughly proportioned; cluster key co-assigns") {
+    val df = (0L until 10000L).toDF("id").withColumn("cluster_id", $"id" % 1000L)
+    val out = Sampling.assignSplit(df, "cluster_id", 0.1, 0.1)
+    val per = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per.keySet == Set("train", "val", "test"))
+    assert(per("train") > 7000L && per("val") > 500L && per("test") > 500L)
+    assert(per.values.sum == 10000L)
+    // every row of a cluster lands in the same split (leak-free property)
+    val mixedClusters = out.groupBy("cluster_id")
+      .agg(countDistinct($"split").as("k")).filter($"k" > 1).count()
+    assert(mixedClusters == 0L)
+    // deterministic under repartitioning
+    val again = Sampling.assignSplit(df.repartition(17), "cluster_id", 0.1, 0.1)
+    assert(again.orderBy("id").collect().map(_.getString(2)).toSeq ==
+      out.orderBy("id").collect().map(_.getString(2)).toSeq)
   }
 }
