@@ -172,6 +172,54 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // Full CUBE over the same pair of keys (all four grouping levels).
+    "q_cube" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Pivot: one column per event type (explicit value list — at scale an
+    // implicit pivot runs a distinct-collect job first), count per cell.
+    "q_pivot" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    // Time-range moving aggregate: per-user trailing 1-hour mean. The
+    // range frame is on exact epoch-millis (both engines frame
+    // [t−3600000, t] inclusively; equal timestamps are peers in both).
+    "q_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+        .rangeBetween(-3600000L, 0L)
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_win"),
+          (sum(col("value").cast("decimal(18,6)")).over(w).cast("double") /
+            count(lit(1)).over(w)).as("avg_1h"))
+        .orderBy("event_id")
+    }),
+
+    // Winsorize: clamp values to the exact per-group [p05, p95] band —
+    // outlier taming before stats/training. Percentiles broadcast back.
+    "q_winsorize" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val pct = e.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.05)).as("lo"),
+          percentile(col("value"), lit(0.95)).as("hi"))
+      e.join(broadcast(pct), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round(greatest(col("lo"), least(col("hi"), col("value"))), 6)
+            .as("v_clamped"))
+        .orderBy("event_id")
+    }),
+
     // Windowed analytics: per-user running event count + previous value.
     "q_window_running" -> ((s, dir) =>
       T(s, dir, "events").select(col("event_id"), col("user_id"),
@@ -1162,6 +1210,44 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_n,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_moving_avg" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
+        |           FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS n_win,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS avg_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+        |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |  round(greatest(lo, least(hi, value)), 6) AS v_clamped
+        |FROM events e JOIN p ON e.event_type = p.event_type
+        |ORDER BY event_id""".stripMargin,
 
     "op01_json_positional" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
