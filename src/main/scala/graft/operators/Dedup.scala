@@ -81,12 +81,19 @@ object Dedup {
     // and its size. Every later stage works off this frame, so the
     // postings are shuffled twice total (df agg, df join → doc agg)
     // instead of once per stage — the dominant cost at corpus scale.
+    // localCheckpoint: this frame feeds THREE consumers (the prefix
+    // explode and both verify sides) — without it each consumer
+    // re-evaluates the shingle explode + df join + sort aggregation.
+    // Same materialize-once call as dedupClusters' edge list; at corpus
+    // scale this is the standard persist of the per-doc index before a
+    // self-join.
     val docsets = sets.join(dfreq, "shingle")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("sorted"),
         count(lit(1)).as("n_sh"))
       .select(col("doc_id"), col("n_sh"),
         transform(col("sorted"), s => s.getField("shingle")).as("shingles"))
+      .localCheckpoint(false)
     // PPJoin prefix: a pair with J ≥ t must share a shingle within the
     // first ⌊(1−t)·|d|⌋+1 RAREST shingles of each side — only those are
     // exploded into the candidate self-join.
