@@ -513,6 +513,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Asymmetric containment (quote/subset detection): |A∩B|/|A| >= 0.6,
+    // both directions — catches a short doc wholly embedded in a long one.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(T(s, dir, "documents"), 3, 0.6)
+        .orderBy("doc_a", "doc_b")),
+
+    // Verbatim-passage detection: pairs sharing >= 1 full 16-token window
+    // (native shingle hashes ARE the window fingerprints — no window
+    // strings ever materialize).
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.sharedWindowPairs(T(s, dir, "documents"), 16)
+        .orderBy("doc_a", "doc_b")),
+
     // Survivor selection: keep the longest member of each near-dup
     // cluster (score = n_chars, exact integer — tie by doc_id).
     "dedup_keep_best" -> ((s, dir) => {
@@ -1543,6 +1556,36 @@ object SparkEntry {
       s"""WITH RECURSIVE $clusterLabelsCte
          |SELECT doc_id, cluster_id FROM clusters
          |ORDER BY doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH base AS ($docToks),
+         |toks AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM base),
+         |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS shingle
+         |       FROM toks a
+         |       JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |       JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS ni
+         |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b,
+         |       CAST(ni AS DOUBLE) / sa.n AS containment
+         |FROM inter JOIN sizes sa ON sa.doc_id = da
+         |WHERE CAST(ni AS DOUBLE) / sa.n >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Distinct 16-token window STRINGS in SQL vs distinct 64-bit window
+    // hashes in Spark — identical counts modulo ~N²/2⁶⁵ collisions.
+    "dedup_substring" ->
+      s"""WITH base AS ($docToks),
+         |st AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 15)) AS s
+         |       FROM base WHERE len(toks) >= 16),
+         |w AS (SELECT DISTINCT doc_id,
+         |        array_to_string(list_slice(toks, s, s + 15), ' ') AS win
+         |      FROM st)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $clusterLabelsCte,

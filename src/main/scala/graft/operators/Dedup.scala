@@ -306,6 +306,51 @@ object Dedup {
     labels.select(col("id").as(idCol), col("cluster_id"))
   }
 
+  /** Asymmetric n-gram containment ≥ threshold: c(a→b) = |A∩B| / |A| — the
+    * quote/subset detector Jaccard misses (a paragraph wholly copied into
+    * a much longer document scores high containment but low Jaccard).
+    * Emits BOTH directions per overlapping pair. Same inverted-index
+    * shuffle shape as [[ngramJaccardPairs]]; the division is one exact
+    * integer ratio, oracle-safe without rounding.
+    */
+  def ngramContainmentPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sets = shingleSets(docs, n)
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // Intersections are symmetric: join each unordered pair ONCE (a < b,
+    // half the posting-join output), then flip to materialize both
+    // directions for the asymmetric ratio.
+    val interAB = sets.as("a").join(sets.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val inter = interAB.unionByName(interAB.select(
+      col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("n_inter")))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"),
+        "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / col("n_a")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Shared-window (approximate substring) duplicate detection, the
+    * Lee-et-al-style "same `windowLen`-token run appears in both
+    * documents" signal: any shared window means a verbatim copied passage
+    * of ≥ windowLen tokens (modulo 64-bit hash collisions, ~N²/2⁶⁵).
+    * The window fingerprint set IS `graft_shingles(text, windowLen)` —
+    * one native pass, no string materialization of the windows — so this
+    * is an inverted-index self-join keyed by 8-byte window hashes:
+    * entirely hash-shuffle horizontal. `n_shared` counts distinct shared
+    * windows (a pair's verbatim-overlap length proxy).
+    */
+  def sharedWindowPairs(docs: DataFrame, windowLen: Int): DataFrame = {
+    val wins = shingleSets(docs, windowLen)
+    wins.as("a").join(wins.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Per-cluster survivor selection — the step after cluster resolution in
     * every dedup pipeline: of each near-dup cluster keep the single best
     * document by a quality score (longest, highest-quality-model score,

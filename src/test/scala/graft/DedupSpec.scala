@@ -174,6 +174,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("containment: short doc embedded in long one scores high one-way") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, long),
+      (2L, "alpha beta gamma delta epsilon"), // wholly contained prefix
+      (3L, "totally different words here now")).toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentPairs(docs, 3, 0.6).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // doc 2 has 3 trigrams, all present in doc 1 -> containment 1.0
+    assert(out((2L, 1L)) == 1.0)
+    // the reverse direction: 3 of doc 1's 8 trigrams -> 0.375, filtered out
+    assert(!out.contains((1L, 2L)))
+    assert(out.keySet.forall { case (a, b) => a != 3L && b != 3L })
+  }
+
+  test("sharedWindowPairs: only verbatim runs of windowLen tokens pair up") {
+    val run = (1 to 16).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"intro words $run trailing stuff"),
+      (2L, s"other prefix $run different tail"),  // shares the 16-token run
+      (3L, s"no shared passage at all in this one ${(1 to 15).map(i => s"w$i").mkString(" ")}")) // only 15
+      .toDF("doc_id", "text")
+    val out = Dedup.sharedWindowPairs(docs, 16).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out.contains((1L, 2L)))
+    assert(out((1L, 2L)) == 1L) // exactly the one full shared window
+    assert(out.keySet == Set((1L, 2L)))
+  }
+
   test("keepBest: highest score survives per cluster, ties broken by id") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
       .toDF("doc_id", "cluster_id")
