@@ -575,6 +575,21 @@ object SparkEntry {
 
     // Pure-SQL usage of the native extension functions: the documents
     // table as a temp view, queried with spark.sql text.
+    // Correlated scalar subquery (Catalyst decorrelates it into an agg +
+    // join — the SQL surface users actually write). The per-customer mean
+    // is an exact DECIMAL sum over one double division, so the strict `>`
+    // cut is engine-identical.
+    "q_correlated_subquery" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM graft_orders o
+          |WHERE o_totalprice > (
+          |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          |         / count(*)
+          |  FROM graft_orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     "q_sql_native_fns" -> ((s, dir) => {
       T(s, dir, "documents").createOrReplaceTempView("graft_docs")
       s.sql(
@@ -673,6 +688,16 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       Similarity.lshAnnTopK(emb, emb.filter(col("vec_id") < 8), 10, dim = 64,
           nPlanes = 8, nTables = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Two-stage ANN: exact-integer code-dot coarse cut (engine-identical
+    // candidate sets), exact cosine rerank of the survivors.
+    "ann_refine" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.refineTopK(emb, emb.filter(col("vec_id") < 8), 10, 40)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
@@ -1715,6 +1740,47 @@ object SparkEntry {
          |       THEN CAST(1.0 AS DOUBLE) - CAST(coalesce(d3, 0) AS DOUBLE) / (len(b.toks) - 2) END AS dup3_ratio
          |FROM base b LEFT JOIN n2 USING (doc_id) LEFT JOIN n3 USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors the two-stage cut exactly: unit vectors, floor-rounded int8
+    // codes, EXACT-integer code dot (every partial sum < 2^27 — no float
+    // ordering), rescale in the same left-to-right product order, rerank.
+    "ann_refine" ->
+      s"""WITH e AS ($embCte),
+         |n AS (SELECT vec_id,
+         |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+         |      FROM e WHERE list_dot_product(v, v) > 0),
+         |s AS (SELECT vec_id, u,
+         |        list_aggregate(list_transform(u, x -> abs(x)), 'max') AS scale
+         |      FROM n),
+         |qt AS (SELECT vec_id, u, scale,
+         |         list_transform(u, x -> floor(x * 127.0 / scale + 0.5)) AS q
+         |       FROM s WHERE scale > 0),
+         |qry AS (SELECT * FROM qt WHERE vec_id < 8),
+         |coarse AS (SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |             c.u AS cu, qr.u AS qu,
+         |             list_dot_product(c.q, qr.q) * c.scale * qr.scale AS coarse
+         |           FROM qt c, qry qr WHERE c.vec_id <> qr.vec_id),
+         |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY coarse DESC, neighbor_id) AS crank FROM coarse),
+         |rer AS (SELECT query_id, neighbor_id,
+         |          list_cosine_similarity(qu, cu) AS cos
+         |        FROM cand WHERE crank <= 40)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+         |  neighbor_id, round(cos, 6) AS cosine
+         |FROM rer
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos DESC, neighbor_id) <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |         / count(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "emb_quantize" ->
       s"""WITH e AS ($embCte),

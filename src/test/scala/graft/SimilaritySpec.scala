@@ -50,6 +50,23 @@ class SimilaritySpec extends SparkSpec {
     assert(codes <= 127)
   }
 
+  test("refineTopK with full-width coarse pass == bruteForceTopK ranking") {
+    val rng = new scala.util.Random(23)
+    val corpus = (0L until 60L).map(i => (i, Seq.fill(32)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 3)
+    val refined = Similarity.refineTopK(corpus, queries, 5, coarseK = 60)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(1 + 1))).toSet
+    val brute = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(refined == brute)
+    // a tight coarse cut still returns k rows per query
+    val tight = Similarity.refineTopK(corpus, queries, 5, coarseK = 8)
+    assert(tight.groupBy("query_id").count().collect().forall(_.getLong(1) == 5L))
+  }
+
   test("normalizeL2: unit norm out; zero/empty vectors NULL") {
     val vecs = Seq(
       (1L, Seq(3.0f, 4.0f)),
