@@ -955,6 +955,14 @@ object SparkEntry {
       StreamingJobs.sessionize(T(s, dir, "events"), "30 minutes")
         .orderBy("user_id", "session_start")),
 
+    // Gap-fill resample: per-user hourly grid, forward-filled values
+    // (n = 0 marks filled buckets). User subset keeps the grid bounded.
+    "ts_resample" -> ((s, dir) =>
+      operators.TimeSeries.resampleForwardFill(
+          T(s, dir, "events").filter(col("user_id") < 50),
+          "user_id", "ts", "value")
+        .orderBy("user_id", "bucket")),
+
     // Stream-stream interval join (batch-unified body): views within
     // 6 hours after each click, per user. On streams both sides get
     // watermarks and the range bound GCs the join state (StreamingSpec
@@ -1952,6 +1960,24 @@ object SparkEntry {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "ts_resample" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS bucket, value
+        |           FROM events WHERE user_id < 50),
+        |hourly AS (SELECT user_id, bucket, count(*) AS n,
+        |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |           FROM e GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |      FROM e GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |         FROM b)
+        |SELECT g.user_id, g.bucket, coalesce(n, 0) AS n,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.bucket ROWS UNBOUNDED PRECEDING) AS v_ff
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.user_id = h.user_id AND g.bucket = h.bucket
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
 
     "stream_interval_join" ->
       """SELECT l.user_id, l.event_id AS click_id, r.event_id AS view_id

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resampleForwardFill: full grid, fills marked n=0 and carry the last value") {
+    val ev = Seq(
+      (7L, "2024-01-01 10:15:00", 2.0),
+      (7L, "2024-01-01 10:45:00", 4.0), // same bucket as above
+      (7L, "2024-01-01 13:05:00", 9.0), // 2-hour gap before this
+      (8L, "2024-01-01 11:30:00", 1.0)) // single-bucket user
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    val out = TimeSeries.resampleForwardFill(ev, "user_id", "ts", "value")
+      .orderBy("user_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toString,
+        r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (7L, "2024-01-01T10:00:00Z", 2L, 6.0), // both events aggregated
+      (7L, "2024-01-01T11:00:00Z", 0L, 6.0), // gap: filled from 10:00
+      (7L, "2024-01-01T12:00:00Z", 0L, 6.0),
+      (7L, "2024-01-01T13:00:00Z", 1L, 9.0),
+      (8L, "2024-01-01T11:00:00Z", 1L, 1.0)))
+  }
+}
