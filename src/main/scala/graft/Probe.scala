@@ -17,8 +17,17 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Warm JIT/classloading on the tiny fixture so rep=1 measures the
+    // query, not first-run compilation; if the fixture is absent, warm on
+    // the target query itself (rep=1 then preloads page cache — noted).
     try SparkEntry.queries("q1_pricing")(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
+    catch {
+      case e: Exception =>
+        println(s"PROBE warmup on sf0.001 failed (${e.getClass.getSimpleName}); warming on target")
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case e2: Exception =>
+          println(s"PROBE warmup on target failed too: ${e2.getMessage}") }
+    }
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val c = SparkEntry.queries(name)(spark, sfDir).count()

@@ -28,6 +28,8 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** `fact LEFT SEMI JOIN dim ON fact(factKey) = dim(dimKey)`, with the
     * fact side pre-pruned by a bloom filter of `estimatedItems` capacity
     * built over the dim keys. Both key columns must be integral (they are
@@ -41,20 +43,32 @@ object BloomJoin {
     // BloomFilterMightContain requires its filter input to be a constant
     // or an uncorrelated scalar subquery (it is evaluated once, not per
     // row) — hence the SQL formulation over temp views rather than a
-    // crossJoin of the aggregate row.
-    fact.createOrReplaceTempView("graft_bloom_fact")
-    dim.createOrReplaceTempView("graft_bloom_dim")
-    val pruned = spark.sql(
-      s"""SELECT f.* FROM graft_bloom_fact f
-         |WHERE graft_might_contain(
-         |  (SELECT graft_bloom_agg(CAST(`$dimKey` AS BIGINT), ${estimatedItems}L)
-         |   FROM graft_bloom_dim),
-         |  CAST(f.`$factKey` AS BIGINT))""".stripMargin)
-    // Exact residual: only bloom SURVIVORS shuffle into this join — at
-    // scale that is the entire saving. No broadcast hint: when dim fits,
-    // AQE broadcasts it on its own; when it doesn't, this is the shuffle
-    // the bloom just shrank.
-    pruned.join(dim.select(col(dimKey).as("__dk")).distinct(),
-      pruned(factKey) === col("__dk"), "left_semi")
+    // crossJoin of the aggregate row. View names are per-call unique
+    // (concurrent callers must not clobber each other), and dropped
+    // right after: spark.sql analyzes eagerly, so the returned plan no
+    // longer needs them.
+    val tag = viewSeq.incrementAndGet()
+    val factView = s"graft_bloom_fact_$tag"
+    val dimView = s"graft_bloom_dim_$tag"
+    fact.createOrReplaceTempView(factView)
+    dim.createOrReplaceTempView(dimView)
+    try {
+      val pruned = spark.sql(
+        s"""SELECT f.* FROM $factView f
+           |WHERE graft_might_contain(
+           |  (SELECT graft_bloom_agg(CAST(`$dimKey` AS BIGINT), ${estimatedItems}L)
+           |   FROM $dimView),
+           |  CAST(f.`$factKey` AS BIGINT))""".stripMargin)
+      // Exact residual: only bloom SURVIVORS shuffle into this join — at
+      // scale that is the entire saving. No broadcast hint: when dim
+      // fits, AQE broadcasts it on its own; when it doesn't, this is the
+      // shuffle the bloom just shrank. No distinct on the build side —
+      // left_semi already ignores duplicate keys.
+      pruned.join(dim.select(col(dimKey).as("__dk")),
+        pruned(factKey) === col("__dk"), "left_semi")
+    } finally {
+      spark.catalog.dropTempView(factView)
+      spark.catalog.dropTempView(dimView)
+    }
   }
 }

@@ -361,10 +361,13 @@ object Dedup {
   def keepBest(clusters: DataFrame, quality: DataFrame, scoreCol: String,
                idCol: String = "doc_id"): DataFrame = {
     val byCluster = Window.partitionBy(col("cluster_id"))
-    val joined = clusters.join(quality, idCol)
+    // LEFT join: members missing from the quality frame must still count
+    // toward n_members and a fully-unscored cluster must still keep one
+    // member — NULL scores rank last, ids break the tie.
+    val joined = clusters.join(quality, Seq(idCol), "left")
     joined
       .withColumn("__rk", row_number().over(
-        byCluster.orderBy(col(scoreCol).desc, col(idCol).asc)))
+        byCluster.orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)))
       .withColumn("n_members", count(lit(1)).over(byCluster).cast("long"))
       .filter(col("__rk") === 1)
       .select(col("cluster_id"), col(idCol).as("keep_id"), col("n_members"),

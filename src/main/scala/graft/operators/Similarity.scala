@@ -83,8 +83,15 @@ object Similarity {
     }
     val c = prep(corpus, "neighbor_id", "c")
     val q = prep(queries, "query_id", "q")
-    val coarse = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("cv"), col("qv"),
+    // The coarse cross product and its rank window carry ONLY
+    // (query_id, neighbor_id, coarse) — the float vectors would dominate
+    // the window shuffle at corpus scale, defeating the point of the
+    // code table. Survivors (≤ coarseK per query) join the unit vectors
+    // back for the exact rerank.
+    val coarse = c.select(col("neighbor_id"), col("cq"), col("cscale"))
+      .join(broadcast(q.select(col("query_id"), col("qq"), col("qscale"))),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
         (call_function("graft_dot", col("cq"), col("qq")) *
           col("cscale") * col("qscale")).as("coarse"))
     val cw = Window.partitionBy(col("query_id"))
@@ -93,6 +100,8 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     coarse.withColumn("crank", row_number().over(cw))
       .filter(col("crank") <= coarseK)
+      .join(c.select(col("neighbor_id"), col("cv")), "neighbor_id")
+      .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         Fns.cosine(col("qv"), col("cv")).as("cosine"))
       .filter(col("cosine").isNotNull)
@@ -146,6 +155,9 @@ object Similarity {
     // embedded array_max) re-evaluated the max per ELEMENT — O(dim²) and
     // interpreted — and the filter inferred under posexplode duplicated the
     // whole tree again (measured ~25 s at a 2k×64 corpus vs <0.3 s fused).
+    // Contract: a vector containing any NULL element quantizes to NULL
+    // scale AND codes (the whole row, not per-element NULLs as the old
+    // HOF form produced) — same rule as the zero/empty cases.
     val s = call_function("graft_quant8", toDouble(col(vecCol)))
     embeddings.select(col(idCol).as("vec_id"),
       s.getField("scale").as("scale"), s.getField("q").as("q"))

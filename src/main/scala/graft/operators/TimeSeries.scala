@@ -14,6 +14,9 @@ object TimeSeries {
   /** Per-key fixed-step grid from each key's first to last bucket, with
     * the bucket aggregate where data exists and the last seen value
     * forward-filled across empty buckets (`n = 0` marks the fills).
+    * Buckets are epoch-floored to `stepSeconds` (3600 = hourly ≡ UTC
+    * `date_trunc('hour')`), so the grid stride and the aggregation
+    * bucketing can never disagree.
     *
     * Shuffle shape: one hash aggregation into (key, bucket), a tiny
     * per-key bounds aggregate whose `sequence()` explode generates the
@@ -25,9 +28,12 @@ object TimeSeries {
     * and parallelizes across keys.
     */
   def resampleForwardFill(events: DataFrame, keyCol: String, tsCol: String,
-                          valueCol: String, step: String = "1 hour"): DataFrame = {
-    val bucket = date_trunc("hour", col(tsCol))
-    val stepInterval = expr(s"INTERVAL $step")
+                          valueCol: String, stepSeconds: Long = 3600L): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    // Pure integer floor (epoch − epoch mod step): no float division.
+    val bucket = timestamp_seconds(
+      unix_timestamp(col(tsCol)) - pmod(unix_timestamp(col(tsCol)), lit(stepSeconds)))
+    val stepInterval = expr(s"INTERVAL $stepSeconds SECONDS")
     val hourly = events
       .groupBy(col(keyCol), bucket.as("bucket"))
       .agg(count(lit(1)).as("n"),

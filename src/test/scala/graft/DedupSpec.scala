@@ -215,4 +215,15 @@ class DedupSpec extends SparkSpec {
       (4L, 4L, 1L, 7L),  // singleton keeps itself
       (5L, 5L, 2L, 2L))) // all-tied cluster keeps the smallest id
   }
+
+  test("keepBest: unscored members still count; unscored clusters keep a member") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("doc_id", "cluster_id")
+    val quality = Seq((2L, 5L)).toDF("doc_id", "score") // 1, 3, 4 unscored
+    val out = Dedup.keepBest(clusters, quality, "score").orderBy("cluster_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L) // scored member wins
+    assert(out(0).getLong(2) == 2L)                            // both members counted
+    assert(out(1).getLong(0) == 3L && out(1).getLong(1) == 3L) // all-null: id tiebreak
+    assert(out(1).isNullAt(3))                                 // best_score NULL
+  }
 }

@@ -25,4 +25,23 @@ class TimeSeriesSpec extends SparkSpec {
       (7L, "2024-01-01T13:00:00Z", 1L, 9.0),
       (8L, "2024-01-01T11:00:00Z", 1L, 1.0)))
   }
+
+  test("resampleForwardFill honors a non-default step (grid and buckets agree)") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:05:00", 1.0),
+      (1L, "2024-01-01 10:40:00", 3.0), // next 30-min bucket
+      (1L, "2024-01-01 12:10:00", 7.0))
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    val out = TimeSeries.resampleForwardFill(ev, "user_id", "ts", "value",
+        stepSeconds = 1800L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getTimestamp(1).toInstant.toString, r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01T10:00:00Z", 1L, 1.0),
+      ("2024-01-01T10:30:00Z", 1L, 3.0), // events land in THEIR 30-min bucket
+      ("2024-01-01T11:00:00Z", 0L, 3.0),
+      ("2024-01-01T11:30:00Z", 0L, 3.0),
+      ("2024-01-01T12:00:00Z", 1L, 7.0)))
+  }
 }
