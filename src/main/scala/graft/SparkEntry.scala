@@ -513,6 +513,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Character-level near-dup: MinHash-LSH candidates verified by exact
+    // Levenshtein <= 10. Oracle recall argument mirrors dedup_minhash_lsh:
+    // a pair within 10 edits keeps J >= ~0.7 here, where banding miss
+    // probability is the same vanishing (1-J^r)^b term.
+    "dedup_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(T(s, dir, "documents"), 10)
+        .orderBy("doc_a", "doc_b")),
+
     // Asymmetric containment (quote/subset detection): |A∩B|/|A| >= 0.6,
     // both directions — catches a short doc wholly embedded in a long one.
     "dedup_containment" -> ((s, dir) =>
@@ -1589,6 +1597,30 @@ object SparkEntry {
       s"""WITH RECURSIVE $clusterLabelsCte
          |SELECT doc_id, cluster_id FROM clusters
          |ORDER BY doc_id""".stripMargin,
+
+    // Exact-Jaccard >= 0.3 prefilter (every <=10-edit pair clears it: 10
+    // char edits touch <= 10 tokens -> <= 30 destroyed trigrams) + exact
+    // Levenshtein — equals the LSH-candidate formulation by the recall
+    // argument above; both engines implement unit-cost edit distance.
+    "dedup_edit_distance" ->
+      s"""WITH base AS ($docToks),
+         |toks AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM base),
+         |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS shingle
+         |       FROM toks a
+         |       JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |       JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS ni
+         |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |pr AS (SELECT da, db FROM inter
+         |       JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |       WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.3)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+         |FROM pr JOIN documents a ON a.doc_id = da JOIN documents b ON b.doc_id = db
+         |WHERE levenshtein(a.text, b.text) <= 10
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH base AS ($docToks),

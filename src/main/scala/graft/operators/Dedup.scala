@@ -209,6 +209,34 @@ object Dedup {
     verifyCandidates(candidates, sets, sizes).filter(col("jaccard") >= threshold)
   }
 
+  /** Character-level near-dup: pairs within `maxDist` Levenshtein edits,
+    * found by MinHash+LSH banding (candidate generation — no all-pairs
+    * join) and verified with the exact edit distance. The classic final
+    * verify when "near-duplicate" means literal edits, not bag-of-shingle
+    * overlap. Recall argument: a pair within d edits loses at most d·n of
+    * its n-shingles, so for small d its Jaccard stays far above the LSH
+    * band threshold and the banding miss probability is the same
+    * ~(1−r^b)-derived vanishing term as [[minhashDedupPairs]].
+    *
+    * Levenshtein is O(len²) per pair — the expensive verify — which is
+    * exactly why it runs on the ≤-candidates set, never all pairs. (Spark
+    * and DuckDB both implement unit-cost edit distance, so the output is
+    * oracle-checkable.)
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int, n: Int = 3,
+                        numPerms: Int = 64, bands: Int = 16,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val candidates = lshCandidatePairs(minhashSignatures(docs, n, numPerms),
+      bands, numPerms / bands)
+    val txt = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    candidates
+      .join(txt.select(col("doc_id").as("doc_a"), col("__t").as("t_a")), "doc_a")
+      .join(txt.select(col("doc_id").as("doc_b"), col("__t").as("t_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("t_a"), col("t_b")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes from an
     * ANSI-expressible token hash (code-point polynomial mod 2³¹−1, then a
     * per-bit affine remix — see

@@ -174,6 +174,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("editDistancePairs: LSH candidates verified by exact levenshtein") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("tok7", "tokX")),       // 1 substitution
+      (3L, base + " extra"),                    // 6 inserts
+      (4L, (100 to 130).map(i => s"zz$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs, 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out((1L, 2L)) == 1L)
+    assert(out((1L, 3L)) == 6L)
+    assert(out.keySet.forall { case (a, b) => a != 4L && b != 4L })
+  }
+
   test("containment: short doc embedded in long one scores high one-way") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
