@@ -963,6 +963,13 @@ object SparkEntry {
       StreamingJobs.sessionize(T(s, dir, "events"), "30 minutes")
         .orderBy("user_id", "session_start")),
 
+    // The LLM-pipeline flagship: scrub → quality gate → exact dedup →
+    // split → per-split packing, all composed from the verified
+    // operators — one row per surviving doc with split and sequence id.
+    "pipeline_docs_e2e" -> ((s, dir) =>
+      operators.DocPipeline.prepare(T(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // Gap-fill resample: per-user hourly grid, forward-filled values
     // (n = 0 marks filled buckets). User subset keeps the grid bounded.
     "ts_resample" -> ((s, dir) =>
@@ -1992,6 +1999,40 @@ object SparkEntry {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // Chains the proven stage fragments on the SCRUBBED text; the split
+    // hash and cumsum mirror sample_split / text_pack_sharded exactly.
+    "pipeline_docs_e2e" ->
+      s"""WITH scrub AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(text, '${TextAnalysis.urlPattern}', '<URL>', 'g'),
+         |      '${TextAnalysis.emailPattern}', '<EMAIL>', 'g') AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, text,
+         |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |       FROM scrub),
+         |kept AS (SELECT doc_id, text FROM tk
+         |         WHERE len(toks) >= 25
+         |           AND CAST(len(list_filter(toks, t -> list_contains($stopwordList, t))) AS DOUBLE)
+         |               / len(toks) <= 0.15),
+         |ded AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+         |base AS (
+         |  SELECT k.doc_id,
+         |    CASE WHEN ((k.doc_id % 2147483648) * 2654435761) % 4294967296
+         |           < ${Sampling.splitCut(0.1)} THEN 'val'
+         |         WHEN ((k.doc_id % 2147483648) * 2654435761) % 4294967296
+         |           < ${Sampling.splitCut(0.2)} THEN 'test'
+         |         ELSE 'train' END AS shard,
+         |    CAST(len(regexp_extract_all(k.text,
+         |      '${TextAnalysis.subwordPattern}')) AS BIGINT) AS n_subwords
+         |  FROM kept k JOIN ded USING (doc_id)),
+         |c AS (SELECT doc_id, shard, n_subwords,
+         |        sum(n_subwords) OVER (PARTITION BY shard ORDER BY doc_id
+         |                              ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM base)
+         |SELECT doc_id, shard, n_subwords,
+         |  CAST(floor((cum - n_subwords) / 400.0) AS BIGINT) AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "ts_resample" ->
       """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS bucket, value

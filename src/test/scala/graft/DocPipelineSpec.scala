@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.DocPipeline
+
+class DocPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prepare: every stage fires — scrub-induced dedup, quality gate, split, packing") {
+    val words = (1 to 30).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$words see http://a.example/x"),   // URL scrubbed
+      (2L, s"$words see http://b.example/y"),   // DIFFERENT url -> same after scrub
+      (3L, "too short"),                        // fails min-token gate
+      (4L, ("the and of to in " * 6).trim),     // stopword ratio 1.0 -> dropped
+      (5L, (100 to 140).map(i => s"w$i").mkString(" "))) // clean survivor
+      .toDF("doc_id", "text")
+    val out = DocPipeline.prepare(docs, minTokens = 25, maxStopwordRatio = 0.15,
+        valFrac = 0.1, testFrac = 0.1, budget = 40)
+      .orderBy("doc_id").collect()
+    val ids = out.map(_.getLong(0)).toSeq
+    // 3 and 4 fail the gate; 1 and 2 become identical after scrubbing -> keep 1
+    assert(ids == Seq(1L, 5L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(Set("train", "val", "test").contains(byId(1L)._1))
+    // doc 1: 30 words + 'see' + '<URL>' -> subword count > 30; packing starts at seq 0
+    assert(byId(1L)._2 > 30L)
+    assert(out.map(_.getLong(3)).forall(_ >= 0L))
+  }
+}
