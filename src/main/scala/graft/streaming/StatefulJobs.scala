@@ -108,4 +108,64 @@ object StatefulJobs {
       .flatMapGroupsWithState[SessionSummary, SessionSummary](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(closeSessions(ms))
   }
+
+  final case class KeyStats(n: Long, mean: Double, m2: Double)
+  final case class Anomaly(user_id: Long, ts_ms: Long, value: Double,
+                           zscore: Double, n_seen: Long)
+
+  /** Online anomaly detection: per-key Welford running mean/variance
+    * (numerically stable single-pass — a naive Σx² cancels
+    * catastrophically at corpus scale), emitting events whose |z-score|
+    * vs the state BEFORE the event exceeds the threshold. Events inside a
+    * micro-batch are processed in timestamp order, so replaying the same
+    * stream in different batch slicings emits the same anomalies. The
+    * first `warmup` events per key only train the state (a z-score
+    * against 2 points flags everything). State: 3 doubles per key, evicted
+    * after `watermark + 1h` idle — bounded regardless of stream length.
+    */
+  private[streaming] def detectAnomalies(threshold: Double, warmup: Long)(
+      userId: Long, events: Iterator[UserEvent],
+      state: GroupState[KeyStats]): Iterator[Anomaly] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var st = state.getOption.getOrElse(KeyStats(0L, 0.0, 0.0))
+      val out = Seq.newBuilder[Anomaly]
+      events.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+        if (st.n >= warmup && st.n > 1) {
+          val variance = st.m2 / (st.n - 1)
+          if (variance > 0) {
+            val z = (e.value - st.mean) / math.sqrt(variance)
+            if (math.abs(z) >= threshold)
+              out += Anomaly(userId, e.ts.getTime, e.value, z, st.n)
+          }
+        }
+        val n1 = st.n + 1
+        val delta = e.value - st.mean
+        val mean1 = st.mean + delta / n1
+        st = KeyStats(n1, mean1, st.m2 + delta * (e.value - mean1))
+      }
+      state.update(st)
+      if (state.getCurrentWatermarkMs() > 0)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600 * 1000L)
+      out.result().iterator
+    }
+  }
+
+  /** Per-user streaming outlier emission (append-mode); batch-unified like
+    * the rest of the streaming surface.
+    */
+  def anomalies(spark: SparkSession, events: DataFrame,
+                threshold: Double = 3.0, warmup: Long = 10L,
+                watermark: String = "1 hour"): Dataset[Anomaly] = {
+    import spark.implicits._
+    val src = events.select("user_id", "event_type", "value", "ts")
+    val marked = if (src.isStreaming) src.withWatermark("ts", watermark) else src
+    marked.as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[KeyStats, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        detectAnomalies(threshold, warmup))
+  }
 }

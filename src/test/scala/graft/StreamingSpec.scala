@@ -145,6 +145,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalies: warmup trains silently, then a spike trips the z-score") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$i%02d")
+    val mem = MemoryStream[(Long, String, Double, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("user_id", "event_type", "value", "ts")
+    val q = graft.streaming.StatefulJobs
+      .anomalies(spark, stream, threshold = 3.0, warmup = 10L)
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    try {
+      // 12 calm points (value ~10 ± 1), then one spike; state carries
+      // across micro-batches because the first batch covers the warmup.
+      val calm = (0 until 12).map(i => (1L, "m", 10.0 + (i % 3 - 1) * 1.0, ts(i)))
+      mem.addData(calm: _*)
+      q.processAllAvailable()
+      assert(spark.table("anom").count() == 0) // calm data: no anomalies
+      mem.addData((1L, "m", 100.0, ts(20)), (1L, "m", 10.0, ts(21)))
+      q.processAllAvailable()
+      val rows = spark.table("anom").collect()
+      assert(rows.length == 1) // only the spike
+      assert(rows(0).getAs[Double]("value") == 100.0)
+      assert(rows(0).getAs[Double]("zscore") > 3.0)
+      assert(rows(0).getAs[Long]("n_seen") == 12L)
+    } finally q.stop()
+  }
+
   test("intervalJoin batch: only right events inside [l_ts, l_ts+within] pair up") {
     def ev(id: Long, user: Long, s: String) = (id, user, java.sql.Timestamp.valueOf(s))
     val clicks = Seq(ev(1L, 7L, "2024-01-01 10:00:00")).toDF("event_id", "user_id", "ts")
