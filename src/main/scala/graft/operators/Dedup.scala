@@ -323,10 +323,17 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(false)
     var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
-    for (_ <- 1 to maxIter) {
-      val prop = edges.join(labels, col("dst") === col("id"))
+    for (round <- 1 to maxIter) {
+      // `labels` feeds BOTH the propagation join and the outer merge, so
+      // the logical plan doubles every round — 2^maxIter copies at the
+      // end. ReuseExchange dedups the EXECUTION, but analysis/AQE cost
+      // grows with the tree, so cut the lineage every 2nd round (the
+      // GraphFrames-style compromise: bounded plan size, half the
+      // materializations of a per-round cut).
+      val l = if (round % 2 == 0) labels.localCheckpoint(false) else labels
+      val prop = edges.join(l, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("cluster_id").as("nb_min"))
-      labels = labels.join(prop, col("id") === col("src"), "left")
+      labels = l.join(prop, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
             .as("cluster_id"))
