@@ -98,6 +98,36 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: each click's NEXT same-user purchase value.
+    "asof_join_forward" -> ((s, dir) => {
+      val clicks = T(s, dir, "events").filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("next_purchase"))
+      AsOfJoin.asOfForward(clicks, purchases, "user_id", "ts", "ts",
+          Seq("next_purchase"))
+        .select("event_id", "user_id", "next_purchase")
+        .orderBy("event_id")
+    }),
+
+    // Set operations beyond UNION: distinct intersection and difference.
+    "q_intersect" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      e.filter(col("event_type") === "click").select("user_id")
+        .intersect(e.filter(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // Clickers who never made a high-value purchase (the value filter
+    // keeps the difference non-empty — every user has SOME purchase).
+    "q_except" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      e.filter(col("event_type") === "click").select("user_id")
+        .except(e.filter(col("event_type") === "purchase" && col("value") >= 90)
+          .select("user_id"))
+        .orderBy("user_id")
+    }),
+
     // Bucketized range join (operators/RangeJoin): clicks matched to the
     // 1-hour window after each same-user signup. The naive theta-join
     // plans as a nested loop; binning the time axis turns it into one
@@ -656,6 +686,14 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Histogram quantile sketch: 64 equi-width bins over l_extendedprice,
+    // estimates at p50/p90/p99 (error <= one bin width by construction).
+    "sketch_histq" -> ((s, dir) =>
+      Sketch.histQuantiles(T(s, dir, "lineitem"), "l_extendedprice", 64,
+          Seq(0.5, 0.9, 0.99))
+        .select(col("q"), col("est"), col("bin"), col("n"))
+        .orderBy("q")),
+
     // HyperLogLog distinct(event_id), m = 64. Registers are pure integer
     // arithmetic; the harmonic sum is exact in IEEE (every term a
     // multiple of 2⁻²⁷), exported both as the integer register checksum
@@ -1210,6 +1248,46 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
+
+    "asof_join_forward" ->
+      """SELECT l.event_id, l.user_id, r.value AS next_purchase
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "q_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase' AND value >= 90
+        |ORDER BY user_id""".stripMargin,
+
+    // Fixed-order IEEE mirror of Sketch.histQuantiles: same clamped
+    // floor-binning, same lo + (bin+1)·w estimate.
+    "sketch_histq" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+        |             count(*) AS n FROM lineitem),
+        |binned AS (SELECT least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 64)) AS BIGINT),
+        |             63) AS bin, lo, hi, n
+        |           FROM lineitem CROSS JOIN b),
+        |reg AS (SELECT bin, lo, hi, n, count(*) AS c FROM binned GROUP BY 1, 2, 3, 4),
+        |cum AS (SELECT *, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM reg),
+        |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        |SELECT q,
+        |  round(lo + (bin + 1) * ((hi - lo) / 64), 6) AS est,
+        |  bin, n
+        |FROM (SELECT q, lo, hi, n, min(bin) AS bin
+        |      FROM qs CROSS JOIN cum
+        |      WHERE cum >= ceil(q * n)
+        |      GROUP BY 1, 2, 3, 4)
+        |ORDER BY q""".stripMargin,
 
     "q_range_join" ->
       """SELECT c.event_id, s.event_id AS signup_id

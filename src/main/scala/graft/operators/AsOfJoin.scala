@@ -25,7 +25,23 @@ object AsOfJoin {
 
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String,
-           valueCols: Seq[String]): DataFrame = {
+           valueCols: Seq[String]): DataFrame =
+    joined(left, right, key, leftTime, rightTime, valueCols, forward = false)
+
+  /** Forward variant: attach the single EARLIEST right row whose time is
+    * ≥ the left row's time ("what happened next") — same one-shuffle
+    * union-window formulation, traversed in descending time so the
+    * prefix `last(ignoreNulls)` sees the nearest following right row.
+    * Matches DuckDB `ASOF JOIN … ON l.t <= r.t`.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTime: String, rightTime: String,
+                  valueCols: Seq[String]): DataFrame =
+    joined(left, right, key, leftTime, rightTime, valueCols, forward = true)
+
+  private def joined(left: DataFrame, right: DataFrame, key: String,
+                     leftTime: String, rightTime: String,
+                     valueCols: Seq[String], forward: Boolean): DataFrame = {
     require(valueCols.forall(c => !left.columns.contains(c)),
       s"valueCols ${valueCols.mkString(",")} must not collide with left columns")
     require(!(left.columns ++ valueCols).exists(Set("__t", "__is_left")),
@@ -37,8 +53,11 @@ object AsOfJoin {
       .select((col(key) +: col(rightTime).as("__t") +: valueCols.map(col)): _*)
       .withColumn("__is_left", lit(0))
     val u = l2.unionByName(r2, allowMissingColumns = true)
+    // Right rows sort before left rows at equal timestamps in BOTH
+    // directions, preserving inclusive (>= / <=) semantics.
+    val timeOrd = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t").asc, col("__is_left").asc)
+      .orderBy(timeOrd, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = valueCols.foldLeft(u) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

@@ -164,4 +164,47 @@ object Sketch {
           .otherwise(lit(alpha * m * m) / (col("sum_inv_nz") + (lit(m) - col("nonzero")))),
           4).as("est"))
   }
+
+  /** Equi-width histogram quantile sketch: bin counts are the sketch
+    * (mergeable by plain vector addition — union two corpora's histograms
+    * with `groupBy(bin).sum(c)`), quantile estimates are the upper edge
+    * of the first bin whose cumulative count reaches ⌈q·n⌉. Error ≤ one
+    * bin width — the nBins-vs-accuracy trade every histogram sketch
+    * makes, and unlike `percentile` the state is fixed-size regardless of
+    * the value universe.
+    *
+    * One pass for (min, max, n) broadcast back (no driver action), one
+    * binning aggregation (map-side combine → ≤ nBins rows shuffle), then
+    * the cumulative walk over the nBins-row register table — the only
+    * unpartitioned window here runs on ≤ nBins rows, never on data.
+    * All arithmetic is fixed-order IEEE (bin = floor((x−lo)/w) clamped,
+    * est = lo + (bin+1)·w), so an engine mirror reproduces the registers
+    * and the estimates exactly.
+    */
+  def histQuantiles(df: DataFrame, valueCol: String, nBins: Int,
+                    qs: Seq[Double]): DataFrame = {
+    require(nBins > 0 && qs.nonEmpty, "need nBins > 0 and at least one q")
+    val bounds = df.agg(min(col(valueCol).cast("double")).as("lo"),
+      max(col(valueCol).cast("double")).as("hi"), count(lit(1)).as("n"))
+    val width = (col("hi") - col("lo")) / nBins
+    val binned = df.crossJoin(broadcast(bounds))
+      .select(least(floor((col(valueCol).cast("double") - col("lo")) / width)
+          .cast("long"), lit(nBins - 1L)).as("bin"),
+        col("lo"), col("hi"), col("n"))
+      .groupBy("bin", "lo", "hi", "n").agg(count(lit(1)).as("c"))
+    val cumW = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = binned.withColumn("cum", sum(col("c")).over(cumW))
+    val session = df.sparkSession
+    import session.implicits._
+    val qdf = qs.toDF("q")
+    qdf.crossJoin(cum)
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("q", "lo", "hi", "n")
+      .agg(min(col("bin")).as("bin"))
+      .select(col("q"),
+        round(col("lo") + (col("bin") + 1) * ((col("hi") - col("lo")) / nBins), 6)
+          .as("est"),
+        col("bin"), col("n"))
+  }
 }

@@ -30,6 +30,28 @@ class AsOfJoinSpec extends SparkSpec {
       (4L, None)))        // left-join semantics: no prior quote -> null
   }
 
+  test("asOfForward: earliest right row at or after each left time, per key") {
+    val trades = Seq(
+      (1L, "A", t("2024-01-01 10:00:05")),
+      (2L, "A", t("2024-01-01 10:00:08")),
+      (3L, "B", t("2024-01-01 10:00:03")),
+      (4L, "C", t("2024-01-01 10:00:03"))) // no quotes for C
+      .toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", t("2024-01-01 10:00:00"), 100.0), // before both trades
+      ("A", t("2024-01-01 10:00:07"), 101.0),
+      ("A", t("2024-01-01 10:00:30"), 999.0),
+      ("B", t("2024-01-01 10:00:03"), 50.0))  // exactly at trade time
+      .toDF("sym", "qts", "price")
+    val out = AsOfJoin.asOfForward(trades, quotes, "sym", "ts", "qts", Seq("price"))
+      .orderBy("trade_id").collect()
+    assert(out.map(r => (r.getLong(0), Option(r.get(r.fieldIndex("price"))))).toSeq == Seq(
+      (1L, Some(101.0)),  // nearest FOLLOWING quote
+      (2L, Some(999.0)),  // skips the 10:00:07 (already past)
+      (3L, Some(50.0)),   // inclusive at equal timestamps
+      (4L, None)))        // no following quote -> null
+  }
+
   test("asOf preserves all left rows and columns") {
     val l = Seq((1L, "A", t("2024-01-01 00:00:01"), "extra"))
       .toDF("id", "k", "ts", "payload")

@@ -75,6 +75,21 @@ class SketchSpec extends SparkSpec {
       merged.orderBy("bucket").collect().toSeq)
   }
 
+  test("histQuantiles: estimates within one bin width of exact quantiles; bins merge") {
+    val rng = new scala.util.Random(31)
+    val vals = Seq.fill(5000)(rng.nextDouble() * 1000.0)
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val out = graft.operators.Sketch.histQuantiles(df, "v", 100, Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = vals.sorted
+    val binWidth = (sorted.last - sorted.head) / 100
+    for ((q, est) <- out) {
+      val exact = sorted(((sorted.size - 1) * q).toInt)
+      assert(math.abs(est - exact) <= 2 * binWidth,
+        s"q=$q est=$est exact=$exact width=$binWidth")
+    }
+  }
+
   test("HLL small-range correction engages on tiny cardinalities") {
     val df = (1L to 10L).toDF("id")
     val row = Sketch.hllEstimate(Sketch.hllRegisters(df, "id", 6), 6).head()
