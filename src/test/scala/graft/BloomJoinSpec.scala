@@ -20,6 +20,17 @@ class BloomJoinSpec extends SparkSpec {
     assert(cols == Seq("row_id", "fk"))
   }
 
+  test("plan shape: might_contain filters the fact scan via a scalar subquery") {
+    val fact = (0L until 100L).map(i => (i, i)).toDF("row_id", "fk")
+    val dim = Seq((5L, "a")).toDF("dk", "name")
+    val plan = BloomJoin.bloomSemiJoin(fact, dim, "fk", "dk")
+      .queryExecution.executedPlan.toString
+    // the bloom probe must sit in a Filter (pre-join), fed by a subquery
+    assert(plan.contains("might_contain"))
+    assert(plan.contains("Subquery") || plan.contains("subquery"))
+    assert(plan.contains("LeftSemi")) // exact residual join present
+  }
+
   test("bloom pre-filter admits every true match (no false negatives)") {
     // Tiny bloom (forced high fp rate) must still keep all real matches —
     // the exact residual join only ever REMOVES rows.
