@@ -1001,6 +1001,28 @@ object SparkEntry {
       StreamingJobs.sessionize(T(s, dir, "events"), "30 minutes")
         .orderBy("user_id", "session_start")),
 
+    // Declarative data-quality audit across the TPC-H-ish schema: one
+    // composed job of not-null / uniqueness / referential checks. The
+    // lineitem uniqueness check fires on real duplicates in the data.
+    "q_dq_audit" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val customer = T(s, dir, "customer")
+      val lineitem = T(s, dir, "lineitem")
+      val events = T(s, dir, "events")
+      operators.DataQuality.audit(
+        notNull = Seq(
+          ("nn_orders_custkey", orders, "o_custkey"),
+          ("nn_orders_orderdate", orders, "o_orderdate"),
+          ("nn_events_value", events, "value")),
+        unique = Seq(
+          ("uq_orders_orderkey", orders, Seq("o_orderkey")),
+          ("uq_lineitem_line", lineitem, Seq("l_orderkey", "l_linenumber"))),
+        refs = Seq(
+          ("fk_orders_customer", orders, "o_custkey", customer, "c_custkey"),
+          ("fk_lineitem_orders", lineitem, "l_orderkey", orders, "o_orderkey")))
+        .orderBy("check")
+    }),
+
     // The LLM-pipeline flagship: scrub → quality gate → exact dedup →
     // split → per-split packing, all composed from the verified
     // operators — one row per surviving doc with split and sequence id.
@@ -2077,6 +2099,29 @@ object SparkEntry {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_dq_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'nn_orders_custkey' AS "check", count(*) - count(o_custkey) AS violations FROM orders
+        |  UNION ALL
+        |  SELECT 'nn_orders_orderdate', count(*) - count(o_orderdate) FROM orders
+        |  UNION ALL
+        |  SELECT 'nn_events_value', count(*) - count(value) FROM events
+        |  UNION ALL
+        |  SELECT 'uq_orders_orderkey', CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'uq_lineitem_line', CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'fk_orders_customer', count(*) FROM orders o
+        |  WHERE o.o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders', count(*) FROM lineitem l
+        |  WHERE l.l_orderkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |ORDER BY "check"""".stripMargin,
 
     // Chains the proven stage fragments on the SCRUBBED text; the split
     // hash and cumsum mirror sample_split / text_pack_sharded exactly.

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audit (the dbt-test / expectation-suite
+  * shape): not-null, uniqueness and referential-integrity checks declared
+  * as data, evaluated lazily as one composed DataFrame of
+  * `(check, violations)` rows — no driver-side actions, so the whole
+  * audit is one job whose pieces Spark schedules together.
+  *
+  * Cost shape at scale: every not-null check on the same table folds into
+  * ONE conditional aggregation pass (no per-check scans); each
+  * uniqueness check is a keyed aggregation counting rows in excess of
+  * one per key; each referential check is a left-anti join (broadcast
+  * when the parent's key side is small, shuffle otherwise — AQE's call).
+  */
+object DataQuality {
+
+  /** `notNull`: (checkName, table, column). `unique`: (checkName, table,
+    * key columns). `refs`: (checkName, child, childKey, parent,
+    * parentKey). Tables are passed per check so one audit can span a
+    * whole schema.
+    */
+  def audit(notNull: Seq[(String, DataFrame, String)],
+            unique: Seq[(String, DataFrame, Seq[String])],
+            refs: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    val nn = notNull.groupBy(_._2).toSeq.flatMap { case (df, checks) =>
+      // all of a table's null counts in a single aggregation pass
+      val aggs = checks.map { case (name, _, c) =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(name)
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      checks.map { case (name, _, _) =>
+        one.select(lit(name).as("check"), col(name).as("violations"))
+      }
+    }
+    val uq = unique.map { case (name, df, keys) =>
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(col("__c") - 1L), lit(0L)).as("violations"))
+        .select(lit(name).as("check"), col("violations"))
+    }
+    val rf = refs.map { case (name, child, childKey, parent, parentKey) =>
+      // SQL FK semantics: a NULL child key is NOT an orphan (declare a
+      // not-null check if nulls are also disallowed).
+      child.select(col(childKey)).filter(col(childKey).isNotNull)
+        .join(parent.select(col(parentKey)), col(childKey) === col(parentKey),
+          "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check"), col("violations"))
+    }
+    (nn ++ uq ++ rf).reduce(_ unionByName _)
+  }
+}
