@@ -873,6 +873,26 @@ object SparkEntry {
         .orderBy("session_id")
     }),
 
+    // CSV source breadth: write a CSV copy, read it back through the
+    // schema-declared reader (no inference — SURVEY §1.1), prove the
+    // values round-trip (Spark writes shortest-repr doubles, so even the
+    // float column survives text exactly).
+    "op_csv_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-csv-copy-" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_millis(col("ts")).as("ts_ms"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("ts_ms", LongType)))
+      Ingest.readCsv(s, tmp, schema)
+        .orderBy("event_id")
+    }),
+
     // Bucketed co-located join (Catalog.materializeBucketed): both sides
     // land pre-hashed and pre-sorted on the join key, so the sort-merge
     // join AND the follow-up aggregation on the same key run with ZERO
@@ -1995,6 +2015,11 @@ object SparkEntry {
         |  CAST(user_id AS VARCHAR) AS user_id, event_type AS song,
         |  value AS length, epoch_ms(epoch_ms(ts)) AS ts
         |FROM events ORDER BY session_id""".stripMargin,
+
+    "op_csv_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "op_bucketed_join" ->
       """SELECT l_orderkey, count(*) AS n_li,

@@ -53,6 +53,22 @@ object Ingest {
     spark.read.schema(Schemas.songJson).json(path)
       .select(Schemas.songJson.fieldNames.map(col).toSeq: _*)
 
+  /** Schema-declared CSV source — same no-inference rule as the JSON
+    * readers (SURVEY §1.1: schemas are always explicit; `inferSchema`
+    * would add a full extra pass over a 100 TB input AND make types
+    * data-dependent). PERMISSIVE mode with an explicit schema means a
+    * malformed line yields nulls instead of killing the job — the
+    * log-and-continue posture of the reference's COPY loads.
+    */
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType,
+              header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.format("csv")
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .schema(schema)
+      .load(path)
+
   /** Parquet-backed variant so the same transforms run on harness testdata. */
   def readTable(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") readEvents(spark, dir)

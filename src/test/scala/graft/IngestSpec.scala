@@ -44,4 +44,20 @@ class IngestSpec extends SparkSpec {
     assert(r.getAs[Int]("year") == 0)
     assert(df.schema("artist_latitude").dataType.typeName == "double")
   }
+
+  test("readCsv: declared schema, malformed cells become nulls (log-and-continue)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv-test")
+    java.nio.file.Files.write(dir.resolve("a.csv"),
+      "id,name,score\n1,alpha,2.5\n2,beta,not_a_number\n3,gamma,4.0\n"
+        .getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val out = Ingest.readCsv(spark, dir.toString, schema)
+      .orderBy("id").collect()
+    assert(out.length == 3) // malformed line survives (PERMISSIVE), not dropped
+    assert(out(0).getDouble(2) == 2.5)
+    assert(out(1).isNullAt(2)) // unparseable double -> null, row kept
+    assert(out(2).getString(1) == "gamma")
+  }
 }
