@@ -543,13 +543,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Character-level near-dup: MinHash-LSH candidates verified by exact
-    // Levenshtein <= 10. Oracle recall argument mirrors dedup_minhash_lsh:
-    // a pair within 10 edits keeps J >= ~0.7 here, where banding miss
-    // probability is the same vanishing (1-J^r)^b term.
-    "dedup_edit_distance" -> ((s, dir) =>
-      Dedup.editDistancePairs(T(s, dir, "documents"), 10)
-        .orderBy("doc_a", "doc_b")),
+    // Character-level near-dup: exact-Jaccard >= 0.3 candidates verified
+    // by exact Levenshtein <= 10. The candidate definition MATCHES the
+    // oracle's prefilter exactly (sound for any corpus, unlike an LSH
+    // candidate set whose banding misses are only probabilistically
+    // rare); the LSH-candidate default of editDistancePairs is the scale
+    // path, covered by DedupSpec.
+    "dedup_edit_distance" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.editDistancePairs(docs, 10,
+          candidatePairs = Some(Dedup.ngramJaccardPairs(docs, 3, 0.3)
+            .select("doc_a", "doc_b")))
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // Asymmetric containment (quote/subset detection): |A∩B|/|A| >= 0.6,
     // both directions — catches a short doc wholly embedded in a long one.
@@ -854,8 +860,12 @@ object SparkEntry {
     // assumes the harness' single-JVM local filesystem — production
     // ingestion reads a real shared path via the same Ingest.readLogEvents.
     "op01_02_json_copy" -> ((s, dir) => {
+      // pid-scoped: deterministic WITHIN a process (repeat runs
+      // overwrite, no accumulation) but two concurrent harness processes
+      // never race on each other's staging files.
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-json-copy-" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+        s"graft-json-copy-${ProcessHandle.current().pid()}-" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
       T(s, dir, "events").select(
           col("event_type").as("artist"),
           lit("Logged In").as("auth"),
@@ -879,8 +889,10 @@ object SparkEntry {
     // float column survives text exactly).
     "op_csv_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
+      // pid-scoped like op01_02_json_copy: no cross-process staging races.
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-csv-copy-" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+        s"graft-csv-copy-${ProcessHandle.current().pid()}-" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
       T(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), unix_millis(col("ts")).as("ts_ms"))
@@ -1314,10 +1326,12 @@ object SparkEntry {
     // floor-binning, same lo + (bin+1)·w estimate.
     "sketch_histq" ->
       """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
-        |             count(*) AS n FROM lineitem),
-        |binned AS (SELECT least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 64)) AS BIGINT),
-        |             63) AS bin, lo, hi, n
-        |           FROM lineitem CROSS JOIN b),
+        |             count(l_extendedprice) AS n FROM lineitem),
+        |binned AS (SELECT CASE WHEN hi = lo THEN 0
+        |             ELSE least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 64)) AS BIGINT), 63)
+        |             END AS bin, lo, hi, n
+        |           FROM lineitem CROSS JOIN b
+        |           WHERE l_extendedprice IS NOT NULL),
         |reg AS (SELECT bin, lo, hi, n, count(*) AS c FROM binned GROUP BY 1, 2, 3, 4),
         |cum AS (SELECT *, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
         |        FROM reg),
@@ -1725,10 +1739,10 @@ object SparkEntry {
          |SELECT doc_id, cluster_id FROM clusters
          |ORDER BY doc_id""".stripMargin,
 
-    // Exact-Jaccard >= 0.3 prefilter (every <=10-edit pair clears it: 10
-    // char edits touch <= 10 tokens -> <= 30 destroyed trigrams) + exact
-    // Levenshtein — equals the LSH-candidate formulation by the recall
-    // argument above; both engines implement unit-cost edit distance.
+    // Same exact-Jaccard >= 0.3 candidate definition as the Spark side
+    // (string trigrams here vs 64-bit shingle hashes there — identical
+    // sets modulo ~N²/2⁶⁵ collisions), then the same Levenshtein cut;
+    // both engines implement unit-cost edit distance.
     "dedup_edit_distance" ->
       s"""WITH base AS ($docToks),
          |toks AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM base),

@@ -28,7 +28,8 @@ object DataQuality {
     val nn = notNull.groupBy(_._2).toSeq.flatMap { case (df, checks) =>
       // all of a table's null counts in a single aggregation pass
       val aggs = checks.map { case (name, _, c) =>
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(name)
+        // coalesce: sum over an EMPTY table is NULL, not 0 violations
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(name)
       }
       val one = df.agg(aggs.head, aggs.tail: _*)
       checks.map { case (name, _, _) =>
@@ -42,10 +43,12 @@ object DataQuality {
     }
     val rf = refs.map { case (name, child, childKey, parent, parentKey) =>
       // SQL FK semantics: a NULL child key is NOT an orphan (declare a
-      // not-null check if nulls are also disallowed).
-      child.select(col(childKey)).filter(col(childKey).isNotNull)
-        .join(parent.select(col(parentKey)), col(childKey) === col(parentKey),
-          "left_anti")
+      // not-null check if nulls are also disallowed). Keys are renamed
+      // per side so a same-named FK/PK pair (the common case) doesn't
+      // hit an ambiguous-reference error in the join condition.
+      child.select(col(childKey).as("__ck")).filter(col("__ck").isNotNull)
+        .join(parent.select(col(parentKey).as("__pk")),
+          col("__ck") === col("__pk"), "left_anti")
         .agg(count(lit(1)).as("violations"))
         .select(lit(name).as("check"), col("violations"))
     }

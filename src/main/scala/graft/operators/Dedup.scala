@@ -225,9 +225,15 @@ object Dedup {
     */
   def editDistancePairs(docs: DataFrame, maxDist: Int, n: Int = 3,
                         numPerms: Int = 64, bands: Int = 16,
+                        candidatePairs: Option[DataFrame] = None,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val candidates = lshCandidatePairs(minhashSignatures(docs, n, numPerms),
-      bands, numPerms / bands)
+    // Default candidates: MinHash-LSH banding (the scale path). Callers
+    // needing a PROVABLE candidate definition (e.g. to mirror an exact
+    // oracle) pass their own (doc_a, doc_b) frame — any generator whose
+    // recall on <= maxDist pairs is argued separately.
+    val candidates = candidatePairs.getOrElse(
+      lshCandidatePairs(minhashSignatures(docs, n, numPerms),
+        bands, numPerms / bands))
     val txt = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
     candidates
       .join(txt.select(col("doc_id").as("doc_a"), col("__t").as("t_a")), "doc_a")

@@ -184,13 +184,19 @@ object Sketch {
   def histQuantiles(df: DataFrame, valueCol: String, nBins: Int,
                     qs: Seq[Double]): DataFrame = {
     require(nBins > 0 && qs.nonEmpty, "need nBins > 0 and at least one q")
-    val bounds = df.agg(min(col(valueCol).cast("double")).as("lo"),
+    // NULLs carry no value: exclude them from n AND the bins (min/max
+    // ignore them anyway — counting them would inflate the top bin).
+    val clean = df.filter(col(valueCol).isNotNull)
+    val bounds = clean.agg(min(col(valueCol).cast("double")).as("lo"),
       max(col(valueCol).cast("double")).as("hi"), count(lit(1)).as("n"))
     val width = (col("hi") - col("lo")) / nBins
-    val binned = df.crossJoin(broadcast(bounds))
-      .select(least(floor((col(valueCol).cast("double") - col("lo")) / width)
-          .cast("long"), lit(nBins - 1L)).as("bin"),
-        col("lo"), col("hi"), col("n"))
+    // hi == lo (constant column): every row is bin 0 — without the guard
+    // the 0/0 division makes NaN bins.
+    val bin = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor((col(valueCol).cast("double") - col("lo")) / width)
+        .cast("long"), lit(nBins - 1L)))
+    val binned = clean.crossJoin(broadcast(bounds))
+      .select(bin.as("bin"), col("lo"), col("hi"), col("n"))
       .groupBy("bin", "lo", "hi", "n").agg(count(lit(1)).as("c"))
     val cumW = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -12,13 +12,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulJobs {
 
+  /** Batch executions run these functions with NO watermark present, and
+    * `GroupState.getCurrentWatermarkMs` / event-time `setTimeoutTimestamp`
+    * THROW in that case (verified against Spark 4.1.2's GroupStateImpl) —
+    * so every update function takes an explicit `streaming` flag from the
+    * caller (who knows `df.isStreaming`) and only touches
+    * watermark-dependent state when it is true. Batch state dies with the
+    * job anyway; eviction is meaningless there.
+    */
   final case class UserEvent(user_id: Long, event_type: String, value: Double,
                              ts: java.sql.Timestamp)
   final case class UserProfile(user_id: Long, n_events: Long, total_value: Double,
                                last_type: String)
 
   /** Fold a micro-batch of a user's events into the running profile. */
-  private[streaming] def updateProfile(
+  private[streaming] def updateProfile(streaming: Boolean)(
       userId: Long, events: Iterator[UserEvent],
       state: GroupState[UserProfile]): UserProfile = {
     if (state.hasTimedOut) {
@@ -31,9 +39,9 @@ object StatefulJobs {
         UserProfile(userId, p.n_events + 1, p.total_value + e.value, e.event_type)
       }
       state.update(next)
-      // Evict state for keys idle past watermark + 1h (no-op in batch,
-      // where the watermark is absent and state dies with the job).
-      if (state.getCurrentWatermarkMs() > 0)
+      // Evict state for keys idle past watermark + 1h. Guarded by the
+      // caller's streaming flag: in batch the watermark accessors throw.
+      if (streaming && state.getCurrentWatermarkMs() > 0)
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600 * 1000L)
       next
     }
@@ -49,10 +57,12 @@ object StatefulJobs {
     import spark.implicits._
     val src = events.select("user_id", "event_type", "value", "ts")
     val marked = if (src.isStreaming) src.withWatermark("ts", watermark) else src
+    val timeout = if (src.isStreaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     marked.as[UserEvent]
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserProfile, UserProfile](
-        GroupStateTimeout.EventTimeTimeout)(updateProfile)
+        timeout)(updateProfile(src.isStreaming))
   }
 
   /** The output mode the streaming sink should use with [[userProfiles]]. */
@@ -69,7 +79,7 @@ object StatefulJobs {
     * formulation of sessionize() for sinks that must only see final
     * sessions (append-mode semantics).
     */
-  private[streaming] def closeSessions(gapMs: Long)(
+  private[streaming] def closeSessions(gapMs: Long, streaming: Boolean)(
       userId: Long, events: Iterator[UserEvent],
       state: GroupState[SessionSummary]): Iterator[SessionSummary] = {
     if (state.hasTimedOut) {
@@ -83,9 +93,16 @@ object StatefulJobs {
       val last = math.max(prev.map(_.last_ms).getOrElse(Long.MinValue),
         sorted.last.ts.getTime)
       val n = prev.map(_.n_events).getOrElse(0L) + sorted.size
-      state.update(SessionSummary(userId, n, first, last))
-      state.setTimeoutTimestamp(last + gapMs)
-      Iterator.empty
+      val summary = SessionSummary(userId, n, first, last)
+      if (streaming) {
+        state.update(summary)
+        state.setTimeoutTimestamp(last + gapMs) // throws without a watermark
+        Iterator.empty
+      } else {
+        // Batch: no watermark will ever close the session — emit the
+        // whole-input session directly (state dies with the job).
+        Iterator.single(summary)
+      }
     }
   }
 
@@ -103,10 +120,12 @@ object StatefulJobs {
     val ms = gapMs.days * 86400000L + gapMs.microseconds / 1000L
     val src = events.select("user_id", "event_type", "value", "ts")
     val marked = if (src.isStreaming) src.withWatermark("ts", watermark) else src
+    val timeout = if (src.isStreaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     marked.as[UserEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionSummary, SessionSummary](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(closeSessions(ms))
+        OutputMode.Append(), timeout)(closeSessions(ms, src.isStreaming))
   }
 
   final case class KeyStats(n: Long, mean: Double, m2: Double)
@@ -117,13 +136,17 @@ object StatefulJobs {
     * (numerically stable single-pass — a naive Σx² cancels
     * catastrophically at corpus scale), emitting events whose |z-score|
     * vs the state BEFORE the event exceeds the threshold. Events inside a
-    * micro-batch are processed in timestamp order, so replaying the same
-    * stream in different batch slicings emits the same anomalies. The
-    * first `warmup` events per key only train the state (a z-score
-    * against 2 points flags everything). State: 3 doubles per key, evicted
-    * after `watermark + 1h` idle — bounded regardless of stream length.
+    * micro-batch are processed in timestamp order, so emissions don't
+    * depend on partition arrival order WITHIN a batch; an event arriving
+    * in a later micro-batch than a larger timestamp folds in arrival
+    * order (bounded by the watermark) — streaming anomaly scores are
+    * inherently arrival-order statements. The first `warmup` events per
+    * key only train the state (a z-score against 2 points flags
+    * everything). State: 3 doubles per key, evicted after `watermark + 1h`
+    * idle — bounded regardless of stream length.
     */
-  private[streaming] def detectAnomalies(threshold: Double, warmup: Long)(
+  private[streaming] def detectAnomalies(threshold: Double, warmup: Long,
+                                         streaming: Boolean)(
       userId: Long, events: Iterator[UserEvent],
       state: GroupState[KeyStats]): Iterator[Anomaly] = {
     if (state.hasTimedOut) {
@@ -147,7 +170,7 @@ object StatefulJobs {
         st = KeyStats(n1, mean1, st.m2 + delta * (e.value - mean1))
       }
       state.update(st)
-      if (state.getCurrentWatermarkMs() > 0)
+      if (streaming && state.getCurrentWatermarkMs() > 0)
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600 * 1000L)
       out.result().iterator
     }
@@ -162,10 +185,12 @@ object StatefulJobs {
     import spark.implicits._
     val src = events.select("user_id", "event_type", "value", "ts")
     val marked = if (src.isStreaming) src.withWatermark("ts", watermark) else src
+    val timeout = if (src.isStreaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     marked.as[UserEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[KeyStats, Anomaly](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
-        detectAnomalies(threshold, warmup))
+        OutputMode.Append(), timeout)(
+        detectAnomalies(threshold, warmup, src.isStreaming))
   }
 }

@@ -145,6 +145,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful jobs run on BATCH inputs (no watermark accessors touched)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch = Seq(
+      (1L, "click", 1.0, ts("2024-01-01 10:00:00")),
+      (1L, "view", 2.0, ts("2024-01-01 10:05:00")),
+      (2L, "click", 5.0, ts("2024-01-01 12:00:00")))
+      .toDF("user_id", "event_type", "value", "ts")
+    // all three must execute without touching watermark state (which
+    // THROWS in batch) — regression for the batch-unified contract
+    val profiles = graft.streaming.StatefulJobs.userProfiles(spark, batch)
+      .collect().map(p => p.user_id -> p.n_events).toMap
+    assert(profiles == Map(1L -> 2L, 2L -> 1L))
+    val sessions = graft.streaming.StatefulJobs.closedSessions(spark, batch)
+      .collect().map(s => s.user_id -> s.n_events).toMap
+    assert(sessions == Map(1L -> 2L, 2L -> 1L)) // batch: whole input = session
+    val anoms = graft.streaming.StatefulJobs
+      .anomalies(spark, batch, threshold = 3.0, warmup = 10L).collect()
+    assert(anoms.isEmpty) // under warmup, but importantly: it RAN
+  }
+
   test("anomalies: warmup trains silently, then a spike trips the z-score") {
     implicit val sqlCtx = spark.sqlContext
     def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$i%02d")
