@@ -202,6 +202,16 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // ntile bucketing WITHIN each priority group (a global unpartitioned
+    // ntile would funnel the table through one task — never do that).
+    "q_ntile" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          ntile(4).over(Window.partitionBy("o_orderpriority")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey")))
+            .cast("long").as("quartile"))
+        .orderBy("o_orderkey")),
+
     // Full CUBE over the same pair of keys (all four grouping levels).
     "q_cube" -> ((s, dir) =>
       T(s, dir, "lineitem")
@@ -1405,6 +1415,12 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_n,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
