@@ -822,10 +822,15 @@ object SparkEntry {
       TextAnalysis.repetition(T(s, dir, "documents")).orderBy("doc_id")),
 
     // Token-budget packing: docs -> ~400-subword training sequences.
-    // Global-window variant — oracle-comparable but single-partition;
-    // kept as the semantic baseline for the sharded scale path below.
+    // Registered through the SHARDED operator with a constant shard —
+    // semantically the global pack (same oracle as always), but the
+    // public query surface now only exposes the partitioned-window form;
+    // the single-partition global variant is demoted to
+    // packSequencesGlobalOracleOnly and used nowhere registered.
     "text_pack" -> ((s, dir) =>
-      TextAnalysis.packSequences(T(s, dir, "documents"), 400).orderBy("doc_id")),
+      TextAnalysis.packSequencesSharded(
+          T(s, dir, "documents").withColumn("__shard", lit(0)), 400, "__shard")
+        .drop("shard").orderBy("doc_id")),
 
     // The scale path: cumsum window partitioned by language shard, so
     // packing is one hash shuffle + per-shard sorts (no global sort).
@@ -1345,7 +1350,10 @@ object SparkEntry {
         |reg AS (SELECT bin, lo, hi, n, count(*) AS c FROM binned GROUP BY 1, 2, 3, 4),
         |cum AS (SELECT *, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
         |        FROM reg),
-        |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        |-- ::DOUBLE: DuckDB's bare 0.9 is DECIMAL, whose exact ceil(q*n) can
+        |-- cross an integer boundary the Spark side's IEEE double product
+        |-- doesn't — both engines must do the cutoff in identical arithmetic.
+        |qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
         |SELECT q,
         |  round(lo + (bin + 1) * ((hi - lo) / 64), 6) AS est,
         |  bin, n

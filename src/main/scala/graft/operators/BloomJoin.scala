@@ -39,6 +39,11 @@ object BloomJoin {
                     factKey: String, dimKey: String,
                     estimatedItems: Long = 1000000L): DataFrame = {
     val spark = fact.sparkSession
+    // __dk is this operator's reserved residual-join alias (same contract
+    // as AsOfJoin's __t/__is_left): a fact table already carrying it would
+    // make the join condition ambiguous — fail fast instead.
+    require(!fact.columns.contains("__dk"),
+      "fact must not contain the reserved column __dk")
     graft.expressions.GraftFunctions.register(spark)
     // BloomFilterMightContain requires its filter input to be a constant
     // or an uncorrelated scalar subquery (it is evaluated once, not per

@@ -25,6 +25,14 @@ object DataQuality {
   def audit(notNull: Seq[(String, DataFrame, String)],
             unique: Seq[(String, DataFrame, Seq[String])],
             refs: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(notNull.nonEmpty || unique.nonEmpty || refs.nonEmpty,
+      "audit needs at least one check (the union over zero checks is undefined)")
+    // Check names become column aliases inside the shared per-table
+    // aggregation, so duplicates would surface later as an opaque
+    // ambiguous-reference AnalysisException; fail fast with the names.
+    val names = notNull.map(_._1) ++ unique.map(_._1) ++ refs.map(_._1)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty, s"duplicate check names: ${dups.mkString(", ")}")
     val nn = notNull.groupBy(_._2).toSeq.flatMap { case (df, checks) =>
       // all of a table's null counts in a single aggregation pass
       val aggs = checks.map { case (name, _, c) =>

@@ -231,9 +231,14 @@ object Dedup {
     // needing a PROVABLE candidate definition (e.g. to mirror an exact
     // oracle) pass their own (doc_a, doc_b) frame — any generator whose
     // recall on <= maxDist pairs is argued separately.
-    val candidates = candidatePairs.getOrElse(
+    val candidates = candidatePairs.getOrElse {
+      // Same guard as minhashDedupPairs: a non-divisible combination would
+      // silently drop the trailing permutations and lower recall below
+      // what the caller configured.
+      require(numPerms % bands == 0, s"numPerms=$numPerms not divisible by bands=$bands")
       lshCandidatePairs(minhashSignatures(docs, n, numPerms),
-        bands, numPerms / bands))
+        bands, numPerms / bands)
+    }
     val txt = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
     candidates
       .join(txt.select(col("doc_id").as("doc_a"), col("__t").as("t_a")), "doc_a")

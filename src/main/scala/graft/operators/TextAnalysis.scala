@@ -202,13 +202,15 @@ object TextAnalysis {
     * document starts a new sequence when the running total crosses the
     * budget.
     *
-    * ORACLE-ONLY: the unpartitioned ordered window funnels the whole
-    * corpus through a single-partition sort — fine for an sf0.01
-    * correctness dump, wrong at scale. Production packing is
-    * [[packSequencesSharded]], whose window is partitioned by a shard
-    * column and therefore spreads across executors.
+    * ORACLE-ONLY — the name says so on purpose: the unpartitioned ordered
+    * window funnels the whole corpus through a single-partition sort —
+    * fine for an sf0.01 correctness dump, wrong at scale. Production
+    * packing is [[packSequencesSharded]], whose window is partitioned by
+    * a shard column and therefore spreads across executors; with a
+    * constant shard it reproduces this exact semantics (the registered
+    * `text_pack` query does that), so nothing public needs this form.
     */
-  def packSequences(docs: DataFrame, budget: Int,
+  def packSequencesGlobalOracleOnly(docs: DataFrame, budget: Int,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val w = Window.orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -225,7 +227,7 @@ object TextAnalysis {
     * parallelizes across executors instead of a global single-partition
     * sort. Sequence ids are per-shard; (shard, seq_id) is the global
     * sequence key. Semantics within a shard are identical to
-    * [[packSequences]].
+    * [[packSequencesGlobalOracleOnly]].
     */
   def packSequencesSharded(docs: DataFrame, budget: Int, shardCol: String,
                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

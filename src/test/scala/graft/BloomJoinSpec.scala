@@ -40,4 +40,13 @@ class BloomJoinSpec extends SparkSpec {
       .select("row_id").collect().map(_.getLong(0)).toSet
     assert(out == Set(0L, 5L, 1999L))
   }
+
+  test("reserved residual column __dk in the fact table fails fast") {
+    val fact = Seq((1L, 1L)).toDF("__dk", "fk")
+    val dim = Seq((1L, "a")).toDF("dk", "name")
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.bloomSemiJoin(fact, dim, "fk", "dk")
+    }
+    assert(e.getMessage.contains("__dk"))
+  }
 }

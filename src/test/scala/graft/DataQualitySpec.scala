@@ -22,4 +22,20 @@ class DataQualitySpec extends SparkSpec {
       "uq_id" -> 1L,     // id 2 appears twice -> 1 row in excess
       "fk_parent" -> 1L)) // fk 99 has no parent (NULL fk doesn't count)
   }
+
+  test("audit rejects zero checks and duplicate check names eagerly") {
+    val t = Seq((1L, Option(10L))).toDF("id", "fk")
+    val e1 = intercept[IllegalArgumentException] {
+      DataQuality.audit(Seq.empty, Seq.empty, Seq.empty)
+    }
+    assert(e1.getMessage.contains("at least one check"))
+    // duplicate names across kinds fail with the names, not a later
+    // ambiguous-column AnalysisException
+    val e2 = intercept[IllegalArgumentException] {
+      DataQuality.audit(
+        notNull = Seq(("chk", t, "fk"), ("chk", t, "id")),
+        unique = Seq.empty, refs = Seq.empty)
+    }
+    assert(e2.getMessage.contains("chk"))
+  }
 }

@@ -189,6 +189,14 @@ class DedupSpec extends SparkSpec {
     assert(out.keySet.forall { case (a, b) => a != 4L && b != 4L })
   }
 
+  test("editDistancePairs rejects numPerms not divisible by bands") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(docs, 2, numPerms = 64, bands = 7)
+    }
+    assert(e.getMessage.contains("divisible"))
+  }
+
   test("containment: short doc embedded in long one scores high one-way") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(

@@ -52,7 +52,8 @@ class TextAnalysisSpec extends SparkSpec {
     // subword counts: 3 docs of 3 tokens each, budget 5:
     // cum-n = 0, 3, 6 -> seq ids 0, 0, 1
     val docs = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i")).toDF("doc_id", "text")
-    val out = TextAnalysis.packSequences(docs, 5).orderBy("doc_id").collect()
+    val out = TextAnalysis.packSequencesGlobalOracleOnly(docs, 5)
+      .orderBy("doc_id").collect()
     assert(out.map(_.getAs[Long]("seq_id")).toSeq == Seq(0L, 0L, 1L))
     assert(out.map(_.getAs[Long]("n_subwords")).toSeq == Seq(3L, 3L, 3L))
   }
@@ -65,7 +66,7 @@ class TextAnalysisSpec extends SparkSpec {
     val sharded = TextAnalysis.packSequencesSharded(docs, 5, "lang")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     for (shard <- Seq("en", "de")) {
-      val global = TextAnalysis.packSequences(
+      val global = TextAnalysis.packSequencesGlobalOracleOnly(
           docs.filter($"lang" === shard).drop("lang"), 5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val fromSharded = sharded.filter(_._2 == shard)
