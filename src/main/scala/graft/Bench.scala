@@ -45,23 +45,41 @@ object Bench {
     // exists / overwrite / pid-scoped temp dirs), so a second pass is safe.
     val p1 = pass()
     val p2 = pass()
+    // Merge the two passes per query:
+    //  - both succeeded        → min time, success
+    //  - exactly one succeeded → THAT pass's time, success, flagged flaky
+    //    (the failing pass's throw-time must never be the recorded timing)
+    //  - both failed           → error (second pass's message)
     val results = p1.zip(p2).map { case ((n, t1, e1), (_, t2, e2)) =>
-      (n, math.min(t1, t2), e1.orElse(e2))
+      (e1, e2) match {
+        case (None, None)       => (n, math.min(t1, t2), None, false)
+        case (None, Some(_))    => (n, t1, None, true)
+        case (Some(_), None)    => (n, t2, None, true)
+        case (Some(_), Some(e)) => (n, t1.min(t2), Some(e), false)
+      }
     }
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
-    val qs = results.collect { case (k, v, None) => jq(k) + ":" + v }
+    val qs = results.collect { case (k, v, None, _) => jq(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jq(k) + ":" + jq(e) }
+    val errs = results.collect { case (k, _, Some(e), _) => jq(k) + ":" + jq(e) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val flaky = results.collect { case (k, _, None, true) => jq(k) }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, None, _) => v }.sum
+    // "passes":2 records the min-of-2 methodology (introduced round 6) so
+    // round-over-round totals aren't read as comparable to the single-pass
+    // rounds 1-5: min-of-2 is systematically lower.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the tail of stdout, which has truncated the
     // first ~33 per-query timings in past rounds; persist the identical JSON
     // line to a file so the full profile always survives. Path precedence:
-    // argv(0) > SPARK_GRAFT_BENCH_OUT > /tmp/graft-bench.json.
+    // argv(0) > SPARK_GRAFT_BENCH_OUT > /tmp/graft-bench.json. The default
+    // is a FIXED path on purpose (the driver knows where to look without
+    // coordination); it assumes one bench run at a time — concurrent runs
+    // must pass distinct argv/env paths or they clobber each other.
     val outPath = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .getOrElse("/tmp/graft-bench.json")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.analytics.Analytics
 import graft.etl.{Ingest, Merge, Transforms}
 import graft.operators.{AsOfJoin, BloomJoin, Dedup, Layout, Multimodal, Sampling, Similarity, Sketch, Skew, TextAnalysis}
-import graft.streaming.StreamingJobs
+import graft.streaming.{StatefulJobs, StreamingJobs}
 
 /** Driver contract: every implemented operator (SURVEY.md §2 + the
   * LLM-data-pipeline set) registered as a named query over the harness
@@ -190,7 +190,7 @@ object SparkEntry {
     "q_union" -> ((s, dir) => {
       val e = T(s, dir, "events")
       e.filter(col("event_type") === "click").select("user_id")
-        .union(T(s, dir, "events").filter(col("event_type") === "view").select("user_id"))
+        .union(e.filter(col("event_type") === "view").select("user_id"))
         .distinct().orderBy("user_id")
     }),
 
@@ -542,14 +542,17 @@ object SparkEntry {
 
     // Cluster resolution: pairwise near-dup output → per-doc cluster_id
     // (min reachable id; keep = doc_id == cluster_id). Oracle computes
-    // the true transitive closure with a recursive CTE, so the bounded
-    // min-propagation is checked against exact connected components.
-    // maxIter 4 (not the API default 8): each round is a full shuffle
-    // stage, and duplicate clusters in this corpus are cliques/triples
-    // (diameter ≤ 2) — the closure oracle proves 4 rounds suffice.
+    // the true transitive closure with a recursive CTE, so the
+    // convergence-checked min-propagation is checked against exact
+    // connected components. The operator probes for a fixed point every
+    // 2nd round and stops at the first unchanged check, so this corpus
+    // (cliques/triples, diameter ≤ 2 — proven by the closure oracle)
+    // costs 4 propagation rounds regardless of maxIter, while
+    // chain-shaped components at corpus scale keep iterating up to
+    // maxIter instead of silently splitting.
     "dedup_clusters" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      Dedup.dedupClusters(docs, Dedup.ngramJaccardPairs(docs, 3, 0.5), maxIter = 4)
+      Dedup.dedupClusters(docs, Dedup.ngramJaccardPairs(docs, 3, 0.5))
         .orderBy("doc_id")
     }),
 
@@ -585,7 +588,7 @@ object SparkEntry {
     "dedup_keep_best" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val clusters = Dedup.dedupClusters(docs,
-        Dedup.ngramJaccardPairs(docs, 3, 0.5), maxIter = 4)
+        Dedup.ngramJaccardPairs(docs, 3, 0.5))
       Dedup.keepBest(clusters, docs.select(col("doc_id"),
           col("n_chars").cast("long").as("n_chars")), "n_chars")
         .select(col("cluster_id"), col("keep_id"), col("n_members"),
@@ -598,7 +601,7 @@ object SparkEntry {
     "sample_split" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val clusters = Dedup.dedupClusters(docs,
-        Dedup.ngramJaccardPairs(docs, 3, 0.5), maxIter = 4)
+        Dedup.ngramJaccardPairs(docs, 3, 0.5))
       Sampling.assignSplit(clusters, "cluster_id", 0.1, 0.1)
         .select(col("doc_id"), col("cluster_id"), col("split"))
         .orderBy("doc_id")
@@ -1097,6 +1100,28 @@ object SparkEntry {
         .select(col("user_id"), col("l_id").as("click_id"),
           col("r_id").as("view_id"))
         .orderBy("user_id", "click_id", "view_id")
+    }),
+
+    // Arbitrary-state surface under the oracle gate: the SAME
+    // mapGroupsWithState body the streaming job runs, executed on batch
+    // events. value is pre-quantized to floor(value·10⁴) — an
+    // integer-valued double — so the state fold's running sum is exact
+    // and associative (< 2⁵³), and the oracle's unordered SUM matches the
+    // fold's ordered sum bit-for-bit; last_type is deterministic because
+    // the fold is (ts, value, type)-ordered.
+    "stream_profiles" -> ((s, dir) => {
+      val e = T(s, dir, "events").select(col("user_id"), col("event_type"),
+        floor(col("value") * 10000).cast("double").as("value"), col("ts"))
+      StatefulJobs.userProfiles(s, e).toDF().orderBy("user_id")
+    }),
+
+    // flatMapGroupsWithState sessionizer on batch input: with no
+    // watermark to close gaps, the batch semantics are one whole-input
+    // session per key — first/last event-time in epoch millis plus the
+    // event count, all order-independent aggregates.
+    "stream_closed_sessions" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      StatefulJobs.closedSessions(s, e).toDF().orderBy("user_id")
     })
   )
 
@@ -2243,6 +2268,34 @@ object SparkEntry {
         |FROM events l JOIN events r ON l.user_id = r.user_id
         |  AND l.event_type = 'click' AND r.event_type = 'view'
         |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
-        |ORDER BY l.user_id, click_id, view_id""".stripMargin
+        |ORDER BY l.user_id, click_id, view_id""".stripMargin,
+
+    // The state fold is (ts, value, type)-ordered, so last_type is the
+    // event_type of the (ts, v, type)-max row; the quantized sum is
+    // order-independent (exact integer-valued doubles).
+    "stream_profiles" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, floor(value * 10000) AS v, ts FROM events),
+        |agg AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(v) AS DOUBLE) AS total_value
+        |  FROM e GROUP BY user_id),
+        |last AS (
+        |  SELECT user_id, event_type AS last_type FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts DESC, v DESC, event_type DESC) AS rn
+        |    FROM e) WHERE rn = 1)
+        |SELECT a.user_id, a.n_events, a.total_value, l.last_type
+        |FROM agg a JOIN last l USING (user_id)
+        |ORDER BY a.user_id""".stripMargin,
+
+    // Batch semantics of the gap sessionizer: one whole-input session per
+    // key — epoch-millis first/last (both engines truncate micros toward
+    // zero on the positive-epoch data) and the event count.
+    "stream_closed_sessions" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [keyRegex] — the optional regex restricts the
+    // dump to matching query names (local iteration; the driver passes 2).
+    val sfDir = args(0); val outDir = args(1)
+    val keep: String => Boolean =
+      if (args.length > 2) s => s.matches(args(2)) else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -22,7 +26,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

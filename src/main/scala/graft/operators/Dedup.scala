@@ -314,40 +314,73 @@ object Dedup {
     *
     * Iterative min-label propagation: each round, a doc's label becomes
     * the min of its own and its neighbors' labels — one hash join + one
-    * groupBy per round, all keyed shuffles, nothing driver-side. After
-    * `maxIter` rounds labels are exact for every component of diameter ≤
-    * maxIter; near-dup components are cliques or short chains (exact dups
-    * are diameter 1), so the default 8 is generous. The loop is a fixed,
-    * data-independent round count (no convergence `count()` action on the
-    * driver), and the edge list is materialized ONCE with a LAZY
-    * localCheckpoint — without it every round re-evaluates the
-    * (expensive) pair-mining subtree, since each of the maxIter joins
-    * embeds it in the final DAG. Lazy (not eager) so that merely
-    * CONSTRUCTING the frame (plan inspection, dry runs) triggers no job;
-    * the blocks live until the session ends — callers looping over many
-    * threshold sweeps in one session should checkpoint/unpersist
-    * explicitly.
+    * groupBy per round, all keyed shuffles, nothing driver-side but the
+    * convergence probe. After r rounds labels are exact for every
+    * component of diameter ≤ r; near-dup components are usually cliques
+    * or short chains (exact dups are diameter 1), BUT chain-shaped
+    * components (doc A≈B≈C≈… from iterative crawls) can exceed any fixed
+    * constant, so the loop is convergence-checked: every 2nd round the
+    * freshly checkpointed labels are compared against the previous
+    * snapshot (one keyed join + tiny count on already-materialized
+    * frames — no re-evaluation of the mining subtree) and the loop stops
+    * early at the first unchanged check. Min-propagation is monotone
+    * non-increasing, so "no change across a 2-round window" IS a fixed
+    * point — the labels are exact, not merely stable. If `maxIter` rounds
+    * pass without convergence the result may still be split (labels are
+    * the min within distance maxIter); that is logged, and `strict =
+    * true` turns it into an error for pipelines that must not silently
+    * under-merge.
+    *
+    * The edge list is materialized ONCE with a lazy localCheckpoint —
+    * without it every round re-evaluates the (expensive) pair-mining
+    * subtree, since each propagation join embeds it in the final DAG.
+    * The per-2-rounds label checkpoint doubles as the lineage cut that
+    * keeps the logical plan from doubling each round (the
+    * GraphFrames-style compromise: bounded plan size, half the
+    * materializations of a per-round cut). Because the convergence probe
+    * is an action, CALLING this method runs the propagation jobs (it is
+    * not a lazy plan builder — the returned frame reads the final
+    * checkpointed labels); checkpoint blocks live until the session
+    * ends, so callers looping over many threshold sweeps in one session
+    * should unpersist explicitly.
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 8,
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id", strict: Boolean = false): DataFrame = {
+    require(maxIter >= 1, s"need maxIter >= 1, got $maxIter")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(false)
     var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
-    for (round <- 1 to maxIter) {
-      // `labels` feeds BOTH the propagation join and the outer merge, so
-      // the logical plan doubles every round — 2^maxIter copies at the
-      // end. ReuseExchange dedups the EXECUTION, but analysis/AQE cost
-      // grows with the tree, so cut the lineage every 2nd round (the
-      // GraphFrames-style compromise: bounded plan size, half the
-      // materializations of a per-round cut).
-      val l = if (round % 2 == 0) labels.localCheckpoint(false) else labels
-      val prop = edges.join(l, col("dst") === col("id"))
+    var snapshot: Option[DataFrame] = None // labels as of the last check
+    var converged = false
+    var round = 0
+    while (round < maxIter && !converged) {
+      round += 1
+      val prop = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("cluster_id").as("nb_min"))
-      labels = l.join(prop, col("id") === col("src"), "left")
+      labels = labels.join(prop, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
             .as("cluster_id"))
+      if (round % 2 == 0 || round == maxIter) {
+        val snap = labels.localCheckpoint(false)
+        val changed = snapshot match {
+          case Some(prev) =>
+            snap.as("a").join(prev.as("b"), col("a.id") === col("b.id"))
+              .filter(col("a.cluster_id") =!= col("b.cluster_id")).count()
+          case None => -1L // first check: nothing to compare against
+        }
+        labels = snap
+        snapshot = Some(snap)
+        converged = changed == 0L
+      }
+    }
+    if (!converged) {
+      val msg = s"dedupClusters did not converge within maxIter=$maxIter " +
+        "rounds; a component with diameter > maxIter may be split into " +
+        "several clusters. Raise maxIter."
+      if (strict) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels.select(col("id").as(idCol), col("cluster_id"))
   }

@@ -35,7 +35,18 @@ object StatefulJobs {
       last
     } else {
       val prev = state.getOption.getOrElse(UserProfile(userId, 0L, 0.0, ""))
-      val next = events.foldLeft(prev) { (p, e) =>
+      // Fold in (event-time, value, type) order — NOT iterator order, which
+      // after the groupByKey shuffle is partition-arrival order and thus
+      // run-dependent. Within a micro-batch (or a whole batch run: one
+      // invocation per key) the resulting profile — in particular
+      // last_type — is a pure function of the data. getTime+getNanos
+      // reconstructs the full micro-second timestamp order (getTime alone
+      // truncates to millis). Across micro-batches the fold remains
+      // arrival-order, bounded by the watermark, like every streaming
+      // aggregate.
+      val ordered = events.toSeq.sortBy(e =>
+        (e.ts.getTime, e.ts.getNanos, e.value, e.event_type))
+      val next = ordered.foldLeft(prev) { (p, e) =>
         UserProfile(userId, p.n_events + 1, p.total_value + e.value, e.event_type)
       }
       state.update(next)

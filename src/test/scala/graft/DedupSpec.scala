@@ -114,6 +114,34 @@ class DedupSpec extends SparkSpec {
     assert(labels.count { case (d, c) => d == c } == 4)
   }
 
+  test("dedupClusters: convergence check labels a chain deeper than a fixed maxIter=4") {
+    // 9-node chain 0-1-…-8: node 8 is at distance 8 from the min label, so
+    // any fixed 4-round propagation leaves it mislabeled (min within
+    // distance 4 = node 4). The convergence-checked loop keeps iterating
+    // until the fixed point and labels the whole chain 0.
+    val docs = (0L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val truncated = Dedup.dedupClusters(docs, pairs, maxIter = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(truncated(8L) != 0L) // the honest failure mode of a fixed bound
+    val full = Dedup.dedupClusters(docs, pairs, maxIter = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == (0L to 8L).map(_ -> 0L).toMap) // early-stops at the fixed point
+  }
+
+  test("dedupClusters strict=true raises when maxIter is hit unconverged") {
+    val docs = (0L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupClusters(docs, pairs, maxIter = 4, strict = true)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // strict mode on a convergent run stays silent and exact
+    val ok = Dedup.dedupClusters(docs, pairs, maxIter = 20, strict = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok(8L) == 0L)
+  }
+
   test("dedupClusters on the seeded corpus: exact+near dup triples collapse to base id") {
     val labels = Dedup.dedupClusters(corpus, Dedup.ngramJaccardPairs(corpus, 3, 0.5))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
