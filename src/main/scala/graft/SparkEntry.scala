@@ -958,6 +958,19 @@ object SparkEntry {
         .withColumn("zkey", Layout.zorderKey2(col("l_partkey"), col("l_suppkey"), 16))
         .orderBy("zkey", "l_orderkey", "l_linenumber")),
 
+    // Three-dimension Z-order (part × supplier × line number): the
+    // layout pass real tables need — 3-4 clustering dims — with 20 bits
+    // per column (3·20 = 60 ≤ 62). Same verified surface as
+    // layout_zorder: the key and the total order it induces.
+    "layout_zorder3" -> ((s, dir) =>
+      Layout.zorderLayoutN(
+          T(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+          Seq("l_partkey", "l_suppkey", "l_linenumber"), bits = 20)
+        .withColumn("zkey", Layout.zorderKeyN(
+          Seq(col("l_partkey"), col("l_suppkey"), col("l_linenumber")), 20))
+        .orderBy("zkey", "l_orderkey", "l_linenumber")),
+
     // Two-phase salted aggregation over the known-skewed event_type key
     // (Skew.saltedCount): hot keys spread across 16 reducers in the
     // partial phase, then the tiny partials collapse. Result — and the
@@ -2098,6 +2111,13 @@ object SparkEntry {
     "layout_zorder" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |  ${operators.Layout.zorderKey2Sql("l_partkey", "l_suppkey", 16)} AS zkey
+         |FROM lineitem
+         |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "layout_zorder3" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  ${operators.Layout.zorderKeyNSql(
+                Seq("l_partkey", "l_suppkey", "l_linenumber"), 20)} AS zkey
          |FROM lineitem
          |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin,
 

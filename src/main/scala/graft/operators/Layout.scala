@@ -45,6 +45,38 @@ object Layout {
       (0 until bits).map(i => s"(((CAST($y AS BIGINT) >> $i) & 1) << ${2 * i + 1})"))
       .mkString("(", " | ", ")")
 
+  /** Morton key over N ≥ 2 non-negative integer columns: bit i of column
+    * j lands at position N·i + j (column 0 owns the least-significant
+    * lane), the straight generalization of [[zorderKey2]] — with which it
+    * agrees exactly at N = 2. N·bits ≤ 62 keeps the key in a positive
+    * long; real layout keys are typically 3–4 dimensions (e.g. tenant ×
+    * day × shard), so the per-column resolution drops as columns are
+    * added (3 cols → ≤ 20 bits each) — that is inherent to Z-ordering,
+    * not a limitation of this builder: more interleaved dimensions =
+    * coarser per-dimension locality.
+    */
+  def zorderKeyN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"need >= 2 columns to interleave, got $n")
+    require(bits >= 1 && n * bits <= 62,
+      s"need 1 <= bits and ${n}*bits <= 62, got bits=$bits")
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), n * i + j)
+    terms.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** ANSI SQL mirror of [[zorderKeyN]], same contract as [[zorderKey2Sql]]. */
+  def zorderKeyNSql(cols: Seq[String], bits: Int): String = {
+    val n = cols.size
+    (for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield s"(((CAST($c AS BIGINT) >> $i) & 1) << ${n * i + j})")
+      .mkString("(", " | ", ")")
+  }
+
   /** Re-cluster a table on the Z-key of two columns: one range
     * partitioning (sampled boundaries → balanced output files) plus a
     * partition-local sort. This is the write-side layout pass — run it
@@ -52,8 +84,13 @@ object Layout {
     * prunes files by min–max. No global single-partition sort anywhere.
     */
   def zorderLayout(df: DataFrame, xCol: String, yCol: String,
-                   bits: Int = 16, numPartitions: Int = 0): DataFrame = {
-    val keyed = df.withColumn("__zkey", zorderKey2(col(xCol), col(yCol), bits))
+                   bits: Int = 16, numPartitions: Int = 0): DataFrame =
+    zorderLayoutN(df, Seq(xCol, yCol), bits, numPartitions)
+
+  /** [[zorderLayout]] for N ≥ 2 columns (keyed by [[zorderKeyN]]). */
+  def zorderLayoutN(df: DataFrame, cols: Seq[String], bits: Int,
+                    numPartitions: Int = 0): DataFrame = {
+    val keyed = df.withColumn("__zkey", zorderKeyN(cols.map(col), bits))
     val ranged =
       if (numPartitions > 0) keyed.repartitionByRange(numPartitions, col("__zkey"))
       else keyed.repartitionByRange(col("__zkey"))

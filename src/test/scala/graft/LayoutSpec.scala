@@ -29,6 +29,41 @@ class LayoutSpec extends SparkSpec {
     assert(viaColumn.exceptAll(viaSql).isEmpty && viaSql.exceptAll(viaColumn).isEmpty)
   }
 
+  test("zorderKeyN at N=2 equals zorderKey2; N=3 places bits at 3i+j") {
+    val rng = new scala.util.Random(23)
+    val pts = Seq.fill(200)((rng.nextInt(65536).toLong, rng.nextInt(65536).toLong))
+    val df = pts.toDF("x", "y")
+    val via2 = df.select(Layout.zorderKey2($"x", $"y", 16).as("z"))
+    val viaN = df.select(Layout.zorderKeyN(Seq($"x", $"y"), 16).as("z"))
+    assert(via2.exceptAll(viaN).isEmpty && viaN.exceptAll(via2).isEmpty)
+    // x=1 → bit at 3·0+0, y=1 → bit at 3·0+1, w=1 → bit at 3·0+2;
+    // second bit of each lands 3 positions higher
+    def z3(x: Long, y: Long, w: Long): Long = Seq((x, y, w)).toDF("x", "y", "w")
+      .select(Layout.zorderKeyN(Seq($"x", $"y", $"w"), 4).as("z")).head.getLong(0)
+    assert(z3(1, 0, 0) == 1L && z3(0, 1, 0) == 2L && z3(0, 0, 1) == 4L)
+    assert(z3(2, 0, 0) == 8L && z3(3, 3, 3) == 63L)
+  }
+
+  test("zorderKeyNSql mirrors zorderKeyN bit-for-bit at N=3") {
+    val rng = new scala.util.Random(31)
+    val pts = Seq.fill(200)((rng.nextInt(1 << 20).toLong,
+      rng.nextInt(1 << 20).toLong, rng.nextInt(1 << 20).toLong))
+    val df = pts.toDF("x", "y", "w")
+    val viaColumn = df.select(Layout.zorderKeyN(Seq($"x", $"y", $"w"), 20).as("z"))
+    val viaSql = df.selectExpr(
+      Layout.zorderKeyNSql(Seq("x", "y", "w"), 20) + " AS z")
+    assert(viaColumn.exceptAll(viaSql).isEmpty && viaSql.exceptAll(viaColumn).isEmpty)
+  }
+
+  test("zorderKeyN rejects <2 columns and keys wider than 62 bits") {
+    intercept[IllegalArgumentException] {
+      Layout.zorderKeyN(Seq($"x"), 16)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zorderKeyN(Seq($"x", $"y", $"w"), 21) // 63 > 62
+    }
+  }
+
   test("zorderLayout preserves rows and clusters both dimensions") {
     val rng = new scala.util.Random(5)
     val pts = Seq.fill(4096)((rng.nextInt(256).toLong, rng.nextInt(256).toLong))
