@@ -795,6 +795,19 @@ object SparkEntry {
       TextAnalysis.tfidfTopK(T(s, dir, "documents"), 5)
         .orderBy("doc_id", "rank")),
 
+    // Frequency-ordered vocabulary with dense ids: the tokenizer /
+    // embedding id-assignment step. Bounded top-200, so the id window
+    // never sees more than 200 rows.
+    "text_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(T(s, dir, "documents"), 200)
+        .orderBy("term_id")),
+
+    // Corpus bigram table (top 200 by occurrence count): the LM-data
+    // profile pass — boilerplate discovery, contamination probes.
+    "text_ngrams" -> ((s, dir) =>
+      TextAnalysis.ngramCounts(T(s, dir, "documents"), 2, 200)
+        .orderBy(col("freq").desc, col("ngram"))),
+
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(T(s, dir, "documents")).orderBy("doc_id")),
 
@@ -920,6 +933,26 @@ object SparkEntry {
         StructField("event_type", StringType), StructField("value", DoubleType),
         StructField("ts_ms", LongType)))
       Ingest.readCsv(s, tmp, schema)
+        .orderBy("event_id")
+    }),
+
+    // ORC source breadth: write an ORC copy (timestamps survive natively
+    // — no epoch conversion needed, unlike the CSV text roundtrip), read
+    // it back schema-enforced, prove values round-trip bit-for-bit.
+    "op_orc_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-orc-copy-${ProcessHandle.current().pid()}-" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+        .write.mode("overwrite").orc(tmp)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("ts", TimestampType)))
+      Ingest.readOrc(s, tmp, Some(schema))
         .orderBy("event_id")
     }),
 
@@ -2061,6 +2094,25 @@ object SparkEntry {
          |  round(tfidf, 6) AS tfidf
          |FROM r WHERE rnk <= 5 ORDER BY doc_id, rank""".stripMargin,
 
+    "text_vocab" ->
+      s"""WITH base AS ($docToks),
+         |t AS (SELECT unnest(toks) AS term FROM base),
+         |c AS (SELECT term, count(*) AS freq FROM t GROUP BY 1),
+         |top AS (SELECT term, freq FROM c ORDER BY freq DESC, term LIMIT 200)
+         |SELECT CAST(row_number() OVER (ORDER BY freq DESC, term) - 1 AS BIGINT)
+         |    AS term_id, term, freq
+         |FROM top ORDER BY term_id""".stripMargin,
+
+    "text_ngrams" ->
+      s"""WITH base AS ($docToks),
+         |g AS (SELECT list_transform(range(len(toks) - 1),
+         |        i -> concat(toks[i + 1], ' ', toks[i + 2])) AS gs
+         |      FROM base WHERE len(toks) >= 2),
+         |t AS (SELECT unnest(gs) AS ngram FROM g),
+         |c AS (SELECT ngram, count(*) AS freq FROM t GROUP BY 1)
+         |SELECT ngram, freq FROM c
+         |ORDER BY freq DESC, ngram LIMIT 200""".stripMargin,
+
     "text_pack" ->
       s"""WITH base AS (
          |  SELECT doc_id, CAST(len(regexp_extract_all(text,
@@ -2095,6 +2147,10 @@ object SparkEntry {
     "op_csv_roundtrip" ->
       """SELECT event_id, user_id, event_type, value,
         |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "op_orc_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value, ts
         |FROM events ORDER BY event_id""".stripMargin,
 
     "op_bucketed_join" ->

@@ -69,6 +69,18 @@ object Ingest {
       .schema(schema)
       .load(path)
 
+  /** Columnar ORC source (Spark-native reader — vectorized, predicate
+    * pushdown and column pruning like parquet). ORC files are
+    * self-describing, but an explicit schema is still accepted and
+    * enforced (same SURVEY §1.1 no-inference posture: a reader should
+    * fail loudly on drifted files, not adapt silently).
+    */
+  def readOrc(spark: SparkSession, path: String,
+              schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.format("orc")
+    schema.fold(r)(r.schema).load(path)
+  }
+
   /** Parquet-backed variant so the same transforms run on harness testdata. */
   def readTable(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") readEvents(spark, dir)

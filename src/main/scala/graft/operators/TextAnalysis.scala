@@ -240,4 +240,53 @@ object TextAnalysis {
       .select(col("doc_id"), col("shard"), col("n_subwords"),
         floor((col("cum") - col("n_subwords")) / budget).as("seq_id"))
   }
+
+  /** Frequency-ordered vocabulary: the top `maxVocab` corpus terms with
+    * dense ids (0 = most frequent; ties broken by term so the table is a
+    * pure function of the corpus) — the id-assignment step of every
+    * tokenizer/embedding build.
+    *
+    * Scale shape: one hash shuffle with map-side combine for the term
+    * counts (cardinality = distinct terms, not corpus size), then
+    * `orderBy(...).limit(maxVocab)` — Spark plans that as
+    * TakeOrderedAndProject (per-partition top-k, no global sort). The id
+    * window runs UNPARTITIONED but on ≤ maxVocab rows — the same bounded
+    * single-partition exception as the histogram sketch (nBins rows),
+    * documented, not a corpus-size sort.
+    */
+  def vocabulary(docs: DataFrame, maxVocab: Int,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxVocab >= 1, s"need maxVocab >= 1, got $maxVocab")
+    val counts = docs
+      .select(explode(Fns.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc)
+      .limit(maxVocab)
+    counts.withColumn("term_id",
+        (row_number().over(Window.orderBy(col("freq").desc, col("term").asc)) - 1)
+          .cast("long"))
+      .select(col("term_id"), col("term"), col("freq"))
+  }
+
+  /** Corpus n-gram statistics: the top `k` word n-grams with counts —
+    * the LM-data profile (bigram/trigram tables, boilerplate discovery,
+    * contamination probes). Duplicates inside a document count once each
+    * (occurrence counts, not document frequency).
+    *
+    * One narrow explode (no shuffle until the count), one hash shuffle
+    * with map-side combine on the n-gram key, then the bounded
+    * TakeOrderedAndProject top-k. N-gram strings shuffle only AFTER the
+    * partial aggregation collapsed repeats.
+    */
+  def ngramCounts(docs: DataFrame, n: Int, k: Int,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    require(k >= 1, s"need k >= 1, got $k")
+    docs
+      .select(Fns.tokens(col(textCol)).as("toks"))
+      .select(explode(Fns.shingles(col("toks"), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("ngram").asc)
+      .limit(k)
+  }
 }

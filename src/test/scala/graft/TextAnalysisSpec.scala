@@ -94,6 +94,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) != fps(1))
   }
 
+  test("vocabulary: dense ids in (freq desc, term asc) order, capped at maxVocab") {
+    val docs = Seq(
+      (1L, "b a a"),
+      (2L, "a c b x")).toDF("doc_id", "text")
+    // freqs: a=3, b=2, c=1, x=1 → ids a:0 b:1 c:2 x:3 (tie c<x by term)
+    val all = TextAnalysis.vocabulary(docs, 10).orderBy("term_id").collect()
+      .map(r => (r.getAs[Long]("term_id"), r.getAs[String]("term"), r.getAs[Long]("freq")))
+    assert(all.toSeq == Seq((0L, "a", 3L), (1L, "b", 2L), (2L, "c", 1L), (3L, "x", 1L)))
+    // the cap keeps the most frequent terms and ids stay dense from 0
+    val top2 = TextAnalysis.vocabulary(docs, 2).orderBy("term_id").collect()
+      .map(r => (r.getAs[Long]("term_id"), r.getAs[String]("term")))
+    assert(top2.toSeq == Seq((0L, "a"), (1L, "b")))
+  }
+
+  test("ngramCounts: occurrence-counted bigrams, short docs drop out") {
+    val docs = Seq(
+      (1L, "to be or not to be"),
+      (2L, "to be is to do"),
+      (3L, "solo")).toDF("doc_id", "text") // < 2 tokens → no bigrams
+    val out = TextAnalysis.ngramCounts(docs, 2, 100).collect()
+      .map(r => r.getAs[String]("ngram") -> r.getAs[Long]("freq")).toMap
+    assert(out("to be") == 3L)  // twice in doc 1, once in doc 2
+    assert(out("be or") == 1L && out("not to") == 1L)
+    assert(!out.keys.exists(_.contains("solo")))
+    // top-k cut is total-ordered: k=1 must be the (freq desc, ngram asc) max
+    val top1 = TextAnalysis.ngramCounts(docs, 2, 1).collect()
+    assert(top1.length == 1 && top1(0).getAs[String]("ngram") == "to be")
+  }
+
   test("tfidfTopK: document-specific terms outrank corpus-wide boilerplate") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
