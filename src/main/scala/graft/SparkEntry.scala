@@ -723,6 +723,18 @@ object SparkEntry {
       Sketch.hllEstimate(
         Sketch.hllRegisters(T(s, dir, "events"), "event_id", 6), 6)),
 
+    // Per-group HLL: distinct users per event type from ONE register
+    // aggregation (groups × 64 registers shuffle, not rows). ~150 users
+    // into 64 buckets leaves zero registers in every group, so this —
+    // unlike the global sketch — exercises the linear-counting branch
+    // end-to-end (the one `ln`; rounded 4 dp on both engines).
+    "sketch_hll_grouped" -> ((s, dir) =>
+      Sketch.hllEstimateGrouped(
+        Sketch.hllRegistersGrouped(T(s, dir, "events"), "user_id",
+          Seq("event_type"), 6),
+        Seq("event_type"), 6)
+        .orderBy("event_type")),
+
     // ---- LLM-data-pipeline: similarity search ----
 
     "ann_brute_topk" -> ((s, dir) => {
@@ -1790,6 +1802,38 @@ object SparkEntry {
          |        THEN 64 * ln(CAST(64 AS DOUBLE) / (64 - nonzero))
          |        ELSE CAST('$alphaM2' AS DOUBLE) / (s + (64 - nonzero)) END, 4) AS est
          |FROM agg""".stripMargin
+    },
+
+    // Same pipeline as sketch_hll, keyed by user_id and carried per
+    // event_type through every stage; the small per-group cardinality
+    // activates the linear-counting CASE branch.
+    "sketch_hll_grouped" -> {
+      val alphaM2 = 0.709 * 64 * 64
+      val rhoCase = (1 to 26).map(j =>
+        s"WHEN w % ${1L << j} = ${1L << (j - 1)} THEN $j").mkString(" ")
+      s"""WITH h1 AS (
+         |  SELECT event_type,
+         |    ((user_id % 2147483648) * 2654435761) % 4294967296 AS h1
+         |  FROM events),
+         |h2 AS (SELECT event_type,
+         |  (xor(h1, h1 >> 16) * 1597334677) % 4294967296 AS h2 FROM h1),
+         |h AS (SELECT event_type, xor(h2, h2 >> 16) AS h FROM h2),
+         |wb AS (SELECT event_type, h % 64 AS bucket, h // 64 AS w FROM h),
+         |rho AS (SELECT event_type, bucket,
+         |  CASE WHEN w = 0 THEN 27 $rhoCase END AS rho FROM wb),
+         |reg AS (SELECT event_type, bucket, max(rho) AS max_rho
+         |        FROM rho GROUP BY 1, 2),
+         |agg AS (SELECT event_type, count(*) AS nonzero,
+         |  sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << max_rho)) AS s
+         |  FROM reg GROUP BY 1)
+         |SELECT event_type, CAST(64 AS BIGINT) AS m,
+         |  CAST(64 - nonzero AS BIGINT) AS zeros,
+         |  CAST((s + (64 - nonzero)) * 134217728 AS BIGINT) AS sum_inv_scaled,
+         |  round(CASE WHEN CAST('$alphaM2' AS DOUBLE) / (s + (64 - nonzero)) <= 160
+         |               AND nonzero < 64
+         |        THEN 64 * ln(CAST(64 AS DOUBLE) / (64 - nonzero))
+         |        ELSE CAST('$alphaM2' AS DOUBLE) / (s + (64 - nonzero)) END, 4) AS est
+         |FROM agg ORDER BY event_type""".stripMargin
     },
 
     "text_scrub" ->

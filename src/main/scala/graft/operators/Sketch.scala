@@ -114,7 +114,18 @@ object Sketch {
     * cross-engine hashing untouched. It is additionally exported as the
     * integer `sum_inv_scaled` = Σ·2^Wmax+1 for a float-free oracle row.
     */
-  def hllRegisters(df: DataFrame, keyCol: String, b: Int): DataFrame = {
+  def hllRegisters(df: DataFrame, keyCol: String, b: Int): DataFrame =
+    hllRegistersGrouped(df, keyCol, Nil, b)
+
+  /** [[hllRegisters]] keyed by extra group columns — one register table
+    * per group in a single aggregation (the per-group distinct-count
+    * profile: users per event type, vocab per language shard …). The
+    * shuffle payload grows to groups × m registers, still independent of
+    * row count; a grouped EXACT distinct would shuffle every (group, key)
+    * pair instead.
+    */
+  def hllRegistersGrouped(df: DataFrame, keyCol: String,
+                          groupCols: Seq[String], b: Int): DataFrame = {
     val m = 1 << b
     val wBits = 32 - b
     val h = avalanche32(col(keyCol))
@@ -123,8 +134,10 @@ object Sketch {
     val rho = (1 to wBits).foldLeft(when(w === 0, wBits + 1)) { (acc, j) =>
       acc.when(Fns.pmod(w, lit(1L << j)) === (1L << (j - 1)), j)
     }
-    df.select((h % m).cast("long").as("bucket"), rho.cast("long").as("rho"))
-      .groupBy("bucket").agg(max("rho").as("max_rho"))
+    df.select(groupCols.map(col) ++ Seq(
+        (h % m).cast("long").as("bucket"), rho.cast("long").as("rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("rho").as("max_rho"))
   }
 
   /** Collapse registers to the single HLL estimate row. Missing buckets
@@ -134,7 +147,15 @@ object Sketch {
     * m·ln(m/zeros)); rounded to 4 decimals — the only cross-engine float
     * risk is that final `ln`, and only in its last ulp.
     */
-  def hllEstimate(registers: DataFrame, b: Int): DataFrame = {
+  def hllEstimate(registers: DataFrame, b: Int): DataFrame =
+    hllEstimateGrouped(registers, Nil, b)
+
+  /** [[hllEstimate]] per group — pairs with [[hllRegistersGrouped]];
+    * emits one estimate row per group (empty `groupCols` reproduces the
+    * single global row).
+    */
+  def hllEstimateGrouped(registers: DataFrame, groupCols: Seq[String],
+                         b: Int): DataFrame = {
     val m = 1 << b
     val wBits = 32 - b
     val alpha = m match {
@@ -145,12 +166,13 @@ object Sketch {
     }
     val scale = math.pow(2.0, wBits + 1)
     registers
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("nonzero"),
         // 1/2^rho via an integer shift then one exact division — never
         // libm pow, whose last-ulp behavior is not pinned across engines.
         sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), CAST(max_rho AS INT))"))
           .as("sum_inv_nz"))
-      .select(
+      .select(groupCols.map(col) ++ Seq(
         lit(m).cast("long").as("m"),
         (lit(m) - col("nonzero")).cast("long").as("zeros"),
         // integer-exact register checksum: Σ 2^(Wmax+1−rho) over non-zero
@@ -162,7 +184,7 @@ object Sketch {
               && col("nonzero") < m,
             lit(m) * log(lit(m).cast("double") / (lit(m) - col("nonzero"))))
           .otherwise(lit(alpha * m * m) / (col("sum_inv_nz") + (lit(m) - col("nonzero")))),
-          4).as("est"))
+          4).as("est")): _*)
   }
 
   /** Equi-width histogram quantile sketch: bin counts are the sketch

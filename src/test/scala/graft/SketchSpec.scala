@@ -90,6 +90,31 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("grouped HLL: registers and estimates equal the per-group global build") {
+    val rng = new scala.util.Random(17)
+    val rows = Seq.tabulate(3000)(i => (s"g${i % 3}", rng.nextInt(400).toLong))
+    val df = rows.toDF("g", "k")
+    val grouped = Sketch.hllRegistersGrouped(df, "k", Seq("g"), 6)
+    val est = Sketch.hllEstimateGrouped(grouped, Seq("g"), 6)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("est")).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val sub = df.filter($"g" === g)
+      // register tables match the single-group builder exactly
+      val viaGlobal = Sketch.hllRegisters(sub, "k", 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaGrouped = grouped.filter($"g" === g)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(viaGrouped == viaGlobal, s"register mismatch for $g")
+      // and each estimate equals the single-group estimate
+      val soloEst = Sketch.hllEstimate(Sketch.hllRegisters(sub, "k", 6), 6)
+        .head().getAs[Double]("est")
+      assert(est(g) == soloEst)
+      val exact = sub.select("k").distinct().count()
+      assert(math.abs(est(g) - exact) / exact < 0.35,
+        s"group $g est=${est(g)} exact=$exact")
+    }
+  }
+
   test("HLL small-range correction engages on tiny cardinalities") {
     val df = (1L to 10L).toDF("id")
     val row = Sketch.hllEstimate(Sketch.hllRegisters(df, "id", 6), 6).head()
