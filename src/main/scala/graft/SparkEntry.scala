@@ -475,6 +475,26 @@ object SparkEntry {
       Analytics.favoriteArtist(plays, artists).orderBy("user_id")
     }),
 
+    // Ordered conversion funnel signup → click → purchase: stage k+1
+    // must happen strictly after the user's earliest in-order completion
+    // of stage k. One keyed join per stage, both sides pre-collapsed to
+    // a row per user.
+    "ana_funnel" -> ((s, dir) =>
+      Analytics.funnel(T(s, dir, "events"), Seq("signup", "click", "purchase"))
+        .orderBy("stage_idx")),
+
+    // Weekly cohort retention: (first-activity week, week offset) →
+    // distinct active users from that cohort.
+    "ana_retention" -> ((s, dir) =>
+      Analytics.retention(T(s, dir, "events"))
+        .orderBy("cohort_week", "week_offset")),
+
+    // Event-type transition matrix in per-user event-time order (the
+    // Markov-chain behavior profile).
+    "ana_transitions" -> ((s, dir) =>
+      Analytics.transitions(T(s, dir, "events"))
+        .orderBy("from_type", "to_type")),
+
     // ---- LLM-data-pipeline: deduplication ----
 
     "dedup_exact" -> ((s, dir) =>
@@ -1667,6 +1687,41 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2, 3) t
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n_plays DESC, artist_id) = 1
         |ORDER BY user_id""".stripMargin,
+
+    "ana_funnel" ->
+      """WITH r1 AS (SELECT user_id, min(ts) AS reached FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |r2 AS (SELECT e.user_id, min(e.ts) AS reached FROM events e
+        |       JOIN r1 ON e.user_id = r1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > r1.reached GROUP BY 1),
+        |r3 AS (SELECT e.user_id, min(e.ts) AS reached FROM events e
+        |       JOIN r2 ON e.user_id = r2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > r2.reached GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+        |         count(*) AS n_users FROM r1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM r2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM r3)
+        |ORDER BY stage_idx""".stripMargin,
+
+    "ana_retention" ->
+      """WITH weeks AS (SELECT user_id, date_trunc('week', ts) AS week FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1),
+        |uw AS (SELECT DISTINCT user_id, week FROM weeks)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM uw JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ana_transitions" ->
+      """WITH s AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n FROM s
+        |WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // n_shingles == count of DISTINCT trigrams (hash-set cardinality);
     // signature length is the constant numPerms.

@@ -42,4 +42,76 @@ object Analytics {
       .orderBy(col("n_plays").desc, col("artist_id").asc)
     counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
+
+  /** Ordered conversion funnel: for each stage prefix, how many users
+    * performed the stages IN ORDER (stage k+1 strictly after that user's
+    * earliest qualifying stage-k event). One aggregated frame per stage —
+    * filter → per-user min(ts), chained by a keyed join per step — so
+    * the plan is `stages.size` hash joins on user_id, each side already
+    * collapsed to one row per user before it shuffles. No windows, no
+    * cross-user state: the classic funnel without a sessionization pass.
+    */
+  def funnel(events: DataFrame, stages: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    require(stages.distinct.size == stages.size, s"duplicate stages: $stages")
+    val session = events.sparkSession
+    import session.implicits._
+    // reached(i): user_id -> earliest completion ts of stages 0..i in order
+    val reached = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val hits = events.filter(col(typeCol) === stage)
+          .select(col(userCol).as("user_id"), col(tsCol).as("__ts"))
+        val gated = prev match {
+          case None => hits
+          case Some(p) => hits.join(p, "user_id")
+            .filter(col("__ts") > col("__reached"))
+            .select(col("user_id"), col("__ts"))
+        }
+        Some(gated.groupBy("user_id").agg(min(col("__ts")).as("__reached")))
+    }.flatten
+    reached.zip(stages).zipWithIndex.map { case ((r, stage), i) =>
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("stage_idx"),
+          lit(stage).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Weekly cohort retention: users bucketed by first-activity week, one
+    * row per (cohort week, week offset) with the distinct users from the
+    * cohort active that week. Two aggregations (first-seen per user,
+    * distinct user-weeks) plus one keyed join — the fact table shuffles
+    * on user_id only.
+    */
+  def retention(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    val weeks = events.select(col(userCol).as("user_id"),
+      date_trunc("week", col(tsCol)).as("week"))
+    val cohorts = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+    weeks.distinct()
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        datediff(col("week"), col("cohort_week")).divide(7).cast("long")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Event-type transition matrix: counts of (event_type → next
+    * event_type) per user in event-time order — the Markov-chain view of
+    * user behavior. One window shuffle keyed by user (tie-broken by the
+    * id column so the sequence is a pure function of the data), then a
+    * small pair count.
+    */
+  def transitions(events: DataFrame, userCol: String = "user_id",
+                  typeCol: String = "event_type", tsCol: String = "ts",
+                  idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+  }
 }

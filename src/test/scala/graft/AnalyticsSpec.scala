@@ -29,4 +29,56 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_plays") == 3L)
     assert(r.getAs[Long]("n_sessions") == 2L)
   }
+
+  private def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("funnel: stages must occur in order, strictly after the prior stage") {
+    val e = Seq(
+      (1L, "signup", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)), // full path
+      (2L, "click", ts(0)), (2L, "signup", ts(1)),                          // click BEFORE signup
+      (3L, "signup", ts(0)), (3L, "purchase", ts(1)),                       // skips click
+      (4L, "purchase", ts(0))                                               // never signed up
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnel(e, Seq("signup", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_users")))
+    // signup: users 1,2,3; click-after-signup: only 1; purchase after that: 1
+    assert(out.toSeq == Seq(("signup", 3L), ("click", 1L), ("purchase", 1L)))
+  }
+
+  test("funnel: same-timestamp events do not satisfy the strict order") {
+    val e = Seq((1L, "signup", ts(0)), (1L, "click", ts(0)))
+      .toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnel(e, Seq("signup", "click"))
+      .orderBy("stage_idx").collect().map(_.getAs[Long]("n_users"))
+    assert(out.toSeq == Seq(1L, 0L))
+  }
+
+  test("retention: cohort = first-seen week, offsets count distinct active users") {
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // weeks: Mon 2024-01-01, Mon 2024-01-08, Mon 2024-01-15
+    val e = Seq(
+      (1L, day(2)), (1L, day(3)),   // cohort w0, active twice in w0
+      (1L, day(10)),                // w0 cohort active at offset 1
+      (2L, day(9)),                 // cohort w1
+      (2L, day(16))                 // offset 1
+    ).toDF("user_id", "ts")
+    val out = Analytics.retention(e).orderBy("cohort_week", "week_offset")
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("cohort_week").toString.take(10),
+        r.getAs[Long]("week_offset"), r.getAs[Long]("n_users")))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
+  }
+
+  test("transitions: per-user time-ordered pairs, ties broken by event id") {
+    val e = Seq(
+      (10L, 1L, "a", ts(0)), (11L, 1L, "b", ts(1)), (12L, 1L, "c", ts(2)),
+      (13L, 2L, "a", ts(0)), (14L, 2L, "b", ts(0)) // same ts -> id order a->b
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Analytics.transitions(e).orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", "b", 2L), ("b", "c", 1L)))
+  }
 }
