@@ -946,6 +946,30 @@ object SparkEntry {
         .orderBy("session_id")
     }),
 
+    // Corrupt-tolerant ingestion: a JSON copy of events plus three
+    // hand-planted malformed lines (broken syntax ×2, type-violating
+    // event_id) read through the PERMISSIVE quarantine reader — valid
+    // rows load (value-checked via the id sum), bad lines are counted,
+    // nothing dies. The log-and-continue COPY posture, verified.
+    "op_json_quarantine" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-json-quar-${ProcessHandle.current().pid()}-" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      T(s, dir, "events").select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").json(tmp)
+      import s.implicits._
+      val bad = Seq("{broken", "{\"event_id\":\"xyz\"}", "0}{")
+      s.createDataset(bad).write.mode("append").text(tmp)
+      val schema = StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType)))
+      Ingest.readJsonQuarantine(s, tmp, schema)
+        .agg(
+          count(when(col("_corrupt_record").isNull, 1)).as("n_valid"),
+          count(col("_corrupt_record")).as("n_quarantined"),
+          sum(when(col("_corrupt_record").isNull, col("event_id"))).as("id_sum"))
+    }),
+
     // CSV source breadth: write a CSV copy, read it back through the
     // schema-declared reader (no inference — SURVEY §1.1), prove the
     // values round-trip (Spark writes shortest-repr doubles, so even the
@@ -2251,6 +2275,11 @@ object SparkEntry {
     "op_orc_roundtrip" ->
       """SELECT event_id, user_id, event_type, value, ts
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "op_json_quarantine" ->
+      """SELECT count(*) AS n_valid, CAST(3 AS BIGINT) AS n_quarantined,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events""".stripMargin,
 
     "op_bucketed_join" ->
       """SELECT l_orderkey, count(*) AS n_li,

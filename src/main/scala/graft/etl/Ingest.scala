@@ -69,6 +69,29 @@ object Ingest {
       .schema(schema)
       .load(path)
 
+  /** Corrupt-tolerant JSON read: PERMISSIVE mode with the rejected raw
+    * line captured in `_corrupt_record` — the quarantine pattern for
+    * dirty 100 TB log feeds (a FAILFAST load dies on the first bad line
+    * of file 80,000; DROPMALFORMED silently changes row counts). Valid
+    * rows parse as usual; a malformed line (or a line whose field
+    * violates the declared type) yields nulls plus the raw text, so the
+    * caller can split the frame into load + quarantine sinks and count
+    * both. Note Spark refuses to SELECT only the corrupt column from a
+    * raw file scan (internal-column restriction) — keep at least one
+    * data column in downstream projections, as the registered query does.
+    */
+  def readJsonQuarantine(spark: SparkSession, path: String,
+                         schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema already declares _corrupt_record")
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
   /** Columnar ORC source (Spark-native reader — vectorized, predicate
     * pushdown and column pruning like parquet). ORC files are
     * self-describing, but an explicit schema is still accepted and

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 import graft.etl.Ingest
 
 /** JSON ingestion — both reference mapping modes (SURVEY §2 ops 1, 2, 14, 16). */
@@ -43,6 +44,32 @@ class IngestSpec extends SparkSpec {
     assert(r.getAs[Double]("duration") == 233.40363)
     assert(r.getAs[Int]("year") == 0)
     assert(df.schema("artist_latitude").dataType.typeName == "double")
+  }
+
+  test("readJsonQuarantine: bad lines captured with raw text, valid rows parse") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-json-quar-test")
+    java.nio.file.Files.write(dir.resolve("a.json"),
+      ("""{"id": 1, "name": "alpha"}""" + "\n" +
+        """{broken""" + "\n" +
+        """{"id": "xyz", "name": "typo"}""" + "\n" +
+        """{"id": 3}""" + "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val out = Ingest.readJsonQuarantine(spark, dir.toString, schema).cache()
+    val quarantined = out.filter(col("_corrupt_record").isNotNull)
+      .collect().map(_.getAs[String]("_corrupt_record")).sorted
+    assert(quarantined.toSeq == Seq("""{"id": "xyz", "name": "typo"}""", "{broken"))
+    val valid = out.filter(col("_corrupt_record").isNull)
+      .orderBy("id").collect()
+    assert(valid.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L))
+    assert(valid(1).isNullAt(valid(1).fieldIndex("name"))) // missing field ≠ corrupt
+    out.unpersist()
+    // declaring the reserved column yourself is refused loudly
+    intercept[IllegalArgumentException] {
+      Ingest.readJsonQuarantine(spark, dir.toString,
+        schema.add("_corrupt_record", StringType))
+    }
   }
 
   test("readCsv: declared schema, malformed cells become nulls (log-and-continue)") {
