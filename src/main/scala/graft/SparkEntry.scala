@@ -725,6 +725,16 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // CMS heavy hitters: top-20 users by estimated event count — 150
+    // keys into 64 buckets, so collisions (and the min-over-rows bound)
+    // are live, and the ranking is over ESTIMATES; integer-exact in both
+    // engines, ties broken by key.
+    "sketch_cms_topk" -> ((s, dir) => {
+      val e = T(s, dir, "events").select(col("user_id").cast("string").as("key"))
+      val sk = Sketch.cmsBuild(e, "key", 4, 64)
+      Sketch.cmsTopK(sk, e, "key", 4, 64, 20)
+    }),
+
     // Histogram quantile sketch: 64 equi-width bins over l_extendedprice,
     // estimates at p50/p90/p99 (error <= one bin width by construction).
     "sketch_histq" -> ((s, dir) =>
@@ -1850,6 +1860,36 @@ object SparkEntry {
          |FROM kb JOIN counts c ON kb.r = c.r AND kb.bucket = c.bucket
          |GROUP BY kb.event_type
          |ORDER BY kb.event_type""".stripMargin
+    },
+
+    // Same ANSI hash chain as sketch_cms at width 64 over stringified
+    // user ids, then the (est DESC, key) top-20 cut.
+    "sketch_cms_topk" -> {
+      val consts = (0 until 4).map(r =>
+        s"($r, ${1103515245L * (r + 1) % 2147483647L}, " +
+          s"${12345L * (r + 1) % 2147483647L})").mkString(", ")
+      s"""WITH consts(r, a, b) AS (VALUES $consts),
+         |keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events),
+         |kh AS (
+         |  SELECT key,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(length(key)),
+         |        i -> ascii(substr(key, CAST(i + 1 AS INT), 1)))),
+         |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h
+         |  FROM keys),
+         |kb AS (
+         |  SELECT key, r,
+         |    ((((h * a + b) % 2147483647) * 2654435761) % 4294967296) % 64 AS bucket
+         |  FROM kh CROSS JOIN consts),
+         |ev AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+         |counts AS (
+         |  SELECT kb.r, kb.bucket, count(*) AS cnt
+         |  FROM ev e JOIN kb ON e.key = kb.key
+         |  GROUP BY kb.r, kb.bucket)
+         |SELECT kb.key, min(c.cnt) AS est
+         |FROM kb JOIN counts c ON kb.r = c.r AND kb.bucket = c.bucket
+         |GROUP BY kb.key
+         |ORDER BY est DESC, key LIMIT 20""".stripMargin
     },
 
     // HLL registers from the Knuth 32-bit fold of event_id: bucket = low

@@ -84,6 +84,25 @@ object Sketch {
       .agg(min("cnt").as("est"))
   }
 
+  /** Heavy hitters against a CMS: estimate every key of `candidates`
+    * and keep the top `k` by estimated count (ties broken by key — a
+    * total order, so the cut is reproducible). The candidate frame is
+    * the batch stand-in for the streaming heap: at corpus scale pass a
+    * bounded set (a sampled or pre-filtered key list), not the full key
+    * universe — the sketch's value is answering FOR a candidate set
+    * without re-scanning the stream, not enumerating it.
+    * TakeOrdered top-k; inherits [[cmsEstimate]]'s broadcast of the
+    * candidate buckets.
+    */
+  def cmsTopK(sketch: DataFrame, candidates: DataFrame, keyCol: String,
+              depth: Int, width: Int, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    cmsEstimate(sketch, candidates.select(keyCol).distinct(), keyCol,
+        depth, width)
+      .orderBy(col("est").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** 32-bit avalanche hash: Knuth multiplicative fold, then an
     * xor-shift-multiply-xor-shift finisher (murmur/xxhash fmix shape).
     * The finisher is what makes a *lowest-set-bit* statistic sound: an

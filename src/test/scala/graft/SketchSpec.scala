@@ -90,6 +90,17 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("cmsTopK: exact top-k when width is ample; cut is (est desc, key)-ordered") {
+    val rows = (Seq.fill(30)("hot") ++ Seq.fill(20)("warm") ++
+      Seq.fill(20)("tepid") ++ Seq.fill(5)("cold")).map(Tuple1(_))
+    val df = rows.toDF("k")
+    val sk = graft.operators.Sketch.cmsBuild(df, "k", 4, 1024) // no collisions
+    val top = graft.operators.Sketch.cmsTopK(sk, df, "k", 4, 1024, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // 'warm' and 'tepid' tie at 20 -> key order decides rank 2 vs cut
+    assert(top.toSeq == Seq(("hot", 30L), ("tepid", 20L), ("warm", 20L)))
+  }
+
   test("grouped HLL: registers and estimates equal the per-group global build") {
     val rng = new scala.util.Random(17)
     val rows = Seq.tabulate(3000)(i => (s"g${i % 3}", rng.nextInt(400).toLong))
