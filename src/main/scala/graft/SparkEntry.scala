@@ -194,6 +194,31 @@ object SparkEntry {
         .distinct().orderBy("user_id")
     }),
 
+    // Full outer join: high-value order counts vs one market segment —
+    // rows survive from both unmatched sides (the reconciliation shape).
+    "q_full_outer" -> ((s, dir) => {
+      val o = T(s, dir, "orders").filter(col("o_totalprice") > 150000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big_orders"))
+      val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      o.join(c, o("o_custkey") === c("c_custkey"), "full_outer")
+        .select(coalesce(o("o_custkey"), c("c_custkey")).as("custkey"),
+          col("n_big_orders"), col("c_name"))
+        .orderBy("custkey")
+    }),
+
+    // Relative-rank window functions: percent_rank + cume_dist within
+    // each order priority (exact small-integer ratios, rounded 6 dp).
+    "q_percent_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("o_orderkey")
+    }),
+
     // Grouping sets: ROLLUP over (returnflag, linestatus) with exact sums.
     "q_rollup" -> ((s, dir) =>
       T(s, dir, "lineitem")
@@ -956,6 +981,22 @@ object SparkEntry {
         .orderBy("session_id")
     }),
 
+    // Hive-style partitioned write + partition-pruned read: the scan-
+    // reduction pattern every selective 100 TB query depends on. The
+    // read back of ONE partition is plan-asserted in PipelineSpec to
+    // carry PartitionFilters (pruning at planning time, not a filter
+    // over the full scan).
+    "op_partitioned_prune" -> ((s, dir) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-part-events-${ProcessHandle.current().pid()}-" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      T(s, dir, "events").select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      s.read.parquet(tmp).filter(col("event_type") === "click")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
     // Corrupt-tolerant ingestion: a JSON copy of events plus three
     // hand-planted malformed lines (broken syntax ×2, type-violating
     // event_id) read through the PERMISSIVE quarantine reader — valid
@@ -1212,6 +1253,19 @@ object SparkEntry {
         .select(col("user_id"), col("l_id").as("click_id"),
           col("r_id").as("view_id"))
         .orderBy("user_id", "click_id", "view_id")
+    }),
+
+    // Stream-static enrichment (batch-unified body): facts keep flowing
+    // even when the dimension has no row — left-outer broadcast join,
+    // zero streaming state.
+    "stream_enrich" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+        .select(col("event_id"), col("user_id").as("c_custkey"))
+      val dim = T(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+      StreamingJobs.enrich(e, dim, Seq("c_custkey"))
+        .select(col("event_id"), col("c_custkey").as("user_id"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy("event_id")
     }),
 
     // Arbitrary-state surface under the oracle gate: the SAME
@@ -2320,6 +2374,34 @@ object SparkEntry {
       """SELECT count(*) AS n_valid, CAST(3 AS BIGINT) AS n_quarantined,
         |  CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM events""".stripMargin,
+
+    "op_partitioned_prune" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH o AS (SELECT o_custkey, count(*) AS n_big_orders FROM orders
+        |           WHERE o_totalprice > 150000 GROUP BY 1),
+        |c AS (SELECT c_custkey, c_name FROM customer
+        |      WHERE c_mktsegment = 'BUILDING')
+        |SELECT coalesce(o.o_custkey, c.c_custkey) AS custkey,
+        |  o.n_big_orders, c.c_name
+        |FROM o FULL OUTER JOIN c ON o.o_custkey = c.c_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "op_bucketed_join" ->
       """SELECT l_orderkey, count(*) AS n_li,

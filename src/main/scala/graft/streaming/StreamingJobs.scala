@@ -74,6 +74,19 @@ object StreamingJobs {
       .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** Stream-static enrichment: join a stream against a slowly-changing
+    * dimension frame. The dimension is broadcast (dimensions are small
+    * by star-schema construction), so on a stream every micro-batch is
+    * a stateless map-side join — no streaming state at all, the cheapest
+    * join shape Structured Streaming has — and in batch the same body is
+    * a plain broadcast-hash join. `how = "left_outer"` keeps unmatched
+    * stream rows (the usual enrichment posture: never drop facts because
+    * a dim row is late).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, joinCols: Seq[String],
+             how: String = "left_outer"): DataFrame =
+    stream.join(broadcast(dim), joinCols, how)
+
   /** Sessionization: per-user sessions that close after `gap` of
     * inactivity. `session_window` is Spark's native session operator —
     * state-merging, watermark-compatible (add `withWatermark` on a

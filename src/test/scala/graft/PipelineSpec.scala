@@ -100,4 +100,35 @@ class PipelineSpec extends SparkSpec {
     assert(Catalog.tables.forall { case (n, _) => !spark.catalog.tableExists(n) })
     Catalog.dropTables(spark) // IF EXISTS: idempotent on empty catalog
   }
+
+  test("partitioned write prunes partitions at planning time on read") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part-test").toString
+    (1L to 300L).map(i => (i, s"t${i % 3}", i * 1.5))
+      .toDF("id", "kind", "v")
+      .write.mode("overwrite").partitionBy("kind").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("kind") === "t1")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning),
+    // not PushedFilters (row-group skipping inside a full file list)
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("kind"),
+      s"expected kind in PartitionFilters:\n$plan")
+    assert(pruned.count() == 100)
+    // the pruned scan reads a third of the files
+    val files = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.files.size).sum
+    }
+    val allFiles = spark.read.parquet(dir).queryExecution.executedPlan
+      .collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .map(_.files.size).sum
+      }
+    assert(files.sum < allFiles.sum,
+      s"pruned scan lists ${files.sum} files vs ${allFiles.sum} unpruned")
+  }
 }
