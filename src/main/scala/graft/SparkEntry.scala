@@ -981,6 +981,26 @@ object SparkEntry {
         .orderBy("session_id")
     }),
 
+    // Schema evolution: two parquet batches with different schemas in
+    // one directory (the second adds `value`), read back with
+    // mergeSchema — the additive-column migration every long-lived
+    // 100 TB table goes through; old files surface NULL for the new
+    // column instead of forcing a rewrite.
+    "op_schema_evolution" -> ((s, dir) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-schema-evo-${ProcessHandle.current().pid()}-" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      val e = T(s, dir, "events")
+      e.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"))
+        .write.mode("overwrite").parquet(tmp)
+      e.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .write.mode("append").parquet(tmp)
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .orderBy("event_id")
+    }),
+
     // Hive-style partitioned write + partition-pruned read: the scan-
     // reduction pattern every selective 100 TB query depends on. The
     // read back of ONE partition is plan-asserted in PipelineSpec to
@@ -2378,6 +2398,11 @@ object SparkEntry {
     "op_partitioned_prune" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "op_schema_evolution" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 2 = 1 THEN value END AS value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "stream_enrich" ->
       """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
