@@ -229,4 +229,28 @@ class StreamingSpec extends SparkSpec {
       assert(pairs == Set((1L, 10L)))
     } finally q.stop()
   }
+
+  test("stream-static enrich: dim attributes attach per micro-batch, facts never drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("user_id", "amount")
+    val q = StreamingJobs.enrich(stream, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched").start()
+    try {
+      mem.addData((1L, 10.0), (3L, 30.0)) // user 3 has no dim row
+      q.processAllAvailable()
+      mem.addData((2L, 20.0))
+      q.processAllAvailable()
+      val out = spark.table("enriched").orderBy("user_id").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[String]("tier"))))
+      assert(out.toSeq == Seq((1L, Some("gold")), (2L, Some("silver")),
+        (3L, None))) // left-outer: the missing-dim fact survives with NULL
+    } finally q.stop()
+    // batch plan shape: the dimension side is broadcast
+    val plan = StreamingJobs.enrich(
+        Seq((1L, 1.0)).toDF("user_id", "amount"), dim, Seq("user_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
 }
