@@ -51,6 +51,12 @@ object GraftFunctions {
         require(children.size == 1, "graft_simhash(text) takes one argument")
         SimHash64(children.head)
       }),
+    (FunctionIdentifier("graft_strhash"),
+      new ExpressionInfo(classOf[StringHash31].getName, "graft_strhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_strhash(s) takes one argument")
+        StringHash31(children.head)
+      }),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => {

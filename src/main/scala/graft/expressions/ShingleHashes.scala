@@ -113,6 +113,13 @@ object ShingleUtil extends Serializable {
     h
   }
 
+  /** [[tokenHash31]] over a whole UTF8String (the [[StringHash31]]
+    * kernel). */
+  def codePointHash31(text: UTF8String): Long = {
+    val b = text.getBytes
+    tokenHash31(b, 0, b.length)
+  }
+
   /** One-pass 64-bit SimHash: whitespace tokens hashed with the
     * ANSI-expressible [[tokenHash31]], then bit k's ±1 vote is the high
     * half of an affine remix (h·a_k + b_k) mod p — h < p and a_k < 2^31,

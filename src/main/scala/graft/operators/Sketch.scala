@@ -30,11 +30,21 @@ object Sketch {
 
   /** Code-point polynomial hash of a string, mod 2³¹−1: fold(chars, 0,
     * (acc, c) -> (acc·131 + c) mod p). Character-exact (unlike
-    * [[Fns.tokenHash]]'s cheap length/first/last mix) and loop-free in
-    * both engines (Spark `aggregate` HOF / DuckDB `list_reduce`). Operands
-    * stay < 2³¹ so acc·131 + c < 2³⁸ — no ANSI long overflow.
+    * [[Fns.tokenHash]]'s cheap length/first/last mix). Since round 7 this
+    * is the native codegen'd [[graft.expressions.StringHash31]] — the
+    * interpreted HOF formulation (kept as [[stringHashHof]], the semantic
+    * reference) evaluated three nested lambdas per character and
+    * dominated the CMS bench profile. Requires
+    * [[graft.expressions.GraftFunctions.register]] on the session (all
+    * harness entry points do this).
     */
-  def stringHash(s: Column): Column =
+  def stringHash(s: Column): Column = call_function("graft_strhash", s)
+
+  /** Reference HOF formulation of [[stringHash]] — interpreted; tested
+    * equal to the native expression in SketchSpec. Operands stay < 2³¹ so
+    * acc·131 + c < 2³⁸ — no ANSI long overflow.
+    */
+  def stringHashHof(s: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(s)), i => ascii(substring(s, i, lit(1)))),
       lit(0L),

@@ -2,9 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Local smoke/profiling runner: drives operators on /root/testdata
-  * fixtures and prints results — used during development; not part of the
-  * harness contract (Verify/Bench are).
+/** Scratch profiling main (dev tool, not harness contract) — edit the
+  * body to time whatever operator is under investigation, run with
+  * `sbt "runMain graft.tools.Smoke [sfDir]"`.
   */
 object Smoke {
   def main(args: Array[String]): Unit = {
@@ -26,27 +26,29 @@ object Smoke {
       r
     }
 
-    import graft.operators.Dedup
-    val docs = graft.etl.Ingest.readTable(spark, sfDir, "documents").cache()
-    println(s"[smoke] docs = ${docs.count()}")
-
-    val sets = Dedup.shingleSets(docs, 3)
-    time("shingleSets.count")(sets.count())
-    val postings = sets
-    time("posting self-join pairs") {
-      val a = postings.as("a"); val b = postings.as("b")
-      a.join(b, org.apache.spark.sql.functions.col("a.shingle") ===
-          org.apache.spark.sql.functions.col("b.shingle") &&
-          org.apache.spark.sql.functions.col("a.doc_id") <
-          org.apache.spark.sql.functions.col("b.doc_id"))
-        .groupBy("a.doc_id", "b.doc_id").count().count()
+    // Current investigation: native graft_strhash vs the interpreted HOF
+    // in the CMS register build (the sketch_cms bench cost driver).
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketch
+    val e = graft.etl.Ingest.readTable(spark, sfDir, "events")
+      .select(col("user_id").cast("string").as("key")).cache()
+    println(s"[smoke] events = ${e.count()}")
+    time("warmup native")(e.select(Sketch.stringHash(col("key"))).count())
+    time("cmsBuild native x64")(Sketch.cmsBuild(e, "key", 4, 64).count())
+    time("cmsBuild again")(Sketch.cmsBuild(e, "key", 4, 64).count())
+    time("hash only native")(
+      e.select(Sketch.stringHash(col("key")).as("h")).agg(sum("h")).count())
+    time("hash only HOF")(
+      e.select(Sketch.stringHashHof(col("key")).as("h")).agg(sum("h")).count())
+    // isolate: explode+groupBy with a precomputed cheap h
+    val pre = e.select(col("key"), Sketch.stringHash(col("key")).as("h")).cache()
+    pre.count()
+    time("explode+groupBy, h reused") {
+      pre.select(explode(array((0 until 4).map(r =>
+          struct(lit(r).as("row"),
+            Sketch.cmsBucket(col("h"), r, 64).as("bucket"))): _*)).as("rb"))
+        .groupBy(col("rb.row"), col("rb.bucket")).agg(count(lit(1))).count()
     }
-    time("full ngramJaccardPairs")(Dedup.ngramJaccardPairs(docs, 3, 0.5).count())
-    time("minhashSignatures")(Dedup.minhashSignatures(docs, 3, 64).count())
-    time("lshCandidatePairs") {
-      Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs, 3, 64), 16, 4).count()
-    }
-    time("full minhashDedupPairs")(Dedup.minhashDedupPairs(docs, 3, 0.5, 64, 16).count())
     spark.stop()
   }
 }

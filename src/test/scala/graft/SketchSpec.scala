@@ -21,6 +21,13 @@ class SketchSpec extends SparkSpec {
     val hs = Seq("abc", "acb", "bac", "xyz").toDF("s")
       .select(Sketch.stringHash($"s")).collect().map(_.getLong(0))
     assert(hs.distinct.length == 4)
+    // the native expression ≡ the interpreted HOF reference, including
+    // multi-byte code points and the empty string
+    val samples = Seq("click", "", "a", "naïve", "日本語テキスト", "mixé-π-123")
+      .toDF("s")
+    val both = samples.select(Sketch.stringHash($"s").as("native"),
+      Sketch.stringHashHof($"s").as("hof")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
   test("CMS estimate is an upper bound, exact when width is ample") {
