@@ -615,6 +615,13 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Bag-of-words TF cosine >= 0.95: the vector-space dedup twin —
+    // integer dots and squared norms, sqrt/divide only at the edge, so
+    // both engines rank identically.
+    "dedup_tf_cosine" -> ((s, dir) =>
+      Dedup.tfCosinePairs(T(s, dir, "documents"), 0.95)
+        .orderBy("doc_a", "doc_b")),
+
     // Asymmetric containment (quote/subset detection): |A∩B|/|A| >= 0.6,
     // both directions — catches a short doc wholly embedded in a long one.
     "dedup_containment" -> ((s, dir) =>
@@ -1246,6 +1253,17 @@ object SparkEntry {
         .orderBy("check")
     }),
 
+    // Order-independent table fingerprint: one number that any engine
+    // (or replica) reproduces with one scan — the cross-system
+    // consistency check of a warehouse migration. Components: both ids,
+    // epoch-micros, and the native string hash of the type column.
+    "q_checksum" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      operators.DataQuality.tableChecksum(e, Seq(
+        col("event_id"), col("user_id"), unix_micros(col("ts")),
+        call_function("graft_strhash", col("event_type"))))
+    }),
+
     // The LLM-pipeline flagship: scrub → quality gate → exact dedup →
     // split → per-split packing, all composed from the verified
     // operators — one row per surviving doc with split and sequence id.
@@ -1796,6 +1814,22 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n_plays DESC, artist_id) = 1
         |ORDER BY user_id""".stripMargin,
 
+    "q_checksum" ->
+      """WITH h AS (
+        |  SELECT event_id % 2147483647 AS p1,
+        |    user_id % 2147483647 AS p2,
+        |    epoch_us(ts) % 2147483647 AS p3,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(length(event_type)),
+        |        i -> ascii(substr(event_type, CAST(i + 1 AS INT), 1)))),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS p4
+        |  FROM events),
+        |m AS (SELECT ((((((p1 * 131 + p2) % 2147483647) * 131 + p3)
+        |        % 2147483647) * 131 + p4) % 2147483647) AS mix FROM h)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(mix) % 2147483647 AS BIGINT) AS checksum
+        |FROM m""".stripMargin,
+
     "ana_funnel" ->
       """WITH r1 AS (SELECT user_id, min(ts) AS reached FROM events
         |            WHERE event_type = 'signup' GROUP BY 1),
@@ -2093,6 +2127,26 @@ object SparkEntry {
          |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
          |FROM pr JOIN documents a ON a.doc_id = da JOIN documents b ON b.doc_id = db
          |WHERE levenshtein(a.text, b.text) <= 10
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_tf_cosine" ->
+      s"""WITH base AS ($docToks),
+         |t AS (SELECT doc_id, unnest(toks) AS term FROM base),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |nm AS (SELECT doc_id, sum(tf * tf) AS sq FROM tf GROUP BY 1),
+         |d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        sum(a.tf * b.tf) AS dot
+         |      FROM tf a JOIN tf b
+         |        ON a.term = b.term AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |c AS (SELECT doc_a, doc_b,
+         |        CAST(dot AS DOUBLE) /
+         |          (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))
+         |          AS cos
+         |      FROM d JOIN nm na ON na.doc_id = d.doc_a
+         |             JOIN nm nb ON nb.doc_id = d.doc_b)
+         |SELECT doc_a, doc_b, round(cos, 6) AS tf_cosine
+         |FROM c WHERE cos >= 0.95
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_containment" ->

@@ -62,4 +62,30 @@ object DataQuality {
     }
     (nn ++ uq ++ rf).reduce(_ unionByName _)
   }
+
+  private val P31 = 2147483647L // 2^31 - 1
+
+  /** Order-independent table fingerprint: one row of (n_rows, checksum)
+    * where checksum = Σ rowMix mod 2³¹−1 and rowMix folds the given LONG
+    * components per row ((acc·131 + part mod p) mod p). Because the
+    * combine is a plain sum, the result is independent of partitioning
+    * and row order — two engines (or two replicas of a 100 TB table) can
+    * each compute it with one scan + one tiny agg and compare a single
+    * number, the replication-consistency check a warehouse migration
+    * needs. NULL components fold as the sentinel p−1 (distinct from any
+    * real residue), so a value→NULL corruption changes the sum.
+    * The row sum routes through DECIMAL(38,0): exact, overflow-free at
+    * any row count (a raw long sum would hit ANSI overflow past ~2⁶³/p
+    * rows).
+    */
+  def tableChecksum(df: DataFrame, parts: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(parts.nonEmpty, "need at least one component column")
+    def pmod(x: org.apache.spark.sql.Column, m: Long) = ((x % m) + m) % m
+    val rowMix = parts.foldLeft(lit(0L)) { (acc, c) =>
+      pmod(acc * 131 + coalesce(pmod(c.cast("long"), P31), lit(P31 - 1)), P31)
+    }
+    df.select(rowMix.cast("decimal(38,0)").as("__mix"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("__mix")) % P31).cast("long").as("checksum"))
+  }
 }

@@ -385,6 +385,40 @@ object Dedup {
     labels.select(col("id").as(idCol), col("cluster_id"))
   }
 
+  /** Bag-of-words cosine near-dup: pairs whose TERM-FREQUENCY vectors
+    * have cosine ≥ threshold — the vector-space twin of the Jaccard
+    * family, sensitive to repetition (a doc that repeats one paragraph
+    * five times scores high here and low on set-based Jaccard). Raw tf
+    * counts, not tf-idf, ON PURPOSE: dots and squared norms are then
+    * exact integers, so the similarity is bit-reproducible on any engine
+    * and partitioning — sqrt/division are single correctly-rounded IEEE
+    * ops at the edge (tf-idf's per-term `ln` would make every weight a
+    * last-ulp coin flip). Same inverted-index posting shuffle as
+    * [[ngramJaccardPairs]]: one (doc,term) count aggregation, a
+    * term-keyed a<b self-join with map-side-combined integer dots, two
+    * norm joins. Skew caveat: corpus-wide boilerplate terms fatten
+    * postings df² like any posting join — cap or stopword them upstream
+    * at scale.
+    */
+  def tfCosinePairs(docs: DataFrame, threshold: Double,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.Fns.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
+    val dots = tf.as("a").join(tf.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    val cos = col("dot") / (sqrt(col("sq_a")) * sqrt(col("sq_b")))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("sq").as("sq_a")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("sq").as("sq_b")), "doc_b")
+      .filter(cos >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(cos, 6).as("tf_cosine"))
+  }
+
   /** Asymmetric n-gram containment ≥ threshold: c(a→b) = |A∩B| / |A| — the
     * quote/subset detector Jaccard misses (a paragraph wholly copied into
     * a much longer document scores high containment but low Jaccard).

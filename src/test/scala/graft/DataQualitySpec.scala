@@ -38,4 +38,25 @@ class DataQualitySpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("chk"))
   }
+
+  test("tableChecksum: order/partitioning independent, corruption-sensitive") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+    def sum1(d: org.apache.spark.sql.DataFrame) =
+      DataQuality.tableChecksum(d, Seq(col("id"), col("v"))).head()
+    val base = sum1(df)
+    assert(base.getAs[Long]("n_rows") == 3L)
+    // hand-computed: rowMix = (id*131 + v) for these small values
+    val expected = Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .map { case (i, v) => i * 131 + v }.sum % 2147483647L
+    assert(base.getAs[Long]("checksum") == expected)
+    // reversing rows and changing partitioning changes nothing
+    assert(sum1(df.orderBy(col("id").desc).repartition(7)) == base)
+    // a single flipped value changes the checksum
+    val corrupted = Seq((1L, 10L), (2L, 21L), (3L, 30L)).toDF("id", "v")
+    assert(sum1(corrupted).getAs[Long]("checksum") != base.getAs[Long]("checksum"))
+    // a value->NULL corruption changes it too (sentinel residue)
+    val nulled = Seq((1L, Some(10L)), (2L, None), (3L, Some(30L))).toDF("id", "v")
+    assert(sum1(nulled).getAs[Long]("checksum") != base.getAs[Long]("checksum"))
+  }
 }

@@ -225,6 +225,23 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("divisible"))
   }
 
+  test("tfCosinePairs: repetition-sensitive where set-based Jaccard is blind") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha alpha alpha alpha beta gamma delta"), // repeats alpha
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val out = Dedup.tfCosinePairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("tf_cosine")).toMap
+    // docs 1,2 share the same term SET (Jaccard 1.0) but different tf
+    // vectors: cos = (4+1+1+1)/(sqrt(4)*sqrt(19)) = 7/(2*sqrt(19))
+    val expected = 7.0 / (2.0 * math.sqrt(19.0))
+    assert(math.abs(out((1L, 2L)) - expected) < 1e-6)
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L))) // no shared terms
+    // identical docs score exactly 1.0
+    val twins = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.tfCosinePairs(twins, 0.99).head().getAs[Double]("tf_cosine") == 1.0)
+  }
+
   test("containment: short doc embedded in long one scores high one-way") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
