@@ -659,6 +659,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Column-level completeness profile: rows / non-null / exact
+    // distinct per column, reshaped one-row-per-column with stack() —
+    // all in a single aggregation job. (Exact distinct expands the agg;
+    // at corpus scale swap in the HLL registers — sketch_hll_grouped —
+    // per the same schema.)
+    "q_column_profile" -> ((s, dir) => {
+      val a = T(s, dir, "events").agg(
+        count(lit(1)).as("n"),
+        count(col("user_id")).as("nn_user"),
+        countDistinct(col("user_id")).as("nd_user"),
+        count(col("event_type")).as("nn_type"),
+        countDistinct(col("event_type")).as("nd_type"),
+        count(col("value")).as("nn_value"),
+        countDistinct(col("value")).as("nd_value"))
+      a.selectExpr(
+        """stack(3,
+          |  'event_type', n, nn_type, nd_type,
+          |  'user_id', n, nn_user, nd_user,
+          |  'value', n, nn_value, nd_value)
+          |AS (col_name, n_rows, n_non_null, n_distinct)""".stripMargin)
+        .orderBy("col_name")
+    }),
+
     // Distribution profiling: exact interpolated percentiles + moments
     // per group — the per-column statistics a data-quality pass emits.
     "q_profile_stats" -> ((s, dir) =>
@@ -1880,6 +1903,19 @@ object SparkEntry {
          |LEFT JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) s
          |  ON d.doc_id = s.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_column_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'event_type' AS col_name, count(*) AS n_rows,
+        |    count(event_type) AS n_non_null,
+        |    count(DISTINCT event_type) AS n_distinct FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', count(*), count(user_id),
+        |    count(DISTINCT user_id) FROM events
+        |  UNION ALL
+        |  SELECT 'value', count(*), count(value),
+        |    count(DISTINCT value) FROM events)
+        |ORDER BY col_name""".stripMargin,
 
     "q_profile_stats" ->
       """SELECT event_type, count(*) AS n,
