@@ -60,33 +60,57 @@ object Bench {
     }
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
-    val qs = results.collect { case (k, v, None, _) => jq(k) + ":" + v }
+    // The harness keeps only the LAST ~2000 bytes of stdout (plus sbt's
+    // trailing "[success] Total time" line), and with 100+ queries one JSON
+    // line is ~3000+ bytes — every past round's artifact was truncated and
+    // unparseable. Counter-measures, in order of what the tail preserves:
+    //  1. the FULL line orders queries ascending by time, and puts the
+    //     total/sf trailer AFTER them — so even when its head is cut, the
+    //     surviving suffix is the slowest (= interesting) timings + total;
+    //  2. a SHORT complete line (slowest queries only, 3-decimal times,
+    //     sized well under the tail budget) is printed LAST so a JSON
+    //     parser scanning the tail always finds one valid record;
+    //  3. the full-precision line is persisted to BENCH_FULL.json in the
+    //     repo root (plus /tmp and any argv/env override).
+    val asc = results.sortBy(_._2)
+    val qsFull = asc.collect { case (k, v, None, _) => jq(k) + ":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e), _) => jq(k) + ":" + jq(e) }
       .mkString("{", ",", "}")
     val flaky = results.collect { case (k, _, None, true) => jq(k) }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, None, _) => v }.sum
+    val nOk = results.count(_._3.isEmpty)
     // "passes":2 records the min-of-2 methodology (introduced round 6) so
     // round-over-round totals aren't read as comparable to the single-pass
     // rounds 1-5: min-of-2 is systematically lower.
+    val fullPath = "/root/repo/BENCH_FULL.json"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
+      s"""{"metric":"total","unit":"sec","passes":2,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}}"""
     println(line)
-    // The driver captures only the tail of stdout, which has truncated the
-    // first ~33 per-query timings in past rounds; persist the identical JSON
-    // line to a file so the full profile always survives. Path precedence:
-    // argv(0) > SPARK_GRAFT_BENCH_OUT > /tmp/graft-bench.json. The default
-    // is a FIXED path on purpose (the driver knows where to look without
-    // coordination); it assumes one bench run at a time — concurrent runs
-    // must pass distinct argv/env paths or they clobber each other.
+    // Short line: slowest-first entries until the byte budget is spent.
+    val budget = 1600
+    val desc = asc.reverse.collect { case (k, v, None, _) =>
+      jq(k) + ":" + f"$v%.3f" }
+    val header = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","passes":2,"n_ok":$nOk,"sf":"$sfDir","errors":$errs,"full":${jq(fullPath)},"queries_omitted":@OMIT@,"queries":{"""
+    var used = header.length + 60
+    val kept = desc.takeWhile { e => used += e.length + 1; used <= budget }
+    val short = header.replace("@OMIT@", (nOk - kept.length).toString) +
+      kept.mkString(",") + "}}"
+    println(short)
+    // Persist the identical full-precision JSON line. Path precedence for
+    // the extra copy: argv(0) > SPARK_GRAFT_BENCH_OUT > /tmp/graft-bench
+    // .json. Fixed defaults on purpose (discoverable without coordination);
+    // single-run assumption — concurrent benches must pass distinct paths.
     val outPath = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .getOrElse("/tmp/graft-bench.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"bench: could not write $outPath: ${e.getMessage}") }
+    Seq(fullPath, outPath).distinct.foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"bench: could not write $p: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }
