@@ -1349,6 +1349,95 @@ object SparkEntry {
     "stream_closed_sessions" -> ((s, dir) => {
       val e = T(s, dir, "events")
       StatefulJobs.closedSessions(s, e).toDF().orderBy("user_id")
+    }),
+
+    // ---- round 7: warehouse ops + pipeline breadth ----
+
+    // RFM segmentation WITHOUT the textbook global-ntile window: exact
+    // quantile boundaries from one tiny agg, broadcast back, scores as a
+    // flat projection. monetary rides an exact DECIMAL sum; the double
+    // cast happens only at the output edge.
+    "ana_rfm" -> ((s, dir) =>
+      Analytics.rfm(T(s, dir, "orders"), lit("1999-12-31").cast("date"))
+        .withColumn("monetary", col("monetary").cast("double"))
+        .orderBy("custkey")),
+
+    // Gaps-and-islands: maximal consecutive-day activity runs per user —
+    // one per-user window over DISTINCT (user, day), no self-join.
+    "ana_islands" -> ((s, dir) =>
+      Analytics.activityIslands(T(s, dir, "events"))
+        .orderBy("user_id", "island_start")),
+
+    // Explicit GROUPING SETS (the rollup/cube generalization with a
+    // hand-picked level list — here: pair, first key alone, grand total).
+    "q_grouping_sets" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Snapshot diff: old/new built deterministically from orders (key-mod
+    // deletes, inserts, +100.00 price and priority rewrites), classified
+    // by one full outer join. changed_cols flattens to a CSV string at
+    // the edge (arrays don't survive the cross-engine dump compare).
+    "q_table_diff" -> ((s, dir) => {
+      val src = T(s, dir, "orders").filter(col("o_orderkey") < 7000)
+      val oldSnap = src.filter(col("o_orderkey") % 7 =!= 3)
+      val newSnap = src.filter(col("o_orderkey") % 11 =!= 4)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 100.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 10 === 0, lit("RUSH"))
+            .otherwise(col("o_orderpriority")))
+      operators.Snapshot.diff(oldSnap, newSnap, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("change_type"),
+          array_join(col("changed_cols"), ",").as("changed_cols"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Eval-set n-gram decontamination (the 13-gram-collision rule shape,
+    // trigrams here so the synthetic corpus actually collides): any train
+    // doc sharing >= 1 n-gram with the eval sources is flagged.
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val evalSrc = col("source").isin("src0", "src1")
+      Dedup.decontaminateNgram(docs.filter(!evalSrc), docs.filter(evalSrc), 3)
+        .orderBy("doc_id")
+    }),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis clocks
+    // on the deterministic hash, weight = document length): distributed
+    // top-k, not a global sort.
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(T(s, dir, "documents"), "doc_id", "n_chars", 60)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // Random-signs projection on int8 codes: exact integer dots, 8 longs
+    // per vector — the JL-style distance sketch. NULL-quantized rows
+    // (zero/empty vectors) are dropped on both sides.
+    "emb_project" -> ((s, dir) =>
+      Similarity.signedProjection(T(s, dir, "embeddings"), dim = 64, outDims = 8)
+        .na.drop(Seq("proj_0"))
+        .orderBy("vec_id")),
+
+    // Small-file compaction, content-preservation proven by the
+    // order-independent checksum (the rewrite is free to rebalance rows):
+    // 48 tiny files in, byte-sized file count out, same n_rows+checksum
+    // as reading the SOURCE table directly — which is what the oracle
+    // computes without ever seeing the staging dirs.
+    "op_compact" -> ((s, dir) => {
+      val base = s"/tmp/graft-compact-${ProcessHandle.current().pid()}"
+      T(s, dir, "documents").repartition(48)
+        .write.mode("overwrite").parquet(s"$base/in")
+      val compacted = operators.Snapshot.compact(s, s"$base/in", s"$base/out")
+      operators.DataQuality.tableChecksum(compacted, Seq(
+        col("doc_id"), call_function("graft_strhash", col("text"))))
     })
   )
 
@@ -2737,6 +2826,144 @@ object SparkEntry {
     "stream_closed_sessions" ->
       """SELECT user_id, count(*) AS n_events,
         |  min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // ---- round 7 ----
+
+    // Same quantile definition on both sides (R-7 linear interpolation:
+    // Spark `percentile` ≡ DuckDB `quantile_cont`); the boundary
+    // comparisons are stable because the metrics are integer/2-dp valued
+    // (see Analytics.rfm).
+    "ana_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS custkey,
+        |    date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '1999-12-31') AS recency_days,
+        |    count(*) AS frequency,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+        |        quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
+        |        quantile_cont(CAST(monetary AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS mb
+        |      FROM base)
+        |SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days, frequency,
+        |  CAST(monetary AS DOUBLE) AS monetary,
+        |  CAST(1 + len(list_filter(rb, x -> CAST(recency_days AS DOUBLE) > x)) AS BIGINT) AS r_score,
+        |  CAST(1 + len(list_filter(fb, x -> CAST(frequency AS DOUBLE) < x)) AS BIGINT) AS f_score,
+        |  CAST(1 + len(list_filter(mb, x -> CAST(monetary AS DOUBLE) < x)) AS BIGINT) AS m_score
+        |FROM base CROSS JOIN b ORDER BY custkey""".stripMargin,
+
+    "ana_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |      FROM days)
+        |SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+        |  count(*) AS n_days
+        |FROM r GROUP BY user_id, day - CAST(rn AS INT)
+        |ORDER BY user_id, island_start""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_table_diff" ->
+      """WITH src AS (SELECT * FROM orders WHERE o_orderkey < 7000),
+        |o AS (SELECT * FROM src WHERE o_orderkey % 7 <> 3),
+        |n AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100.0
+        |             ELSE o_totalprice END AS o_totalprice,
+        |        o_orderdate,
+        |        CASE WHEN o_orderkey % 10 = 0 THEN 'RUSH'
+        |             ELSE o_orderpriority END AS o_orderpriority
+        |      FROM src WHERE o_orderkey % 11 <> 4)
+        |SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |       WHEN n.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change_type,
+        |  CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN NULL
+        |       ELSE array_to_string(list_filter([
+        |         CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey THEN 'o_custkey' END,
+        |         CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate THEN 'o_orderdate' END,
+        |         CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'o_orderpriority' END,
+        |         CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'o_orderstatus' END,
+        |         CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'o_totalprice' END
+        |       ], x -> x IS NOT NULL), ',') END AS changed_cols
+        |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |   OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |   OR o.o_custkey IS DISTINCT FROM n.o_custkey
+        |   OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+        |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Trigram-collision decontamination: string trigrams here vs 64-bit
+    // shingle hashes on the Spark side — identical distinct-counts modulo
+    // ~N²/2⁶⁵ hash collisions (same argument as the dedup family).
+    "text_decontaminate" ->
+      s"""WITH base AS ($docToks),
+         |toks AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM base),
+         |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS shingle
+         |       FROM toks a
+         |       JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |       JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+         |ev AS (SELECT DISTINCT sh.shingle FROM sh
+         |       JOIN documents d ON d.doc_id = sh.doc_id
+         |       WHERE d.source IN ('src0', 'src1')),
+         |tr AS (SELECT sh.doc_id, sh.shingle FROM sh
+         |       JOIN documents d ON d.doc_id = sh.doc_id
+         |       WHERE d.source NOT IN ('src0', 'src1'))
+         |SELECT tr.doc_id, count(DISTINCT tr.shingle) AS n_shared_ngrams
+         |FROM tr JOIN ev ON tr.shingle = ev.shingle
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Exponential clocks -ln(u)/w on the shared ANSI hash; only the
+    // selected ROWS surface (integer columns), the IEEE clock values stay
+    // internal to the ranking on both engines.
+    "sample_weighted" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, n_chars,
+        |    -ln((((doc_id % 2147483648) * 2654435761) % 4294967296 + 1)
+        |        / CAST(4294967296.0 AS DOUBLE)) / CAST(n_chars AS DOUBLE) AS clock
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (SELECT doc_id, source, n_chars FROM u ORDER BY clock, doc_id LIMIT 60)
+        |SELECT doc_id, source, n_chars FROM k ORDER BY doc_id""".stripMargin,
+
+    // int8 quantization (the emb_quantize formula) then exact integer
+    // dots against the ±1 sign rows embedded as literals.
+    "emb_project" -> {
+      val signs = Similarity.projectionSigns(64, 8)
+      val sums = (0 until 8).map { j =>
+        s"CAST(sum(qi * ([${signs(j).mkString(",")}])[i]) AS BIGINT) AS proj_$j"
+      }.mkString(",\n  ")
+      s"""WITH e AS ($embCte),
+         |s AS (SELECT vec_id, v,
+         |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+         |      FROM e),
+         |q AS (SELECT vec_id, i,
+         |        CAST(floor(v[i] * CAST(127.0 AS DOUBLE) / scale + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qi
+         |      FROM s CROSS JOIN range(1, 65) t(i) WHERE scale > 0)
+         |SELECT vec_id,
+         |  $sums
+         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
+
+    // The oracle reads the SOURCE table — content preservation through
+    // the 48-file write + compaction rewrite is exactly what's asserted.
+    "op_compact" ->
+      """WITH h AS (
+        |  SELECT doc_id % 2147483647 AS p1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(length(text)),
+        |        i -> ascii(substr(text, CAST(i + 1 AS INT), 1)))),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS p2
+        |  FROM documents),
+        |m AS (SELECT ((p1 % 2147483647) * 131 + p2) % 2147483647 AS mix FROM h)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(mix) % 2147483647 AS BIGINT) AS checksum
+        |FROM m""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -113,5 +113,70 @@ object Analytics {
       .filter(col("to_type").isNotNull)
       .groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** RFM segmentation: per-customer Recency (days since last order as of
+    * `asOf`), Frequency (order count) and Monetary (exact DECIMAL revenue
+    * sum), each bucketed into `nTiles` scores. Scoring deliberately avoids
+    * the textbook global `ntile` window (a single-partition sort over
+    * every customer): instead ONE tiny aggregate computes the (nTiles−1)
+    * exact quantile boundaries per metric, broadcasts them, and each row
+    * scores itself as `1 + #boundaries strictly below its value` — a flat
+    * per-row projection. Boundary comparisons are cross-engine stable:
+    * the metrics are integer/2-dp valued, so an interpolated boundary
+    * either equals a data value exactly (interpolation fraction 0 — both
+    * engines return the sorted element itself) or sits a non-ulp distance
+    * away from every data value.
+    *
+    * Scale note: exact `percentile` buffers a value-count map per metric —
+    * fine up to tens of millions of DISTINCT metric values (recency/
+    * frequency are small-domain by nature), but for a billion-customer
+    * monetary column swap the boundary agg for `Sketch.histQuantiles`
+    * (mergeable, bounded memory); the scoring projection is unchanged.
+    */
+  def rfm(orders: DataFrame, asOf: Column, nTiles: Int = 5,
+          custCol: String = "o_custkey", dateCol: String = "o_orderdate",
+          amountCol: String = "o_totalprice"): DataFrame = {
+    require(nTiles >= 2, s"nTiles must be >= 2, got $nTiles")
+    val base = orders.groupBy(col(custCol).as("custkey"))
+      .agg(datediff(asOf, max(col(dateCol))).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col(amountCol).cast("decimal(18,2)")).as("monetary"))
+    val fracs = array((1 until nTiles).map(i => lit(i.toDouble / nTiles)): _*)
+    val bounds = base.agg(
+      percentile(col("recency_days"), fracs).as("rb"),
+      percentile(col("frequency"), fracs).as("fb"),
+      percentile(col("monetary"), fracs).as("mb"))
+    // score 1 = best: most recent (lowest recency), highest frequency /
+    // monetary — hence ascending buckets for R, descending for F and M.
+    def above(x: Column, bnds: Column) =
+      (size(filter(bnds, b => x > b)) + 1).cast("long")
+    def below(x: Column, bnds: Column) =
+      (size(filter(bnds, b => x < b)) + 1).cast("long")
+    base.crossJoin(broadcast(bounds)).select(
+      col("custkey"), col("recency_days"), col("frequency"), col("monetary"),
+      above(col("recency_days").cast("double"), col("rb")).as("r_score"),
+      below(col("frequency").cast("double"), col("fb")).as("f_score"),
+      below(col("monetary").cast("double"), col("mb")).as("m_score"))
+  }
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per user.
+    * The classic trick — day_ordinal − dense row_number is constant
+    * within a run — turns island detection into one per-user window plus
+    * a groupBy, no self-joins. Input collapses to distinct (user, day)
+    * first, so the window ranks at most days-per-user rows per key.
+    */
+  def activityIslands(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val days = events.select(col(userCol).as("user_id"),
+      to_date(col(tsCol)).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("grp", datediff(col("day"), lit("1970-01-01").cast("date"))
+        - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("day")).as("island_start"), max(col("day")).as("island_end"),
+        count(lit(1)).as("n_days"))
+      .drop("grp")
   }
 }

@@ -307,6 +307,30 @@ object Dedup {
       .filter(col("group_a") =!= col("group_b"))
   }
 
+  /** Eval-set n-gram decontamination, the "13-gram collision" rule shape
+    * (Brown et al. 2020, "Language Models are Few-Shot Learners", app. C):
+    * a training document is contaminated when ANY of its n-grams also
+    * appears in the evaluation corpus. Unlike [[crossGroupPairs]] (which
+    * scores pair SIMILARITY across groups), this flags single-n-gram hits
+    * — the conservative benchmark-leakage gate.
+    *
+    * Plan: both sides explode to 8-byte shingle hashes (one codegen'd
+    * `graft_shingles` pass each, no n-gram strings materialize); the eval
+    * side collapses to DISTINCT shingles (eval corpora are small next to
+    * training corpora, so this side often broadcasts); one keyed join +
+    * one groupBy on doc_id yields hits-per-document. Output: contaminated
+    * docs only, with the distinct collision count as evidence.
+    */
+  def decontaminateNgram(train: DataFrame, eval: DataFrame, n: Int,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val evalShingles = shingleSets(eval, n, textCol, idCol)
+      .select("shingle").distinct()
+    shingleSets(train, n, textCol, idCol)
+      .join(evalShingles, "shingle")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("shingle")).as("n_shared_ngrams"))
+  }
+
   /** Connected components over near-dup pairs: every document gets the
     * smallest doc id reachable through the pair graph as `cluster_id`
     * (its own id when unpaired) — the step that turns pairwise dedup

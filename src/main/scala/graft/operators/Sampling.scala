@@ -124,4 +124,26 @@ object Sampling {
       .filter(col("__r") <= col("__quota"))
       .drop("__src", "__quota", "__r")
   }
+
+  /** Weighted sample WITHOUT replacement, k rows, inclusion probability
+    * proportional to `weightCol` — Efraimidis–Spirakis A-ES with the
+    * deterministic [[samplingHash]] standing in for the random draw:
+    * each row gets the exponential clock −ln(u)/w with u = (hash+1)/2³²
+    * ∈ (0,1], and the k smallest clocks win. Runs as a distributed top-k
+    * (`TakeOrderedAndProject`: per-partition heaps + one tiny merge), NOT
+    * a global sort — the orderBy+limit shape Catalyst plans specially, so
+    * the full corpus never shuffles. Same-hash determinism makes the
+    * sample reproducible across runs, partitionings, and engines; the
+    * clock values stay internal (IEEE per-row math, identical in any
+    * engine), only the selected rows are surfaced. Zero/negative weights
+    * are rejected rather than silently dropped.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u = (samplingHash(col(keyCol)) + 1).cast("double") / lit(M32.toDouble)
+    val clock = -log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).cast("double") > 0)
+      .orderBy(clock.asc, col(keyCol).asc)
+      .limit(k)
+  }
 }

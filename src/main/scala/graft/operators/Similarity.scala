@@ -281,4 +281,43 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Deterministic sign matrix for [[signedProjection]]: entry (j, i) is
+    * +1 when the HIGH bit of samplingHash(j·dim + i) is set, else −1.
+    * High bit, not parity: multiplicative hashing mixes into the top
+    * bits, while the product's low bit is just the key's low bit.
+    */
+  private[graft] def projectionSigns(dim: Int, outDims: Int): Array[Array[Int]] =
+    Array.tabulate(outDims, dim) { (j, i) =>
+      val key = j.toLong * dim + i
+      val h = ((key % 2147483648L) * 2654435761L) % 4294967296L
+      if (h >= 2147483648L) 1 else -1
+    }
+
+  /** Random-signs dimensionality reduction (Achlioptas 2003, "Database-
+    * friendly random projections"): project each embedding onto `outDims`
+    * deterministic ±1 sign vectors. Runs on the int8-QUANTIZED codes, not
+    * the raw floats, so every output coordinate is an exact small-integer
+    * dot product (|Σ| ≤ 127·dim — no float summation order to disagree
+    * on, bit-identical in any engine). This is the cheap distance-sketch
+    * pre-pass: 8 longs per vector instead of 64 floats for coarse
+    * filtering, with Johnson–Lindenstrauss-style distance preservation.
+    *
+    * Plan: one fused native quantize pass, then a flat per-row projection
+    * (outDims × dim multiply-adds, arrays never shuffle) — narrow,
+    * no exchange at all.
+    */
+  def signedProjection(embeddings: DataFrame, dim: Int, outDims: Int = 8,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val signs = projectionSigns(dim, outDims)
+    val q = quantizeInt8(embeddings, idCol, vecCol)
+    val projCols = (0 until outDims).map { j =>
+      val sj = array(signs(j).map(s => lit(s)): _*)
+      aggregate(
+        zip_with(col("q").cast("array<long>"), sj, (c, s) => c * s),
+        lit(0L), (acc, x) => acc + x
+      ).as(s"proj_$j")
+    }
+    q.select(col("vec_id") +: projCols: _*)
+  }
 }

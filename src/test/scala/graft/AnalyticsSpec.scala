@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.lit
 import graft.analytics.Analytics
 
 class AnalyticsSpec extends SparkSpec {
@@ -80,5 +81,45 @@ class AnalyticsSpec extends SparkSpec {
     val out = Analytics.transitions(e).orderBy("from_type", "to_type").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(out.toSeq == Seq(("a", "b", 2L), ("b", "c", 1L)))
+  }
+
+  test("rfm: boundary scores, best/worst customers, exact monetary") {
+    import java.sql.Date
+    // 5 customers, clearly separated metrics so quintile scores are forced:
+    // customer i ordered (i+1) times, last order day 10*i, 100*(i+1) total.
+    val orders = (0 until 5).flatMap { i =>
+      (0 to i).map(j => (100L + i, Date.valueOf(f"2024-01-${10 * i / 2 + 1}%02d"),
+        100.0 * (i + 1) / (i + 1))) // each order 100.0 -> monetary = 100*(i+1)
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Analytics.rfm(orders, lit("2024-02-01").cast("date"), nTiles = 5,
+        custCol = "o_custkey", dateCol = "o_orderdate", amountCol = "o_totalprice")
+      .orderBy("custkey").collect()
+    assert(out.length == 5)
+    val best = out.last // custkey 104: most recent, most orders, most revenue
+    assert(best.getAs[Long]("r_score") == 1L)
+    assert(best.getAs[Long]("f_score") == 1L)
+    assert(best.getAs[Long]("m_score") == 1L)
+    val worst = out.head // custkey 100: oldest single cheap order
+    assert(worst.getAs[Long]("r_score") == 5L)
+    assert(worst.getAs[Long]("f_score") == 5L)
+    assert(worst.getAs[Long]("m_score") == 5L)
+    assert(out.map(_.getAs[java.math.BigDecimal]("monetary").doubleValue()).toSeq
+      == Seq(100.0, 200.0, 300.0, 400.0, 500.0))
+  }
+
+  test("activityIslands: consecutive days fuse, gaps split, per-user isolation") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s"2024-01-$s 12:00:00")
+    val e = Seq(
+      (1L, d("01")), (1L, d("02")), (1L, d("02")), (1L, d("03")), // island 1-3
+      (1L, d("05")),                                              // island 5-5
+      (2L, d("03")), (2L, d("04"))                                // other user
+    ).toDF("user_id", "ts")
+    val out = Analytics.activityIslands(e).orderBy("user_id", "island_start")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getDate(2).toString, r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01", "2024-01-03", 3L),
+      (1L, "2024-01-05", "2024-01-05", 1L),
+      (2L, "2024-01-03", "2024-01-04", 2L)))
   }
 }

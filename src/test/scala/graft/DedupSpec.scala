@@ -294,4 +294,22 @@ class DedupSpec extends SparkSpec {
     assert(out(1).getLong(0) == 3L && out(1).getLong(1) == 3L) // all-null: id tiebreak
     assert(out(1).isNullAt(3))                                 // best_score NULL
   }
+
+  test("decontaminateNgram: single shared n-gram flags a train doc; counts are distinct") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),        // shares "the quick brown" + "quick brown fox"
+      (2L, "totally unrelated training text"),  // clean
+      (3L, "the quick brown the quick brown")   // repeated shared trigram counts ONCE
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "watch the quick brown fox run")).toDF("doc_id", "text")
+    val out = Dedup.decontaminateNgram(train, eval, 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("decontaminateNgram: disjoint corpora produce no flags") {
+    val train = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
+    val eval = Seq((2L, "xx yy zz ww")).toDF("doc_id", "text")
+    assert(Dedup.decontaminateNgram(train, eval, 3).count() == 0)
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.countDistinct
+import org.apache.spark.sql.functions.{countDistinct, when}
 import graft.operators.Sampling
 
 class SamplingSpec extends SparkSpec {
@@ -73,5 +73,26 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.assignSplit(df.repartition(17), "cluster_id", 0.1, 0.1)
     assert(again.orderBy("id").collect().map(_.getString(2)).toSeq ==
       out.orderBy("id").collect().map(_.getString(2)).toSeq)
+  }
+
+  test("weightedSample: exactly k, deterministic, weight-proportional inclusion") {
+    // two weight classes: ids 0..499 weight 1, ids 500..999 weight 20
+    val df = (0L until 1000L).toDF("id")
+      .withColumn("w", when($"id" >= 500L, 20L).otherwise(1L))
+    val out = Sampling.weightedSample(df, "id", "w", 100)
+    val picked = out.collect().map(_.getLong(0)).toSeq
+    assert(picked.length == 100)
+    assert(picked.distinct.length == 100, "without replacement")
+    // E-S inclusion scales with weight: the heavy class (20x) must dominate
+    val heavy = picked.count(_ >= 500L)
+    assert(heavy > 80, s"heavy class got $heavy of 100; expected ~ >80")
+    // deterministic under repartitioning (hash clocks, not rand())
+    val again = Sampling.weightedSample(df.repartition(13), "id", "w", 100)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again.sorted == picked.sorted)
+    // zero/negative weights are excluded, never sampled
+    val withZero = df.withColumn("w", when($"id" === 7L, 0L).otherwise($"w"))
+    assert(!Sampling.weightedSample(withZero, "id", "w", 1000)
+      .collect().map(_.getLong(0)).contains(7L))
   }
 }

@@ -152,4 +152,28 @@ class SimilaritySpec extends SparkSpec {
     assert(a.length == 10)
     assert(a.sorted == b.sorted) // hash-ranked selection: partitioning-independent
   }
+
+  test("signedProjection: exact integer dots against a reference computation") {
+    val dim = 8
+    val rng = new scala.util.Random(17)
+    val rows = (0L until 50L).map(i => (i, Seq.fill(dim)(rng.nextGaussian().toFloat)))
+    val out = Similarity.signedProjection(rows.toDF("vec_id", "embedding"),
+        dim = dim, outDims = 4)
+      .orderBy("vec_id").collect()
+    val signs = Similarity.projectionSigns(dim, 4)
+    rows.zip(out).foreach { case ((id, vec), row) =>
+      val v = vec.map(_.toDouble)
+      val scale = v.map(math.abs).max
+      val q = v.map(x => math.floor(x * 127.0 / scale + 0.5).toLong)
+      assert(row.getLong(0) == id)
+      (0 until 4).foreach { j =>
+        val expect = q.zip(signs(j)).map { case (c, s) => c * s }.sum
+        assert(row.getLong(1 + j) == expect, s"vec $id proj_$j")
+      }
+    }
+    // sign matrix is balanced-ish (high-bit extraction, not parity stripes)
+    val flat = Similarity.projectionSigns(64, 8).flatten
+    val plus = flat.count(_ > 0)
+    assert(plus > 200 && plus < 312, s"signs unbalanced: $plus/512 positive")
+  }
 }
