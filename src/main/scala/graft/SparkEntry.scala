@@ -1426,6 +1426,38 @@ object SparkEntry {
         .na.drop(Seq("proj_0"))
         .orderBy("vec_id")),
 
+    // Dynamic partition pruning: the fact is partitioned on the join key,
+    // the filter lives on the DIM side only — static pruning can't fire,
+    // so the scan's partition list must come from the broadcast result at
+    // RUNTIME (plan-asserted in SnapshotSpec). THE mechanism that keeps a
+    // selective dim-filtered star join from scanning all 100 TB of fact.
+    "op_dpp" -> ((s, dir) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-dpp-events-${ProcessHandle.current().pid()}-" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      val e = T(s, dir, "events")
+      e.select("event_id", "user_id", "event_type")
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      val dim = e.select("event_type").distinct()
+        .withColumn("type_class",
+          when(col("event_type").isin("click", "view"), lit("engagement"))
+            .otherwise(lit("other")))
+      s.read.parquet(tmp)
+        .join(broadcast(dim.filter(col("type_class") === "engagement")), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    // Incremental admission: new batch (doc_id % 5 = 0) gated against the
+    // standing corpus — near-dup evidence counts + verdict per batch doc.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.admitIncremental(docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0), 3, 0.5)
+        .orderBy("doc_id")
+    }),
+
     // Small-file compaction, content-preservation proven by the
     // order-independent checksum (the rewrite is free to rebalance rows):
     // 48 tiny files in, byte-sized file count out, same n_rows+checksum
@@ -2950,6 +2982,58 @@ object SparkEntry {
          |  $sums
          |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
+
+    // The partitioned roundtrip is content-neutral, so the oracle is the
+    // plain dim-filtered join over the source table.
+    "op_dpp" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type,
+        |    CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+        |         ELSE 'other' END AS type_class
+        |  FROM events)
+        |SELECT e.event_type, count(*) AS n,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN dim ON e.event_type = dim.event_type
+        |WHERE dim.type_class = 'engagement'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Batch (doc_id % 5 = 0) vs corpus (the rest): cross-set and in-batch
+    // trigram Jaccard >= 0.5 evidence counts, then the verdict CASE.
+    "dedup_incremental" ->
+      s"""WITH base AS ($docToks),
+         |toks AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM base),
+         |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS shingle
+         |       FROM toks a
+         |       JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |       JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |b AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+         |c AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+         |xc AS (SELECT b.doc_id AS da, c.doc_id AS db, count(*) AS ni
+         |       FROM b JOIN c ON b.shingle = c.shingle GROUP BY 1, 2),
+         |xcp AS (SELECT da FROM xc
+         |        JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |        WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5),
+         |cd AS (SELECT da AS doc_id, count(*) AS n_corpus_dups FROM xcp GROUP BY 1),
+         |ib AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS ni
+         |       FROM b x JOIN b y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |       GROUP BY 1, 2),
+         |ibp AS (SELECT da, db FROM ib
+         |        JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |        WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5),
+         |bd AS (SELECT d, count(*) AS n_batch_dups FROM
+         |         (SELECT da AS d FROM ibp UNION ALL SELECT db FROM ibp) u
+         |       GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(cd.n_corpus_dups, 0) AS n_corpus_dups,
+         |  coalesce(bd.n_batch_dups, 0) AS n_batch_dups,
+         |  CASE WHEN coalesce(cd.n_corpus_dups, 0) > 0 THEN 'dup_of_corpus'
+         |       WHEN coalesce(bd.n_batch_dups, 0) > 0 THEN 'needs_batch_dedup'
+         |       ELSE 'admitted' END AS verdict
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |LEFT JOIN cd ON cd.doc_id = d.doc_id
+         |LEFT JOIN bd ON bd.d = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // The oracle reads the SOURCE table — content preservation through
     // the 48-file write + compaction rewrite is exactly what's asserted.

@@ -331,6 +331,64 @@ object Dedup {
       .agg(count_distinct(col("shingle")).as("n_shared_ngrams"))
   }
 
+  /** Cross-set n-gram Jaccard ≥ threshold: pairs (left doc, right doc)
+    * across two DISJOINT corpora — the asymmetric twin of
+    * [[ngramJaccardPairs]] (no self-join, no id-ordering trick needed).
+    * One postings join keyed by 8-byte shingle hashes + two size joins.
+    */
+  def crossJaccardPairs(left: DataFrame, right: DataFrame, n: Int,
+                        threshold: Double, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val ls = shingleSets(left, n, textCol, idCol)
+    val rs = shingleSets(right, n, textCol, idCol)
+    val la = ls.groupBy(col("doc_id").as("doc_a")).agg(count(lit(1)).as("n_a"))
+    val ra = rs.groupBy(col("doc_id").as("doc_b")).agg(count(lit(1)).as("n_b"))
+    ls.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(rs.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_i"))
+      .join(la, "doc_a").join(ra, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_i").cast("double") /
+          (col("n_a") + col("n_b") - col("n_i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental-admission gate: classify a NEW batch against an already-
+    * deduplicated corpus — the shape every continuously-fed training
+    * pipeline runs (crawl N+1 lands; only novel documents may enter).
+    * Each batch doc gets its near-dup evidence and a verdict:
+    * `dup_of_corpus` (≥1 corpus match — reject), `needs_batch_dedup`
+    * (clean vs corpus but ≥1 in-batch match — route the GROUP through
+    * [[dedupClusters]]+[[keepBest]]), else `admitted`.
+    *
+    * The corpus side never self-joins (it is already clean by contract):
+    * cost is one batch×corpus postings join — proportional to the BATCH,
+    * not the corpus — plus the in-batch self-join, both over hashed
+    * shingles. That incremental cost profile is the whole point: re-
+    * running full-corpus dedup per arriving crawl is the quadratic trap.
+    */
+  def admitIncremental(corpus: DataFrame, batch: DataFrame, n: Int,
+                       threshold: Double, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val vsCorpus = crossJaccardPairs(batch, corpus, n, threshold, textCol, idCol)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_corpus_dups"))
+    val inBatchPairs = ngramJaccardPairs(batch, n, threshold)
+    val inBatch = inBatchPairs.select(col("doc_a").as("doc_id"))
+      .unionAll(inBatchPairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_batch_dups"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(vsCorpus, Seq("doc_id"), "left")
+      .join(inBatch, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+        coalesce(col("n_batch_dups"), lit(0L)).as("n_batch_dups"))
+      .withColumn("verdict",
+        when(col("n_corpus_dups") > 0, "dup_of_corpus")
+          .when(col("n_batch_dups") > 0, "needs_batch_dedup")
+          .otherwise("admitted"))
+  }
+
   /** Connected components over near-dup pairs: every document gets the
     * smallest doc id reachable through the pair graph as `cluster_id`
     * (its own id when unpaired) — the step that turns pairwise dedup
@@ -424,8 +482,71 @@ object Dedup {
     * postings df² like any posting join — cap or stopword them upstream
     * at scale.
     */
+  /** Bag-of-words TF cosine ≥ threshold via norm-mass prefix filtering
+    * (the cosine analogue of Bayardo et al.'s all-pairs bound). The naive
+    * posting self-join is QUADRATIC on common terms — every document
+    * contains "the", so that one term alone contributes df² candidate
+    * pairs (measured: 123 s at a 5 000-doc corpus vs ~2 s filtered, and
+    * it only gets worse with corpus size². [[tfCosinePairsNaive]] keeps
+    * the all-pairs form as the equivalence oracle).
+    *
+    * Soundness: each doc posts only its PREFIX — terms in ascending
+    * global-df order until the posted squared mass reaches (1−c)·‖d‖²,
+    * c = 0.9·threshold. The candidate join is prefix × full postings,
+    * both directions. A missed pair shares terms only inside both
+    * suffixes, so by Cauchy–Schwarz cos ≤ √(suffixFrac_a·suffixFrac_b)
+    * ≤ c < threshold — it could never qualify. The 0.9 margin swallows
+    * float rounding at the boundary. High-df terms almost never appear
+    * in a prefix, so the candidate count tracks the true near-dup count,
+    * not Σ df². Candidates are then verified with the exact integer dot.
+    */
   def tfCosinePairs(docs: DataFrame, threshold: Double,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    // One materialization of the doc index: tf feeds the df count, the
+    // prefix window, and both verify sides (same localCheckpoint pattern
+    // as ngramJaccardPairsPrefix).
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.Fns.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
+    val dfCounts = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val c = 0.9 * threshold
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefix = tf.join(dfCounts, "term").join(norms, "doc_id")
+      .withColumn("cum", sum(col("tf") * col("tf")).over(w))
+      .filter((col("cum") - col("tf") * col("tf")).cast("double")
+        < (lit(1.0) - lit(c)) * col("sq").cast("double"))
+      .select("doc_id", "term")
+    val cand = prefix.as("pa")
+      .join(tf.select("doc_id", "term").as("pb"),
+        col("pa.term") === col("pb.term") && col("pa.doc_id") =!= col("pb.doc_id"))
+      .select(least(col("pa.doc_id"), col("pb.doc_id")).as("doc_a"),
+        greatest(col("pa.doc_id"), col("pb.doc_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val dots = tf.as("a").join(cand, col("a.doc_id") === col("doc_a"))
+      .join(tf.as("b"),
+        col("b.doc_id") === col("doc_b") && col("a.term") === col("b.term"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    val cos = col("dot") / (sqrt(col("sq_a")) * sqrt(col("sq_b")))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("sq").as("sq_a")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("sq").as("sq_b")), "doc_b")
+      .filter(cos >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(cos, 6).as("tf_cosine"))
+  }
+
+  /** All-pairs TF cosine — the exact verifier twin of [[tfCosinePairs]]
+    * (DedupSpec proves filtered ≡ naive). Quadratic on common terms:
+    * oracle/spec corpora only, never pipeline or bench paths.
+    */
+  private[graft] def tfCosinePairsNaive(docs: DataFrame, threshold: Double,
+                                        textCol: String = "text",
+                                        idCol: String = "doc_id"): DataFrame = {
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.Fns.tokens(col(textCol))).as("term"))

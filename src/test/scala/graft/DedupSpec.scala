@@ -242,6 +242,17 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.tfCosinePairs(twins, 0.99).head().getAs[Double]("tf_cosine") == 1.0)
   }
 
+  test("tfCosinePairs: prefix-filtered ≡ naive all-pairs at several thresholds") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq(0.5, 0.8, 0.95).foreach { t =>
+      val fast = Dedup.tfCosinePairs(docs, t).orderBy("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val naive = Dedup.tfCosinePairsNaive(docs, t).orderBy("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(fast == naive, s"threshold $t: filtered diverged from all-pairs")
+    }
+  }
+
   test("containment: short doc embedded in long one scores high one-way") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
@@ -311,5 +322,26 @@ class DedupSpec extends SparkSpec {
     val train = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
     val eval = Seq((2L, "xx yy zz ww")).toDF("doc_id", "text")
     assert(Dedup.decontaminateNgram(train, eval, 3).count() == 0)
+  }
+
+  test("admitIncremental: corpus dup rejected, in-batch dup routed, novel admitted") {
+    val corpus = Seq(
+      (1L, "the old corpus document about databases and storage"),
+      (2L, "another standing document on query optimization")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the old corpus document about databases and storage"), // = doc 1
+      (11L, "fresh unseen content with entirely novel words"),
+      (12L, "duplicate twins inside the batch alpha beta gamma"),
+      (13L, "duplicate twins inside the batch alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val out = Dedup.admitIncremental(corpus, batch, 3, 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (10L, 1L, 0L, "dup_of_corpus"),
+      (11L, 0L, 0L, "admitted"),
+      (12L, 0L, 1L, "needs_batch_dedup"),
+      (13L, 0L, 1L, "needs_batch_dedup")))
   }
 }

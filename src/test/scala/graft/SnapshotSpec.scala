@@ -45,4 +45,14 @@ class SnapshotSpec extends SparkSpec {
         .as[(Long, Long)].head()
     assert(sum(compacted) === sum(docs))
   }
+
+  test("op_dpp plans a runtime (dynamic) partition filter on the fact scan") {
+    val df = SparkEntry.queries("op_dpp")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a DynamicPruningExpression partition filter; plan:\n${plan.take(4000)}")
+    // and it still returns the right rows (engagement types only)
+    val types = df.collect().map(_.getString(0)).toSet
+    assert(types.subsetOf(Set("click", "view")) && types.nonEmpty)
+  }
 }
