@@ -26,6 +26,14 @@ object Bench {
       try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
+    // 1-minute system load (from /proc/loadavg) — recorded before each
+    // pass and at the end, so an inflated profile is diagnosable as
+    // sandbox cross-talk (r5/r7 both saw ~2.5x run-level inflation on
+    // unchanged queries) instead of being misread as a code regression.
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     // (name, seconds, error) — a throwing query must NOT be recorded as a
     // normal fast timing; it gets an entry in "errors" instead.
     def pass(): Seq[(String, Double, Option[String])] =
@@ -43,8 +51,11 @@ object Bench {
     // min-of-2 reports each query's achievable cost, not whatever the
     // neighbor left behind. All write queries are idempotent (drop-if-
     // exists / overwrite / pid-scoped temp dirs), so a second pass is safe.
+    val load0 = loadavg()
     val p1 = pass()
+    val load1 = loadavg()
     val p2 = pass()
+    val load2 = loadavg()
     // Merge the two passes per query:
     //  - both succeeded        → min time, success
     //  - exactly one succeeded → THAT pass's time, success, flagged flaky
@@ -84,15 +95,24 @@ object Bench {
     // "passes":2 records the min-of-2 methodology (introduced round 6) so
     // round-over-round totals aren't read as comparable to the single-pass
     // rounds 1-5: min-of-2 is systematically lower.
-    val fullPath = "/root/repo/BENCH_FULL.json"
+    // Repo root: user.dir when it looks like this sbt project (sbt runMain
+    // sets it to the project root), overridable via SPARK_GRAFT_REPO,
+    // /root/repo as the sandbox fallback — no hardcoded absolute path on
+    // foreign checkouts.
+    val repoRoot = sys.env.get("SPARK_GRAFT_REPO")
+      .orElse(Option(System.getProperty("user.dir"))
+        .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d, "build.sbt"))))
+      .getOrElse("/root/repo")
+    val fullPath = s"$repoRoot/BENCH_FULL.json"
+    val loads = f"""[$load0%.2f,$load1%.2f,$load2%.2f]"""
     val line =
-      s"""{"metric":"total","unit":"sec","passes":2,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}}"""
+      s"""{"metric":"total","unit":"sec","passes":2,"loadavg":$loads,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}}"""
     println(line)
     // Short line: slowest-first entries until the byte budget is spent.
     val budget = 1600
     val desc = asc.reverse.collect { case (k, v, None, _) =>
       jq(k) + ":" + f"$v%.3f" }
-    val header = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","passes":2,"n_ok":$nOk,"sf":"$sfDir","errors":$errs,"full":${jq(fullPath)},"queries_omitted":@OMIT@,"queries":{"""
+    val header = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","passes":2,"loadavg":$loads,"n_ok":$nOk,"sf":"$sfDir","errors":$errs,"full":${jq(fullPath)},"queries_omitted":@OMIT@,"queries":{"""
     var used = header.length + 60
     val kept = desc.takeWhile { e => used += e.length + 1; used <= budget }
     val short = header.replace("@OMIT@", (nOk - kept.length).toString) +
@@ -111,6 +131,17 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"bench: could not write $p: ${e.getMessage}") }
     }
+    // Append-only history: consecutive committed profiles are how
+    // run-to-run variance is told apart from real regressions (each line
+    // carries its epoch + loadavg). Never truncated, one JSON per run.
+    val histLine = "{\"epoch\":" + (System.currentTimeMillis() / 1000) + "," +
+      line.drop(1) + "\n"
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$repoRoot/BENCH_HISTORY.jsonl"),
+      histLine.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Throwable =>
+      System.err.println(s"bench: could not append history: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -391,7 +391,9 @@ object SparkEntry {
           timestamp_millis(unix_millis(col("ts"))).as("ts_ms"))
         .orderBy("event_id")),
 
-    // op 15: surrogate-key generation (deterministic oracle variant).
+    // op 15: surrogate-key generation — deterministic ids 1..N in key
+    // order via the two-level distributed prefix-sum (no global window;
+    // the scale path for random ids stays monotonically_increasing_id).
     "op15_surrogate" -> ((s, dir) =>
       Transforms.withDeterministicId(
           T(s, dir, "events").select("event_id", "event_type"), Seq("event_id"), "sk")
@@ -935,15 +937,14 @@ object SparkEntry {
       TextAnalysis.repetition(T(s, dir, "documents")).orderBy("doc_id")),
 
     // Token-budget packing: docs -> ~400-subword training sequences.
-    // Registered through the SHARDED operator with a constant shard —
-    // semantically the global pack (same oracle as always), but the
-    // public query surface now only exposes the partitioned-window form;
-    // the single-partition global variant is demoted to
-    // packSequencesGlobalOracleOnly and used nowhere registered.
+    // GLOBAL semantics computed as a two-level distributed prefix-sum
+    // (bucket-local cumsum windows + tiny offset join) — r7's constant-
+    // shard registration optimized to the same single-partition window it
+    // claimed to demote (PlanGuardSpec now proves no registered query
+    // plans a global ordered window; this is the fix).
     "text_pack" -> ((s, dir) =>
-      TextAnalysis.packSequencesSharded(
-          T(s, dir, "documents").withColumn("__shard", lit(0)), 400, "__shard")
-        .drop("shard").orderBy("doc_id")),
+      TextAnalysis.packSequencesGlobal(T(s, dir, "documents"), 400)
+        .orderBy("doc_id")),
 
     // The scale path: cumsum window partitioned by language shard, so
     // packing is one hash shuffle + per-shard sorts (no global sort).
@@ -1958,15 +1959,22 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n_plays DESC, artist_id) = 1
         |ORDER BY user_id""".stripMargin,
 
+    // Each component mirrors the Scala side exactly: non-negative pmod
+    // ((x % p) + p) % p, then NULL -> sentinel p-1. DuckDB's % keeps the
+    // dividend's sign, so the +p fold is required for negative values.
     "q_checksum" ->
       """WITH h AS (
-        |  SELECT event_id % 2147483647 AS p1,
-        |    user_id % 2147483647 AS p2,
-        |    epoch_us(ts) % 2147483647 AS p3,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  SELECT coalesce(((event_id % 2147483647) + 2147483647) % 2147483647,
+        |           2147483646) AS p1,
+        |    coalesce(((user_id % 2147483647) + 2147483647) % 2147483647,
+        |      2147483646) AS p2,
+        |    coalesce(((epoch_us(ts) % 2147483647) + 2147483647) % 2147483647,
+        |      2147483646) AS p3,
+        |    coalesce(((list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(range(length(event_type)),
         |        i -> ascii(substr(event_type, CAST(i + 1 AS INT), 1)))),
-        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS p4
+        |      (acc, c) -> (acc * 131 + c) % 2147483647)
+        |      % 2147483647) + 2147483647) % 2147483647, 2147483646) AS p4
         |  FROM events),
         |m AS (SELECT ((((((p1 * 131 + p2) % 2147483647) * 131 + p3)
         |        % 2147483647) * 131 + p4) % 2147483647) AS mix FROM h)
@@ -3039,11 +3047,13 @@ object SparkEntry {
     // the 48-file write + compaction rewrite is exactly what's asserted.
     "op_compact" ->
       """WITH h AS (
-        |  SELECT doc_id % 2147483647 AS p1,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  SELECT coalesce(((doc_id % 2147483647) + 2147483647) % 2147483647,
+        |           2147483646) AS p1,
+        |    coalesce(((list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(range(length(text)),
         |        i -> ascii(substr(text, CAST(i + 1 AS INT), 1)))),
-        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS p2
+        |      (acc, c) -> (acc * 131 + c) % 2147483647)
+        |      % 2147483647) + 2147483647) % 2147483647, 2147483646) AS p2
         |  FROM documents),
         |m AS (SELECT ((p1 % 2147483647) * 131 + p2) % 2147483647 AS mix FROM h)
         |SELECT count(*) AS n_rows,

@@ -96,13 +96,48 @@ object Transforms {
   def withSurrogateId(df: DataFrame, name: String = "songplay_id"): DataFrame =
     df.withColumn(name, monotonically_increasing_id())
 
-  /** Deterministic surrogate key for oracle-compared outputs ONLY — a
-    * global row_number is a single-partition sort; never use at scale.
+  /** Deterministic surrogate key: ids 1..N in `orderCols` order, computed
+    * as a two-level distributed prefix-sum instead of a global row_number
+    * window (which funnels the corpus through ONE task). Level 1 buckets
+    * rows by an equal-width split of `orderCols.head`'s [min, max] range —
+    * monotone in the leading order column, so bucket order IS global
+    * order — and ranks within each bucket (a partitioned window that
+    * parallelizes across executors). Level 2 turns per-bucket counts into
+    * starting offsets with a tiny ≤ buckets² self-join (no window, no
+    * sort). Output is IDENTICAL to `row_number() OVER (ORDER BY
+    * orderCols)` whenever orderCols is a total order.
+    *
+    * Requirements: `orderCols.head` must be numeric (the range split needs
+    * arithmetic). Skewed leading-key distributions skew the buckets —
+    * correctness is unaffected; raise `buckets` or pre-hash if one bucket
+    * dominates. The min/max is one tiny broadcast agg, same idiom as
+    * temperatureMixture's total.
     */
   def withDeterministicId(df: DataFrame, orderCols: Seq[String],
-                          name: String = "songplay_id"): DataFrame =
-    df.withColumn(name,
-      row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("long"))
+                          name: String = "songplay_id", buckets: Int = 64): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val key = col(orderCols.head).cast("double")
+    val stats = df.agg(min(key).as("__lo"), max(key).as("__hi"))
+    // floor((k−lo)·B / (hi−lo+1)) ∈ [0, B): monotone nondecreasing in k,
+    // equal keys land in equal buckets — exactly what order-preservation
+    // needs. The +1 keeps k = hi strictly below B.
+    val bucketed = df.crossJoin(broadcast(stats))
+      .withColumn("__bkt",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          floor((key - col("__lo")) * buckets / (col("__hi") - col("__lo") + 1.0))))
+      .drop("__lo", "__hi")
+    val local = bucketed.withColumn("__rn",
+      row_number().over(
+        Window.partitionBy(col("__bkt")).orderBy(orderCols.map(col): _*)).cast("long"))
+    val counts = bucketed.groupBy("__bkt").agg(count(lit(1)).as("__n"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.__bkt") < col("a.__bkt"), "left")
+      .groupBy(col("a.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), "__bkt")
+      .withColumn(name, col("__off") + col("__rn"))
+      .drop("__bkt", "__rn", "__off")
+  }
 
   /** Idiomatic dimension dedup: keep the latest row per key by `tsCol`
     * (tie-broken deterministically by the remaining order columns) —

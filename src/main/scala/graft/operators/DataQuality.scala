@@ -72,8 +72,13 @@ object DataQuality {
     * and row order — two engines (or two replicas of a 100 TB table) can
     * each compute it with one scan + one tiny agg and compare a single
     * number, the replication-consistency check a warehouse migration
-    * needs. NULL components fold as the sentinel p−1 (distinct from any
-    * real residue), so a value→NULL corruption changes the sum.
+    * needs. NULL components fold as the sentinel p−1 so a value→NULL
+    * corruption (almost always) changes the sum — NOTE this is a hash
+    * choice, not a reserved code: pmod ranges over [0, p−1], so a real
+    * value ≡ −1 (mod p) folds identically to NULL. Cross-engine parity
+    * requires the other engine to apply the SAME non-negative pmod and
+    * NULL sentinel per component (the registered DuckDB oracles mirror
+    * both).
     * The row sum routes through DECIMAL(38,0): exact, overflow-free at
     * any row count (a raw long sum would hit ANSI overflow past ~2⁶³/p
     * rows).

@@ -467,7 +467,7 @@ object Dedup {
     labels.select(col("id").as(idCol), col("cluster_id"))
   }
 
-  /** Bag-of-words cosine near-dup: pairs whose TERM-FREQUENCY vectors
+  /** Bag-of-words TF cosine near-dup: pairs whose TERM-FREQUENCY vectors
     * have cosine ≥ threshold — the vector-space twin of the Jaccard
     * family, sensitive to repetition (a doc that repeats one paragraph
     * five times scores high here and low on set-based Jaccard). Raw tf
@@ -475,62 +475,49 @@ object Dedup {
     * exact integers, so the similarity is bit-reproducible on any engine
     * and partitioning — sqrt/division are single correctly-rounded IEEE
     * ops at the edge (tf-idf's per-term `ln` would make every weight a
-    * last-ulp coin flip). Same inverted-index posting shuffle as
-    * [[ngramJaccardPairs]]: one (doc,term) count aggregation, a
-    * term-keyed a<b self-join with map-side-combined integer dots, two
-    * norm joins. Skew caveat: corpus-wide boilerplate terms fatten
-    * postings df² like any posting join — cap or stopword them upstream
-    * at scale.
-    */
-  /** Bag-of-words TF cosine ≥ threshold via norm-mass prefix filtering
-    * (the cosine analogue of Bayardo et al.'s all-pairs bound). The naive
-    * posting self-join is QUADRATIC on common terms — every document
-    * contains "the", so that one term alone contributes df² candidate
-    * pairs (measured: 123 s at a 5 000-doc corpus vs ~2 s filtered, and
-    * it only gets worse with corpus size². [[tfCosinePairsNaive]] keeps
-    * the all-pairs form as the equivalence oracle).
+    * last-ulp coin flip).
     *
-    * Soundness: each doc posts only its PREFIX — terms in ascending
-    * global-df order until the posted squared mass reaches (1−c)·‖d‖²,
-    * c = 0.9·threshold. The candidate join is prefix × full postings,
-    * both directions. A missed pair shares terms only inside both
-    * suffixes, so by Cauchy–Schwarz cos ≤ √(suffixFrac_a·suffixFrac_b)
-    * ≤ c < threshold — it could never qualify. The 0.9 margin swallows
-    * float rounding at the boundary. High-df terms almost never appear
-    * in a prefix, so the candidate count tracks the true near-dup count,
-    * not Σ df². Candidates are then verified with the exact integer dot.
+    * Shape: the classic inverted-index posting self-join — one (doc,term)
+    * count aggregation, a term-keyed a<b self-join with map-side-combined
+    * integer dots, two norm joins. Cost is Σ df² over terms: fine when
+    * document overlap is what dominates posting lists, quadratic when a
+    * few corpus-wide terms do. `maxTermDf`, when set, drops terms
+    * appearing in more than that many documents BEFORE the self-join
+    * (norms keep the full vectors, so the computed cosine is a LOWER
+    * bound — recall-only loss, mirroring `maxShingleFreq` in
+    * [[ngramJaccardPairs]]; off by default so results stay exact).
+    *
+    * Formulation choice, measured on the sf0.1 synthetic corpus
+    * (BENCH_FULL.json): this posting join runs in ~1.3 s, while the
+    * prefix-filtered [[tfCosinePairsPrefix]] took 50.2 s (BENCH_r07) —
+    * the synthetic vocabulary is small, so every "rare" term still has a
+    * fat posting list and the prefix bound prunes nothing while paying
+    * its own machinery. On a real long-tail vocabulary the asymmetry
+    * flips (df² on stopwords explodes; prefixes stay rare) — that is
+    * what the prefix variant is for. This, the registered form, is the
+    * one the bench proves fastest on the benched corpus.
     */
   def tfCosinePairs(docs: DataFrame, threshold: Double,
-                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                    textCol: String = "text", idCol: String = "doc_id",
+                    maxTermDf: Option[Int] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
-    // One materialization of the doc index: tf feeds the df count, the
-    // prefix window, and both verify sides (same localCheckpoint pattern
-    // as ngramJaccardPairsPrefix).
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.Fns.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    // Norms ALWAYS come from the full vectors — a df cap only removes
+    // dot contributions, so capped cosines under-estimate (never admit).
     val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
-    val dfCounts = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val c = 0.9 * threshold
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val prefix = tf.join(dfCounts, "term").join(norms, "doc_id")
-      .withColumn("cum", sum(col("tf") * col("tf")).over(w))
-      .filter((col("cum") - col("tf") * col("tf")).cast("double")
-        < (lit(1.0) - lit(c)) * col("sq").cast("double"))
-      .select("doc_id", "term")
-    val cand = prefix.as("pa")
-      .join(tf.select("doc_id", "term").as("pb"),
-        col("pa.term") === col("pb.term") && col("pa.doc_id") =!= col("pb.doc_id"))
-      .select(least(col("pa.doc_id"), col("pb.doc_id")).as("doc_a"),
-        greatest(col("pa.doc_id"), col("pb.doc_id")).as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    val dots = tf.as("a").join(cand, col("a.doc_id") === col("doc_a"))
-      .join(tf.as("b"),
-        col("b.doc_id") === col("doc_b") && col("a.term") === col("b.term"))
-      .groupBy("doc_a", "doc_b")
+    val postings = maxTermDf match {
+      case Some(cap) =>
+        val hot = tf.groupBy("term").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("term")
+        tf.join(hot, Seq("term"), "left_anti")
+      case None => tf
+    }
+    val dots = postings.as("a").join(postings.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
     val cos = col("dot") / (sqrt(col("sq_a")) * sqrt(col("sq_b")))
     dots
@@ -540,26 +527,85 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(cos, 6).as("tf_cosine"))
   }
 
-  /** All-pairs TF cosine — the exact verifier twin of [[tfCosinePairs]]
-    * (DedupSpec proves filtered ≡ naive). Quadratic on common terms:
-    * oracle/spec corpora only, never pipeline or bench paths.
+  /** TF cosine ≥ threshold via norm-mass prefix filtering (the cosine
+    * analogue of Bayardo et al.'s all-pairs bound) — the scale path for
+    * corpora whose posting-list mass concentrates in a few corpus-wide
+    * terms (real text: "the" alone contributes df² pairs to the posting
+    * join). NOT the registered/benched form: on the small-vocabulary
+    * synthetic bench corpus the bound prunes nothing and this measured
+    * 50.2 s vs ~1.3 s for the posting join (BENCH_r07 / BENCH_FULL.json)
+    * — see [[tfCosinePairs]] for the choice. DedupSpec proves the two
+    * equivalent at several thresholds.
+    *
+    * Soundness: each doc posts only its PREFIX — terms in ascending
+    * global-df order until the posted squared mass reaches (1−c)·‖d‖²,
+    * c = 0.9·threshold. The candidate join is prefix × full postings,
+    * both directions. A missed pair shares terms only inside both
+    * suffixes, so by Cauchy–Schwarz cos ≤ √(suffixFrac_a·suffixFrac_b)
+    * ≤ c < threshold — it could never qualify. The 0.9 margin swallows
+    * float rounding at the boundary. High-df terms almost never appear
+    * in a prefix, so the candidate count tracks the true near-dup count,
+    * not Σ df².
+    *
+    * Verification runs on CARRIED per-doc (term,tf) arrays — one hash-map
+    * probe pass per candidate pair, no re-shuffle of the posting lists
+    * (the same carried-array pattern as [[ngramJaccardPairsPrefix]]); the
+    * dot stays an exact integer. The per-doc index is localCheckpoint'd
+    * LAZILY (computed once on first action, then reused by the prefix
+    * explode and both verify sides).
     */
-  private[graft] def tfCosinePairsNaive(docs: DataFrame, threshold: Double,
-                                        textCol: String = "text",
-                                        idCol: String = "doc_id"): DataFrame = {
+  def tfCosinePairsPrefix(docs: DataFrame, threshold: Double,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.Fns.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
-    val dots = tf.as("a").join(tf.as("b"),
-        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    val dfCounts = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val c = 0.9 * threshold
+    // Per-doc index: (term, tf) sorted by ascending global df, squared
+    // norm, and the prefix length k = #terms whose PRECEDING cumulative
+    // squared mass is < (1−c)·‖d‖² (the cumulative scan runs inside the
+    // row via `aggregate` — no window, no extra shuffle).
+    val docsets = tf.join(dfCounts, "term")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("term"), col("tf")))).as("sorted"))
+      .select(col("doc_id"),
+        transform(col("sorted"), s =>
+          struct(s.getField("term").as("term"), s.getField("tf").as("tf"))).as("terms"),
+        aggregate(col("sorted"), lit(0L),
+          (acc, s) => acc + s.getField("tf") * s.getField("tf")).as("sq"))
+      .withColumn("prefix_len",
+        aggregate(col("terms"),
+          struct(lit(0L).as("cum"), lit(0).as("k")),
+          (acc, e) => struct(
+            (acc.getField("cum") + e.getField("tf") * e.getField("tf")).as("cum"),
+            (acc.getField("k") +
+              when(acc.getField("cum").cast("double")
+                < (lit(1.0) - lit(c)) * col("sq").cast("double"), 1).otherwise(0)).as("k")),
+          acc => acc.getField("k")))
+      .localCheckpoint(false)
+    val prefix = docsets
+      .select(col("doc_id"),
+        explode(transform(slice(col("terms"), lit(1), col("prefix_len")),
+          e => e.getField("term"))).as("term"))
+    val cand = prefix.as("pa")
+      .join(tf.select("doc_id", "term").as("pb"),
+        col("pa.term") === col("pb.term") && col("pa.doc_id") =!= col("pb.doc_id"))
+      .select(least(col("pa.doc_id"), col("pb.doc_id")).as("doc_a"),
+        greatest(col("pa.doc_id"), col("pb.doc_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // Exact verify on the carried arrays: probe b's (term→tf) map with
+    // a's terms — integer dot, zero posting re-shuffle.
+    val da = docsets.select(col("doc_id").as("doc_a"),
+      col("terms").as("t_a"), col("sq").as("sq_a"))
+    val db = docsets.select(col("doc_id").as("doc_b"),
+      map_from_entries(col("terms")).as("m_b"), col("sq").as("sq_b"))
     val cos = col("dot") / (sqrt(col("sq_a")) * sqrt(col("sq_b")))
-    dots
-      .join(norms.select(col("doc_id").as("doc_a"), col("sq").as("sq_a")), "doc_a")
-      .join(norms.select(col("doc_id").as("doc_b"), col("sq").as("sq_b")), "doc_b")
+    cand.join(da, "doc_a").join(db, "doc_b")
+      .withColumn("dot", aggregate(col("t_a"), lit(0L),
+        (acc, e) => acc +
+          e.getField("tf") * coalesce(element_at(col("m_b"), e.getField("term")), lit(0L))))
       .filter(cos >= threshold)
       .select(col("doc_a"), col("doc_b"), round(cos, 6).as("tf_cosine"))
   }
@@ -658,9 +704,14 @@ object Dedup {
     *
     * Recall: a pair at angle θ shares one table's bucket with probability
     * (1 − θ/π)^nPlanes, so the miss probability over nTables independent
-    * tables is (1 − (1 − θ/π)^nPlanes)^nTables — for the near-dup regime
-    * this operator targets (cosine ≥ ~0.95, θ/π ≲ 0.1) the defaults give
-    * per-pair miss < 1e-10. Like all LSH, it is NOT a substitute for the
+    * tables is (1 − (1 − θ/π)^nPlanes)^nTables. At the WORST case this
+    * operator targets — pairs sitting exactly on a 0.95 threshold
+    * (θ/π ≈ 0.101) — the defaults give per-pair miss ≈ 3.4e-2; recall
+    * rises steeply above the boundary (cos 0.99 → miss ≈ 8e-4) and can be
+    * driven down with more tables. MEASURED, not just argued:
+    * SimilaritySpec plants 200 twins at cosines 0.951–0.960 in the
+    * 2000-vector sf0.1 corpus and asserts ≥ 0.92 recall vs the exact
+    * join. Like all LSH, it is NOT a substitute for the
     * exact join at low thresholds (θ near π/2): there (1 − θ/π)^nPlanes
     * offers no separation and the honest scale path is a block-partitioned
     * exact join. Vectors ride along in the bucket rows so verification

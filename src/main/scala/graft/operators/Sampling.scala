@@ -133,9 +133,13 @@ object Sampling {
     * (`TakeOrderedAndProject`: per-partition heaps + one tiny merge), NOT
     * a global sort — the orderBy+limit shape Catalyst plans specially, so
     * the full corpus never shuffles. Same-hash determinism makes the
-    * sample reproducible across runs, partitionings, and engines; the
-    * clock values stay internal (IEEE per-row math, identical in any
-    * engine), only the selected rows are surfaced. Zero/negative weights
+    * sample reproducible across runs and partitionings. Cross-ENGINE
+    * caveat: unlike the integer-ratio operators, the float here decides
+    * row MEMBERSHIP — `ln` is not guaranteed identically rounded across
+    * libm implementations, so a last-ulp disagreement exactly at the
+    * k-th smallest clock could select a different row on another engine
+    * (same boundary-tie class of risk as the hllEstimate ln caveat; it
+    * has not been observed on the test corpora). Zero/negative weights
     * are rejected rather than silently dropped.
     */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,

@@ -18,6 +18,17 @@ object Snapshot {
     * as changes). Unchanged rows are dropped BEFORE the projection widens,
     * so the operator's output is proportional to the churn, not the table.
     *
+    * Schema contract: the OLD snapshot's columns are the diff surface —
+    * compared columns are `oldDf`'s non-key columns intersected with
+    * `newDf`'s. A column that exists only in the new snapshot is NOT
+    * compared: rows differing only there classify as unchanged and are
+    * dropped (and a column dropped in the new snapshot likewise vanishes
+    * from the diff). This is deliberate — after a schema evolution the
+    * old snapshot simply has no value to diff against, and inventing a
+    * NULL on the missing side would mark EVERY row changed. To audit an
+    * added column, diff it forward next cycle (when both snapshots carry
+    * it) or project it explicitly into both inputs first.
+    *
     * Plan shape: one full outer join shuffling both sides on the key —
     * the minimum possible for a diff (every key must meet its twin) — and
     * the change classification is a flat codegen'd projection on top. At

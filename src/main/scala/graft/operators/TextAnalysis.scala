@@ -204,11 +204,11 @@ object TextAnalysis {
     *
     * ORACLE-ONLY — the name says so on purpose: the unpartitioned ordered
     * window funnels the whole corpus through a single-partition sort —
-    * fine for an sf0.01 correctness dump, wrong at scale. Production
-    * packing is [[packSequencesSharded]], whose window is partitioned by
-    * a shard column and therefore spreads across executors; with a
-    * constant shard it reproduces this exact semantics (the registered
-    * `text_pack` query does that), so nothing public needs this form.
+    * fine for an sf0.01 correctness dump, wrong at scale. It survives
+    * solely as the spec twin of [[packSequencesGlobal]] (the two-level
+    * prefix-sum the registered `text_pack` runs, identical output) and of
+    * [[packSequencesSharded]] (per-shard equivalence). PlanGuardSpec
+    * asserts no registered query plans this window shape.
     */
   def packSequencesGlobalOracleOnly(docs: DataFrame, budget: Int,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -218,6 +218,43 @@ object TextAnalysis {
     toks.withColumn("cum", sum(col("n_subwords")).over(w))
       .select(col("doc_id"), col("n_subwords"),
         floor((col("cum") - col("n_subwords")) / budget).as("seq_id"))
+  }
+
+  /** GLOBAL token-budget packing that scales: the doc_id-ordered running
+    * cumsum computed as a two-level distributed prefix-sum instead of the
+    * single-partition window above. Level 1 buckets docs by an equal-width
+    * split of the [min, max] doc_id range — monotone in doc_id, so bucket
+    * order IS global order — and cumsums within each bucket (partitioned
+    * window, parallel across executors). Level 2 converts per-bucket token
+    * totals into starting offsets with a ≤ buckets² self-join (no window).
+    * Output ≡ [[packSequencesGlobalOracleOnly]] (TextAnalysisSpec proves
+    * it); this is the registered `text_pack` form. Skewed id ranges skew
+    * buckets (correctness unaffected — raise `buckets` or pre-densify
+    * ids); [[packSequencesSharded]] remains the form for streams that are
+    * independent per language/source anyway.
+    */
+  def packSequencesGlobal(docs: DataFrame, budget: Int,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          buckets: Int = 32): DataFrame = {
+    val toks = tokenCounts(docs, textCol, idCol).select(col("doc_id"), col("n_subwords"))
+    val key = col("doc_id").cast("double")
+    val stats = toks.agg(min(key).as("__lo"), max(key).as("__hi"))
+    val bucketed = toks.crossJoin(broadcast(stats))
+      .withColumn("__bkt",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          floor((key - col("__lo")) * buckets / (col("__hi") - col("__lo") + 1.0))))
+      .drop("__lo", "__hi")
+    val w = Window.partitionBy(col("__bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("__cum", sum(col("n_subwords")).over(w))
+    val totals = bucketed.groupBy("__bkt").agg(sum(col("n_subwords")).as("__t"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.__bkt") < col("a.__bkt"), "left")
+      .groupBy(col("a.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("b.__t")), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), "__bkt")
+      .select(col("doc_id"), col("n_subwords"),
+        floor((col("__off") + col("__cum") - col("n_subwords")) / budget).as("seq_id"))
   }
 
   /** Token-budget sequence packing, SHARDED (the scale path): the running

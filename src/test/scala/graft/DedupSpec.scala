@@ -242,15 +242,36 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.tfCosinePairs(twins, 0.99).head().getAs[Double]("tf_cosine") == 1.0)
   }
 
-  test("tfCosinePairs: prefix-filtered ≡ naive all-pairs at several thresholds") {
+  test("tfCosinePairs: prefix-filtered ≡ posting join at several thresholds") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     Seq(0.5, 0.8, 0.95).foreach { t =>
-      val fast = Dedup.tfCosinePairs(docs, t).orderBy("doc_a", "doc_b")
+      val prefix = Dedup.tfCosinePairsPrefix(docs, t).orderBy("doc_a", "doc_b")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-      val naive = Dedup.tfCosinePairsNaive(docs, t).orderBy("doc_a", "doc_b")
+      val posting = Dedup.tfCosinePairs(docs, t).orderBy("doc_a", "doc_b")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-      assert(fast == naive, s"threshold $t: filtered diverged from all-pairs")
+      assert(prefix == posting, s"threshold $t: prefix-filtered diverged from posting join")
     }
+  }
+
+  test("tfCosinePairs: maxTermDf cap only LOWERS cosines (recall-only loss)") {
+    // Docs 1,2 are identical: four rare terms + one corpus-wide hot term.
+    // Background docs 3..10 share ONLY the hot term with everything else.
+    val docs = (Seq(
+      (1L, "r1 r2 r3 r4 hot"),
+      (2L, "r1 r2 r3 r4 hot")) ++
+      (3L to 10L).map(i => (i, s"hot y$i z$i w$i v$i"))).toDF("doc_id", "text")
+    val exact = Dedup.tfCosinePairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // hot has df=10 > cap=5, so it is dropped from the dot but NOT the
+    // norms: (1,2) keeps 4 of its 5 unit contributions -> 4/5 = 0.8.
+    val capped = Dedup.tfCosinePairs(docs, 0.5, maxTermDf = Some(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact == Map((1L, 2L) -> 1.0))
+    assert(capped == Map((1L, 2L) -> 0.8))
+    // and a cap nothing exceeds is a no-op (exactness preserved)
+    val wide = Dedup.tfCosinePairs(docs, 0.5, maxTermDf = Some(100)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(wide == exact)
   }
 
   test("containment: short doc embedded in long one scores high one-way") {

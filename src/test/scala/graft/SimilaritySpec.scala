@@ -176,4 +176,50 @@ class SimilaritySpec extends SparkSpec {
     val plus = flat.count(_ > 0)
     assert(plus > 200 && plus < 312, s"signs unbalanced: $plus/512 positive")
   }
+
+  test("embeddingNearDupPairsLsh: measured recall ≥ 0.92 at bench scale, boundary-planted pairs") {
+    // MEASURED recall at the benched corpus size (sf0.1 embeddings: 2000
+    // vectors, dim 64), not the analytic argument alone: 200 planted
+    // near-dup twins at cosines JUST above the 0.95 threshold (0.951 …
+    // 0.960 — the worst case LSH has to catch), recall computed against
+    // the exact all-pairs twin. At cos 0.951 a pair shares a bucket per
+    // table w.p. (1−θ/π)^8 ≈ 0.43, so the default 6 tables miss w.p.
+    // ≈ 0.034 → expected recall ≈ 0.966 with σ ≈ 0.013 over 200 plants;
+    // the 0.92 floor is > 3σ below that.
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    assert(base.length >= 1000, "fixture expects the sf0.1 embeddings table")
+    // Rotate v toward a deterministic orthogonal direction by exactly
+    // φ = arccos(target): cosine(v, planted) = target up to float rounding.
+    def plant(v: Array[Float], target: Double, k: Int): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val vn = v.map(_ / n)
+      val u0 = Array.tabulate(v.length)(i => ((i * 31 + k * 17) % 7 - 3).toDouble)
+      val d = u0.indices.map(i => u0(i) * vn(i)).sum
+      val orth = u0.indices.map(i => u0(i) - d * vn(i)).toArray
+      val on = math.sqrt(orth.map(x => x * x).sum)
+      val ou = orth.map(_ / on)
+      val phi = math.acos(target)
+      vn.indices.map(i => (vn(i) * math.cos(phi) + ou(i) * math.sin(phi)).toFloat).toArray
+    }
+    val planted = base.take(200).zipWithIndex.map { case ((id, v), k) =>
+      (id + 1000000L, plant(v, 0.951 + 0.009 * (k % 10) / 9.0, k))
+    }
+    val fixture = (base ++ planted).toSeq
+      .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .repartition(8).cache()
+    val exact = operators.Dedup.embeddingNearDupPairs(fixture, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = operators.Dedup.embeddingNearDupPairsLsh(fixture, 0.95, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    fixture.unpersist()
+    // every planted twin must qualify under the exact join (fixture sanity)
+    val plantedPairs = base.take(200).map(p => (p._1, p._1 + 1000000L)).toSet
+    assert((plantedPairs -- exact).isEmpty, "planted pairs missing from the exact join")
+    // LSH verifies with the exact cosine, so it can only ever be a subset
+    assert((lsh -- exact).isEmpty, "LSH emitted a pair the exact join rejects")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.92, f"LSH recall $recall%.4f < 0.92 (${lsh.size}/${exact.size})")
+  }
 }

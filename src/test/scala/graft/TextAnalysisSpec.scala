@@ -58,6 +58,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_subwords")).toSeq == Seq(3L, 3L, 3L))
   }
 
+  test("packSequencesGlobal two-level prefix-sum ≡ single-window global pack") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (budget <- Seq(50, 400)) {
+      val got = TextAnalysis.packSequencesGlobal(docs, budget, buckets = 7)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = TextAnalysis.packSequencesGlobalOracleOnly(docs, budget)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == want.toSeq, s"budget $budget")
+    }
+  }
+
   test("packSequencesSharded: per-shard cumsum equals global packing of each shard") {
     val docs = Seq(
       (1L, "a b c", "en"), (2L, "d e f", "en"), (3L, "g h i", "en"),

@@ -108,6 +108,20 @@ class TransformsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
   }
 
+  test("withDeterministicId two-level prefix-sum ≡ global row_number") {
+    // Non-contiguous, shuffled, negative-inclusive keys spread across many
+    // buckets, plus a secondary order column exercising multi-col order.
+    val rows = (1 to 1000).map(i => ((i * 7919 % 997).toLong - 200L, i.toLong))
+    val df = rows.toDF("k", "tie")
+    val got = Transforms.withDeterministicId(df, Seq("k", "tie"), "id", buckets = 16)
+      .orderBy("k", "tie").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = df.withColumn("id",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"k", $"tie")).cast("long"))
+      .orderBy("k", "tie").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("events testdata reader yields micros timestamps (nanos truncated)") {
     val e = Ingest.readEvents(spark, "/root/testdata/sf0.001")
     assert(e.schema("ts").dataType.typeName == "timestamp")
