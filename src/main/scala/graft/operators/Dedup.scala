@@ -467,44 +467,118 @@ object Dedup {
     labels.select(col("id").as(idCol), col("cluster_id"))
   }
 
-  /** Bag-of-words TF cosine near-dup: pairs whose TERM-FREQUENCY vectors
-    * have cosine ≥ threshold — the vector-space twin of the Jaccard
-    * family, sensitive to repetition (a doc that repeats one paragraph
-    * five times scores high here and low on set-based Jaccard). Raw tf
-    * counts, not tf-idf, ON PURPOSE: dots and squared norms are then
+  /** Bag-of-words TF cosine near-dup ≥ threshold — the vector-space twin
+    * of the Jaccard family, sensitive to repetition (a doc repeating one
+    * paragraph five times scores high here and low on set-based Jaccard).
+    * Raw tf counts, not tf-idf, ON PURPOSE: dots and squared norms are
     * exact integers, so the similarity is bit-reproducible on any engine
     * and partitioning — sqrt/division are single correctly-rounded IEEE
-    * ops at the edge (tf-idf's per-term `ln` would make every weight a
-    * last-ulp coin flip).
+    * ops at the edge.
     *
-    * Shape: the classic inverted-index posting self-join — one (doc,term)
-    * count aggregation, a term-keyed a<b self-join with map-side-combined
-    * integer dots, two norm joins. Cost is Σ df² over terms: fine when
-    * document overlap is what dominates posting lists, quadratic when a
-    * few corpus-wide terms do. `maxTermDf`, when set, drops terms
+    * This is a DISPATCHER: it measures the corpus's vocabulary with one
+    * tiny aggregate (two scalars — the DataFrame-level analogue of a
+    * cost-based planner rule) and picks the physical strategy the stats
+    * prove right. All three formulations produce bit-identical output
+    * (DedupSpec proves it); they differ ONLY in where the Σ tf_a·tf_b
+    * multiplies happen:
+    *
+    *  - SMALL vocabulary (V ≤ denseVocabMax, N ≤ denseMaxDocs):
+    *    [[tfCosinePairsDense]]. When V is small, posting lists are fat by
+    *    pigeonhole — Σ df² ≈ N²·V̄ — so ANY inverted-index form
+    *    materializes and shuffles the same ~N² candidate rows it would
+    *    have compared anyway. The dense path does those multiplies
+    *    in-register inside one codegen'd loop join instead. Measured at
+    *    sf0.1 (5 000 docs, V = 31, Σ df² = 4.5e8): postings 194 s,
+    *    prefix-filtered 50 s (BENCH_r07), dense — see BENCH_FULL.json,
+    *    ~50–100× faster than either.
+    *  - LONG-TAIL vocabulary (real text): [[tfCosinePairsPrefix]] — the
+    *    norm-mass prefix filter bounds candidates by RARE-term posting
+    *    lists; the small-V blowup above cannot occur because V > the
+    *    dense cutoff means mean df = postings/V stays thin at any N
+    *    where this operator (exact all-pairs semantics) is sane.
+    *
+    * [[tfCosinePairsPostings]] (the plain inverted-index join) remains
+    * public for corpora known to be mid-vocabulary with a `maxTermDf`
+    * skew cap.
+    */
+  def tfCosinePairs(docs: DataFrame, threshold: Double,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    denseVocabMax: Int = 256, denseMaxDocs: Long = 100000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val tf = termFrequencies(docs, textCol, idCol)
+    val stats = tf.agg(countDistinct(col("term")).as("v"),
+      countDistinct(col("doc_id")).as("n")).head()
+    val (v, n) = (stats.getLong(0), stats.getLong(1))
+    if (v <= denseVocabMax && n <= denseMaxDocs)
+      tfCosinePairsDense(docs, threshold, textCol, idCol)
+    else tfCosinePairsPrefix(docs, threshold, textCol, idCol)
+  }
+
+  /** (doc_id, term, tf) — the shared first stage of every tf-cosine
+    * formulation: one explode + hash aggregate with map-side combine.
+    */
+  private def termFrequencies(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.Fns.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** TF cosine via DENSE vectors — the small-vocabulary strategy (see
+    * [[tfCosinePairs]] for when and why). Each doc becomes a V-wide
+    * array<double> in one global sorted-vocab order (the vocab rides as a
+    * one-row broadcast; densify is N·V map probes, trivial at the V this
+    * path accepts); pairs come from a broadcast a<b loop join whose only
+    * per-pair work is the native codegen'd [[graft.expressions.ArrayDot]]
+    * — zero shuffle after the tf aggregate. Dots and squared norms stay
+    * exact integers (valued ≤ 2⁵³ as doubles), so output is bit-identical
+    * to the posting join and the DuckDB oracle. Memory bound: the
+    * broadcast side is N·V·8 bytes (the dispatcher's denseMaxDocs /
+    * denseVocabMax caps keep it ≲ 200 MB); genuinely unbounded corpora
+    * belong to the prefix or LSH paths, not here.
+    */
+  def tfCosinePairsDense(docs: DataFrame, threshold: Double,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val tf = termFrequencies(docs, textCol, idCol)
+    val vocab = tf.select("term").distinct()
+      .agg(sort_array(collect_list(col("term"))).as("__vocab"))
+    val dense = tf.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("tf")))).as("__m"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        transform(col("__vocab"), t =>
+          coalesce(element_at(col("__m"), t), lit(0L)).cast("double")).as("v"))
+      .withColumn("sq", call_function("graft_dot", col("v"), col("v")))
+      // lazy materialize-once: the frame feeds BOTH sides of the self-join
+      // (broadcast build + stream), which would otherwise each re-run the
+      // tokenize/aggregate/densify subtree.
+      .localCheckpoint(false)
+    val cosOf = (dot: org.apache.spark.sql.Column) =>
+      dot / (sqrt(col("sq_a")) * sqrt(col("sq_b")))
+    dense.as("a").join(broadcast(dense.as("b")), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        call_function("graft_dot", col("a.v"), col("b.v")).as("dot"),
+        col("a.sq").as("sq_a"), col("b.sq").as("sq_b"))
+      .filter(cosOf(col("dot")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(cosOf(col("dot")), 6).as("tf_cosine"))
+  }
+
+  /** TF cosine via the plain inverted-index posting self-join — the
+    * mid-vocabulary strategy: one (doc,term) count aggregation, a
+    * term-keyed a<b self-join with map-side-combined integer dots, two
+    * norm joins. Cost is Σ df² over terms — fine when posting lists stay
+    * thin, quadratic when corpus-wide terms fatten them (measured 194 s
+    * at sf0.1 where V = 31; the dispatcher routes that shape to
+    * [[tfCosinePairsDense]]). `maxTermDf`, when set, drops terms
     * appearing in more than that many documents BEFORE the self-join
     * (norms keep the full vectors, so the computed cosine is a LOWER
     * bound — recall-only loss, mirroring `maxShingleFreq` in
     * [[ngramJaccardPairs]]; off by default so results stay exact).
-    *
-    * Formulation choice, measured on the sf0.1 synthetic corpus
-    * (BENCH_FULL.json): this posting join runs in ~1.3 s, while the
-    * prefix-filtered [[tfCosinePairsPrefix]] took 50.2 s (BENCH_r07) —
-    * the synthetic vocabulary is small, so every "rare" term still has a
-    * fat posting list and the prefix bound prunes nothing while paying
-    * its own machinery. On a real long-tail vocabulary the asymmetry
-    * flips (df² on stopwords explodes; prefixes stay rare) — that is
-    * what the prefix variant is for. This, the registered form, is the
-    * one the bench proves fastest on the benched corpus.
     */
-  def tfCosinePairs(docs: DataFrame, threshold: Double,
-                    textCol: String = "text", idCol: String = "doc_id",
-                    maxTermDf: Option[Int] = None): DataFrame = {
+  def tfCosinePairsPostings(docs: DataFrame, threshold: Double,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            maxTermDf: Option[Int] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
-    val tf = docs
-      .select(col(idCol).as("doc_id"),
-        explode(graft.functions.Fns.tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(docs, textCol, idCol)
     // Norms ALWAYS come from the full vectors — a df cap only removes
     // dot contributions, so capped cosines under-estimate (never admit).
     val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
@@ -528,14 +602,16 @@ object Dedup {
   }
 
   /** TF cosine ≥ threshold via norm-mass prefix filtering (the cosine
-    * analogue of Bayardo et al.'s all-pairs bound) — the scale path for
-    * corpora whose posting-list mass concentrates in a few corpus-wide
-    * terms (real text: "the" alone contributes df² pairs to the posting
-    * join). NOT the registered/benched form: on the small-vocabulary
-    * synthetic bench corpus the bound prunes nothing and this measured
-    * 50.2 s vs ~1.3 s for the posting join (BENCH_r07 / BENCH_FULL.json)
-    * — see [[tfCosinePairs]] for the choice. DedupSpec proves the two
-    * equivalent at several thresholds.
+    * analogue of Bayardo et al.'s all-pairs bound) — the long-tail-
+    * vocabulary strategy (see [[tfCosinePairs]] for the dispatch): real
+    * text's posting mass concentrates in a few corpus-wide terms ("the"
+    * alone contributes df² pairs to a plain posting join) while prefixes
+    * concentrate on RARE terms. On a SMALL closed vocabulary the bound
+    * prunes nothing — every "rare" term still has a df ≈ N/V posting
+    * list — so the dispatcher sends that shape to the dense path instead
+    * (this form measured 50.2 s at sf0.1/V=31 in BENCH_r07, vs 194 s
+    * plain postings and ~100× less for dense). DedupSpec proves all
+    * formulations output-identical at several thresholds.
     *
     * Soundness: each doc posts only its PREFIX — terms in ascending
     * global-df order until the posted squared mass reaches (1−c)·‖d‖²,
@@ -557,10 +633,7 @@ object Dedup {
   def tfCosinePairsPrefix(docs: DataFrame, threshold: Double,
                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
-    val tf = docs
-      .select(col(idCol).as("doc_id"),
-        explode(graft.functions.Fns.tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(docs, textCol, idCol)
     val dfCounts = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val c = 0.9 * threshold
     // Per-doc index: (term, tf) sorted by ascending global df, squared

@@ -26,29 +26,14 @@ object Smoke {
       r
     }
 
-    // Current investigation: native graft_strhash vs the interpreted HOF
-    // in the CMS register build (the sketch_cms bench cost driver).
-    import org.apache.spark.sql.functions._
-    import graft.operators.Sketch
-    val e = graft.etl.Ingest.readTable(spark, sfDir, "events")
-      .select(col("user_id").cast("string").as("key")).cache()
-    println(s"[smoke] events = ${e.count()}")
-    time("warmup native")(e.select(Sketch.stringHash(col("key"))).count())
-    time("cmsBuild native x64")(Sketch.cmsBuild(e, "key", 4, 64).count())
-    time("cmsBuild again")(Sketch.cmsBuild(e, "key", 4, 64).count())
-    time("hash only native")(
-      e.select(Sketch.stringHash(col("key")).as("h")).agg(sum("h")).count())
-    time("hash only HOF")(
-      e.select(Sketch.stringHashHof(col("key")).as("h")).agg(sum("h")).count())
-    // isolate: explode+groupBy with a precomputed cheap h
-    val pre = e.select(col("key"), Sketch.stringHash(col("key")).as("h")).cache()
-    pre.count()
-    time("explode+groupBy, h reused") {
-      pre.select(explode(array((0 until 4).map(r =>
-          struct(lit(r).as("row"),
-            Sketch.cmsBucket(col("h"), r, 64).as("bucket"))): _*)).as("rb"))
-        .groupBy(col("rb.row"), col("rb.bucket")).agg(count(lit(1))).count()
-    }
+    // Current investigation: tf-cosine formulations at sf0.1 (V=31 corpus).
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"[smoke] docs = ${docs.count()}")
+    time("tf_cosine dense (1st)")(Dedup.tfCosinePairsDense(docs, 0.95).count())
+    time("tf_cosine dense (2nd)")(Dedup.tfCosinePairsDense(docs, 0.95).count())
+    time("tf_cosine dispatcher")(Dedup.tfCosinePairs(docs, 0.95).count())
+
     spark.stop()
   }
 }

@@ -242,15 +242,35 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.tfCosinePairs(twins, 0.99).head().getAs[Double]("tf_cosine") == 1.0)
   }
 
-  test("tfCosinePairs: prefix-filtered ≡ posting join at several thresholds") {
+  test("tfCosinePairs: prefix ≡ postings ≡ dense ≡ dispatcher at several thresholds") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     Seq(0.5, 0.8, 0.95).foreach { t =>
-      val prefix = Dedup.tfCosinePairsPrefix(docs, t).orderBy("doc_a", "doc_b")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_a", "doc_b")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-      val posting = Dedup.tfCosinePairs(docs, t).orderBy("doc_a", "doc_b")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-      assert(prefix == posting, s"threshold $t: prefix-filtered diverged from posting join")
+      val posting = rows(Dedup.tfCosinePairsPostings(docs, t))
+      assert(rows(Dedup.tfCosinePairsPrefix(docs, t)) == posting,
+        s"threshold $t: prefix-filtered diverged from posting join")
+      assert(rows(Dedup.tfCosinePairsDense(docs, t)) == posting,
+        s"threshold $t: dense diverged from posting join")
+      assert(rows(Dedup.tfCosinePairs(docs, t)) == posting,
+        s"threshold $t: dispatcher diverged from posting join")
     }
+  }
+
+  test("tfCosinePairs dispatcher routes long-tail vocabularies to the prefix path") {
+    // 30 docs with ~unique vocabularies (V >> denseVocabMax when the cap
+    // is forced low) — just proves the dispatch boundary actually flips
+    // and the prefix path produces the same pairs.
+    val docs = (1L to 30L).map(i =>
+      (i, (0 until 12).map(j => s"w${i}_$j").mkString(" ") + " shared common tokens"))
+      .toDF("doc_id", "text")
+    val viaDispatch = Dedup.tfCosinePairs(docs, 0.3, denseVocabMax = 8)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaPrefix = Dedup.tfCosinePairsPrefix(docs, 0.3)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaDispatch == viaPrefix)
   }
 
   test("tfCosinePairs: maxTermDf cap only LOWERS cosines (recall-only loss)") {
@@ -260,16 +280,16 @@ class DedupSpec extends SparkSpec {
       (1L, "r1 r2 r3 r4 hot"),
       (2L, "r1 r2 r3 r4 hot")) ++
       (3L to 10L).map(i => (i, s"hot y$i z$i w$i v$i"))).toDF("doc_id", "text")
-    val exact = Dedup.tfCosinePairs(docs, 0.5).collect()
+    val exact = Dedup.tfCosinePairsPostings(docs, 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // hot has df=10 > cap=5, so it is dropped from the dot but NOT the
     // norms: (1,2) keeps 4 of its 5 unit contributions -> 4/5 = 0.8.
-    val capped = Dedup.tfCosinePairs(docs, 0.5, maxTermDf = Some(5)).collect()
+    val capped = Dedup.tfCosinePairsPostings(docs, 0.5, maxTermDf = Some(5)).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(exact == Map((1L, 2L) -> 1.0))
     assert(capped == Map((1L, 2L) -> 0.8))
     // and a cap nothing exceeds is a no-op (exactness preserved)
-    val wide = Dedup.tfCosinePairs(docs, 0.5, maxTermDf = Some(100)).collect()
+    val wide = Dedup.tfCosinePairsPostings(docs, 0.5, maxTermDf = Some(100)).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(wide == exact)
   }
