@@ -488,9 +488,9 @@ object Dedup {
     *    materializes and shuffles the same ~N² candidate rows it would
     *    have compared anyway. The dense path does those multiplies
     *    in-register inside one codegen'd loop join instead. Measured at
-    *    sf0.1 (5 000 docs, V = 31, Σ df² = 4.5e8): postings 194 s,
-    *    prefix-filtered 50 s (BENCH_r07), dense — see BENCH_FULL.json,
-    *    ~50–100× faster than either.
+    *    sf0.1 (5 000 docs, V = 31, Σ df² = 4.5e8), all three committed in
+    *    BENCH_HISTORY.jsonl / BENCH_r07: postings 194.2 s, prefix-filtered
+    *    50.2 s, dense 3.4 s.
     *  - LONG-TAIL vocabulary (real text): [[tfCosinePairsPrefix]] — the
     *    norm-mass prefix filter bounds candidates by RARE-term posting
     *    lists; the small-V blowup above cannot occur because V > the
@@ -609,9 +609,9 @@ object Dedup {
     * concentrate on RARE terms. On a SMALL closed vocabulary the bound
     * prunes nothing — every "rare" term still has a df ≈ N/V posting
     * list — so the dispatcher sends that shape to the dense path instead
-    * (this form measured 50.2 s at sf0.1/V=31 in BENCH_r07, vs 194 s
-    * plain postings and ~100× less for dense). DedupSpec proves all
-    * formulations output-identical at several thresholds.
+    * (this form measured 50.2 s at sf0.1/V=31 in BENCH_r07, vs 194.2 s
+    * plain postings and 3.4 s dense — BENCH_HISTORY.jsonl). DedupSpec
+    * proves all formulations output-identical at several thresholds.
     *
     * Soundness: each doc posts only its PREFIX — terms in ascending
     * global-df order until the posted squared mass reaches (1−c)·‖d‖²,
