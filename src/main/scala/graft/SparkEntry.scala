@@ -901,6 +901,17 @@ object SparkEntry {
       TextAnalysis.vocabulary(T(s, dir, "documents"), 200)
         .orderBy("term_id")),
 
+    // Tokenizer-apply: every doc -> its vocab term-id sequence (unk=-1,
+    // exercised here: maxVocab=20 < the corpus's 31 terms). Flattened to
+    // (doc_id, pos, term_id) rows for the column-hash compare; the
+    // operator itself returns one id-array row per doc.
+    "text_encode" -> ((s, dir) =>
+      TextAnalysis.encode(T(s, dir, "documents"), 20)
+        .select(col("doc_id"), posexplode(col("token_ids")))
+        .toDF("doc_id", "pos", "term_id")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term_id"))
+        .orderBy("doc_id", "pos")),
+
     // Corpus bigram table (top 200 by occurrence count): the LM-data
     // profile pass — boilerplate discovery, contamination probes.
     "text_ngrams" -> ((s, dir) =>
@@ -2558,6 +2569,19 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY freq DESC, term) - 1 AS BIGINT)
          |    AS term_id, term, freq
          |FROM top ORDER BY term_id""".stripMargin,
+
+    "text_encode" ->
+      s"""WITH base AS ($docToks),
+         |t AS (SELECT doc_id, unnest(toks) AS term,
+         |        generate_subscripts(toks, 1) AS pos1 FROM base),
+         |c AS (SELECT term, count(*) AS freq FROM t GROUP BY 1),
+         |v AS (SELECT term, CAST(row_number() OVER (ORDER BY freq DESC, term) - 1
+         |          AS BIGINT) AS term_id
+         |      FROM (SELECT term, freq FROM c ORDER BY freq DESC, term LIMIT 20))
+         |SELECT t.doc_id, CAST(t.pos1 - 1 AS BIGINT) AS pos,
+         |  coalesce(v.term_id, -1) AS term_id
+         |FROM t LEFT JOIN v USING (term)
+         |ORDER BY doc_id, pos""".stripMargin,
 
     "text_ngrams" ->
       s"""WITH base AS ($docToks),

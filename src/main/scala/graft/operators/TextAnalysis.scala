@@ -305,6 +305,35 @@ object TextAnalysis {
       .select(col("term_id"), col("term"), col("freq"))
   }
 
+  /** Corpus encoding — the tokenizer-APPLY step between [[vocabulary]]
+    * and sequence packing: each document becomes its array of vocabulary
+    * term-ids in token order, out-of-vocabulary tokens as the
+    * conventional -1 unk sentinel (lossiness stays visible instead of
+    * silently dropping tokens). The step every training-data export runs
+    * over the full corpus.
+    *
+    * Scale shape: the vocabulary is ≤ maxVocab rows and rides as a
+    * BROADCAST to a narrow posexplode of the corpus (no shuffle to look
+    * up ids), then one hash shuffle on doc_id re-assembles each doc's id
+    * array in token order. Nothing global anywhere except vocabulary()'s
+    * documented ≤ maxVocab id window.
+    */
+  def encode(docs: DataFrame, maxVocab: Int,
+             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocab = vocabulary(docs, maxVocab, textCol, idCol).select("term", "term_id")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), posexplode(Fns.tokens(col(textCol))))
+      .toDF("doc_id", "pos", "term")
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        transform(
+          sort_array(collect_list(struct(col("pos"),
+            coalesce(col("term_id"), lit(-1L)).as("tid")))),
+          s => s.getField("tid")).as("token_ids"))
+      .select(col("doc_id"), col("token_ids"), col("n_tokens"))
+  }
+
   /** Corpus n-gram statistics: the top `k` word n-grams with counts —
     * the LM-data profile (bigram/trigram tables, boilerplate discovery,
     * contamination probes). Duplicates inside a document count once each

@@ -15,14 +15,16 @@ class PlanGuardSpec extends SparkSpec {
   /** Queries whose plan legitimately contains an unpartitioned ordered
     * Window, each with a CONSTANT-bounded input (documented at the
     * operator site) — a single-task sort over ≤ knob rows, not over data:
-    *  - text_vocab: the dense-id row_number runs above `limit(maxVocab)`
-    *    (TextAnalysis.vocabulary) — ≤ maxVocab rows at any corpus size;
+    *  - text_vocab / text_encode: the dense-id row_number runs above
+    *    `limit(maxVocab)` (TextAnalysis.vocabulary; encode embeds it as
+    *    its broadcast lookup side) — ≤ maxVocab rows at any corpus size;
     *  - sketch_histq: the cumulative-count scan runs above the ≤ nBins
     *    histogram aggregate (Sketch.histogramQuantiles).
     * Data-sized offenders get rewritten, not allowlisted: op15_surrogate
     * and text_pack moved to two-level distributed prefix-sums in round 8.
     */
-  private val boundedGlobalWindowAllowlist = Set("text_vocab", "sketch_histq")
+  private val boundedGlobalWindowAllowlist =
+    Set("text_vocab", "text_encode", "sketch_histq")
 
   test("no registered query plans an unpartitioned ordered Window (bounded allowlist aside)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -58,6 +58,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_subwords")).toSeq == Seq(3L, 3L, 3L))
   }
 
+  test("encode: vocab ids in token order, OOV -> -1, decode round-trips in-vocab tokens") {
+    // vocab by freq desc, term asc at maxVocab=3: a(5) -> 0, b(3) -> 1,
+    // c(2) -> 2; d and e fall out of vocabulary.
+    val docs = Seq(
+      (1L, "a b a c d"),
+      (2L, "b e a c b a a")).toDF("doc_id", "text")
+    val out = TextAnalysis.encode(docs, 3).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(5L, 7L))
+    assert(out(0).getAs[scala.collection.Seq[Long]]("token_ids").toList == List(0L, 1L, 0L, 2L, -1L))
+    assert(out(1).getAs[scala.collection.Seq[Long]]("token_ids").toList == List(1L, -1L, 0L, 2L, 1L, 0L, 0L))
+    // decode round-trip: in-vocab positions reproduce the original tokens
+    val vocab = TextAnalysis.vocabulary(docs, 3).collect()
+      .map(r => r.getAs[Long]("term_id") -> r.getAs[String]("term")).toMap
+    val decoded = out(1).getAs[scala.collection.Seq[Long]]("token_ids")
+      .map(id => vocab.getOrElse(id, "<unk>")).mkString(" ")
+    assert(decoded == "b <unk> a c b a a")
+  }
+
   test("packSequencesGlobal two-level prefix-sum ≡ single-window global pack") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (budget <- Seq(50, 400)) {
