@@ -912,6 +912,32 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term_id"))
         .orderBy("doc_id", "pos")),
 
+    // BM25 top-20 lexical retrieval for a 3-term query — the RAG-corpus /
+    // contamination-probe retrieval primitive. Per-document score is an
+    // exact DECIMAL sum of 9-dp-rounded per-term weights (order-free).
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(T(s, dir, "documents"),
+        Seq("spark", "join", "filter"), 20)),
+
+    // Adjacent-pair PMI collocations (count >= 5, top 50) — the
+    // multi-word-expression miner over corpus bigram/unigram counts.
+    "text_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiBigrams(T(s, dir, "documents"), 50)),
+
+    // Hot-bigram boilerplate removal: grams in >= 8% of docs are dropped
+    // position-wise and each doc is reassembled (CCNet-style cleanup).
+    "text_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateRemove(T(s, dir, "documents"), 2, 0.08)
+        .orderBy("doc_id")),
+
+    // Quality-ordered token-budget selection: best docs by distinct-token
+    // ratio until 10k subword tokens — the final "best N tokens" curation
+    // cut, running on the two-level distributed prefix sum (no global
+    // window).
+    "text_select_budget" -> ((s, dir) =>
+      TextAnalysis.selectByBudget(T(s, dir, "documents"), 10000L)
+        .orderBy("doc_id")),
+
     // Corpus bigram table (top 200 by occurrence count): the LM-data
     // profile pass — boilerplate discovery, contamination probes.
     "text_ngrams" -> ((s, dir) =>
@@ -1379,6 +1405,29 @@ object SparkEntry {
     "ana_islands" -> ((s, dir) =>
       Analytics.activityIslands(T(s, dir, "events"))
         .orderBy("user_id", "island_start")),
+
+    // Per-group z-score outliers (|z| > 2 vs the event_type mean) — the
+    // telemetry anomaly sweep; both moments from exact DECIMAL sums.
+    "ana_outliers" -> ((s, dir) =>
+      Analytics.outliers(T(s, dir, "events"))
+        .orderBy("event_id")),
+
+    // Incremental aggregate maintenance: orders split at a date cutoff
+    // into base + delta, partial (DECIMAL-sum, count) states merged and
+    // finalized — the oracle recomputes from scratch, so the hash match
+    // PROVES merge-of-states == one-shot aggregation cross-engine.
+    "op_incr_agg" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      val base = Merge.aggState(
+        orders.filter(col("o_orderdate") < cutoff), Seq("o_custkey"), "o_totalprice")
+      val delta = Merge.aggState(
+        orders.filter(col("o_orderdate") >= cutoff), Seq("o_custkey"), "o_totalprice")
+      Merge.finalizeAggState(Merge.mergeAggStates(Seq("o_custkey"), base, delta))
+        .select(col("o_custkey"), col("total"), col("cnt"),
+          round(col("mean"), 6).as("mean"))
+        .orderBy("o_custkey")
+    }),
 
     // Explicit GROUPING SETS (the rollup/cube generalization with a
     // hand-picked level list — here: pair, first key alone, grand total).
@@ -2593,6 +2642,101 @@ object SparkEntry {
          |SELECT ngram, freq FROM c
          |ORDER BY freq DESC, ngram LIMIT 200""".stripMargin,
 
+    // BM25: per-term weights rounded to 9 dp ride an exact DECIMAL(18,9)
+    // sum, so the per-doc total is order-free in both engines.
+    "text_bm25" ->
+      s"""WITH base AS ($docToks),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |        CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM base),
+         |tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, t.term,
+         |        CAST(count(*) AS DOUBLE) AS tf
+         |      FROM base, unnest(list_filter(toks,
+         |        x -> list_contains(['spark', 'join', 'filter'], x))) AS t(term)
+         |      GROUP BY 1, 2, 3),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |w AS (SELECT tf.doc_id,
+         |        ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+         |          * tf.tf * 2.2 / (tf.tf + 1.2 * (1.0 - 0.75
+         |            + 0.75 * tf.dl / st.avgdl)) AS w
+         |      FROM tf JOIN df USING (term) CROSS JOIN st)
+         |SELECT doc_id,
+         |  round(CAST(sum(CAST(round(w, 9) AS DECIMAL(18,9))) AS DOUBLE), 6)
+         |    AS score,
+         |  count(*) AS n_terms_hit
+         |FROM w GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // PMI over exact BIGINT counts; ln + round(6) is the one accepted
+    // cross-engine float caveat (same class as tfidf/hll).
+    "text_pmi" ->
+      s"""WITH base AS ($docToks),
+         |u AS (SELECT unnest(toks) AS t FROM base),
+         |uni AS (SELECT t, count(*) AS c FROM u GROUP BY 1),
+         |g AS (SELECT list_transform(range(len(toks) - 1),
+         |        i -> concat(toks[i + 1], ' ', toks[i + 2])) AS gs
+         |      FROM base WHERE len(toks) >= 2),
+         |bi AS (SELECT bigram, count(*) AS c_ab
+         |       FROM (SELECT unnest(gs) AS bigram FROM g) GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS n_tok,
+         |               (SELECT CAST(sum(c_ab) AS DOUBLE) FROM bi) AS n_big)
+         |SELECT bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+         |  round(ln((c_ab / n_big) /
+         |    ((ua.c / n_tok) * (ub.c / n_tok))), 6) AS pmi
+         |FROM bi
+         |JOIN uni ua ON ua.t = string_split(bigram, ' ')[1]
+         |JOIN uni ub ON ub.t = string_split(bigram, ' ')[2]
+         |CROSS JOIN tot
+         |WHERE c_ab >= 5
+         |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
+
+    // Hot-bigram boilerplate removal: mask every token position covered
+    // by a bigram present in >= ceil(0.08 * n_docs) documents, reassemble
+    // the survivors in position order.
+    "text_boilerplate" ->
+      s"""WITH base AS ($docToks),
+         |tok AS (SELECT doc_id, unnest(toks) AS t,
+         |          generate_subscripts(toks, 1) AS i FROM base),
+         |gr AS (SELECT a.doc_id, a.i AS s, a.t || ' ' || b.t AS g
+         |       FROM tok a JOIN tok b
+         |         ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+         |hot AS (SELECT g FROM gr GROUP BY g
+         |        HAVING count(DISTINCT doc_id) >=
+         |          (SELECT ceil(count(*) * 0.08) FROM documents)),
+         |cov AS (SELECT DISTINCT gr.doc_id, gr.s + off.o AS pos
+         |        FROM gr JOIN hot USING (g)
+         |        CROSS JOIN (SELECT unnest([0, 1]) AS o) off),
+         |kept AS (SELECT tok.doc_id, tok.t, tok.i
+         |         FROM tok LEFT JOIN cov
+         |           ON cov.doc_id = tok.doc_id AND cov.pos = tok.i
+         |         WHERE cov.doc_id IS NULL),
+         |agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS clean_text,
+         |          count(*) AS n_kept FROM kept GROUP BY 1)
+         |SELECT b.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+         |  CAST(len(b.toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(b.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+         |  CASE WHEN len(b.toks) = 0 THEN 0.0
+         |       ELSE CAST(len(b.toks) - coalesce(agg.n_kept, 0) AS DOUBLE)
+         |         / len(b.toks) END AS boilerplate_ratio
+         |FROM base b LEFT JOIN agg ON agg.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+
+    // Token-budget selection: BIGINT cumsum over (score DESC, doc_id) vs
+    // the 10k budget; score is one exact division, so the cut is
+    // engine-independent.
+    "text_select_budget" ->
+      s"""WITH base AS ($docToks),
+         |sc AS (SELECT doc_id,
+         |        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS score,
+         |        CAST(len(regexp_extract_all(text,
+         |          '${TextAnalysis.subwordPattern}')) AS BIGINT) AS n_subwords
+         |      FROM base),
+         |c AS (SELECT doc_id, score, n_subwords,
+         |        CAST(sum(n_subwords) OVER (ORDER BY score DESC, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |      FROM sc)
+         |SELECT doc_id, score, n_subwords, cum_tokens
+         |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
+
     "text_pack" ->
       s"""WITH base AS (
          |  SELECT doc_id, CAST(len(regexp_extract_all(text,
@@ -2925,6 +3069,39 @@ object SparkEntry {
         |  count(*) AS n_days
         |FROM r GROUP BY user_id, day - CAST(rn AS INT)
         |ORDER BY user_id, island_start""".stripMargin,
+
+    // Two-pass moments from exact DECIMAL sums (mean from Σv, variance
+    // from Σround(dev², 6)) — order-free in both engines; z in double.
+    "ana_outliers" ->
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |          AS mean
+        |      FROM events GROUP BY 1),
+        |s AS (SELECT e.event_type, any_value(m.n) AS n,
+        |        any_value(m.mean) AS mean,
+        |        sum(CAST(round((e.value - m.mean) * (e.value - m.mean), 6)
+        |          AS DECIMAL(18,6))) AS ss
+        |      FROM events e JOIN m USING (event_type) GROUP BY 1),
+        |st AS (SELECT event_type, mean,
+        |        sqrt(CAST(ss AS DOUBLE) / (n - 1)) AS sd FROM s)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round(st.mean, 6) AS group_mean, round(st.sd, 6) AS group_sd,
+        |  round((e.value - st.mean) / st.sd, 6) AS zscore
+        |FROM events e JOIN st USING (event_type)
+        |WHERE abs((e.value - st.mean) / st.sd) > 2.0
+        |ORDER BY e.event_id""".stripMargin,
+
+    // The oracle recomputes the aggregate one-shot over the whole table;
+    // the Spark side merges two partial DECIMAL states — the hash match
+    // proves incremental maintenance == full recompute.
+    "op_incr_agg" ->
+      """SELECT o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(o_totalprice) AS cnt,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(o_totalprice), 6) AS mean
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

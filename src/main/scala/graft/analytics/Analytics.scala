@@ -179,4 +179,45 @@ object Analytics {
         count(lit(1)).as("n_days"))
       .drop("grp")
   }
+
+  /** Per-group z-score outlier flagging: events whose value sits more than
+    * `zThreshold` sample standard deviations from their group's mean — the
+    * metric-anomaly sweep run over telemetry before it feeds training.
+    *
+    * Determinism: the naive mean/stddev of doubles depends on accumulation
+    * order, so both moments are built from exact DECIMAL sums instead —
+    * mean from Σv (two-pass), variance from Σ(v − mean)² with the per-row
+    * square rounded to 6 dp before the exact sum (per-row IEEE arithmetic
+    * on identical inputs is engine-independent; only the SUM order isn't).
+    * Result: bit-identical across engines and cluster re-partitionings.
+    *
+    * Shuffle shape: two hash shuffles on the group key (count/Σ, then
+    * Σdev²) with map-side combine, the per-group stats joined back keyed
+    * by group (AQE broadcasts when the group cardinality is small); the
+    * z-score itself is a flat codegen'd projection.
+    */
+  def outliers(events: DataFrame, zThreshold: Double = 2.0,
+               groupCol: String = "event_type", valCol: String = "value",
+               idCol: String = "event_id"): DataFrame = {
+    val means = events.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valCol).cast("decimal(18,6)")).as("s"))
+      .select(col(groupCol), col("n"),
+        (col("s").cast("double") / col("n")).as("mean"))
+    val withMean = events.join(means, groupCol)
+    val stats = withMean.groupBy(col(groupCol))
+      .agg(first(col("n")).as("n"), first(col("mean")).as("mean"),
+        sum(round((col(valCol) - col("mean")) * (col(valCol) - col("mean")), 6)
+          .cast("decimal(18,6)")).as("ss"))
+      .select(col(groupCol), col("mean"),
+        sqrt(col("ss").cast("double") / (col("n") - 1)).as("sd"))
+    // try_divide: a constant group has sd = 0 — its rows get NULL z and are
+    // never flagged (ANSI mode would raise on the plain division).
+    events.join(stats, groupCol)
+      .withColumn("z", try_divide(col(valCol) - col("mean"), col("sd")))
+      .filter(abs(col("z")) > zThreshold)
+      .select(col(idCol), col(groupCol), col(valCol),
+        round(col("mean"), 6).as("group_mean"), round(col("sd"), 6).as("group_sd"),
+        round(col("z"), 6).as("zscore"))
+  }
 }

@@ -82,4 +82,41 @@ object Merge {
         row_number().over(w).cast("long").as("version")): _*)
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Partial aggregate state for incremental maintenance: (Σvalue as exact
+    * DECIMAL, count) per key — the commutative-monoid form that can be
+    * merged across arbitrarily many batches without rescanning history.
+    * The DECIMAL sum makes the state ORDER-INDEPENDENT: merging daily
+    * states in any order, or re-aggregating from scratch, yields the same
+    * bits (a double sum would drift per merge order).
+    */
+  def aggState(df: DataFrame, keyCols: Seq[String], valCol: String,
+               sumType: String = "decimal(18,4)"): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sum(col(valCol).cast(sumType)).as("state_sum"),
+        count(col(valCol)).as("state_cnt"))
+
+  /** Merge any number of partial states (same schema as [[aggState]]) into
+    * one — the nightly "fold yesterday's state with today's delta" step.
+    * One union + one hash shuffle on the key; cost ∝ state sizes, never
+    * the underlying fact history. Associative + commutative by
+    * construction, so a 1000-partition cluster can merge in any tree
+    * shape.
+    */
+  def mergeAggStates(keyCols: Seq[String], states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("state_sum")).as("state_sum"),
+        sum(col("state_cnt")).as("state_cnt"))
+  }
+
+  /** Finalize a (possibly merged) aggregate state into the user-facing
+    * total / count / mean columns. Flat projection, no shuffle.
+    */
+  def finalizeAggState(state: DataFrame): DataFrame =
+    state.select(state.columns.filterNot(Set("state_sum", "state_cnt")).map(col) ++ Seq(
+      col("state_sum").cast("double").as("total"),
+      col("state_cnt").as("cnt"),
+      (col("state_sum").cast("double") / col("state_cnt")).as("mean")): _*)
 }

@@ -355,4 +355,196 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("ngram").asc)
       .limit(k)
   }
+
+  /** BM25 top-k lexical retrieval: score every document against a bag of
+    * query terms with the Lucene-style formula
+    * `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`,
+    * `w(t,d) = idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`,
+    * and return the `k` best (score desc, doc_id tiebreak). This is the
+    * retrieval primitive of RAG-corpus curation and of query-targeted
+    * contamination probes.
+    *
+    * Shuffle shape: the token explode is filtered to the query terms
+    * BEFORE it widens, so only matching (doc, term) rows shuffle — one
+    * hash shuffle with map-side combine for tf, a |queryTerms|-row df
+    * aggregate and a single-row (N, avgdl) aggregate both riding as
+    * broadcasts, then TakeOrderedAndProject for the top-k (per-partition
+    * heaps, no global sort). Per-term scores are summed through an exact
+    * DECIMAL(18,9) after a 9-dp round so the per-document total is
+    * order-independent — bit-identical across engines and cluster
+    * re-partitionings; the exposed score is rounded to 6 dp.
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(k >= 1, s"need k >= 1, got $k")
+    val toks = docs.select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("toks"))
+    // avgdl as exact-integer sum / count (not avg()) so the double is a
+    // single division — identical in any engine and partitioning.
+    val stats = toks.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(col("toks"))).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(filter(col("toks"), t => t.isInCollection(queryTerms))).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val perTerm = tf.join(broadcast(df), "term").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    perTerm
+      .groupBy("doc_id")
+      .agg(sum(round(col("w"), 9).cast("decimal(18,9)")).as("s"),
+        count(lit(1)).as("n_terms_hit"))
+      .select(col("doc_id"), round(col("s").cast("double"), 6).as("score"),
+        col("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Pointwise mutual information of adjacent token pairs:
+    * `pmi(a,b) = ln( (c_ab / M) / ((c_a / N)·(c_b / N)) )` with N = total
+    * tokens, M = total bigrams — the collocation detector used to mine
+    * multi-word expressions for tokenizer merges and stop-phrase lists.
+    * Pairs below `minCount` are dropped (PMI is noise at tiny counts);
+    * output is the top `k` by (pmi desc, bigram asc), pmi rounded to 6 dp.
+    *
+    * Shuffle shape: bigram and unigram counts are two hash shuffles with
+    * map-side combine (cardinality = vocabulary², vocabulary — corpus
+    * repeats collapse map-side); the two totals ride one broadcast
+    * single-row aggregate. The unigram join keys are post-aggregation
+    * (vocabulary-sized, not corpus-sized) so AQE picks broadcast when the
+    * vocabulary is small and a plain exchange when it is web-scale; the
+    * final top-k is TakeOrderedAndProject. The PMI double is a fixed
+    * expression over exact BIGINT counts — identical in any engine.
+    */
+  def pmiBigrams(docs: DataFrame, k: Int, minCount: Long = 5L,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val toks = docs.select(Fns.tokens(col(textCol)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(Fns.shingles(col("toks"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+    val totals = uni.agg(sum(col("c")).cast("double").as("n_tok"))
+      .crossJoin(bi.agg(sum(col("c_ab")).cast("double").as("n_big")))
+    bi.filter(col("c_ab") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.withColumnRenamed("t", "w1").withColumnRenamed("c", "c_a"), "w1")
+      .join(uni.withColumnRenamed("t", "w2").withColumnRenamed("c", "c_b"), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        round(log((col("c_ab") / col("n_big")) /
+          ((col("c_a") / col("n_tok")) * (col("c_b") / col("n_tok")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(k)
+  }
+
+  /** Boilerplate n-gram removal (the CCNet/C4 cleanup step, word-gram
+    * flavored because this corpus has no line structure): any word
+    * `n`-gram present in ≥ `maxDocFrac` of all documents is boilerplate;
+    * every token position covered by an occurrence of a hot gram is
+    * dropped and the survivors are reassembled in order. Output keeps one
+    * row per input document: the cleaned text, original/removed token
+    * counts and the removed fraction.
+    *
+    * Shuffle shape at corpus scale: gram document-frequency is one hash
+    * shuffle with map-side combine; the hot-gram list is tiny BY
+    * CONSTRUCTION (a gram needs ≥ frac·N documents, so there can be at
+    * most occurrences/(frac·N) of them) and broadcasts to the occurrence
+    * scan, so marking covered positions is shuffle-free; the rebuild is
+    * one hash shuffle on doc_id with the order restored by array_sort
+    * over (pos, token) structs — no window, no global sort.
+    */
+  def boilerplateRemove(docs: DataFrame, n: Int = 3, maxDocFrac: Double = 0.3,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    require(maxDocFrac > 0 && maxDocFrac <= 1, s"need 0 < maxDocFrac <= 1, got $maxDocFrac")
+    val toksDf = docs.select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("toks"))
+    // (doc, start position, gram) — 1-based start so oracle subscripts match.
+    val grams = toksDf
+      .select(col("doc_id"), posexplode(Fns.shingles(col("toks"), n)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("start"), col("col").as("gram"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val hot = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("gram_df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("gram_df") >= ceil(col("n_docs") * maxDocFrac))
+      .select("gram")
+    val covered = grams.join(broadcast(hot), "gram")
+      .select(col("doc_id"), explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+    val posTokens = toksDf
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("token"))
+    val kept = posTokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+          s => s.getField("token")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    toksDf.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise((col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+            .cast("double") / col("n_tokens")).as("boilerplate_ratio"))
+  }
+
+  /** Quality-ordered token-budget corpus selection: rank documents by a
+    * quality score (distinct-token ratio — boilerplate-ish, repetitive
+    * docs rank last), walk the ranking best-first, and keep documents
+    * while the running subword-token total stays ≤ `budget` — the
+    * "best N tokens" cut every dataset-curation recipe ends with.
+    *
+    * Scale shape: the running total is the same two-level distributed
+    * prefix sum as [[packSequencesGlobal]] — level 1 buckets documents by
+    * an equal-width split of the [min, max] score range (monotone in the
+    * sort key, so bucket order IS global order) and cumsums within each
+    * bucket in parallel; level 2 turns per-bucket totals into starting
+    * offsets with a ≤ buckets² broadcast join. No single-partition
+    * window anywhere. Selection is exact-integer (BIGINT cumsum vs
+    * budget) over a score that is a single exact division — bit-identical
+    * in any engine, with doc_id breaking score ties.
+    */
+  def selectByBudget(docs: DataFrame, budget: Long,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     buckets: Int = 32): DataFrame = {
+    require(budget >= 1, s"need budget >= 1, got $budget")
+    val scored = docs.select(
+      col(idCol).as("doc_id"),
+      (size(array_distinct(Fns.tokens(col(textCol)))).cast("double") /
+        size(Fns.tokens(col(textCol)))).as("score"),
+      size(regexp_extract_all(col(textCol), lit(subwordPattern), lit(0)))
+        .cast("long").as("n_subwords"))
+    val stats = scored.agg(min(col("score")).as("__lo"), max(col("score")).as("__hi"))
+    // Bucket index descends with score so bucket order == selection order.
+    val bucketed = scored.crossJoin(broadcast(stats))
+      .withColumn("__bkt",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(floor((col("__hi") - col("score")) * buckets /
+            (col("__hi") - col("__lo"))), lit(buckets - 1L))))
+      .drop("__lo", "__hi")
+    val w = Window.partitionBy(col("__bkt"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("__cum", sum(col("n_subwords")).over(w))
+    val totals = bucketed.groupBy("__bkt").agg(sum(col("n_subwords")).as("__t"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.__bkt") < col("a.__bkt"), "left")
+      .groupBy(col("a.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("b.__t")), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), "__bkt")
+      .withColumn("cum_tokens", col("__off") + col("__cum"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("score"), col("n_subwords"), col("cum_tokens"))
+  }
 }

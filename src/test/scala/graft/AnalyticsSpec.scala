@@ -122,4 +122,20 @@ class AnalyticsSpec extends SparkSpec {
       (1L, "2024-01-05", "2024-01-05", 1L),
       (2L, "2024-01-03", "2024-01-04", 2L)))
   }
+
+  test("outliers: hand-computed z, inliers dropped, constant group silent") {
+    val e = ((1L to 9L).map(i => (i, "a", 0.0)) :+ (10L, "a", 100.0)) ++
+      Seq((11L, "b", 5.0), (12L, "b", 5.0), (13L, "b", 5.0)) // sd = 0
+    val out = Analytics.outliers(e.toDF("event_id", "event_type", "value"))
+      .collect()
+    // group a: mean 10, ss = 9*100 + 8100 = 9000, sd = sqrt(1000);
+    // z(100) = 90/sqrt(1000) ≈ 2.846050 > 2; z(0) ≈ -0.316 inlier.
+    // group b: sd = 0 -> z is NaN/Inf -> never flagged.
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("event_id") == 10L)
+    assert(math.abs(r.getAs[Double]("zscore") - 90.0 / math.sqrt(1000.0)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("group_mean") - 10.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("group_sd") - math.sqrt(1000.0)) < 1e-6)
+  }
 }

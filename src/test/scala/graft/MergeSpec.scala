@@ -111,4 +111,23 @@ class MergeSpec extends SparkSpec {
       .orderBy("version").select("state").as[String].collect.toSeq
     assert(got == Seq("a", "b"))
   }
+
+  test("aggState merge: any merge tree == one-shot aggregation") {
+    val rows = (1 to 30).map(i => (s"k${i % 4}", i * 1.01)).toDF("k", "v")
+    val Array(p1, p2, p3) = rows.randomSplit(Array(1, 1, 1), seed = 7)
+    def fin(df: org.apache.spark.sql.DataFrame) =
+      Merge.finalizeAggState(df).orderBy("k")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val oneShot = fin(Merge.aggState(rows, Seq("k"), "v"))
+    val s = Seq(p1, p2, p3).map(Merge.aggState(_, Seq("k"), "v"))
+    // flat 3-way merge
+    assert(fin(Merge.mergeAggStates(Seq("k"), s: _*)) == oneShot)
+    // left-leaning tree: merge(merge(a,b),c) — associativity in practice
+    assert(fin(Merge.mergeAggStates(Seq("k"),
+      Merge.mergeAggStates(Seq("k"), s(0), s(1)), s(2))) == oneShot)
+    // a state merged with an empty delta is unchanged
+    val empty = Merge.aggState(rows.limit(0), Seq("k"), "v")
+    assert(fin(Merge.mergeAggStates(Seq("k"), s(0), empty)) ==
+      fin(s(0)))
+  }
 }

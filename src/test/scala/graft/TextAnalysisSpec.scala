@@ -171,4 +171,94 @@ class TextAnalysisSpec extends SparkSpec {
     val doc1 = out.filter(_.getLong(0) == 1L).map(_.getAs[String]("term")).toSeq
     assert(doc1 == doc1.sorted)
   }
+
+  test("bm25TopK: hand-computed score, non-matching docs absent, k cut") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "durian durian")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, Seq("apple"), 10).collect()
+    // doc 3 has no query term -> not scored at all
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L))
+    // same Lucene-style formula, computed independently here
+    val n = 3.0; val avgdl = 7.0 / 3.0; val df = 2.0
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val byId = out.map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    assert(math.abs(byId(1L) - w(2, 3)) < 1e-6)
+    assert(math.abs(byId(2L) - w(1, 2)) < 1e-6)
+    assert(byId(1L) > byId(2L)) // more hits at comparable length wins
+    // k cut keeps the best
+    val top1 = TextAnalysis.bm25TopK(docs, Seq("apple"), 1).collect()
+    assert(top1.length == 1 && top1(0).getLong(0) == 1L)
+  }
+
+  test("pmiBigrams: ln(4) on a hand corpus; minCount filters") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    // N=6 tokens, M=3 bigrams; pmi(a b)=ln((2/3)/((3/6)*(2/6)))=ln 4,
+    // pmi(a c)=ln((1/3)/((3/6)*(1/6)))=ln 4 as well
+    val all = TextAnalysis.pmiBigrams(docs, 10, minCount = 1L).collect()
+    assert(all.length == 2)
+    assert(all.forall(r => math.abs(r.getAs[Double]("pmi") - math.log(4.0)) < 1e-6))
+    assert(all.map(_.getAs[String]("bigram")).toSeq == Seq("a b", "a c")) // pmi tie -> bigram asc
+    val freq = TextAnalysis.pmiBigrams(docs, 10, minCount = 2L).collect()
+    assert(freq.map(_.getAs[String]("bigram")).toSeq == Seq("a b"))
+  }
+
+  test("boilerplateRemove: hot gram masked position-wise, clean docs intact") {
+    val docs = Seq(
+      (1L, "click here foo"),
+      (2L, "click here bar baz"),
+      (3L, "click here qux"),
+      (4L, "totally original content"),
+      (5L, "click here")).toDF("doc_id", "text")
+    // 'click here' in 4/5 docs; frac 0.5 -> threshold ceil(2.5)=3 -> hot
+    val out = TextAnalysis.boilerplateRemove(docs, n = 2, maxDocFrac = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("clean_text")).toSeq ==
+      Seq("foo", "bar baz", "qux", "totally original content", ""))
+    assert(out.map(_.getAs[Long]("n_removed")).toSeq == Seq(2L, 2L, 2L, 0L, 2L))
+    val r5 = out(4)
+    assert(r5.getAs[Long]("n_tokens") == 2L &&
+      r5.getAs[Double]("boilerplate_ratio") == 1.0)
+    assert(out(3).getAs[Double]("boilerplate_ratio") == 0.0)
+  }
+
+  test("boilerplateRemove: overlapping hot-gram occurrences cover the union") {
+    val docs = Seq(
+      (1L, "x y x y z"), (2L, "x y a"), (3L, "x y b"), (4L, "c d e")
+    ).toDF("doc_id", "text")
+    // 'x y' hot (3/4 docs >= ceil(0.5*4)=2); doc 1 has starts 1 and 3 ->
+    // positions 1,2,3,4 covered; 'y x' (df 1) is not hot
+    val out = TextAnalysis.boilerplateRemove(docs, 2, 0.5).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") == "z")
+    assert(out(0).getAs[Long]("n_removed") == 4L)
+  }
+
+  test("selectByBudget: greedy best-first cut matches a serial reference") {
+    val docs = (1 to 40).map { i =>
+      // vary distinct-ratio and length deterministically
+      val reps = 1 + i % 4
+      val toks = (0 until 6).map(j => s"w${(i * 7 + j) % (3 + i % 5)}")
+      (i.toLong, (toks ++ toks.take(reps)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val budget = 120L
+    val out = TextAnalysis.selectByBudget(docs, budget, buckets = 4)
+      .orderBy("doc_id").collect()
+    // serial reference: sort by (score desc, id), cumsum, keep <= budget
+    val scored = docs.collect().map { r =>
+      val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+      val score = toks.distinct.length.toDouble / toks.length
+      val sub = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+".r.findAllIn(r.getString(1)).length.toLong
+      (r.getLong(0), score, sub)
+    }
+    var cum = 0L
+    val expected = scored.sortBy { case (id, s, _) => (-s, id) }.flatMap { case (id, s, n) =>
+      cum += n; if (cum <= budget) Some((id, s, n, cum)) else None
+    }.sortBy(_._1)
+    assert(out.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+      == expected.toSeq)
+    assert(expected.nonEmpty && expected.length < 40) // the cut actually bites
+  }
 }
