@@ -938,6 +938,58 @@ object SparkEntry {
       TextAnalysis.selectByBudget(T(s, dir, "documents"), 10000L)
         .orderBy("doc_id")),
 
+    // Shannon token entropy per doc (nats) + max-normalized form — the
+    // repetitive-sludge detector; Σ c·ln c rides a DECIMAL sum.
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.entropy(T(s, dir, "documents")).orderBy("doc_id")),
+
+    // Single-pass Pearson correlation matrix over lineitem numerics —
+    // all moments in ONE wide aggregate, pairs exploded from the single
+    // aggregate row.
+    "q_corr" -> ((s, dir) =>
+      operators.DataQuality.corrMatrix(T(s, dir, "lineitem"),
+        Seq("l_discount", "l_extendedprice", "l_quantity"))
+        .orderBy("col_a", "col_b")),
+
+    // Join-key skew report on orders.o_custkey: top-10 hottest keys with
+    // row share + table totals — the pre-join salting diagnostic.
+    "dq_skew_report" -> ((s, dir) =>
+      Skew.keyProfile(T(s, dir, "orders"), "o_custkey", 10)
+        .orderBy("rank")),
+
+    // Per-dimension z-score standardization of the embedding corpus
+    // (flattened rows; DECIMAL two-pass moments per dim).
+    "emb_standardize" -> ((s, dir) =>
+      Similarity.standardize(T(s, dir, "embeddings"))
+        .orderBy("vec_id", "dim")),
+
+    // One Lloyd k-means step (k=4, first-k seeds): DECIMAL-exact
+    // distances, argmin assignment, recomputed per-dim centroid means.
+    "emb_kmeans_iter" -> ((s, dir) =>
+      Similarity.kmeansIterate(T(s, dir, "embeddings"), 4)
+        .orderBy("cluster_id", "dim")),
+
+    // PageRank (3 power iterations, d=0.85) over the event-type
+    // transition graph — DECIMAL in-sums + dangling mass each round, the
+    // oracle unrolls the identical iterations CTE by CTE.
+    "ana_pagerank" -> ((s, dir) => {
+      val edges = Analytics.transitions(T(s, dir, "events"))
+        .filter(col("from_type") =!= col("to_type"))
+        .select(col("from_type").as("src"), col("to_type").as("dst"))
+      operators.Graph.pageRank(edges, 3).orderBy("node")
+    }),
+
+    // Inverted postings index: term -> df + sorted doc-id list (the
+    // search-index build; df-capped against stopword skew — uncapped here,
+    // the corpus vocabulary is tiny).
+    "text_postings" -> ((s, dir) =>
+      TextAnalysis.postingsIndex(T(s, dir, "documents")).orderBy("term")),
+
+    // Skip-gram pairs (±2 window, top 100) — word2vec-style training-pair
+    // extraction via an exact (doc, position+offset) equi-join.
+    "text_skipgrams" -> ((s, dir) =>
+      TextAnalysis.skipgramCounts(T(s, dir, "documents"), 2, 100)),
+
     // Corpus bigram table (top 200 by occurrence count): the LM-data
     // profile pass — boilerplate discovery, contamination probes.
     "text_ngrams" -> ((s, dir) =>
@@ -2736,6 +2788,153 @@ object SparkEntry {
          |      FROM sc)
          |SELECT doc_id, score, n_subwords, cum_tokens
          |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
+
+    // Shannon entropy: Σ c·ln c through a 6-dp round + DECIMAL sum, outer
+    // arithmetic a fixed per-row expression; norm NULL for 1-term docs.
+    "text_entropy" ->
+      s"""WITH base AS ($docToks),
+         |t AS (SELECT doc_id, unnest(toks) AS term FROM base),
+         |tf AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |        count(*) AS n_distinct,
+         |        sum(CAST(round(c * ln(c), 6) AS DECIMAL(18,6))) AS sclogc
+         |      FROM tf GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  round(ln(n_tokens) - CAST(sclogc AS DOUBLE) / n_tokens, 6)
+         |    AS entropy,
+         |  CASE WHEN n_distinct = 1 THEN NULL
+         |       ELSE round((ln(n_tokens) - CAST(sclogc AS DOUBLE) / n_tokens)
+         |         / ln(n_distinct), 6) END AS norm_entropy
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // Pearson r from five exact DECIMAL moments per pair; one aggregate.
+    "q_corr" -> {
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
+      def ds(x: String) = s"CAST(sum(CAST(round($x, 6) AS DECIMAL(28,6))) AS DOUBLE)"
+      val moments =
+        cols.zipWithIndex.map { case (c, i) =>
+          s"${ds(c)} AS s$i, ${ds(s"$c * $c")} AS q$i" } ++
+          (for { i <- cols.indices; j <- cols.indices if i < j }
+            yield s"${ds(s"${cols(i)} * ${cols(j)}")} AS p${i}_$j")
+      val pairRows = (for { i <- cols.indices; j <- cols.indices if i < j } yield
+        s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
+           |  round((n * p${i}_$j - s$i * s$j) /
+           |    (sqrt(n * q$i - s$i * s$i) * sqrt(n * q$j - s$j * s$j)), 6) AS r
+           |FROM a""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  ${moments.mkString(",\n  ")}
+         |  FROM lineitem)
+         |$pairRows
+         |ORDER BY col_a, col_b""".stripMargin
+    },
+
+    // Top-k hottest join keys + totals; rank above LIMIT k is bounded.
+    "dq_skew_report" ->
+      """WITH f AS (SELECT o_custkey AS key, count(*) AS cnt
+        |           FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |          count(*) AS n_keys FROM f),
+        |top AS (SELECT key, cnt FROM f ORDER BY cnt DESC, key LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT)
+        |    AS rank,
+        |  key, cnt, round(CAST(cnt AS DOUBLE) / n_rows, 6) AS share,
+        |  n_rows, n_keys
+        |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin,
+
+    // Per-dim DECIMAL two-pass moments, same recipe as ana_outliers.
+    "emb_standardize" ->
+      s"""WITH e AS ($embCte),
+         |f AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+         |        unnest(v) AS x FROM e),
+         |m AS (SELECT dim, count(*) AS n,
+         |        CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |          / count(*) AS mean
+         |      FROM f GROUP BY 1),
+         |s AS (SELECT f.dim, any_value(m.mean) AS mean, any_value(m.n) AS n,
+         |        sum(CAST(round((f.x - m.mean) * (f.x - m.mean), 6)
+         |          AS DECIMAL(18,6))) AS ss
+         |      FROM f JOIN m USING (dim) GROUP BY 1),
+         |st AS (SELECT dim, mean, sqrt(CAST(ss AS DOUBLE) / (n - 1)) AS sd
+         |       FROM s)
+         |SELECT f.vec_id, f.dim, round((f.x - st.mean) / st.sd, 6) AS z
+         |FROM f JOIN st USING (dim) ORDER BY vec_id, dim""".stripMargin,
+
+    // One Lloyd step: DECIMAL-exact distances -> argmin (ties -> lower
+    // cid) -> DECIMAL centroid means; first-4-by-id seeds.
+    "emb_kmeans_iter" ->
+      s"""WITH e AS ($embCte),
+         |f AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+         |        unnest(v) AS x FROM e),
+         |seeds AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4),
+         |c AS (SELECT f.vec_id AS cid, f.dim, f.x AS cx
+         |      FROM f JOIN seeds USING (vec_id)),
+         |d AS (SELECT f.vec_id, c.cid,
+         |        sum(CAST(round((f.x - c.cx) * (f.x - c.cx), 6)
+         |          AS DECIMAL(18,6))) AS d2
+         |      FROM f JOIN c USING (dim) GROUP BY 1, 2),
+         |a AS (SELECT vec_id, cid FROM
+         |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY d2, cid) AS rn FROM d)
+         |      WHERE rn = 1)
+         |SELECT a.cid AS cluster_id, f.dim,
+         |  round(CAST(sum(CAST(round(f.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |    / count(*), 6) AS centroid,
+         |  count(*) AS n_members
+         |FROM a JOIN f USING (vec_id)
+         |GROUP BY 1, 2 ORDER BY cluster_id, dim""".stripMargin,
+
+    // PageRank unrolled: each iteration = DECIMAL in-sums + dangling mass
+    // + the identical double update expression ((1-d) and d as the same
+    // IEEE doubles Spark computes — 1e0-0.85e0, not a decimal literal).
+    "ana_pagerank" -> {
+      val d = 0.85
+      val iterCtes = (1 to 3).map { k =>
+        val prev = s"r${k - 1}"
+        s"""c$k AS (SELECT e.dst AS node,
+           |        sum(CAST(round($prev.rank / deg.outdeg, 12)
+           |          AS DECIMAL(18,12))) AS s
+           |      FROM e JOIN $prev ON $prev.node = e.src
+           |      JOIN deg ON deg.src = e.src GROUP BY 1),
+           |d$k AS (SELECT coalesce(sum(CAST(round(rank, 12) AS DECIMAL(18,12))),
+           |          CAST(0 AS DECIMAL(18,12))) AS dm
+           |      FROM $prev WHERE node NOT IN (SELECT src FROM deg)),
+           |r$k AS (SELECT n.node,
+           |        (1e0 - ${d}e0) / nn.n + ${d}e0 *
+           |          (coalesce(CAST(c$k.s AS DOUBLE), 0e0)
+           |            + CAST(d$k.dm AS DOUBLE) / nn.n) AS rank
+           |      FROM nodes n CROSS JOIN nn CROSS JOIN d$k
+           |      LEFT JOIN c$k ON c$k.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tr AS (SELECT event_type AS cur,
+         |        lead(event_type) OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id) AS nxt
+         |      FROM events),
+         |e AS (SELECT DISTINCT cur AS src, nxt AS dst FROM tr
+         |      WHERE nxt IS NOT NULL AND nxt <> cur),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, 1e0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+         |$iterCtes
+         |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin
+    },
+
+    "text_postings" ->
+      s"""WITH base AS ($docToks),
+         |t AS (SELECT doc_id, unnest(toks) AS term FROM base),
+         |u AS (SELECT DISTINCT doc_id, term FROM t)
+         |SELECT term, count(*) AS df,
+         |  list(doc_id ORDER BY doc_id) AS postings
+         |FROM u GROUP BY term ORDER BY term""".stripMargin,
+
+    "text_skipgrams" ->
+      s"""WITH base AS ($docToks),
+         |tok AS (SELECT doc_id, unnest(toks) AS t,
+         |          generate_subscripts(toks, 1) AS i FROM base)
+         |SELECT a.t AS center, b.t AS context, count(*) AS cnt
+         |FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+         |  AND b.i BETWEEN a.i - 2 AND a.i + 2 AND b.i <> a.i
+         |GROUP BY 1, 2 ORDER BY cnt DESC, center, context LIMIT 100""".stripMargin,
 
     "text_pack" ->
       s"""WITH base AS (

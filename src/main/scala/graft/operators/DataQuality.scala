@@ -93,4 +93,38 @@ object DataQuality {
       .agg(count(lit(1)).as("n_rows"),
         (sum(col("__mix")) % P31).cast("long").as("checksum"))
   }
+
+  /** Pearson correlation matrix over numeric columns — the feature-drift /
+    * redundancy profile: one row per unordered column pair with
+    * `r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))`.
+    *
+    * SINGLE PASS over the table: every moment (Σx, Σx², Σxy for all
+    * pairs) is one wide aggregate — 1 + 2·k + k·(k−1)/2 sums in one scan,
+    * then the pair rows are exploded from the single aggregate row (no
+    * per-pair rescan, no driver collect). Per-row products are rounded to
+    * 6 dp and summed through exact DECIMAL(28,6), so every moment — and
+    * therefore r — is bit-identical across engines and partitionings.
+    * try_divide: a constant column yields NULL r, not an ANSI error.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    def dsum(x: org.apache.spark.sql.Column) =
+      sum(round(x, 6).cast("decimal(28,6)"))
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
+    val aggs =
+      Seq(count(lit(1)).cast("double").as("n")) ++
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(dsum(col(c)).as(s"s_$i"), dsum(col(c) * col(c)).as(s"q_$i")) } ++
+        pairs.map { case (i, j) => dsum(col(cols(i)) * col(cols(j))).as(s"p_${i}_$j") }
+    val a = df.agg(aggs.head, aggs.tail: _*)
+    def d(name: String) = col(name).cast("double")
+    val pairStructs = pairs.map { case (i, j) =>
+      val num = d("n") * d(s"p_${i}_$j") - d(s"s_$i") * d(s"s_$j")
+      val den = sqrt(d("n") * d(s"q_$i") - d(s"s_$i") * d(s"s_$i")) *
+        sqrt(d("n") * d(s"q_$j") - d(s"s_$j") * d(s"s_$j"))
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        round(try_divide(num, den), 6).as("r"))
+    }
+    a.select(explode(array(pairStructs: _*)).as("p")).select(col("p.*"))
+  }
 }

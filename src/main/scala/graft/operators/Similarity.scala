@@ -320,4 +320,85 @@ object Similarity {
     }
     q.select(col("vec_id") +: projCols: _*)
   }
+
+  /** Flatten embeddings to (vec_id, dim, x) rows — dim is 1-based so the
+    * DuckDB `generate_subscripts` mirror matches. Narrow explode, no
+    * shuffle until an aggregation keys on something.
+    */
+  private def flatten(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embeddings
+      .select(col(idCol).as("vec_id"), posexplode(toDouble(col(vecCol))))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").as("x"))
+
+  /** Per-dimension z-score standardization of the embedding corpus — the
+    * feature-scaling pre-pass before distance-based ops when dimensions
+    * have heterogeneous ranges. Output is flattened (vec_id, dim, z).
+    *
+    * Moments per dimension come from exact DECIMAL sums (6-dp-rounded
+    * per-row values / squared deviations), the same two-pass recipe as
+    * [[graft.analytics.Analytics.outliers]] — order-free, engine-exact.
+    * Shuffle shape: two hash shuffles keyed on dim (cardinality = dim
+    * count, e.g. 64 — tiny) with map-side combine; the per-dim stats join
+    * back as a broadcast. A constant dimension has sd = 0 → NULL z
+    * (try_divide), not an ANSI error.
+    */
+  def standardize(embeddings: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val flat = flatten(embeddings, idCol, vecCol)
+    val means = flat.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x"), 6).cast("decimal(18,6)")).as("s"))
+      .select(col("dim"), col("n"), (col("s").cast("double") / col("n")).as("mean"))
+    val stats = flat.join(broadcast(means), "dim")
+      .groupBy("dim")
+      .agg(first(col("n")).as("n"), first(col("mean")).as("mean"),
+        sum(round((col("x") - col("mean")) * (col("x") - col("mean")), 6)
+          .cast("decimal(18,6)")).as("ss"))
+      .select(col("dim"), col("mean"),
+        sqrt(col("ss").cast("double") / (col("n") - 1)).as("sd"))
+    flat.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        round(try_divide(col("x") - col("mean"), col("sd")), 6).as("z"))
+  }
+
+  /** One Lloyd iteration of k-means over the embedding corpus: seed
+    * centroids = the first `k` vectors by id (deterministic), assign every
+    * vector to its nearest centroid by squared L2, and emit the
+    * recomputed per-dimension centroid means with member counts — the
+    * distributed clustering step (iterate by feeding the output back as
+    * seeds; IVF uses the same assign shape with hash-sampled seeds).
+    *
+    * Determinism: per-dimension squared differences are 6-dp-rounded and
+    * DECIMAL-summed, so distances are exact and the argmin (ties → lower
+    * centroid id) is engine-independent; new centroids are DECIMAL means.
+    * Shuffle shape: seed centroids broadcast (k·dim rows); the distance
+    * aggregate is one hash shuffle on (vec, centroid) with map-side
+    * combine; the argmin window partitions by vec; the recompute is one
+    * hash shuffle on (centroid, dim). No driver-side iteration inside the
+    * operator.
+    */
+  def kmeansIterate(embeddings: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val flat = flatten(embeddings, idCol, vecCol)
+    val seeds = embeddings.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
+    val cent = flat.join(seeds, "vec_id")
+      .select(col("vec_id").as("cid"), col("dim"), col("x").as("c"))
+    val d2 = flat.join(broadcast(cent), "dim")
+      .groupBy("vec_id", "cid")
+      .agg(sum(round((col("x") - col("c")) * (col("x") - col("c")), 6)
+        .cast("decimal(18,6)")).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
+    val assign = d2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    assign.join(flat, "vec_id")
+      .groupBy("cid", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        sum(round(col("x"), 6).cast("decimal(18,6)")).as("s"))
+      .select(col("cid").as("cluster_id"), col("dim"),
+        round(col("s").cast("double") / col("n_members"), 6).as("centroid"),
+        col("n_members"))
+  }
 }

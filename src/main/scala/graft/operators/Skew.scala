@@ -50,4 +50,31 @@ object Skew {
       explode(sequence(lit(0L), lit(buckets - 1L))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Join-key skew report: the top-`k` hottest keys with their row share,
+    * plus table totals — the diagnostic run BEFORE picking a salting /
+    * AQE-skew strategy for a 100 TB join (a top-key share of 5% means one
+    * reducer gets 5% of the shuffle).
+    *
+    * Scale shape: one hash shuffle with map-side combine for the key
+    * frequencies (cardinality = distinct keys), a broadcast single-row
+    * total, and `orderBy().limit(k)` planned as TakeOrderedAndProject
+    * (per-partition heaps). The rank window runs UNPARTITIONED but above
+    * `limit(k)` — ≤ k rows at any table size, the same documented bounded
+    * exception as `vocabulary` (PlanGuardSpec allowlist).
+    */
+  def keyProfile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val freq = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = freq.orderBy(col("cnt").desc, col("key").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        col("n_rows"), col("n_keys"))
+  }
 }

@@ -356,6 +356,57 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Inverted postings index: one row per term with its document
+    * frequency and the SORTED posting list of containing doc ids — the
+    * search-index build step (BM25 serving, decontamination probes read
+    * exactly this structure). Terms with df > `maxDf` are dropped
+    * entirely (stopword posting lists are corpus-sized rows — the classic
+    * index skew — and carry no discriminative value; the df cap is the
+    * same knob as `maxShingleFreq` in the dedup family).
+    *
+    * One narrow explode + distinct, one hash shuffle on term with
+    * map-side combine; the list is assembled with `sort_array ∘
+    * collect_list` (order restored deterministically, no window).
+    */
+  def postingsIndex(docs: DataFrame, maxDf: Long = Long.MaxValue,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(Fns.tokens(col(textCol))).as("term"))
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .filter(col("df") <= maxDf)
+
+  /** Skip-gram co-occurrence counts: (center, context) token pairs within
+    * ± `window` positions, aggregated corpus-wide, top `k` by count — the
+    * word2vec/GloVe training-pair extraction step.
+    *
+    * Plan: positions explode narrowly; the context lookup is an equi-join
+    * on (doc, position+offset) — a hash join on exact keys, NOT a range
+    * self-join (offsets are a tiny generated array, so the join blows up
+    * by at most 2·window, the true output size). One hash shuffle with
+    * map-side combine for the counts, then TakeOrderedAndProject.
+    */
+  def skipgramCounts(docs: DataFrame, window: Int, k: Int,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1, s"need window >= 1, got $window")
+    require(k >= 1, s"need k >= 1, got $k")
+    val pos = docs
+      .select(col(idCol).as("doc_id"), posexplode(Fns.tokens(col(textCol))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("col").as("tok"))
+    val offsets = ((-window to window).filter(_ != 0)).map(o => lit(o.toLong))
+    val centers = pos.select(col("doc_id"), col("tok").as("center"),
+        explode(array(offsets: _*)).as("o"), col("i"))
+      .select(col("doc_id"), col("center"), (col("i") + col("o")).as("j"))
+    centers
+      .join(pos.select(col("doc_id"), col("i").as("j"), col("tok").as("context")),
+        Seq("doc_id", "j"))
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("center").asc, col("context").asc)
+      .limit(k)
+  }
+
   /** BM25 top-k lexical retrieval: score every document against a bag of
     * query terms with the Lucene-style formula
     * `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`,
@@ -443,6 +494,33 @@ object TextAnalysis {
           ((col("c_a") / col("n_tok")) * (col("c_b") / col("n_tok")))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("bigram").asc)
       .limit(k)
+  }
+
+  /** Per-document Shannon entropy of the token distribution (nats):
+    * `H = ln(n) − (Σ c·ln c)/n` over the per-term counts c — the classic
+    * "natural text vs generated sludge" quality signal (low entropy =
+    * repetitive/templated; high = diverse vocabulary). `norm_entropy`
+    * divides by the max possible `ln(n_distinct)` (NULL for single-term
+    * docs, where the ratio is 0/0).
+    *
+    * Determinism: Σ c·ln c runs per-term doubles through a 6-dp round +
+    * exact DECIMAL sum, so the per-doc total is order-free; the outer
+    * arithmetic is a fixed per-row expression. One hash shuffle on
+    * (doc, term) with map-side combine, one on doc — both ∝ vocabulary
+    * use, not corpus bytes.
+    */
+  def entropy(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(Fns.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val agg = tf.groupBy("doc_id").agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      sum(round(col("c") * log(col("c")), 6).cast("decimal(18,6)")).as("sclogc"))
+    val hRaw = log(col("n_tokens")) - col("sclogc").cast("double") / col("n_tokens")
+    agg.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      round(hRaw, 6).as("entropy"),
+      round(try_divide(hRaw, log(col("n_distinct"))), 6).as("norm_entropy"))
   }
 
   /** Boilerplate n-gram removal (the CCNet/C4 cleanup step, word-gram

@@ -59,4 +59,18 @@ class DataQualitySpec extends SparkSpec {
     val nulled = Seq((1L, Some(10L)), (2L, None), (3L, Some(30L))).toDF("id", "v")
     assert(sum1(nulled).getAs[Long]("checksum") != base.getAs[Long]("checksum"))
   }
+
+  test("corrMatrix: perfect +/- correlation, constant column yields NULL r") {
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0),
+      (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0),
+      (4.0, 8.0, -4.0, 5.0)).toDF("x", "y2x", "neg", "const")
+    val out = DataQuality.corrMatrix(df, Seq("x", "y2x", "neg", "const"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.get(2)).toMap
+    assert(out.size == 6) // 4 choose 2 pairs, all from one aggregate row
+    assert(math.abs(out(("x", "y2x")).asInstanceOf[Double] - 1.0) < 1e-6)
+    assert(math.abs(out(("x", "neg")).asInstanceOf[Double] + 1.0) < 1e-6)
+    assert(out(("x", "const")) == null) // sd 0 -> try_divide -> NULL
+  }
 }

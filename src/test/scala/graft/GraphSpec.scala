@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: hand-computed single iteration with a dangling node") {
+    // a -> b only; b dangles. N=2, r0 = (0.5, 0.5), dangling mass 0.5:
+    // r(a) = 0.15/2 + 0.85*(0 + 0.25)   = 0.2875
+    // r(b) = 0.15/2 + 0.85*(0.5 + 0.25) = 0.7125
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val out = Graph.pageRank(e, iters = 1).orderBy("node").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("a") - 0.2875) < 1e-6)
+    assert(math.abs(out("b") - 0.7125) < 1e-6)
+  }
+
+  test("pageRank: symmetric cycle stays uniform; mass conserved over 3 iters") {
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val out = Graph.pageRank(cycle, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // every node has in-deg = out-deg = 1 -> uniform is the fixed point
+    assert(out.values.forall(v => math.abs(v - 1.0 / 3) < 1e-6))
+    assert(math.abs(out.values.sum - 1.0) < 1e-5)
+  }
+
+  test("pageRank: a sink hub accumulates rank from its pointers") {
+    // star: three spokes all point at hub (hub dangles)
+    val star = Seq(("s1", "hub"), ("s2", "hub"), ("s3", "hub")).toDF("src", "dst")
+    val out = Graph.pageRank(star, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("hub") > out("s1") * 2) // clearly dominant, not just above
+    assert(out("s1") == out("s2") && out("s2") == out("s3")) // symmetry exact
+  }
+}

@@ -19,12 +19,14 @@ class PlanGuardSpec extends SparkSpec {
     *    `limit(maxVocab)` (TextAnalysis.vocabulary; encode embeds it as
     *    its broadcast lookup side) — ≤ maxVocab rows at any corpus size;
     *  - sketch_histq: the cumulative-count scan runs above the ≤ nBins
-    *    histogram aggregate (Sketch.histogramQuantiles).
+    *    histogram aggregate (Sketch.histogramQuantiles);
+    *  - dq_skew_report: the rank runs above `limit(k)` of the frequency
+    *    table (Skew.keyProfile) — ≤ k rows at any table size.
     * Data-sized offenders get rewritten, not allowlisted: op15_surrogate
     * and text_pack moved to two-level distributed prefix-sums in round 8.
     */
   private val boundedGlobalWindowAllowlist =
-    Set("text_vocab", "text_encode", "sketch_histq")
+    Set("text_vocab", "text_encode", "sketch_histq", "dq_skew_report")
 
   test("no registered query plans an unpartitioned ordered Window (bounded allowlist aside)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

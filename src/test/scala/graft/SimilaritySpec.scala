@@ -177,6 +177,43 @@ class SimilaritySpec extends SparkSpec {
     assert(plus > 200 && plus < 312, s"signs unbalanced: $plus/512 positive")
   }
 
+  test("standardize: hand-computed per-dim z; constant dim yields NULL") {
+    val e = Seq(
+      (1L, Array(0.0f, 7.0f)),
+      (2L, Array(2.0f, 7.0f)),
+      (3L, Array(4.0f, 7.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.standardize(e).orderBy("vec_id", "dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.get(2)).toMap
+    // dim 1: mean 2, sd = sqrt((4+0+4)/2) = 2 -> z = -1, 0, 1
+    assert(out((1L, 1L)).asInstanceOf[Double] == -1.0)
+    assert(out((2L, 1L)).asInstanceOf[Double] == 0.0)
+    assert(out((3L, 1L)).asInstanceOf[Double] == 1.0)
+    // dim 2 constant -> sd 0 -> NULL (try_divide), not an ANSI error
+    assert(out((1L, 2L)) == null && out((3L, 2L)) == null)
+  }
+
+  test("kmeansIterate: one Lloyd step on two obvious 2-D clusters") {
+    val e = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(10.0f, 10.0f)), // seeds (first 2 ids)
+      (3L, Array(1.0f, 1.0f)), (4L, Array(9.0f, 9.0f)),
+      (5L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansIterate(e, 2).orderBy("cluster_id", "dim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // cluster 1 members: vecs 1,3,5 -> dim means (1/3, 2/3); cluster 2: 2,4 -> (9.5, 9.5)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 0.333333, 3L), (1L, 2L, 0.666667, 3L),
+      (2L, 1L, 9.5, 2L), (2L, 2L, 9.5, 2L)))
+  }
+
+  test("kmeansIterate: equidistant vector goes to the lower centroid id") {
+    val e = Seq(
+      (1L, Array(0.0f)), (2L, Array(2.0f)), // seeds at 0 and 2
+      (3L, Array(1.0f))).toDF("vec_id", "embedding") // exactly between
+    val out = Similarity.kmeansIterate(e, 2).orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L))) // vec 3 joined cluster 1
+  }
+
   test("embeddingNearDupPairsLsh: measured recall ≥ 0.92 at bench scale, boundary-planted pairs") {
     // MEASURED recall at the benched corpus size (sf0.1 embeddings: 2000
     // vectors, dim 64), not the analytic argument alone: 200 planted

@@ -42,4 +42,15 @@ class SkewSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(salts.toSeq == again.toSeq) // no Math.random anywhere
   }
+
+  test("keyProfile: hand counts, shares, rank order, totals") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("c1", "c2", "c3"))
+      .toDF("k")
+    val out = Skew.keyProfile(df, "k", 3).orderBy("rank").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[String]("key")).toSeq == Seq("hot", "warm", "c1")) // cnt desc, key asc tiebreak
+    assert(out.map(_.getAs[Long]("cnt")).toSeq == Seq(6L, 3L, 1L))
+    assert(math.abs(out(0).getAs[Double]("share") - 0.5) < 1e-9) // 6 of 12
+    assert(out.forall(r => r.getAs[Long]("n_rows") == 12L && r.getAs[Long]("n_keys") == 5L))
+  }
 }

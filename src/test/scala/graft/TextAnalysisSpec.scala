@@ -236,6 +236,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_removed") == 4L)
   }
 
+  test("postingsIndex: sorted lists, df cap drops stopword-sized rows") {
+    val docs = Seq((3L, "x common"), (1L, "x y common"), (2L, "y common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.postingsIndex(docs).orderBy("term").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(out("common") == (3L, Seq(1L, 2L, 3L))) // sorted despite input order
+    assert(out("x") == (2L, Seq(1L, 3L)))
+    assert(out("y") == (2L, Seq(1L, 2L)))
+    val capped = TextAnalysis.postingsIndex(docs, maxDf = 2L).collect()
+      .map(_.getString(0)).toSet
+    assert(capped == Set("x", "y")) // 'common' (df 3) dropped entirely
+  }
+
+  test("skipgramCounts: window-1 adjacency vs window-2 reach, hand counts") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    def pairs(w: Int) = TextAnalysis.skipgramCounts(docs, w, 100).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val w1 = pairs(1)
+    assert(w1 == Map(("a", "b") -> 1L, ("b", "a") -> 1L,
+      ("b", "c") -> 1L, ("c", "b") -> 1L))
+    val w2 = pairs(2)
+    assert(w2(("a", "c")) == 1L && w2(("c", "a")) == 1L && w2.size == 6)
+  }
+
+  test("entropy: ln 2 for a 2-symbol uniform doc; 0 and NULL norm for constant") {
+    val docs = Seq((1L, "a a b b"), (2L, "x x x")).toDF("doc_id", "text")
+    val out = TextAnalysis.entropy(docs).orderBy("doc_id").collect()
+    // doc 1: H = ln4 - (2ln2 + 2ln2)/4 = ln2; norm = ln2/ln2 = 1
+    assert(math.abs(out(0).getAs[Double]("entropy") - math.log(2.0)) < 1e-5)
+    assert(math.abs(out(0).getAs[Double]("norm_entropy") - 1.0) < 1e-5)
+    assert(out(0).getAs[Long]("n_tokens") == 4L && out(0).getAs[Long]("n_distinct") == 2L)
+    // doc 2: single symbol -> H = 0, norm 0/0 -> NULL
+    assert(out(1).getAs[Double]("entropy") == 0.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("norm_entropy")))
+  }
+
   test("selectByBudget: greedy best-first cut matches a serial reference") {
     val docs = (1 to 40).map { i =>
       // vary distinct-ratio and length deterministically

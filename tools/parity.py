@@ -42,6 +42,11 @@ for k in keys:
             problems.append(f"dtypes spark={list(map(str,sdf.dtypes))} oracle={list(map(str,odf.dtypes))}")
         for c in sdf.columns:
             a, b = sdf[c], odf[c]
+            if a.dtype == object or b.dtype == object:
+                # list/array cells: canonicalize to tuples so == is scalar
+                canon = lambda v: tuple(v.tolist()) if hasattr(v, "tolist") \
+                    else (tuple(v) if isinstance(v, list) else v)
+                a, b = a.map(canon), b.map(canon)
             neq = ~((a == b) | (a.isna() & b.isna()))
             if neq.any():
                 i = neq.idxmax()
