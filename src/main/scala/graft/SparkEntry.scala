@@ -990,6 +990,30 @@ object SparkEntry {
     "text_skipgrams" -> ((s, dir) =>
       TextAnalysis.skipgramCounts(T(s, dir, "documents"), 2, 100)),
 
+    // Unigram-LM perplexity per doc (CCNet-style corpus-surprise filter);
+    // DECIMAL-summed per-term log-probs.
+    "text_perplexity" -> ((s, dir) =>
+      TextAnalysis.perplexity(T(s, dir, "documents")).orderBy("doc_id")),
+
+    // Length-quantile bucketing for padding-efficient batching — exact
+    // broadcast quartile boundaries, flat scoring, no ntile window.
+    "text_length_buckets" -> ((s, dir) =>
+      TextAnalysis.lengthBuckets(T(s, dir, "documents")).orderBy("doc_id")),
+
+    // Per-session ordered event-type sequences (sequence-model training
+    // export) — session_window groups, array_sort-restored order.
+    "ana_session_sequences" -> ((s, dir) =>
+      Analytics.sessionSequences(T(s, dir, "events"), "30 minutes")
+        .orderBy("user_id", "session_start")),
+
+    // UNPIVOT/melt: wide metrics to (key, metric, value) rows — the
+    // relational dual of pivot (which is covered elsewhere).
+    "q_unpivot" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount")), "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value")),
+
     // Corpus bigram table (top 200 by occurrence count): the LM-data
     // profile pass — boilerplate discovery, contamination probes.
     "text_ngrams" -> ((s, dir) =>
@@ -2808,9 +2832,11 @@ object SparkEntry {
          |FROM a ORDER BY doc_id""".stripMargin,
 
     // Pearson r from five exact DECIMAL moments per pair; one aggregate.
+    // Products quantize at the DECIMAL cast (2-dp money columns -> exact
+    // 4-dp products, boundary-safe) — mirrors the Spark side.
     "q_corr" -> {
       val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
-      def ds(x: String) = s"CAST(sum(CAST(round($x, 6) AS DECIMAL(28,6))) AS DOUBLE)"
+      def ds(x: String) = s"CAST(sum(CAST($x AS DECIMAL(28,6))) AS DOUBLE)"
       val moments =
         cols.zipWithIndex.map { case (c, i) =>
           s"${ds(c)} AS s$i, ${ds(s"$c * $c")} AS q$i" } ++
@@ -2935,6 +2961,62 @@ object SparkEntry {
          |FROM tok a JOIN tok b ON b.doc_id = a.doc_id
          |  AND b.i BETWEEN a.i - 2 AND a.i + 2 AND b.i <> a.i
          |GROUP BY 1, 2 ORDER BY cnt DESC, center, context LIMIT 100""".stripMargin,
+
+    "text_perplexity" ->
+      s"""WITH base AS ($docToks),
+         |t AS (SELECT doc_id, unnest(toks) AS term FROM base),
+         |tf AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
+         |tot AS (SELECT term, CAST(sum(c) AS BIGINT) AS cw FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(sum(cw) AS BIGINT) AS n_corpus FROM tot),
+         |a AS (SELECT tf.doc_id, CAST(sum(tf.c) AS BIGINT) AS n_tokens,
+         |        sum(CAST(round(tf.c * ln(CAST(tot.cw AS DOUBLE) / n.n_corpus), 6)
+         |          AS DECIMAL(18,6))) AS slogp
+         |      FROM tf JOIN tot USING (term) CROSS JOIN n GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  round(-CAST(slogp AS DOUBLE) / n_tokens, 6) AS log_perplexity,
+         |  round(exp(-CAST(slogp AS DOUBLE) / n_tokens), 6) AS perplexity
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // Exact interpolated quartiles as broadcast boundaries (the ana_rfm
+    // recipe); integer lengths keep the comparisons engine-stable.
+    "text_length_buckets" ->
+      s"""WITH lens AS (SELECT doc_id, CAST(len(regexp_extract_all(text,
+         |    '${TextAnalysis.subwordPattern}')) AS BIGINT) AS n_subwords
+         |  FROM documents),
+         |b AS (SELECT quantile_cont(n_subwords, [0.25, 0.5, 0.75]) AS bnds
+         |      FROM lens)
+         |SELECT doc_id, n_subwords,
+         |  CAST(1 + len(list_filter(bnds, x -> CAST(n_subwords AS DOUBLE) > x))
+         |    AS BIGINT) AS bucket
+         |FROM lens CROSS JOIN b ORDER BY doc_id""".stripMargin,
+
+    // Same sessionization CTE as stream_session, plus the ordered
+    // event-type string_agg (ties broken by event_id on both sides).
+    "ana_session_sequences" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events,
+        |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS sequence
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // ORDER BY includes value: (orderkey, linenumber) has real duplicate
+    // rows in this data, so the value column completes the total order.
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |  l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
 
     "text_pack" ->
       s"""WITH base AS (

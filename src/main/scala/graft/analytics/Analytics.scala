@@ -180,6 +180,31 @@ object Analytics {
       .drop("grp")
   }
 
+  /** Per-session ordered behavior sequences: one row per (user, session)
+    * with the event-type sequence in (ts, id) order — the export step
+    * that turns telemetry into sequence-model training examples.
+    * Sessions are Spark `session_window`s (gap-merged, end = last + gap),
+    * so the SAME call sessionizes a stream (StreamingJobs.sessionize is
+    * the counting flavor of this shape).
+    *
+    * One hash shuffle keyed by (user, session window); the in-session
+    * order is restored with `array_sort ∘ collect_list` over
+    * (ts, id, type) structs — no window function, order total via the
+    * unique id tiebreak.
+    */
+  def sessionSequences(events: DataFrame, gap: String = "30 minutes",
+                       userCol: String = "user_id", typeCol: String = "event_type",
+                       tsCol: String = "ts", idCol: String = "event_id"): DataFrame =
+    events
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(tsCol), col(idCol), col(typeCol)))),
+          s => s.getField(typeCol)), " ").as("sequence"))
+      .select(col(userCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"),
+        col("sequence"))
+
   /** Per-group z-score outlier flagging: events whose value sits more than
     * `zThreshold` sample standard deviations from their group's mean — the
     * metric-anomaly sweep run over telemetry before it feeds training.

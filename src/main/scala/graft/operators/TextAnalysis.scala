@@ -523,6 +523,63 @@ object TextAnalysis {
       round(try_divide(hRaw, log(col("n_distinct"))), 6).as("norm_entropy"))
   }
 
+  /** Per-document perplexity under the corpus unigram MLE language model:
+    * `ln PP(d) = −(1/n_d)·Σ_w c_{d,w}·ln(c_w/N)` — the CCNet-style
+    * "how surprising is this document to the corpus itself" filter
+    * (high perplexity = noise/outlier text, low = boilerplate-ish).
+    *
+    * Per-term contributions are 6-dp-rounded and DECIMAL-summed per doc
+    * (order-free); everything else is fixed per-row arithmetic. Shuffle
+    * shape: (doc, term) tf with map-side combine, a vocabulary-sized term
+    * total join (AQE broadcasts small vocabularies), one doc-keyed
+    * aggregate. Output: n_tokens, log-perplexity and perplexity (both
+    * 6-dp).
+    */
+  def perplexity(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(Fns.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy("term").agg(sum(col("c")).as("cw"))
+    val n = tot.agg(sum(col("cw")).as("n_corpus"))
+    val agg = tf.join(tot, "term").crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(round(col("c") * log(col("cw") / col("n_corpus")), 6)
+          .cast("decimal(18,6)")).as("slogp"))
+    val lnPp = -(col("slogp").cast("double")) / col("n_tokens")
+    agg.select(col("doc_id"), col("n_tokens"),
+      round(lnPp, 6).as("log_perplexity"),
+      round(exp(lnPp), 6).as("perplexity"))
+  }
+
+  /** Length-quantile bucketing: assign each document to one of `nTiles`
+    * token-length buckets split at exact corpus quartile boundaries — the
+    * sequence-length batching step that keeps padding waste down in
+    * training/inference (batch shape ∝ bucket, not corpus max).
+    *
+    * Same broadcast-boundary recipe as [[graft.analytics.Analytics.rfm]]:
+    * ONE tiny aggregate computes the (nTiles−1) exact interpolated
+    * quantiles, broadcasts them, and each row scores itself as
+    * `1 + #boundaries strictly below its length` — a flat projection, no
+    * ntile window (which would be a single-partition sort over the
+    * corpus). Integer lengths make the boundary comparisons cross-engine
+    * stable (the rfm argument).
+    */
+  def lengthBuckets(docs: DataFrame, nTiles: Int = 4,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(nTiles >= 2, s"need nTiles >= 2, got $nTiles")
+    val lens = docs.select(col(idCol).as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(subwordPattern), lit(0)))
+        .cast("long").as("n_subwords"))
+    val qs = (1 until nTiles).map(_.toDouble / nTiles)
+    val bounds = lens.agg(
+      percentile(col("n_subwords"), lit(qs.toArray)).as("bnds"))
+    lens.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_subwords"),
+        (lit(1L) + size(filter(col("bnds"),
+          b => col("n_subwords").cast("double") > b)).cast("long")).as("bucket"))
+  }
+
   /** Boilerplate n-gram removal (the CCNet/C4 cleanup step, word-gram
     * flavored because this corpus has no line structure): any word
     * `n`-gram present in ≥ `maxDocFrac` of all documents is boilerplate;

@@ -26,13 +26,27 @@ object Smoke {
       r
     }
 
-    // Current investigation: tf-cosine formulations at sf0.1 (V=31 corpus).
-    import graft.operators.Dedup
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    println(s"[smoke] docs = ${docs.count()}")
-    time("tf_cosine dense (1st)")(Dedup.tfCosinePairsDense(docs, 0.95).count())
-    time("tf_cosine dense (2nd)")(Dedup.tfCosinePairsDense(docs, 0.95).count())
-    time("tf_cosine dispatcher")(Dedup.tfCosinePairs(docs, 0.95).count())
+    // Current investigation: q_corr moment-aggregate cost at sf0.1 —
+    // is Round(double)->decimal the bottleneck vs a direct decimal cast
+    // vs raw double sums?
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_discount", "l_extendedprice", "l_quantity")
+    println(s"[smoke] lineitem = ${li.count()}")
+    val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
+    def run(tag: String)(ds: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(sum(ds(col(c))).as(s"s_$i"), sum(ds(col(c) * col(c))).as(s"q_$i")) } ++
+        pairs.map { case (i, j) => sum(ds(col(cols(i)) * col(cols(j)))).as(s"p_${i}_$j") }
+      time(tag)(li.agg(aggs.head, aggs.tail: _*).collect())
+      time(tag + " (2nd)")(li.agg(aggs.head, aggs.tail: _*).collect())
+    }
+    run("round+decimal(28,6)")(x => round(x, 6).cast("decimal(28,6)"))
+    run("direct decimal(28,6)")(x => x.cast("decimal(28,6)"))
+    run("raw double")(identity)
+    run("scaled long")(x => round(x * 1000000d, 0).cast("long"))
 
     spark.stop()
   }

@@ -123,6 +123,22 @@ class AnalyticsSpec extends SparkSpec {
       (2L, "2024-01-03", "2024-01-04", 2L)))
   }
 
+  test("sessionSequences: gap splits sessions, ts ties ordered by event id") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val e = Seq(
+      (1L, t(0), 1L, "a"), (1L, t(10), 2L, "b"),  // session 1: a b
+      (1L, t(50), 3L, "c"),                        // > 30m gap -> session 2
+      (2L, t(0), 5L, "y"), (2L, t(0), 4L, "x")     // same ts -> id order: x y
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Analytics.sessionSequences(e, "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(out.map(_.getAs[String]("sequence")).toSeq == Seq("a b", "c", "x y"))
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    // session end = last event + gap
+    assert(out(0).getAs[java.sql.Timestamp]("session_end") ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:40:00"))
+  }
+
   test("outliers: hand-computed z, inliers dropped, constant group silent") {
     val e = ((1L to 9L).map(i => (i, "a", 0.0)) :+ (10L, "a", 100.0)) ++
       Seq((11L, "b", 5.0), (12L, "b", 5.0), (13L, "b", 5.0)) // sd = 0

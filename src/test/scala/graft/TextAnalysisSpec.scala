@@ -236,6 +236,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_removed") == 4L)
   }
 
+  test("perplexity: hand-computed unigram-LM surprise") {
+    val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    // corpus: c_a=2, c_b=1, N=3. doc1: lnPP = -ln(2/3) = ln 1.5; doc2: ln 3
+    val out = TextAnalysis.perplexity(docs).orderBy("doc_id").collect()
+    assert(math.abs(out(0).getAs[Double]("log_perplexity") - math.log(1.5)) < 1e-5)
+    assert(math.abs(out(0).getAs[Double]("perplexity") - 1.5) < 1e-5)
+    assert(math.abs(out(1).getAs[Double]("perplexity") - 3.0) < 1e-5)
+    assert(out(0).getAs[Long]("n_tokens") == 2L)
+  }
+
+  test("lengthBuckets: quartile boundaries split 1..4 into four buckets") {
+    val docs = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    // lengths 1,2,3,4 -> quartiles (1.75, 2.5, 3.25) -> buckets 1,2,3,4
+    val out = TextAnalysis.lengthBuckets(docs).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("bucket")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_.getAs[Long]("n_subwords")).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("postingsIndex: sorted lists, df cap drops stopword-sized rows") {
     val docs = Seq((3L, "x common"), (1L, "x y common"), (2L, "y common")
     ).toDF("doc_id", "text")
