@@ -1014,6 +1014,29 @@ object SparkEntry {
           Array(col("l_quantity"), col("l_discount")), "metric", "value")
         .orderBy("l_orderkey", "l_linenumber", "metric", "value")),
 
+    // Snapshot profile drift: per-column null/distinct/mean deltas
+    // between the pre-1997 orders snapshot and the full table — the
+    // schema-silent input-shift check.
+    "dq_profile_drift" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      operators.DataQuality.profileDrift(
+        orders.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        orders, Seq("o_custkey", "o_totalprice"))
+        .orderBy("col_name")
+    }),
+
+    // Vocabulary-size coverage curve (10/20/30 terms) — the OOV-rate
+    // stat behind tokenizer sizing.
+    "text_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(T(s, dir, "documents"), Seq(10, 20, 30))
+        .orderBy("vocab_size")),
+
+    // Per-(source, lang) dataset-card profile: doc/token counts + mean
+    // distinct-token ratio (DECIMAL mean).
+    "text_source_profile" -> ((s, dir) =>
+      TextAnalysis.sourceProfile(T(s, dir, "documents"))
+        .orderBy("source", "lang")),
+
     // Corpus bigram table (top 200 by occurrence count): the LM-data
     // profile pass — boilerplate discovery, contamination probes.
     "text_ngrams" -> ((s, dir) =>
@@ -3017,6 +3040,57 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
+
+    "dq_profile_drift" -> {
+      def side(src: String, tag: String) =
+        Seq("o_custkey", "o_totalprice").map { c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows_$tag,
+             |  count(*) - count($c) AS n_nulls_$tag,
+             |  count(DISTINCT $c) AS n_distinct_$tag,
+             |  CAST(sum(CAST($c AS DECIMAL(28,6))) AS DOUBLE) / count($c)
+             |    AS mean_$tag
+             |FROM $src""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""WITH o AS (SELECT * FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+         |po AS (${side("o", "old")}),
+         |pn AS (${side("orders", "new")})
+         |SELECT col_name, n_rows_old, n_nulls_old, n_distinct_old,
+         |  round(mean_old, 6) AS mean_old,
+         |  n_rows_new, n_nulls_new, n_distinct_new,
+         |  round(mean_new, 6) AS mean_new,
+         |  round(mean_new - mean_old, 6) AS mean_delta
+         |FROM po JOIN pn USING (col_name) ORDER BY col_name""".stripMargin
+    },
+
+    "text_vocab_coverage" ->
+      s"""WITH base AS ($docToks),
+         |t AS (SELECT unnest(toks) AS term FROM base),
+         |c AS (SELECT term, count(*) AS freq FROM t GROUP BY 1),
+         |v AS (SELECT freq, CAST(row_number() OVER (ORDER BY freq DESC, term)
+         |          - 1 AS BIGINT) AS term_id
+         |      FROM (SELECT term, freq FROM c
+         |            ORDER BY freq DESC, term LIMIT 30)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM t),
+         |sz AS (SELECT CAST(unnest([10, 20, 30]) AS BIGINT) AS vocab_size)
+         |SELECT sz.vocab_size, CAST(sum(v.freq) AS BIGINT) AS covered_tokens,
+         |  tot.total_tokens,
+         |  CAST(sum(v.freq) AS DOUBLE) / tot.total_tokens AS coverage
+         |FROM v JOIN sz ON v.term_id < sz.vocab_size CROSS JOIN tot
+         |GROUP BY 1, 3 ORDER BY vocab_size""".stripMargin,
+
+    "text_source_profile" ->
+      """WITH p AS (SELECT source, lang,
+        |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |      FROM documents),
+        |r AS (SELECT source, lang, CAST(len(toks) AS BIGINT) AS n_toks,
+        |        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ratio
+        |      FROM p)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CAST(round(ratio, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_distinct_ratio
+        |FROM r GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
 
     "text_pack" ->
       s"""WITH base AS (

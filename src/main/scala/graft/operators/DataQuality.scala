@@ -133,4 +133,44 @@ object DataQuality {
     }
     a.select(explode(array(pairStructs: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Per-column statistical profile of one table: row/null/distinct
+    * counts and the DECIMAL-exact mean, one row per column from a SINGLE
+    * wide aggregate (the q_column_profile shape, plus the mean).
+    * `try_divide`: an all-NULL column profiles with NULL mean.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = Seq(count(lit(1)).as("n")) ++ cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        sum(col(c).cast("decimal(28,6)")).as(s"s_$c")) }
+    val a = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col("n").as("n_rows"),
+        (col("n") - col(s"nn_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        try_divide(col(s"s_$c").cast("double"), col(s"nn_$c")).as("mean"))
+    }
+    a.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Snapshot profile drift: [[profile]] of an old and a new snapshot
+    * joined per column, with the mean delta — the nightly "did the
+    * pipeline's input distribution move" check that catches schema-silent
+    * data changes (null-rate spikes, mean shifts) BEFORE they poison
+    * downstream training. Two single-pass aggregates + a per-column-name
+    * join of two k-row frames — cost is two table scans, nothing else.
+    */
+  def profileDrift(oldDf: DataFrame, newDf: DataFrame, cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, tag: String) = {
+      val p = profile(df, cols)
+      p.select(col("col_name") +: p.columns.filterNot(_ == "col_name")
+        .map(c => col(c).as(s"${c}_$tag")): _*)
+    }
+    side(oldDf, "old").join(side(newDf, "new"), "col_name")
+      .withColumn("mean_delta", round(col("mean_new") - col("mean_old"), 6))
+      .withColumn("mean_old", round(col("mean_old"), 6))
+      .withColumn("mean_new", round(col("mean_new"), 6))
+  }
 }

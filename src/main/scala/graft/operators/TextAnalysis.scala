@@ -305,6 +305,54 @@ object TextAnalysis {
       .select(col("term_id"), col("term"), col("freq"))
   }
 
+  /** Vocabulary-size coverage curve: for each candidate size s, the
+    * fraction of all token OCCURRENCES covered by the top-s terms — the
+    * tokenizer-design stat that answers "how big must the vocab be before
+    * OOV is negligible". Reuses [[vocabulary]]'s dense ranking (bounded
+    * ≤ max(sizes) rows — the same documented single-partition exception,
+    * PlanGuardSpec allowlist); the per-size sums come from ONE explode of
+    * the size list over the ≤ maxVocab ranked rows, plus a broadcast
+    * corpus-total aggregate. Coverage is an exact-integer division.
+    */
+  def vocabCoverage(docs: DataFrame, sizes: Seq[Int],
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1), s"need positive sizes, got $sizes")
+    val vocab = vocabulary(docs, sizes.max, textCol, idCol)
+    val total = docs
+      .select(explode(Fns.tokens(col(textCol))).as("term"))
+      .agg(count(lit(1)).as("total_tokens"))
+    vocab
+      .select(col("term_id"), col("freq"),
+        explode(array(sizes.distinct.sorted.map(s => lit(s.toLong)): _*)).as("vocab_size"))
+      .filter(col("term_id") < col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(sum(col("freq")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("covered_tokens"), col("total_tokens"),
+        (col("covered_tokens").cast("double") / col("total_tokens")).as("coverage"))
+  }
+
+  /** Per-(source, language) corpus profile: document counts, token sums
+    * and mean distinct-token ratio — the "dataset card" summary every
+    * curated corpus ships with, and the input to mixture reweighting.
+    * One hash shuffle on the (source, lang) key; the quality mean rides a
+    * 6-dp-rounded DECIMAL sum (order-free).
+    */
+  def sourceProfile(docs: DataFrame, srcCol: String = "source",
+                    langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val toks = Fns.tokens(col(textCol))
+    docs
+      .select(col(srcCol).as("source"), col(langCol).as("lang"),
+        size(toks).cast("long").as("n_toks"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("ratio"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(round(col("ratio"), 6).cast("decimal(18,6)")).as("sr"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("sr").cast("double") / col("n_docs"), 6).as("mean_distinct_ratio"))
+  }
+
   /** Corpus encoding — the tokenizer-APPLY step between [[vocabulary]]
     * and sequence packing: each document becomes its array of vocabulary
     * term-ids in token order, out-of-vocabulary tokens as the

@@ -60,6 +60,25 @@ class DataQualitySpec extends SparkSpec {
     assert(sum1(nulled).getAs[Long]("checksum") != base.getAs[Long]("checksum"))
   }
 
+  test("profileDrift: null spike and mean shift surface per column") {
+    val old = Seq((1L, Some(10.0)), (2L, Some(20.0))).toDF("id", "v")
+    val nw = Seq((1L, Some(10.0)), (2L, Some(40.0)), (3L, None)).toDF("id", "v")
+    val out = DataQuality.profileDrift(old, nw, Seq("v")).collect()(0)
+    assert(out.getAs[Long]("n_rows_old") == 2L && out.getAs[Long]("n_rows_new") == 3L)
+    assert(out.getAs[Long]("n_nulls_old") == 0L && out.getAs[Long]("n_nulls_new") == 1L)
+    assert(out.getAs[Long]("n_distinct_new") == 2L) // NULL not counted
+    assert(out.getAs[Double]("mean_old") == 15.0)
+    assert(out.getAs[Double]("mean_new") == 25.0)
+    assert(out.getAs[Double]("mean_delta") == 10.0)
+  }
+
+  test("profile: all-NULL column gets NULL mean, not an error") {
+    val df = Seq((1L, Option.empty[Double]), (2L, None)).toDF("id", "v")
+    val r = DataQuality.profile(df, Seq("v")).collect()(0)
+    assert(r.getAs[Long]("n_nulls") == 2L)
+    assert(r.isNullAt(r.fieldIndex("mean")))
+  }
+
   test("corrMatrix: perfect +/- correlation, constant column yields NULL r") {
     val df = Seq(
       (1.0, 2.0, -1.0, 5.0),

@@ -21,12 +21,15 @@ class PlanGuardSpec extends SparkSpec {
     *  - sketch_histq: the cumulative-count scan runs above the ≤ nBins
     *    histogram aggregate (Sketch.histogramQuantiles);
     *  - dq_skew_report: the rank runs above `limit(k)` of the frequency
-    *    table (Skew.keyProfile) — ≤ k rows at any table size.
+    *    table (Skew.keyProfile) — ≤ k rows at any table size;
+    *  - text_vocab_coverage: reuses `vocabulary`'s ranking (≤ max(sizes)
+    *    rows above the limit).
     * Data-sized offenders get rewritten, not allowlisted: op15_surrogate
     * and text_pack moved to two-level distributed prefix-sums in round 8.
     */
   private val boundedGlobalWindowAllowlist =
-    Set("text_vocab", "text_encode", "sketch_histq", "dq_skew_report")
+    Set("text_vocab", "text_encode", "sketch_histq", "dq_skew_report",
+      "text_vocab_coverage")
 
   test("no registered query plans an unpartitioned ordered Window (bounded allowlist aside)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -253,4 +253,37 @@ class StreamingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
+
+  test("foreachBatch incremental aggregation == one-shot batch recompute") {
+    // The streaming face of Merge.aggState: each micro-batch folds its
+    // partial state into a running table; the DECIMAL monoid makes the
+    // final state identical to aggregating all data at once.
+    import graft.etl.Merge
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val stream = mem.toDF().toDF("k", "v")
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val partial = Merge.aggState(batch.toDF(), Seq("k"), "v")
+        // materialize before the next fold so state doesn't re-read the batch
+        val next = state.map(s =>
+          Merge.mergeAggStates(Seq("k"), s, partial)).getOrElse(partial)
+          .localCheckpoint(true)
+        state = Some(next)
+    }.start()
+    try {
+      mem.addData(("a", 1.5), ("b", 2.0)); q.processAllAvailable()
+      mem.addData(("a", 3.25));            q.processAllAvailable()
+      mem.addData(("b", -1.0), ("c", 7.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = Merge.finalizeAggState(state.get).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val oneShot = Merge.finalizeAggState(Merge.aggState(
+        Seq(("a", 1.5), ("b", 2.0), ("a", 3.25), ("b", -1.0), ("c", 7.0)).toDF("k", "v"),
+        Seq("k"), "v")).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == oneShot)
+    assert(got.map(_._1) == Seq("a", "b", "c") && got.head._2 == 4.75)
+  }
 }

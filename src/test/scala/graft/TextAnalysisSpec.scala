@@ -236,6 +236,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_removed") == 4L)
   }
 
+  test("vocabCoverage: occurrence-coverage curve on a hand corpus") {
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // freqs: a=3, b=2, c=1 (total 6) -> top1 3/6, top2 5/6, top3 6/6
+    val out = TextAnalysis.vocabCoverage(docs, Seq(1, 2, 3))
+      .orderBy("vocab_size").collect()
+    assert(out.map(_.getAs[Long]("covered_tokens")).toSeq == Seq(3L, 5L, 6L))
+    assert(out.map(_.getAs[Double]("coverage")).toSeq == Seq(0.5, 5.0 / 6, 1.0))
+    assert(out.forall(_.getAs[Long]("total_tokens") == 6L))
+  }
+
+  test("sourceProfile: per-(source, lang) counts and mean distinct ratio") {
+    val docs = Seq(
+      (1L, "a a", "s1", "en"), (2L, "a b", "s1", "en"), (3L, "x", "s2", "de")
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = TextAnalysis.sourceProfile(docs).orderBy("source").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_docs") == 2L && out(0).getAs[Long]("n_tokens") == 4L)
+    // ratios 0.5 and 1.0 -> mean 0.75
+    assert(out(0).getAs[Double]("mean_distinct_ratio") == 0.75)
+    assert(out(1).getAs[String]("lang") == "de" && out(1).getAs[Long]("n_tokens") == 1L)
+  }
+
   test("perplexity: hand-computed unigram-LM surprise") {
     val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
     // corpus: c_a=2, c_b=1, N=3. doc1: lnPP = -ln(2/3) = ln 1.5; doc2: ln 3
