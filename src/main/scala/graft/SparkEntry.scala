@@ -1233,6 +1233,28 @@ object SparkEntry {
     // ORC source breadth: write an ORC copy (timestamps survive natively
     // — no epoch conversion needed, unlike the CSV text roundtrip), read
     // it back schema-enforced, prove values round-trip bit-for-bit.
+    // Plain-text source round trip: write the corpus as line files, read
+    // back with the native text source — the rawest crawl-delivery format.
+    "op_text_source" -> ((s, dir) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-textsrc-${ProcessHandle.current().pid()}-" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      Ingest.textRoundTrip(T(s, dir, "documents"), tmp)
+        .select(col("value").as("text")).orderBy("text")
+    }),
+
+    // Whole-file binary source: the same text parts read as raw
+    // (path, length, content BINARY) files — the multimodal ingestion
+    // shape — then decoded and re-split, proving content fidelity.
+    "op_binary_source" -> ((s, dir) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-binsrc-${ProcessHandle.current().pid()}-" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      T(s, dir, "documents").select(col("text"))
+        .write.mode("overwrite").text(tmp)
+      Ingest.binaryFileLines(s, tmp).orderBy("text")
+    }),
+
     "op_orc_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -3131,6 +3153,13 @@ object SparkEntry {
     "op_orc_roundtrip" ->
       """SELECT event_id, user_id, event_type, value, ts
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // Both sources must reproduce the document texts byte-for-byte.
+    "op_text_source" ->
+      "SELECT text FROM documents ORDER BY text",
+
+    "op_binary_source" ->
+      "SELECT text FROM documents ORDER BY text",
 
     "op_json_quarantine" ->
       """SELECT count(*) AS n_valid, CAST(3 AS BIGINT) AS n_quarantined,

@@ -104,6 +104,28 @@ object Ingest {
     schema.fold(r)(r.schema).load(path)
   }
 
+  /** Plain-text source: one line per record (the rawest corpus format a
+    * crawl delivers). Write + read-back proves the round trip; the reader
+    * splits files across tasks natively like any Spark file source.
+    */
+  def textRoundTrip(docs: DataFrame, path: String,
+                    textCol: String = "text"): DataFrame = {
+    docs.select(col(textCol)).write.mode("overwrite").text(path)
+    docs.sparkSession.read.text(path)
+  }
+
+  /** Whole-file binary source (`binaryFile`) — the ingestion shape for
+    * raw image/audio/document files at a 100 TB multimodal corpus: each
+    * file arrives as (path, modificationTime, length, content BINARY),
+    * exactly the opaque-bytes + metadata model `Multimodal` processes.
+    * Here the bytes are UTF-8 text parts, decoded and re-split to lines
+    * so the content (not the path layout) is what gets verified.
+    */
+  def binaryFileLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(s"$path/part-*")
+      .select(explode(split(decode(col("content"), "UTF-8"), "\n")).as("text"))
+      .filter(col("text") =!= "")
+
   /** Parquet-backed variant so the same transforms run on harness testdata. */
   def readTable(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") readEvents(spark, dir)

@@ -87,4 +87,18 @@ class IngestSpec extends SparkSpec {
     assert(out(1).isNullAt(2)) // unparseable double -> null, row kept
     assert(out(2).getString(1) == "gamma")
   }
+
+  test("text and binaryFile sources reproduce the corpus byte-for-byte") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "zweite zeile"), (3L, "third"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-textsrc-test").toString
+    val back = Ingest.textRoundTrip(docs, dir)
+      .select($"value").as[String].collect().sorted.toSeq
+    assert(back == Seq("hello world", "third", "zweite zeile"))
+    // the same part files ingested as raw binary (the multimodal shape)
+    val bin = Ingest.binaryFileLines(spark, dir)
+      .select($"text").as[String].collect().sorted.toSeq
+    assert(bin == back)
+  }
 }
