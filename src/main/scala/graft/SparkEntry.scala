@@ -603,6 +603,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Dedup observability: the cluster-size histogram (how many docs sit
+    // in clusters of size s) — the report that says "dedup removed X% and
+    // the worst template family has N copies". Two tiny aggregates over
+    // the cluster labels.
+    "dedup_cluster_stats" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.dedupClusters(docs, Dedup.ngramJaccardPairs(docs, 3, 0.5))
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // Character-level near-dup: exact-Jaccard >= 0.3 candidates verified
     // by exact Levenshtein <= 10. The candidate definition MATCHES the
     // oracle's prefilter exactly (sound for any corpus, unlike an LSH
@@ -2450,6 +2462,13 @@ object SparkEntry {
       s"""WITH RECURSIVE $clusterLabelsCte
          |SELECT doc_id, cluster_id FROM clusters
          |ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $clusterLabelsCte,
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size
+         |       FROM clusters GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM sz GROUP BY 1 ORDER BY cluster_size""".stripMargin,
 
     // Same exact-Jaccard >= 0.3 candidate definition as the Spark side
     // (string trigrams here vs 64-bit shingle hashes there — identical

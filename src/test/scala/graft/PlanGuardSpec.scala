@@ -49,4 +49,29 @@ class PlanGuardSpec extends SparkSpec {
     val stale = boundedGlobalWindowAllowlist -- offenders
     assert(stale.isEmpty, s"allowlist entries no longer needed: $stale")
   }
+
+  test("round-8 operator plan shapes: top-k heaps, broadcasts, single-pass aggregate") {
+    import graft.operators.{DataQuality, Similarity, TextAnalysis}
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    // BM25's k-cut is a per-partition heap, never a global sort
+    val bm25 = TextAnalysis.bm25TopK(docs, Seq("spark"), 5)
+      .queryExecution.executedPlan.toString
+    assert(bm25.contains("TakeOrderedAndProject"), s"bm25 plan:\n$bm25")
+    // k-means seed centroids ride a broadcast, not a shuffled join
+    val km = Similarity.kmeansIterate(emb, 2).queryExecution.executedPlan.toString
+    assert(km.contains("BroadcastExchange"), s"kmeans plan:\n$km")
+    // boilerplate's hot-gram list broadcasts to the occurrence scan
+    val bp = TextAnalysis.boilerplateRemove(docs, 2, 0.08)
+      .queryExecution.executedPlan.toString
+    assert(bp.contains("BroadcastExchange"), s"boilerplate plan:\n$bp")
+    // corrMatrix is ONE aggregation pass: exactly one shuffle in the plan
+    val corr = DataQuality.corrMatrix(li, Seq("l_quantity", "l_discount"))
+      .queryExecution.executedPlan.toString
+    val nShuffles = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(corr).size
+    assert(nShuffles == 1, s"corrMatrix should shuffle exactly once:\n$corr")
+  }
 }
