@@ -1043,6 +1043,12 @@ object SparkEntry {
       TextAnalysis.vocabCoverage(T(s, dir, "documents"), Seq(10, 20, 30))
         .orderBy("vocab_size")),
 
+    // BPE merge training (first 3 merges): pair counts weighted by word
+    // frequency, greedy left-to-right application — the tokenizer-build
+    // step, iterations state = the vocabulary table.
+    "text_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(T(s, dir, "documents"), 3)),
+
     // Per-(source, lang) dataset-card profile: doc/token counts + mean
     // distinct-token ratio (DECIMAL mean).
     "text_source_profile" -> ((s, dir) =>
@@ -3102,6 +3108,48 @@ object SparkEntry {
          |  round(mean_new, 6) AS mean_new,
          |  round(mean_new - mean_old, 6) AS mean_delta
          |FROM po JOIN pn USING (col_name) ORDER BY col_name""".stripMargin
+    },
+
+    // BPE unrolled: per iteration the SAME relational steps as the Spark
+    // side — per-word lead pairs, freq-weighted argmax (ties -> lexical),
+    // island run-parity greedy application — CTE for CTE.
+    "text_bpe_merges" -> {
+      val iters = (1 to 3).map { k =>
+        val p = k - 1
+        s"""tok$k AS (SELECT w, freq, CAST(generate_subscripts(toks, 1) AS BIGINT) AS i,
+           |        unnest(toks) AS t FROM w$p),
+           |tn$k AS (SELECT w, freq, i, t,
+           |        lead(t) OVER (PARTITION BY w ORDER BY i) AS nxt FROM tok$k),
+           |top$k AS (SELECT t AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS pf
+           |        FROM tn$k WHERE nxt IS NOT NULL
+           |        GROUP BY 1, 2 ORDER BY pf DESC, l, r LIMIT 1),
+           |st$k AS (SELECT w, i FROM (
+           |          SELECT w, i, row_number() OVER (PARTITION BY w, g ORDER BY i) - 1 AS off
+           |          FROM (SELECT tn.w, tn.i,
+           |                  tn.i - row_number() OVER (PARTITION BY tn.w ORDER BY tn.i) AS g
+           |                FROM tn$k tn CROSS JOIN top$k top
+           |                WHERE tn.t = top.l AND tn.nxt = top.r))
+           |        WHERE off % 2 = 0),
+           |ap$k AS (SELECT tn.w, tn.freq, tn.i,
+           |          CASE WHEN s1.i IS NOT NULL THEN tn.t || tn.nxt ELSE tn.t END AS t
+           |        FROM tn$k tn
+           |        LEFT JOIN st$k s1 ON s1.w = tn.w AND s1.i = tn.i
+           |        LEFT JOIN st$k s2 ON s2.w = tn.w AND s2.i + 1 = tn.i
+           |        WHERE s2.i IS NULL),
+           |w$k AS (SELECT w, freq, list(t ORDER BY i) AS toks FROM ap$k GROUP BY 1, 2)"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 3).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS iter, l AS "left", r AS "right",
+           |  l || r AS merged, pf AS pair_freq FROM top$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS ($docToks),
+         |w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         |         string_split(w, '') AS toks
+         |       FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w),
+         |$iters
+         |$rows
+         |ORDER BY iter""".stripMargin
     },
 
     "text_vocab_coverage" ->

@@ -413,11 +413,11 @@ object Dedup {
     * true` turns it into an error for pipelines that must not silently
     * under-merge.
     *
-    * The edge list is materialized ONCE with a lazy localCheckpoint —
-    * without it every round re-evaluates the (expensive) pair-mining
-    * subtree, since each propagation join embeds it in the final DAG.
-    * The per-2-rounds label checkpoint doubles as the lineage cut that
-    * keeps the logical plan from doubling each round (the
+    * The edge list is materialized ONCE with an EAGER localCheckpoint —
+    * without the checkpoint every round re-evaluates the (expensive)
+    * pair-mining subtree, since each propagation join embeds it in the
+    * final DAG. The per-2-rounds label checkpoint doubles as the lineage
+    * cut that keeps the logical plan from doubling each round (the
     * GraphFrames-style compromise: bounded plan size, half the
     * materializations of a per-round cut). Because the convergence probe
     * is an action, CALLING this method runs the propagation jobs (it is
@@ -425,13 +425,22 @@ object Dedup {
     * checkpointed labels); checkpoint blocks live until the session
     * ends, so callers looping over many threshold sweeps in one session
     * should unpersist explicitly.
+    *
+    * Why eager, in a loop that broadcasts: a LAZY checkpoint in an
+    * iterative broadcast-join loop can be materialized concurrently by a
+    * broadcast-exchange thread and the DAG scheduler, and Spark's global
+    * `RDDCheckpointData` class monitor then deadlocks against the RDD
+    * monitor (observed as a jstack-confirmed 2-thread deadlock in this
+    * exact loop). Eager checkpoints materialize in creation order on the
+    * calling thread, so every broadcast subtree only ever READS an
+    * already-materialized checkpoint — no hold-and-wait cycle.
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 8,
                     idCol: String = "doc_id", strict: Boolean = false): DataFrame = {
     require(maxIter >= 1, s"need maxIter >= 1, got $maxIter")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(false)
+      .localCheckpoint()
     var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
     var snapshot: Option[DataFrame] = None // labels as of the last check
     var converged = false
@@ -445,7 +454,7 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
             .as("cluster_id"))
       if (round % 2 == 0 || round == maxIter) {
-        val snap = labels.localCheckpoint(false)
+        val snap = labels.localCheckpoint()
         val changed = snapshot match {
           case Some(prev) =>
             snap.as("a").join(prev.as("b"), col("a.id") === col("b.id"))

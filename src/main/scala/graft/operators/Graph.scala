@@ -25,15 +25,22 @@ object Graph {
     * Scale shape per iteration: one hash shuffle keyed on dst for the
     * contribution sum (map-side combine), a broadcast single-row dangling
     * aggregate, one key join back to the node set; ranks are
-    * lazy-checkpointed each round so the plan stays iteration-depth-free
-    * (the round-5 dedupClusters lesson). Edges are deduplicated up front;
-    * nodes = src ∪ dst.
+    * EAGER-checkpointed each round so the plan stays iteration-depth-free
+    * (the round-5 dedupClusters lesson) and checkpoint materialization
+    * stays single-threaded (the deadlock note in dedupClusters). Edges
+    * are deduplicated up front; nodes = src ∪ dst. Calling this method
+    * therefore RUNS the iterations — it is not a lazy plan builder.
     */
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
                srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
+    // EAGER checkpoints throughout the loop: a lazy checkpoint that a
+    // broadcast-exchange thread and the DAG scheduler race to materialize
+    // deadlocks on Spark's global RDDCheckpointData monitor (see
+    // Dedup.dedupClusters scaladoc); creation-order materialization makes
+    // every broadcast subtree read an already-materialized checkpoint.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -59,7 +66,7 @@ object Graph {
             (coalesce(col("s").cast("double"), lit(0.0)) +
               col("dm").cast("double") / col("n_nodes"))).as("rank"),
           col("n_nodes"))
-        .localCheckpoint(false)
+        .localCheckpoint()
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }

@@ -264,4 +264,29 @@ object Sketch {
           .as("est"),
         col("bin"), col("n"))
   }
+
+  /** Merge CMS sketches built with the SAME (depth, width): register-wise
+    * count addition — the property that makes CMS a 100 TB citizen (build
+    * per partition/day/stream-batch, fold in any tree shape, estimates
+    * come out as if built in one pass; exact, not approximate, because
+    * the registers are plain counts). One union + one register-sized
+    * shuffle, cost independent of the data the sketches summarize.
+    */
+  def cmsMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Merge HLL register tables with the SAME precision b: register-wise
+    * MAX — the HLL merge identity (max of per-stream rank maxima == the
+    * maxima of the concatenated stream). Grouped registers merge the same
+    * way with the group key in the groupBy.
+    */
+  def hllMerge(groupCols: Seq[String], registers: DataFrame*): DataFrame = {
+    require(registers.nonEmpty, "need at least one register table")
+    registers.reduce(_ unionByName _)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("max_rho")).as("max_rho"))
+  }
 }

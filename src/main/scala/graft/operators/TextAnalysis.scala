@@ -305,6 +305,84 @@ object TextAnalysis {
       .select(col("term_id"), col("term"), col("freq"))
   }
 
+  /** BPE merge training: learn the first `nMerges` byte-pair-encoding
+    * merges over the corpus — per iteration, count adjacent-token pairs
+    * weighted by WORD frequency, merge the most frequent pair (ties →
+    * lexicographic) greedily left-to-right in every word, repeat. Output:
+    * one row per learned merge (iter, left, right, merged, pair_freq) —
+    * the merges.txt a tokenizer ships with.
+    *
+    * Scale shape — the part that matters at 100 TB: training state is the
+    * (word, freq) VOCABULARY table, built once with one corpus-sized
+    * combine-heavy shuffle; every iteration after that touches only
+    * vocabulary-sized data (pair counts via a per-word lead window, the
+    * argmax as a broadcast single row, the greedy application as one more
+    * per-word window pass), eager-checkpointed so plan depth stays
+    * constant and checkpoint materialization stays single-threaded (the
+    * deadlock note in Dedup.dedupClusters — calling this method runs the
+    * iterations). Greedy non-overlap is relational, not a fold: candidate
+    * starts form islands of consecutive positions, and every EVEN offset
+    * within an island merges ("aaaa" + (a,a) → "aa aa") — deterministic,
+    * and mirrored CTE-for-CTE by the unrolled DuckDB oracle.
+    *
+    * Caller contract: the corpus must still have ≥ 1 adjacent pair at
+    * every requested iteration (an exhausted corpus would merge nothing
+    * and the run stops being meaningful); nMerges is small by nature
+    * (real tokenizers: 10k–100k iterations of THIS exact step).
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
+    // Eager checkpoints for the same reason as dedupClusters/pageRank:
+    // lazy checkpoints in a loop that also broadcasts (the argmax row)
+    // race to materialize and deadlock on the global RDDCheckpointData
+    // monitor; eager keeps materialization in creation order.
+    var words = docs.select(explode(Fns.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), filter(split(col("w"), ""), t => t =!= "").as("toks"))
+      .localCheckpoint()
+    val wn = Window.partitionBy("w").orderBy("i")
+    var merges = List.empty[DataFrame]
+    for (k <- 1 to nMerges) {
+      val tok = words
+        .select(col("w"), col("freq"), posexplode(col("toks")))
+        .select(col("w"), col("freq"), col("pos").cast("long").as("i"), col("col").as("t"))
+        .withColumn("nxt", lead(col("t"), 1).over(wn))
+      val top = tok.filter(col("nxt").isNotNull)
+        .groupBy(col("t").as("left"), col("nxt").as("right"))
+        .agg(sum(col("freq")).as("pair_freq"))
+        .orderBy(col("pair_freq").desc, col("left").asc, col("right").asc)
+        .limit(1)
+      merges ::= top.select(lit(k.toLong).as("iter"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("pair_freq"))
+      val cand = tok.crossJoin(broadcast(top))
+        .withColumn("is_cand", col("t") === col("left") && col("nxt") === col("right"))
+      // Greedy left-to-right: islands of consecutive candidate starts;
+      // offsets 0, 2, 4… within an island merge, odd offsets are consumed.
+      val starts = cand.filter(col("is_cand"))
+        .withColumn("grp", col("i") -
+          row_number().over(Window.partitionBy("w").orderBy("i")))
+        .withColumn("off",
+          row_number().over(Window.partitionBy("w", "grp").orderBy("i")) - 1)
+        .filter(col("off") % 2 === 0)
+        .select(col("w").as("sw"), col("i").as("si"))
+      val starts2 = starts.select(col("sw").as("sw2"), col("si").as("si2"))
+      val applied = cand
+        .join(starts, col("w") === col("sw") && col("i") === col("si"), "left")
+        .withColumn("is_start", col("si").isNotNull).drop("sw", "si")
+        .join(starts2, col("w") === col("sw2") && col("i") === col("si2") + 1, "left")
+        .withColumn("is_consumed", col("si2").isNotNull).drop("sw2", "si2")
+        .filter(!col("is_consumed"))
+        .select(col("w"), col("freq"), col("i"),
+          when(col("is_start"), concat(col("t"), col("nxt"))).otherwise(col("t")).as("t"))
+      words = applied.groupBy("w", "freq")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("t")))),
+          s => s.getField("t")).as("toks"))
+        .localCheckpoint()
+    }
+    merges.reverse.reduce(_ unionByName _).orderBy("iter")
+  }
+
   /** Vocabulary-size coverage curve: for each candidate size s, the
     * fraction of all token OCCURRENCES covered by the top-s terms — the
     * tokenizer-design stat that answers "how big must the vocab be before

@@ -13,6 +13,14 @@ class EntrySpec extends SparkSpec {
         s"oracles-only=${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
   }
 
+  test("README.md query count matches the actual registry size") {
+    val readme = scala.io.Source.fromFile("README.md", "UTF-8").mkString
+    val m = "(\\d+) named queries".r.findFirstMatchIn(readme)
+      .getOrElse(fail("README.md has no 'N named queries' line"))
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"README claims ${m.group(1)} queries, registry has ${SparkEntry.queries.size}")
+  }
+
   test("COVERAGE.md totals line matches the actual registry size") {
     // The round-5 judge caught the docs drifting one behind the registry;
     // pin the documented totals to the code so the drift cannot recur.

@@ -140,4 +140,37 @@ class SketchSpec extends SparkSpec {
     val est = row.getAs[Double]("est")
     assert(est > 5 && est < 20, s"linear-counting estimate off: $est")
   }
+
+  test("CMS merge of per-batch sketches == one-shot sketch, register for register") {
+    val all = (1 to 300).map(i => s"k${i % 17}").toDF("k")
+    val Array(b1, b2, b3) = all.randomSplit(Array(1, 1, 1), seed = 11)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketch.cmsBuild(df, "k", 3, 64).orderBy("row", "bucket")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val merged = Sketch.cmsMerge(
+      Sketch.cmsBuild(b1, "k", 3, 64), Sketch.cmsBuild(b2, "k", 3, 64),
+      Sketch.cmsBuild(b3, "k", 3, 64))
+      .orderBy("row", "bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged == regs(all)) // exact register equality, not just close estimates
+  }
+
+  test("HLL merge (register-wise max) == registers of the concatenated stream") {
+    val all = (1L to 500L).toDF("id")
+    val Array(b1, b2) = all.randomSplit(Array(1, 1), seed = 5)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketch.hllRegisters(df, "id", 5).orderBy("bucket")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val merged = Sketch.hllMerge(Nil,
+        Sketch.hllRegisters(b1, "id", 5), Sketch.hllRegisters(b2, "id", 5))
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(merged == regs(all))
+    // and therefore identical estimates
+    val estMerged = Sketch.hllEstimate(Sketch.hllMerge(Nil,
+      Sketch.hllRegisters(b1, "id", 5), Sketch.hllRegisters(b2, "id", 5)), 5)
+      .head().getAs[Double]("est")
+    val estAll = Sketch.hllEstimate(Sketch.hllRegisters(all, "id", 5), 5)
+      .head().getAs[Double]("est")
+    assert(estMerged == estAll)
+  }
 }

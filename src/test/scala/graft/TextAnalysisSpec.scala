@@ -236,6 +236,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_removed") == 4L)
   }
 
+  test("bpeMerges: matches an imperative greedy BPE reference") {
+    val docs = Seq((1L, "banana banana bandana"), (2L, "naan ban aaaa"))
+      .toDF("doc_id", "text")
+    // imperative reference: exact greedy left-to-right BPE on word freqs
+    def ref(words: Seq[(String, Long)], n: Int): Seq[(Long, String, String, String, Long)] = {
+      var ws = words.map { case (w, f) => (w.map(_.toString).toList, f) }
+      (1 to n).map { k =>
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+        ws.foreach { case (toks, f) =>
+          toks.zip(toks.drop(1)).foreach(p => pc(p) = pc.getOrElse(p, 0L) + f) }
+        val ((l, r), pf) = pc.toSeq.sortBy { case ((a, b), f) => (-f, a, b) }.head
+        ws = ws.map { case (toks, f) =>
+          val out = scala.collection.mutable.ListBuffer[String]()
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          (out.toList, f)
+        }
+        (k.toLong, l, r, l + r, pf)
+      }
+    }
+    val wordFreqs = Seq("banana" -> 2L, "bandana" -> 1L, "naan" -> 1L,
+      "ban" -> 1L, "aaaa" -> 1L)
+    val expected = ref(wordFreqs, 5)
+    val got = TextAnalysis.bpeMerges(docs, 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // the aaaa word forces the greedy-overlap rule ('a','a' run parity)
+    assert(expected.exists { case (_, l, r, _, _) => l == r })
+  }
+
   test("vocabCoverage: occurrence-coverage curve on a hand corpus") {
     val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
     // freqs: a=3, b=2, c=1 (total 6) -> top1 3/6, top2 5/6, top3 6/6
