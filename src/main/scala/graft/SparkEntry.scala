@@ -1026,6 +1026,35 @@ object SparkEntry {
           Array(col("l_quantity"), col("l_discount")), "metric", "value")
         .orderBy("l_orderkey", "l_linenumber", "metric", "value")),
 
+    // CMS join-size estimate vs the exact join count — the sketch-only
+    // cardinality estimator (upper bound; min over depth rows). Both
+    // numbers in one row so the driver compare pins est AND exact.
+    "sketch_join_size" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_custkey").cast("string").as("k"))
+      val c = T(s, dir, "customer").select(col("c_custkey").cast("string").as("k"))
+      val est = Sketch.cmsJoinSizeEstimate(o, "k", c, "k", 3, 1024)
+      val exact = T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("join_size_exact"))
+      est.crossJoin(exact)
+    }),
+
+    // SCD2 point-in-time lookup: each sampled fact event joined to the
+    // dimension VERSION valid at its timestamp (valid_from inclusive,
+    // valid_to exclusive) — the canonical versioned-dimension read.
+    "q_scd2_lookup" -> ((s, dir) => {
+      val events = T(s, dir, "events")
+      val hist = Merge.scdType2(events, Seq("user_id"), "ts", "event_id", "event_type")
+      val facts = events.filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("user_id"), col("ts").as("fact_ts"))
+      facts.join(hist, Seq("user_id"))
+        .filter(col("fact_ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("fact_ts") < col("valid_to")))
+        .select(col("event_id"), col("user_id"), col("fact_ts"),
+          col("state"), col("version"))
+        .orderBy("event_id")
+    }),
+
     // Snapshot profile drift: per-column null/distinct/mean deltas
     // between the pre-1997 orders snapshot and the full table — the
     // schema-silent input-shift check.
@@ -3087,6 +3116,64 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
+
+    // CMS registers rebuilt in SQL (same consts/hash as sketch_cms),
+    // dot-product per row, min over rows — plus the exact join count.
+    "sketch_join_size" -> {
+      val consts = (0 until 3).map(r =>
+        s"($r, ${1103515245L * (r + 1) % 2147483647L}, " +
+          s"${12345L * (r + 1) % 2147483647L})").mkString(", ")
+      def side(table: String, key: String, tag: String) =
+        s"""k$tag AS (SELECT DISTINCT CAST($key AS VARCHAR) AS k FROM $table),
+           |kh$tag AS (
+           |  SELECT k,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(length(k)),
+           |        i -> ascii(substr(k, CAST(i + 1 AS INT), 1)))),
+           |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h
+           |  FROM k$tag),
+           |kb$tag AS (
+           |  SELECT k, r,
+           |    ((((h * a + b) % 2147483647) * 2654435761) % 4294967296) % 1024
+           |      AS bucket
+           |  FROM kh$tag CROSS JOIN consts),
+           |c$tag AS (
+           |  SELECT kb.r, kb.bucket, count(*) AS cnt
+           |  FROM $table e JOIN kb$tag kb ON CAST(e.$key AS VARCHAR) = kb.k
+           |  GROUP BY kb.r, kb.bucket)""".stripMargin
+      s"""WITH consts(r, a, b) AS (VALUES $consts),
+         |${side("orders", "o_custkey", "o")},
+         |${side("customer", "c_custkey", "c")},
+         |dots AS (SELECT o.r, sum(o.cnt * c.cnt) AS dot
+         |         FROM co o JOIN cc c ON o.r = c.r AND o.bucket = c.bucket
+         |         GROUP BY o.r)
+         |SELECT CAST((SELECT min(dot) FROM dots) AS BIGINT) AS join_size_est,
+         |  (SELECT count(*) FROM orders JOIN customer
+         |   ON o_custkey = c_custkey) AS join_size_exact""".stripMargin
+    },
+
+    // Same sessionization-derived SCD2 CTE as merge_scd2, plus the
+    // validity-interval lookup (valid_from inclusive, valid_to exclusive).
+    "q_scd2_lookup" ->
+      """WITH tr AS (SELECT user_id, ts, event_id, event_type,
+        |        lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |chg AS (SELECT user_id, ts, event_id, event_type FROM tr
+        |        WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |hist AS (SELECT user_id, event_type AS state, ts AS valid_from,
+        |          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |            AS valid_to,
+        |          CAST(row_number() OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id) AS BIGINT) AS version
+        |        FROM chg),
+        |f AS (SELECT event_id, user_id, ts AS fact_ts FROM events
+        |      WHERE event_id % 10 = 0)
+        |SELECT f.event_id, f.user_id, f.fact_ts, h.state, h.version
+        |FROM f JOIN hist h ON h.user_id = f.user_id
+        |  AND f.fact_ts >= h.valid_from
+        |  AND (h.valid_to IS NULL OR f.fact_ts < h.valid_to)
+        |ORDER BY f.event_id""".stripMargin,
 
     "dq_profile_drift" -> {
       def side(src: String, tag: String) =

@@ -278,6 +278,23 @@ object Sketch {
       .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** Join-size estimation from CMS register dot products (the AMS/CMS
+    * classic): `|A ⋈ B| ≈ min_r Σ_b cntA[r,b]·cntB[r,b]` — every true
+    * match lands in the same bucket on every row, so the estimate is an
+    * UPPER bound (collisions only add); min over the d independent rows
+    * tightens it. This is the cardinality-estimation primitive a planner
+    * (or a pipeline deciding broadcast-vs-shuffle) runs from sketches
+    * alone — neither table is scanned again, cost is register-sized.
+    */
+  def cmsJoinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+                          depth: Int, width: Int): DataFrame = {
+    val sa = cmsBuild(a, aKey, depth, width)
+    val sb = cmsBuild(b, bKey, depth, width)
+    sa.as("x").join(sb.as("y"), Seq("row", "bucket"))
+      .groupBy("row").agg(sum(col("x.cnt") * col("y.cnt")).as("dot"))
+      .agg(min(col("dot")).cast("long").as("join_size_est"))
+  }
+
   /** Merge HLL register tables with the SAME precision b: register-wise
     * MAX — the HLL merge identity (max of per-stream rank maxima == the
     * maxima of the concatenated stream). Grouped registers merge the same

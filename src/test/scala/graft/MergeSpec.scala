@@ -112,6 +112,23 @@ class MergeSpec extends SparkSpec {
     assert(got == Seq("a", "b"))
   }
 
+  test("scdType2 point-in-time lookup: facts resolve to exactly one version") {
+    val hist = Merge.scdType2(Seq(
+      ("u1", 10L, 1L, "bronze"),
+      ("u1", 20L, 2L, "silver"),
+      ("u1", 30L, 3L, "gold")).toDF("k", "ts", "id", "state"),
+      Seq("k"), "ts", "id", "state")
+    // facts at t=15 (inside v1), t=20 (boundary -> v2, from inclusive),
+    // t=99 (open current version)
+    val facts = Seq(15L, 20L, 99L).toDF("fact_ts")
+    val got = facts.join(hist,
+        facts("fact_ts") >= hist("valid_from") &&
+          (hist("valid_to").isNull || facts("fact_ts") < hist("valid_to")))
+      .orderBy("fact_ts").select("fact_ts", "state").as[(Long, String)]
+      .collect().toSeq
+    assert(got == Seq((15L, "bronze"), (20L, "silver"), (99L, "gold")))
+  }
+
   test("aggState merge: any merge tree == one-shot aggregation") {
     val rows = (1 to 30).map(i => (s"k${i % 4}", i * 1.01)).toDF("k", "v")
     val Array(p1, p2, p3) = rows.randomSplit(Array(1, 1, 1), seed = 7)

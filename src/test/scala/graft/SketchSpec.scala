@@ -155,6 +155,21 @@ class SketchSpec extends SparkSpec {
     assert(merged == regs(all)) // exact register equality, not just close estimates
   }
 
+  test("cmsJoinSizeEstimate: upper bound, exact when collision-free") {
+    val a = (1 to 200).map(i => s"k${i % 20}").toDF("k") // 20 keys x 10
+    val b = (1 to 40).map(i => s"k${i % 20}").toDF("k")  // 20 keys x 2
+    val exact = a.join(b, "k").count() // 200 * 2 = 400
+    assert(exact == 400L)
+    // wide sketch: 20 keys in 4096 buckets -> collisions ~0 -> est == exact
+    val wide = Sketch.cmsJoinSizeEstimate(a, "k", b, "k", 3, 4096)
+      .head().getAs[Long]("join_size_est")
+    assert(wide == exact)
+    // narrow sketch: collisions only ADD -> still an upper bound
+    val narrow = Sketch.cmsJoinSizeEstimate(a, "k", b, "k", 3, 4)
+      .head().getAs[Long]("join_size_est")
+    assert(narrow >= exact)
+  }
+
   test("HLL merge (register-wise max) == registers of the concatenated stream") {
     val all = (1L to 500L).toDF("id")
     val Array(b1, b2) = all.randomSplit(Array(1, 1), seed = 5)
