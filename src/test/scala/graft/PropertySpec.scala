@@ -111,4 +111,56 @@ class PropertySpec extends SparkSpec {
         .reduce(_ || _)).count()
     assert(bad == 0)
   }
+
+  test("entropy bounds: 0 <= H <= ln(n_distinct) for arbitrary token bags") {
+    import graft.operators.TextAnalysis
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val doc = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, word))
+    val docs = samples(doc, 200).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val out = TextAnalysis.entropy(docs)
+    val bad = out.filter($"entropy" < -1e-9 ||
+      $"entropy" > log($"n_distinct") + 1e-6).count()
+    assert(bad == 0)
+    // norm_entropy, when defined, sits in [0, 1]
+    assert(out.filter($"norm_entropy".isNotNull &&
+      ($"norm_entropy" < -1e-9 || $"norm_entropy" > 1.0 + 1e-9)).count() == 0)
+  }
+
+  test("boilerplate invariants: ratio in [0,1], token accounting adds up") {
+    import graft.operators.TextAnalysis
+    val word = Gen.oneOf("x", "y", "z", "w")
+    val doc = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word))
+    val docs = samples(doc, 150).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateRemove(docs, 2, 0.2)
+    assert(out.filter($"boilerplate_ratio" < 0 || $"boilerplate_ratio" > 1).count() == 0)
+    assert(out.filter($"n_removed" < 0 || $"n_removed" > $"n_tokens").count() == 0)
+    // clean token count == n_tokens - n_removed
+    val bad = out.filter(
+      size(filter(split($"clean_text", " "), t => t =!= "")) =!=
+        $"n_tokens" - $"n_removed").count()
+    assert(bad == 0)
+  }
+
+  test("selectByBudget is a prefix of the quality ordering and stays under budget") {
+    import graft.operators.TextAnalysis
+    val word = Gen.oneOf("p", "q", "r", "s", "t", "u")
+    val doc = Gen.choose(2, 15).flatMap(n => Gen.listOfN(n, word))
+    val docs = samples(doc, 120).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val out = TextAnalysis.selectByBudget(docs, 200L, buckets = 8).collect()
+    assert(out.forall(_.getAs[Long]("cum_tokens") <= 200L))
+    // prefix property: every selected doc outranks every unselected one
+    val sel = out.map(r => (r.getDouble(1), r.getLong(0))).toSet
+    if (sel.nonEmpty) {
+      val worstSel = sel.map { case (s, id) => (-s, id) }.max
+      val all = docs.collect().map { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        (-(toks.distinct.length.toDouble / toks.length), r.getLong(0))
+      }
+      val unselected = all.filterNot { case (negS, id) => sel.contains((-negS, id)) }
+      assert(unselected.forall(u => implicitly[Ordering[(Double, Long)]].gt(u, worstSel)))
+    }
+  }
 }
