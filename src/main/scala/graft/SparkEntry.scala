@@ -1078,6 +1078,18 @@ object SparkEntry {
     "text_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(T(s, dir, "documents"), 3)),
 
+    // Materialized training sequences: text_pack's assignment turned into
+    // the actual <eos>-joined byte streams a training run consumes.
+    "text_pack_materialize" -> ((s, dir) =>
+      TextAnalysis.packMaterialize(T(s, dir, "documents"), 400)
+        .orderBy("seq_id")),
+
+    // Hashing-trick bag-of-words vectors (dim 64, flattened) — the
+    // no-vocabulary fixed-width featurizer.
+    "text_feature_hash" -> ((s, dir) =>
+      TextAnalysis.hashingTrickVectors(T(s, dir, "documents"), 64)
+        .orderBy("doc_id", "slot")),
+
     // Per-(source, lang) dataset-card profile: doc/token counts + mean
     // distinct-token ratio (DECIMAL mean).
     "text_source_profile" -> ((s, dir) =>
@@ -3238,6 +3250,39 @@ object SparkEntry {
          |$rows
          |ORDER BY iter""".stripMargin
     },
+
+    "text_pack_materialize" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(len(regexp_extract_all(text,
+         |    '${TextAnalysis.subwordPattern}')) AS BIGINT) AS n_subwords
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_subwords,
+         |        sum(n_subwords) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |          AS cum FROM base),
+         |p AS (SELECT doc_id, n_subwords,
+         |        CAST(floor((cum - n_subwords) / 400.0) AS BIGINT) AS seq_id
+         |      FROM c)
+         |SELECT p.seq_id, count(*) AS n_docs,
+         |  CAST(sum(p.n_subwords) AS BIGINT) AS seq_tokens,
+         |  string_agg(d.text, ' <eos> ' ORDER BY p.doc_id) AS seq_text
+         |FROM p JOIN documents d USING (doc_id)
+         |GROUP BY p.seq_id ORDER BY seq_id""".stripMargin,
+
+    // Same polynomial string hash the CMS oracle rebuilds; slots are
+    // pmod(h, 64) over exact BIGINT counts.
+    "text_feature_hash" ->
+      s"""WITH base AS ($docToks),
+         |t AS (SELECT doc_id, unnest(toks) AS term FROM base),
+         |kh AS (SELECT term,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(length(term)),
+         |        i -> ascii(substr(term, CAST(i + 1 AS INT), 1)))),
+         |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h
+         |  FROM (SELECT DISTINCT term FROM t)),
+         |s AS (SELECT t.doc_id, ((kh.h % 64) + 64) % 64 AS slot
+         |      FROM t JOIN kh USING (term))
+         |SELECT doc_id, CAST(slot AS BIGINT) AS slot, count(*) AS cnt
+         |FROM s GROUP BY 1, 2 ORDER BY doc_id, slot""".stripMargin,
 
     "text_vocab_coverage" ->
       s"""WITH base AS ($docToks),

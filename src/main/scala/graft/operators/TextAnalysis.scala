@@ -278,6 +278,43 @@ object TextAnalysis {
         floor((col("cum") - col("n_subwords")) / budget).as("seq_id"))
   }
 
+  /** Materialize packed training sequences: after [[packSequencesGlobal]]
+    * assigns documents to ~`budget`-token sequences, emit one row per
+    * sequence with the member texts concatenated in doc order around an
+    * `<eos>` separator — the actual bytes a training run streams.
+    * One hash shuffle on seq_id; in-sequence order restored with
+    * `array_sort ∘ collect_list` (no window).
+    */
+  def packMaterialize(docs: DataFrame, budget: Int,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    packSequencesGlobal(docs, budget, textCol, idCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")), "doc_id")
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_subwords")).as("seq_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("__text")))),
+          s => s.getField("__text")), " <eos> ").as("seq_text"))
+
+  /** Hashing-trick bag-of-words vectorizer: every term maps to
+    * `strhash(term) mod dim` and the per-document vector is the count in
+    * each slot — the fixed-width featurizer that needs NO vocabulary
+    * pass, collision-tolerant by design (Weinberger et al.). Output is
+    * flattened (doc_id, slot, cnt) with empty slots absent.
+    * One narrow explode + one hash shuffle with map-side combine; counts
+    * are exact BIGINTs, and the hash is the same `graft_strhash` the CMS
+    * oracle rebuilds in ANSI SQL — engine-identical slots.
+    */
+  def hashingTrickVectors(docs: DataFrame, dim: Int,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(dim >= 1, s"need dim >= 1, got $dim")
+    docs
+      .select(col(idCol).as("doc_id"), explode(Fns.tokens(col(textCol))).as("term"))
+      .select(col("doc_id"),
+        Fns.pmod(call_function("graft_strhash", col("term")), lit(dim.toLong)).as("slot"))
+      .groupBy("doc_id", "slot").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Frequency-ordered vocabulary: the top `maxVocab` corpus terms with
     * dense ids (0 = most frequent; ties broken by term so the table is a
     * pure function of the corpus) — the id-assignment step of every

@@ -236,6 +236,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_removed") == 4L)
   }
 
+  test("packMaterialize: sequences carry ordered <eos>-joined member texts") {
+    // 3 subwords each; budget 6 -> docs (1,2) in seq 0, doc 3 in seq 1
+    val docs = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packMaterialize(docs, 6).orderBy("seq_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("seq_text") == "a b c <eos> d e f")
+    assert(out(0).getAs[Long]("n_docs") == 2L && out(0).getAs[Long]("seq_tokens") == 6L)
+    assert(out(1).getAs[String]("seq_text") == "g h i")
+  }
+
+  test("hashingTrickVectors: counts conserve tokens, slots bounded and stable") {
+    val docs = Seq((1L, "x y x"), (2L, "x z")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashingTrickVectors(docs, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 16 })
+    // token conservation per doc
+    assert(out.filter(_._1 == 1L).map(_._3).sum == 3L)
+    assert(out.filter(_._1 == 2L).map(_._3).sum == 2L)
+    // same term -> same slot in every doc: 'x' contributes to one shared slot
+    val xSlot1 = out.filter(t => t._1 == 1L && t._3 == 2L).map(_._2) // x twice in doc 1
+    assert(xSlot1.length == 1)
+    assert(out.exists(t => t._1 == 2L && t._2 == xSlot1.head)) // x's slot in doc 2 too
+  }
+
   test("bpeMerges: matches an imperative greedy BPE reference") {
     val docs = Seq((1L, "banana banana bandana"), (2L, "naan ban aaaa"))
       .toDF("doc_id", "text")
