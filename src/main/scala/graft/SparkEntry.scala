@@ -1592,6 +1592,18 @@ object SparkEntry {
       Analytics.outliers(T(s, dir, "events"))
         .orderBy("event_id")),
 
+    // Per-group exact interpolated quantiles (p25/p50/p95 of value per
+    // event_type) — the grouped distribution profile; one tiny aggregate,
+    // no window. 2-dp values make the interpolation engine-stable (the
+    // ana_rfm boundary argument); outputs rounded to 6 dp.
+    "ana_group_quantiles" -> ((s, dir) =>
+      T(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(percentile(col("value"), lit(0.25)), 6).as("p25"),
+          round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.95)), 6).as("p95"))
+        .orderBy("event_type")),
+
     // Incremental aggregate maintenance: orders split at a date cutoff
     // into base + delta, partial (DECIMAL-sum, count) states merged and
     // finalized — the oracle recomputes from scratch, so the hash match
@@ -3652,6 +3664,13 @@ object SparkEntry {
         |  count(*) AS n_days
         |FROM r GROUP BY user_id, day - CAST(rn AS INT)
         |ORDER BY user_id, island_start""".stripMargin,
+
+    "ana_group_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Two-pass moments from exact DECIMAL sums (mean from Σv, variance
     // from Σround(dev², 6)) — order-free in both engines; z in double.

@@ -74,4 +74,20 @@ class PlanGuardSpec extends SparkSpec {
       .findAllIn(corr).size
     assert(nShuffles == 1, s"corrMatrix should shuffle exactly once:\n$corr")
   }
+
+  test("scan evidence: filters push into parquet, projections prune columns") {
+    val sf = "/root/testdata/sf0.001"
+    // q1's shipdate range predicate reaches the scan as a pushed filter
+    val q1 = SparkEntry.queries("q1_pricing")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q1.contains("PushedFilters:") && q1.contains("l_shipdate"),
+      s"q1 scan lost its pushdown:\n${q1.take(2000)}")
+    // top-parts aggregates ONE column; the scan must not read the other 10
+    val tp = SparkEntry.queries("ana_top_parts")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(tp).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length <= 2,
+      s"ana_top_parts reads more columns than it needs: $readSchema")
+  }
 }
