@@ -603,6 +603,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Digest-level exact dedup: only 16-byte md5 digests shuffle, never
+    // payloads — the binary-asset dedup shape (run here over text as the
+    // stand-in content column).
+    "dedup_digest" -> ((s, dir) =>
+      Dedup.exactByDigest(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy("digest")),
+
     // Dedup observability: the cluster-size histogram (how many docs sit
     // in clusters of size s) — the report that says "dedup removed X% and
     // the worst template family has N copies". Two tiny aggregates over
@@ -2521,6 +2528,11 @@ object SparkEntry {
       s"""WITH RECURSIVE $clusterLabelsCte
          |SELECT doc_id, cluster_id FROM clusters
          |ORDER BY doc_id""".stripMargin,
+
+    "dedup_digest" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
 
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE $clusterLabelsCte,

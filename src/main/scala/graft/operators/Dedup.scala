@@ -31,6 +31,22 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), md5(col(textCol).cast("binary")).as("text_md5"))
 
+    /** Exact dedup by content DIGEST: groups on md5(content), so only
+    * 16-byte digests ever shuffle — never the payloads. THE asset-level
+    * dedup shape for binary/multimodal corpora, where [[exact]]'s
+    * group-by-content would move terabytes of image bytes through the
+    * exchange. Digest computed map-side in one codegen'd pass.
+    * (An md5 collision would conflate two distinct assets — 2⁻⁶⁴-scale,
+    * accepted industry-wide for dedup; use [[exact]] when full-content
+    * comparison is required and contents are small.)
+    */
+  def exactByDigest(assets: DataFrame, contentCol: String = "content",
+                    idCol: String = "doc_id"): DataFrame =
+    assets
+      .select(md5(col(contentCol).cast("binary")).as("digest"), col(idCol).as("id"))
+      .groupBy("digest")
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** (doc_id, shingle) — the distinct word-n-gram set per document, as
     * 64-bit shingle hashes via the native
     * [[graft.expressions.ShingleHashes]] expression (one codegen'd pass;

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.analytics.Analytics
+import graft.etl.Merge
+import graft.operators.{DataQuality, Dedup, Graph, Sketch, TextAnalysis}
+
+/** Degenerate-input behavior: operators must return EMPTY (or the
+  * documented degenerate row), never throw, on empty and single-row
+  * inputs — the partitions-at-the-tail reality of a 100 TB run, where
+  * some shard is always empty.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def oneDoc: DataFrame = Seq((1L, "solo words here")).toDF("doc_id", "text")
+
+  test("text operators: empty corpus in, empty frame out") {
+    assert(TextAnalysis.quality(emptyDocs).count() == 0)
+    assert(TextAnalysis.entropy(emptyDocs).count() == 0)
+    assert(TextAnalysis.perplexity(emptyDocs).count() == 0)
+    assert(TextAnalysis.boilerplateRemove(emptyDocs, 2, 0.5).count() == 0)
+    assert(TextAnalysis.selectByBudget(emptyDocs, 100L).count() == 0)
+    assert(TextAnalysis.postingsIndex(emptyDocs).count() == 0)
+    assert(TextAnalysis.skipgramCounts(emptyDocs, 2, 10).count() == 0)
+    assert(TextAnalysis.pmiBigrams(emptyDocs, 10, 1L).count() == 0)
+    assert(TextAnalysis.bm25TopK(emptyDocs, Seq("x"), 5).count() == 0)
+    assert(TextAnalysis.hashingTrickVectors(emptyDocs, 8).count() == 0)
+    assert(TextAnalysis.packMaterialize(emptyDocs, 10).count() == 0)
+  }
+
+  test("single-doc corpus: sane degenerate outputs, no division blowups") {
+    // distinct ratio 1.0 -> a real quality row; entropy of 3 distinct toks
+    val q = TextAnalysis.quality(oneDoc).collect()(0)
+    assert(q.getAs[Double]("distinct_ratio") == 1.0)
+    val e = TextAnalysis.entropy(oneDoc).collect()(0)
+    assert(e.getAs[Double]("entropy") > 0)
+    // every token survives boilerplate removal (df 1 of 1 >= ceil(0.5) hot!
+    // -> with frac > 1/n_docs nothing is hot)
+    val bp = TextAnalysis.boilerplateRemove(oneDoc, 2, 0.5).collect()(0)
+    assert(bp.getAs[Double]("boilerplate_ratio") == 1.0 ||
+      bp.getAs[Double]("boilerplate_ratio") == 0.0) // frac 0.5 of 1 doc = 1 doc
+    // perplexity defined (corpus == the doc)
+    assert(TextAnalysis.perplexity(oneDoc).count() == 1)
+  }
+
+  test("dedup/graph/sketch: empty inputs flow through") {
+    assert(Dedup.exact(emptyDocs).count() == 0)
+    assert(Dedup.exactByDigest(emptyDocs, "text", "doc_id").count() == 0)
+    val emptyEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.pageRank(emptyEdges, 2).count() == 0)
+    val emptyKeys = Seq.empty[String].toDF("k")
+    assert(Sketch.cmsBuild(emptyKeys, "k", 3, 16).count() == 0)
+    assert(Sketch.cmsJoinSizeEstimate(emptyKeys, "k", emptyKeys, "k", 3, 16)
+      .head().isNullAt(0)) // min over no rows -> NULL estimate, not a crash
+    assert(Merge.finalizeAggState(
+      Merge.aggState(Seq.empty[(String, Double)].toDF("k", "v"), Seq("k"), "v"))
+      .count() == 0)
+  }
+
+  test("analytics on empty events: empty out, no ANSI errors") {
+    val empty = Seq.empty[(Long, String, Double)].toDF("event_id", "event_type", "value")
+    assert(Analytics.outliers(empty).count() == 0)
+    assert(DataQuality.corrMatrix(
+      Seq.empty[(Double, Double)].toDF("a", "b"), Seq("a", "b"))
+      .collect().forall(_.isNullAt(2))) // r NULL on empty, never a throw
+  }
+}
