@@ -876,6 +876,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN evaluation: mean recall@10 of the SRP-LSH result against the
+    // exact brute-force ranking — the tuning metric, as a first-class
+    // operator (both sides are themselves oracle-verified queries).
+    "ann_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      Similarity.recallAtK(
+        Similarity.lshAnnTopK(emb, q, 10, dim = 64, nPlanes = 8, nTables = 2),
+        Similarity.bruteForceTopK(emb, q, 10))
+    }),
+
     // Two-stage ANN: exact-integer code-dot coarse cut (engine-identical
     // candidate sets), exact cosine rerank of the survivors.
     "ann_refine" -> ((s, dir) => {
@@ -1869,6 +1880,23 @@ object SparkEntry {
     * spec and Double.toString round-trips exactly), buckets recomputed
     * per table, candidates = bucket-mates, then exact cosine rank.
     */
+  /** Exact all-pairs cosine top-10 for the < 8 query vectors — shared by
+    * ann_brute_topk and as the truth side of ann_recall.
+    */
+  private val bruteAnnOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qe FROM e WHERE vec_id < 8),
+      |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+      |             list_cosine_similarity(qe, c.v) AS cos
+      |      FROM q, e c WHERE c.vec_id <> query_id)
+      |SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+      |  neighbor_id, round(cos, 6) AS cosine
+      |FROM s
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   private val srpAnnOracle: String = {
     def planeLit(pl: Array[Double]) = pl.map(_.toString).mkString("[", ", ", "]")
     val tables = (0 until 2).map { t =>
@@ -2654,19 +2682,22 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "ann_brute_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, v AS qe FROM e WHERE vec_id < 8),
-        |s AS (SELECT query_id, c.vec_id AS neighbor_id,
-        |             list_cosine_similarity(qe, c.v) AS cos
-        |      FROM q, e c WHERE c.vec_id <> query_id)
-        |SELECT query_id,
-        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
-        |  neighbor_id, round(cos, 6) AS cosine
-        |FROM s
-        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    "ann_brute_topk" -> bruteAnnOracle,
+
+    // Both sides are the committed oracles of ann_lsh_topk / ann_brute_topk
+    // wrapped as derived tables; recall math mirrors Similarity.recallAtK.
+    "ann_recall" ->
+      s"""WITH l AS (SELECT query_id, neighbor_id FROM ($srpAnnOracle)),
+         |b AS (SELECT query_id, neighbor_id FROM ($bruteAnnOracle)),
+         |m AS (SELECT b.query_id, count(l.neighbor_id) AS hits,
+         |        count(*) AS k
+         |      FROM b LEFT JOIN l ON l.query_id = b.query_id
+         |        AND l.neighbor_id = b.neighbor_id
+         |      GROUP BY 1)
+         |SELECT count(*) AS n_queries,
+         |  round(CAST(sum(CAST(round(CAST(hits AS DOUBLE) / k, 6)
+         |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_recall
+         |FROM m""".stripMargin,
 
     "text_quality" ->
       s"""WITH base AS ($docToks)

@@ -321,6 +321,27 @@ object Similarity {
     q.select(col("vec_id") +: projCols: _*)
   }
 
+  /** Recall@k of an approximate ANN result against the exact one: per
+    * query, the fraction of true top-k neighbors the approximate method
+    * returned, then the mean — THE metric every ANN configuration is
+    * tuned on (recall vs probe cost). Generic over any two
+    * (query, neighbor) tables. Per-query recalls are exact rationals
+    * (hits/k) 6-dp-rounded into a DECIMAL mean — engine-identical.
+    * Cost: one key join of two k·|queries|-row frames.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+                queryCol: String = "query_id", neighborCol: String = "neighbor_id"): DataFrame = {
+    val a = approx.select(col(queryCol).as("__aq"), col(neighborCol).as("__an"))
+    val m = exact.select(col(queryCol).as("q"), col(neighborCol).as("n"))
+      .join(a, col("q") === col("__aq") && col("n") === col("__an"), "left")
+      .groupBy("q")
+      .agg(count(col("__an")).as("hits"), count(lit(1)).as("k"))
+    m.agg(count(lit(1)).as("n_queries"),
+      round(sum(round(col("hits").cast("double") / col("k"), 6)
+          .cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+        .as("mean_recall"))
+  }
+
   /** Flatten embeddings to (vec_id, dim, x) rows — dim is 1-based so the
     * DuckDB `generate_subscripts` mirror matches. Narrow explode, no
     * shuffle until an aggregation keys on something.

@@ -177,6 +177,21 @@ class SimilaritySpec extends SparkSpec {
     assert(plus > 200 && plus < 312, s"signs unbalanced: $plus/512 positive")
   }
 
+  test("recallAtK: identical=1, disjoint=0, partial overlap is exact") {
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val same = Similarity.recallAtK(truth, truth).head()
+    assert(same.getAs[Long]("n_queries") == 2L)
+    assert(same.getAs[Double]("mean_recall") == 1.0)
+    val disjoint = Seq((1L, 90L), (2L, 91L)).toDF("query_id", "neighbor_id")
+    assert(Similarity.recallAtK(disjoint, truth).head()
+      .getAs[Double]("mean_recall") == 0.0)
+    // q1 found 1 of 2, q2 found 2 of 2 -> mean (0.5 + 1.0)/2 = 0.75
+    val partial = Seq((1L, 10L), (2L, 20L), (2L, 21L)).toDF("query_id", "neighbor_id")
+    assert(Similarity.recallAtK(partial, truth).head()
+      .getAs[Double]("mean_recall") == 0.75)
+  }
+
   test("standardize: hand-computed per-dim z; constant dim yields NULL") {
     val e = Seq(
       (1L, Array(0.0f, 7.0f)),
