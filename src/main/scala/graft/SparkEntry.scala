@@ -1610,6 +1610,12 @@ object SparkEntry {
       Analytics.outliers(T(s, dir, "events"))
         .orderBy("event_id")),
 
+    // Percentile winsorization at [p01, p99] — robust clipping before
+    // training on heavy-tailed metrics; broadcast boundaries, flat clip.
+    "ana_winsorize" -> ((s, dir) =>
+      Analytics.winsorize(T(s, dir, "events"))
+        .orderBy("event_id")),
+
     // Per-group exact interpolated quantiles (p25/p50/p95 of value per
     // event_type) — the grouped distribution profile; one tiny aggregate,
     // no window. 2-dp values make the interpolation engine-stable (the
@@ -3707,6 +3713,14 @@ object SparkEntry {
         |  count(*) AS n_days
         |FROM r GROUP BY user_id, day - CAST(rn AS INT)
         |ORDER BY user_id, island_start""".stripMargin,
+
+    "ana_winsorize" ->
+      """WITH b AS (SELECT quantile_cont(value, 0.01) AS lo,
+        |        quantile_cont(value, 0.99) AS hi FROM events)
+        |SELECT event_id, value,
+        |  round(least(greatest(value, lo), hi), 6) AS clipped,
+        |  (value < lo OR value > hi) AS was_clipped
+        |FROM events CROSS JOIN b ORDER BY event_id""".stripMargin,
 
     "ana_group_quantiles" ->
       """SELECT event_type, count(*) AS n,

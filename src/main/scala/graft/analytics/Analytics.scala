@@ -205,6 +205,27 @@ object Analytics {
         col("session_window.end").as("session_end"), col("n_events"),
         col("sequence"))
 
+  /** Percentile winsorization: clip a metric at its exact interpolated
+    * [pLo, pHi] percentiles — the standard robust-preprocessing step
+    * before training on heavy-tailed telemetry (cheaper and more stable
+    * than dropping outlier rows). One tiny percentile aggregate rides a
+    * broadcast; the clip is a flat codegen'd projection. 2-dp metric
+    * values keep the interpolated boundaries engine-stable (the rfm
+    * argument).
+    */
+  def winsorize(events: DataFrame, pLo: Double = 0.01, pHi: Double = 0.99,
+                valCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1")
+    val bounds = events.agg(
+      percentile(col(valCol), lit(pLo)).as("lo"),
+      percentile(col(valCol), lit(pHi)).as("hi"))
+    events.crossJoin(broadcast(bounds))
+      .select(col(idCol), col(valCol),
+        round(least(greatest(col(valCol), col("lo")), col("hi")), 6)
+          .as("clipped"),
+        (col(valCol) < col("lo") || col(valCol) > col("hi")).as("was_clipped"))
+  }
+
   /** Per-group z-score outlier flagging: events whose value sits more than
     * `zThreshold` sample standard deviations from their group's mean — the
     * metric-anomaly sweep run over telemetry before it feeds training.

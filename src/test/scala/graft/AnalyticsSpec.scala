@@ -139,6 +139,20 @@ class AnalyticsSpec extends SparkSpec {
       java.sql.Timestamp.valueOf("2024-01-01 10:40:00"))
   }
 
+  test("winsorize: tails clip to the exact boundaries, interior untouched") {
+    val e = ((1L to 8L).map(i => (i, i.toDouble)) ++ Seq((9L, 1000.0), (0L, -1000.0)))
+      .toDF("event_id", "value")
+    // quartile clipping on 10 values, sorted [-1000, 1..8, 1000]:
+    // p25 = v[2] + 0.25 = 2.25, p75 = v[6] + 0.75 = 6.75 (linear interp)
+    val out = Analytics.winsorize(e, 0.25, 0.75).orderBy("event_id").collect()
+    val clipped = out.map(r => r.getAs[Long]("event_id") ->
+      (r.getAs[Double]("clipped"), r.getAs[Boolean]("was_clipped"))).toMap
+    assert(clipped(0L) == ((2.25, true)) && clipped(9L) == ((6.75, true)))
+    assert(clipped(4L) == ((4.0, false))) // interior value unchanged
+    // below 2.25: -1000, 1, 2; above 6.75: 7, 8, 1000
+    assert(out.count(_.getAs[Boolean]("was_clipped")) == 6)
+  }
+
   test("outliers: hand-computed z, inliers dropped, constant group silent") {
     val e = ((1L to 9L).map(i => (i, "a", 0.0)) :+ (10L, "a", 100.0)) ++
       Seq((11L, "b", 5.0), (12L, "b", 5.0), (13L, "b", 5.0)) // sd = 0
