@@ -205,6 +205,43 @@ object Analytics {
         col("session_window.end").as("session_end"), col("n_events"),
         col("sequence"))
 
+  /** Market-basket association pairs: for item pairs co-occurring in at
+    * least `minSupport` baskets, the classic support / confidence / lift
+    * triple, top `k` by lift — the co-purchase (or co-occurrence) miner.
+    *
+    * Shuffle shape: baskets collapse to DISTINCT (basket, item) first;
+    * the pair generation is a self-equi-join ON THE BASKET KEY (work ∝
+    * Σ basket_size², the true output — baskets are small by nature, and
+    * a pathological mega-basket is a skew problem for `Skew.salt`);
+    * item frequencies and the basket total ride broadcastable
+    * aggregates. All ratios are single divisions of exact BIGINTs,
+    * rounded to 6 dp — engine-identical; ordering ties break on the
+    * item pair.
+    */
+  def basketPairs(lines: DataFrame, basketCol: String, itemCol: String,
+                  minSupport: Long = 5L, k: Int = 50): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val items = lines.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val nb = items.agg(countDistinct(col("b")).as("n_baskets"))
+    val freq = items.groupBy("i").agg(count(lit(1)).as("c"))
+    val pairs = items.as("l").join(items.as("r"),
+        col("l.b") === col("r.b") && col("l.i") < col("r.i"))
+      .groupBy(col("l.i").as("i1"), col("r.i").as("i2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minSupport)
+    pairs
+      .join(freq.select(col("i").as("i1"), col("c").as("c1")), "i1")
+      .join(freq.select(col("i").as("i2"), col("c").as("c2")), "i2")
+      .crossJoin(broadcast(nb))
+      .select(col("i1"), col("i2"), col("c12"), col("c1"), col("c2"),
+        round(col("c12").cast("double") / col("n_baskets"), 6).as("support"),
+        round(col("c12").cast("double") / col("c1"), 6).as("confidence"),
+        round(col("c12").cast("double") * col("n_baskets") / (col("c1") * col("c2")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("i1").asc, col("i2").asc)
+      .limit(k)
+  }
+
   /** Percentile winsorization: clip a metric at its exact interpolated
     * [pLo, pHi] percentiles — the standard robust-preprocessing step
     * before training on heavy-tailed telemetry (cheaper and more stable

@@ -139,6 +139,28 @@ class AnalyticsSpec extends SparkSpec {
       java.sql.Timestamp.valueOf("2024-01-01 10:40:00"))
   }
 
+  test("basketPairs: hand support/confidence/lift; minSupport filters") {
+    val lines = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"),
+      (4L, "B"), (4L, "C"),
+      (4L, "C") // duplicate line in a basket must not double-count
+    ).toDF("order", "part")
+    val out = Analytics.basketPairs(lines, "order", "part", minSupport = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    // N=4 baskets; cA=cB=cC=3; each pair co-occurs twice
+    assert(out.size == 3)
+    val (c12, sup, conf, lift) = out(("A", "B"))
+    assert(c12 == 2L && sup == 0.5)
+    assert(math.abs(conf - 2.0 / 3) < 1e-6)
+    assert(math.abs(lift - 8.0 / 9) < 1e-6)
+    // raising minSupport above the co-occurrence counts empties the result
+    assert(Analytics.basketPairs(lines, "order", "part", minSupport = 3L, k = 10)
+      .count() == 0)
+  }
+
   test("winsorize: tails clip to the exact boundaries, interior untouched") {
     val e = ((1L to 8L).map(i => (i, i.toDouble)) ++ Seq((9L, 1000.0), (0L, -1000.0)))
       .toDF("event_id", "value")
