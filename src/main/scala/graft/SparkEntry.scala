@@ -656,6 +656,13 @@ object SparkEntry {
       Dedup.sharedWindowPairs(T(s, dir, "documents"), 16)
         .orderBy("doc_a", "doc_b")),
 
+    // Cross-source trigram overlap matrix (all source pairs incl.
+    // zero-overlap): the dataset-card "which sources mirror each other"
+    // diagnostic — Jaccard + containment over distinct shingle sets.
+    "dedup_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(T(s, dir, "documents"), 3)
+        .orderBy("source_a", "source_b")),
+
     // Survivor selection: keep the longest member of each near-dup
     // cluster (score = n_chars, exact integer — tie by doc_id).
     "dedup_keep_best" -> ((s, dir) => {
@@ -1082,6 +1089,18 @@ object SparkEntry {
         orders.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
         orders, Seq("o_custkey", "o_totalprice"))
         .orderBy("col_name")
+    }),
+
+    // Population Stability Index of the value distribution, click
+    // (reference) vs error (current) events, 10 reference-anchored
+    // equal-width bins — the binned-drift scalar profileDrift's
+    // mean/null deltas can't see.
+    "dq_psi" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      operators.DataQuality.psiDrift(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "error"), "value", 10)
+        .orderBy("bin")
     }),
 
     // Vocabulary-size coverage curve (10/20/30 terms) — the OOV-rate
@@ -2656,6 +2675,38 @@ object SparkEntry {
          |FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // String trigrams mirror the Spark side's 64-bit shingle hashes
+    // (identical distinct sets modulo ~N²/2⁶⁵ collisions — the same
+    // precedent as the ngram-Jaccard oracles); ratios are single exact
+    // divisions of BIGINT counts.
+    "dedup_source_overlap" ->
+      """WITH base AS (SELECT doc_id, source,
+        |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |      FROM documents),
+        |t AS (SELECT doc_id, source, unnest(toks) AS tok,
+        |        generate_subscripts(toks, 1) AS i FROM base),
+        |sh AS (SELECT DISTINCT a.source,
+        |        a.tok || ' ' || b.tok || ' ' || c.tok AS g
+        |      FROM t a
+        |      JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |      JOIN t c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+        |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        |shared AS (SELECT x.source AS source_a, y.source AS source_b,
+        |        count(*) AS shared
+        |      FROM sh x JOIN sh y ON x.g = y.g AND x.source < y.source
+        |      GROUP BY 1, 2),
+        |sp AS (SELECT x.source AS source_a, y.source AS source_b,
+        |        x.n AS n_a, y.n AS n_b
+        |      FROM sizes x JOIN sizes y ON x.source < y.source)
+        |SELECT sp.source_a, sp.source_b, n_a, n_b,
+        |  coalesce(shared, 0) AS shared,
+        |  round(CAST(coalesce(shared, 0) AS DOUBLE)
+        |    / (n_a + n_b - coalesce(shared, 0)), 6) AS jaccard,
+        |  round(CAST(coalesce(shared, 0) AS DOUBLE)
+        |    / least(n_a, n_b), 6) AS containment
+        |FROM sp LEFT JOIN shared USING (source_a, source_b)
+        |ORDER BY source_a, source_b""".stripMargin,
+
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $clusterLabelsCte,
          |m AS (SELECT c.cluster_id, c.doc_id, d.n_chars,
@@ -3276,6 +3327,44 @@ object SparkEntry {
          |  round(mean_new - mean_old, 6) AS mean_delta
          |FROM po JOIN pn USING (col_name) ORDER BY col_name""".stripMargin
     },
+
+    // PSI: identical reference-anchored binning arithmetic (subtract /
+    // divide / floor / clamp — all single IEEE ops), Laplace-smoothed
+    // shares as exact-integer divisions, per-bin ln terms through the
+    // round(6) + DECIMAL-sum discipline (text_entropy precedent).
+    "dq_psi" ->
+      """WITH r AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |      WHERE event_type = 'click'),
+        |c AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |      WHERE event_type = 'error'),
+        |b AS (SELECT CAST(min(v) AS DOUBLE) AS lo,
+        |        CAST(max(v) AS DOUBLE) AS hi FROM r),
+        |br AS (SELECT CASE WHEN hi = lo THEN 0 ELSE
+        |        CAST(least(greatest(floor((v - lo) / ((hi - lo) / 10)), 0), 9)
+        |          AS INT) END AS bin FROM r CROSS JOIN b),
+        |bc AS (SELECT CASE WHEN hi = lo THEN 0 ELSE
+        |        CAST(least(greatest(floor((v - lo) / ((hi - lo) / 10)), 0), 9)
+        |          AS INT) END AS bin FROM c CROSS JOIN b),
+        |spine AS (SELECT CAST(bin AS INT) AS bin FROM range(10) t(bin)),
+        |cr AS (SELECT bin, count(*) AS n FROM br GROUP BY 1),
+        |cc AS (SELECT bin, count(*) AS n FROM bc GROUP BY 1),
+        |counts AS (SELECT s.bin, coalesce(cr.n, 0) AS c_ref,
+        |        coalesce(cc.n, 0) AS c_cur
+        |      FROM spine s LEFT JOIN cr USING (bin) LEFT JOIN cc USING (bin)),
+        |tot AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+        |        CAST(sum(c_cur) AS BIGINT) AS n_cur FROM counts),
+        |terms AS (SELECT bin, c_ref, c_cur,
+        |        CAST(c_ref + 1 AS DOUBLE) / (n_ref + 10) AS p_ref,
+        |        CAST(c_cur + 1 AS DOUBLE) / (n_cur + 10) AS p_cur
+        |      FROM counts CROSS JOIN tot),
+        |t2 AS (SELECT bin, c_ref, c_cur, p_ref, p_cur,
+        |        round((p_ref - p_cur) * ln(p_ref / p_cur), 6) AS term
+        |      FROM terms),
+        |tpsi AS (SELECT CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
+        |        AS psi FROM t2)
+        |SELECT bin, c_ref, c_cur, round(p_ref, 6) AS p_ref,
+        |  round(p_cur, 6) AS p_cur, term, psi
+        |FROM t2 CROSS JOIN tpsi ORDER BY bin""".stripMargin,
 
     // BPE unrolled: per iteration the SAME relational steps as the Spark
     // side — per-word lead pairs, freq-weighted argmax (ties -> lexical),

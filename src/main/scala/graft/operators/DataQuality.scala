@@ -173,4 +173,65 @@ object DataQuality {
       .withColumn("mean_old", round(col("mean_old"), 6))
       .withColumn("mean_new", round(col("mean_new"), 6))
   }
+
+  /** Population Stability Index of one numeric column between a reference
+    * and a current sample — the industry-standard scalar for "has this
+    * feature's distribution moved" (rule of thumb: < 0.1 stable, 0.1–0.25
+    * drifting, > 0.25 population shift). Complements [[profileDrift]]:
+    * mean/null-rate deltas miss a variance explosion or a bimodal split
+    * that leaves the mean untouched; PSI's binned shares catch both.
+    *
+    * Binning: `bins` equal-width bins anchored on the REFERENCE min/max
+    * (the production convention — the reference frame defines the
+    * expected distribution); current values outside the reference range
+    * clamp into the edge bins, a degenerate single-valued reference puts
+    * everything in bin 0. Shares are Laplace-smoothed ((c+1)/(n+bins)) so
+    * every ln is defined even for empty bins. Per-bin terms
+    * (p−q)·ln(p/q) are rounded to 6 dp and summed through DECIMAL —
+    * the same cross-engine float discipline as `text_entropy` /
+    * `text_pmi` (the share divisions are single IEEE ops on exact
+    * integers; ln is the one last-ulp-risky call, tamed by the round).
+    *
+    * Plan shape: one tiny min/max aggregate on the reference (rides as a
+    * one-row broadcast into both binning passes), one hash aggregate per
+    * side keyed by ≤ `bins` values, a broadcast join onto a static bin
+    * spine so empty bins still emit rows, and a single-row total joined
+    * back — no shuffle wider than `bins` rows after the two scans.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+               bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val spark = ref.sparkSession
+    val bounds = ref.agg(min(col(valueCol)).cast("double").as("lo"),
+      max(col(valueCol)).cast("double").as("hi"))
+    def binCounts(df: DataFrame, tag: String) =
+      df.select(col(valueCol).cast("double").as("v")).crossJoin(broadcast(bounds))
+        .select(when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(greatest(floor((col("v") - col("lo"))
+            / ((col("hi") - col("lo")) / bins)), lit(0L)), lit(bins - 1L)))
+          .cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(s"c_$tag"))
+    val spine = spark.range(bins).select(col("id").cast("int").as("bin"))
+    val counts = spine
+      .join(binCounts(ref, "ref"), Seq("bin"), "left")
+      .join(binCounts(cur, "cur"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val nRef = sum(col("c_ref")).over()
+    val nCur = sum(col("c_cur")).over()
+    // The OVER () totals are a single-partition window over <= `bins`
+    // rows (the counts frame is already tiny) — not a data-scale window.
+    val terms = counts
+      .withColumn("p_ref", (col("c_ref") + 1).cast("double") / (nRef + bins))
+      .withColumn("p_cur", (col("c_cur") + 1).cast("double") / (nCur + bins))
+      .withColumn("term",
+        round((col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")), 6))
+    val total = terms.agg(
+      sum(col("term").cast("decimal(18,6)")).cast("double").as("psi"))
+    terms
+      .select(col("bin"), col("c_ref"), col("c_cur"),
+        round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
+        col("term"))
+      .crossJoin(broadcast(total))
+  }
 }

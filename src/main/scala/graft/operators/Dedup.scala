@@ -753,6 +753,50 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Cross-source n-gram overlap matrix — the dataset-card diagnostic a
+    * corpus curator reads BEFORE doc-level dedup: which sources duplicate
+    * each other (mirrored sites, re-scraped crawl snapshots, re-hosted
+    * dumps surface as high-overlap pairs). One row per unordered source
+    * pair: distinct word-`n`-gram set sizes, shared-gram count, Jaccard,
+    * and containment (shared / smaller set — a small source wholly
+    * embedded in a big one scores ~1 here while its Jaccard stays tiny).
+    * Zero-overlap pairs still emit rows: a curator acts on absence too.
+    *
+    * Plan shape: per-source DISTINCT shingle sets (one codegen'd
+    * [[graft.expressions.ShingleHashes]] pass + hash aggregate on 8-byte
+    * hashes — the text never shuffles), a shingle-keyed a<b self-join
+    * whose per-key fan-out is bounded by #sources (the input is distinct
+    * (source, shingle)), and a broadcast pair spine from the tiny
+    * per-source size aggregate. Output is #sources² rows — trivial at
+    * any corpus scale; the only data-sized costs are the two scans'
+    * shuffles of (source, hash) pairs.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 3,
+                    sourceCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val sets = docs.select(col(sourceCol).as("source"),
+        explode(call_function("graft_shingles", col(textCol), lit(n)))
+          .as("shingle"))
+      .distinct()
+    val sizes = sets.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = sets.as("a").join(sets.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    val spine = sizes.as("x").join(broadcast(sizes.as("y")),
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+    spine.join(shared, Seq("source_a", "source_b"), "left")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("shared"),
+        round(col("shared").cast("double")
+          / (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"),
+        round(col("shared").cast("double")
+          / least(col("n_a"), col("n_b")), 6).as("containment"))
+  }
+
   /** Per-cluster survivor selection — the step after cluster resolution in
     * every dedup pipeline: of each near-dup cluster keep the single best
     * document by a quality score (longest, highest-quality-model score,

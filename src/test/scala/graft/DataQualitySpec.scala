@@ -92,4 +92,34 @@ class DataQualitySpec extends SparkSpec {
     assert(math.abs(out(("x", "neg")).asInstanceOf[Double] + 1.0) < 1e-6)
     assert(out(("x", "const")) == null) // sd 0 -> try_divide -> NULL
   }
+
+  test("psiDrift: hand-computed bins, smoothing, clamping, and total") {
+    // ref anchors [0,10] in 2 bins of width 5: ref 0,1,9 -> counts [2,1]
+    val ref = Seq(0.0, 1.0, 9.0, 10.0).toDF("v") // 10.0 clamps into bin 1
+    val cur = Seq(6.0, 7.0, 20.0, -5.0).toDF("v") // 20 and -5 clamp in
+    val rows = DataQuality.psiDrift(ref, cur, "v", bins = 2)
+      .orderBy("bin").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(2L, 2L)) // c_ref
+    assert(rows.map(_.getLong(2)).toSeq == Seq(1L, 3L)) // c_cur (clamped)
+    // p_ref = [(2+1)/6, (2+1)/6] = [.5, .5]; p_cur = [2/6, 4/6]
+    val terms = rows.map(_.getAs[Double]("term"))
+    assert(math.abs(terms(0) - (0.5 - 1.0 / 3) * math.log(0.5 / (1.0 / 3))) < 1e-6)
+    assert(math.abs(terms(1) - (0.5 - 2.0 / 3) * math.log(0.5 / (2.0 / 3))) < 1e-6)
+    val psi = rows.head.getAs[Double]("psi")
+    assert(math.abs(psi - terms.sum) < 1e-9) // total = DECIMAL sum of terms
+    assert(psi > 0.1) // this shift reads as "drifting" on the PSI scale
+  }
+
+  test("psiDrift: identical samples score 0; degenerate reference binds bin 0") {
+    val d = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val zero = DataQuality.psiDrift(d, d, "v", bins = 4).collect()
+    assert(zero.forall(_.getAs[Double]("psi") == 0.0))
+    assert(zero.forall(_.getAs[Double]("term") == 0.0))
+    val const = Seq(5.0, 5.0).toDF("v") // hi == lo: width-0 guard
+    val degen = DataQuality.psiDrift(const, d, "v", bins = 3)
+      .orderBy("bin").collect()
+    assert(degen.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0, 2L, 4L), (1, 0L, 0L), (2, 0L, 0L)))
+  }
 }

@@ -323,6 +323,24 @@ class DedupSpec extends SparkSpec {
     assert(out.keySet == Set((1L, 2L)))
   }
 
+  test("sourceOverlap: hand Jaccard/containment; zero-overlap pairs still emit") {
+    val docs = Seq(
+      (1L, "s1", "a b c d"),   // s1 trigrams {a b c, b c d}
+      (2L, "s1", "a b c"),     // duplicate gram within s1 - distinct once
+      (3L, "s2", "a b c x"),   // s2 trigrams {a b c, b c x}
+      (4L, "s3", "p q r s"))   // s3 disjoint {p q r, q r s}
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs, 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(out.keySet == Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    val (na, nb, sh, jac, cont) = out(("s1", "s2"))
+    assert((na, nb, sh) == (2L, 2L, 1L)) // share exactly "a b c"
+    assert(math.abs(jac - 1.0 / 3) < 1e-6 && cont == 0.5)
+    assert(out(("s1", "s3")) == (2L, 2L, 0L, 0.0, 0.0)) // absence emits too
+  }
+
   test("keepBest: highest score survives per cluster, ties broken by id") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
       .toDF("doc_id", "cluster_id")

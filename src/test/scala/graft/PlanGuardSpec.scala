@@ -67,6 +67,17 @@ class PlanGuardSpec extends SparkSpec {
     val bp = TextAnalysis.boilerplateRemove(docs, 2, 0.08)
       .queryExecution.executedPlan.toString
     assert(bp.contains("BroadcastExchange"), s"boilerplate plan:\n$bp")
+    // sourceOverlap's per-source size spine broadcasts (the only
+    // data-sized shuffles are the (source, shingle-hash) aggregates)
+    val so = graft.operators.Dedup.sourceOverlap(docs, 3)
+      .queryExecution.executedPlan.toString
+    assert(so.contains("BroadcastExchange"), s"sourceOverlap plan:\n$so")
+    // psiDrift's reference min/max bounds broadcast into both binning
+    // scans — the per-side shuffles are <= bins rows wide
+    val psi = DataQuality.psiDrift(li.select("l_quantity"),
+      li.select("l_quantity"), "l_quantity", 4)
+      .queryExecution.executedPlan.toString
+    assert(psi.contains("BroadcastExchange"), s"psiDrift plan:\n$psi")
     // corrMatrix is ONE aggregation pass: exactly one shuffle in the plan
     val corr = DataQuality.corrMatrix(li, Seq("l_quantity", "l_discount"))
       .queryExecution.executedPlan.toString
