@@ -1091,6 +1091,13 @@ object SparkEntry {
         .orderBy("col_name")
     }),
 
+    // Benford first-digit audit of order totals: observed vs log10(1+1/d)
+    // shares + chi-square, first digit via exact integer-cents strings
+    // (never float formatting / log10).
+    "dq_benford" -> ((s, dir) =>
+      operators.DataQuality.benford(T(s, dir, "orders"), "o_totalprice", 2)
+        .orderBy("digit")),
+
     // Population Stability Index of the value distribution, click
     // (reference) vs error (current) events, 10 reference-anchored
     // equal-width bins — the binned-drift scalar profileDrift's
@@ -1627,6 +1634,13 @@ object SparkEntry {
     // telemetry anomaly sweep; both moments from exact DECIMAL sums.
     "ana_outliers" -> ((s, dir) =>
       Analytics.outliers(T(s, dir, "events"))
+        .orderBy("event_id")),
+
+    // Robust MAD outliers (|v − median| / MAD > 3, 6-dp-quantized
+    // percentile boundaries) — catches what sd-based z masks in heavy
+    // tails.
+    "ana_outliers_mad" -> ((s, dir) =>
+      Analytics.outliersMad(T(s, dir, "events"))
         .orderBy("event_id")),
 
     // Percentile winsorization at [p01, p99] — robust clipping before
@@ -3328,6 +3342,33 @@ object SparkEntry {
          |FROM po JOIN pn USING (col_name) ORDER BY col_name""".stripMargin
     },
 
+    // Benford: first digit from the exact integer-cents string on both
+    // engines; expected shares are shared 6-dp literals (no ln anywhere);
+    // chi-square terms round(6) + DECIMAL-summed.
+    "dq_benford" ->
+      """WITH x AS (SELECT abs(o_totalprice) * 100 AS x FROM orders),
+        |u AS (SELECT CAST(round(x) AS BIGINT) AS u FROM x WHERE x > 0),
+        |d AS (SELECT CAST(substr(CAST(u AS VARCHAR), 1, 1) AS INT) AS digit
+        |      FROM u WHERE u > 0),
+        |c AS (SELECT digit, count(*) AS c FROM d GROUP BY 1),
+        |spine AS (SELECT CAST(d AS INT) AS digit, CAST(e AS DOUBLE) AS exp_share
+        |      FROM (VALUES (1, 0.301030), (2, 0.176091), (3, 0.124939),
+        |            (4, 0.096910), (5, 0.079181), (6, 0.066947),
+        |            (7, 0.057992), (8, 0.051153), (9, 0.045757)) t(d, e)),
+        |j AS (SELECT s.digit, coalesce(c.c, 0) AS c, s.exp_share
+        |      FROM spine s LEFT JOIN c USING (digit)),
+        |t AS (SELECT digit, c, exp_share,
+        |        CAST(sum(c) OVER () AS BIGINT) AS n FROM j),
+        |t2 AS (SELECT digit, c,
+        |        round(CAST(c AS DOUBLE) / n, 6) AS obs_share, exp_share,
+        |        round((c - n * exp_share) * (c - n * exp_share)
+        |          / (n * exp_share), 6) AS chi2_term
+        |      FROM t),
+        |tot AS (SELECT CAST(sum(CAST(chi2_term AS DECIMAL(28,6))) AS DOUBLE)
+        |        AS chi2 FROM t2)
+        |SELECT digit, c, obs_share, exp_share, chi2_term, chi2
+        |FROM t2 CROSS JOIN tot ORDER BY digit""".stripMargin,
+
     // PSI: identical reference-anchored binning arithmetic (subtract /
     // divide / floor / clamp — all single IEEE ops), Laplace-smoothed
     // shares as exact-integer divisions, per-bin ln terms through the
@@ -3863,6 +3904,26 @@ object SparkEntry {
         |FROM events e JOIN st USING (event_type)
         |WHERE abs((e.value - st.mean) / st.sd) > 2.0
         |ORDER BY e.event_id""".stripMargin,
+
+    // MAD boundaries quantized to 6 dp BEFORE the division on both
+    // engines (quantile_cont ≡ percentile at 6 dp — ana_group_quantiles
+    // precedent); membership compares the ROUNDED score; MAD-0 groups
+    // score NULL and never flag.
+    "ana_outliers_mad" ->
+      """WITH med AS (SELECT event_type,
+        |        round(quantile_cont(value, 0.5), 6) AS med
+        |      FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type, any_value(m.med) AS med,
+        |        round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |      FROM events e JOIN med m USING (event_type)
+        |      GROUP BY e.event_type),
+        |s AS (SELECT e.event_id, e.event_type, e.value,
+        |        m.med AS group_median, m.mad AS group_mad,
+        |        round(CASE WHEN m.mad = 0 THEN NULL
+        |          ELSE abs(e.value - m.med) / m.mad END, 6) AS mad_score
+        |      FROM events e JOIN mad m USING (event_type))
+        |SELECT * FROM s WHERE mad_score > 3.0
+        |ORDER BY event_id""".stripMargin,
 
     // The oracle recomputes the aggregate one-shot over the whole table;
     // the Spark side merges two partial DECIMAL states — the hash match

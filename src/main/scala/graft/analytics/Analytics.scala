@@ -303,4 +303,46 @@ object Analytics {
         round(col("mean"), 6).as("group_mean"), round(col("sd"), 6).as("group_sd"),
         round(col("z"), 6).as("zscore"))
   }
+
+  /** Robust per-group outliers via median absolute deviation — the
+    * companion to [[outliers]] for heavy-tailed metrics, where a single
+    * extreme value inflates mean AND sd enough to mask its siblings
+    * (masking). Flags rows with |v − median| / MAD > `kThreshold`
+    * (k=3 ≈ the classic Iglewicz–Hoberg cut before their 0.6745
+    * normal-consistency constant, which is deliberately NOT applied —
+    * document the raw ratio, don't bake in a normality assumption).
+    *
+    * Cross-engine float discipline: group median and MAD are exact
+    * interpolated percentiles QUANTIZED to 6 dp before any division
+    * (Spark `percentile` and DuckDB `quantile_cont` agree at 6 dp — the
+    * `ana_group_quantiles` parity precedent — but their unrounded
+    * interpolations may differ in the last ulp, and here the value
+    * decides row MEMBERSHIP, so both engines must score against the
+    * same quantized boundaries). The score itself is one subtraction +
+    * one division on those quantized inputs, rounded to 6 dp, and the
+    * threshold compares the ROUNDED score. A constant group has MAD 0:
+    * `try_divide` gives its rows NULL scores, never flagged.
+    *
+    * Plan shape: two percentile aggregates keyed by group (the second
+    * pass re-scans with the tiny median frame joined back — broadcast at
+    * any realistic group count) and a final broadcast join + filter; no
+    * windows, no global sort.
+    */
+  def outliersMad(events: DataFrame, kThreshold: Double = 3.0,
+                  groupCol: String = "event_type", valCol: String = "value",
+                  idCol: String = "event_id"): DataFrame = {
+    val med = events.groupBy(col(groupCol))
+      .agg(round(percentile(col(valCol), lit(0.5)), 6).as("med"))
+    val mad = events.join(broadcast(med), groupCol)
+      .groupBy(col(groupCol))
+      .agg(first(col("med")).as("med"),
+        round(percentile(abs(col(valCol) - col("med")), lit(0.5)), 6).as("mad"))
+    events.join(broadcast(mad), groupCol)
+      .withColumn("score",
+        round(try_divide(abs(col(valCol) - col("med")), col("mad")), 6))
+      .filter(col("score") > kThreshold)
+      .select(col(idCol), col(groupCol), col(valCol),
+        col("med").as("group_median"), col("mad").as("group_mad"),
+        col("score").as("mad_score"))
+  }
 }

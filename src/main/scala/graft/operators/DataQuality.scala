@@ -234,4 +234,62 @@ object DataQuality {
         col("term"))
       .crossJoin(broadcast(total))
   }
+
+  /** Benford first-digit audit of a monetary-style column — the classic
+    * fabricated-data / unit-mixing screen: naturally-grown amounts
+    * follow log₁₀(1+1/d) first-digit shares; hand-entered, capped,
+    * generated-uniform, or unit-mismatched data does not. Emits one row
+    * per digit 1–9 (observed count, observed vs expected share, chi-square
+    * term) plus the total chi-square statistic on every row (29.6 h 8 df
+    * at α=0.001 is the usual alarm line — left to the caller, this is a
+    * report not a gate).
+    *
+    * Determinism: the first digit is taken from the INTEGER string of
+    * `round(|v|·10^scale)` (for `scale`-decimal fixed-point data the
+    * product sits within 1 ulp of the true integer, so both engines round
+    * to it identically; integer→string is exact everywhere) — never from
+    * float formatting or log₁₀ of the value, which can differ at digit
+    * boundaries. Expected shares are hardcoded 6-dp constants, so no
+    * engine's `ln` enters; chi-square terms are single IEEE ops rounded
+    * to 6 dp and summed through DECIMAL.
+    *
+    * Plan shape: one projection + a ≤ 9-key hash aggregate, a broadcast
+    * digit spine (zero-count digits still report — their absence IS the
+    * anomaly), and a one-row broadcast total. Nothing wider than 9 rows
+    * after the scan.
+    */
+  def benford(df: DataFrame, valueCol: String, scale: Int = 2): DataFrame = {
+    require(scale >= 0, s"need scale >= 0, got $scale")
+    val spark = df.sparkSession
+    // log10(1 + 1/d), d = 1..9, quantized to 6 dp.
+    val expected = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    val units = df
+      .select((abs(col(valueCol)) * math.pow(10, scale).toLong).as("x"))
+      .filter(col("x") > 0)
+      .select(round(col("x")).cast("long").as("u"))
+      .filter(col("u") > 0)
+    val counts = units
+      .select(substring(col("u").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("c"))
+    val spine = spark.range(1, 10)
+      .select(col("id").cast("int").as("digit"),
+        element_at(array(expected.map(lit): _*), col("id").cast("int"))
+          .as("exp_share"))
+    val n = sum(col("c")).over() // <= 9 rows — not a data-scale window
+    val terms = spine.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("c"), lit(0L)).as("c"),
+        col("exp_share"))
+      .withColumn("n", n)
+      .withColumn("obs_share", round(col("c").cast("double") / col("n"), 6))
+      .withColumn("chi2_term",
+        round((col("c") - col("n") * col("exp_share"))
+          * (col("c") - col("n") * col("exp_share"))
+          / (col("n") * col("exp_share")), 6))
+    val total = terms.agg(
+      sum(col("chi2_term").cast("decimal(28,6)")).cast("double").as("chi2"))
+    terms.select(col("digit"), col("c"), col("obs_share"), col("exp_share"),
+        col("chi2_term"))
+      .crossJoin(broadcast(total))
+  }
 }

@@ -161,6 +161,23 @@ class AnalyticsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("outliersMad: catches the masked extreme z misses; MAD-0 group silent") {
+    // group a: mean 22, sd ~43.6 -> z(100) ~ 1.79 squeaks past a z=2 gate
+    // (masking); median 3, MAD 1 -> mad_score(100) = 97 flags loudly.
+    val events = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0),
+      (5L, "a", 100.0),
+      (6L, "b", 5.0), (7L, "b", 5.0), (8L, "b", 5.0)) // constant: MAD 0
+      .toDF("event_id", "event_type", "value")
+    assert(Analytics.outliers(events, zThreshold = 2.0).count() == 0)
+    val out = Analytics.outliersMad(events, kThreshold = 3.0).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(5L))
+    val r = out.head
+    assert(r.getAs[Double]("group_median") == 3.0)
+    assert(r.getAs[Double]("group_mad") == 1.0)
+    assert(r.getAs[Double]("mad_score") == 97.0)
+  }
+
   test("winsorize: tails clip to the exact boundaries, interior untouched") {
     val e = ((1L to 8L).map(i => (i, i.toDouble)) ++ Seq((9L, 1000.0), (0L, -1000.0)))
       .toDF("event_id", "value")

@@ -111,6 +111,26 @@ class DataQualitySpec extends SparkSpec {
     assert(psi > 0.1) // this shift reads as "drifting" on the PSI scale
   }
 
+  test("benford: hand digit counts, zero-count digits emit, chi2 totals") {
+    // cents: 123 199 201 305 (digits 1,1,2,3) + a negative and a zero
+    val df = Seq(1.23, 1.99, 2.01, -3.05, 0.0).toDF("amt")
+    val rows = DataQuality.benford(df, "amt", scale = 2)
+      .orderBy("digit").collect()
+    assert(rows.length == 9) // full spine, absent digits included
+    val byDigit = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit == Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 4 -> 0L, 5 -> 0L,
+      6 -> 0L, 7 -> 0L, 8 -> 0L, 9 -> 0L)) // |−3.05| counts, 0.0 dropped
+    val r1 = rows.head
+    assert(r1.getAs[Double]("obs_share") == 0.5) // 2 of 4
+    assert(r1.getAs[Double]("exp_share") == 0.301030)
+    // chi2 term for digit 1: (2 - 4*.30103)^2 / (4*.30103)
+    val e1 = 4 * 0.301030
+    assert(math.abs(r1.getAs[Double]("chi2_term") - (2 - e1) * (2 - e1) / e1) < 1e-6)
+    val chi2 = r1.getAs[Double]("chi2")
+    val termSum = rows.map(_.getAs[Double]("chi2_term")).sum
+    assert(math.abs(chi2 - termSum) < 1e-9)
+  }
+
   test("psiDrift: identical samples score 0; degenerate reference binds bin 0") {
     val d = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
     val zero = DataQuality.psiDrift(d, d, "v", bins = 4).collect()
