@@ -1091,6 +1091,14 @@ object SparkEntry {
         .orderBy("col_name")
     }),
 
+    // Pairwise categorical association (chi-square + Cramér's V) over
+    // lineitem's three low-cardinality columns — empty contingency cells
+    // folded via the chi² = n + Σ((o−e)²/e − e) identity, no cell spine.
+    "dq_association" -> ((s, dir) =>
+      operators.DataQuality.association(T(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_linenumber"))
+        .orderBy("col_a", "col_b")),
+
     // Benford first-digit audit of order totals: observed vs log10(1+1/d)
     // shares + chi-square, first digit via exact integer-cents strings
     // (never float formatting / log10).
@@ -3340,6 +3348,45 @@ object SparkEntry {
          |  round(mean_new, 6) AS mean_new,
          |  round(mean_new - mean_old, 6) AS mean_delta
          |FROM po JOIN pn USING (col_name) ORDER BY col_name""".stripMargin
+    },
+
+    // Same empty-cell identity as the Spark side (chi² = n + Σ over
+    // OBSERVED cells of (o−e)²/e − e); e's double conversion order
+    // mirrored exactly; terms round(6) + DECIMAL-summed; V NULL for a
+    // constant column.
+    "dq_association" -> {
+      def pairSql(a: String, b: String) =
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  q.n, q.k_a, q.k_b,
+           |  round(q.n + q.ts, 6) AS chi2,
+           |  round(CASE WHEN least(q.k_a, q.k_b) = 1 THEN NULL
+           |    ELSE sqrt((q.n + q.ts)
+           |      / ((least(q.k_a, q.k_b) - 1) * q.n)) END, 6) AS cramers_v
+           |FROM (
+           |  SELECT any_value(tt.n) AS n, any_value(tt.k_a) AS k_a,
+           |    any_value(tt.k_b) AS k_b,
+           |    CAST(sum(CAST(tt.term AS DECIMAL(28,6))) AS DOUBLE) AS ts
+           |  FROM (
+           |    SELECT t.n, t.k_a, t.k_b,
+           |      round((c.o - CAST(r.ra AS DOUBLE) * ct.cb / t.n)
+           |        * (c.o - CAST(r.ra AS DOUBLE) * ct.cb / t.n)
+           |        / (CAST(r.ra AS DOUBLE) * ct.cb / t.n)
+           |        - CAST(r.ra AS DOUBLE) * ct.cb / t.n, 6) AS term
+           |    FROM (SELECT $a AS va, $b AS vb, count(*) AS o
+           |          FROM lineitem GROUP BY 1, 2) c
+           |    JOIN (SELECT $a AS va, CAST(count(*) AS BIGINT) AS ra
+           |          FROM lineitem GROUP BY 1) r USING (va)
+           |    JOIN (SELECT $b AS vb, CAST(count(*) AS BIGINT) AS cb
+           |          FROM lineitem GROUP BY 1) ct USING (vb)
+           |    CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n,
+           |        count(DISTINCT $a) AS k_a, count(DISTINCT $b) AS k_b
+           |      FROM lineitem) t
+           |  ) tt
+           |) q""".stripMargin
+      val cols = Seq("l_returnflag", "l_linestatus", "l_linenumber")
+      val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+        yield pairSql(cols(i), cols(j))
+      pairs.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
     },
 
     // Benford: first digit from the exact integer-cents string on both

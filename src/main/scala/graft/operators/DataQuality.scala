@@ -292,4 +292,53 @@ object DataQuality {
         col("chi2_term"))
       .crossJoin(broadcast(total))
   }
+
+  /** Pairwise categorical association matrix: chi-square independence
+    * statistic + Cramér's V for every pair of the declared
+    * low-cardinality columns — the "which features are redundant /
+    * entangled" screen run before stratifying, mixing, or
+    * feature-selecting on categorical metadata (source × lang ×
+    * quality-bucket in a corpus; status × priority in telemetry).
+    *
+    * Empty contingency cells contribute (0−e)²/e = e to chi-square, and
+    * Σ over ALL cells of e is exactly n — so chi² = n + Σ_observed
+    * ((o−e)²/e − e), computed WITHOUT materializing the empty-cell
+    * spine (a k₁×k₂ cross join that dwarfs the data when cardinalities
+    * run to thousands). Expected counts cast to double before the
+    * product (ra·cb overflows int64 on ~10¹²-row tables); per-cell
+    * terms round to 6 dp and sum through DECIMAL; V = √(χ²/(n·(min(k)−1)))
+    * is NULL (never flagged ±) for a constant column, via `try_divide`.
+    *
+    * Plan shape per pair: one cells aggregate keyed by the value pair,
+    * two re-aggregates of the CELLS frame (≤ k₁·k₂ rows — never the
+    * table) for the marginals, all joined back as broadcasts, one scalar
+    * reduce. Pairs union into one plan; Spark schedules the shared scan.
+    */
+  def association(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns, got ${cols.size}")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      val cells = df.groupBy(col(a).as("va"), col(b).as("vb"))
+        .agg(count(lit(1)).as("o"))
+      val rowTot = cells.groupBy("va").agg(sum("o").as("ra"))
+      val colTot = cells.groupBy("vb").agg(sum("o").as("cb"))
+      val tot = cells.agg(sum("o").as("n"),
+        countDistinct(col("va")).as("k_a"), countDistinct(col("vb")).as("k_b"))
+      val e = col("ra").cast("double") * col("cb") / col("n")
+      val chi2 = col("n") + col("ts").cast("double")
+      cells.join(broadcast(rowTot), "va")
+        .join(broadcast(colTot), "vb")
+        .crossJoin(broadcast(tot))
+        .select(col("n"), col("k_a"), col("k_b"),
+          round((col("o") - e) * (col("o") - e) / e - e, 6).as("term"))
+        .groupBy("n", "k_a", "k_b")
+        .agg(sum(col("term").cast("decimal(28,6)")).as("ts"))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+          col("k_a"), col("k_b"), round(chi2, 6).as("chi2"),
+          round(sqrt(try_divide(chi2,
+            (least(col("k_a"), col("k_b")) - 1) * col("n"))), 6)
+            .as("cramers_v"))
+    }.reduce(_ unionByName _)
+  }
 }

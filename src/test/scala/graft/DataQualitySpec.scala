@@ -111,6 +111,22 @@ class DataQualitySpec extends SparkSpec {
     assert(psi > 0.1) // this shift reads as "drifting" on the PSI scale
   }
 
+  test("association: perfect pairing V=1, independence chi2=0, constant col NULL") {
+    val df = Seq(("a", 1, "z"), ("a", 1, "z"), ("b", 2, "z"), ("b", 2, "z"))
+      .toDF("x", "y", "c")
+    val out = DataQuality.association(df, Seq("x", "y", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == Set(("x", "y"), ("x", "c"), ("y", "c")))
+    val xy = out(("x", "y")) // x determines y exactly
+    assert(xy.getAs[Long]("n") == 4L && xy.getAs[Double]("chi2") == 4.0)
+    assert(xy.getAs[Double]("cramers_v") == 1.0)
+    assert(out(("x", "c")).isNullAt(6)) // constant column: V undefined
+    val ind = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("x", "y")
+    val r2 = DataQuality.association(ind, Seq("x", "y")).collect().head
+    assert(r2.getAs[Double]("chi2") == 0.0) // balanced grid: o = e everywhere
+    assert(r2.getAs[Double]("cramers_v") == 0.0)
+  }
+
   test("benford: hand digit counts, zero-count digits emit, chi2 totals") {
     // cents: 123 199 201 305 (digits 1,1,2,3) + a negative and a zero
     val df = Seq(1.23, 1.99, 2.01, -3.05, 0.0).toDF("amt")
