@@ -1016,6 +1016,21 @@ object SparkEntry {
       operators.Graph.pageRank(edges, 3).orderBy("node")
     }),
 
+    // Per-node triangle counts over the part co-purchase graph (parts
+    // sharing >= 2 orders) — degree-oriented O(m^1.5) wedge closure; the
+    // oracle's naive a<b<c closure proves orientation-free semantics.
+    "graph_triangles" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      operators.Graph.triangleCounts(edges).orderBy("node")
+    }),
+
     // Inverted postings index: term -> df + sorted doc-id list (the
     // search-index build; df-capped against stopword skew — uncapped here,
     // the corpus vocabulary is tiny).
@@ -3162,6 +3177,24 @@ object SparkEntry {
          |GROUP BY 1, 2 ORDER BY cluster_id, dim""".stripMargin,
 
     // PageRank unrolled: each iteration = DECIMAL in-sums + dangling mass
+    // Naive a<b<c triangle closure over the same co-purchase edges —
+    // exact-count parity with the Spark side's degree-oriented wedge
+    // join proves the orientation is semantics-free.
+    "graph_triangles" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+        |      FROM lineitem),
+        |e AS (SELECT l.pt AS a, r.pt AS b, count(*) AS c
+        |      FROM it l JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |      FROM e e1
+        |      JOIN e e2 ON e2.a = e1.b
+        |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT x AS node FROM tri UNION ALL
+        |      SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT node, count(*) AS n_triangles
+        |FROM n GROUP BY 1 ORDER BY node""".stripMargin,
+
     // + the identical double update expression ((1-d) and d as the same
     // IEEE doubles Spark computes — 1e0-0.85e0, not a decimal literal).
     "ana_pagerank" -> {

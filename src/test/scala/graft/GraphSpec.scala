@@ -33,4 +33,16 @@ class GraphSpec extends SparkSpec {
     assert(out("hub") > out("s1") * 2) // clearly dominant, not just above
     assert(out("s1") == out("s2") && out("s2") == out("s3")) // symmetry exact
   }
+
+  test("triangleCounts: shared-edge triangles, squares excluded, dirty edges canonicalized") {
+    val e = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L), // triangles 123, 234
+      (5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L),           // 4-cycle: no triangle
+      (2L, 1L),                                         // reversed duplicate
+      (4L, 4L))                                         // self-loop dropped
+      .toDF("src", "dst")
+    val out = Graph.triangleCounts(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
 }
