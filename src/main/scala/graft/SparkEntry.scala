@@ -1031,6 +1031,20 @@ object SparkEntry {
       operators.Graph.triangleCounts(edges).orderBy("node")
     }),
 
+    // Local clustering coefficients over the same co-purchase graph —
+    // every node emits (triangle-free 0, degree-1 NULL).
+    "graph_clustering" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      operators.Graph.clusteringCoefficients(edges).orderBy("node")
+    }),
+
     // Inverted postings index: term -> df + sorted doc-id list (the
     // search-index build; df-capped against stopword skew — uncapped here,
     // the corpus vocabulary is tiny).
@@ -3194,6 +3208,32 @@ object SparkEntry {
         |      SELECT y FROM tri UNION ALL SELECT z FROM tri)
         |SELECT node, count(*) AS n_triangles
         |FROM n GROUP BY 1 ORDER BY node""".stripMargin,
+
+    // Coefficient arithmetic mirrored op-for-op (double cast before the
+    // degree product, ×2 then ÷, CASE for degree-1 NULL).
+    "graph_clustering" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+        |      FROM lineitem),
+        |e AS (SELECT l.pt AS a, r.pt AS b, count(*) AS c
+        |      FROM it l JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |      FROM e e1
+        |      JOIN e e2 ON e2.a = e1.b
+        |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT x AS node FROM tri UNION ALL
+        |      SELECT y FROM tri UNION ALL SELECT z FROM tri),
+        |tc AS (SELECT node, count(*) AS n_triangles FROM n GROUP BY 1),
+        |deg AS (SELECT v, count(*) AS d FROM
+        |      (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+        |SELECT deg.v AS node, deg.d AS degree,
+        |  coalesce(tc.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN deg.d <= 1 THEN NULL
+        |    ELSE round(CAST(coalesce(tc.n_triangles, 0) AS DOUBLE) * 2
+        |      / (CAST(deg.d AS DOUBLE) * (deg.d - 1)), 6) END
+        |    AS clustering_coeff
+        |FROM deg LEFT JOIN tc ON tc.node = deg.v
+        |ORDER BY node""".stripMargin,
 
     // + the identical double update expression ((1-d) and d as the same
     // IEEE doubles Spark computes — 1e0-0.85e0, not a decimal literal).

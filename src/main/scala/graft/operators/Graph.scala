@@ -85,6 +85,36 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient: 2·triangles / (d·(d−1)) —
+    * how close each node's neighborhood is to a clique (1 = clique,
+    * 0 = star), the standard community-density feature on top of
+    * [[triangleCounts]]. Every node of the graph emits a row
+    * (triangle-free nodes get coefficient 0); degree-1 nodes have an
+    * undefined coefficient and emit NULL via an explicit guard (the
+    * DuckDB oracle mirrors the CASE). The degree product runs in double
+    * (d² overflows int64 on ~10⁹-degree hubs); the division is one IEEE
+    * op rounded to 6 dp. Cost on top of the triangle join: one degree
+    * aggregate + a node-keyed left join.
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String = "src",
+                             dstCol: String = "dst"): DataFrame = {
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val tri = triangleCounts(e0, "a", "b")
+    deg.join(tri, col("v") === col("node"), "left")
+      .select(col("v").as("node"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("d") <= 1, lit(null).cast("double"))
+          .otherwise(round(
+            coalesce(col("n_triangles"), lit(0L)).cast("double") * 2
+              / (col("d").cast("double") * (col("d") - 1)), 6))
+          .as("clustering_coeff"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
                srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")

@@ -45,4 +45,22 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("clusteringCoefficients: clique-ness per node; degree-1 NULL; triangle-free 0") {
+    val e = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L), // triangles 123, 234
+      (5L, 6L),                                         // isolated edge: d=1 pair
+      (4L, 7L))                                         // 7 hangs off the triangle
+      .toDF("src", "dst")
+    val out = Graph.clusteringCoefficients(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // node 2: degree 3, 2 triangles -> 2*2/(3*2) = 2/3
+    assert(out(2L) == ((3L, 2L, Some(0.666667))))
+    assert(out(1L) == ((2L, 1L, Some(1.0))))   // its whole neighborhood is a clique
+    assert(out(4L) == ((3L, 1L, Some(0.333333))))
+    assert(out(5L) == ((1L, 0L, None)))        // degree 1: undefined
+    assert(out(7L) == ((1L, 0L, None)))
+    assert(out(6L) == ((1L, 0L, None)))
+  }
 }
