@@ -1047,9 +1047,23 @@ object SparkEntry {
 
     // Inverted postings index: term -> df + sorted doc-id list (the
     // search-index build; df-capped against stopword skew — uncapped here,
-    // the corpus vocabulary is tiny).
+    // the corpus vocabulary is tiny). The public operator returns the
+    // ARRAY posting list; the registered query canonicalizes it to a
+    // comma-joined string because the harness's pandas comparator cannot
+    // hash array cells (same convention as ana_session_sequences).
     "text_postings" -> ((s, dir) =>
-      TextAnalysis.postingsIndex(T(s, dir, "documents")).orderBy("term")),
+      TextAnalysis.postingsIndex(T(s, dir, "documents"))
+        .withColumn("postings",
+          array_join(transform(col("postings"), _.cast("string")), ","))
+        .orderBy("term")),
+
+    // df-capped postings variant: terms with df > 40 (stopword-like in
+    // this corpus) are dropped entirely — the index-skew guard exercised.
+    "text_postings_capped" -> ((s, dir) =>
+      TextAnalysis.postingsIndex(T(s, dir, "documents"), maxDf = 40L)
+        .withColumn("postings",
+          array_join(transform(col("postings"), _.cast("string")), ","))
+        .orderBy("term")),
 
     // Skip-gram pairs (±2 window, top 100) — word2vec-style training-pair
     // extraction via an exact (doc, position+offset) equi-join.
@@ -3083,7 +3097,8 @@ object SparkEntry {
     "text_select_budget" ->
       s"""WITH base AS ($docToks),
          |sc AS (SELECT doc_id,
-         |        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS score,
+         |        coalesce(CAST(len(list_distinct(toks)) AS DOUBLE)
+         |          / nullif(len(toks), 0), 0.0) AS score,
          |        CAST(len(regexp_extract_all(text,
          |          '${TextAnalysis.subwordPattern}')) AS BIGINT) AS n_subwords
          |      FROM base),
@@ -3275,8 +3290,17 @@ object SparkEntry {
          |t AS (SELECT doc_id, unnest(toks) AS term FROM base),
          |u AS (SELECT DISTINCT doc_id, term FROM t)
          |SELECT term, count(*) AS df,
-         |  list(doc_id ORDER BY doc_id) AS postings
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
          |FROM u GROUP BY term ORDER BY term""".stripMargin,
+
+    "text_postings_capped" ->
+      s"""WITH base AS ($docToks),
+         |t AS (SELECT doc_id, unnest(toks) AS term FROM base),
+         |u AS (SELECT DISTINCT doc_id, term FROM t),
+         |g AS (SELECT term, count(*) AS df,
+         |        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         |      FROM u GROUP BY term)
+         |SELECT term, df, postings FROM g WHERE df <= 40 ORDER BY term""".stripMargin,
 
     "text_skipgrams" ->
       s"""WITH base AS ($docToks),
@@ -3623,12 +3647,13 @@ object SparkEntry {
         |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
         |      FROM documents),
         |r AS (SELECT source, lang, CAST(len(toks) AS BIGINT) AS n_toks,
-        |        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ratio
+        |        CAST(len(list_distinct(toks)) AS DOUBLE)
+        |          / nullif(len(toks), 0) AS ratio
         |      FROM p)
         |SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
         |  round(CAST(sum(CAST(round(ratio, 6) AS DECIMAL(18,6))) AS DOUBLE)
-        |    / count(*), 6) AS mean_distinct_ratio
+        |    / nullif(count(ratio), 0), 6) AS mean_distinct_ratio
         |FROM r GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
 
     "text_pack" ->

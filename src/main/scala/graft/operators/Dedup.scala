@@ -774,10 +774,16 @@ object Dedup {
   def sourceOverlap(docs: DataFrame, n: Int = 3,
                     sourceCol: String = "source",
                     textCol: String = "text"): DataFrame = {
+    // Materialized once (same pattern as dedupClusters' edge list): the
+    // distinct (source, shingle) frame — the most expensive subtree — is
+    // read three times below (sizes + both sides of the self-join); an
+    // unmaterialized plan would re-run the full-corpus shingle scan each
+    // time.
     val sets = docs.select(col(sourceCol).as("source"),
         explode(call_function("graft_shingles", col(textCol), lit(n)))
           .as("shingle"))
       .distinct()
+      .localCheckpoint()
     val sizes = sets.groupBy("source").agg(count(lit(1)).as("n"))
     val shared = sets.as("a").join(sets.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))

@@ -331,8 +331,12 @@ object Similarity {
     */
   def recallAtK(approx: DataFrame, exact: DataFrame,
                 queryCol: String = "query_id", neighborCol: String = "neighbor_id"): DataFrame = {
-    val a = approx.select(col(queryCol).as("__aq"), col(neighborCol).as("__an"))
-    val m = exact.select(col(queryCol).as("q"), col(neighborCol).as("n"))
+    // Both sides deduped on (query, neighbor): a generic caller (e.g. an
+    // un-deduped multi-table LSH union) may carry duplicate pairs, and a
+    // fanned-out join would inflate both hits and the per-query k
+    // denominator, corrupting mean_recall.
+    val a = approx.select(col(queryCol).as("__aq"), col(neighborCol).as("__an")).distinct()
+    val m = exact.select(col(queryCol).as("q"), col(neighborCol).as("n")).distinct()
       .join(a, col("q") === col("__aq") && col("n") === col("__an"), "left")
       .groupBy("q")
       .agg(count(col("__an")).as("hits"), count(lit(1)).as("k"))

@@ -290,8 +290,13 @@ object Sketch {
                           depth: Int, width: Int): DataFrame = {
     val sa = cmsBuild(a, aKey, depth, width)
     val sb = cmsBuild(b, bKey, depth, width)
+    // DECIMAL(38,0) dot product: with heavy-hitter keys at 100 TB scale
+    // (per-bucket counts ~1e10) the BIGINT product overflows and ANSI
+    // mode turns a loose estimate into a runtime error.
     sa.as("x").join(sb.as("y"), Seq("row", "bucket"))
-      .groupBy("row").agg(sum(col("x.cnt") * col("y.cnt")).as("dot"))
+      .groupBy("row")
+      .agg(sum(col("x.cnt").cast("decimal(38,0)")
+        * col("y.cnt").cast("decimal(38,0)")).as("dot"))
       .agg(min(col("dot")).cast("long").as("join_size_est"))
   }
 

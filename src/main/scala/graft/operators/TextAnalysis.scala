@@ -362,10 +362,11 @@ object TextAnalysis {
     * within an island merges ("aaaa" + (a,a) → "aa aa") — deterministic,
     * and mirrored CTE-for-CTE by the unrolled DuckDB oracle.
     *
-    * Caller contract: the corpus must still have ≥ 1 adjacent pair at
-    * every requested iteration (an exhausted corpus would merge nothing
-    * and the run stops being meaningful); nMerges is small by nature
-    * (real tokenizers: 10k–100k iterations of THIS exact step).
+    * Caller contract (ENFORCED): the corpus must still have ≥ 1 adjacent
+    * pair at every requested iteration — an exhausted corpus would merge
+    * nothing, so the builder counts the merge table and throws rather
+    * than silently returning fewer than nMerges rows. nMerges is small by
+    * nature (real tokenizers: 10k–100k iterations of THIS exact step).
     */
   def bpeMerges(docs: DataFrame, nMerges: Int,
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -417,7 +418,15 @@ object TextAnalysis {
           s => s.getField("t")).as("toks"))
         .localCheckpoint()
     }
-    merges.reverse.reduce(_ unionByName _).orderBy("iter")
+    // Enforce the caller contract loudly: an exhausted corpus makes `top`
+    // empty, which would silently shrink the output below nMerges rows.
+    // The union is nMerges rows at most, so this count is free (and the
+    // loop above already runs eager jobs via localCheckpoint).
+    val out = merges.reverse.reduce(_ unionByName _).localCheckpoint()
+    val got = out.count()
+    require(got == nMerges,
+      s"corpus exhausted: only $got of $nMerges iterations found an adjacent pair")
+    out.orderBy("iter")
   }
 
   /** Vocabulary-size coverage curve: for each candidate size s, the
@@ -455,17 +464,23 @@ object TextAnalysis {
     */
   def sourceProfile(docs: DataFrame, srcCol: String = "source",
                     langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    // Degenerate inputs follow the entropy convention: a zero-token doc
+    // has NO distinct-token ratio (try_divide -> NULL, not NaN — a NaN
+    // would poison the DECIMAL cast under ANSI and the group mean), so
+    // the mean is over token-bearing docs only; an all-empty group gets a
+    // NULL mean.
     val toks = Fns.tokens(col(textCol))
     docs
       .select(col(srcCol).as("source"), col(langCol).as("lang"),
         size(toks).cast("long").as("n_toks"),
-        (size(array_distinct(toks)).cast("double") / size(toks)).as("ratio"))
+        try_divide(size(array_distinct(toks)).cast("double"), size(toks)).as("ratio"))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"),
-        sum(round(col("ratio"), 6).cast("decimal(18,6)")).as("sr"))
+        sum(round(col("ratio"), 6).cast("decimal(18,6)")).as("sr"),
+        count(col("ratio")).as("nr"))
       .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
-        round(col("sr").cast("double") / col("n_docs"), 6).as("mean_distinct_ratio"))
+        round(try_divide(col("sr").cast("double"), col("nr")), 6).as("mean_distinct_ratio"))
   }
 
   /** Corpus encoding — the tokenizer-APPLY step between [[vocabulary]]
@@ -817,10 +832,15 @@ object TextAnalysis {
                      textCol: String = "text", idCol: String = "doc_id",
                      buckets: Int = 32): DataFrame = {
     require(budget >= 1, s"need budget >= 1, got $budget")
+    // Zero-token docs get score 0.0 (rank last, cost nothing) rather than
+    // the NaN a plain division would emit — NaN poisons the min/max
+    // bucket stats that drive the distributed prefix sum.
     val scored = docs.select(
       col(idCol).as("doc_id"),
-      (size(array_distinct(Fns.tokens(col(textCol)))).cast("double") /
-        size(Fns.tokens(col(textCol)))).as("score"),
+      coalesce(
+        try_divide(size(array_distinct(Fns.tokens(col(textCol)))).cast("double"),
+          size(Fns.tokens(col(textCol)))),
+        lit(0.0)).as("score"),
       size(regexp_extract_all(col(textCol), lit(subwordPattern), lit(0)))
         .cast("long").as("n_subwords"))
     val stats = scored.agg(min(col("score")).as("__lo"), max(col("score")).as("__hi"))
