@@ -1252,7 +1252,8 @@ object SparkEntry {
           col("header_code").cast("long").as("header_code"))
         .orderBy("asset_id")),
 
-    // Decoded via the labeled stub codec; width/height/n_bytes are
+    // Text payloads are not a recognized image container, so the dispatch
+    // lands on the labeled stub codec; width/height/n_bytes are
     // deterministic functions of the payload bytes, so oracle-checkable.
     "mm_decode" -> ((s, dir) =>
       Multimodal.decode(s,
@@ -1262,6 +1263,26 @@ object SparkEntry {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
         .orderBy("asset_id")),
+
+    // REAL codec path: each doc_id becomes a tiny deterministic grayscale
+    // PNG (JDK encoder), decoded back via javax.imageio. PNG is lossless
+    // and the raster is read as raw samples, so the decoded dimensions and
+    // the integer sample sum are pure functions of doc_id the DuckDB
+    // oracle recomputes from the same formula. Narrow map end-to-end; the
+    // payload bytes never shuffle.
+    "mm_decode_png" -> ((s, dir) => {
+      import s.implicits._
+      val assets = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          Multimodal.Asset(id, "image", Multimodal.syntheticPng(id))))
+        .toDF()
+      Multimodal.decode(s, assets).toDF()
+        .select(col("asset_id"), col("codec"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sum_sample"))
+        .orderBy("asset_id")
+    }),
 
     // ---- ingestion / warehouse plumbing, end-to-end ----
 
@@ -3788,6 +3809,18 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(64 + (ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1))) % 1024 AS BIGINT) AS width,
         |  CAST(64 + (ascii(substr(text, 3, 1)) * 256 + ascii(substr(text, 4, 1))) % 1024 AS BIGINT) AS height
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // Mirrors Multimodal.syntheticPng's formula: w = 1+id%8, h = 1+id%5,
+    // sample i = (id*31+i) % 256 — the engine side must recover these
+    // through a real PNG encode/decode round trip to match.
+    "mm_decode_png" ->
+      """SELECT doc_id AS asset_id, 'png' AS codec,
+        |  CAST(1 + doc_id % 8 AS BIGINT) AS width,
+        |  CAST(1 + doc_id % 5 AS BIGINT) AS height,
+        |  CAST(list_sum(list_transform(
+        |    range(0, (1 + doc_id % 8) * (1 + doc_id % 5)),
+        |    i -> (doc_id * 31 + i) % 256)) AS BIGINT) AS sum_sample
         |FROM documents ORDER BY asset_id""".stripMargin,
 
     "merge_upsert" ->

@@ -6,21 +6,37 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with a typed metadata struct alongside. The Spark-side
   * machinery — schema, partition-preserving batched decode via
-  * `mapPartitions`, feature shape — is real and tested; the actual codec
-  * call is STUBBED (deterministic fake) because no image/audio libraries
-  * ship in this environment. Swap `decodeStub` for a real codec (e.g.
-  * javacv / TwelveMonkeys) without touching anything else.
+  * `mapPartitions`, feature shape — is real and tested. Decode dispatch:
+  * payloads whose container `javax.imageio` recognizes (PNG/BMP/GIF/JPEG —
+  * all JDK built-ins, no external library) take the REAL codec path
+  * ([[decodeImage]]); anything else (video containers, audio, arbitrary
+  * bytes) falls back to the clearly-labeled deterministic stub
+  * ([[decodeStub]]) so the pipeline stays testable end-to-end. Swap the
+  * fallback for a richer codec (javacv / TwelveMonkeys) without touching
+  * anything else.
   *
   * Scale notes: payloads never pass through a shuffle here — decode is a
   * narrow mapPartitions, so 100 TB of media decodes at scan parallelism.
   * Feature extraction outputs (small fixed-size vectors) are what flows
-  * into downstream joins/aggregations, never the raw bytes.
+  * into downstream joins/aggregations, never the raw bytes. `ImageIO`'s
+  * disk-backed stream cache is disabled (in-memory streams only) so
+  * executor-thread decodes never contend on temp files.
   */
 object Multimodal {
 
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class Asset(asset_id: Long, kind: String, payload: Array[Byte])
+
+  /** `codec` is the container format that actually decoded the payload
+    * (lowercase ImageIO format name, e.g. "png"), or "stub" for the
+    * fallback path. `sum_sample` is the exact integer sum of band-0 raster
+    * samples (real path) / payload bytes (stub) — an oracle-checkable
+    * lossless-round-trip witness, unlike the float features.
+    */
   final case class DecodedAsset(asset_id: Long, kind: String, n_bytes: Int,
-                                width: Int, height: Int, features: Array[Float])
+                                width: Int, height: Int, features: Array[Float],
+                                sum_sample: Long, codec: String)
 
   /** Build an asset table from any (id, string) source — the harness has no
     * binary fixture table, so payloads are the UTF-8 bytes of `textCol`.
@@ -30,10 +46,25 @@ object Multimodal {
     df.select(col(idCol).as("asset_id"), lit(kind).as("kind"),
       col(textCol).cast("binary").as("payload"))
 
-  /** ??? in spirit — deterministic fake decode so the pipeline is testable
-    * end-to-end. A real implementation parses the container header and
-    * decodes frames; this derives plausible, reproducible values from the
-    * bytes themselves.
+  /** 8-dim feature vector: windowed averages of `vals` (0..255 samples),
+    * normalized to [0,1]. Empty input gets a zero vector (hi is clamped
+    * past n when n == 0, so the unguarded loop would read vals(0)).
+    */
+  private def windowedMeans(vals: Array[Int]): Array[Float] = {
+    val n = vals.length
+    if (n == 0) Array.fill(8)(0.0f)
+    else Array.tabulate(8) { k =>
+      val lo = k * n / 8; val hi = math.max(lo + 1, (k + 1) * n / 8)
+      var s = 0L; var i = lo
+      while (i < hi) { s += vals(i); i += 1 }
+      (s.toDouble / (hi - lo) / 255.0).toFloat
+    }
+  }
+
+  /** Fallback for payloads no installed codec recognizes — deterministic
+    * fake decode so the pipeline is testable end-to-end on non-image
+    * bytes. Derives plausible, reproducible values from the bytes
+    * themselves; `codec` is honestly reported as "stub".
     */
   def decodeStub(a: Asset): DecodedAsset = {
     val bytes = a.payload
@@ -41,26 +72,86 @@ object Multimodal {
     def at(i: Int): Int = if (n == 0) 0 else bytes(i % n) & 0xFF
     val width = 64 + (at(0) * 256 + at(1)) % 1024
     val height = 64 + (at(2) * 256 + at(3)) % 1024
-    // Fake 8-dim feature vector: windowed byte averages, normalized.
-    // Empty payloads get a zero vector (hi is clamped past n when n == 0,
-    // so the unguarded loop would read bytes(0)).
-    val features =
-      if (n == 0) Array.fill(8)(0.0f)
-      else Array.tabulate(8) { k =>
-        val lo = k * n / 8; val hi = math.max(lo + 1, (k + 1) * n / 8)
-        var s = 0L; var i = lo
-        while (i < hi) { s += (bytes(i) & 0xFF); i += 1 }
-        (s.toDouble / (hi - lo) / 255.0).toFloat
-      }
-    DecodedAsset(a.asset_id, a.kind, n, width, height, features)
+    val vals = Array.tabulate(n)(i => bytes(i) & 0xFF)
+    DecodedAsset(a.asset_id, a.kind, n, width, height, windowedMeans(vals),
+      vals.foldLeft(0L)(_ + _), "stub")
   }
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/BMP/GIF/JPEG
+    * readers ship with the JRE — zero external dependencies). Returns
+    * None when no installed reader recognizes the container (caller falls
+    * back to [[decodeStub]]). Width/height come from the decoded frame;
+    * features and `sum_sample` read RAW band-0 raster samples
+    * (`Raster.getSample`), not `getRGB`, so grayscale PNGs round-trip
+    * exactly with no colorspace conversion — that exactness is what lets
+    * `mm_decode_png` be DuckDB-oracle-checked down to the integer sum.
+    */
+  def decodeImage(a: Asset): Option[DecodedAsset] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(a.payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (iis == null || !readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val codec = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          val img = reader.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val vals = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { vals(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          Some(DecodedAsset(a.asset_id, a.kind, a.payload.length, w, h,
+            windowedMeans(vals), vals.foldLeft(0L)(_ + _), codec))
+        } finally reader.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Codec dispatch: real ImageIO decode when the container is
+    * recognized, labeled stub otherwise.
+    */
+  def decodeAsset(a: Asset): DecodedAsset =
+    decodeImage(a).getOrElse(decodeStub(a))
 
   /** Batched decode: one partition at a time, preserving partitioning —
     * the Scala analog of a pandas-UDF `mapInPandas` decode stage.
     */
   def decode(spark: SparkSession, assets: DataFrame): Dataset[DecodedAsset] = {
     import spark.implicits._
-    assets.as[Asset].mapPartitions(_.map(decodeStub))
+    assets.as[Asset].mapPartitions(_.map(decodeAsset))
+  }
+
+  /** Deterministic tiny grayscale PNG: width = 1 + id%8, height =
+    * 1 + id%5, raster sample i (row-major) = (id*31 + i) % 256, encoded
+    * with the JDK PNG writer. PNG is lossless, so [[decodeImage]] recovers
+    * these exact samples — the fixture generator for the real-codec path
+    * (tests and the `mm_decode_png` registered query).
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 1 + (id % 8).toInt
+    val h = 1 + (id % 5).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((id * 31 + i) % 256).toInt)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Resize: recompute the decoded representation at a target geometry.
@@ -70,7 +161,7 @@ object Multimodal {
   def resize(spark: SparkSession, assets: DataFrame, w: Int, h: Int): Dataset[DecodedAsset] = {
     import spark.implicits._
     assets.as[Asset].mapPartitions(_.map { a =>
-      val d = decodeStub(a)
+      val d = decodeAsset(a)
       val sx = w.toFloat / math.max(1, d.width)
       val sy = h.toFloat / math.max(1, d.height)
       d.copy(width = w, height = h,
