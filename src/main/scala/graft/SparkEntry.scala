@@ -1728,6 +1728,14 @@ object SparkEntry {
       Analytics.basketPairs(T(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         minSupport = 3L)),
 
+    // Mega-basket guard exercised: baskets with > 5 distinct parts are
+    // excluded whole (TPC-H orders run 1–7 lineitems, so the cap really
+    // filters), denominator and frequencies recomputed over the capped
+    // universe — the skew-safety path for bot/default baskets at scale.
+    "ana_basket_capped" -> ((s, dir) =>
+      Analytics.basketPairs(T(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 3L, maxBasketSize = 5L)),
+
     // Per-group exact interpolated quantiles (p25/p50/p95 of value per
     // event_type) — the grouped distribution profile; one tiny aggregate,
     // no window. 2-dp values make the interpolation engine-stable (the
@@ -4032,6 +4040,26 @@ object SparkEntry {
     "ana_basket" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |            FROM lineitem),
+        |nb AS (SELECT count(DISTINCT b) AS n_baskets FROM it),
+        |f AS (SELECT i, count(*) AS c FROM it GROUP BY 1),
+        |p AS (SELECT l.i AS i1, r.i AS i2, count(*) AS c12
+        |      FROM it l JOIN it r ON l.b = r.b AND l.i < r.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p.i1, p.i2, p.c12, f1.c AS c1, f2.c AS c2,
+        |  round(CAST(p.c12 AS DOUBLE) / n_baskets, 6) AS support,
+        |  round(CAST(p.c12 AS DOUBLE) / f1.c, 6) AS confidence,
+        |  round(CAST(p.c12 AS DOUBLE) * n_baskets / (f1.c * f2.c), 6) AS lift
+        |FROM p
+        |JOIN f f1 ON f1.i = p.i1
+        |JOIN f f2 ON f2.i = p.i2
+        |CROSS JOIN nb
+        |ORDER BY lift DESC, i1, i2 LIMIT 50""".stripMargin,
+
+    "ana_basket_capped" ->
+      """WITH it0 AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |             FROM lineitem),
+        |keep AS (SELECT b FROM it0 GROUP BY b HAVING count(*) <= 5),
+        |it AS (SELECT it0.b, it0.i FROM it0 JOIN keep USING (b)),
         |nb AS (SELECT count(DISTINCT b) AS n_baskets FROM it),
         |f AS (SELECT i, count(*) AS c FROM it GROUP BY 1),
         |p AS (SELECT l.i AS i1, r.i AS i2, count(*) AS c12

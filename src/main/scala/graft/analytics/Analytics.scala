@@ -211,17 +211,35 @@ object Analytics {
     *
     * Shuffle shape: baskets collapse to DISTINCT (basket, item) first;
     * the pair generation is a self-equi-join ON THE BASKET KEY (work ∝
-    * Σ basket_size², the true output — baskets are small by nature, and
-    * a pathological mega-basket is a skew problem for `Skew.salt`);
+    * Σ basket_size², the true output — baskets are small by nature);
     * item frequencies and the basket total ride broadcastable
     * aggregates. All ratios are single divisions of exact BIGINTs,
     * rounded to 6 dp — engine-identical; ordering ties break on the
     * item pair.
+    *
+    * `maxBasketSize` is the mega-basket guard: one pathological basket
+    * (a bot session touching every item, a default/placeholder basket
+    * key) costs size² pairs in the self-join AND carries no association
+    * signal — every pair trivially co-occurs, flattening lift. Baskets
+    * with more than `maxBasketSize` distinct items are excluded WHOLE
+    * (one size aggregate + a basket-keyed semi-join, cheap vs the pair
+    * join they would have exploded), and the exclusion applies before
+    * the denominator and item frequencies so support/confidence/lift
+    * stay internally consistent over the capped universe. Default
+    * `Long.MaxValue` = no cap (the exact miner).
     */
   def basketPairs(lines: DataFrame, basketCol: String, itemCol: String,
-                  minSupport: Long = 5L, k: Int = 50): DataFrame = {
+                  minSupport: Long = 5L, k: Int = 50,
+                  maxBasketSize: Long = Long.MaxValue): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    val items = lines.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    require(maxBasketSize >= 2, s"need maxBasketSize >= 2, got $maxBasketSize")
+    val all = lines.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val items =
+      if (maxBasketSize == Long.MaxValue) all
+      else all.join(
+        all.groupBy("b").agg(count(lit(1)).as("__bs"))
+          .filter(col("__bs") <= maxBasketSize).select("b"),
+        Seq("b"), "left_semi")
     val nb = items.agg(countDistinct(col("b")).as("n_baskets"))
     val freq = items.groupBy("i").agg(count(lit(1)).as("c"))
     val pairs = items.as("l").join(items.as("r"),

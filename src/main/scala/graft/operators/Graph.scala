@@ -11,26 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** PageRank with `iters` synchronous power iterations (damping `d`):
-    * `r' = (1−d)/N + d·(Σ_in r/outdeg + danglingMass/N)` — the classic
-    * link-quality score, used in data curation to weight crawl domains /
-    * citation graphs before sampling.
-    *
-    * Determinism: per-node in-sums and the dangling mass are 12-dp-rounded
-    * exact DECIMAL sums (ranks ≤ 1, so scale-12 quantization is exact in
-    * any engine); the rank update itself is a fixed per-row double
-    * expression. The DuckDB oracle unrolls the same iterations CTE by CTE
-    * and reproduces every bit.
-    *
-    * Scale shape per iteration: one hash shuffle keyed on dst for the
-    * contribution sum (map-side combine), a broadcast single-row dangling
-    * aggregate, one key join back to the node set; ranks are
-    * EAGER-checkpointed each round so the plan stays iteration-depth-free
-    * (the round-5 dedupClusters lesson) and checkpoint materialization
-    * stays single-threaded (the deadlock note in dedupClusters). Edges
-    * are deduplicated up front; nodes = src ∪ dst. Calling this method
-    * therefore RUNS the iterations — it is not a lazy plan builder.
-    */
   /** Per-node triangle counts of the undirected graph — the local
     * community-density signal behind clustering coefficients, spam-farm
     * detection, and near-dup cluster sanity checks (a dedup cluster
@@ -115,9 +95,55 @@ object Graph {
           .as("clustering_coeff"))
   }
 
+  /** PageRank with up to `iters` synchronous power iterations (damping
+    * `d`): `r' = (1−d)/N + d·(Σ_in r/outdeg + danglingMass/N)` — the
+    * classic link-quality score, used in data curation to weight crawl
+    * domains / citation graphs before sampling.
+    *
+    * Determinism: per-node in-sums and the dangling mass are 12-dp-rounded
+    * exact DECIMAL sums (ranks ≤ 1, so scale-12 quantization is exact in
+    * any engine); the rank update itself is a fixed per-row double
+    * expression. The DuckDB oracle unrolls the same iterations CTE by CTE
+    * and reproduces every bit.
+    *
+    * Scale shape per iteration: one hash shuffle keyed on dst for the
+    * contribution sum (map-side combine), a broadcast single-row dangling
+    * aggregate, one key join back to the node set; ranks are
+    * EAGER-checkpointed each round so the plan stays iteration-depth-free
+    * (the round-5 dedupClusters lesson) and checkpoint materialization
+    * stays single-threaded (the deadlock note in dedupClusters). Edges
+    * are deduplicated up front; nodes = src ∪ dst. Calling this method
+    * therefore RUNS the iterations — it is not a lazy plan builder.
+    *
+    * `tol > 0` adds an L1-delta convergence early-stop — see
+    * [[pageRankRun]] for the probe's exact semantics and cost.
+    */
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
-               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+               srcCol: String = "src", dstCol: String = "dst",
+               tol: Double = 0.0): DataFrame =
+    pageRankRun(edges, iters, damping, srcCol, dstCol, tol)._1
+
+  /** [[pageRank]] plus the number of iterations actually run — the
+    * convergence early-stop's observable (spec-asserted; `pageRank`
+    * itself keeps the one-frame signature).
+    *
+    * `tol > 0` enables the early stop, mirroring [[Dedup.dedupClusters]]'s
+    * convergence probe: after each iteration the L1 rank delta
+    * `Σ_v |r'(v) − r(v)|` is computed as an exact DECIMAL sum of
+    * 12-dp-rounded per-node deltas (one node-keyed join of two
+    * already-checkpointed frames + a single-row aggregate — no
+    * re-evaluation of the contribution subtree) and the loop exits at the
+    * first delta ≤ tol. The returned ranks are identical to the
+    * full-iteration run whenever the exited state is a fixed point to
+    * 12 dp; at 100 TB this is what stops a curation pipeline from paying
+    * for power iterations past the tolerance. `tol = 0` (default)
+    * preserves the exact fixed-iteration unroll the DuckDB oracle mirrors.
+    */
+  private[graft] def pageRankRun(edges: DataFrame, iters: Int, damping: Double,
+                                 srcCol: String, dstCol: String,
+                                 tol: Double): (DataFrame, Int) = {
     require(iters >= 1, s"need iters >= 1, got $iters")
+    require(tol >= 0.0, s"need tol >= 0, got $tol")
     // EAGER checkpoints throughout the loop: a lazy checkpoint that a
     // broadcast-exchange thread and the DAG scheduler race to materialize
     // deadlocks on Spark's global RDDCheckpointData monitor (see
@@ -133,7 +159,11 @@ object Graph {
       sum(round(c, 12).cast("decimal(18,12)"))
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"), col("n_nodes"))
-    for (_ <- 1 to iters) {
+      .localCheckpoint()
+    var itersRun = 0
+    var converged = false
+    while (itersRun < iters && !converged) {
+      val prev = ranks
       val contrib = e
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .join(deg, "src")
@@ -151,7 +181,16 @@ object Graph {
               col("dm").cast("double") / col("n_nodes"))).as("rank"),
           col("n_nodes"))
         .localCheckpoint()
+      itersRun += 1
+      if (tol > 0.0 && itersRun < iters) {
+        val delta = ranks.select(col("node"), col("rank"))
+          .join(prev.select(col("node"), col("rank").as("prev_rank")), "node")
+          .agg(coalesce(dsum(abs(col("rank") - col("prev_rank"))),
+            lit(0).cast("decimal(18,12)")).as("d"))
+          .head().getDecimal(0)
+        if (delta.doubleValue <= tol) converged = true
+      }
     }
-    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+    (ranks.select(col("node"), round(col("rank"), 6).as("rank")), itersRun)
   }
 }

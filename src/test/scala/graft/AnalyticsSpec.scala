@@ -161,6 +161,29 @@ class AnalyticsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("basketPairs: maxBasketSize excludes a pathological mega-basket whole") {
+    // Baskets 1..3 are normal; basket 99 is a bot touching 30 items —
+    // uncapped it contributes 435 pairs and inflates every frequency.
+    val normal = Seq(
+      (1L, "A"), (1L, "B"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"))
+    val mega = (0 until 30).map(i => (99L, s"M$i"))
+    val lines = (normal ++ mega).toDF("order", "part")
+    val capped = Analytics.basketPairs(lines, "order", "part",
+      minSupport = 2L, k = 1000, maxBasketSize = 10L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    // only the normal pair survives, with the capped-universe denominator
+    assert(capped.keySet == Set(("A", "B")))
+    val (c12, sup) = capped(("A", "B"))
+    assert(c12 == 3L && sup == 1.0) // 3 baskets in the capped universe
+    // uncapped, the mega-basket's 435 self-pairs appear (minSupport 1)
+    val uncapped = Analytics.basketPairs(lines, "order", "part",
+      minSupport = 1L, k = 1000)
+    assert(uncapped.count() == 435 + 1)
+  }
+
   test("outliersMad: catches the masked extreme z misses; MAD-0 group silent") {
     // group a: mean 22, sd ~43.6 -> z(100) ~ 1.79 squeaks past a z=2 gate
     // (masking); median 3, MAD 1 -> mad_score(100) = 97 flags loudly.

@@ -34,6 +34,26 @@ class GraphSpec extends SparkSpec {
     assert(out("s1") == out("s2") && out("s2") == out("s3")) // symmetry exact
   }
 
+  test("pageRank: tol early-stop exits a converged cycle with identical output") {
+    // Symmetric cycle: uniform ranks ARE the fixed point, so the first
+    // iteration's L1 delta is 0 and the probe must stop the loop there.
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val (early, itersRun) =
+      Graph.pageRankRun(cycle, iters = 25, damping = 0.85, "src", "dst", tol = 1e-9)
+    assert(itersRun < 25, s"expected early exit, ran all $itersRun iterations")
+    val full = Graph.pageRank(cycle, iters = 25).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = early.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == full) // identical to the full run, 6-dp exact
+  }
+
+  test("pageRank: tol=0 keeps the exact fixed-iteration contract") {
+    val star = Seq(("s1", "hub"), ("s2", "hub")).toDF("src", "dst")
+    val (_, itersRun) =
+      Graph.pageRankRun(star, iters = 4, damping = 0.85, "src", "dst", tol = 0.0)
+    assert(itersRun == 4)
+  }
+
   test("triangleCounts: shared-edge triangles, squares excluded, dirty edges canonicalized") {
     val e = Seq(
       (1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L), // triangles 123, 234
