@@ -36,14 +36,15 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     // (name, seconds, error) — a throwing query must NOT be recorded as a
     // normal fast timing; it gets an entry in "errors" instead.
-    def pass(): Seq[(String, Double, Option[String])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable =>
-            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
-        (name, (System.nanoTime() - t0) / 1e9, err)
-      }
+    def pass(keep: String => Boolean = _ => true): Seq[(String, Double, Option[String])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => keep(kv._1))
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val err = try { fn(spark, sfDir).count(); None }
+            catch { case e: Throwable =>
+              Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
+          (name, (System.nanoTime() - t0) / 1e9, err)
+        }
     // Two full passes, min per query. BENCH_r05 showed 5-7x swings on four
     // queries whose code did not change since r4 — transient cross-talk
     // (page-cache / GC pressure from the write-heavy alphabetical
@@ -56,14 +57,33 @@ object Bench {
     val load1 = loadavg()
     val p2 = pass()
     val load2 = loadavg()
-    // Merge the two passes per query:
-    //  - both succeeded        → min time, success
+    // Third pass for SUB-SECOND queries only: at the 0.2-1 s floor the
+    // dominant variance is JIT/GC noise, and min-of-2 left one 1.66x
+    // run-to-run outlier between otherwise-clean consecutive profiles
+    // (r8's q_profile_stats). A third sample for micro queries makes the
+    // 1.5x agreement gate meaningfully strict there too, at ~30 s extra
+    // wall cost (the slow queries — the ones that dominate the total —
+    // still run exactly twice).
+    val micro = p1.zip(p2).collect {
+      case ((n, t1, e1), (_, t2, e2))
+        if e1.isEmpty && e2.isEmpty && math.min(t1, t2) < 1.0 => n
+    }.toSet
+    val p3 = pass(micro).map(r => r._1 -> r).toMap
+    val load3 = loadavg()
+    // Merge the passes per query:
+    //  - both succeeded        → min time (and the 3rd sample when taken
+    //    and itself clean), success
     //  - exactly one succeeded → THAT pass's time, success, flagged flaky
     //    (the failing pass's throw-time must never be the recorded timing)
     //  - both failed           → error (second pass's message)
     val results = p1.zip(p2).map { case ((n, t1, e1), (_, t2, e2)) =>
       (e1, e2) match {
-        case (None, None)       => (n, math.min(t1, t2), None, false)
+        case (None, None) =>
+          p3.get(n) match {
+            case Some((_, t3, None)) => (n, math.min(math.min(t1, t2), t3), None, false)
+            case Some((_, _, Some(_))) => (n, math.min(t1, t2), None, true)
+            case None => (n, math.min(t1, t2), None, false)
+          }
         case (None, Some(_))    => (n, t1, None, true)
         case (Some(_), None)    => (n, t2, None, true)
         case (Some(_), Some(e)) => (n, t1.min(t2), Some(e), false)
@@ -104,15 +124,15 @@ object Bench {
         .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d, "build.sbt"))))
       .getOrElse("/root/repo")
     val fullPath = s"$repoRoot/BENCH_FULL.json"
-    val loads = f"""[$load0%.2f,$load1%.2f,$load2%.2f]"""
+    val loads = f"""[$load0%.2f,$load1%.2f,$load2%.2f,$load3%.2f]"""
     val line =
-      s"""{"metric":"total","unit":"sec","passes":2,"loadavg":$loads,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}}"""
+      s"""{"metric":"total","unit":"sec","passes":2,"micro_passes":3,"n_micro":${micro.size},"loadavg":$loads,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}}"""
     println(line)
     // Short line: slowest-first entries until the byte budget is spent.
     val budget = 1600
     val desc = asc.reverse.collect { case (k, v, None, _) =>
       jq(k) + ":" + f"$v%.3f" }
-    val header = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","passes":2,"loadavg":$loads,"n_ok":$nOk,"sf":"$sfDir","errors":$errs,"full":${jq(fullPath)},"queries_omitted":@OMIT@,"queries":{"""
+    val header = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","passes":2,"micro_passes":3,"loadavg":$loads,"n_ok":$nOk,"sf":"$sfDir","errors":$errs,"full":${jq(fullPath)},"queries_omitted":@OMIT@,"queries":{"""
     var used = header.length + 60
     val kept = desc.takeWhile { e => used += e.length + 1; used <= budget }
     val short = header.replace("@OMIT@", (nOk - kept.length).toString) +
