@@ -36,8 +36,14 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     // (name, seconds, error) — a throwing query must NOT be recorded as a
     // normal fast timing; it gets an entry in "errors" instead.
+    // Optional subset run (scale tests): SPARK_GRAFT_BENCH_ONLY is an
+    // anchored regex over query names. Subset runs tag their JSON with
+    // "only" and do NOT touch BENCH_FULL.json / BENCH_HISTORY.jsonl —
+    // those artifacts are the full-registry profile by contract.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
     def pass(keep: String => Boolean = _ => true): Seq[(String, Double, Option[String])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => keep(kv._1))
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(kv => only.forall(kv._1.matches) && keep(kv._1))
         .map { case (name, fn) =>
           val t0 = System.nanoTime()
           val err = try { fn(spark, sfDir).count(); None }
@@ -125,8 +131,9 @@ object Bench {
       .getOrElse("/root/repo")
     val fullPath = s"$repoRoot/BENCH_FULL.json"
     val loads = f"""[$load0%.2f,$load1%.2f,$load2%.2f,$load3%.2f]"""
+    val onlyTag = only.map(r => s""","only":${jq(r)}""").getOrElse("")
     val line =
-      s"""{"metric":"total","unit":"sec","passes":2,"micro_passes":3,"n_micro":${micro.size},"loadavg":$loads,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}}"""
+      s"""{"metric":"total","unit":"sec","passes":2,"micro_passes":3,"n_micro":${micro.size},"loadavg":$loads,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}$onlyTag}"""
     println(line)
     // Short line: slowest-first entries until the byte budget is spent.
     val budget = 1600
@@ -145,7 +152,7 @@ object Bench {
     val outPath = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .getOrElse("/tmp/graft-bench.json")
-    Seq(fullPath, outPath).distinct.foreach { p =>
+    (if (only.isDefined) Seq(outPath) else Seq(fullPath, outPath)).distinct.foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable =>
@@ -156,6 +163,7 @@ object Bench {
     // carries its epoch + loadavg). Never truncated, one JSON per run.
     val histLine = "{\"epoch\":" + (System.currentTimeMillis() / 1000) + "," +
       line.drop(1) + "\n"
+    if (only.isEmpty)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$repoRoot/BENCH_HISTORY.jsonl"),
       histLine.getBytes(java.nio.charset.StandardCharsets.UTF_8),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.analytics.Analytics
 import graft.etl.{Ingest, Merge, Transforms}
+import graft.functions.Fns
 import graft.operators.{AsOfJoin, BloomJoin, Dedup, Layout, Multimodal, Sampling, Similarity, Sketch, Skew, TextAnalysis}
 import graft.streaming.{StatefulJobs, StreamingJobs}
 
@@ -1006,6 +1007,13 @@ object SparkEntry {
       Similarity.kmeansIterate(T(s, dir, "embeddings"), 4)
         .orderBy("cluster_id", "dim")),
 
+    // Exact 64x64 covariance matrix of the embedding space (PCA/whitening
+    // input): row-local outer products -> d^2-key aggregate with map-side
+    // combine; no self-join, no N-proportional shuffle.
+    "emb_covariance" -> ((s, dir) =>
+      Similarity.covarianceMatrix(T(s, dir, "embeddings"))
+        .orderBy("i", "j")),
+
     // PageRank (3 power iterations, d=0.85) over the event-type
     // transition graph — DECIMAL in-sums + dangling mass each round, the
     // oracle unrolls the identical iterations CTE by CTE.
@@ -1064,6 +1072,31 @@ object SparkEntry {
         .withColumn("postings",
           array_join(transform(col("postings"), _.cast("string")), ","))
         .orderBy("term")),
+
+    // Tokenizer fertility per language: subwords-per-word +
+    // chars-per-subword — the cross-lingual tokenizer-cost metric.
+    "text_fertility" -> ((s, dir) =>
+      TextAnalysis.fertility(T(s, dir, "documents")).orderBy("lang")),
+
+    // Hapax-legomenon ratio per source — vocabulary richness / OCR-noise
+    // profile (share of the source's distinct terms occurring once).
+    "text_hapax" -> ((s, dir) =>
+      TextAnalysis.hapaxProfile(T(s, dir, "documents")).orderBy("source")),
+
+    // Curriculum interleave ranks: per-source quality rank (distinct-token
+    // ratio desc); consuming ordered by (rank_in_source, source) is the
+    // source-balanced curriculum. Window is partitioned by source.
+    "sample_curriculum" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("source"),
+        coalesce(try_divide(
+          size(array_distinct(Fns.tokens(col("text")))).cast("double"),
+          size(Fns.tokens(col("text")))), lit(0.0)).as("score"))
+      Sampling.curriculumOrder(scored, "source", "score", "doc_id")
+        .select(col("doc_id"), col("source"), round(col("score"), 6).as("score"),
+          col("rank_in_source"))
+        .orderBy("rank_in_source", "source", "doc_id")
+    }),
 
     // Skip-gram pairs (±2 window, top 100) — word2vec-style training-pair
     // extraction via an exact (doc, position+offset) equi-join.
@@ -1632,6 +1665,16 @@ object SparkEntry {
     // (n = 0 marks filled buckets). User subset keeps the grid bounded.
     "ts_resample" -> ((s, dir) =>
       operators.TimeSeries.resampleForwardFill(
+          T(s, dir, "events").filter(col("user_id") < 50),
+          "user_id", "ts", "value")
+        .orderBy("user_id", "bucket")),
+
+    // Linear-interpolation resample: the continuous-signal fill (prices,
+    // sensors) — gaps take prev + slope·Δt, leading/trailing gaps
+    // extrapolate flat. Same per-user grid as ts_resample; two per-key
+    // windows instead of one.
+    "ts_gapfill" -> ((s, dir) =>
+      operators.TimeSeries.resampleInterpolate(
           T(s, dir, "events").filter(col("user_id") < 50),
           "user_id", "ts", "value")
         .orderBy("user_id", "bucket")),
@@ -3210,6 +3253,23 @@ object SparkEntry {
          |SELECT f.vec_id, f.dim, round((f.x - st.mean) / st.sd, 6) AS z
          |FROM f JOIN st USING (dim) ORDER BY vec_id, dim""".stripMargin,
 
+    "emb_covariance" ->
+      s"""WITH e AS ($embCte),
+         |x AS (SELECT vec_id, unnest(v) AS xi,
+         |        generate_subscripts(v, 1) - 1 AS i FROM e),
+         |m AS (SELECT i, sum(CAST(round(xi, 9) AS DECIMAL(28,9))) AS sx
+         |      FROM x GROUP BY 1),
+         |p AS (SELECT a.i AS i, b.i AS j,
+         |        sum(CAST(round(a.xi * b.xi, 9) AS DECIMAL(28,9))) AS sp,
+         |        count(*) AS n
+         |      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2)
+         |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+         |  round(CAST(sp AS DOUBLE) / n
+         |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n), 6)
+         |    AS cov
+         |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j
+         |ORDER BY i, j""".stripMargin,
+
     // One Lloyd step: DECIMAL-exact distances -> argmin (ties -> lower
     // cid) -> DECIMAL centroid means; first-4-by-id seeds.
     "emb_kmeans_iter" ->
@@ -3330,6 +3390,43 @@ object SparkEntry {
          |        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
          |      FROM u GROUP BY term)
          |SELECT term, df, postings FROM g WHERE df <= 40 ORDER BY term""".stripMargin,
+
+    "text_fertility" ->
+      s"""WITH p AS (SELECT lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w,
+         |    CAST(len(regexp_extract_all(text,
+         |      '${TextAnalysis.subwordPattern}')) AS BIGINT) AS s,
+         |    CAST(length(text) AS BIGINT) AS c
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(w) AS BIGINT) AS n_words,
+         |  CAST(sum(s) AS BIGINT) AS n_subwords,
+         |  round(CAST(sum(s) AS DOUBLE) / nullif(sum(w), 0), 6) AS fertility,
+         |  round(CAST(sum(c) AS DOUBLE) / nullif(sum(s), 0), 6) AS chars_per_subword
+         |FROM p GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "text_hapax" ->
+      """WITH t AS (SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |f AS (SELECT source, term, count(*) AS f FROM t GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  round(CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / nullif(count(*), 0), 6) AS hapax_ratio
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "sample_curriculum" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    coalesce(CAST(len(list_distinct(
+        |        list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+        |      / nullif(len(list_filter(string_split(text, ' '), x -> x <> '')), 0),
+        |      0.0) AS score
+        |  FROM documents)
+        |SELECT doc_id, source, round(score, 6) AS score,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank_in_source
+        |FROM s ORDER BY rank_in_source, source, doc_id""".stripMargin,
 
     "text_skipgrams" ->
       s"""WITH base AS ($docToks),
@@ -3967,6 +4064,42 @@ object SparkEntry {
         |FROM grid g LEFT JOIN hourly h
         |  ON g.user_id = h.user_id AND g.bucket = h.bucket
         |ORDER BY g.user_id, g.bucket""".stripMargin,
+
+    "ts_gapfill" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS bucket, value
+        |           FROM events WHERE user_id < 50),
+        |hourly AS (SELECT user_id, bucket, count(*) AS n,
+        |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |           FROM e GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |      FROM e GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |         FROM b),
+        |j AS (SELECT g.user_id, g.bucket, coalesce(n, 0) AS n, v,
+        |        epoch(g.bucket) AS ep,
+        |        CASE WHEN v IS NOT NULL THEN epoch(g.bucket) END AS oep
+        |      FROM grid g LEFT JOIN hourly h
+        |        ON g.user_id = h.user_id AND g.bucket = h.bucket),
+        |w AS (SELECT user_id, bucket, n, ep,
+        |        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |          ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS pv,
+        |        last_value(oep IGNORE NULLS) OVER (PARTITION BY user_id
+        |          ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS pe,
+        |        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |          ORDER BY bucket
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |        first_value(oep IGNORE NULLS) OVER (PARTITION BY user_id
+        |          ORDER BY bucket
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ne
+        |      FROM j)
+        |SELECT user_id, bucket, n,
+        |  CAST(round(CAST(CASE WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             WHEN ne = pe THEN pv
+        |             ELSE pv + (nv - pv) * (ep - pe) / (ne - pe) END
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS v_interp
+        |FROM w ORDER BY user_id, bucket""".stripMargin,
 
     "stream_interval_join" ->
       """SELECT l.user_id, l.event_id AS click_id, r.event_id AS view_id

@@ -150,4 +150,26 @@ object Sampling {
       .orderBy(clock.asc, col(keyCol).asc)
       .limit(k)
   }
+
+  /** Curriculum / interleave position: rank each row within its source
+    * by (score desc, key) and emit the rank — consuming the corpus
+    * ordered by `(rank_in_source, source)` yields the canonical
+    * round-robin curriculum: the best document of every source first,
+    * then every second-best, … — source-balanced from the first batch
+    * (plain score-descending order would front-load whichever source
+    * scores systematically higher).
+    *
+    * The window is PARTITIONED BY SOURCE — ranks compute in parallel per
+    * source with no global window (the interleave order is realized only
+    * by the consumer's sort/range-partition over (rank, source), which
+    * is one exchange it was going to pay to materialize an order
+    * anyway). Deterministic: rank ties break on the unique key.
+    */
+  def curriculumOrder(df: DataFrame, sourceCol: String, scoreCol: String,
+                      keyCol: String): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col(scoreCol).desc, col(keyCol).asc)
+    df.select(col(keyCol), col(sourceCol), col(scoreCol),
+      row_number().over(w).cast("long").as("rank_in_source"))
+  }
 }

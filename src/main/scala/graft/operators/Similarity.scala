@@ -426,4 +426,48 @@ object Similarity {
         round(col("s").cast("double") / col("n_members"), 6).as("centroid"),
         col("n_members"))
   }
+
+  /** Exact d×d covariance matrix of the embedding columns —
+    * `cov(i,j) = Σ x_i·x_j / n − mean_i · mean_j` (population form) —
+    * the input to PCA whitening, decorrelation diagnostics, and the
+    * "is this embedding space collapsed?" check before ANN indexing.
+    *
+    * Scale shape: the per-row outer product is built NATIVELY inside the
+    * row (nested `transform` + `flatten` + one explode — narrow, no
+    * join), so the only exchange is the hash aggregate onto d² keys with
+    * full map-side combine: every partition ships at most d² partial
+    * sums regardless of row count, and d is a constant (64 here). Means
+    * ride the same pass shape on d keys and broadcast back. Never
+    * self-joins the exploded frame — at 100 TB a vec_id-keyed join would
+    * shuffle N·d rows to rebuild what the row already had.
+    *
+    * Determinism: float inputs cast exactly to double; each product /
+    * coordinate is 9-dp-quantized into DECIMAL(28,9) sums (order-free);
+    * the final combination is one IEEE expression rounded to 6 dp.
+    */
+  def covarianceMatrix(embeddings: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val pairs = embeddings.select(explode(
+      org.apache.spark.sql.functions.flatten(
+        transform(v, (xi, i) => transform(v, (xj, j) =>
+          struct(i.as("i"), j.as("j"),
+            round(xi * xj, 9).cast("decimal(28,9)").as("p"))))))
+      .as("e"))
+      .select(col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"),
+        col("e.p").as("p"))
+      .groupBy("i", "j").agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
+    val means = embeddings
+      .select(posexplode(v).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(sum(round(col("x"), 9).cast("decimal(28,9)")).as("sx"))
+      .select(col("i").cast("long").as("i"), col("sx"))
+    pairs
+      .join(broadcast(means.select(col("i"), col("sx").as("si"))), "i")
+      .join(broadcast(means.select(col("i").as("j"), col("sx").as("sj"))), "j")
+      .select(col("i"), col("j"),
+        round(col("sp").cast("double") / col("n")
+          - (col("si").cast("double") / col("n"))
+          * (col("sj").cast("double") / col("n")), 6).as("cov"))
+  }
 }

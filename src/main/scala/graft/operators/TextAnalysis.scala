@@ -456,6 +456,59 @@ object TextAnalysis {
         (col("covered_tokens").cast("double") / col("total_tokens")).as("coverage"))
   }
 
+  /** Tokenizer fertility per language: subwords-per-word (how many
+    * pieces the subword tokenizer shatters an average word into) and
+    * chars-per-subword — THE cross-lingual tokenizer-quality metric (a
+    * language with fertility 3× English pays 3× the context budget for
+    * the same content, the standard argument for vocab rebalancing).
+    * Words are whitespace tokens, subwords the same BPE-ish
+    * [[subwordPattern]] regex used by selectByBudget/packing.
+    *
+    * All three inputs are exact BIGINT sums into one hash aggregate on
+    * the language key (map-side combined); each ratio is a single IEEE
+    * division rounded to 6 dp — engine-identical. Zero-word / zero-
+    * subword groups yield NULL via try_divide (the entropy convention).
+    */
+  def fertility(docs: DataFrame, langCol: String = "lang",
+                textCol: String = "text"): DataFrame =
+    docs
+      .select(col(langCol).as("lang"),
+        size(Fns.tokens(col(textCol))).cast("long").as("w"),
+        size(regexp_extract_all(col(textCol), lit(subwordPattern), lit(0)))
+          .cast("long").as("s"),
+        length(col(textCol)).cast("long").as("c"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_subwords"),
+        sum(col("c")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        round(try_divide(col("n_subwords").cast("double"), col("n_words")), 6)
+          .as("fertility"),
+        round(try_divide(col("n_chars").cast("double"), col("n_subwords")), 6)
+          .as("chars_per_subword"))
+
+  /** Hapax-legomenon profile per source: of the source's distinct terms,
+    * how many occur exactly once (hapax) — the vocabulary-richness /
+    * OCR-noise signal (clean natural text runs ~40–60% hapax by Zipf; a
+    * template farm sits far below, shattered OCR far above). Two hash
+    * aggregates (term counts on the (source, term) key, then the source
+    * rollup) — both map-side combined; the ratio is one IEEE division
+    * rounded to 6 dp.
+    */
+  def hapaxProfile(docs: DataFrame, srcCol: String = "source",
+                   textCol: String = "text"): DataFrame =
+    docs
+      .select(col(srcCol).as("source"),
+        explode(Fns.tokens(col(textCol))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("f"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_terms"), col("n_hapax"),
+        round(try_divide(col("n_hapax").cast("double"), col("n_terms")), 6)
+          .as("hapax_ratio"))
+
   /** Per-(source, language) corpus profile: document counts, token sums
     * and mean distinct-token ratio — the "dataset card" summary every
     * curated corpus ships with, and the input to mixture reweighting.

@@ -95,4 +95,20 @@ class SamplingSpec extends SparkSpec {
     assert(!Sampling.weightedSample(withZero, "id", "w", 1000)
       .collect().map(_.getLong(0)).contains(7L))
   }
+
+  test("curriculumOrder: per-source ranks interleave into a balanced curriculum") {
+    val docs = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.7),
+      (4L, "b", 0.8), (5L, "b", 0.6))
+      .toDF("doc_id", "source", "score")
+    val ranked = Sampling.curriculumOrder(docs, "source", "score", "doc_id")
+    val order = ranked.orderBy("rank_in_source", "source").collect()
+      .map(_.getLong(0)).toSeq
+    // round-robin by rank: best-of-a, best-of-b, 2nd-of-a, 2nd-of-b, ...
+    assert(order == Seq(1L, 4L, 3L, 5L, 2L))
+    // ranks are dense 1..n within each source
+    val aRanks = ranked.filter($"source" === "a").collect()
+      .map(_.getAs[Long]("rank_in_source")).sorted.toSeq
+    assert(aRanks == Seq(1L, 2L, 3L))
+  }
 }

@@ -274,4 +274,16 @@ class SimilaritySpec extends SparkSpec {
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.92, f"LSH recall $recall%.4f < 0.92 (${lsh.size}/${exact.size})")
   }
+
+  test("covarianceMatrix: hand 2x2 case, symmetric, d^2 rows") {
+    val emb = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 6.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.covarianceMatrix(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // means (2, 4): cov00 = (1+9)/2 - 4 = 1; cov01 = (2+18)/2 - 8 = 2;
+    // cov11 = (4+36)/2 - 16 = 4
+    assert(out.size == 4)
+    assert(out((0L, 0L)) == 1.0 && out((1L, 1L)) == 4.0)
+    assert(out((0L, 1L)) == 2.0 && out((1L, 0L)) == 2.0) // symmetry
+  }
 }

@@ -398,4 +398,30 @@ class TextAnalysisSpec extends SparkSpec {
       == expected.toSeq)
     assert(expected.nonEmpty && expected.length < 40) // the cut actually bites
   }
+
+  test("fertility: hand counts per language; zero-token docs yield NULL ratios") {
+    // "ab cd" -> 2 words, 2 subwords, 5 chars; "a1b" -> 1 word, 3 subwords
+    // ([a][1][b]), 3 chars
+    val docs = Seq((1L, "ab cd", "en"), (2L, "a1b", "xx"), (3L, "", "zz"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.fertility(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("en").getLong(2) == 2 && out("en").getLong(3) == 2)
+    assert(out("en").getDouble(4) == 1.0)            // 2 subwords / 2 words
+    assert(out("en").getDouble(5) == 2.5)            // 5 chars / 2 subwords
+    assert(out("xx").getDouble(4) == 3.0)            // 3 subwords / 1 word
+    assert(out("zz").isNullAt(4) && out("zz").isNullAt(5)) // degenerate group
+  }
+
+  test("hapaxProfile: exact hapax share per source") {
+    val docs = Seq(
+      (1L, "a b a", "s1"),   // s1 terms: a(2) b(1) c(1) -> 2/3 hapax
+      (2L, "c", "s1"),
+      (3L, "x x y y", "s2")) // s2: none hapax
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.hapaxProfile(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("s1") == ((3L, 2L, 0.666667)))
+    assert(out("s2") == ((2L, 0L, 0.0)))
+  }
 }
