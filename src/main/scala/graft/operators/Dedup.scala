@@ -516,6 +516,16 @@ object Dedup {
     *    sf0.1 (5 000 docs, V = 31, Σ df² = 4.5e8), all three committed in
     *    BENCH_HISTORY.jsonl / BENCH_r07: postings 194.2 s, prefix-filtered
     *    50.2 s, dense 3.4 s.
+    *  - SHARDED vocabulary (global V > cutoff but the corpus is a union
+    *    of term-disjoint components — per-language / per-tenant unions):
+    *    [[vocabComponents]] finds the term-connected components, each
+    *    small-vocab component runs the GROUPED dense form
+    *    (component-keyed join, bucketed for parallelism, no broadcast),
+    *    long-tail components fall through to prefix, and the union is
+    *    exact because cross-component cosine is identically 0. Measured
+    *    on the 10× scale fixture (10 disjoint 31-term shards): prefix
+    *    405.7 s → grouped dense 16.5 s, 4.3× sf0.1's 3.8 s at 10× the
+    *    data (BENCH_SF1.json, SCALE.md).
     *  - LONG-TAIL vocabulary (real text): [[tfCosinePairsPrefix]] — the
     *    norm-mass prefix filter bounds candidates by RARE-term posting
     *    lists; the small-V blowup above cannot occur because V > the
@@ -536,7 +546,115 @@ object Dedup {
     val (v, n) = (stats.getLong(0), stats.getLong(1))
     if (v <= denseVocabMax && n <= denseMaxDocs)
       tfCosinePairsDense(docs, threshold, textCol, idCol)
-    else tfCosinePairsPrefix(docs, threshold, textCol, idCol)
+    else {
+      // GLOBAL vocabulary failed the dense cutoff — but a sharded corpus
+      // (per-language / per-tenant / per-source unions, vocabularies
+      // disjoint across shards) can still be small-vocab PER COMPONENT,
+      // and routing such a corpus to the prefix path re-creates the fat-
+      // posting blowup per shard (measured: the 10× scale fixture ran
+      // 405 s through prefix vs ~40 s through the per-component dense
+      // path — BENCH_SF1.json). Cross-component pairs share no term, so
+      // their cosine is exactly 0 < threshold and splitting by component
+      // loses nothing: dispatch each vocabulary component independently.
+      val labs = vocabComponents(tf)
+      val cstats = tf.join(labs, "doc_id").groupBy("lab")
+        .agg(countDistinct(col("term")).as("cv"))
+        .localCheckpoint()
+      val denseLabs = cstats.filter(col("cv") <= denseVocabMax).select("lab")
+      val anyDense = denseLabs.limit(1).count() > 0
+      val anyTail = cstats.filter(col("cv") > denseVocabMax).limit(1).count() > 0
+      if (!anyDense) tfCosinePairsPrefix(docs, threshold, textCol, idCol)
+      else {
+        val densePart = tfCosinePairsDenseGrouped(
+          tf.join(labs.join(denseLabs, "lab"), "doc_id"), threshold)
+        if (!anyTail) densePart
+        else {
+          val tailDocs = docs.join(
+            labs.join(cstats.filter(col("cv") > denseVocabMax), "lab")
+              .select(col("doc_id").as(idCol)),
+            Seq(idCol), "left_semi")
+          densePart.unionByName(
+            tfCosinePairsPrefix(tailDocs, threshold, textCol, idCol))
+        }
+      }
+    }
+  }
+
+  /** Vocabulary-sharing components of the corpus: docs are connected iff
+    * they share a term (transitively). Min-label propagation on the
+    * doc–term bipartite graph — per round one term-keyed and one
+    * doc-keyed aggregate over the (doc, term) frame, labels EAGER-
+    * checkpointed (the dedupClusters deadlock lesson) with a per-round
+    * convergence probe on the already-materialized label frames. Real
+    * vocab graphs are hub-shallow (corpus-wide terms connect everything
+    * they touch in one hop), so rounds ≈ component diameter stays small;
+    * 64 rounds without convergence throws rather than silently
+    * mislabeling — a SPLIT component would drop true pairs, so
+    * exactness requires the fixed point.
+    */
+  private[graft] def vocabComponents(tf: DataFrame): DataFrame = {
+    val dt = tf.select("doc_id", "term")
+    var lab = dt.select("doc_id").distinct()
+      .withColumn("lab", col("doc_id")).localCheckpoint()
+    val maxIter = 64
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val termLab = dt.join(lab, "doc_id")
+        .groupBy("term").agg(min(col("lab")).as("tlab"))
+      val next = dt.join(termLab, "term")
+        .groupBy("doc_id").agg(min(col("tlab")).as("nlab"))
+        .join(lab, "doc_id")
+        // min-propagation is monotone non-increasing; keeping the least
+        // of (old, new) makes that explicit
+        .select(col("doc_id"), least(col("lab"), col("nlab")).as("lab"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(lab.select(col("doc_id"), col("lab").as("prev")), "doc_id")
+        .filter(col("lab") =!= col("prev")).limit(1).count() == 0
+      lab = next
+      iter += 1
+    }
+    require(converged, s"vocabComponents did not converge in $maxIter rounds")
+    lab
+  }
+
+  /** The dense strategy GROUPED BY vocabulary component — the sharded-
+    * corpus form of [[tfCosinePairsDense]]: per-component sorted vocab
+    * (≤ denseVocabMax terms by dispatch), per-doc dense vectors built by
+    * a component-keyed join (no global broadcast — component count and
+    * total size are unbounded), pairs from a (component, bucket)-keyed
+    * self-join: the b-side hashes into `buckets` buckets, the a-side
+    * replicates across them, so one component's n² pair work spreads
+    * over `buckets` tasks instead of one. Per-pair work is the same
+    * codegen'd integer [[graft.expressions.ArrayDot]] as the broadcast
+    * dense path; output is bit-identical to every other formulation.
+    */
+  private def tfCosinePairsDenseGrouped(tfLabeled: DataFrame, threshold: Double,
+                                        buckets: Int = 32): DataFrame = {
+    val vocab = tfLabeled.groupBy("lab")
+      .agg(sort_array(collect_set(col("term"))).as("__vocab"))
+    val dense = tfLabeled.groupBy("lab", "doc_id")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("tf")))).as("__m"))
+      .join(vocab, "lab")
+      .select(col("lab"), col("doc_id"),
+        transform(col("__vocab"), t =>
+          coalesce(element_at(col("__m"), t), lit(0L)).cast("double")).as("v"))
+      .withColumn("sq", call_function("graft_dot", col("v"), col("v")))
+      .localCheckpoint(false)
+    val cosOf = (dot: org.apache.spark.sql.Column) =>
+      dot / (sqrt(col("sq_a")) * sqrt(col("sq_b")))
+    val b = dense.withColumn("bk", pmod(xxhash64(col("doc_id")), lit(buckets.toLong)))
+    val a = dense.withColumn("bk",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    a.as("a").join(b.as("b"),
+        col("a.lab") === col("b.lab") && col("a.bk") === col("b.bk")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        call_function("graft_dot", col("a.v"), col("b.v")).as("dot"),
+        col("a.sq").as("sq_a"), col("b.sq").as("sq_b"))
+      .filter(cosOf(col("dot")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(cosOf(col("dot")), 6).as("tf_cosine"))
   }
 
   /** (doc_id, term, tf) — the shared first stage of every tf-cosine

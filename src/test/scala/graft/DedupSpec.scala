@@ -273,6 +273,63 @@ class DedupSpec extends SparkSpec {
     assert(viaDispatch == viaPrefix)
   }
 
+  test("vocabComponents: term-sharing merges, disjoint shards stay apart") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "b c"),   // chain via b -> one component, label 1
+      (3L, "x y"), (4L, "y z"),   // second component, label 3
+      (5L, "q q q"))              // singleton component
+      .toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.{col, explode, split, count, lit}
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val labs = Dedup.vocabComponents(tf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+  }
+
+  test("tfCosinePairs: sharded small-vocab corpus routes per-component dense, exact") {
+    // Three term-disjoint shards of near-dup docs: per-shard vocab is 6,
+    // global vocab 18 — with the cutoff forced to 8 the GLOBAL stats
+    // fail the dense test but every COMPONENT passes it (the 10x scale
+    // fixture's shape, where the prefix fallback went quadratic).
+    val docs = (for {
+      s <- 0 until 3
+      i <- 0 until 8
+    } yield {
+      val toks = (0 until 6).map(j => s"s${s}t$j")
+      // doc i keeps tokens rotated so neighbors are similar, not equal
+      (s * 100L + i, (toks ++ toks.take(i % 3)).mkString(" "))
+    }).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = rows(Dedup.tfCosinePairsPostings(docs, 0.6))
+    val dispatched = rows(Dedup.tfCosinePairs(docs, 0.6, denseVocabMax = 8))
+    assert(dispatched == exact)
+    assert(exact.nonEmpty) // the case actually exercises pair output
+    // no cross-shard pair can appear
+    assert(exact.forall { case (a, b, _) => a / 100 == b / 100 })
+  }
+
+  test("tfCosinePairs: mixed sharded + long-tail corpus unions both paths, exact") {
+    // Shard A: small closed vocab (dense-eligible component). Shard B:
+    // every doc nearly-unique vocabulary chained by one shared rare term
+    // per neighbor -> one long-tail component above the forced cutoff.
+    val shardA = (0 until 6).map(i =>
+      (i.toLong, (0 until 5).map(j => s"at$j").mkString(" ")))
+    val shardB = (0 until 12).map(i =>
+      (100L + i, ((0 until 10).map(j => s"b${i}_$j") :+ s"link$i" :+ s"link${i + 1}")
+        .mkString(" ")))
+    val docs = (shardA ++ shardB).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = rows(Dedup.tfCosinePairsPostings(docs, 0.5))
+    val dispatched = rows(Dedup.tfCosinePairs(docs, 0.5, denseVocabMax = 8))
+    assert(dispatched == exact)
+    assert(exact.exists(_._1 < 100) && rows(
+      Dedup.tfCosinePairs(docs, 0.95, denseVocabMax = 8))
+      .forall { case (a, b, _) => a < 100 && b < 100 }) // A's clones survive 0.95
+  }
+
   test("tfCosinePairs: maxTermDf cap only LOWERS cosines (recall-only loss)") {
     // Docs 1,2 are identical: four rare terms + one corpus-wide hot term.
     // Background docs 3..10 share ONLY the hot term with everything else.
