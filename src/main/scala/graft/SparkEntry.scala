@@ -111,6 +111,29 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Nearest as-of (either direction, 48 h tolerance, prior wins ties):
+    // each click's temporally closest same-user purchase — the sensor-
+    // fusion / log-alignment join. Oracle: two native ASOF joins + the
+    // same epoch-exact direction CASE.
+    "asof_join_nearest" -> ((s, dir) => {
+      val clicks = T(s, dir, "events").filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("near_purchase"))
+      AsOfJoin.asOfNearest(clicks, purchases, "user_id", "ts", "ts",
+          Seq("near_purchase"), toleranceSeconds = Some(48L * 3600))
+        .select("event_id", "user_id", "near_purchase")
+        .orderBy("event_id")
+    }),
+
+    // First-touch attribution: every purchase credited to the user's
+    // earliest click/view at-or-before it (min-struct aggregate + one
+    // keyed join — no window; "first ever" is an associative min).
+    "ana_attribution" -> ((s, dir) =>
+      Analytics.firstTouchAttribution(T(s, dir, "events"),
+          Seq("click", "view"), "purchase")
+        .orderBy("conversion_id")),
+
     // Set operations beyond UNION: distinct intersection and difference.
     "q_intersect" -> ((s, dir) => {
       val e = T(s, dir, "events")
@@ -1013,6 +1036,12 @@ object SparkEntry {
     "emb_covariance" -> ((s, dir) =>
       Similarity.covarianceMatrix(T(s, dir, "embeddings"))
         .orderBy("i", "j")),
+
+    // Leading principal direction via 3 power iterations on the
+    // covariance matrix (9-dp-quantized trajectory, unrolled CTE oracle).
+    "emb_pca_power" -> ((s, dir) =>
+      Similarity.pcaPowerIteration(T(s, dir, "embeddings"), 3)
+        .orderBy("i")),
 
     // PageRank (3 power iterations, d=0.85) over the event-type
     // transition graph — DECIMAL in-sums + dangling mass each round, the
@@ -2155,6 +2184,45 @@ object SparkEntry {
         |  ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY event_id""".stripMargin,
 
+    // Mirrors asOfNearest exactly: backward + forward native ASOF, the
+    // epoch-long direction pick with prior-wins ties, 48 h tolerance.
+    "asof_join_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase'),
+        |b AS (SELECT l.event_id, r.value AS v_b, r.ts AS t_b
+        |      FROM l ASOF LEFT JOIN r
+        |        ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (SELECT l.event_id, r.value AS v_f, r.ts AS t_f
+        |      FROM l ASOF LEFT JOIN r
+        |        ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT l.event_id, l.user_id,
+        |  CASE WHEN t_f IS NULL OR (t_b IS NOT NULL
+        |            AND epoch(l.ts) - epoch(t_b) <= epoch(t_f) - epoch(l.ts))
+        |       THEN CASE WHEN epoch(l.ts) - epoch(t_b) <= 172800 THEN v_b END
+        |       ELSE CASE WHEN epoch(t_f) - epoch(l.ts) <= 172800 THEN v_f END
+        |  END AS near_purchase
+        |FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "ana_attribution" ->
+      """WITH ft AS (SELECT user_id, ts AS touch_ts, event_id AS touch_id,
+        |    event_type AS touch_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id, event_type) AS rn
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |t AS (SELECT user_id, touch_ts, touch_id, touch_type
+        |      FROM ft WHERE rn = 1)
+        |SELECT c.event_id AS conversion_id, c.user_id,
+        |  CASE WHEN t.touch_ts <= c.ts THEN t.touch_id END AS touch_id,
+        |  CASE WHEN t.touch_ts <= c.ts THEN t.touch_type END AS touch_type,
+        |  CASE WHEN t.touch_ts <= c.ts THEN t.touch_ts END AS touch_ts
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') c
+        |LEFT JOIN t ON t.user_id = c.user_id
+        |ORDER BY conversion_id""".stripMargin,
+
     "q_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |INTERSECT
@@ -3269,6 +3337,48 @@ object SparkEntry {
          |    AS cov
          |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j
          |ORDER BY i, j""".stripMargin,
+
+    // Unrolled power iteration on the SAME cov CTE as emb_covariance:
+    // each round is a j-keyed matrix-vector product with 9-dp DECIMAL
+    // sums, then a 9-dp normalized vector — the identical quantized
+    // trajectory the Scala loop walks, ending with the largest-|x|
+    // sign flip and 6-dp outputs.
+    "emb_pca_power" -> {
+      val covCtes =
+        s"""e AS ($embCte),
+           |xx AS (SELECT vec_id, unnest(v) AS xi,
+           |        generate_subscripts(v, 1) - 1 AS i FROM e),
+           |mm AS (SELECT i, sum(CAST(round(xi, 9) AS DECIMAL(28,9))) AS sx
+           |      FROM xx GROUP BY 1),
+           |pp AS (SELECT a.i AS i, b.i AS j,
+           |        sum(CAST(round(a.xi * b.xi, 9) AS DECIMAL(28,9))) AS sp,
+           |        count(*) AS n
+           |      FROM xx a JOIN xx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+           |cov AS (SELECT CAST(pp.i AS BIGINT) AS i, CAST(pp.j AS BIGINT) AS j,
+           |  round(CAST(sp AS DOUBLE) / n
+           |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n), 6)
+           |    AS cov
+           |FROM pp JOIN mm mi ON mi.i = pp.i JOIN mm mj ON mj.i = pp.j)""".stripMargin
+      val iterCtes = (1 to 3).map { k =>
+        val prev = if (k == 1) "x0" else s"x${k - 1}"
+        s"""y$k AS (SELECT c.i,
+           |  CAST(sum(CAST(round(c.cov * p.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS y
+           |  FROM cov c JOIN $prev p ON p.i = c.j GROUP BY 1),
+           |n$k AS (SELECT sqrt(CAST(sum(CAST(round(y * y, 9) AS DECIMAL(28,9)))
+           |  AS DOUBLE)) AS nrm FROM y$k),
+           |x$k AS (SELECT i, round(y / nrm, 9) AS x FROM y$k CROSS JOIN n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $covCtes,
+         |d AS (SELECT count(DISTINCT i) AS d FROM cov),
+         |x0 AS (SELECT DISTINCT i, 1.0 / sqrt(d) AS x FROM cov CROSS JOIN d),
+         |$iterCtes,
+         |sgn AS (SELECT CASE WHEN x > 0 THEN 1.0 WHEN x < 0 THEN -1.0
+         |               ELSE 0.0 END AS sgn
+         |        FROM x3 ORDER BY abs(x) DESC, i LIMIT 1)
+         |SELECT i, round(x * sgn, 6) AS loading,
+         |  round(nrm, 6) AS eigenvalue_est
+         |FROM x3 CROSS JOIN sgn CROSS JOIN n3 ORDER BY i""".stripMargin
+    },
 
     // One Lloyd step: DECIMAL-exact distances -> argmin (ties -> lower
     // cid) -> DECIMAL centroid means; first-4-by-id seeds.

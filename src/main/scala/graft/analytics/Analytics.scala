@@ -260,6 +260,42 @@ object Analytics {
       .limit(k)
   }
 
+  /** First-touch attribution: each conversion event is credited to the
+    * user's EARLIEST touch event (ordered by ts, id as the tiebreak)
+    * that happened at or before the conversion — the standard marketing
+    * "who gets credit" query, also the provenance shape for "which crawl
+    * first surfaced this document". Left semantics: conversions with no
+    * prior touch keep NULL touch columns.
+    *
+    * Shuffle shape: one filter + per-user min-struct aggregate over the
+    * touches (map-side combined, one hash shuffle on user), then one
+    * user-keyed join — no window at all, because "first ever" is an
+    * associative min, unlike last-touch which is [[operators.AsOfJoin]]'s
+    * job. The (ts, id, type) struct min makes the tiebreak total and
+    * engine-identical.
+    */
+  def firstTouchAttribution(events: DataFrame, touchTypes: Seq[String],
+                            convType: String,
+                            userCol: String = "user_id", typeCol: String = "event_type",
+                            tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    val firstTouch = events
+      .filter(col(typeCol).isin(touchTypes: _*))
+      .groupBy(col(userCol))
+      .agg(min(struct(col(tsCol), col(idCol), col(typeCol))).as("__ft"))
+      .select(col(userCol),
+        col("__ft").getField(tsCol).as("touch_ts"),
+        col("__ft").getField(idCol).as("touch_id"),
+        col("__ft").getField(typeCol).as("touch_type"))
+    events.filter(col(typeCol) === convType)
+      .select(col(idCol).as("conversion_id"), col(userCol), col(tsCol))
+      .join(firstTouch, Seq(userCol), "left")
+      .select(col("conversion_id"), col(userCol),
+        when(col("touch_ts") <= col(tsCol), col("touch_id")).as("touch_id"),
+        when(col("touch_ts") <= col(tsCol), col("touch_type")).as("touch_type"),
+        when(col("touch_ts") <= col(tsCol), col("touch_ts")).as("touch_ts"))
+  }
+
   /** Percentile winsorization: clip a metric at its exact interpolated
     * [pLo, pHi] percentiles — the standard robust-preprocessing step
     * before training on heavy-tailed telemetry (cheaper and more stable

@@ -39,6 +39,53 @@ object AsOfJoin {
                   valueCols: Seq[String]): DataFrame =
     joined(left, right, key, leftTime, rightTime, valueCols, forward = true)
 
+  /** Nearest-neighbor as-of: attach the right row whose time is CLOSEST
+    * to the left row's time in either direction (sensor fusion /
+    * log-alignment semantics), optionally bounded by `toleranceSeconds`
+    * (a match farther than the tolerance becomes NULL). Ties — a prior
+    * and a following right row equally distant — resolve to the PRIOR
+    * row (the backward match), the convention that never reads the
+    * future when a past observation is just as close.
+    *
+    * Formulation: one backward and one forward pass of the same
+    * union-window machinery (two key-keyed shuffles total), each
+    * carrying its matched right TIME alongside the values; the direction
+    * pick and the tolerance gate are flat per-row expressions on exact
+    * epoch longs. DuckDB mirrors with two native ASOF joins and the
+    * same CASE.
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: String,
+                  leftTime: String, rightTime: String, valueCols: Seq[String],
+                  toleranceSeconds: Option[Long] = None): DataFrame = {
+    val reserved = Set("__rt_b", "__rt_f") ++
+      valueCols.flatMap(c => Seq(s"${c}__b", s"${c}__f"))
+    require(!left.columns.exists(reserved), "asOfNearest reserved column collision")
+    val rb = right.select((col(key) +: col(rightTime).as("__t0") +:
+      valueCols.map(c => col(c).as(s"${c}__b"))): _*)
+      .withColumn("__rt_b", col("__t0")).drop("__t0")
+    val rf = right.select((col(key) +: col(rightTime).as("__t0") +:
+      valueCols.map(c => col(c).as(s"${c}__f"))): _*)
+      .withColumn("__rt_f", col("__t0")).drop("__t0")
+    val back = joined(left, rb, key, leftTime, "__rt_b",
+      valueCols.map(c => s"${c}__b") :+ "__rt_b", forward = false)
+    val both = joined(back, rf, key, leftTime, "__rt_f",
+      valueCols.map(c => s"${c}__f") :+ "__rt_f", forward = true)
+    val lt = unix_timestamp(col(leftTime))
+    val db = lt - unix_timestamp(col("__rt_b"))
+    val df = unix_timestamp(col("__rt_f")) - lt
+    val useB = col("__rt_f").isNull || (col("__rt_b").isNotNull && db <= df)
+    val chosenDelta = when(useB, db).otherwise(df)
+    val inTol = toleranceSeconds
+      .map(t => chosenDelta <= t).getOrElse(lit(true))
+    val picked = valueCols.foldLeft(both) { (d, c) =>
+      d.withColumn(c,
+        when(inTol && useB, col(s"${c}__b"))
+          .when(inTol && !useB, col(s"${c}__f")))
+    }
+    picked.drop((valueCols.flatMap(c => Seq(s"${c}__b", s"${c}__f")) ++
+      Seq("__rt_b", "__rt_f")): _*)
+  }
+
   private def joined(left: DataFrame, right: DataFrame, key: String,
                      leftTime: String, rightTime: String,
                      valueCols: Seq[String], forward: Boolean): DataFrame = {

@@ -445,6 +445,54 @@ object Similarity {
     * coordinate is 9-dp-quantized into DECIMAL(28,9) sums (order-free);
     * the final combination is one IEEE expression rounded to 6 dp.
     */
+  /** Leading principal direction of the embedding space by POWER
+    * ITERATION on [[covarianceMatrix]]'s d×d output: x ← C·x / ‖C·x‖,
+    * `iters` times from the uniform start x₀ = 1/√d — the "is this
+    * space collapsed onto one axis?" diagnostic and the first step of
+    * PCA whitening. Returns (i, loading, eigenvalue_est) where the
+    * eigenvalue estimate is ‖C·x‖ of the LAST iteration (the Rayleigh
+    * quotient's power-method surrogate).
+    *
+    * Scale shape: everything after the covariance aggregate operates on
+    * the d×d matrix and a d-row vector — matrix-vector products are a
+    * j-keyed join + i-keyed DECIMAL-summed aggregate on d² rows, with
+    * the d-row vector broadcast each round; per-iteration results are
+    * 9-dp-quantized so every engine walks the same trajectory (the
+    * unrolled DuckDB oracle reproduces each round bit-for-bit).
+    * Iterations are eager-checkpointed like every other fixed-point loop
+    * in this library. Sign convention: the loading vector is flipped so
+    * its largest-|loading| coordinate is positive (power iteration's
+    * sign is otherwise arbitrary).
+    */
+  def pcaPowerIteration(embeddings: DataFrame, iters: Int = 3,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val cov = covarianceMatrix(embeddings, idCol, vecCol).localCheckpoint()
+    val d = cov.agg(countDistinct(col("i")).as("d")).head().getLong(0)
+    val x0 = 1.0 / math.sqrt(d.toDouble)
+    var x = cov.select(col("i")).distinct()
+      .select(col("i"), lit(x0).as("x")).localCheckpoint()
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to iters) {
+      val y = cov.join(broadcast(x.select(col("i").as("j"), col("x"))), "j")
+        .groupBy("i")
+        .agg(sum(round(col("cov") * col("x"), 9).cast("decimal(28,9)")).as("y"))
+        .select(col("i"), col("y").cast("double").as("y"))
+      val n = y.agg(
+        sqrt(sum(round(col("y") * col("y"), 9).cast("decimal(28,9)")).cast("double"))
+          .as("nrm"))
+      lastNorm = n.localCheckpoint()
+      x = y.crossJoin(broadcast(lastNorm))
+        .select(col("i"), round(col("y") / col("nrm"), 9).as("x"))
+        .localCheckpoint()
+    }
+    val sign = x.orderBy(abs(col("x")).desc, col("i").asc).limit(1)
+      .select(signum(col("x")).as("sgn"))
+    x.crossJoin(broadcast(sign)).crossJoin(broadcast(lastNorm))
+      .select(col("i"), round(col("x") * col("sgn"), 6).as("loading"),
+        round(col("nrm"), 6).as("eigenvalue_est"))
+  }
+
   def covarianceMatrix(embeddings: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol).cast("array<double>")

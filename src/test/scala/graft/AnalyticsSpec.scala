@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{lit, to_timestamp}
 import graft.analytics.Analytics
 
 class AnalyticsSpec extends SparkSpec {
@@ -229,5 +229,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("zscore") - 90.0 / math.sqrt(1000.0)) < 1e-6)
     assert(math.abs(r.getAs[Double]("group_mean") - 10.0) < 1e-9)
     assert(math.abs(r.getAs[Double]("group_sd") - math.sqrt(1000.0)) < 1e-6)
+  }
+
+  test("firstTouchAttribution: earliest touch wins; later-touch-only users get NULL") {
+    val ev = Seq(
+      (1L, 5L, "view",     "2024-01-01 09:00:00"),
+      (2L, 5L, "click",    "2024-01-01 10:00:00"),
+      (3L, 5L, "purchase", "2024-01-01 11:00:00"),  // -> view @09 (id 1)
+      (4L, 6L, "purchase", "2024-01-01 08:00:00"),  // touch only AFTER -> NULL
+      (5L, 6L, "click",    "2024-01-01 09:30:00"),
+      (6L, 7L, "purchase", "2024-01-01 12:00:00"))  // no touches at all -> NULL
+      .toDF("event_id", "user_id", "event_type", "s")
+      .select($"event_id", $"user_id", $"event_type", to_timestamp($"s").as("ts"))
+    val out = Analytics.firstTouchAttribution(ev, Seq("click", "view"), "purchase")
+      .orderBy("conversion_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(out(0).fieldIndex("touch_id")) == 1L
+      && out(0).getString(out(0).fieldIndex("touch_type")) == "view")
+    assert(out(1).isNullAt(out(1).fieldIndex("touch_id")))
+    assert(out(2).isNullAt(out(2).fieldIndex("touch_id")))
   }
 }

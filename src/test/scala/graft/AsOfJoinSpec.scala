@@ -60,4 +60,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.columns.toSet == Set("id", "k", "ts", "payload", "v"))
     assert(out.collect()(0).getAs[Double]("v") == 7.0)
   }
+
+  test("asOfNearest: closer side wins, prior wins ties, tolerance nulls") {
+    val l = Seq(
+      (1L, 7L, "2024-01-01 10:00:00"),  // prior at -2h, next at +1h -> next
+      (2L, 7L, "2024-01-01 14:00:00"),  // prior at -3h, next at +3h -> tie -> prior
+      (3L, 8L, "2024-01-01 10:00:00"))  // only match is 100h away -> tolerance NULL
+      .toDF("event_id", "user_id", "s")
+      .select($"event_id", $"user_id", to_timestamp($"s").as("ts"))
+    val r = Seq(
+      (7L, "2024-01-01 08:00:00", 1.0),
+      (7L, "2024-01-01 11:00:00", 2.0),
+      (7L, "2024-01-01 17:00:00", 3.0),
+      (8L, "2024-01-05 14:00:00", 9.0))
+      .toDF("user_id", "s", "v")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"v")
+    val out = AsOfJoin.asOfNearest(l, r, "user_id", "ts", "ts", Seq("v"),
+        toleranceSeconds = Some(24L * 3600))
+      .orderBy("event_id").collect()
+    assert(out(0).getDouble(out(0).fieldIndex("v")) == 2.0) // +1h beats -2h
+    assert(out(1).getDouble(out(1).fieldIndex("v")) == 2.0) // 3h tie -> prior (11:00)
+    assert(out(2).isNullAt(out(2).fieldIndex("v")))         // beyond tolerance
+  }
 }

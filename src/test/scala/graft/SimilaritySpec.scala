@@ -286,4 +286,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out((0L, 0L)) == 1.0 && out((1L, 1L)) == 4.0)
     assert(out((0L, 1L)) == 2.0 && out((1L, 0L)) == 2.0) // symmetry
   }
+
+  test("pcaPowerIteration: hand 2-dim case converges to the exact eigenvector") {
+    // cov of {(1,2),(3,6)} is [[1,2],[2,4]]: eigenvector (1,2)/sqrt(5),
+    // eigenvalue 5 — power iteration lands on it by round 2.
+    val emb = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 6.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pcaPowerIteration(emb, 3).orderBy("i").collect()
+    assert(out.length == 2)
+    assert(math.abs(out(0).getDouble(1) - 1.0 / math.sqrt(5)) < 1e-5)
+    assert(math.abs(out(1).getDouble(1) - 2.0 / math.sqrt(5)) < 1e-5)
+    assert(math.abs(out(0).getDouble(2) - 5.0) < 1e-5) // eigenvalue estimate
+    assert(out(1).getDouble(1) > 0) // sign convention: dominant coord positive
+  }
 }
