@@ -134,6 +134,19 @@ object SparkEntry {
           Seq("click", "view"), "purchase")
         .orderBy("conversion_id")),
 
+    // Interval-union coverage: each event spans [ts, ts + 60·value] s;
+    // overlapping-or-touching spans merge per user (busy periods). All
+    // long arithmetic; floor() (not cast) because Spark truncates and
+    // DuckDB rounds on double->bigint casts.
+    "ana_interval_union" -> ((s, dir) => {
+      val iv = T(s, dir, "events").select(col("user_id"),
+        unix_timestamp(col("ts")).as("start_s"),
+        (unix_timestamp(col("ts")) + floor(col("value") * 60).cast("long"))
+          .as("end_s"))
+      Analytics.intervalUnion(iv)
+        .orderBy("user_id", "covered_from")
+    }),
+
     // Set operations beyond UNION: distinct intersection and difference.
     "q_intersect" -> ((s, dir) => {
       val e = T(s, dir, "events")
@@ -810,6 +823,13 @@ object SparkEntry {
           T(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id", 1000L)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // Mixture-rate plan for a dictated 50/30/20 mix over three sources:
+    // largest exactly-proportioned sample with no oversampling.
+    "sample_rates" -> ((s, dir) =>
+      Sampling.mixtureRates(T(s, dir, "documents"), "source",
+          Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .orderBy("source")),
+
     // ---- LLM-data-pipeline: mergeable sketches ----
 
     // Count-Min Sketch built INCREMENTALLY: register tables for the pre-
@@ -1300,6 +1320,14 @@ object SparkEntry {
 
     // The scale path: cumsum window partitioned by language shard, so
     // packing is one hash shuffle + per-shard sorts (no global sort).
+    // Packing-efficiency report on the sharded packer's output: per
+    // shard, sequences produced / token mass / utilization vs budget.
+    "text_pack_stats" -> ((s, dir) =>
+      TextAnalysis.packStats(
+          TextAnalysis.packSequencesSharded(T(s, dir, "documents"), 400, "lang"),
+          400)
+        .orderBy("shard")),
+
     "text_pack_sharded" -> ((s, dir) =>
       TextAnalysis.packSequencesSharded(T(s, dir, "documents"), 400, "lang")
         .orderBy("doc_id")),
@@ -1639,6 +1667,16 @@ object SparkEntry {
     "stream_tumbling" -> ((s, dir) =>
       StreamingJobs.windowedCounts(T(s, dir, "events"), "1 hour")
         .orderBy("window_start", "event_type")),
+
+    // Watermark-bounded stream dedup, batch-unified: distinct
+    // (user_id, event_type) keys (key-only projection keeps the
+    // batch-side survivor choice deterministic for the oracle).
+    "stream_dedup" -> ((s, dir) =>
+      StreamingJobs.dedupStream(
+          T(s, dir, "events").select("user_id", "event_type", "ts"),
+          Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+        .orderBy("user_id", "event_type")),
 
     "stream_sliding" -> ((s, dir) =>
       StreamingJobs.slidingRates(T(s, dir, "events"))
@@ -2222,6 +2260,52 @@ object SparkEntry {
         |      WHERE event_type = 'purchase') c
         |LEFT JOIN t ON t.user_id = c.user_id
         |ORDER BY conversion_id""".stripMargin,
+
+    // CAST(floor(epoch)) — events carry fractional seconds; Spark's
+    // unix_timestamp floors while a plain BIGINT cast would round.
+    "ana_interval_union" ->
+      """WITH iv AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      + CAST(floor(value * 60) AS BIGINT) AS end_s
+        |  FROM events),
+        |m AS (SELECT user_id, start_s, end_s,
+        |    max(end_s) OVER (PARTITION BY user_id ORDER BY start_s, end_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |k AS (SELECT user_id, start_s, end_s,
+        |    CASE WHEN prev_max IS NULL OR start_s > prev_max
+        |         THEN 1 ELSE 0 END AS newi
+        |  FROM m),
+        |g AS (SELECT user_id, start_s, end_s,
+        |    sum(newi) OVER (PARTITION BY user_id ORDER BY start_s, end_s
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM k)
+        |SELECT user_id, min(start_s) AS covered_from, max(end_s) AS covered_to,
+        |  max(end_s) - min(start_s) AS covered_seconds,
+        |  count(*) AS n_intervals
+        |FROM g GROUP BY user_id, island
+        |ORDER BY user_id, covered_from""".stripMargin,
+
+    // weight normalization mirrors the Scala double sum term-for-term
+    // (VALUES literals are DECIMAL in DuckDB — cast before arithmetic)
+    "sample_rates" ->
+      """WITH w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
+        |    ('src2', 0.2)) t(source, wr)),
+        |nw AS (SELECT source, CAST(wr AS DOUBLE) /
+        |    (CAST(0.5 AS DOUBLE) + CAST(0.3 AS DOUBLE) + CAST(0.2 AS DOUBLE))
+        |    AS w FROM w),
+        |a AS (SELECT source, count(*) AS n_avail FROM documents GROUP BY 1),
+        |j AS (SELECT a.source, a.n_avail, nw.w FROM a JOIN nw USING (source)),
+        |t AS (SELECT min(CAST(n_avail AS DOUBLE) / w) AS t_max FROM j)
+        |SELECT source, n_avail, round(w, 6) AS target_w,
+        |  CAST(floor(w * t_max) AS BIGINT) AS take_n,
+        |  round(CAST(floor(w * t_max) AS DOUBLE) / n_avail, 6) AS rate
+        |FROM j CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
@@ -3916,6 +4000,24 @@ object SparkEntry {
          |SELECT doc_id, shard, n_subwords,
          |  CAST(floor((cum - n_subwords) / 400.0) AS BIGINT) AS seq_id
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_pack_stats" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang AS shard, CAST(len(regexp_extract_all(text,
+         |    '${TextAnalysis.subwordPattern}')) AS BIGINT) AS n_subwords
+         |  FROM documents),
+         |c AS (SELECT doc_id, shard, n_subwords,
+         |        sum(n_subwords) OVER (PARTITION BY shard ORDER BY doc_id
+         |                              ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM base),
+         |p AS (SELECT shard, n_subwords,
+         |        CAST(floor((cum - n_subwords) / 400.0) AS BIGINT) AS seq_id
+         |      FROM c)
+         |SELECT shard, CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+         |  count(*) AS n_docs, CAST(sum(n_subwords) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(n_subwords) AS DOUBLE)
+         |    / nullif(count(DISTINCT seq_id) * 400.0, 0), 6) AS utilization
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
 
     "op01_02_json_copy" ->
       """SELECT CAST(event_id AS INTEGER) AS session_id,

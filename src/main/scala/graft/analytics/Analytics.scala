@@ -260,6 +260,36 @@ object Analytics {
       .limit(k)
   }
 
+  /** Per-key union of overlapping [start, end] intervals (epoch-second
+    * longs): merge every overlapping/touching run into one covering
+    * interval — busy-period detection, GPU-utilization rollups, session
+    * coverage. Classic islands-by-overlap: one key-partitioned window
+    * pass marks a new island wherever the start exceeds the running max
+    * end of all PRIOR intervals (strictly-after ⇒ touching intervals
+    * merge), a running sum turns the marks into island ids, and one hash
+    * aggregate emits each island's span. All long arithmetic — exact in
+    * any engine; both windows partition on the key, so the plan
+    * parallelizes across keys (PlanGuard-clean).
+    */
+  def intervalUnion(intervals: DataFrame, keyCol: String = "user_id",
+                    startCol: String = "start_s", endCol: String = "end_s"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = intervals
+      .withColumn("__new", when(prevMax.isNull || col(startCol) > prevMax, 1L)
+        .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col(keyCol), col("__island"))
+      .agg(min(col(startCol)).as("covered_from"),
+        max(col(endCol)).as("covered_to"),
+        count(lit(1)).as("n_intervals"))
+      .select(col(keyCol), col("covered_from"), col("covered_to"),
+        (col("covered_to") - col("covered_from")).as("covered_seconds"),
+        col("n_intervals"))
+  }
+
   /** First-touch attribution: each conversion event is credited to the
     * user's EARLIEST touch event (ordered by ts, id as the tiebreak)
     * that happened at or before the conversion — the standard marketing

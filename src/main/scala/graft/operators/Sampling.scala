@@ -151,6 +151,43 @@ object Sampling {
       .limit(k)
   }
 
+  /** Mixture-rate solver: given target mixture weights per source and
+    * the corpus's actual availability, the largest total sample that
+    * hits the target proportions EXACTLY with no source oversampled —
+    * T = min_s(avail_s / w_s) after weight normalization; each source
+    * contributes take_n = ⌊w_s · T⌋ rows at rate take_n/avail_s. This is
+    * the planning step in front of [[temperatureMixture]]-style
+    * selection when the mix is dictated (data card says 30/30/40), not
+    * derived. One count aggregate + a broadcast one-row min; all
+    * decisive arithmetic is exact (integer counts, one IEEE division
+    * per source, floor before the ratio) — engine-identical.
+    */
+  def mixtureRates(df: DataFrame, sourceCol: String,
+                   weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"need positive weights, got $weights")
+    val wTot = weights.map(_._2).sum
+    // normalized weights as a literal inline table (no driver-side data
+    // beyond the caller-supplied constants)
+    val wlit = weights.map { case (s, w) =>
+      struct(lit(s).as("source"), lit(w / wTot).as("w"))
+    }
+    val wtab = df.sparkSession.range(1)
+      .select(explode(array(wlit: _*)).as("t"))
+      .select(col("t.source").as("source"), col("t.w").as("w"))
+    val avail = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_avail"))
+    val target = avail.join(wtab, Seq("source"), "inner")
+    val tCap = target
+      .agg(min(col("n_avail").cast("double") / col("w")).as("t_max"))
+    target.crossJoin(broadcast(tCap))
+      .select(col("source"), col("n_avail"), round(col("w"), 6).as("target_w"),
+        floor(col("w") * col("t_max")).cast("long").as("take_n"))
+      .select(col("source"), col("n_avail"), col("target_w"), col("take_n"),
+        round(try_divide(col("take_n").cast("double"), col("n_avail")), 6)
+          .as("rate"))
+  }
+
   /** Curriculum / interleave position: rank each row within its source
     * by (score desc, key) and emit the rank — consuming the corpus
     * ordered by `(rank_in_source, source)` yields the canonical

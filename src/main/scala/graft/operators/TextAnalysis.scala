@@ -456,6 +456,26 @@ object TextAnalysis {
         (col("covered_tokens").cast("double") / col("total_tokens")).as("coverage"))
   }
 
+  /** Packing-efficiency report over [[packSequencesSharded]] output: per
+    * shard, how many sequences the packer produced, the token mass they
+    * carry, and the utilization tokens/(sequences·budget) — the
+    * padding-waste observability every training-data packing stage
+    * ships with (utilization directly prices the padding FLOPs a batch
+    * wastes). One hash aggregate on the shard key; the ratio is one IEEE
+    * division rounded to 6 dp.
+    */
+  def packStats(packed: DataFrame, budget: Int,
+                shardCol: String = "shard"): DataFrame = {
+    require(budget >= 1, s"need budget >= 1, got $budget")
+    packed.groupBy(col(shardCol))
+      .agg(countDistinct(col("seq_id")).as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_subwords")).as("n_tokens"))
+      .select(col(shardCol), col("n_seqs"), col("n_docs"), col("n_tokens"),
+        round(try_divide(col("n_tokens").cast("double"),
+          col("n_seqs").cast("double") * budget), 6).as("utilization"))
+  }
+
   /** Tokenizer fertility per language: subwords-per-word (how many
     * pieces the subword tokenizer shatters an average word into) and
     * chars-per-subword — THE cross-lingual tokenizer-quality metric (a

@@ -48,8 +48,13 @@ object StreamingJobs {
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
                   watermark: String = "1 hour", tsCol: String = "ts"): DataFrame =
-    events.withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+    // Batch-unified: dropDuplicatesWithinWatermark exists only on streams
+    // (Spark rejects it on batch frames); the batch equivalent of
+    // "first per key, state collected later" is a plain dropDuplicates.
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+    else events.dropDuplicates(keyCols)
 
   /** Stream-stream interval join: each left event paired with the right
     * events of the same user that land within [left.ts, left.ts + within]

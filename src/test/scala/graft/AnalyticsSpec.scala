@@ -249,4 +249,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("touch_id")))
     assert(out(2).isNullAt(out(2).fieldIndex("touch_id")))
   }
+
+  test("intervalUnion: overlapping and touching merge, gaps split, per-key") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 20L),   // overlap -> [0,20]
+      (1L, 20L, 30L),                 // touching -> still [0,30]
+      (1L, 40L, 50L),                 // gap -> new island
+      (2L, 0L, 5L))                   // other key
+      .toDF("user_id", "start_s", "end_s")
+    val out = Analytics.intervalUnion(iv).orderBy("user_id", "covered_from")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 30L, 30L, 3L),
+      (1L, 40L, 50L, 10L, 1L),
+      (2L, 0L, 5L, 5L, 1L)))
+  }
 }

@@ -111,4 +111,18 @@ class SamplingSpec extends SparkSpec {
       .map(_.getAs[Long]("rank_in_source")).sorted.toSeq
     assert(aRanks == Seq(1L, 2L, 3L))
   }
+
+  test("mixtureRates: largest exactly-proportioned sample, no oversampling") {
+    // avail a=100, b=30, c=100 with weights .5/.3/.2 -> T bound by b:
+    // T = min(200, 100, 500) = 100 -> take 50/30/20
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (1 to 30).map(i => (1000L + i, "b")) ++
+      (1 to 100).map(i => (2000L + i, "c"))).toDF("id", "source")
+    val out = Sampling.mixtureRates(df, "source",
+        Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("a", 100L, 50L, 0.5), ("b", 30L, 30L, 1.0), ("c", 100L, 20L, 0.2)))
+  }
 }

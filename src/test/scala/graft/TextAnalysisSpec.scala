@@ -424,4 +424,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("s1") == ((3L, 2L, 0.666667)))
     assert(out("s2") == ((2L, 0L, 0.0)))
   }
+
+  test("packStats: utilization is tokens over sequences times budget") {
+    // one shard, budget 10: docs of 6+6+4 subwords -> seqs 0,0,1 (cum 6,12,16)
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff", "en"),
+      (2L, "aa bb cc dd ee ff", "en"),
+      (3L, "aa bb cc dd", "en"))
+      .toDF("doc_id", "text", "lang")
+    val packed = TextAnalysis.packSequencesSharded(docs, 10, "lang")
+    val st = TextAnalysis.packStats(packed, 10).collect()
+    assert(st.length == 1)
+    val r = st(0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L && r.getLong(3) == 16L)
+    assert(r.getDouble(4) == 0.8) // 16 / (2 * 10)
+  }
 }
