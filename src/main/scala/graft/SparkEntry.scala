@@ -1073,6 +1073,17 @@ object SparkEntry {
       operators.Graph.pageRank(edges, 3).orderBy("node")
     }),
 
+    // Personalized PageRank: teleportation restricted to {click, view} —
+    // relevance-to-the-seed-set scoring over the same transition graph.
+    "ana_pagerank_pers" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Analytics.transitions(T(s, dir, "events"))
+        .filter(col("from_type") =!= col("to_type"))
+        .select(col("from_type").as("src"), col("to_type").as("dst"))
+      val seeds = Seq("click", "view").toDF("node")
+      operators.Graph.pageRankPersonalized(edges, seeds, 3).orderBy("node")
+    }),
+
     // Per-node triangle counts over the part co-purchase graph (parts
     // sharing >= 2 orders) — degree-oriented O(m^1.5) wedge closure; the
     // oracle's naive a<b<c closure proves orientation-free semantics.
@@ -1126,6 +1137,16 @@ object SparkEntry {
     // chars-per-subword — the cross-lingual tokenizer-cost metric.
     "text_fertility" -> ((s, dir) =>
       TextAnalysis.fertility(T(s, dir, "documents")).orderBy("lang")),
+
+    // Bigram argmax LM: every term's most likely successor + P(next|term) —
+    // the template-detection / perplexity-floor baseline.
+    "text_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramModel(T(s, dir, "documents")).orderBy("term")),
+
+    // Zipf slope over the top-200 vocabulary (log-freq vs log-rank
+    // least squares; ~-1 = natural text) — one row.
+    "text_zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(T(s, dir, "documents"), 200)),
 
     // Hapax-legomenon ratio per source — vocabulary richness / OCR-noise
     // profile (share of the source's distinct terms occurring once).
@@ -3567,6 +3588,83 @@ object SparkEntry {
          |$iterCtes
          |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin
     },
+
+    // Same iteration algebra as ana_pagerank with the teleport vector
+    // restricted to {click, view}: r' = (1-d)·p + d·(in-sum + dm·p).
+    "ana_pagerank_pers" -> {
+      val d = 0.85
+      val iterCtes = (1 to 3).map { k =>
+        val prev = s"r${k - 1}"
+        s"""c$k AS (SELECT e.dst AS node,
+           |        sum(CAST(round($prev.rank / deg.outdeg, 12)
+           |          AS DECIMAL(18,12))) AS s
+           |      FROM e JOIN $prev ON $prev.node = e.src
+           |      JOIN deg ON deg.src = e.src GROUP BY 1),
+           |d$k AS (SELECT coalesce(sum(CAST(round(rank, 12) AS DECIMAL(18,12))),
+           |          CAST(0 AS DECIMAL(18,12))) AS dm
+           |      FROM $prev WHERE node NOT IN (SELECT src FROM deg)),
+           |r$k AS (SELECT n.node,
+           |        (1e0 - ${d}e0) * pe.p + ${d}e0 *
+           |          (coalesce(CAST(c$k.s AS DOUBLE), 0e0)
+           |            + CAST(d$k.dm AS DOUBLE) * pe.p) AS rank
+           |      FROM nodes n JOIN pers pe ON pe.node = n.node
+           |      CROSS JOIN d$k
+           |      LEFT JOIN c$k ON c$k.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tr AS (SELECT event_type AS cur,
+         |        lead(event_type) OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id) AS nxt
+         |      FROM events),
+         |e AS (SELECT DISTINCT cur AS src, nxt AS dst FROM tr
+         |      WHERE nxt IS NOT NULL AND nxt <> cur),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM nodes
+         |       WHERE node IN ('click', 'view')),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |pers AS (SELECT node, CASE WHEN node IN ('click', 'view')
+         |           THEN 1e0 / ns.n_s ELSE 0e0 END AS p
+         |         FROM nodes CROSS JOIN ns),
+         |r0 AS (SELECT node, p AS rank FROM pers),
+         |$iterCtes
+         |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin
+    },
+
+    "text_bigram_lm" ->
+      s"""WITH base AS ($docToks),
+         |t AS (SELECT doc_id, unnest(toks) AS tok,
+         |        generate_subscripts(toks, 1) AS i FROM base),
+         |pr AS (SELECT a.tok AS term, b.tok AS next, count(*) AS n
+         |       FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |       GROUP BY 1, 2),
+         |tot AS (SELECT term, sum(n) AS n_term FROM pr GROUP BY 1),
+         |rk AS (SELECT term, next, n, row_number() OVER (PARTITION BY term
+         |         ORDER BY n DESC, next) AS rn FROM pr)
+         |SELECT rk.term, next, CAST(n AS BIGINT) AS n,
+         |  round(CAST(n AS DOUBLE) / n_term, 6) AS p
+         |FROM rk JOIN tot USING (term) WHERE rn = 1 ORDER BY term""".stripMargin,
+
+    "text_zipf_slope" ->
+      s"""WITH base AS ($docToks),
+         |t AS (SELECT unnest(toks) AS term FROM base),
+         |c AS (SELECT term, count(*) AS freq FROM t GROUP BY 1),
+         |top AS (SELECT term, freq FROM c ORDER BY freq DESC, term LIMIT 200),
+         |rk AS (SELECT row_number() OVER (ORDER BY freq DESC, term) AS r,
+         |         freq FROM top),
+         |xy AS (SELECT round(ln(CAST(r AS DOUBLE)), 6) AS x,
+         |         round(ln(CAST(freq AS DOUBLE)), 6) AS y FROM rk),
+         |s AS (SELECT count(*) AS n_terms,
+         |        sum(CAST(x AS DECIMAL(28,6))) AS sx,
+         |        sum(CAST(y AS DECIMAL(28,6))) AS sy,
+         |        sum(CAST(round(x * y, 6) AS DECIMAL(28,6))) AS sxy,
+         |        sum(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS sxx
+         |      FROM xy)
+         |SELECT CAST(n_terms AS BIGINT) AS n_terms,
+         |  round((CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n_terms)
+         |    / (CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_terms), 6)
+         |    AS zipf_slope
+         |FROM s""".stripMargin,
 
     "text_postings" ->
       s"""WITH base AS ($docToks),

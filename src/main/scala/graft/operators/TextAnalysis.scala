@@ -456,6 +456,67 @@ object TextAnalysis {
         (col("covered_tokens").cast("double") / col("total_tokens")).as("coverage"))
   }
 
+  /** Bigram language model, argmax form: for every term, its most likely
+    * successor and the conditional probability P(next|term) = c(term,
+    * next)/c(term,·) — the cheapest next-token model, used as the
+    * text-repair / perplexity-floor baseline and for boilerplate
+    * template detection (templated corpora have near-deterministic
+    * successor distributions). Adjacent pairs come from the same
+    * (doc, position+1) equi-join as [[skipgramCounts]]; the per-term
+    * argmax is a term-partitioned window (parallel across the
+    * vocabulary), ties break lexicographically on the successor. The
+    * probability is one exact-integer IEEE division rounded to 6 dp.
+    */
+  def bigramModel(docs: DataFrame, minCount: Long = 1L,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pos = docs
+      .select(col(idCol).as("doc_id"), posexplode(Fns.tokens(col(textCol))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("col").as("tok"))
+    val pairs = pos.as("a")
+      .join(pos.select(col("doc_id"), (col("i") - 1).as("i"),
+        col("tok").as("next")).as("b"), Seq("doc_id", "i"))
+      .groupBy(col("tok").as("term"), col("next"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("term").agg(sum(col("n")).as("n_term"))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("n").desc, col("next").asc)
+    pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("n") >= minCount)
+      .join(totals, "term")
+      .select(col("term"), col("next"), col("n"),
+        round(col("n").cast("double") / col("n_term"), 6).as("p"))
+  }
+
+  /** Zipf-slope corpus-health metric: the least-squares slope of
+    * log(freq) against log(rank) over the top `maxVocab` terms — clean
+    * natural language sits near −1 (Zipf's law); templated/generated
+    * corpora flatten toward 0, shattered OCR steepens. Runs on
+    * [[vocabulary]]'s bounded output (≤ maxVocab rows), so the global
+    * rank window is constant-bounded (PlanGuard-allowlisted via the
+    * vocabulary reuse); the regression is closed-form over 6-dp-rounded
+    * ln values summed through DECIMAL — engine-identical, the
+    * perplexity/ln convention.
+    */
+  def zipfSlope(docs: DataFrame, maxVocab: Int = 200,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val v = vocabulary(docs, maxVocab, textCol, idCol)
+      .select((col("term_id") + 1).cast("double").as("r"),
+        col("freq").cast("double").as("f"))
+      .select(round(log(col("r")), 6).as("x"), round(log(col("f")), 6).as("y"))
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(28,6)")
+    def d12(c: org.apache.spark.sql.Column) = round(c, 6).cast("decimal(28,6)")
+    v.agg(count(lit(1)).as("n_terms"),
+        sum(d6(col("x"))).as("sx"), sum(d6(col("y"))).as("sy"),
+        sum(d12(col("x") * col("y"))).as("sxy"),
+        sum(d12(col("x") * col("x"))).as("sxx"))
+      .select(col("n_terms"),
+        round((col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double") / col("n_terms")) /
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / col("n_terms")),
+          6).as("zipf_slope"))
+  }
+
   /** Packing-efficiency report over [[packSequencesSharded]] output: per
     * shard, how many sequences the packer produced, the token mass they
     * carry, and the utilization tokens/(sequences·budget) — the

@@ -83,4 +83,19 @@ class GraphSpec extends SparkSpec {
     assert(out(7L) == ((1L, 0L, None)))
     assert(out(6L) == ((1L, 0L, None)))
   }
+
+  test("pageRankPersonalized: teleport mass stays on the seed set") {
+    // a -> b -> c, seed {a}: after 1 iteration r = (0.15, 0.85, 0) —
+    // all teleportation returns to a, b holds a's full pushed mass,
+    // c has received nothing yet.
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val out = Graph.pageRankPersonalized(e, seeds, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 0.15, "b" -> 0.85, "c" -> 0.0))
+    // seeds absent from the graph are ignored (|S| counts matches only)
+    val out2 = Graph.pageRankPersonalized(e, Seq("a", "zzz").toDF("node"),
+      iters = 1).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out2 == out)
+  }
 }

@@ -29,7 +29,9 @@ class PlanGuardSpec extends SparkSpec {
     */
   private val boundedGlobalWindowAllowlist =
     Set("text_vocab", "text_encode", "sketch_histq", "dq_skew_report",
-      "text_vocab_coverage")
+      "text_vocab_coverage",
+      // reuses vocabulary's ranking (<= 200 rows above the limit)
+      "text_zipf_slope")
 
   test("no registered query plans an unpartitioned ordered Window (bounded allowlist aside)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

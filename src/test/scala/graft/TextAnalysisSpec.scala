@@ -439,4 +439,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(1) == 2L && r.getLong(2) == 3L && r.getLong(3) == 16L)
     assert(r.getDouble(4) == 0.8) // 16 / (2 * 10)
   }
+
+  test("bigramModel: argmax successor with exact conditional probability") {
+    val docs = Seq(
+      (1L, "a b a b a c"),   // a->b x2, b->a x2, a->c x1
+      (2L, "a b"))           // a->b x1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramModel(docs).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("a") == (("b", 3L, 0.75)))  // 3 of a's 4 successors
+    assert(out("b") == (("a", 2L, 1.0))) // b is only ever followed by a
+    assert(!out.contains("c"))             // c ends both docs: no successor
+  }
+
+  test("zipfSlope: exact -1 slope on a constructed power-law corpus") {
+    // freq(rank) = 60/rank for ranks 1..4 -> log-log slope exactly -1.
+    val words = (1 to 4).flatMap(r => Seq.fill(60 / r)(s"w$r"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.zipfSlope(docs, 10).collect()(0)
+    assert(out.getLong(0) == 4L)
+    assert(math.abs(out.getDouble(1) - (-1.0)) < 1e-3)
+  }
 }
