@@ -1148,6 +1148,30 @@ object SparkEntry {
     "text_zipf_slope" -> ((s, dir) =>
       TextAnalysis.zipfSlope(T(s, dir, "documents"), 200)),
 
+    // C4-style line-level boilerplate dedup: lines (3-token windows here —
+    // the corpus has no newlines; the operator takes any pre-split lines
+    // frame) occurring in > 3 distinct docs are dropped from every doc.
+    "text_dedup_lines" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), posexplode(graft.functions.Fns.tokens(col("text"))))
+      val lines = toks
+        .groupBy(col("doc_id"), floor(col("pos") / lit(3)).cast("long").as("line_no"))
+        .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("col")))),
+          t => t.getField("col")), " ").as("line"))
+      TextAnalysis.dedupLines(lines, maxDocs = 3).orderBy("doc_id")
+    }),
+
+    // Language-ID with top1−top2 confidence margin and top1 share — the
+    // "confidently-English only" corpus filter signals.
+    "text_langid_margin" -> ((s, dir) =>
+      TextAnalysis.langIdMargin(T(s, dir, "documents")).orderBy("doc_id")),
+
+    // Corpus-wide token-length histogram (bounded domain — one
+    // register-sized shuffle regardless of corpus size).
+    "text_wordlen_hist" -> ((s, dir) =>
+      TextAnalysis.wordLengthHistogram(T(s, dir, "documents"))
+        .orderBy("token_len")),
+
     // Hapax-legomenon ratio per source — vocabulary richness / OCR-noise
     // profile (share of the source's distinct terms occurring once).
     "text_hapax" -> ((s, dir) =>
@@ -3353,6 +3377,65 @@ object SparkEntry {
          |      FROM sc)
          |SELECT doc_id, score, n_subwords, cum_tokens
          |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
+
+    // Line dedup: 3-token lines, df > 3 distinct docs -> dropped
+    // everywhere; reassembly ordered by line_no (unique per doc).
+    "text_dedup_lines" ->
+      s"""WITH base AS ($docToks),
+         |tok AS (SELECT doc_id, unnest(toks) AS t,
+         |          generate_subscripts(toks, 1) AS i FROM base),
+         |ln AS (SELECT doc_id, (i - 1) // 3 AS line_no,
+         |         string_agg(t, ' ' ORDER BY i) AS line
+         |       FROM tok GROUP BY 1, 2),
+         |hot AS (SELECT line FROM ln GROUP BY line
+         |        HAVING count(DISTINCT doc_id) > 3),
+         |kept AS (SELECT ln.doc_id, ln.line_no, ln.line
+         |         FROM ln LEFT JOIN hot ON hot.line = ln.line
+         |         WHERE hot.line IS NULL),
+         |agg AS (SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS clean_text,
+         |          count(*) AS n_kept FROM kept GROUP BY 1),
+         |nl AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY 1)
+         |SELECT nl.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+         |  nl.n_lines, nl.n_lines - coalesce(agg.n_kept, 0) AS n_removed
+         |FROM nl LEFT JOIN agg ON agg.doc_id = nl.doc_id
+         |ORDER BY nl.doc_id""".stripMargin,
+
+    // Margin = top1 − top2 of the 5 marker scores (list_sort DESC);
+    // share via NULLIF so zero-marker docs yield NULL like try_divide.
+    "text_langid_margin" -> {
+      val scores = TextAnalysis.langMarkers.map { case (lang, m) =>
+        val markers = m.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(toks, t -> list_contains($markers, t))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val cases = langs.zipWithIndex.map { case (lang, i) =>
+        val earlier = langs.take(i).map(l => s"s_$lang > s_$l")
+        val later = langs.drop(i + 1).map(l => s"s_$lang >= s_$l")
+        val conds = (earlier ++ later :+ s"s_$lang > 0").mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }.mkString("\n    ")
+      val arr = langs.map(l => s"s_$l").mkString("[", ", ", "]")
+      val total = langs.map(l => s"s_$l").mkString(" + ")
+      s"""WITH base AS ($docToks),
+         |scored AS (SELECT doc_id,
+         |  $scores
+         |FROM base),
+         |m AS (SELECT doc_id,
+         |  CASE $cases
+         |    ELSE 'und' END AS lang_pred,
+         |  list_sort($arr, 'DESC') AS sv, $total AS total
+         |FROM scored)
+         |SELECT doc_id, lang_pred, sv[1] AS top1, sv[1] - sv[2] AS margin,
+         |  round(CAST(sv[1] AS DOUBLE) / nullif(total, 0), 6) AS share
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "text_wordlen_hist" ->
+      s"""WITH base AS ($docToks),
+         |tok AS (SELECT unnest(toks) AS t FROM base)
+         |SELECT CAST(length(t) AS BIGINT) AS token_len,
+         |  count(*) AS n_tokens, count(DISTINCT t) AS n_distinct
+         |FROM tok GROUP BY 1 ORDER BY token_len""".stripMargin,
 
     // Shannon entropy: Σ c·ln c through a 6-dp round + DECIMAL sum, outer
     // arithmetic a fixed per-row expression; norm NULL for 1-term docs.

@@ -999,4 +999,74 @@ object TextAnalysis {
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("score"), col("n_subwords"), col("cum_tokens"))
   }
+
+  /** C4-style line-level boilerplate dedup: a line that occurs in more
+    * than `maxDocs` DISTINCT documents corpus-wide is boilerplate
+    * (nav bars, cookie banners, license headers) and is dropped from
+    * EVERY document; surviving lines are reassembled in line order.
+    *
+    * Input is a pre-split lines frame (doc_id, line_no, line) — the
+    * caller owns the split policy (newline split, sentence split, fixed
+    * token windows), keeping the operator independent of any one corpus
+    * layout.
+    *
+    * Scale shape: one hash groupBy on the line text for the document
+    * frequency (map-side partial countDistinct), one equi-join back on
+    * the line (NOT broadcast — the hot-line set is corpus-sized in the
+    * worst case), one groupBy doc_id to reassemble. No windows, no
+    * driver actions; every shuffle is keyed and partial-aggregated.
+    * Reassembly order comes from array_sort on (line_no, line) structs —
+    * deterministic without any ordered window.
+    */
+  def dedupLines(lines: DataFrame, maxDocs: Long,
+                 idCol: String = "doc_id", lineNoCol: String = "line_no",
+                 lineCol: String = "line"): DataFrame = {
+    require(maxDocs >= 1, s"need maxDocs >= 1, got $maxDocs")
+    val base = lines.select(col(idCol).as("doc_id"),
+      col(lineNoCol).cast("long").as("line_no"), col(lineCol).as("line"))
+    val hot = base.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+      .filter(col("line_df") > maxDocs)
+      .select("line")
+    val kept = base.join(hot, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+          s => s.getField("line")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    base.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Language-ID with a confidence margin: the [[langId]] marker scores
+    * plus top1 − top2 margin and top1/total share — the signals a corpus
+    * filter thresholds on ("keep only confidently-English documents").
+    * Zero-marker documents get margin 0 and NULL share (try_divide).
+    * Pure per-row expressions over the fixed 5-language score vector.
+    */
+  def langIdMargin(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val scored = langId(docs, textCol, idCol)
+    val langs = langMarkers.map(_._1)
+    val arr = sort_array(array(langs.map(l => col(s"s_$l")): _*), asc = false)
+    val total = langs.map(l => col(s"s_$l")).reduce(_ + _)
+    scored.select(col("doc_id"), col("lang_pred"),
+      element_at(arr, 1).as("top1"),
+      (element_at(arr, 1) - element_at(arr, 2)).as("margin"),
+      round(try_divide(element_at(arr, 1).cast("double"), total), 6).as("share"))
+  }
+
+  /** Corpus-wide token-length histogram: one narrow explode, one
+    * bounded-domain groupBy (token lengths are small integers), output
+    * rows = distinct lengths. The shuffle moves only (length, partial
+    * count) pairs — register-sized regardless of corpus size.
+    */
+  def wordLengthHistogram(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(Fns.tokens(col(textCol))).as("tok"))
+      .groupBy(length(col("tok")).cast("long").as("token_len"))
+      .agg(count(lit(1)).as("n_tokens"), count_distinct(col("tok")).as("n_distinct"))
 }

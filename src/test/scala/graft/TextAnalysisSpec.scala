@@ -460,4 +460,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getLong(0) == 4L)
     assert(math.abs(out.getDouble(1) - (-1.0)) < 1e-3)
   }
+
+  test("dedupLines: corpus-hot lines dropped everywhere, order preserved") {
+    // "cookie banner" appears in 3 docs (> maxDocs=2) -> dropped from all;
+    // "unique" lines survive; doc 4 is ALL boilerplate -> empty clean_text.
+    val lines = Seq(
+      (1L, 0L, "cookie banner"), (1L, 1L, "real content one"),
+      (2L, 0L, "real content two"), (2L, 1L, "cookie banner"),
+      (3L, 5L, "cookie banner"), (3L, 2L, "tail line"),
+      (4L, 0L, "cookie banner"))
+      .toDF("doc_id", "line_no", "line")
+    val out = TextAnalysis.dedupLines(lines, maxDocs = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("real content one", 2L, 1L)))
+    assert(out(2L) == (("real content two", 2L, 1L)))
+    assert(out(3L) == (("tail line", 2L, 1L)))  // line_no order, not insertion
+    assert(out(4L) == (("", 1L, 1L)))           // fully-boilerplate doc kept, empty
+  }
+
+  test("dedupLines: duplicate lines WITHIN one doc don't count as corpus-hot") {
+    // df counts DISTINCT docs: 3 repeats inside doc 1 = df 1 -> kept.
+    val lines = Seq((1L, 0L, "x"), (1L, 1L, "x"), (1L, 2L, "x"))
+      .toDF("doc_id", "line_no", "line")
+    val out = TextAnalysis.dedupLines(lines, maxDocs = 2).collect()(0)
+    assert(out.getString(1) == "x x x" && out.getLong(3) == 0L)
+  }
+
+  test("langIdMargin: margin separates confident from ambiguous docs") {
+    val docs = Seq(
+      (1L, "the the the and of"),       // en score 5, others 0 -> margin 5
+      (2L, "the der"),                   // en 1, de 1 -> margin 0, en wins by priority
+      (3L, "zzz qqq"))                   // no markers -> und, margin 0, NULL share
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langIdMargin(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "en" && out(1L).getLong(3) == 5L
+      && out(1L).getDouble(4) == 1.0)
+    assert(out(2L).getString(1) == "en" && out(2L).getLong(3) == 0L)
+    assert(out(3L).getString(1) == "und" && out(3L).getLong(3) == 0L
+      && out(3L).isNullAt(4))
+  }
+
+  test("wordLengthHistogram: counts by length with distinct types") {
+    val docs = Seq((1L, "aa bb ccc aa"), (2L, "d ccc")).toDF("doc_id", "text")
+    val out = TextAnalysis.wordLengthHistogram(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1L, 1L)))       // "d"
+    assert(out(2L) == ((3L, 2L)))       // aa aa bb
+    assert(out(3L) == ((2L, 1L)))       // ccc x2, one type
+  }
 }
