@@ -1791,6 +1791,41 @@ object SparkEntry {
           "user_id", "ts", "value")
         .orderBy("user_id", "bucket")),
 
+    // Finite-memory EWMA (β = 1/2 over the last 8 observed hourly
+    // buckets, pandas adjust=true renormalization): 8-dp-quantized
+    // DECIMAL weights ride one bounded per-key window — no grid explode,
+    // no range self-join.
+    "ts_ewma" -> ((s, dir) =>
+      operators.TimeSeries.ewma(
+          T(s, dir, "events").filter(col("user_id") < 50),
+          "user_id", "ts", "value")
+        .orderBy("user_id", "bucket")),
+
+    // Rolling z-score anomaly flags: each hourly bucket scored against
+    // its key's trailing 24 observed buckets; moments from exact DECIMAL
+    // window sums, NULL z (never NaN/Inf) on degenerate windows.
+    "ts_zscore" -> ((s, dir) =>
+      operators.TimeSeries.rollingZscore(
+          T(s, dir, "events").filter(col("user_id") < 50),
+          "user_id", "ts", "value")
+        .orderBy("user_id", "bucket")),
+
+    // Lag-1 autocorrelation of each user's hourly series: Pearson r from
+    // six exact DECIMAL aggregates — one row per key, float math only in
+    // the final per-key closed form.
+    "ts_autocorr" -> ((s, dir) =>
+      operators.TimeSeries.autocorr(
+          T(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id")),
+
+    // Single-changepoint scan: best standardized mean-shift split of each
+    // user's hourly series, prefix-sum scored (O(n) per key — the naive
+    // split×row self-join is O(n²)).
+    "ts_changepoint" -> ((s, dir) =>
+      operators.TimeSeries.changepointScan(
+          T(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id")),
+
     // Stream-stream interval join (batch-unified body): views within
     // 6 hours after each click, per user. On streams both sides get
     // watermarks and the range bound GCs the join state (StreamingSpec
@@ -4493,6 +4528,118 @@ object SparkEntry {
         |             ELSE pv + (nv - pv) * (ep - pe) / (ne - pe) END
         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS v_interp
         |FROM w ORDER BY user_id, bucket""".stripMargin,
+
+    // Weights are the operator's 8-dp-quantized β^j ladder (β = 1/2, so
+    // every weight and cumulative total is a dyadic rational — exact in
+    // DECIMAL and in DOUBLE); the weighted sum stays DECIMAL end-to-end,
+    // mirroring TimeSeries.ewma's aggregate, so the single float step is
+    // the same division both engines perform on identical operands.
+    "ts_ewma" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS bucket, value
+        |           FROM events WHERE user_id < 50),
+        |b AS (SELECT user_id, bucket, count(*) AS n,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM e GROUP BY 1, 2),
+        |f AS (SELECT * FROM b WHERE v IS NOT NULL),
+        |l AS (SELECT user_id, bucket, n, v,
+        |        lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2,
+        |        lag(v, 3) OVER w AS v3, lag(v, 4) OVER w AS v4,
+        |        lag(v, 5) OVER w AS v5, lag(v, 6) OVER w AS v6,
+        |        lag(v, 7) OVER w AS v7,
+        |        count(*) OVER (PARTITION BY user_id ORDER BY bucket
+        |          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS m
+        |      FROM f WINDOW w AS (PARTITION BY user_id ORDER BY bucket))
+        |SELECT user_id, bucket, n, CAST(v AS DOUBLE) AS v,
+        |  CAST(round(CAST(CAST(
+        |      coalesce(CAST(v  * CAST(1.00000000 AS DECIMAL(18,8)) AS DECIMAL(38,14)), 0)
+        |    + coalesce(CAST(v1 * CAST(0.50000000 AS DECIMAL(18,8)) AS DECIMAL(38,14)), 0)
+        |    + coalesce(CAST(v2 * CAST(0.25000000 AS DECIMAL(18,8)) AS DECIMAL(38,14)), 0)
+        |    + coalesce(CAST(v3 * CAST(0.12500000 AS DECIMAL(18,8)) AS DECIMAL(38,14)), 0)
+        |    + coalesce(CAST(v4 * CAST(0.06250000 AS DECIMAL(18,8)) AS DECIMAL(38,14)), 0)
+        |    + coalesce(CAST(v5 * CAST(0.03125000 AS DECIMAL(18,8)) AS DECIMAL(38,14)), 0)
+        |    + coalesce(CAST(v6 * CAST(0.01562500 AS DECIMAL(18,8)) AS DECIMAL(38,14)), 0)
+        |    + coalesce(CAST(v7 * CAST(0.00781250 AS DECIMAL(18,8)) AS DECIMAL(38,14)), 0)
+        |    AS DOUBLE)
+        |    / CASE m WHEN 1 THEN 1.0 WHEN 2 THEN 1.5 WHEN 3 THEN 1.75
+        |             WHEN 4 THEN 1.875 WHEN 5 THEN 1.9375 WHEN 6 THEN 1.96875
+        |             WHEN 7 THEN 1.984375 ELSE 1.9921875 END
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS ewma
+        |FROM l ORDER BY user_id, bucket""".stripMargin,
+
+    "ts_zscore" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS bucket, value
+        |           FROM events WHERE user_id < 50),
+        |b AS (SELECT user_id, bucket, count(*) AS n,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM e GROUP BY 1, 2),
+        |w AS (SELECT user_id, bucket, n, CAST(v AS DOUBLE) AS v,
+        |        count(*) OVER ww AS nw,
+        |        CAST(sum(v) OVER ww AS DOUBLE) AS s1,
+        |        CAST(sum(CAST(v * v AS DECIMAL(38,12))) OVER ww AS DOUBLE) AS s2
+        |      FROM b WINDOW ww AS (PARTITION BY user_id ORDER BY bucket
+        |        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT *, (s2 - s1 * s1 / nw) / (nw - 1) AS varr FROM w),
+        |d AS (SELECT user_id, bucket, n, v, nw,
+        |        sqrt(CASE WHEN nw < 2 THEN NULL
+        |                  WHEN varr < 0 THEN 0.0 ELSE varr END) AS std,
+        |        s1 / nw AS mean
+        |      FROM c),
+        |z AS (SELECT user_id, bucket, n, v, nw,
+        |        CASE WHEN std > 0 THEN (v - mean) / std END AS z
+        |      FROM d)
+        |SELECT user_id, bucket, n, v, nw,
+        |  CAST(round(CAST(z AS DECIMAL(24,12)), 6) AS DOUBLE) AS z,
+        |  coalesce(abs(z) > 3.0, false) AS is_anomaly
+        |FROM z ORDER BY user_id, bucket""".stripMargin,
+
+    "ts_autocorr" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM events GROUP BY 1, 2),
+        |p AS (SELECT user_id, v,
+        |        lag(v, 1) OVER (PARTITION BY user_id ORDER BY bucket) AS y
+        |      FROM b),
+        |q AS (SELECT * FROM p WHERE y IS NOT NULL),
+        |a AS (SELECT user_id, count(*) AS n_pairs,
+        |        CAST(sum(v) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(v * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        |      FROM q GROUP BY 1),
+        |n AS (SELECT *, CAST(n_pairs AS DOUBLE) AS nd FROM a)
+        |SELECT user_id, n_pairs,
+        |  CAST(round(CAST(
+        |    CASE WHEN nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0 THEN
+        |      (nd * sxy - sx * sy)
+        |        / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)) END
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS autocorr
+        |FROM n ORDER BY user_id""".stripMargin,
+
+    "ts_changepoint" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, bucket,
+        |        count(*) OVER wr AS t,
+        |        CAST(sum(v) OVER wr AS DOUBLE) AS pre,
+        |        count(*) OVER wa AS nk,
+        |        CAST(sum(v) OVER wa AS DOUBLE) AS tot
+        |      FROM b
+        |      WINDOW wr AS (PARTITION BY user_id ORDER BY bucket
+        |               ROWS UNBOUNDED PRECEDING),
+        |             wa AS (PARTITION BY user_id)),
+        |s AS (SELECT user_id, bucket, nk,
+        |        abs(pre / t - (tot - pre) / (nk - t))
+        |          * sqrt(CAST(t * (nk - t) AS DOUBLE) / nk) AS score,
+        |        pre / t AS lm, (tot - pre) / (nk - t) AS rm
+        |      FROM r WHERE t < nk),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |           ORDER BY score DESC, bucket) AS rk FROM s)
+        |SELECT user_id, bucket AS split_bucket, nk AS n_buckets,
+        |  CAST(round(CAST(score AS DECIMAL(24,12)), 6) AS DOUBLE) AS score,
+        |  CAST(round(CAST(lm AS DECIMAL(24,12)), 6) AS DOUBLE) AS left_mean,
+        |  CAST(round(CAST(rm AS DECIMAL(24,12)), 6) AS DOUBLE) AS right_mean
+        |FROM best WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     "stream_interval_join" ->
       """SELECT l.user_id, l.event_id AS click_id, r.event_id AS view_id

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, functions}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,6 +49,22 @@ object TimeSeries {
       .select(col(keyCol), col("bucket"),
         coalesce(col("n"), lit(0L)).as("n"),
         last(col("v"), ignoreNulls = true).over(w).as("v_ff"))
+  }
+
+  /** Shared bucketing: per-(key, epoch-floored step bucket) event count
+    * and DECIMAL(18,6) value sum. Every derived series operator consumes
+    * this shape; keeping `v` in DECIMAL until the final per-row division
+    * is what makes the whole family bit-deterministic across engines and
+    * partitionings.
+    */
+  private def bucketize(events: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val bucket = timestamp_seconds(
+      unix_timestamp(col(tsCol)) - pmod(unix_timestamp(col(tsCol)), lit(stepSeconds)))
+    events.groupBy(col(keyCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,6)")).cast("decimal(18,6)").as("v"))
   }
 
   /** Per-key fixed-step grid with LINEAR interpolation across the gaps —
@@ -115,5 +131,186 @@ object TimeSeries {
               (col("__ne") - col("__pe")).cast("double"))
             .cast("decimal(24,12)"),
           6).cast("double").as("v_interp"))
+  }
+
+  /** Exponentially-weighted moving average over each key's bucketed
+    * series, finite-memory form: at each observed bucket,
+    * `ewma = Σ_{j<m} β^j·v_{t−j} / Σ_{j<m} β^j` over the last
+    * `memory` OBSERVED buckets (pandas `adjust=true` semantics, so a
+    * short history is properly renormalized instead of biased toward
+    * the seed). Weights are quantized to 8 decimal places
+    * (`β^j` rounded half-up) — for β = 1/2 (the default) every weight
+    * up to j = 26 is exact, and the quantization is part of the
+    * operator contract, which is what lets the weighted sum run
+    * entirely in DECIMAL: weight(18,8) × value(18,6) products and
+    * their sum are exact and order-independent, so the result is
+    * bit-identical under any partitioning or engine. The only float
+    * step is the final one division per row.
+    *
+    * Scale shape: one hash aggregation into (key, bucket), one per-key
+    * window carrying a ≤ `memory`-element array — no grid explode, no
+    * self-join (a range self-join would shuffle `memory`× the data; the
+    * bounded collect_list window moves each row once).
+    *
+    * Buckets whose value sum is NULL (every event in the bucket had a
+    * NULL value) are dropped from the series BEFORE windowing: the
+    * collected array skips NULLs, so keeping those rows would silently
+    * re-age every weight by array position instead of bucket recency —
+    * excluding them keeps "last `memory` observed buckets" meaning the
+    * same thing to this operator and to a row-lag formulation (the
+    * oracle's).
+    */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+           beta: BigDecimal = BigDecimal("0.5"), memory: Int = 8,
+           stepSeconds: Long = 3600L): DataFrame = {
+    require(memory >= 1 && memory <= 64, s"need 1 <= memory <= 64, got $memory")
+    require(beta > 0 && beta < 1, s"need 0 < beta < 1, got $beta")
+    val ws = ewmaWeights(beta, memory)
+    val wArr = array(ws.map(w => lit(w.bigDecimal).cast("decimal(18,8)")): _*)
+    val tots = ws.scanLeft(BigDecimal(0))(_ + _).tail
+    val wTotArr = array(tots.map(t => lit(t.bigDecimal).cast("decimal(18,8)")): _*)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(-(memory - 1), Window.currentRow)
+    val m = size(col("__arr"))
+    bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .filter(col("v").isNotNull)
+      .withColumn("__arr", collect_list(col("v")).over(w))
+      .select(col(keyCol), col("bucket"), col("n"), col("v").cast("double").as("v"),
+        round(
+          (aggregate(
+            // __arr is oldest..newest; element i (0-based) has age m-1-i,
+            // so its weight is wArr(m-1-i) -> 1-based element_at(m-i).
+            // Products are DECIMAL(37,14) (18,6 × 18,8); re-cast each
+            // partial sum to the accumulator's DECIMAL(38,14) so the merge
+            // lambda's type matches it exactly (Spark's decimal-addition
+            // widening would otherwise drop to (38,13) and fail analysis).
+            // ≤ 64 values of |v| ≤ 1e12 × weight ≤ 1 cannot overflow 38,14.
+            transform(col("__arr"), (x, i) => x * element_at(wArr, m - i)),
+            lit(BigDecimal(0).bigDecimal).cast("decimal(38,14)"),
+            (acc, x) => (acc + x).cast("decimal(38,14)"))
+            .cast("double") / element_at(wTotArr, m).cast("double"))
+            .cast("decimal(24,12)"),
+          6).cast("double").as("ewma"))
+  }
+
+  /** The 8-dp-quantized weight ladder `β^j, j = 0..memory-1` — shared
+    * between the operator and callers that mirror it (oracle SQL).
+    */
+  def ewmaWeights(beta: BigDecimal, memory: Int): Seq[BigDecimal] =
+    Iterator.iterate(BigDecimal(1))(_ * beta).take(memory)
+      .map(_.setScale(8, BigDecimal.RoundingMode.HALF_UP)).toSeq
+
+  /** Rolling z-score anomaly flagging: each observed bucket scored
+    * against the mean/std of its key's trailing `window` observed
+    * buckets (itself included). Moments come from exact DECIMAL window
+    * sums (Σv, Σv²), so mean/variance inputs are bit-identical under
+    * any partitioning; the z division is the only float step. Buckets
+    * whose trailing window has fewer than 2 rows or zero variance get
+    * NULL z (never ±Inf/NaN), and `is_anomaly` is a proper boolean —
+    * NULL-z rows are false, not NULL, so downstream filters don't need
+    * three-valued logic.
+    *
+    * Scale shape: one hash aggregation + one bounded per-key window;
+    * parallelizes across keys, constant state per row.
+    */
+  def rollingZscore(events: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, window: Int = 24,
+                    threshold: Double = 3.0, stepSeconds: Long = 3600L): DataFrame = {
+    require(window >= 2, s"need window >= 2, got $window")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val b = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("v")).over(w).cast("double"))
+      .withColumn("s2", sum((col("v") * col("v")).cast("decimal(38,12)")).over(w)
+        .cast("double"))
+    val mean = col("s1") / col("nw")
+    val varRaw = (col("s2") - col("s1") * col("s1") / col("nw")) / (col("nw") - 1)
+    val varC = when(col("nw") < 2, lit(null)).when(varRaw < 0, lit(0.0)).otherwise(varRaw)
+    val std = sqrt(varC)
+    val z = when(std > 0, (col("v").cast("double") - mean) / std)
+    b.select(col(keyCol), col("bucket"), col("n"), col("v").cast("double").as("v"),
+      col("nw"),
+      round(z.cast("decimal(24,12)"), 6).cast("double").as("z"),
+      coalesce(abs(z) > threshold, lit(false)).as("is_anomaly"))
+  }
+
+  /** Lag-k autocorrelation of each key's bucketed series (successive
+    * OBSERVED buckets — gaps are treated as adjacent, callers wanting
+    * calendar lags resample first). Pearson r between (v_t, v_{t−k})
+    * computed from six exact DECIMAL aggregates (n, Σx, Σy, Σxy, Σx²,
+    * Σy²), so the only float arithmetic is the fixed closed-form per
+    * KEY, not per row — deterministic under any partitioning. Keys
+    * with a degenerate denominator (constant series, < 2 pairs) get
+    * NULL r rather than NaN.
+    *
+    * Scale shape: one hash aggregation, one per-key lag window, one
+    * final per-key aggregation — three key-partitioned shuffles of
+    * register-sized rows.
+    */
+  def autocorr(events: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, lag: Int = 1,
+               stepSeconds: Long = 3600L): DataFrame = {
+    require(lag >= 1, s"need lag >= 1, got $lag")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val paired = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .withColumn("y", functions.lag(col("v"), lag).over(w))
+      .filter(col("y").isNotNull)
+    val agg = paired.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("v")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum((col("v") * col("y")).cast("decimal(38,12)")).cast("double").as("sxy"),
+      sum((col("v") * col("v")).cast("decimal(38,12)")).cast("double").as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,12)")).cast("double").as("syy"))
+    val nd = col("n_pairs").cast("double")
+    val den1 = nd * col("sxx") - col("sx") * col("sx")
+    val den2 = nd * col("syy") - col("sy") * col("sy")
+    val r = when(den1 > 0 && den2 > 0,
+      (nd * col("sxy") - col("sx") * col("sy")) / (sqrt(den1) * sqrt(den2)))
+    agg.select(col(keyCol), col("n_pairs"),
+      round(r.cast("decimal(24,12)"), 6).cast("double").as("autocorr"))
+  }
+
+  /** Single-changepoint scan: for every split position t of a key's
+    * bucketed series, the standardized mean-shift statistic
+    * `|mean(v_1..t) − mean(v_{t+1}..n)| · sqrt(t·(n−t)/n)` (the
+    * two-sample scan score — the sqrt factor makes scores comparable
+    * across split positions), maximized over t. Returns one row per
+    * key with ≥ 2 buckets: the best split's bucket, its score, and the
+    * two side means. Prefix sums are exact DECIMAL running windows, so
+    * every engine scores every split identically; ties on score break
+    * to the earliest bucket.
+    *
+    * Scale shape: two per-key windows (running prefix sum + whole-key
+    * totals) and a per-key top-1 window — all key-partitioned; no
+    * grid, no self-join (the naive formulation joins every split
+    * against every row — O(n²) per key; prefix sums make it O(n)).
+    */
+  def changepointScan(events: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, stepSeconds: Long = 3600L): DataFrame = {
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(keyCol))
+    val scored = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .withColumn("t", count(lit(1)).over(wRun))
+      .withColumn("pre", sum(col("v")).over(wRun).cast("double"))
+      .withColumn("nk", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("v")).over(wAll).cast("double"))
+      .filter(col("t") < col("nk"))
+    val lmean = col("pre") / col("t")
+    val rmean = (col("tot") - col("pre")) / (col("nk") - col("t"))
+    val score = abs(lmean - rmean) *
+      sqrt((col("t") * (col("nk") - col("t"))).cast("double") / col("nk"))
+    val wBest = Window.partitionBy(col(keyCol))
+      .orderBy(col("__score").desc, col("bucket"))
+    scored.withColumn("__score", score)
+      .withColumn("__lm", lmean).withColumn("__rm", rmean)
+      .withColumn("__rk", row_number().over(wBest))
+      .filter(col("__rk") === 1)
+      .select(col(keyCol), col("bucket").as("split_bucket"), col("nk").as("n_buckets"),
+        round(col("__score").cast("decimal(24,12)"), 6).cast("double").as("score"),
+        round(col("__lm").cast("decimal(24,12)"), 6).cast("double").as("left_mean"),
+        round(col("__rm").cast("decimal(24,12)"), 6).cast("double").as("right_mean"))
   }
 }

@@ -84,4 +84,66 @@ class TimeSeriesSpec extends SparkSpec {
       ("2024-01-01T11:30:00Z", 0L, 3.0),
       ("2024-01-01T12:00:00Z", 1L, 7.0)))
   }
+
+  private def hourly(rows: (Long, String, Double)*) =
+    rows.toSeq.toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+
+  test("ewma: adjust=true renormalization over a short history (hand-computed)") {
+    val ev = hourly(
+      (1L, "2024-01-01 10:30:00", 2.0),
+      (1L, "2024-01-01 11:30:00", 4.0),
+      (1L, "2024-01-01 12:30:00", 8.0))
+    val out = TimeSeries.ewma(ev, "user_id", "ts", "value", memory = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getTimestamp(1).toInstant.toString, r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01T10:00:00Z", 2.0),      // lone bucket: weight total 1
+      ("2024-01-01T11:00:00Z", 3.333333), // (4 + 2*0.5)/1.5
+      ("2024-01-01T12:00:00Z", 6.666667))) // (8 + 4*0.5)/1.5 — 10:00 aged out
+  }
+
+  test("rollingZscore: NULL z on short/zero-variance windows, threshold flag") {
+    val ev = hourly(
+      (1L, "2024-01-01 10:30:00", 1.0),
+      (1L, "2024-01-01 11:30:00", 1.0),
+      (1L, "2024-01-01 12:30:00", 10.0))
+    val out = TimeSeries.rollingZscore(ev, "user_id", "ts", "value",
+        window = 3, threshold = 1.0)
+      .orderBy("bucket").collect()
+      .map(r => (Option(r.get(5)).map(_.asInstanceOf[Double]), r.getBoolean(6)))
+    // nw=1 -> no variance; nw=2 constant -> std 0; nw=3: mean 4, std
+    // sqrt(((1+1+100) - 144/3)/2) = sqrt(27), z = 6/5.196152 = 1.154701.
+    assert(out.toSeq == Seq(
+      (None, false), (None, false), (Some(1.154701), true)))
+  }
+
+  test("autocorr: alternating series is exactly -1; constant series is NULL") {
+    val alt = (0 to 4).map(h =>
+      (1L, f"2024-01-01 1$h%d:30:00", if (h % 2 == 0) 1.0 else 2.0))
+    val const = (0 to 3).map(h => (2L, f"2024-01-01 1$h%d:30:00", 5.0))
+    val out = TimeSeries.autocorr(hourly(alt ++ const: _*), "user_id", "ts", "value")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2))))
+    assert(out.toSeq == Seq(
+      (1L, 4L, Some(-1.0)),  // perfect alternation
+      (2L, 3L, None)))       // zero denominator -> NULL, not NaN
+  }
+
+  test("changepointScan: finds the level shift; ties break to the earliest bucket") {
+    val shift = Seq(0.0, 0.0, 0.0, 10.0, 10.0).zipWithIndex.map {
+      case (v, h) => (1L, f"2024-01-01 1$h%d:30:00", v) }
+    val sym = Seq(0.0, 10.0, 0.0).zipWithIndex.map {
+      case (v, h) => (2L, f"2024-01-01 1$h%d:30:00", v) }
+    val out = TimeSeries.changepointScan(hourly(shift ++ sym: _*),
+        "user_id", "ts", "value")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toString, r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      // best split after bucket 12: |0-10|*sqrt(3*2/5) = 10.954451
+      (1L, "2024-01-01T12:00:00Z", 5L, 10.954451, 0.0, 10.0),
+      // 0,10,0: splits at t=1 and t=2 score identically -> earliest wins
+      (2L, "2024-01-01T10:00:00Z", 3L, 4.082483, 0.0, 5.0)))
+  }
 }
