@@ -1826,6 +1826,37 @@ object SparkEntry {
           T(s, dir, "events"), "user_id", "ts", "value")
         .orderBy("user_id")),
 
+    // Per-key OLS trend of the hourly series over the observed-bucket
+    // index: slope/intercept/R² from six exact aggregates (Σt² in
+    // DECIMAL — BIGINT would overflow on a billion-bucket key).
+    "ts_ols" -> ((s, dir) =>
+      operators.TimeSeries.olsTrend(
+          T(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id")),
+
+    // Lag-1 cross-correlation between each user's hourly value-sum and
+    // event-count series — both series from ONE bucketize pass.
+    "ts_xcorr" -> ((s, dir) =>
+      operators.TimeSeries.crossCorr(
+          T(s, dir, "events"), "user_id", "ts", "value", lag = 1)
+        .orderBy("user_id")),
+
+    // Hour-of-day seasonal strength per user: SSB/SST from per-phase
+    // exact aggregates (no windows at all); peak phase ranked by the
+    // 6-dp-rounded double mean so every engine agrees on ties.
+    "ts_seasonal" -> ((s, dir) =>
+      operators.TimeSeries.seasonalStrength(
+          T(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id")),
+
+    // SAX shape words (8 segments, 4-letter alphabet): z-normalize on
+    // exact key moments, PAA segment means over 6-dp DECIMAL z sums,
+    // Gaussian-breakpoint letters — degenerate keys omitted.
+    "ts_sax" -> ((s, dir) =>
+      operators.TimeSeries.sax(
+          T(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id")),
+
     // Stream-stream interval join (batch-unified body): views within
     // 6 hours after each click, per user. On streams both sides get
     // watermarks and the range bound GCs the join state (StreamingSpec
@@ -4640,6 +4671,131 @@ object SparkEntry {
         |  CAST(round(CAST(lm AS DECIMAL(24,12)), 6) AS DOUBLE) AS left_mean,
         |  CAST(round(CAST(rm AS DECIMAL(24,12)), 6) AS DOUBLE) AS right_mean
         |FROM best WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "ts_ols" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM events GROUP BY 1, 2),
+        |f AS (SELECT * FROM b WHERE v IS NOT NULL),
+        |i AS (SELECT user_id, v,
+        |        CAST(row_number() OVER (PARTITION BY user_id ORDER BY bucket) - 1
+        |          AS BIGINT) AS t
+        |      FROM f),
+        |a AS (SELECT user_id, count(*) AS n_buckets, sum(t) AS st,
+        |        CAST(sum(v) AS DOUBLE) AS sv,
+        |        CAST(sum(CAST(t * v AS DECIMAL(38,12))) AS DOUBLE) AS stv,
+        |        CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))
+        |          AS DECIMAL(38,0)) AS stt,
+        |        CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS svv
+        |      FROM i GROUP BY 1),
+        |c AS (SELECT user_id, n_buckets, sv, st,
+        |        CAST(n_buckets AS DOUBLE) AS nd,
+        |        CAST(n_buckets AS DOUBLE) * CAST(stt AS DOUBLE)
+        |          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) AS dent,
+        |        CAST(n_buckets AS DOUBLE) * svv - sv * sv AS denv,
+        |        CAST(n_buckets AS DOUBLE) * stv - CAST(st AS DOUBLE) * sv AS cov
+        |      FROM a),
+        |s AS (SELECT *, CASE WHEN n_buckets >= 2 AND dent > 0
+        |                     THEN cov / dent END AS slope FROM c)
+        |SELECT user_id, n_buckets,
+        |  CAST(round(CAST(slope AS DECIMAL(24,12)), 6) AS DOUBLE) AS slope,
+        |  CAST(round(CAST((sv - slope * CAST(st AS DOUBLE)) / nd
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS intercept,
+        |  CAST(round(CAST(CASE WHEN slope IS NOT NULL AND denv > 0
+        |      THEN cov * cov / (dent * denv) END
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS r2
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    "ts_xcorr" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |        count(*) AS n,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, v,
+        |        lag(n, 1) OVER (PARTITION BY user_id ORDER BY bucket) AS y
+        |      FROM b),
+        |q AS (SELECT * FROM l WHERE y IS NOT NULL AND v IS NOT NULL),
+        |a AS (SELECT user_id, count(*) AS n_pairs,
+        |        CAST(sum(v) AS DOUBLE) AS sx, sum(y) AS sy,
+        |        CAST(sum(CAST(v * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |          AS DECIMAL(38,0)) AS syy
+        |      FROM q GROUP BY 1),
+        |c AS (SELECT user_id, n_pairs,
+        |        CAST(n_pairs AS DOUBLE) * sxx - sx * sx AS den1,
+        |        CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den2,
+        |        CAST(n_pairs AS DOUBLE) * sxy
+        |          - sx * CAST(sy AS DOUBLE) AS cov
+        |      FROM a)
+        |SELECT user_id, n_pairs,
+        |  CAST(round(CAST(
+        |    CASE WHEN den1 > 0 AND den2 > 0
+        |         THEN cov / (sqrt(den1) * sqrt(den2)) END
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS xcorr
+        |FROM c ORDER BY user_id""".stripMargin,
+
+    "ts_seasonal" ->
+      """WITH per AS (SELECT user_id,
+        |        CAST(floor((epoch(ts) % 86400) / 3600) AS BIGINT) AS phase,
+        |        CAST(value AS DECIMAL(18,6)) AS x
+        |      FROM events WHERE value IS NOT NULL),
+        |pp AS (SELECT user_id, phase, count(*) AS np,
+        |         CAST(sum(x) AS DECIMAL(38,12)) AS sp,
+        |         sum(CAST(x * x AS DECIMAL(38,12))) AS sp2
+        |       FROM per GROUP BY 1, 2),
+        |pk AS (SELECT user_id, phase AS peak_phase,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY round(CAST(sp AS DOUBLE) / np, 6) DESC, phase ASC) AS rk
+        |       FROM pp),
+        |a AS (SELECT user_id, CAST(sum(np) AS BIGINT) AS n_rows,
+        |        count(*) AS n_phases,
+        |        CAST(sum(sp) AS DOUBLE) AS s, CAST(sum(sp2) AS DOUBLE) AS s2,
+        |        CAST(sum(CAST(round(CAST(sp * sp AS DOUBLE) / np, 6)
+        |          AS DECIMAL(38,6))) AS DOUBLE) AS ssb_raw
+        |      FROM pp GROUP BY 1),
+        |c AS (SELECT user_id, n_rows, n_phases,
+        |        s2 - s * s / n_rows AS sst,
+        |        ssb_raw - s * s / n_rows AS ssb
+        |      FROM a)
+        |SELECT c.user_id, c.n_rows, c.n_phases, pk.peak_phase,
+        |  CAST(round(CAST(
+        |    CASE WHEN sst > 0 THEN greatest(least(ssb / sst, 1.0), 0.0) END
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS strength
+        |FROM c JOIN pk ON c.user_id = pk.user_id AND pk.rk = 1
+        |ORDER BY c.user_id""".stripMargin,
+
+    "ts_sax" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM events GROUP BY 1, 2),
+        |f AS (SELECT * FROM b WHERE v IS NOT NULL),
+        |m AS (SELECT user_id, count(*) AS nk, CAST(sum(v) AS DOUBLE) AS s1,
+        |        CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS s2
+        |      FROM f GROUP BY 1),
+        |st AS (SELECT user_id, nk, s1 / nk AS mu,
+        |         CASE WHEN nk >= 2 AND (s2 - s1 * s1 / nk) / (nk - 1) > 0
+        |              THEN sqrt((s2 - s1 * s1 / nk) / (nk - 1)) END AS sigma
+        |       FROM m),
+        |z AS (SELECT f.user_id, st.nk,
+        |        CAST(row_number() OVER (PARTITION BY f.user_id ORDER BY bucket) - 1
+        |          AS BIGINT) AS i,
+        |        CAST(round(CAST((CAST(v AS DOUBLE) - mu) / sigma
+        |          AS DECIMAL(24,12)), 6) AS DECIMAL(18,6)) AS zz
+        |      FROM f JOIN st ON f.user_id = st.user_id
+        |      WHERE sigma IS NOT NULL),
+        |sg AS (SELECT user_id, max(nk) AS nk,
+        |         CAST(floor(i * 8 / nk) AS BIGINT) AS seg,
+        |         count(*) AS ns, CAST(sum(zz) AS DOUBLE) AS sz
+        |       FROM z GROUP BY user_id, CAST(floor(i * 8 / nk) AS BIGINT)),
+        |le AS (SELECT user_id, nk, seg,
+        |         CASE WHEN sz / ns < -0.6745 THEN 'a' WHEN sz / ns < 0 THEN 'b'
+        |              WHEN sz / ns < 0.6745 THEN 'c' ELSE 'd' END AS letter
+        |       FROM sg)
+        |SELECT user_id, max(nk) AS n_buckets,
+        |  string_agg(letter, '' ORDER BY seg) AS sax
+        |FROM le GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "stream_interval_join" ->
       """SELECT l.user_id, l.event_id AS click_id, r.event_id AS view_id

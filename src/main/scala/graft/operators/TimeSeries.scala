@@ -313,4 +313,192 @@ object TimeSeries {
         round(col("__lm").cast("decimal(24,12)"), 6).cast("double").as("left_mean"),
         round(col("__rm").cast("decimal(24,12)"), 6).cast("double").as("right_mean"))
   }
+
+  /** Per-key OLS trend line of the bucketed value over the OBSERVED-bucket
+    * index t = 0, 1, … (index, not wall time, so gaps don't leverage the
+    * fit; resample first for calendar-time slopes). Slope / intercept / R²
+    * come from the closed forms over six aggregates (n, Σt, Σv, Σtv, Σt²,
+    * Σv²): t is an exact integer, v and the cross products ride DECIMAL,
+    * so the per-key float arithmetic is one fixed expression over
+    * identical operands in any engine or partitioning. Degenerate keys
+    * (n < 2) get NULL slope; a flat series gets slope 0 with NULL R²
+    * (0/0 — no variance to explain).
+    *
+    * Scale shape: one hash aggregation, one per-key index window, one
+    * per-key aggregation — all key-partitioned.
+    */
+  def olsTrend(events: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, stepSeconds: Long = 3600L): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val idx = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .filter(col("v").isNotNull)
+      .withColumn("t", (row_number().over(w) - 1).cast("long"))
+    val agg = idx.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_buckets"),
+      sum(col("t")).as("st"),
+      sum(col("v")).cast("double").as("sv"),
+      sum((col("t") * col("v")).cast("decimal(38,12)")).cast("double").as("stv"),
+      // t² and Σt² ride DECIMAL(38,0): a billion-bucket key would overflow
+      // BIGINT (ANSI runtime error), and DECIMAL keeps the moment exact.
+      sum(col("t").cast("decimal(19,0)") * col("t").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("stt"),
+      sum((col("v") * col("v")).cast("decimal(38,12)")).cast("double").as("svv"))
+    val nd = col("n_buckets").cast("double")
+    val dent = nd * col("stt").cast("double") -
+      col("st").cast("double") * col("st").cast("double")
+    val denv = nd * col("svv") - col("sv") * col("sv")
+    val cov = nd * col("stv") - col("st").cast("double") * col("sv")
+    val slope = when(col("n_buckets") >= 2 && dent > 0, cov / dent)
+    val intercept = (col("sv") - slope * col("st").cast("double")) / nd
+    val r2 = when(slope.isNotNull && denv > 0, cov * cov / (dent * denv))
+    agg.select(col(keyCol), col("n_buckets"),
+      round(slope.cast("decimal(24,12)"), 6).cast("double").as("slope"),
+      round(intercept.cast("decimal(24,12)"), 6).cast("double").as("intercept"),
+      round(r2.cast("decimal(24,12)"), 6).cast("double").as("r2"))
+  }
+
+  /** Lagged cross-correlation between each key's bucketed value-sum
+    * series and its event-count series: Pearson r between v_t and
+    * n_{t−lag} over successive observed buckets — "does activity
+    * intensity lead value by `lag` buckets?" (lag 0 = contemporaneous).
+    * Same six-exact-aggregate Pearson as [[autocorr]] — both series come
+    * out of ONE bucketize pass (no second scan or join of two series),
+    * and float math is confined to the per-key closed form. Degenerate
+    * keys (either series constant, < 2 pairs) get NULL r.
+    */
+  def crossCorr(events: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, lag: Int = 0,
+                stepSeconds: Long = 3600L): DataFrame = {
+    require(lag >= 0, s"need lag >= 0, got $lag")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val paired = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .withColumn("y",
+        if (lag == 0) col("n") else functions.lag(col("n"), lag).over(w))
+      .filter(col("y").isNotNull && col("v").isNotNull)
+    val agg = paired.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("v")).cast("double").as("sx"),
+      sum(col("y")).as("sy"),
+      sum((col("v") * col("y")).cast("decimal(38,12)")).cast("double").as("sxy"),
+      sum((col("v") * col("v")).cast("decimal(38,12)")).cast("double").as("sxx"),
+      // y² and Σy² in DECIMAL: same BIGINT-overflow guard as olsTrend.
+      sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("syy"))
+    val nd = col("n_pairs").cast("double")
+    val den1 = nd * col("sxx") - col("sx") * col("sx")
+    val den2 = nd * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val r = when(den1 > 0 && den2 > 0,
+      (nd * col("sxy") - col("sx") * col("sy").cast("double")) /
+        (sqrt(den1) * sqrt(den2)))
+    agg.select(col(keyCol), col("n_pairs"),
+      round(r.cast("decimal(24,12)"), 6).cast("double").as("xcorr"))
+  }
+
+  /** Seasonal-strength decomposition: buckets are phased by
+    * `(epoch mod periodSeconds) / stepSeconds` (period 86400 / step 3600
+    * = hour-of-day) and each key's value variance is split into
+    * between-phase and residual parts — `strength = SSB / SST`, the
+    * standard "how seasonal is this signal" ratio (0 = no phase effect,
+    * → 1 = pure seasonality), plus the peak phase (highest phase mean,
+    * ties to the earliest phase). Sums of squares come from per-phase
+    * exact DECIMAL aggregates combined in one fixed per-key float
+    * expression: `SST = Σv² − S²/N`, `SSB = Σ_p s_p²/n_p − S²/N`.
+    * Zero-variance keys get NULL strength.
+    *
+    * Scale shape: one hash aggregation into (key, phase) — ≤ period/step
+    * rows per key — then one per-key aggregation; no windows at all.
+    */
+  def seasonalStrength(events: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, periodSeconds: Long = 86400L,
+                       stepSeconds: Long = 3600L): DataFrame = {
+    require(periodSeconds > 0 && stepSeconds > 0 && periodSeconds % stepSeconds == 0,
+      s"need step | period, got period=$periodSeconds step=$stepSeconds")
+    val phase = (pmod(unix_timestamp(col(tsCol)), lit(periodSeconds)) / stepSeconds)
+      .cast("long")
+    val perPhase = events
+      .select(col(keyCol), phase.as("phase"),
+        col(valueCol).cast("decimal(18,6)").as("x"))
+      .filter(col("x").isNotNull)
+      .groupBy(col(keyCol), col("phase"))
+      .agg(count(lit(1)).as("np"),
+        sum(col("x")).cast("decimal(38,12)").as("sp"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).as("sp2"))
+    val agg = perPhase.groupBy(col(keyCol)).agg(
+      sum(col("np")).as("n_rows"),
+      count(lit(1)).as("n_phases"),
+      sum(col("sp")).cast("double").as("s"),
+      sum(col("sp2")).cast("double").as("s2"),
+      // Σ_p s_p²/n_p: per-phase float division then a 6-dp DECIMAL sum so
+      // the total is order-free.
+      sum(round((col("sp") * col("sp")).cast("double") / col("np"), 6)
+        .cast("decimal(38,6)")).cast("double").as("ssb_raw"),
+      // Peak-phase sort key is the 6-dp-rounded DOUBLE mean (not the raw
+      // decimal ratio, whose quotient scale is engine-specific) so any
+      // engine ranks phases identically; ties break to the earliest phase.
+      max_by(col("phase"),
+        struct(round(col("sp").cast("double") / col("np"), 6), -col("phase")))
+        .as("peak_phase"))
+    val sst = col("s2") - col("s") * col("s") / col("n_rows")
+    val ssb = col("ssb_raw") - col("s") * col("s") / col("n_rows")
+    val strength = when(sst > 0, greatest(least(ssb / sst, lit(1.0)), lit(0.0)))
+    agg.select(col(keyCol), col("n_rows"), col("n_phases"), col("peak_phase"),
+      round(strength.cast("decimal(24,12)"), 6).cast("double").as("strength"))
+  }
+
+  /** SAX symbolization: each key's bucketed series, z-normalized with the
+    * key's exact moments, piecewise-aggregate-approximated into
+    * `segments` equal index ranges, each segment mean mapped to a letter
+    * by the standard Gaussian breakpoints — the classic shape signature
+    * for whole-series similarity, indexing, and motif grouping
+    * (Lin/Keogh's SAX, public literature). Alphabet is fixed at 4
+    * (breakpoints −0.6745 / 0 / 0.6745); strict `<` at each breakpoint,
+    * so a segment mean exactly ON a breakpoint takes the higher letter —
+    * both engines evaluate the same doubles, so the tie rule is
+    * deterministic cross-engine.
+    *
+    * Per-row z values are 6-dp rounded and segment means ride a DECIMAL
+    * sum (order-free); keys with < 2 buckets or zero variance are OMITTED
+    * (no shape to encode). Scale shape: per-key moment aggregate
+    * joined back (key-partitioned hash join), one index window, one
+    * (key, segment) aggregation, one per-key assembly — everything keyed.
+    */
+  def sax(events: DataFrame, keyCol: String, tsCol: String,
+          valueCol: String, segments: Int = 8,
+          stepSeconds: Long = 3600L): DataFrame = {
+    require(segments >= 1 && segments <= 64, s"need 1 <= segments <= 64, got $segments")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val b = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .filter(col("v").isNotNull)
+    val moments = b.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("nk"),
+      sum(col("v")).cast("double").as("s1"),
+      sum((col("v") * col("v")).cast("decimal(38,12)")).cast("double").as("s2"))
+    val mean = col("s1") / col("nk")
+    val varr = (col("s2") - col("s1") * col("s1") / col("nk")) / (col("nk") - 1)
+    val stats = moments.select(col(keyCol), col("nk"), mean.as("mu"),
+      when(col("nk") >= 2 && varr > 0, sqrt(varr)).as("sigma"))
+    val seg = b.join(stats, Seq(keyCol))
+      .filter(col("sigma").isNotNull)
+      .withColumn("__i", (row_number().over(w) - 1).cast("long"))
+      // Spark's `/` on integrals is double division; nk ≤ 2^31 buckets ×
+      // segments ≤ 64 stays well under 2^53, so floor(double) == exact
+      // integer division here.
+      .withColumn("__seg", floor(col("__i") * segments / col("nk")).cast("long"))
+      .withColumn("__z",
+        round(((col("v").cast("double") - col("mu")) / col("sigma"))
+          .cast("decimal(24,12)"), 6).cast("decimal(18,6)"))
+      .groupBy(col(keyCol), col("__seg"))
+      .agg(count(lit(1)).as("ns"), sum(col("__z")).cast("double").as("sz"),
+        first(col("nk")).as("nk"))
+    val m = col("sz") / col("ns")
+    val letter = when(m < -0.6745, lit("a")).when(m < 0.0, lit("b"))
+      .when(m < 0.6745, lit("c")).otherwise(lit("d"))
+    seg.withColumn("__letter", letter)
+      .groupBy(col(keyCol))
+      .agg(first(col("nk")).as("n_buckets"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__seg"), col("__letter")))),
+          s => s.getField("__letter")), "").as("sax"))
+  }
 }

@@ -146,4 +146,77 @@ class TimeSeriesSpec extends SparkSpec {
       // 0,10,0: splits at t=1 and t=2 score identically -> earliest wins
       (2L, "2024-01-01T10:00:00Z", 3L, 4.082483, 0.0, 5.0)))
   }
+
+  test("olsTrend: exact line fits, flat series slope 0 / NULL r2, singleton NULL") {
+    val ev = hourly(
+      (1L, "2024-01-01 10:30:00", 1.0), (1L, "2024-01-01 11:30:00", 3.0),
+      (1L, "2024-01-01 12:30:00", 5.0),                      // v = 1 + 2t
+      (2L, "2024-01-01 10:30:00", 5.0), (2L, "2024-01-01 11:30:00", 5.0),
+      (3L, "2024-01-01 10:30:00", 9.0))                      // single bucket
+    val out = TimeSeries.olsTrend(ev, "user_id", "ts", "value")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+        Option(r.get(4))))
+    assert(out.toSeq == Seq(
+      (1L, 3L, Some(2.0), Some(1.0), Some(1.0)),
+      (2L, 2L, Some(0.0), Some(5.0), None),   // no variance to explain
+      (3L, 1L, None, None, None)))
+  }
+
+  test("crossCorr: lag 0 tracks v~n exactly; lag 1 hand value; constant v NULL") {
+    // user 1: v == n in every bucket -> lag-0 r = 1.
+    val u1 = Seq(
+      (1L, "2024-01-01 10:10:00", 0.5), (1L, "2024-01-01 10:20:00", 1.5), // n=2 v=2
+      (1L, "2024-01-01 11:10:00", 1.0),                                   // n=1 v=1
+      (1L, "2024-01-01 12:10:00", 1.0), (1L, "2024-01-01 12:20:00", 1.0),
+      (1L, "2024-01-01 12:30:00", 1.0))                                   // n=3 v=3
+    // user 2: constant v -> zero variance -> NULL.
+    val u2 = Seq((2L, "2024-01-01 10:10:00", 7.0), (2L, "2024-01-01 11:10:00", 7.0))
+    val lag0 = TimeSeries.crossCorr(hourly(u1 ++ u2: _*), "user_id", "ts", "value")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2))))
+    assert(lag0.toSeq == Seq((1L, 3L, Some(1.0)), (2L, 2L, None)))
+
+    // lag 1: v = (4, 2, 6) against prior-bucket n = (1, 2, 1):
+    // r = -6/sqrt(24*2) = -0.866025 (hand).
+    val u3 = Seq(
+      (3L, "2024-01-01 10:10:00", 9.0),                                   // n=1
+      (3L, "2024-01-01 11:10:00", 1.0), (3L, "2024-01-01 11:20:00", 3.0), // n=2 v=4
+      (3L, "2024-01-01 12:10:00", 2.0),                                   // n=1 v=2
+      (3L, "2024-01-01 13:10:00", 6.0))                                   //     v=6
+    val lag1 = TimeSeries.crossCorr(hourly(u3: _*), "user_id", "ts", "value", lag = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(lag1.toSeq == Seq((3L, -0.866025)))
+  }
+
+  test("seasonalStrength: pure phase signal is 1, phase-free noise is 0") {
+    val ev = hourly(
+      // user 1: value is a function of hour-of-day alone -> strength 1.
+      (1L, "2024-01-01 10:30:00", 2.0), (1L, "2024-01-02 10:30:00", 2.0),
+      (1L, "2024-01-01 11:30:00", 4.0), (1L, "2024-01-02 11:30:00", 4.0),
+      // user 2: identical within-phase spread, equal phase means ->
+      // strength 0; peak ties (means both 2) -> earliest phase.
+      (2L, "2024-01-01 10:30:00", 1.0), (2L, "2024-01-02 10:30:00", 3.0),
+      (2L, "2024-01-01 11:30:00", 1.0), (2L, "2024-01-02 11:30:00", 3.0))
+    val out = TimeSeries.seasonalStrength(ev, "user_id", "ts", "value")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 2L, 11L, 1.0),
+      (2L, 4L, 2L, 10L, 0.0)))
+  }
+
+  test("sax: hand-computed 2-segment word; degenerate keys omitted") {
+    val ev = hourly(
+      (1L, "2024-01-01 10:30:00", 1.0), (1L, "2024-01-01 11:30:00", 2.0),
+      (1L, "2024-01-01 12:30:00", 3.0), (1L, "2024-01-01 13:30:00", 4.0),
+      (2L, "2024-01-01 10:30:00", 5.0), (2L, "2024-01-01 11:30:00", 5.0), // flat
+      (3L, "2024-01-01 10:30:00", 8.0))                                    // single
+    val out = TimeSeries.sax(ev, "user_id", "ts", "value", segments = 2)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // user 1: mu=2.5 sigma=sqrt(5/3); segment means ∓0.774597 -> a / d.
+    assert(out.toSeq == Seq((1L, 4L, "ad")))
+  }
 }
