@@ -429,4 +429,163 @@ object Analytics {
         col("med").as("group_median"), col("mad").as("group_mad"),
         col("score").as("mad_score"))
   }
+
+  /** Kaplan–Meier survival curve over user lifetimes — the
+    * churn/retention estimator that handles censoring correctly (naive
+    * "fraction still active at t" UNDER-estimates survival because users
+    * who joined recently haven't had time to churn). Lifetime = first→
+    * last activity, bucketed to `stepSeconds` steps; a user whose last
+    * activity is within `inactiveSeconds` of the corpus end is CENSORED
+    * (still alive — contributes at-risk time but no death), as is anyone
+    * surviving past `horizonSteps` (administrative censoring, which also
+    * BOUNDS the curve: ≤ horizonSteps + 1 rows regardless of data size).
+    * One row per observed step: at-risk count, deaths, censored,
+    * `S(t) = Π_{s≤t}(1 − d_s/n_s)`.
+    *
+    * Scale shape: one per-user aggregate, one ≤ horizon-row per-step
+    * aggregate, then a TRIANGULAR SELF-JOIN on the broadcast step table
+    * for both the at-risk prefix count and the cumulative log-survival —
+    * ≤ (horizon+1)² pairs of register-sized rows, so no global ordered
+    * window anywhere (PlanGuard-clean by construction, not by allowlist).
+    *
+    * Determinism: durations and counts are exact BIGINTs (timestamps
+    * floored to whole seconds on both engines before differencing);
+    * each factor's `ln(1 − d/n)` is 6-dp rounded before the exact
+    * DECIMAL cumulative sum, and `S = exp(cumlog)` is rounded to 6 dp —
+    * the same quantize-before-sum convention as entropy/weightedSample
+    * (and the same documented 1-ulp-at-a-rounding-boundary residual risk
+    * for libm `ln`/`exp`).
+    */
+  def kaplanMeier(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts", stepSeconds: Long = 86400L,
+                  horizonSteps: Int = 90,
+                  inactiveSeconds: Long = 7L * 86400L): DataFrame = {
+    require(stepSeconds > 0 && horizonSteps >= 1 && inactiveSeconds >= 0,
+      s"bad knobs: step=$stepSeconds horizon=$horizonSteps inactive=$inactiveSeconds")
+    val spans = events.groupBy(col(userCol))
+      .agg(unix_timestamp(min(col(tsCol))).as("t0"),
+        unix_timestamp(max(col(tsCol))).as("t1"))
+    val end = events.agg(unix_timestamp(max(col(tsCol))).as("t_end"))
+    val rawSteps = floor((col("t1") - col("t0")) / stepSeconds).cast("long")
+    val churned = (col("t_end") - col("t1")) > inactiveSeconds
+    val perUser = spans.crossJoin(broadcast(end))
+      .select(
+        least(rawSteps, lit(horizonSteps.toLong)).as("step"),
+        (churned && rawSteps <= horizonSteps).as("event"))
+    val perStep = perUser.groupBy(col("step"))
+      .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("event"), 0L).otherwise(1L)).as("c"))
+    val total = perUser.agg(count(lit(1)).as("n_total"))
+    // Triangular self-join: prior removals (strictly before t) give the
+    // at-risk count; the ≤-prefix of rounded log factors gives S(t).
+    val lf = when(col("b.d") > 0,
+      round(log(lit(1.0) - col("b.d").cast("double") /
+        (col("n_total") - col("b.prior")).cast("double")), 6))
+      .otherwise(lit(0.0)).cast("decimal(18,6)")
+    val withPrior = perStep.as("x").join(perStep.as("y"),
+        col("y.step") < col("x.step"), "left")
+      .groupBy(col("x.step").as("step"))
+      .agg(first(col("x.d")).as("d"), first(col("x.c")).as("c"),
+        coalesce(sum(col("y.d") + col("y.c")), lit(0L)).as("prior"))
+    val curve = withPrior.as("a").join(
+        withPrior.select(col("step").as("bstep"), col("d"), col("c"),
+          col("prior")).as("b"),
+        col("b.bstep") <= col("a.step"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("a.step").as("step"))
+      .agg(first(col("a.d")).as("n_events"), first(col("a.c")).as("n_censored"),
+        first((col("n_total") - col("a.prior"))).as("n_risk"),
+        sum(lf).as("cumlog"))
+    curve.select(col("step"), col("n_risk"), col("n_events"), col("n_censored"),
+      round(exp(col("cumlog").cast("double")), 6).as("survival"))
+  }
+
+  /** Two-proportion A/B z-test on a deterministic arm split: users are
+    * armed by `user_id % 2` (swap in a salted hash upstream for real
+    * experiments — the operator only needs SOME deterministic partition),
+    * conversion = "did the user ever emit `convType`". Emits one row:
+    * per-arm exposure/conversion counts and rates, absolute lift, the
+    * pooled-variance z statistic, and the |z| > 1.96 two-sided 5%
+    * verdict. All inputs to the float closed form are exact BIGINTs, so
+    * engines agree bit-for-bit.
+    *
+    * Scale shape: one distinct-user aggregate (map-side combinable) into
+    * a SINGLE summary row — no joins, no windows; the conversion flag
+    * rides the same pass as the arm assignment.
+    */
+  def abTest(events: DataFrame, convType: String,
+             userCol: String = "user_id", typeCol: String = "event_type"): DataFrame = {
+    val perUser = events.groupBy(col(userCol))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L)).as("conv"))
+      .select(pmod(col(userCol), lit(2L)).as("arm"), col("conv"))
+    val agg = perUser.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x_b"))
+    val pa = col("x_a").cast("double") / col("n_a")
+    val pb = col("x_b").cast("double") / col("n_b")
+    val pool = (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b"))
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val z = when(se > 0, (pa - pb) / se)
+    agg.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      round(pa.cast("decimal(24,12)"), 6).cast("double").as("rate_a"),
+      round(pb.cast("decimal(24,12)"), 6).cast("double").as("rate_b"),
+      round((pa - pb).cast("decimal(24,12)"), 6).cast("double").as("lift"),
+      round(z.cast("decimal(24,12)"), 6).cast("double").as("z"),
+      coalesce(abs(z) > 1.96, lit(false)).as("significant"))
+  }
+
+  /** Multi-touch attribution, exponential time decay: each conversion's
+    * credit is split across the touch events that precede it within
+    * `lookbackSeconds`, weighted `0.5^(Δt / halflifeSeconds)` and
+    * normalized per conversion; output is per-channel total credit —
+    * the standard middle ground between first-touch (all credit to the
+    * oldest touch) and last-touch. Touches at the conversion instant
+    * count (Δt = 0 → weight 1); conversions with NO touch in the window
+    * drop out (their credit is undefined, not silently assigned).
+    *
+    * Scale shape: a user-keyed self-join bounded by the lookback window
+    * (the planner keys the shuffle on the user, the range predicate
+    * prunes pairs — same shape as the as-of/interval joins), one
+    * conversion-keyed aggregate for the weight totals, one channel
+    * aggregate. Weights are 6-dp rounded BEFORE the per-conversion
+    * DECIMAL total and the credit fractions are 6-dp rounded before the
+    * per-channel DECIMAL total, so sums are order-free; `pow` carries
+    * the same documented cross-libm boundary risk as weightedSample's
+    * `ln`.
+    */
+  def timeDecayAttribution(events: DataFrame, touchTypes: Seq[String],
+                           convType: String,
+                           lookbackSeconds: Long = 7L * 86400L,
+                           halflifeSeconds: Long = 86400L,
+                           userCol: String = "user_id",
+                           typeCol: String = "event_type", tsCol: String = "ts",
+                           idCol: String = "event_id"): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(lookbackSeconds > 0 && halflifeSeconds > 0,
+      s"bad knobs: lookback=$lookbackSeconds halflife=$halflifeSeconds")
+    val convs = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u"), col(idCol).as("conv_id"),
+        unix_timestamp(col(tsCol)).as("conv_s"))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("u"), col(typeCol).as("channel"),
+        unix_timestamp(col(tsCol)).as("touch_s"))
+    val pairs = convs.join(touches, Seq("u"))
+      .filter(col("touch_s") <= col("conv_s") &&
+        col("conv_s") - col("touch_s") <= lookbackSeconds)
+      .withColumn("w",
+        round(pow(lit(0.5),
+          (col("conv_s") - col("touch_s")).cast("double") / halflifeSeconds), 6)
+          .cast("decimal(18,6)"))
+    val totals = pairs.groupBy(col("conv_id"))
+      .agg(sum(col("w")).as("wsum"))
+    pairs.join(totals, Seq("conv_id"))
+      .withColumn("credit",
+        round((col("w") / col("wsum")).cast("double"), 6).cast("decimal(18,6)"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("credit")).cast("double"), 6).as("credit"))
+  }
 }
