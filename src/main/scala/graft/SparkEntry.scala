@@ -3588,6 +3588,7 @@ object SparkEntry {
          |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
          |  round(CAST(sp AS DOUBLE) / n
          |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n), 6)
+         |    + 0.0
          |    AS cov
          |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j
          |ORDER BY i, j""".stripMargin,
@@ -3611,6 +3612,7 @@ object SparkEntry {
            |cov AS (SELECT CAST(pp.i AS BIGINT) AS i, CAST(pp.j AS BIGINT) AS j,
            |  round(CAST(sp AS DOUBLE) / n
            |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n), 6)
+           |    + 0.0
            |    AS cov
            |FROM pp JOIN mm mi ON mi.i = pp.i JOIN mm mj ON mj.i = pp.j)""".stripMargin
       val iterCtes = (1 to 3).map { k =>

@@ -433,17 +433,28 @@ object Similarity {
     * "is this embedding space collapsed?" check before ANN indexing.
     *
     * Scale shape: the per-row outer product is built NATIVELY inside the
-    * row (nested `transform` + `flatten` + one explode — narrow, no
-    * join), so the only exchange is the hash aggregate onto d² keys with
-    * full map-side combine: every partition ships at most d² partial
-    * sums regardless of row count, and d is a constant (64 here). Means
-    * ride the same pass shape on d keys and broadcast back. Never
-    * self-joins the exploded frame — at 100 TB a vec_id-keyed join would
-    * shuffle N·d rows to rebuild what the row already had.
+    * row (nested `transform` over a `slice` + `flatten` + one explode —
+    * narrow, no join), and only the UPPER TRIANGLE i ≤ j is generated:
+    * cov is symmetric, so the lower triangle is a mirror of d²/2 tiny
+    * aggregated rows on output, not N·d²/2 extra row-local products.
+    * The only exchange is the hash aggregate onto d(d+1)/2 keys with
+    * full map-side combine: every partition ships at most d(d+1)/2
+    * partial sums regardless of row count, and d is a constant (64
+    * here). Means ride the same pass shape on d keys and broadcast
+    * back. Never self-joins the exploded frame — at 100 TB a
+    * vec_id-keyed join would shuffle N·d rows to rebuild what the row
+    * already had. The aggregated triangle is localCheckpoint()ed (≤ d²
+    * rows — driver-trivial) so the mirror union does not recompute the
+    * corpus scan.
     *
     * Determinism: float inputs cast exactly to double; each product /
     * coordinate is 9-dp-quantized into DECIMAL(28,9) sums (order-free);
-    * the final combination is one IEEE expression rounded to 6 dp.
+    * the final combination is one IEEE expression rounded to 6 dp, then
+    * zero-sign-normalized (`+ 0.0`): a negative-tiny cov rounds to
+    * `-0.0`, which compares equal to `+0.0` under `==` but differs in
+    * the raw sign bit — engines disagree on which they emit (round 9's
+    * oracle diff was exactly two `-0.0` cells), so both this operator
+    * and its oracle SQL canonicalize to `+0.0` (IEEE −0+0 = +0).
     */
   /** Leading principal direction of the embedding space by POWER
     * ITERATION on [[covarianceMatrix]]'s d×d output: x ← C·x / ‖C·x‖,
@@ -496,11 +507,15 @@ object Similarity {
   def covarianceMatrix(embeddings: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol).cast("array<double>")
+    // Upper triangle only: for each i, pair with the tail slice v[i..d).
+    // slice() is 1-based; the inner index j0 is relative to the slice,
+    // so the absolute column is j = i + j0.
     val pairs = embeddings.select(explode(
       org.apache.spark.sql.functions.flatten(
-        transform(v, (xi, i) => transform(v, (xj, j) =>
-          struct(i.as("i"), j.as("j"),
-            round(xi * xj, 9).cast("decimal(28,9)").as("p"))))))
+        transform(v, (xi, i) =>
+          transform(slice(v, i + lit(1), size(v) - i), (xj, j0) =>
+            struct(i.as("i"), (i + j0).as("j"),
+              round(xi * xj, 9).cast("decimal(28,9)").as("p"))))))
       .as("e"))
       .select(col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"),
         col("e.p").as("p"))
@@ -510,12 +525,17 @@ object Similarity {
       .groupBy("i")
       .agg(sum(round(col("x"), 9).cast("decimal(28,9)")).as("sx"))
       .select(col("i").cast("long").as("i"), col("sx"))
-    pairs
+    // `+ 0.0` canonicalizes -0.0 (from a negative-tiny rounded cov) to
+    // +0.0 so the sign bit never depends on which engine rounded.
+    val upper = pairs
       .join(broadcast(means.select(col("i"), col("sx").as("si"))), "i")
       .join(broadcast(means.select(col("i").as("j"), col("sx").as("sj"))), "j")
       .select(col("i"), col("j"),
-        round(col("sp").cast("double") / col("n")
+        (round(col("sp").cast("double") / col("n")
           - (col("si").cast("double") / col("n"))
-          * (col("sj").cast("double") / col("n")), 6).as("cov"))
+          * (col("sj").cast("double") / col("n")), 6) + lit(0.0)).as("cov"))
+      .localCheckpoint()
+    upper.union(upper.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("cov")))
   }
 }
