@@ -1950,9 +1950,10 @@ object SparkEntry {
         minSupport = 3L)),
 
     // Mega-basket guard exercised: baskets with > 5 distinct parts are
-    // excluded whole (TPC-H orders run 1–7 lineitems, so the cap really
-    // filters), denominator and frequencies recomputed over the capped
-    // universe — the skew-safety path for bot/default baskets at scale.
+    // excluded whole (the regenerated testdata's orders run 1–17 distinct
+    // parts, avg ~4, so the cap really filters), denominator and
+    // frequencies recomputed over the capped universe — the skew-safety
+    // path for bot/default baskets at scale.
     "ana_basket_capped" -> ((s, dir) =>
       Analytics.basketPairs(T(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         minSupport = 3L, maxBasketSize = 5L)),

@@ -131,16 +131,30 @@ object Ingest {
     if (name == "events") readEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The harness `events` table stores `ts` as parquet timestamp[ns], which
-    * Spark only reads with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (arrives as LongType nanos). Truncate to micros — integer `div`, NOT
-    * `/`, because 2024-epoch nanos ≈ 1.7e18 exceed double's 53-bit mantissa
-    * — exactly matching DuckDB's ns→us truncation so oracle hashes align.
+  /** The harness `events` table has shipped `ts` in several parquet physical
+    * types across testdata generations; normalize all of them to a plain
+    * (UTC-instant) TimestampType so downstream `unix_millis`/`unix_micros`
+    * and the ORC/CSV round-trips see one stable type:
+    *
+    *  - timestamp[ns] → Spark reads as LongType nanos (with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`). Truncate to micros —
+    *    integer `div`, NOT `/`, because 2024-epoch nanos ≈ 1.7e18 exceed
+    *    double's 53-bit mantissa — matching DuckDB's ns→us truncation so
+    *    oracle hashes align.
+    *  - timestamp[µs] with isAdjustedToUTC=false (pyarrow/pandas naive
+    *    default) → Spark 4.x reads as TIMESTAMP_NTZ. Cast to TimestampType:
+    *    the session timezone is pinned UTC, so the NTZ→instant
+    *    reinterpretation is the identity — the same reading DuckDB applies
+    *    to naive parquet timestamps.
+    *  - timestamp[µs] UTC-adjusted → already TimestampType, pass through.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
 }

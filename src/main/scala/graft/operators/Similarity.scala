@@ -427,35 +427,6 @@ object Similarity {
         col("n_members"))
   }
 
-  /** Exact d×d covariance matrix of the embedding columns —
-    * `cov(i,j) = Σ x_i·x_j / n − mean_i · mean_j` (population form) —
-    * the input to PCA whitening, decorrelation diagnostics, and the
-    * "is this embedding space collapsed?" check before ANN indexing.
-    *
-    * Scale shape: the per-row outer product is built NATIVELY inside the
-    * row (nested `transform` over a `slice` + `flatten` + one explode —
-    * narrow, no join), and only the UPPER TRIANGLE i ≤ j is generated:
-    * cov is symmetric, so the lower triangle is a mirror of d²/2 tiny
-    * aggregated rows on output, not N·d²/2 extra row-local products.
-    * The only exchange is the hash aggregate onto d(d+1)/2 keys with
-    * full map-side combine: every partition ships at most d(d+1)/2
-    * partial sums regardless of row count, and d is a constant (64
-    * here). Means ride the same pass shape on d keys and broadcast
-    * back. Never self-joins the exploded frame — at 100 TB a
-    * vec_id-keyed join would shuffle N·d rows to rebuild what the row
-    * already had. The aggregated triangle is localCheckpoint()ed (≤ d²
-    * rows — driver-trivial) so the mirror union does not recompute the
-    * corpus scan.
-    *
-    * Determinism: float inputs cast exactly to double; each product /
-    * coordinate is 9-dp-quantized into DECIMAL(28,9) sums (order-free);
-    * the final combination is one IEEE expression rounded to 6 dp, then
-    * zero-sign-normalized (`+ 0.0`): a negative-tiny cov rounds to
-    * `-0.0`, which compares equal to `+0.0` under `==` but differs in
-    * the raw sign bit — engines disagree on which they emit (round 9's
-    * oracle diff was exactly two `-0.0` cells), so both this operator
-    * and its oracle SQL canonicalize to `+0.0` (IEEE −0+0 = +0).
-    */
   /** Leading principal direction of the embedding space by POWER
     * ITERATION on [[covarianceMatrix]]'s d×d output: x ← C·x / ‖C·x‖,
     * `iters` times from the uniform start x₀ = 1/√d — the "is this
@@ -478,7 +449,9 @@ object Similarity {
   def pcaPowerIteration(embeddings: DataFrame, iters: Int = 3,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val cov = covarianceMatrix(embeddings, idCol, vecCol).localCheckpoint()
+    // covarianceMatrix already localCheckpoints its ≤d² triangle; a second
+    // checkpoint here would just materialize the same matrix twice.
+    val cov = covarianceMatrix(embeddings, idCol, vecCol)
     val d = cov.agg(countDistinct(col("i")).as("d")).head().getLong(0)
     val x0 = 1.0 / math.sqrt(d.toDouble)
     var x = cov.select(col("i")).distinct()
@@ -504,6 +477,41 @@ object Similarity {
         round(col("nrm"), 6).as("eigenvalue_est"))
   }
 
+  /** Exact d×d covariance matrix of the embedding columns —
+    * `cov(i,j) = Σ x_i·x_j / n − mean_i · mean_j` (population form) —
+    * the input to PCA whitening, decorrelation diagnostics, and the
+    * "is this embedding space collapsed?" check before ANN indexing.
+    *
+    * EAGER: the aggregated triangle is localCheckpoint()ed (≤ d² rows —
+    * driver-trivial) so the mirror union does not recompute the corpus
+    * scan. That means the full corpus scan runs AT CALL TIME and the
+    * checkpointed rows live unreplicated on executors — an executor loss
+    * afterwards fails the job rather than recomputing lineage. Callers
+    * needing fault tolerance across long downstream pipelines should
+    * `checkpoint(eager = true)` the result to a reliable dir instead.
+    *
+    * Scale shape: the per-row outer product is built NATIVELY inside the
+    * row (nested `transform` over a `slice` + `flatten` + one explode —
+    * narrow, no join), and only the UPPER TRIANGLE i ≤ j is generated:
+    * cov is symmetric, so the lower triangle is a mirror of d²/2 tiny
+    * aggregated rows on output, not N·d²/2 extra row-local products.
+    * The only exchange is the hash aggregate onto d(d+1)/2 keys with
+    * full map-side combine: every partition ships at most d(d+1)/2
+    * partial sums regardless of row count, and d is a constant (64
+    * here). Means ride the same pass shape on d keys and broadcast
+    * back. Never self-joins the exploded frame — at 100 TB a
+    * vec_id-keyed join would shuffle N·d rows to rebuild what the row
+    * already had.
+    *
+    * Determinism: float inputs cast exactly to double; each product /
+    * coordinate is 9-dp-quantized into DECIMAL(28,9) sums (order-free);
+    * the final combination is one IEEE expression rounded to 6 dp, then
+    * zero-sign-normalized (`+ 0.0`): a negative-tiny cov rounds to
+    * `-0.0`, which compares equal to `+0.0` under `==` but differs in
+    * the raw sign bit — engines disagree on which they emit (round 9's
+    * oracle diff was exactly two `-0.0` cells), so both this operator
+    * and its oracle SQL canonicalize to `+0.0` (IEEE −0+0 = +0).
+    */
   def covarianceMatrix(embeddings: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol).cast("array<double>")
