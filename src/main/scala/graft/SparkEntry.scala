@@ -595,6 +595,13 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup: coarse-cluster (8 lowest-id seeds) then drop any vector
+    // with a lower-id cluster-mate at cosine >= 0.4 — the quadratic pair
+    // term is bounded per cluster, the kept verdict is deterministic.
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(T(s, dir, "embeddings"), 8, 0.4)
+        .orderBy("vec_id")),
+
     // The SRP-LSH scale path for embedding near-dup, against the exact
     // all-pairs oracle. The synthetic embeddings are isotropic (pairwise
     // cosines ≲ 0.62 — no natural near-dups), so the query plants them:
@@ -902,6 +909,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Hard-negative mining for contrastive training: per query, top-5 by
+    // cosine among vectors assigned to a DIFFERENT coarse cluster (k=4
+    // lowest-id seeds) — near-misses with a known non-match label.
+    "ann_hard_negatives" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8), 5, nClusters = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("neighbor_cluster"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF is the inverted-list scale path beside SRP-LSH. Centroids are
     // the nClusters smallest samplingHash(id) vectors — ANSI arithmetic,
     // so the oracle selects the identical set and checks the full
@@ -1017,6 +1036,13 @@ object SparkEntry {
     // window).
     "text_select_budget" -> ((s, dir) =>
       TextAnalysis.selectByBudget(T(s, dir, "documents"), 10000L)
+        .orderBy("doc_id")),
+
+    // Per-source quantile quality gate: each doc competes against its OWN
+    // source's p25 of the distinct-token-ratio score, so low-register
+    // sources aren't deleted wholesale by a global cutoff.
+    "text_quality_gate" -> ((s, dir) =>
+      TextAnalysis.qualityGate(T(s, dir, "documents"), 0.25)
         .orderBy("doc_id")),
 
     // Shannon token entropy per doc (nats) + max-normalized form — the
@@ -2166,6 +2192,27 @@ object SparkEntry {
   private val embCte =
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
 
+  /** Shared nearest-seed assignment CTE chain — mirrors
+    * `Similarity.assignToSeeds` with `k` lowest-id seeds: defines
+    * relations `e` (vec_id, v), `f` (flattened), and `a` (vec_id, cid).
+    * Used by the kmeans / SemDeDup / hard-negative oracles.
+    */
+  private def assignCtes(k: Int): String =
+    s"""e AS ($embCte),
+       |f AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+       |        unnest(v) AS x FROM e),
+       |seeds AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k),
+       |c AS (SELECT f.vec_id AS cid, f.dim, f.x AS cx
+       |      FROM f JOIN seeds USING (vec_id)),
+       |d AS (SELECT f.vec_id, c.cid,
+       |        sum(CAST(round((f.x - c.cx) * (f.x - c.cx), 6)
+       |          AS DECIMAL(18,6))) AS d2
+       |      FROM f JOIN c USING (dim) GROUP BY 1, 2),
+       |a AS (SELECT vec_id, cid FROM
+       |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY d2, cid) AS rn FROM d)
+       |      WHERE rn = 1)""".stripMargin
+
   /** SimHash oracle: rebuild the 64-bit fingerprints from the
     * ANSI-expressible token hash (ShingleUtil.tokenHash31 + the per-bit
     * affine remixes, constants embedded below), pack them into a BIGINT
@@ -3149,6 +3196,40 @@ object SparkEntry {
 
     "ann_brute_topk" -> bruteAnnOracle,
 
+    // SemDeDup mirror: same assignment CTEs as emb_kmeans_iter (k=8),
+    // then the one-pass "any lower-id cluster-mate within cosine 0.4"
+    // drop rule — cluster-scoped pairs only, exactly the Spark join.
+    "dedup_semantic" ->
+      s"""WITH ${assignCtes(8)},
+         |v AS (SELECT e.vec_id, a.cid, e.v FROM e JOIN a USING (vec_id)),
+         |dup AS (SELECT DISTINCT b.vec_id
+         |        FROM v x JOIN v b ON x.cid = b.cid AND x.vec_id < b.vec_id
+         |        WHERE list_cosine_similarity(x.v, b.v) >= 0.4)
+         |SELECT v.vec_id, CAST(v.cid AS BIGINT) AS cluster_id,
+         |  dup.vec_id IS NULL AS kept
+         |FROM v LEFT JOIN dup ON dup.vec_id = v.vec_id
+         |ORDER BY v.vec_id""".stripMargin,
+
+    // Hard negatives: brute ranking restricted to cross-cluster pairs;
+    // assignment CTEs shared with the kmeans oracle (k=4).
+    "ann_hard_negatives" ->
+      s"""WITH ${assignCtes(4)},
+         |q AS (SELECT e.vec_id AS query_id, e.v AS qv, a.cid AS qcid
+         |      FROM e JOIN a USING (vec_id) WHERE e.vec_id < 8),
+         |s AS (SELECT q.query_id, ce.vec_id AS neighbor_id,
+         |        CAST(ca.cid AS BIGINT) AS neighbor_cluster,
+         |        list_cosine_similarity(q.qv, ce.v) AS cos
+         |      FROM q JOIN e ce ON ce.vec_id <> q.query_id
+         |      JOIN a ca ON ca.vec_id = ce.vec_id AND ca.cid <> q.qcid)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+         |  neighbor_id, neighbor_cluster, round(cos, 6) AS cosine
+         |FROM s
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
     // Both sides are the committed oracles of ann_lsh_topk / ann_brute_topk
     // wrapped as derived tables; recall math mirrors Similarity.recallAtK.
     "ann_recall" ->
@@ -3445,6 +3526,22 @@ object SparkEntry {
          |SELECT doc_id, score, n_subwords, cum_tokens
          |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
 
+    // Per-source p25 gate: score and threshold both 6-dp-rounded before
+    // the comparison (quantile_cont ≡ Spark percentile — the one value
+    // whose last bits could disagree); zero-token docs NULL -> kept false.
+    "text_quality_gate" ->
+      """WITH sc AS (SELECT doc_id, source,
+        |        round(CAST(len(list_distinct(list_filter(string_split(text, ' '),
+        |            x -> x <> ''))) AS DOUBLE)
+        |          / nullif(len(list_filter(string_split(text, ' '),
+        |            x -> x <> '')), 0), 6) AS score
+        |      FROM documents),
+        |t AS (SELECT source, round(quantile_cont(score, 0.25), 6) AS thr
+        |      FROM sc GROUP BY 1)
+        |SELECT sc.doc_id, sc.source, sc.score, t.thr,
+        |  coalesce(sc.score >= t.thr, false) AS kept
+        |FROM sc JOIN t USING (source) ORDER BY doc_id""".stripMargin,
+
     // Line dedup: 3-token lines, df > 3 distinct docs -> dropped
     // everywhere; reassembly ordered by line_no (unique per doc).
     "text_dedup_lines" ->
@@ -3640,20 +3737,7 @@ object SparkEntry {
     // One Lloyd step: DECIMAL-exact distances -> argmin (ties -> lower
     // cid) -> DECIMAL centroid means; first-4-by-id seeds.
     "emb_kmeans_iter" ->
-      s"""WITH e AS ($embCte),
-         |f AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
-         |        unnest(v) AS x FROM e),
-         |seeds AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4),
-         |c AS (SELECT f.vec_id AS cid, f.dim, f.x AS cx
-         |      FROM f JOIN seeds USING (vec_id)),
-         |d AS (SELECT f.vec_id, c.cid,
-         |        sum(CAST(round((f.x - c.cx) * (f.x - c.cx), 6)
-         |          AS DECIMAL(18,6))) AS d2
-         |      FROM f JOIN c USING (dim) GROUP BY 1, 2),
-         |a AS (SELECT vec_id, cid FROM
-         |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |           ORDER BY d2, cid) AS rn FROM d)
-         |      WHERE rn = 1)
+      s"""WITH ${assignCtes(4)}
          |SELECT a.cid AS cluster_id, f.dim,
          |  round(CAST(sum(CAST(round(f.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
          |    / count(*), 6) AS centroid,

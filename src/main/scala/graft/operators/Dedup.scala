@@ -959,6 +959,52 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): coarse-cluster the corpus, then mark as duplicate
+    * every vector with a higher-priority (lower-id) cluster-mate at
+    * cosine ≥ `threshold`. The point of the clustering is the quadratic
+    * term: candidate pairs are Σ cluster_size² instead of N² — at
+    * web scale k is chosen so the expected cluster is a few thousand
+    * docs, which keeps the within-cluster verification embarrassingly
+    * parallel (it is keyed on cid; a pathologically hot cluster is AQE
+    * skew-split like any hot join key).
+    *
+    * Dedup rule (deterministic, one pass): a vector is dropped iff ANY
+    * lower-id vector in its cluster is within the threshold — the
+    * conservative over-drop variant of the paper's sequential greedy
+    * scan (on a chain a<b<c with cos(a,b) ≥ t, cos(b,c) ≥ t but
+    * cos(a,c) < t it drops c where greedy would keep it). One self-join
+    * instead of an inherently sequential loop; for dedup the bias is
+    * the safe direction (never keeps two vectors within the threshold
+    * of each other... and never drops a cluster's lowest id).
+    *
+    * Clustering is [[graft.operators.Similarity.assignToSeeds]] (argmin-L2
+    * to the k lowest-id seed vectors — deterministic); swap in however
+    * many [[graft.operators.Similarity.kmeansIterate]] rounds before it
+    * for production centroids. Returns every vector with its cluster and
+    * verdict: (vec_id, cluster_id, kept).
+    */
+  def semanticDedup(embeddings: DataFrame, k: Int, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(threshold > 0 && threshold <= 1, s"need threshold in (0,1], got $threshold")
+    val assign = Similarity.assignToSeeds(embeddings, k, idCol, vecCol)
+    val v = embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .join(assign, "vec_id")
+    // NULL cosine (zero-norm vector) fails the >= filter, so zero vectors
+    // never mark anything (nor each other) as duplicates.
+    val dups = v.as("a").join(v.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(Fns.cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("__dup", lit(1))
+    v.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
+        col("__dup").isNull.as("kept"))
+  }
+
   /** Embedding-cosine near-dup pairs at scale: SRP-LSH bucketing via
     * [[graft.operators.Similarity.lshBuckets]] over `nTables` hash tables,
     * within-(table, bucket) self-join for candidates, exact codegen'd

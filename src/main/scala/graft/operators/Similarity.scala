@@ -407,6 +407,32 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     val flat = flatten(embeddings, idCol, vecCol)
+    val assign = assignToSeeds(embeddings, k, idCol, vecCol)
+    assign.join(flat, "vec_id")
+      .groupBy("cid", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        sum(round(col("x"), 6).cast("decimal(18,6)")).as("s"))
+      .select(col("cid").as("cluster_id"), col("dim"),
+        round(col("s").cast("double") / col("n_members"), 6).as("centroid"),
+        col("n_members"))
+  }
+
+  /** Nearest-seed cluster assignment — the shared coarse-quantization
+    * step under [[kmeansIterate]], [[Dedup.semanticDedup]] and
+    * [[hardNegatives]]: centroids are the `k` lowest-id vectors
+    * (deterministic, engine-reproducible seeding), every vector goes to
+    * its argmin-L2 centroid, ties break on the lower centroid id.
+    *
+    * Scale shape: the k seed vectors broadcast as (cid, dim, c) rows;
+    * distances are one dim-keyed broadcast join + a (vec_id, cid)-keyed
+    * DECIMAL aggregate (6-dp-quantized squared deviations — order-free),
+    * and the argmin is a vec_id-partitioned window (parallel across the
+    * corpus). Nothing is ever keyed on fewer than N rows, so the pass
+    * scales linearly with corpus size; k is a constant.
+    */
+  private[operators] def assignToSeeds(embeddings: DataFrame, k: Int,
+                                       idCol: String, vecCol: String): DataFrame = {
+    val flat = flatten(embeddings, idCol, vecCol)
     val seeds = embeddings.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
     val cent = flat.join(seeds, "vec_id")
       .select(col("vec_id").as("cid"), col("dim"), col("x").as("c"))
@@ -416,15 +442,48 @@ object Similarity {
         .cast("decimal(18,6)")).as("d2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
-    val assign = d2.withColumn("rn", row_number().over(w))
+    d2.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
-    assign.join(flat, "vec_id")
-      .groupBy("cid", "dim")
-      .agg(count(lit(1)).as("n_members"),
-        sum(round(col("x"), 6).cast("decimal(18,6)")).as("s"))
-      .select(col("cid").as("cluster_id"), col("dim"),
-        round(col("s").cast("double") / col("n_members"), 6).as("centroid"),
-        col("n_members"))
+  }
+
+  /** Hard-negative mining for embedding-model training: for each query,
+    * the `k` highest-cosine corpus vectors that sit in a DIFFERENT
+    * coarse cluster — similar enough to be confusable, yet known (by the
+    * cluster structure) to be non-matches. The standard contrastive-
+    * training batch-construction step (the in-cluster neighbors are the
+    * positives/easy cases; cross-cluster near-misses are the gradient-
+    * rich negatives).
+    *
+    * Composition: [[assignToSeeds]] labels corpus and queries once;
+    * ranking is [[bruteForceTopK]]'s shape with the cross-cluster
+    * predicate fused into the broadcast join — still one corpus scan,
+    * one tiny query_id-keyed window. At 100 TB the brute pairing swaps
+    * for the SRP/IVF candidate generation exactly like ANN; the
+    * cluster-inequality filter composes with any of them unchanged.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int, nClusters: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(nClusters >= 2, s"need nClusters >= 2, got $nClusters")
+    val assign = assignToSeeds(corpus, nClusters, idCol, vecCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .join(assign.select(col("vec_id").as("neighbor_id"), col("cid").as("ncid")),
+        "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .join(assign.select(col("vec_id").as("query_id"), col("cid").as("qcid")),
+        "query_id")
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("ncid") =!= col("qcid"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("ncid").cast("long").as("neighbor_cluster"),
+        Fns.cosine(col("qv"), col("cv")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neighbor_cluster"), col("cosine"))
   }
 
   /** Leading principal direction of the embedding space by POWER

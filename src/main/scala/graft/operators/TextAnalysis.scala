@@ -617,6 +617,44 @@ object TextAnalysis {
         round(try_divide(col("sr").cast("double"), col("nr")), 6).as("mean_distinct_ratio"))
   }
 
+  /** Per-source quality gate — the quantile-thresholded filter every
+    * web-scale corpus pipeline runs per DOMAIN, not globally: a global
+    * cutoff on a quality score deletes whole low-register sources
+    * (forums, transcripts) while passing boilerplate from high-register
+    * ones; gating each doc against its OWN source's `p`-quantile keeps
+    * the per-source quality distribution's upper mass everywhere.
+    * Score here is the distinct-token ratio (the cheap templated-text
+    * signal); the shape composes with any per-doc score column.
+    *
+    * Returns every doc with its verdict: (doc_id, source, score, thr,
+    * kept). Zero-token docs have NULL score (try_divide — the
+    * [[entropy]] degenerate-input convention), never pass the gate, and
+    * are excluded from the quantile estimation on both engines
+    * (percentile and quantile_cont both skip NULLs).
+    *
+    * Shuffle shape: one hash aggregate onto the (few) source keys for
+    * the exact interpolated percentile, broadcast back onto the corpus —
+    * no window over N rows, no second corpus scan. Score and threshold
+    * are both 6-dp-rounded BEFORE the comparison so the kept verdict is
+    * engine-exact (raw scores are exact small-integer divisions; the
+    * interpolated quantile is the one value whose last bits could
+    * disagree).
+    */
+  def qualityGate(docs: DataFrame, p: Double = 0.25,
+                  srcCol: String = "source", textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(p > 0 && p < 1, s"need p in (0,1), got $p")
+    val toks = Fns.tokens(col(textCol))
+    val scored = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      round(try_divide(size(array_distinct(toks)).cast("double"), size(toks)), 6)
+        .as("score"))
+    val thr = scored.groupBy("source")
+      .agg(round(percentile(col("score"), lit(p)), 6).as("thr"))
+    scored.join(broadcast(thr), "source")
+      .select(col("doc_id"), col("source"), col("score"), col("thr"),
+        coalesce(col("score") >= col("thr"), lit(false)).as("kept"))
+  }
+
   /** Corpus encoding — the tokenizer-APPLY step between [[vocabulary]]
     * and sequence packing: each document becomes its array of vocabulary
     * term-ids in token order, out-of-vocabulary tokens as the

@@ -460,4 +460,32 @@ class DedupSpec extends SparkSpec {
       (12L, 0L, 1L, "needs_batch_dedup"),
       (13L, 0L, 1L, "needs_batch_dedup")))
   }
+
+  test("semanticDedup: per-cluster drops, lowest id always kept") {
+    // seeds = two lowest ids: 1L -> cluster axis-x, 2L -> cluster axis-y
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),    // seed / survivor of cluster 1
+      (2L, Seq(0.0f, 1.0f)),    // seed / survivor of cluster 2
+      (3L, Seq(0.99f, 0.01f)),  // cluster 1, cos ~1 to id 1 -> dropped
+      (4L, Seq(0.01f, 0.99f)),  // cluster 2, cos ~1 to id 2 -> dropped
+      (5L, Seq(0.7f, 0.72f))    // cluster 2, cos ~0.72 to mates -> kept at t=0.9
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, 2, 0.9).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, true), (2L, 2L, true), (3L, 1L, false), (4L, 2L, false),
+      (5L, 2L, true)))
+  }
+
+  test("semanticDedup: documented conservative chain over-drop") {
+    // one cluster; angles 0, 25, 50 degrees: cos(1,2) and cos(2,3) are
+    // ~0.906 >= 0.9 but cos(1,3) ~0.643 -- the one-pass rule drops BOTH
+    // 2 and 3 (greedy-sequential would keep 3); the lowest id survives.
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val emb = Seq((1L, v(0)), (2L, v(25)), (3L, v(50))).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, 1, 0.9).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(out.toSeq == Seq((1L, true), (2L, false), (3L, false)))
+  }
 }

@@ -299,4 +299,22 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(2) - 5.0) < 1e-5) // eigenvalue estimate
     assert(out(1).getDouble(1) > 0) // sign convention: dominant coord positive
   }
+
+  test("hardNegatives: only cross-cluster neighbors, ranked by cosine") {
+    // seeds 1 (x-axis) and 2 (y-axis); 3 and 5 join cluster 1, 4 joins 2.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f)),
+      (4L, Seq(0.1f, 0.9f)),
+      (5L, Seq(0.8f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(emb, emb.filter(col("vec_id") === 1), 5, 2)
+      .orderBy("rank").collect()
+    // query 1 is in cluster 1 with 3 and 5: those NEVER appear; among the
+    // cluster-2 vectors, 4 (cos ~0.110) outranks 2 (cos 0).
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(4L, 2L))
+    assert(out.forall(_.getAs[Long]("neighbor_cluster") == 2L))
+    assert(out(0).getAs[Double]("cosine") > out(1).getAs[Double]("cosine"))
+  }
 }

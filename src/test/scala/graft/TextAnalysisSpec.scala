@@ -509,4 +509,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((3L, 2L)))       // aa aa bb
     assert(out(3L) == ((2L, 1L)))       // ccc x2, one type
   }
+
+  test("qualityGate: per-source p25 thresholds; zero-token never passes") {
+    val docs = Seq(
+      (1L, "A", "a b c d"),  // ratio 1.0
+      (2L, "A", "a a b b"),  // 0.5
+      (3L, "A", "a a a a"),  // 0.25 < A's p25 -> dropped
+      (4L, "A", "x y"),      // 1.0
+      (5L, "B", "p p"),      // 0.5 < B's p25 -> dropped
+      (6L, "B", "p q"),      // 1.0
+      (7L, "B", "")          // zero tokens: NULL score, kept = false
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.qualityGate(docs, 0.25).orderBy("doc_id").collect()
+    val kept = out.map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(kept == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true,
+      5L -> false, 6L -> true, 7L -> false))
+    // interpolated per-source thresholds: A = 0.4375, B = 0.625
+    val thr = out.map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(thr("A") == 0.4375 && thr("B") == 0.625)
+    // zero-token doc carries a NULL score through to the output
+    assert(out.find(_.getLong(0) == 7L).get.isNullAt(2))
+  }
 }
