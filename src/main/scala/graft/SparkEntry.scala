@@ -3673,6 +3673,8 @@ object SparkEntry {
          |SELECT f.vec_id, f.dim, round((f.x - st.mean) / st.sd, 6) AS z
          |FROM f JOIN st USING (dim) ORDER BY vec_id, dim""".stripMargin,
 
+    // Products are 9-dp-quantized as scaled int64s (round(x*1e9) ->
+    // BIGINT) and summed exactly — mirrors the Scala side's long path.
     "emb_covariance" ->
       s"""WITH e AS ($embCte),
          |x AS (SELECT vec_id, unnest(v) AS xi,
@@ -3680,11 +3682,11 @@ object SparkEntry {
          |m AS (SELECT i, sum(CAST(round(xi, 9) AS DECIMAL(28,9))) AS sx
          |      FROM x GROUP BY 1),
          |p AS (SELECT a.i AS i, b.i AS j,
-         |        sum(CAST(round(a.xi * b.xi, 9) AS DECIMAL(28,9))) AS sp,
+         |        sum(CAST(round(a.xi * b.xi * 1e9, 0) AS BIGINT)) AS sp,
          |        count(*) AS n
          |      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2)
          |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
-         |  round(CAST(sp AS DOUBLE) / n
+         |  round(CAST(sp AS DOUBLE) / 1e9 / n
          |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n), 6)
          |    + 0.0
          |    AS cov
@@ -3704,11 +3706,11 @@ object SparkEntry {
            |mm AS (SELECT i, sum(CAST(round(xi, 9) AS DECIMAL(28,9))) AS sx
            |      FROM xx GROUP BY 1),
            |pp AS (SELECT a.i AS i, b.i AS j,
-           |        sum(CAST(round(a.xi * b.xi, 9) AS DECIMAL(28,9))) AS sp,
+           |        sum(CAST(round(a.xi * b.xi * 1e9, 0) AS BIGINT)) AS sp,
            |        count(*) AS n
            |      FROM xx a JOIN xx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
            |cov AS (SELECT CAST(pp.i AS BIGINT) AS i, CAST(pp.j AS BIGINT) AS j,
-           |  round(CAST(sp AS DOUBLE) / n
+           |  round(CAST(sp AS DOUBLE) / 1e9 / n
            |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n), 6)
            |    + 0.0
            |    AS cov
