@@ -1038,6 +1038,13 @@ object SparkEntry {
       TextAnalysis.selectByBudget(T(s, dir, "documents"), 10000L)
         .orderBy("doc_id")),
 
+    // Within-doc repeated-span removal (trigram spans): tokens covered by
+    // an n-gram already seen earlier in the SAME doc are dropped — the
+    // crawl-stutter cleaner corpus-level dedup can't see.
+    "text_dedup_spans" -> ((s, dir) =>
+      TextAnalysis.dedupSpans(T(s, dir, "documents"), 3)
+        .orderBy("doc_id")),
+
     // Per-source quantile quality gate: each doc competes against its OWN
     // source's p25 of the distinct-token-ratio score, so low-register
     // sources aren't deleted wholesale by a global cutoff.
@@ -1075,6 +1082,13 @@ object SparkEntry {
     "emb_kmeans_iter" -> ((s, dir) =>
       Similarity.kmeansIterate(T(s, dir, "embeddings"), 4)
         .orderBy("cluster_id", "dim")),
+
+    // Centroid-based silhouette per vector (k=8 coarse clusters): a =
+    // own-centroid distance, b = nearest other centroid, s=(b-a)/max —
+    // the O(N*k) cluster-quality diagnostic.
+    "emb_silhouette" -> ((s, dir) =>
+      Similarity.silhouette(T(s, dir, "embeddings"), 8)
+        .orderBy("vec_id")),
 
     // Exact 64x64 covariance matrix of the embedding space (PCA/whitening
     // input): row-local outer products -> d^2-key aggregate with map-side
@@ -3526,6 +3540,33 @@ object SparkEntry {
          |SELECT doc_id, score, n_subwords, cum_tokens
          |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
 
+    // Within-doc span dedup: same gram/lead chain, dup-start by
+    // min-position window, coverage by running max of span ends; docs
+    // with zero tokens drop out on BOTH sides (no explode rows).
+    "text_dedup_spans" ->
+      s"""WITH base AS ($docToks),
+         |tok AS (SELECT doc_id, unnest(toks) AS t,
+         |          generate_subscripts(toks, 1) AS i FROM base),
+         |g AS (SELECT doc_id, i, t,
+         |        CASE WHEN lead(t, 2) OVER w IS NOT NULL
+         |             THEN t || ' ' || lead(t, 1) OVER w || ' ' ||
+         |                  lead(t, 2) OVER w END AS gram
+         |      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         |m AS (SELECT *, gram IS NOT NULL AND
+         |        i > min(i) OVER (PARTITION BY doc_id, gram) AS dup_start
+         |      FROM g),
+         |f AS (SELECT *, coalesce(max(CASE WHEN dup_start THEN i + 3 END)
+         |        OVER (PARTITION BY doc_id ORDER BY i
+         |          ROWS UNBOUNDED PRECEDING) > i, false) AS dropped
+         |      FROM m),
+         |k AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS clean_text,
+         |        count(*) AS n_kept
+         |      FROM f WHERE NOT dropped GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_tokens FROM f GROUP BY 1)
+         |SELECT tot.doc_id, coalesce(k.clean_text, '') AS clean_text,
+         |  tot.n_tokens, tot.n_tokens - coalesce(k.n_kept, 0) AS n_removed
+         |FROM tot LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // Per-source p25 gate: score and threshold both 6-dp-rounded before
     // the comparison (quantile_cont ≡ Spark percentile — the one value
     // whose last bits could disagree); zero-token docs NULL -> kept false.
@@ -3672,6 +3713,29 @@ object SparkEntry {
          |       FROM s)
          |SELECT f.vec_id, f.dim, round((f.x - st.mean) / st.sd, 6) AS z
          |FROM f JOIN st USING (dim) ORDER BY vec_id, dim""".stripMargin,
+
+    // Simplified silhouette on the shared assignment CTEs (k=8):
+    // centroids are 6-dp member means (the kmeans convention), distances
+    // the same DECIMAL-summed squared-deviation shape; a=b=0 -> s=0.
+    "emb_silhouette" ->
+      s"""WITH ${assignCtes(8)},
+         |cent AS (SELECT a.cid, f.dim,
+         |    round(CAST(sum(CAST(round(f.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*), 6) AS cc
+         |  FROM a JOIN f USING (vec_id) GROUP BY 1, 2),
+         |dd AS (SELECT f.vec_id, cent.cid,
+         |    sqrt(CAST(sum(CAST(round((f.x - cent.cc) * (f.x - cent.cc), 6)
+         |      AS DECIMAL(18,6))) AS DOUBLE)) AS dist
+         |  FROM f JOIN cent USING (dim) GROUP BY 1, 2),
+         |ab AS (SELECT dd.vec_id, a.cid AS cluster_id,
+         |    min(CASE WHEN dd.cid = a.cid THEN dist END) AS ad,
+         |    min(CASE WHEN dd.cid <> a.cid THEN dist END) AS bd
+         |  FROM dd JOIN a ON a.vec_id = dd.vec_id GROUP BY 1, 2)
+         |SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+         |  round(ad, 6) AS a_dist, round(bd, 6) AS b_dist,
+         |  round(CASE WHEN greatest(ad, bd) = 0 THEN 0.0
+         |        ELSE (bd - ad) / greatest(ad, bd) END, 6) AS silhouette
+         |FROM ab ORDER BY vec_id""".stripMargin,
 
     // Products are 9-dp-quantized as scaled int64s (round(x*1e9) ->
     // BIGINT) and summed exactly — mirrors the Scala side's long path.

@@ -446,6 +446,49 @@ object Similarity {
       .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
   }
 
+  /** Centroid-based silhouette score per vector — the standard "is k
+    * right / are clusters real?" diagnostic run after any coarse
+    * clustering: a = distance to the OWN cluster's centroid, b = the
+    * nearest OTHER centroid's distance, s = (b − a) / max(a, b) ∈
+    * [−1, 1] (simplified silhouette: centroid distances instead of
+    * all-pairs member distances, the only formulation that stays O(N·k)
+    * instead of O(N²) at corpus scale).
+    *
+    * Clustering is [[assignToSeeds]]; centroids are the per-dim member
+    * means (6-dp-rounded, DECIMAL-summed — the [[kmeansIterate]] output
+    * convention, so both engines share the exact centroid values).
+    * Distances ride the same dim-keyed broadcast join + DECIMAL
+    * aggregate as the assignment pass — two linear scans total, no
+    * N²-pair work anywhere. A degenerate a = b = 0 (vector equal to
+    * two centroids) yields s = 0 by convention rather than NaN.
+    */
+  def silhouette(embeddings: DataFrame, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val flat = flatten(embeddings, idCol, vecCol)
+    val assign = assignToSeeds(embeddings, k, idCol, vecCol)
+    val cent = assign.join(flat, "vec_id")
+      .groupBy("cid", "dim")
+      .agg(sum(round(col("x"), 6).cast("decimal(18,6)")).as("s"),
+        count(lit(1)).as("nm"))
+      .select(col("cid"), col("dim"),
+        round(col("s").cast("double") / col("nm"), 6).as("c"))
+    val dist = flat.join(broadcast(cent), "dim")
+      .groupBy("vec_id", "cid")
+      .agg(sum(round((col("x") - col("c")) * (col("x") - col("c")), 6)
+        .cast("decimal(18,6)")).as("d2"))
+      .select(col("vec_id"), col("cid"), sqrt(col("d2").cast("double")).as("dist"))
+    dist.join(assign.withColumnRenamed("cid", "own"), "vec_id")
+      .groupBy("vec_id", "own")
+      .agg(min(when(col("cid") === col("own"), col("dist"))).as("a"),
+        min(when(col("cid") =!= col("own"), col("dist"))).as("b"))
+      .select(col("vec_id"), col("own").cast("long").as("cluster_id"),
+        round(col("a"), 6).as("a_dist"), round(col("b"), 6).as("b_dist"),
+        round(when(greatest(col("a"), col("b")) === 0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))), 6)
+          .as("silhouette"))
+  }
+
   /** Hard-negative mining for embedding-model training: for each query,
     * the `k` highest-cosine corpus vectors that sit in a DIFFERENT
     * coarse cluster — similar enough to be confusable, yet known (by the

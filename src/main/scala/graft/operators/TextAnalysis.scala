@@ -1080,6 +1080,57 @@ object TextAnalysis {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** WITHIN-document repeated-span removal — the intra-doc counterpart
+    * of [[dedupLines]]: any n-gram whose exact token sequence already
+    * occurred earlier in the SAME document marks its n-token span
+    * redundant, and every token covered by a redundant span is dropped
+    * (first occurrence survives). The "self-repeating sludge" cleaner
+    * for crawl text (navigation loops, chat echo, copy-paste stutter)
+    * that corpus-level dedup never sees.
+    *
+    * Mechanics (all doc-partitioned windows — parallel across the
+    * corpus, no cross-doc data motion): grams form per position via
+    * `lead` (one window); a position is a duplicate START when an equal
+    * gram exists at a smaller position (min-over-(doc, gram) window);
+    * span coverage folds into a RUNNING MAX of duplicate-span ends (one
+    * window) — position p is dropped iff max end > p, which handles
+    * arbitrary overlapping/chained spans in linear time instead of a
+    * per-doc range join; survivors reassemble with the [[dedupLines]]
+    * collect_list pattern. Output: (doc_id, clean_text, n_tokens,
+    * n_removed).
+    */
+  def dedupSpans(docs: DataFrame, n: Int = 3,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2, s"need n >= 2, got $n")
+    val base = docs.select(col(idCol).as("doc_id"),
+      posexplode(Fns.tokens(col(textCol))).as(Seq("i", "t")))
+    val wSeq = Window.partitionBy("doc_id").orderBy("i")
+    val gram = base.withColumn("gram",
+      concat_ws(" ", (col("t") +: (1 until n).map(k => lead(col("t"), k).over(wSeq))): _*))
+      // a position can only START a gram when n tokens remain
+      .withColumn("gram",
+        when(lead(col("t"), n - 1).over(wSeq).isNotNull, col("gram")))
+    val firstAt = Window.partitionBy("doc_id", "gram")
+    val marked = gram.withColumn("dup_start",
+      col("gram").isNotNull && col("i") > min(col("i")).over(firstAt))
+    val cover = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = marked.withColumn("cov_end",
+      max(when(col("dup_start"), col("i") + n)).over(cover))
+      .withColumn("dropped", coalesce(col("cov_end") > col("i"), lit(false)))
+    val kept = flagged.filter(!col("dropped"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("t")))),
+        s => s.getField("t")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    flagged.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Language-ID with a confidence margin: the [[langId]] marker scores
     * plus top1 − top2 margin and top1/total share — the signals a corpus
     * filter thresholds on ("keep only confidently-English documents").

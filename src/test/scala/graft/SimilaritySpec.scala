@@ -317,4 +317,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("neighbor_cluster") == 2L))
     assert(out(0).getAs[Double]("cosine") > out(1).getAs[Double]("cosine"))
   }
+
+  test("silhouette: tight two-cluster layout scores near 1; a/b are centroid distances") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.silhouette(emb, 2).orderBy("vec_id").collect()
+    // clusters {1,3} and {2,4}; centroids (0.95, 0.05) / (0.05, 0.95)
+    assert(out.map(_.getAs[Long]("cluster_id")).toSeq == Seq(1L, 2L, 1L, 2L))
+    val a1 = out(0).getAs[Double]("a_dist")
+    val b1 = out(0).getAs[Double]("b_dist")
+    assert(math.abs(a1 - math.sqrt(2 * 0.05 * 0.05)) < 1e-5)
+    assert(math.abs(b1 - math.sqrt(2 * 0.95 * 0.95)) < 1e-5)
+    val s1 = out(0).getAs[Double]("silhouette")
+    assert(math.abs(s1 - (b1 - a1) / b1) < 1e-5 && s1 > 0.9)
+    // mirror symmetry: corner vectors (1, 2) share one score, inner
+    // vectors (3, 4) another — the corner is farther from the OTHER
+    // centroid, so exactly two distinct values appear
+    val ss = out.map(_.getAs[Double]("silhouette"))
+    assert(ss(0) == ss(1) && ss(2) == ss(3) && ss(0) > ss(2))
+  }
 }

@@ -530,4 +530,31 @@ class TextAnalysisSpec extends SparkSpec {
     // zero-token doc carries a NULL score through to the output
     assert(out.find(_.getLong(0) == 7L).get.isNullAt(2))
   }
+
+  test("dedupSpans: repeated trigram span dropped, first occurrence kept") {
+    val docs = Seq(
+      (1L, "a b c x a b c y"),      // second "a b c" covers positions 4-6
+      (2L, "p q r s"),              // no repeats: untouched
+      (3L, "a b a b a b")           // chained bigram... trigram "a b a" at 0 and 2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSpans(docs, 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "a b c x y", 8L, 3L)))
+    assert(out(1) == ((2L, "p q r s", 4L, 0L)))
+    // doc 3: grams "a b a"@0, "b a b"@1, "a b a"@2 (dup -> covers 2..4),
+    // "b a b"@3 (dup -> covers 3..5): kept = positions 0, 1 -> "a b"
+    assert(out(2) == ((3L, "a b", 6L, 4L)))
+  }
+
+  test("dedupSpans: chained dup starts extend coverage; uncovered tail survives") {
+    // "x y z x y z x y": dup starts at 3 ("x y z"), 4 ("y z x"), and
+    // 5 ("z x y") chain their spans over positions 3..7 -> "x y z"
+    val docs = Seq((1L, "x y z x y z x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSpans(docs, 3).collect()
+    assert(out(0).getString(1) == "x y z" && out(0).getLong(3) == 5L)
+    // one dup span then fresh tokens: the tail past the span survives
+    val docs2 = Seq((1L, "x y z x y z w x")).toDF("doc_id", "text")
+    val out2 = TextAnalysis.dedupSpans(docs2, 3).collect()
+    assert(out2(0).getString(1) == "x y z w x" && out2(0).getLong(3) == 3L)
+  }
 }
