@@ -1045,6 +1045,19 @@ object SparkEntry {
       TextAnalysis.dedupSpans(T(s, dir, "documents"), 3)
         .orderBy("doc_id")),
 
+    // Per-doc trigram novelty vs the earlier corpus (first occurrence by
+    // min doc_id): the "is this source exhausted?" curation curve.
+    "text_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(T(s, dir, "documents"), 3)
+        .orderBy("doc_id")),
+
+    // Daily ingest-volume anomaly: per-type daily counts z-scored against
+    // the type's own history, |z| > 2 flagged — the dead-feed/backfill
+    // monitor, riding the outliers DECIMAL moment recipe.
+    "dq_volume_anomaly" -> ((s, dir) =>
+      operators.DataQuality.volumeAnomaly(T(s, dir, "events"))
+        .orderBy("day", "event_type")),
+
     // Per-source quantile quality gate: each doc competes against its OWN
     // source's p25 of the distinct-token-ratio score, so low-register
     // sources aren't deleted wholesale by a global cutoff.
@@ -3539,6 +3552,50 @@ object SparkEntry {
          |      FROM sc)
          |SELECT doc_id, score, n_subwords, cum_tokens
          |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
+
+    // Novelty over STRING trigrams (the ngram-jaccard oracle's shingle
+    // CTE) — the Spark side's hashed shingles group identically absent
+    // collisions, the same accepted convention as every shingle op.
+    "text_ngram_novelty" ->
+      s"""WITH base AS ($docToks),
+         |toks AS (SELECT doc_id, unnest(toks) AS t,
+         |           generate_subscripts(toks, 1) AS i FROM base),
+         |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS shingle
+         |       FROM toks a
+         |       JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |       JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+         |fst AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN fst.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  round(CAST(sum(CASE WHEN fst.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS novelty
+         |FROM sh JOIN fst USING (shingle)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Volume anomaly: ana_outliers' two-pass DECIMAL moment recipe over
+    // the (type, day) count frame; sd=0 groups excluded like try_divide.
+    "dq_volume_anomaly" ->
+      """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |        count(*) AS cnt
+        |      FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*) AS n,
+        |        CAST(sum(CAST(cnt AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |          AS mean
+        |      FROM dly GROUP BY 1),
+        |s AS (SELECT d.event_type, any_value(m.n) AS n,
+        |        any_value(m.mean) AS mean,
+        |        sum(CAST(round((d.cnt - m.mean) * (d.cnt - m.mean), 6)
+        |          AS DECIMAL(18,6))) AS ss
+        |      FROM dly d JOIN m USING (event_type) GROUP BY 1),
+        |st AS (SELECT event_type, mean,
+        |        sqrt(CAST(ss AS DOUBLE) / (n - 1)) AS sd FROM s)
+        |SELECT d.day, d.event_type, d.cnt, round(st.mean, 6) AS group_mean,
+        |  round(st.sd, 6) AS group_sd,
+        |  round((d.cnt - st.mean) / st.sd, 6) AS zscore
+        |FROM dly d JOIN st USING (event_type)
+        |WHERE st.sd <> 0 AND abs((d.cnt - st.mean) / st.sd) > 2
+        |ORDER BY day, event_type""".stripMargin,
 
     // Within-doc span dedup: same gram/lead chain, dup-start by
     // min-position window, coverage by running max of span ends; docs

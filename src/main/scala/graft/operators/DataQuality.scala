@@ -162,6 +162,26 @@ object DataQuality {
     * downstream training. Two single-pass aggregates + a per-column-name
     * join of two k-row frames — cost is two table scans, nothing else.
     */
+  /** Daily ingest-volume anomaly monitor — the first alarm every
+    * production pipeline wires: per (group, day) row counts, then each
+    * day's count z-scored against ITS OWN group's daily history; days
+    * beyond `zThreshold` σ are flagged (feed died, feed doubled,
+    * backfill replayed). Delegates the two-pass DECIMAL moment recipe
+    * to [[graft.analytics.Analytics.outliers]] over the tiny aggregated
+    * (group, day) frame — the corpus-sized work is exactly one
+    * map-side-combined count aggregate; everything after operates on
+    * groups × days rows. Constant-volume groups have sd = 0 → NULL z
+    * (try_divide) → never flagged, same convention as outliers.
+    */
+  def volumeAnomaly(events: DataFrame, zThreshold: Double = 2.0,
+                    tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    val daily = events
+      .select(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    graft.analytics.Analytics.outliers(daily, zThreshold,
+      groupCol = "event_type", valCol = "cnt", idCol = "day")
+  }
+
   def profileDrift(oldDf: DataFrame, newDf: DataFrame, cols: Seq[String]): DataFrame = {
     def side(df: DataFrame, tag: String) = {
       val p = profile(df, cols)

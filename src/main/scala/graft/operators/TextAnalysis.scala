@@ -1080,6 +1080,33 @@ object TextAnalysis {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Per-document n-gram NOVELTY against the earlier corpus — the
+    * dataset-curation curve ("how much does each new document add?"):
+    * for every doc, the share of its distinct n-grams whose FIRST
+    * corpus occurrence (minimum doc_id — ingestion order) is this doc.
+    * Duplicate-heavy feeds trend toward 0; a healthy crawl stays high.
+    * The aggregate novelty-over-id curve is the standard "is this
+    * source exhausted?" signal before buying/scraping more of it.
+    *
+    * Scale shape: one native-shingle explode ([[Dedup.shingleSets]] —
+    * single pass, no lambda HOFs), distinct, a shingle-keyed min
+    * aggregate with map-side combine (state ∝ distinct grams, the same
+    * bound as every inverted-index dedup here), one join back on the
+    * shingle key, and a doc-keyed count — all hash exchanges on keys
+    * that shard evenly. The ratio is one exact integer division.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sets = Dedup.shingleSets(docs, n, textCol, idCol).distinct()
+    val first = sets.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+    sets.join(first, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
   /** WITHIN-document repeated-span removal — the intra-doc counterpart
     * of [[dedupLines]]: any n-gram whose exact token sequence already
     * occurred earlier in the SAME document marks its n-token span

@@ -158,4 +158,21 @@ class DataQualitySpec extends SparkSpec {
     assert(degen.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq((0, 2L, 4L), (1, 0L, 0L), (2, 0L, 0L)))
   }
+
+  test("volumeAnomaly: the spiked day is flagged, steady days are not") {
+    import java.sql.Timestamp
+    // type A: 9 days at ~4/day, one day at 40 -> only that day flags
+    val rows = (
+      (1 to 9).flatMap(d => Seq.fill(4)(("A", s"2024-01-0$d 10:00:00"))) ++
+      Seq.fill(40)(("A", "2024-01-10 10:00:00")) ++
+      (1 to 10).flatMap(d => Seq.fill(5)(("B", f"2024-01-$d%02d 10:00:00")))
+    ).map { case (t, s) => (t, Timestamp.valueOf(s)) }
+    val events = rows.toDF("event_type", "ts")
+    val out = graft.operators.DataQuality.volumeAnomaly(events).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("event_type") == "A")
+    assert(out(0).getAs[java.sql.Date]("day").toString == "2024-01-10")
+    assert(out(0).getAs[Long]("cnt") == 40L)
+    assert(out(0).getAs[Double]("zscore") > 2.0)
+  }
 }

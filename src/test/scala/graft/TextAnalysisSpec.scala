@@ -557,4 +557,16 @@ class TextAnalysisSpec extends SparkSpec {
     val out2 = TextAnalysis.dedupSpans(docs2, 3).collect()
     assert(out2(0).getString(1) == "x y z w x" && out2(0).getLong(3) == 3L)
   }
+
+  test("ngramNovelty: first occurrence owns the gram; verbatim copy scores 0") {
+    val docs = Seq(
+      (1L, "a b c d"),      // grams abc, bcd: both novel -> 1.0
+      (2L, "a b c d"),      // verbatim copy: 0 novel -> 0.0
+      (3L, "a b c x")       // abc seen (doc 1), bcx novel -> 0.5
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0),
+      (3L, 2L, 1L, 0.5)))
+  }
 }
