@@ -1266,6 +1266,12 @@ object SparkEntry {
       Analytics.sessionSequences(T(s, dir, "events"), "30 minutes")
         .orderBy("user_id", "session_start")),
 
+    // Funnel discovery: the 10 most common exact session paths with
+    // session counts and mean length — sequence-keyed count + top-k heap.
+    "ana_top_paths" -> ((s, dir) =>
+      Analytics.topPaths(T(s, dir, "events"), "30 minutes", 10)
+        .orderBy(col("n_sessions").desc, col("sequence").asc)),
+
     // UNPIVOT/melt: wide metrics to (key, metric, value) rows — the
     // relational dual of pivot (which is covered elsewhere).
     "q_unpivot" -> ((s, dir) =>
@@ -4134,6 +4140,28 @@ object SparkEntry {
         |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS sequence
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // Same session CTE chain grouped by the path string; top-10 with the
+    // (count desc, sequence asc) total order mirrored.
+    "ana_top_paths" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |seq AS (
+        |  SELECT user_id, sid, count(*) AS n_events,
+        |    string_agg(event_type, ' ' ORDER BY ts, event_id) AS sequence
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT sequence, count(*) AS n_sessions,
+        |  round(avg(n_events), 6) AS avg_len
+        |FROM seq GROUP BY 1
+        |ORDER BY n_sessions DESC, sequence LIMIT 10""".stripMargin,
 
     // ORDER BY includes value: (orderkey, linenumber) has real duplicate
     // rows in this data, so the value column completes the total order.

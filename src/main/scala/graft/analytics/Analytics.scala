@@ -205,6 +205,27 @@ object Analytics {
         col("session_window.end").as("session_end"), col("n_events"),
         col("sequence"))
 
+  /** Top-k most common session paths — the funnel-DISCOVERY step that
+    * precedes [[funnel]]'s fixed-stage measurement: which exact ordered
+    * event-type sequences do sessions actually follow, and how often?
+    * Rides [[sessionSequences]] (one session_window aggregate), then one
+    * sequence-keyed count with map-side combine and a
+    * TakeOrderedAndProject top-k (per-partition heaps, k rows to the
+    * driver — never a global sort). Ties break on the sequence string so
+    * the cut is total.
+    */
+  def topPaths(events: DataFrame, gap: String = "30 minutes", k: Int = 10,
+               userCol: String = "user_id", typeCol: String = "event_type",
+               tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    sessionSequences(events, gap, userCol, typeCol, tsCol, idCol)
+      .groupBy("sequence")
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg(col("n_events")), 6).as("avg_len"))
+      .orderBy(col("n_sessions").desc, col("sequence").asc)
+      .limit(k)
+  }
+
   /** Market-basket association pairs: for item pairs co-occurring in at
     * least `minSupport` baskets, the classic support / confidence / lift
     * triple, top `k` by lift — the co-purchase (or co-occurrence) miner.

@@ -265,4 +265,22 @@ class AnalyticsSpec extends SparkSpec {
       (1L, 40L, 50L, 10L, 1L),
       (2L, 0L, 5L, 5L, 1L)))
   }
+
+  test("topPaths: exact path counts, deterministic tie order, k cut") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    // user 1: two sessions "a b" (gap > 30min splits); user 2: "a b";
+    // user 3: "c" -> paths: "a b" x3, "c" x1
+    val events = Seq(
+      (1L, 1L, "a", t(0)), (2L, 1L, "b", t(1)),
+      (3L, 1L, "a", t(50)), (4L, 1L, "b", t(55)),
+      (5L, 2L, "a", t(0)), (6L, 2L, "b", t(2)),
+      (7L, 3L, "c", t(0))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.analytics.Analytics.topPaths(events, "30 minutes", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("a b", 3L, 2.0), ("c", 1L, 1.0)))
+    val top1 = graft.analytics.Analytics.topPaths(events, "30 minutes", 1).collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "a b")
+  }
 }

@@ -67,4 +67,32 @@ class EdgeCaseSpec extends SparkSpec {
       Seq.empty[(Double, Double)].toDF("a", "b"), Seq("a", "b"))
       .collect().forall(_.isNullAt(2))) // r NULL on empty, never a throw
   }
+
+  test("round-11 degenerate inputs flow through the new operators") {
+    import org.apache.spark.sql.functions._
+    // semanticDedup: zero-norm vectors have NULL cosine -> never marked
+    // dup, never mark others; both kept
+    val z = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val sd = graft.operators.Dedup.semanticDedup(z, 1, 0.5)
+      .orderBy("vec_id").collect()
+    assert(sd.map(_.getBoolean(2)).forall(identity))
+    // qualityGate: a source whose every doc is empty has a NULL threshold
+    // and nothing passes; the healthy source is unaffected
+    val docs = Seq((1L, "E", ""), (2L, "E", "  "),
+      (3L, "H", "x y"), (4L, "H", "p p p q")).toDF("doc_id", "source", "text")
+    val qg = graft.operators.TextAnalysis.qualityGate(docs, 0.5)
+      .orderBy("doc_id").collect()
+    assert(qg.filter(_.getString(1) == "E").forall(!_.getBoolean(4)))
+    assert(qg.filter(_.getString(1) == "H").exists(_.getBoolean(4)))
+    // dedupSpans: docs shorter than n tokens are untouched
+    val short = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    val ds = graft.operators.TextAnalysis.dedupSpans(short, 3)
+      .orderBy("doc_id").collect()
+    assert(ds.length == 1 && ds(0).getString(1) == "a b" && ds(0).getLong(3) == 0L)
+    // ngramNovelty: single-doc corpus is 100% novel
+    val solo = Seq((9L, "p q r s")).toDF("doc_id", "text")
+    val nv = graft.operators.TextAnalysis.ngramNovelty(solo, 3).collect()
+    assert(nv(0).getDouble(3) == 1.0)
+  }
 }
