@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+import org.apache.spark.sql.functions.col
 
 /** Plan-shape guards over the WHOLE registry: structural properties every
   * registered query must keep at 100 TB, asserted on the optimized logical
@@ -86,6 +87,34 @@ class PlanGuardSpec extends SparkSpec {
     val nShuffles = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
       .findAllIn(corr).size
     assert(nShuffles == 1, s"corrMatrix should shuffle exactly once:\n$corr")
+  }
+
+  test("round-11 operator plan shapes: codegen explode, no eager barriers, bounded joins") {
+    import graft.operators.{Dedup, Similarity, TextAnalysis}
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // covarianceMatrix is a lazy single-pass plan: its generators sit
+    // inside the physical plan (Generate nodes, no HOF lambdas) and no
+    // RDD scan barrier appears (the pre-rewrite version surfaced the
+    // localCheckpoint as an ExistingRDD/Scan node)
+    val cov = Similarity.covarianceMatrix(emb).queryExecution.executedPlan.toString
+    assert(cov.contains("Generate"), s"cov plan lost its generators:\n$cov")
+    assert(!cov.contains("ExistingRDD"), s"cov plan regained an eager barrier:\n$cov")
+    // silhouette / hard negatives: seed centroids and query sides ride
+    // broadcasts, never a shuffled join against the corpus
+    val sil = Similarity.silhouette(emb, 2).queryExecution.executedPlan.toString
+    assert(sil.contains("BroadcastExchange"), s"silhouette plan:\n$sil")
+    val hn = Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 2), 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(hn.contains("BroadcastExchange"), s"hardNegatives plan:\n$hn")
+    // semanticDedup's verify self-join is keyed on the cluster id (an
+    // equi-join), never a cartesian/broadcast-nested-loop over vectors
+    val sd = Dedup.semanticDedup(emb, 2, 0.5).queryExecution.executedPlan.toString
+    assert(!sd.contains("CartesianProduct"), s"semanticDedup went cartesian:\n$sd")
+    // qualityGate: the per-source thresholds broadcast back to the corpus
+    val qg = TextAnalysis.qualityGate(docs).queryExecution.executedPlan.toString
+    assert(qg.contains("BroadcastExchange"), s"qualityGate plan:\n$qg")
   }
 
   test("scan evidence: filters push into parquet, projections prune columns") {
