@@ -595,6 +595,12 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
 
+    // Per-source exact-dup rollup: docs vs distinct md5 payloads per
+    // source + dup rate — the "stop buying this crawl" report.
+    "dedup_source_report" -> ((s, dir) =>
+      Dedup.sourceDupReport(T(s, dir, "documents"))
+        .orderBy("source")),
+
     // SemDeDup: coarse-cluster (8 lowest-id seeds) then drop any vector
     // with a lower-id cluster-mate at cosine >= 0.4 — the quadratic pair
     // term is bounded per cluster, the kept verdict is deterministic.
@@ -3228,6 +3234,13 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "ann_brute_topk" -> bruteAnnOracle,
+
+    "dedup_source_report" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_unique,
+        |  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6)
+        |    AS dup_rate
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
 
     // SemDeDup mirror: same assignment CTEs as emb_kmeans_iter (k=8),
     // then the one-pass "any lower-id cluster-mate within cosine 0.4"

@@ -959,6 +959,25 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Per-source exact-duplication report — the procurement-facing rollup
+    * of [[exactByDigest]]: for each source, how many documents it ships
+    * vs how many distinct payloads, and the duplication rate. The
+    * "which feed is redundant / stop buying this crawl" summary that
+    * runs before any doc-level dedup decision.
+    *
+    * Scale shape: one hash aggregate per source key; the distinct rides
+    * md5 digests (16 bytes in-flight per doc, never the payload — the
+    * same reason exactByDigest exists). Output is one row per source.
+    */
+  def sourceDupReport(docs: DataFrame, srcCol: String = "source",
+                      textCol: String = "text"): DataFrame =
+    docs.select(col(srcCol).as("source"), md5(col(textCol)).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"))
+
   /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): coarse-cluster the corpus, then mark as duplicate

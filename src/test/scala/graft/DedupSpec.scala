@@ -488,4 +488,14 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getBoolean(2)))
     assert(out.toSeq == Seq((1L, true), (2L, false), (3L, false)))
   }
+
+  test("sourceDupReport: per-source doc/unique counts and dup rate") {
+    val docs = Seq(
+      (1L, "A", "same text"), (2L, "A", "same text"), (3L, "A", "other"),
+      (4L, "B", "x"), (5L, "B", "y")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceDupReport(docs).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("A", 3L, 2L, 0.333333), ("B", 2L, 2L, 0.0)))
+  }
 }
