@@ -1109,6 +1109,13 @@ object SparkEntry {
       Similarity.silhouette(T(s, dir, "embeddings"), 8)
         .orderBy("vec_id")),
 
+    // One spherical (cosine) k-means step (k=4, first-k seeds): argmax
+    // cosine assignment, L2-normalized mean centroids — the text-
+    // embedding variant beside the L2 Lloyd step.
+    "emb_kmeans_cosine" -> ((s, dir) =>
+      Similarity.kmeansCosineIterate(T(s, dir, "embeddings"), 4)
+        .orderBy("cluster_id", "dim")),
+
     // Exact 64x64 covariance matrix of the embedding space (PCA/whitening
     // input): row-local outer products -> d^2-key aggregate with map-side
     // combine; no self-join, no N-proportional shuffle.
@@ -3789,6 +3796,32 @@ object SparkEntry {
          |       FROM s)
          |SELECT f.vec_id, f.dim, round((f.x - st.mean) / st.sd, 6) AS z
          |FROM f JOIN st USING (dim) ORDER BY vec_id, dim""".stripMargin,
+
+    // Spherical k-means mirror: argmax-cosine assignment (ties -> lower
+    // cid), 6-dp mean centroids normalized by the norm of the ROUNDED
+    // means; zero-norm mean -> NULL centroid.
+    "emb_kmeans_cosine" ->
+      s"""WITH e AS ($embCte),
+         |f AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+         |        unnest(v) AS x FROM e),
+         |seeds AS (SELECT vec_id AS cid, v AS sv FROM e ORDER BY vec_id LIMIT 4),
+         |sc AS (SELECT e.vec_id, s.cid,
+         |        list_cosine_similarity(e.v, s.sv) AS cos
+         |      FROM e CROSS JOIN seeds s),
+         |a AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC NULLS LAST, cid) AS rn FROM sc)
+         |      WHERE rn = 1),
+         |mm AS (SELECT a.cid, f.dim, count(*) AS n_members,
+         |        round(CAST(sum(CAST(round(f.x, 6) AS DECIMAL(18,6)))
+         |          AS DOUBLE) / count(*), 6) AS m
+         |      FROM a JOIN f USING (vec_id) GROUP BY 1, 2),
+         |nn AS (SELECT cid, sqrt(CAST(sum(CAST(round(m * m, 6)
+         |          AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
+         |      FROM mm GROUP BY 1)
+         |SELECT mm.cid AS cluster_id, mm.dim,
+         |  round(mm.m / nullif(nn.nrm, 0), 6) AS centroid, mm.n_members
+         |FROM mm JOIN nn USING (cid) ORDER BY cluster_id, dim""".stripMargin,
 
     // Simplified silhouette on the shared assignment CTEs (k=8):
     // centroids are 6-dp member means (the kmeans convention), distances

@@ -417,6 +417,49 @@ object Similarity {
         col("n_members"))
   }
 
+  /** One SPHERICAL k-means (cosine) Lloyd step — the standard variant
+    * for text embeddings, where direction carries the semantics and
+    * magnitude is noise: vectors assign to the seed with the HIGHEST
+    * COSINE (ties → lower centroid id; a zero-norm vector has NULL
+    * cosine everywhere and falls to the lowest centroid id), and the
+    * recomputed centroid is the per-dim member mean L2-NORMALIZED back
+    * onto the unit sphere (NULL if the mean collapses to zero). Output
+    * matches [[kmeansIterate]]: (cluster_id, dim, centroid, n_members).
+    *
+    * Scale shape: the k seed VECTORS broadcast whole (one codegen'd
+    * cosine per (vector, seed) — k·N narrow rows, no flatten join for
+    * the assignment); the argmax is a vec-partitioned window; centroid
+    * means and norms are d·k-key DECIMAL aggregates (6-dp-quantized,
+    * order-free, norms computed from the ROUNDED means so both engines
+    * normalize the exact same vector).
+    */
+  def kmeansCosineIterate(embeddings: DataFrame, k: Int,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val e = embeddings.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+    val seeds = e.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("sv"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc_nulls_last, col("cid").asc)
+    val assign = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cid"), Fns.cosine(col("v"), col("sv")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val means = assign.join(flatten(embeddings, idCol, vecCol), "vec_id")
+      .groupBy("cid", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        sum(round(col("x"), 6).cast("decimal(18,6)")).as("s"))
+      .select(col("cid"), col("dim"), col("n_members"),
+        round(col("s").cast("double") / col("n_members"), 6).as("m"))
+    val norms = means.groupBy("cid")
+      .agg(sqrt(sum(round(col("m") * col("m"), 6).cast("decimal(18,6)"))
+        .cast("double")).as("nrm"))
+    means.join(broadcast(norms), "cid")
+      .select(col("cid").as("cluster_id"), col("dim"),
+        round(try_divide(col("m"), col("nrm")), 6).as("centroid"),
+        col("n_members"))
+  }
+
   /** Nearest-seed cluster assignment — the shared coarse-quantization
     * step under [[kmeansIterate]], [[Dedup.semanticDedup]] and
     * [[hardNegatives]]: centroids are the `k` lowest-id vectors

@@ -338,4 +338,27 @@ class SimilaritySpec extends SparkSpec {
     val ss = out.map(_.getAs[Double]("silhouette"))
     assert(ss(0) == ss(1) && ss(2) == ss(3) && ss(0) > ss(2))
   }
+
+  test("kmeansCosineIterate: magnitude-blind assignment, unit-norm centroids") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // seed / cluster 1
+      (2L, Seq(0.0f, 1.0f)),   // seed / cluster 2
+      (3L, Seq(2.0f, 0.2f)),   // large magnitude, direction ~x -> cluster 1
+      (4L, Seq(0.01f, 0.5f))   // small magnitude, direction ~y -> cluster 2
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansCosineIterate(emb, 2)
+      .orderBy("cluster_id", "dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._1).distinct.toSeq == Seq(1L, 2L))
+    assert(out.forall(_._4 == 2L)) // two members each
+    // cluster 1 mean = (1.5, 0.1); normalized = (0.997785, 0.066519)
+    assert(math.abs(out(0)._3 - 0.997785) < 1e-6)
+    assert(math.abs(out(1)._3 - 0.066519) < 1e-6)
+    // every centroid is unit-norm after normalization
+    val byCluster = out.groupBy(_._1).values
+    byCluster.foreach { dims =>
+      val norm = math.sqrt(dims.map(d => d._3 * d._3).sum)
+      assert(math.abs(norm - 1.0) < 1e-4)
+    }
+  }
 }
