@@ -1491,6 +1491,18 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    // The JPEG face of the real-codec path (real media corpora are
+    // overwhelmingly JPEG): same dispatch, but the codec is lossy so the
+    // oracle-checkable contract is exact geometry + codec name + the
+    // operator's fixed reconstruction-error bounds (always-true booleans
+    // by contract — a decode defect, a dispatch regression, or a broken
+    // encoder flips them and fails the hash).
+    "mm_decode_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      val ids = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      Multimodal.jpegRoundTrip(s, ids).toDF().orderBy("asset_id")
+    }),
+
     // ---- ingestion / warehouse plumbing, end-to-end ----
 
     // Ops 1+2+14 against REAL JSON files (the COPY statements'
@@ -1928,6 +1940,32 @@ object SparkEntry {
       operators.TimeSeries.sax(
           T(s, dir, "events"), "user_id", "ts", "value")
         .orderBy("user_id")),
+
+    // CHAINED time-series pipeline — the composition the family is
+    // actually consumed as (every solo oracle checks one link; this one
+    // checks the chain contract): raw events → hourly linear-interpolated
+    // grid (resampleInterpolate) → hour-of-day seasonal strength AND SAX
+    // shape word, both computed over the FILLED series (tsCol = the grid
+    // bucket, valueCol = the 6-dp-quantized interpolated value, so the
+    // downstream operators see a gapless signal, which is the entire
+    // point of the fill). Inner join on the key: SAX omits degenerate
+    // (<2-bucket / zero-variance) keys and the chain output follows that
+    // convention. One output row per user. The oracle replays the SAME
+    // three stages as one CTE chain — cross-operator contract drift
+    // (e.g. a fill output rename or requantization) breaks this row even
+    // when all ten solo ts oracles stay green.
+    "ts_pipeline_e2e" -> ((s, dir) => {
+      val filled = operators.TimeSeries.resampleInterpolate(
+        T(s, dir, "events").filter(col("user_id") < 50), "user_id", "ts", "value")
+      val seas = operators.TimeSeries.seasonalStrength(
+        filled, "user_id", "bucket", "v_interp")
+      val shapes = operators.TimeSeries.sax(
+        filled, "user_id", "bucket", "v_interp")
+      seas.join(shapes, Seq("user_id"))
+        .select(col("user_id"), col("n_rows"), col("n_phases"),
+          col("peak_phase"), col("strength"), col("n_buckets"), col("sax"))
+        .orderBy("user_id")
+    }),
 
     // Stream-stream interval join (batch-unified body): views within
     // 6 hours after each click, per user. On streams both sides get
@@ -3252,28 +3290,40 @@ object SparkEntry {
     // SemDeDup mirror: same assignment CTEs as emb_kmeans_iter (k=8),
     // then the one-pass "any lower-id cluster-mate within cosine 0.4"
     // drop rule — cluster-scoped pairs only, exactly the Spark join.
+    // A zero-norm vector yields NaN from list_cosine_similarity and
+    // DuckDB sorts/compares NaN as greater than everything; Spark's
+    // graft_cosine returns NULL there (never a duplicate) — the CASE
+    // maps NaN -> NULL so `NULL >= 0.4` filters the pair identically.
     "dedup_semantic" ->
       s"""WITH ${assignCtes(8)},
          |v AS (SELECT e.vec_id, a.cid, e.v FROM e JOIN a USING (vec_id)),
          |dup AS (SELECT DISTINCT b.vec_id
          |        FROM v x JOIN v b ON x.cid = b.cid AND x.vec_id < b.vec_id
-         |        WHERE list_cosine_similarity(x.v, b.v) >= 0.4)
+         |        WHERE (CASE WHEN isnan(list_cosine_similarity(x.v, b.v))
+         |                 THEN NULL
+         |                 ELSE list_cosine_similarity(x.v, b.v) END) >= 0.4)
          |SELECT v.vec_id, CAST(v.cid AS BIGINT) AS cluster_id,
          |  dup.vec_id IS NULL AS kept
          |FROM v LEFT JOIN dup ON dup.vec_id = v.vec_id
          |ORDER BY v.vec_id""".stripMargin,
 
     // Hard negatives: brute ranking restricted to cross-cluster pairs;
-    // assignment CTEs shared with the kmeans oracle (k=4).
+    // assignment CTEs shared with the kmeans oracle (k=4). The Spark
+    // side drops NULL cosines (zero-norm vectors); DuckDB yields NaN
+    // there and ranks it FIRST under `cos DESC` — the CASE + IS NOT
+    // NULL guard excludes undefined cosines identically in both engines.
     "ann_hard_negatives" ->
       s"""WITH ${assignCtes(4)},
          |q AS (SELECT e.vec_id AS query_id, e.v AS qv, a.cid AS qcid
          |      FROM e JOIN a USING (vec_id) WHERE e.vec_id < 8),
          |s AS (SELECT q.query_id, ce.vec_id AS neighbor_id,
          |        CAST(ca.cid AS BIGINT) AS neighbor_cluster,
-         |        list_cosine_similarity(q.qv, ce.v) AS cos
+         |        CASE WHEN isnan(list_cosine_similarity(q.qv, ce.v))
+         |          THEN NULL
+         |          ELSE list_cosine_similarity(q.qv, ce.v) END AS cos
          |      FROM q JOIN e ce ON ce.vec_id <> q.query_id
-         |      JOIN a ca ON ca.vec_id = ce.vec_id AND ca.cid <> q.qcid)
+         |      JOIN a ca ON ca.vec_id = ce.vec_id AND ca.cid <> q.qcid
+         |      WHERE cos IS NOT NULL)
          |SELECT query_id,
          |  CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
@@ -3799,14 +3849,20 @@ object SparkEntry {
 
     // Spherical k-means mirror: argmax-cosine assignment (ties -> lower
     // cid), 6-dp mean centroids normalized by the norm of the ROUNDED
-    // means; zero-norm mean -> NULL centroid.
+    // means; zero-norm mean -> NULL centroid. The assignment cosine is
+    // 6-dp-rounded on BOTH sides (membership-deciding values are always
+    // quantized — a last-ulp engine disagreement would flip a cluster);
+    // NaN (zero-norm vector) maps to NULL to mirror graft_cosine, and
+    // NULLS LAST + the cid tie-break sends it to the lowest seed.
     "emb_kmeans_cosine" ->
       s"""WITH e AS ($embCte),
          |f AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
          |        unnest(v) AS x FROM e),
          |seeds AS (SELECT vec_id AS cid, v AS sv FROM e ORDER BY vec_id LIMIT 4),
          |sc AS (SELECT e.vec_id, s.cid,
-         |        list_cosine_similarity(e.v, s.sv) AS cos
+         |        CASE WHEN isnan(list_cosine_similarity(e.v, s.sv))
+         |          THEN NULL
+         |          ELSE round(list_cosine_similarity(e.v, s.sv), 6) END AS cos
          |      FROM e CROSS JOIN seeds s),
          |a AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
          |        row_number() OVER (PARTITION BY vec_id
@@ -4671,6 +4727,16 @@ object SparkEntry {
         |    i -> (doc_id * 31 + i) % 256)) AS BIGINT) AS sum_sample
         |FROM documents ORDER BY asset_id""".stripMargin,
 
+    // Geometry/codec exact; the error-bound booleans are contract
+    // constants (Multimodal.jpegRoundTrip scaladoc) — TRUE unless the
+    // codec path regresses.
+    "mm_decode_jpeg" ->
+      """SELECT doc_id AS asset_id, 'jpeg' AS codec,
+        |  CAST(8 * (1 + doc_id % 4) AS BIGINT) AS width,
+        |  CAST(8 * (1 + doc_id % 3) AS BIGINT) AS height,
+        |  TRUE AS mean_err_le_2, TRUE AS max_err_le_8
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
     "merge_upsert" ->
       """SELECT user_id, ts, event_id, value FROM (
         |  SELECT user_id, ts, event_id, value,
@@ -5080,6 +5146,105 @@ object SparkEntry {
         |SELECT user_id, max(nk) AS n_buckets,
         |  string_agg(letter, '' ORDER BY seg) AS sax
         |FROM le GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // One CTE chain replaying the full pipeline: the ts_gapfill fill
+    // stage verbatim, then the ts_seasonal and ts_sax stages consuming
+    // the FILLED series (phase from the grid bucket, x from v_interp).
+    "ts_pipeline_e2e" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS bucket, value
+        |           FROM events WHERE user_id < 50),
+        |hourly AS (SELECT user_id, bucket, count(*) AS n,
+        |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |           FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |           FROM e GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |         FROM bounds),
+        |j AS (SELECT g.user_id, g.bucket, v,
+        |        epoch(g.bucket) AS ep,
+        |        CASE WHEN v IS NOT NULL THEN epoch(g.bucket) END AS oep
+        |      FROM grid g LEFT JOIN hourly h
+        |        ON g.user_id = h.user_id AND g.bucket = h.bucket),
+        |w AS (SELECT user_id, bucket, ep,
+        |        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |          ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS pv,
+        |        last_value(oep IGNORE NULLS) OVER (PARTITION BY user_id
+        |          ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS pe,
+        |        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |          ORDER BY bucket
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |        first_value(oep IGNORE NULLS) OVER (PARTITION BY user_id
+        |          ORDER BY bucket
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ne
+        |      FROM j),
+        |filled AS (SELECT user_id, bucket,
+        |  CAST(round(CAST(CASE WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             WHEN ne = pe THEN pv
+        |             ELSE pv + (nv - pv) * (ep - pe) / (ne - pe) END
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS v_interp
+        |  FROM w),
+        |per AS (SELECT user_id,
+        |        CAST(floor((epoch(bucket) % 86400) / 3600) AS BIGINT) AS phase,
+        |        CAST(v_interp AS DECIMAL(18,6)) AS x
+        |      FROM filled WHERE v_interp IS NOT NULL),
+        |pp AS (SELECT user_id, phase, count(*) AS np,
+        |         CAST(sum(x) AS DECIMAL(38,12)) AS sp,
+        |         sum(CAST(x * x AS DECIMAL(38,12))) AS sp2
+        |       FROM per GROUP BY 1, 2),
+        |pk AS (SELECT user_id, phase AS peak_phase,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY round(CAST(sp AS DOUBLE) / np, 6) DESC, phase ASC) AS rk
+        |       FROM pp),
+        |a AS (SELECT user_id, CAST(sum(np) AS BIGINT) AS n_rows,
+        |        count(*) AS n_phases,
+        |        CAST(sum(sp) AS DOUBLE) AS s, CAST(sum(sp2) AS DOUBLE) AS s2,
+        |        CAST(sum(CAST(round(CAST(sp * sp AS DOUBLE) / np, 6)
+        |          AS DECIMAL(38,6))) AS DOUBLE) AS ssb_raw
+        |      FROM pp GROUP BY 1),
+        |c AS (SELECT user_id, n_rows, n_phases,
+        |        s2 - s * s / n_rows AS sst,
+        |        ssb_raw - s * s / n_rows AS ssb
+        |      FROM a),
+        |seas AS (SELECT c.user_id, c.n_rows, c.n_phases, pk.peak_phase,
+        |  CAST(round(CAST(
+        |    CASE WHEN sst > 0 THEN greatest(least(ssb / sst, 1.0), 0.0) END
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS strength
+        |  FROM c JOIN pk ON c.user_id = pk.user_id AND pk.rk = 1),
+        |sb AS (SELECT user_id, bucket,
+        |        CAST(sum(CAST(v_interp AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM filled GROUP BY 1, 2),
+        |f AS (SELECT * FROM sb WHERE v IS NOT NULL),
+        |m AS (SELECT user_id, count(*) AS nk, CAST(sum(v) AS DOUBLE) AS s1,
+        |        CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS s2
+        |      FROM f GROUP BY 1),
+        |st AS (SELECT user_id, nk, s1 / nk AS mu,
+        |         CASE WHEN nk >= 2 AND (s2 - s1 * s1 / nk) / (nk - 1) > 0
+        |              THEN sqrt((s2 - s1 * s1 / nk) / (nk - 1)) END AS sigma
+        |       FROM m),
+        |z AS (SELECT f.user_id, st.nk,
+        |        CAST(row_number() OVER (PARTITION BY f.user_id ORDER BY bucket) - 1
+        |          AS BIGINT) AS i,
+        |        CAST(round(CAST((CAST(v AS DOUBLE) - mu) / sigma
+        |          AS DECIMAL(24,12)), 6) AS DECIMAL(18,6)) AS zz
+        |      FROM f JOIN st ON f.user_id = st.user_id
+        |      WHERE sigma IS NOT NULL),
+        |sg AS (SELECT user_id, max(nk) AS nk,
+        |         CAST(floor(i * 8 / nk) AS BIGINT) AS seg,
+        |         count(*) AS ns, CAST(sum(zz) AS DOUBLE) AS sz
+        |       FROM z GROUP BY user_id, CAST(floor(i * 8 / nk) AS BIGINT)),
+        |le AS (SELECT user_id, nk, seg,
+        |         CASE WHEN sz / ns < -0.6745 THEN 'a' WHEN sz / ns < 0 THEN 'b'
+        |              WHEN sz / ns < 0.6745 THEN 'c' ELSE 'd' END AS letter
+        |       FROM sg),
+        |shapes AS (SELECT user_id, max(nk) AS n_buckets,
+        |         string_agg(letter, '' ORDER BY seg) AS sax
+        |       FROM le GROUP BY user_id)
+        |SELECT seas.user_id, seas.n_rows, seas.n_phases, seas.peak_phase,
+        |  seas.strength, shapes.n_buckets, shapes.sax
+        |FROM seas JOIN shapes ON seas.user_id = shapes.user_id
+        |ORDER BY seas.user_id""".stripMargin,
 
     "stream_interval_join" ->
       """SELECT l.user_id, l.event_id AS click_id, r.event_id AS view_id

@@ -154,6 +154,93 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic grayscale JPEG fixture: width = 8·(1 + id%4), height =
+    * 8·(1 + id%3) (whole 8×8 DCT blocks), sample(x, y) = 16 + 2x + 2y +
+    * id%64 (a smooth linear ramp, max 187 < 255 so nothing clamps),
+    * encoded by the JDK JPEG writer at explicit quality 0.95. JPEG is
+    * LOSSY — unlike [[syntheticPng]] the decoded samples are NOT
+    * bit-identical to the generator, so the checkable contract is
+    * geometry + codec dispatch (exact) plus a bounded reconstruction
+    * error against [[syntheticJpegSample]] (see [[jpegRoundTrip]]).
+    */
+  def syntheticJpeg(id: Long): Array[Byte] = {
+    val w = 8 * (1 + (id % 4).toInt)
+    val h = 8 * (1 + (id % 3).toInt)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, syntheticJpegSample(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.95f)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** The [[syntheticJpeg]] generator formula — shared by the encoder, the
+    * round-trip error measurement, and the spec's hand checks.
+    */
+  def syntheticJpegSample(id: Long, x: Int, y: Int): Int =
+    16 + 2 * x + 2 * y + (id % 64).toInt
+
+  final case class JpegParity(asset_id: Long, codec: String, width: Long,
+                              height: Long, mean_err_le_2: Boolean,
+                              max_err_le_8: Boolean)
+
+  /** Lossy-codec round-trip contract for the JPEG path: encode the
+    * deterministic fixture, decode through the REAL `javax.imageio` JPEG
+    * reader ([[decodeImage]] dispatch — no stub), and verify (a) codec
+    * name and geometry exactly, (b) per-pixel reconstruction error
+    * against the generator formula within fixed bounds (mean |err| ≤ 2,
+    * max |err| ≤ 8 — far above the ≲1-unit error a 0.95-quality smooth
+    * ramp actually shows, far below any real decode defect; the bounds
+    * are part of the operator contract so the oracle can assert them as
+    * constants). Narrow mapPartitions end-to-end — same scale shape as
+    * [[decode]]: payloads never cross a shuffle.
+    */
+  def jpegRoundTrip(spark: SparkSession, ids: Dataset[Long]): Dataset[JpegParity] = {
+    import spark.implicits._
+    ids.mapPartitions(_.map { id =>
+      val a = Asset(id, "image", syntheticJpeg(id))
+      decodeImage(a) match {
+        case None =>
+          JpegParity(id, "unreadable", -1L, -1L, mean_err_le_2 = false,
+            max_err_le_8 = false)
+        case Some(d) =>
+          // re-decode to raw samples for the error measurement (decodeImage
+          // only surfaces the sum; parity needs per-pixel error)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var sumErr = 0L; var maxErr = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val e = math.abs(raster.getSample(x, y, 0) - syntheticJpegSample(id, x, y))
+              sumErr += e; if (e > maxErr) maxErr = e
+              x += 1
+            }
+            y += 1
+          }
+          JpegParity(id, d.codec, w.toLong, h.toLong,
+            mean_err_le_2 = sumErr.toDouble / (w * h) <= 2.0,
+            max_err_le_8 = maxErr <= 8)
+      }
+    })
+  }
+
   /** Resize: recompute the decoded representation at a target geometry.
     * The stub scales the fake feature vector deterministically; a real
     * implementation re-decodes at (w, h). Same narrow-map shape as decode.

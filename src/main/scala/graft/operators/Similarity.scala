@@ -431,7 +431,12 @@ object Similarity {
     * the assignment); the argmax is a vec-partitioned window; centroid
     * means and norms are d·k-key DECIMAL aggregates (6-dp-quantized,
     * order-free, norms computed from the ROUNDED means so both engines
-    * normalize the exact same vector).
+    * normalize the exact same vector). The assignment cosine is ALSO
+    * 6-dp-quantized before the argmax window — membership decisions
+    * follow the same discipline as [[assignToSeeds]]/`outliersMad`: any
+    * value that decides a group must be rounded so a last-ulp
+    * disagreement between engines can't flip an assignment and cascade
+    * into centroid mismatches (tie-break on cid keeps the cut total).
     */
   def kmeansCosineIterate(embeddings: DataFrame, k: Int,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -442,7 +447,7 @@ object Similarity {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc_nulls_last, col("cid").asc)
     val assign = e.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("cid"), Fns.cosine(col("v"), col("sv")).as("cos"))
+      .select(col("vec_id"), col("cid"), round(Fns.cosine(col("v"), col("sv")), 6).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
     val means = assign.join(flatten(embeddings, idCol, vecCol), "vec_id")

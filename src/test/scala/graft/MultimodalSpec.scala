@@ -49,6 +49,36 @@ class MultimodalSpec extends SparkSpec {
     assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
   }
 
+  test("jpegRoundTrip: REAL JPEG decode — exact geometry, bounded lossy error") {
+    val out = Multimodal.jpegRoundTrip(spark, (0L to 23L).toDS())
+      .collect().sortBy(_.asset_id)
+    assert(out.length == 24)
+    out.foreach { p =>
+      val id = p.asset_id
+      assert(p.codec == "jpeg", s"id $id decoded via ${p.codec}, wanted jpeg")
+      assert(p.width == 8 * (1 + id % 4) && p.height == 8 * (1 + id % 3),
+        s"id $id geometry ${p.width}x${p.height}")
+      assert(p.mean_err_le_2, s"id $id mean reconstruction error above 2")
+      assert(p.max_err_le_8, s"id $id max reconstruction error above 8")
+    }
+    // the payload really is a JPEG: SOI marker FF D8
+    val jpg = Multimodal.syntheticJpeg(5L)
+    assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8)
+    // measure the true error profile once so the contract bounds stay
+    // honest (the operator's booleans must have real headroom)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    var sumErr = 0L; var maxErr = 0
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val e = math.abs(img.getRaster.getSample(x, y, 0) -
+        Multimodal.syntheticJpegSample(5L, x, y))
+      sumErr += e; maxErr = math.max(maxErr, e)
+    }
+    val meanErr = sumErr.toDouble / (img.getWidth * img.getHeight)
+    info(f"jpeg q=0.95 smooth-ramp reconstruction: mean=$meanErr%.3f max=$maxErr")
+    assert(meanErr <= 1.0, s"quality drifted: mean err $meanErr (contract bound 2)")
+    assert(maxErr <= 4, s"quality drifted: max err $maxErr (contract bound 8)")
+  }
+
   test("decodeImage: BMP container also takes the real path") {
     val img = new java.awt.image.BufferedImage(
       5, 3, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)

@@ -219,4 +219,30 @@ class TimeSeriesSpec extends SparkSpec {
     // user 1: mu=2.5 sigma=sqrt(5/3); segment means ∓0.774597 -> a / d.
     assert(out.toSeq == Seq((1L, 4L, "ad")))
   }
+
+  test("chained pipeline: fill feeds seasonal + sax; gaps interpolated first") {
+    // user 1: observations at hours 10 and 13 only — the chain must
+    // interpolate 11 and 12 (values 3, 5) BEFORE computing downstream
+    // stats, so the seasonal/sax stages see the 4-bucket series
+    // 1,3,5,7 rather than the 2-point raw one.
+    val ev = Seq(
+      (1L, "2024-01-01 10:30:00", 1.0),
+      (1L, "2024-01-01 13:30:00", 7.0))
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    val filled = TimeSeries.resampleInterpolate(ev, "user_id", "ts", "value")
+    val seas = TimeSeries.seasonalStrength(filled, "user_id", "bucket", "v_interp")
+      .collect()
+    assert(seas.length == 1)
+    assert(seas(0).getAs[Long]("n_rows") == 4L)      // filled, not raw 2
+    assert(seas(0).getAs[Long]("n_phases") == 4L)
+    assert(seas(0).getAs[Long]("peak_phase") == 13L) // hour of the max value
+    val shapes = TimeSeries.sax(filled, "user_id", "bucket", "v_interp",
+        segments = 2).collect()
+    // z of 1,3,5,7: mu=4 sigma=sqrt(20/3)=2.581989; z=∓1.161895,∓0.387298;
+    // segment means ∓0.774597 -> "ad" (same shape as the solo sax test).
+    assert(shapes.length == 1)
+    assert(shapes(0).getAs[Long]("n_buckets") == 4L)
+    assert(shapes(0).getAs[String]("sax") == "ad")
+  }
 }
