@@ -123,6 +123,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file source: several real micro-batches == one-shot batch recompute") {
+    // The genuine production shape — a FILE source drained by
+    // Trigger.AvailableNow with maxFilesPerTrigger=1, so the run executes
+    // one real micro-batch per input file through the checkpointed
+    // streaming engine — asserted equal to the one-shot batch face of the
+    // same body on the same rows (the unified-API claim, executed).
+    val src = java.nio.file.Files.createTempDirectory("graft-file-src").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-file-ck").toString
+    val rows = Seq(
+      ("2024-01-01 10:05:00", "click", 1.0),
+      ("2024-01-01 10:55:00", "click", 2.0),
+      ("2024-01-01 11:05:00", "view", 4.0),
+      ("2024-01-01 11:20:00", "click", 8.0),
+      ("2024-01-01 12:40:00", "view", 16.0),
+      ("2024-01-01 12:59:00", "view", 32.0))
+    def frame(rs: Seq[(String, String, Double)]) =
+      rs.toDF("s", "event_type", "value")
+        .select(to_timestamp($"s").as("ts"), $"event_type", $"value")
+    rows.grouped(2).foreach(chunk =>
+      frame(chunk).coalesce(1).write.mode("append").parquet(src))
+    val stream = spark.readStream.schema(frame(rows).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamingJobs.streamingWindowedCounts(stream, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("file_wc").outputMode("complete")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow drain did not finish")
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3, s"expected >=3 non-empty micro-batches, saw $batches")
+      val streamed = spark.table("file_wc").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toInstant.toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"),
+          r.getAs[Double]("total_value"))).toSet
+      val batch = StreamingJobs.windowedCounts(frame(rows), "1 hour").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toInstant.toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"),
+          r.getAs[Double]("total_value"))).toSet
+      assert(streamed == batch,
+        s"streaming face diverged:\n  stream=$streamed\n  batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming dedup: replays within the watermark horizon are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
