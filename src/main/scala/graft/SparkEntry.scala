@@ -111,6 +111,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Interpolating as-of: the same-user purchase value ESTIMATED AT the
+    // click's instant — linear between the bracketing purchases, flat at
+    // the edges (mark-to-time semantics; resampleInterpolate's edge
+    // rules and DECIMAL(24,12)->6dp rounding discipline).
+    "asof_join_interp" -> ((s, dir) => {
+      val clicks = T(s, dir, "events").filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_at_click"))
+      AsOfJoin.asOfInterpolate(clicks, purchases, "user_id", "ts", "ts",
+          "purchase_at_click")
+        .select("event_id", "user_id", "purchase_at_click")
+        .orderBy("event_id")
+    }),
+
     // Nearest as-of (either direction, 48 h tolerance, prior wins ties):
     // each click's temporally closest same-user purchase — the sensor-
     // fusion / log-alignment join. Oracle: two native ASOF joins + the
@@ -558,6 +573,14 @@ object SparkEntry {
     "ana_transitions" -> ((s, dir) =>
       Analytics.transitions(T(s, dir, "events"))
         .orderBy("from_type", "to_type")),
+
+    // Long-run occupancy of the event-type Markov chain: 5 unrolled
+    // power-iteration rounds of pi' = pi*P (dangling mass uniform, 12-dp
+    // DECIMAL per-round sums) — the chain-level summary raw transition
+    // counts can't give.
+    "ana_markov_stationary" -> ((s, dir) =>
+      Analytics.markovStationary(T(s, dir, "events"), 5)
+        .orderBy("event_type")),
 
     // ---- LLM-data-pipeline: deduplication ----
 
@@ -1064,9 +1087,22 @@ object SparkEntry {
       operators.DataQuality.volumeAnomaly(T(s, dir, "events"))
         .orderBy("day", "event_type")),
 
+    // Per-type freshness monitor: latest arrival, lag in hours behind the
+    // freshest feed, stale flag past 24 h — catches the feed that STOPPED
+    // (which the volume z-score cannot see: no daily row, no z).
+    "dq_freshness" -> ((s, dir) =>
+      operators.DataQuality.freshness(T(s, dir, "events"), 24L)
+        .orderBy("group_key")),
+
     // Per-source quantile quality gate: each doc competes against its OWN
     // source's p25 of the distinct-token-ratio score, so low-register
     // sources aren't deleted wholesale by a global cutoff.
+    // Rare-token (corpus-hapax) occurrence ratio per doc — the gibberish
+    // / OCR-noise detector: vocabulary no other document corroborates.
+    "text_rare_ratio" -> ((s, dir) =>
+      TextAnalysis.rareTokenRatio(T(s, dir, "documents"), 1L, 0.5)
+        .orderBy("doc_id")),
+
     "text_quality_gate" -> ((s, dir) =>
       TextAnalysis.qualityGate(T(s, dir, "documents"), 0.25)
         .orderBy("doc_id")),
@@ -1116,6 +1152,20 @@ object SparkEntry {
       Similarity.kmeansCosineIterate(T(s, dir, "embeddings"), 4)
         .orderBy("cluster_id", "dim")),
 
+    // Product-quantization codes (IVF-PQ's compression leg): 64 dims ->
+    // 4 subspaces of 16, each assigned to its nearest of 4 deterministic
+    // sub-centroids; a vector serves ANN from 4 small ints.
+    "emb_pq" -> ((s, dir) =>
+      Similarity.productQuantize(T(s, dir, "embeddings"), 16, 4)
+        .orderBy("vec_id", "subspace")),
+
+    // Per-cluster distance-percentile outlier gate: vectors in their own
+    // cluster's top-decile distance tail — the embedding-space quality
+    // filter (mislabeled / out-of-domain suspects).
+    "emb_outlier" -> ((s, dir) =>
+      Similarity.embeddingOutliers(T(s, dir, "embeddings"), 8, 0.9)
+        .orderBy("vec_id")),
+
     // Exact 64x64 covariance matrix of the embedding space (PCA/whitening
     // input): row-local outer products -> d^2-key aggregate with map-side
     // combine; no self-join, no N-proportional shuffle.
@@ -1163,6 +1213,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
         .select("src", "dst")
       operators.Graph.triangleCounts(edges).orderBy("node")
+    }),
+
+    // Log2-bucketed degree distribution of the same co-purchase graph —
+    // the power-law-or-not diagnostic run before heavier graph passes;
+    // <=64 histogram rows regardless of graph size.
+    "graph_degree_hist" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      operators.Graph.degreeHistogram(edges).orderBy("bucket")
     }),
 
     // Local clustering coefficients over the same co-purchase graph —
@@ -2467,6 +2532,31 @@ object SparkEntry {
 
     // Mirrors asOfNearest exactly: backward + forward native ASOF, the
     // epoch-long direction pick with prior-wins ties, 48 h tolerance.
+    // Backward + forward native ASOF, then the resampleInterpolate
+    // interpolation/edge CASE on epoch longs with the shared
+    // DECIMAL(24,12)->6dp rounding route.
+    "asof_join_interp" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase'),
+        |b AS (SELECT l.event_id, r.value AS pv, r.ts AS pt
+        |      FROM l ASOF LEFT JOIN r
+        |        ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (SELECT l.event_id, r.value AS nv, r.ts AS nt
+        |      FROM l ASOF LEFT JOIN r
+        |        ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT l.event_id, l.user_id,
+        |  CAST(round(CAST(CASE WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             WHEN epoch_us(nt) = epoch_us(pt) THEN pv
+        |             ELSE pv + (nv - pv)
+        |                    * CAST(epoch_us(l.ts) - epoch_us(pt) AS DOUBLE)
+        |                    / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE) END
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS purchase_at_click
+        |FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin,
+
     "asof_join_nearest" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'click'),
@@ -3673,6 +3763,20 @@ object SparkEntry {
         |WHERE st.sd <> 0 AND abs((d.cnt - st.mean) / st.sd) > 2
         |ORDER BY day, event_type""".stripMargin,
 
+    // Whole-hour lag behind the table-wide max ts; truncation == floor
+    // since the difference is non-negative.
+    "dq_freshness" ->
+      """WITH per AS (SELECT event_type AS group_key, count(*) AS n_rows,
+        |        max(ts) AS max_ts
+        |      FROM events GROUP BY 1),
+        |g AS (SELECT max(max_ts) AS gmax FROM per)
+        |SELECT group_key, n_rows, max_ts,
+        |  CAST(floor((epoch(gmax) - epoch(max_ts)) / 3600) AS BIGINT)
+        |    AS lag_hours,
+        |  CAST(floor((epoch(gmax) - epoch(max_ts)) / 3600) AS BIGINT) > 24
+        |    AS is_stale
+        |FROM per CROSS JOIN g ORDER BY group_key""".stripMargin,
+
     // Within-doc span dedup: same gram/lead chain, dup-start by
     // min-position window, coverage by running max of span ends; docs
     // with zero tokens drop out on BOTH sides (no explode rows).
@@ -3703,6 +3807,23 @@ object SparkEntry {
     // Per-source p25 gate: score and threshold both 6-dp-rounded before
     // the comparison (quantile_cont ≡ Spark percentile — the one value
     // whose last bits could disagree); zero-token docs NULL -> kept false.
+    // Rare = document frequency <= 1 corpus-wide; ratio over token
+    // OCCURRENCES. Sums cast to BIGINT (DuckDB sums integers to
+    // HUGEINT, which would dtype-mismatch the compare).
+    "text_rare_ratio" ->
+      s"""WITH base AS ($docToks),
+         |t AS (SELECT doc_id, unnest(toks) AS term FROM base),
+         |df AS (SELECT term, count(*) AS df FROM
+         |         (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1),
+         |j AS (SELECT t.doc_id, df.df FROM t JOIN df USING (term))
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  round(CAST(sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS rare_ratio,
+         |  round(CAST(sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) > 0.5 AS flagged
+         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     "text_quality_gate" ->
       """WITH sc AS (SELECT doc_id, source,
         |        round(CAST(len(list_distinct(list_filter(string_split(text, ' '),
@@ -3879,6 +4000,46 @@ object SparkEntry {
          |  round(mm.m / nullif(nn.nrm, 0), 6) AS centroid, mm.n_members
          |FROM mm JOIN nn USING (cid) ORDER BY cluster_id, dim""".stripMargin,
 
+    // PQ mirror: per-subspace argmin-L2 against the 4 lowest-id vectors'
+    // subvectors — same 6-dp DECIMAL distance quantization and lower-cid
+    // tie rule as every assignment in the library.
+    "emb_pq" ->
+      s"""WITH e AS ($embCte),
+         |f AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+         |        unnest(v) AS x FROM e),
+         |ff AS (SELECT vec_id, dim,
+         |        CAST(floor((dim - 1) / 16) AS BIGINT) AS sub, x FROM f),
+         |seeds AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4),
+         |cent AS (SELECT ff.vec_id AS cid, ff.dim, ff.x AS c
+         |      FROM ff JOIN seeds USING (vec_id)),
+         |d AS (SELECT ff.vec_id, ff.sub, cent.cid,
+         |        sum(CAST(round((ff.x - cent.c) * (ff.x - cent.c), 6)
+         |          AS DECIMAL(18,6))) AS d2
+         |      FROM ff JOIN cent USING (dim) GROUP BY 1, 2, 3),
+         |r AS (SELECT vec_id, sub, cid, d2,
+         |        row_number() OVER (PARTITION BY vec_id, sub
+         |          ORDER BY d2, cid) AS rn
+         |      FROM d)
+         |SELECT vec_id, sub AS subspace, cid AS code,
+         |  round(CAST(d2 AS DOUBLE), 6) AS distortion
+         |FROM r WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+
+    // Outlier gate on the shared assignment CTEs (k=8): the winning d2
+    // becomes the distance, per-cluster quantile_cont(0.9) mirrors
+    // Spark's exact percentile.
+    "emb_outlier" ->
+      s"""WITH ${assignCtes(8)},
+         |own AS (SELECT vec_id, cid, d2,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |      FROM d),
+         |o AS (SELECT vec_id, cid, round(sqrt(CAST(d2 AS DOUBLE)), 6) AS dist
+         |      FROM own WHERE rn = 1),
+         |t AS (SELECT cid, round(quantile_cont(dist, 0.9), 6) AS thr
+         |      FROM o GROUP BY 1)
+         |SELECT o.vec_id, CAST(o.cid AS BIGINT) AS cluster_id, o.dist, t.thr,
+         |  o.dist > t.thr AS is_outlier
+         |FROM o JOIN t USING (cid) ORDER BY o.vec_id""".stripMargin,
+
     // Simplified silhouette on the shared assignment CTEs (k=8):
     // centroids are 6-dp member means (the kmeans convention), distances
     // the same DECIMAL-summed squared-deviation shape; a=b=0 -> s=0.
@@ -3995,6 +4156,25 @@ object SparkEntry {
         |SELECT node, count(*) AS n_triangles
         |FROM n GROUP BY 1 ORDER BY node""".stripMargin,
 
+    // Degree = distinct-neighbor count over the same a<b edge set;
+    // bucket via binary digit count (exact), bounds via power(2, b)
+    // (exact in double far past any real bucket).
+    "graph_degree_hist" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+        |      FROM lineitem),
+        |e AS (SELECT l.pt AS a, r.pt AS b, count(*) AS c
+        |      FROM it l JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, count(*) AS degree FROM (
+        |          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY 1),
+        |h AS (SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS bucket,
+        |        degree FROM deg)
+        |SELECT bucket, CAST(power(2, bucket) AS BIGINT) AS lo,
+        |  CAST(power(2, bucket + 1) AS BIGINT) - 1 AS hi,
+        |  count(*) AS n_nodes, max(degree) AS max_degree
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     // Coefficient arithmetic mirrored op-for-op (double cast before the
     // degree product, ×2 then ÷, CASE for degree-1 NULL).
     "graph_clustering" ->
@@ -4094,6 +4274,44 @@ object SparkEntry {
          |r0 AS (SELECT node, p AS rank FROM pers),
          |$iterCtes
          |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin
+    },
+
+    // Markov stationary distribution: 5 unrolled pi' = pi*P rounds on the
+    // row-normalized transition counts (self-loops kept — transitions()
+    // keeps them), dangling mass redistributed uniformly, 12-dp DECIMAL
+    // per-round sums — the pagerank CTE algebra minus damping.
+    "ana_markov_stationary" -> {
+      val iterCtes = (1 to 5).map { k =>
+        val prev = s"p${k - 1}"
+        s"""f$k AS (SELECT t.to_type AS state,
+           |        sum(CAST(round($prev.pi * t.p, 12) AS DECIMAL(18,12))) AS s
+           |      FROM t JOIN $prev ON $prev.state = t.from_type GROUP BY 1),
+           |d$k AS (SELECT coalesce(sum(CAST(round(pi, 12) AS DECIMAL(18,12))),
+           |          CAST(0 AS DECIMAL(18,12))) AS dm
+           |      FROM $prev WHERE state NOT IN (SELECT from_type FROM t)),
+           |p$k AS (SELECT st.state,
+           |        coalesce(CAST(f$k.s AS DOUBLE), 0e0)
+           |          + CAST(d$k.dm AS DOUBLE) / nn.k AS pi
+           |      FROM states st CROSS JOIN nn CROSS JOIN d$k
+           |      LEFT JOIN f$k ON f$k.state = st.state)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tr AS (SELECT from_type, to_type, count(*) AS n FROM (
+         |      SELECT event_type AS from_type,
+         |        lead(event_type) OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id) AS to_type
+         |      FROM events)
+         |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT from_type, sum(n) AS tot FROM tr GROUP BY 1),
+         |t AS (SELECT tr.from_type, tr.to_type,
+         |        round(CAST(tr.n AS DOUBLE) / tot.tot, 12) AS p
+         |      FROM tr JOIN tot USING (from_type)),
+         |states AS (SELECT from_type AS state FROM tr
+         |           UNION SELECT to_type FROM tr),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+         |p0 AS (SELECT state, 1e0 / nn.k AS pi FROM states CROSS JOIN nn),
+         |$iterCtes
+         |SELECT state AS event_type, round(pi, 6) AS pi
+         |FROM p5 ORDER BY event_type""".stripMargin
     },
 
     "text_bigram_lm" ->

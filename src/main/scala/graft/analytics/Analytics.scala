@@ -115,6 +115,59 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Stationary distribution of the [[transitions]] Markov chain by
+    * POWER ITERATION — "where does a user's session settle in the long
+    * run", the chain-level summary a raw transition-count matrix can't
+    * give (long-run occupancy weights each state by the whole loop
+    * structure, not just in-edges). π' = π·P with row-stochastic P from
+    * the observed transition counts; states with NO outgoing transitions
+    * redistribute their mass uniformly (the PageRank dangling
+    * convention, keeping Σπ = 1 every round). `iters` fixed rounds from
+    * the uniform start; per-round contributions 12-dp-DECIMAL-quantized
+    * (the [[graft.operators.Graph.pageRank]] discipline) so every engine
+    * walks the same trajectory.
+    *
+    * Scale shape: P has at most |types|² rows (event-type vocabularies
+    * are tiny; the one corpus-sized pass is the transitions aggregate
+    * itself). Each round is a from-keyed join + to-keyed DECIMAL
+    * aggregate, eager-checkpointed like every fixed-point loop here.
+    */
+  def markovStationary(events: DataFrame, iters: Int = 5,
+                       userCol: String = "user_id", typeCol: String = "event_type",
+                       tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val t = transitions(events, userCol, typeCol, tsCol, idCol).localCheckpoint()
+    val tot = t.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    val p = t.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"),
+        round(col("n").cast("double") / col("tot"), 12).as("p"))
+    val types = t.select(col("from_type").as("state"))
+      .union(t.select(col("to_type").as("state"))).distinct()
+    val k = types.agg(count(lit(1)).as("k"))
+    def dsum(c: Column) = sum(round(c, 12).cast("decimal(18,12)"))
+    var pi = types.crossJoin(broadcast(k))
+      .select(col("state"), (lit(1.0) / col("k")).as("pi"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val flow = pi.join(p, pi("state") === p("from_type"))
+        .select(col("to_type").as("state"), (col("pi") * col("p")).as("c"))
+        .groupBy("state").agg(dsum(col("c")).as("s"))
+      val dangling = pi
+        .join(p.select(col("from_type").as("state")).distinct(),
+          Seq("state"), "left_anti")
+        .agg(coalesce(dsum(col("pi")), lit(0).cast("decimal(18,12)")).as("dm"))
+      pi = types
+        .join(flow, Seq("state"), "left")
+        .crossJoin(broadcast(dangling))
+        .crossJoin(broadcast(k))
+        .select(col("state"),
+          (coalesce(col("s").cast("double"), lit(0.0)) +
+            col("dm").cast("double") / col("k")).as("pi"))
+        .localCheckpoint()
+    }
+    pi.select(col("state").as("event_type"), round(col("pi"), 6).as("pi"))
+  }
+
   /** RFM segmentation: per-customer Recency (days since last order as of
     * `asOf`), Frequency (order count) and Monetary (exact DECIMAL revenue
     * sum), each bucketed into `nTiles` scores. Scoring deliberately avoids

@@ -86,6 +86,57 @@ object AsOfJoin {
       Seq("__rt_b", "__rt_f")): _*)
   }
 
+  /** INTERPOLATING as-of: instead of carrying the prior observation
+    * forward (a step function), estimate the right-side signal AT the
+    * left row's time by linear interpolation between the bracketing
+    * right rows — the financial mark-to-time / sensor-alignment join
+    * (mid-quote at trade time, temperature at event time). Edge
+    * semantics mirror [[graft.operators.TimeSeries.resampleInterpolate]]:
+    * no prior observation → the next value, no following → the prior
+    * (flat extrapolation), identical bracket times → that value.
+    *
+    * Formulation: one backward and one forward pass of the shared
+    * union-window machinery (two key-keyed shuffles, same cost as
+    * [[asOfNearest]]), then a flat per-row interpolation expression on
+    * exact epoch longs. Determinism routes the IEEE result through
+    * DECIMAL(24,12) before the 6-dp round — the resampleInterpolate
+    * half-boundary discipline, so both engines quantize identically.
+    */
+  def asOfInterpolate(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      valueCol: String): DataFrame = {
+    val reserved = Set("__rt_b", "__rt_f", s"${valueCol}__b", s"${valueCol}__f")
+    require(!left.columns.exists(reserved), "asOfInterpolate reserved column collision")
+    val rb = right.select(col(key), col(rightTime).as("__rt_b"),
+      col(valueCol).as(s"${valueCol}__b"))
+    val rf = right.select(col(key), col(rightTime).as("__rt_f"),
+      col(valueCol).as(s"${valueCol}__f"))
+    val back = joined(left, rb, key, leftTime, "__rt_b",
+      Seq(s"${valueCol}__b", "__rt_b"), forward = false)
+    val both = joined(back, rf, key, leftTime, "__rt_f",
+      Seq(s"${valueCol}__f", "__rt_f"), forward = true)
+    // Exact MICROSECOND epochs: events carry sub-second precision, and
+    // whole-second unix_timestamp would shift every interpolation weight
+    // versus an engine that keeps the fraction (measured: 1677/9k rows
+    // off before this).
+    val lt = unix_micros(col(leftTime))
+    val pe = unix_micros(col("__rt_b"))
+    val ne = unix_micros(col("__rt_f"))
+    val pv = col(s"${valueCol}__b")
+    val nv = col(s"${valueCol}__f")
+    both
+      .withColumn(valueCol,
+        round(
+          when(pv.isNull, nv)
+            .when(nv.isNull, pv)
+            .when(ne === pe, pv)
+            .otherwise(pv + (nv - pv) *
+              (lt - pe).cast("double") / (ne - pe).cast("double"))
+            .cast("decimal(24,12)"),
+          6).cast("double"))
+      .drop(s"${valueCol}__b", s"${valueCol}__f", "__rt_b", "__rt_f")
+  }
+
   private def joined(left: DataFrame, right: DataFrame, key: String,
                      leftTime: String, rightTime: String,
                      valueCols: Seq[String], forward: Boolean): DataFrame = {

@@ -334,6 +334,37 @@ object DataQuality {
     * table) for the marginals, all joined back as broadcasts, one scalar
     * reduce. Pairs union into one plan; Spark schedules the shared scan.
     */
+  /** Per-group data FRESHNESS report — the "is this feed still
+    * arriving?" monitor every continuously-ingesting pipeline runs: for
+    * each group (source, topic, event type), the latest event time, the
+    * lag in whole hours behind the freshest group anywhere in the table,
+    * and a staleness flag when that lag exceeds `staleHours`. The
+    * complement of [[volumeAnomaly]]: volume catches a feed that shrank,
+    * freshness catches one that STOPPED (a stopped feed has no daily row
+    * to z-score, so the volume monitor goes silent exactly when the
+    * problem starts).
+    *
+    * Lag is computed against the table's own max timestamp, not the wall
+    * clock, so the report is deterministic and testable on a fixed
+    * corpus; production callers wanting wall-clock lag pass their own
+    * `now` upstream by unioning a sentinel row. Plan: one group
+    * aggregate, one scalar max broadcast back — two linear passes, no
+    * windows, no shuffle of raw rows beyond the group key.
+    */
+  def freshness(events: DataFrame, staleHours: Long = 24L,
+                groupCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(staleHours >= 0, s"need staleHours >= 0, got $staleHours")
+    val per = events
+      .groupBy(col(groupCol).as("group_key"))
+      .agg(count(lit(1)).as("n_rows"), max(col(tsCol)).as("max_ts"))
+    val global = per.agg(max(col("max_ts")).as("global_max_ts"))
+    per.crossJoin(broadcast(global))
+      .select(col("group_key"), col("n_rows"), col("max_ts"),
+        ((unix_timestamp(col("global_max_ts")) - unix_timestamp(col("max_ts")))
+          / 3600L).cast("long").as("lag_hours"))
+      .withColumn("is_stale", col("lag_hours") > staleHours)
+  }
+
   def association(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need at least two columns, got ${cols.size}")
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }

@@ -561,12 +561,20 @@ object Dedup {
         .agg(countDistinct(col("term")).as("cv"))
         .localCheckpoint()
       val denseLabs = cstats.filter(col("cv") <= denseVocabMax).select("lab")
-      val anyDense = denseLabs.limit(1).count() > 0
+      val nDense = denseLabs.count()
       val anyTail = cstats.filter(col("cv") > denseVocabMax).limit(1).count() > 0
-      if (!anyDense) tfCosinePairsPrefix(docs, threshold, textCol, idCol)
+      if (nDense == 0) tfCosinePairsPrefix(docs, threshold, textCol, idCol)
       else {
+        // Bucketing exists to parallelize the per-component pair join —
+        // but components ARE a partitioning already, so the replication
+        // factor (the a-side ships every vector once per bucket) scales
+        // DOWN with component count: one lone component needs all 32
+        // buckets to fill the cluster; 10+ components only need enough
+        // for ~2 waves over the component key space. Caps the dense-
+        // vector shuffle at ~64 replicas total instead of 32·#components.
+        val buckets = math.min(32, math.max(4, (64 / nDense).toInt))
         val densePart = tfCosinePairsDenseGrouped(
-          tf.join(labs.join(denseLabs, "lab"), "doc_id"), threshold)
+          tf.join(labs.join(denseLabs, "lab"), "doc_id"), threshold, buckets)
         if (!anyTail) densePart
         else {
           val tailDocs = docs.join(

@@ -193,6 +193,46 @@ object Graph {
     * for power iterations past the tolerance. `tol = 0` (default)
     * preserves the exact fixed-iteration unroll the DuckDB oracle mirrors.
     */
+  /** Log₂-bucketed degree distribution of the undirected graph — the
+    * first diagnostic run on any web/link/co-occurrence graph before
+    * heavier algorithms: a power-law tail says "expect hubs, orient your
+    * wedges" ([[triangleCounts]]'s strategy), a truncated one says the
+    * graph is degree-bounded and naive joins are safe. Buckets are
+    * `floor(log₂ degree)` with explicit [lo, hi] bounds, so the histogram
+    * has at most ~64 rows regardless of graph size.
+    *
+    * Edges normalize to undirected form (lesser endpoint first,
+    * self-loops dropped, duplicates collapsed); degree is the count of
+    * distinct neighbors. Plan: edge-normalize aggregate, one explode to
+    * (node, neighbor) halves, a node-keyed count, then a ≤64-key bucket
+    * aggregate — two hash shuffles, the second on a constant-size key
+    * space with map-side combine.
+    */
+  def degreeHistogram(edges: DataFrame, srcCol: String = "src",
+                      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // floor(log2 d) via the binary digit count, NOT floor(ln d / ln 2):
+    // the IEEE quotient lands below the integer for exact powers of two
+    // (log(2,8) = 2.999…96 on some libm), which would shift those nodes
+    // a bucket down nondeterministically across engines. bin() length is
+    // exact integer logic everywhere.
+    deg
+      .select((length(bin(col("degree"))) - 1).cast("long").as("bucket"),
+        col("degree"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"), max(col("degree")).as("max_degree"))
+      .select(col("bucket"), pow(lit(2.0), col("bucket")).cast("long").as("lo"),
+        (pow(lit(2.0), col("bucket") + 1).cast("long") - 1).as("hi"),
+        col("n_nodes"), col("max_degree"))
+  }
+
   private[graft] def pageRankRun(edges: DataFrame, iters: Int, damping: Double,
                                  srcCol: String, dstCol: String,
                                  tol: Double): (DataFrame, Int) = {

@@ -465,6 +465,90 @@ object Similarity {
         col("n_members"))
   }
 
+  /** Product-quantization (PQ) code assignment — the compression leg of
+    * IVF-PQ ANN serving (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", public literature): the vector splits into
+    * consecutive `subDim`-wide subspaces, each subspace quantizes
+    * independently to its nearest sub-centroid, and a vector's code
+    * becomes one small int per subspace — a d-dim float vector compresses
+    * to m bytes, which is what lets a 100 TB embedding corpus serve ANN
+    * from RAM. Sub-centroids follow the library's deterministic seeding
+    * convention (the `k` lowest-id vectors' subvectors — the
+    * [[assignToSeeds]] rule per subspace), and `code` is the winning seed
+    * vector's id (ties → lower id). `distortion` is the 6-dp-rounded
+    * per-subspace squared reconstruction error — Σ over subspaces is the
+    * standard PQ distance-table diagnostic.
+    *
+    * Scale shape: sub-centroids broadcast (k·d rows); distances are one
+    * dim-keyed broadcast join + (vec, subspace, seed)-keyed DECIMAL
+    * aggregate (6-dp-quantized — order-free); the argmin is a
+    * (vec, subspace)-partitioned window. Linear in N·d·k, nothing keyed
+    * on fewer than N rows.
+    */
+  def productQuantize(embeddings: DataFrame, subDim: Int, k: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(subDim >= 1, s"need subDim >= 1, got $subDim")
+    require(k >= 1, s"need k >= 1, got $k")
+    val flat = flatten(embeddings, idCol, vecCol)
+      .withColumn("sub", ((col("dim") - 1) / subDim).cast("long"))
+    val seeds = embeddings.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
+    val cent = flat.join(seeds, "vec_id")
+      .select(col("vec_id").as("cid"), col("sub"), col("dim"), col("x").as("c"))
+    val d2 = flat.join(broadcast(cent.drop("sub")), "dim")
+      .groupBy("vec_id", "sub", "cid")
+      .agg(sum(round((col("x") - col("c")) * (col("x") - col("c")), 6)
+        .cast("decimal(18,6)")).as("d2"))
+    val w = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("d2").asc, col("cid").asc)
+    d2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub").as("subspace"), col("cid").as("code"),
+        round(col("d2").cast("double"), 6).as("distortion"))
+  }
+
+  /** Per-cluster distance-percentile outlier gate on the embedding
+    * corpus — the embedding-space face of the per-source quality gate:
+    * vectors far from their own coarse centroid (top `1−p` tail WITHIN
+    * the cluster, so a naturally-wide cluster doesn't mass-flag) are the
+    * usual suspects for mislabeled, noisy, or out-of-domain training
+    * examples. Clustering is [[assignToSeeds]]'s convention (k lowest-id
+    * seed vectors, 6-dp DECIMAL-quantized squared distances, ties → lower
+    * cid); the threshold is the exact per-cluster `percentile(dist, p)`
+    * (6-dp-rounded, same [[graft.analytics.Analytics.rfm]] discipline:
+    * interpolated boundaries either hit a data value exactly or sit a
+    * non-ulp distance away); `is_outlier` = dist strictly above.
+    *
+    * Scale shape: one dim-keyed broadcast join + (vec, cid)-keyed DECIMAL
+    * aggregate, one vec-keyed argmin window, one k-row percentile
+    * aggregate broadcast back — two linear passes, no window over N.
+    * The exact percentile buffers a value-count map per cluster (fine for
+    * 6-dp-rounded distances); at billions of distinct values swap it for
+    * [[Sketch.histQuantiles]], scoring unchanged.
+    */
+  def embeddingOutliers(embeddings: DataFrame, k: Int = 8, p: Double = 0.9,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(p > 0 && p < 1, s"need p in (0,1), got $p")
+    val flat = flatten(embeddings, idCol, vecCol)
+    val seeds = embeddings.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
+    val cent = flat.join(seeds, "vec_id")
+      .select(col("vec_id").as("cid"), col("dim"), col("x").as("c"))
+    val d2 = flat.join(broadcast(cent), "dim")
+      .groupBy("vec_id", "cid")
+      .agg(sum(round((col("x") - col("c")) * (col("x") - col("c")), 6)
+        .cast("decimal(18,6)")).as("d2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
+    val own = d2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"),
+        round(sqrt(col("d2").cast("double")), 6).as("dist"))
+    val thr = own.groupBy("cid")
+      .agg(round(percentile(col("dist"), lit(p)), 6).as("thr"))
+    own.join(broadcast(thr), "cid")
+      .select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
+        col("dist"), col("thr"), (col("dist") > col("thr")).as("is_outlier"))
+  }
+
   /** Nearest-seed cluster assignment — the shared coarse-quantization
     * step under [[kmeansIterate]], [[Dedup.semanticDedup]] and
     * [[hardNegatives]]: centroids are the `k` lowest-id vectors

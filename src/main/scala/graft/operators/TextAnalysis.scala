@@ -655,6 +655,35 @@ object TextAnalysis {
         coalesce(col("score") >= col("thr"), lit(false)).as("kept"))
   }
 
+  /** Per-document RARE-TOKEN ratio — the gibberish/OCR-noise detector
+    * that complements the distinct-ratio quality score: a document whose
+    * tokens are mostly corpus-hapax (document frequency ≤ `maxDf`) is
+    * typically mojibake, shredded OCR, or base64 debris — vocabulary the
+    * rest of the corpus never corroborates. Ratio counts token
+    * OCCURRENCES whose term is rare over total occurrences; `flagged`
+    * when the ratio strictly exceeds `maxRatio`.
+    *
+    * Scale shape: document frequency from a distinct (term, doc)
+    * aggregate (never more rows than the token stream), joined back
+    * term-keyed onto the exploded stream, re-aggregated doc-keyed — two
+    * hash shuffles with map-side combine, no windows, ratio is a flat
+    * per-row expression. The df side shrinks with vocabulary, not corpus.
+    */
+  def rareTokenRatio(docs: DataFrame, maxDf: Long = 1L, maxRatio: Double = 0.5,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxDf >= 1, s"need maxDf >= 1, got $maxDf")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(Fns.tokens(col(textCol))).as("term"))
+    val df = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    toks.join(df, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+        round(col("n_rare").cast("double") / col("n_tokens"), 6).as("rare_ratio"))
+      .withColumn("flagged", col("rare_ratio") > maxRatio)
+  }
+
   /** Corpus encoding — the tokenizer-APPLY step between [[vocabulary]]
     * and sequence packing: each document becomes its array of vocabulary
     * term-ids in token order, out-of-vocabulary tokens as the

@@ -40,7 +40,12 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, out, factor)
+    spark.stop()
+  }
 
+  /** The generation body, callable from other tools (ScaleGate). */
+  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     // table -> int64 key columns that shift per copy
     val shifted: Map[String, Seq[String]] = Map(
       "customer" -> Seq("c_custkey"),
@@ -76,6 +81,5 @@ object ScaleUp {
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scaleup] $t: x$factor")
     }
-    spark.stop()
   }
 }

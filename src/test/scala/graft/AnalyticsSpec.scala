@@ -283,4 +283,26 @@ class AnalyticsSpec extends SparkSpec {
     val top1 = graft.analytics.Analytics.topPaths(events, "30 minutes", 1).collect()
     assert(top1.length == 1 && top1(0).getString(0) == "a b")
   }
+
+  test("markovStationary: two-state flip chain converges to uniform; absorbing state hoards") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    // user 1 alternates a,b,a,b,a -> P(a->b)=1, P(b->a)=1: stationary is
+    // exactly (0.5, 0.5) and the uniform start never moves.
+    val flip = Seq((1L, "a", t(0)), (2L, "b", t(1)), (3L, "a", t(2)),
+      (4L, "b", t(3)), (5L, "a", t(4)))
+      .map { case (id, ty, ts) => (id, 1L, ty, ts) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.analytics.Analytics.markovStationary(flip, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 0.5, "b" -> 0.5))
+    // a -> b, b -> b: b absorbs in ONE round (a pushes everything to b,
+    // b keeps its own) and the distribution pins at (0, 1) thereafter.
+    val absorb = Seq((1L, "a", t(0)), (2L, "b", t(1)), (3L, "b", t(2)))
+      .map { case (id, ty, ts) => (id, 1L, ty, ts) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out2 = graft.analytics.Analytics.markovStationary(absorb, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out2("a") == 0.0 && out2("b") == 1.0)
+  }
 }

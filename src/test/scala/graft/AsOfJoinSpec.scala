@@ -82,4 +82,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(1).getDouble(out(1).fieldIndex("v")) == 2.0) // 3h tie -> prior (11:00)
     assert(out(2).isNullAt(out(2).fieldIndex("v")))         // beyond tolerance
   }
+
+  test("asOfInterpolate: linear between brackets, flat at edges, exact hit") {
+    val l = Seq(
+      (1L, 7L, "2024-01-01 11:00:00"),  // between 10:00 (v=1) and 14:00 (v=9): 1 + 8*1/4 = 3
+      (2L, 7L, "2024-01-01 09:00:00"),  // before all -> next value 1.0
+      (3L, 7L, "2024-01-01 15:00:00"),  // after all -> prior value 9.0
+      (4L, 7L, "2024-01-01 14:00:00"))  // exact bracket hit -> 9.0
+      .toDF("event_id", "user_id", "s")
+      .select($"event_id", $"user_id", to_timestamp($"s").as("ts"))
+    val r = Seq(
+      (7L, "2024-01-01 10:00:00", 1.0),
+      (7L, "2024-01-01 14:00:00", 9.0))
+      .toDF("user_id", "s", "v")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"v")
+    val out = AsOfJoin.asOfInterpolate(l, r, "user_id", "ts", "ts", "v")
+      .orderBy("event_id").collect()
+    assert(out.map(_.getAs[Double]("v")).toSeq == Seq(3.0, 1.0, 9.0, 9.0))
+    // left columns survive untouched
+    assert(out(0).getAs[Long]("user_id") == 7L)
+  }
 }

@@ -175,4 +175,20 @@ class DataQualitySpec extends SparkSpec {
     assert(out(0).getAs[Long]("cnt") == 40L)
     assert(out(0).getAs[Double]("zscore") > 2.0)
   }
+
+  test("freshness: lag vs freshest feed, whole hours, stale past threshold") {
+    val rows = Seq(
+      ("A", "2024-01-10 12:00:00"), ("A", "2024-01-10 10:00:00"),
+      ("B", "2024-01-10 11:30:00"),   // 0.5h behind -> lag 0, fresh
+      ("C", "2024-01-09 11:00:00"),   // 25h behind -> stale at 24h
+      ("D", "2024-01-09 13:00:00"))   // 23h behind -> fresh
+      .map { case (t, s) => (t, java.sql.Timestamp.valueOf(s)) }
+      .toDF("event_type", "ts")
+    val out = graft.operators.DataQuality.freshness(rows, staleHours = 24L)
+      .orderBy("group_key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("A", 2L, 0L, false), ("B", 1L, 0L, false),
+      ("C", 1L, 25L, true), ("D", 1L, 23L, false)))
+  }
 }

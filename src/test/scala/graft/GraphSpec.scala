@@ -98,4 +98,18 @@ class GraphSpec extends SparkSpec {
       iters = 1).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out2 == out)
   }
+
+  test("degreeHistogram: log2 buckets, undirected dedup, self-loops dropped") {
+    // hub h touches a,b,c,d (degree 4 -> bucket 2); a-b edge gives a,b
+    // degree 2 (bucket 1); c,d degree 1 (bucket 0). Duplicate and
+    // reversed edges collapse; the self-loop vanishes.
+    val e = Seq(("h", "a"), ("a", "h"), ("h", "b"), ("h", "c"), ("h", "d"),
+      ("a", "b"), ("b", "a"), ("c", "c")).toDF("src", "dst")
+    val out = Graph.degreeHistogram(e).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 1L, 2L, 1L),   // c, d
+      (1L, 2L, 3L, 2L, 2L),   // a, b
+      (2L, 4L, 7L, 1L, 4L)))  // h
+  }
 }

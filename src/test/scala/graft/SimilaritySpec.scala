@@ -361,4 +361,48 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(norm - 1.0) < 1e-4)
     }
   }
+
+  test("productQuantize: subspaces assign independently to different codes") {
+    // 4-dim vectors, subDim=2 -> 2 subspaces; seeds = vectors 0 and 1.
+    // v0 = (0,0 | 9,9), v1 = (9,9 | 0,0). v2 = (1,1 | 8,8): its FIRST
+    // subspace is near v0's, its SECOND near v0's too; v3 = (8,8 | 1,1)
+    // mirrors to v1. A whole-vector assignment could never produce the
+    // crossed case v4 = (0,0 | 0,0): sub 0 -> code 0, sub 1 -> code 1.
+    val emb = Seq(
+      (0L, Seq(0f, 0f, 9f, 9f)), (1L, Seq(9f, 9f, 0f, 0f)),
+      (2L, Seq(1f, 1f, 8f, 8f)), (3L, Seq(8f, 8f, 1f, 1f)),
+      (4L, Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.productQuantize(emb, subDim = 2, k = 2)
+      .orderBy("vec_id", "subspace").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 10)
+    val codes = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(codes((2L, 0L)) == 0L && codes((2L, 1L)) == 0L)
+    assert(codes((3L, 0L)) == 1L && codes((3L, 1L)) == 1L)
+    assert(codes((4L, 0L)) == 0L && codes((4L, 1L)) == 1L) // crossed
+    // distortion is the exact squared subspace distance: v2 sub0 vs (0,0) = 2
+    assert(out.find(t => t._1 == 2L && t._2 == 0L).get._4 == 2.0)
+    // seeds quantize to themselves at zero distortion
+    assert(out.filter(t => t._1 <= 1L).forall(t => t._4 == 0.0 && t._3 == t._1))
+  }
+
+  test("embeddingOutliers: far tail flagged within its own cluster only") {
+    // cluster around seed 0 at origin: members at distance 0,1,1,1,10 —
+    // p90 threshold sits below 10, so ONLY the far point flags. A second
+    // tight cluster at (100,100) must stay unflagged even though its
+    // absolute distances to origin are huge (per-cluster gate).
+    val emb = (Seq(
+      (0L, Seq(0f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(0f, 1f)),
+      (4L, Seq(-1f, 0f)), (5L, Seq(10f, 0f)),
+      (1L, Seq(100f, 100f)), (6L, Seq(101f, 100f)), (7L, Seq(100f, 101f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingOutliers(emb, k = 2, p = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    val flagged = out.filter(_._3).map(_._1).toSet
+    assert(flagged == Set(5L), s"flagged $flagged")
+    // cluster memberships: near-origin points with seed 0, far with seed 1
+    assert(out.filter(t => Set(2L, 3L, 4L, 5L).contains(t._1)).forall(_._2 == 0L))
+    assert(out.filter(t => Set(6L, 7L).contains(t._1)).forall(_._2 == 1L))
+  }
 }

@@ -569,4 +569,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0),
       (3L, 2L, 1L, 0.5)))
   }
+
+  test("rareTokenRatio: occurrence-counted hapax share; repeats of a rare term stay rare") {
+    val docs = Seq(
+      (1L, "the cat sat"),          // cat/sat shared below -> only "the" is... see df
+      (2L, "cat sat mat"),          // shares cat/sat with 1, mat hapax
+      (3L, "zq zq zq the"))         // zq appears in ONE doc (df=1) but 3 times
+      .toDF("doc_id", "text")
+    // df: the={1,3}=2, cat={1,2}=2, sat={1,2}=2, mat={2}=1, zq={3}=1
+    val out = TextAnalysis.rareTokenRatio(docs, maxDf = 1L, maxRatio = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, 0.0, false),
+      (2L, 3L, 1L, 0.333333, false),
+      (3L, 4L, 3L, 0.75, true)))   // 3 zq occurrences of a df=1 term
+  }
 }
