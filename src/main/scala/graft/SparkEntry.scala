@@ -866,6 +866,13 @@ object SparkEntry {
           Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .orderBy("source")),
 
+    // Temperature-share planning report (alpha = 0.5): derived per-source
+    // target shares p_s ∝ n_s^alpha with raw-share and boost columns —
+    // the analysis face of sample_mixture's selection.
+    "sample_temp_shares" -> ((s, dir) =>
+      Sampling.temperatureShares(T(s, dir, "documents"), 0.5)
+        .orderBy("source")),
+
     // ---- LLM-data-pipeline: mergeable sketches ----
 
     // Count-Min Sketch built INCREMENTALLY: register tables for the pre-
@@ -1158,6 +1165,15 @@ object SparkEntry {
     "emb_pq" -> ((s, dir) =>
       Similarity.productQuantize(T(s, dir, "embeddings"), 16, 4)
         .orderBy("vec_id", "subspace")),
+
+    // ADC serving over the PQ codes: queries (vec_id < 8) ranked by the
+    // sum of per-subspace code distances — the corpus is scanned as
+    // 4 ints/vector, never as vectors.
+    "ann_adc_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.annAdcTopK(emb, emb.filter(col("vec_id") < 8), 5, 16, 4)
+        .orderBy("query_id", "rank")
+    }),
 
     // Per-cluster distance-percentile outlier gate: vectors in their own
     // cluster's top-decile distance tail — the embedding-space quality
@@ -1475,6 +1491,11 @@ object SparkEntry {
 
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(T(s, dir, "documents")).orderBy("doc_id")),
+
+    // Declared-vs-detected language disagreement (metadata validation):
+    // und predictions count as mismatches — unverifiable is not verified.
+    "text_lang_mismatch" -> ((s, dir) =>
+      TextAnalysis.langMismatch(T(s, dir, "documents")).orderBy("doc_id")),
 
     // URL/email redaction (ASCII regex, RE2-compatible with the oracle).
     "text_scrub" -> ((s, dir) =>
@@ -2636,6 +2657,23 @@ object SparkEntry {
         |  round(CAST(floor(w * t_max) AS DOUBLE) / n_avail, 6) AS rate
         |FROM j CROSS JOIN t ORDER BY source""".stripMargin,
 
+    // n^0.5 routes through DECIMAL(24,12) -> 6dp on both engines; shares
+    // divide DECIMAL-summed totals; boost divides the ROUNDED shares.
+    "sample_temp_shares" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+        |           GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |        round(CAST(power(n_docs, 0.5) AS DECIMAL(24,12)), 6) AS w
+        |      FROM c),
+        |t AS (SELECT sum(n_docs) AS n_total,
+        |        sum(CAST(w AS DECIMAL(24,6))) AS w_total FROM w)
+        |SELECT source, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / n_total, 6) AS raw_share,
+        |  round(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE), 6) AS temp_share,
+        |  round(round(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE), 6)
+        |    / round(CAST(n_docs AS DOUBLE) / n_total, 6), 6) AS boost
+        |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
+
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
@@ -3474,6 +3512,34 @@ object SparkEntry {
          |FROM scored ORDER BY doc_id""".stripMargin
     },
 
+    // Same langid scaffolding joined back to the declared tag; an 'und'
+    // prediction mismatches every declared tag.
+    "text_lang_mismatch" -> {
+      val scores = TextAnalysis.langMarkers.map { case (lang, m) =>
+        val markers = m.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(toks, t -> list_contains($markers, t))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val cases = langs.zipWithIndex.map { case (lang, i) =>
+        val earlier = langs.take(i).map(l => s"s_$lang > s_$l")
+        val later = langs.drop(i + 1).map(l => s"s_$lang >= s_$l")
+        val conds = (earlier ++ later :+ s"s_$lang > 0").mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }.mkString("\n    ")
+      s"""WITH base AS ($docToks),
+         |scored AS (SELECT doc_id,
+         |  $scores
+         |FROM base),
+         |pred AS (SELECT doc_id,
+         |  CASE $cases
+         |    ELSE 'und' END AS lang_pred
+         |FROM scored)
+         |SELECT p.doc_id, d.lang AS lang_declared, p.lang_pred,
+         |  p.lang_pred <> d.lang AS mismatch
+         |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+         |ORDER BY p.doc_id""".stripMargin
+    },
+
     "text_token_counts" ->
       s"""WITH base AS ($docToks)
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws_tokens,
@@ -4023,6 +4089,44 @@ object SparkEntry {
          |SELECT vec_id, sub AS subspace, cid AS code,
          |  round(CAST(d2 AS DOUBLE), 6) AS distortion
          |FROM r WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+
+    // ADC top-k mirror: the emb_pq code chain, a (query, subspace, code)
+    // distance table from the same sub-centroids, code-joined sums,
+    // per-query rank.
+    "ann_adc_topk" ->
+      s"""WITH e AS ($embCte),
+         |f AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+         |        unnest(v) AS x FROM e),
+         |ff AS (SELECT vec_id, dim,
+         |        CAST(floor((dim - 1) / 16) AS BIGINT) AS sub, x FROM f),
+         |seeds AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4),
+         |centk AS (SELECT ff.vec_id AS cid, ff.sub, ff.dim, ff.x AS c
+         |      FROM ff JOIN seeds USING (vec_id)),
+         |d AS (SELECT ff.vec_id, ff.sub, centk.cid,
+         |        sum(CAST(round((ff.x - centk.c) * (ff.x - centk.c), 6)
+         |          AS DECIMAL(18,6))) AS d2
+         |      FROM ff JOIN centk USING (dim) GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id AS neighbor_id, sub AS subspace, cid AS code
+         |      FROM (SELECT vec_id, sub, cid,
+         |              row_number() OVER (PARTITION BY vec_id, sub
+         |                ORDER BY d2, cid) AS rn FROM d)
+         |      WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, dim, x AS qx FROM f WHERE vec_id < 8),
+         |dtab AS (SELECT q.query_id, centk.sub AS subspace, centk.cid AS code,
+         |        sum(CAST(round((q.qx - centk.c) * (q.qx - centk.c), 6)
+         |          AS DECIMAL(18,6))) AS dq2
+         |      FROM q JOIN centk USING (dim) GROUP BY 1, 2, 3),
+         |sc AS (SELECT dtab.query_id, codes.neighbor_id, sum(dq2) AS adc
+         |      FROM codes JOIN dtab USING (subspace, code)
+         |      WHERE dtab.query_id <> codes.neighbor_id
+         |      GROUP BY 1, 2),
+         |rk AS (SELECT query_id, neighbor_id, adc,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY adc, neighbor_id) AS rn
+         |      FROM sc)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+         |  round(CAST(adc AS DOUBLE), 6) AS adc_d2
+         |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // Outlier gate on the shared assignment CTEs (k=8): the winning d2
     // becomes the distance, per-cluster quantile_cont(0.9) mirrors

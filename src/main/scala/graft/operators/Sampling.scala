@@ -125,6 +125,43 @@ object Sampling {
       .drop("__src", "__quota", "__r")
   }
 
+  /** Temperature-share PLANNING report — the α-parametrized analysis in
+    * front of [[temperatureMixture]] (which fixes α = ½ and selects
+    * rows): p_s ∝ n_s^α, the multilingual sampling-α convention of the
+    * public XLM-R / mBERT recipes (α ∈ [0.3, 0.7] upweights tail
+    * sources, damps head sources, no hand-tuned weights). Output per
+    * source: document count, raw share, temperature share at the given
+    * α, and the boost factor (temp / raw — > 1 means upsampled).
+    * Complements [[mixtureRates]], which plans a DICTATED mix; this
+    * derives the mix from availability.
+    *
+    * Determinism: n^α routes through DECIMAL(24,12) before the 6-dp
+    * round — pow's last-ulp engine differences sit ~4 orders below the
+    * quantization step, and n^α never lands on an exact decimal half
+    * (irrational unless n is a perfect power). Shares divide
+    * DECIMAL-summed totals. Plan: one source-keyed count, one tiny
+    * all-sources aggregate broadcast back — nothing scales with corpus
+    * size after the first count.
+    */
+  def temperatureShares(df: DataFrame, alpha: Double = 0.5,
+                        sourceCol: String = "source"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"need alpha in (0,1], got $alpha")
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        round(pow(col("n_docs").cast("double"), lit(alpha))
+          .cast("decimal(24,12)"), 6))
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"),
+      sum(col("w").cast("decimal(24,6)")).as("w_total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6).as("raw_share"),
+        round(col("w").cast("double") / col("w_total").cast("double"), 6)
+          .as("temp_share"))
+      .withColumn("boost",
+        round(col("temp_share") / col("raw_share"), 6))
+  }
+
   /** Weighted sample WITHOUT replacement, k rows, inclusion probability
     * proportional to `weightCol` — Efraimidis–Spirakis A-ES with the
     * deterministic [[samplingHash]] standing in for the random draw:

@@ -549,6 +549,57 @@ object Similarity {
         col("dist"), col("thr"), (col("dist") > col("thr")).as("is_outlier"))
   }
 
+  /** ADC (asymmetric distance computation) top-k over [[productQuantize]]
+    * codes — how IVF-PQ actually SERVES queries at 100 TB: the corpus
+    * exists only as per-subspace codes (m small ints per vector), the
+    * query stays full-precision, and each candidate's approximate
+    * squared distance is the sum of m precomputed query-to-sub-centroid
+    * distances looked up by code. No corpus vector is touched at query
+    * time — the scan reads N·m ints plus a (queries × m × k) distance
+    * table that always broadcasts.
+    *
+    * Approximation contract: distances are exact for vectors that
+    * coincide with their reconstruction (the seeds themselves) and
+    * upper-bound-ish elsewhere; rank quality vs exact search is what
+    * [[recallAtK]] measures. Determinism: the distance table rides the
+    * same 6-dp DECIMAL quantization as every distance here; ranking
+    * ties break on the lower neighbor id.
+    *
+    * Plan: codes (N·m rows, ints) join the broadcast distance table on
+    * (subspace, code) — a flat fan-out of queries × m — then one
+    * (query, vec) aggregate and a per-query top-k window. One shuffle
+    * keyed (query, vec), nothing keyed on fewer than N rows.
+    */
+  def annAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 subDim: Int, nCodes: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val codes = productQuantize(corpus, subDim, nCodes, idCol, vecCol)
+      .select(col("vec_id").as("neighbor_id"), col("subspace"), col("code"))
+    val flat = flatten(corpus, idCol, vecCol)
+      .withColumn("sub", ((col("dim") - 1) / subDim).cast("long"))
+    val seeds = corpus.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(nCodes)
+    val cent = flat.join(seeds, "vec_id")
+      .select(col("vec_id").as("code"), col("sub").as("subspace"),
+        col("dim"), col("x").as("c"))
+    val qflat = flatten(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("dim"), col("x").as("qx"))
+    val dtab = qflat.join(cent, "dim")
+      .groupBy("query_id", "subspace", "code")
+      .agg(sum(round((col("qx") - col("c")) * (col("qx") - col("c")), 6)
+        .cast("decimal(18,6)")).as("dq2"))
+    val scored = codes.join(broadcast(dtab), Seq("subspace", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dq2")).as("adc_d2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("adc_d2").cast("double"), 6).as("adc_d2"))
+  }
+
   /** Nearest-seed cluster assignment — the shared coarse-quantization
     * step under [[kmeansIterate]], [[Dedup.semanticDedup]] and
     * [[hardNegatives]]: centroids are the `k` lowest-id vectors

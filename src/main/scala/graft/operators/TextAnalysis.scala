@@ -655,6 +655,28 @@ object TextAnalysis {
         coalesce(col("score") >= col("thr"), lit(false)).as("kept"))
   }
 
+  /** Declared-vs-detected language disagreement report — the metadata
+    * validation step of multilingual corpus curation: a feed whose
+    * declared `lang` tag disagrees with content-based [[langId]] is
+    * mislabeled upstream (wrong crawler config, mixed-language shards),
+    * and language-balanced sampling built on the bad tag silently skews.
+    * One row per document: declared tag, predicted tag, and the
+    * disagreement flag (an `und` prediction — no marker hits — counts as
+    * a mismatch against any declared tag: unverifiable is not verified).
+    *
+    * Scale shape: [[langId]]'s flat per-row marker scan plus one
+    * id-keyed join back to the declared column — no new shuffles beyond
+    * the join, which co-partitions on the id.
+    */
+  def langMismatch(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", declaredCol: String = "lang"): DataFrame =
+    langId(docs, textCol, idCol)
+      .select(col("doc_id"), col("lang_pred"))
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(declaredCol).as("lang_declared")), "doc_id")
+      .select(col("doc_id"), col("lang_declared"), col("lang_pred"),
+        (col("lang_pred") =!= col("lang_declared")).as("mismatch"))
+
   /** Per-document RARE-TOKEN ratio — the gibberish/OCR-noise detector
     * that complements the distinct-ratio quality score: a document whose
     * tokens are mostly corpus-hapax (document frequency ≤ `maxDf`) is

@@ -125,4 +125,22 @@ class SamplingSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("a", 100L, 50L, 0.5), ("b", 30L, 30L, 1.0), ("c", 100L, 20L, 0.2)))
   }
+
+  test("temperatureShares: sqrt smoothing boosts the tail, damps the head") {
+    // a: 400 docs, b: 100, c: 4. alpha=0.5 -> w = 20, 10, 2; Σw = 32.
+    // raw 400/504, 100/504, 4/504; temp 0.625, 0.3125, 0.0625.
+    val df = ((1 to 400).map(i => (i.toLong, "a")) ++
+      (1 to 100).map(i => (1000L + i, "b")) ++
+      (1 to 4).map(i => (2000L + i, "c"))).toDF("id", "source")
+    val out = Sampling.temperatureShares(df, 0.5, "source")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.map(t => (t._1, t._2, t._4)).toSeq == Seq(
+      ("a", 400L, 0.625), ("b", 100L, 0.3125), ("c", 4L, 0.0625)))
+    // head damped (boost < 1), tail boosted (boost > 1), 6-dp shares sum to 1
+    val byS = out.map(t => t._1 -> t).toMap
+    assert(byS("a")._5 < 1.0 && byS("c")._5 > 1.0)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-5)
+  }
 }

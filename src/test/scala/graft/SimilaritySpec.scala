@@ -386,6 +386,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(t => t._1 <= 1L).forall(t => t._4 == 0.0 && t._3 == t._1))
   }
 
+  test("annAdcTopK: ranks by summed per-subspace code distances, never reads vectors") {
+    // Same layout as the PQ test; query = v0. Codes: v2 -> (0,0),
+    // v4 -> (0,1), v1 -> (1,1). Query-to-centroid table for v0:
+    // sub0 {code0: 0, code1: 162}, sub1 {code0: 0, code1: 162}.
+    // ADC: v2 = 0 (quantization collapses its true distance 4 onto the
+    // seed), v4 = 162, v1 = 324 — rank order v2, v4, v1.
+    val emb = Seq(
+      (0L, Seq(0f, 0f, 9f, 9f)), (1L, Seq(9f, 9f, 0f, 0f)),
+      (2L, Seq(1f, 1f, 8f, 8f)), (4L, Seq(0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.annAdcTopK(emb, emb.filter(col("vec_id") === 0L),
+        k = 3, subDim = 2, nCodes = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 2L, 0.0), (0L, 2L, 4L, 162.0), (0L, 3L, 1L, 324.0)))
+  }
+
   test("embeddingOutliers: far tail flagged within its own cluster only") {
     // cluster around seed 0 at origin: members at distance 0,1,1,1,10 —
     // p90 threshold sits below 10, so ONLY the far point flags. A second

@@ -570,6 +570,20 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 2L, 1L, 0.5)))
   }
 
+  test("langMismatch: agreement, disagreement, and und-counts-as-mismatch") {
+    val docs = Seq(
+      (1L, "the cat and the dog", "en"),   // en markers -> agrees
+      (2L, "the cat and the dog", "fr"),   // en prediction vs declared fr
+      (3L, "xyzzy qwerty", "en"))          // no markers -> und -> mismatch
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langMismatch(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, "en", "en", false),
+      (2L, "fr", "en", true),
+      (3L, "en", "und", true)))
+  }
+
   test("rareTokenRatio: occurrence-counted hapax share; repeats of a rare term stay rare") {
     val docs = Seq(
       (1L, "the cat sat"),          // cat/sat shared below -> only "the" is... see df
