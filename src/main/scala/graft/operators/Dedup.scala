@@ -561,20 +561,21 @@ object Dedup {
         .agg(countDistinct(col("term")).as("cv"))
         .localCheckpoint()
       val denseLabs = cstats.filter(col("cv") <= denseVocabMax).select("lab")
-      val nDense = denseLabs.count()
+      val anyDense = denseLabs.limit(1).count() > 0
       val anyTail = cstats.filter(col("cv") > denseVocabMax).limit(1).count() > 0
-      if (nDense == 0) tfCosinePairsPrefix(docs, threshold, textCol, idCol)
+      if (!anyDense) tfCosinePairsPrefix(docs, threshold, textCol, idCol)
       else {
-        // Bucketing exists to parallelize the per-component pair join —
-        // but components ARE a partitioning already, so the replication
-        // factor (the a-side ships every vector once per bucket) scales
-        // DOWN with component count: one lone component needs all 32
-        // buckets to fill the cluster; 10+ components only need enough
-        // for ~2 waves over the component key space. Caps the dense-
-        // vector shuffle at ~64 replicas total instead of 32·#components.
-        val buckets = math.min(32, math.max(4, (64 / nDense).toInt))
+        // Bucket count stays FIXED at 32 even when many components
+        // already partition the work. Measured (r12, 10-component sf1
+        // fixture): scaling buckets down to 64/#components (6) cut the
+        // a-side replication shuffle 5× but cost +2 s wall — 60 join
+        // keys hashing into 32 shuffle partitions collide into
+        // straggler tasks, while 320 keys spread smoothly. Key-space
+        // smoothness beats replicated-shuffle volume here; the vectors
+        // are narrow (≤ denseVocabMax doubles) so the replicated bytes
+        // were never the bottleneck.
         val densePart = tfCosinePairsDenseGrouped(
-          tf.join(labs.join(denseLabs, "lab"), "doc_id"), threshold, buckets)
+          tf.join(labs.join(denseLabs, "lab"), "doc_id"), threshold)
         if (!anyTail) densePart
         else {
           val tailDocs = docs.join(

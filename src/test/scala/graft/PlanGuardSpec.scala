@@ -117,6 +117,29 @@ class PlanGuardSpec extends SparkSpec {
     assert(qg.contains("BroadcastExchange"), s"qualityGate plan:\n$qg")
   }
 
+  test("round-12 operators keep their scale shapes") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // PQ: sub-centroids broadcast onto the flattened corpus; the argmin
+    // is a window, never a vector-vector join
+    val pq = Similarity.productQuantize(emb, 16, 4)
+      .queryExecution.executedPlan.toString
+    assert(pq.contains("BroadcastExchange"), s"productQuantize plan:\n$pq")
+    assert(!pq.contains("CartesianProduct"), s"productQuantize cartesian:\n$pq")
+    // ADC: the (query, subspace, code) distance table broadcasts; codes
+    // never join codes
+    val adc = Similarity.annAdcTopK(emb, emb.filter(col("vec_id") < 2), 3, 16, 4)
+      .queryExecution.executedPlan.toString
+    assert(adc.contains("BroadcastExchange"), s"annAdcTopK plan:\n$adc")
+    assert(!adc.contains("CartesianProduct"), s"annAdcTopK cartesian:\n$adc")
+    // outlier gate: per-cluster thresholds broadcast back (qualityGate's
+    // shape on the embedding side)
+    val og = Similarity.embeddingOutliers(emb, 4, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(og.contains("BroadcastExchange"), s"embeddingOutliers plan:\n$og")
+  }
+
   test("scan evidence: filters push into parquet, projections prune columns") {
     val sf = "/root/testdata/sf0.001"
     // q1's shipdate range predicate reaches the scan as a pushed filter
