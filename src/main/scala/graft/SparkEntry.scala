@@ -582,6 +582,33 @@ object SparkEntry {
       Analytics.markovStationary(T(s, dir, "events"), 5)
         .orderBy("event_type")),
 
+    // Kaplan–Meier survival over user lifetimes: per daily step, the
+    // at-risk / churned / censored counts and the product-limit survival
+    // estimate (churn = 7 days dark before corpus end, horizon-clamped).
+    "ana_survival" -> ((s, dir) =>
+      Analytics.kaplanMeier(T(s, dir, "events"))
+        .orderBy("step")),
+
+    // Two-proportion z-test on a deterministic arm split (user_id parity),
+    // conversion = ever purchased. One summary row.
+    "ana_ab_test" -> ((s, dir) =>
+      Analytics.abTest(T(s, dir, "events"), "purchase")
+        .orderBy("n_a")),
+
+    // Exponential time-decay multi-touch attribution: per channel, total
+    // conversion credit under 0.5^(Δt/1d) weighting within a 7-day
+    // lookback.
+    "ana_attribution_decay" -> ((s, dir) =>
+      Analytics.timeDecayAttribution(T(s, dir, "events"),
+          Seq("click", "view"), "purchase")
+        .orderBy("channel")),
+
+    // Daily new-vs-returning user split (growth vs retention
+    // decomposition); first-seen day via an associative min, no windows.
+    "ana_new_returning" -> ((s, dir) =>
+      Analytics.newVsReturning(T(s, dir, "events"))
+        .orderBy("day")),
+
     // ---- LLM-data-pipeline: deduplication ----
 
     "dedup_exact" -> ((s, dir) =>
@@ -630,6 +657,13 @@ object SparkEntry {
     "dedup_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(T(s, dir, "embeddings"), 8, 0.4)
         .orderBy("vec_id")),
+
+    // Threshold calibration for the semantic dedup: within-cluster pair
+    // counts at each candidate cosine threshold, from ONE pair pass.
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      Dedup.cosineThresholdSweep(T(s, dir, "embeddings"), 8,
+          Seq(0.2, 0.3, 0.4, 0.5))
+        .orderBy("threshold")),
 
     // The SRP-LSH scale path for embedding near-dup, against the exact
     // all-pairs oracle. The synthetic embeddings are isotropic (pairwise
@@ -943,6 +977,15 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
+    }),
+
+    // Range search: every neighbor with 6-dp cosine >= 0.3 of the 8
+    // lowest-id probes — variable-cardinality retrieval (no top-k cut),
+    // pure broadcast map work, zero shuffles.
+    "ann_range" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.rangeSearch(emb, emb.filter(col("vec_id") < 8), 0.3)
+        .orderBy("query_id", "neighbor_id")
     }),
 
     // Hard-negative mining for contrastive training: per query, top-5 by
@@ -1323,6 +1366,24 @@ object SparkEntry {
     // profile (share of the source's distinct terms occurring once).
     "text_hapax" -> ((s, dir) =>
       TextAnalysis.hapaxProfile(T(s, dir, "documents")).orderBy("source")),
+
+    // Per-source character-class fractions (letters/digits/whitespace/
+    // other) — the pre-tokenization script/garbage gate. Narrow regex
+    // counts into one source-keyed aggregate.
+    "text_script_hist" -> ((s, dir) =>
+      TextAnalysis.charClassProfile(T(s, dir, "documents"))
+        .orderBy("source")),
+
+    // Per-source Simpson lexical diversity (repeat-rate complement) —
+    // exact integer moments, flags template-heavy sources.
+    "text_simpson" -> ((s, dir) =>
+      TextAnalysis.simpsonDiversity(T(s, dir, "documents"))
+        .orderBy("source")),
+
+    // Heaps'-law vocabulary-growth exponent over 10 doc-id prefixes —
+    // "does more crawling still buy new vocabulary?" — one row.
+    "text_heaps_law" -> ((s, dir) =>
+      TextAnalysis.heapsLaw(T(s, dir, "documents"), 10)),
 
     // Curriculum interleave ranks: per-source quality rank (distinct-token
     // ratio desc); consuming ordered by (rank_in_source, source) is the
@@ -2026,6 +2087,15 @@ object SparkEntry {
       operators.TimeSeries.sax(
           T(s, dir, "events"), "user_id", "ts", "value")
         .orderBy("user_id")),
+
+    // M4 downsampling (min/max/first/last per hour bucket): the
+    // error-free chart/scan reduction as ONE map-side-combinable
+    // aggregate — no window, no sort, values pass through untouched.
+    "ts_m4" -> ((s, dir) =>
+      operators.TimeSeries.m4Downsample(
+          T(s, dir, "events").filter(col("user_id") < 100),
+          "user_id", "ts", "value")
+        .orderBy("user_id", "bucket")),
 
     // CHAINED time-series pipeline — the composition the family is
     // actually consumed as (every solo oracle checks one link; this one
@@ -3408,6 +3478,21 @@ object SparkEntry {
 
     "ann_brute_topk" -> bruteAnnOracle,
 
+    // Range search mirror: cosines are 6-dp rounded BEFORE the threshold
+    // test on both engines (boundary-safe); NaN (zero-norm) → NULL never
+    // matches.
+    "ann_range" ->
+      s"""WITH e AS ($embCte),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |        round(CASE WHEN isnan(list_cosine_similarity(q.qv, e.v))
+         |          THEN NULL
+         |          ELSE list_cosine_similarity(q.qv, e.v) END, 6) AS cosine
+         |      FROM q JOIN e ON e.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, cosine FROM s
+         |WHERE cosine >= 0.3
+         |ORDER BY query_id, neighbor_id""".stripMargin,
+
     "dedup_source_report" ->
       """SELECT source, count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS n_unique,
@@ -3434,6 +3519,22 @@ object SparkEntry {
          |  dup.vec_id IS NULL AS kept
          |FROM v LEFT JOIN dup ON dup.vec_id = v.vec_id
          |ORDER BY v.vec_id""".stripMargin,
+
+    // Threshold-sweep mirror: the same cluster-scoped pair pass as
+    // dedup_semantic (6-dp-rounded cosines, NaN → NULL matches nothing),
+    // counted once per candidate threshold.
+    "dedup_threshold_sweep" ->
+      s"""WITH ${assignCtes(8)},
+         |v AS (SELECT e.vec_id, a.cid, e.v FROM e JOIN a USING (vec_id)),
+         |p AS (SELECT round(CASE WHEN isnan(list_cosine_similarity(x.v, y.v))
+         |          THEN NULL
+         |          ELSE list_cosine_similarity(x.v, y.v) END, 6) AS cos
+         |      FROM v x JOIN v y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |t AS (SELECT CAST(unnest([0.2, 0.3, 0.4, 0.5]) AS DOUBLE)
+         |        AS threshold)
+         |SELECT threshold, CAST(count(p.cos) AS BIGINT) AS n_pairs
+         |FROM t LEFT JOIN p ON p.cos >= t.threshold
+         |GROUP BY 1 ORDER BY threshold""".stripMargin,
 
     // Hard negatives: brute ranking restricted to cross-cluster pairs;
     // assignment CTEs shared with the kmeans oracle (k=4). The Spark
@@ -4418,6 +4519,106 @@ object SparkEntry {
          |FROM p5 ORDER BY event_type""".stripMargin
     },
 
+    // Kaplan–Meier mirror: per-user spans → daily step + churn flag, then
+    // the product-limit curve via running windows instead of the Spark
+    // side's triangular join (same arithmetic: 6-dp-rounded ln factors
+    // into a DECIMAL running sum, exp at the end).
+    "ana_survival" ->
+      """WITH spans AS (SELECT user_id,
+        |    CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+        |    CAST(floor(epoch(max(ts))) AS BIGINT) AS t1
+        |  FROM events GROUP BY 1),
+        |endt AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS t_end FROM events),
+        |pu AS (SELECT least(CAST(floor((t1 - t0) / 86400.0) AS BIGINT), 90) AS step,
+        |         ((t_end - t1) > 604800
+        |           AND floor((t1 - t0) / 86400.0) <= 90) AS event
+        |       FROM spans CROSS JOIN endt),
+        |ps AS (SELECT step,
+        |         CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |         CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |       FROM pu GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pu),
+        |pr AS (SELECT step, d, c,
+        |         CAST(coalesce(sum(d + c) OVER (ORDER BY step
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS prior
+        |       FROM ps),
+        |lf AS (SELECT step, d, c, n_total - prior AS n_risk,
+        |         CASE WHEN d > 0 THEN CAST(round(
+        |             ln(1.0 - CAST(d AS DOUBLE) / (n_total - prior)), 6)
+        |           AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS f
+        |       FROM pr CROSS JOIN tot)
+        |SELECT step, n_risk, d AS n_events, c AS n_censored,
+        |  round(exp(CAST(sum(f) OVER (ORDER BY step
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) AS survival
+        |FROM lf ORDER BY step""".stripMargin,
+
+    // A/B z-test mirror: identical exact integer inputs, the same
+    // DECIMAL(24,12)-routed 6-dp rounding on every emitted float.
+    "ana_ab_test" ->
+      """WITH pu AS (SELECT user_id % 2 AS arm,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |agg AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+        |  FROM pu),
+        |m AS (SELECT n_a, x_a, n_b, x_b,
+        |    CAST(x_a AS DOUBLE) / n_a AS pa, CAST(x_b AS DOUBLE) / n_b AS pb,
+        |    CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pool
+        |  FROM agg),
+        |z AS (SELECT *, CASE WHEN sqrt(pool * (1.0 - pool)
+        |      * (1.0 / n_a + 1.0 / n_b)) > 0
+        |    THEN (pa - pb) / sqrt(pool * (1.0 - pool)
+        |      * (1.0 / n_a + 1.0 / n_b)) END AS zv
+        |  FROM m)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  CAST(round(CAST(pa AS DECIMAL(24,12)), 6) AS DOUBLE) AS rate_a,
+        |  CAST(round(CAST(pb AS DECIMAL(24,12)), 6) AS DOUBLE) AS rate_b,
+        |  CAST(round(CAST(pa - pb AS DECIMAL(24,12)), 6) AS DOUBLE) AS lift,
+        |  CAST(round(CAST(zv AS DECIMAL(24,12)), 6) AS DOUBLE) AS z,
+        |  coalesce(abs(zv) > 1.96, false) AS significant
+        |FROM z ORDER BY n_a""".stripMargin,
+
+    // Time-decay attribution mirror: 6-dp weights into DECIMAL(18,6),
+    // double÷double credit shares (both operands exactly shared), 6-dp
+    // credit into the per-channel DECIMAL total.
+    "ana_attribution_decay" ->
+      """WITH convs AS (SELECT user_id AS u, event_id AS conv_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS conv_s
+        |  FROM events WHERE event_type = 'purchase'),
+        |touches AS (SELECT user_id AS u, event_type AS channel,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS touch_s
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |pairs AS (SELECT conv_id, channel,
+        |    CAST(round(pow(0.5,
+        |      CAST(conv_s - touch_s AS DOUBLE) / 86400), 6)
+        |      AS DECIMAL(18,6)) AS w
+        |  FROM convs JOIN touches USING (u)
+        |  WHERE touch_s <= conv_s AND conv_s - touch_s <= 604800),
+        |tot AS (SELECT conv_id, sum(w) AS wsum FROM pairs GROUP BY 1),
+        |cr AS (SELECT channel,
+        |    CAST(round(CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS credit
+        |  FROM pairs JOIN tot USING (conv_id))
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |  round(CAST(sum(credit) AS DOUBLE), 6) AS credit
+        |FROM cr GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "ana_new_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |fd AS (SELECT u, min(day) AS first_day FROM ud GROUP BY 1),
+        |act AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active
+        |        FROM ud GROUP BY 1),
+        |nw AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+        |       FROM fd GROUP BY 1)
+        |SELECT act.day, n_active, coalesce(n_new, 0) AS n_new,
+        |  n_active - coalesce(n_new, 0) AS n_returning
+        |FROM act LEFT JOIN nw USING (day) ORDER BY day""".stripMargin,
+
     "text_bigram_lm" ->
       s"""WITH base AS ($docToks),
          |t AS (SELECT doc_id, unnest(toks) AS tok,
@@ -4453,6 +4654,86 @@ object SparkEntry {
          |    / (CAST(sxx AS DOUBLE)
          |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_terms), 6)
          |    AS zipf_slope
+         |FROM s""".stripMargin,
+
+    // Char-class mirror: length-difference counts per regex class ('g'
+    // flag — DuckDB replaces first-match-only by default), BIGINT sums,
+    // one double division per fraction.
+    "text_script_hist" ->
+      """WITH c AS (SELECT source,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |    CAST(sum(length(text)
+        |      - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS BIGINT)
+        |      AS n_alpha,
+        |    CAST(sum(length(text)
+        |      - length(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT)
+        |      AS n_digit,
+        |    CAST(sum(length(text)
+        |      - length(regexp_replace(text, '\s', '', 'g'))) AS BIGINT)
+        |      AS n_space
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_chars,
+        |  round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS frac_alpha,
+        |  round(CAST(n_digit AS DOUBLE) / n_chars, 6) AS frac_digit,
+        |  round(CAST(n_space AS DOUBLE) / n_chars, 6) AS frac_space,
+        |  round(CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE)
+        |    / n_chars, 6) AS frac_other
+        |FROM c ORDER BY source""".stripMargin,
+
+    // Simpson mirror: exact integer moments (DECIMAL(19)×DECIMAL(19)
+    // products, overflow-free by construction), one double ratio.
+    "text_simpson" ->
+      """WITH toks AS (SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |f AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |m AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    sum(CAST(c AS DECIMAL(19,0)) * CAST(c - 1 AS DECIMAL(19,0)))
+        |      AS rep_mass
+        |  FROM f GROUP BY 1)
+        |SELECT source, n_tokens, n_types,
+        |  CASE WHEN n_tokens > 1 THEN
+        |    round(1.0 - CAST(rep_mass AS DOUBLE)
+        |      / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)), 6)
+        |  END AS simpson_diversity
+        |FROM m ORDER BY source""".stripMargin,
+
+    // Heaps mirror: the same equal-width id buckets (double division +
+    // floor, least-clamped), first-bucket-per-type counts, nBuckets-row
+    // cumulative windows, then the zipf-recipe OLS.
+    "text_heaps_law" ->
+      s"""WITH base AS ($docToks),
+         |bounds AS (SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+         |    CAST(max(doc_id) AS BIGINT) AS hi FROM documents),
+         |toks AS (SELECT least(9, CAST(floor(
+         |      CAST((doc_id - lo) * 10 AS DOUBLE)
+         |        / greatest(hi - lo + 1, 1)) AS BIGINT)) AS b,
+         |    unnest(toks) AS tok
+         |  FROM base CROSS JOIN bounds),
+         |mass AS (SELECT b, CAST(count(*) AS BIGINT) AS mass
+         |         FROM toks GROUP BY 1),
+         |fb AS (SELECT min(b) AS b FROM toks GROUP BY tok),
+         |nt AS (SELECT b, CAST(count(*) AS BIGINT) AS new_types
+         |       FROM fb GROUP BY 1),
+         |pts AS (SELECT
+         |    round(ln(CAST(sum(mass.mass) OVER w AS DOUBLE)), 6) AS x,
+         |    round(ln(CAST(sum(coalesce(nt.new_types, 0)) OVER w AS DOUBLE)),
+         |      6) AS y
+         |  FROM mass LEFT JOIN nt USING (b)
+         |  WINDOW w AS (ORDER BY mass.b ROWS UNBOUNDED PRECEDING)),
+         |s AS (SELECT count(*) AS n_points,
+         |        sum(CAST(x AS DECIMAL(28,6))) AS sx,
+         |        sum(CAST(y AS DECIMAL(28,6))) AS sy,
+         |        sum(CAST(round(x * y, 6) AS DECIMAL(28,6))) AS sxy,
+         |        sum(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS sxx
+         |      FROM pts)
+         |SELECT CAST(n_points AS BIGINT) AS n_points,
+         |  round((CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n_points)
+         |    / (CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_points), 6)
+         |    AS heaps_beta
          |FROM s""".stripMargin,
 
     "text_postings" ->
@@ -5195,6 +5476,26 @@ object SparkEntry {
         |FROM grid g LEFT JOIN hourly h
         |  ON g.user_id = h.user_id AND g.bucket = h.bucket
         |ORDER BY g.user_id, g.bucket""".stripMargin,
+
+    // M4 mirror: min/max are plain aggregates; first/last resolve the
+    // min_by/max_by (ts, event_id) order via row_number windows. Values
+    // pass through with no arithmetic.
+    "ts_m4" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    ts, event_id, value
+        |  FROM events WHERE user_id < 100),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT user_id, bucket, count(*) AS n,
+        |  min(value) AS v_min, max(value) AS v_max,
+        |  max(CASE WHEN ra = 1 THEN value END) AS v_first,
+        |  max(CASE WHEN rd = 1 THEN value END) AS v_last
+        |FROM r GROUP BY 1, 2
+        |ORDER BY user_id, bucket""".stripMargin,
 
     "ts_gapfill" ->
       """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS bucket, value

@@ -656,10 +656,35 @@ object Analytics {
     val totals = pairs.groupBy(col("conv_id"))
       .agg(sum(col("w")).as("wsum"))
     pairs.join(totals, Seq("conv_id"))
+      // double ÷ double of two exactly-shared DECIMAL inputs: one IEEE op,
+      // bit-identical across engines (decimal division scale rules differ).
       .withColumn("credit",
-        round((col("w") / col("wsum")).cast("double"), 6).cast("decimal(18,6)"))
+        round(col("w").cast("double") / col("wsum").cast("double"), 6)
+          .cast("decimal(18,6)"))
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_touches"),
         round(sum(col("credit")).cast("double"), 6).as("credit"))
+  }
+
+  /** Daily new-vs-returning split: per activity day, how many distinct
+    * users were active, how many were seen for the FIRST time that day,
+    * and the remainder — the growth-vs-retention decomposition every
+    * activation dashboard leads with. Two aggregates, no window over
+    * events: per-user first day (associative min), then per-day rollups
+    * joined on the day key. At 100 TB both shuffles carry (user, day) /
+    * (day, counters) pairs only.
+    */
+  def newVsReturning(events: DataFrame, userCol: String = "user_id",
+                     tsCol: String = "ts"): DataFrame = {
+    val userDays = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day")).distinct()
+    val firstDay = userDays.groupBy(col("u")).agg(min(col("day")).as("first_day"))
+    val active = userDays.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val fresh = firstDay.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    active.join(fresh, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (col("n_active") - coalesce(col("n_new"), lit(0L))).as("n_returning"))
   }
 }

@@ -1033,6 +1033,38 @@ object Dedup {
         col("__dup").isNull.as("kept"))
   }
 
+  /** Threshold-calibration sweep for [[semanticDedup]]: how many
+    * within-cluster pairs would count as near-duplicates at EACH
+    * candidate threshold — the report you run before committing a dedup
+    * threshold, because the kept-corpus size is brutally sensitive to it
+    * and re-running the full dedup per candidate wastes the (dominant)
+    * pair-generation pass. One pass: the cluster-scoped pair cosines are
+    * computed once (identical join shape and cost to [[semanticDedup]] —
+    * bounded by Σ cluster_size², never N²), then every pair folds into
+    * per-threshold counters via one unpivoted aggregate. Cosines are
+    * 6-dp-rounded before comparison and NULL (zero-norm) cosines match
+    * no threshold, mirroring the dedup's own boundary behavior.
+    */
+  def cosineThresholdSweep(embeddings: DataFrame, k: Int, thresholds: Seq[Double],
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val assign = Similarity.assignToSeeds(embeddings, k, idCol, vecCol)
+    val v = embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .join(assign, "vec_id")
+    val cos = v.as("a").join(v.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(round(Fns.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+    val counters = thresholds.sorted.map(t =>
+      sum(when(col("cos") >= t, 1L).otherwise(0L)).as(f"n_$t%.2f"))
+    val wide = cos.agg(counters.head, counters.tail: _*)
+    val stacked = thresholds.sorted.map(t =>
+      s"CAST($t AS DOUBLE), `${f"n_$t%.2f"}`").mkString(", ")
+    wide.selectExpr(
+      s"stack(${thresholds.size}, $stacked) AS (threshold, n_pairs)")
+  }
+
   /** Embedding-cosine near-dup pairs at scale: SRP-LSH bucketing via
     * [[graft.operators.Similarity.lshBuckets]] over `nTables` hash tables,
     * within-(table, bucket) self-join for candidates, exact codegen'd

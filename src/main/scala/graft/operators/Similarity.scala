@@ -54,6 +54,28 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Exact cosine RANGE search: every corpus vector within `threshold`
+    * of each query — the retrieval shape for "pull everything near this
+    * probe" (contamination sweeps, per-concept corpus carving) where
+    * top-k's fixed cut is wrong because the true neighbor count varies
+    * per query by orders of magnitude. `queries` is broadcast (hinted,
+    * small by contract); the corpus side is ONE narrow streamed scan —
+    * no shuffle at all, since unlike top-k there is no per-query ranking
+    * state: the threshold test is row-local. At 100 TB this is the rare
+    * whole-operator that is pure map work; NULL cosines (zero-norm
+    * vectors) never match. Cosines are 6-dp-rounded BEFORE the threshold
+    * test so the boundary verdict is engine-independent.
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, threshold: Double,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Fns.cosine(col("qv"), col("cv")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Two-stage ANN (the production coarse-quantize-then-rerank pattern):
     * L2-normalize, int8-quantize, rank candidates per query by the CHEAP
     * integer code dot (×4–8 less memory traffic than the float vectors —

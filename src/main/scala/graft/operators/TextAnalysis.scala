@@ -1236,4 +1236,117 @@ object TextAnalysis {
     docs.select(explode(Fns.tokens(col(textCol))).as("tok"))
       .groupBy(length(col("tok")).cast("long").as("token_len"))
       .agg(count(lit(1)).as("n_tokens"), count_distinct(col("tok")).as("n_distinct"))
+
+  /** Per-source character-class profile: total characters plus the
+    * fraction that are ASCII letters / digits / whitespace / other — the
+    * cheap script/garbage signal web-crawl pipelines gate on before any
+    * tokenization (a "text" source that is 40% `other` is markup,
+    * base64, or a non-Latin script the langid stage must look at).
+    *
+    * Counts come from length-difference over `regexp_replace` (one
+    * codegen'd regex pass per class, no explode — rows never leave the
+    * narrow stage until the per-source aggregate), summed as BIGINTs so
+    * the fractions are one exact division at the end. Shuffle: one
+    * hash aggregate keyed by source, carrying four counters per row
+    * group — register-sized at any corpus scale.
+    */
+  def charClassProfile(docs: DataFrame, textCol: String = "text",
+                       srcCol: String = "source"): DataFrame = {
+    def cnt(re: String) =
+      (length(col(textCol)) - length(regexp_replace(col(textCol), re, ""))).cast("long")
+    def frac(c: Column, n: Column) =
+      round(try_divide(c.cast("double"), n.cast("double")), 6)
+    val agg = docs.groupBy(col(srcCol).as("source"))
+      .agg(sum(length(col(textCol)).cast("long")).as("n_chars"),
+        sum(cnt("[A-Za-z]")).as("n_alpha"),
+        sum(cnt("[0-9]")).as("n_digit"),
+        sum(cnt("\\s")).as("n_space"))
+    agg.select(col("source"), col("n_chars"),
+      frac(col("n_alpha"), col("n_chars")).as("frac_alpha"),
+      frac(col("n_digit"), col("n_chars")).as("frac_digit"),
+      frac(col("n_space"), col("n_chars")).as("frac_space"),
+      frac(col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space"),
+        col("n_chars")).as("frac_other"))
+  }
+
+  /** Per-source lexical diversity (Simpson/repeat-rate): the probability
+    * that two tokens drawn without replacement from the source are the
+    * SAME type, Σ f·(f−1) / (N·(N−1)), and its complement as the
+    * diversity index. Low diversity flags template/boilerplate-heavy
+    * sources that length or langid filters miss. The statistic is a pure
+    * integer ratio until the final division, so both engines agree
+    * bit-for-bit with no rounding choreography.
+    *
+    * Shuffle shape: one explode + hash aggregate on (source, token)
+    * (map-side combinable), then a per-source rollup of the f·(f−1)
+    * moments — counters only, never token text, past the first stage.
+    */
+  def simpsonDiversity(docs: DataFrame, textCol: String = "text",
+                       srcCol: String = "source"): DataFrame = {
+    val freqs = docs
+      .select(col(srcCol).as("source"), explode(Fns.tokens(col(textCol))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("f"))
+    freqs.groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        // f·(f−1) through DECIMAL(19)×DECIMAL(19): exact and
+        // overflow-free even for a token with billions of occurrences.
+        sum(col("f").cast("decimal(19,0)") *
+          (col("f") - 1).cast("decimal(19,0)")).as("rep_mass"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(lit(1.0) - try_divide(col("rep_mass").cast("double"),
+          col("n_tokens").cast("double") *
+            (col("n_tokens") - 1).cast("double")), 6)
+          .as("simpson_diversity"))
+  }
+
+  /** Heaps'-law vocabulary-growth fit: order the corpus by doc id, cut
+    * it into `nBuckets` equal-width id prefixes, measure cumulative
+    * token mass and cumulative distinct types at each cut, and OLS-fit
+    * log(types) = β·log(tokens) + c. β (typically 0.4–0.6 for natural
+    * text) prices how much NEW vocabulary further crawling buys —
+    * β near 0 means the corpus has saturated, β near 1 means it is
+    * ID-like/unbounded (tokenizer poison). Same determinism recipe as
+    * [[zipfSlope]]: 6-dp-rounded logs into DECIMAL sums, one closed-form
+    * division at the end.
+    *
+    * Scale shape: the cumulative-distinct count NEVER windows over
+    * tokens — each type contributes exactly one row (its FIRST bucket,
+    * a min aggregate), and the cumulative sums run over `nBuckets` rows.
+    * Two hash aggregates ((bucket) token mass, (token) first-bucket),
+    * one bounded window over nBuckets rows, one tiny OLS aggregate.
+    */
+  def heapsLaw(docs: DataFrame, nBuckets: Int = 10,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
+    val bounds = docs.agg(min(col(idCol)).cast("long").as("lo"),
+      max(col(idCol)).cast("long").as("hi"))
+    // equal-width id buckets 0..nBuckets-1 (hi lands in the last one)
+    val toks = docs.crossJoin(broadcast(bounds))
+      .select(least(lit(nBuckets - 1),
+          floor(((col(idCol).cast("long") - col("lo")) * nBuckets) /
+            greatest(col("hi") - col("lo") + 1, lit(1L)))).cast("long").as("b"),
+        explode(Fns.tokens(col(textCol))).as("tok"))
+    val massPerBucket = toks.groupBy("b").agg(count(lit(1)).as("mass"))
+    val firstBucket = toks.groupBy("tok").agg(min(col("b")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = massPerBucket.join(firstBucket, Seq("b"), "left")
+      .select(col("b"), sum(col("mass")).over(w).as("cum_tokens"),
+        sum(coalesce(col("new_types"), lit(0L))).over(w).as("cum_types"))
+      .select(round(log(col("cum_tokens").cast("double")), 6).as("x"),
+        round(log(col("cum_types").cast("double")), 6).as("y"))
+    def d6(c: Column) = c.cast("decimal(28,6)")
+    def d12(c: Column) = round(c, 6).cast("decimal(28,6)")
+    pts.agg(count(lit(1)).as("n_points"),
+        sum(d6(col("x"))).as("sx"), sum(d6(col("y"))).as("sy"),
+        sum(d12(col("x") * col("y"))).as("sxy"),
+        sum(d12(col("x") * col("x"))).as("sxx"))
+      .select(col("n_points"),
+        round((col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double") / col("n_points")) /
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / col("n_points")),
+          6).as("heaps_beta"))
+  }
 }

@@ -501,4 +501,29 @@ object TimeSeries {
           array_sort(collect_list(struct(col("__seg"), col("__letter")))),
           s => s.getField("__letter")), "").as("sax"))
   }
+
+  /** M4 downsampling: per (key, bucket) keep exactly the four values any
+    * pixel-faithful rendering or coarse anomaly scan needs — min, max,
+    * first, last — the standard error-free line-chart reduction (Jugel
+    * et al., VLDB 2014). Unlike averaging it preserves extremes, and
+    * unlike LTTB it is a single associative aggregate: first/last ride
+    * `min_by`/`max_by` on the (ts, event_id) order struct, so the whole
+    * operator is ONE map-side-combinable hash aggregate — no window, no
+    * sort, linear at any corpus scale. Values pass through untouched
+    * (no arithmetic), so engines agree bit-for-bit.
+    */
+  def m4Downsample(events: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, stepSeconds: Long = 3600L,
+                   idCol: String = "event_id"): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val bucket = timestamp_seconds(
+      unix_timestamp(col(tsCol)) - pmod(unix_timestamp(col(tsCol)), lit(stepSeconds)))
+    val ord = struct(col(tsCol), col(idCol))
+    events.groupBy(col(keyCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("v_min"),
+        max(col(valueCol)).as("v_max"),
+        min_by(col(valueCol), ord).as("v_first"),
+        max_by(col(valueCol), ord).as("v_last"))
+  }
 }

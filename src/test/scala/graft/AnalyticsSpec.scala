@@ -1,5 +1,6 @@
 package graft
 
+import java.sql.Timestamp
 import org.apache.spark.sql.functions.{lit, to_timestamp}
 import graft.analytics.Analytics
 
@@ -304,5 +305,72 @@ class AnalyticsSpec extends SparkSpec {
     val out2 = graft.analytics.Analytics.markovStationary(absorb, iters = 5)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out2("a") == 0.0 && out2("b") == 1.0)
+  }
+
+  test("kaplanMeier: product-limit curve on a hand-built cohort") {
+    import spark.implicits._
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+    // u1: days 0..1 (churns — dark for 19 days before corpus end);
+    // u2, u3: days 0..20 (active at the end — censored).
+    val ev = Seq((1L, 1L, d(0)), (2L, 1L, d(1)),
+      (3L, 2L, d(0)), (4L, 2L, d(20)),
+      (5L, 3L, d(0)), (6L, 3L, d(20)))
+      .toDF("event_id", "user_id", "ts")
+    val out = graft.analytics.Analytics.kaplanMeier(ev)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // step 1: 3 at risk, 1 churn -> S = 2/3; step 20: both censored.
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 0L, 0.666667),
+      (20L, 2L, 0L, 2L, 0.666667)))
+  }
+
+  test("abTest: symmetric arms give zero lift and no significance") {
+    import spark.implicits._
+    def t(m: Int) = Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    // arms by user_id parity: u0,u2 -> A (1 conversion), u1,u3 -> B (1).
+    val ev = Seq((1L, 0L, "purchase", t(0)), (2L, 1L, "view", t(1)),
+      (3L, 2L, "view", t(2)), (4L, 3L, "purchase", t(3)),
+      (5L, 3L, "click", t(4)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = graft.analytics.Analytics.abTest(ev, "purchase").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 2L, 1L)))
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5)
+    assert(r.getDouble(6) == 0.0 && r.getDouble(7) == 0.0)
+    assert(!r.getBoolean(8))
+  }
+
+  test("timeDecayAttribution: exponential weights split one conversion") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def at(sec: Long) = new Timestamp(base + sec * 1000L)
+    // click 1 day before the purchase (w = 0.5), view half a day before
+    // (w = 0.5^0.5 = 0.707107): credits 0.5/1.207107 = 0.414213 and
+    // 0.707107/1.207107 = 0.585787.
+    val ev = Seq((1L, 1L, "click", at(0L)),
+      (2L, 1L, "view", at(43200L)),
+      (3L, 1L, "purchase", at(86400L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.analytics.Analytics
+      .timeDecayAttribution(ev, Seq("click", "view"), "purchase")
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("click", 1L, 0.414213), ("view", 1L, 0.585787)))
+  }
+
+  test("newVsReturning: first-seen day splits actives") {
+    import spark.implicits._
+    def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-0$day $h%02d:00:00")
+    val ev = Seq((1L, 1L, d(1, 9)), (2L, 1L, d(1, 17)), (3L, 1L, d(2, 9)),
+      (4L, 2L, d(2, 10)))
+      .toDF("event_id", "user_id", "ts")
+    val out = graft.analytics.Analytics.newVsReturning(ev)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 1L, 1L, 0L),   // u1 new
+      ("2024-01-02", 2L, 1L, 1L)))  // u2 new, u1 returning
   }
 }

@@ -498,4 +498,18 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq == Seq(("A", 3L, 2L, 0.333333), ("B", 2L, 2L, 0.0)))
   }
+
+  test("cosineThresholdSweep: pair counts per threshold from one pass") {
+    import spark.implicits._
+    // k=1: a single cluster, so all 6 pairs are scoped. Pair cosines:
+    // (0,1)=1.0 (0,2)=0.6 (0,3)=0 (1,2)=0.6 (1,3)=0 (2,3)=0.8.
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)),
+      (2L, Seq(0.6f, 0.8f)), (3L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.cosineThresholdSweep(emb, 1, Seq(0.5, 0.9))
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0.5, 4L), (0.9, 1L)))
+  }
 }

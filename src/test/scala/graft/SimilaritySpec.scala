@@ -423,4 +423,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(t => Set(2L, 3L, 4L, 5L).contains(t._1)).forall(_._2 == 0L))
     assert(out.filter(t => Set(6L, 7L).contains(t._1)).forall(_._2 == 1L))
   }
+
+  test("rangeSearch: variable-cardinality neighbors; zero-norm never matches") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(0.6f, 0.8f)), (4L, Seq(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.rangeSearch(emb, emb.filter($"vec_id" < 2), 0.5)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 1.0), (0L, 3L, 0.6),
+      (1L, 0L, 1.0), (1L, 3L, 0.6)))
+  }
 }

@@ -600,4 +600,40 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 3L, 1L, 0.333333, false),
       (3L, 4L, 3L, 0.75, true)))   // 3 zq occurrences of a df=1 term
   }
+
+  test("charClassProfile: per-source char-class fractions") {
+    val docs = Seq(
+      (1L, "a", "ab 12!"), // 2 alpha, 2 digit, 1 space, 1 other
+      (2L, "a", "xy"),     // 2 alpha
+      (3L, "b", "..."))    // 3 other
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.charClassProfile(docs).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("a", 8L, 0.5, 0.25, 0.125, 0.125),
+      ("b", 3L, 0.0, 0.0, 0.0, 1.0)))
+  }
+
+  test("simpsonDiversity: exact repeat-rate complement; single token -> null") {
+    val docs = Seq(
+      (1L, "a", "x x y"), // f(x)=2 f(y)=1: 1 - 2/(3*2) = 0.666667
+      (2L, "b", "z"))     // N=1: undefined
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.simpsonDiversity(docs).orderBy("source").collect()
+    assert((out(0).getString(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getDouble(3)) == (("a", 3L, 2L, 0.666667)))
+    assert(out(1).getString(0) == "b" && out(1).isNullAt(3))
+  }
+
+  test("heapsLaw: two-point fit recovers the log-log slope") {
+    val docs = Seq(
+      (0L, "a b a"), // bucket 0: 3 tokens, types {a, b}
+      (1L, "a c"))   // bucket 1: +2 tokens, +1 new type
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.heapsLaw(docs, nBuckets = 2).collect()(0)
+    assert(r.getLong(0) == 2L)
+    // (ln3 - ln2) / (ln5 - ln3) = 0.793745...
+    assert(math.abs(r.getDouble(1) - 0.793745) < 1e-3, r.getDouble(1))
+  }
 }

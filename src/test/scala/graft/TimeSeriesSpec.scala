@@ -245,4 +245,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(shapes(0).getAs[Long]("n_buckets") == 4L)
     assert(shapes(0).getAs[String]("sax") == "ad")
   }
+
+  test("m4Downsample: min/max/first/last per hour, values untouched") {
+    val ev = Seq(
+      (1L, 7L, "2024-01-01 10:05:00", 5.0),
+      (2L, 7L, "2024-01-01 10:20:00", 1.0),
+      (3L, 7L, "2024-01-01 10:40:00", 9.0),
+      (4L, 7L, "2024-01-01 11:10:00", 3.0),
+      (5L, 8L, "2024-01-01 10:30:00", 2.0))
+      .toDF("event_id", "user_id", "s", "value")
+      .select($"event_id", $"user_id", to_timestamp($"s").as("ts"), $"value")
+    val out = TimeSeries.m4Downsample(ev, "user_id", "ts", "value")
+      .orderBy("user_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toString,
+        r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6)))
+    assert(out.toSeq == Seq(
+      (7L, "2024-01-01T10:00:00Z", 3L, 1.0, 9.0, 5.0, 9.0),
+      (7L, "2024-01-01T11:00:00Z", 1L, 3.0, 3.0, 3.0, 3.0),
+      (8L, "2024-01-01T10:00:00Z", 1L, 2.0, 2.0, 2.0, 2.0)))
+  }
+
+  test("m4Downsample: first/last break ts ties on event_id") {
+    val ev = Seq(
+      (10L, 1L, "2024-01-01 10:00:00", 4.0),
+      (2L, 1L, "2024-01-01 10:00:00", 7.0)) // same ts, lower id
+      .toDF("event_id", "user_id", "s", "value")
+      .select($"event_id", $"user_id", to_timestamp($"s").as("ts"), $"value")
+    val r = TimeSeries.m4Downsample(ev, "user_id", "ts", "value").collect()(0)
+    assert(r.getDouble(5) == 7.0 && r.getDouble(6) == 4.0) // first=id2, last=id10
+  }
 }
