@@ -1502,6 +1502,40 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Two-sample Kolmogorov–Smirnov drift test, click (ref) vs error
+    // (cur) event values — the every-quantile drift statistic PSI's 10
+    // fixed bins can't resolve; exact-integer ECDFs via the two-level
+    // bucketed prefix sum (no global window over the value spine).
+    "dq_ks_test" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      operators.DataQuality.ksTest(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "error"), "value")
+    }),
+
+    // Mann–Whitney AUC of `value` as a score predicting error events —
+    // the threshold-free classifier eval; BIGINT-exact concordant-pair
+    // numerator, one rounded division.
+    "dq_auc" -> ((s, dir) =>
+      operators.DataQuality.aucScore(
+        T(s, dir, "events").filter(col("event_type").isin("click", "error")),
+        "value", col("event_type") === "error")),
+
+    // Reliability bins: 10 equal-width score buckets with empirical
+    // positive rate — whether a quality score reads as a probability.
+    "dq_calibration" -> ((s, dir) =>
+      operators.DataQuality.calibrationBins(
+        T(s, dir, "events").filter(col("event_type").isin("click", "error")),
+        "value", col("event_type") === "error", 10)
+        .orderBy("bin")),
+
+    // Mutual information (nats) + normalized MI between source and lang
+    // on the documents corpus — the dataset-card dependence measure chi²
+    // (dq_association) can't read as shared-information.
+    "dq_mutual_info" -> ((s, dir) =>
+      operators.DataQuality.mutualInfo(T(s, dir, "documents"),
+        "source", "lang")),
+
     // Vocabulary-size coverage curve (10/20/30 terms) — the OOV-rate
     // stat behind tokenizer sizing.
     "text_vocab_coverage" -> ((s, dir) =>
@@ -5060,6 +5094,105 @@ object SparkEntry {
         |SELECT bin, c_ref, c_cur, round(p_ref, 6) AS p_ref,
         |  round(p_cur, 6) AS p_cur, term, psi
         |FROM t2 CROSS JOIN tpsi ORDER BY bin""".stripMargin,
+
+    // KS: exact-integer cumulative counts over distinct values (the
+    // Spark side's two-level prefix sum collapses to one window here),
+    // one IEEE division per side, gap rounded to 6 dp before the max;
+    // tie on the max gap broken by smallest value on both engines.
+    "dq_ks_test" ->
+      """WITH byv AS (SELECT v, CAST(sum(cr) AS BIGINT) AS cr,
+        |        CAST(sum(cc) AS BIGINT) AS cc FROM (
+        |      SELECT CAST(value AS DOUBLE) AS v, 1 AS cr, 0 AS cc FROM events
+        |      WHERE event_type = 'click' AND value IS NOT NULL
+        |      UNION ALL
+        |      SELECT CAST(value AS DOUBLE) AS v, 0, 1 FROM events
+        |      WHERE event_type = 'error' AND value IS NOT NULL) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS n_ref,
+        |        CAST(sum(cc) AS BIGINT) AS n_cur FROM byv),
+        |g AS (SELECT v, n_ref, n_cur,
+        |        round(abs(CAST(sum(cr) OVER w AS DOUBLE) / CAST(n_ref AS DOUBLE)
+        |          - CAST(sum(cc) OVER w AS DOUBLE) / CAST(n_cur AS DOUBLE)), 6)
+        |          AS gap
+        |      FROM byv CROSS JOIN tot
+        |      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW)),
+        |mx AS (SELECT max(gap) AS ks_stat FROM g)
+        |SELECT min(g.n_ref) AS n_ref, min(g.n_cur) AS n_cur,
+        |  min(mx.ks_stat) AS ks_stat, min(v) AS ks_at_value
+        |FROM g CROSS JOIN mx WHERE g.gap = mx.ks_stat""".stripMargin,
+
+    // AUC: concordant-pairs-plus-half-ties from grouped score counts —
+    // the numerator is BIGINT-exact on both engines; ONE rounded
+    // division at the end.
+    "dq_auc" ->
+      """WITH s AS (SELECT CAST(value AS DOUBLE) AS v,
+        |        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+        |      FROM events WHERE event_type IN ('click', 'error')
+        |        AND value IS NOT NULL),
+        |byv AS (SELECT v, CAST(sum(y) AS BIGINT) AS cp,
+        |        CAST(sum(1 - y) AS BIGINT) AS cn FROM s GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+        |        CAST(sum(cn) AS BIGINT) AS n_neg FROM byv),
+        |g AS (SELECT cp * (2 * CAST(coalesce(sum(cn) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) + cn) AS num2 FROM byv),
+        |n2 AS (SELECT CAST(sum(num2) AS BIGINT) AS num2 FROM g)
+        |SELECT n_pos, n_neg,
+        |  round(CAST(num2 AS DOUBLE) /
+        |    (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+        |FROM tot CROSS JOIN n2""".stripMargin,
+
+    // Calibration: PSI's reference-anchored equal-width binning
+    // arithmetic (single IEEE ops), DECIMAL-quantized score sums.
+    "dq_calibration" ->
+      """WITH s AS (SELECT CAST(value AS DOUBLE) AS v,
+        |        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+        |      FROM events WHERE event_type IN ('click', 'error')
+        |        AND value IS NOT NULL),
+        |b AS (SELECT CAST(min(v) AS DOUBLE) AS lo,
+        |        CAST(max(v) AS DOUBLE) AS hi FROM s),
+        |bb AS (SELECT CASE WHEN hi = lo THEN 0 ELSE
+        |        CAST(least(greatest(floor((v - lo) / ((hi - lo) / 10)), 0), 9)
+        |          AS INT) END AS bin, v, y FROM s CROSS JOIN b),
+        |agg AS (SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        |        sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS sv
+        |      FROM bb GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_score,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate
+        |FROM agg ORDER BY bin""".stripMargin,
+
+    // MI: every ln argument is a ratio of exact integer counts composed
+    // in the Spark side's operation order; per-term round(6) +
+    // DECIMAL(18,6) sums (the PSI/entropy discipline); nmi divides the
+    // UNrounded decimal-exact mi/h_a/h_b like the Spark select does.
+    "dq_mutual_info" ->
+      """WITH cells AS (SELECT source AS va, lang AS vb, count(*) AS o
+        |      FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT va, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        |cb AS (SELECT vb, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |        count(DISTINCT va) AS k_a, count(DISTINCT vb) AS k_b
+        |      FROM cells),
+        |mi0 AS (SELECT CAST(sum(CAST(round(
+        |        CAST(o AS DOUBLE) / CAST(n AS DOUBLE) *
+        |        ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE) /
+        |          (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))), 6)
+        |        AS DECIMAL(18,6))) AS DOUBLE) AS mi
+        |      FROM cells JOIN ra USING (va) JOIN cb USING (vb)
+        |      CROSS JOIN tot),
+        |ha AS (SELECT CAST(sum(CAST(round(
+        |        CAST(ra AS DOUBLE) / CAST(n AS DOUBLE) *
+        |        ln(CAST(n AS DOUBLE) / CAST(ra AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6))) AS DOUBLE) AS h_a FROM ra CROSS JOIN tot),
+        |hb AS (SELECT CAST(sum(CAST(round(
+        |        CAST(cb AS DOUBLE) / CAST(n AS DOUBLE) *
+        |        ln(CAST(n AS DOUBLE) / CAST(cb AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6))) AS DOUBLE) AS h_b FROM cb CROSS JOIN tot)
+        |SELECT n, k_a, k_b, round(mi, 6) AS mi,
+        |  round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
+        |  round(mi / sqrt(h_a * h_b), 6) AS nmi
+        |FROM mi0 CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot""".stripMargin,
 
     // BPE unrolled: per iteration the SAME relational steps as the Spark
     // side — per-word lead pairs, freq-weighted argmax (ties -> lexical),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality audit (the dbt-test / expectation-suite
@@ -391,5 +392,175 @@ object DataQuality {
             (least(col("k_a"), col("k_b")) - 1) * col("n"))), 6)
             .as("cramers_v"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Distinct values of `ref` ∪ `cur` with per-side counts and EXACT
+    * cumulative counts up to (and excluding) each value — the shared
+    * substrate of the rank statistics below ([[ksTest]], [[aucScore]]).
+    *
+    * Scale shape: the corpus collapses to its distinct scores first (one
+    * hash shuffle with map-side combine — cardinality is #distinct
+    * values, not #rows), then cumulative counts come from a TWO-LEVEL
+    * prefix sum: values are range-bucketed on broadcast min/max, a
+    * per-bucket window computes intra-bucket running counts, and the
+    * ≤`buckets`-row bucket-total table (a global window over ~32 rows,
+    * the same documented tiny-spine exception as PSI) supplies exclusive
+    * offsets joined back by broadcast. No global window ever touches the
+    * value spine, so the plan survives a value cardinality of billions.
+    * All cumulative quantities are BIGINT-exact — engine-independent by
+    * construction.
+    */
+  private def rankedCounts(ref: DataFrame, cur: DataFrame, valueCol: String,
+                           buckets: Int): DataFrame = {
+    val r = ref.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("v"), lit(1L).as("cr"), lit(0L).as("cc"))
+    val c = cur.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("v"), lit(0L).as("cr"), lit(1L).as("cc"))
+    val byV = r.unionByName(c).groupBy("v")
+      .agg(sum("cr").as("cr"), sum("cc").as("cc"))
+    val bounds = byV.agg(min("v").as("lo"), max("v").as("hi"),
+      sum("cr").as("n_ref"), sum("cc").as("n_cur"))
+    val bucketed = byV.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(greatest(floor((col("v") - col("lo")) /
+            ((col("hi") - col("lo")) / buckets)), lit(0)), lit(buckets - 1)))
+          .cast("int"))
+    val wOff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bucket")
+      .agg(sum("cr").as("bcr"), sum("cc").as("bcc"))
+      .select(col("bucket"),
+        coalesce(sum("bcr").over(wOff), lit(0L)).as("off_r"),
+        coalesce(sum("bcc").over(wOff), lit(0L)).as("off_c"))
+    val wIn = Window.partitionBy("bucket").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed.join(broadcast(offsets), "bucket")
+      .select(col("v"), col("cr"), col("cc"), col("n_ref"), col("n_cur"),
+        (sum("cr").over(wIn) + col("off_r")).as("cum_r"),
+        (sum("cc").over(wIn) + col("off_c")).as("cum_c"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the `valueCol`
+    * distributions of `ref` and `cur`: D = max over observed values of
+    * |ECDF_ref − ECDF_cur|, plus the smallest value attaining it — the
+    * standard nonparametric drift test, sharper than PSI's fixed bins
+    * because it sees EVERY quantile of both samples at once.
+    *
+    * ECDFs are exact-integer cumulative counts ([[rankedCounts]]) over
+    * one IEEE division each, gap rounded to 6 dp before the max — the
+    * repo's cross-engine determinism discipline. One row out.
+    */
+  def ksTest(ref: DataFrame, cur: DataFrame, valueCol: String,
+             buckets: Int = 32): DataFrame = {
+    val gaps = rankedCounts(ref, cur, valueCol, buckets)
+      .select(col("v"), col("n_ref"), col("n_cur"),
+        round(abs(col("cum_r").cast("double") / col("n_ref").cast("double") -
+          col("cum_c").cast("double") / col("n_cur").cast("double")), 6)
+          .as("gap"))
+    val mx = gaps.agg(max("gap").as("ks_stat"))
+    gaps.crossJoin(broadcast(mx)).filter(col("gap") === col("ks_stat"))
+      .agg(min("n_ref").as("n_ref"), min("n_cur").as("n_cur"),
+        min("ks_stat").as("ks_stat"), min("v").as("ks_at_value"))
+  }
+
+  /** Mann–Whitney AUC: the probability that a random positive row's
+    * `scoreCol` exceeds a random negative's (ties count half) — the
+    * threshold-free quality-classifier evaluation. Computed from grouped
+    * score counts as concordant-pairs-plus-half-ties:
+    * `Σ_v c_pos(v)·(2·cum_neg(<v) + c_neg(v)) / (2·n_pos·n_neg)` —
+    * the numerator stays BIGINT-exact (no rank averaging in floats);
+    * the single final division is rounded to 6 dp. Same two-level
+    * prefix substrate as [[ksTest]]; one row out.
+    */
+  def aucScore(df: DataFrame, scoreCol: String,
+               labelCol: org.apache.spark.sql.Column,
+               buckets: Int = 32): DataFrame = {
+    val pos = df.filter(labelCol)
+    val neg = df.filter(!labelCol)
+    // ref = negatives, cur = positives: cum_r(<v) is then the negative
+    // count strictly below v once the current value's own cr is removed.
+    rankedCounts(neg, pos, scoreCol, buckets)
+      .select(col("n_cur").as("n_pos"), col("n_ref").as("n_neg"),
+        (col("cc") * (lit(2L) * (col("cum_r") - col("cr")) + col("cr")))
+          .as("num2"))
+      .groupBy("n_pos", "n_neg")
+      .agg(sum("num2").as("num2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("num2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+          6).as("auc"))
+  }
+
+  /** Reliability (calibration) bins: scores bucketed into `bins`
+    * equal-width intervals on the observed range; per bin the row count,
+    * positive count, mean score and empirical positive rate — the curve
+    * that says whether a quality classifier's scores can be READ as
+    * probabilities. One scalar min/max aggregate broadcast back (PSI's
+    * binning arithmetic, single IEEE ops), then one hash aggregation on
+    * the bin id; mean is a DECIMAL-quantized sum over count.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String,
+                      labelCol: org.apache.spark.sql.Column,
+                      bins: Int = 10): DataFrame = {
+    val s = df.select(col(scoreCol).cast("double").as("v"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .filter(col("v").isNotNull)
+    val bounds = s.agg(min("v").as("lo"), max("v").as("hi"))
+    s.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(greatest(floor((col("v") - col("lo")) /
+            ((col("hi") - col("lo")) / bins)), lit(0)), lit(bins - 1)))
+          .cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum(round(col("v"), 6).cast("decimal(28,6)")).as("sv"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("sv").cast("double") / col("n").cast("double"), 6)
+          .as("mean_score"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"))
+  }
+
+  /** Mutual information (nats) between two categorical columns, with the
+    * marginal entropies and the normalized MI `mi/sqrt(h_a·h_b)` — the
+    * dependence measure that, unlike [[association]]'s chi², reads
+    * directly as bits-of-shared-information (how much knowing `source`
+    * tells you about `lang` in a corpus card).
+    *
+    * One hash aggregation on the (a,b) cell (cardinality k_a·k_b, not
+    * corpus size), marginals re-aggregated from the cells and broadcast
+    * back. Every ln argument is a ratio of exact integer counts composed
+    * in a fixed operation order; each term is rounded to 6 dp and summed
+    * as DECIMAL(18,6) — the PSI/entropy cross-engine discipline.
+    */
+  def mutualInfo(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("va"), col(colB).as("vb"))
+      .agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("va").agg(sum("o").as("ra"))
+    val cb = cells.groupBy("vb").agg(sum("o").as("cb"))
+    val tot = cells.agg(sum("o").as("n"),
+      countDistinct(col("va")).as("k_a"), countDistinct(col("vb")).as("k_b"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 6).cast("decimal(18,6)")).cast("double")
+    def ent(margin: DataFrame, cnt: String) = margin
+      .crossJoin(broadcast(tot.select("n")))
+      .agg(dsum(col(cnt).cast("double") / col("n").cast("double") *
+        log(col("n").cast("double") / col(cnt).cast("double"))).as("h"))
+    val mi = cells.join(broadcast(ra), "va").join(broadcast(cb), "vb")
+      .crossJoin(broadcast(tot))
+      .groupBy("n", "k_a", "k_b")
+      .agg(dsum(col("o").cast("double") / col("n").cast("double") *
+        log(col("o").cast("double") * col("n").cast("double") /
+          (col("ra").cast("double") * col("cb").cast("double")))).as("mi"))
+    mi.crossJoin(broadcast(ent(ra, "ra").select(col("h").as("h_a"))))
+      .crossJoin(broadcast(ent(cb, "cb").select(col("h").as("h_b"))))
+      .select(col("n"), col("k_a"), col("k_b"),
+        round(col("mi"), 6).as("mi"),
+        round(col("h_a"), 6).as("h_a"), round(col("h_b"), 6).as("h_b"),
+        round(try_divide(col("mi"), sqrt(col("h_a") * col("h_b"))), 6)
+          .as("nmi"))
   }
 }

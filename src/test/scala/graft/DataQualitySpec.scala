@@ -191,4 +191,71 @@ class DataQualitySpec extends SparkSpec {
       ("A", 2L, 0L, false), ("B", 1L, 0L, false),
       ("C", 1L, 25L, true), ("D", 1L, 23L, false)))
   }
+
+  test("ksTest: hand-computed D on disjoint and identical samples") {
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    // ECDFs at v=1..6: ref (.25,.5,.75,1,1,1), cur (0,0,.25,.5,.75,1)
+    // gaps: .25,.5,.5,.5,.25,0 -> D=0.5 first attained at v=2
+    val r = DataQuality.ksTest(ref, cur, "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      (4L, 4L, 0.5, 2.0))
+    // identical samples -> D = 0
+    val same = DataQuality.ksTest(ref, ref, "v").collect().head
+    assert(same.getDouble(2) == 0.0)
+  }
+
+  test("ksTest matches a single-window formulation across bucket counts") {
+    val ref = (1 to 200).map(i => (i * 7 % 97).toDouble).toDF("v")
+    val cur = (1 to 150).map(i => ((i * 13 % 89) + 3).toDouble).toDF("v")
+    val d1 = DataQuality.ksTest(ref, cur, "v", buckets = 1).collect().head
+    val d32 = DataQuality.ksTest(ref, cur, "v", buckets = 32).collect().head
+    assert(d1.getDouble(2) == d32.getDouble(2) &&
+      d1.getDouble(3) == d32.getDouble(3))
+  }
+
+  test("aucScore: perfect, random-tie, and textbook mixed cases") {
+    import org.apache.spark.sql.functions.col
+    // perfect separation -> 1.0
+    val perfect = Seq((0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)).toDF("s", "y")
+    assert(DataQuality.aucScore(perfect, "s", col("y") === 1)
+      .collect().head.getDouble(2) == 1.0)
+    // all scores tied -> 0.5
+    val tied = Seq((0.5, 0), (0.5, 0), (0.5, 1)).toDF("s", "y")
+    assert(DataQuality.aucScore(tied, "s", col("y") === 1)
+      .collect().head.getDouble(2) == 0.5)
+    // mixed with a tie: pos {0.4, 0.8}, neg {0.4, 0.6}
+    // pairs: (0.4 vs 0.4)=0.5, (0.4 vs 0.6)=0, (0.8 vs 0.4)=1,
+    // (0.8 vs 0.6)=1 -> AUC = 2.5/4 = 0.625
+    val mixed = Seq((0.4, 1), (0.8, 1), (0.4, 0), (0.6, 0)).toDF("s", "y")
+    val m = DataQuality.aucScore(mixed, "s", col("y") === 1).collect().head
+    assert((m.getLong(0), m.getLong(1), m.getDouble(2)) == (2L, 2L, 0.625))
+  }
+
+  test("calibrationBins: equal-width binning with exact rates") {
+    import org.apache.spark.sql.functions.col
+    // range [0,1), 10 bins; bin 0 gets 0.0/0.05 (0 pos of 2),
+    // bin 9 gets 0.95/1.0 (2 pos of 2), bin 5 gets 0.5 (1 pos of 1)
+    val df = Seq((0.0, 0), (0.05, 0), (0.5, 1), (0.95, 1), (1.0, 1))
+      .toDF("s", "y")
+    val out = DataQuality.calibrationBins(df, "s", col("y") === 1, 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(out.toSeq == Seq((0, 2L, 0L, 0.0), (5, 1L, 1L, 1.0),
+      (9, 2L, 2L, 1.0)))
+  }
+
+  test("mutualInfo: independence -> 0; identity -> h_a and nmi = 1") {
+    // independent 2x2 uniform: MI = 0
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("u", "w")
+    val r0 = DataQuality.mutualInfo(ind, "u", "w").collect().head
+    assert(r0.getDouble(3) == 0.0 && r0.getDouble(6) == 0.0)
+    // perfectly dependent: MI = H = ln 2 (rounded terms sum to 0.693147)
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("u", "w")
+    val r1 = DataQuality.mutualInfo(dep, "u", "w").collect().head
+    assert(r1.getDouble(3) == r1.getDouble(4) && r1.getDouble(6) == 1.0)
+    assert(math.abs(r1.getDouble(3) - math.log(2)) < 1e-5)
+  }
 }
