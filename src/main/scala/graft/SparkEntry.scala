@@ -1536,6 +1536,31 @@ object SparkEntry {
       operators.DataQuality.mutualInfo(T(s, dir, "documents"),
         "source", "lang")),
 
+    // Two full-batch logistic-regression GD steps over the embedding
+    // features (label = class < 5) from w = 0 — the quality-classifier
+    // training shape: per-step one N-key margin sum + one d-key gradient
+    // sum, model state broadcast throughout.
+    "ml_logreg" -> ((s, dir) =>
+      operators.ML.logregSteps(T(s, dir, "embeddings"), col("label") < 5,
+        steps = 2, lr = 0.5).orderBy("dim")),
+
+    // Closed-form ridge (λ=1) of extendedprice on quantity+discount via
+    // normal equations: one scan, nine DECIMAL sums, Cramer solve as
+    // column expressions over the single aggregate row.
+    "ml_ridge" -> ((s, dir) =>
+      operators.ML.ridgeNormal(T(s, dir, "lineitem"), col("l_quantity"),
+        col("l_discount"), col("l_extendedprice"), lambda = 1.0)),
+
+    // Centroid drift between the even and odd vec_id cohorts: cosine +
+    // L2 between per-dim mean vectors — the cheap embedding-distribution
+    // monitor (two d-key aggregates, one d-row join).
+    "emb_drift" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      operators.Similarity.centroidDrift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1))
+    }),
+
     // Vocabulary-size coverage curve (10/20/30 terms) — the OOV-rate
     // stat behind tokenizer sizing.
     "text_vocab_coverage" -> ((s, dir) =>
@@ -5193,6 +5218,103 @@ object SparkEntry {
         |  round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
         |  round(mi / sqrt(h_a * h_b), 6) AS nmi
         |FROM mi0 CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot""".stripMargin,
+
+    // Logreg: the two GD steps unrolled CTE-for-plan — step 1's margins
+    // are exactly 0 from w=0 (p = 0.5 on both engines, no exp), step 2's
+    // margins are 6-dp-rounded DECIMAL dot products BEFORE the sigmoid,
+    // its output re-rounded, gradients DECIMAL-summed — so exp's libm
+    // ulps never reach a comparison.
+    "ml_logreg" ->
+      """WITH flat AS (SELECT vec_id,
+        |        CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+        |        CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |y AS (SELECT vec_id, CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+        |      FROM embeddings),
+        |n AS (SELECT count(*) AS n FROM embeddings),
+        |r1 AS (SELECT vec_id, 0.5 - y AS r FROM y),
+        |g1 AS (SELECT dim, CAST(sum(CAST(round(r * x, 6) AS DECIMAL(18,6)))
+        |          AS DOUBLE) AS g
+        |      FROM flat JOIN r1 USING (vec_id) GROUP BY 1),
+        |w1 AS (SELECT dim, round(0.0 - 0.5 * g / n, 6) AS w
+        |      FROM g1 CROSS JOIN n),
+        |m2 AS (SELECT vec_id, round(CAST(sum(CAST(round(x * w, 6)
+        |          AS DECIMAL(18,6))) AS DOUBLE), 6) AS margin
+        |      FROM flat JOIN w1 USING (dim) GROUP BY 1),
+        |r2 AS (SELECT m2.vec_id,
+        |        round(1.0 / (1.0 + exp(-margin)), 6) - y AS r
+        |      FROM m2 JOIN y USING (vec_id)),
+        |g2 AS (SELECT dim, CAST(sum(CAST(round(r * x, 6) AS DECIMAL(18,6)))
+        |          AS DOUBLE) AS g
+        |      FROM flat JOIN r2 USING (vec_id) GROUP BY 1)
+        |SELECT w1.dim, round(w - 0.5 * g / n, 6) AS weight
+        |FROM w1 JOIN g2 USING (dim) CROSS JOIN n ORDER BY dim""".stripMargin,
+
+    // Ridge: the nine 6-dp-quantized DECIMAL(38,6) Gram sums and the
+    // Cramer determinant expansions transcribed in the Spark side's
+    // EXACT operation order (symmetric entries substituted identically),
+    // so every determinant is the same IEEE value on both engines.
+    "ml_ridge" ->
+      """WITH s AS (SELECT CAST(l_quantity AS DOUBLE) AS x1,
+        |        CAST(l_discount AS DOUBLE) AS x2,
+        |        CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+        |a AS (SELECT count(*) AS n,
+        |    CAST(sum(CAST(round(x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(round(x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(round(x1 * x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+        |    CAST(sum(CAST(round(x1 * x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+        |    CAST(sum(CAST(round(x2 * x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+        |    CAST(sum(CAST(round(y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(x1 * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1y,
+        |    CAST(sum(CAST(round(x2 * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2y
+        |  FROM s),
+        |m AS (SELECT n, CAST(n AS DOUBLE) + 1.0 AS a11, s1 AS a12, s2 AS a13,
+        |        s11 + 1.0 AS a22, s12 AS a23, s22 + 1.0 AS a33,
+        |        sy, s1y, s2y FROM a),
+        |d AS (SELECT n, sy, s1y, s2y, a11, a12, a13, a22, a23, a33,
+        |        a11 * (a22 * a33 - a23 * a23)
+        |          - a12 * (a12 * a33 - a23 * a13)
+        |          + a13 * (a12 * a23 - a22 * a13) AS dA FROM m)
+        |SELECT n,
+        |  round((sy * (a22 * a33 - a23 * a23)
+        |    - a12 * (s1y * a33 - a23 * s2y)
+        |    + a13 * (s1y * a23 - a22 * s2y)) / dA, 6) AS beta0,
+        |  round((a11 * (s1y * a33 - a23 * s2y)
+        |    - sy * (a12 * a33 - a23 * a13)
+        |    + a13 * (a12 * s2y - s1y * a13)) / dA, 6) AS beta1,
+        |  round((a11 * (a22 * s2y - s1y * a23)
+        |    - a12 * (a12 * s2y - s1y * a13)
+        |    + sy * (a12 * a23 - a22 * a13)) / dA, 6) AS beta2
+        |FROM d""".stripMargin,
+
+    // Centroid drift: per-cohort dim-keyed DECIMAL means (6-dp-rounded
+    // before the dot/norm products, the kmeans-cosine discipline).
+    "emb_drift" ->
+      """WITH fa AS (SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT)
+        |          AS dim, CAST(unnest(embedding) AS DOUBLE) AS x
+        |      FROM embeddings WHERE vec_id % 2 = 0),
+        |fb AS (SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT)
+        |          AS dim, CAST(unnest(embedding) AS DOUBLE) AS x
+        |      FROM embeddings WHERE vec_id % 2 = 1),
+        |ma AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_a,
+        |        round(CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6)))
+        |          AS DOUBLE) / count(*), 6) AS m_a FROM fa GROUP BY 1),
+        |mb AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_b,
+        |        round(CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6)))
+        |          AS DOUBLE) / count(*), 6) AS m_b FROM fb GROUP BY 1),
+        |agg AS (SELECT CAST(min(n_a) AS BIGINT) AS n_a,
+        |        CAST(min(n_b) AS BIGINT) AS n_b,
+        |        CAST(sum(CAST(round(m_a * m_b, 6) AS DECIMAL(18,6)))
+        |          AS DOUBLE) AS dot,
+        |        CAST(sum(CAST(round(m_a * m_a, 6) AS DECIMAL(18,6)))
+        |          AS DOUBLE) AS na2,
+        |        CAST(sum(CAST(round(m_b * m_b, 6) AS DECIMAL(18,6)))
+        |          AS DOUBLE) AS nb2,
+        |        CAST(sum(CAST(round((m_a - m_b) * (m_a - m_b), 6)
+        |          AS DECIMAL(18,6))) AS DOUBLE) AS d2
+        |      FROM ma JOIN mb USING (dim))
+        |SELECT n_a, n_b,
+        |  round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cosine,
+        |  round(sqrt(d2), 6) AS l2 FROM agg""".stripMargin,
 
     // BPE unrolled: per iteration the SAME relational steps as the Spark
     // side — per-word lead pairs, freq-weighted argmax (ties -> lexical),

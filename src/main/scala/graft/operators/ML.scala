@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed training steps for the quality-classifier models every
+  * large-scale data pipeline ends up fitting over its own corpus (a
+  * fasttext-style filter, a regression prior for sampling weights):
+  * logistic-regression gradient descent over embedding features and
+  * closed-form ridge regression via the normal equations. Both are pure
+  * aggregation shapes — per-dimension keyed sums with map-side combine —
+  * so they scale exactly like the covariance/k-means family: the model
+  * state (d weights, a 3×3 Gram matrix) is broadcast-sized, the data is
+  * touched once per step, and nothing ever collects to the driver.
+  *
+  * Cross-engine determinism discipline (the repo convention): every
+  * value that enters an aggregate is rounded to 6 dp and summed as
+  * DECIMAL (order-free exact); every transcendental (sigmoid's exp)
+  * consumes an already-rounded argument and its result is re-rounded,
+  * so a last-ulp libm disagreement between engines cannot propagate.
+  */
+object ML {
+
+  private def d6sum(c: Column): Column =
+    sum(round(c, 6).cast("decimal(18,6)")).cast("double")
+
+  /** `steps` rounds of full-batch gradient descent on logistic
+    * regression `P(y=1|x) = sigmoid(wᵀx)` over flattened embedding
+    * features, starting from w = 0 (so step 1's predictions are exactly
+    * 0.5 — the symmetric start both engines agree on). Output is the
+    * final weight vector, one row per 1-based dimension.
+    *
+    * Scale shape per step: one broadcast of the d-row weight vector
+    * into the flattened corpus, one vec-keyed DECIMAL sum for the
+    * margins (d-term dot products, map-side combined), one dim-keyed
+    * DECIMAL sum for the gradient — two shuffles of cardinality N and
+    * d. The weight update is a d-row select; `steps` chains lazily (no
+    * materialization barrier, d stays broadcast-sized throughout).
+    */
+  def logregSteps(embeddings: DataFrame, label: Column, steps: Int = 2,
+                  lr: Double = 0.5, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(steps >= 1, s"need steps >= 1, got $steps")
+    val flat = Similarity.flatten(embeddings, idCol, vecCol)
+    val y = embeddings.select(col(idCol).as("vec_id"),
+      when(label, 1.0).otherwise(0.0).as("y"))
+    val n = embeddings.agg(count(lit(1)).as("n"))
+    var w = flat.select("dim").distinct()
+      .select(col("dim"), lit(0.0).as("w"))
+    for (_ <- 1 to steps) {
+      val margins = flat.join(broadcast(w), "dim")
+        .groupBy("vec_id")
+        .agg(round(d6sum(col("x") * col("w")), 6).as("margin"))
+      val resid = margins.join(y, "vec_id")
+        .select(col("vec_id"),
+          (round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6) - col("y"))
+            .as("r"))
+      val grad = flat.join(resid, "vec_id")
+        .groupBy("dim").agg(d6sum(col("r") * col("x")).as("g"))
+      w = w.join(grad, "dim").crossJoin(broadcast(n))
+        .select(col("dim"),
+          round(col("w") - lit(lr) * col("g") / col("n"), 6).as("w"))
+    }
+    w.select(col("dim"), col("w").as("weight"))
+  }
+
+  /** Closed-form ridge regression `y ~ β₀ + β₁x₁ + β₂x₂` by the normal
+    * equations: accumulate the 3×3 Gram matrix XᵀX + λI and XᵀY in ONE
+    * aggregation pass (9 DECIMAL sums, map-side combined — the whole
+    * model state is a single row), then solve by Cramer's rule as
+    * column expressions over that row. Fully lazy, nothing collects;
+    * at 100 TB this is exactly one scan + one 9-number reduce.
+    *
+    * λ penalizes all three coefficients including the intercept (the
+    * simplest contract to mirror exactly in the oracle; pass λ = 0 for
+    * OLS). The Gram sums are 6-dp-quantized DECIMAL(38,6) — exact and
+    * order-free on both engines — so the Cramer determinants are pure
+    * IEEE arithmetic over identical doubles; βs round to 6 dp.
+    */
+  def ridgeNormal(df: DataFrame, x1: Column, x2: Column, yCol: Column,
+                  lambda: Double = 1.0): DataFrame = {
+    def dsum(c: Column) = sum(round(c, 6).cast("decimal(38,6)")).cast("double")
+    val a = df.select(x1.cast("double").as("x1"), x2.cast("double").as("x2"),
+        yCol.cast("double").as("y"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"),
+        dsum(col("x1") * col("x1")).as("s11"),
+        dsum(col("x1") * col("x2")).as("s12"),
+        dsum(col("x2") * col("x2")).as("s22"),
+        dsum(col("y")).as("sy"),
+        dsum(col("x1") * col("y")).as("s1y"),
+        dsum(col("x2") * col("y")).as("s2y"))
+    def det3(a11: Column, a12: Column, a13: Column,
+             a21: Column, a22: Column, a23: Column,
+             a31: Column, a32: Column, a33: Column): Column =
+      a11 * (a22 * a33 - a23 * a32) -
+        a12 * (a21 * a33 - a23 * a31) +
+        a13 * (a21 * a32 - a22 * a31)
+    val l = lit(lambda)
+    val (a11, a12, a13) = (col("n").cast("double") + l, col("s1"), col("s2"))
+    val (a22, a23, a33) = (col("s11") + l, col("s12"), col("s22") + l)
+    val dA = det3(a11, a12, a13, a12, a22, a23, a13, a23, a33)
+    val d0 = det3(col("sy"), a12, a13, col("s1y"), a22, a23, col("s2y"), a23, a33)
+    val d1 = det3(a11, col("sy"), a13, a12, col("s1y"), a23, a13, col("s2y"), a33)
+    val d2 = det3(a11, a12, col("sy"), a12, a22, col("s1y"), a13, a23, col("s2y"))
+    a.select(col("n"),
+      round(d0 / dA, 6).as("beta0"),
+      round(d1 / dA, 6).as("beta1"),
+      round(d2 / dA, 6).as("beta2"))
+  }
+}

@@ -372,7 +372,7 @@ object Similarity {
     * DuckDB `generate_subscripts` mirror matches. Narrow explode, no
     * shuffle until an aggregation keys on something.
     */
-  private def flatten(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[operators] def flatten(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
     embeddings
       .select(col(idCol).as("vec_id"), posexplode(toDouble(col(vecCol))))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
@@ -875,5 +875,40 @@ object Similarity {
         (round(col("sp").cast("double") / 1e9 / col("n")
           - (col("si").cast("double") / col("n"))
           * (col("sj").cast("double") / col("n")), 6) + lit(0.0)).as("cov"))
+  }
+
+  /** Embedding-distribution drift between two cohorts (time slices,
+    * sources, pipeline versions): the cosine and L2 distance between
+    * the cohorts' centroid (per-dimension mean) vectors — the cheap
+    * first-line monitor that says "the corpus an encoder sees this week
+    * no longer points where last week's did" before anything expensive
+    * (re-clustering, SemDeDup) re-runs.
+    *
+    * Scale shape: each cohort is one dim-keyed DECIMAL aggregate over
+    * its flattened vectors (map-side combined, cardinality d), the
+    * comparison is a d-row join and a single-row reduce — no pairwise
+    * anything. Means are 6-dp-rounded before the dot/norm products
+    * (the [[kmeansCosineIterate]] normalize-the-rounded-vector
+    * discipline), so both engines compare the exact same centroids.
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    def means(df: DataFrame, tag: String) = flatten(df, idCol, vecCol)
+      .groupBy("dim")
+      .agg(count(lit(1)).as(s"n_$tag"),
+        sum(round(col("x"), 6).cast("decimal(18,6)")).as("s"))
+      .select(col("dim"), col(s"n_$tag"),
+        round(col("s").cast("double") / col(s"n_$tag"), 6).as(s"m_$tag"))
+    def dsum(c: Column) = sum(round(c, 6).cast("decimal(18,6)")).cast("double")
+    means(a, "a").join(means(b, "b"), "dim")
+      .agg(min("n_a").as("n_a"), min("n_b").as("n_b"),
+        dsum(col("m_a") * col("m_b")).as("dot"),
+        dsum(col("m_a") * col("m_a")).as("na2"),
+        dsum(col("m_b") * col("m_b")).as("nb2"),
+        dsum((col("m_a") - col("m_b")) * (col("m_a") - col("m_b"))).as("d2"))
+      .select(col("n_a"), col("n_b"),
+        round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6)
+          .as("cosine"),
+        round(sqrt(col("d2")), 6).as("l2"))
   }
 }

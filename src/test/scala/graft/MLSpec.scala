@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.operators.{ML, Similarity}
+
+class MLSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("logregSteps: hand-computed one-step gradient on 1-dim data") {
+    // x = [1], y=1 and x = [-1], y=0; w0 = 0 -> p = 0.5 for both.
+    // g = (0.5-1)*1 + (0.5-0)*(-1) = -1; w1 = 0 - lr*(-1)/2 = lr/2.
+    val e = Seq((1L, Seq(1.0f), 1), (2L, Seq(-1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val w = ML.logregSteps(e, col("label") === 1, steps = 1, lr = 1.0)
+      .collect().head
+    assert((w.getLong(0), w.getDouble(1)) == (1L, 0.5))
+  }
+
+  test("logregSteps: separable data moves the weight toward the margin") {
+    val e = Seq((1L, Seq(2.0f), 1), (2L, Seq(1.5f), 1),
+      (3L, Seq(-1.0f), 0), (4L, Seq(-2.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val w1 = ML.logregSteps(e, col("label") === 1, steps = 1)
+      .collect().head.getDouble(1)
+    val w2 = ML.logregSteps(e, col("label") === 1, steps = 2)
+      .collect().head.getDouble(1)
+    assert(w1 > 0 && w2 > w1) // monotone on separable 1-d data
+  }
+
+  test("ridgeNormal: lambda=0 recovers an exact linear relation") {
+    // y = 2 + 3*x1 + 4*x2 on a full 2x2 design -> OLS solves exactly
+    val df = Seq((0.0, 0.0, 2.0), (1.0, 0.0, 5.0),
+      (0.0, 1.0, 6.0), (1.0, 1.0, 9.0)).toDF("x1", "x2", "y")
+    val r = ML.ridgeNormal(df, col("x1"), col("x2"), col("y"), lambda = 0.0)
+      .collect().head
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+      (4L, 2.0, 3.0, 4.0))
+  }
+
+  test("ridgeNormal: lambda shrinks coefficients toward zero") {
+    val df = Seq((0.0, 0.0, 2.0), (1.0, 0.0, 5.0),
+      (0.0, 1.0, 6.0), (1.0, 1.0, 9.0)).toDF("x1", "x2", "y")
+    val ridge = ML.ridgeNormal(df, col("x1"), col("x2"), col("y"), 1.0)
+      .collect().head
+    assert(math.abs(ridge.getDouble(2)) < 3.0 &&
+      math.abs(ridge.getDouble(3)) < 4.0)
+  }
+
+  test("centroidDrift: identical cohorts -> cosine 1/l2 0; opposite -> -1") {
+    val a = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val same = Similarity.centroidDrift(a, a).collect().head
+    assert((same.getLong(0), same.getLong(1), same.getDouble(2),
+      same.getDouble(3)) == (2L, 2L, 1.0, 0.0))
+    val b = Seq((3L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val opp = Similarity.centroidDrift(a, b).collect().head
+    assert(opp.getDouble(2) == -1.0 && opp.getDouble(3) == 2.0)
+  }
+}
