@@ -1289,6 +1289,41 @@ object SparkEntry {
       operators.Graph.degreeHistogram(edges).orderBy("bucket")
     }),
 
+    // Truncated BFS (3 hops) from the 5 smallest-id nodes of the
+    // co-purchase graph — frontier-only propagation per round; the
+    // bounded-radius reachability pass.
+    "graph_bfs_hops" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.orderBy("node").limit(5)
+      operators.Graph.bfsHops(edges, seeds, 3).orderBy("node")
+    }),
+
+    // Two synchronous majority-vote LPA rounds over the co-purchase
+    // graph, seeded with label = node % 3, ties -> smallest label.
+    "graph_label_prop" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val init = nodes.select(col("node"), (col("node") % 3).as("label"))
+      operators.Graph.labelPropagate(edges, init, 2).orderBy("node")
+    }),
+
     // Local clustering coefficients over the same co-purchase graph —
     // every node emits (triangle-free 0, degree-1 NULL).
     "graph_clustering" -> ((s, dir) => {
@@ -5315,6 +5350,64 @@ object SparkEntry {
         |SELECT n_a, n_b,
         |  round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cosine,
         |  round(sqrt(d2), 6) AS l2 FROM agg""".stripMargin,
+
+    // BFS: Bellman-Ford-shaped full-table relaxation per hop — same min
+    // distance as the Spark side's frontier BFS (exact, not just
+    // equivalent-in-the-limit: min over (d_k ∪ d_k-propagated) is the
+    // BFS distance truncated at k).
+    "graph_bfs_hops" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+        |      FROM lineitem),
+        |e AS (SELECT l.pt AS src, r.pt AS dst, count(*) AS c
+        |      FROM it l JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT src AS u, dst AS v FROM e
+        |      UNION SELECT dst, src FROM e),
+        |nodes AS (SELECT DISTINCT u AS node FROM und),
+        |seeds AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+        |      ORDER BY node LIMIT 5),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |      SELECT node, dist FROM seeds UNION ALL
+        |      SELECT und.v, seeds.dist + 1 FROM seeds
+        |        JOIN und ON und.u = seeds.node) GROUP BY 1),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |      SELECT node, dist FROM d1 UNION ALL
+        |      SELECT und.v, d1.dist + 1 FROM d1
+        |        JOIN und ON und.u = d1.node) GROUP BY 1),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |      SELECT node, dist FROM d2 UNION ALL
+        |      SELECT und.v, d2.dist + 1 FROM d2
+        |        JOIN und ON und.u = d2.node) GROUP BY 1)
+        |SELECT node, dist FROM d3 ORDER BY node""".stripMargin,
+
+    // LPA: two unrolled synchronous rounds, argmax by (count DESC,
+    // label ASC) row_number — the same deterministic tie-break as the
+    // Spark window; isolated nodes coalesce back to their own label.
+    "graph_label_prop" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+        |      FROM lineitem),
+        |e AS (SELECT l.pt AS src, r.pt AS dst, count(*) AS c
+        |      FROM it l JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT src AS u, dst AS v FROM e
+        |      UNION SELECT dst, src FROM e),
+        |nodes AS (SELECT DISTINCT u AS node FROM und),
+        |l0 AS (SELECT node, node % 3 AS label FROM nodes),
+        |v1 AS (SELECT und.v AS node, l0.label AS label, count(*) AS c
+        |      FROM l0 JOIN und ON und.u = l0.node GROUP BY 1, 2),
+        |w1 AS (SELECT node, label AS new_label FROM (
+        |      SELECT node, label, row_number() OVER (PARTITION BY node
+        |        ORDER BY c DESC, label) AS rn FROM v1) WHERE rn = 1),
+        |l1 AS (SELECT l0.node, coalesce(w1.new_label, l0.label) AS label
+        |      FROM l0 LEFT JOIN w1 ON w1.node = l0.node),
+        |v2 AS (SELECT und.v AS node, l1.label AS label, count(*) AS c
+        |      FROM l1 JOIN und ON und.u = l1.node GROUP BY 1, 2),
+        |w2 AS (SELECT node, label AS new_label FROM (
+        |      SELECT node, label, row_number() OVER (PARTITION BY node
+        |        ORDER BY c DESC, label) AS rn FROM v2) WHERE rn = 1)
+        |SELECT l1.node AS node, coalesce(w2.new_label, l1.label) AS label
+        |FROM l1 LEFT JOIN w2 ON w2.node = l1.node
+        |ORDER BY l1.node""".stripMargin,
 
     // BPE unrolled: per iteration the SAME relational steps as the Spark
     // side — per-word lead pairs, freq-weighted argmax (ties -> lexical),

@@ -287,4 +287,74 @@ object Graph {
     }
     (ranks.select(col("node"), round(col("rank"), 6).as("rank")), itersRun)
   }
+
+  /** Truncated BFS: exact minimum hop distance (≤ `hops`) from a seed
+    * set over the UNDIRECTED edge view — the bounded-radius reachability
+    * pass (neighborhood expansion around flagged nodes, contamination
+    * blast-radius checks). Nodes farther than `hops` are absent.
+    *
+    * Scale shape: classic frontier BFS, unrolled — each round joins only
+    * the NEWLY-discovered frontier (nodes whose min distance equals the
+    * previous round index) against the edge list, then folds into the
+    * running distance table with a keyed min; hop counts are bounded and
+    * small, so the lazy chained plan stays shallow and no iteration ever
+    * re-propagates the whole reached set (the Bellman-Ford-shaped
+    * full-table variant the oracle runs is equivalent on min distance
+    * but quadratic in re-sent rows — fine in DuckDB at sf, wrong at
+    * 100 TB).
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, hops: Int = 3,
+              srcCol: String = "src", dstCol: String = "dst",
+              seedCol: String = "node"): DataFrame = {
+    require(hops >= 1, s"need hops >= 1, got $hops")
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+    var dist = seeds.select(col(seedCol).as("node"), lit(0L).as("dist"))
+    var frontier = dist
+    for (i <- 1 to hops) {
+      val prop = frontier.join(und, col("node") === col("u"))
+        .select(col("v").as("node"), lit(i.toLong).as("dist"))
+      dist = dist.unionByName(prop).groupBy("node").agg(min("dist").as("dist"))
+      frontier = dist.filter(col("dist") === i.toLong)
+    }
+    dist
+  }
+
+  /** Synchronous majority-vote label propagation (`rounds` rounds) over
+    * the undirected edge view: every node adopts the most frequent label
+    * among its neighbors (ties → smallest label; isolated nodes keep
+    * their own) — the cheap semi-supervised label-spreading /
+    * community-detection step (Raghavan et al.'s LPA, synchronous
+    * variant, deterministically tie-broken so both engines agree).
+    *
+    * Per round: one edge join, one (node, label) count aggregate, one
+    * node-partitioned argmax window, one left join back — all keyed on
+    * node, nothing global. `initLabels`: (node, label) with a label for
+    * EVERY node.
+    */
+  def labelPropagate(edges: DataFrame, initLabels: DataFrame,
+                     rounds: Int = 2, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+    var lab = initLabels.select(col("node"), col("label"))
+    for (_ <- 1 to rounds) {
+      val votes = lab.join(und, col("node") === col("u"))
+        .groupBy(col("v").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("node")
+        .orderBy(col("c").desc, col("label").asc)
+      val winners = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label").as("new_label"))
+      lab = lab.join(winners, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+    }
+    lab
+  }
 }

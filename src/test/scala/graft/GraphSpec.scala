@@ -112,4 +112,50 @@ class GraphSpec extends SparkSpec {
       (1L, 2L, 3L, 2L, 2L),   // a, b
       (2L, 4L, 7L, 1L, 4L)))  // h
   }
+
+  test("bfsHops: exact truncated distances on a path graph") {
+    // path 1-2-3-4-5-6, seed {1}: dist(k) = k-1, truncated at 3 hops
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val out = Graph.bfsHops(edges, seeds, 3).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
+    // undirected: seeding the middle reaches both sides
+    val mid = Graph.bfsHops(edges, Seq(Tuple1(3L)).toDF("node"), 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mid.toSeq == Seq((2L, 1L), (3L, 0L), (4L, 1L)))
+  }
+
+  test("bfsHops: min distance wins when paths of different length meet") {
+    // triangle 1-2, 2-3, 1-3 plus tail 3-4: dist(3) = 1 (direct, not via 2)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.bfsHops(edges, Seq(Tuple1(1L)).toDF("node"), 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L)))
+  }
+
+  test("labelPropagate: majority wins, ties break to smallest label") {
+    // star: center 10 with neighbors 1,2,3 labeled 0,0,1 -> center gets 0
+    val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("src", "dst")
+    val init = Seq((10L, 9L), (1L, 0L), (2L, 0L), (3L, 1L))
+      .toDF("node", "label")
+    val r1 = Graph.labelPropagate(edges, init, 1).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // leaves see only the center (label 9); center sees {0,0,1} -> 0
+    assert(r1.toSeq == Seq((1L, 9L), (2L, 9L), (3L, 9L), (10L, 0L)))
+    // tie case: neighbors labeled {0,1} -> smallest label 0
+    val tieEdges = Seq((10L, 1L), (10L, 3L)).toDF("src", "dst")
+    val tie = Graph.labelPropagate(tieEdges, init, 1)
+      .filter($"node" === 10L).collect().head.getLong(1)
+    assert(tie == 0L)
+  }
+
+  test("labelPropagate: isolated nodes keep their label across rounds") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val init = Seq((1L, 5L), (2L, 5L), (99L, 7L)).toDF("node", "label")
+    val out = Graph.labelPropagate(edges, init, 2).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 5L), (2L, 5L), (99L, 7L)))
+  }
 }
