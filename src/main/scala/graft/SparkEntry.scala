@@ -307,6 +307,35 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("user_id")),
 
+    // min_by/max_by argmin aggregates: per nation, the poorest/richest
+    // customer. Ties are made impossible by construction: the ordering
+    // key folds the unique custkey under the cents-exact balance
+    // (cents·10⁹ + key — strictly monotone in (cents, key)), so both
+    // engines' otherwise-arbitrary tie choice never fires.
+    "q_min_by" -> ((s, dir) => {
+      val key = round(col("c_acctbal") * 100).cast("long") *
+        lit(1000000000L) + col("c_custkey")
+      T(s, dir, "customer").groupBy("c_nationkey")
+        .agg(min_by(col("c_custkey"), key).as("poorest_cust"),
+          max_by(col("c_custkey"), key).as("richest_cust"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Array higher-order functions over the embedding column — filter /
+    // transform / aggregate / array_max per row (the nested-data API
+    // surface; per-row lambdas on a 64-wide array, the documented
+    // non-codegen exception that stays narrow).
+    "q_array_ops" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      T(s, dir, "embeddings").select(col("vec_id"),
+        size(filter(v, x => x > lit(0.0))).cast("long").as("n_pos"),
+        round(aggregate(v, lit(0.0), (acc, x) => acc + x * x), 6)
+          .as("sum_sq"),
+        round(array_max(transform(v, x => abs(x))), 6).as("max_abs"))
+        .orderBy("vec_id")
+    }),
+
     // Time-range moving aggregate: per-user trailing 1-hour mean. The
     // range frame is on exact epoch-millis (both engines frame
     // [t−3600000, t] inclusively; equal timestamps are peers in both).
@@ -1601,6 +1630,11 @@ object SparkEntry {
     "text_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(T(s, dir, "documents"), Seq(10, 20, 30))
         .orderBy("vocab_size")),
+
+    // Gini coefficient of the top-200 term-frequency distribution — the
+    // vocabulary-concentration scalar beside zipf_slope / simpson.
+    "text_gini" -> ((s, dir) =>
+      TextAnalysis.giniConcentration(T(s, dir, "documents"), 200)),
 
     // BPE merge training (first 3 merges): pair counts weighted by word
     // frequency, greedy left-to-right application — the tokenizer-build
@@ -3861,6 +3895,22 @@ object SparkEntry {
          |    AS term_id, term, freq
          |FROM top ORDER BY term_id""".stripMargin,
 
+    // Gini over the same ranked vocabulary: BIGINT numerator
+    // Σ f·(n − 2·term_id − 1), one rounded division.
+    "text_gini" ->
+      s"""WITH base AS ($docToks),
+         |t AS (SELECT unnest(toks) AS term FROM base),
+         |c AS (SELECT term, count(*) AS freq FROM t GROUP BY 1),
+         |top AS (SELECT term, freq FROM c ORDER BY freq DESC, term LIMIT 200),
+         |v AS (SELECT CAST(row_number() OVER (ORDER BY freq DESC, term) - 1
+         |          AS BIGINT) AS term_id, freq FROM top),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |        CAST(sum(freq) AS BIGINT) AS total FROM v)
+         |SELECT n_terms, total,
+         |  round(CAST(sum(freq * (n_terms - 2 * term_id - 1)) AS DOUBLE) /
+         |    (CAST(n_terms AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini
+         |FROM v CROSS JOIN tot GROUP BY n_terms, total""".stripMargin,
+
     "text_encode" ->
       s"""WITH base AS ($docToks),
          |t AS (SELECT doc_id, unnest(toks) AS term,
@@ -5408,6 +5458,31 @@ object SparkEntry {
         |SELECT l1.node AS node, coalesce(w2.new_label, l1.label) AS label
         |FROM l1 LEFT JOIN w2 ON w2.node = l1.node
         |ORDER BY l1.node""".stripMargin,
+
+    // min_by/max_by with the tie-proof composite ordering key
+    // (cents·10⁹ + custkey) rebuilt arithmetically.
+    "q_min_by" ->
+      """SELECT c_nationkey,
+        |  min_by(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT)
+        |    * 1000000000 + c_custkey) AS poorest_cust,
+        |  max_by(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT)
+        |    * 1000000000 + c_custkey) AS richest_cust,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // List lambdas: list_filter/list_transform/list_reduce mirror
+    // filter/transform/aggregate element-for-element; the fold runs in
+    // array order on both engines (0.0+x₁² ≡ x₁² exactly), so the
+    // unquantized running sum is still IEEE-identical.
+    "q_array_ops" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.0))
+        |    AS BIGINT) AS n_pos,
+        |  round(list_reduce(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * x), (acc, x) -> acc + x), 6) AS sum_sq,
+        |  round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> abs(x))), 6) AS max_abs
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     // BPE unrolled: per iteration the SAME relational steps as the Spark
     // side — per-word lead pairs, freq-weighted argmax (ties -> lexical),

@@ -1349,4 +1349,32 @@ object TextAnalysis {
             col("sx").cast("double") * col("sx").cast("double") / col("n_points")),
           6).as("heaps_beta"))
   }
+
+  /** Gini coefficient of the top-`maxVocab` term-frequency distribution
+    * — the vocabulary-concentration scalar (0 = uniform usage, →1 = a
+    * few terms dominate) that complements [[zipfSlope]]'s power-law fit
+    * and [[simpsonIndex]]'s collision probability on a dataset card.
+    *
+    * Uses [[vocabulary]]'s frequency-ranked ids directly: with ids
+    * 0-based DESCENDING, the ascending rank is n − term_id, so the
+    * classic sorted-form numerator Σ fᵢ(2i − n − 1) becomes
+    * Σ f·(n − 2·term_id − 1) — BIGINT-exact, order-free (ties in freq
+    * contribute the same sum under any within-tie ordering), one final
+    * rounded division. Cost: the vocabulary pass plus a single-row
+    * reduce.
+    */
+  def giniConcentration(docs: DataFrame, maxVocab: Int = 200,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val v = vocabulary(docs, maxVocab, textCol, idCol)
+    val tot = v.agg(count(lit(1)).as("n_terms"), sum("freq").as("total"))
+    v.crossJoin(broadcast(tot))
+      .agg(min("n_terms").as("n_terms"), min("total").as("total"),
+        sum(col("freq") * (col("n_terms") - lit(2L) * col("term_id") - lit(1L)))
+          .as("num"))
+      .select(col("n_terms"), col("total"),
+        round(col("num").cast("double") /
+          (col("n_terms").cast("double") * col("total").cast("double")), 6)
+          .as("gini"))
+  }
 }

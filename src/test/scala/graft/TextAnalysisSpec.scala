@@ -636,4 +636,16 @@ class TextAnalysisSpec extends SparkSpec {
     // (ln3 - ln2) / (ln5 - ln3) = 0.793745...
     assert(math.abs(r.getDouble(1) - 0.793745) < 1e-3, r.getDouble(1))
   }
+
+  test("giniConcentration: uniform -> 0, hand-computed skewed case") {
+    import graft.operators.TextAnalysis
+    // uniform: every term once -> gini 0
+    val uni = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val g0 = TextAnalysis.giniConcentration(uni, 200).collect().head
+    assert((g0.getLong(0), g0.getLong(1), g0.getDouble(2)) == (4L, 4L, 0.0))
+    // freqs {a:3, b:1}: ascending (1,3) -> (1*(2-3) + 3*(4-3))/(2*4) = 0.25
+    val skew = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val g1 = TextAnalysis.giniConcentration(skew, 200).collect().head
+    assert((g1.getLong(0), g1.getLong(1), g1.getDouble(2)) == (2L, 4L, 0.25))
+  }
 }
