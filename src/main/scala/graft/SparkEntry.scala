@@ -1636,6 +1636,26 @@ object SparkEntry {
     "text_gini" -> ((s, dir) =>
       TextAnalysis.giniConcentration(T(s, dir, "documents"), 200)),
 
+    // PII audit over the documents corpus per source: emails / IPv4 /
+    // phone-shaped / long digit runs. One conditional-aggregation scan;
+    // a clean corpus legitimately reports zeros — the report IS the
+    // compliance artifact.
+    "text_pii_scan" -> ((s, dir) =>
+      TextAnalysis.patternScan(T(s, dir, "documents"), "text", "source",
+        Seq(
+          "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+          "ipv4" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+          "phone" -> "\\+?[0-9][0-9() -]{6,}[0-9]",
+          "digitrun" -> "[0-9]{4,}"))
+        .orderBy("source")),
+
+    // Same scanner over the events' JSON props per event type — numeric
+    // literals and quoted keys, nonzero counts proving the match path.
+    "text_pattern_scan" -> ((s, dir) =>
+      TextAnalysis.patternScan(T(s, dir, "events"), "props", "event_type",
+        Seq("number" -> "[0-9]+", "qkey" -> "\"[a-z]+\""))
+        .orderBy("event_type")),
+
     // BPE merge training (first 3 merges): pair counts weighted by word
     // frequency, greedy left-to-right application — the tokenizer-build
     // step, iterations state = the vocabulary table.
@@ -1776,6 +1796,21 @@ object SparkEntry {
       import s.implicits._
       val ids = T(s, dir, "documents").select(col("doc_id")).as[Long]
       Multimodal.jpegRoundTrip(s, ids).toDF().orderBy("asset_id")
+    }),
+
+    // Perceptual near-duplicate images: real PNG decode → 56-bit dHash →
+    // 4-band exact blocking → Hamming ≤ 3 pairs. The oracle rebuilds the
+    // hash arithmetically from the synthetic raster formula, so the whole
+    // decode→hash→band→join path is value-checked.
+    "mm_dhash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val assets = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          Multimodal.Asset(id, "image", Multimodal.syntheticPngRich(id))))
+        .toDF()
+      Multimodal.dhashNearDup(
+        Multimodal.decodeDHash(s, assets).toDF(), 3)
+        .orderBy("id_a", "id_b")
     }),
 
     // ---- ingestion / warehouse plumbing, end-to-end ----
@@ -3911,6 +3946,48 @@ object SparkEntry {
          |    (CAST(n_terms AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini
          |FROM v CROSS JOIN tot GROUP BY n_terms, total""".stripMargin,
 
+    // PII scan: len(regexp_extract_all) is Spark's
+    // size(regexp_extract_all) — same RE dialect subset (classes,
+    // bounded repeats), zero matches is the honest report on this corpus.
+    "text_pii_scan" ->
+      """SELECT source, count(*) AS n_rows,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+        |    AS n_email,
+        |  CAST(sum(CASE WHEN len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_email,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))) AS BIGINT)
+        |    AS n_ipv4,
+        |  CAST(sum(CASE WHEN len(regexp_extract_all(text,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_ipv4,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '\+?[0-9][0-9() -]{6,}[0-9]'))) AS BIGINT) AS n_phone,
+        |  CAST(sum(CASE WHEN len(regexp_extract_all(text,
+        |    '\+?[0-9][0-9() -]{6,}[0-9]')) > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rows_phone,
+        |  CAST(sum(len(regexp_extract_all(text, '[0-9]{4,}'))) AS BIGINT)
+        |    AS n_digitrun,
+        |  CAST(sum(CASE WHEN len(regexp_extract_all(text, '[0-9]{4,}')) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_digitrun
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Pattern scan over JSON props — nonzero counts prove the match
+    // path the PII report exercises with zeros.
+    "text_pattern_scan" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+        |    AS n_number,
+        |  CAST(sum(CASE WHEN len(regexp_extract_all(props, '[0-9]+')) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_number,
+        |  CAST(sum(len(regexp_extract_all(props, '"[a-z]+"'))) AS BIGINT)
+        |    AS n_qkey,
+        |  CAST(sum(CASE WHEN len(regexp_extract_all(props, '"[a-z]+"')) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_qkey
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "text_encode" ->
       s"""WITH base AS ($docToks),
          |t AS (SELECT doc_id, unnest(toks) AS term,
@@ -5762,6 +5839,31 @@ object SparkEntry {
         |  CAST(8 * (1 + doc_id % 3) AS BIGINT) AS height,
         |  TRUE AS mean_err_le_2, TRUE AS max_err_le_8
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // dHash rebuilt arithmetically from the synthetic raster formula
+    // (pixel i = (id·31+i) mod 256, nearest-neighbor 8×8 grid, integer
+    // division //), then brute-force Hamming over all pairs — the exact
+    // answer the banded join must reproduce with guaranteed recall.
+    "mm_dhash_neardup" ->
+      """WITH d AS (SELECT doc_id AS id, 16 + doc_id % 16 AS w,
+        |        16 + doc_id % 8 AS h FROM documents),
+        |g AS (SELECT id,
+        |        (id * 31 + 7 * (((r.r * h) // 8) * w + (c.c * w) // 8)
+        |          * (((r.r * h) // 8) * w + (c.c * w) // 8)) % 256 AS p0,
+        |        (id * 31 + 7 * (((r.r * h) // 8) * w + ((c.c + 1) * w) // 8)
+        |          * (((r.r * h) // 8) * w + ((c.c + 1) * w) // 8)) % 256
+        |          AS p1,
+        |        r.r * 7 + c.c AS bit
+        |      FROM d CROSS JOIN range(8) r(r) CROSS JOIN range(7) c(c)),
+        |hh AS (SELECT id, CAST(sum(CASE WHEN p0 > p1
+        |          THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT)
+        |          AS dhash
+        |      FROM g GROUP BY 1),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+        |        CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+        |      FROM hh a JOIN hh b ON a.id < b.id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "merge_upsert" ->
       """SELECT user_id, ts, event_id, value FROM (

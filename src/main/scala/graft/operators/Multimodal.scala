@@ -87,6 +87,16 @@ object Multimodal {
     * `mm_decode_png` be DuckDB-oracle-checked down to the integer sum.
     */
   def decodeImage(a: Asset): Option[DecodedAsset] =
+    readRaster(a).map { case (codec, w, h, vals) =>
+      DecodedAsset(a.asset_id, a.kind, a.payload.length, w, h,
+        windowedMeans(vals), vals.foldLeft(0L)(_ + _), codec)
+    }
+
+  /** The shared codec front door: (format name, width, height, band-0
+    * raster row-major) for any container an installed ImageIO reader
+    * recognizes, None otherwise.
+    */
+  private def readRaster(a: Asset): Option[(String, Int, Int, Array[Int])] =
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(a.payload))
@@ -107,8 +117,7 @@ object Multimodal {
             while (x < w) { vals(y * w + x) = raster.getSample(x, y, 0); x += 1 }
             y += 1
           }
-          Some(DecodedAsset(a.asset_id, a.kind, a.payload.length, w, h,
-            windowedMeans(vals), vals.foldLeft(0L)(_ + _), codec))
+          Some((codec, w, h, vals))
         } finally reader.dispose()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -145,6 +154,35 @@ object Multimodal {
       var x = 0
       while (x < w) {
         raster.setSample(x, y, 0, ((id * 31 + i) % 256).toInt)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Richer deterministic grayscale PNG for the perceptual-hash fixture:
+    * 16–31 × 16–23 px, sample i = (id·31 + 7·i²) mod 256 — the quadratic
+    * term gives every image real texture (dHash bits actually vary), and
+    * ids congruent mod 256 with matching dimensions produce EXACT
+    * duplicate images (lcm of the size periods divides 256), so the
+    * corpus contains a sparse, known family of true near-dups instead of
+    * [[syntheticPng]]'s tiny monotone ramps where everything collides.
+    */
+  def syntheticPngRich(id: Long): Array[Byte] = {
+    val w = 16 + (id % 16).toInt
+    val h = 16 + (id % 8).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((id * 31 + 7L * i * i) % 256).toInt)
         i += 1; x += 1
       }
       y += 1
@@ -292,4 +330,89 @@ object Multimodal {
       md5(col("payload")).as("checksum"),
       (ascii(substring(col("payload").cast("string"), 1, 1)) * 256 +
         ascii(substring(col("payload").cast("string"), 2, 1))).as("header_code"))
+
+  final case class HashedAsset(asset_id: Long, width: Int, height: Int,
+                               dhash: Long)
+
+  /** 56-bit difference hash over an 8×8 nearest-neighbor grid of the
+    * band-0 raster: bit (r·7+c) is set iff grid(r,c) > grid(r,c+1) —
+    * the classic perceptual dHash (Krawetz), integer-exact so the same
+    * value falls out of any lossless decode of the same image on any
+    * engine. Grid index math is plain integer division
+    * (gy = r·h/8, gx = c·w/8), reproducible in ANSI SQL.
+    */
+  def dHash56(vals: Array[Int], w: Int, h: Int): Long = {
+    if (w <= 0 || h <= 0 || vals.length < w * h) return 0L
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      val gy = r * h / 8
+      var c = 0
+      while (c < 7) {
+        val p0 = vals(gy * w + c * w / 8)
+        val p1 = vals(gy * w + (c + 1) * w / 8)
+        if (p0 > p1) hash |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Decode + perceptual-hash in one narrow pass: real ImageIO raster
+    * when the container is recognized, payload bytes as the fake raster
+    * on the stub path (same fallback contract as [[decodeAsset]]).
+    * Output (asset_id, width, height, dhash) — 12 bytes of signal per
+    * image; the raw payload dies inside the partition, which is the
+    * whole point at 100 TB.
+    */
+  def decodeDHash(spark: SparkSession, assets: DataFrame): Dataset[HashedAsset] = {
+    import spark.implicits._
+    assets.as[Asset].mapPartitions(_.map { a =>
+      readRaster(a) match {
+        case Some((_, w, h, vals)) =>
+          HashedAsset(a.asset_id, w, h, dHash56(vals, w, h))
+        case None =>
+          val vals = a.payload.map(_ & 0xFF)
+          val s = decodeStub(a)
+          HashedAsset(a.asset_id, s.width, s.height,
+            dHash56(vals, vals.length, 1))
+      }
+    })
+  }
+
+  /** Exact Hamming-≤-`maxHamming` image near-duplicate pairs over dHash
+    * values via band blocking: the 56-bit hash splits into four 14-bit
+    * bands; any pair within Hamming distance 3 must agree EXACTLY on at
+    * least one band (pigeonhole: 3 differing bits can't touch 4 bands),
+    * so the band-keyed equi-self-join has guaranteed recall — no
+    * all-pairs product anywhere, the same banding argument as
+    * MinHash-LSH but exact rather than probabilistic.
+    *
+    * Scale shape: 4 rows per image into one hash-partitioned self-join
+    * on (band, value); candidate dedup + popcount filter after. Skewed
+    * buckets (e.g. the all-zero hash of blank images) are real-corpus
+    * hotspots — cap or salt them upstream if a corpus has millions of
+    * identical blanks.
+    */
+  def dhashNearDup(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band blocking is exact only for maxHamming <= 3, got $maxHamming")
+    val bands = hashes.select(col("asset_id"), col("dhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("dhash"), i * 14).bitwiseAND(lit(0x3FFFL))
+            .as("bval"))): _*)).as("b"))
+      .select(col("asset_id"), col("dhash"),
+        col("b.band").as("band"), col("b.bval").as("bval"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

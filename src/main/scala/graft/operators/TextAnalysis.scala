@@ -1363,6 +1363,28 @@ object TextAnalysis {
     * rounded division. Cost: the vocabulary pass plus a single-row
     * reduce.
     */
+  /** Per-group regex-pattern scan report (the PII-audit shape: emails,
+    * phone numbers, IP addresses — any leak-detection pattern list): for
+    * each group, the row count plus, per pattern, the total match count
+    * and how many rows matched at least once. ONE conditional-aggregation
+    * pass over the corpus — all patterns evaluate per row inside the same
+    * projection, so N patterns never mean N scans; output cardinality is
+    * the group count. Patterns must stay in the regex dialect both
+    * engines share (character classes, bounded repeats — no lookaround).
+    */
+  def patternScan(df: DataFrame, textCol: String, groupCol: String,
+                  patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    val aggs = patterns.flatMap { case (name, re) =>
+      val cnt = size(regexp_extract_all(col(textCol), lit(re), lit(0)))
+        .cast("long")
+      Seq(sum(cnt).as(s"n_$name"),
+        sum(when(cnt > 0L, 1L).otherwise(0L)).as(s"rows_$name"))
+    }
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
   def giniConcentration(docs: DataFrame, maxVocab: Int = 200,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {

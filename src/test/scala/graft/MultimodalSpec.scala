@@ -130,4 +130,52 @@ class MultimodalSpec extends SparkSpec {
       java.security.MessageDigest.getInstance("MD5").digest("AB".getBytes())
         .map("%02x".format(_)).mkString)
   }
+
+  test("dHash56: hand-computed bits, flat image hashes to zero") {
+    // flat image: no strict descents -> 0
+    assert(Multimodal.dHash56(Array.fill(64)(7), 8, 8) == 0L)
+    // 8x8 strictly decreasing row: every g(r,c) > g(r,c+1) -> all 56 bits
+    val desc = Array.tabulate(64)(i => 63 - (i % 8))
+    assert(Multimodal.dHash56(desc, 8, 8) == (1L << 56) - 1)
+    // first column brighter: every row descends once at c=0 -> bit r*7
+    val one = Array.tabulate(64)(i => if (i % 8 == 0) 1 else 0)
+    assert(Multimodal.dHash56(one, 8, 8) ==
+      (0 until 8).map(r => 1L << (r * 7)).sum)
+  }
+
+  test("dHash56 is invariant under lossless re-encode (PNG round trip)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val assets = (0L to 20L).toDS()
+      .map(id => Multimodal.Asset(id, "image", Multimodal.syntheticPngRich(id)))
+      .toDF()
+    val hashed = Multimodal.decodeDHash(spark, assets).collect()
+    // recompute from the formula: decode path must agree exactly
+    hashed.foreach { h =>
+      val w = 16 + (h.asset_id % 16).toInt
+      val hh = 16 + (h.asset_id % 8).toInt
+      val vals = Array.tabulate(w * hh)(i =>
+        ((h.asset_id * 31 + 7L * i.toLong * i) % 256).toInt)
+      assert((h.width, h.height) == (w, hh))
+      assert(h.dhash == Multimodal.dHash56(vals, w, hh), s"id ${h.asset_id}")
+    }
+  }
+
+  test("dhashNearDup: banded join finds exactly the brute-force pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val hashes = Seq(
+      (1L, 5, 5, 0x0L),                       // empty hash
+      (2L, 5, 5, 0x3L),                       // bits {0,1}
+      (3L, 5, 5, 0xFL),                       // bits {0,1,2,3}
+      (4L, 5, 5, 0x3L),                       // exact dup of id2
+      (5L, 5, 5, (0x1L << 55) | 0x1L))        // bits {0,55} - spans bands
+      .toDF("asset_id", "width", "height", "dhash")
+    val out = Multimodal.dhashNearDup(hashes, 3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // brute force: all pairs with popcount(xor) <= 3; (1,3)/(3,5) are 4
+    assert(out.toSeq == Seq((1L, 2L, 2), (1L, 4L, 2), (1L, 5L, 2),
+      (2L, 3L, 2), (2L, 4L, 0), (2L, 5L, 2), (3L, 4L, 2), (4L, 5L, 2)))
+  }
 }

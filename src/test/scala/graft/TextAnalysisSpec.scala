@@ -648,4 +648,21 @@ class TextAnalysisSpec extends SparkSpec {
     val g1 = TextAnalysis.giniConcentration(skew, 200).collect().head
     assert((g1.getLong(0), g1.getLong(1), g1.getDouble(2)) == (2L, 4L, 0.25))
   }
+
+  test("patternScan: per-group totals and row counts in one pass") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      ("a", "mail me at x@y.com or z@w.org code 12345"),
+      ("a", "no pii here"),
+      ("b", "one 9876 two 54321")).toDF("src", "body")
+    val out = TextAnalysis.patternScan(df, "body", "src", Seq(
+        "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "digitrun" -> "[0-9]{4,}"))
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("a", 2L, 2L, 1L, 1L, 1L),   // 2 emails in 1 row; 1 digit run
+      ("b", 1L, 0L, 0L, 2L, 1L)))  // 2 digit runs in 1 row
+  }
 }
