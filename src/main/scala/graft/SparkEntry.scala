@@ -1625,6 +1625,48 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 === 1))
     }),
 
+    // Watermark late-data cost report: replay under a pseudo-shuffled
+    // arrival order (Knuth-hash of event_id — bijective mod 2^31, so
+    // the replay is deterministic and tie-free) and count what a
+    // ONE-WEEK watermark would drop: events from the corpus' last week
+    // survive, older ones are the quantified loss.
+    "stream_late_events" -> ((s, dir) =>
+      StreamingJobs.lateEvents(
+        T(s, dir, "events").withColumn("arr",
+          Fns.pmod(Fns.pmod(col("event_id"), lit(2147483648L)) *
+            lit(2654435761L), lit(2147483648L))),
+        delaySeconds = 604800L)
+        .orderBy("event_type")),
+
+    // HLL set algebra between two event-id cohorts with KNOWN overlap
+    // (last digit < 6 vs >= 4: |A|=|B|=0.6N, |A∩B|=0.2N, Jaccard 0.2):
+    // union by register-max merge, intersection by inclusion–exclusion
+    // — set overlap answered without materializing either key set, and
+    // the known ground truth prices the sketch error on sight
+    // (inclusion–exclusion amplifies the per-sketch ±3% — that
+    // amplification is exactly what the card should show).
+    "sketch_hll_setops" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      Sketch.hllSetOps(
+        e.filter(Fns.pmod(col("event_id"), lit(10L)) < 6),
+        e.filter(Fns.pmod(col("event_id"), lit(10L)) >= 4), "event_id", 10)
+    }),
+
+    // PQ codebook-quality card: per subspace, codes used + mean/max
+    // assignment distortion over the emb_pq code table.
+    "emb_pq_distortion" -> ((s, dir) =>
+      operators.Similarity.pqDistortion(
+        operators.Similarity.productQuantize(T(s, dir, "embeddings"), 16, 4))
+        .orderBy("subspace")),
+
+    // Per-event-type mean global quantile of `value` (midrank ECDF, the
+    // quantile-normalization substrate) — stochastic-dominance-at-a-
+    // glance across groups.
+    "dq_quantile_score" -> ((s, dir) =>
+      operators.DataQuality.quantileScoreByGroup(T(s, dir, "events"),
+        "value", "event_type")
+        .orderBy("event_type")),
+
     // Vocabulary-size coverage curve (10/20/30 terms) — the OOV-rate
     // stat behind tokenizer sizing.
     "text_vocab_coverage" -> ((s, dir) =>
@@ -3974,6 +4016,92 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_digitrun
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Late-data accounting: the sf-scale oracle collapses the two-level
+    // prefix max to ONE global strictly-before window over the
+    // hash-shuffled arrival key (a bijection on Z_2^31 — odd multiplier
+    // — so arrival order is total and tie-free on both engines);
+    // epoch-micros BIGINTs throughout, nothing floats.
+    "stream_late_events" ->
+      """WITH e AS (SELECT ((event_id % 2147483648) * 2654435761)
+        |          % 2147483648 AS arr,
+        |        epoch_us(ts) AS t, event_type AS etype FROM events),
+        |w AS (SELECT etype, t,
+        |        max(t) OVER (ORDER BY arr ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND 1 PRECEDING) AS pm
+        |      FROM e)
+        |SELECT etype AS event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN pm IS NOT NULL AND t < pm - 604800000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  max(CASE WHEN pm IS NOT NULL AND t < pm - 604800000000
+        |    THEN pm - 604800000000 - t END) AS max_late_us
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // HLL set ops: the sketch_hll register/estimator chain instantiated
+    // per side (click / purchase) on user_id, union = register-wise max,
+    // inclusion–exclusion on the three 4-dp estimates.
+    "sketch_hll_setops" -> {
+      val m = 1024
+      val wBits = 22
+      val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+      val rhoCase = (1 to wBits).map(j =>
+        s"WHEN w % ${1L << j} = ${1L << (j - 1)} THEN $j").mkString(" ")
+      def reg(nm: String, cond: String) =
+        s"""${nm}_h1 AS (SELECT ((event_id % 2147483648) * 2654435761)
+           |    % 4294967296 AS h1 FROM events WHERE $cond),
+           |${nm}_h2 AS (SELECT (xor(h1, h1 >> 16) * 1597334677)
+           |    % 4294967296 AS h2 FROM ${nm}_h1),
+           |${nm}_h AS (SELECT xor(h2, h2 >> 16) AS h FROM ${nm}_h2),
+           |${nm}_wb AS (SELECT h % $m AS bucket, h // $m AS w FROM ${nm}_h),
+           |${nm}_rho AS (SELECT bucket,
+           |    CASE WHEN w = 0 THEN ${wBits + 1} $rhoCase END AS rho
+           |    FROM ${nm}_wb),
+           |${nm}_reg AS (SELECT bucket, max(rho) AS max_rho
+           |    FROM ${nm}_rho GROUP BY bucket)""".stripMargin
+      def est(nm: String, src: String) =
+        s"""${nm}_agg AS (SELECT count(*) AS nonzero,
+           |    sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << max_rho)) AS s
+           |    FROM $src),
+           |${nm}_est AS (SELECT
+           |    round(CASE WHEN CAST('$alphaM2' AS DOUBLE)
+           |          / (s + ($m - nonzero)) <= ${2.5 * m} AND nonzero < $m
+           |      THEN $m * ln(CAST($m AS DOUBLE) / ($m - nonzero))
+           |      ELSE CAST('$alphaM2' AS DOUBLE) / (s + ($m - nonzero)) END,
+           |      4) AS est FROM ${nm}_agg)""".stripMargin
+      s"""WITH ${reg("a", "event_id % 10 < 6")},
+         |${reg("b", "event_id % 10 >= 4")},
+         |u_reg AS (SELECT bucket, max(max_rho) AS max_rho FROM (
+         |    SELECT * FROM a_reg UNION ALL SELECT * FROM b_reg)
+         |    GROUP BY bucket),
+         |${est("a", "a_reg")},
+         |${est("b", "b_reg")},
+         |${est("u", "u_reg")}
+         |SELECT a_est.est AS est_a, b_est.est AS est_b,
+         |  u_est.est AS est_union,
+         |  round(greatest(a_est.est + b_est.est - u_est.est, 0.0), 4)
+         |    AS est_intersection,
+         |  round(greatest(a_est.est + b_est.est - u_est.est, 0.0)
+         |    / u_est.est, 4) AS jaccard_est
+         |FROM a_est CROSS JOIN b_est CROSS JOIN u_est""".stripMargin
+    },
+
+    // Quantile-position score: one global strictly-before window over
+    // distinct values stands in for the Spark side's two-level prefix
+    // sum; midranks are exact .5-grain doubles.
+    "dq_quantile_score" ->
+      """WITH r AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+        |      FROM events WHERE value IS NOT NULL),
+        |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM byv),
+        |rk AS (SELECT v, round((CAST(coalesce(sum(c) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS DOUBLE) + CAST(c + 1 AS DOUBLE) / 2.0)
+        |        / CAST(n AS DOUBLE), 6) AS q
+        |      FROM byv CROSS JOIN tot)
+        |SELECT grp AS event_type, count(*) AS n_rows,
+        |  round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |    AS mean_quantile
+        |FROM r JOIN rk USING (v) GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Pattern scan over JSON props — nonzero counts prove the match
     // path the PII report exercises with zeros.
     "text_pattern_scan" ->
@@ -4411,6 +4539,35 @@ object SparkEntry {
          |SELECT vec_id, sub AS subspace, cid AS code,
          |  round(CAST(d2 AS DOUBLE), 6) AS distortion
          |FROM r WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+
+    // The emb_pq chain with a per-subspace codebook-quality aggregate on
+    // top — distortions 6-dp-quantized before the DECIMAL mean.
+    "emb_pq_distortion" ->
+      s"""WITH e AS ($embCte),
+         |f AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+         |        unnest(v) AS x FROM e),
+         |ff AS (SELECT vec_id, dim,
+         |        CAST(floor((dim - 1) / 16) AS BIGINT) AS sub, x FROM f),
+         |seeds AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4),
+         |cent AS (SELECT ff.vec_id AS cid, ff.dim, ff.x AS c
+         |      FROM ff JOIN seeds USING (vec_id)),
+         |d AS (SELECT ff.vec_id, ff.sub, cent.cid,
+         |        sum(CAST(round((ff.x - cent.c) * (ff.x - cent.c), 6)
+         |          AS DECIMAL(18,6))) AS d2
+         |      FROM ff JOIN cent USING (dim) GROUP BY 1, 2, 3),
+         |r AS (SELECT vec_id, sub, cid, d2,
+         |        row_number() OVER (PARTITION BY vec_id, sub
+         |          ORDER BY d2, cid) AS rn
+         |      FROM d),
+         |pq AS (SELECT vec_id, sub, cid,
+         |        round(CAST(d2 AS DOUBLE), 6) AS distortion
+         |      FROM r WHERE rn = 1)
+         |SELECT sub AS subspace, count(*) AS n,
+         |  count(DISTINCT cid) AS codes_used,
+         |  round(CAST(sum(CAST(distortion AS DECIMAL(28,6))) AS DOUBLE)
+         |    / count(*), 6) AS mean_distortion,
+         |  max(distortion) AS max_distortion
+         |FROM pq GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // ADC top-k mirror: the emb_pq code chain, a (query, subspace, code)
     // distance table from the same sub-centroids, code-joined sums,

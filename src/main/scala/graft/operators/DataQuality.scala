@@ -524,6 +524,55 @@ object DataQuality {
           .as("pos_rate"))
   }
 
+  /** Per-group quantile-position score: every row's value maps to its
+    * midrank quantile in the GLOBAL distribution (ties get the average
+    * rank, the quantile-normalization convention), then each group
+    * reports its row count and mean global quantile — 0.5 means the
+    * group sits where the corpus sits; a source whose scores
+    * stochastically dominate the rest reads directly as mean > 0.5.
+    * The one-number-per-source version of a per-source-vs-rest
+    * Mann–Whitney sweep.
+    *
+    * Scale shape: grouped distinct-value counts (cardinality = distinct
+    * values), midranks via the same two-level bucketed prefix sum as
+    * [[ksTest]] (no global window), one value-keyed join back, one
+    * group-keyed DECIMAL mean. Midranks are exact .5-grain doubles; the
+    * quantile is one rounded IEEE division.
+    */
+  def quantileScoreByGroup(df: DataFrame, valueCol: String, groupCol: String,
+                           buckets: Int = 32): DataFrame = {
+    val rows = df.select(col(groupCol).as("grp"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val byV = rows.groupBy("v").agg(count(lit(1)).as("c"))
+    val bounds = byV.agg(min("v").as("lo"), max("v").as("hi"),
+      sum("c").as("n"))
+    val bucketed = byV.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(greatest(floor((col("v") - col("lo")) /
+            ((col("hi") - col("lo")) / buckets)), lit(0)), lit(buckets - 1)))
+          .cast("int"))
+    val wOff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bucket").agg(sum("c").as("bc"))
+      .select(col("bucket"),
+        coalesce(sum("bc").over(wOff), lit(0L)).as("off"))
+    val wIn = Window.partitionBy("bucket").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("cum_excl", coalesce(sum("c").over(wIn), lit(0L)) + col("off"))
+      .select(col("v"),
+        round((col("cum_excl").cast("double") +
+          (col("c") + 1L).cast("double") / 2.0) / col("n").cast("double"), 6)
+          .as("q"))
+    rows.join(ranks, "v")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("q").cast("decimal(18,6)")).as("s"))
+      .select(col("grp").as(groupCol), col("n_rows"),
+        round(col("s").cast("double") / col("n_rows"), 6).as("mean_quantile"))
+  }
+
   /** Mutual information (nats) between two categorical columns, with the
     * marginal entropies and the normalized MI `mi/sqrt(h_a·h_b)` — the
     * dependence measure that, unlike [[association]]'s chi², reads

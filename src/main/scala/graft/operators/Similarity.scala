@@ -528,6 +528,25 @@ object Similarity {
         round(col("d2").cast("double"), 6).as("distortion"))
   }
 
+  /** Codebook-quality report over [[productQuantize]] output: per
+    * subspace, the vector count, how many of the k codes are actually
+    * used, and the mean/max assignment distortion — the
+    * reconstruction-error card that says whether a PQ codebook is fit
+    * to serve ADC queries (one dominant code per subspace = dead
+    * codebook; see ADVICE on the deterministic seed convention). One
+    * hash aggregate on the subspace key; distortions are already
+    * 6-dp-quantized upstream, summed as DECIMAL.
+    */
+  def pqDistortion(pq: DataFrame): DataFrame =
+    pq.groupBy("subspace")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("code")).as("codes_used"),
+        sum(col("distortion").cast("decimal(28,6)")).as("s"),
+        max(col("distortion")).as("max_distortion"))
+      .select(col("subspace"), col("n"), col("codes_used"),
+        round(col("s").cast("double") / col("n"), 6).as("mean_distortion"),
+        col("max_distortion"))
+
   /** Per-cluster distance-percentile outlier gate on the embedding
     * corpus — the embedding-space face of the per-source quality gate:
     * vectors far from their own coarse centroid (top `1−p` tail WITHIN

@@ -311,4 +311,28 @@ object Sketch {
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max(col("max_rho")).as("max_rho"))
   }
+
+  /** Sketch-space set algebra: |A|, |B|, |A∪B| (register-wise max merge
+    * — HLL union is EXACT in sketch space), then |A∩B| by
+    * inclusion–exclusion and the Jaccard estimate — how
+    * audience-overlap / corpus-overlap questions get answered at 100 TB
+    * without ever materializing either key set. Each estimate is one
+    * m-register aggregate; the three single-row results broadcast into
+    * one output row. The intersection clamps at 0 (inclusion–exclusion
+    * on noisy estimates can dip negative).
+    */
+  def hllSetOps(a: DataFrame, b: DataFrame, keyCol: String, bBits: Int): DataFrame = {
+    val ra = hllRegisters(a, keyCol, bBits)
+    val rb = hllRegisters(b, keyCol, bBits)
+    val ru = hllMerge(Nil, ra, rb)
+    def est(r: DataFrame, nm: String) =
+      hllEstimate(r, bBits).select(col("est").as(nm))
+    val inter =
+      greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0))
+    est(ra, "est_a").crossJoin(broadcast(est(rb, "est_b")))
+      .crossJoin(broadcast(est(ru, "est_union")))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        round(inter, 4).as("est_intersection"),
+        round(try_divide(inter, col("est_union")), 4).as("jaccard_est"))
+  }
 }

@@ -105,4 +105,53 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n_events"))
       .select(col(userCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Watermark late-data accounting, batch face: replay the corpus in
+    * `arrivalCol` order and count, per event type, the rows a streaming
+    * job with `withWatermark(delay)` would have DROPPED — event time
+    * below (max event time over all STRICTLY EARLIER arrivals) − delay.
+    * The report every watermark choice should be costed against before
+    * a stream ships (too tight = silent data loss, this is that loss,
+    * quantified).
+    *
+    * Scale shape: the running maximum never uses a global window —
+    * arrivals are range-bucketed by the integer formula
+    * `(arr − lo)·B / (hi − lo + 1)` (broadcast min/max scalars), the
+    * per-bucket prefix max runs partitioned, and cross-bucket carry-in
+    * comes from the ≤B-row bucket-total table (tiny-spine window, the
+    * PSI exception) broadcast back. Event times compare as exact
+    * epoch-micros BIGINTs — nothing floats.
+    */
+  def lateEvents(events: DataFrame, delaySeconds: Long = 3600L,
+                 buckets: Int = 32, arrivalCol: String = "arr",
+                 tsCol: String = "ts",
+                 typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val delayUs = delaySeconds * 1000000L
+    val e = events.select(col(arrivalCol).cast("long").as("arr"),
+      unix_micros(col(tsCol)).as("t"), col(typeCol).as("etype"))
+    val bounds = e.agg(min("arr").as("lo"), max("arr").as("hi"))
+    val b = e.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        ((col("arr") - col("lo")) * buckets / (col("hi") - col("lo") + 1L))
+          .cast("int"))
+    val wOff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy("bucket").agg(max("t").as("bmax"))
+      .select(col("bucket"), max("bmax").over(wOff).as("carry"))
+    val wIn = Window.partitionBy("bucket").orderBy("arr")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(offsets), "bucket")
+      .withColumn("prev_max",
+        greatest(coalesce(max("t").over(wIn), lit(Long.MinValue)),
+          coalesce(col("carry"), lit(Long.MinValue))))
+      .withColumn("late",
+        col("prev_max") =!= Long.MinValue &&
+          col("t") < col("prev_max") - delayUs)
+      .groupBy(col("etype").as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        max(when(col("late"), col("prev_max") - delayUs - col("t")))
+          .as("max_late_us"))
+  }
 }

@@ -245,6 +245,22 @@ class DataQualitySpec extends SparkSpec {
       (9, 2L, 2L, 1.0)))
   }
 
+  test("quantileScoreByGroup: midrank quantiles, ties averaged") {
+    // values 1,2 (group a), 3,4 (group b): quantiles .25/.5/.75/1
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val out = DataQuality.quantileScoreByGroup(df, "v", "g")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("a", 2L, 0.375), ("b", 2L, 0.875)))
+    // ties: {1,1,2} -> midrank(1) = 1.5 -> q 0.5; midrank(2) = 3 -> q 1
+    val ties = Seq(("a", 1.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    val t = DataQuality.quantileScoreByGroup(ties, "v", "g")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    assert(t.toSeq == Seq(("a", 0.5), ("b", 0.75)))
+  }
+
   test("mutualInfo: independence -> 0; identity -> h_a and nmi = 1") {
     // independent 2x2 uniform: MI = 0
     val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))

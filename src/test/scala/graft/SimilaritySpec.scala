@@ -436,4 +436,18 @@ class SimilaritySpec extends SparkSpec {
       (0L, 1L, 1.0), (0L, 3L, 0.6),
       (1L, 0L, 1.0), (1L, 3L, 0.6)))
   }
+
+  test("pqDistortion: per-subspace codebook card from a code table") {
+    val pq = Seq(
+      (1L, 0L, 10L, 1.5), (2L, 0L, 10L, 2.5), (3L, 0L, 20L, 3.0),
+      (1L, 1L, 10L, 0.0), (2L, 1L, 10L, 0.0), (3L, 1L, 10L, 0.0))
+      .toDF("vec_id", "subspace", "code", "distortion")
+    val out = Similarity.pqDistortion(pq).orderBy("subspace").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 2L, 2.333333, 3.0),   // mean round((1.5+2.5+3)/3, 6)
+      (1L, 3L, 1L, 0.0, 0.0)))       // one dominant code -> codes_used 1
+  }
+
 }

@@ -188,4 +188,17 @@ class SketchSpec extends SparkSpec {
       .head().getAs[Double]("est")
     assert(estMerged == estAll)
   }
+
+  test("hllSetOps: identical sets give jaccard 1, disjoint sets near 0") {
+    val a = (1L to 4000L).toDF("id")
+    val same = Sketch.hllSetOps(a, a, "id", 10).collect().head
+    assert(same.getDouble(0) == same.getDouble(2))   // est_a == est_union
+    assert(same.getDouble(4) == 1.0)                 // jaccard exactly 1
+    val b = (100001L to 104000L).toDF("id")
+    val disj = Sketch.hllSetOps(a, b, "id", 10).collect().head
+    // union of disjoint sets: near est_a + est_b; jaccard near 0
+    assert(disj.getDouble(4) < 0.1, s"jaccard ${disj.getDouble(4)}")
+    assert(math.abs(disj.getDouble(2) - 8000.0) / 8000.0 < 0.15)
+  }
+
 }

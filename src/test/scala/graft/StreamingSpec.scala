@@ -329,4 +329,30 @@ class StreamingSpec extends SparkSpec {
     assert(got == oneShot)
     assert(got.map(_._1) == Seq("a", "b", "c") && got.head._2 == 4.75)
   }
+
+  test("lateEvents: hand-computed watermark drops, bucket-invariant") {
+    val rows = Seq(
+      (1L, 100L, "a"), (2L, 200L, "a"), (3L, 50L, "a"),
+      (4L, 195L, "b"), (5L, 189L, "b"))
+      .toDF("arr", "sec", "event_type")
+      .select(col("arr"), to_timestamp(col("sec")).as("ts"), col("event_type"))
+    // delay 10s: arr3 sees prev_max 200 -> wm 190 -> 50 late by 140s;
+    // arr4 (195 >= 190) on time; arr5 (189 < 190) late by 1s
+    def run(b: Int) = StreamingJobs.lateEvents(rows, delaySeconds = 10L,
+        buckets = b).orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = Seq(("a", 3L, 1L, 140000000L), ("b", 2L, 1L, 1000000L))
+    assert(run(1).toSeq == expect)
+    assert(run(8).toSeq == expect)   // two-level split changes nothing
+  }
+
+  test("lateEvents: in-order replay reports zero late rows") {
+    val rows = Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "a"))
+      .toDF("arr", "sec", "event_type")
+      .select(col("arr"), to_timestamp(col("sec")).as("ts"), col("event_type"))
+    val r = StreamingJobs.lateEvents(rows, delaySeconds = 1L).collect().head
+    assert((r.getLong(1), r.getLong(2)) == (3L, 0L))
+    assert(r.isNullAt(3)) // no late rows -> max lateness NULL
+  }
+
 }
