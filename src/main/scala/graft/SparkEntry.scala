@@ -1336,6 +1336,35 @@ object SparkEntry {
       operators.Graph.bfsHops(edges, seeds, 3).orderBy("node")
     }),
 
+    // Truncated 3-core (3 pruning rounds) of the co-purchase graph —
+    // densest-region extraction; threshold-only pruning, no tie-breaks.
+    "graph_kcore" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      operators.Graph.kCore(edges, 3, 3).orderBy("node")
+    }),
+
+    // Common-neighbor Jaccard ≥ 0.25 over the co-purchase graph — the
+    // item-item collaborative-filtering similarity (wedge-join bounded,
+    // never |V|²).
+    "graph_node_jaccard" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      operators.Graph.nodeJaccard(edges, 0.25).orderBy("x", "y")
+    }),
+
     // Two synchronous majority-vote LPA rounds over the co-purchase
     // graph, seeded with label = node % 3, ties -> smallest label.
     "graph_label_prop" -> ((s, dir) => {
@@ -2301,6 +2330,15 @@ object SparkEntry {
           T(s, dir, "events").filter(col("user_id") < 100),
           "user_id", "ts", "value")
         .orderBy("user_id", "bucket")),
+
+    // LTTB-style visual downsample (mean-anchor parallel variant): per
+    // event type, the 16 most shape-preserving points — the perceptual
+    // counterpart of ts_m4's error-free min/max envelope.
+    "ts_lttb" -> ((s, dir) =>
+      operators.TimeSeries.lttbDownsample(T(s, dir, "events"),
+          "event_type", "ts", "value", 16)
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type", "bucket")),
 
     // CHAINED time-series pipeline — the composition the family is
     // actually consumed as (every solo oracle checks one link; this one
@@ -5635,6 +5673,53 @@ object SparkEntry {
         |  round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cosine,
         |  round(sqrt(d2), 6) AS l2 FROM agg""".stripMargin,
 
+    // k-core: three unrolled pruning rounds — degree within the
+    // surviving subgraph via two semijoins, threshold filter, repeat.
+    "graph_kcore" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+        |      FROM lineitem),
+        |e AS (SELECT l.pt AS src, r.pt AS dst, count(*) AS c
+        |      FROM it l JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT src AS u, dst AS v FROM e
+        |      UNION SELECT dst, src FROM e),
+        |n0 AS (SELECT DISTINCT u AS node FROM und),
+        |d1 AS (SELECT und.u AS node, count(*) AS degree FROM und
+        |      JOIN n0 a ON a.node = und.u JOIN n0 b ON b.node = und.v
+        |      GROUP BY 1),
+        |s1 AS (SELECT node FROM d1 WHERE degree >= 3),
+        |d2 AS (SELECT und.u AS node, count(*) AS degree FROM und
+        |      JOIN s1 a ON a.node = und.u JOIN s1 b ON b.node = und.v
+        |      GROUP BY 1),
+        |s2 AS (SELECT node FROM d2 WHERE degree >= 3),
+        |d3 AS (SELECT und.u AS node, count(*) AS degree FROM und
+        |      JOIN s2 a ON a.node = und.u JOIN s2 b ON b.node = und.v
+        |      GROUP BY 1)
+        |SELECT node, degree FROM d3 WHERE degree >= 3
+        |ORDER BY node""".stripMargin,
+
+    // Node Jaccard: shared-neighbor wedge join (a.v = b.v, u-ordered),
+    // exact BIGINT counts, one rounded division.
+    "graph_node_jaccard" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+        |      FROM lineitem),
+        |e AS (SELECT l.pt AS src, r.pt AS dst, count(*) AS c
+        |      FROM it l JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT src AS u, dst AS v FROM e
+        |      UNION SELECT dst, src FROM e),
+        |deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY 1),
+        |cmn AS (SELECT a.u AS x, b.u AS y, count(*) AS common
+        |      FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+        |      GROUP BY 1, 2),
+        |j AS (SELECT x, y, common,
+        |        round(CAST(common AS DOUBLE)
+        |          / CAST(dx.deg + dy.deg - common AS DOUBLE), 6) AS jaccard
+        |      FROM cmn JOIN deg dx ON dx.node = x
+        |      JOIN deg dy ON dy.node = y)
+        |SELECT x, y, common, jaccard FROM j WHERE jaccard >= 0.25
+        |ORDER BY x, y""".stripMargin,
+
     // BFS: Bellman-Ford-shaped full-table relaxation per hop — same min
     // distance as the Spark side's frontier BFS (exact, not just
     // equivalent-in-the-limit: min over (d_k ∪ d_k-propagated) is the
@@ -6178,6 +6263,50 @@ object SparkEntry {
         |  max(CASE WHEN rd = 1 THEN value END) AS v_last
         |FROM r GROUP BY 1, 2
         |ORDER BY user_id, bucket""".stripMargin,
+
+    // LTTB mean-anchor variant: integer range bucketing on exact
+    // micros-from-min, 6-dp anchor means, the doubled-area expression
+    // transcribed operation-for-operation, argmax tie-broken
+    // (area DESC, dt ASC, id ASC); endpoint buckets keep first/last.
+    "ts_lttb" ->
+      """WITH e AS (SELECT event_type AS k, epoch_us(ts) AS t,
+        |        CAST(value AS DOUBLE) AS v, event_id AS id FROM events),
+        |bd AS (SELECT k, min(t) AS tmin, max(t) AS tmax FROM e GROUP BY 1),
+        |b AS (SELECT e.k, t, t - tmin AS dt, v, id,
+        |        CAST(((t - tmin) * 16) // (tmax - tmin + 1) AS INT) AS bucket
+        |      FROM e JOIN bd ON bd.k = e.k),
+        |an AS (SELECT k, bucket,
+        |        round(CAST(sum(dt) AS DOUBLE) / count(*), 6) AS mt,
+        |        round(CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6)))
+        |          AS DOUBLE) / count(*), 6) AS mv
+        |      FROM b GROUP BY 1, 2),
+        |wa AS (SELECT b.k, b.bucket, b.t, CAST(b.dt AS DOUBLE) AS dtd,
+        |        b.v, b.id,
+        |        coalesce(l.mt, o.mt) AS lt, coalesce(l.mv, o.mv) AS lv,
+        |        coalesce(r.mt, o.mt) AS rt, coalesce(r.mv, o.mv) AS rv
+        |      FROM b JOIN an o ON o.k = b.k AND o.bucket = b.bucket
+        |      LEFT JOIN an l ON l.k = b.k AND l.bucket = b.bucket - 1
+        |      LEFT JOIN an r ON r.k = b.k AND r.bucket = b.bucket + 1),
+        |ar AS (SELECT k, bucket, t, dtd, v, id,
+        |        round(abs((lt - rt) * (v - rv) - (lt - dtd) * (rv - lv)), 6)
+        |          AS area FROM wa),
+        |firstb AS (SELECT k, bucket, t, v FROM (
+        |      SELECT k, bucket, t, v, row_number() OVER (
+        |        PARTITION BY k, bucket ORDER BY dt, id) AS rn
+        |      FROM b WHERE bucket = 0) WHERE rn = 1),
+        |lastb AS (SELECT k, bucket, t, v FROM (
+        |      SELECT k, bucket, t, v, row_number() OVER (
+        |        PARTITION BY k, bucket ORDER BY dt DESC, id DESC) AS rn
+        |      FROM b WHERE bucket = 15) WHERE rn = 1),
+        |midb AS (SELECT k, bucket, t, v FROM (
+        |      SELECT k, bucket, t, v, row_number() OVER (
+        |        PARTITION BY k, bucket ORDER BY area DESC, dtd, id) AS rn
+        |      FROM ar WHERE bucket > 0 AND bucket < 15) WHERE rn = 1)
+        |SELECT k AS event_type, bucket, make_timestamp(t) AS ts,
+        |  v AS value
+        |FROM (SELECT * FROM firstb UNION ALL SELECT * FROM midb
+        |      UNION ALL SELECT * FROM lastb)
+        |ORDER BY event_type, bucket""".stripMargin,
 
     "ts_gapfill" ->
       """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS bucket, value

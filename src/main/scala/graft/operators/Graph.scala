@@ -321,6 +321,74 @@ object Graph {
     dist
   }
 
+  /** Truncated k-core decomposition: `rounds` synchronous pruning
+    * passes — drop every node whose degree within the SURVIVING subgraph
+    * is < k, recompute, repeat — converging toward the k-core (the
+    * maximal subgraph where everyone has ≥ k neighbors), the standard
+    * densest-region extractor before expensive per-community work.
+    * Bounded rounds keep the lazy plan shallow (like [[pageRank]]); a
+    * fixed-point caller loops with eager checkpoints exactly as the
+    * dedup cluster operators do. Output: surviving (node, degree), the
+    * degree measured in the final surviving subgraph.
+    *
+    * Per round: two node-keyed semijoins restrict the edge list, one
+    * degree aggregate — all hash-partitioned on node ids, nothing
+    * global, no tie-breaks anywhere (pruning is threshold-only, so the
+    * result is order-independent by construction).
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 3,
+            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+    var nodes = und.select(col("u").as("node")).distinct()
+    var deg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      deg = und
+        .join(nodes.select(col("node").as("u")), "u")
+        .join(nodes.select(col("node").as("v")), "v")
+        .groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+      nodes = deg.filter(col("degree") >= k).select("node")
+    }
+    deg.filter(col("degree") >= k)
+  }
+
+  /** Common-neighbor Jaccard similarity for every node pair sharing at
+    * least one neighbor — the item-item collaborative-filtering
+    * primitive (two parts are similar when the same baskets contain
+    * them). `minJaccard` prunes the long tail before output.
+    *
+    * Scale shape: pairs enumerate through the shared-neighbor wedge
+    * join (the [[triangleCounts]] cost class — bounded by wedge count,
+    * never |V|²), ordered u < v so each pair counts once; degrees come
+    * from one aggregate broadcast-joined back; Jaccard =
+    * common / (deg_u + deg_v − common) on exact BIGINTs, one rounded
+    * division.
+    */
+  def nodeJaccard(edges: DataFrame, minJaccard: Double = 0.0,
+                  srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(minJaccard >= 0.0 && minJaccard <= 1.0,
+      s"need minJaccard in [0,1], got $minJaccard")
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val common = und.as("a").join(und.as("b"),
+        col("a.v") === col("b.v") && col("a.u") < col("b.u"))
+      .groupBy(col("a.u").as("x"), col("b.u").as("y"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), "y")
+      .select(col("x"), col("y"), col("common"),
+        round(col("common").cast("double") /
+          (col("dx") + col("dy") - col("common")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Synchronous majority-vote label propagation (`rounds` rounds) over
     * the undirected edge view: every node adopts the most frequent label
     * among its neighbors (ties → smallest label; isolated nodes keep

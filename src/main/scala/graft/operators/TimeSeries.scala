@@ -526,4 +526,79 @@ object TimeSeries {
         min_by(col(valueCol), ord).as("v_first"),
         max_by(col(valueCol), ord).as("v_last"))
   }
+
+  /** LTTB-style visual downsampling (Steinarsson's
+    * Largest-Triangle-Three-Buckets), mean-anchor PARALLEL variant: the
+    * classic algorithm selects each bucket's point by triangle area
+    * against the PREVIOUSLY SELECTED point — an inherently sequential
+    * chain — so this operator anchors areas on the NEIGHBOR BUCKETS'
+    * MEAN points instead (the same approximation LTTB itself already
+    * makes on its right anchor). Every bucket's argmax is then
+    * independent → one grouped aggregate for anchors, one join, one
+    * per-bucket window; fully distributed, deterministic.
+    *
+    * Contract: first/last buckets keep their first/last point (LTTB
+    * endpoint rule); interior buckets keep the max-area point vs left /
+    * right neighbor mean anchors (a missing neighbor coalesces to the
+    * bucket's own mean — degenerate but deterministic); areas are the
+    * doubled triangle area (constant factor irrelevant to the argmax),
+    * 6-dp-rounded before the (area DESC, dt ASC, id ASC) tie-broken
+    * argmax. Time enters as exact micros-from-key-min, so both engines
+    * rank identical doubles.
+    */
+  def lttbDownsample(events: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, buckets: Int = 16,
+                     idCol: String = "event_id"): DataFrame = {
+    require(buckets >= 3, s"need buckets >= 3, got $buckets")
+    val e = events.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol)).as("t"),
+      col(valueCol).cast("double").as("v"), col(idCol).as("id"))
+    val bounds = e.groupBy("k").agg(min("t").as("tmin"), max("t").as("tmax"))
+    val b = e.join(bounds, "k")
+      .withColumn("dt", col("t") - col("tmin"))
+      .withColumn("bucket",
+        (col("dt") * buckets / (col("tmax") - col("tmin") + 1L)).cast("int"))
+      .select("k", "t", "dt", "v", "id", "bucket")
+    val anchors = b.groupBy("k", "bucket")
+      .agg(count(lit(1)).as("n"), sum(col("dt")).as("st"),
+        sum(round(col("v"), 6).cast("decimal(28,6)")).as("sv"))
+      .select(col("k"), col("bucket"),
+        round(col("st").cast("double") / col("n"), 6).as("mt"),
+        round(col("sv").cast("double") / col("n"), 6).as("mv"))
+    val withA = b
+      .join(anchors.select(col("k"), (col("bucket") + 1).as("bucket"),
+        col("mt").as("lt0"), col("mv").as("lv0")), Seq("k", "bucket"), "left")
+      .join(anchors.select(col("k"), (col("bucket") - 1).as("bucket"),
+        col("mt").as("rt0"), col("mv").as("rv0")), Seq("k", "bucket"), "left")
+      .join(anchors.select(col("k"), col("bucket"),
+        col("mt").as("ot"), col("mv").as("ov")), Seq("k", "bucket"))
+      .select(col("k"), col("bucket"), col("t"), col("dt").cast("double").as("dtd"),
+        col("v"), col("id"),
+        coalesce(col("lt0"), col("ot")).as("lt"),
+        coalesce(col("lv0"), col("ov")).as("lv"),
+        coalesce(col("rt0"), col("ot")).as("rt"),
+        coalesce(col("rv0"), col("ov")).as("rv"))
+      .withColumn("area", round(abs(
+        (col("lt") - col("rt")) * (col("v") - col("rv")) -
+          (col("lt") - col("dtd")) * (col("rv") - col("lv"))), 6))
+    val wFirst = Window.partitionBy("k", "bucket")
+      .orderBy(col("dt").asc, col("id").asc)
+    val wLast = Window.partitionBy("k", "bucket")
+      .orderBy(col("dt").desc, col("id").desc)
+    val wArea = Window.partitionBy("k", "bucket")
+      .orderBy(col("area").desc, col("dtd").asc, col("id").asc)
+    val first = b.filter(col("bucket") === 0)
+      .withColumn("rn", row_number().over(wFirst)).filter(col("rn") === 1)
+      .select(col("k"), col("bucket"), col("t"), col("v"))
+    val last = b.filter(col("bucket") === buckets - 1)
+      .withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+      .select(col("k"), col("bucket"), col("t"), col("v"))
+    val mid = withA
+      .filter(col("bucket") > 0 && col("bucket") < buckets - 1)
+      .withColumn("rn", row_number().over(wArea)).filter(col("rn") === 1)
+      .select(col("k"), col("bucket"), col("t"), col("v"))
+    first.unionByName(mid).unionByName(last)
+      .select(col("k"), col("bucket"), timestamp_micros(col("t")).as("ts"),
+        col("v").as("value"))
+  }
 }

@@ -158,4 +158,32 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 5L), (2L, 5L), (99L, 7L)))
   }
+
+  test("kCore: 3-core survives, tail prunes in rounds") {
+    // K4 on {1,2,3,4} plus a tail 4-5-6: 3-core = the K4, degree 3 each
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val out = Graph.kCore(edges, 3, 3).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // k=2 on a pure path graph: nothing survives (ends keep peeling)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.kCore(path, 2, 3).count() == 0)
+  }
+
+  test("nodeJaccard: hand-computed shared-neighbor similarity") {
+    // star: 1-3, 2-3 plus 1-4, 2-4 => pair (1,2): common {3,4}, deg 2/2
+    // -> jaccard = 2/(2+2-2) = 1.0; pair (3,4): common {1,2} -> 1.0
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)).toDF("src", "dst")
+    val out = Graph.nodeJaccard(edges).orderBy("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 1.0), (3L, 4L, 2L, 1.0)))
+    // asymmetric: edges 1-3, 2-3, 2-4: pair (1,2) common {3},
+    // deg(1)=1, deg(2)=2 -> 1/(1+2-1) = 0.5
+    val asym = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val a = Graph.nodeJaccard(asym).filter($"x" === 1L && $"y" === 2L)
+      .collect().head
+    assert((a.getLong(2), a.getDouble(3)) == (1L, 0.5))
+  }
+
 }

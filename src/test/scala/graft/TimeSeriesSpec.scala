@@ -275,4 +275,38 @@ class TimeSeriesSpec extends SparkSpec {
     val r = TimeSeries.m4Downsample(ev, "user_id", "ts", "value").collect()(0)
     assert(r.getDouble(5) == 7.0 && r.getDouble(6) == 4.0) // first=id2, last=id10
   }
+
+  test("lttbDownsample: endpoints kept, max-area interior point chosen") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // one key, 3 buckets over t in [0, 9): points at t=0,1,2 | 3,4,5 | 6,7,8
+    // values flat except a spike at t=4 -> interior bucket must pick t=4
+    val rows = Seq(
+      (0L, 0.0, 1L), (1L, 0.0, 2L), (2L, 0.0, 3L),
+      (3L, 0.0, 4L), (4L, 9.0, 5L), (5L, 0.0, 6L),
+      (6L, 0.0, 7L), (7L, 0.0, 8L), (8L, 0.0, 9L))
+      .toDF("sec", "value", "event_id")
+      .select(lit("k1").as("event_type"), to_timestamp(col("sec")).as("ts"),
+        col("value"), col("event_id"))
+    val out = graft.operators.TimeSeries.lttbDownsample(
+        rows, "event_type", "ts", "value", 3)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(1), r.getTimestamp(2).getTime / 1000, r.getDouble(3)))
+    assert(out.toSeq == Seq((0, 0L, 0.0), (1, 4L, 9.0), (2, 8L, 0.0)))
+  }
+
+  test("lttbDownsample: flat series tie-breaks to earliest point per bucket") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val rows = (0L to 8L).map(i => (i, 5.0, i + 1))
+      .toDF("sec", "value", "event_id")
+      .select(lit("k").as("event_type"), to_timestamp(col("sec")).as("ts"),
+        col("value"), col("event_id"))
+    val out = graft.operators.TimeSeries.lttbDownsample(
+        rows, "event_type", "ts", "value", 3)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(1), r.getTimestamp(2).getTime / 1000))
+    // bucket 0 -> first (t=0), bucket 1 -> all areas 0, earliest t=3,
+    // bucket 2 -> last (t=8)
+    assert(out.toSeq == Seq((0, 0L), (1, 3L), (2, 8L)))
+  }
+
 }
