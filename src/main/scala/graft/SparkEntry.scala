@@ -1008,6 +1008,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Exact max-inner-product top-10 for the same 8 probes — the
+    // magnitude-aware retrieval semantic (recommendation scoring);
+    // the exact baseline the norm-augmented ANN path measures against.
+    "ann_mips_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.mipsTopK(emb, emb.filter(col("vec_id") < 8), 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Range search: every neighbor with 6-dp cosine >= 0.3 of the 8
     // lowest-id probes — variable-cardinality retrieval (no top-k cut),
     // pure broadcast map work, zero shuffles.
@@ -2339,6 +2348,22 @@ object SparkEntry {
           "event_type", "ts", "value", 16)
         .withColumnRenamed("k", "event_type")
         .orderBy("event_type", "bucket")),
+
+    // DFT amplitudes at harmonics 1-4 over each event type's hourly
+    // mean series — the period-free spectral periodicity profile beside
+    // ts_seasonal's fixed-period strength test.
+    "ts_dft" -> ((s, dir) =>
+      operators.TimeSeries.dftSpectrum(T(s, dir, "events"),
+          "event_type", "ts", "value", 4)
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type", "harmonic")),
+
+    // Key-candidate profile of the orders table: uniqueness + value
+    // entropy per column — true key / category / near-constant triage.
+    "dq_key_entropy" -> ((s, dir) =>
+      operators.DataQuality.keyEntropy(T(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+        .orderBy("column")),
 
     // CHAINED time-series pipeline — the composition the family is
     // actually consumed as (every solo oracle checks one link; this one
@@ -3720,6 +3745,22 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "ann_brute_topk" -> bruteAnnOracle,
+
+    // MIPS mirror: list_inner_product for graft_dot, 6-dp-rounded
+    // before the rank window (same membership discipline as cosine).
+    "ann_mips_topk" ->
+      s"""WITH e AS ($embCte),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |        round(list_inner_product(q.qv, e.v), 6) AS dot
+         |      FROM q JOIN e ON e.vec_id <> q.query_id
+         |      WHERE list_inner_product(q.qv, e.v) IS NOT NULL),
+         |r AS (SELECT query_id, neighbor_id, dot,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rank
+         |      FROM s)
+         |SELECT query_id, rank, neighbor_id, dot FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     // Range search mirror: cosines are 6-dp rounded BEFORE the threshold
     // test on both engines (boundary-safe); NaN (zero-norm) → NULL never
@@ -6307,6 +6348,60 @@ object SparkEntry {
         |FROM (SELECT * FROM firstb UNION ALL SELECT * FROM midb
         |      UNION ALL SELECT * FROM lastb)
         |ORDER BY event_type, bucket""".stripMargin,
+
+    // DFT: exact integer hour index ((t−tmin) − remainder, exact
+    // division), per-term round(6) on the cos/sin products (libm ulps
+    // die in the rounding), DECIMAL sums, one rounded sqrt.
+    "ts_dft" ->
+      """WITH e AS (SELECT event_type AS k, epoch_us(ts) AS t,
+        |        CAST(value AS DOUBLE) AS v FROM events),
+        |bd AS (SELECT k, min(t) AS tmin FROM e GROUP BY 1),
+        |hh AS (SELECT e.k,
+        |        ((t - tmin) - (t - tmin) % 3600000000) // 3600000000 AS h,
+        |        count(*) AS nh,
+        |        sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS sv
+        |      FROM e JOIN bd ON bd.k = e.k GROUP BY 1, 2),
+        |hr AS (SELECT k, h, round(CAST(sv AS DOUBLE) / nh, 6) AS vh FROM hh),
+        |n AS (SELECT k, max(h) + 1 AS n FROM hr GROUP BY 1),
+        |sp AS (SELECT CAST(harmonic AS BIGINT) AS harmonic
+        |      FROM range(1, 5) t(harmonic)),
+        |terms AS (SELECT hr.k, sp.harmonic, n.n,
+        |        round(vh * cos(2.0 * pi() * CAST(sp.harmonic AS DOUBLE)
+        |          * CAST(h AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS ca,
+        |        round(vh * sin(2.0 * pi() * CAST(sp.harmonic AS DOUBLE)
+        |          * CAST(h AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cb
+        |      FROM hr JOIN n ON n.k = hr.k CROSS JOIN sp),
+        |agg AS (SELECT k, harmonic, CAST(min(n) AS BIGINT) AS n_hours,
+        |        CAST(sum(CAST(ca AS DECIMAL(28,6))) AS DOUBLE) AS a,
+        |        CAST(sum(CAST(cb AS DECIMAL(28,6))) AS DOUBLE) AS b
+        |      FROM terms GROUP BY 1, 2)
+        |SELECT k AS event_type, harmonic, n_hours,
+        |  round(sqrt(a * a + b * b) / CAST(n_hours AS DOUBLE), 6)
+        |    AS amplitude
+        |FROM agg ORDER BY event_type, harmonic""".stripMargin,
+
+    // Key entropy: one value-count aggregate per column, the
+    // PSI/entropy rounding discipline, columns unioned.
+    "dq_key_entropy" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", n, n_distinct,
+           |  round(CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE), 6)
+           |    AS uniq_ratio,
+           |  round(h, 6) AS entropy,
+           |  round(h / ln(CAST(n_distinct AS DOUBLE)), 6) AS norm_entropy
+           |FROM (SELECT CAST(min(n) AS BIGINT) AS n,
+           |    CAST(min(nd) AS BIGINT) AS n_distinct,
+           |    CAST(sum(CAST(round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)
+           |      * ln(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)), 6)
+           |      AS DECIMAL(18,6))) AS DOUBLE) AS h
+           |  FROM (SELECT $c AS v, count(*) AS cnt FROM orders GROUP BY 1)
+           |  CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+           |      count(*) AS nd FROM
+           |      (SELECT $c AS v, count(*) AS cnt FROM orders GROUP BY 1)))
+           |""".stripMargin
+      Seq("o_custkey", "o_orderkey", "o_orderstatus").map(one)
+        .mkString("", "UNION ALL\n", "ORDER BY \"column\"")
+    },
 
     "ts_gapfill" ->
       """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS bucket, value

@@ -524,6 +524,39 @@ object DataQuality {
           .as("pos_rate"))
   }
 
+  /** Key-candidate / identifier-quality profile: per column, the
+    * distinct count, uniqueness ratio, Shannon entropy of the value
+    * distribution and its normalized form H/ln(n_distinct) — the
+    * schema-discovery pass that separates true keys (uniqueness 1,
+    * norm-entropy 1), category columns (low distinct, high
+    * norm-entropy) and degenerate near-constants (norm-entropy → 0)
+    * before anyone joins on the wrong column at 100 TB.
+    *
+    * One value-count aggregate per column (cardinality = distinct
+    * values, map-side combined), entropies via the per-term round(6) +
+    * DECIMAL(18,6) discipline; columns union into one small report.
+    */
+  def keyEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 6).cast("decimal(18,6)")).cast("double")
+    cols.map { c =>
+      val counts = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum("cnt").as("n"),
+        count(lit(1)).as("n_distinct"))
+      counts.crossJoin(broadcast(tot))
+        .groupBy("n", "n_distinct")
+        .agg(dsum(col("cnt").cast("double") / col("n").cast("double") *
+          log(col("n").cast("double") / col("cnt").cast("double"))).as("h"))
+        .select(lit(c).as("column"), col("n"), col("n_distinct"),
+          round(col("n_distinct").cast("double") / col("n").cast("double"), 6)
+            .as("uniq_ratio"),
+          round(col("h"), 6).as("entropy"),
+          round(try_divide(col("h"), log(col("n_distinct").cast("double"))), 6)
+            .as("norm_entropy"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-group quantile-position score: every row's value maps to its
     * midrank quantile in the GLOBAL distribution (ties get the average
     * rank, the quantile-normalization convention), then each group

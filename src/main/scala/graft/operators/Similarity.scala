@@ -54,6 +54,36 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Exact MAX-INNER-PRODUCT top-k (MIPS): rank corpus vectors by raw
+    * dot product with each query — the retrieval semantic of
+    * recommendation scoring and learned-sparse ranking, where vector
+    * MAGNITUDE carries signal (popularity, confidence) that cosine
+    * deliberately throws away. Same broadcast-query/one-scan shape as
+    * [[bruteForceTopK]]; dots are 6-dp-rounded BEFORE the rank window
+    * (membership-decision discipline), ties → lower neighbor id.
+    *
+    * Scale path: MIPS reduces to cosine ANN via the standard
+    * norm-augmentation trick (append sqrt(M² − ‖x‖²) to each corpus
+    * vector, 0 to queries, M = max corpus norm) — then [[srpTopK]] /
+    * [[ivfTopK]] apply unchanged; this operator is the exact baseline
+    * those would be measured against, like brute-vs-LSH in ann_recall.
+    */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Fns.dotProduct(col("qv"), col("cv")), 6).as("dot"))
+      .filter(col("dot").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dot"))
+  }
+
   /** Exact cosine RANGE search: every corpus vector within `threshold`
     * of each query — the retrieval shape for "pull everything near this
     * probe" (contamination sweeps, per-concept corpus carving) where

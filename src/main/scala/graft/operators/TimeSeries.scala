@@ -527,6 +527,56 @@ object TimeSeries {
         max_by(col(valueCol), ord).as("v_last"))
   }
 
+  /** Discrete-Fourier spectral fingerprint: per key, the DFT amplitude
+    * at harmonics k = 1..`harmonics` over the HOURLY mean series — the
+    * frequency-domain periodicity profile that complements
+    * [[seasonalStrength]]'s single fixed-period test (a daily cycle
+    * shows as k ≈ n_hours/24 energy without naming the period up
+    * front). Missing hours contribute implicit zeros, so the series
+    * needs no gap-fill pass first.
+    *
+    * Determinism: hour index and N are exact integers; each cos/sin
+    * term is rounded to 6 dp before its DECIMAL sum (libm last-ulp
+    * differences between engines die in the rounding, the ln/exp
+    * precedent); amplitude is one sqrt over exact sums, rounded.
+    * Cost: one (key, hour) mean aggregate (map-side combined), then a
+    * (key, k) aggregate over hours × `harmonics` rows.
+    */
+  def dftSpectrum(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, harmonics: Int = 4): DataFrame = {
+    require(harmonics >= 1, s"need harmonics >= 1, got $harmonics")
+    val e = events.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol)).as("t"),
+      col(valueCol).cast("double").as("v"))
+    val bounds = e.groupBy("k").agg(min("t").as("tmin"))
+    val hourly = e.join(bounds, "k")
+      // exact integer hour index: subtract the remainder first so the
+      // double division is of an exact multiple (no truncation hazard)
+      .withColumn("h",
+        (((col("t") - col("tmin")) - (col("t") - col("tmin")) % 3600000000L)
+          / 3600000000L).cast("long"))
+      .groupBy("k", "h")
+      .agg(count(lit(1)).as("nh"),
+        sum(round(col("v"), 6).cast("decimal(28,6)")).as("sv"))
+      .select(col("k"), col("h"),
+        round(col("sv").cast("double") / col("nh"), 6).as("vh"))
+    val n = hourly.groupBy("k").agg((max("h") + 1L).as("n"))
+    val spine = hourly.sparkSession.range(1, harmonics + 1)
+      .select(col("id").as("harmonic"))
+    def d6sum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 6).cast("decimal(28,6)")).cast("double")
+    val arg = lit(2.0) * lit(math.Pi) * col("harmonic").cast("double") *
+      col("h").cast("double") / col("n").cast("double")
+    hourly.join(n, "k").crossJoin(broadcast(spine))
+      .groupBy("k", "harmonic")
+      .agg(min("n").as("n_hours"),
+        d6sum(col("vh") * cos(arg)).as("a"),
+        d6sum(col("vh") * sin(arg)).as("b"))
+      .select(col("k"), col("harmonic"), col("n_hours"),
+        round(sqrt(col("a") * col("a") + col("b") * col("b")) /
+          col("n_hours").cast("double"), 6).as("amplitude"))
+  }
+
   /** LTTB-style visual downsampling (Steinarsson's
     * Largest-Triangle-Three-Buckets), mean-anchor PARALLEL variant: the
     * classic algorithm selects each bucket's point by triangle area

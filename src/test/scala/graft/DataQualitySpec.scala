@@ -274,4 +274,22 @@ class DataQualitySpec extends SparkSpec {
     assert(r1.getDouble(3) == r1.getDouble(4) && r1.getDouble(6) == 1.0)
     assert(math.abs(r1.getDouble(3) - math.log(2)) < 1e-5)
   }
+
+  test("keyEntropy: key / category / constant triage") {
+    val df = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "b", "x"),
+      (4L, "b", "x")).toDF("id", "cat", "const")
+    val out = DataQuality.keyEntropy(df, Seq("id", "cat", "const"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    val (n1, d1, u1, ne1) = out("id")
+    assert((n1, d1, u1) == (4L, 4L, 1.0) &&
+      math.abs(ne1.get - 1.0) < 1e-4)                 // true key
+    val (_, d2, u2, ne2) = out("cat")
+    assert(d2 == 2L && u2 == 0.5 && math.abs(ne2.get - 1.0) < 1e-4)
+    val (_, d3, _, ne3) = out("const")
+    assert(d3 == 1L && ne3.isEmpty)                   // 0/ln(1) -> NULL
+    assert(out("const")._1 == 4L)
+  }
+
 }

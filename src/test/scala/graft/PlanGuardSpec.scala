@@ -31,8 +31,13 @@ class PlanGuardSpec extends SparkSpec {
   private val boundedGlobalWindowAllowlist =
     Set("text_vocab", "text_encode", "sketch_histq", "dq_skew_report",
       "text_vocab_coverage",
-      // reuses vocabulary's ranking (<= 200 rows above the limit)
-      "text_zipf_slope")
+      // reuse vocabulary's ranking (<= 200 rows above the limit)
+      "text_zipf_slope", "text_heaps_law", "text_gini",
+      // two-level prefix-sum/max carriers: the ONLY global window is the
+      // <= `buckets` (32)-row bucket-offset table (DataQuality.rankedCounts
+      // / quantileScoreByGroup, StreamingJobs.lateEvents — the documented
+      // tiny-spine exception, same class as sketch_histq's nBins scan)
+      "dq_ks_test", "dq_auc", "dq_quantile_score", "stream_late_events")
 
   test("no registered query plans an unpartitioned ordered Window (bounded allowlist aside)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

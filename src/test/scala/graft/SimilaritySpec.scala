@@ -450,4 +450,16 @@ class SimilaritySpec extends SparkSpec {
       (1L, 3L, 1L, 0.0, 0.0)))       // one dominant code -> codes_used 1
   }
 
+
+  test("mipsTopK: magnitude ranks where cosine would tie") {
+    val corpus = Seq(
+      (1L, Seq(0.9f, 0.0f)), (2L, Seq(10.0f, 0.0f)), (3L, Seq(-5.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((99L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.mipsTopK(corpus, q, 3).orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // dot: 10 > 0.9 > -5 — cosine would tie vectors 1 and 2 at 1.0
+    assert(out.toSeq == Seq((1L, 2L, 10.0), (2L, 1L, 0.9), (3L, 3L, -5.0)))
+  }
+
 }

@@ -309,4 +309,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq == Seq((0, 0L), (1, 3L), (2, 8L)))
   }
 
+
+  test("dftSpectrum: pure k=1 cosine concentrates at harmonic 1") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val rows = (0 until 8).map { h =>
+      (h * 3600L, math.cos(2 * math.Pi * h / 8.0), h.toLong)
+    }.toDF("sec", "value", "event_id")
+      .select(lit("k").as("event_type"), to_timestamp(col("sec")).as("ts"),
+        col("value"))
+    val out = graft.operators.TimeSeries.dftSpectrum(
+        rows, "event_type", "ts", "value", 3)
+      .orderBy("harmonic").collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    assert(math.abs(out(0)._2 - 0.5) < 1e-4, s"k=1 amp ${out(0)._2}")
+    assert(out(1)._2 < 1e-4 && out(2)._2 < 1e-4) // no energy at k=2,3
+    // constant series: zero amplitude at every k >= 1
+    val flat = (0 until 8).map(h => (h * 3600L, 2.5)).toDF("sec", "value")
+      .select(lit("k").as("event_type"), to_timestamp(col("sec")).as("ts"),
+        col("value"))
+    val f = graft.operators.TimeSeries.dftSpectrum(
+        flat, "event_type", "ts", "value", 2).collect()
+    assert(f.forall(_.getDouble(3) < 1e-4))
+  }
+
 }
