@@ -597,6 +597,13 @@ object SparkEntry {
       Analytics.retention(T(s, dir, "events"))
         .orderBy("cohort_week", "week_offset")),
 
+    // Inter-arrival-time histogram (log2-second buckets, exact integer
+    // arithmetic end-to-end) — the burstiness profile behind session-gap
+    // and watermark choices.
+    "ana_interarrival" -> ((s, dir) =>
+      Analytics.interarrivalHistogram(T(s, dir, "events"))
+        .orderBy("bucket")),
+
     // Event-type transition matrix in per-user event-time order (the
     // Markov-chain behavior profile).
     "ana_transitions" -> ((s, dir) =>
@@ -1653,6 +1660,20 @@ object SparkEntry {
       operators.ML.ridgeNormal(T(s, dir, "lineitem"), col("l_quantity"),
         col("l_discount"), col("l_extendedprice"), lambda = 1.0)),
 
+    // Multinomial NB language classifier trained + self-evaluated over
+    // the corpus in one lazy plan: per-lang recall rows (model-card
+    // sanity, not a generalization claim).
+    "ml_nb_accuracy" -> ((s, dir) =>
+      operators.ML.naiveBayesAccuracy(T(s, dir, "documents"), "lang")
+        .orderBy("label")),
+
+    // Leave-one-out 5-NN accuracy on the embeddings (1-in-10 query
+    // sample — the eval-sample convention keeping pairs at N²/10):
+    // per-label accuracy of cosine-majority voting.
+    "ml_knn_accuracy" -> ((s, dir) =>
+      operators.ML.knnAccuracy(T(s, dir, "embeddings"), 5, 10)
+        .orderBy("label")),
+
     // Centroid drift between the even and odd vec_id cohorts: cosine +
     // L2 between per-dim mean vectors — the cheap embedding-distribution
     // monitor (two d-key aggregates, one d-row join).
@@ -1715,6 +1736,13 @@ object SparkEntry {
     // vocabulary-concentration scalar beside zipf_slope / simpson.
     "text_gini" -> ((s, dir) =>
       TextAnalysis.giniConcentration(T(s, dir, "documents"), 200)),
+
+    // Distinctive terms per source: z-scored smoothed log-odds vs the
+    // rest of the corpus over the top-200 vocabulary — what a source
+    // talks about, on the dataset card.
+    "text_keyness" -> ((s, dir) =>
+      TextAnalysis.keynessTopTerms(T(s, dir, "documents"), 5, 200)
+        .orderBy("source", "rank")),
 
     // PII audit over the documents corpus per source: emails / IPv4 /
     // phone-shaped / long digit runs. One conditional-aggregation scan;
@@ -4067,6 +4095,39 @@ object SparkEntry {
          |    (CAST(n_terms AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini
          |FROM v CROSS JOIN tot GROUP BY n_terms, total""".stripMargin,
 
+    // Keyness: the vocabulary CTE, a sources×vocab spine, the four
+    // ln-odds operands as exact-integer-plus-half doubles in the Spark
+    // side's operation order, z rounded before the rank.
+    "text_keyness" ->
+      """WITH t AS (SELECT source,
+        |        unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |          AS term FROM documents),
+        |c AS (SELECT term, count(*) AS freq FROM t GROUP BY 1),
+        |v AS (SELECT term, CAST(freq AS BIGINT) AS y_w FROM (
+        |      SELECT term, freq FROM c ORDER BY freq DESC, term LIMIT 200)),
+        |sw AS (SELECT t.source, t.term, CAST(count(*) AS BIGINT) AS y_sw
+        |      FROM t JOIN v ON v.term = t.term GROUP BY 1, 2),
+        |srcs AS (SELECT source, CAST(sum(y_sw) AS BIGINT) AS n_s
+        |      FROM sw GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM srcs),
+        |spine AS (SELECT s.source, s.n_s, v.term, v.y_w,
+        |        CAST(coalesce(sw.y_sw, 0) AS BIGINT) AS y_sw
+        |      FROM srcs s CROSS JOIN v
+        |      LEFT JOIN sw ON sw.source = s.source AND sw.term = v.term),
+        |z AS (SELECT source, term, y_sw,
+        |        round((ln((CAST(y_sw AS DOUBLE) + 0.5) /
+        |            (CAST(n_s - y_sw AS DOUBLE) + 0.5))
+        |          - ln((CAST(y_w - y_sw AS DOUBLE) + 0.5) /
+        |            (CAST(n - n_s - (y_w - y_sw) AS DOUBLE) + 0.5)))
+        |          / sqrt(1.0 / (CAST(y_sw AS DOUBLE) + 0.5)
+        |            + 1.0 / (CAST(y_w - y_sw AS DOUBLE) + 0.5)), 6) AS z
+        |      FROM spine CROSS JOIN tot)
+        |SELECT source, rank, term, y_sw, z FROM (
+        |  SELECT source, term, y_sw, z,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY z DESC, term) AS BIGINT) AS rank FROM z)
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
     // PII scan: len(regexp_extract_all) is Spark's
     // size(regexp_extract_all) — same RE dialect subset (classes,
     // bounded repeats), zero matches is the honest report on this corpus.
@@ -4161,6 +4222,25 @@ object SparkEntry {
          |  round(greatest(a_est.est + b_est.est - u_est.est, 0.0)
          |    / u_est.est, 4) AS jaccard_est
          |FROM a_est CROSS JOIN b_est CROSS JOIN u_est""".stripMargin
+    },
+
+    // Inter-arrival histogram: per-user lag on (t, id) order, exact
+    // integer gap seconds (remainder-subtracted division), the
+    // power-of-two CASE chain (rhoCase convention) — nothing floats.
+    "ana_interarrival" -> {
+      val whens = (1 to 40).map(b =>
+        s"WHEN gap_s < ${1L << b} THEN $b").mkString(" ")
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS id
+         |      FROM events),
+         |g AS (SELECT t - lag(t) OVER (PARTITION BY user_id
+         |        ORDER BY t, id) AS gap_us FROM e),
+         |gs AS (SELECT (gap_us - gap_us % 1000000) // 1000000 AS gap_s
+         |      FROM g WHERE gap_us IS NOT NULL),
+         |b AS (SELECT CASE WHEN gap_s = 0 THEN 0 $whens END AS bucket,
+         |        gap_s FROM gs)
+         |SELECT bucket, count(*) AS n_gaps, min(gap_s) AS min_gap_s,
+         |  max(gap_s) AS max_gap_s
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     // Quantile-position score: one global strictly-before window over
@@ -5616,6 +5696,77 @@ object SparkEntry {
         |  round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
         |  round(mi / sqrt(h_a * h_b), 6) AS nmi
         |FROM mi0 CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot""".stripMargin,
+
+    // NB: train + score CTE-for-plan — Laplace-smoothed per-term log
+    // likelihoods 6-dp-rounded into DECIMAL sums, rounded priors, argmax
+    // tie to smaller label; docs with zero tokens carry no evidence and
+    // drop from the eval on both engines (inner token join).
+    "ml_nb_accuracy" ->
+      """WITH t AS (SELECT doc_id, lang AS y,
+        |        unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |          AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |      FROM t GROUP BY 1, 2),
+        |ct AS (SELECT y AS l, term, CAST(count(*) AS BIGINT) AS c
+        |      FROM t GROUP BY 1, 2),
+        |ctot AS (SELECT l, CAST(sum(c) AS BIGINT) AS nl FROM ct GROUP BY 1),
+        |voc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tf),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |pri AS (SELECT lang AS l, CAST(count(*) AS BIGINT) AS dl
+        |      FROM documents GROUP BY 1),
+        |langs AS (SELECT pri.l, ctot.nl, voc.v,
+        |        round(ln(CAST(dl AS DOUBLE) / CAST(nd.nd AS DOUBLE)), 6)
+        |          AS lprior
+        |      FROM pri CROSS JOIN nd CROSS JOIN voc
+        |      JOIN ctot ON ctot.l = pri.l),
+        |tll AS (SELECT tf.doc_id, langs.l, langs.lprior,
+        |        round(CAST(tf AS DOUBLE) *
+        |          ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE) /
+        |            CAST(langs.nl + langs.v AS DOUBLE)), 6) AS ll
+        |      FROM tf CROSS JOIN langs
+        |      LEFT JOIN ct ON ct.l = langs.l AND ct.term = tf.term),
+        |sc AS (SELECT doc_id, l,
+        |        round(CAST(sum(CAST(ll AS DECIMAL(28,6))) AS DOUBLE)
+        |          + lprior, 6) AS score
+        |      FROM tll GROUP BY doc_id, l, lprior),
+        |pred AS (SELECT doc_id, l AS pred FROM (
+        |      SELECT doc_id, l, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, l) AS rn FROM sc) WHERE rn = 1)
+        |SELECT d.lang AS label, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN pred = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  round(CAST(sum(CASE WHEN pred = d.lang THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+        |FROM pred JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // kNN: the bruteAnnOracle ranking convention (unrounded cosine,
+    // neighbor-id ties) on the 1-in-10 query sample, majority vote tie
+    // to smaller label.
+    "ml_knn_accuracy" ->
+      """WITH e AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |        label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qe, label AS qlabel
+        |      FROM e WHERE vec_id % 10 = 0),
+        |s AS (SELECT query_id, c.vec_id AS neighbor_id, c.label AS nl,
+        |        list_cosine_similarity(qe, c.v) AS cos
+        |      FROM q, e c WHERE c.vec_id <> query_id),
+        |top AS (SELECT query_id, nl FROM (
+        |      SELECT query_id, nl, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+        |      WHERE rn <= 5),
+        |votes AS (SELECT query_id, nl, count(*) AS cvotes
+        |      FROM top GROUP BY 1, 2),
+        |pred AS (SELECT query_id, nl AS pred FROM (
+        |      SELECT query_id, nl, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cvotes DESC, nl) AS rn FROM votes) WHERE rn = 1)
+        |SELECT qlabel AS label, count(*) AS n,
+        |  CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  round(CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy
+        |FROM pred JOIN q USING (query_id) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Logreg: the two GD steps unrolled CTE-for-plan — step 1's margins
     // are exactly 0 from w=0 (p = 0.5 on both engines, no exp), step 2's

@@ -687,4 +687,37 @@ object Analytics {
         coalesce(col("n_new"), lit(0L)).as("n_new"),
         (col("n_active") - coalesce(col("n_new"), lit(0L))).as("n_returning"))
   }
+
+  /** Inter-arrival-time histogram: per-user gaps between consecutive
+    * events, pooled into log₂-second buckets — the burstiness /
+    * session-cadence profile (bucket b holds gaps in [2^(b−1), 2^b)
+    * seconds; bucket 0 is sub-second) that prices session-gap and
+    * watermark choices before they're hard-coded. Gap seconds are
+    * EXACT integers (epoch-micros difference, remainder-subtracted
+    * division), the bucket is a pure integer-comparison CASE chain —
+    * nothing floats, so the histogram is engine-identical by
+    * construction. One per-user lag window (partitioned), one bucket
+    * aggregate.
+    */
+  def interarrivalHistogram(events: DataFrame, userCol: String = "user_id",
+                            tsCol: String = "ts",
+                            idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("t"), col(idCol))
+    val gaps = events
+      .select(col(userCol), unix_micros(col(tsCol)).as("t"), col(idCol))
+      .withColumn("prev", lag("t", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_us", col("t") - col("prev"))
+      .withColumn("gap_s",
+        ((col("gap_us") - col("gap_us") % 1000000L) / 1000000L).cast("long"))
+    // bucket = position of the highest set bit + 1 (0 for gap 0), via an
+    // exact integer-comparison chain — the HLL rhoCase convention.
+    val bucket = (1 to 40).foldLeft(when(col("gap_s") === 0L, 0)) {
+      (acc, b) => acc.when(col("gap_s") < (1L << b), b)
+    }
+    gaps.withColumn("bucket", bucket.cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_gaps"),
+        min("gap_s").as("min_gap_s"), max("gap_s").as("max_gap_s"))
+  }
 }

@@ -108,4 +108,102 @@ object ML {
       round(d1 / dA, 6).as("beta1"),
       round(d2 / dA, 6).as("beta2"))
   }
+
+  /** Multinomial Naive Bayes, trained and evaluated in one lazy plan:
+    * class-conditional token likelihoods with Laplace smoothing
+    * (ln((c+1)/(n_l+V))), log doc priors, per-doc argmax, per-class
+    * recall — the fasttext-shaped language/quality classifier baseline
+    * a pipeline trains over its own corpus. Self-consistency eval on
+    * the training set by design (the model-card sanity row, not a
+    * generalization claim); docs with zero tokens carry no evidence and
+    * are excluded by the inner token join.
+    *
+    * Scale shape: the model state is (labels × vocab) keyed counts —
+    * one hash aggregate each for class-term counts, class totals,
+    * priors; scoring is one term-keyed join of per-doc tfs against the
+    * class-term table with the tiny per-label row broadcast-crossed in,
+    * then a doc-keyed DECIMAL sum and argmax window. Per-term
+    * log-likelihoods are 6-dp-rounded before the order-free sum; the
+    * final score and the argmax follow the membership discipline.
+    */
+  def naiveBayesAccuracy(docs: DataFrame, labelCol: String = "lang",
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.Fns
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"), col(labelCol).as("y"),
+      explode(Fns.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docLabels = docs.select(col(idCol).as("doc_id"), col(labelCol).as("y"))
+    val classTerm = toks.groupBy(col("y").as("l"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val classTot = classTerm.groupBy("l").agg(sum("c").as("nl"))
+    val vocab = tf.select("term").distinct().agg(count(lit(1)).as("v"))
+    val langs = docLabels.groupBy(col("y").as("l")).agg(count(lit(1)).as("dl"))
+      .crossJoin(broadcast(docLabels.agg(count(lit(1)).as("nd"))))
+      .crossJoin(broadcast(vocab))
+      .join(classTot, "l")
+      .select(col("l"), col("nl"), col("v"),
+        round(log(col("dl").cast("double") / col("nd").cast("double")), 6)
+          .as("lprior"))
+    val termLL = tf.crossJoin(broadcast(langs))
+      .join(classTerm, Seq("l", "term"), "left")
+      .select(col("doc_id"), col("l"), col("lprior"),
+        round(col("tf").cast("double") *
+          log((coalesce(col("c"), lit(0L)) + 1L).cast("double") /
+            (col("nl") + col("v")).cast("double")), 6).as("ll"))
+    val scores = termLL.groupBy("doc_id", "l", "lprior")
+      .agg(sum(col("ll").cast("decimal(28,6)")).as("s"))
+      .select(col("doc_id"), col("l"),
+        round(col("s").cast("double") + col("lprior"), 6).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("l").asc)
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("l").as("pred"))
+      .join(docLabels, "doc_id")
+      .groupBy(col("y").as("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("label"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs").cast("double"),
+          6).as("recall"))
+  }
+
+  /** k-NN classification accuracy over the embedding corpus:
+    * leave-one-out majority vote among the `k` nearest (cosine)
+    * neighbors of a deterministic 1-in-`sampleMod` query sample
+    * (vec_id ≡ 0 mod `sampleMod` — the eval-sample convention that
+    * keeps the exact pair term at N·N/mod instead of N²), per-class
+    * counts and accuracy — the standard "are these embeddings any good
+    * for this label" probe, and the exact baseline an ANN-backed
+    * variant (swap [[Similarity.bruteForceTopK]] for srp/ivf) is
+    * measured against. Vote ties break to the smaller label.
+    */
+  def knnAccuracy(embeddings: DataFrame, k: Int = 5, sampleMod: Long = 10,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    import graft.functions.Fns
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"need k >= 1, got $k")
+    val queries = embeddings.filter(
+      Fns.pmod(col(idCol), lit(sampleMod)) === 0)
+    val top = Similarity.bruteForceTopK(embeddings, queries, k, idCol, vecCol)
+    val votes = top
+      .join(embeddings.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("nl")), "neighbor_id")
+      .groupBy("query_id", "nl").agg(count(lit(1)).as("cvotes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cvotes").desc, col("nl").asc)
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("nl").as("pred"))
+      .join(embeddings.select(col(idCol).as("query_id"),
+        col(labelCol).as("label")), "query_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n").cast("double"), 6)
+          .as("accuracy"))
+  }
 }

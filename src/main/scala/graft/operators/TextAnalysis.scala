@@ -1350,6 +1350,53 @@ object TextAnalysis {
           6).as("heaps_beta"))
   }
 
+  /** Distinctive-terms ("keyness") report: for each source, the
+    * `topK` most over-represented vocabulary terms by z-scored
+    * smoothed log-odds ratio versus the REST of the corpus (the
+    * Monroe et al. weighted-log-odds shape with a ±0.5 Haldane prior)
+    * — the dataset-card row that says WHAT a source talks about, not
+    * just how much. Restricted to the top-`maxVocab` corpus vocabulary
+    * so the per-source ranking window is constant-bounded.
+    *
+    * z = Δ/√(1/(y_s+½) + 1/(y_o+½)), Δ = ln-odds(source) −
+    * ln-odds(rest); counts are exact BIGINTs, the four ln operands are
+    * exact-integer-plus-half doubles composed in fixed order, z is
+    * 6-dp-rounded before the (z DESC, term ASC) rank — membership
+    * discipline. Cost: the vocabulary pass, one (source, term)
+    * aggregate, a sources×vocab spine join, a per-source ≤maxVocab
+    * window.
+    */
+  def keynessTopTerms(docs: DataFrame, topK: Int = 5, maxVocab: Int = 200,
+                      sourceCol: String = "source", textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val v = vocabulary(docs, maxVocab, textCol, idCol)
+      .select(col("term"), col("freq").as("y_w"))
+    val sw = docs
+      .select(col(sourceCol).as("source"), explode(Fns.tokens(col(textCol))).as("term"))
+      .join(broadcast(v.select("term")), "term")
+      .groupBy("source", "term").agg(count(lit(1)).as("y_sw"))
+    val sources = sw.groupBy("source").agg(sum("y_sw").as("n_s"))
+    val tot = sources.agg(sum("n_s").as("n"))
+    val spine = sources.crossJoin(broadcast(v))
+      .join(sw, Seq("source", "term"), "left")
+      .na.fill(0L, Seq("y_sw"))
+      .crossJoin(broadcast(tot))
+    val ys = col("y_sw").cast("double") + 0.5
+    val bs = (col("n_s") - col("y_sw")).cast("double") + 0.5
+    val yo = (col("y_w") - col("y_sw")).cast("double") + 0.5
+    val bo = (col("n") - col("n_s") - (col("y_w") - col("y_sw")))
+      .cast("double") + 0.5
+    val z = round((log(ys / bs) - log(yo / bo)) /
+      sqrt(lit(1.0) / ys + lit(1.0) / yo), 6)
+    val w = Window.partitionBy("source").orderBy(col("z").desc, col("term").asc)
+    spine.withColumn("z", z)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("term"), col("y_sw"), col("z"))
+  }
+
   /** Gini coefficient of the top-`maxVocab` term-frequency distribution
     * — the vocabulary-concentration scalar (0 = uniform usage, →1 = a
     * few terms dominate) that complements [[zipfSlope]]'s power-law fit

@@ -373,4 +373,26 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-01", 1L, 1L, 0L),   // u1 new
       ("2024-01-02", 2L, 1L, 1L)))  // u2 new, u1 returning
   }
+
+  test("interarrivalHistogram: hand-computed log2 buckets") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // one user, events at 0s, 1s, 5s, 125s -> gaps 1, 4, 120 s
+    // buckets: 1 (1 < 2), 3 (4 < 8), 7 (120 < 128)
+    val rows = Seq((0.0, 1L), (1.0, 2L), (5.0, 3L), (125.0, 4L))
+      .toDF("sec", "event_id")
+      .select(lit(7L).as("user_id"), to_timestamp(col("sec")).as("ts"),
+        col("event_id"))
+    val out = Analytics.interarrivalHistogram(rows).orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq((1, 1L, 1L, 1L), (3, 1L, 4L, 4L),
+      (7, 1L, 120L, 120L)))
+    // sub-second gap lands in bucket 0
+    val sub = Seq((0.0, 1L), (0.5, 2L)).toDF("sec", "event_id")
+      .select(lit(1L).as("user_id"), to_timestamp(col("sec")).as("ts"),
+        col("event_id"))
+    val b0 = Analytics.interarrivalHistogram(sub).collect().head
+    assert((b0.getInt(0), b0.getLong(1)) == (0, 1L))
+  }
+
 }

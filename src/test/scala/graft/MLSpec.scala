@@ -56,4 +56,39 @@ class MLSpec extends SparkSpec {
     val opp = Similarity.centroidDrift(a, b).collect().head
     assert(opp.getDouble(2) == -1.0 && opp.getDouble(3) == 2.0)
   }
+
+  test("naiveBayesAccuracy: separable vocabularies classify perfectly") {
+    val docs = Seq(
+      (1L, "hello world", "en"), (2L, "hello there world", "en"),
+      (3L, "bonjour monde", "fr"), (4L, "bonjour ici monde", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = ML.naiveBayesAccuracy(docs, "lang").orderBy("label").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("en", 2L, 2L, 1.0), ("fr", 2L, 2L, 1.0)))
+  }
+
+  test("naiveBayesAccuracy: shared vocab + priors still favors own class") {
+    // both classes share "the"; each has a distinctive token
+    val docs = Seq(
+      (1L, "the cat", "a"), (2L, "the cat cat", "a"),
+      (3L, "the dog", "b"))
+      .toDF("doc_id", "text", "lang")
+    val out = ML.naiveBayesAccuracy(docs, "lang").orderBy("label").collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", 1.0), ("b", 1.0)))
+  }
+
+  test("knnAccuracy: clustered embeddings vote their own label") {
+    // two tight clusters on orthogonal axes; sampleMod=1 queries all
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(1.0f, 0.1f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.1f, 0.9f), 1),
+      (5L, Seq(0.1f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = ML.knnAccuracy(e, k = 2, sampleMod = 1L).orderBy("label")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq == Seq((0, 3L, 1.0), (1, 3L, 1.0)))
+  }
+
 }

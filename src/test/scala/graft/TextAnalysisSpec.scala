@@ -665,4 +665,17 @@ class TextAnalysisSpec extends SparkSpec {
       ("a", 2L, 2L, 1L, 1L, 1L),   // 2 emails in 1 row; 1 digit run
       ("b", 1L, 0L, 0L, 2L, 1L)))  // 2 digit runs in 1 row
   }
+
+  test("keynessTopTerms: each source's signature token ranks first") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "foo foo foo shared", "A"), (2L, "foo foo shared", "A"),
+      (3L, "bar bar bar shared", "B"), (4L, "bar bar shared", "B"))
+      .toDF("doc_id", "text", "source")
+    val top1 = TextAnalysis.keynessTopTerms(docs, 1, 200)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(top1.toSeq == Seq(("A", 1L, "foo"), ("B", 1L, "bar")))
+  }
+
 }
