@@ -604,6 +604,23 @@ object SparkEntry {
       Analytics.interarrivalHistogram(T(s, dir, "events"))
         .orderBy("bucket")),
 
+    // Peak concurrency over ana_interval_union's [start, end) session
+    // intervals — ±1 sweep netted per second, two-level prefix sum, the
+    // capacity-planning scalar.
+    "ana_peak_concurrency" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      Analytics.peakConcurrency(e.select(
+        unix_timestamp(col("ts")).as("start_s"),
+        (unix_timestamp(col("ts")) + floor(col("value") * 60).cast("long"))
+          .as("end_s")))
+    }),
+
+    // Exact distinct-user overlap matrix between event types —
+    // the small-k exact face of sketch_hll_setops.
+    "ana_type_overlap" -> ((s, dir) =>
+      Analytics.typeOverlapMatrix(T(s, dir, "events"))
+        .orderBy("type_a", "type_b")),
+
     // Event-type transition matrix in per-user event-time order (the
     // Markov-chain behavior profile).
     "ana_transitions" -> ((s, dir) =>
@@ -1744,6 +1761,12 @@ object SparkEntry {
       TextAnalysis.keynessTopTerms(T(s, dir, "documents"), 5, 200)
         .orderBy("source", "rank")),
 
+    // Term burstiness: variance-to-mean ratio of per-doc counts over
+    // the top-200 vocabulary (Church & Gale) — topical vs filler terms.
+    "text_term_dispersion" -> ((s, dir) =>
+      TextAnalysis.termDispersion(T(s, dir, "documents"), 200)
+        .orderBy("term")),
+
     // PII audit over the documents corpus per source: emails / IPv4 /
     // phone-shaped / long digit runs. One conditional-aggregation scan;
     // a clean corpus legitimately reports zeros — the report IS the
@@ -2376,6 +2399,14 @@ object SparkEntry {
           "event_type", "ts", "value", 16)
         .withColumnRenamed("k", "event_type")
         .orderBy("event_type", "bucket")),
+
+    // Seasonal-naive backtest: forecast each hour as 24h earlier, MAE
+    // over the last 48 hours — the "can we just use last week" check.
+    "ts_backtest_naive" -> ((s, dir) =>
+      operators.TimeSeries.seasonalNaiveBacktest(T(s, dir, "events"),
+          "event_type", "ts", "value", 24, 48)
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")),
 
     // DFT amplitudes at harmonics 1-4 over each event type's hourly
     // mean series — the period-free spectral periodicity profile beside
@@ -4223,6 +4254,86 @@ object SparkEntry {
          |    / u_est.est, 4) AS jaccard_est
          |FROM a_est CROSS JOIN b_est CROSS JOIN u_est""".stripMargin
     },
+
+    // Peak concurrency: ana_interval_union's interval arithmetic, ±1
+    // deltas netted per second, ONE global running-sum window (sf-scale
+    // stand-in for the two-level prefix), earliest peak second.
+    "ana_peak_concurrency" ->
+      """WITH iv AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+        |        CAST(floor(epoch(ts)) AS BIGINT)
+        |          + CAST(floor(value * 60) AS BIGINT) AS end_s FROM events),
+        |d AS (SELECT t, CAST(sum(d) AS BIGINT) AS d FROM (
+        |      SELECT start_s AS t, 1 AS d FROM iv
+        |      UNION ALL SELECT end_s, -1 FROM iv) GROUP BY 1),
+        |r AS (SELECT t, sum(d) OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |      FROM d),
+        |p AS (SELECT CAST(max(conc) AS BIGINT) AS peak FROM r),
+        |n AS (SELECT count(*) AS n_intervals FROM iv)
+        |SELECT n_intervals, p.peak, min(t) AS peak_at_s
+        |FROM r CROSS JOIN p CROSS JOIN n WHERE conc = p.peak
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Type-overlap matrix: distinct (type, user) self-join, exact
+    // BIGINT counts, one rounded division per pair.
+    "ana_type_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS et, user_id AS u
+        |      FROM events),
+        |tot AS (SELECT et, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+        |i AS (SELECT a.et AS type_a, b.et AS type_b,
+        |        CAST(count(*) AS BIGINT) AS n_both
+        |      FROM tu a JOIN tu b ON a.u = b.u AND a.et < b.et
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
+        |  round(CAST(n_both AS DOUBLE)
+        |    / CAST(ta.n + tb.n - n_both AS DOUBLE), 6) AS jaccard
+        |FROM i JOIN tot ta ON ta.et = type_a JOIN tot tb ON tb.et = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // Term dispersion: postings-cardinality moments over the top-200
+    // vocabulary, exact integer sums, rounded divisions in the Spark
+    // side's operation order.
+    "text_term_dispersion" ->
+      """WITH t AS (SELECT doc_id,
+        |        unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |          AS term FROM documents),
+        |c AS (SELECT term, count(*) AS freq FROM t GROUP BY 1),
+        |v AS (SELECT term FROM (SELECT term, freq FROM c
+        |      ORDER BY freq DESC, term LIMIT 200)),
+        |dt AS (SELECT t.term, t.doc_id, CAST(count(*) AS BIGINT) AS c
+        |      FROM t JOIN v ON v.term = t.term GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |agg AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |        CAST(sum(c) AS BIGINT) AS freq,
+        |        CAST(sum(c * c) AS BIGINT) AS s2 FROM dt GROUP BY 1)
+        |SELECT term, df, freq,
+        |  round((CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE)
+        |    - (CAST(freq AS DOUBLE) / CAST(nd AS DOUBLE))
+        |      * (CAST(freq AS DOUBLE) / CAST(nd AS DOUBLE)))
+        |    / (CAST(freq AS DOUBLE) / CAST(nd AS DOUBLE)), 6) AS vmr
+        |FROM agg CROSS JOIN nd ORDER BY term""".stripMargin,
+
+    // Seasonal-naive backtest: the dft hour-index convention, a
+    // (key, h−24) self-join, DECIMAL |error| sums.
+    "ts_backtest_naive" ->
+      """WITH e AS (SELECT event_type AS k, epoch_us(ts) AS t,
+        |        CAST(value AS DOUBLE) AS v FROM events),
+        |bd AS (SELECT k, min(t) AS tmin FROM e GROUP BY 1),
+        |hh AS (SELECT e.k,
+        |        ((t - tmin) - (t - tmin) % 3600000000) // 3600000000 AS h,
+        |        count(*) AS nh,
+        |        sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS sv
+        |      FROM e JOIN bd ON bd.k = e.k GROUP BY 1, 2),
+        |hr AS (SELECT k, h, round(CAST(sv AS DOUBLE) / nh, 6) AS vh FROM hh),
+        |hm AS (SELECT k, max(h) AS hmax FROM hr GROUP BY 1),
+        |test AS (SELECT hr.k, h, vh FROM hr JOIN hm ON hm.k = hr.k
+        |      WHERE h > hmax - 48),
+        |fc AS (SELECT k, h + 24 AS h, vh AS pred FROM hr)
+        |SELECT t2.k AS event_type, count(*) AS n_test,
+        |  round(CAST(sum(CAST(round(abs(vh - pred), 6) AS DECIMAL(28,6)))
+        |    AS DOUBLE) / count(*), 6) AS mae
+        |FROM test t2 JOIN fc ON fc.k = t2.k AND fc.h = t2.h
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Inter-arrival histogram: per-user lag on (t, id) order, exact
     // integer gap seconds (remainder-subtracted division), the

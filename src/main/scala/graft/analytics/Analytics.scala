@@ -688,6 +688,75 @@ object Analytics {
         (col("n_active") - coalesce(col("n_new"), lit(0L))).as("n_returning"))
   }
 
+  /** Peak concurrency over [start, end) intervals: the maximum number
+    * of simultaneously-open intervals and the earliest second it is
+    * reached — the capacity-planning scalar (peak sessions, peak open
+    * connections) behind every "how big does the pool need to be"
+    * question. Classic ±1 sweep: +1 at each start, −1 at each end,
+    * deltas NETTED PER DISTINCT SECOND first (so same-second starts
+    * and ends need no intra-second ordering — [start, end) semantics
+    * fall out of the grouping), then a running sum over distinct
+    * seconds via the two-level bucketed prefix (range-bucket on
+    * broadcast min/max, per-bucket window, ≤`buckets`-row offset
+    * spine) — no global window over the timeline.
+    */
+  def peakConcurrency(intervals: DataFrame, startCol: String = "start_s",
+                      endCol: String = "end_s",
+                      buckets: Int = 32): DataFrame = {
+    val deltas = intervals
+      .select(col(startCol).cast("long").as("t"), lit(1L).as("d"))
+      .unionByName(intervals
+        .select(col(endCol).cast("long").as("t"), lit(-1L).as("d")))
+      .groupBy("t").agg(sum("d").as("d"))
+    val bounds = deltas.agg(min("t").as("lo"), max("t").as("hi"))
+    val b = deltas.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        ((col("t") - col("lo")) * buckets / (col("hi") - col("lo") + 1L))
+          .cast("int"))
+    val wOff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy("bucket").agg(sum("d").as("bd"))
+      .select(col("bucket"), coalesce(sum("bd").over(wOff), lit(0L)).as("off"))
+    val wIn = Window.partitionBy("bucket").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val running = b.join(broadcast(offsets), "bucket")
+      .select(col("t"), (sum("d").over(wIn) + col("off")).as("conc"))
+    val n = intervals.agg(count(lit(1)).as("n_intervals"))
+    val peak = running.agg(max("conc").as("peak"))
+    running.crossJoin(broadcast(peak)).filter(col("conc") === col("peak"))
+      .agg(min("t").as("peak_at_s"), min("peak").as("peak"))
+      .crossJoin(broadcast(n))
+      .select(col("n_intervals"), col("peak"), col("peak_at_s"))
+  }
+
+  /** Pairwise distinct-user overlap between event types: intersection
+    * count and exact Jaccard for every unordered type pair — the
+    * audience-overlap matrix ([[graft.operators.Sketch.hllSetOps]] is
+    * the sketch-space version of one cell; this is the exact small-k
+    * matrix). One distinct projection, one user-keyed self-join (pairs
+    * bounded by per-user type count ≤ k, never |users|²), one k²-row
+    * aggregate with per-type totals broadcast back.
+    */
+  def typeOverlapMatrix(events: DataFrame, typeCol: String = "event_type",
+                        userCol: String = "user_id"): DataFrame = {
+    val tu = events.select(col(typeCol).as("et"), col(userCol).as("u"))
+      .distinct()
+    val totals = tu.groupBy(col("et")).agg(count(lit(1)).as("n"))
+    val inter = tu.as("a").join(tu.as("b"),
+        col("a.u") === col("b.u") && col("a.et") < col("b.et"))
+      .groupBy(col("a.et").as("type_a"), col("b.et").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(totals.select(col("et").as("type_a"), col("n").as("n_a"))),
+        "type_a")
+      .join(broadcast(totals.select(col("et").as("type_b"), col("n").as("n_b"))),
+        "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Inter-arrival-time histogram: per-user gaps between consecutive
     * events, pooled into log₂-second buckets — the burstiness /
     * session-cadence profile (bucket b holds gaps in [2^(b−1), 2^b)

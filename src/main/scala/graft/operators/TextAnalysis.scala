@@ -1350,6 +1350,40 @@ object TextAnalysis {
           6).as("heaps_beta"))
   }
 
+  /** Term burstiness (dispersion) over the top-`maxVocab` vocabulary:
+    * per term, document frequency, total count, and the
+    * variance-to-mean ratio of its PER-DOCUMENT count including zeros
+    * (Church & Gale) — VMR ≈ 1 is Poisson-uniform filler, VMR ≫ 1 is a
+    * bursty topical term that piles into few documents. The content-vs-
+    * function-word axis a stopword list approximates by hand.
+    *
+    * Moments from exact integers: per-doc counts c are BIGINT, Σc and
+    * Σc² exact, mean/E[x²] one rounded division each over the doc
+    * count (zero-docs contribute zero to both sums, so only (doc,term)
+    * rows that EXIST are touched — cardinality = corpus postings, not
+    * docs×vocab). Output ≤ maxVocab rows.
+    */
+  def termDispersion(docs: DataFrame, maxVocab: Int = 200,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val v = vocabulary(docs, maxVocab, textCol, idCol).select("term")
+    val dt = docs
+      .select(col(idCol).as("doc_id"), explode(Fns.tokens(col(textCol))).as("term"))
+      .join(broadcast(v), "term")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    dt.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("c").as("freq"),
+        sum(col("c") * col("c")).as("s2"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"), col("freq"),
+        round((col("s2").cast("double") / col("nd").cast("double") -
+          (col("freq").cast("double") / col("nd").cast("double")) *
+            (col("freq").cast("double") / col("nd").cast("double"))) /
+          (col("freq").cast("double") / col("nd").cast("double")), 6)
+          .as("vmr"))
+  }
+
   /** Distinctive-terms ("keyness") report: for each source, the
     * `topK` most over-represented vocabulary terms by z-scored
     * smoothed log-odds ratio versus the REST of the corpus (the

@@ -527,6 +527,50 @@ object TimeSeries {
         max_by(col(valueCol), ord).as("v_last"))
   }
 
+  /** Seasonal-naive forecast backtest: predict each hour's mean as the
+    * value `periodHours` earlier and report the mean absolute error
+    * over the last `testHours` of the series — the one-line capacity-
+    * forecast sanity check every "can we just use last week" decision
+    * should cite. Test rows are hours where BOTH h and h−period exist
+    * (missing hours carry no forecast); per-key hourly means use the
+    * exact integer hour index (remainder-subtracted division) and
+    * 6-dp DECIMAL means; |error| terms are rounded into a DECIMAL sum,
+    * one final rounded division. Shape: one hourly aggregate, one
+    * (key, h−period) equi-self-join, one key aggregate.
+    */
+  def seasonalNaiveBacktest(events: DataFrame, keyCol: String, tsCol: String,
+                            valueCol: String, periodHours: Int = 24,
+                            testHours: Int = 48): DataFrame = {
+    require(periodHours >= 1, s"need periodHours >= 1, got $periodHours")
+    require(testHours >= 1, s"need testHours >= 1, got $testHours")
+    val e = events.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol)).as("t"),
+      col(valueCol).cast("double").as("v"))
+    val bounds = e.groupBy("k").agg(min("t").as("tmin"))
+    val hourly = e.join(bounds, "k")
+      .withColumn("h",
+        (((col("t") - col("tmin")) - (col("t") - col("tmin")) % 3600000000L)
+          / 3600000000L).cast("long"))
+      .groupBy("k", "h")
+      .agg(count(lit(1)).as("nh"),
+        sum(round(col("v"), 6).cast("decimal(28,6)")).as("sv"))
+      .select(col("k"), col("h"),
+        round(col("sv").cast("double") / col("nh"), 6).as("vh"))
+    val hmax = hourly.groupBy("k").agg(max("h").as("hmax"))
+    val test = hourly.join(hmax, "k")
+      .filter(col("h") > col("hmax") - testHours)
+      .select(col("k"), col("h"), col("vh"))
+    val fc = hourly.select(col("k"), (col("h") + periodHours).as("h"),
+      col("vh").as("pred"))
+    test.join(fc, Seq("k", "h"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_test"),
+        sum(round(abs(col("vh") - col("pred")), 6).cast("decimal(28,6)"))
+          .as("sae"))
+      .select(col("k"), col("n_test"),
+        round(col("sae").cast("double") / col("n_test"), 6).as("mae"))
+  }
+
   /** Discrete-Fourier spectral fingerprint: per key, the DFT amplitude
     * at harmonics k = 1..`harmonics` over the HOURLY mean series — the
     * frequency-domain periodicity profile that complements

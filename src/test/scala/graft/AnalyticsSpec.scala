@@ -395,4 +395,35 @@ class AnalyticsSpec extends SparkSpec {
     assert((b0.getInt(0), b0.getLong(1)) == (0, 1L))
   }
 
+
+  test("peakConcurrency: hand-computed sweep with same-second churn") {
+    // [0,10), [5,15), [5,8), [20,25): concurrency 1,3,2,1,0,1 ->
+    // peak 3 first reached at t=5; end-exclusive: at t=8 conc drops to 2
+    val iv = Seq((0L, 10L), (5L, 15L), (5L, 8L), (20L, 25L))
+      .toDF("start_s", "end_s")
+    val r = Analytics.peakConcurrency(iv).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 3L, 5L))
+    // an interval ending exactly when another starts never overlaps it
+    val touch = Seq((0L, 5L), (5L, 10L)).toDF("start_s", "end_s")
+    assert(Analytics.peakConcurrency(touch).collect().head.getLong(1) == 1L)
+  }
+
+  test("peakConcurrency is bucket-count invariant") {
+    val iv = (0L until 50L).map(i => (i, i + 7L)).toDF("start_s", "end_s")
+    val a = Analytics.peakConcurrency(iv, buckets = 1).collect().head
+    val b = Analytics.peakConcurrency(iv, buckets = 16).collect().head
+    assert(a == b && a.getLong(1) == 7L)
+  }
+
+  test("typeOverlapMatrix: exact intersections and Jaccard") {
+    val e = Seq((1L, "x"), (2L, "x"), (3L, "x"),
+      (2L, "y"), (3L, "y"), (4L, "y"), (9L, "z"))
+      .toDF("user_id", "event_type")
+    val out = Analytics.typeOverlapMatrix(e).orderBy("type_a", "type_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // x:{1,2,3} y:{2,3,4} -> inter 2, union 4 -> 0.5; z disjoint (no row)
+    assert(out.toSeq == Seq(("x", "y", 3L, 3L, 2L, 0.5)))
+  }
+
 }

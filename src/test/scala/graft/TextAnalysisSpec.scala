@@ -678,4 +678,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top1.toSeq == Seq(("A", 1L, "foo"), ("B", 1L, "bar")))
   }
 
+
+  test("termDispersion: bursty term has higher VMR than uniform filler") {
+    import graft.operators.TextAnalysis
+    // "the" once per doc (uniform); "cat" piles into one doc (bursty)
+    val docs = Seq((1L, "the cat cat cat cat"), (2L, "the x"),
+      (3L, "the y"), (4L, "the z")).toDF("doc_id", "text")
+    val out = TextAnalysis.termDispersion(docs, 200).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val (dfThe, fThe, vmrThe) = out("the")
+    assert((dfThe, fThe) == (4L, 4L) && vmrThe == 0.0) // exactly uniform
+    val (dfCat, fCat, vmrCat) = out("cat")
+    // cat: counts (4,0,0,0): mean 1, E[x2] 4 -> var 3 -> vmr 3
+    assert((dfCat, fCat) == (1L, 4L) && vmrCat == 3.0)
+  }
+
 }

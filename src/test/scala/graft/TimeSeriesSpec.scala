@@ -332,4 +332,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(f.forall(_.getDouble(3) < 1e-4))
   }
 
+
+  test("seasonalNaiveBacktest: hand-computed MAE over the test tail") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // hours 0..5, period 2, test last 2 hours: pred(4)=v(2), pred(5)=v(3)
+    // values 10,20,30,40,50,64 -> errors |50-30|, |64-40| -> MAE 22
+    val rows = Seq((0L, 10.0), (1L, 20.0), (2L, 30.0), (3L, 40.0),
+      (4L, 50.0), (5L, 64.0))
+      .toDF("hr", "value")
+      .select(lit("k").as("event_type"),
+        to_timestamp(col("hr") * 3600).as("ts"), col("value"))
+    val r = graft.operators.TimeSeries.seasonalNaiveBacktest(
+        rows, "event_type", "ts", "value", periodHours = 2, testHours = 2)
+      .collect().head
+    assert((r.getLong(1), r.getDouble(2)) == (2L, 22.0))
+  }
+
 }
