@@ -37,7 +37,8 @@ class PlanGuardSpec extends SparkSpec {
       // <= `buckets` (32)-row bucket-offset table (DataQuality.rankedCounts
       // / quantileScoreByGroup, StreamingJobs.lateEvents — the documented
       // tiny-spine exception, same class as sketch_histq's nBins scan)
-      "dq_ks_test", "dq_auc", "dq_quantile_score", "stream_late_events")
+      "dq_ks_test", "dq_auc", "dq_quantile_score", "stream_late_events",
+      "ana_peak_concurrency")
 
   test("no registered query plans an unpartitioned ordered Window (bounded allowlist aside)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -143,6 +144,34 @@ class PlanGuardSpec extends SparkSpec {
     val og = Similarity.embeddingOutliers(emb, 4, 0.9)
       .queryExecution.executedPlan.toString
     assert(og.contains("BroadcastExchange"), s"embeddingOutliers plan:\n$og")
+  }
+
+  test("round-12-late operators keep their scale shapes") {
+    val sf = "/root/testdata/sf0.001"
+    // dHash near-dup: the pair generator is the banded EQUI-self-join —
+    // never a cartesian product
+    val dh = SparkEntry.queries("mm_dhash_neardup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!dh.contains("CartesianProduct"), s"dhash cartesian:\n$dh")
+    // NB: the per-label model rows ride a broadcast into the tf table;
+    // no cartesian anywhere in train+score
+    val nb = SparkEntry.queries("ml_nb_accuracy")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(nb.contains("BroadcastExchange"), s"nb plan:\n$nb")
+    assert(!nb.contains("CartesianProduct"), s"nb cartesian:\n$nb")
+    // graph family: frontier/pruning joins are keyed equi-joins
+    for (q <- Seq("graph_bfs_hops", "graph_kcore", "graph_label_prop",
+        "graph_node_jaccard")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
+    // KS/AUC/late-events: the value spine never sorts globally — their
+    // only global window is the bucket-offset table (allowlist test
+    // asserts the window side; here pin that the broadcast carries it)
+    val ks = SparkEntry.queries("dq_ks_test")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ks.contains("BroadcastExchange"), s"ks plan:\n$ks")
   }
 
   test("scan evidence: filters push into parquet, projections prune columns") {
