@@ -1369,6 +1369,20 @@ object SparkEntry {
       operators.Graph.bfsHops(edges, seeds, 3).orderBy("node")
     }),
 
+    // Degree assortativity of the co-purchase graph — the one-scalar
+    // rich-club-or-hub-spoke diagnostic behind partitioning choices.
+    "graph_assortativity" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      operators.Graph.assortativity(edges)
+    }),
+
     // Truncated 3-core (3 pruning rounds) of the co-purchase graph —
     // densest-region extraction; threshold-only pruning, no tie-breaks.
     "graph_kcore" -> ((s, dir) => {
@@ -1766,6 +1780,12 @@ object SparkEntry {
     "text_term_dispersion" -> ((s, dir) =>
       TextAnalysis.termDispersion(T(s, dir, "documents"), 200)
         .orderBy("term")),
+
+    // Flesch / Flesch-Kincaid readability per doc (regex word/sentence/
+    // vowel-group counts) — the classic quality prior.
+    "text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(T(s, dir, "documents"))
+        .orderBy("doc_id")),
 
     // PII audit over the documents corpus per source: emails / IPv4 /
     // phone-shaped / long digit runs. One conditional-aggregation scan;
@@ -5975,6 +5995,54 @@ object SparkEntry {
         |SELECT n_a, n_b,
         |  round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cosine,
         |  round(sqrt(d2), 6) AS l2 FROM agg""".stripMargin,
+
+    // Readability: len(regexp_extract_all) counts, the two formulas
+    // transcribed in the Spark side's operation order.
+    "text_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+        |      AS n_words,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT))
+        |      AS n_sentences,
+        |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+        |    6) AS flesch_ease,
+        |  round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    - 15.59, 6) AS fk_grade
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+
+    // Assortativity: symmetric directed-edge view, five DECIMAL(38,0)
+    // exact sums, one rounded Pearson division.
+    "graph_assortativity" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+        |      FROM lineitem),
+        |e AS (SELECT l.pt AS src, r.pt AS dst, count(*) AS c
+        |      FROM it l JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT src AS u, dst AS v FROM e
+        |      UNION SELECT dst, src FROM e),
+        |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+        |      FROM und GROUP BY 1),
+        |j AS (SELECT dx.deg AS x, dy.deg AS y FROM und
+        |      JOIN deg dx ON dx.node = und.u
+        |      JOIN deg dy ON dy.node = und.v),
+        |a AS (SELECT count(*) AS m,
+        |        CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        |      FROM j)
+        |SELECT m AS n_directed_edges,
+        |  round((CAST(m AS DOUBLE) * sxy - sx * sx)
+        |    / nullif(CAST(m AS DOUBLE) * sxx - sx * sx, 0.0), 6)
+        |    AS assortativity
+        |FROM a""".stripMargin,
 
     // k-core: three unrolled pruning rounds — degree within the
     // surviving subgraph via two semijoins, threshold filter, repeat.

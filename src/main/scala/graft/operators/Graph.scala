@@ -389,6 +389,38 @@ object Graph {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Degree assortativity coefficient (Newman): the Pearson correlation
+    * of endpoint degrees over the directed-edge view of the undirected
+    * graph — one scalar separating hub-to-hub "rich-club" topologies
+    * (r > 0) from hub-and-spoke ones (r < 0), which decides whether
+    * degree-based partitioning will skew. Symmetric edge list ⇒
+    * Σx = Σy and Σx² = Σy², so five exact integer sums (DECIMAL(38,0),
+    * order-free; degrees are BIGINTs) feed one rounded division.
+    * Cost: one degree aggregate joined onto both endpoints, one reduce.
+    */
+  def assortativity(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,0)")).cast("double")
+    und
+      .join(deg.select(col("node").as("u"), col("deg").as("x")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("y")), "v")
+      .agg(count(lit(1)).as("m"), dsum(col("x")).as("sx"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("x") * col("y")).as("sxy"))
+      .select(col("m").as("n_directed_edges"),
+        // try_divide: a degree-regular graph has zero degree variance —
+        // assortativity is undefined there, reported as NULL
+        round(try_divide(
+          col("m").cast("double") * col("sxy") - col("sx") * col("sx"),
+          col("m").cast("double") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("assortativity"))
+  }
+
   /** Synchronous majority-vote label propagation (`rounds` rounds) over
     * the undirected edge view: every node adopts the most frequent label
     * among its neighbors (ties → smallest label; isolated nodes keep

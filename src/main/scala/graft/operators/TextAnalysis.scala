@@ -1350,6 +1350,43 @@ object TextAnalysis {
           6).as("heaps_beta"))
   }
 
+  /** Readability scores per document: Flesch reading-ease and
+    * Flesch–Kincaid grade from regex-counted words, sentence
+    * terminators and vowel-group "syllables" — the classic text-quality
+    * prior (too-hard and too-trivial documents both correlate with low
+    * training value). The syllable count is the standard vowel-run
+    * approximation, stated as such; a corpus with no terminators reads
+    * as one long sentence (max(1, ·)). Pure per-row regex counting +
+    * two fixed-order rounded formulas — one narrow scan, trivially
+    * engine-identical. Docs with zero words are excluded (both formulas
+    * divide by words).
+    */
+  def readability(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val words = size(regexp_extract_all(col(textCol),
+      lit("[A-Za-z0-9]+"), lit(0))).cast("long")
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]"), lit(0)))
+        .cast("long"))
+    val sylls = size(regexp_extract_all(col(textCol),
+      lit("[aeiouyAEIOUY]+"), lit(0))).cast("long")
+    docs.select(col(idCol).as("doc_id"), words.as("n_words"),
+        sents.as("n_sentences"), sylls.as("n_syllables"))
+      .filter(col("n_words") > 0L)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")), 6).as("flesch_ease"),
+        round(lit(0.39) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) +
+          lit(11.8) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")) - lit(15.59), 6)
+          .as("fk_grade"))
+  }
+
   /** Term burstiness (dispersion) over the top-`maxVocab` vocabulary:
     * per term, document frequency, total count, and the
     * variance-to-mean ratio of its PER-DOCUMENT count including zeros

@@ -186,4 +186,16 @@ class GraphSpec extends SparkSpec {
     assert((a.getLong(2), a.getDouble(3)) == (1L, 0.5))
   }
 
+
+  test("assortativity: star is maximally disassortative, clique undefined") {
+    // star: hub degree 3, leaves degree 1 -> r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r = Graph.assortativity(star).collect().head
+    assert(r.getLong(0) == 6L && r.getDouble(1) == -1.0)
+    // regular graph (4-cycle): zero degree variance -> 0/0 -> NaN/NULL-ish
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val c = Graph.assortativity(cyc).collect().head
+    assert(c.isNullAt(1) || c.getDouble(1).isNaN)
+  }
+
 }

@@ -694,4 +694,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert((dfCat, fCat) == (1L, 4L) && vmrCat == 3.0)
   }
 
+
+  test("readability: hand-computed Flesch on a two-sentence doc") {
+    import graft.operators.TextAnalysis
+    // "See the cat. It ran!": words 5, sentences 2, syllable groups:
+    // ee, e, a, I, a -> 5
+    val docs = Seq((1L, "See the cat. It ran!"), (2L, "...")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs).collect()
+    assert(out.length == 1) // zero-word doc drops
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (5L, 2L, 5L))
+    val ease = 206.835 - 1.015 * (5.0 / 2) - 84.6 * (5.0 / 5)
+    assert(math.abs(r.getDouble(4) - ease) < 1e-6)
+    val fk = 0.39 * (5.0 / 2) + 11.8 * (5.0 / 5) - 15.59
+    assert(math.abs(r.getDouble(5) - fk) < 1e-6)
+  }
+
 }
