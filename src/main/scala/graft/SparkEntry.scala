@@ -2318,6 +2318,15 @@ object SparkEntry {
       operators.DocPipeline.prepare(T(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // The ML face of the same chain: gate → dedup → leak-free split →
+    // NB trained on the train shard, evaluated on the test shard — a
+    // real generalization number over pipeline-curated data, checked as
+    // one CTE-chain oracle (cross-stage contract drift shows as a
+    // recall shift no solo oracle can see).
+    "pipeline_ml_e2e" -> ((s, dir) =>
+      operators.DocPipeline.prepareAndEval(T(s, dir, "documents"))
+        .orderBy("label")),
+
     // Gap-fill resample: per-user hourly grid, forward-filled values
     // (n = 0 marks filled buckets). User subset keeps the grid bounded.
     "ts_resample" -> ((s, dir) =>
@@ -6596,6 +6605,70 @@ object SparkEntry {
          |SELECT doc_id, shard, n_subwords,
          |  CAST(floor((cum - n_subwords) / 400.0) AS BIGINT) AS seq_id
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // ML pipeline chain: the docs-pipeline front end (same CTEs), then
+    // the NB train/score chain with model stats from the TRAIN shard
+    // only and scoring over the TEST shard.
+    "pipeline_ml_e2e" ->
+      s"""WITH scrub AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(text, '${TextAnalysis.urlPattern}', '<URL>', 'g'),
+         |      '${TextAnalysis.emailPattern}', '<EMAIL>', 'g') AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, text,
+         |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |       FROM scrub),
+         |kept AS (SELECT doc_id, text, toks FROM tk
+         |         WHERE len(toks) >= 25
+         |           AND CAST(len(list_filter(toks, t -> list_contains($stopwordList, t))) AS DOUBLE)
+         |               / len(toks) <= 0.15),
+         |ded AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+         |sp AS (SELECT k.doc_id, k.toks, d2.lang,
+         |    CASE WHEN ((k.doc_id % 2147483648) * 2654435761) % 4294967296
+         |           < ${Sampling.splitCut(0.1)} THEN 'val'
+         |         WHEN ((k.doc_id % 2147483648) * 2654435761) % 4294967296
+         |           < ${Sampling.splitCut(0.2)} THEN 'test'
+         |         ELSE 'train' END AS split
+         |  FROM kept k JOIN ded USING (doc_id)
+         |  JOIN documents d2 USING (doc_id)),
+         |ttr AS (SELECT lang AS y, unnest(toks) AS term FROM sp
+         |      WHERE split = 'train'),
+         |tte AS (SELECT doc_id, unnest(toks) AS term FROM sp
+         |      WHERE split = 'test'),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |      FROM tte GROUP BY 1, 2),
+         |ct AS (SELECT y AS l, term, CAST(count(*) AS BIGINT) AS c
+         |      FROM ttr GROUP BY 1, 2),
+         |ctot AS (SELECT l, CAST(sum(c) AS BIGINT) AS nl FROM ct GROUP BY 1),
+         |voc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM ct),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM sp
+         |      WHERE split = 'train'),
+         |pri AS (SELECT lang AS l, CAST(count(*) AS BIGINT) AS dl FROM sp
+         |      WHERE split = 'train' GROUP BY 1),
+         |langs AS (SELECT pri.l, ctot.nl, voc.v,
+         |        round(ln(CAST(dl AS DOUBLE) / CAST(nd.nd AS DOUBLE)), 6)
+         |          AS lprior
+         |      FROM pri CROSS JOIN nd CROSS JOIN voc
+         |      JOIN ctot ON ctot.l = pri.l),
+         |tll AS (SELECT tf.doc_id, langs.l, langs.lprior,
+         |        round(CAST(tf AS DOUBLE) *
+         |          ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE) /
+         |            CAST(langs.nl + langs.v AS DOUBLE)), 6) AS ll
+         |      FROM tf CROSS JOIN langs
+         |      LEFT JOIN ct ON ct.l = langs.l AND ct.term = tf.term),
+         |sc AS (SELECT doc_id, l,
+         |        round(CAST(sum(CAST(ll AS DECIMAL(28,6))) AS DOUBLE)
+         |          + lprior, 6) AS score
+         |      FROM tll GROUP BY doc_id, l, lprior),
+         |pred AS (SELECT doc_id, l AS pred FROM (
+         |      SELECT doc_id, l, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, l) AS rn FROM sc) WHERE rn = 1)
+         |SELECT sp.lang AS label, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN pred = sp.lang THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  round(CAST(sum(CASE WHEN pred = sp.lang THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+         |FROM pred JOIN sp USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ts_resample" ->
       """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS bucket, value

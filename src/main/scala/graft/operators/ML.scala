@@ -128,19 +128,37 @@ object ML {
     */
   def naiveBayesAccuracy(docs: DataFrame, labelCol: String = "lang",
                          textCol: String = "text",
-                         idCol: String = "doc_id"): DataFrame = {
+                         idCol: String = "doc_id"): DataFrame =
+    naiveBayesEval(docs, docs, labelCol, textCol, idCol)
+
+  /** The general train/test form of the NB classifier: the model
+    * (class-term counts, totals, vocabulary, priors) comes from
+    * `train`; every `test` doc is scored and the per-class recall
+    * reported. `naiveBayesAccuracy` is the self-consistency
+    * specialization (train = test); composed with a leak-free split
+    * this is a real generalization measurement
+    * ([[DocPipeline.prepareAndEval]]). Test-only terms fall back to the
+    * smoothed zero-count likelihood; test docs with zero tokens carry
+    * no evidence and drop (inner token join).
+    */
+  def naiveBayesEval(train: DataFrame, test: DataFrame,
+                     labelCol: String = "lang", textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
     import graft.functions.Fns
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("doc_id"), col(labelCol).as("y"),
+    val trainToks = train.select(col(labelCol).as("y"),
       explode(Fns.tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val docLabels = docs.select(col(idCol).as("doc_id"), col(labelCol).as("y"))
-    val classTerm = toks.groupBy(col("y").as("l"), col("term"))
+    val tf = test.select(col(idCol).as("doc_id"),
+        explode(Fns.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val testLabels = test.select(col(idCol).as("doc_id"), col(labelCol).as("y"))
+    val trainLabels = train.select(col(labelCol).as("y"))
+    val classTerm = trainToks.groupBy(col("y").as("l"), col("term"))
       .agg(count(lit(1)).as("c"))
     val classTot = classTerm.groupBy("l").agg(sum("c").as("nl"))
-    val vocab = tf.select("term").distinct().agg(count(lit(1)).as("v"))
-    val langs = docLabels.groupBy(col("y").as("l")).agg(count(lit(1)).as("dl"))
-      .crossJoin(broadcast(docLabels.agg(count(lit(1)).as("nd"))))
+    val vocab = classTerm.select("term").distinct().agg(count(lit(1)).as("v"))
+    val langs = trainLabels.groupBy(col("y").as("l")).agg(count(lit(1)).as("dl"))
+      .crossJoin(broadcast(trainLabels.agg(count(lit(1)).as("nd"))))
       .crossJoin(broadcast(vocab))
       .join(classTot, "l")
       .select(col("l"), col("nl"), col("v"),
@@ -160,7 +178,7 @@ object ML {
       .orderBy(col("score").desc, col("l").asc)
     scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("l").as("pred"))
-      .join(docLabels, "doc_id")
+      .join(testLabels, "doc_id")
       .groupBy(col("y").as("label"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))

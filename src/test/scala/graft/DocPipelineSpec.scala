@@ -27,4 +27,23 @@ class DocPipelineSpec extends SparkSpec {
     assert(byId(1L)._2 > 30L)
     assert(out.map(_.getLong(3)).forall(_ >= 0L))
   }
+
+  test("prepareAndEval: disjoint vocabularies generalize perfectly through the chain") {
+    import org.apache.spark.sql.functions.col
+    // 80 unique 26-token docs (pass the gate, survive dedup), two
+    // languages with fully disjoint vocabularies -> the NB trained on
+    // the train shard must classify every test-shard doc correctly
+    val docs = (1L to 80L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      val base = (1 to 25).map(j => s"${lang}tok$j").mkString(" ")
+      (i, s"$base uniq$i", lang)
+    }.toDF("doc_id", "text", "lang")
+    val out = graft.operators.DocPipeline.prepareAndEval(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._3 == 1.0), out.mkString(", "))
+    // both sides of the chain saw real data: test shard is a strict
+    // subset of the corpus
+    assert(out.map(_._2).sum < 80L && out.map(_._2).sum > 0L)
+  }
 }
