@@ -597,6 +597,13 @@ object SparkEntry {
       Analytics.retention(T(s, dir, "events"))
         .orderBy("cohort_week", "week_offset")),
 
+    // Stage-to-stage funnel latency: median/p90 seconds from first
+    // signup to first click to first purchase — the funnel as an SLA.
+    "ana_stage_latency" -> ((s, dir) =>
+      Analytics.stageLatency(T(s, dir, "events"),
+        Seq("signup", "click", "purchase"))
+        .orderBy("stage_idx")),
+
     // Inter-arrival-time histogram (log2-second buckets, exact integer
     // arithmetic end-to-end) — the burstiness profile behind session-gap
     // and watermark choices.
@@ -1741,6 +1748,12 @@ object SparkEntry {
         e.filter(Fns.pmod(col("event_id"), lit(10L)) < 6),
         e.filter(Fns.pmod(col("event_id"), lit(10L)) >= 4), "event_id", 10)
     }),
+
+    // Embedding L2-norm histogram — the encoder-health monitor
+    // (collapsed or bimodal norms read off the 10-bin card).
+    "emb_norm_hist" -> ((s, dir) =>
+      operators.Similarity.normHistogram(T(s, dir, "embeddings"), 10)
+        .orderBy("bin")),
 
     // PQ codebook-quality card: per subspace, codes used + mean/max
     // assignment distortion over the emb_pq code table.
@@ -4283,6 +4296,51 @@ object SparkEntry {
          |    / u_est.est, 4) AS jaccard_est
          |FROM a_est CROSS JOIN b_est CROSS JOIN u_est""".stripMargin
     },
+
+    // Stage latency: first-to-first pairs, exact integer gap seconds,
+    // quantile_cont for Spark's interpolated percentile.
+    "ana_stage_latency" ->
+      """WITH f AS (SELECT user_id AS u, event_type AS stage,
+        |        min(epoch_us(ts)) AS t FROM events
+        |      WHERE event_type IN ('signup', 'click', 'purchase')
+        |      GROUP BY 1, 2),
+        |p0 AS (SELECT 0 AS stage_idx, 'signup' AS from_stage,
+        |        'click' AS to_stage, count(*) AS n_users,
+        |        round(quantile_cont(dt_s, 0.5), 6) AS median_s,
+        |        round(quantile_cont(dt_s, 0.9), 6) AS p90_s
+        |      FROM (SELECT ((b.t - a.t) - (b.t - a.t) % 1000000)
+        |              // 1000000 AS dt_s
+        |            FROM f a JOIN f b ON a.u = b.u
+        |              AND a.stage = 'signup' AND b.stage = 'click'
+        |            WHERE b.t > a.t)),
+        |p1 AS (SELECT 1 AS stage_idx, 'click' AS from_stage,
+        |        'purchase' AS to_stage, count(*) AS n_users,
+        |        round(quantile_cont(dt_s, 0.5), 6) AS median_s,
+        |        round(quantile_cont(dt_s, 0.9), 6) AS p90_s
+        |      FROM (SELECT ((b.t - a.t) - (b.t - a.t) % 1000000)
+        |              // 1000000 AS dt_s
+        |            FROM f a JOIN f b ON a.u = b.u
+        |              AND a.stage = 'click' AND b.stage = 'purchase'
+        |            WHERE b.t > a.t))
+        |SELECT * FROM p0 UNION ALL SELECT * FROM p1
+        |ORDER BY stage_idx""".stripMargin,
+
+    // Norm histogram: DECIMAL-exact squared sums, one rounded sqrt,
+    // PSI binning arithmetic.
+    "emb_norm_hist" ->
+      """WITH f AS (SELECT vec_id,
+        |        CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |n AS (SELECT vec_id, round(sqrt(CAST(sum(CAST(round(x * x, 6)
+        |          AS DECIMAL(18,6))) AS DOUBLE)), 6) AS nrm
+        |      FROM f GROUP BY 1),
+        |b AS (SELECT CAST(min(nrm) AS DOUBLE) AS lo,
+        |        CAST(max(nrm) AS DOUBLE) AS hi FROM n),
+        |bb AS (SELECT CASE WHEN hi = lo THEN 0 ELSE
+        |        CAST(least(greatest(floor((nrm - lo) / ((hi - lo) / 10)), 0),
+        |          9) AS INT) END AS bin, nrm FROM n CROSS JOIN b)
+        |SELECT bin, count(*) AS n, min(nrm) AS min_norm,
+        |  max(nrm) AS max_norm
+        |FROM bb GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Peak concurrency: ana_interval_union's interval arithmetic, ±1
     // deltas netted per second, ONE global running-sum window (sf-scale

@@ -688,6 +688,46 @@ object Analytics {
         (col("n_active") - coalesce(col("n_new"), lit(0L))).as("n_returning"))
   }
 
+  /** Stage-to-stage funnel latency: for each consecutive pair in
+    * `stages`, the users whose FIRST occurrence of the later stage
+    * falls strictly after their first occurrence of the earlier one,
+    * with median and p90 of the gap in whole seconds — the
+    * time-to-convert numbers that turn a conversion funnel
+    * ([[funnel]]) into an SLA. First-to-first by contract (re-entries
+    * don't reset the clock); gaps are exact integer seconds
+    * (remainder-subtracted epoch-micros division); percentiles are the
+    * exact interpolated `percentile` rounded to 6 dp (the
+    * [[rfm]]/quantile convention).
+    *
+    * One (user, stage) min aggregate, then per pair one user-keyed
+    * join and a percentile reduce — stages are a constant list, so the
+    * union is plan-width, not data-width.
+    */
+  def stageLatency(events: DataFrame, stages: Seq[String],
+                   userCol: String = "user_id", typeCol: String = "event_type",
+                   tsCol: String = "ts"): DataFrame = {
+    require(stages.size >= 2, s"need >= 2 stages, got ${stages.size}")
+    val firsts = events.filter(col(typeCol).isin(stages: _*))
+      .groupBy(col(userCol).as("u"), col(typeCol).as("stage"))
+      .agg(min(unix_micros(col(tsCol))).as("t"))
+    stages.sliding(2).toSeq.zipWithIndex.map { case (pair, i) =>
+      val (a, b) = (pair.head, pair.last)
+      val fa = firsts.filter(col("stage") === a)
+        .select(col("u"), col("t").as("ta"))
+      val fb = firsts.filter(col("stage") === b)
+        .select(col("u"), col("t").as("tb"))
+      val d = col("tb") - col("ta")
+      fa.join(fb, "u").filter(col("tb") > col("ta"))
+        .select(((d - d % 1000000L) / 1000000L).cast("long").as("dt_s"))
+        .agg(count(lit(1)).as("n_users"),
+          round(percentile(col("dt_s"), lit(0.5)), 6).as("median_s"),
+          round(percentile(col("dt_s"), lit(0.9)), 6).as("p90_s"))
+        .select(lit(i).as("stage_idx"), lit(a).as("from_stage"),
+          lit(b).as("to_stage"), col("n_users"), col("median_s"),
+          col("p90_s"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Peak concurrency over [start, end) intervals: the maximum number
     * of simultaneously-open intervals and the earliest second it is
     * reached — the capacity-planning scalar (peak sessions, peak open

@@ -926,6 +926,35 @@ object Similarity {
           * (col("sj").cast("double") / col("n")), 6) + lit(0.0)).as("cov"))
   }
 
+  /** Embedding L2-norm histogram: per-vector norms bucketed into
+    * `bins` equal-width intervals over the observed range, with
+    * per-bin counts and min/max — the five-second encoder-health
+    * monitor (collapsed norms = dead encoder, a bimodal split = two
+    * populations that will not share a cosine threshold). Norms come
+    * from 6-dp-quantized DECIMAL sums of squares (exact, order-free)
+    * under one sqrt rounded to 6 dp; binning is the PSI
+    * reference-anchored arithmetic on broadcast min/max scalars.
+    */
+  def normHistogram(embeddings: DataFrame, bins: Int = 10,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(bins >= 1, s"need bins >= 1, got $bins")
+    val norms = flatten(embeddings, idCol, vecCol)
+      .groupBy("vec_id")
+      .agg(sum(round(col("x") * col("x"), 6).cast("decimal(18,6)")).as("s2"))
+      .select(round(sqrt(col("s2").cast("double")), 6).as("nrm"))
+    val bounds = norms.agg(min("nrm").as("lo"), max("nrm").as("hi"))
+    norms.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(greatest(floor((col("nrm") - col("lo")) /
+            ((col("hi") - col("lo")) / bins)), lit(0)), lit(bins - 1)))
+          .cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("nrm").as("min_norm"),
+        max("nrm").as("max_norm"))
+  }
+
   /** Embedding-distribution drift between two cohorts (time slices,
     * sources, pipeline versions): the cosine and L2 distance between
     * the cohorts' centroid (per-dimension mean) vectors — the cheap

@@ -426,4 +426,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("x", "y", 3L, 3L, 2L, 0.5)))
   }
 
+
+  test("stageLatency: hand-computed first-to-first gaps") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // user 1: signup@0, click@10, purchase@70 -> gaps 10 and 60
+    // user 2: signup@100, click@90 (click BEFORE signup -> excluded)
+    val rows = Seq(
+      (1L, "signup", 0.0), (1L, "click", 10.0), (1L, "purchase", 70.0),
+      (2L, "signup", 100.0), (2L, "click", 90.0))
+      .toDF("user_id", "event_type", "sec")
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(col("sec")).as("ts"))
+    val out = Analytics.stageLatency(rows,
+        Seq("signup", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0, "signup", "click", 1L, 10.0),
+      (1, "click", "purchase", 1L, 60.0)))
+  }
+
 }

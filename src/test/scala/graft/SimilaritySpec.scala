@@ -462,4 +462,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 10.0), (2L, 1L, 0.9), (3L, 3L, -5.0)))
   }
 
+
+  test("normHistogram: exact norms into equal-width bins") {
+    // norms 1, 5 over 2-dim vectors; range [1,5], 2 bins of width 2
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),   // norm 1 -> bin 0
+      (3L, Seq(3.0f, 4.0f)))                          // norm 5 -> bin 1
+      .toDF("vec_id", "embedding")
+    val out = Similarity.normHistogram(e, 2).orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0, 2L, 1.0, 1.0), (1, 1L, 5.0, 5.0)))
+  }
+
 }
