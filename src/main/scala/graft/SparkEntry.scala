@@ -1039,6 +1039,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Mutual 5-NN similarity graph over ALL vectors: an undirected edge
+    // survives iff each endpoint is in the other's top-5 — the noisy
+    // directed k-NN list turned into the similarity graph that LPA /
+    // SemDeDup-style carving consume. Exact brute k-NN here (the verify
+    // baseline); at 100 TB feed mutualKnnGraph the lshAnnTopK / ivfTopK
+    // neighbor list instead — the graph construction is input-agnostic.
+    "ann_knn_graph" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.mutualKnnGraph(Similarity.bruteForceTopK(emb, emb, 5))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Exact max-inner-product top-10 for the same 8 probes — the
     // magnitude-aware retrieval semantic (recommendation scoring);
     // the exact baseline the norm-augmented ANN path measures against.
@@ -1171,6 +1183,19 @@ object SparkEntry {
     // multi-word-expression miner over corpus bigram/unigram counts.
     "text_pmi" -> ((s, dir) =>
       TextAnalysis.pmiBigrams(T(s, dir, "documents"), 50)),
+
+    // Dunning G² collocations: 2×2 contingency over bigram positions,
+    // log-likelihood-ratio scored — rewards pairs both surprising AND
+    // well-attested where PMI explodes on rare ones. Top-40, c_ab >= 5.
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.g2Collocations(T(s, dir, "documents"), 40)),
+
+    // Pairwise Jensen–Shannon divergence between per-source unigram
+    // distributions — "is source X redundant with Y" for mixture design;
+    // bounded ≤ ln 2, symmetric, union-of-support exact.
+    "text_jsd" -> ((s, dir) =>
+      TextAnalysis.jsdBySource(T(s, dir, "documents"))
+        .orderBy("source_a", "source_b")),
 
     // Hot-bigram boilerplate removal: grams in >= 8% of docs are dropped
     // position-wise and each doc is reassembled (CCNet-style cleanup).
@@ -1388,6 +1413,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
         .select("src", "dst")
       operators.Graph.assortativity(edges)
+    }),
+
+    // Adamic–Adar link prediction over the co-purchase graph: NON-adjacent
+    // part pairs ranked by hub-discounted common-neighbor mass (wedge-join
+    // bounded; score >= 1.0 prunes the tail).
+    "graph_adamic_adar" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      operators.Graph.adamicAdar(edges, 1.0).orderBy("x", "y")
     }),
 
     // Truncated 3-core (3 pruning rounds) of the co-purchase graph —
@@ -1682,6 +1722,34 @@ object SparkEntry {
     "dq_mutual_info" -> ((s, dir) =>
       operators.DataQuality.mutualInfo(T(s, dir, "documents"),
         "source", "lang")),
+
+    // Deequ-style declarative constraint suite over events: every rule is
+    // one conditional sum inside a SINGLE partial aggregate (one scan, one
+    // scalar row, rules unfold from an inline array; NULL predicate =
+    // violation — three-valued logic closed).
+    "dq_constraints" -> ((s, dir) =>
+      operators.DataQuality.constraintSuite(T(s, dir, "events"), Seq(
+        "value_non_negative" -> (col("value") >= 0),
+        "event_type_known" -> col("event_type").isin(
+          "click", "view", "purchase", "signup", "error"),
+        "user_id_present" -> col("user_id").isNotNull,
+        "ts_in_range" -> (col("ts") >= lit("2023-01-01") &&
+          col("ts") < lit("2027-01-01")),
+        "props_parseable" -> col("props").isNotNull))
+        .orderBy("rule_idx")),
+
+    // Referential-integrity audit of the star schema: orphan scans for
+    // lineitem→orders, orders→customer, lineitem→part (left-anti per
+    // relation; Catalyst broadcasts dim-sized parents).
+    "dq_referential" -> ((s, dir) =>
+      operators.DataQuality.referentialIntegrity(Seq(
+        ("lineitem_orders", T(s, dir, "lineitem"), "l_orderkey",
+          T(s, dir, "orders"), "o_orderkey"),
+        ("orders_customer", T(s, dir, "orders"), "o_custkey",
+          T(s, dir, "customer"), "c_custkey"),
+        ("lineitem_part", T(s, dir, "lineitem"), "l_partkey",
+          T(s, dir, "part"), "p_partkey")))
+        .orderBy("relation")),
 
     // Two full-batch logistic-regression GD steps over the embedding
     // features (label = class < 5) from w = 0 — the quality-classifier
@@ -2401,6 +2469,15 @@ object SparkEntry {
           T(s, dir, "events"), "user_id", "ts", "value")
         .orderBy("user_id")),
 
+    // Theil–Sen robust trend per user: slope = median pairwise slope over
+    // the observed hourly buckets (≤ 512 per key before the per-key
+    // quadratic), intercept = median residual — the outlier-immune face
+    // of ts_ols.
+    "ts_theil_sen" -> ((s, dir) =>
+      operators.TimeSeries.theilSen(
+          T(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id")),
+
     // Lag-1 cross-correlation between each user's hourly value-sum and
     // event-count series — both series from ONE bucketize pass.
     "ts_xcorr" -> ((s, dir) =>
@@ -2671,6 +2748,14 @@ object SparkEntry {
       Sampling.weightedSample(T(s, dir, "documents"), "doc_id", "n_chars", 60)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
+
+    // Distributed Poisson bootstrap: 95% CI on the per-type mean value
+    // from 50 deterministic Poisson(1) resamples — error bars on a 100 TB
+    // aggregate with one scan and no global coordination (Chamandy et al.).
+    "sample_bootstrap_ci" -> ((s, dir) =>
+      Sampling.bootstrapCI(T(s, dir, "events"), "event_type", "event_id",
+        "value", reps = 50, level = 0.95)
+        .orderBy("event_type")),
 
     // Random-signs projection on int8 codes: exact integer dots, 8 longs
     // per vector — the JL-style distance sketch. NULL-quantized rows
@@ -3847,6 +3932,23 @@ object SparkEntry {
 
     "ann_brute_topk" -> bruteAnnOracle,
 
+    // Mutual 5-NN graph: exact brute k-NN per vector, then the pair
+    // survives only when membership is mutual (a < b).
+    "ann_knn_graph" ->
+      """WITH e AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |s AS (SELECT a.vec_id AS qid, c.vec_id AS nid,
+        |        list_cosine_similarity(a.v, c.v) AS cos
+        |      FROM e a, e c WHERE a.vec_id <> c.vec_id),
+        |k AS (SELECT qid, nid, cos FROM s WHERE cos IS NOT NULL
+        |      QUALIFY row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, nid) <= 5)
+        |SELECT a.qid AS id_a, a.nid AS id_b, round(a.cos, 6) AS cosine
+        |FROM k a JOIN k b ON a.qid = b.nid AND a.nid = b.qid
+        |  AND a.qid < a.nid
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // MIPS mirror: list_inner_product for graft_dot, 6-dp-rounded
     // before the rank window (same membership discipline as cosine).
     "ann_mips_topk" ->
@@ -4542,6 +4644,74 @@ object SparkEntry {
          |CROSS JOIN tot
          |WHERE c_ab >= 5
          |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
+
+    // G² collocations: marginals from the bigram table itself (first/
+    // second position), four zero-guarded k·ln(kM/RC) terms, ×2.
+    "text_collocations" ->
+      s"""WITH base AS ($docToks),
+         |g AS (SELECT list_transform(range(len(toks) - 1),
+         |        i -> concat(toks[i + 1], ' ', toks[i + 2])) AS gs
+         |      FROM base WHERE len(toks) >= 2),
+         |bi AS (SELECT bigram, CAST(count(*) AS BIGINT) AS k11
+         |       FROM (SELECT unnest(gs) AS bigram FROM g) GROUP BY 1),
+         |bw AS (SELECT bigram, k11, string_split(bigram, ' ')[1] AS w1,
+         |         string_split(bigram, ' ')[2] AS w2 FROM bi),
+         |r AS (SELECT w1, CAST(sum(k11) AS BIGINT) AS ra FROM bw GROUP BY 1),
+         |c AS (SELECT w2, CAST(sum(k11) AS BIGINT) AS cb FROM bw GROUP BY 1),
+         |tot AS (SELECT CAST(sum(k11) AS BIGINT) AS m FROM bi)
+         |SELECT bigram, k11 AS c_ab, ra AS c_a_first, cb AS c_b_second,
+         |  round(2.0 * (
+         |    CASE WHEN k11 > 0 THEN CAST(k11 AS DOUBLE) *
+         |      ln(CAST(k11 AS DOUBLE) * CAST(m AS DOUBLE)
+         |        / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))) ELSE 0 END
+         |    + CASE WHEN ra - k11 > 0 THEN CAST(ra - k11 AS DOUBLE) *
+         |      ln(CAST(ra - k11 AS DOUBLE) * CAST(m AS DOUBLE)
+         |        / (CAST(ra AS DOUBLE) * CAST(m - cb AS DOUBLE))) ELSE 0 END
+         |    + CASE WHEN cb - k11 > 0 THEN CAST(cb - k11 AS DOUBLE) *
+         |      ln(CAST(cb - k11 AS DOUBLE) * CAST(m AS DOUBLE)
+         |        / (CAST(m - ra AS DOUBLE) * CAST(cb AS DOUBLE))) ELSE 0 END
+         |    + CASE WHEN m - ra - cb + k11 > 0
+         |      THEN CAST(m - ra - cb + k11 AS DOUBLE) *
+         |      ln(CAST(m - ra - cb + k11 AS DOUBLE) * CAST(m AS DOUBLE)
+         |        / (CAST(m - ra AS DOUBLE) * CAST(m - cb AS DOUBLE)))
+         |      ELSE 0 END), 6) AS g2
+         |FROM bw JOIN r USING (w1) JOIN c USING (w2) CROSS JOIN tot
+         |WHERE k11 >= 5
+         |ORDER BY g2 DESC, bigram LIMIT 40""".stripMargin,
+
+    // Jensen–Shannon divergence between source unigram distributions:
+    // union-of-support via full outer join per source pair, per-term
+    // halves 9-dp-rounded into DECIMAL sums.
+    "text_jsd" ->
+      """WITH tok AS (SELECT source,
+        |        unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |          AS t FROM documents),
+        |sc AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |n AS (SELECT source, sum(c) AS n FROM sc GROUP BY 1),
+        |pt AS (SELECT sc.source, t,
+        |        CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+        |      FROM sc JOIN n USING (source)),
+        |pr AS (SELECT a.source AS sa, b.source AS sb
+        |      FROM n a JOIN n b ON a.source < b.source),
+        |l AS (SELECT sa, sb, t, p AS pa FROM pr
+        |      JOIN pt ON pt.source = pr.sa),
+        |rr AS (SELECT sa, sb, t, p AS pb FROM pr
+        |      JOIN pt ON pt.source = pr.sb),
+        |f AS (SELECT sa, sb, t, coalesce(pa, 0.0) AS pa,
+        |        coalesce(pb, 0.0) AS pb
+        |      FROM l FULL JOIN rr USING (sa, sb, t)),
+        |a AS (SELECT sa, sb, count(*) AS n_terms_union,
+        |        sum(CAST(round(0.5 * (
+        |          CASE WHEN pa > 0
+        |            THEN pa * ln(2.0 * pa / (pa + pb)) ELSE 0 END
+        |          + CASE WHEN pb > 0
+        |            THEN pb * ln(2.0 * pb / (pa + pb)) ELSE 0 END), 9)
+        |          AS DECIMAL(18,9))) AS jd
+        |      FROM f GROUP BY 1, 2)
+        |SELECT sa AS source_a, sb AS source_b, n_terms_union,
+        |  round(CAST(jd AS DOUBLE), 6) AS jsd,
+        |  round(sqrt(CAST(jd AS DOUBLE)), 6) AS jsd_distance
+        |FROM a ORDER BY source_a, source_b""".stripMargin,
 
     // Hot-bigram boilerplate removal: mask every token position covered
     // by a bigram present in >= ceil(0.08 * n_docs) documents, reassemble
@@ -5895,6 +6065,70 @@ object SparkEntry {
         |  round(mi / sqrt(h_a * h_b), 6) AS nmi
         |FROM mi0 CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot""".stripMargin,
 
+    // Constraint suite: one aggregate computes all violation counts;
+    // NULL predicates count as violations (NOT coalesce(p, FALSE)).
+    "dq_constraints" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN NOT coalesce(value >= 0, FALSE)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        |  CAST(sum(CASE WHEN NOT coalesce(event_type IN
+        |      ('click', 'view', 'purchase', 'signup', 'error'), FALSE)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |  CAST(sum(CASE WHEN user_id IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |  CAST(sum(CASE WHEN NOT coalesce(
+        |      ts >= TIMESTAMP '2023-01-01'
+        |      AND ts < TIMESTAMP '2027-01-01', FALSE)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |  CAST(sum(CASE WHEN props IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v4
+        |  FROM events)
+        |SELECT rule_idx, rule, n_rows, n_violations,
+        |  round(CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS violation_rate,
+        |  n_violations = 0 AS passed
+        |FROM (
+        |  SELECT 0 AS rule_idx, 'value_non_negative' AS rule,
+        |    n_rows, v0 AS n_violations FROM a
+        |  UNION ALL SELECT 1, 'event_type_known', n_rows, v1 FROM a
+        |  UNION ALL SELECT 2, 'user_id_present', n_rows, v2 FROM a
+        |  UNION ALL SELECT 3, 'ts_in_range', n_rows, v3 FROM a
+        |  UNION ALL SELECT 4, 'props_parseable', n_rows, v4 FROM a)
+        |ORDER BY rule_idx""".stripMargin,
+
+    // Referential integrity: orphan counts per FK relation via left
+    // joins against the distinct parent keys.
+    "dq_referential" ->
+      """WITH r1 AS (SELECT 'lineitem_orders' AS relation,
+        |        count(*) AS n_child,
+        |        CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_orphans
+        |      FROM lineitem l LEFT JOIN
+        |        (SELECT DISTINCT o_orderkey FROM orders) o
+        |        ON l.l_orderkey = o.o_orderkey
+        |      WHERE l.l_orderkey IS NOT NULL),
+        |r2 AS (SELECT 'orders_customer' AS relation, count(*) AS n_child,
+        |        CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_orphans
+        |      FROM orders o LEFT JOIN
+        |        (SELECT DISTINCT c_custkey FROM customer) c
+        |        ON o.o_custkey = c.c_custkey
+        |      WHERE o.o_custkey IS NOT NULL),
+        |r3 AS (SELECT 'lineitem_part' AS relation, count(*) AS n_child,
+        |        CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_orphans
+        |      FROM lineitem l LEFT JOIN
+        |        (SELECT DISTINCT p_partkey FROM part) p
+        |        ON l.l_partkey = p.p_partkey
+        |      WHERE l.l_partkey IS NOT NULL)
+        |SELECT relation, n_child, n_orphans,
+        |  round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6)
+        |    AS orphan_rate,
+        |  n_orphans = 0 AS intact
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |      UNION ALL SELECT * FROM r3)
+        |ORDER BY relation""".stripMargin,
+
     // NB: train + score CTE-for-plan — Laplace-smoothed per-term log
     // likelihoods 6-dp-rounded into DECIMAL sums, rounded priors, argmax
     // tie to smaller label; docs with zero tokens carry no evidence and
@@ -6110,6 +6344,35 @@ object SparkEntry {
         |    / nullif(CAST(m AS DOUBLE) * sxx - sx * sx, 0.0), 6)
         |    AS assortativity
         |FROM a""".stripMargin,
+
+    // Adamic–Adar: per common neighbor z, weight 1/ln(deg z) rounded to
+    // 9 dp and DECIMAL-summed over wedges; adjacent pairs anti-joined
+    // out; score >= 1.0.
+    "graph_adamic_adar" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+        |      FROM lineitem),
+        |e AS (SELECT l.pt AS src, r.pt AS dst, count(*) AS c
+        |      FROM it l JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT src AS u, dst AS v FROM e
+        |      UNION SELECT dst, src FROM e),
+        |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+        |      FROM und GROUP BY 1),
+        |ww AS (SELECT und.u, und.v,
+        |        CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 9)
+        |          AS DECIMAL(28,9)) AS w
+        |      FROM und JOIN deg ON deg.node = und.v
+        |      WHERE deg >= 2),
+        |wg AS (SELECT a.u AS x, b.u AS y, sum(a.w) AS aa,
+        |        CAST(count(*) AS BIGINT) AS common
+        |      FROM ww a JOIN ww b ON a.v = b.v AND a.u < b.u
+        |      GROUP BY 1, 2),
+        |na AS (SELECT wg.* FROM wg LEFT JOIN und
+        |        ON und.u = wg.x AND und.v = wg.y
+        |      WHERE und.u IS NULL)
+        |SELECT x, y, common, round(CAST(aa AS DOUBLE), 6) AS adamic_adar
+        |FROM na WHERE round(CAST(aa AS DOUBLE), 6) >= 1.0
+        |ORDER BY x, y""".stripMargin,
 
     // k-core: three unrolled pruning rounds — degree within the
     // surviving subgraph via two semijoins, threshold filter, repeat.
@@ -7046,6 +7309,39 @@ object SparkEntry {
         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS r2
         |FROM s ORDER BY user_id""".stripMargin,
 
+    // Theil–Sen: median pairwise slope over ≤ 512 observed buckets, then
+    // median residual; interpolated quantiles route DECIMAL(24,12)
+    // before the 6-dp round.
+    "ts_theil_sen" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM events GROUP BY 1, 2),
+        |i AS (SELECT user_id AS k, v,
+        |        CAST(row_number() OVER (PARTITION BY user_id
+        |          ORDER BY bucket) - 1 AS BIGINT) AS t
+        |      FROM b WHERE v IS NOT NULL),
+        |ii AS (SELECT * FROM i WHERE t < 512),
+        |p AS (SELECT a.k,
+        |        round((CAST(b2.v AS DOUBLE) - CAST(a.v AS DOUBLE))
+        |          / CAST(b2.t - a.t AS DOUBLE), 9) AS ps
+        |      FROM ii a JOIN ii b2 ON a.k = b2.k AND a.t < b2.t),
+        |s AS (SELECT k, count(*) AS n_pairs,
+        |        quantile_cont(ps, 0.5) AS slope_raw
+        |      FROM p GROUP BY 1),
+        |rs AS (SELECT i2.k, s.n_pairs, s.slope_raw,
+        |        round(CAST(i2.v AS DOUBLE)
+        |          - s.slope_raw * CAST(i2.t AS DOUBLE), 9) AS r
+        |      FROM ii i2 JOIN s ON i2.k = s.k),
+        |f AS (SELECT k, n_pairs, slope_raw, count(*) AS n_buckets,
+        |        quantile_cont(r, 0.5) AS icept_raw
+        |      FROM rs GROUP BY 1, 2, 3)
+        |SELECT k AS user_id, n_buckets, n_pairs,
+        |  CAST(round(CAST(slope_raw AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |    AS slope,
+        |  CAST(round(CAST(icept_raw AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |    AS intercept
+        |FROM f ORDER BY user_id""".stripMargin,
+
     "ts_xcorr" ->
       """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
         |        count(*) AS n,
@@ -7480,6 +7776,44 @@ object SparkEntry {
         |  FROM documents WHERE n_chars > 0),
         |k AS (SELECT doc_id, source, n_chars FROM u ORDER BY clock, doc_id LIMIT 60)
         |SELECT doc_id, source, n_chars FROM k ORDER BY doc_id""".stripMargin,
+
+    // Poisson bootstrap: per-(row, rep) Poisson(1) weight from the exact
+    // integer CDF thresholds at the Knuth hash of (id, rep); resample
+    // means DECIMAL-routed, interpolated quantiles via DECIMAL(24,12).
+    "sample_bootstrap_ci" ->
+      """WITH base AS (SELECT event_type AS g, event_id AS id,
+        |        CAST(round(value, 6) AS DECIMAL(18,6)) AS v FROM events),
+        |r AS (SELECT g, id, v, rep FROM base CROSS JOIN range(50) t(rep)),
+        |h AS (SELECT g, rep, v,
+        |        ((((id % 2147483648) * 31 + rep * 2654435761)
+        |          % 2147483648) * 2654435761) % 4294967296 AS hh FROM r),
+        |w AS (SELECT g, rep, v,
+        |        CASE WHEN hh < 1580030168 THEN 0
+        |             WHEN hh < 3160060337 THEN 1
+        |             WHEN hh < 3950075421 THEN 2
+        |             WHEN hh < 4213413783 THEN 3
+        |             WHEN hh < 4279248373 THEN 4 ELSE 5 END AS w FROM h),
+        |m AS (SELECT g, rep, CAST(sum(w) AS BIGINT) AS sw,
+        |        CAST(sum(v * w) AS DECIMAL(38,6)) AS swv
+        |      FROM w GROUP BY 1, 2),
+        |mm AS (SELECT g,
+        |        round(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE), 9) AS m
+        |      FROM m WHERE sw > 0),
+        |ci AS (SELECT g, count(*) AS n_resamples,
+        |        quantile_cont(m, 0.025) AS qlo,
+        |        quantile_cont(m, 0.5) AS qmed,
+        |        quantile_cont(m, 0.975) AS qhi
+        |      FROM mm GROUP BY 1),
+        |pt AS (SELECT g, count(*) AS n_rows,
+        |        CAST(sum(v) AS DECIMAL(38,6)) AS sv FROM base GROUP BY 1)
+        |SELECT pt.g AS event_type, n_rows, n_resamples,
+        |  round(CAST(sv AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS mean,
+        |  CAST(round(CAST(qlo AS DECIMAL(24,12)), 6) AS DOUBLE) AS ci_lo,
+        |  CAST(round(CAST(qmed AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |    AS ci_median,
+        |  CAST(round(CAST(qhi AS DECIMAL(24,12)), 6) AS DOUBLE) AS ci_hi
+        |FROM pt JOIN ci ON pt.g = ci.g
+        |ORDER BY event_type""".stripMargin,
 
     // int8 quantization (the emb_quantize formula) then exact integer
     // dots against the ±1 sign rows embedded as literals.

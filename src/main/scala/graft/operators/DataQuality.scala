@@ -645,4 +645,65 @@ object DataQuality {
         round(try_divide(col("mi"), sqrt(col("h_a") * col("h_b"))), 6)
           .as("nmi"))
   }
+
+  /** Deequ-style declarative constraint suite: each rule is a NAME plus
+    * a boolean predicate rows must satisfy (`value >= 0`,
+    * `event_type IN (...)`, `ts BETWEEN ...`); the report is one row per
+    * rule with its violation count and rate. A NULL predicate result
+    * counts as a violation (the row failed to prove the rule) — the
+    * three-valued-logic trap named and closed.
+    *
+    * Scale shape: ONE pass — every rule compiles to a conditional sum
+    * inside a single partial-aggregate (map-side combine, one scalar row
+    * out), then the per-rule rows unfold driver-free from an inline
+    * array. Adding a rule adds a column to the aggregate, not a scan.
+    */
+  def constraintSuite(df: DataFrame,
+                      rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val viols = rules.zipWithIndex.map { case ((_, p), i) =>
+      sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)).as(s"v_$i")
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), viols: _*)
+    val entries = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i).as("rule_idx"), lit(name).as("rule"),
+        col(s"v_$i").as("n_violations"))
+    }
+    one.select(col("n_rows"), explode(array(entries: _*)).as("e"))
+      .select(col("e.rule_idx").as("rule_idx"), col("e.rule").as("rule"),
+        col("n_rows"), col("e.n_violations").as("n_violations"),
+        round(try_divide(col("e.n_violations").cast("double"),
+          col("n_rows").cast("double")), 6).as("violation_rate"),
+        (col("e.n_violations") === 0).as("passed"))
+  }
+
+  /** Referential-integrity audit: for each (child → parent) foreign-key
+    * relation, count child rows whose non-NULL key has no parent — the
+    * orphan scan every star-schema load needs before facts go live
+    * (reference create_tables.py:12–44 declares the FKs implicitly;
+    * this makes them checkable).
+    *
+    * Scale shape: per relation, one left-anti join keyed on the FK
+    * (Catalyst broadcasts the parent side when it's a dim table under
+    * the threshold; a fact-to-fact relation shuffles both sides on the
+    * key — the correct shape) plus one count; scalar counts attach via
+    * broadcast. Relations evaluate independently and union.
+    */
+  def referentialIntegrity(
+      relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(relations.nonEmpty, "need at least one relation")
+    relations.map { case (name, child, childKey, parent, parentKey) =>
+      val ck = child.select(col(childKey).as("k")).filter(col("k").isNotNull)
+      val orphans = ck.join(
+          parent.select(col(parentKey).as("k")).distinct(),
+          Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      ck.agg(count(lit(1)).as("n_child"))
+        .crossJoin(broadcast(orphans))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"),
+          round(try_divide(col("n_orphans").cast("double"),
+            col("n_child").cast("double")), 6).as("orphan_rate"),
+          (col("n_orphans") === 0).as("intact"))
+    }.reduce(_ unionByName _)
+  }
 }

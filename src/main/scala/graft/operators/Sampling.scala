@@ -246,4 +246,80 @@ object Sampling {
     df.select(col(keyCol), col(sourceCol), col(scoreCol),
       row_number().over(w).cast("long").as("rank_in_source"))
   }
+
+  /** Poisson(1) CDF thresholds scaled to [0, 2^32): a uniform 32-bit
+    * hash below `POISSON1_CUM(k)` means the draw is ≤ k. Exact integer
+    * comparisons — both engines agree bit-for-bit.
+    */
+  val Poisson1Cum: Seq[Long] =
+    Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L)
+
+  /** Distributed Poisson bootstrap (Chamandy et al. / the "bag of
+    * little bootstraps" workhorse): each row enters resample r with
+    * multiplicity ~ Poisson(1), so a resample never needs global
+    * coordination or a second scan — THE way to put error bars on a
+    * 100 TB aggregate. Here: per-group mean of `valueCol` with a
+    * `level` central CI from `reps` resamples.
+    *
+    * Determinism: the Poisson draw inverts the exact integer CDF
+    * [[Poisson1Cum]] at a [[samplingHash]] of (key, rep) — reproducible
+    * across engines, runs, and partitionings, like every sampler here.
+    * Resample means route Σ(w·v) through DECIMAL(38,6) (order-free) and
+    * round to 9 dp before the interpolating `percentile`, which agrees
+    * with DuckDB's `quantile_cont` at the final 6-dp round.
+    *
+    * Scale shape: one narrow `explode(sequence(0, reps−1))` (reps×
+    * row expansion, map-side combined immediately by the (group, rep)
+    * partial aggregate — the blowup never shuffles raw), one reduce to
+    * (group, rep), one tiny percentile over reps rows per group, one
+    * broadcast join for the point estimate. Empty resamples (all
+    * weights 0 — only possible for near-empty groups) drop out before
+    * the percentile, mirrored by the oracle.
+    */
+  def bootstrapCI(df: DataFrame, groupCol: String, keyCol: String,
+                  valueCol: String, reps: Int = 50,
+                  level: Double = 0.95): DataFrame = {
+    require(reps >= 2, s"need reps >= 2, got $reps")
+    require(level > 0 && level < 1, s"need level in (0,1), got $level")
+    val lo = (1.0 - level) / 2.0
+    val hi = 1.0 - lo
+    val h = pmod(pmod(pmod(col(keyCol).cast("long"), lit(M31)) * 31L +
+      col("rep") * Knuth, lit(M31)) * Knuth, lit(M32))
+    val w = when(h < Poisson1Cum(0), 0L)
+      .when(h < Poisson1Cum(1), 1L).when(h < Poisson1Cum(2), 2L)
+      .when(h < Poisson1Cum(3), 3L).when(h < Poisson1Cum(4), 4L)
+      .otherwise(5L)
+    val repMeans = df
+      .select(col(groupCol).as("g"), col(keyCol),
+        round(col(valueCol).cast("double"), 6).cast("decimal(18,6)").as("v"))
+      .withColumn("rep", explode(sequence(lit(0L), lit(reps - 1L))))
+      .withColumn("w", w)
+      .groupBy(col("g"), col("rep"))
+      .agg(sum(col("w")).as("sw"),
+        sum(col("v") * col("w")).cast("decimal(38,6)").as("swv"))
+      .filter(col("sw") > 0)
+      .select(col("g"),
+        round(col("swv").cast("double") / col("sw").cast("double"), 9)
+          .as("m"))
+    val cis = repMeans.groupBy("g").agg(
+      count(lit(1)).as("n_resamples"),
+      expr(s"percentile(m, array(${lo}D, 0.5D, ${hi}D))").as("q"))
+    val point = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col(valueCol).cast("double"), 6).cast("decimal(18,6)"))
+          .cast("decimal(38,6)").as("sv"))
+    point.join(broadcast(cis), "g")
+      .select(col("g").as(groupCol), col("n_rows"), col("n_resamples"),
+        round(col("sv").cast("double") / col("n_rows").cast("double"), 6)
+          .as("mean"),
+        // DECIMAL(24,12) routing before the 6-dp round (interpolated
+        // percentiles land on 6-dp half boundaries; the
+        // resampleInterpolate discipline).
+        round(col("q").getItem(0).cast("decimal(24,12)"), 6).cast("double")
+          .as("ci_lo"),
+        round(col("q").getItem(1).cast("decimal(24,12)"), 6).cast("double")
+          .as("ci_median"),
+        round(col("q").getItem(2).cast("decimal(24,12)"), 6).cast("double")
+          .as("ci_hi"))
+  }
 }

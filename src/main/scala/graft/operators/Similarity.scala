@@ -989,4 +989,30 @@ object Similarity {
           .as("cosine"),
         round(sqrt(col("d2")), 6).as("l2"))
   }
+
+  /** Mutual k-NN graph edges from ANY neighbor list shaped like the ANN
+    * operators' output (`query_id, rank, neighbor_id, cosine`): the
+    * undirected edge (a < b) exists iff b is in a's top-k AND a is in
+    * b's — the standard asymmetry filter that turns a noisy directed
+    * k-NN list into the similarity graph consumed by graph clustering
+    * ([[Graph.labelPropagate]]), manifold methods (UMAP's first stage),
+    * and SemDeDup-style cluster carving. Composability IS the design:
+    * feed [[bruteForceTopK]] for the exact graph at verify scale,
+    * [[lshAnnTopK]] / [[ivfTopK]] for the approximate one at 100 TB —
+    * the graph construction itself never changes.
+    *
+    * Scale shape: one equi-self-join keyed on the (u, v) id pair — the
+    * neighbor list has N·k rows, so the join is N·k-sized with an exact
+    * two-column key, never a pair generator. Cosine is symmetric, so the
+    * surviving edge takes the lower-id side's 6-dp-rounded score.
+    */
+  def mutualKnnGraph(neighbors: DataFrame): DataFrame = {
+    val e = neighbors.select(col("query_id").as("u"),
+      col("neighbor_id").as("v"), col("cosine"))
+    e.as("a").join(e.as("b"),
+        col("a.u") === col("b.v") && col("a.v") === col("b.u") &&
+        col("a.u") < col("a.v"))
+      .select(col("a.u").as("id_a"), col("a.v").as("id_b"),
+        round(col("a.cosine"), 6).as("cosine"))
+  }
 }

@@ -1517,4 +1517,99 @@ object TextAnalysis {
           (col("n_terms").cast("double") * col("total").cast("double")), 6)
           .as("gini"))
   }
+
+  /** Dunning G² (log-likelihood ratio) collocations: for each adjacent
+    * bigram, the 2×2 contingency table over bigram positions —
+    * k11 = c(ab), k12 = c(a·)−c(ab), k21 = c(·b)−c(ab), k22 = rest —
+    * scored `G² = 2·Σ k·ln(k·M/(R·C))`. Dunning (1993)'s fix for
+    * exactly [[pmiBigrams]]'s failure mode: PMI explodes on rare pairs,
+    * G² rewards pairs that are BOTH surprising and well-attested — the
+    * collocation ranking you actually feed a tokenizer-merge list.
+    *
+    * Scale shape: one bigram count shuffle (map-side combined), two
+    * marginal aggregates REUSING the bigram counts (vocabulary-sized,
+    * never a second corpus pass), one broadcast total, top-k via
+    * TakeOrderedAndProject. G² is a fixed per-row double expression
+    * over exact BIGINT counts (zero cells contribute 0 by `when`
+    * guards), rounded once.
+    */
+  def g2Collocations(docs: DataFrame, k: Int, minCount: Long = 5L,
+                     textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val bi = docs.select(
+        explode(Fns.shingles(Fns.tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("k11"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val r = bi.groupBy(col("w1")).agg(sum(col("k11")).as("ra"))
+    val c = bi.groupBy(col("w2")).agg(sum(col("k11")).as("cb"))
+    val tot = bi.agg(sum(col("k11")).as("m"))
+    def term(kc: Column, row: Column, colm: Column) =
+      when(kc > 0, kc.cast("double") *
+        log(kc.cast("double") * col("m").cast("double") /
+          (row.cast("double") * colm.cast("double")))).otherwise(lit(0.0))
+    val k12 = col("ra") - col("k11")
+    val k21 = col("cb") - col("k11")
+    val k22 = col("m") - col("ra") - col("cb") + col("k11")
+    bi.filter(col("k11") >= minCount)
+      .join(r, "w1").join(c, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("bigram"), col("k11").as("c_ab"),
+        col("ra").as("c_a_first"), col("cb").as("c_b_second"),
+        round(lit(2.0) * (
+          term(col("k11"), col("ra"), col("cb")) +
+          term(k12, col("ra"), col("m") - col("cb")) +
+          term(k21, col("m") - col("ra"), col("cb")) +
+          term(k22, col("m") - col("ra"), col("m") - col("cb"))), 6)
+          .as("g2"))
+      .orderBy(col("g2").desc, col("bigram").asc)
+      .limit(k)
+  }
+
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions — the symmetric, bounded (≤ ln 2) "how different are
+    * these corpora" number behind data-mixing decisions ("is source X
+    * redundant with Y?") and drift tracking. For each source pair
+    * (a < b): `JSD = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q))` over the
+    * union of supports (a term absent from one side contributes its
+    * full ½·p·ln 2).
+    *
+    * Scale shape: one (source, term) count shuffle (map-side combined,
+    * vocabulary-sized), the tiny source-pair frame broadcast onto it
+    * twice, then a full-outer join keyed on (pair, term) — vocab × pairs
+    * rows, never corpus-sized — and one aggregate per pair. Per-term
+    * contributions are 9-dp-rounded and DECIMAL-summed (order-free);
+    * probabilities divide exact BIGINTs.
+    */
+  def jsdBySource(docs: DataFrame, sourceCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    val sc = docs.select(col(sourceCol).as("src"),
+        explode(Fns.tokens(col(textCol))).as("t"))
+      .groupBy("src", "t").agg(count(lit(1)).as("c"))
+    val n = sc.groupBy("src").agg(sum(col("c")).as("n"))
+    val pt = sc.join(n, "src")
+      .select(col("src"), col("t"),
+        (col("c").cast("double") / col("n").cast("double")).as("p"))
+    val srcs = n.select(col("src"))
+    val pairs = srcs.as("a").join(srcs.as("b"),
+        col("a.src") < col("b.src"))
+      .select(col("a.src").as("sa"), col("b.src").as("sb"))
+    val left = pairs.join(pt.withColumnRenamed("src", "sa")
+      .withColumnRenamed("p", "pa"), Seq("sa"))
+    val right = pairs.join(pt.withColumnRenamed("src", "sb")
+      .withColumnRenamed("p", "pb"), Seq("sb"))
+    val full = left.join(right, Seq("sa", "sb", "t"), "full_outer")
+      .select(col("sa"), col("sb"),
+        coalesce(col("pa"), lit(0.0)).as("pa"),
+        coalesce(col("pb"), lit(0.0)).as("pb"))
+    def half(p: Column, q: Column) =
+      when(p > 0, p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0))
+    full.groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
+      .agg(count(lit(1)).as("n_terms_union"),
+        sum(round(lit(0.5) * (half(col("pa"), col("pb")) +
+          half(col("pb"), col("pa"))), 9).cast("decimal(18,9)")).as("jd"))
+      .select(col("source_a"), col("source_b"), col("n_terms_union"),
+        round(col("jd").cast("double"), 6).as("jsd"),
+        round(sqrt(col("jd").cast("double")), 6).as("jsd_distance"))
+  }
 }

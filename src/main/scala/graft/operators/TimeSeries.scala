@@ -695,4 +695,57 @@ object TimeSeries {
       .select(col("k"), col("bucket"), timestamp_micros(col("t")).as("ts"),
         col("v").as("value"))
   }
+
+  /** Theil–Sen robust trend per key: slope = MEDIAN of all pairwise
+    * slopes (v_j − v_i)/(t_j − t_i) over the observed-bucket index,
+    * intercept = median residual at that slope — the estimator that
+    * shrugs off up to ~29% outliers where [[olsTrend]]'s least squares
+    * chases them. The robust face of the same hourly-trend question.
+    *
+    * Scale shape: pairwise slopes come from a per-key equi-self-join
+    * (keyed on `keyCol`, never global), O(n²) in the per-key BUCKET
+    * count — the [[changepointScan]] cost class, bounded here by
+    * `maxBuckets` (first N buckets per key; a year of hourly data is
+    * 8.8k buckets → cap before the quadratic, or coarsen the step).
+    * Keys with < 2 observed buckets have no pairs and drop out, mirrored
+    * by the oracle. Determinism: pair slopes are one double division of
+    * exact inputs (DECIMAL bucket sums, integer index gaps) rounded to
+    * 9 dp; the exact interpolating `percentile` over those agrees with
+    * DuckDB's `quantile_cont` at the final 6-dp round (the
+    * ana_stage_latency / ts_ols convention).
+    */
+  def theilSen(events: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, stepSeconds: Long = 3600L,
+               maxBuckets: Int = 512): DataFrame = {
+    require(maxBuckets >= 2, s"need maxBuckets >= 2, got $maxBuckets")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val idx = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .filter(col("v").isNotNull)
+      .withColumn("t", (row_number().over(w) - 1).cast("long"))
+      .filter(col("t") < maxBuckets)
+      .select(col(keyCol).as("k"), col("t"), col("v"))
+    val pairs = idx.as("a").join(idx.as("b"),
+        col("a.k") === col("b.k") && col("a.t") < col("b.t"))
+      .select(col("a.k").as("k"),
+        round((col("b.v").cast("double") - col("a.v").cast("double")) /
+          (col("b.t") - col("a.t")).cast("double"), 9).as("ps"))
+    val slope = pairs.groupBy("k").agg(
+      count(lit(1)).as("n_pairs"),
+      expr("percentile(ps, 0.5D)").as("slope_raw"))
+    idx.join(slope, "k")
+      .select(col("k"), col("n_pairs"), col("slope_raw"),
+        round(col("v").cast("double") - col("slope_raw") *
+          col("t").cast("double"), 9).as("r"))
+      .groupBy(col("k"), col("n_pairs"), col("slope_raw"))
+      .agg(count(lit(1)).as("n_buckets"),
+        expr("percentile(r, 0.5D)").as("icept_raw"))
+      .select(col("k").as(keyCol), col("n_buckets"), col("n_pairs"),
+        // DECIMAL(24,12) routing before the 6-dp round: the interpolated
+        // percentile is a double whose 6-dp half-boundary ties Spark and
+        // DuckDB round differently (the resampleInterpolate discipline).
+        round(col("slope_raw").cast("decimal(24,12)"), 6).cast("double")
+          .as("slope"),
+        round(col("icept_raw").cast("decimal(24,12)"), 6).cast("double")
+          .as("intercept"))
+  }
 }

@@ -292,4 +292,43 @@ class DataQualitySpec extends SparkSpec {
     assert(out("const")._1 == 4L)
   }
 
+  test("constraintSuite: one pass, NULL predicate counts as a violation") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 2.0), (2L, -1.0), (3L, null), (null, 4.0))
+      .toDF("id", "v")
+    val out = DataQuality.constraintSuite(df, Seq(
+      "v_non_negative" -> (col("v") >= 0),
+      "id_present" -> col("id").isNotNull))
+      .orderBy("rule_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    // v >= 0: row2 violates (-1), row3 violates (NULL -> not proven)
+    assert(out(0) == (0, "v_non_negative", 4L, 2L, 0.5, false))
+    assert(out(1) == (1, "id_present", 4L, 1L, 0.25, false))
+    // all-pass rule reports passed = true
+    val ok = DataQuality.constraintSuite(df,
+      Seq("always" -> col("id").isNotNull.or(col("id").isNull)))
+      .collect().head
+    assert(ok.getLong(3) == 0L && ok.getBoolean(5))
+  }
+
+  test("referentialIntegrity: orphans counted, NULL FKs excluded") {
+    val child = Seq[(Long, java.lang.Long)](
+      (1L, 10L), (2L, 10L), (3L, 99L), (4L, null)).toDF("id", "fk")
+    val parent = Seq(10L, 20L).toDF("pk")
+    val out = DataQuality.referentialIntegrity(Seq(
+      ("child_parent", child, "fk", parent, "pk"))).collect().head
+    // 3 non-NULL FK rows, one (99) orphaned
+    assert((out.getString(0), out.getLong(1), out.getLong(2)) ==
+      ("child_parent", 3L, 1L))
+    assert(math.abs(out.getDouble(3) - 0.333333) < 1e-6)
+    assert(!out.getBoolean(4))
+    // intact relation
+    val ok = DataQuality.referentialIntegrity(Seq(
+      ("ok", child.filter($"fk" === 10L), "fk", parent, "pk")))
+      .collect().head
+    assert(ok.getLong(2) == 0L && ok.getBoolean(4))
+  }
+
 }

@@ -198,4 +198,24 @@ class GraphSpec extends SparkSpec {
     assert(c.isNullAt(1) || c.getDouble(1).isNaN)
   }
 
+  test("adamicAdar: path pair scores 1/ln(deg), adjacent pairs excluded") {
+    // path a-b-c: (a,c) share b (deg 2) -> score 1/ln 2; (a,b),(b,c) adjacent
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val out = Graph.adamicAdar(path).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    assert(out.toMap == Map(("a", "c") -> (1L,
+      math.rint(1.0 / math.log(2.0) * 1e6) / 1e6)))
+    // triangle: every pair adjacent -> empty
+    val tri = Seq(("x", "y"), ("y", "z"), ("x", "z")).toDF("src", "dst")
+    assert(Graph.adamicAdar(tri).isEmpty)
+    // two common neighbors sum their weights: square 1-2-3-4 (no diagonal):
+    // (1,3) share 2 and 4 (both deg 2) -> 2/ln 2; minScore prunes it
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val s = Graph.adamicAdar(sq).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(s((1L, 3L)) - 2.0 / math.log(2.0)) < 1e-5)
+    assert(math.abs(s((2L, 4L)) - 2.0 / math.log(2.0)) < 1e-5)
+    assert(Graph.adamicAdar(sq, minScore = 3.0).isEmpty)
+  }
+
 }

@@ -143,4 +143,41 @@ class SamplingSpec extends SparkSpec {
     assert(byS("a")._5 < 1.0 && byS("c")._5 > 1.0)
     assert(math.abs(out.map(_._4).sum - 1.0) < 1e-5)
   }
+
+  test("bootstrapCI: constant series collapses the CI; CI brackets the mean") {
+    // constant group: every resample mean IS the constant
+    val const = (1L to 40L).map(i => ("c", i, 7.5)).toDF("g", "id", "v")
+    val r = Sampling.bootstrapCI(const, "g", "id", "v", reps = 20)
+      .collect().head
+    assert(r.getLong(1) == 40L && r.getLong(2) == 20L)
+    assert(r.getDouble(3) == 7.5 && r.getDouble(4) == 7.5 &&
+      r.getDouble(5) == 7.5 && r.getDouble(6) == 7.5)
+    // varied group: point mean exact, CI ordered around it, deterministic
+    val varied = (1L to 200L).map(i => ("v", i, (i % 10).toDouble))
+      .toDF("g", "id", "v")
+    val a = Sampling.bootstrapCI(varied, "g", "id", "v").collect().head
+    assert(a.getDouble(3) == 4.5) // exact mean of 0..9 cycle
+    assert(a.getDouble(4) <= a.getDouble(5) && a.getDouble(5) <= a.getDouble(6))
+    assert(a.getDouble(4) < 4.5 && a.getDouble(6) > 4.5)
+    val b = Sampling.bootstrapCI(varied, "g", "id", "v").collect().head
+    assert(a == b) // hash-driven resamples: bit-identical across runs
+  }
+
+  test("bootstrapCI: Poisson(1) weights average ~1 across (row, rep) draws") {
+    import org.apache.spark.sql.functions._
+    val ids = (1L to 2000L).map(i => ("g", i, 1.0)).toDF("g", "id", "v")
+    // weight w=k means row i appears k times in the resample; with the
+    // exact CDF inversion the empirical mean over 2000 draws must sit
+    // near 1 (binomial noise at n=2000 is ~0.02)
+    val h = pmod(pmod(pmod(col("id"), lit(2147483648L)) * 31L +
+      lit(0L) * 2654435761L, lit(2147483648L)) * 2654435761L,
+      lit(4294967296L))
+    val w = when(h < Sampling.Poisson1Cum(0), 0L)
+      .when(h < Sampling.Poisson1Cum(1), 1L)
+      .when(h < Sampling.Poisson1Cum(2), 2L)
+      .when(h < Sampling.Poisson1Cum(3), 3L)
+      .when(h < Sampling.Poisson1Cum(4), 4L).otherwise(5L)
+    val m = ids.select(w.as("w")).agg(avg("w")).collect().head.getDouble(0)
+    assert(math.abs(m - 1.0) < 0.1, s"empirical Poisson mean $m")
+  }
 }

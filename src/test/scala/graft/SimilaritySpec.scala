@@ -474,4 +474,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((0, 2L, 1.0, 1.0), (1, 1L, 5.0, 5.0)))
   }
 
+  test("mutualKnnGraph: only mutual pairs survive, emitted once with a < b") {
+    // directed 2-NN list: (1,2) mutual, (1,3) one-way, (2,3) mutual
+    val nn = Seq(
+      (1L, 1L, 2L, 0.9), (1L, 2L, 3L, 0.5),
+      (2L, 1L, 1L, 0.9), (2L, 2L, 3L, 0.8),
+      (3L, 1L, 2L, 0.8), (3L, 2L, 4L, 0.1),
+      (4L, 1L, 2L, 0.2)) // 4->2 one-way (2 doesn't list 4)
+      .toDF("query_id", "rank", "neighbor_id", "cosine")
+    val out = Similarity.mutualKnnGraph(nn).orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0.9), (2L, 3L, 0.8)))
+    // end-to-end with brute k-NN: two tight clusters -> edges stay inside
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.01f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.01f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.mutualKnnGraph(Similarity.bruteForceTopK(emb, emb, 1))
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(g.toSeq == Seq((1L, 2L), (3L, 4L)))
+  }
+
 }

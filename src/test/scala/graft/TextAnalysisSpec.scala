@@ -710,4 +710,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - fk) < 1e-6)
   }
 
+  test("g2Collocations: hand-computed 2x2 log-likelihood, zero cells guarded") {
+    // corpus "a b a b": bigrams (a b)x2, (b a)x1; m=3
+    // for "a b": k11=2, R=c(a·)=2, C=c(·b)=2 -> k12=0, k21=0, k22=1
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.g2Collocations(docs, 10, minCount = 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    val g2ab = 2.0 * (2.0 * math.log(2.0 * 3.0 / (2.0 * 2.0)) +
+      1.0 * math.log(1.0 * 3.0 / (1.0 * 1.0)))
+    assert(out("a b")._1 == 2L)
+    assert(math.abs(out("a b")._2 - g2ab) < 1e-6)
+    // "b a": k11=1, R=c(b·)=1, C=c(·a)=1, k12=k21=0, k22=2
+    val g2ba = 2.0 * (1.0 * math.log(1.0 * 3.0 / (1.0 * 1.0)) +
+      2.0 * math.log(2.0 * 3.0 / (2.0 * 2.0)))
+    assert(math.abs(out("b a")._2 - g2ba) < 1e-6)
+    // minCount prunes; top-k caps the list
+    assert(TextAnalysis.g2Collocations(docs, 10, minCount = 3).isEmpty)
+    assert(TextAnalysis.g2Collocations(docs, 1, minCount = 1).count() == 1L)
+  }
+
+  test("jsdBySource: identical sources diverge 0, disjoint hit ln 2") {
+    val docs = Seq(
+      (1L, "a a b", "s1"), (2L, "a a b", "s2"),  // identical distributions
+      (3L, "x y", "s3"))                          // disjoint from both
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.jsdBySource(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("s1", "s2")) == (2L, 0.0))
+    // disjoint supports: jsd = ln 2, union support = 2 + 2 terms
+    assert(out(("s1", "s3"))._1 == 4L)
+    assert(math.abs(out(("s1", "s3"))._2 - math.log(2.0)) < 1e-5)
+    assert(math.abs(out(("s2", "s3"))._2 - math.log(2.0)) < 1e-5)
+    // symmetric by construction: only a < b pairs emitted
+    assert(out.size == 3)
+  }
+
 }

@@ -348,4 +348,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert((r.getLong(1), r.getDouble(2)) == (2L, 22.0))
   }
 
+  test("theilSen: median pairwise slope shrugs off the outlier OLS chases") {
+    // hourly values 0,1,2,100,4: true trend 1/bucket, one wild outlier
+    val ev = (0 to 4).zip(Seq(0.0, 1.0, 2.0, 100.0, 4.0)).map { case (h, v) =>
+      (1L, f"2024-01-01 0$h:00:00", v) }
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    val r = TimeSeries.theilSen(ev, "user_id", "ts", "value").collect().head
+    // 10 pairwise slopes, median = 1; residuals at slope 1 -> median 0
+    assert(r.getLong(1) == 5L && r.getLong(2) == 10L)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0)
+    // OLS on the same series is dragged far off the robust answer
+    val ols = TimeSeries.olsTrend(ev, "user_id", "ts", "value").collect().head
+    assert(math.abs(ols.getDouble(2) - 1.0) > 5.0)
+    // maxBuckets truncates the series BEFORE the quadratic: first 2 only
+    val r2 = TimeSeries.theilSen(ev, "user_id", "ts", "value",
+      maxBuckets = 2).collect().head
+    assert(r2.getLong(1) == 2L && r2.getLong(2) == 1L &&
+      r2.getDouble(3) == 1.0)
+    // single-bucket keys have no pairs and drop out
+    val one = Seq((9L, "2024-01-01 00:30:00", 5.0))
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    assert(TimeSeries.theilSen(one, "user_id", "ts", "value").isEmpty)
+  }
+
 }
