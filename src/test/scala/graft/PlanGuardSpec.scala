@@ -174,6 +174,36 @@ class PlanGuardSpec extends SparkSpec {
     assert(ks.contains("BroadcastExchange"), s"ks plan:\n$ks")
   }
 
+  test("round-12-final operators keep their scale shapes") {
+    val sf = "/root/testdata/sf0.001"
+    // wedge-join / per-key self-join operators: keyed equi-joins, never
+    // a cartesian pair generator
+    for (q <- Seq("graph_adamic_adar", "ts_theil_sen", "text_jsd",
+        "text_collocations", "dq_referential")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
+    // constraint suite: ALL rules ride ONE scan + one scalar aggregate,
+    // rows unfold from an inline array (Generate), not per-rule passes
+    val cs = SparkEntry.queries("dq_constraints")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(cs).length <= 1,
+      s"constraintSuite re-scans per rule:\n$cs")
+    assert(cs.contains("Generate"), s"constraintSuite lost its unfold:\n$cs")
+    // bootstrap: the reps blowup is a narrow Generate feeding a partial
+    // aggregate — the raw expansion must never hit an exchange unreduced
+    val bs = SparkEntry.queries("sample_bootstrap_ci")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(bs.contains("Generate"), s"bootstrap lost its explode:\n$bs")
+    assert(bs.contains("partial"), s"bootstrap lost map-side combine:\n$bs")
+    // knn graph: the mutuality filter is an equi-join on the (u,v) pair
+    // (the brute k-NN feeder is the documented broadcast NLJ baseline)
+    val kg = SparkEntry.queries("ann_knn_graph")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!kg.contains("CartesianProduct"), s"knn graph cartesian:\n$kg")
+  }
+
   test("scan evidence: filters push into parquet, projections prune columns") {
     val sf = "/root/testdata/sf0.001"
     // q1's shipdate range predicate reaches the scan as a pushed filter
