@@ -1289,6 +1289,13 @@ object SparkEntry {
       Similarity.silhouette(T(s, dir, "embeddings"), 8)
         .orderBy("vec_id")),
 
+    // Supervised separability per LABEL: mean centroid margin + nearest-
+    // centroid accuracy — names exactly which class collapses into which
+    // (the silhouette question with classes given).
+    "emb_label_margin" -> ((s, dir) =>
+      Similarity.labelMargin(T(s, dir, "embeddings"))
+        .orderBy("label")),
+
     // One spherical (cosine) k-means step (k=4, first-k seeds): argmax
     // cosine assignment, L2-normalized mean centroids — the text-
     // embedding variant beside the L2 Lloyd step.
@@ -1428,6 +1435,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
         .select("src", "dst")
       operators.Graph.adamicAdar(edges, 1.0).orderBy("x", "y")
+    }),
+
+    // Power-law tail MLE of the co-purchase degree distribution
+    // (Clauset-Shalizi-Newman α at xmin=5) — the hub-skew scalar that
+    // decides whether degree-keyed joins need salting.
+    "graph_powerlaw" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      operators.Graph.powerlawTail(edges, 5L)
     }),
 
     // Truncated 3-core (3 pruning rounds) of the co-purchase graph —
@@ -2478,6 +2500,14 @@ object SparkEntry {
           T(s, dir, "events"), "user_id", "ts", "value")
         .orderBy("user_id")),
 
+    // Top motif per user: the closest non-overlapping pair of length-4
+    // hourly subsequences (the matrix-profile question for the single
+    // best motif; per-key quadratic capped at 256 buckets).
+    "ts_motif" -> ((s, dir) =>
+      operators.TimeSeries.motifDiscovery(
+          T(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id")),
+
     // Lag-1 cross-correlation between each user's hourly value-sum and
     // event-count series — both series from ONE bucketize pass.
     "ts_xcorr" -> ((s, dir) =>
@@ -2756,6 +2786,13 @@ object SparkEntry {
       Sampling.bootstrapCI(T(s, dir, "events"), "event_type", "event_id",
         "value", reps = 50, level = 0.95)
         .orderBy("event_type")),
+
+    // Deterministic 5-fold assignment + per-fold class balance — the
+    // cross-validation pre-flight (same row → same fold on every engine
+    // and partitioning, unlike randomSplit).
+    "sample_kfold" -> ((s, dir) =>
+      Sampling.kfoldBalance(T(s, dir, "documents"), "doc_id", "lang", 5)
+        .orderBy("fold", "label")),
 
     // Random-signs projection on int8 codes: exact integer dots, 8 longs
     // per vector — the JL-style distance sketch. NULL-quantized rows
@@ -5173,6 +5210,33 @@ object SparkEntry {
          |        ELSE (bd - ad) / greatest(ad, bd) END, 6) AS silhouette
          |FROM ab ORDER BY vec_id""".stripMargin,
 
+    // Label-centroid margin: silhouette's DECIMAL distance recipe with
+    // the given labels as clusters; rounded-tie distances count correct.
+    "emb_label_margin" ->
+      """WITH f AS (SELECT vec_id,
+        |        CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+        |        CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl
+        |      FROM embeddings),
+        |cent AS (SELECT lbl AS clbl, dim,
+        |        round(CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6)))
+        |          AS DOUBLE) / count(*), 6) AS c
+        |      FROM f JOIN lab USING (vec_id) GROUP BY 1, 2),
+        |d AS (SELECT vec_id, clbl,
+        |        round(sqrt(CAST(sum(CAST(round((x - c) * (x - c), 6)
+        |          AS DECIMAL(18,6))) AS DOUBLE)), 6) AS dist
+        |      FROM f JOIN cent USING (dim) GROUP BY 1, 2),
+        |m AS (SELECT d.vec_id, lbl,
+        |        min(CASE WHEN clbl = lbl THEN dist END) AS own,
+        |        min(CASE WHEN clbl <> lbl THEN dist END) AS other
+        |      FROM d JOIN lab ON d.vec_id = lab.vec_id GROUP BY 1, 2)
+        |SELECT lbl AS label, count(*) AS n_vecs,
+        |  round(CAST(sum(CAST(round(other - own, 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE) / count(*), 6) AS mean_margin,
+        |  round(CAST(sum(CASE WHEN own <= other THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS frac_correct
+        |FROM m GROUP BY 1 ORDER BY label""".stripMargin,
+
     // Products are 9-dp-quantized as scaled int64s (round(x*1e9) ->
     // BIGINT) and summed exactly — mirrors the Scala side's long path.
     "emb_covariance" ->
@@ -6374,6 +6438,29 @@ object SparkEntry {
         |FROM na WHERE round(CAST(aa AS DOUBLE), 6) >= 1.0
         |ORDER BY x, y""".stripMargin,
 
+    // Clauset–Shalizi–Newman continuous MLE over the degree tail.
+    "graph_powerlaw" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+        |      FROM lineitem),
+        |e AS (SELECT l.pt AS src, r.pt AS dst, count(*) AS c
+        |      FROM it l JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT src AS u, dst AS v FROM e
+        |      UNION SELECT dst, src FROM e),
+        |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+        |      FROM und GROUP BY 1),
+        |t AS (SELECT count(*) AS n_nodes FROM deg),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+        |        sum(CAST(round(ln(CAST(deg AS DOUBLE) / 5.0), 9)
+        |          AS DECIMAL(28,9))) AS slog
+        |      FROM deg WHERE deg >= 5)
+        |SELECT n_nodes, n_tail, CAST(5 AS BIGINT) AS xmin,
+        |  round(CAST(n_tail AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+        |    AS tail_frac,
+        |  round(1.0 + CAST(n_tail AS DOUBLE)
+        |    / nullif(CAST(slog AS DOUBLE), 0.0), 6) AS alpha_hill
+        |FROM a CROSS JOIN t""".stripMargin,
+
     // k-core: three unrolled pruning rounds — degree within the
     // surviving subgraph via two semijoins, threshold filter, repeat.
     "graph_kcore" ->
@@ -7342,6 +7429,38 @@ object SparkEntry {
         |    AS intercept
         |FROM f ORDER BY user_id""".stripMargin,
 
+    // Motif: lead-assembled length-4 windows over the observed index,
+    // non-overlapping pairwise distances, per-key argmin.
+    "ts_motif" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM events GROUP BY 1, 2),
+        |i AS (SELECT user_id AS k, v,
+        |        CAST(row_number() OVER (PARTITION BY user_id
+        |          ORDER BY bucket) - 1 AS BIGINT) AS t
+        |      FROM b WHERE v IS NOT NULL),
+        |ii AS (SELECT * FROM i WHERE t < 256),
+        |sb AS (SELECT k, t, CAST(v AS DOUBLE) AS v0,
+        |        CAST(lead(v, 1) OVER w AS DOUBLE) AS v1,
+        |        CAST(lead(v, 2) OVER w AS DOUBLE) AS v2,
+        |        CAST(lead(v, 3) OVER w AS DOUBLE) AS v3
+        |      FROM ii WINDOW w AS (PARTITION BY k ORDER BY t)),
+        |s2 AS (SELECT * FROM sb WHERE v1 IS NOT NULL
+        |        AND v2 IS NOT NULL AND v3 IS NOT NULL),
+        |nw AS (SELECT k, count(*) AS n_windows FROM s2 GROUP BY 1),
+        |p AS (SELECT a.k, a.t AS pos_a, b2.t AS pos_b,
+        |        round((a.v0 - b2.v0) * (a.v0 - b2.v0)
+        |          + (a.v1 - b2.v1) * (a.v1 - b2.v1)
+        |          + (a.v2 - b2.v2) * (a.v2 - b2.v2)
+        |          + (a.v3 - b2.v3) * (a.v3 - b2.v3), 9) AS dist2
+        |      FROM s2 a JOIN s2 b2 ON a.k = b2.k AND b2.t >= a.t + 4),
+        |r AS (SELECT k, pos_a, pos_b, dist2 FROM p
+        |      QUALIFY row_number() OVER (PARTITION BY k
+        |        ORDER BY dist2, pos_a, pos_b) = 1)
+        |SELECT r.k AS user_id, n_windows, pos_a, pos_b,
+        |  round(dist2, 6) AS dist2
+        |FROM r JOIN nw ON r.k = nw.k ORDER BY user_id""".stripMargin,
+
     "ts_xcorr" ->
       """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
         |        count(*) AS n,
@@ -7814,6 +7933,22 @@ object SparkEntry {
         |  CAST(round(CAST(qhi AS DECIMAL(24,12)), 6) AS DOUBLE) AS ci_hi
         |FROM pt JOIN ci ON pt.g = ci.g
         |ORDER BY event_type""".stripMargin,
+
+    // k-fold: Knuth-hash fold assignment, per-(fold, label) cells with
+    // within-fold shares.
+    "sample_kfold" ->
+      """WITH f AS (SELECT
+        |        ((doc_id % 2147483648) * 2654435761) % 4294967296 % 5
+        |          AS fold,
+        |        lang AS label FROM documents),
+        |c AS (SELECT fold, label, count(*) AS n FROM f GROUP BY 1, 2),
+        |t AS (SELECT fold, CAST(sum(n) AS BIGINT) AS fold_total
+        |      FROM c GROUP BY 1)
+        |SELECT c.fold AS fold, label, n, fold_total,
+        |  round(CAST(n AS DOUBLE) / CAST(fold_total AS DOUBLE), 6)
+        |    AS frac_in_fold
+        |FROM c JOIN t ON c.fold = t.fold
+        |ORDER BY c.fold, label""".stripMargin,
 
     // int8 quantization (the emb_quantize formula) then exact integer
     // dots against the ±1 sign rows embedded as literals.

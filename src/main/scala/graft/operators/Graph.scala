@@ -502,4 +502,36 @@ object Graph {
         round(col("aa_dec").cast("double"), 6).as("adamic_adar"))
       .filter(col("adamic_adar") >= minScore)
   }
+
+  /** Power-law tail fit of the degree distribution: the continuous-MLE
+    * exponent α = 1 + n·[Σ ln(dᵢ/xmin)]⁻¹ over nodes with degree ≥ xmin
+    * (Clauset, Shalizi & Newman 2009, eq. 3.1) — the one scalar that
+    * decides whether hub skew will break degree-keyed joins (α < 2:
+    * heavy hubs, salt; α > 3: tail is tame). Reported with the tail
+    * fraction so a thin tail flags the fit as unreliable.
+    *
+    * Cost: the degree aggregate, one map-side-combined sum (per-node
+    * ln contributions 9-dp-rounded into DECIMAL — order-free), one
+    * broadcast scalar. A degenerate tail (all degrees = xmin, Σ = 0)
+    * yields NULL α via try_divide.
+    */
+  def powerlawTail(edges: DataFrame, xmin: Long = 5L,
+                   srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(xmin >= 1, s"need xmin >= 1, got $xmin")
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val tot = deg.agg(count(lit(1)).as("n_nodes"))
+    deg.filter(col("deg") >= xmin)
+      .agg(count(lit(1)).as("n_tail"),
+        sum(round(log(col("deg").cast("double") / xmin.toDouble), 9)
+          .cast("decimal(28,9)")).as("slog"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_nodes"), col("n_tail"), lit(xmin).as("xmin"),
+        round(col("n_tail").cast("double") / col("n_nodes").cast("double"), 6)
+          .as("tail_frac"),
+        round(lit(1.0) + try_divide(col("n_tail").cast("double"),
+          col("slog").cast("double")), 6).as("alpha_hill"))
+  }
 }

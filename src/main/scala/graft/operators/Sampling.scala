@@ -322,4 +322,27 @@ object Sampling {
         round(col("q").getItem(2).cast("decimal(24,12)"), 6).cast("double")
           .as("ci_hi"))
   }
+
+  /** Deterministic k-fold assignment with a per-fold class-balance report:
+    * fold = [[samplingHash]](key) mod k (the same row lands in the same
+    * fold every run, every engine, any partitioning — the property
+    * `randomSplit` does NOT have across re-partitionings), and the report
+    * gives each (fold, label) cell's count and within-fold share — the
+    * pre-flight check before cross-validation that no fold is starved of
+    * a class. Narrow map + two vocabulary-sized aggregates; nothing
+    * corpus-sized shuffles twice.
+    */
+  def kfoldBalance(df: DataFrame, keyCol: String, labelCol: String,
+                   k: Int = 5): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val cells = df
+      .select((samplingHash(col(keyCol)) % k).as("fold"),
+        col(labelCol).as("label"))
+      .groupBy("fold", "label").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("fold").agg(sum(col("n")).as("fold_total"))
+    cells.join(totals, "fold")
+      .select(col("fold"), col("label"), col("n"), col("fold_total"),
+        round(col("n").cast("double") / col("fold_total").cast("double"), 6)
+          .as("frac_in_fold"))
+  }
 }

@@ -1015,4 +1015,53 @@ object Similarity {
       .select(col("a.u").as("id_a"), col("a.v").as("id_b"),
         round(col("a.cosine"), 6).as("cosine"))
   }
+
+  /** Supervised embedding-quality report: per label, how separable its
+    * vectors are under the LABEL centroids — mean margin (distance to
+    * the nearest OTHER centroid minus distance to the own centroid;
+    * positive = inside its own region) and the nearest-centroid accuracy.
+    * The "are these embeddings good enough to train on" gate that
+    * [[silhouette]] answers unsupervised — here the classes are given,
+    * so a negative-margin label names exactly which class collapses
+    * into which.
+    *
+    * Scale shape: label centroids from one (label, dim) DECIMAL
+    * aggregate; the N·k distance table comes from broadcasting the tiny
+    * centroid frame onto the flattened corpus ([[silhouette]]'s exact
+    * join shape); two keyed reduces end it. Distances are 6-dp-rounded
+    * before any comparison (membership discipline); exact rounded ties
+    * count as correct.
+    */
+  def labelMargin(embeddings: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val flat = flatten(embeddings, idCol, vecCol)
+    val lab = embeddings.select(col(idCol).as("vec_id"),
+      col(labelCol).cast("long").as("lbl"))
+    val cent = lab.join(flat, "vec_id")
+      .groupBy("lbl", "dim")
+      .agg(sum(round(col("x"), 6).cast("decimal(18,6)")).as("s"),
+        count(lit(1)).as("nm"))
+      .select(col("lbl").as("clbl"), col("dim"),
+        round(col("s").cast("double") / col("nm"), 6).as("c"))
+    val dist = flat.join(broadcast(cent), "dim")
+      .groupBy("vec_id", "clbl")
+      .agg(sum(round((col("x") - col("c")) * (col("x") - col("c")), 6)
+        .cast("decimal(18,6)")).as("d2"))
+      .select(col("vec_id"), col("clbl"),
+        round(sqrt(col("d2").cast("double")), 6).as("dist"))
+    dist.join(lab, "vec_id")
+      .groupBy("vec_id", "lbl")
+      .agg(min(when(col("clbl") === col("lbl"), col("dist"))).as("own"),
+        min(when(col("clbl") =!= col("lbl"), col("dist"))).as("other"))
+      .groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("other") - col("own"), 6).cast("decimal(18,6)"))
+          .as("sm"),
+        sum(when(col("own") <= col("other"), 1L).otherwise(0L)).as("nc"))
+      .select(col("label"), col("n_vecs"),
+        round(col("sm").cast("double") / col("n_vecs"), 6).as("mean_margin"),
+        round(col("nc").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("frac_correct"))
+  }
 }

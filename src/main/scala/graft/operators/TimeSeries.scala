@@ -748,4 +748,53 @@ object TimeSeries {
         round(col("icept_raw").cast("decimal(24,12)"), 6).cast("double")
           .as("intercept"))
   }
+
+  /** Top-motif discovery per key: the pair of NON-overlapping length-`m`
+    * subsequences of the hourly series with minimal squared Euclidean
+    * distance — "which pattern does this series repeat most exactly", the
+    * matrix-profile question (Yeh et al.'s STAMP) answered for the single
+    * best motif. Gaps are not re-filled here: subsequences run over the
+    * observed-bucket index (compose [[resampleInterpolate]] upstream for
+    * wall-clock-aligned motifs).
+    *
+    * Scale shape: subsequences assemble from m−1 per-key `lead`s (one
+    * partitioned window, no join); the pair term is a per-key equi-self-
+    * join with `b.t ≥ a.t + m` (O(n²) in per-key bucket count, capped by
+    * `maxBuckets` — the [[theilSen]] cost class); the winner is one
+    * per-key rank window. Determinism: bucket values are exact DECIMALs,
+    * the m-term distance is one fixed-order IEEE expression rounded to
+    * 9 dp BEFORE the rank (ties → earliest positions).
+    */
+  def motifDiscovery(events: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, stepSeconds: Long = 3600L,
+                     m: Int = 4, maxBuckets: Int = 256): DataFrame = {
+    require(m >= 2 && m <= 16, s"need m in [2,16], got $m")
+    require(maxBuckets >= 2 * m, s"need maxBuckets >= 2m, got $maxBuckets")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val idx = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .filter(col("v").isNotNull)
+      .withColumn("t", (row_number().over(w) - 1).cast("long"))
+      .filter(col("t") < maxBuckets)
+      .select(col(keyCol).as("k"), col("bucket"), col("t"), col("v"))
+    val w2 = Window.partitionBy(col("k")).orderBy(col("t"))
+    val leadCols = (0 until m).map(i =>
+      (if (i == 0) col("v") else lead(col("v"), i).over(w2)).as(s"v$i"))
+    val sub = idx.select(col("k") +: col("t") +: leadCols: _*)
+      .filter((0 until m).map(i => col(s"v$i").isNotNull).reduce(_ && _))
+    val nw = sub.groupBy("k").agg(count(lit(1)).as("n_windows"))
+    val d2 = (0 until m).map { i =>
+      val d = col(s"a.v$i").cast("double") - col(s"b.v$i").cast("double")
+      d * d
+    }.reduce(_ + _)
+    val pairs = sub.as("a").join(sub.as("b"),
+        col("a.k") === col("b.k") && col("b.t") >= col("a.t") + m)
+      .select(col("a.k").as("k"), col("a.t").as("pos_a"),
+        col("b.t").as("pos_b"), round(d2, 9).as("dist2"))
+    val rw = Window.partitionBy(col("k"))
+      .orderBy(col("dist2").asc, col("pos_a").asc, col("pos_b").asc)
+    pairs.withColumn("rn", row_number().over(rw)).filter(col("rn") === 1)
+      .join(nw, "k")
+      .select(col("k").as(keyCol), col("n_windows"), col("pos_a"),
+        col("pos_b"), round(col("dist2"), 6).as("dist2"))
+  }
 }

@@ -218,4 +218,21 @@ class GraphSpec extends SparkSpec {
     assert(Graph.adamicAdar(sq, minScore = 3.0).isEmpty)
   }
 
+  test("powerlawTail: hand-computed star MLE; degenerate tail yields NULL alpha") {
+    // star: hub degree 4, four spokes degree 1; xmin=1 keeps all 5 nodes
+    val star = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
+    val r = Graph.powerlawTail(star, xmin = 1L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (5L, 5L, 1L))
+    assert(r.getDouble(3) == 1.0)
+    val alpha = 1.0 + 5.0 / (math.rint(math.log(4.0) * 1e9) / 1e9)
+    assert(math.abs(r.getDouble(4) - alpha) < 1e-6)
+    // xmin above every degree: empty tail, NULL alpha (not an error)
+    val r2 = Graph.powerlawTail(star, xmin = 10L).collect().head
+    assert(r2.getLong(1) == 0L && r2.getDouble(3) == 0.0 && r2.isNullAt(4))
+    // all degrees exactly xmin: slog = 0 -> NULL alpha via try_divide
+    val pair = Seq((1L, 2L)).toDF("src", "dst")
+    val r3 = Graph.powerlawTail(pair, xmin = 1L).collect().head
+    assert(r3.getLong(1) == 2L && r3.isNullAt(4))
+  }
+
 }

@@ -180,4 +180,19 @@ class SamplingSpec extends SparkSpec {
     val m = ids.select(w.as("w")).agg(avg("w")).collect().head.getDouble(0)
     assert(math.abs(m - 1.0) < 0.1, s"empirical Poisson mean $m")
   }
+
+  test("kfoldBalance: folds partition the data; shares sum to 1 per fold") {
+    val df = (1L to 300L).map(i => (i, s"c${i % 3}")).toDF("id", "label")
+    val out = Sampling.kfoldBalance(df, "id", "label", 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(4)))
+    assert(out.map(_._3).sum == 300L)            // cells partition the rows
+    assert(out.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val byFold = out.groupBy(_._1).values
+    assert(byFold.forall(cells => math.abs(cells.map(_._4).sum - 1.0) < 1e-4))
+    // deterministic: identical assignment on a re-run
+    val again = Sampling.kfoldBalance(df, "id", "label", 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(4)))
+    assert(out.sortBy(t => (t._1, t._2)).toSeq ==
+      again.sortBy(t => (t._1, t._2)).toSeq)
+  }
 }

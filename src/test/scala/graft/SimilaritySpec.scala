@@ -496,4 +496,26 @@ class SimilaritySpec extends SparkSpec {
     assert(g.toSeq == Seq((1L, 2L), (3L, 4L)))
   }
 
+  test("labelMargin: separated classes score perfectly; a planted stray drags its class") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.2f, 0.2f), 0),
+      (3L, Seq(10.0f, 10.0f), 1), (4L, Seq(10.2f, 9.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelMargin(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out(0L)._1 == 2L && out(1L)._1 == 2L)
+    assert(out(0L)._2 > 0 && out(1L)._2 > 0)          // positive margins
+    assert(out(0L)._3 == 1.0 && out(1L)._3 == 1.0)    // all nearest-own
+    // plant a label-0 vector inside class 1's region: class 0's accuracy
+    // drops and its mean margin goes negative-ward
+    val dirty = emb.unionByName(
+      Seq((5L, Seq(10.1f, 10.1f), 0)).toDF("vec_id", "embedding", "label"))
+    val d = Similarity.labelMargin(dirty).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(d(0L)._1 == 3L && d(0L)._3 < 1.0)
+    assert(d(0L)._2 < out(0L)._2)
+  }
+
 }

@@ -373,4 +373,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(TimeSeries.theilSen(one, "user_id", "ts", "value").isEmpty)
   }
 
+  test("motifDiscovery: exact repeat wins with zero distance, earliest positions") {
+    // hourly series 1,2,1,2,5,5,1,2,1,2: window [1,2,1,2] recurs at t=0
+    // and t=6 (non-overlapping, distance 0)
+    val vs = Seq(1.0, 2.0, 1.0, 2.0, 5.0, 5.0, 1.0, 2.0, 1.0, 2.0)
+    val ev = vs.zipWithIndex.map { case (v, h) =>
+      (1L, f"2024-01-01 $h%02d:00:00", v) }
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    val r = TimeSeries.motifDiscovery(ev, "user_id", "ts", "value")
+      .collect().head
+    // 7 complete length-4 windows; best pair (0, 6) at distance 0
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)) ==
+      (7L, 0L, 6L, 0.0))
+    // a series shorter than 2m has no non-overlapping pair -> no row
+    val short = vs.take(6).zipWithIndex.map { case (v, h) =>
+      (2L, f"2024-01-01 $h%02d:00:00", v) }
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    assert(TimeSeries.motifDiscovery(short, "user_id", "ts", "value").isEmpty)
+  }
+
 }
