@@ -591,6 +591,14 @@ object SparkEntry {
       Analytics.funnel(T(s, dir, "events"), Seq("signup", "click", "purchase"))
         .orderBy("stage_idx")),
 
+    // Time-bounded funnel (ClickHouse windowFunnel semantics): the chain
+    // must complete within 24h of its anchoring signup — the conversion
+    // window the unbounded funnel overcounts.
+    "ana_window_funnel" -> ((s, dir) =>
+      Analytics.windowFunnel(T(s, dir, "events"),
+        Seq("signup", "click", "purchase"), 86400L)
+        .orderBy("stage_idx")),
+
     // Weekly cohort retention: (first-activity week, week offset) →
     // distinct active users from that cohort.
     "ana_retention" -> ((s, dir) =>
@@ -1498,6 +1506,24 @@ object SparkEntry {
       operators.Graph.labelPropagate(edges, init, 2).orderBy("node")
     }),
 
+    // Newman modularity of the 2-round LPA partition, per community —
+    // "did the propagation find structure" (Q = sum of q_contrib).
+    "graph_modularity" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val init = nodes.select(col("node"), (col("node") % 3).as("label"))
+      val labels = operators.Graph.labelPropagate(edges, init, 2)
+      operators.Graph.modularity(edges, labels).orderBy("label")
+    }),
+
     // Local clustering coefficients over the same co-purchase graph —
     // every node emits (triangle-free 0, degree-1 NULL).
     "graph_clustering" -> ((s, dir) => {
@@ -1838,6 +1864,13 @@ object SparkEntry {
         e.filter(Fns.pmod(col("event_id"), lit(10L)) < 6),
         e.filter(Fns.pmod(col("event_id"), lit(10L)) >= 4), "event_id", 10)
     }),
+
+    // Bloom sizing card: 16384-bit / 3-hash filter over part keys, probed
+    // with order keys that are provably absent — measured FPR beside the
+    // (1-(1-1/m)^kn)^k theory line; the filter bits are oracle-verified.
+    "sketch_bloom_fpr" -> ((s, dir) =>
+      Sketch.bloomFprCard(T(s, dir, "part"), T(s, dir, "lineitem"),
+        "p_partkey", "l_orderkey")),
 
     // Embedding L2-norm histogram — the encoder-health monitor
     // (collapsed or bimodal norms read off the 10-bin card).
@@ -3538,6 +3571,26 @@ object SparkEntry {
         |  UNION ALL SELECT 3, 'purchase', count(*) FROM r3)
         |ORDER BY stage_idx""".stripMargin,
 
+    // Anchored 24h window funnel: every signup starts a chain, each step
+    // takes the earliest qualifying event inside the anchor's window.
+    "ana_window_funnel" ->
+      """WITH s0 AS (SELECT DISTINCT user_id AS u, epoch_us(ts) AS t0
+        |      FROM events WHERE event_type = 'signup'),
+        |h1 AS (SELECT user_id AS u, epoch_us(ts) AS ti FROM events
+        |      WHERE event_type = 'click'),
+        |c1 AS (SELECT u, t0, min(ti) AS tp FROM s0 JOIN h1 USING (u)
+        |      WHERE ti > t0 AND ti <= t0 + 86400000000 GROUP BY 1, 2),
+        |h2 AS (SELECT user_id AS u, epoch_us(ts) AS ti FROM events
+        |      WHERE event_type = 'purchase'),
+        |c2 AS (SELECT c1.u, c1.t0, min(ti) AS tp FROM c1 JOIN h2 USING (u)
+        |      WHERE ti > c1.tp AND ti <= c1.t0 + 86400000000 GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+        |         (SELECT count(DISTINCT u) FROM s0) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(DISTINCT u) FROM c1)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(DISTINCT u) FROM c2))
+        |ORDER BY stage_idx""".stripMargin,
+
     "ana_retention" ->
       """WITH weeks AS (SELECT user_id, date_trunc('week', ts) AS week FROM events),
         |cohort AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1),
@@ -4435,6 +4488,48 @@ object SparkEntry {
          |    / u_est.est, 4) AS jaccard_est
          |FROM a_est CROSS JOIN b_est CROSS JOIN u_est""".stripMargin
     },
+
+    // Bloom card: the filter bits themselves are rebuilt (3 Knuth-odd
+    // multipliers mod 16384), membership = all 3 positions set.
+    "sketch_bloom_fpr" ->
+      """WITH ins AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS key
+        |      FROM part WHERE p_partkey IS NOT NULL),
+        |prb AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS key
+        |      FROM lineitem WHERE l_orderkey IS NOT NULL
+        |        AND l_orderkey NOT IN (SELECT key FROM ins)),
+        |ipos AS (SELECT DISTINCT pos FROM (
+        |      SELECT ((key % 2147483648) * 2654435761) % 16384 AS pos
+        |        FROM ins
+        |      UNION ALL
+        |      SELECT ((key % 2147483648) * 2654435763) % 16384 FROM ins
+        |      UNION ALL
+        |      SELECT ((key % 2147483648) * 2654435765) % 16384 FROM ins)),
+        |ppos AS (
+        |      SELECT key, ((key % 2147483648) * 2654435761) % 16384 AS pos
+        |        FROM prb
+        |      UNION ALL
+        |      SELECT key, ((key % 2147483648) * 2654435763) % 16384
+        |        FROM prb
+        |      UNION ALL
+        |      SELECT key, ((key % 2147483648) * 2654435765) % 16384
+        |        FROM prb),
+        |hits AS (SELECT key, count(*) AS h FROM ppos
+        |      WHERE pos IN (SELECT pos FROM ipos) GROUP BY 1),
+        |fp AS (SELECT (SELECT count(*) FROM prb) AS n_probes,
+        |        CAST((SELECT count(*) FROM hits WHERE h = 3) AS BIGINT)
+        |          AS n_false_pos),
+        |ni AS (SELECT count(*) AS n_inserted FROM ins),
+        |nb AS (SELECT count(*) AS bits_set FROM ipos)
+        |SELECT CAST(16384 AS BIGINT) AS m_bits, CAST(3 AS BIGINT)
+        |    AS k_hashes,
+        |  n_inserted, bits_set,
+        |  round(CAST(bits_set AS DOUBLE) / 16384.0, 6) AS fill_ratio,
+        |  n_probes, n_false_pos,
+        |  round(CAST(n_false_pos AS DOUBLE)
+        |    / nullif(CAST(n_probes AS DOUBLE), 0.0), 6) AS measured_fpr,
+        |  round(exp(3.0 * ln(1.0 - exp(3.0 * CAST(n_inserted AS DOUBLE)
+        |    * ln(1.0 - 0.00006103515625)))), 6) AS theoretical_fpr
+        |FROM fp CROSS JOIN ni CROSS JOIN nb""".stripMargin,
 
     // Stage latency: first-to-first pairs, exact integer gap seconds,
     // quantile_cont for Spark's interpolated percentile.
@@ -6565,6 +6660,54 @@ object SparkEntry {
         |SELECT l1.node AS node, coalesce(w2.new_label, l1.label) AS label
         |FROM l1 LEFT JOIN w2 ON w2.node = l1.node
         |ORDER BY l1.node""".stripMargin,
+
+    // Modularity of the same 2-round LPA labeling: per-community
+    // intra-edge and degree masses over the directed edge view.
+    "graph_modularity" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+        |      FROM lineitem),
+        |e AS (SELECT l.pt AS src, r.pt AS dst, count(*) AS c
+        |      FROM it l JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT src AS u, dst AS v FROM e
+        |      UNION SELECT dst, src FROM e),
+        |nodes AS (SELECT DISTINCT u AS node FROM und),
+        |l0 AS (SELECT node, node % 3 AS label FROM nodes),
+        |v1 AS (SELECT und.v AS node, l0.label AS label, count(*) AS c
+        |      FROM l0 JOIN und ON und.u = l0.node GROUP BY 1, 2),
+        |w1 AS (SELECT node, label AS new_label FROM (
+        |      SELECT node, label, row_number() OVER (PARTITION BY node
+        |        ORDER BY c DESC, label) AS rn FROM v1) WHERE rn = 1),
+        |l1 AS (SELECT l0.node, coalesce(w1.new_label, l0.label) AS label
+        |      FROM l0 LEFT JOIN w1 ON w1.node = l0.node),
+        |v2 AS (SELECT und.v AS node, l1.label AS label, count(*) AS c
+        |      FROM l1 JOIN und ON und.u = l1.node GROUP BY 1, 2),
+        |w2 AS (SELECT node, label AS new_label FROM (
+        |      SELECT node, label, row_number() OVER (PARTITION BY node
+        |        ORDER BY c DESC, label) AS rn FROM v2) WHERE rn = 1),
+        |lab AS (SELECT l1.node AS node, coalesce(w2.new_label, l1.label)
+        |        AS label FROM l1 LEFT JOIN w2 ON w2.node = l1.node),
+        |el AS (SELECT lu.label AS lu, lv.label AS lv
+        |      FROM und JOIN lab lu ON lu.node = und.u
+        |      JOIN lab lv ON lv.node = und.v),
+        |m2 AS (SELECT count(*) AS m2 FROM el),
+        |degs AS (SELECT lu AS label, CAST(count(*) AS BIGINT)
+        |          AS degree_sum,
+        |        CAST(sum(CASE WHEN lu = lv THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS intra_directed
+        |      FROM el GROUP BY 1),
+        |sizes AS (SELECT label, count(*) AS n_nodes FROM lab GROUP BY 1)
+        |SELECT sizes.label AS label, n_nodes,
+        |  coalesce(intra_directed, 0) AS intra_directed,
+        |  coalesce(degree_sum, 0) AS degree_sum,
+        |  round(CAST(coalesce(intra_directed, 0) AS DOUBLE)
+        |      / nullif(CAST(m2 AS DOUBLE), 0.0)
+        |    - (CAST(coalesce(degree_sum, 0) AS DOUBLE)
+        |      / nullif(CAST(m2 AS DOUBLE), 0.0))
+        |      * (CAST(coalesce(degree_sum, 0) AS DOUBLE)
+        |      / nullif(CAST(m2 AS DOUBLE), 0.0)), 6) AS q_contrib
+        |FROM sizes LEFT JOIN degs USING (label) CROSS JOIN m2
+        |ORDER BY label""".stripMargin,
 
     // min_by/max_by with the tie-proof composite ordering key
     // (cents·10⁹ + custkey) rebuilt arithmetically.

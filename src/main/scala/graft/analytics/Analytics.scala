@@ -78,6 +78,48 @@ object Analytics {
     }.reduce(_ unionByName _)
   }
 
+  /** Time-bounded funnel (ClickHouse `windowFunnel` semantics, anchored
+    * at the chain start): a user reaches stage i when some stage-0 event
+    * starts a chain where each next stage occurs STRICTLY after the
+    * previous one and within `windowSeconds` of the ANCHOR — "signup →
+    * click → purchase inside one day", where [[funnel]]'s unbounded
+    * order-only gate overcounts. Every stage-0 event anchors its own
+    * chain, and each step greedily takes the earliest qualifying event
+    * (earliest-next maximizes remaining window, so greedy is optimal —
+    * a user reaches stage i iff ANY chain does).
+    *
+    * Scale shape: per step, one user-keyed equi-join of the live
+    * (user, anchor) chains onto that stage's events with the window
+    * predicate fused, then a (user, anchor)-keyed min — per-user
+    * work bounded by anchor-count × stage-hits (the stageLatency cost
+    * class), nothing global. Counts are distinct-user per level;
+    * timestamps compare as exact epoch micros.
+    */
+  def windowFunnel(events: DataFrame, stages: Seq[String],
+                   windowSeconds: Long = 86400L,
+                   userCol: String = "user_id", typeCol: String = "event_type",
+                   tsCol: String = "ts"): DataFrame = {
+    require(stages.size >= 2, s"need >= 2 stages, got $stages")
+    require(stages.distinct.size == stages.size, s"duplicate stages: $stages")
+    require(windowSeconds > 0, s"need windowSeconds > 0, got $windowSeconds")
+    val us = windowSeconds * 1000000L
+    def hits(stage: String) = events.filter(col(typeCol) === stage)
+      .select(col(userCol).as("user_id"), unix_micros(col(tsCol)).as("ti"))
+    val anchors = hits(stages.head)
+      .select(col("user_id"), col("ti").as("t0")).distinct()
+      .withColumn("tprev", col("t0"))
+    val frames = stages.drop(1).scanLeft(anchors) { case (prev, stage) =>
+      prev.join(hits(stage), "user_id")
+        .filter(col("ti") > col("tprev") && col("ti") <= col("t0") + us)
+        .groupBy("user_id", "t0").agg(min(col("ti")).as("tprev"))
+    }
+    frames.zip(stages).zipWithIndex.map { case ((f, stage), i) =>
+      f.select("user_id").distinct().agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("stage_idx"),
+          lit(stage).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Weekly cohort retention: users bucketed by first-activity week, one
     * row per (cohort week, week offset) with the distinct users from the
     * cohort active that week. Two aggregations (first-seen per user,

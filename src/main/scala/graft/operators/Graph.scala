@@ -534,4 +534,48 @@ object Graph {
         round(lit(1.0) + try_divide(col("n_tail").cast("double"),
           col("slog").cast("double")), 6).as("alpha_hill"))
   }
+
+  /** Newman modularity of a GIVEN partition, reported per community:
+    * contribution q_c = intra_c/2m − (d_c/2m)², so Q = Σ q_c — the
+    * "did the community detection actually find structure" score for
+    * whatever labeling is fed in ([[labelPropagate]]'s output, a dedup
+    * cluster map, a business taxonomy). Q ≈ 0: no better than random;
+    * Q ≳ 0.3: real structure.
+    *
+    * Cost: the undirected edge view joined to labels on BOTH endpoints
+    * (two keyed joins), three label-keyed aggregates, one broadcast
+    * scalar. All counts are exact BIGINTs over the DIRECTED edge view
+    * (|und| = 2m), so each contribution is one fixed double expression.
+    * `labels`: (node, label) covering every node (unlabeled endpoints
+    * drop their edges — mirror the propagation's node set).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame,
+                 srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+    val lab = labels.select(col("node"), col("label"))
+    val el = und
+      .join(lab.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(lab.select(col("node").as("v"), col("label").as("lv")), "v")
+    val m2 = el.agg(count(lit(1)).as("m2"))
+    val degs = el.groupBy(col("lu").as("label"))
+      .agg(count(lit(1)).as("degree_sum"),
+        sum(when(col("lu") === col("lv"), 1L).otherwise(0L))
+          .as("intra_directed"))
+    lab.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+      .join(degs, Seq("label"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("intra_directed"), lit(0L)).as("intra_directed"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"),
+        // try_divide: an edgeless labeling (m2 = 0) reports NULL, not
+        // an ANSI divide-by-zero
+        round(try_divide(coalesce(col("intra_directed"), lit(0L))
+            .cast("double"), col("m2").cast("double")) -
+          try_divide(coalesce(col("degree_sum"), lit(0L)).cast("double"),
+            col("m2").cast("double")) *
+          try_divide(coalesce(col("degree_sum"), lit(0L)).cast("double"),
+            col("m2").cast("double")), 6).as("q_contrib"))
+  }
 }

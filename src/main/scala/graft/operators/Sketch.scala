@@ -335,4 +335,59 @@ object Sketch {
         round(inter, 4).as("est_intersection"),
         round(try_divide(inter, col("est_union")), 4).as("jaccard_est"))
   }
+
+  /** Bloom-filter calibration card: build an m-bit / k-hash Bloom filter
+    * over `insert`'s keys with ANSI-expressible positions
+    * ((key mod 2³¹)·K_j mod m, K_j = Knuth + 2j — odd multipliers), probe
+    * it with keys NOT in the insert set (enforced by an anti-join), and
+    * report the MEASURED false-positive rate beside the theoretical
+    * (1 − (1 − 1/m)^kn)^k — the "is my m/k budget right for this
+    * cardinality" sizing check before a [[BloomJoin.bloomSemiJoin]]-style
+    * prune ships to a petabyte scan. Unlike the native XxHash64 filter
+    * (whose bits only Spark can read), every bit here is reproducible by
+    * any engine — the filter CONTENTS are oracle-verified.
+    *
+    * Scale shape: bits = one distinct over an exploded k×n position
+    * stream (≤ m rows out — the sketch property); the probe side joins
+    * positions against the ≤ m-row bit set (broadcast), then one
+    * probe-keyed count and one scalar reduce. Theory term: fixed
+    * ln/exp expression over exact counts, rounded once.
+    */
+  def bloomFprCard(insert: DataFrame, probe: DataFrame,
+                   insertKeyCol: String, probeKeyCol: String,
+                   mBits: Int = 16384, k: Int = 3): DataFrame = {
+    require(mBits >= 2, s"need mBits >= 2, got $mBits")
+    require(k >= 1 && k <= 8, s"need k in [1,8], got $k")
+    val ins = insert.select(col(insertKeyCol).cast("long").as("key"))
+      .filter(col("key").isNotNull).distinct()
+    val prb = probe.select(col(probeKeyCol).cast("long").as("key"))
+      .filter(col("key").isNotNull).distinct()
+      .join(ins, Seq("key"), "left_anti") // true negatives only
+    def positions(df: DataFrame) = df.select(col("key"),
+        explode(array((0 until k).map(j =>
+          pmod(pmod(col("key"), lit(M31)) * (Knuth + 2L * j), lit(mBits.toLong))
+        ): _*)).as("pos"))
+    val bits = positions(ins).select("pos").distinct()
+    val nIns = ins.agg(count(lit(1)).as("n_inserted"))
+    val nBits = bits.agg(count(lit(1)).as("bits_set"))
+    val hitCounts = positions(prb)
+      .join(broadcast(bits), Seq("pos"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("hits"))
+    val fp = prb.join(hitCounts, Seq("key"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(coalesce(col("hits"), lit(0L)) === k, 1L).otherwise(0L))
+          .as("n_false_pos"))
+    val kn = lit(k.toDouble) * col("n_inserted").cast("double")
+    val theory = exp(lit(k.toDouble) *
+      log(lit(1.0) - exp(kn * log(lit(1.0) - lit(1.0 / mBits)))))
+    fp.crossJoin(broadcast(nIns)).crossJoin(broadcast(nBits))
+      .select(lit(mBits.toLong).as("m_bits"), lit(k.toLong).as("k_hashes"),
+        col("n_inserted"), col("bits_set"),
+        round(col("bits_set").cast("double") / mBits.toDouble, 6)
+          .as("fill_ratio"),
+        col("n_probes"), col("n_false_pos"),
+        round(try_divide(col("n_false_pos").cast("double"),
+          col("n_probes").cast("double")), 6).as("measured_fpr"),
+        round(theory, 6).as("theoretical_fpr"))
+  }
 }

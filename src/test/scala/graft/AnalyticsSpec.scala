@@ -447,4 +447,45 @@ class AnalyticsSpec extends SparkSpec {
       (1, "click", "purchase", 1L, 60.0)))
   }
 
+  test("windowFunnel: 24h anchor bound, strict order, later anchors rescue the chain") {
+    def ev(u: Long, t: String, ty: String) = (u, t, ty)
+    val rows = Seq(
+      // u1: clean chain inside the window -> level 3
+      ev(1, "2024-01-01 00:00:00", "signup"),
+      ev(1, "2024-01-01 01:00:00", "click"),
+      ev(1, "2024-01-01 02:00:00", "purchase"),
+      // u2: click 25h after the only signup -> level 1
+      ev(2, "2024-01-01 00:00:00", "signup"),
+      ev(2, "2024-01-02 01:00:00", "click"),
+      // u3: click ok, purchase falls outside the ANCHOR window -> level 2
+      ev(3, "2024-01-01 00:00:00", "signup"),
+      ev(3, "2024-01-01 01:00:00", "click"),
+      ev(3, "2024-01-02 01:00:00", "purchase"),
+      // u4: no signup -> never counted
+      ev(4, "2024-01-01 00:00:00", "click"),
+      // u5: first anchor expires, the SECOND signup's chain completes
+      ev(5, "2024-01-01 00:00:00", "signup"),
+      ev(5, "2024-01-02 00:30:00", "signup"),
+      ev(5, "2024-01-02 01:00:00", "click"),
+      ev(5, "2024-01-02 02:00:00", "purchase"))
+      .toDF("user_id", "s", "event_type")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"event_type")
+    val out = Analytics.windowFunnel(rows,
+        Seq("signup", "click", "purchase"), 86400L)
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // signups: u1,u2,u3,u5 = 4; clicks in-window: u1,u3,u5; purchases: u1,u5
+    assert(out.toSeq == Seq(
+      (1L, "signup", 4L), (2L, "click", 3L), (3L, "purchase", 2L)))
+    // same-instant events do NOT chain (strict >)
+    val tie = Seq(
+      ev(9, "2024-01-01 00:00:00", "signup"),
+      ev(9, "2024-01-01 00:00:00", "click"))
+      .toDF("user_id", "s", "event_type")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"event_type")
+    val t2 = Analytics.windowFunnel(tie, Seq("signup", "click"), 3600L)
+      .orderBy("stage_idx").collect().map(_.getLong(2))
+    assert(t2.toSeq == Seq(1L, 0L))
+  }
+
 }

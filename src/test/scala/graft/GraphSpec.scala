@@ -235,4 +235,29 @@ class GraphSpec extends SparkSpec {
     assert(r3.getLong(1) == 2L && r3.isNullAt(4))
   }
 
+  test("modularity: perfect two-community split scores 0.5, trivial labeling 0") {
+    // two disjoint triangles; m2 = 12 directed edges
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+                (4L, 5L), (5L, 6L), (4L, 6L)).toDF("src", "dst")
+    val perfect = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+                      (4L, 1L), (5L, 1L), (6L, 1L)).toDF("node", "label")
+    val out = Graph.modularity(e, perfect).orderBy("label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // each community: intra 6/12, degree mass 6/12 -> 0.5 - 0.25 = 0.25
+    assert(out.toSeq == Seq((0L, 3L, 6L, 6L, 0.25), (1L, 3L, 6L, 6L, 0.25)))
+    // everyone in one community: Q = 1 - 1 = 0 exactly
+    val one = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+                  (4L, 0L), (5L, 0L), (6L, 0L)).toDF("node", "label")
+    val q1 = Graph.modularity(e, one).collect().head
+    assert(q1.getDouble(4) == 0.0)
+    // splitting a clique in half is WORSE than random: negative contribs
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L),
+                     (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val half = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("node", "label")
+    val qs = Graph.modularity(clique, half).collect().map(_.getDouble(4))
+    assert(qs.forall(_ < 0.0), s"expected negative contribs, got ${qs.toSeq}")
+  }
+
 }

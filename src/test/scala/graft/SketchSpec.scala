@@ -201,4 +201,22 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(disj.getDouble(2) - 8000.0) / 8000.0 < 0.15)
   }
 
+  test("bloomFprCard: probes overlapping the insert set are excluded; a roomy filter has ~zero FPR") {
+    val ins = (1L to 50L).toDF("k")
+    val prb = (40L to 1039L).toDF("k") // 11 keys overlap the insert set
+    val r = Sketch.bloomFprCard(ins, prb, "k", "k", mBits = 1 << 20, k = 3)
+      .collect().head
+    assert(r.getLong(2) == 50L)             // n_inserted
+    assert(r.getLong(3) <= 150L)            // bits_set <= k*n
+    assert(r.getLong(5) == 989L)            // probes minus the 11 overlaps
+    // 150 bits in a 2^20 filter: theory ~3e-12, measured must be 0
+    assert(r.getLong(6) == 0L && r.getDouble(7) == 0.0)
+    assert(r.getDouble(8) < 1e-9)
+    // a saturated filter (tiny m) flags everything: FPR -> 1, theory high
+    val s = Sketch.bloomFprCard(ins, prb, "k", "k", mBits = 4, k = 2)
+      .collect().head
+    assert(s.getDouble(7) > 0.9 && s.getDouble(8) > 0.9)
+    assert(s.getDouble(7) >= 0.0 && s.getDouble(7) <= 1.0)
+  }
+
 }
