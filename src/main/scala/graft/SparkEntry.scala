@@ -1341,6 +1341,11 @@ object SparkEntry {
       Similarity.covarianceMatrix(T(s, dir, "embeddings"))
         .orderBy("i", "j")),
 
+    // Effective rank trace(C)²/‖C‖²_F — "how many dimensions are in
+    // use", no eigendecomposition (anisotropy-collapse alarm).
+    "emb_effective_rank" -> ((s, dir) =>
+      Similarity.effectiveRank(T(s, dir, "embeddings"))),
+
     // Leading principal direction via 3 power iterations on the
     // covariance matrix (9-dp-quantized trajectory, unrolled CTE oracle).
     "emb_pca_power" -> ((s, dir) =>
@@ -2290,6 +2295,14 @@ object SparkEntry {
     // repartition + partition-local sort. The verified output is the
     // key and the resulting total order — the bit-interleave is mirrored
     // exactly in the oracle's shift/and/or SQL.
+    // Pre-write partition audit: rows/files/skew per (day, type)
+    // partition at 1000 rows/file — catches both the giant-partition
+    // and the tiny-file failure modes before the write.
+    "layout_partition_plan" -> ((s, dir) =>
+      Layout.partitionPlan(T(s, dir, "events"),
+        Seq(to_date(col("ts")).as("p_date"), col("event_type")), 1000L)
+        .orderBy("p_date", "event_type")),
+
     "layout_zorder" -> ((s, dir) =>
       Layout.zorderLayout(
           T(s, dir, "lineitem")
@@ -2593,6 +2606,20 @@ object SparkEntry {
     // DFT amplitudes at harmonics 1-4 over each event type's hourly
     // mean series — the period-free spectral periodicity profile beside
     // ts_seasonal's fixed-period strength test.
+    // Spectral entropy of the 4-harmonic power spectrum: ~0 = periodic,
+    // ~ln 4 = noise-like — the predictability gate before seasonal fits.
+    "ts_spectral_entropy" -> ((s, dir) =>
+      operators.TimeSeries.spectralEntropy(
+          T(s, dir, "events"), "event_type", "ts", "value")
+        .orderBy("event_type")),
+
+    // Bandt–Pompe permutation entropy (order 3) per user — model-free
+    // trend-vs-noise complexity from ordinal patterns of hourly triples.
+    "ts_perm_entropy" -> ((s, dir) =>
+      operators.TimeSeries.permutationEntropy(
+          T(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id")),
+
     "ts_dft" -> ((s, dir) =>
       operators.TimeSeries.dftSpectrum(T(s, dir, "events"),
           "event_type", "ts", "value", 4)
@@ -5352,6 +5379,34 @@ object SparkEntry {
          |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j
          |ORDER BY i, j""".stripMargin,
 
+    // Effective rank from the SAME cov chain: exact diagonal DECIMAL
+    // trace, 9-dp-rounded square sums.
+    "emb_effective_rank" ->
+      s"""WITH e AS ($embCte),
+         |x AS (SELECT vec_id, unnest(v) AS xi,
+         |        generate_subscripts(v, 1) - 1 AS i FROM e),
+         |m AS (SELECT i, sum(CAST(round(xi, 9) AS DECIMAL(28,9))) AS sx
+         |      FROM x GROUP BY 1),
+         |p AS (SELECT a.i AS i, b.i AS j,
+         |        sum(CAST(round(a.xi * b.xi * 1e9, 0) AS BIGINT)) AS sp,
+         |        count(*) AS n
+         |      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |cv AS (SELECT p.i, p.j,
+         |        round(CAST(sp AS DOUBLE) / 1e9 / n
+         |          - (CAST(mi.sx AS DOUBLE) / n)
+         |          * (CAST(mj.sx AS DOUBLE) / n), 6) + 0.0 AS cov
+         |      FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j),
+         |a AS (SELECT count(*) AS n_entries,
+         |        sum(CASE WHEN i = j
+         |          THEN CAST(cov AS DECIMAL(18,6)) END) AS tr,
+         |        sum(CAST(round(cov * cov, 9) AS DECIMAL(28,9))) AS fr2
+         |      FROM cv)
+         |SELECT n_entries, round(CAST(tr AS DOUBLE), 6) AS trace,
+         |  round(sqrt(CAST(fr2 AS DOUBLE)), 6) AS frob_norm,
+         |  round(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)
+         |    / nullif(CAST(fr2 AS DOUBLE), 0.0), 6) AS effective_rank
+         |FROM a""".stripMargin,
+
     // Unrolled power iteration on the SAME cov CTE as emb_covariance:
     // each round is a j-keyed matrix-vector product with 9-dp DECIMAL
     // sums, then a 9-dp normalized vector — the identical quantized
@@ -6953,6 +7008,21 @@ object SparkEntry {
 
     // Bit-for-bit mirror of Layout.zorderKey2Sql — generated from the
     // same code that builds the Spark Column, so they cannot drift.
+    // Partition audit: per-(day, type) counts, ceil files at 1000
+    // rows/file, share and skew factor vs the even split.
+    "layout_partition_plan" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS p_date, event_type,
+        |        count(*) AS n_rows FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+        |        count(*) AS n_partitions FROM c)
+        |SELECT p_date, event_type, n_rows,
+        |  CAST(floor((n_rows + 999) / 1000.0) AS BIGINT) AS n_files,
+        |  round(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS frac_of_total,
+        |  round(CAST(n_rows AS DOUBLE) * CAST(n_partitions AS DOUBLE)
+        |    / CAST(total AS DOUBLE), 6) AS skew_vs_even
+        |FROM c CROSS JOIN t ORDER BY p_date, event_type""".stripMargin,
+
     "layout_zorder" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |  ${operators.Layout.zorderKey2Sql("l_partkey", "l_suppkey", 16)} AS zkey
@@ -7333,6 +7403,87 @@ object SparkEntry {
         |  round(sqrt(a * a + b * b) / CAST(n_hours AS DOUBLE), 6)
         |    AS amplitude
         |FROM agg ORDER BY event_type, harmonic""".stripMargin,
+
+    // Spectral entropy over the SAME dft chain: normalized 9-dp powers,
+    // per-harmonic -p·ln p terms DECIMAL-summed.
+    "ts_spectral_entropy" ->
+      """WITH e AS (SELECT event_type AS k, epoch_us(ts) AS t,
+        |        CAST(value AS DOUBLE) AS v FROM events),
+        |bd AS (SELECT k, min(t) AS tmin FROM e GROUP BY 1),
+        |hh AS (SELECT e.k,
+        |        ((t - tmin) - (t - tmin) % 3600000000) // 3600000000 AS h,
+        |        count(*) AS nh,
+        |        sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS sv
+        |      FROM e JOIN bd ON bd.k = e.k GROUP BY 1, 2),
+        |hr AS (SELECT k, h, round(CAST(sv AS DOUBLE) / nh, 6) AS vh FROM hh),
+        |n AS (SELECT k, max(h) + 1 AS n FROM hr GROUP BY 1),
+        |sp AS (SELECT CAST(harmonic AS BIGINT) AS harmonic
+        |      FROM range(1, 5) t(harmonic)),
+        |terms AS (SELECT hr.k, sp.harmonic, n.n,
+        |        round(vh * cos(2.0 * pi() * CAST(sp.harmonic AS DOUBLE)
+        |          * CAST(h AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS ca,
+        |        round(vh * sin(2.0 * pi() * CAST(sp.harmonic AS DOUBLE)
+        |          * CAST(h AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cb
+        |      FROM hr JOIN n ON n.k = hr.k CROSS JOIN sp),
+        |agg AS (SELECT k, harmonic, CAST(min(n) AS BIGINT) AS n_hours,
+        |        CAST(sum(CAST(ca AS DECIMAL(28,6))) AS DOUBLE) AS a,
+        |        CAST(sum(CAST(cb AS DECIMAL(28,6))) AS DOUBLE) AS b
+        |      FROM terms GROUP BY 1, 2),
+        |p2 AS (SELECT k, round(amplitude * amplitude, 9) AS p2 FROM (
+        |      SELECT k, round(sqrt(a * a + b * b)
+        |        / CAST(n_hours AS DOUBLE), 6) AS amplitude FROM agg)),
+        |t AS (SELECT k, count(*) AS n_harmonics,
+        |        sum(CAST(p2 AS DECIMAL(28,9))) AS tot FROM p2 GROUP BY 1),
+        |t2 AS (SELECT p2.k, n_harmonics,
+        |        CASE WHEN tot > 0 AND p2 > 0
+        |          THEN -(p2 / CAST(tot AS DOUBLE)
+        |            * ln(p2 / CAST(tot AS DOUBLE)))
+        |          ELSE 0.0 END AS term
+        |      FROM p2 JOIN t ON t.k = p2.k),
+        |h AS (SELECT k, n_harmonics,
+        |        sum(CAST(round(term, 9) AS DECIMAL(28,9))) AS h
+        |      FROM t2 GROUP BY 1, 2)
+        |SELECT k AS event_type, n_harmonics,
+        |  round(CAST(h AS DOUBLE), 6) AS spectral_entropy,
+        |  round(CAST(h AS DOUBLE) / ln(CAST(n_harmonics AS DOUBLE)), 6)
+        |    AS norm_entropy
+        |FROM h ORDER BY event_type""".stripMargin,
+
+    // Permutation entropy: lead-built triples, Bandt–Pompe positional
+    // tie ranks, corpus-entropy recipe per key.
+    "ts_perm_entropy" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM events GROUP BY 1, 2),
+        |i AS (SELECT user_id AS k, v AS v0,
+        |        CAST(row_number() OVER (PARTITION BY user_id
+        |          ORDER BY bucket) - 1 AS BIGINT) AS t
+        |      FROM b WHERE v IS NOT NULL),
+        |ii AS (SELECT * FROM i WHERE t < 4096),
+        |tr AS (SELECT k, v0, lead(v0, 1) OVER w AS v1,
+        |        lead(v0, 2) OVER w AS v2
+        |      FROM ii WINDOW w AS (PARTITION BY k ORDER BY t)),
+        |t3 AS (SELECT * FROM tr WHERE v1 IS NOT NULL AND v2 IS NOT NULL),
+        |cd AS (SELECT k,
+        |        ((CASE WHEN v1 < v0 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN v2 < v0 THEN 1 ELSE 0 END)) * 9
+        |        + ((CASE WHEN v0 <= v1 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN v2 < v1 THEN 1 ELSE 0 END)) * 3
+        |        + (CASE WHEN v0 <= v2 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN v1 <= v2 THEN 1 ELSE 0 END) AS code
+        |      FROM t3),
+        |c AS (SELECT k, code, count(*) AS c FROM cd GROUP BY 1, 2),
+        |a AS (SELECT k, CAST(sum(c) AS BIGINT) AS n_triples,
+        |        count(*) AS n_patterns,
+        |        sum(CAST(round(c * ln(c), 6) AS DECIMAL(18,6))) AS sclogc
+        |      FROM c GROUP BY 1)
+        |SELECT k AS user_id, n_triples, n_patterns,
+        |  round(ln(CAST(n_triples AS DOUBLE))
+        |    - CAST(sclogc AS DOUBLE) / n_triples, 6) AS perm_entropy,
+        |  round((ln(CAST(n_triples AS DOUBLE))
+        |    - CAST(sclogc AS DOUBLE) / n_triples) / ln(6.0), 6)
+        |    AS norm_entropy
+        |FROM a ORDER BY user_id""".stripMargin,
 
     // Key entropy: one value-count aggregate per column, the
     // PSI/entropy rounding discipline, columns unioned.

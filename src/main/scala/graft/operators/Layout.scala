@@ -96,4 +96,33 @@ object Layout {
       else keyed.repartitionByRange(col("__zkey"))
     ranged.sortWithinPartitions(col("__zkey")).drop("__zkey")
   }
+
+  /** Partition-layout plan for a write: given the partition columns,
+    * report each partition's row count, share of the table, and the
+    * file count at `targetRows` rows/file — the pre-write skew audit
+    * that catches both failure modes of `PARTITIONED BY` at 100 TB
+    * (a giant partition serializing one writer, and a long tail of
+    * kilobyte files strangling the namenode). One count aggregate plus
+    * a broadcast total; `ceil` on exact BIGINTs.
+    */
+  def partitionPlan(df: DataFrame,
+                    partCols: Seq[org.apache.spark.sql.Column],
+                    targetRows: Long = 1000000L): DataFrame = {
+    require(partCols.nonEmpty, "need at least one partition column")
+    require(targetRows >= 1, s"need targetRows >= 1, got $targetRows")
+    val counts = df.groupBy(partCols: _*).agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("total"),
+      count(lit(1)).as("n_partitions"))
+    counts.crossJoin(broadcast(tot))
+      // floor over the exact double quotient (counts << 2^53, no
+      // truncation hazard); Column./ is double division, not integer
+      .withColumn("n_files",
+        floor((col("n_rows") + (targetRows - 1L)) / targetRows).cast("long"))
+      .withColumn("frac_of_total",
+        round(col("n_rows").cast("double") / col("total").cast("double"), 6))
+      .withColumn("skew_vs_even",
+        round(col("n_rows").cast("double") * col("n_partitions").cast("double")
+          / col("total").cast("double"), 6))
+      .drop("total", "n_partitions")
+  }
 }

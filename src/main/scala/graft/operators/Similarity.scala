@@ -1064,4 +1064,32 @@ object Similarity {
         round(col("nc").cast("double") / col("n_vecs").cast("double"), 6)
           .as("frac_correct"))
   }
+
+  /** Effective rank (participation ratio) of the embedding covariance:
+    * (Σλ)²/Σλ² = trace(C)²/‖C‖²_F — "how many dimensions does this
+    * embedding actually use", WITHOUT an eigendecomposition (trace and
+    * Frobenius norm are invariant sums the matrix gives directly). An
+    * encoder whose 768-dim output has effective rank 12 is wasting the
+    * space (anisotropy collapse); a drop over time is the
+    * representation-collapse alarm. Cost: [[covarianceMatrix]]'s one
+    * corpus pass plus one d²-row aggregate — the d² table is tiny.
+    * Determinism: 6-dp cov cells feed an exact diagonal DECIMAL sum and
+    * a 9-dp-rounded square sum.
+    */
+  def effectiveRank(embeddings: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val cov = covarianceMatrix(embeddings, idCol, vecCol)
+    cov.agg(
+        count(lit(1)).as("n_entries"),
+        sum(when(col("i") === col("j"), col("cov").cast("decimal(18,6)")))
+          .as("tr"),
+        sum(round(col("cov") * col("cov"), 9).cast("decimal(28,9)"))
+          .as("fr2"))
+      .select(col("n_entries"),
+        round(col("tr").cast("double"), 6).as("trace"),
+        round(sqrt(col("fr2").cast("double")), 6).as("frob_norm"),
+        round(try_divide(
+          col("tr").cast("double") * col("tr").cast("double"),
+          col("fr2").cast("double")), 6).as("effective_rank"))
+  }
 }

@@ -797,4 +797,83 @@ object TimeSeries {
       .select(col("k").as(keyCol), col("n_windows"), col("pos_a"),
         col("pos_b"), round(col("dist2"), 6).as("dist2"))
   }
+
+  /** Spectral entropy per key: Shannon entropy of the normalized power
+    * spectrum from [[dftSpectrum]]'s harmonics — one number separating
+    * periodic series (energy in one harmonic → entropy ≈ 0) from
+    * noise-like ones (flat spectrum → entropy ≈ ln k). The
+    * predictability gate before fitting seasonal models. Cost:
+    * [[dftSpectrum]] plus two key-keyed aggregates over k·|keys| rows.
+    * Determinism: 6-dp amplitudes → 9-dp squared powers (DECIMAL
+    * totals), per-harmonic entropy terms 9-dp-rounded and
+    * DECIMAL-summed; an all-zero spectrum reports 0 entropy.
+    */
+  def spectralEntropy(events: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, harmonics: Int = 4): DataFrame = {
+    val spec = dftSpectrum(events, keyCol, tsCol, valueCol, harmonics)
+      .select(col("k"),
+        round(col("amplitude") * col("amplitude"), 9).as("p2"))
+    val tot = spec.groupBy("k").agg(
+      count(lit(1)).as("n_harmonics"),
+      sum(col("p2").cast("decimal(28,9)")).as("tot"))
+    val p = col("p2") / col("tot").cast("double")
+    spec.join(tot, "k")
+      .select(col("k"), col("n_harmonics"),
+        when(col("tot") > 0 && col("p2") > 0, -(p * log(p)))
+          .otherwise(lit(0.0)).as("term"))
+      .groupBy("k", "n_harmonics")
+      .agg(sum(round(col("term"), 9).cast("decimal(28,9)")).as("h"))
+      .select(col("k").as(keyCol), col("n_harmonics"),
+        round(col("h").cast("double"), 6).as("spectral_entropy"),
+        round(col("h").cast("double") /
+          log(col("n_harmonics").cast("double")), 6).as("norm_entropy"))
+  }
+
+  /** Permutation entropy per key (Bandt–Pompe, order 3): entropy of the
+    * ordinal-pattern distribution over consecutive hourly triples, ties
+    * broken by position — the model-free complexity measure that tells a
+    * deterministic trend (one pattern, H = 0) from noise (all six
+    * patterns, H = ln 6) without fitting anything. Cost: two per-key
+    * `lead`s, one (key, pattern) count, one key aggregate — all
+    * partitioned. Patterns compare exact DECIMAL bucket values, so the
+    * code is engine-identical; entropy uses the corpus-entropy recipe
+    * (ln n − Σc·ln c/n, 6-dp DECIMAL-routed).
+    */
+  def permutationEntropy(events: DataFrame, keyCol: String, tsCol: String,
+                         valueCol: String, stepSeconds: Long = 3600L,
+                         maxBuckets: Int = 4096): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val idx = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .filter(col("v").isNotNull)
+      .withColumn("t", (row_number().over(w) - 1).cast("long"))
+      .filter(col("t") < maxBuckets)
+      .select(col(keyCol).as("k"), col("t"), col("v").as("v0"))
+    val w2 = Window.partitionBy(col("k")).orderBy(col("t"))
+    val tri = idx
+      .withColumn("v1", lead(col("v0"), 1).over(w2))
+      .withColumn("v2", lead(col("v0"), 2).over(w2))
+      .filter(col("v1").isNotNull && col("v2").isNotNull)
+    def lt(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      when(a, 1L).otherwise(0L).+(when(b, 1L).otherwise(0L))
+    // rank of element i = #{j : (v_j, j) <lex (v_i, i)} — later equal
+    // values rank higher, the standard Bandt–Pompe tie rule
+    val r0 = lt(col("v1") < col("v0"), col("v2") < col("v0"))
+    val r1 = lt(col("v0") <= col("v1"), col("v2") < col("v1"))
+    val r2 = lt(col("v0") <= col("v2"), col("v1") <= col("v2"))
+    val codes = tri.select(col("k"),
+        (r0 * 9L + r1 * 3L + r2).as("code"))
+      .groupBy("k", "code").agg(count(lit(1)).as("c"))
+    codes.groupBy("k").agg(
+        sum(col("c")).as("n_triples"),
+        count(lit(1)).as("n_patterns"),
+        sum(round(col("c") * log(col("c")), 6).cast("decimal(18,6)"))
+          .as("sclogc"))
+      .select(col("k").as(keyCol), col("n_triples"), col("n_patterns"),
+        round(log(col("n_triples")) -
+          col("sclogc").cast("double") / col("n_triples"), 6)
+          .as("perm_entropy"),
+        round((log(col("n_triples")) -
+          col("sclogc").cast("double") / col("n_triples")) /
+          log(lit(6.0)), 6).as("norm_entropy"))
+  }
 }

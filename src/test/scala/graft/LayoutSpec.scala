@@ -85,4 +85,19 @@ class LayoutSpec extends SparkSpec {
     assert(avgDx < 200 && avgDy < 200,
       s"expected clustered partitions, got avg dx=$avgDx dy=$avgDy")
   }
+
+  test("partitionPlan: hand counts, ceil files, skew vs even split") {
+    val df = ((1 to 2500).map(i => ("a", i)) ++ (1 to 500).map(i => ("b", i)))
+      .toDF("p", "x")
+    val out = Layout.partitionPlan(df, Seq(col("p")), targetRows = 1000L)
+      .orderBy("p").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out(0) == ("a", 2500L, 3L, 0.833333, 1.666667))
+    assert(out(1) == ("b", 500L, 1L, 0.166667, 0.333333))
+    // exact multiple of the target needs no extra file
+    val even = (1 to 2000).map(i => ("c", i)).toDF("p", "x")
+    val e = Layout.partitionPlan(even, Seq(col("p")), 1000L).collect().head
+    assert(e.getLong(2) == 2L && e.getDouble(4) == 1.0)
+  }
 }

@@ -518,4 +518,20 @@ class SimilaritySpec extends SparkSpec {
     assert(d(0L)._2 < out(0L)._2)
   }
 
+  test("effectiveRank: one active dimension -> 1, isotropic 2-D -> 2") {
+    // all variance on dim 0: rank collapses to 1
+    val flat = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(3.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r1 = Similarity.effectiveRank(flat).collect().head
+    assert(r1.getLong(0) == 4L) // 2x2 entries
+    assert(math.abs(r1.getDouble(3) - 1.0) < 1e-3)
+    // 4 unit vectors on both axes: cov = diag(.5, .5) -> rank exactly 2
+    val iso = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.effectiveRank(iso).collect().head
+    assert(math.abs(r2.getDouble(1) - 1.0) < 1e-5)  // trace = .5 + .5
+    assert(math.abs(r2.getDouble(3) - 2.0) < 1e-3)
+  }
+
 }

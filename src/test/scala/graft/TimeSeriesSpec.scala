@@ -394,4 +394,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(TimeSeries.motifDiscovery(short, "user_id", "ts", "value").isEmpty)
   }
 
+  test("spectralEntropy: a pure sinusoid concentrates, noise-like spreads") {
+    def series(u: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, h) => (u, f"2024-01-01 $h%02d:00:00", v) }
+    val n = 16
+    val sine = series("sine", (0 until n)
+      .map(h => math.sin(2 * math.Pi * h / n) * 10))
+    val spiky = series("spiky", (0 until n)
+      .map(h => Seq(1.0, 9.0, 2.0, 7.0, 3.0, 8.0, 1.0, 6.0)(h % 8) *
+        (1 + h % 5)))
+    val ev = (sine ++ spiky).toDF("event_type", "s", "value")
+      .select($"event_type", to_timestamp($"s").as("ts"), $"value")
+    val out = TimeSeries.spectralEntropy(ev, "event_type", "ts", "value")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    assert(out("sine")._1 == 4L)
+    // harmonic 1 holds ~all the sine's energy -> entropy near 0
+    assert(out("sine")._2 < 0.1, s"sine norm entropy ${out("sine")._2}")
+    assert(out("spiky")._2 > out("sine")._2 + 0.2,
+      s"expected spiky > sine: $out")
+  }
+
+  test("permutationEntropy: monotone -> one pattern; alternation -> ln 2") {
+    def ev(u: Long, vs: Seq[Double]) = vs.zipWithIndex.map { case (v, h) =>
+      (u, f"2024-01-01 $h%02d:00:00", v) }
+    val rows = (ev(1L, (1 to 8).map(_.toDouble)) ++          // increasing
+        ev(2L, Seq(1.0, 2.0, 1.0, 2.0, 1.0, 2.0)))           // alternating
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    val out = TimeSeries.permutationEntropy(rows, "user_id", "ts", "value")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == (6L, 1L, 0.0))       // one ordinal pattern, H = 0
+    val (nt, np, h) = out(2L)              // two patterns, 2 each
+    assert(nt == 4L && np == 2L && math.abs(h - math.log(2.0)) < 1e-5)
+  }
+
 }
