@@ -366,6 +366,17 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Top-3 orders per customer by price — the warehouse top-N-per-group
+    // staple (rank window, deterministic tie-break, heap-friendly).
+    "q_topn_per_group" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(Window.partitionBy("o_custkey")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc))
+            .cast("long").as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk")),
+
     // Windowed analytics: per-user running event count + previous value.
     "q_window_running" -> ((s, dir) =>
       T(s, dir, "events").select(col("event_id"), col("user_id"),
@@ -630,6 +641,12 @@ object SparkEntry {
           .as("end_s")))
     }),
 
+    // Monthly DAU/MAU stickiness over observed active days — the
+    // engagement ratio (1.0 = daily habit, ~0.05 = drive-by).
+    "ana_stickiness" -> ((s, dir) =>
+      Analytics.stickiness(T(s, dir, "events"))
+        .orderBy("month")),
+
     // Exact distinct-user overlap matrix between event types —
     // the small-k exact face of sketch_hll_setops.
     "ana_type_overlap" -> ((s, dir) =>
@@ -699,6 +716,13 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashDedupPairs(T(s, dir, "documents"), 3, 0.5, 64, 16)
         .orderBy("doc_a", "doc_b")),
+
+    // LSH banding calibration: measured candidate rate per Jaccard
+    // bucket vs the 1-(1-s²)⁸ S-curve, over an ANSI-expressible MinHash
+    // whose signatures the oracle rebuilds bit-for-bit.
+    "dedup_lsh_curve" -> ((s, dir) =>
+      Dedup.lshCalibrationCurve(T(s, dir, "documents"))
+        .orderBy("bucket")),
 
     // Pigeonhole-blocked SimHash pairs; the ANSI-expressible token hash
     // (code-point polynomial + per-bit affine remix) lets the oracle
@@ -3392,6 +3416,15 @@ object SparkEntry {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    "q_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
     "q_window_running" ->
       """SELECT event_id, user_id,
         |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_n,
@@ -3879,6 +3912,71 @@ object SparkEntry {
     "dedup_ngram_prefix" -> ngramJaccardOracle,
 
     "dedup_minhash_lsh" -> ngramJaccardOracle,
+
+    // LSH S-curve: the ANSI MinHash (affine perms of the polynomial
+    // shingle hash), bands, candidates, and exact-Jaccard buckets all
+    // rebuilt; theory term by pure squaring (no pow).
+    "dedup_lsh_curve" ->
+      s"""WITH base AS ($docToks),
+         |toks AS (SELECT doc_id, unnest(toks) AS t,
+         |        generate_subscripts(toks, 1) AS i FROM base),
+         |sh AS (SELECT DISTINCT a.doc_id,
+         |        a.t || ' ' || b.t || ' ' || c.t AS shingle
+         |      FROM toks a
+         |      JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |      JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+         |xh AS (SELECT doc_id, shingle,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(range(length(shingle)),
+         |            i -> ascii(substr(shingle, CAST(i + 1 AS INT), 1)))),
+         |          (acc, c) -> (acc * 131 + c) % 2147483647) AS x
+         |      FROM sh),
+         |pm AS (SELECT CAST(p AS BIGINT) AS p FROM range(16) t(p)),
+         |hp AS (SELECT doc_id, p,
+         |        (x * ((1103515245 * (p + 1)) % 2147483647)
+         |          + ((12345 * (p + 1)) % 2147483647)) % 2147483647 AS h
+         |      FROM xh CROSS JOIN pm),
+         |sig AS (SELECT doc_id, p, min(h) AS m FROM hp GROUP BY 1, 2),
+         |bk AS (SELECT doc_id, (p - p % 2) // 2 AS band,
+         |        min(CASE WHEN p % 2 = 0 THEN m END) AS m0,
+         |        min(CASE WHEN p % 2 = 1 THEN m END) AS m1
+         |      FROM sig GROUP BY 1, 2),
+         |bkey AS (SELECT doc_id, band,
+         |        (m0 * 131 + m1) % 2147483647 AS bkey FROM bk),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |      FROM bkey a JOIN bkey b ON a.band = b.band
+         |        AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT x2.doc_id AS da, y2.doc_id AS db,
+         |        count(*) AS ni
+         |      FROM sh x2 JOIN sh y2 ON x2.shingle = y2.shingle
+         |        AND x2.doc_id < y2.doc_id
+         |      GROUP BY 1, 2),
+         |scored AS (SELECT i2.da, i2.db,
+         |        round(CAST(ni AS DOUBLE)
+         |          / CAST(sa.n + sb.n - ni AS DOUBLE), 6) AS j,
+         |        CASE WHEN cand.da IS NOT NULL THEN 1 ELSE 0 END AS c
+         |      FROM inter i2
+         |      JOIN sizes sa ON sa.doc_id = i2.da
+         |      JOIN sizes sb ON sb.doc_id = i2.db
+         |      LEFT JOIN cand ON cand.da = i2.da AND cand.db = i2.db),
+         |bkt AS (SELECT CAST(least(floor(j * 10.0), 9.0) AS BIGINT)
+         |        AS bucket, c FROM scored),
+         |agg AS (SELECT bucket, count(*) AS n_pairs,
+         |        CAST(sum(c) AS BIGINT) AS n_candidates
+         |      FROM bkt GROUP BY 1),
+         |thy AS (SELECT bucket, n_pairs, n_candidates,
+         |        1.0 - ((CAST(bucket AS DOUBLE) + 0.5) / 10.0)
+         |            * ((CAST(bucket AS DOUBLE) + 0.5) / 10.0) AS y
+         |      FROM agg)
+         |SELECT bucket,
+         |  round((CAST(bucket AS DOUBLE) + 0.5) / 10.0, 2) AS s_mid,
+         |  n_pairs, n_candidates,
+         |  round(CAST(n_candidates AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+         |    AS measured_rate,
+         |  round(1.0 - (y * y) * (y * y) * ((y * y) * (y * y)), 6)
+         |    AS theoretical_rate
+         |FROM thy ORDER BY bucket""".stripMargin,
 
     "dedup_simhash" -> simhashOracle,
 
@@ -4624,6 +4722,24 @@ object SparkEntry {
 
     // Type-overlap matrix: distinct (type, user) self-join, exact
     // BIGINT counts, one rounded division per pair.
+    // DAU/MAU: observed-active-day average over the monthly distinct.
+    "ana_stickiness" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id AS u
+        |      FROM events),
+        |dau AS (SELECT day, count(DISTINCT u) AS dau FROM d GROUP BY 1),
+        |mau AS (SELECT date_trunc('month', day) AS month,
+        |        count(DISTINCT u) AS mau FROM d GROUP BY 1),
+        |md AS (SELECT date_trunc('month', day) AS month,
+        |        count(*) AS n_active_days,
+        |        CAST(sum(dau) AS BIGINT) AS sdau FROM dau GROUP BY 1)
+        |SELECT md.month AS month, n_active_days, mau,
+        |  round(CAST(sdau AS DOUBLE) / CAST(n_active_days AS DOUBLE), 6)
+        |    AS avg_dau,
+        |  round(CAST(sdau AS DOUBLE) / CAST(n_active_days AS DOUBLE)
+        |    / CAST(mau AS DOUBLE), 6) AS stickiness
+        |FROM md JOIN mau ON md.month = mau.month
+        |ORDER BY month""".stripMargin,
+
     "ana_type_overlap" ->
       """WITH tu AS (SELECT DISTINCT event_type AS et, user_id AS u
         |      FROM events),

@@ -120,6 +120,32 @@ object Analytics {
     }.reduce(_ unionByName _)
   }
 
+  /** Monthly stickiness (DAU/MAU): average daily active users over the
+    * month's OBSERVED active days, divided by the month's distinct
+    * actives — the engagement ratio product teams steer by (1.0 = every
+    * monthly user shows up every active day; ~0.05 = drive-by usage).
+    * Two distinct-count aggregates (day-keyed, month-keyed) and one
+    * month-keyed join; the fact table shuffles on user once per grain.
+    */
+  def stickiness(events: DataFrame, userCol: String = "user_id",
+                 tsCol: String = "ts"): DataFrame = {
+    val days = events.select(to_date(col(tsCol)).as("day"),
+      col(userCol).as("u"))
+    val dau = days.groupBy("day").agg(countDistinct(col("u")).as("dau"))
+    val mau = days.select(trunc(col("day"), "month").as("month"), col("u"))
+      .groupBy("month").agg(countDistinct(col("u")).as("mau"))
+    dau.select(trunc(col("day"), "month").as("month"), col("dau"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_active_days"), sum(col("dau")).as("sdau"))
+      .join(mau, "month")
+      .select(col("month"), col("n_active_days"), col("mau"),
+        round(col("sdau").cast("double") /
+          col("n_active_days").cast("double"), 6).as("avg_dau"),
+        round(col("sdau").cast("double") /
+          col("n_active_days").cast("double") /
+          col("mau").cast("double"), 6).as("stickiness"))
+  }
+
   /** Weekly cohort retention: users bucketed by first-activity week, one
     * row per (cohort week, week offset) with the distinct users from the
     * cohort active that week. Two aggregations (first-seen per user,

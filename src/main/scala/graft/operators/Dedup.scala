@@ -1110,4 +1110,83 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** LSH banding calibration card: the MEASURED candidate rate per
+    * trigram-Jaccard bucket next to the theoretical S-curve
+    * 1 − (1 − s^r)^b — the tuning table that answers "will (b, r) catch
+    * my 0.7-similar pairs and skip my 0.2s" BEFORE a petabyte dedup run
+    * commits to a banding. Uses a fully ANSI-expressible MinHash
+    * (per-permutation affine maps of the polynomial shingle hash — the
+    * [[Sketch.cmsBucket]] constant convention) so the oracle rebuilds
+    * the signatures, bands, and candidates bit-for-bit: the curve is
+    * verified, not eyeballed.
+    *
+    * Fixed b = 8 bands × r = 2 rows (16 permutations): theory
+    * 1 − (1 − s²)⁸ evaluates by squaring alone (y², y⁴, y⁸) — no `pow`,
+    * so both engines produce the identical double. Population: pairs
+    * sharing ≥ 1 shingle (disjoint pairs have s = 0 and, with these
+    * exact-equality bands, candidate probability 0 — nothing to
+    * calibrate). Scale shape: signatures are one map-side-combined
+    * (doc, perm) min over the shingle×16 stream; candidates come from
+    * the banded equi-self-join; the exact-Jaccard verifier is the
+    * inverted-index join ([[ngramJaccardPairs]]'s cost class, the
+    * verify-scale baseline).
+    */
+  def lshCalibrationCurve(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val P31 = 2147483647L
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(Fns.shingles(Fns.tokens(col(textCol)), 3)).as("shingle"))
+      .distinct()
+    val x = call_function("graft_strhash", col("shingle"))
+    val sig = sh
+      .withColumn("p", explode(sequence(lit(0L), lit(15L))))
+      .select(col("doc_id"), col("p"),
+        Fns.pmod(x * Fns.pmod(lit(1103515245L) * (col("p") + 1L), lit(P31))
+          + Fns.pmod(lit(12345L) * (col("p") + 1L), lit(P31)), lit(P31))
+          .as("h"))
+      .groupBy("doc_id", "p").agg(min(col("h")).as("m"))
+    val bandKeys = sig
+      .select(col("doc_id"),
+        ((col("p") - Fns.pmod(col("p"), lit(2L))) / lit(2.0)).cast("long")
+          .as("band"),
+        Fns.pmod(col("p"), lit(2L)).as("slot"), col("m"))
+      .groupBy("doc_id", "band")
+      .agg(min(when(col("slot") === 0L, col("m"))).as("m0"),
+        min(when(col("slot") === 1L, col("m"))).as("m1"))
+      .select(col("doc_id"), col("band"),
+        Fns.pmod(col("m0") * 131L + col("m1"), lit(P31)).as("bkey"))
+    val cand = bandKeys.as("a").join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+      .withColumn("is_cand", lit(1L))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("ni"))
+    val scored = inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"),
+        round(col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double"), 6).as("j"))
+      .join(cand, Seq("da", "db"), "left")
+    val bucket = least(floor(col("j") * 10.0), lit(9.0)).cast("long")
+    val sMid = (col("bucket").cast("double") + 0.5) / 10.0
+    val y = lit(1.0) - sMid * sMid
+    val y8 = (y * y) * (y * y) * ((y * y) * (y * y))
+    scored.select(bucket.as("bucket"),
+        coalesce(col("is_cand"), lit(0L)).as("c"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("c")).as("n_candidates"))
+      .select(col("bucket"), round(sMid, 2).as("s_mid"),
+        col("n_pairs"), col("n_candidates"),
+        round(col("n_candidates").cast("double") /
+          col("n_pairs").cast("double"), 6).as("measured_rate"),
+        round(lit(1.0) - y8, 6).as("theoretical_rate"))
+  }
 }

@@ -488,4 +488,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(t2.toSeq == Seq(1L, 0L))
   }
 
+  test("stickiness: hand DAU/MAU over observed active days") {
+    val rows = Seq(
+      (1L, "2024-03-01 10:00:00"), (2L, "2024-03-01 11:00:00"),
+      (1L, "2024-03-05 10:00:00"), (3L, "2024-03-05 11:00:00"),
+      (1L, "2024-03-05 12:00:00")) // duplicate same-day activity: 1 DAU
+      .toDF("user_id", "s")
+      .select($"user_id", to_timestamp($"s").as("ts"))
+    val r = Analytics.stickiness(rows).collect().head
+    // 2 active days (DAU 2, 2), MAU 3 -> avg_dau 2, stickiness 2/3
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 2.0)
+    assert(math.abs(r.getDouble(4) - 2.0 / 3.0) < 1e-6)
+  }
+
 }

@@ -512,4 +512,29 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getDouble(0), r.getLong(1)))
     assert(out.toSeq == Seq((0.5, 4L), (0.9, 1L)))
   }
+
+  test("lshCalibrationCurve: identical docs are always candidates; low buckets rarely") {
+    // docs 1,2 identical (j=1 -> bucket 9); docs 3,4 share one shingle in
+    // ten (j~0.05 -> bucket 0); singletons pad the corpus
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "one two three eleven twelve thirteen fourteen fifteen sixteen seventeen"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lshCalibrationCurve(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    // identical signatures share every band -> measured rate 1.0, and the
+    // theory line at s_mid=0.95 is also ~1
+    val (np9, nc9, m9, t9) = out(9L)
+    assert(np9 == 1L && nc9 == 1L && m9 == 1.0 && t9 > 0.99)
+    // the one-shared-shingle pair lands in bucket 0; theory there ~0.16
+    val (np0, _, m0, t0) = out(0L)
+    assert(np0 == 1L && t0 < 0.2)
+    assert(m0 == 0.0 || m0 == 1.0) // a 1-pair bucket is all-or-nothing
+    // rates are valid probabilities everywhere
+    assert(out.values.forall { case (_, _, m, t) =>
+      m >= 0.0 && m <= 1.0 && t >= 0.0 && t <= 1.0 })
+  }
 }
