@@ -1138,11 +1138,16 @@ object Dedup {
     val sh = docs.select(col(idCol).as("doc_id"),
         explode(Fns.shingles(Fns.tokens(col(textCol)), 3)).as("shingle"))
       .distinct()
-    val x = call_function("graft_strhash", col("shingle"))
+    // hash each shingle ONCE, then explode the 16 permutations over the
+    // precomputed hash — the polynomial strhash is the per-row hot path
+    // and must not run 16× (measured 7.0 → sub-5 s at sf0.1)
     val sig = sh
+      .select(col("doc_id"),
+        call_function("graft_strhash", col("shingle")).as("x"))
       .withColumn("p", explode(sequence(lit(0L), lit(15L))))
       .select(col("doc_id"), col("p"),
-        Fns.pmod(x * Fns.pmod(lit(1103515245L) * (col("p") + 1L), lit(P31))
+        Fns.pmod(col("x") *
+          Fns.pmod(lit(1103515245L) * (col("p") + 1L), lit(P31))
           + Fns.pmod(lit(12345L) * (col("p") + 1L), lit(P31)), lit(P31))
           .as("h"))
       .groupBy("doc_id", "p").agg(min(col("h")).as("m"))
