@@ -1815,6 +1815,20 @@ object SparkEntry {
         "props_parseable" -> col("props").isNotNull))
         .orderBy("rule_idx")),
 
+    // Primary-key uniqueness audit over every table's declared key
+    // (incl. lineitem's composite) — the Deequ check whose silent
+    // failure fans out every downstream join.
+    "dq_pk_uniqueness" -> ((s, dir) =>
+      operators.DataQuality.pkUniqueness(Seq(
+        ("customer", T(s, dir, "customer"), Seq("c_custkey")),
+        ("orders", T(s, dir, "orders"), Seq("o_orderkey")),
+        ("part", T(s, dir, "part"), Seq("p_partkey")),
+        ("lineitem", T(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber")),
+        ("documents", T(s, dir, "documents"), Seq("doc_id")),
+        ("events", T(s, dir, "events"), Seq("event_id"))))
+        .orderBy("table_name")),
+
     // Referential-integrity audit of the star schema: orphan scans for
     // lineitem→orders, orders→customer, lineitem→part (left-anti per
     // relation; Catalyst broadcasts dim-sized parents).
@@ -1842,6 +1856,13 @@ object SparkEntry {
     "ml_ridge" -> ((s, dir) =>
       operators.ML.ridgeNormal(T(s, dir, "lineitem"), col("l_quantity"),
         col("l_discount"), col("l_extendedprice"), lambda = 1.0)),
+
+    // One spherical GMM E-step (k=4 lowest-id seeds, corpus-mean
+    // bandwidth): max-subtracted softmax responsibilities — the soft
+    // membership table a mixture M-step or soft-dedup weighting eats.
+    "ml_gmm_estep" -> ((s, dir) =>
+      operators.ML.gmmEStep(T(s, dir, "embeddings"), 4)
+        .orderBy("cid")),
 
     // Multinomial NB language classifier trained + self-evaluated over
     // the corpus in one lazy plan: per-lang recall rows (model-card
@@ -2641,6 +2662,13 @@ object SparkEntry {
     // trend-vs-noise complexity from ordinal patterns of hourly triples.
     "ts_perm_entropy" -> ((s, dir) =>
       operators.TimeSeries.permutationEntropy(
+          T(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id")),
+
+    // Page's one-sided CUSUM drift scan per user (h = 4σ): sustained
+    // small shifts fire here long before any per-point z-score.
+    "ts_cusum" -> ((s, dir) =>
+      operators.TimeSeries.cusumScan(
           T(s, dir, "events"), "user_id", "ts", "value")
         .orderBy("user_id")),
 
@@ -6395,6 +6423,27 @@ object SparkEntry {
         |  round(mi / sqrt(h_a * h_b), 6) AS nmi
         |FROM mi0 CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot""".stripMargin,
 
+    // PK uniqueness: one grouped count per declared key, unioned.
+    "dq_pk_uniqueness" -> {
+      def one(table: String, keys: String) =
+        s"""SELECT '$table' AS table_name,
+           |  '${keys.replace(" ", "")}' AS key_cols,
+           |  CAST(sum(c) AS BIGINT) AS n_rows,
+           |  count(*) AS n_distinct_keys,
+           |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_dup_keys
+           |FROM (SELECT count(*) AS c FROM $table GROUP BY $keys)""".stripMargin
+      s"""SELECT table_name, key_cols, n_rows, n_distinct_keys, n_dup_keys,
+         |  n_dup_keys = 0 AS is_unique
+         |FROM (${one("customer", "c_custkey")}
+         |UNION ALL ${one("orders", "o_orderkey")}
+         |UNION ALL ${one("part", "p_partkey")}
+         |UNION ALL ${one("lineitem", "l_orderkey, l_linenumber")}
+         |UNION ALL ${one("documents", "doc_id")}
+         |UNION ALL ${one("events", "event_id")})
+         |ORDER BY table_name""".stripMargin
+    },
+
     // Constraint suite: one aggregate computes all violation counts;
     // NULL predicates count as violations (NOT coalesce(p, FALSE)).
     "dq_constraints" ->
@@ -6564,6 +6613,42 @@ object SparkEntry {
     // Cramer determinant expansions transcribed in the Spark side's
     // EXACT operation order (symmetric entries substituted identically),
     // so every determinant is the same IEEE value on both engines.
+    // GMM E-step: seed vectors as centroids, silhouette's DECIMAL d²
+    // recipe, max-subtracted softmax with 9-dp rounded exponentials.
+    "ml_gmm_estep" ->
+      s"""WITH e AS ($embCte),
+         |f AS (SELECT vec_id,
+         |        CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim,
+         |        unnest(v) AS x FROM e),
+         |cent AS (SELECT vec_id AS cid, dim, x AS c FROM f
+         |      WHERE vec_id < 4),
+         |d2 AS (SELECT f.vec_id, cid,
+         |        CAST(sum(CAST(round((x - c) * (x - c), 6)
+         |          AS DECIMAL(18,6))) AS DOUBLE) AS d2
+         |      FROM f JOIN cent USING (dim) GROUP BY 1, 2),
+         |s2 AS (SELECT round(CAST(sum(CAST(round(d2, 6)
+         |          AS DECIMAL(18,6))) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE), 6) AS s2 FROM d2),
+         |dm AS (SELECT vec_id, min(d2) AS dmin FROM d2 GROUP BY 1),
+         |ee AS (SELECT d2.vec_id, cid,
+         |        round(exp(-(d2 - dmin) / (2.0 * s2)), 9) AS e3,
+         |        d2 = dmin AS is_min
+         |      FROM d2 JOIN dm USING (vec_id) CROSS JOIN s2),
+         |se AS (SELECT vec_id, sum(CAST(e3 AS DECIMAL(28,9))) AS se,
+         |        min(CASE WHEN is_min THEN cid END) AS hard
+         |      FROM ee GROUP BY 1),
+         |rr AS (SELECT cid, round(e3 / CAST(se AS DOUBLE), 9) AS r,
+         |        cid = hard AS is_hard
+         |      FROM ee JOIN se USING (vec_id))
+         |SELECT CAST(cid AS BIGINT) AS cid, count(*) AS n_vecs,
+         |  round(CAST(sum(CAST(round(r, 6) AS DECIMAL(18,6)))
+         |    AS DOUBLE), 6) AS soft_count,
+         |  CAST(sum(CASE WHEN is_hard THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hard,
+         |  round(CAST(sum(CAST(round(r, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS avg_resp
+         |FROM rr GROUP BY 1 ORDER BY cid""".stripMargin,
+
     "ml_ridge" ->
       """WITH s AS (SELECT CAST(l_quantity AS DOUBLE) AS x1,
         |        CAST(l_discount AS DOUBLE) AS x2,
@@ -7837,6 +7922,44 @@ object SparkEntry {
         |    AS slope,
         |  CAST(round(CAST(icept_raw AS DECIMAL(24,12)), 6) AS DOUBLE)
         |    AS intercept
+        |FROM f ORDER BY user_id""".stripMargin,
+
+    // CUSUM: exact DECIMAL prefix sums, running extrema as nested
+    // windows, alarm from 6-dp-rounded excursions vs rounded sigma.
+    "ts_cusum" ->
+      """WITH b AS (SELECT user_id AS k, date_trunc('hour', ts) AS bucket,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM events GROUP BY 1, 2),
+        |bb AS (SELECT * FROM b WHERE v IS NOT NULL),
+        |st AS (SELECT k, count(*) AS n_buckets,
+        |        CAST(sum(v) AS DECIMAL(38,6)) AS sv,
+        |        CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS svv
+        |      FROM bb GROUP BY 1),
+        |wm AS (SELECT bb.k, bucket, n_buckets, sv, svv,
+        |        CAST(round(CAST(CAST(v AS DOUBLE) - CAST(sv AS DOUBLE)
+        |          / CAST(n_buckets AS DOUBLE) AS DECIMAL(24,12)), 6)
+        |          AS DECIMAL(18,6)) AS dev
+        |      FROM bb JOIN st ON st.k = bb.k),
+        |p1 AS (SELECT k, n_buckets, sv, svv, bucket,
+        |        sum(dev) OVER (PARTITION BY k ORDER BY bucket) AS pfx
+        |      FROM wm),
+        |p2 AS (SELECT k, n_buckets, sv, svv, pfx,
+        |        min(pfx) OVER (PARTITION BY k ORDER BY bucket) AS runmin,
+        |        max(pfx) OVER (PARTITION BY k ORDER BY bucket) AS runmax
+        |      FROM p1),
+        |a AS (SELECT k, n_buckets, sv, svv,
+        |        max(CAST(pfx - runmin AS DOUBLE)) AS up,
+        |        max(CAST(runmax - pfx AS DOUBLE)) AS down
+        |      FROM p2 GROUP BY 1, 2, 3, 4),
+        |f AS (SELECT k, n_buckets,
+        |        round(up, 6) AS cusum_up, round(down, 6) AS cusum_down,
+        |        round(sqrt(greatest(svv / CAST(n_buckets AS DOUBLE)
+        |          - (CAST(sv AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+        |          * (CAST(sv AS DOUBLE) / CAST(n_buckets AS DOUBLE)),
+        |          0.0)), 6) AS sigma
+        |      FROM a)
+        |SELECT k AS user_id, n_buckets, cusum_up, cusum_down, sigma,
+        |  greatest(cusum_up, cusum_down) > 4.0 * sigma AS alarm
         |FROM f ORDER BY user_id""".stripMargin,
 
     // Motif: lead-assembled length-4 windows over the observed index,

@@ -689,6 +689,31 @@ object DataQuality {
     * key — the correct shape) plus one count; scalar counts attach via
     * broadcast. Relations evaluate independently and union.
     */
+  /** Primary-key uniqueness audit across tables: for each declared
+    * (possibly composite) key, rows vs distinct keys vs keys appearing
+    * more than once — the first Deequ check every warehouse load runs,
+    * and the one whose silent failure corrupts every downstream join
+    * (a dup key fans out facts). One count + one key-grouped aggregate
+    * per table; tables audit independently and union.
+    */
+  def pkUniqueness(
+      tables: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
+    require(tables.nonEmpty, "need at least one table")
+    tables.map { case (name, df, keys) =>
+      require(keys.nonEmpty, s"table $name needs at least one key column")
+      val perKey = df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("c"))
+      perKey.agg(
+          sum(col("c")).as("n_rows"),
+          count(lit(1)).as("n_distinct_keys"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_keys"))
+        .select(lit(name).as("table_name"),
+          lit(keys.mkString(",")).as("key_cols"),
+          col("n_rows"), col("n_distinct_keys"), col("n_dup_keys"),
+          (col("n_dup_keys") === 0).as("is_unique"))
+    }.reduce(_ unionByName _)
+  }
+
   def referentialIntegrity(
       relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
     require(relations.nonEmpty, "need at least one relation")

@@ -224,4 +224,62 @@ object ML {
         round(col("n_correct").cast("double") / col("n").cast("double"), 6)
           .as("accuracy"))
   }
+
+  /** One GMM E-step (spherical, shared bandwidth): soft-assignment
+    * responsibilities of every vector over k seed centroids — the soft
+    * face of the hard Lloyd step, and the membership-weight table a
+    * mixture-model M-step or soft-dedup weighting consumes. Seeds are
+    * the k lowest-id vectors (the deterministic oracle-reproducible
+    * convention shared with productQuantize); the bandwidth is the
+    * corpus mean squared centroid distance (one scalar pass, no knob).
+    *
+    * Numerics: responsibilities use the max-subtracted softmax —
+    * e_k = exp(−(d²_k − min_j d²_j)/(2σ²)) puts the nearest centroid at
+    * exactly 1, so Σe ≥ 1 and the ratio can never 0/0-underflow no
+    * matter how spread the corpus; each e is 9-dp-rounded before the
+    * DECIMAL share sums (the repo's transcendental discipline).
+    * Scale shape: the k·d centroid frame broadcasts onto the flattened
+    * corpus ([[Similarity.silhouette]]'s join), then vec-keyed and
+    * cid-keyed reduces — O(N·k·d) work, no pair joins.
+    */
+  def gmmEStep(embeddings: DataFrame, k: Int = 4,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val flat = embeddings.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").as("x"))
+    val cent = flat.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("dim"), col("x").as("c"))
+    val d2 = flat.join(broadcast(cent), "dim")
+      .groupBy("vec_id", "cid")
+      .agg(sum(round((col("x") - col("c")) * (col("x") - col("c")), 6)
+        .cast("decimal(18,6)")).cast("double").as("d2"))
+    val sigma2 = d2.agg(
+      round(d6sum(col("d2")) / count(lit(1)).cast("double"), 6).as("s2"))
+    val dmin = d2.groupBy("vec_id").agg(min(col("d2")).as("dmin"))
+    val e = d2.join(dmin, "vec_id").crossJoin(broadcast(sigma2))
+      .select(col("vec_id"), col("cid"),
+        round(exp(-(col("d2") - col("dmin")) / (lit(2.0) * col("s2"))), 9)
+          .as("e"),
+        (col("d2") === col("dmin")).as("is_min"))
+    val se = e.groupBy("vec_id").agg(
+      sum(col("e").cast("decimal(28,9)")).as("se"),
+      // hard assignment = nearest centroid, ties to the lower cid
+      min(when(col("is_min"), col("cid"))).as("hard"))
+    e.join(se, "vec_id")
+      .select(col("cid"),
+        round(col("e") / col("se").cast("double"), 9).as("r"),
+        (col("cid") === col("hard")).as("is_hard"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("r"), 6).cast("decimal(18,6)")).as("sc"),
+        sum(when(col("is_hard"), 1L).otherwise(0L)).as("n_hard"))
+      .select(col("cid").cast("long").as("cid"), col("n_vecs"),
+        round(col("sc").cast("double"), 6).as("soft_count"),
+        col("n_hard"),
+        round(col("sc").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("avg_resp"))
+  }
 }

@@ -876,4 +876,67 @@ object TimeSeries {
           col("sclogc").cast("double") / col("n_triples")) /
           log(lit(6.0)), 6).as("norm_entropy"))
   }
+
+  /** One-sided CUSUM drift scan per key (Page 1954): over the hourly
+    * deviations from the key's own mean, the upward excursion
+    * S⁺ = max_t (P_t − min_{i≤t} P_i) and downward S⁻ = max_t
+    * (max_{i≤t} P_i − P_t) of the prefix sum P — the sequential drift
+    * detector that fires on a sustained small shift long before a
+    * per-point z-score does. The recursive max(0, ·) form rewrites to
+    * prefix-minus-running-extremum, so it is two per-key ordered
+    * windows, no iteration. Alarm when the excursion exceeds
+    * `h` × the key's deviation σ.
+    *
+    * Determinism: bucket values ride DECIMAL; deviations are
+    * 6-dp-rounded DECIMALs so every prefix sum is exact regardless of
+    * accumulation order; σ comes from the exact-moments recipe. All
+    * windows are key-partitioned.
+    */
+  def cusumScan(events: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, h: Double = 4.0,
+                stepSeconds: Long = 3600L): DataFrame = {
+    require(h > 0, s"need h > 0, got $h")
+    val b = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .filter(col("v").isNotNull)
+      .select(col(keyCol).as("k"), col("bucket"), col("v"))
+    val stats = b.groupBy("k").agg(
+      count(lit(1)).as("n_buckets"),
+      sum(col("v")).cast("decimal(38,6)").as("sv"),
+      sum((col("v") * col("v")).cast("decimal(38,12)")).cast("double")
+        .as("svv"))
+    val withMean = b.join(stats, "k")
+      .select(col("k"), col("bucket"), col("n_buckets"), col("svv"),
+        col("sv"),
+        // DECIMAL(24,12) routing before the 6-dp round: v − mean can
+        // land exactly on a 6-dp half boundary, where the engines'
+        // double-rounding disagrees (the resampleInterpolate discipline)
+        round((col("v").cast("double") -
+          col("sv").cast("double") / col("n_buckets").cast("double"))
+          .cast("decimal(24,12)"), 6)
+          .cast("decimal(18,6)").as("dev"))
+    val wOrd = Window.partitionBy(col("k")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = withMean
+      .withColumn("pfx", sum(col("dev")).over(wOrd))
+      .withColumn("runmin", min(col("pfx")).over(wOrd))
+      .withColumn("runmax", max(col("pfx")).over(wOrd))
+    // the alarm compares 6-dp-ROUNDED excursions against the rounded σ
+    // (membership-decision discipline: the boundary verdict must not
+    // hinge on a last-ulp libm difference)
+    p.groupBy(col("k"), col("n_buckets"), col("sv"), col("svv"))
+      .agg(max((col("pfx") - col("runmin")).cast("double")).as("up"),
+        max((col("runmax") - col("pfx")).cast("double")).as("down"))
+      .select(col("k"), col("n_buckets"),
+        round(col("up"), 6).as("cusum_up"),
+        round(col("down"), 6).as("cusum_down"),
+        round(sqrt(greatest(
+          col("svv") / col("n_buckets").cast("double") -
+          (col("sv").cast("double") / col("n_buckets").cast("double")) *
+          (col("sv").cast("double") / col("n_buckets").cast("double")),
+          lit(0.0))), 6).as("sigma"))
+      .select(col("k").as(keyCol), col("n_buckets"), col("cusum_up"),
+        col("cusum_down"), col("sigma"),
+        (greatest(col("cusum_up"), col("cusum_down")) >
+          lit(h) * col("sigma")).as("alarm"))
+  }
 }

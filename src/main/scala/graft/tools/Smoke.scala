@@ -27,28 +27,16 @@ object Smoke {
     }
 
     // Current investigation: tf-cosine cost decomposition at sf0.1 —
-    // how much is the dense-vector HOF densify vs the rest?
+    // Current investigation: cusumScan prefix/runmin decomposition on
+    // a hand series (level shift 10x0 then 10x2)
     import org.apache.spark.sql.functions._
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    println(s"[smoke] docs = ${docs.count()}")
-    time("tfCosinePairs full")(
-      graft.operators.Dedup.tfCosinePairs(docs, 0.95).count())
-    time("tfCosinePairs full 2nd")(
-      graft.operators.Dedup.tfCosinePairs(docs, 0.95).count())
-
-    // stage decomposition
-    val tf = docs.select(col("doc_id"),
-        explode(graft.functions.Fns.tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    time("termFreq + stats")(
-      tf.agg(countDistinct(col("term")), countDistinct(col("doc_id"))).head())
-    val labs = time("vocabComponents")(graft.operators.Dedup.vocabComponents(tf))
-    time("labs count")(labs.count())
-    val cstats = tf.join(labs, "doc_id").groupBy("lab")
-      .agg(countDistinct(col("term")).as("cv"))
-    time("component stats")(cstats.count())
-    println("[smoke] n components: " + cstats.count() +
-      " max cv: " + cstats.agg(max(col("cv"))).head().getLong(0))
+    import spark.implicits._
+    val rows = (0 until 20).map(h =>
+        (1L, f"2024-01-01 $h%02d:00:00", if (h < 10) 0.0 else 2.0))
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    graft.operators.TimeSeries.cusumScan(rows, "user_id", "ts", "value")
+      .show(false)
     spark.stop()
   }
 }

@@ -91,4 +91,23 @@ class MLSpec extends SparkSpec {
     assert(out.toSeq == Seq((0, 3L, 1.0), (1, 3L, 1.0)))
   }
 
+  test("gmmEStep: tight clusters give near-hard responsibilities; counts partition") {
+    // seeds are vec_ids 0,1 (k=2); vectors pile tightly around each seed
+    val e = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 10.0f)),
+      (2L, Seq(0.1f, 0.0f)), (3L, Seq(0.0f, 0.1f)),
+      (4L, Seq(10.1f, 10.0f)), (5L, Seq(10.0f, 10.1f)))
+      .toDF("vec_id", "embedding")
+    val out = ML.gmmEStep(e, k = 2).orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // every vector is scored against both centroids
+    assert(out.map(_._2).toSeq == Seq(6L, 6L))
+    // hard assignments split 3/3, soft counts near the hard ones
+    assert(out.map(_._4).toSeq == Seq(3L, 3L))
+    assert(out.forall(t => math.abs(t._3 - 3.0) < 0.2),
+      s"soft counts should hug 3: ${out.toSeq}")
+    // responsibilities are shares: soft counts sum to ~N
+    assert(math.abs(out.map(_._3).sum - 6.0) < 1e-3)
+  }
+
 }

@@ -431,4 +431,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(nt == 4L && np == 2L && math.abs(h - math.log(2.0)) < 1e-5)
   }
 
+  test("cusumScan: a sustained level shift alarms; a stationary series does not") {
+    def ev(u: Long, vs: Seq[Double]) = vs.zipWithIndex.map { case (v, h) =>
+      (u, f"2024-01-01 $h%02d:00:00", v) }
+    // u1: 10 hours at 0, then 10 hours at 2 — classic drift
+    // u2: alternating ±1 around 0 — no drift
+    val rows = (ev(1L, Seq.fill(10)(0.0) ++ Seq.fill(10)(2.0)) ++
+        ev(2L, (0 until 20).map(i => if (i % 2 == 0) 1.0 else -1.0)))
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    val out = TimeSeries.cusumScan(rows, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    // u1: dev = ∓1 for each half -> max upward excursion 10, sigma 1
+    val (up1, down1, s1, a1) = out(1L)
+    assert(up1 == 10.0 && s1 == 1.0 && a1)
+    // downward: the running max is -1 (the FIRST prefix) until the rise,
+    // so the drawdown at the trough is -1 - (-10) = 9, not 10
+    assert(down1 == 9.0)
+    // u2: prefix never strays beyond one step -> no alarm at 4 sigma
+    val (up2, _, s2, a2) = out(2L)
+    assert(up2 <= 1.0 + 1e-9 && s2 == 1.0 && !a2)
+  }
+
 }
