@@ -724,6 +724,13 @@ object SparkEntry {
       Dedup.lshCalibrationCurve(T(s, dir, "documents"))
         .orderBy("bucket")),
 
+    // MinHash estimator quality: signature-agreement ĵ vs exact Jaccard,
+    // bias + RMSE per decile — "how many permutations does MY corpus
+    // need", measured rather than assumed.
+    "dedup_minhash_est" -> ((s, dir) =>
+      Dedup.minhashEstimatorCard(T(s, dir, "documents"))
+        .orderBy("bucket")),
+
     // Pigeonhole-blocked SimHash pairs; the ANSI-expressible token hash
     // (code-point polynomial + per-bit affine remix) lets the oracle
     // rebuild the 64-bit fingerprints and check the pair set exactly.
@@ -2148,6 +2155,18 @@ object SparkEntry {
       Multimodal.dhashNearDup(
         Multimodal.decodeDHash(s, assets).toDF(), 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Per-image luma mean/std/min/max through the REAL PNG decode —
+    // the image-corpus health probe; the oracle rebuilds every statistic
+    // from the synthetic raster formula, so decode→stat is value-checked.
+    "mm_luma_stats" -> ((s, dir) => {
+      import s.implicits._
+      val assets = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          Multimodal.Asset(id, "image", Multimodal.syntheticPngRich(id))))
+        .toDF()
+      Multimodal.lumaStats(s, assets).orderBy("asset_id")
     }),
 
     // ---- ingestion / warehouse plumbing, end-to-end ----
@@ -4005,6 +4024,59 @@ object SparkEntry {
          |  round(1.0 - (y * y) * (y * y) * ((y * y) * (y * y)), 6)
          |    AS theoretical_rate
          |FROM thy ORDER BY bucket""".stripMargin,
+
+    // MinHash estimator card: same ANSI signatures, per-pair agreement
+    // count over the p-aligned join, bias/RMSE per exact-j decile.
+    "dedup_minhash_est" ->
+      s"""WITH base AS ($docToks),
+         |toks AS (SELECT doc_id, unnest(toks) AS t,
+         |        generate_subscripts(toks, 1) AS i FROM base),
+         |sh AS (SELECT DISTINCT a.doc_id,
+         |        a.t || ' ' || b.t || ' ' || c.t AS shingle
+         |      FROM toks a
+         |      JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |      JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+         |xh AS (SELECT doc_id, shingle,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(range(length(shingle)),
+         |            i -> ascii(substr(shingle, CAST(i + 1 AS INT), 1)))),
+         |          (acc, c) -> (acc * 131 + c) % 2147483647) AS x
+         |      FROM sh),
+         |pm AS (SELECT CAST(p AS BIGINT) AS p FROM range(16) t(p)),
+         |hp AS (SELECT doc_id, p,
+         |        (x * ((1103515245 * (p + 1)) % 2147483647)
+         |          + ((12345 * (p + 1)) % 2147483647)) % 2147483647 AS h
+         |      FROM xh CROSS JOIN pm),
+         |sig AS (SELECT doc_id, p, min(h) AS m FROM hp GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT x2.doc_id AS da, y2.doc_id AS db,
+         |        count(*) AS ni
+         |      FROM sh x2 JOIN sh y2 ON x2.shingle = y2.shingle
+         |        AND x2.doc_id < y2.doc_id
+         |      GROUP BY 1, 2),
+         |pj AS (SELECT i2.da, i2.db,
+         |        round(CAST(ni AS DOUBLE)
+         |          / CAST(sa.n + sb.n - ni AS DOUBLE), 6) AS j
+         |      FROM inter i2
+         |      JOIN sizes sa ON sa.doc_id = i2.da
+         |      JOIN sizes sb ON sb.doc_id = i2.db),
+         |ag AS (SELECT pj.da, pj.db, j,
+         |        CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_agree
+         |      FROM pj JOIN sig a ON a.doc_id = pj.da
+         |      JOIN sig b ON b.doc_id = pj.db AND b.p = a.p
+         |      GROUP BY 1, 2, 3),
+         |es AS (SELECT j,
+         |        round(CAST(n_agree AS DOUBLE) / 16.0, 6) AS est FROM ag),
+         |bk2 AS (SELECT CAST(least(floor(j * 10.0), 9.0) AS BIGINT)
+         |        AS bucket, j, est FROM es)
+         |SELECT bucket, count(*) AS n_pairs,
+         |  round(CAST(sum(CAST(round(est - j, 6) AS DECIMAL(18,6)))
+         |    AS DOUBLE) / count(*), 6) AS mean_bias,
+         |  round(sqrt(CAST(sum(CAST(round((est - j) * (est - j), 9)
+         |    AS DECIMAL(28,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6)
+         |    AS rmse
+         |FROM bk2 GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "dedup_simhash" -> simhashOracle,
 
@@ -7308,6 +7380,32 @@ object SparkEntry {
         |      FROM hh a JOIN hh b ON a.id < b.id)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Luma stats rebuilt arithmetically from the rich raster formula
+    // (pixel i = (id·31 + 7i²) mod 256, row-major) — exact integer
+    // moments, closed-form mean/std.
+    "mm_luma_stats" ->
+      """WITH d AS (SELECT doc_id AS asset_id, 16 + doc_id % 16 AS w,
+        |        16 + doc_id % 8 AS h FROM documents),
+        |px AS (SELECT asset_id, w, h,
+        |        (asset_id * 31 + 7 * i.i * i.i) % 256 AS v
+        |      FROM d CROSS JOIN range(744) i(i) WHERE i.i < w * h),
+        |a AS (SELECT asset_id, CAST(min(w) AS INT) AS width,
+        |        CAST(min(h) AS INT) AS height, count(*) AS n_pixels,
+        |        CAST(sum(v) AS BIGINT) AS s,
+        |        CAST(sum(v * v) AS BIGINT) AS s2,
+        |        CAST(min(v) AS INT) AS min_luma,
+        |        CAST(max(v) AS INT) AS max_luma
+        |      FROM px GROUP BY 1)
+        |SELECT asset_id, width, height, n_pixels,
+        |  round(CAST(s AS DOUBLE) / CAST(n_pixels AS DOUBLE), 6)
+        |    AS mean_luma,
+        |  round(sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_pixels AS DOUBLE)
+        |    - (CAST(s AS DOUBLE) / CAST(n_pixels AS DOUBLE))
+        |    * (CAST(s AS DOUBLE) / CAST(n_pixels AS DOUBLE)), 0.0)), 6)
+        |    AS std_luma,
+        |  min_luma, max_luma
+        |FROM a ORDER BY asset_id""".stripMargin,
 
     "merge_upsert" ->
       """SELECT user_id, ts, event_id, value FROM (

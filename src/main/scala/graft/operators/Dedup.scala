@@ -1132,25 +1132,59 @@ object Dedup {
     * inverted-index join ([[ngramJaccardPairs]]'s cost class, the
     * verify-scale baseline).
     */
-  def lshCalibrationCurve(docs: DataFrame, textCol: String = "text",
-                          idCol: String = "doc_id"): DataFrame = {
-    val P31 = 2147483647L
-    val sh = docs.select(col(idCol).as("doc_id"),
+  private val P31L = 2147483647L
+
+  /** Distinct (doc_id, trigram-shingle-string) pairs — the ANSI-hashable
+    * shingle view shared by [[lshCalibrationCurve]] and
+    * [[minhashEstimatorCard]].
+    */
+  private def ansiShingles(docs: DataFrame, textCol: String,
+                           idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         explode(Fns.shingles(Fns.tokens(col(textCol)), 3)).as("shingle"))
       .distinct()
-    // hash each shingle ONCE, then explode the 16 permutations over the
-    // precomputed hash — the polynomial strhash is the per-row hot path
-    // and must not run 16× (measured 7.0 → sub-5 s at sf0.1)
-    val sig = sh
-      .select(col("doc_id"),
+
+  /** 16-permutation ANSI MinHash signature (doc_id, p, m): affine maps
+    * of the polynomial shingle hash, Sketch.cmsBucket's constant
+    * convention — every value an oracle can rebuild. The shingle is
+    * hashed ONCE, then the 16 permutations explode over the precomputed
+    * hash (the polynomial strhash is the per-row hot path and must not
+    * run 16× — measured 7.0 → 5.8 s at sf0.1).
+    */
+  private def ansiMinhash(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
         call_function("graft_strhash", col("shingle")).as("x"))
       .withColumn("p", explode(sequence(lit(0L), lit(15L))))
       .select(col("doc_id"), col("p"),
         Fns.pmod(col("x") *
-          Fns.pmod(lit(1103515245L) * (col("p") + 1L), lit(P31))
-          + Fns.pmod(lit(12345L) * (col("p") + 1L), lit(P31)), lit(P31))
+          Fns.pmod(lit(1103515245L) * (col("p") + 1L), lit(P31L))
+          + Fns.pmod(lit(12345L) * (col("p") + 1L), lit(P31L)), lit(P31L))
           .as("h"))
       .groupBy("doc_id", "p").agg(min(col("h")).as("m"))
+
+  /** Exact trigram Jaccard for every pair sharing ≥ 1 shingle, via the
+    * inverted-index join — the shared verify-scale population of the
+    * MinHash calibration cards. Output: (da, db, j) with j 6-dp.
+    */
+  private def exactJaccardPairs(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("ni"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"),
+        round(col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double"), 6).as("j"))
+  }
+
+  def lshCalibrationCurve(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val P31 = P31L
+    val sh = ansiShingles(docs, textCol, idCol)
+    val sig = ansiMinhash(sh)
     val bandKeys = sig
       .select(col("doc_id"),
         ((col("p") - Fns.pmod(col("p"), lit(2L))) / lit(2.0)).cast("long")
@@ -1173,12 +1207,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("ni"))
-    val scored = inter
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      .select(col("da"), col("db"),
-        round(col("ni").cast("double") /
-          (col("na") + col("nb") - col("ni")).cast("double"), 6).as("j"))
+    val scored = exactJaccardPairs(sh)
       .join(cand, Seq("da", "db"), "left")
     val bucket = least(floor(col("j") * 10.0), lit(9.0)).cast("long")
     val sMid = (col("bucket").cast("double") + 0.5) / 10.0
@@ -1193,5 +1222,42 @@ object Dedup {
         round(col("n_candidates").cast("double") /
           col("n_pairs").cast("double"), 6).as("measured_rate"),
         round(lit(1.0) - y8, 6).as("theoretical_rate"))
+  }
+
+  /** MinHash estimator-quality card: for every pair sharing ≥ 1 shingle,
+    * the 16-permutation signature-agreement estimate ĵ = #{p : mᵃ_p =
+    * mᵇ_p}/16 against the exact trigram Jaccard, reported per exact-j
+    * decile as bias and RMSE — "how many permutations does MY corpus
+    * need" answered with data (the textbook says sd = √(j(1−j)/16); this
+    * measures it). Same signatures, population, and scale shape as
+    * [[lshCalibrationCurve]]; the per-pair agreement count is one
+    * (pair)-keyed aggregate over the p-aligned signature join.
+    */
+  def minhashEstimatorCard(docs: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val sh = ansiShingles(docs, textCol, idCol)
+    val sig = ansiMinhash(sh)
+    val pairs = exactJaccardPairs(sh)
+    val sa = sig.select(col("doc_id").as("da"), col("p"), col("m").as("ma"))
+    val sb = sig.select(col("doc_id").as("db"), col("p"), col("m").as("mb"))
+    val est = pairs.join(sa, "da").join(sb, Seq("db", "p"))
+      .groupBy("da", "db", "j")
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L))
+        .as("n_agree"))
+      .select(col("j"),
+        round(col("n_agree").cast("double") / 16.0, 6).as("est"))
+    val bucket = least(floor(col("j") * 10.0), lit(9.0)).cast("long")
+    est.select(bucket.as("bucket"), col("j"), col("est"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("est") - col("j"), 6).cast("decimal(18,6)"))
+          .as("sbias"),
+        sum(round((col("est") - col("j")) * (col("est") - col("j")), 9)
+          .cast("decimal(28,9)")).as("se2"))
+      .select(col("bucket"), col("n_pairs"),
+        round(col("sbias").cast("double") / col("n_pairs"), 6)
+          .as("mean_bias"),
+        round(sqrt(col("se2").cast("double") /
+          col("n_pairs").cast("double")), 6).as("rmse"))
   }
 }

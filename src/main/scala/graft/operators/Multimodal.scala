@@ -331,6 +331,10 @@ object Multimodal {
       (ascii(substring(col("payload").cast("string"), 1, 1)) * 256 +
         ascii(substring(col("payload").cast("string"), 2, 1))).as("header_code"))
 
+  final case class LumaSums(asset_id: Long, width: Int, height: Int,
+                            n_pixels: Long, sum_luma: Long, sum_sq: Long,
+                            min_luma: Int, max_luma: Int)
+
   final case class HashedAsset(asset_id: Long, width: Int, height: Int,
                                dhash: Long)
 
@@ -414,5 +418,41 @@ object Multimodal {
       .select(col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Per-image luma statistics from the REAL decode path: mean / std /
+    * min / max over the decoded grayscale samples — the five-second
+    * image-corpus health probe (a black-frame family pins mean near 0;
+    * a std collapse flags synthetic flats) and the feature-extraction
+    * shape every mm pipeline starts from. The codec `mapPartitions`
+    * emits only EXACT integer sums (Σv, Σv² fit longs: 255²·10⁹ pixels
+    * < 2⁶³); all float math happens once per image in declarative
+    * closed forms, so the whole decode→stat path is engine-checkable
+    * against an arithmetic oracle on the synthetic raster.
+    */
+  def lumaStats(spark: SparkSession, assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sums = assets.as[Asset].mapPartitions(_.flatMap { a =>
+      readRaster(a).map { case (_, w, h, vals) =>
+        var s = 0L; var s2 = 0L; var mn = 255; var mx = 0
+        var i = 0
+        while (i < vals.length) {
+          val v = vals(i)
+          s += v; s2 += v.toLong * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        LumaSums(a.asset_id, w, h, vals.length.toLong, s, s2, mn, mx)
+      }
+    }).toDF()
+    val nd = col("n_pixels").cast("double")
+    val mean = col("sum_luma").cast("double") / nd
+    sums.select(col("asset_id"), col("width"), col("height"),
+      col("n_pixels"),
+      round(mean, 6).as("mean_luma"),
+      round(sqrt(greatest(col("sum_sq").cast("double") / nd - mean * mean,
+        lit(0.0))), 6).as("std_luma"),
+      col("min_luma"), col("max_luma"))
   }
 }

@@ -48,7 +48,16 @@ object ScaleGate {
     // because id-congruent duplicate families get 10× denser — a fixture
     // artifact, not a plan defect (SCALE.md).
     "graph_bfs_hops", "graph_label_prop", "ts_pipeline_e2e",
-    "dedup_threshold_sweep")
+    "dedup_threshold_sweep",
+    // round-12-final additions: every new query ≥ ~3 s at sf0.1 on the
+    // fresh-operator profile. ann_knn_graph is deliberately EXCLUDED
+    // like mm_dhash_neardup: its registered form is the brute self-kNN
+    // verify BASELINE — N² by definition, 100× work at 10× data — while
+    // the 100 TB path feeds mutualKnnGraph from lshAnnTopK/ivfTopK
+    // candidates instead (SCALE.md).
+    "dedup_lsh_curve", "ts_theil_sen", "graph_modularity",
+    "text_collocations", "ts_motif",
+    "graph_adamic_adar", "graph_powerlaw")
 
   val AggregateMaxRatio = 3.0
   val PerQueryMaxRatio = 5.0

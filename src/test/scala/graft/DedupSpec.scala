@@ -537,4 +537,22 @@ class DedupSpec extends SparkSpec {
     assert(out.values.forall { case (_, _, m, t) =>
       m >= 0.0 && m <= 1.0 && t >= 0.0 && t <= 1.0 })
   }
+
+  test("minhashEstimatorCard: identical docs estimate exactly 1 with zero error") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "one two three eleven twelve thirteen fourteen fifteen sixteen seventeen"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashEstimatorCard(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // identical signatures: est = j = 1 -> bias 0, rmse 0 in bucket 9
+    assert(out(9L) == (1L, 0.0, 0.0))
+    // the dissimilar pair lands in bucket 0; |bias| <= rmse <= 1 always
+    assert(out.contains(0L))
+    assert(out.values.forall { case (_, b, r) =>
+      math.abs(b) <= r + 1e-9 && r <= 1.0 })
+  }
 }

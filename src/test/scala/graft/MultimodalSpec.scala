@@ -178,4 +178,21 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 2), (1L, 4L, 2), (1L, 5L, 2),
       (2L, 3L, 2), (2L, 4L, 0), (2L, 5L, 2), (3L, 4L, 2), (4L, 5L, 2)))
   }
+
+  test("lumaStats: decoded statistics equal the raster formula's") {
+    val id = 7L
+    val assets = Seq(Multimodal.Asset(id, "image",
+      Multimodal.syntheticPngRich(id))).toDF()
+    val r = Multimodal.lumaStats(spark, assets).collect().head
+    // recompute from the generator formula: w=16+id%16, h=16+id%8
+    val w = 16 + (id % 16).toInt; val h = 16 + (id % 8).toInt
+    val vals = (0 until w * h).map(i => ((id * 31 + 7L * i * i) % 256).toInt)
+    val n = vals.length
+    val mean = vals.sum.toDouble / n
+    val std = math.sqrt(vals.map(v => v.toDouble * v).sum / n - mean * mean)
+    assert((r.getInt(1), r.getInt(2), r.getLong(3)) == (w, h, n.toLong))
+    assert(math.abs(r.getDouble(4) - mean) < 1e-6)
+    assert(math.abs(r.getDouble(5) - std) < 1e-5)
+    assert(r.getInt(6) == vals.min && r.getInt(7) == vals.max)
+  }
 }
