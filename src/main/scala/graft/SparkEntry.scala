@@ -180,6 +180,16 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // EXCEPT ALL — the MULTISET difference (occurrence counts subtract,
+    // unlike q_except's set semantics): type occurrences above value 1
+    // minus those above value 2.
+    "q_except_all" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      e.filter(col("value") > 1).select("event_type")
+        .exceptAll(e.filter(col("value") > 2).select("event_type"))
+        .orderBy("event_type")
+    }),
+
     // Bucketized range join (operators/RangeJoin): clicks matched to the
     // 1-hour window after each same-user signup. The naive theta-join
     // plans as a nested loop; binning the time axis turns it into one
@@ -1210,6 +1220,17 @@ object SparkEntry {
         .toDF("doc_id", "pos", "term_id")
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term_id"))
         .orderBy("doc_id", "pos")),
+
+    // encode → decode round trip: ids back to text through the same
+    // vocab (OOV → <unk>) — proves the tokenizer plumbing lossless for
+    // in-vocab text.
+    "text_decode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextAnalysis.decode(
+        TextAnalysis.encode(docs, 20),
+        TextAnalysis.vocabulary(docs, 20).select("term", "term_id"))
+        .orderBy("doc_id")
+    }),
 
     // BM25 top-20 lexical retrieval for a 3-term query — the RAG-corpus /
     // contamination-probe retrieval primitive. Per-document score is an
@@ -2471,6 +2492,12 @@ object SparkEntry {
       StreamingJobs.windowedCounts(T(s, dir, "events"), "1 hour")
         .orderBy("window_start", "event_type")),
 
+    // Top-3 event types per tumbling hour — the rolling leaderboard;
+    // rank is window-partitioned, never global.
+    "stream_topk" -> ((s, dir) =>
+      StreamingJobs.windowedTopK(T(s, dir, "events"), "1 hour", 3)
+        .orderBy("window_start", "rnk")),
+
     // Watermark-bounded stream dedup, batch-unified: distinct
     // (user_id, event_type) keys (key-only projection keeps the
     // batch-side survivor choice deterministic for the oracle).
@@ -3381,6 +3408,12 @@ object SparkEntry {
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'purchase' AND value >= 90
         |ORDER BY user_id""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT event_type FROM events WHERE value > 1
+        |EXCEPT ALL
+        |SELECT event_type FROM events WHERE value > 2
+        |ORDER BY event_type""".stripMargin,
 
     // Fixed-order IEEE mirror of Sketch.histQuantiles: same clamped
     // floor-binning, same lo + (bin+1)·w estimate.
@@ -4962,6 +4995,27 @@ object SparkEntry {
          |  coalesce(v.term_id, -1) AS term_id
          |FROM t LEFT JOIN v USING (term)
          |ORDER BY doc_id, pos""".stripMargin,
+
+    // Decode round trip: same vocab CTE, OOV -> <unk>, position-ordered
+    // string_agg reassembly.
+    "text_decode" ->
+      s"""WITH base AS ($docToks),
+         |t AS (SELECT doc_id, unnest(toks) AS term,
+         |        generate_subscripts(toks, 1) AS pos1 FROM base),
+         |c AS (SELECT term, count(*) AS freq FROM t GROUP BY 1),
+         |v AS (SELECT term, CAST(row_number() OVER (ORDER BY freq DESC, term) - 1
+         |          AS BIGINT) AS term_id
+         |      FROM (SELECT term, freq FROM c ORDER BY freq DESC, term LIMIT 20)),
+         |e AS (SELECT t.doc_id, t.pos1,
+         |        coalesce(v.term_id, -1) AS tid,
+         |        CASE WHEN v.term_id IS NULL THEN '<unk>' ELSE t.term END
+         |          AS tok
+         |      FROM t LEFT JOIN v USING (term))
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unk,
+         |  string_agg(tok, ' ' ORDER BY pos1) AS decoded
+         |FROM e GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "text_ngrams" ->
       s"""WITH base AS ($docToks),
@@ -7444,6 +7498,18 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_topk" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS window_start,
+        |        event_type, count(*) AS n,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |          AS total_value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT window_start, event_type, n, total_value,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+        |        ORDER BY n DESC, event_type) AS rnk FROM c)
+        |WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin,
 
     "stream_sliding" ->
       """SELECT window_start, count(*) AS n FROM (

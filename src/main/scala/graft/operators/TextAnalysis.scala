@@ -735,6 +735,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("token_ids"), col("n_tokens"))
   }
 
+  /** Inverse of [[encode]]: token ids back to text via the same vocab
+    * (id −1 → `<unk>`) — the round-trip that PROVES the tokenizer
+    * plumbing lossless for in-vocab text, and the detokenization step
+    * any generation/inspection pipeline needs. One narrow posexplode,
+    * one broadcast vocab join, one doc-keyed reassembly (`sort_array ∘
+    * collect_list`, the [[encode]] discipline — no window).
+    */
+  def decode(encoded: DataFrame, vocab: DataFrame): DataFrame = {
+    val ex = encoded.select(col("doc_id"),
+      posexplode(col("token_ids")).as(Seq("pos", "tid")))
+    ex.join(broadcast(vocab.select(col("term_id").as("tid"), col("term"))),
+        Seq("tid"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === -1L, 1L).otherwise(0L)).as("n_unk"),
+        array_join(transform(sort_array(collect_list(struct(col("pos"),
+          coalesce(col("term"), lit("<unk>")).as("t")))),
+          s => s.getField("t")), " ").as("decoded"))
+  }
+
   /** Corpus n-gram statistics: the top `k` word n-grams with counts —
     * the LM-data profile (bigram/trigram tables, boilerplate discovery,
     * contamination probes). Duplicates inside a document count once each

@@ -25,6 +25,24 @@ object StreamingJobs {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Top-k event types per tumbling window by count — the rolling
+    * "what's hot right now" leaderboard. Composes [[windowedCounts]]
+    * with a WINDOW-PARTITIONED rank (parallel across windows, never
+    * global); on a stream, run it as the foreachBatch/complete-mode
+    * consumer of the watermarked windowed counts — the rank is one tiny
+    * per-window sort over k'ish rows.
+    */
+  def windowedTopK(events: DataFrame, windowLen: String = "1 hour",
+                   k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"need k >= 1, got $k")
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("event_type").asc)
+    windowedCounts(events, windowLen)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Sliding-window rates (5 min window, 1 min slide). */
   def slidingRates(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "5 minutes", "1 minute"))

@@ -355,4 +355,26 @@ class StreamingSpec extends SparkSpec {
     assert(r.isNullAt(3)) // no late rows -> max lateness NULL
   }
 
+  test("windowedTopK: per-window leaderboard, count-desc then type, k-capped") {
+    val rows = Seq(
+      // hour 0: a x3, b x2, c x1, d x1 -> top-3 = a, b, c (ties by name)
+      ("2024-01-01 00:05:00", "a"), ("2024-01-01 00:10:00", "a"),
+      ("2024-01-01 00:15:00", "a"), ("2024-01-01 00:20:00", "b"),
+      ("2024-01-01 00:25:00", "b"), ("2024-01-01 00:30:00", "c"),
+      ("2024-01-01 00:35:00", "d"),
+      // hour 1: only z -> a single row, rank 1
+      ("2024-01-01 01:05:00", "z"))
+      .toDF("s", "event_type")
+      .select(to_timestamp($"s").as("ts"), $"event_type", lit(1.0).as("value"))
+    val out = StreamingJobs.windowedTopK(rows, "1 hour", 3)
+      .orderBy("window_start", "rnk").collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString,
+        r.getString(1), r.getLong(2), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01T00:00:00Z", "a", 3L, 1L),
+      ("2024-01-01T00:00:00Z", "b", 2L, 2L),
+      ("2024-01-01T00:00:00Z", "c", 1L, 3L), // d loses the tie to c
+      ("2024-01-01T01:00:00Z", "z", 1L, 1L)))
+  }
+
 }

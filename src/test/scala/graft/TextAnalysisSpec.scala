@@ -746,4 +746,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("decode: inverse of encode — in-vocab text round-trips, OOV becomes <unk>") {
+    val docs = Seq(
+      (1L, "red blue red green"),
+      (2L, "red rare")) // "rare" falls outside a 3-term vocab
+      .toDF("doc_id", "text")
+    val enc = TextAnalysis.encode(docs, 3)
+    val out = TextAnalysis.decode(enc,
+        TextAnalysis.vocabulary(docs, 3).select("term", "term_id"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // vocab (freq desc, term): red(3), blue(1), green(1) -> rare is OOV
+    assert(out(0) == (1L, 4L, 0L, "red blue red green"))
+    assert(out(1) == (2L, 2L, 1L, "red <unk>"))
+  }
+
 }
