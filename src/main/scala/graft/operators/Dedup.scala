@@ -1183,7 +1183,10 @@ object Dedup {
   def lshCalibrationCurve(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
     val P31 = P31L
-    val sh = ansiShingles(docs, textCol, idCol)
+    // lazy checkpoint: the distinct shingle table feeds FOUR plan
+    // branches (signatures, both self-join sides, sizes) — uncut, each
+    // re-tokenizes the corpus (measured ~3 s of redundant scan at sf0.1)
+    val sh = ansiShingles(docs, textCol, idCol).localCheckpoint(false)
     val sig = ansiMinhash(sh)
     val bandKeys = sig
       .select(col("doc_id"),
@@ -1235,17 +1238,27 @@ object Dedup {
     */
   def minhashEstimatorCard(docs: DataFrame, textCol: String = "text",
                            idCol: String = "doc_id"): DataFrame = {
-    val sh = ansiShingles(docs, textCol, idCol)
+    // same four-branch reuse as lshCalibrationCurve — checkpoint once
+    val sh = ansiShingles(docs, textCol, idCol).localCheckpoint(false)
     val sig = ansiMinhash(sh)
     val pairs = exactJaccardPairs(sh)
-    val sa = sig.select(col("doc_id").as("da"), col("p"), col("m").as("ma"))
-    val sb = sig.select(col("doc_id").as("db"), col("p"), col("m").as("mb"))
-    val est = pairs.join(sa, "da").join(sb, Seq("db", "p"))
-      .groupBy("da", "db", "j")
-      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L))
-        .as("n_agree"))
+    // signatures as 16-long arrays: the pair side joins the N-row
+    // signature table twice on the doc key instead of shuffling a
+    // 16×-exploded pair stream twice (measured 7.8 → faster at sf0.1);
+    // the 16-element zip_with runs interpreted but over pairs·16 values,
+    // not the covariance case's N·d²
+    val sigArr = sig.groupBy("doc_id")
+      .agg(transform(sort_array(collect_list(struct(col("p"), col("m")))),
+        s => s.getField("m")).as("sig"))
+    val est = pairs
+      .join(sigArr.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
+      .join(sigArr.select(col("doc_id").as("db"), col("sig").as("sb")), "db")
       .select(col("j"),
-        round(col("n_agree").cast("double") / 16.0, 6).as("est"))
+        round(aggregate(
+          zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).cast("double") / 16.0, 6)
+          .as("est"))
     val bucket = least(floor(col("j") * 10.0), lit(9.0)).cast("long")
     est.select(bucket.as("bucket"), col("j"), col("est"))
       .groupBy("bucket")
