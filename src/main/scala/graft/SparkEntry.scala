@@ -626,6 +626,19 @@ object SparkEntry {
       Analytics.retention(T(s, dir, "events"))
         .orderBy("cohort_week", "week_offset")),
 
+    // Cohort lifetime value: weekly + cumulative summed value per
+    // (cohort week, offset) — retention's value-weighted sibling.
+    "ana_cohort_ltv" -> ((s, dir) =>
+      Analytics.cohortLtv(T(s, dir, "events"))
+        .orderBy("cohort_week", "week_offset")),
+
+    // Activity concentration ("do 1% of users carry 50% of events?"):
+    // user/event shares above an activity-threshold ladder, from the
+    // frequency table — no global ranking.
+    "ana_concentration" -> ((s, dir) =>
+      Analytics.activityConcentration(T(s, dir, "events"))
+        .orderBy("threshold")),
+
     // Stage-to-stage funnel latency: median/p90 seconds from first
     // signup to first click to first purchase — the funnel as an SLA.
     "ana_stage_latency" -> ((s, dir) =>
@@ -1502,6 +1515,21 @@ object SparkEntry {
       operators.Graph.adamicAdar(edges, 1.0).orderBy("x", "y")
     }),
 
+    // Rich-club coefficient ladder (k=2,4,8) — do the hubs
+    // preferentially interconnect (the degree-join hotspot diagnostic
+    // beside graph_powerlaw's tail exponent).
+    "graph_rich_club" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      operators.Graph.richClub(edges).orderBy("k")
+    }),
+
     // Power-law tail MLE of the co-purchase degree distribution
     // (Clauset-Shalizi-Newman α at xmin=5) — the hub-skew scalar that
     // decides whether degree-keyed joins need salting.
@@ -1891,6 +1919,14 @@ object SparkEntry {
     "ml_gmm_estep" -> ((s, dir) =>
       operators.ML.gmmEStep(T(s, dir, "embeddings"), 4)
         .orderBy("cid")),
+
+    // Precision/recall/F1 operating-point table over a threshold ladder
+    // (score = value, label = error events) — one aggregate, all cuts.
+    "ml_pr_curve" -> ((s, dir) =>
+      operators.ML.prCurve(T(s, dir, "events"), col("value"),
+        col("event_type") === "error",
+        Seq(1.0, 2.0, 5.0, 10.0, 20.0, 50.0))
+        .orderBy("threshold")),
 
     // Multinomial NB language classifier trained + self-evaluated over
     // the corpus in one lazy plan: per-lang recall rows (model-card
@@ -3740,6 +3776,44 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM uw JOIN cohort USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // LTV: weekly DECIMAL value sums + a per-cohort exact running total.
+    "ana_cohort_ltv" ->
+      """WITH weeks AS (SELECT user_id, date_trunc('week', ts) AS week,
+        |        CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week
+        |      FROM weeks GROUP BY 1),
+        |wk AS (SELECT cohort_week,
+        |        CAST(floor(date_diff('day', cohort_week, week) / 7.0)
+        |          AS BIGINT) AS week_offset,
+        |        count(*) AS n_events,
+        |        CAST(sum(v) AS DECIMAL(38,6)) AS wv
+        |      FROM weeks JOIN cohort USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_events,
+        |  round(CAST(wv AS DOUBLE), 6) AS week_value,
+        |  round(CAST(sum(wv) OVER (PARTITION BY cohort_week
+        |    ORDER BY week_offset) AS DOUBLE), 6) AS cum_value
+        |FROM wk ORDER BY 1, 2""".stripMargin,
+
+    // Concentration ladder: one frequency table, per-threshold shares.
+    "ana_concentration" -> {
+      def one(k: Long) =
+        s"""SELECT CAST($k AS BIGINT) AS threshold,
+           |  count(*) AS users_ge,
+           |  CAST(coalesce(sum(n), 0) AS BIGINT) AS events_ge
+           |FROM ua WHERE n >= $k""".stripMargin
+      s"""WITH ua AS (SELECT user_id AS u, count(*) AS n
+         |      FROM events GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_users,
+         |        CAST(sum(n) AS BIGINT) AS n_events FROM ua),
+         |l AS (${Seq(1L, 2L, 4L, 8L, 16L).map(one).mkString("\nUNION ALL ")})
+         |SELECT threshold, users_ge, events_ge,
+         |  round(CAST(users_ge AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+         |    AS frac_users,
+         |  round(CAST(events_ge AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+         |    AS frac_events
+         |FROM l CROSS JOIN tot ORDER BY threshold""".stripMargin
+    },
 
     "ana_transitions" ->
       """WITH s AS (SELECT event_type AS from_type,
@@ -6739,6 +6813,34 @@ object SparkEntry {
     // Cramer determinant expansions transcribed in the Spark side's
     // EXACT operation order (symmetric entries substituted identically),
     // so every determinant is the same IEEE value on both engines.
+    // PR sweep: one aggregate, per-threshold TP/FP pairs unioned out.
+    "ml_pr_curve" -> {
+      val ts = Seq(1.0, 2.0, 5.0, 10.0, 20.0, 50.0)
+      val sums = ts.zipWithIndex.map { case (t, i) =>
+        s"""CAST(sum(CASE WHEN value >= $t AND event_type = 'error'
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS tp_$i,
+           |  CAST(sum(CASE WHEN value >= $t AND NOT event_type = 'error'
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS fp_$i""".stripMargin
+      }.mkString(",\n  ")
+      val rows = ts.zipWithIndex.map { case (t, i) =>
+        s"SELECT CAST($t AS DOUBLE) AS threshold, n, pos, tp_$i AS tp, fp_$i AS fp FROM a"
+      }.mkString("\nUNION ALL ")
+      s"""WITH a AS (SELECT count(*) AS n,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS pos,
+         |  $sums
+         |  FROM events),
+         |l AS ($rows)
+         |SELECT threshold, n, pos, tp, fp,
+         |  round(CAST(tp AS DOUBLE)
+         |    / nullif(CAST(tp + fp AS DOUBLE), 0.0), 6) AS precision,
+         |  round(CAST(tp AS DOUBLE)
+         |    / nullif(CAST(pos AS DOUBLE), 0.0), 6) AS recall,
+         |  round(2.0 * CAST(tp AS DOUBLE)
+         |    / nullif(CAST(tp + fp + pos AS DOUBLE), 0.0), 6) AS f1
+         |FROM l ORDER BY threshold""".stripMargin
+    },
+
     // GMM E-step: seed vectors as centroids, silhouette's DECIMAL d²
     // recipe, max-subtracted softmax with 9-dp rounded exponentials.
     "ml_gmm_estep" ->
@@ -6914,6 +7016,33 @@ object SparkEntry {
         |SELECT x, y, common, round(CAST(aa AS DOUBLE), 6) AS adamic_adar
         |FROM na WHERE round(CAST(aa AS DOUBLE), 6) >= 1.0
         |ORDER BY x, y""".stripMargin,
+
+    // Rich club: per-k induced-subgraph density via two semijoins.
+    "graph_rich_club" -> {
+      def one(k: Long) =
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  (SELECT count(*) FROM deg WHERE deg > $k) AS n_club,
+           |  (SELECT count(*) // 2 FROM und
+           |   JOIN (SELECT node FROM deg WHERE deg > $k) cu
+           |     ON und.u = cu.node
+           |   JOIN (SELECT node FROM deg WHERE deg > $k) cv
+           |     ON und.v = cv.node) AS e_club""".stripMargin
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+         |      FROM lineitem),
+         |e AS (SELECT l.pt AS src, r.pt AS dst, count(*) AS c
+         |      FROM it l JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |und AS (SELECT src AS u, dst AS v FROM e
+         |      UNION SELECT dst, src FROM e),
+         |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+         |      FROM und GROUP BY 1),
+         |l AS (${Seq(2L, 4L, 8L).map(one).mkString("\nUNION ALL ")})
+         |SELECT k, n_club, e_club,
+         |  round(2.0 * CAST(e_club AS DOUBLE)
+         |    / nullif(CAST(n_club AS DOUBLE)
+         |      * CAST(n_club - 1 AS DOUBLE), 0.0), 6) AS phi
+         |FROM l ORDER BY k""".stripMargin
+    },
 
     // Clauset–Shalizi–Newman continuous MLE over the degree tail.
     "graph_powerlaw" ->

@@ -127,6 +127,62 @@ object Analytics {
     * Two distinct-count aggregates (day-keyed, month-keyed) and one
     * month-keyed join; the fact table shuffles on user once per grain.
     */
+  /** Cohort lifetime value: cumulative summed `value` per (first-seen
+    * week, week offset) — [[retention]]'s value-weighted sibling, the
+    * "when does a cohort pay back" curve. The cumulative sum runs over
+    * each cohort's OFFSET sequence (a cohort has ≤ a few hundred weekly
+    * offsets — the window is per-cohort and tiny); weekly sums ride
+    * DECIMAL, so the running total is exact in any engine.
+    */
+  def cohortLtv(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val weeks = events.select(col(userCol).as("user_id"),
+      date_trunc("week", col(tsCol)).as("week"),
+      col(valueCol).cast("decimal(18,6)").as("v"))
+    val cohort = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val wk = weeks.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        floor(datediff(col("week"), col("cohort_week")) / 7.0).cast("long")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast("decimal(38,6)").as("wv"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wk.withColumn("cum", sum(col("wv")).over(w))
+      .select(col("cohort_week"), col("week_offset"), col("n_events"),
+        round(col("wv").cast("double"), 6).as("week_value"),
+        round(col("cum").cast("double"), 6).as("cum_value"))
+  }
+
+  /** Activity-concentration report ("do 1% of users generate 50% of
+    * events?"): for each activity threshold k, the users with ≥ k events
+    * and the share of users/events they carry. Computed from the
+    * activity-count FREQUENCY table (one user aggregate + one ≤
+    * |distinct-count|-sized rollup) — no global user ranking, no
+    * percentile over N (the trick that keeps a Pareto curve scale-free).
+    */
+  def activityConcentration(events: DataFrame,
+                            thresholds: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L),
+                            userCol: String = "user_id"): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val ua = events.groupBy(col(userCol).as("u"))
+      .agg(count(lit(1)).as("n"))
+    val tot = ua.agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+    val rows = thresholds.map { k =>
+      ua.filter(col("n") >= k)
+        .agg(count(lit(1)).as("users_ge"), sum(col("n")).as("events_ge"))
+        .crossJoin(broadcast(tot))
+        .select(lit(k).as("threshold"),
+          col("users_ge"),
+          coalesce(col("events_ge"), lit(0L)).as("events_ge"),
+          round(col("users_ge").cast("double") /
+            col("n_users").cast("double"), 6).as("frac_users"),
+          round(coalesce(col("events_ge"), lit(0L)).cast("double") /
+            col("n_events").cast("double"), 6).as("frac_events"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   def stickiness(events: DataFrame, userCol: String = "user_id",
                  tsCol: String = "ts"): DataFrame = {
     val days = events.select(to_date(col(tsCol)).as("day"),

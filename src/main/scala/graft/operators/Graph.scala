@@ -535,6 +535,36 @@ object Graph {
           col("slog").cast("double")), 6).as("alpha_hill"))
   }
 
+  /** Rich-club coefficient φ(k) for a ladder of degree thresholds: the
+    * edge density of the subgraph induced by nodes with degree > k —
+    * "do the hubs preferentially interconnect" (φ → 1: a hub clique —
+    * the degree-keyed-join hotspot; φ ≈ overall density: no club). For
+    * each k: φ = 2·E_k / (N_k·(N_k−1)) over the undirected view.
+    * Cost per k: two semijoins of the edge list against the ≥k node
+    * set + two counts; the thresholds are a literal ladder, unioned.
+    */
+  def richClub(edges: DataFrame, thresholds: Seq[Long] = Seq(2L, 4L, 8L),
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    thresholds.map { k =>
+      val club = deg.filter(col("deg") > k).select("node")
+      val ek = und
+        .join(club.select(col("node").as("u")), "u")
+        .join(club.select(col("node").as("v")), "v")
+        .agg((count(lit(1)) / 2).cast("long").as("e_club"))
+      club.agg(count(lit(1)).as("n_club"))
+        .crossJoin(broadcast(ek))
+        .select(lit(k).as("k"), col("n_club"), col("e_club"),
+          round(try_divide(lit(2.0) * col("e_club").cast("double"),
+            col("n_club").cast("double") *
+            (col("n_club") - 1L).cast("double")), 6).as("phi"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Newman modularity of a GIVEN partition, reported per community:
     * contribution q_c = intra_c/2m − (d_c/2m)², so Q = Σ q_c — the
     * "did the community detection actually find structure" score for

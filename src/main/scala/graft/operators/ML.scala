@@ -242,6 +242,41 @@ object ML {
     * corpus ([[Similarity.silhouette]]'s join), then vec-keyed and
     * cid-keyed reduces — O(N·k·d) work, no pair joins.
     */
+  /** Precision/recall/F1 sweep over a literal threshold ladder for a
+    * score column against a boolean label — the operating-point table a
+    * quality-classifier gate is tuned from (AUC says "rankable";
+    * THIS says "cut at 5.0 and you keep 92% at 61% precision"). ONE
+    * pass: every threshold is a pair of conditional sums inside a
+    * single partial aggregate (the constraintSuite shape), rows unfold
+    * from an inline array — adding a threshold adds columns, not scans.
+    */
+  def prCurve(df: DataFrame, score: Column, label: Column,
+              thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(when(label, 1L).otherwise(0L)).as("pos")) ++
+      thresholds.zipWithIndex.flatMap { case (t, i) =>
+        Seq(sum(when(score >= t && label, 1L).otherwise(0L)).as(s"tp_$i"),
+          sum(when(score >= t && !label, 1L).otherwise(0L)).as(s"fp_$i"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"), col(s"tp_$i").as("tp"),
+        col(s"fp_$i").as("fp"))
+    }
+    one.select(col("n"), col("pos"), explode(array(entries: _*)).as("e"))
+      .select(col("e.threshold").as("threshold"), col("n"), col("pos"),
+        col("e.tp").as("tp"), col("e.fp").as("fp"))
+      .select(col("threshold"), col("n"), col("pos"), col("tp"), col("fp"),
+        round(try_divide(col("tp").cast("double"),
+          (col("tp") + col("fp")).cast("double")), 6).as("precision"),
+        round(try_divide(col("tp").cast("double"),
+          col("pos").cast("double")), 6).as("recall"),
+        round(try_divide(lit(2.0) * col("tp").cast("double"),
+          (col("tp") + col("fp") + col("pos")).cast("double")), 6)
+          .as("f1"))
+  }
+
   def gmmEStep(embeddings: DataFrame, k: Int = 4,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {

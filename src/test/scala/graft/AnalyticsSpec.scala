@@ -488,6 +488,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(t2.toSeq == Seq(1L, 0L))
   }
 
+  test("cohortLtv: weekly values accumulate per cohort") {
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0),  // cohort week 0
+      (1L, "2024-01-08 10:00:00", 5.0),   // week offset 1
+      (1L, "2024-01-08 11:00:00", 2.0))   // same week, sums with the 5
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    val out = Analytics.cohortLtv(rows).orderBy("week_offset").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((0L, 1L, 10.0, 10.0), (1L, 2L, 7.0, 17.0)))
+  }
+
+  test("activityConcentration: shares from the frequency table, no ranking") {
+    // users with 1, 2, and 4 events: 7 events over 3 users
+    val rows = (Seq(1L) ++ Seq.fill(2)(2L) ++ Seq.fill(4)(3L))
+      .zipWithIndex.map { case (u, i) => (u, i.toLong) }
+      .toDF("user_id", "event_id")
+    val out = Analytics.activityConcentration(rows, Seq(1L, 2L, 4L))
+      .orderBy("threshold").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out(0) == (1L, 3L, 7L, 1.0, 1.0))
+    assert(out(1) == (2L, 2L, 6L, 0.666667, 0.857143))
+    assert(out(2) == (4L, 1L, 4L, 0.333333, 0.571429))
+  }
+
   test("stickiness: hand DAU/MAU over observed active days") {
     val rows = Seq(
       (1L, "2024-03-01 10:00:00"), (2L, "2024-03-01 11:00:00"),

@@ -235,6 +235,19 @@ class GraphSpec extends SparkSpec {
     assert(r3.getLong(1) == 2L && r3.isNullAt(4))
   }
 
+  test("richClub: a hub clique scores phi=1; an empty club reports NULL") {
+    // K4 on 1..4 plus pendant spokes 5-1, 6-2: deg(1)=deg(2)=4,
+    // deg(3)=deg(4)=3, spokes deg 1 -> the >2 club is exactly the K4
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L), (6L, 2L)).toDF("src", "dst")
+    val out = Graph.richClub(e, Seq(2L, 8L)).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, 4L, 6L), (8L, 0L, 0L)))
+    val phi = Graph.richClub(e, Seq(2L, 8L)).orderBy("k").collect()
+    assert(phi(0).getDouble(3) == 1.0)   // K4 is fully connected
+    assert(phi(1).isNullAt(3))           // empty club: 0/0 -> NULL
+  }
+
   test("modularity: perfect two-community split scores 0.5, trivial labeling 0") {
     // two disjoint triangles; m2 = 12 directed edges
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),

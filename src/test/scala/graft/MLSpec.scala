@@ -91,6 +91,22 @@ class MLSpec extends SparkSpec {
     assert(out.toSeq == Seq((0, 3L, 1.0), (1, 3L, 1.0)))
   }
 
+  test("prCurve: hand TP/FP at each cut; precision/recall/F1 closed forms") {
+    val df = Seq((0.9, true), (0.8, false), (0.7, true), (0.1, false))
+      .toDF("score", "is_pos")
+    val out = ML.prCurve(df, col("score"), col("is_pos"), Seq(0.5, 0.95))
+      .orderBy("threshold").collect()
+    // t=0.5: tp=2 fp=1 -> p=2/3, r=1, f1=4/5
+    assert(out(0).getLong(3) == 2L && out(0).getLong(4) == 1L)
+    assert(out(0).getDouble(5) == 0.666667 && out(0).getDouble(6) == 1.0 &&
+      out(0).getDouble(7) == 0.8)
+    // t=0.95: nothing predicted positive -> tp=fp=0, precision 0/0 NULL,
+    // recall 0, f1 0
+    assert(out(1).getLong(3) == 0L && out(1).getLong(4) == 0L)
+    assert(out(1).isNullAt(5))
+    assert(out(1).getDouble(6) == 0.0 && out(1).getDouble(7) == 0.0)
+  }
+
   test("gmmEStep: tight clusters give near-hard responsibilities; counts partition") {
     // seeds are vec_ids 0,1 (k=2); vectors pile tightly around each seed
     val e = Seq(

@@ -31,6 +31,9 @@ class PlanGuardSpec extends SparkSpec {
   private val boundedGlobalWindowAllowlist =
     Set("text_vocab", "text_encode", "sketch_histq", "dq_skew_report",
       "text_vocab_coverage",
+      // decode composes encode + vocabulary — the same <= maxVocab
+      // ranking above the limit, nothing new
+      "text_decode",
       // reuse vocabulary's ranking (<= 200 rows above the limit)
       "text_zipf_slope", "text_heaps_law", "text_gini",
       // two-level prefix-sum/max carriers: the ONLY global window is the
