@@ -207,6 +207,29 @@ class PlanGuardSpec extends SparkSpec {
     assert(!kg.contains("CartesianProduct"), s"knn graph cartesian:\n$kg")
   }
 
+  test("round-12-final-b operators keep their scale shapes") {
+    val sf = "/root/testdata/sf0.001"
+    // no pair generators anywhere in the newest additions
+    for (q <- Seq("dedup_minhash_est", "graph_rich_club", "ml_gmm_estep",
+        "ana_cohort_ltv", "ana_concentration", "ml_pr_curve",
+        "mm_luma_stats", "stream_topk", "ana_window_funnel",
+        "sketch_bloom_fpr", "dq_pk_uniqueness", "ts_cusum")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
+    // GMM: the k·d centroid frame rides a broadcast onto the flattened
+    // corpus — the silhouette join shape
+    val gm = SparkEntry.queries("ml_gmm_estep")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(gm.contains("BroadcastExchange"), s"gmm plan:\n$gm")
+    // PR curve: all thresholds ride ONE scan (the constraintSuite shape)
+    val pr = SparkEntry.queries("ml_pr_curve")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(pr).length <= 1,
+      s"prCurve re-scans per threshold:\n$pr")
+  }
+
   test("scan evidence: filters push into parquet, projections prune columns") {
     val sf = "/root/testdata/sf0.001"
     // q1's shipdate range predicate reaches the scan as a pushed filter
