@@ -7061,8 +7061,8 @@ object SparkEntry {
         |          AS DECIMAL(28,9))) AS slog
         |      FROM deg WHERE deg >= 5)
         |SELECT n_nodes, n_tail, CAST(5 AS BIGINT) AS xmin,
-        |  round(CAST(n_tail AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
-        |    AS tail_frac,
+        |  round(CAST(n_tail AS DOUBLE)
+        |    / nullif(CAST(n_nodes AS DOUBLE), 0.0), 6) AS tail_frac,
         |  round(1.0 + CAST(n_tail AS DOUBLE)
         |    / nullif(CAST(slog AS DOUBLE), 0.0), 6) AS alpha_hill
         |FROM a CROSS JOIN t""".stripMargin,

@@ -529,8 +529,10 @@ object Graph {
           .cast("decimal(28,9)")).as("slog"))
       .crossJoin(broadcast(tot))
       .select(col("n_nodes"), col("n_tail"), lit(xmin).as("xmin"),
-        round(col("n_tail").cast("double") / col("n_nodes").cast("double"), 6)
-          .as("tail_frac"),
+        // try_divide: an edgeless graph has n_nodes = 0 — NULL frac,
+        // not an ANSI divide-by-zero
+        round(try_divide(col("n_tail").cast("double"),
+          col("n_nodes").cast("double")), 6).as("tail_frac"),
         round(lit(1.0) + try_divide(col("n_tail").cast("double"),
           col("slog").cast("double")), 6).as("alpha_hill"))
   }

@@ -95,4 +95,41 @@ class EdgeCaseSpec extends SparkSpec {
     val nv = graft.operators.TextAnalysis.ngramNovelty(solo, 3).collect()
     assert(nv(0).getDouble(3) == 1.0)
   }
+
+  test("round-12-final degenerate inputs flow through the new operators") {
+    import org.apache.spark.sql.functions._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // calibration cards on an empty corpus: empty out, no errors
+    assert(graft.operators.Dedup.lshCalibrationCurve(emptyDocs).isEmpty)
+    assert(graft.operators.Dedup.minhashEstimatorCard(emptyDocs).isEmpty)
+    // graph ops on an empty edge list: empty/NULL out, no ANSI errors
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.Graph.adamicAdar(noEdges).isEmpty)
+    val pl = graft.operators.Graph.powerlawTail(noEdges).collect().head
+    assert(pl.getLong(0) == 0L && pl.isNullAt(3) && pl.isNullAt(4))
+    val rc = graft.operators.Graph.richClub(noEdges, Seq(2L)).collect().head
+    assert(rc.getLong(1) == 0L && rc.isNullAt(3))
+    // theilSen / motif / cusum / perm entropy on empty events: empty out
+    val noEv = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    assert(graft.operators.TimeSeries.theilSen(noEv, "user_id", "ts", "value").isEmpty)
+    assert(graft.operators.TimeSeries.motifDiscovery(noEv, "user_id", "ts", "value").isEmpty)
+    assert(graft.operators.TimeSeries.cusumScan(noEv, "user_id", "ts", "value").isEmpty)
+    assert(graft.operators.TimeSeries.permutationEntropy(noEv, "user_id", "ts", "value").isEmpty)
+    // jsd with a single source: no pairs, empty out
+    val oneSrc = Seq((1L, "a b", "s1"), (2L, "c d", "s1"))
+      .toDF("doc_id", "text", "source")
+    assert(graft.operators.TextAnalysis.jsdBySource(oneSrc).isEmpty)
+    // bootstrap on an empty frame: no groups, empty out
+    val noRows = Seq.empty[(String, Long, Double)].toDF("g", "id", "v")
+    assert(graft.operators.Sampling.bootstrapCI(noRows, "g", "id", "v").isEmpty)
+    // windowFunnel with zero stage-0 events: all levels count 0
+    val clicksOnly = Seq((1L, "2024-01-01 00:00:00", "click"))
+      .toDF("user_id", "s", "event_type")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"event_type")
+    val wf = graft.analytics.Analytics
+      .windowFunnel(clicksOnly, Seq("signup", "click"), 3600L)
+      .orderBy("stage_idx").collect().map(_.getLong(2))
+    assert(wf.toSeq == Seq(0L, 0L))
+  }
 }
