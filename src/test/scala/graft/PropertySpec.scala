@@ -163,4 +163,69 @@ class PropertySpec extends SparkSpec {
       assert(unselected.forall(u => implicitly[Ordering[(Double, Long)]].gt(u, worstSel)))
     }
   }
+
+  test("theilSen slope is translation-invariant; intercept shifts by the offset") {
+    // random hourly series, then the same series +100: a robust trend
+    // estimator must report the identical slope and an intercept exactly
+    // 100 higher (the estimator reads shape, not level)
+    val vals = samples(Gen.choose(-50, 50), 24).map(_.toDouble)
+    def ev(u: Long, off: Double) = vals.zipWithIndex.map { case (v, h) =>
+      (u, f"2024-01-01 $h%02d:00:00", v + off) }
+    val rows = (ev(1L, 0.0) ++ ev(2L, 100.0))
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    val out = graft.operators.TimeSeries
+      .theilSen(rows, "user_id", "ts", "value").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L)._1 == out(2L)._1, s"slopes diverged: $out")
+    assert(math.abs(out(2L)._2 - out(1L)._2 - 100.0) < 1e-6)
+  }
+
+  test("JSD is bounded by ln 2 and zero only for identical distributions") {
+    // random word bags per source; every pairwise divergence obeys the
+    // Lin bound, and a source paired with its own copy scores exactly 0
+    val words = Vector("a", "b", "c", "d", "e")
+    val bags = samples(Gen.listOfN(12, Gen.oneOf(words)), 4)
+    val docs = bags.zipWithIndex.flatMap { case (bag, i) =>
+      Seq((i.toLong, bag.mkString(" "), s"s$i"),
+        (100L + i, bag.mkString(" "), s"t$i")) // tᵢ = copy of sᵢ
+    }.toDF("doc_id", "text", "source")
+    val out = graft.operators.TextAnalysis.jsdBySource(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3)))
+    assert(out.forall { case (_, j) => j >= 0.0 && j <= math.log(2.0) + 1e-9 })
+    val copies = out.filter { case ((a, b), _) =>
+      a.drop(1) == b.drop(1) && a.head == 's' && b.head == 't' }
+    assert(copies.nonEmpty && copies.forall(_._2 == 0.0),
+      s"identical-copy pairs must diverge 0: ${copies.toSeq}")
+  }
+
+  test("bootstrapCI brackets narrow as the sample grows (variance shrinks)") {
+    def mk(n: Int, g: String) = (1L to n.toLong)
+      .map(i => (g, i, (i % 7).toDouble))
+    val rows = (mk(60, "small") ++ mk(960, "big")).toDF("g", "id", "v")
+    val out = graft.operators.Sampling
+      .bootstrapCI(rows, "g", "id", "v", reps = 40).collect()
+      .map(r => r.getString(0) -> (r.getDouble(6) - r.getDouble(4))).toMap
+    assert(out("big") < out("small"),
+      s"CI width must shrink with n: $out")
+  }
+
+  test("permutation entropy is invariant under any monotone transform") {
+    // ordinal patterns read only the ORDER of values — x -> 2x + 5 and
+    // x -> x^3 (odd, monotone) must yield the identical entropy rows
+    val vals = samples(Gen.choose(-40, 40), 30).map(_.toDouble)
+    // spread over hours within a day then days (unique buckets per idx)
+    def ev2(u: Long, f: Double => Double) = vals.zipWithIndex.map {
+      case (v, h) => (u, f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:00:00", f(v)) }
+    val rows = (ev2(1L, identity) ++ ev2(2L, x => 2 * x + 5) ++
+        ev2(3L, x => x * x * x))
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    val out = graft.operators.TimeSeries
+      .permutationEntropy(rows, "user_id", "ts", "value").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L),
+      s"monotone transforms changed the ordinal profile: $out")
+  }
 }
