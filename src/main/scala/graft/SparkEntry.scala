@@ -1609,6 +1609,17 @@ object SparkEntry {
       operators.Graph.modularity(edges, labels).orderBy("label")
     }),
 
+    // HITS hubs/authorities (2 L1-normalized iterations) over the same
+    // directed event-type transition graph as ana_pagerank — hub =
+    // "links to important types", authority = "linked from good hubs";
+    // the oracle unrolls the four half-steps CTE by CTE.
+    "graph_hits" -> ((s, dir) => {
+      val edges = Analytics.transitions(T(s, dir, "events"))
+        .filter(col("from_type") =!= col("to_type"))
+        .select(col("from_type").as("src"), col("to_type").as("dst"))
+      operators.Graph.hits(edges, 2).orderBy("node")
+    }),
+
     // Local clustering coefficients over the same co-purchase graph —
     // every node emits (triangle-free 0, degree-1 NULL).
     "graph_clustering" -> ((s, dir) => {
@@ -7219,6 +7230,48 @@ object SparkEntry {
         |      / nullif(CAST(m2 AS DOUBLE), 0.0)), 6) AS q_contrib
         |FROM sizes LEFT JOIN degs USING (label) CROSS JOIN m2
         |ORDER BY label""".stripMargin,
+
+    // HITS unrolled: each iteration = an authority half-step (DECIMAL
+    // in-sum of 12-dp hubs, exact L1 total, 12-dp quotient) then a hub
+    // half-step over the fresh authorities — byte-identical to the
+    // Spark loop.
+    "graph_hits" -> {
+      val iterCtes = (1 to 2).map { k =>
+        val prev = if (k == 1) "hb0" else s"hb${k - 1}"
+        s"""a${k}r AS (SELECT e.dst AS node,
+           |        sum(CAST(round(h.hub, 12) AS DECIMAL(18,12))) AS s
+           |      FROM e JOIN $prev h ON h.node = e.src GROUP BY 1),
+           |a${k}t AS (SELECT coalesce(sum(s), CAST(0 AS DECIMAL(28,12)))
+           |        AS tot FROM a${k}r),
+           |a$k AS (SELECT n.node, CASE WHEN a${k}t.tot = 0 THEN 0e0 ELSE
+           |        round(coalesce(CAST(r.s AS DOUBLE), 0e0)
+           |          / CAST(a${k}t.tot AS DOUBLE), 12) END AS authority
+           |      FROM nodes n CROSS JOIN a${k}t
+           |      LEFT JOIN a${k}r r ON r.node = n.node),
+           |h${k}r AS (SELECT e.src AS node,
+           |        sum(CAST(round(a.authority, 12) AS DECIMAL(18,12))) AS s
+           |      FROM e JOIN a$k a ON a.node = e.dst GROUP BY 1),
+           |h${k}t AS (SELECT coalesce(sum(s), CAST(0 AS DECIMAL(28,12)))
+           |        AS tot FROM h${k}r),
+           |hb$k AS (SELECT n.node, CASE WHEN h${k}t.tot = 0 THEN 0e0 ELSE
+           |        round(coalesce(CAST(r.s AS DOUBLE), 0e0)
+           |          / CAST(h${k}t.tot AS DOUBLE), 12) END AS hub
+           |      FROM nodes n CROSS JOIN h${k}t
+           |      LEFT JOIN h${k}r r ON r.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tr AS (SELECT event_type AS cur,
+         |        lead(event_type) OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id) AS nxt
+         |      FROM events),
+         |e AS (SELECT DISTINCT cur AS src, nxt AS dst FROM tr
+         |      WHERE nxt IS NOT NULL AND nxt <> cur),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |hb0 AS (SELECT node, 1e0 / nn.n AS hub FROM nodes CROSS JOIN nn),
+         |$iterCtes
+         |SELECT node, round(hub, 6) AS hub, round(authority, 6) AS authority
+         |FROM hb2 JOIN a2 USING (node) ORDER BY node""".stripMargin
+    },
 
     // min_by/max_by with the tie-proof composite ordering key
     // (cents·10⁹ + custkey) rebuilt arithmetically.

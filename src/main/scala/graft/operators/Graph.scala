@@ -610,4 +610,75 @@ object Graph {
           try_divide(coalesce(col("degree_sum"), lit(0L)).cast("double"),
             col("m2").cast("double")), 6).as("q_contrib"))
   }
+
+  /** HITS (Kleinberg): mutually-reinforcing hub and authority scores over
+    * a DIRECTED graph — the complement to [[pageRank]] on link graphs
+    * where "points at good pages" (hub) and "is pointed at by good hubs"
+    * (authority) are distinct curation signals: a crawl-seed list wants
+    * high hubs, a quality-weighting pass wants high authorities.
+    *
+    * Each synchronous iteration runs the two half-steps in the classic
+    * order: `a'(v) = Σ_{u→v} h(u)` then `h'(u) = Σ_{u→v} a'(v)`, each
+    * L1-NORMALIZED (divide by the exact DECIMAL total) — the L1 norm
+    * keeps every carried value a plain ratio instead of a √-of-sum, so
+    * the whole iteration is reproducible from rounded inputs with no
+    * float-accumulation order anywhere: in-sums and totals are exact
+    * DECIMAL sums of 12-dp-rounded scores (all ≤ 1 after normalization),
+    * the division is one IEEE op, and the quotient is re-rounded to
+    * 12 dp before it feeds the next half-step. The DuckDB oracle unrolls
+    * the identical half-steps CTE by CTE and reproduces every bit.
+    *
+    * Per-iteration scale shape (mirrors [[pageRank]]): one hash shuffle
+    * keyed on dst for the authority in-sum and one keyed on src for the
+    * hub out-sum (both map-side combined), each followed by a broadcast
+    * single-row total; scores are EAGER-checkpointed per iteration so
+    * the plan stays iteration-depth-free and broadcast subtrees never
+    * race a lazy checkpoint (the [[Dedup.dedupClusters]] deadlock note).
+    * Sources with no in-links carry authority 0, sinks hub 0 — every
+    * node of the graph emits a row. A totals-are-zero degenerate (no
+    * edges at all after dedup) reports uniform 0 scores rather than an
+    * ANSI divide error.
+    */
+  def hits(edges: DataFrame, iters: Int = 2,
+           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 12).cast("decimal(18,12)"))
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      // raw: (node, s DECIMAL) covering only nodes with a nonzero in/out
+      // sum; total over the DECIMALs is exact, so the quotient is the
+      // same IEEE double in every engine and partitioning.
+      val tot = raw.agg(coalesce(sum(col("s")), lit(0).cast("decimal(28,12)"))
+        .as("tot"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          when(col("tot") === 0, lit(0.0)).otherwise(
+            round(coalesce(col("s").cast("double"), lit(0.0)) /
+              col("tot").cast("double"), 12)).as(out))
+    }
+    var hubs = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("hub"))
+      .localCheckpoint()
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e
+        .join(hubs.select(col("node").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("node")).agg(dsum(col("hub")).as("s"))
+      auths = normalized(aRaw, "authority").localCheckpoint()
+      val hRaw = e
+        .join(auths.select(col("node").as("dst"), col("authority")), "dst")
+        .groupBy(col("src").as("node")).agg(dsum(col("authority")).as("s"))
+      hubs = normalized(hRaw, "hub").localCheckpoint()
+    }
+    hubs.join(auths, "node")
+      .select(col("node"), round(col("hub"), 6).as("hub"),
+        round(col("authority"), 6).as("authority"))
+  }
 }

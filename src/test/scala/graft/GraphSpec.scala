@@ -273,4 +273,29 @@ class GraphSpec extends SparkSpec {
     assert(qs.forall(_ < 0.0), s"expected negative contribs, got ${qs.toSeq}")
   }
 
+  test("hits: hand-computed two iterations on the classic a->{b,c}, d->c") {
+    // iter1: auth raw b=.25 c=.5, tot=.75 -> b=1/3 c=2/3; hub raw a=1,
+    // d=2/3, tot=5/3 -> a=.6 d=.4. iter2: auth raw b=.6 c=1, tot=1.6 ->
+    // b=.375 c=.625; hub raw a=1, d=.625, tot=1.625 -> a=8/13 d=5/13.
+    val e = Seq(("a", "b"), ("a", "c"), ("d", "c")).toDF("src", "dst")
+    val out = Graph.hits(e, iters = 2).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(out("a")._1 - 8.0 / 13) < 1e-6)
+    assert(math.abs(out("d")._1 - 5.0 / 13) < 1e-6)
+    assert(out("b")._1 == 0.0 && out("c")._1 == 0.0) // sinks: hub 0
+    assert(math.abs(out("b")._2 - 0.375) < 1e-6)
+    assert(math.abs(out("c")._2 - 0.625) < 1e-6)
+    assert(out("a")._2 == 0.0 && out("d")._2 == 0.0) // sources: auth 0
+    // L1 normalization: each score family sums to 1
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-5)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-5)
+  }
+
+  test("hits: single edge converges to the pure hub / pure authority") {
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val out = Graph.hits(e, iters = 1).orderBy("node").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("a", 1.0, 0.0), ("b", 0.0, 1.0)))
+  }
+
 }
