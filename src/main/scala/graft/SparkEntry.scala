@@ -1896,6 +1896,15 @@ object SparkEntry {
         ("events", T(s, dir, "events"), Seq("event_id"))))
         .orderBy("table_name")),
 
+    // Functional-dependency discovery over four orders columns (12
+    // ordered pairs in ONE multi-distinct aggregate): o_orderkey -> *
+    // comes out as the PK's exact FDs, the rest grade as near-FD
+    // strengths — the undocumented-schema-structure profiler.
+    "dq_func_deps" -> ((s, dir) =>
+      operators.DataQuality.functionalDeps(T(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("lhs", "rhs")),
+
     // Referential-integrity audit of the star schema: orphan scans for
     // lineitem→orders, orders→customer, lineitem→part (left-anti per
     // relation; Catalyst broadcasts dim-sized parents).
@@ -6653,6 +6662,30 @@ object SparkEntry {
          |UNION ALL ${one("documents", "doc_id")}
          |UNION ALL ${one("events", "event_id")})
          |ORDER BY table_name""".stripMargin
+    },
+
+    // FD discovery: per-pair distinct counts as scalar subqueries (the
+    // oracle pays 12 scans; the Spark side is one Expand aggregate),
+    // count(DISTINCT) NULL semantics shared by both engines.
+    "dq_func_deps" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+      val sels = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS lhs, '$b' AS rhs,
+           |  (SELECT CAST(count(DISTINCT $a) AS BIGINT) FROM orders)
+           |    AS n_distinct_lhs,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM
+           |    (SELECT DISTINCT $a, $b FROM orders
+           |     WHERE $a IS NOT NULL AND $b IS NOT NULL))
+           |    AS n_distinct_pair""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""SELECT lhs, rhs, n_distinct_lhs, n_distinct_pair,
+         |  n_distinct_pair = n_distinct_lhs AS fd_holds,
+         |  round(CAST(n_distinct_lhs AS DOUBLE)
+         |    / nullif(CAST(n_distinct_pair AS DOUBLE), 0.0), 6) AS strength
+         |FROM ($sels)
+         |ORDER BY lhs, rhs""".stripMargin
     },
 
     // Constraint suite: one aggregate computes all violation counts;

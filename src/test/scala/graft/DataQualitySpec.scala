@@ -331,4 +331,24 @@ class DataQualitySpec extends SparkSpec {
     assert(ok.getLong(2) == 0L && ok.getBoolean(4))
   }
 
+  test("functionalDeps: exact FD, near-FD strength, and both directions") {
+    val df = Seq((1L, "A", 10L), (2L, "A", 10L), (3L, "B", 20L),
+      (4L, "B", 21L)).toDF("id", "grp", "v")
+    val out = DataQuality.functionalDeps(df, Seq("id", "grp", "v"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getDouble(5))).toMap
+    assert(out.size == 6)
+    // id is a key: id -> grp and id -> v hold exactly
+    assert(out(("id", "grp")) == (4L, 4L, true, 1.0))
+    assert(out(("id", "v")) == (4L, 4L, true, 1.0))
+    // grp -> v violated by B -> {20, 21}: strength 2/3
+    val (gl, gp, gf, gs) = out(("grp", "v"))
+    assert(gl == 2L && gp == 3L && !gf && math.abs(gs - 0.666667) < 1e-6)
+    // v -> grp holds (each value maps to one group) without v being a key
+    assert(out(("v", "grp")) == (3L, 3L, true, 1.0))
+    // nothing determines the key columns backwards
+    assert(!out(("grp", "id"))._3 && !out(("v", "id"))._3)
+  }
+
 }
