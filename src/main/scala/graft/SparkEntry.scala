@@ -1955,6 +1955,25 @@ object SparkEntry {
       operators.ML.naiveBayesAccuracy(T(s, dir, "documents"), "lang")
         .orderBy("label")),
 
+    // Confusion matrix of the same NB language classifier — sparse
+    // (label, pred, n, row_share) cells: WHERE the misclassifications
+    // go, which the aggregate recall hides.
+    "ml_confusion" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      operators.ML.confusionMatrix(
+        operators.ML.naiveBayesPredict(d, d, "lang"))
+        .orderBy("label", "pred")
+    }),
+
+    // Per-class precision/recall/F1 report over the same predictions —
+    // the sklearn classification_report as a distributed aggregate.
+    "ml_class_report" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      operators.ML.classReport(
+        operators.ML.naiveBayesPredict(d, d, "lang"))
+        .orderBy("label")
+    }),
+
     // Leave-one-out 5-NN accuracy on the embeddings (1-in-10 query
     // sample — the eval-sample convention keeping pairs at N²/10):
     // per-label accuracy of cosine-majority voting.
@@ -3157,6 +3176,44 @@ object SparkEntry {
        |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
        |           ORDER BY d2, cid) AS rn FROM d)
        |      WHERE rn = 1)""".stripMargin
+
+  /** Multinomial-NB model + per-doc argmax prediction CTE chain
+    * (documents self-train, +1 smoothing, 6-dp score quantization,
+    * ties to the smaller label) — shared by the ml_nb_accuracy /
+    * ml_confusion / ml_class_report oracles, all of which consume the
+    * final `pred(doc_id, pred)` relation.
+    */
+  private val nbPredCtes: String =
+    """WITH t AS (SELECT doc_id, lang AS y,
+      |        unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |          AS term FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |      FROM t GROUP BY 1, 2),
+      |ct AS (SELECT y AS l, term, CAST(count(*) AS BIGINT) AS c
+      |      FROM t GROUP BY 1, 2),
+      |ctot AS (SELECT l, CAST(sum(c) AS BIGINT) AS nl FROM ct GROUP BY 1),
+      |voc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tf),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      |pri AS (SELECT lang AS l, CAST(count(*) AS BIGINT) AS dl
+      |      FROM documents GROUP BY 1),
+      |langs AS (SELECT pri.l, ctot.nl, voc.v,
+      |        round(ln(CAST(dl AS DOUBLE) / CAST(nd.nd AS DOUBLE)), 6)
+      |          AS lprior
+      |      FROM pri CROSS JOIN nd CROSS JOIN voc
+      |      JOIN ctot ON ctot.l = pri.l),
+      |tll AS (SELECT tf.doc_id, langs.l, langs.lprior,
+      |        round(CAST(tf AS DOUBLE) *
+      |          ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE) /
+      |            CAST(langs.nl + langs.v AS DOUBLE)), 6) AS ll
+      |      FROM tf CROSS JOIN langs
+      |      LEFT JOIN ct ON ct.l = langs.l AND ct.term = tf.term),
+      |sc AS (SELECT doc_id, l,
+      |        round(CAST(sum(CAST(ll AS DECIMAL(28,6))) AS DOUBLE)
+      |          + lprior, 6) AS score
+      |      FROM tll GROUP BY doc_id, l, lprior),
+      |pred AS (SELECT doc_id, l AS pred FROM (
+      |      SELECT doc_id, l, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, l) AS rn FROM sc) WHERE rn = 1)""".stripMargin
 
   /** SimHash oracle: rebuild the 64-bit fingerprints from the
     * ANSI-expressible token hash (ShingleUtil.tokenHash31 + the per-bit
@@ -6757,36 +6814,7 @@ object SparkEntry {
     // tie to smaller label; docs with zero tokens carry no evidence and
     // drop from the eval on both engines (inner token join).
     "ml_nb_accuracy" ->
-      """WITH t AS (SELECT doc_id, lang AS y,
-        |        unnest(list_filter(string_split(text, ' '), x -> x <> ''))
-        |          AS term FROM documents),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |      FROM t GROUP BY 1, 2),
-        |ct AS (SELECT y AS l, term, CAST(count(*) AS BIGINT) AS c
-        |      FROM t GROUP BY 1, 2),
-        |ctot AS (SELECT l, CAST(sum(c) AS BIGINT) AS nl FROM ct GROUP BY 1),
-        |voc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tf),
-        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
-        |pri AS (SELECT lang AS l, CAST(count(*) AS BIGINT) AS dl
-        |      FROM documents GROUP BY 1),
-        |langs AS (SELECT pri.l, ctot.nl, voc.v,
-        |        round(ln(CAST(dl AS DOUBLE) / CAST(nd.nd AS DOUBLE)), 6)
-        |          AS lprior
-        |      FROM pri CROSS JOIN nd CROSS JOIN voc
-        |      JOIN ctot ON ctot.l = pri.l),
-        |tll AS (SELECT tf.doc_id, langs.l, langs.lprior,
-        |        round(CAST(tf AS DOUBLE) *
-        |          ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE) /
-        |            CAST(langs.nl + langs.v AS DOUBLE)), 6) AS ll
-        |      FROM tf CROSS JOIN langs
-        |      LEFT JOIN ct ON ct.l = langs.l AND ct.term = tf.term),
-        |sc AS (SELECT doc_id, l,
-        |        round(CAST(sum(CAST(ll AS DECIMAL(28,6))) AS DOUBLE)
-        |          + lprior, 6) AS score
-        |      FROM tll GROUP BY doc_id, l, lprior),
-        |pred AS (SELECT doc_id, l AS pred FROM (
-        |      SELECT doc_id, l, row_number() OVER (PARTITION BY doc_id
-        |        ORDER BY score DESC, l) AS rn FROM sc) WHERE rn = 1)
+      s"""$nbPredCtes
         |SELECT d.lang AS label, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN pred = d.lang THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_correct,
@@ -6794,6 +6822,43 @@ object SparkEntry {
         |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
         |FROM pred JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Confusion cells from the same unrolled NB predictions; row_share
+    // normalizes within the true label.
+    "ml_confusion" ->
+      s"""$nbPredCtes,
+        |cm AS (SELECT d.lang AS label, pred, CAST(count(*) AS BIGINT) AS n
+        |      FROM pred JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |tot AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_label
+        |      FROM cm GROUP BY 1)
+        |SELECT label, pred, n,
+        |  round(CAST(n AS DOUBLE) / CAST(n_label AS DOUBLE), 6) AS row_share
+        |FROM cm JOIN tot USING (label) ORDER BY label, pred""".stripMargin,
+
+    // Per-class P/R/F1: truth-side and prediction-side counts
+    // full-outer-joined; F1 from the unrounded legs, 0/0 -> 0.
+    "ml_class_report" ->
+      s"""$nbPredCtes,
+        |pl AS (SELECT d.lang AS y, pred
+        |      FROM pred JOIN documents d USING (doc_id)),
+        |tt AS (SELECT y AS label, count(*) AS n_true,
+        |        CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS tp FROM pl GROUP BY 1),
+        |pp AS (SELECT pred AS label, count(*) AS n_pred FROM pl GROUP BY 1),
+        |j AS (SELECT coalesce(tt.label, pp.label) AS label,
+        |        coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+        |        coalesce(tp, 0) AS tp
+        |      FROM tt FULL OUTER JOIN pp ON pp.label = tt.label),
+        |k AS (SELECT label, n_true, n_pred, tp,
+        |        CAST(tp AS DOUBLE) / nullif(CAST(n_pred AS DOUBLE), 0.0) AS p,
+        |        CAST(tp AS DOUBLE) / nullif(CAST(n_true AS DOUBLE), 0.0) AS r
+        |      FROM j)
+        |SELECT label, n_true, n_pred, tp,
+        |  round(p, 6) AS "precision", round(r, 6) AS recall,
+        |  round(CASE WHEN coalesce(p, 0e0) + coalesce(r, 0e0) = 0e0 THEN 0e0
+        |    ELSE 2e0 * coalesce(p, 0e0) * coalesce(r, 0e0)
+        |      / (coalesce(p, 0e0) + coalesce(r, 0e0)) END, 6) AS f1
+        |FROM k ORDER BY label""".stripMargin,
 
     // kNN: the bruteAnnOracle ranking convention (unrounded cosine,
     // neighbor-id ties) on the 1-in-10 query sample, majority vote tie

@@ -143,7 +143,27 @@ object ML {
     */
   def naiveBayesEval(train: DataFrame, test: DataFrame,
                      labelCol: String = "lang", textCol: String = "text",
-                     idCol: String = "doc_id"): DataFrame = {
+                     idCol: String = "doc_id"): DataFrame =
+    naiveBayesPredict(train, test, labelCol, textCol, idCol)
+      .groupBy(col("y").as("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("label"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs").cast("double"),
+          6).as("recall"))
+
+  /** The per-document leg of [[naiveBayesEval]]: train the multinomial
+    * NB model on `train`, score every `test` doc, and emit
+    * `(doc_id, y, pred)` — the raw material every downstream eval
+    * consumes ([[naiveBayesEval]]'s per-class recall,
+    * [[confusionMatrix]]'s error structure, [[classReport]]'s
+    * precision/recall/F1). Same smoothing, 6-dp score quantization and
+    * tie-break (higher score, then lower label) as always — splitting
+    * the method changes no byte of the eval output.
+    */
+  def naiveBayesPredict(train: DataFrame, test: DataFrame,
+                        labelCol: String = "lang", textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
     import graft.functions.Fns
     import org.apache.spark.sql.expressions.Window
     val trainToks = train.select(col(labelCol).as("y"),
@@ -179,12 +199,58 @@ object ML {
     scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("l").as("pred"))
       .join(testLabels, "doc_id")
-      .groupBy(col("y").as("label"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))
-      .select(col("label"), col("n_docs"), col("n_correct"),
-        round(col("n_correct").cast("double") / col("n_docs").cast("double"),
-          6).as("recall"))
+  }
+
+  /** Confusion matrix over a `(doc_id, y, pred)` prediction frame
+    * ([[naiveBayesPredict]] or any classifier emitting that shape):
+    * one row per OBSERVED (true label, predicted label) cell with the
+    * count and the row-normalized share — "when the truth is X, where
+    * do the mistakes go", the error-structure view an aggregate
+    * accuracy number hides. Zero cells are absent (sparse convention —
+    * a dense k×k grid of a high-cardinality label space is the wrong
+    * artifact at scale). Cost: one (y, pred)-keyed count plus a
+    * broadcast join of the per-label totals.
+    */
+  def confusionMatrix(predictions: DataFrame): DataFrame = {
+    val cells = predictions.groupBy(col("y").as("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+    val totals = predictions.groupBy(col("y").as("label"))
+      .agg(count(lit(1)).as("n_label"))
+    cells.join(broadcast(totals), "label")
+      .select(col("label"), col("pred"), col("n"),
+        round(col("n").cast("double") / col("n_label").cast("double"), 6)
+          .as("row_share"))
+  }
+
+  /** Per-class precision / recall / F1 over a `(doc_id, y, pred)`
+    * prediction frame — the sklearn-style classification report as a
+    * distributed aggregate: two label-keyed counts (truth side with
+    * true positives, prediction side) full-outer-joined so a class
+    * that is never predicted still reports (precision NULL, the honest
+    * answer) and a hallucinated class absent from the truth reports
+    * n_true 0. F1 is computed from the UNROUNDED precision/recall
+    * (one fixed IEEE expression, NULL legs treated as 0, 0/0 → 0 by
+    * the standard convention) and rounded once at the edge.
+    */
+  def classReport(predictions: DataFrame): DataFrame = {
+    val t = predictions.groupBy(col("y").as("label"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("tp"))
+    val p = predictions.groupBy(col("pred").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val j = t.join(p, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    val prec = try_divide(col("tp").cast("double"), col("n_pred").cast("double"))
+    val rec = try_divide(col("tp").cast("double"), col("n_true").cast("double"))
+    def z(c: Column) = coalesce(c, lit(0.0))
+    j.select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+      round(prec, 6).as("precision"), round(rec, 6).as("recall"),
+      round(when(z(prec) + z(rec) === 0.0, lit(0.0))
+        .otherwise(lit(2.0) * z(prec) * z(rec) / (z(prec) + z(rec))), 6)
+        .as("f1"))
   }
 
   /** k-NN classification accuracy over the embedding corpus:

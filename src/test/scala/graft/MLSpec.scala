@@ -126,4 +126,42 @@ class MLSpec extends SparkSpec {
     assert(math.abs(out.map(_._3).sum - 6.0) < 1e-3)
   }
 
+  test("confusionMatrix: sparse cells with row-normalized shares") {
+    val preds = Seq((1L, "a", "a"), (2L, "a", "b"), (3L, "b", "b"),
+      (4L, "b", "b"), (5L, "c", "a")).toDF("doc_id", "y", "pred")
+    val out = ML.confusionMatrix(preds).orderBy("label", "pred").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", "a", 1L, 0.5), ("a", "b", 1L, 0.5),
+      ("b", "b", 2L, 1.0), ("c", "a", 1L, 1.0)))
+  }
+
+  test("classReport: precision/recall/F1 incl. never-predicted and hallucinated classes") {
+    val preds = Seq((1L, "a", "a"), (2L, "a", "b"), (3L, "b", "b"),
+      (4L, "b", "b"), (5L, "c", "a"), (6L, "a", "d"))
+      .toDF("doc_id", "y", "pred")
+    val out = ML.classReport(preds).orderBy("label").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]), r.getDouble(6))).toMap
+    // a: truth {1,2,6}, preds {1,5}, tp {1}
+    val a = out("a")
+    assert((a._1, a._2, a._3) == (3L, 2L, 1L))
+    assert(math.abs(a._4.get - 0.5) < 1e-6)
+    assert(math.abs(a._5.get - 0.333333) < 1e-6)
+    assert(math.abs(a._6 - 0.4) < 1e-6) // 2*.5*(1/3)/(.5+1/3)
+    // b: truth {3,4}, preds {2,3,4}, tp {3,4}
+    val b = out("b")
+    assert((b._1, b._2, b._3) == (2L, 3L, 2L))
+    assert(math.abs(b._4.get - 0.666667) < 1e-6 && b._5.get == 1.0)
+    assert(math.abs(b._6 - 0.8) < 1e-6)
+    // c: in truth, never predicted -> precision NULL, recall 0, f1 0
+    val c = out("c")
+    assert((c._1, c._2, c._3) == (1L, 0L, 0L))
+    assert(c._4.isEmpty && c._5.get == 0.0 && c._6 == 0.0)
+    // d: hallucinated (never in truth) -> n_true 0, recall NULL, f1 0
+    val d = out("d")
+    assert((d._1, d._2, d._3) == (0L, 1L, 0L))
+    assert(d._4.get == 0.0 && d._5.isEmpty && d._6 == 0.0)
+  }
+
 }
