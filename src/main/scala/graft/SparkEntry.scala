@@ -2025,6 +2025,12 @@ object SparkEntry {
       Sketch.bloomFprCard(T(s, dir, "part"), T(s, dir, "lineitem"),
         "p_partkey", "l_orderkey")),
 
+    // KMV k-minimum-values distinct estimator over event ids (k=1024):
+    // (k-1)·2^32/h_(k) beside the exact count — the
+    // intersectable-sketch family's calibration card.
+    "sketch_kmv" -> ((s, dir) =>
+      Sketch.kmvCard(T(s, dir, "events"), "event_id", 1024)),
+
     // Embedding L2-norm histogram — the encoder-health monitor
     // (collapsed or bimodal norms read off the 10-bin card).
     "emb_norm_hist" -> ((s, dir) =>
@@ -4939,6 +4945,31 @@ object SparkEntry {
         |  round(exp(3.0 * ln(1.0 - exp(3.0 * CAST(n_inserted AS DOUBLE)
         |    * ln(1.0 - 0.00006103515625)))), 6) AS theoretical_fpr
         |FROM fp CROSS JOIN ni CROSS JOIN nb""".stripMargin,
+
+    // KMV: the avalanche32 chain (Knuth fold, xor-shift finisher) in
+    // ANSI integer ops, k smallest distinct hashes, (k-1)*2^32/h_(k);
+    // < k distinct hashes -> the count is exact by construction.
+    "sketch_kmv" ->
+      """WITH keys AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS key
+        |      FROM events WHERE event_id IS NOT NULL),
+        |h1 AS (SELECT ((key % 2147483648) * 2654435761) % 4294967296
+        |        AS h1 FROM keys),
+        |h2 AS (SELECT (xor(h1, h1 >> 16) * 1597334677) % 4294967296
+        |        AS h2 FROM h1),
+        |hs AS (SELECT DISTINCT xor(h2, h2 >> 16) AS h FROM h2),
+        |kmin AS (SELECT h FROM hs ORDER BY h LIMIT 1024),
+        |st AS (SELECT count(*) AS n_min, max(h) AS kth_min FROM kmin),
+        |ex AS (SELECT count(*) AS n_exact FROM keys),
+        |est AS (SELECT n_min, kth_min, n_exact,
+        |        CASE WHEN n_min < 1024 THEN CAST(n_min AS DOUBLE)
+        |          ELSE 1023e0 * 4294967296e0 / CAST(kth_min AS DOUBLE) END
+        |          AS e
+        |      FROM st CROSS JOIN ex)
+        |SELECT CAST(1024 AS BIGINT) AS k, n_min, kth_min, n_exact,
+        |  round(e, 6) AS est_distinct,
+        |  round(e / nullif(CAST(n_exact AS DOUBLE), 0.0) - 1e0, 6)
+        |    AS rel_error
+        |FROM est""".stripMargin,
 
     // Stage latency: first-to-first pairs, exact integer gap seconds,
     // quantile_cont for Spark's interpolated percentile.

@@ -390,4 +390,42 @@ object Sketch {
           col("n_probes").cast("double")), 6).as("measured_fpr"),
         round(theory, 6).as("theoretical_fpr"))
   }
+
+  /** KMV (K-minimum-values) distinct-count calibration card — the third
+    * distinct-estimator family beside [[hllRegisters]] (fixed registers)
+    * and exact counting: hash every key with [[avalanche32]], keep the
+    * k smallest DISTINCT hash values, and estimate D ≈ (k−1)·2³²/h₍ₖ₎
+    * (Bar-Yossef et al., "Counting distinct elements in a data stream",
+    * public literature). KMV's edge over HLL is MERGEABILITY UNDER
+    * INTERSECTION: two k-min sets intersect/union directly, where HLL
+    * needs inclusion–exclusion ([[hllSetOps]]'s amplified error) — this
+    * card prices the base estimator so that trade can be judged.
+    *
+    * Fewer than k distinct hashes means the k-min set IS the distinct
+    * set and the count is exact (the CASE both engines mirror). The
+    * k-min selection is a TakeOrdered: per-partition top-k, k·P rows to
+    * the merge — no global sort. The exact-count leg (`n_exact`,
+    * `rel_error`) is the calibration side only and is what a production
+    * build at 100 TB drops, leaving one combine-heavy distinct shuffle
+    * of 4-byte hashes.
+    */
+  def kmvCard(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val keys = df.select(col(keyCol).cast("long").as("key"))
+      .filter(col("key").isNotNull).distinct()
+    val hs = keys.select(avalanche32(col("key")).as("h")).distinct()
+    val st = hs.orderBy("h").limit(k)
+      .agg(count(lit(1)).as("n_min"), max(col("h")).as("kth_min"))
+    val exact = keys.agg(count(lit(1)).as("n_exact"))
+    st.crossJoin(broadcast(exact))
+      .select(lit(k.toLong).as("k"), col("n_min"), col("kth_min"),
+        col("n_exact"),
+        when(col("n_min") < k, col("n_min").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(M32.toDouble) /
+            col("kth_min").cast("double")).as("e"))
+      .select(col("k"), col("n_min"), col("kth_min"), col("n_exact"),
+        round(col("e"), 6).as("est_distinct"),
+        round(try_divide(col("e"), col("n_exact").cast("double")) - 1.0, 6)
+          .as("rel_error"))
+  }
 }

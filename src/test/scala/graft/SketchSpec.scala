@@ -219,4 +219,21 @@ class SketchSpec extends SparkSpec {
     assert(s.getDouble(7) >= 0.0 && s.getDouble(7) <= 1.0)
   }
 
+  test("kmvCard: exact below k, estimator within KMV error above it") {
+    // 5 distinct keys (with duplicates), k=1024: the k-min set IS the
+    // key set -> exact count, zero relative error
+    val small = Seq(1L, 2L, 3L, 4L, 5L, 1L, 2L).toDF("k")
+    val r = Sketch.kmvCard(small, "k", 1024).collect().head
+    assert(r.getLong(0) == 1024L && r.getLong(1) == 5L)
+    assert(r.getLong(3) == 5L)
+    assert(r.getDouble(4) == 5.0 && r.getDouble(5) == 0.0)
+    // 100k distinct keys, k=512: (k-1)*2^32/h_(k) lands within a few
+    // standard errors (1/sqrt(k) ~ 4.4%) of the truth
+    val big = spark.range(1, 100001).toDF("k")
+    val e = Sketch.kmvCard(big, "k", 512).collect().head
+    assert(e.getLong(1) == 512L && e.getLong(3) == 100000L)
+    assert(math.abs(e.getDouble(5)) < 0.15,
+      s"KMV estimate off by ${e.getDouble(5)}: ${e.getDouble(4)}")
+  }
+
 }
