@@ -1376,6 +1376,13 @@ object SparkEntry {
       Similarity.kmeansCosineIterate(T(s, dir, "embeddings"), 4)
         .orderBy("cluster_id", "dim")),
 
+    // Inertia (elbow) curve over k in {2,4,8}: total/mean
+    // within-cluster squared distance per candidate k — the
+    // choose-k-before-you-cluster pre-pass.
+    "emb_inertia" -> ((s, dir) =>
+      Similarity.inertiaCurve(T(s, dir, "embeddings"), Seq(2, 4, 8))
+        .orderBy("k")),
+
     // Product-quantization codes (IVF-PQ's compression leg): 64 dims ->
     // 4 subspaces of 16, each assigned to its nearest of 4 deterministic
     // sub-centroids; a vector serves ANN from 4 small ints.
@@ -5626,6 +5633,34 @@ object SparkEntry {
     // cid), 6-dp mean centroids normalized by the norm of the ROUNDED
     // means; zero-norm mean -> NULL centroid. The assignment cosine is
     // 6-dp-rounded on BOTH sides (membership-deciding values are always
+    // Elbow curve: per-k nearest-seed assignment (the assignCtes
+    // algebra with suffixed CTE names, keeping the winning d2), exact
+    // DECIMAL inertia sums.
+    "emb_inertia" -> {
+      val perK = Seq(2, 4, 8).map { k =>
+        s"""s$k AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k),
+           |c$k AS (SELECT f.vec_id AS cid, f.dim, f.x AS cx
+           |      FROM f JOIN s$k USING (vec_id)),
+           |d$k AS (SELECT f.vec_id, c$k.cid,
+           |        sum(CAST(round((f.x - c$k.cx) * (f.x - c$k.cx), 6)
+           |          AS DECIMAL(18,6))) AS d2
+           |      FROM f JOIN c$k ON c$k.dim = f.dim GROUP BY 1, 2),
+           |a$k AS (SELECT vec_id, d2 FROM
+           |        (SELECT vec_id, d2, row_number() OVER (PARTITION BY vec_id
+           |           ORDER BY d2, cid) AS rn FROM d$k) WHERE rn = 1),
+           |i$k AS (SELECT CAST($k AS BIGINT) AS k, count(*) AS n_vectors,
+           |        round(CAST(sum(d2) AS DOUBLE), 6) AS inertia,
+           |        round(CAST(sum(d2) AS DOUBLE) / count(*), 6) AS mean_d2
+           |      FROM a$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS ($embCte),
+         |f AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT)
+         |        AS dim, unnest(v) AS x FROM e),
+         |$perK
+         |SELECT * FROM i2 UNION ALL SELECT * FROM i4
+         |UNION ALL SELECT * FROM i8 ORDER BY k""".stripMargin
+    },
+
     // quantized — a last-ulp engine disagreement would flip a cluster);
     // NaN (zero-norm vector) maps to NULL to mirror graft_cosine, and
     // NULLS LAST + the cid tie-break sends it to the lowest seed.

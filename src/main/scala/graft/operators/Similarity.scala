@@ -537,6 +537,49 @@ object Similarity {
     * (vec, subspace)-partitioned window. Linear in N·d·k, nothing keyed
     * on fewer than N rows.
     */
+  /** k-means inertia (elbow) curve: for each candidate k, assign every
+    * vector to its nearest of the k deterministic seeds (the
+    * [[assignToSeeds]] convention — lowest-id vectors, 6-dp DECIMAL
+    * distances, ties to the lower centroid id) and report the total and
+    * mean within-cluster squared distance. Reading the curve's knee is
+    * THE standard "how many clusters does this corpus have" pre-pass
+    * before committing to a k for [[kmeansIterate]] /
+    * [[kmeansCosineIterate]] / the IVF coarse quantizer — at 100 TB you
+    * buy the curve once instead of discovering a bad k after the full
+    * clustering spend.
+    *
+    * Inertia is an exact DECIMAL sum of the per-vector winning d2
+    * (itself a DECIMAL of 6-dp-rounded per-dim squares), so the curve is
+    * bit-identical across engines. Cost per k: the dim-keyed broadcast
+    * seed join + an (N·k)-row combine-heavy aggregate + a vec-keyed
+    * argmin window — linear in N·d·k, no pair terms; the k branches
+    * share nothing but the flatten, which is a cheap generator re-run
+    * per branch (NOT worth materializing N·d rows to save).
+    */
+  def inertiaCurve(embeddings: DataFrame, ks: Seq[Int],
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(ks.nonEmpty, "need at least one k")
+    require(ks.forall(_ >= 1), s"every k must be >= 1, got $ks")
+    require(ks.distinct.size == ks.size, s"k values must be unique, got $ks")
+    val flat = flatten(embeddings, idCol, vecCol)
+    ks.map { k =>
+      val seeds = embeddings.select(col(idCol).as("vec_id"))
+        .orderBy("vec_id").limit(k)
+      val cent = flat.join(seeds, "vec_id")
+        .select(col("vec_id").as("cid"), col("dim"), col("x").as("c"))
+      val d2 = flat.join(broadcast(cent), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(sum(round((col("x") - col("c")) * (col("x") - col("c")), 6)
+          .cast("decimal(18,6)")).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
+      d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .agg(count(lit(1)).as("n_vectors"), sum(col("d2")).as("s"))
+        .select(lit(k.toLong).as("k"), col("n_vectors"),
+          round(col("s").cast("double"), 6).as("inertia"),
+          round(col("s").cast("double") / col("n_vectors"), 6).as("mean_d2"))
+    }.reduce(_ unionByName _)
+  }
+
   def productQuantize(embeddings: DataFrame, subDim: Int, k: Int,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(subDim >= 1, s"need subDim >= 1, got $subDim")

@@ -220,6 +220,18 @@ class SimilaritySpec extends SparkSpec {
       (2L, 1L, 9.5, 2L), (2L, 2L, 9.5, 2L)))
   }
 
+  test("inertiaCurve: hand-computed totals, non-increasing in k") {
+    val e = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(10.0f, 10.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(10.0f, 11.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.inertiaCurve(e, Seq(1, 2)).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // k=1 (seed [0,0]): 0 + 200 + 1 + 221 = 422; k=2 (seeds 1,2): 0+0+1+1
+    assert(out.toSeq == Seq((1L, 4L, 422.0, 105.5), (2L, 4L, 2.0, 0.5)))
+    assert(out(1)._3 <= out(0)._3) // more clusters never raises inertia
+  }
+
   test("kmeansIterate: equidistant vector goes to the lower centroid id") {
     val e = Seq(
       (1L, Array(0.0f)), (2L, Array(2.0f)), // seeds at 0 and 2
