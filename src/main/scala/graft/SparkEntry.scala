@@ -2700,6 +2700,14 @@ object SparkEntry {
           T(s, dir, "events"), "user_id", "ts", "value")
         .orderBy("user_id")),
 
+    // ACF+PACF card to lag 3 (autocovariance ACF, Durbin–Levinson
+    // partials in closed form) — the ARIMA order-selection diagnostic
+    // the single-lag autocorr can't answer.
+    "ts_pacf" -> ((s, dir) =>
+      operators.TimeSeries.pacf(
+          T(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id")),
+
     // Single-changepoint scan: best standardized mean-shift split of each
     // user's hourly series, prefix-sum scored (O(n) per key — the naive
     // split×row self-join is O(n²)).
@@ -8340,6 +8348,51 @@ object SparkEntry {
         |        / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)) END
         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS autocorr
         |FROM n ORDER BY user_id""".stripMargin,
+
+    // ACF (12-dp DECIMAL-quantized centered products, exact sums) + the
+    // unrolled Durbin–Levinson partials; every rounding edge rides the
+    // DECIMAL(24,12) cast so .5 boundaries round identically.
+    "ts_pacf" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, bucket, v,
+        |        count(*) OVER (PARTITION BY user_id) AS nb,
+        |        sum(v) OVER (PARTITION BY user_id) AS sv FROM b),
+        |c AS (SELECT user_id, bucket,
+        |        CAST(round(CAST(CAST(v AS DOUBLE) - CAST(sv AS DOUBLE) / nb
+        |          AS DECIMAL(24,12)), 9) AS DOUBLE) AS c
+        |      FROM m),
+        |l AS (SELECT user_id, c,
+        |        lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2,
+        |        lag(c, 3) OVER w AS c3
+        |      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket)),
+        |a AS (SELECT user_id, count(*) AS n_buckets,
+        |        CAST(sum(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE) AS s0,
+        |        CAST(sum(CAST(c * c1 AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+        |        CAST(sum(CAST(c * c2 AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+        |        CAST(sum(CAST(c * c3 AS DECIMAL(38,12))) AS DOUBLE) AS s3
+        |      FROM l GROUP BY 1),
+        |r AS (SELECT user_id, n_buckets,
+        |        CAST(round(CAST(s1 / nullif(s0, 0e0) AS DECIMAL(24,12)), 9)
+        |          AS DOUBLE) AS r1,
+        |        CAST(round(CAST(s2 / nullif(s0, 0e0) AS DECIMAL(24,12)), 9)
+        |          AS DOUBLE) AS r2,
+        |        CAST(round(CAST(s3 / nullif(s0, 0e0) AS DECIMAL(24,12)), 9)
+        |          AS DOUBLE) AS r3 FROM a),
+        |d AS (SELECT *, (r2 - r1 * r1) / nullif(1e0 - r1 * r1, 0e0)
+        |        AS phi22 FROM r),
+        |d2 AS (SELECT *, r1 * (1e0 - phi22) AS phi21 FROM d)
+        |SELECT user_id, n_buckets,
+        |  CAST(round(CAST(r1 AS DECIMAL(24,12)), 6) AS DOUBLE) AS rho1,
+        |  CAST(round(CAST(r2 AS DECIMAL(24,12)), 6) AS DOUBLE) AS rho2,
+        |  CAST(round(CAST(r3 AS DECIMAL(24,12)), 6) AS DOUBLE) AS rho3,
+        |  CAST(round(CAST(r1 AS DECIMAL(24,12)), 6) AS DOUBLE) AS pacf1,
+        |  CAST(round(CAST(phi22 AS DECIMAL(24,12)), 6) AS DOUBLE) AS pacf2,
+        |  CAST(round(CAST((r3 - phi21 * r2 - phi22 * r1)
+        |    / nullif(1e0 - phi21 * r1 - phi22 * r2, 0e0)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS pacf3
+        |FROM d2 ORDER BY user_id""".stripMargin,
 
     "ts_changepoint" ->
       """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,

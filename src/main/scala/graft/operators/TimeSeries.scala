@@ -272,6 +272,74 @@ object TimeSeries {
       round(r.cast("decimal(24,12)"), 6).cast("double").as("autocorr"))
   }
 
+  /** ACF + PACF card to lag 3 per key — the ARIMA order-selection
+    * diagnostic ([[autocorr]] gives one Pearson-on-pairs lag; this is
+    * the textbook autocovariance ACF plus the PARTIAL autocorrelations,
+    * which answer "does lag-k carry signal BEYOND what lags 1..k−1
+    * already explain" — the difference between fitting AR(3) and
+    * fitting AR(1) three times). PACF comes from the Durbin–Levinson
+    * recursion unrolled to depth 3 in closed form:
+    * `φ₁₁ = ρ₁`, `φ₂₂ = (ρ₂−ρ₁²)/(1−ρ₁²)`, `φ₂₁ = ρ₁(1−φ₂₂)`,
+    * `φ₃₃ = (ρ₃−φ₂₁ρ₂−φ₂₂ρ₁)/(1−φ₂₁ρ₁−φ₂₂ρ₂)` — fixed IEEE
+    * expression chains over 9-dp-rounded ρ values, so both engines
+    * compute bit-identical results with no float accumulation anywhere
+    * (the sums feeding ρ are exact DECIMALs of 9-dp-rounded centered
+    * products). Degenerate keys (constant series → zero variance, or
+    * fewer buckets than the lag) report NULL via try_divide, not a
+    * divide error.
+    *
+    * Scale shape: the shared [[autocorr]] bucket aggregate, two
+    * key-partitioned windows (exact per-key mean, the three lags), one
+    * key-keyed combine-heavy aggregate — everything linear and
+    * key-local, no joins.
+    */
+  def pacf(events: DataFrame, keyCol: String, tsCol: String,
+           valueCol: String, stepSeconds: Long = 3600L): DataFrame = {
+    val wk = Window.partitionBy(col(keyCol))
+    val wo = wk.orderBy(col("bucket"))
+    // every double that crosses a rounding edge rides the DECIMAL(24,12)
+    // cast first (the autocorr convention) — rounding happens in decimal
+    // space, so a value sitting exactly on a .5 boundary can't round
+    // differently across engines
+    def d6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,12)"))
+    val centered = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .withColumn("nb", count(lit(1)).over(wk))
+      .withColumn("sv", sum(col("v")).over(wk))
+      .withColumn("c", round((col("v").cast("double") -
+        col("sv").cast("double") / col("nb")).cast("decimal(24,12)"), 9)
+        .cast("double"))
+    val agg = centered
+      .withColumn("c1", functions.lag(col("c"), 1).over(wo))
+      .withColumn("c2", functions.lag(col("c"), 2).over(wo))
+      .withColumn("c3", functions.lag(col("c"), 3).over(wo))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_buckets"),
+        dsum(col("c") * col("c")).as("s0"),
+        dsum(col("c") * col("c1")).as("s1"),
+        dsum(col("c") * col("c2")).as("s2"),
+        dsum(col("c") * col("c3")).as("s3"))
+    def rho(s: String) =
+      round(try_divide(col(s).cast("double"), col("s0").cast("double"))
+        .cast("decimal(24,12)"), 9).cast("double")
+    val r = agg.select(col(keyCol), col("n_buckets"),
+      rho("s1").as("r1"), rho("s2").as("r2"), rho("s3").as("r3"))
+    val phi22 = try_divide(col("r2") - col("r1") * col("r1"),
+      lit(1.0) - col("r1") * col("r1"))
+    val d = r.withColumn("phi22", phi22)
+      .withColumn("phi21", col("r1") * (lit(1.0) - col("phi22")))
+    d.select(col(keyCol), col("n_buckets"),
+      d6(col("r1")).as("rho1"), d6(col("r2")).as("rho2"),
+      d6(col("r3")).as("rho3"),
+      d6(col("r1")).as("pacf1"),
+      d6(col("phi22")).as("pacf2"),
+      d6(try_divide(
+        col("r3") - col("phi21") * col("r2") - col("phi22") * col("r1"),
+        lit(1.0) - col("phi21") * col("r1") - col("phi22") * col("r2")))
+        .as("pacf3"))
+  }
+
   /** Single-changepoint scan: for every split position t of a key's
     * bucketed series, the standardized mean-shift statistic
     * `|mean(v_1..t) − mean(v_{t+1}..n)| · sqrt(t·(n−t)/n)` (the

@@ -130,6 +130,33 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 3L, None)))       // zero denominator -> NULL, not NaN
   }
 
+  test("pacf: linear ramp matches the hand-run Durbin-Levinson; constant key NULL") {
+    // v_t = t for t=1..12 hourly: mu=6.5, s0=143, s1=107.25, s2=72.5,
+    // s3=39.75 (hand-computed centered product sums)
+    val ramp = (0 until 12).map(h =>
+      (1L, f"2024-01-01 $h%02d:30:00", (h + 1).toDouble))
+    val const = (0 to 3).map(h => (2L, f"2024-01-01 0$h%d:30:00", 5.0))
+    val out = TimeSeries.pacf(hourly(ramp ++ const: _*),
+      "user_id", "ts", "value").orderBy("user_id").collect()
+    val r = out(0)
+    assert(r.getLong(1) == 12L)
+    assert(r.getDouble(2) == 0.75) // rho1 = 107.25/143 exactly
+    assert(math.abs(r.getDouble(3) - 72.5 / 143) < 1e-6)
+    assert(math.abs(r.getDouble(4) - 39.75 / 143) < 1e-6)
+    assert(r.getDouble(5) == 0.75) // pacf1 = rho1
+    val (rho1, rho2, rho3) = (0.75, 72.5 / 143, 39.75 / 143)
+    val phi22 = (rho2 - rho1 * rho1) / (1 - rho1 * rho1)
+    val phi21 = rho1 * (1 - phi22)
+    val pacf3 = (rho3 - phi21 * rho2 - phi22 * rho1) /
+      (1 - phi21 * rho1 - phi22 * rho2)
+    assert(math.abs(r.getDouble(6) - phi22) < 1e-5)
+    assert(math.abs(r.getDouble(7) - pacf3) < 1e-5)
+    // constant series: zero variance -> NULL across the board, no error
+    val c = out(1)
+    assert(c.getLong(1) == 4L)
+    assert(c.isNullAt(2) && c.isNullAt(5) && c.isNullAt(6) && c.isNullAt(7))
+  }
+
   test("changepointScan: finds the level shift; ties break to the earliest bucket") {
     val shift = Seq(0.0, 0.0, 0.0, 10.0, 10.0).zipWithIndex.map {
       case (v, h) => (1L, f"2024-01-01 1$h%d:30:00", v) }
