@@ -1955,6 +1955,15 @@ object SparkEntry {
         Seq(1.0, 2.0, 5.0, 10.0, 20.0, 50.0))
         .orderBy("threshold")),
 
+    // Cumulative gains/lift by score-quantile decile over the same
+    // click-vs-error frame as dq_auc — "how much better than random is
+    // the top k/10 of the ranking"; ties share a bin (no ntile).
+    "ml_lift" -> ((s, dir) =>
+      operators.ML.liftDeciles(
+        T(s, dir, "events").filter(col("event_type").isin("click", "error")),
+        "value", col("event_type") === "error")
+        .orderBy("decile")),
+
     // Multinomial NB language classifier trained + self-evaluated over
     // the corpus in one lazy plan: per-lang recall rows (model-card
     // sanity, not a generalization claim).
@@ -7022,6 +7031,44 @@ object SparkEntry {
          |  round(2.0 * CAST(tp AS DOUBLE)
          |    / nullif(CAST(tp + fp + pos AS DOUBLE), 0.0), 6) AS f1
          |FROM l ORDER BY threshold""".stripMargin
+    },
+
+    // Lift/gains: quantile_cont thresholds (Spark percentile's (n-1)p
+    // interpolation), 6-dp DECIMAL-quantized scores and thresholds so
+    // boundary membership is engine-identical, bounded 10-row cumsum.
+    "ml_lift" -> {
+      val ps = (1 to 9).map(i => s"0.$i").mkString(", ")
+      val below = (1 to 9).map(i =>
+        s"""CASE WHEN s > CAST(round(CAST(qs[$i] AS DECIMAL(24,12)), 6)
+           |      AS DOUBLE) THEN 1 ELSE 0 END""".stripMargin)
+        .mkString("\n    + ")
+      s"""WITH base AS (SELECT
+         |    CAST(round(CAST(value AS DECIMAL(24,12)), 6) AS DOUBLE) AS s,
+         |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+         |  FROM events
+         |  WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
+         |th AS (SELECT quantile_cont(s, [$ps]) AS qs FROM base),
+         |b AS (SELECT CAST(10 - ($below) AS BIGINT) AS decile, y
+         |      FROM base CROSS JOIN th),
+         |g AS (SELECT decile, count(*) AS n_rows,
+         |        CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t_n,
+         |        CAST(sum(n_pos) AS BIGINT) AS t_pos FROM g),
+         |c AS (SELECT decile, n_rows, n_pos,
+         |        CAST(sum(n_rows) OVER w AS BIGINT) AS cum_n,
+         |        CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos
+         |      FROM g WINDOW w AS (ORDER BY decile
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT decile, n_rows, n_pos, cum_n, cum_pos,
+         |  CAST(round(CAST(CAST(cum_pos AS DOUBLE)
+         |    / nullif(CAST(t_pos AS DOUBLE), 0e0)
+         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS gain,
+         |  CAST(round(CAST((CAST(cum_pos AS DOUBLE)
+         |      / nullif(CAST(cum_n AS DOUBLE), 0e0))
+         |    / nullif(CAST(t_pos AS DOUBLE)
+         |      / nullif(CAST(t_n AS DOUBLE), 0e0), 0e0)
+         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS lift
+         |FROM c CROSS JOIN t ORDER BY decile""".stripMargin
     },
 
     // GMM E-step: seed vectors as centroids, silhouette's DECIMAL d²

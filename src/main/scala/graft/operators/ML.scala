@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed training steps for the quality-classifier models every
@@ -341,6 +342,62 @@ object ML {
         round(try_divide(lit(2.0) * col("tp").cast("double"),
           (col("tp") + col("fp") + col("pos")).cast("double")), 6)
           .as("f1"))
+  }
+
+  /** Cumulative gains / lift table over score deciles — the
+    * "how much better than random is the top X% of the ranking"
+    * campaign-targeting companion to [[prCurve]] (thresholds on the
+    * SCORE) and `DataQuality.aucScore` (whole-ranking summary): decile 1
+    * is the top-scoring tenth; `gain` = share of all positives captured
+    * by deciles 1..k; `lift` = that share over the share of rows — 1.0
+    * means the score carries no ranking signal down to that depth.
+    *
+    * Binning is by SCORE QUANTILE THRESHOLD, not by row rank: the 9
+    * interior deciles of the score distribution come from one exact
+    * percentile aggregate (broadcast back), and a row's decile is
+    * `deciles − #(thresholds strictly below its score)` — fully
+    * parallel (no global rank window, the ntile trap at 100 TB), and
+    * TIES SHARE A BIN instead of being split by an arbitrary row order,
+    * which is what makes the card deterministic. Scores and thresholds
+    * are 6-dp DECIMAL-quantized before comparison so both engines make
+    * identical boundary decisions; heavy score ties make bins unequal —
+    * honest, and visible in `n_rows`. Cumulation is a ≤`deciles`-row
+    * ordered window over the aggregate — bounded, not a data-sized
+    * global sort.
+    */
+  def liftDeciles(df: DataFrame, scoreCol: String, label: Column,
+                  deciles: Int = 10): DataFrame = {
+    require(deciles >= 2, s"need deciles >= 2, got $deciles")
+    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    val base = df.select(d6(col(scoreCol)).as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .filter(col("s").isNotNull)
+    val ps = (1 until deciles).map(_.toDouble / deciles).toArray
+    val th = base.agg(percentile(col("s"), lit(ps)).as("qs"))
+    val below = (1 until deciles)
+      .map(i => when(col("s") > d6(element_at(col("qs"), i)), 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+    val perBin = base.crossJoin(broadcast(th))
+      .select((lit(deciles.toLong) - below).as("decile"), col("y"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_rows"), sum(col("y")).as("n_pos"))
+    val tot = perBin.agg(sum(col("n_rows")).as("t_n"),
+      sum(col("n_pos")).as("t_pos"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBin
+      .withColumn("cum_n", sum(col("n_rows")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_rows"), col("n_pos"),
+        col("cum_n"), col("cum_pos"),
+        d6(try_divide(col("cum_pos").cast("double"),
+          col("t_pos").cast("double"))).as("gain"),
+        d6(try_divide(
+          try_divide(col("cum_pos").cast("double"), col("cum_n").cast("double")),
+          try_divide(col("t_pos").cast("double"), col("t_n").cast("double"))))
+          .as("lift"))
   }
 
   def gmmEStep(embeddings: DataFrame, k: Int = 4,

@@ -126,6 +126,24 @@ class MLSpec extends SparkSpec {
     assert(math.abs(out.map(_._3).sum - 6.0) < 1e-3)
   }
 
+  test("liftDeciles: median split captures all positives in the top half; ties share a bin") {
+    import org.apache.spark.sql.functions.col
+    // scores 1..20, positives = scores 16..20 (all land above the median)
+    val df = (1 to 20).map(i => (i.toDouble, i > 15)).toDF("s", "y")
+    val out = ML.liftDeciles(df, "s", col("y"), deciles = 2)
+      .orderBy("decile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 5L, 10L, 5L, 1.0, 2.0),   // top half: 2x lift
+      (2L, 10L, 0L, 20L, 5L, 1.0, 1.0)))  // full depth: lift 1 by identity
+    // a constant score cannot be split: every tie lands in ONE bin
+    val flat = (1 to 8).map(i => (7.0, i % 2 == 0)).toDF("s", "y")
+    val f = ML.liftDeciles(flat, "s", col("y"), deciles = 2).collect()
+    assert(f.length == 1 && f.head.getLong(0) == 2L)
+    assert(f.head.getLong(1) == 8L && f.head.getDouble(6) == 1.0)
+  }
+
   test("confusionMatrix: sparse cells with row-normalized shares") {
     val preds = Seq((1L, "a", "a"), (2L, "a", "b"), (3L, "b", "b"),
       (4L, "b", "b"), (5L, "c", "a")).toDF("doc_id", "y", "pred")
