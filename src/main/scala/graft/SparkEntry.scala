@@ -1493,6 +1493,24 @@ object SparkEntry {
       operators.Graph.bfsHops(edges, seeds, 3).orderBy("node")
     }),
 
+    // Truncated closeness + harmonic centrality for the 3 lowest-id
+    // landmark seeds of the co-purchase graph — per-seed BFS to depth 3
+    // with the seed carried in the frontier state.
+    "graph_closeness" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.orderBy("node").limit(3)
+      operators.Graph.closenessCard(edges, seeds, 3).orderBy("node")
+    }),
+
     // Degree assortativity of the co-purchase graph — the one-scalar
     // rich-club-or-hub-spoke diagnostic behind partitioning choices.
     "graph_assortativity" -> ((s, dir) => {
@@ -7372,6 +7390,46 @@ object SparkEntry {
         |      SELECT und.v, d2.dist + 1 FROM d2
         |        JOIN und ON und.u = d2.node) GROUP BY 1)
         |SELECT node, dist FROM d3 ORDER BY node""".stripMargin,
+
+    // Per-seed BFS unrolled with the seed carried through each level's
+    // min; harmonic = DECIMAL sum of 9-dp 1/d terms.
+    "graph_closeness" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+        |      FROM lineitem),
+        |e AS (SELECT l.pt AS src, r.pt AS dst, count(*) AS c
+        |      FROM it l JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT src AS u, dst AS v FROM e
+        |      UNION SELECT dst, src FROM e),
+        |nodes AS (SELECT DISTINCT u AS node FROM und),
+        |s0 AS (SELECT node AS seed FROM nodes ORDER BY node LIMIT 3),
+        |b0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist
+        |      FROM s0),
+        |b1 AS (SELECT seed, node, min(dist) AS dist FROM (
+        |      SELECT seed, node, dist FROM b0 UNION ALL
+        |      SELECT b0.seed, und.v, b0.dist + 1 FROM b0
+        |        JOIN und ON und.u = b0.node) GROUP BY 1, 2),
+        |b2 AS (SELECT seed, node, min(dist) AS dist FROM (
+        |      SELECT seed, node, dist FROM b1 UNION ALL
+        |      SELECT b1.seed, und.v, b1.dist + 1 FROM b1
+        |        JOIN und ON und.u = b1.node) GROUP BY 1, 2),
+        |b3 AS (SELECT seed, node, min(dist) AS dist FROM (
+        |      SELECT seed, node, dist FROM b2 UNION ALL
+        |      SELECT b2.seed, und.v, b2.dist + 1 FROM b2
+        |        JOIN und ON und.u = b2.node) GROUP BY 1, 2),
+        |a AS (SELECT seed, count(*) AS n_reached,
+        |        CAST(sum(dist) AS BIGINT) AS total_dist,
+        |        CAST(sum(CAST(round(1e0 / dist, 9) AS DECIMAL(18,9)))
+        |          AS DOUBLE) AS h
+        |      FROM b3 WHERE dist > 0 GROUP BY 1)
+        |SELECT s0.seed AS node, coalesce(n_reached, 0) AS n_reached,
+        |  coalesce(total_dist, 0) AS total_dist,
+        |  CAST(round(CAST(CAST(n_reached AS DOUBLE)
+        |    / nullif(CAST(total_dist AS DOUBLE), 0e0)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS closeness,
+        |  CAST(round(CAST(coalesce(h, 0e0) AS DECIMAL(24,12)), 6)
+        |    AS DOUBLE) AS harmonic
+        |FROM s0 LEFT JOIN a USING (seed) ORDER BY node""".stripMargin,
 
     // LPA: two unrolled synchronous rounds, argmax by (count DESC,
     // label ASC) row_number — the same deterministic tie-break as the

@@ -321,6 +321,58 @@ object Graph {
     dist
   }
 
+  /** Truncated closeness/harmonic centrality for a SEED SET — the
+    * sampled-landmark version of the classic centralities (exact
+    * all-pairs closeness is O(N·m), unpayable on a 100 TB graph; seeded
+    * BFS to a bounded depth is the standard estimator): per seed, BFS
+    * the undirected graph `hops` levels carrying the seed id in the
+    * frontier state, then report nodes reached, total distance,
+    * closeness = n_reached / Σd (the reached-only normalization) and
+    * HARMONIC centrality Σ 1/d — the variant that stays meaningful on
+    * disconnected graphs and is the recommended form in the public
+    * centrality literature. Every seed emits a row (an isolated seed
+    * reports 0 reached, NULL closeness, 0 harmonic).
+    *
+    * Determinism: distances are exact integer mins; the harmonic sum is
+    * a DECIMAL sum of 9-dp-rounded 1/d terms (d ≤ hops, so the 9-dp
+    * quantization is far from any representation edge); the one
+    * division rides the DECIMAL(24,12) rounding convention. Per level:
+    * one (node)-keyed join frontier×edges + a (seed, node)-keyed min —
+    * the [[bfsHops]] shape with a seed column, so cost is
+    * seeds × frontier growth, linear per seed, no pair terms.
+    */
+  def closenessCard(edges: DataFrame, seeds: DataFrame, hops: Int = 3,
+                    srcCol: String = "src", dstCol: String = "dst",
+                    seedCol: String = "node"): DataFrame = {
+    require(hops >= 1, s"need hops >= 1, got $hops")
+    def d6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+    val s0 = seeds.select(col(seedCol).as("seed")).distinct()
+    var dist = s0.select(col("seed"), col("seed").as("node"),
+      lit(0L).as("dist"))
+    var frontier = dist
+    for (i <- 1 to hops) {
+      val prop = frontier.join(und, col("node") === col("u"))
+        .select(col("seed"), col("v").as("node"), lit(i.toLong).as("dist"))
+      dist = dist.unionByName(prop).groupBy("seed", "node")
+        .agg(min("dist").as("dist"))
+      frontier = dist.filter(col("dist") === i.toLong)
+    }
+    val agg = dist.filter(col("dist") > 0).groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"), sum("dist").as("total_dist"),
+        sum(round(lit(1.0) / col("dist"), 9).cast("decimal(18,9)")).as("h"))
+    s0.join(agg, Seq("seed"), "left")
+      .select(col("seed").as("node"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("total_dist"), lit(0L)).as("total_dist"),
+        d6(try_divide(col("n_reached").cast("double"),
+          col("total_dist").cast("double"))).as("closeness"),
+        d6(coalesce(col("h").cast("double"), lit(0.0))).as("harmonic"))
+  }
+
   /** Truncated k-core decomposition: `rounds` synchronous pruning
     * passes — drop every node whose degree within the SURVIVING subgraph
     * is < k, recompute, repeat — converging toward the k-core (the

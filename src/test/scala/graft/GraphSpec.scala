@@ -273,6 +273,21 @@ class GraphSpec extends SparkSpec {
     assert(qs.forall(_ < 0.0), s"expected negative contribs, got ${qs.toSeq}")
   }
 
+  test("closenessCard: path-graph distances, harmonic sum, isolated seed row") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L, 99L).toDF("node")
+    val out = Graph.closenessCard(e, seeds, hops = 3).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      // seed 1: d(2)=1, d(3)=2, d(4)=3 -> closeness 3/6, harmonic 11/6
+      (1L, 3L, 6L, Some(0.5), 1.833333),
+      // seed 2: d(1)=1, d(3)=1, d(4)=2 -> closeness 3/4, harmonic 2.5
+      (2L, 3L, 4L, Some(0.75), 2.5),
+      // isolated seed still reports
+      (99L, 0L, 0L, None, 0.0)))
+  }
+
   test("hits: hand-computed two iterations on the classic a->{b,c}, d->c") {
     // iter1: auth raw b=.25 c=.5, tot=.75 -> b=1/3 c=2/3; hub raw a=1,
     // d=2/3, tot=5/3 -> a=.6 d=.4. iter2: auth raw b=.6 c=1, tot=1.6 ->
