@@ -1029,6 +1029,13 @@ object SparkEntry {
       Sampling.temperatureShares(T(s, dir, "documents"), 0.5)
         .orderBy("source")),
 
+    // Importance-reweighting card toward uniform language balance:
+    // per-lang weight + Kish effective sample size — "is reweighting
+    // this skew affordable, or must the tail be upsampled".
+    "sample_importance" -> ((s, dir) =>
+      Sampling.importanceWeights(T(s, dir, "documents"), "lang")
+        .orderBy("lang")),
+
     // ---- LLM-data-pipeline: mergeable sketches ----
 
     // Count-Min Sketch built INCREMENTALLY: register tables for the pre-
@@ -3553,6 +3560,33 @@ object SparkEntry {
         |  round(round(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE), 6)
         |    / round(CAST(n_docs AS DOUBLE) / n_total, 6), 6) AS boost
         |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
+
+    // Kish ESS from the G-row count aggregate: exact decimal x integer
+    // products, every rounding edge on the DECIMAL(24,12) cast.
+    "sample_importance" ->
+      """WITH c AS (SELECT lang AS grp, count(*) AS n_src FROM documents
+        |      WHERE lang IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_total,
+        |        count(*) AS n_groups FROM c),
+        |w AS (SELECT grp, n_src, n_total, n_groups,
+        |        CAST(round(CAST(CAST(n_total AS DOUBLE)
+        |          / CAST(n_groups * n_src AS DOUBLE)
+        |          AS DECIMAL(24,12)), 9) AS DOUBLE) AS weight
+        |      FROM c CROSS JOIN t),
+        |s AS (SELECT CAST(sum(CAST(
+        |        round(CAST(weight * weight AS DECIMAL(24,12)), 9) * n_src
+        |        AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sw2 FROM w)
+        |SELECT grp AS lang, n_src,
+        |  CAST(round(CAST(CAST(n_src AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS source_share,
+        |  CAST(round(CAST(1e0 / CAST(n_groups AS DOUBLE)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS target_share,
+        |  weight,
+        |  CAST(round(CAST(CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |    / CAST(sw2 AS DOUBLE) AS DECIMAL(24,12)), 6) AS DOUBLE) AS ess,
+        |  CAST(round(CAST(CAST(n_total AS DOUBLE) / CAST(sw2 AS DOUBLE)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS ess_ratio
+        |FROM w CROSS JOIN s ORDER BY lang""".stripMargin,
 
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events

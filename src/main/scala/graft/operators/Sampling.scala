@@ -345,4 +345,48 @@ object Sampling {
         round(col("n").cast("double") / col("fold_total").cast("double"), 6)
           .as("frac_in_fold"))
   }
+
+  /** Importance-reweighting card toward a UNIFORM group target: per
+    * group the weight `w_g = target/source = N/(G·n_g)` every doc in
+    * the group would carry, and the resulting EFFECTIVE SAMPLE SIZE
+    * `ESS = (Σw)²/Σw² = N²/Σ_g n_g·w_g²` (Kish's formula) — the number
+    * that says whether reweighting a skewed corpus to balance is
+    * statistically affordable or whether the rare groups must be
+    * UPSAMPLED instead (`ess_ratio` near 1: reweighting is free; near
+    * n_smallest·G/N: the weights have concentrated the mass and the
+    * corpus behaves like a far smaller one). The temperature-share
+    * planner answers "what shares do I want"; this card prices paying
+    * for them with weights.
+    *
+    * Everything derives from the G-row group-count aggregate: weights
+    * are single IEEE divisions 9-dp-quantized through the DECIMAL
+    * convention, Σ n_g·w_g² is an exact DECIMAL sum of exact
+    * decimal×integer products, and the scalar ESS broadcasts back onto
+    * the per-group rows. One count shuffle over the corpus, then
+    * constant-size work.
+    */
+  def importanceWeights(df: DataFrame, groupCol: String): DataFrame = {
+    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d9(c: Column) = round(c.cast("decimal(24,12)"), 9).cast("double")
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n_src"))
+    val tot = counts.agg(sum(col("n_src")).as("n_total"),
+      count(lit(1)).as("n_groups"))
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("weight", d9(col("n_total").cast("double") /
+        (col("n_groups") * col("n_src")).cast("double")))
+    val sw2 = w.agg(sum((round((col("weight") * col("weight"))
+        .cast("decimal(24,12)"), 9) * col("n_src"))
+        .cast("decimal(38,12)")).as("sw2"))
+    w.crossJoin(broadcast(sw2))
+      .select(col("grp").as(groupCol), col("n_src"),
+        d6(col("n_src").cast("double") / col("n_total").cast("double"))
+          .as("source_share"),
+        d6(lit(1.0) / col("n_groups").cast("double")).as("target_share"),
+        col("weight"),
+        d6(col("n_total").cast("double") * col("n_total").cast("double") /
+          col("sw2").cast("double")).as("ess"),
+        d6(col("n_total").cast("double") / col("sw2").cast("double"))
+          .as("ess_ratio"))
+  }
 }

@@ -195,4 +195,21 @@ class SamplingSpec extends SparkSpec {
     assert(out.sortBy(t => (t._1, t._2)).toSeq ==
       again.sortBy(t => (t._1, t._2)).toSeq)
   }
+
+  test("importanceWeights: hand-computed Kish ESS on an 80/20 skew; balance is free") {
+    // A:8, B:2 -> w_A = 10/16 = .625, w_B = 10/4 = 2.5,
+    // sum n*w^2 = 8*.390625 + 2*6.25 = 15.625, ESS = 100/15.625 = 6.4
+    val df = (Seq.fill(8)("A") ++ Seq.fill(2)("B")).toDF("g")
+    val out = Sampling.importanceWeights(df, "g").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.toSeq == Seq(
+      ("A", 8L, 0.8, 0.5, 0.625, 6.4, 0.64),
+      ("B", 2L, 0.2, 0.5, 2.5, 6.4, 0.64)))
+    // already-uniform corpus: every weight 1, ESS = N exactly
+    val bal = (Seq.fill(5)("A") ++ Seq.fill(5)("B")).toDF("g")
+    val b = Sampling.importanceWeights(bal, "g").collect()
+    assert(b.forall(r => r.getDouble(4) == 1.0 && r.getDouble(6) == 1.0))
+    assert(b.head.getDouble(5) == 10.0)
+  }
 }
