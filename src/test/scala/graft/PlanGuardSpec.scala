@@ -41,7 +41,12 @@ class PlanGuardSpec extends SparkSpec {
       // / quantileScoreByGroup, StreamingJobs.lateEvents — the documented
       // tiny-spine exception, same class as sketch_histq's nBins scan)
       "dq_ks_test", "dq_auc", "dq_quantile_score", "stream_late_events",
-      "ana_peak_concurrency")
+      "ana_peak_concurrency",
+      // the cumulative-gains window runs over the <= `deciles` (10)-row
+      // per-decile aggregate, never the scored rows (ML.liftDeciles
+      // scaladoc: quantile-threshold binning precisely to avoid the
+      // data-sized ntile rank)
+      "ml_lift")
 
   test("no registered query plans an unpartitioned ordered Window (bounded allowlist aside)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
