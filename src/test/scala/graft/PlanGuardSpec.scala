@@ -235,6 +235,37 @@ class PlanGuardSpec extends SparkSpec {
       s"prCurve re-scans per threshold:\n$pr")
   }
 
+  test("round-12-extra operators keep their scale shapes") {
+    val sf = "/root/testdata/sf0.001"
+    // no pair generators in the latest batch
+    for (q <- Seq("graph_hits", "dq_func_deps", "ml_confusion",
+        "ml_class_report", "sketch_kmv", "emb_inertia", "ts_pacf",
+        "ml_lift", "graph_closeness", "sample_importance")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
+    // FD discovery: all k + k(k-1) distinct counts ride ONE scan via a
+    // single Expand — no per-pair rescans
+    val fd = SparkEntry.queries("dq_func_deps")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(fd).length <= 1,
+      s"func_deps re-scans per pair:\n$fd")
+    assert(fd.contains("Expand"), s"func_deps lost its Expand plan:\n$fd")
+    // KMV: the k-min cut is a per-partition TakeOrdered, not a global sort
+    val kmv = SparkEntry.queries("sketch_kmv")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(kmv.contains("TakeOrderedAndProject"), s"kmv plan:\n$kmv")
+    // inertia: seed centroids broadcast onto the flattened corpus
+    val in = SparkEntry.queries("emb_inertia")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(in.contains("BroadcastExchange"), s"inertia plan:\n$in")
+    // pacf: pure windows + aggregate — no join in the whole plan
+    val pa = SparkEntry.queries("ts_pacf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!pa.contains("Join"), s"pacf plans a join:\n$pa")
+  }
+
   test("scan evidence: filters push into parquet, projections prune columns") {
     val sf = "/root/testdata/sf0.001"
     // q1's shipdate range predicate reaches the scan as a pushed filter
