@@ -1390,6 +1390,13 @@ object SparkEntry {
       Similarity.inertiaCurve(T(s, dir, "embeddings"), Seq(2, 4, 8))
         .orderBy("k")),
 
+    // External clustering quality: per-cluster majority ground-truth
+    // label and purity over the k=8 nearest-seed assignment — "do the
+    // geometric clusters recover the labels".
+    "emb_cluster_purity" -> ((s, dir) =>
+      Similarity.clusterPurity(T(s, dir, "embeddings"), 8)
+        .orderBy("cluster_id")),
+
     // Product-quantization codes (IVF-PQ's compression leg): 64 dims ->
     // 4 subspaces of 16, each assigned to its nearest of 4 deterministic
     // sub-centroids; a vector serves ANN from 4 small ints.
@@ -5729,6 +5736,25 @@ object SparkEntry {
          |SELECT * FROM i2 UNION ALL SELECT * FROM i4
          |UNION ALL SELECT * FROM i8 ORDER BY k""".stripMargin
     },
+
+    // Purity over the shared nearest-seed assignment; majority vote by
+    // (count DESC, label ASC) row_number — the Spark window tie-break.
+    "emb_cluster_purity" ->
+      s"""WITH ${assignCtes(8)},
+         |al AS (SELECT a.vec_id, a.cid, e2.label AS lbl
+         |      FROM a JOIN embeddings e2 USING (vec_id)),
+         |mem AS (SELECT cid, count(*) AS n_members FROM al GROUP BY 1),
+         |v AS (SELECT cid, lbl, count(*) AS n FROM al
+         |      WHERE lbl IS NOT NULL GROUP BY 1, 2),
+         |top AS (SELECT cid, lbl AS majority_label, n AS n_majority FROM (
+         |      SELECT cid, lbl, n, row_number() OVER (PARTITION BY cid
+         |        ORDER BY n DESC, lbl) AS rn FROM v) WHERE rn = 1)
+         |SELECT mem.cid AS cluster_id, n_members, majority_label,
+         |  coalesce(n_majority, 0) AS n_majority,
+         |  CAST(round(CAST(CAST(coalesce(n_majority, 0) AS DOUBLE)
+         |    / CAST(n_members AS DOUBLE) AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |    AS purity
+         |FROM mem LEFT JOIN top USING (cid) ORDER BY cluster_id""".stripMargin,
 
     // quantized — a last-ulp engine disagreement would flip a cluster);
     // NaN (zero-norm vector) maps to NULL to mirror graft_cosine, and

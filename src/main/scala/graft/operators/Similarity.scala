@@ -580,6 +580,47 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Cluster label purity — the EXTERNAL clustering-quality check that
+    * pairs with [[centroidSilhouette]]'s internal one: assign every
+    * vector to its nearest deterministic seed (the [[assignToSeeds]]
+    * convention), then per cluster report the member count, the
+    * majority ground-truth label (ties to the smaller label), its count
+    * and `purity = n_majority / n_members` — "do the geometric clusters
+    * recover the labels", the cheapest possible sanity gate before
+    * trusting a clustering for curation decisions (SemDeDup cluster
+    * scoping, IVF routing, stratified elimination).
+    *
+    * Cost on top of the assignment pass: one (cluster, label) count
+    * with map-side combine and a cluster-partitioned top-1 window over
+    * ≤ k·|labels| rows. Vectors with a NULL label are excluded from the
+    * vote but still counted as members (their purity contribution is
+    * honest: unknown ≠ majority).
+    */
+  def clusterPurity(embeddings: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val assign = assignToSeeds(embeddings, k, idCol, vecCol)
+      .join(embeddings.select(col(idCol).as("vec_id"),
+        col(labelCol).as("lbl")), "vec_id")
+    val members = assign.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    val votes = assign.filter(col("lbl").isNotNull)
+      .groupBy(col("cid"), col("lbl")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("cid")
+      .orderBy(col("n").desc, col("lbl").asc)
+    val top = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("lbl").as("majority_label"),
+        col("n").as("n_majority"))
+    members.join(top, Seq("cid"), "left")
+      .select(col("cid").as("cluster_id"), col("n_members"),
+        col("majority_label"),
+        coalesce(col("n_majority"), lit(0L)).as("n_majority"),
+        round((coalesce(col("n_majority"), lit(0L)).cast("double") /
+          col("n_members").cast("double")).cast("decimal(24,12)"), 6)
+          .cast("double").as("purity"))
+  }
+
   def productQuantize(embeddings: DataFrame, subDim: Int, k: Int,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(subDim >= 1, s"need subDim >= 1, got $subDim")

@@ -220,6 +220,22 @@ class SimilaritySpec extends SparkSpec {
       (2L, 1L, 9.5, 2L), (2L, 2L, 9.5, 2L)))
   }
 
+  test("clusterPurity: majority labels per nearest-seed cluster; NULL labels count as members only") {
+    val e = Seq(
+      (1L, Array(0.0f, 0.0f), "A"), (2L, Array(10.0f, 10.0f), "B"),
+      (3L, Array(0.5f, 0.0f), "A"), (4L, Array(0.1f, 0.0f), "B"),
+      (5L, Array(9.0f, 10.0f), "B"),
+      (6L, Array(0.0f, 1.0f), null))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterPurity(e, 2).orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      // cluster 1: members {1,3,4,6}; votes A,B,A -> majority A, 2/4
+      (1L, 4L, "A", 2L, 0.5),
+      (2L, 2L, "B", 2L, 1.0)))
+  }
+
   test("inertiaCurve: hand-computed totals, non-increasing in k") {
     val e = Seq(
       (1L, Array(0.0f, 0.0f)), (2L, Array(10.0f, 10.0f)),
