@@ -396,6 +396,22 @@ object SparkEntry {
             .orderBy("ts", "event_id")).as("prev_value"))
         .orderBy("event_id")),
 
+    // RANGE-frame window (time-interval frame, not row counts): per
+    // user, the event count and DECIMAL-exact value sum over the
+    // trailing hour — boundaries are value-based so ties in ts
+    // contribute regardless of row order (order-independent by
+    // construction, no tie-break needed).
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      T(s, dir, "events").select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_last_hour"),
+          sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast("double").as("sum_last_hour"))
+        .orderBy("event_id")
+    }),
+
     // ---- SURVEY §2 core operators over the testdata analogs ----
 
     // op 1: positional JSON path extraction (JSONPaths ≈ ordered path list).
@@ -1657,6 +1673,16 @@ object SparkEntry {
         .filter(col("from_type") =!= col("to_type"))
         .select(col("from_type").as("src"), col("to_type").as("dst"))
       operators.Graph.hits(edges, 2).orderBy("node")
+    }),
+
+    // Reciprocity of the directed transition graph: the share of edges
+    // whose reverse also occurs — near 1 the graph is effectively
+    // undirected and the direction-aware scores lose meaning.
+    "graph_reciprocity" -> ((s, dir) => {
+      val edges = Analytics.transitions(T(s, dir, "events"))
+        .filter(col("from_type") =!= col("to_type"))
+        .select(col("from_type").as("src"), col("to_type").as("dst"))
+      operators.Graph.reciprocity(edges)
     }),
 
     // Local clustering coefficients over the same co-purchase graph —
@@ -3712,6 +3738,18 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_n,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // RANGE frame over epoch-micros (numeric order key in both engines,
+    // so the interval arithmetic is exact integer comparison).
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_last_hour,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |    AS sum_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_ntile" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
@@ -7609,6 +7647,24 @@ object SparkEntry {
          |SELECT node, round(hub, 6) AS hub, round(authority, 6) AS authority
          |FROM hb2 JOIN a2 USING (node) ORDER BY node""".stripMargin
     },
+
+    // Reciprocity: EXISTS on the swapped key mirrors the left-semi join.
+    "graph_reciprocity" ->
+      """WITH tr AS (SELECT event_type AS cur,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS nxt
+        |      FROM events),
+        |e AS (SELECT DISTINCT cur AS src, nxt AS dst FROM tr
+        |      WHERE nxt IS NOT NULL AND nxt <> cur),
+        |r AS (SELECT count(*) AS n_reciprocal FROM e
+        |      WHERE EXISTS (SELECT 1 FROM e e2
+        |        WHERE e2.src = e.dst AND e2.dst = e.src)),
+        |n AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT n_edges, n_reciprocal,
+        |  CAST(round(CAST(CAST(n_reciprocal AS DOUBLE)
+        |    / nullif(CAST(n_edges AS DOUBLE), 0e0)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS reciprocity
+        |FROM n CROSS JOIN r""".stripMargin,
 
     // min_by/max_by with the tie-proof composite ordering key
     // (cents·10⁹ + custkey) rebuilt arithmetically.

@@ -663,6 +663,35 @@ object Graph {
             col("m2").cast("double")), 6).as("q_contrib"))
   }
 
+  /** Directed-graph reciprocity card: of the distinct directed edges,
+    * how many have their reverse edge present — `reciprocity` =
+    * n_reciprocal / n_edges ∈ [0, 1], the first structural question on
+    * any directed interaction graph (a link graph near 0 behaves like a
+    * citation DAG; near 1 it is effectively undirected and the cheaper
+    * undirected algorithms apply — which changes what [[pageRank]] /
+    * [[hits]] results mean). Self-loops are excluded.
+    *
+    * One distinct-edge aggregate and one self-equi-join on the swapped
+    * key (src, dst) = (dst, src) — hash-partitioned, linear, no pair
+    * enumeration beyond the edge list itself. Counts are exact BIGINTs;
+    * the single ratio rides the DECIMAL rounding convention.
+    */
+  def reciprocity(edges: DataFrame, srcCol: String = "src",
+                  dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val rec = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_reciprocal"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(rec))
+      .select(col("n_edges"), col("n_reciprocal"),
+        round(try_divide(col("n_reciprocal").cast("double"),
+          col("n_edges").cast("double")).cast("decimal(24,12)"), 6)
+          .cast("double").as("reciprocity"))
+  }
+
   /** HITS (Kleinberg): mutually-reinforcing hub and authority scores over
     * a DIRECTED graph — the complement to [[pageRank]] on link graphs
     * where "points at good pages" (hub) and "is pointed at by good hubs"

@@ -273,6 +273,16 @@ class GraphSpec extends SparkSpec {
     assert(qs.forall(_ < 0.0), s"expected negative contribs, got ${qs.toSeq}")
   }
 
+  test("reciprocity: mutual pair counts once per direction; self-loops drop") {
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"))
+      .toDF("src", "dst")
+    val r = Graph.reciprocity(e).collect().head
+    // edges after self-loop drop: a->b, b->a, a->c; the mutual pair
+    // contributes BOTH directions to n_reciprocal
+    assert((r.getLong(0), r.getLong(1)) == (3L, 2L))
+    assert(math.abs(r.getDouble(2) - 0.666667) < 1e-6)
+  }
+
   test("closenessCard: path-graph distances, harmonic sum, isolated seed row") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     val seeds = Seq(1L, 2L, 99L).toDF("node")
