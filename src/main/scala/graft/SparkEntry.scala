@@ -1413,6 +1413,18 @@ object SparkEntry {
       Similarity.clusterPurity(T(s, dir, "embeddings"), 8)
         .orderBy("cluster_id")),
 
+    // Linear CKA between the even-id vectors and their id+1 partners —
+    // the "same representation?" score for encoder swaps, from three
+    // covariance-Frobenius aggregates.
+    "emb_cka" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val a = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("embedding").as("x"))
+      val b = e.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("y"))
+      Similarity.linearCka(a.join(b, "vec_id"), "x", "y")
+    }),
+
     // Product-quantization codes (IVF-PQ's compression leg): 64 dims ->
     // 4 subspaces of 16, each assigned to its nearest of 4 deterministic
     // sub-centroids; a vector serves ANN from 4 small ints.
@@ -5793,6 +5805,51 @@ object SparkEntry {
          |    / CAST(n_members AS DOUBLE) AS DECIMAL(24,12)), 6) AS DOUBLE)
          |    AS purity
          |FROM mem LEFT JOIN top USING (cid) ORDER BY cluster_id""".stripMargin,
+
+    // CKA: three cov-Frobenius chains on the emb_covariance quantized
+    // recipe (1e9 products, BIGINT/HUGEINT exact sums, 6-dp cells
+    // re-quantized at 1e6 for the square sums).
+    "emb_cka" -> {
+      def frobCtes(tag: String, aF: String, bF: String,
+                   aS: String, bS: String) =
+        s"""p$tag AS (SELECT a.i AS i, b.i AS j,
+           |        sum(CAST(round(a.x * b.x * 1e9, 0) AS BIGINT)) AS sp,
+           |        count(*) AS n
+           |      FROM $aF a JOIN $bF b ON a.pid = b.pid GROUP BY 1, 2),
+           |g$tag AS (SELECT round(CAST(sp AS DOUBLE) / 1e9 / n
+           |          - (CAST(sa.s AS DOUBLE) / n)
+           |          * (CAST(sb.s AS DOUBLE) / n), 6) + 0.0 AS g
+           |      FROM p$tag JOIN $aS sa ON sa.i = p$tag.i
+           |      JOIN $bS sb ON sb.i = p$tag.j),
+           |f$tag AS (SELECT CAST(sum(CAST(CAST(round(g * 1e6, 0) AS BIGINT)
+           |          AS HUGEINT) * CAST(round(g * 1e6, 0) AS BIGINT))
+           |        AS DOUBLE) / 1e12 AS f2 FROM g$tag)""".stripMargin
+      s"""WITH e AS ($embCte),
+         |pr AS (SELECT a.vec_id AS pid, a.v AS xv, b.v AS yv
+         |      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+         |      WHERE a.vec_id % 2 = 0),
+         |fx AS (SELECT pid, unnest(xv) AS x,
+         |        generate_subscripts(xv, 1) - 1 AS i FROM pr),
+         |fy AS (SELECT pid, unnest(yv) AS x,
+         |        generate_subscripts(yv, 1) - 1 AS i FROM pr),
+         |sx AS (SELECT i, sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS s
+         |      FROM fx GROUP BY 1),
+         |sy AS (SELECT i, sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS s
+         |      FROM fy GROUP BY 1),
+         |${frobCtes("xy", "fx", "fy", "sx", "sy")},
+         |${frobCtes("xx", "fx", "fx", "sx", "sx")},
+         |${frobCtes("yy", "fy", "fy", "sy", "sy")},
+         |np AS (SELECT count(*) AS n_pairs FROM pr)
+         |SELECT n_pairs,
+         |  CAST(round(CAST(sqrt(fxx.f2) AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |    AS x_norm,
+         |  CAST(round(CAST(sqrt(fyy.f2) AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |    AS y_norm,
+         |  CAST(round(CAST(fxy.f2
+         |    / nullif(sqrt(fxx.f2) * sqrt(fyy.f2), 0e0)
+         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS cka
+         |FROM np CROSS JOIN fxy CROSS JOIN fxx CROSS JOIN fyy""".stripMargin
+    },
 
     // quantized — a last-ulp engine disagreement would flip a cluster);
     // NaN (zero-norm vector) maps to NULL to mirror graft_cosine, and

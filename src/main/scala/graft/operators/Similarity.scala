@@ -580,6 +580,71 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Linear CKA (centered kernel alignment, Kornblith et al. 2019,
+    * public literature) between two PAIRED embedding columns — THE
+    * standard "do these two encoders represent the corpus the same
+    * way" score (0 = unrelated, 1 = same up to rotation/scale), run
+    * before swapping an encoder version or mixing embedding sources:
+    * `CKA = ‖C_xy‖²_F / (‖C_xx‖_F · ‖C_yy‖_F)` over the cross- and
+    * self-covariance matrices of the pair sample. Covariances (not
+    * Grams) everywhere — CKA is scale-invariant so the 1/N factors
+    * cancel, and the O(1) cell magnitudes keep the int64 quantization
+    * exact.
+    *
+    * Every matrix rides the [[covarianceMatrix]] recipe: chained
+    * `posexplode` product streams (whole-stage codegen, no lambda
+    * HOFs), int64-quantized 1e9-scaled products in DECIMAL(38,0) sums,
+    * cells closed as `Σab/1e9/n − mean·mean` rounded to 6 dp. Frobenius
+    * norms then re-quantize each cell at 1e6 and square-sum in exact
+    * DECIMAL — three d²-key aggregates over N·d² codegen rows and three
+    * broadcast d-row mean joins, nothing keyed on fewer than d² rows
+    * until the final scalar. Degenerate inputs (a constant side →
+    * zero norm) report NULL, not a divide error.
+    */
+  def linearCka(pairs: DataFrame, xCol: String = "x",
+                yCol: String = "y"): DataFrame = {
+    val base = pairs.select(col(xCol).cast("array<double>").as("xv"),
+      col(yCol).cast("array<double>").as("yv"))
+    def dimSums(c: String) = base
+      .select(posexplode(col(c)).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(sum(round(col("x"), 9).cast("decimal(28,9)")).as("s"))
+      .select(col("i").cast("long").as("i"), col("s"))
+    // Frobenius norm² of the covariance between array columns a and b:
+    // full d² cells (no symmetry assumed — C_xy isn't symmetric), each
+    // 6-dp-rounded, re-quantized at 1e6 and square-summed exactly.
+    def frob2(aCol: String, bCol: String): DataFrame = {
+      val sa = dimSums(aCol)
+      val sb = dimSums(bCol)
+      base
+        .select(col(bCol).as("b"), posexplode(col(aCol)).as(Seq("i0", "ai")))
+        .select(col("i0"), col("ai"), posexplode(col("b")).as(Seq("j0", "bj")))
+        .select(col("i0").cast("long").as("i"), col("j0").cast("long").as("j"),
+          round(col("ai") * col("bj") * 1e9, 0).cast("long")
+            .cast("decimal(38,0)").as("p"))
+        .groupBy("i", "j").agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
+        .join(broadcast(sa.select(col("i"), col("s").as("si"))), "i")
+        .join(broadcast(sb.select(col("i").as("j"), col("s").as("sj"))), "j")
+        .select((round(col("sp").cast("double") / 1e9 / col("n")
+          - (col("si").cast("double") / col("n"))
+          * (col("sj").cast("double") / col("n")), 6) + lit(0.0)).as("g"))
+        .select(round(col("g") * 1e6, 0).cast("long").cast("decimal(38,0)")
+          .as("q"))
+        .agg((sum(col("q") * col("q")).cast("double") / 1e12).as("f2"))
+    }
+    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    base.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(frob2("xv", "yv")
+        .select(col("f2").as("f_xy"))))
+      .crossJoin(broadcast(frob2("xv", "xv").select(col("f2").as("f_xx"))))
+      .crossJoin(broadcast(frob2("yv", "yv").select(col("f2").as("f_yy"))))
+      .select(col("n_pairs"),
+        d6(sqrt(col("f_xx"))).as("x_norm"),
+        d6(sqrt(col("f_yy"))).as("y_norm"),
+        d6(try_divide(col("f_xy"),
+          sqrt(col("f_xx")) * sqrt(col("f_yy")))).as("cka"))
+  }
+
   /** Cluster label purity — the EXTERNAL clustering-quality check that
     * pairs with [[centroidSilhouette]]'s internal one: assign every
     * vector to its nearest deterministic seed (the [[assignToSeeds]]

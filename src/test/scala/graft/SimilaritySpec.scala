@@ -220,6 +220,28 @@ class SimilaritySpec extends SparkSpec {
       (2L, 1L, 9.5, 2L), (2L, 2L, 9.5, 2L)))
   }
 
+  test("linearCka: identity and permutation score 1; zero-covariance pairing scores 0") {
+    // Y = X under a dimension permutation (orthogonal) -> CKA 1
+    val perm = Seq(
+      (Array(1.0, 2.0), Array(2.0, 1.0)),
+      (Array(2.0, 4.0), Array(4.0, 2.0)),
+      (Array(3.0, 5.0), Array(5.0, 3.0))).toDF("x", "y")
+    val p = Similarity.linearCka(perm).collect().head
+    assert(p.getLong(0) == 3L)
+    assert(p.getDouble(1) == p.getDouble(2)) // permuted norms identical
+    assert(math.abs(p.getDouble(3) - 1.0) < 1e-6)
+    // centered x = (-1.5,-.5,.5,1.5), y = (1,-1,-1,1): cross-cov 0
+    val ortho = Seq(
+      (Array(1.0), Array(1.0)), (Array(2.0), Array(-1.0)),
+      (Array(3.0), Array(-1.0)), (Array(4.0), Array(1.0))).toDF("x", "y")
+    val o = Similarity.linearCka(ortho).collect().head
+    assert(o.getDouble(3) == 0.0)
+    // a constant side has zero norm -> NULL, not a divide error
+    val const = Seq((Array(1.0), Array(5.0)), (Array(2.0), Array(5.0)))
+      .toDF("x", "y")
+    assert(Similarity.linearCka(const).collect().head.isNullAt(3))
+  }
+
   test("clusterPurity: majority labels per nearest-seed cluster; NULL labels count as members only") {
     val e = Seq(
       (1L, Array(0.0f, 0.0f), "A"), (2L, Array(10.0f, 10.0f), "B"),
