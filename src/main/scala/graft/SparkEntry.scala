@@ -1973,6 +1973,13 @@ object SparkEntry {
         ("events", T(s, dir, "events"), Seq("event_id"))))
         .orderBy("table_name")),
 
+    // Sequence-order audit: does ts increase along event_id order per
+    // user — the clock-skew detector run before trusting windows,
+    // sessionization, or as-of joins.
+    "dq_sequence" -> ((s, dir) =>
+      operators.DataQuality.sequenceAudit(
+        T(s, dir, "events"), "user_id", "event_id", "ts")),
+
     // Functional-dependency discovery over four orders columns (12
     // ordered pairs in ONE multi-distinct aggregate): o_orderkey -> *
     // comes out as the PK's exact FDs, the rest grade as near-FD
@@ -2784,6 +2791,14 @@ object SparkEntry {
     // the single-lag autocorr can't answer.
     "ts_pacf" -> ((s, dir) =>
       operators.TimeSeries.pacf(
+          T(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id")),
+
+    // Time-weighted average per user over the raw irregular samples —
+    // each sample weighted by the interval it covered; mean_simple
+    // beside it shows the dense-burst bias.
+    "ts_twa" -> ((s, dir) =>
+      operators.TimeSeries.timeWeightedAvg(
           T(s, dir, "events"), "user_id", "ts", "value")
         .orderBy("user_id")),
 
@@ -6977,6 +6992,33 @@ object SparkEntry {
          |ORDER BY table_name""".stripMargin
     },
 
+    // Sequence audit: exact integer backstep comparisons along the
+    // event_id ingestion order.
+    "dq_sequence" ->
+      """WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |      FROM events),
+        |l AS (SELECT user_id, us,
+        |        lag(us, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+        |          AS prev
+        |      FROM r),
+        |k AS (SELECT user_id, count(*) AS n,
+        |        CAST(sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS np,
+        |        CAST(sum(CASE WHEN us < prev THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS nr,
+        |        max(CASE WHEN us < prev THEN prev - us END) AS mb
+        |      FROM l GROUP BY 1)
+        |SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(np) AS BIGINT) AS n_pairs,
+        |  CAST(sum(nr) AS BIGINT) AS n_regressions,
+        |  CAST(sum(CASE WHEN nr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_keys_with_regressions,
+        |  max(mb) AS max_backstep_us,
+        |  CAST(round(CAST(1e0 - CAST(sum(nr) AS DOUBLE)
+        |    / nullif(CAST(sum(np) AS DOUBLE), 0e0)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS ordered_rate
+        |FROM k""".stripMargin,
+
     // FD discovery: per-pair distinct counts as scalar subqueries (the
     // oracle pays 12 scans; the Spark side is one Expand aggregate),
     // count(DISTINCT) NULL semantics shared by both engines.
@@ -8671,6 +8713,29 @@ object SparkEntry {
         |    / nullif(1e0 - phi21 * r1 - phi22 * r2, 0e0)
         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS pacf3
         |FROM d2 ORDER BY user_id""".stripMargin,
+
+    // TWA: exact decimal values x exact micro intervals; (us, vq) tie
+    // order mirrors the Spark window.
+    "ts_twa" ->
+      """WITH r AS (SELECT user_id, epoch_us(ts) AS us,
+        |        CAST(value AS DECIMAL(18,6)) AS vq FROM events),
+        |l AS (SELECT user_id, vq,
+        |        lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, vq)
+        |          - us AS dt
+        |      FROM r),
+        |a AS (SELECT user_id, count(*) AS n_samples,
+        |        CAST(sum(dt) AS BIGINT) AS dur_us,
+        |        CAST(sum(CAST(vq * dt AS DECIMAL(38,6))) AS DECIMAL(38,6))
+        |          AS wsum,
+        |        sum(vq) AS vsum
+        |      FROM l GROUP BY 1)
+        |SELECT user_id, n_samples, coalesce(dur_us, 0) AS duration_us,
+        |  CAST(round(CAST(CAST(wsum AS DOUBLE)
+        |    / nullif(CAST(dur_us AS DOUBLE), 0e0)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS twa,
+        |  CAST(round(CAST(CAST(vsum AS DOUBLE) / n_samples
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS mean_simple
+        |FROM a ORDER BY user_id""".stripMargin,
 
     "ts_changepoint" ->
       """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,

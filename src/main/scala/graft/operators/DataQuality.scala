@@ -732,6 +732,50 @@ object DataQuality {
     }.reduce(_ unionByName _)
   }
 
+  /** Sequence-order audit: does event time actually increase along the
+    * ingestion order within each key — the clock-skew / out-of-order
+    * detector every event pipeline needs before trusting windows,
+    * sessionization, or as-of joins (a 2% regression rate silently
+    * corrupts all three). Rows order by `orderCol` (the write/ingest
+    * sequence) per key; a REGRESSION is an adjacent pair whose
+    * timestamp moves backwards. One summary row: keys, rows, adjacent
+    * pairs, regressions, keys affected, the worst backstep in exact
+    * microseconds, and `ordered_rate` = 1 − regressions/pairs.
+    *
+    * Exact integer comparisons end to end (epoch-micros longs); the one
+    * ratio rides the DECIMAL rounding convention. One per-key lag
+    * window + two aggregates — linear, key-partitioned.
+    */
+  def sequenceAudit(df: DataFrame, keyCol: String, orderCol: String,
+                    tsCol: String): DataFrame = {
+    def d6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    val wo = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val rows = df.select(col(keyCol), col(orderCol),
+        unix_micros(col(tsCol)).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(wo))
+      .withColumn("back",
+        when(col("us") < col("prev"), col("prev") - col("us")))
+    val perKey = rows.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("prev").isNotNull, 1L).otherwise(0L)).as("np"),
+        sum(when(col("back").isNotNull, 1L).otherwise(0L)).as("nr"),
+        max(col("back")).as("mb"))
+    perKey.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        sum(col("np")).as("n_pairs"),
+        sum(col("nr")).as("n_regressions"),
+        sum(when(col("nr") > 0, 1L).otherwise(0L))
+          .as("n_keys_with_regressions"),
+        max(col("mb")).as("max_backstep_us"))
+      .select(col("n_keys"), col("n_rows"), col("n_pairs"),
+        col("n_regressions"), col("n_keys_with_regressions"),
+        col("max_backstep_us"),
+        d6(lit(1.0) - try_divide(col("n_regressions").cast("double"),
+          col("n_pairs").cast("double"))).as("ordered_rate"))
+  }
+
   /** Functional-dependency discovery over every ordered column pair of a
     * candidate list — the schema-profiling pass that finds "A determines
     * B" structure nobody documented (surrogate keys, denormalized

@@ -340,6 +340,46 @@ object TimeSeries {
         .as("pacf3"))
   }
 
+  /** Time-WEIGHTED average per key over the raw irregular samples — the
+    * TSDB staple ([[resampleForwardFill]]'s integral twin): each sample
+    * holds until the next one arrives, so its weight is the interval it
+    * covered, `TWA = Σ vᵢ·Δtᵢ / Σ Δtᵢ` — the honest mean of a
+    * sparsely-sampled gauge, where the arithmetic mean over-counts
+    * bursts of dense samples (the reported `mean_simple` column shows
+    * exactly that bias). The last sample of a key covers no interval
+    * and carries zero weight; single-sample keys have no duration and
+    * report NULL.
+    *
+    * Determinism: values quantize to DECIMAL(18,6) on entry, intervals
+    * are exact epoch-microsecond longs, so every product and both sums
+    * are exact decimals/integers — the single division rides the
+    * DECIMAL(24,12) rounding convention. One per-key lead window and
+    * one key-keyed aggregate; nothing global.
+    */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String): DataFrame = {
+    def d6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    // (us, vq) ordering: microsecond ties break on the quantized value,
+    // and rows identical in BOTH are interchangeable — so the v·dt
+    // pairing is deterministic without needing an id column
+    val wo = Window.partitionBy(col(keyCol)).orderBy(col("us"), col("vq"))
+    val rows = events.select(col(keyCol),
+        unix_micros(col(tsCol)).as("us"),
+        col(valueCol).cast("decimal(18,6)").as("vq"))
+      .withColumn("dt", functions.lead(col("us"), 1).over(wo) - col("us"))
+    rows.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("dt")).as("dur_us"),
+        sum((col("vq") * col("dt")).cast("decimal(38,6)")).as("wsum"),
+        sum(col("vq")).as("vsum"))
+      .select(col(keyCol), col("n_samples"),
+        coalesce(col("dur_us"), lit(0L)).as("duration_us"),
+        d6(try_divide(col("wsum").cast("double"), col("dur_us").cast("double")))
+          .as("twa"),
+        d6(col("vsum").cast("double") / col("n_samples")).as("mean_simple"))
+  }
+
   /** Single-changepoint scan: for every split position t of a key's
     * bucketed series, the standardized mean-shift statistic
     * `|mean(v_1..t) − mean(v_{t+1}..n)| · sqrt(t·(n−t)/n)` (the

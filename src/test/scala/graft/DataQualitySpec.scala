@@ -331,6 +331,25 @@ class DataQualitySpec extends SparkSpec {
     assert(ok.getLong(2) == 0L && ok.getBoolean(4))
   }
 
+  test("sequenceAudit: counts backsteps along ingestion order with the exact worst gap") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val df = Seq(
+      (1L, 1L, "2024-01-01 00:00:00"), (1L, 2L, "2024-01-01 00:00:10"),
+      (1L, 3L, "2024-01-01 00:00:05"), // backstep of 5s after event 2
+      (2L, 4L, "2024-01-01 00:00:00"), (2L, 5L, "2024-01-01 00:01:00"))
+      .toDF("user_id", "event_id", "s")
+      .select($"user_id", $"event_id", to_timestamp($"s").as("ts"))
+    val r = DataQuality.sequenceAudit(df, "user_id", "event_id", "ts")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == (2L, 5L, 3L, 1L, 1L, 5000000L))
+    assert(math.abs(r.getDouble(6) - 0.666667) < 1e-6)
+    // fully ordered input: zero regressions, NULL worst gap, rate 1
+    val ok = DataQuality.sequenceAudit(df.filter($"user_id" === 2L),
+      "user_id", "event_id", "ts").collect().head
+    assert(ok.getLong(3) == 0L && ok.isNullAt(5) && ok.getDouble(6) == 1.0)
+  }
+
   test("functionalDeps: exact FD, near-FD strength, and both directions") {
     val df = Seq((1L, "A", 10L), (2L, "A", 10L), (3L, "B", 20L),
       (4L, "B", 21L)).toDF("id", "grp", "v")

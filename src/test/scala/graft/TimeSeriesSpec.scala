@@ -130,6 +130,26 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 3L, None)))       // zero denominator -> NULL, not NaN
   }
 
+  test("timeWeightedAvg: interval weights vs the biased simple mean; single sample NULL") {
+    // v=1 holds 10s, v=10 holds 30s, v=2 is last (no interval):
+    // TWA = (1*10 + 10*30)/40 = 7.75 while the simple mean is 13/3
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0), (1L, "2024-01-01 00:00:10", 10.0),
+      (1L, "2024-01-01 00:00:40", 2.0),
+      (2L, "2024-01-01 00:00:00", 5.0))
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    val out = TimeSeries.timeWeightedAvg(df, "user_id", "ts", "value")
+      .orderBy("user_id").collect()
+    val r1 = out(0)
+    assert((r1.getLong(1), r1.getLong(2)) == (3L, 40000000L))
+    assert(r1.getDouble(3) == 7.75)
+    assert(math.abs(r1.getDouble(4) - 4.333333) < 1e-6)
+    val r2 = out(1) // one sample: no covered interval -> NULL TWA
+    assert(r2.getLong(1) == 1L && r2.getLong(2) == 0L && r2.isNullAt(3))
+    assert(r2.getDouble(4) == 5.0)
+  }
+
   test("pacf: linear ramp matches the hand-run Durbin-Levinson; constant key NULL") {
     // v_t = t for t=1..12 hourly: mu=6.5, s0=143, s1=107.25, s2=72.5,
     // s3=39.75 (hand-computed centered product sums)
