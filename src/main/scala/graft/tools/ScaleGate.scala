@@ -57,7 +57,11 @@ object ScaleGate {
     // candidates instead (SCALE.md).
     "dedup_lsh_curve", "ts_theil_sen", "graph_modularity",
     "text_collocations", "ts_motif",
-    "graph_adamic_adar", "graph_powerlaw")
+    "graph_adamic_adar", "graph_powerlaw",
+    // round-12-extra additions ≥ ~2.5 s on the 320-query profile:
+    // the per-k assignment curve (broadcast-seed shape ×3) and the
+    // per-seed BFS (frontier join shape)
+    "emb_inertia", "graph_closeness")
 
   val AggregateMaxRatio = 3.0
   val PerQueryMaxRatio = 5.0
