@@ -1980,6 +1980,13 @@ object SparkEntry {
       operators.DataQuality.sequenceAudit(
         T(s, dir, "events"), "user_id", "event_id", "ts")),
 
+    // Chi-squared goodness-of-fit of the event-type mix against
+    // uniform, with the single worst-deviating category — the
+    // categorical drift test beside KS (continuous) and PSI (binned).
+    "dq_chi2" -> ((s, dir) =>
+      operators.DataQuality.chiSquaredUniform(
+        T(s, dir, "events"), "event_type")),
+
     // Functional-dependency discovery over four orders columns (12
     // ordered pairs in ONE multi-distinct aggregate): o_orderkey -> *
     // comes out as the PK's exact FDs, the rest grade as near-FD
@@ -2040,6 +2047,14 @@ object SparkEntry {
         T(s, dir, "events").filter(col("event_type").isin("click", "error")),
         "value", col("event_type") === "error")
         .orderBy("decile")),
+
+    // Best single Gini split of the same score/label frame — "is there
+    // one cutoff worth filtering at"; all decile candidates in one
+    // aggregate, winner by TakeOrdered on (gain, threshold).
+    "ml_stump" -> ((s, dir) =>
+      operators.ML.decisionStump(
+        T(s, dir, "events").filter(col("event_type").isin("click", "error")),
+        "value", col("event_type") === "error")),
 
     // Multinomial NB language classifier trained + self-evaluated over
     // the corpus in one lazy plan: per-lang recall rows (model-card
@@ -6992,6 +7007,33 @@ object SparkEntry {
          |ORDER BY table_name""".stripMargin
     },
 
+    // Chi2: 6-dp-quantized per-category contributions, exact DECIMAL
+    // total; argmax mirrored as ORDER BY (c DESC, category DESC) LIMIT 1.
+    "dq_chi2" ->
+      """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS category,
+        |        count(*) AS n_obs
+        |      FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_rows,
+        |        count(*) AS k FROM c),
+        |x AS (SELECT category, n_obs, n_rows, k,
+        |        CAST(n_rows AS DOUBLE) / k AS expected
+        |      FROM c CROSS JOIN t),
+        |g AS (SELECT category, n_rows, k,
+        |        CAST(round(CAST((CAST(n_obs AS DOUBLE) - expected)
+        |          * (CAST(n_obs AS DOUBLE) - expected) / expected
+        |          AS DECIMAL(24,12)), 6) AS DOUBLE) AS c2 FROM x)
+        |SELECT max(n_rows) AS n_rows,
+        |  CAST(max(k) AS BIGINT) AS n_categories,
+        |  CAST(max(k) - 1 AS BIGINT) AS dof,
+        |  CAST(sum(CAST(c2 AS DECIMAL(24,6))) AS DOUBLE) AS chi2,
+        |  CAST(round(CAST(CAST(sum(CAST(c2 AS DECIMAL(24,6))) AS DOUBLE)
+        |    / CAST(max(k) - 1 AS DOUBLE) AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |    AS chi2_per_dof,
+        |  (SELECT category FROM g ORDER BY c2 DESC, category DESC LIMIT 1)
+        |    AS top_category,
+        |  max(c2) AS top_contrib
+        |FROM g""".stripMargin,
+
     // Sequence audit: exact integer backstep comparisons along the
     // event_id ingestion order.
     "dq_sequence" ->
@@ -7284,6 +7326,57 @@ object SparkEntry {
          |      / nullif(CAST(t_n AS DOUBLE), 0e0), 0e0)
          |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS lift
          |FROM c CROSS JOIN t ORDER BY decile""".stripMargin
+    },
+
+    // Stump: candidate thresholds via range(1,10) over the quantile
+    // array, one grouped conditional count, identical Gini algebra,
+    // ORDER BY (gain DESC, threshold) LIMIT 1.
+    "ml_stump" -> {
+      val ps = (1 to 9).map(i => s"0.$i").mkString(", ")
+      s"""WITH base AS (SELECT
+         |    CAST(round(CAST(value AS DECIMAL(24,12)), 6) AS DOUBLE) AS s,
+         |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+         |  FROM events
+         |  WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
+         |th AS (SELECT quantile_cont(s, [$ps]) AS qs FROM base),
+         |tot AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+         |      FROM base),
+         |cand AS (SELECT DISTINCT
+         |        CAST(round(CAST(qs[CAST(i AS INTEGER)] AS DECIMAL(24,12)),
+         |          6) AS DOUBLE) AS threshold
+         |      FROM th, range(1, 10) t(i)),
+         |cnt AS (SELECT c.threshold,
+         |        CAST(sum(CASE WHEN b.s <= c.threshold THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_left,
+         |        CAST(sum(CASE WHEN b.s <= c.threshold AND b.y = 1
+         |          THEN 1 ELSE 0 END) AS BIGINT) AS pos_left
+         |      FROM cand c CROSS JOIN base b GROUP BY 1),
+         |sc AS (SELECT threshold, n, pos, n_left, pos_left,
+         |        CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE) AS pl,
+         |        CAST(pos - pos_left AS DOUBLE)
+         |          / CAST(n - n_left AS DOUBLE) AS pr,
+         |        CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS proot
+         |      FROM cnt CROSS JOIN tot
+         |      WHERE n_left > 0 AND n_left < n),
+         |fin AS (SELECT threshold, n, pos, n_left, pos_left,
+         |        CAST(round(CAST(pl AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |          AS p_left,
+         |        CAST(round(CAST(pr AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |          AS p_right,
+         |        CAST(round(CAST(2e0 * proot * (1e0 - proot)
+         |          AS DECIMAL(24,12)), 6) AS DOUBLE) AS gini_root,
+         |        CAST(round(CAST((CAST(n_left AS DOUBLE)
+         |            * (2e0 * pl * (1e0 - pl))
+         |            + CAST(n - n_left AS DOUBLE) * (2e0 * pr * (1e0 - pr)))
+         |          / CAST(n AS DOUBLE) AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |          AS gini_split,
+         |        CAST(round(CAST(2e0 * proot * (1e0 - proot)
+         |          - (CAST(n_left AS DOUBLE) * (2e0 * pl * (1e0 - pl))
+         |            + CAST(n - n_left AS DOUBLE) * (2e0 * pr * (1e0 - pr)))
+         |          / CAST(n AS DOUBLE) AS DECIMAL(24,12)), 9) AS DOUBLE)
+         |          AS gain
+         |      FROM sc)
+         |SELECT * FROM fin ORDER BY gain DESC, threshold LIMIT 1""".stripMargin
     },
 
     // GMM E-step: seed vectors as centroids, silhouette's DECIMAL d²

@@ -732,6 +732,45 @@ object DataQuality {
     }.reduce(_ unionByName _)
   }
 
+  /** Chi-squared goodness-of-fit card for a CATEGORICAL column against
+    * the uniform expectation — the discrete companion to [[ksTest]]
+    * (continuous) and [[psiDrift]] (binned): `χ² = Σ (O−E)²/E` with
+    * `dof = k−1`, plus the single worst-deviating category and its
+    * contribution, which is usually the entire story ("error events
+    * tripled"). The statistic is reported raw (compare across runs /
+    * against the χ²₍dof₎ table); no p-value approximation is smuggled
+    * in. One count aggregate over the column, then k-row arithmetic;
+    * contributions are 6-dp-quantized before the exact DECIMAL total so
+    * the statistic is engine-identical.
+    */
+  def chiSquaredUniform(df: DataFrame, colName: String): DataFrame = {
+    def d6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    val counts = df.filter(col(colName).isNotNull)
+      .groupBy(col(colName).cast("string").as("category"))
+      .agg(count(lit(1)).as("n_obs"))
+    val tot = counts.agg(sum(col("n_obs")).as("n_rows"),
+      count(lit(1)).as("k"))
+    val contrib = counts.crossJoin(broadcast(tot))
+      .withColumn("expected", col("n_rows").cast("double") / col("k"))
+      .withColumn("c", d6((col("n_obs").cast("double") - col("expected"))
+        * (col("n_obs").cast("double") - col("expected")) / col("expected")))
+    contrib
+      .agg(max(col("n_rows")).as("n_rows"), max(col("k")).as("n_categories"),
+        sum(col("c").cast("decimal(24,6)")).as("chi2sum"),
+        // ordering key (c, category) is duplicate-free, so the argmax
+        // is deterministic; top_contrib is then simply max(c)
+        max_by(col("category"), struct(col("c"), col("category")))
+          .as("top_category"),
+        max(col("c")).as("top_contrib"))
+      .select(col("n_rows"), col("n_categories"),
+        (col("n_categories") - 1L).as("dof"),
+        col("chi2sum").cast("double").as("chi2"),
+        d6(try_divide(col("chi2sum").cast("double"),
+          (col("n_categories") - 1L).cast("double"))).as("chi2_per_dof"),
+        col("top_category"), col("top_contrib"))
+  }
+
   /** Sequence-order audit: does event time actually increase along the
     * ingestion order within each key — the clock-skew / out-of-order
     * detector every event pipeline needs before trusting windows,

@@ -400,6 +400,67 @@ object ML {
           .as("lift"))
   }
 
+  /** One-level decision stump: the best single threshold split of a
+    * numeric score against a boolean label by Gini impurity reduction —
+    * the base learner of every boosted-tree pipeline and the honest
+    * answer to "is there ONE cutoff worth filtering at" (the
+    * quality-score → keep/drop gate). Candidate thresholds are the
+    * interior score deciles ([[liftDeciles]]' quantile convention,
+    * 6-dp-quantized on both sides); ALL candidates evaluate in ONE
+    * aggregate over the scored rows (the [[prCurve]] shape — no
+    * per-threshold rescans), then the ≤ deciles−1 candidate rows pick
+    * the winner via TakeOrdered on (9-dp gain, threshold) — no global
+    * window, no data-sized sort. Degenerate splits (everything on one
+    * side) are excluded; gains are fixed IEEE expressions over exact
+    * integer counts, so the winner is engine-identical.
+    */
+  def decisionStump(df: DataFrame, scoreCol: String, label: Column,
+                    deciles: Int = 10): DataFrame = {
+    require(deciles >= 2, s"need deciles >= 2, got $deciles")
+    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d9(c: Column) = round(c.cast("decimal(24,12)"), 9).cast("double")
+    val base = df.select(d6(col(scoreCol)).as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .filter(col("s").isNotNull)
+    val ps = (1 until deciles).map(_.toDouble / deciles).toArray
+    val th = base.agg(percentile(col("s"), lit(ps)).as("qs"))
+    val wide = base.crossJoin(broadcast(th))
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("y")).as("pos")) ++
+      (1 until deciles).flatMap { i =>
+        val t = d6(element_at(col("qs"), i))
+        Seq(max(t).as(s"t_$i"),
+          sum(when(col("s") <= t, 1L).otherwise(0L)).as(s"nl_$i"),
+          sum(when(col("s") <= t && col("y") === 1L, 1L).otherwise(0L))
+            .as(s"pl_$i"))
+      }
+    val one = wide.agg(aggs.head, aggs.tail: _*)
+    val entries = (1 until deciles).map { i =>
+      struct(col(s"t_$i").as("threshold"), col(s"nl_$i").as("n_left"),
+        col(s"pl_$i").as("pos_left"))
+    }
+    val nd = col("n").cast("double")
+    val pl = col("pos_left").cast("double") / col("n_left").cast("double")
+    val pr = (col("pos") - col("pos_left")).cast("double") /
+      (col("n") - col("n_left")).cast("double")
+    val proot = col("pos").cast("double") / nd
+    val gRoot = lit(2.0) * proot * (lit(1.0) - proot)
+    val gSplit = (col("n_left").cast("double") *
+      (lit(2.0) * pl * (lit(1.0) - pl)) +
+      (col("n") - col("n_left")).cast("double") *
+      (lit(2.0) * pr * (lit(1.0) - pr))) / nd
+    one.select(col("n"), col("pos"), explode(array(entries: _*)).as("e"))
+      .select(col("e.threshold").as("threshold"), col("n"), col("pos"),
+        col("e.n_left").as("n_left"), col("e.pos_left").as("pos_left"))
+      .dropDuplicates("threshold")
+      .filter(col("n_left") > 0 && col("n_left") < col("n"))
+      .select(col("threshold"), col("n"), col("pos"), col("n_left"),
+        col("pos_left"), d6(pl).as("p_left"), d6(pr).as("p_right"),
+        d6(gRoot).as("gini_root"), d6(gSplit).as("gini_split"),
+        d9(gRoot - gSplit).as("gain"))
+      .orderBy(col("gain").desc, col("threshold").asc)
+      .limit(1)
+  }
+
   def gmmEStep(embeddings: DataFrame, k: Int = 4,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {

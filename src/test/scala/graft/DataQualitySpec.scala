@@ -331,6 +331,21 @@ class DataQualitySpec extends SparkSpec {
     assert(ok.getLong(2) == 0L && ok.getBoolean(4))
   }
 
+  test("chiSquaredUniform: hand chi2, deterministic tie-break, zero on uniform") {
+    // A:4, B:1 -> E=2.5, contribs 0.9 + 0.9 = 1.8; tie on contrib
+    // breaks to the LARGER category (the max_by (c, category) order)
+    val skew = (Seq.fill(4)("A") ++ Seq("B")).toDF("c")
+    val r = DataQuality.chiSquaredUniform(skew, "c").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (5L, 2L, 1L))
+    assert(math.abs(r.getDouble(3) - 1.8) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 1.8) < 1e-6)
+    assert(r.getString(5) == "B" && r.getDouble(6) == 0.9)
+    // perfectly uniform: statistic exactly 0
+    val flat = Seq("A", "A", "B", "B").toDF("c")
+    val f = DataQuality.chiSquaredUniform(flat, "c").collect().head
+    assert(f.getDouble(3) == 0.0 && f.getDouble(6) == 0.0)
+  }
+
   test("sequenceAudit: counts backsteps along ingestion order with the exact worst gap") {
     import org.apache.spark.sql.functions.to_timestamp
     val df = Seq(

@@ -144,6 +144,26 @@ class MLSpec extends SparkSpec {
     assert(f.head.getLong(1) == 8L && f.head.getDouble(6) == 1.0)
   }
 
+  test("decisionStump: finds the perfect median split; unsplittable score yields no row") {
+    import org.apache.spark.sql.functions.col
+    // scores 1..10, positives = scores > 5: the median (5.5) separates
+    // the classes perfectly -> gini 0.5 -> 0, gain 0.5
+    val df = (1 to 10).map(i => (i.toDouble, i > 5)).toDF("s", "y")
+    val out = ML.decisionStump(df, "s", col("y"), deciles = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDouble(0) == 5.5)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (10L, 5L, 5L, 0L))
+    assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 1.0)
+    assert(r.getDouble(7) == 0.5 && r.getDouble(8) == 0.0)
+    assert(r.getDouble(9) == 0.5)
+    // a constant score cannot split: every candidate is degenerate
+    val flat = (1 to 6).map(i => (3.0, i % 2 == 0)).toDF("s", "y")
+    assert(ML.decisionStump(flat, "s", col("y"), deciles = 2).collect()
+      .isEmpty)
+  }
+
   test("confusionMatrix: sparse cells with row-normalized shares") {
     val preds = Seq((1L, "a", "a"), (2L, "a", "b"), (3L, "b", "b"),
       (4L, "b", "b"), (5L, "c", "a")).toDF("doc_id", "y", "pred")
