@@ -2082,6 +2082,33 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // Learning curve: NB generalization accuracy on the FIXED held-out
+    // decile (doc_id % 10 == 9) as the training pool grows 25% → 50% →
+    // 100% — "is more data still buying accuracy", the
+    // collect-more-vs-model-work decision card.
+    "ml_learning_curve" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val test = d.filter(Fns.pmod(col("doc_id"), lit(10L)) === 9)
+      val pool = d.filter(Fns.pmod(col("doc_id"), lit(10L)) =!= 9)
+      def acc(frac: Double, train: org.apache.spark.sql.DataFrame) = {
+        val pred = operators.ML.naiveBayesPredict(train, test, "lang")
+        val nTrain = train.agg(count(lit(1)).as("n_train"))
+        pred.agg(count(lit(1)).as("n_test"),
+            sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .crossJoin(broadcast(nTrain))
+          .select(lit(frac).as("train_frac"), col("n_train"),
+            col("n_test"), col("n_correct"),
+            round(try_divide(col("n_correct").cast("double"),
+              col("n_test").cast("double")).cast("decimal(24,12)"), 6)
+              .cast("double").as("accuracy"))
+      }
+      acc(0.25, pool.filter(Fns.pmod(col("doc_id"), lit(4L)) === 0))
+        .unionByName(acc(0.5, pool.filter(Fns.pmod(col("doc_id"), lit(2L)) === 0)))
+        .unionByName(acc(1.0, pool))
+        .orderBy("train_frac")
+    }),
+
     // Leave-one-out 5-NN accuracy on the embeddings (1-in-10 query
     // sample — the eval-sample convention keeping pairs at N²/10):
     // per-label accuracy of cosine-majority voting.
@@ -3344,6 +3371,63 @@ object SparkEntry {
       |pred AS (SELECT doc_id, l AS pred FROM (
       |      SELECT doc_id, l, row_number() OVER (PARTITION BY doc_id
       |        ORDER BY score DESC, l) AS rn FROM sc) WHERE rn = 1)""".stripMargin
+
+  /** Train/test-SPLIT variant of [[nbPredCtes]] with prefixed CTE names
+    * — one instantiation per learning-curve training fraction. Unlike
+    * the self-train chain (where train = test collapses the
+    * distinction), vocabulary, class totals and priors here all come
+    * from the TRAIN side, mirroring `ML.naiveBayesPredict` exactly.
+    * Emits `<p>row(train_frac, n_train, n_test, n_correct, accuracy)`.
+    */
+  private def nbSplitRow(p: String, frac: String, trainWhere: String,
+                         testWhere: String): String =
+    s"""${p}tr AS (SELECT doc_id, lang AS y,
+       |        unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+       |          AS term FROM documents WHERE $trainWhere),
+       |${p}tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |      FROM (SELECT doc_id,
+       |          unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+       |            AS term FROM documents WHERE $testWhere)
+       |      GROUP BY 1, 2),
+       |${p}ct AS (SELECT y AS l, term, CAST(count(*) AS BIGINT) AS c
+       |      FROM ${p}tr GROUP BY 1, 2),
+       |${p}ctot AS (SELECT l, CAST(sum(c) AS BIGINT) AS nl
+       |      FROM ${p}ct GROUP BY 1),
+       |${p}voc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+       |      FROM ${p}ct),
+       |${p}nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents
+       |      WHERE $trainWhere),
+       |${p}pri AS (SELECT lang AS l, CAST(count(*) AS BIGINT) AS dl
+       |      FROM documents WHERE $trainWhere GROUP BY 1),
+       |${p}langs AS (SELECT ${p}pri.l, ${p}ctot.nl, ${p}voc.v,
+       |        round(ln(CAST(dl AS DOUBLE) / CAST(${p}nd.nd AS DOUBLE)), 6)
+       |          AS lprior
+       |      FROM ${p}pri CROSS JOIN ${p}nd CROSS JOIN ${p}voc
+       |      JOIN ${p}ctot ON ${p}ctot.l = ${p}pri.l),
+       |${p}tll AS (SELECT ${p}tf.doc_id, ${p}langs.l, ${p}langs.lprior,
+       |        round(CAST(tf AS DOUBLE) *
+       |          ln(CAST(coalesce(${p}ct.c, 0) + 1 AS DOUBLE) /
+       |            CAST(${p}langs.nl + ${p}langs.v AS DOUBLE)), 6) AS ll
+       |      FROM ${p}tf CROSS JOIN ${p}langs
+       |      LEFT JOIN ${p}ct ON ${p}ct.l = ${p}langs.l
+       |        AND ${p}ct.term = ${p}tf.term),
+       |${p}sc AS (SELECT doc_id, l,
+       |        round(CAST(sum(CAST(ll AS DECIMAL(28,6))) AS DOUBLE)
+       |          + lprior, 6) AS score
+       |      FROM ${p}tll GROUP BY doc_id, l, lprior),
+       |${p}pred AS (SELECT doc_id, l AS pred FROM (
+       |      SELECT doc_id, l, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY score DESC, l) AS rn FROM ${p}sc) WHERE rn = 1),
+       |${p}row AS (SELECT $frac AS train_frac,
+       |        (SELECT CAST(count(*) AS BIGINT) FROM documents
+       |          WHERE $trainWhere) AS n_train,
+       |        CAST(count(*) AS BIGINT) AS n_test,
+       |        CAST(sum(CASE WHEN pred = d.lang THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_correct,
+       |        CAST(round(CAST(CAST(sum(CASE WHEN pred = d.lang
+       |            THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |          AS DECIMAL(24,12)), 6) AS DOUBLE) AS accuracy
+       |      FROM ${p}pred JOIN documents d USING (doc_id))""".stripMargin
 
   /** SimHash oracle: rebuild the 64-bit fingerprints from the
     * ANSI-expressible token hash (ShingleUtil.tokenHash31 + the per-bit
@@ -7162,6 +7246,20 @@ object SparkEntry {
         |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
         |FROM pred JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Learning curve: the split-NB chain instantiated per fraction
+    // against the fixed held-out decile.
+    "ml_learning_curve" -> {
+      val test = "doc_id % 10 = 9"
+      val pool = "doc_id % 10 <> 9"
+      s"""WITH ${nbSplitRow("f25", "CAST(0.25 AS DOUBLE)",
+              s"$pool AND doc_id % 4 = 0", test)},
+         |${nbSplitRow("f50", "CAST(0.5 AS DOUBLE)",
+              s"$pool AND doc_id % 2 = 0", test)},
+         |${nbSplitRow("f100", "CAST(1.0 AS DOUBLE)", pool, test)}
+         |SELECT * FROM f25row UNION ALL SELECT * FROM f50row
+         |UNION ALL SELECT * FROM f100row ORDER BY train_frac""".stripMargin
+    },
 
     // Confusion cells from the same unrolled NB predictions; row_share
     // normalizes within the true label.
