@@ -266,6 +266,34 @@ class PlanGuardSpec extends SparkSpec {
     assert(!pa.contains("Join"), s"pacf plans a join:\n$pa")
   }
 
+  test("round-12-extra-b operators keep their scale shapes") {
+    val sf = "/root/testdata/sf0.001"
+    for (q <- Seq("emb_cka", "emb_cluster_purity", "graph_reciprocity",
+        "q_window_range", "ts_twa", "dq_sequence", "dq_chi2", "ml_stump",
+        "ml_learning_curve")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
+    // TWA and the sequence audit are pure window+aggregate pipelines —
+    // a join appearing means someone broke the per-key shape
+    for (q <- Seq("ts_twa", "dq_sequence")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), s"$q plans a join:\n$p")
+    }
+    // CKA's product streams are codegen generators (the covariance
+    // rewrite shape), with every scalar/mean frame broadcast
+    val ck = SparkEntry.queries("emb_cka")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ck.contains("Generate") && ck.contains("BroadcastExchange"),
+      s"cka plan:\n$ck")
+    // the stump's winner pick is a 9-row TakeOrdered, not a global sort
+    val st = SparkEntry.queries("ml_stump")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(st.contains("TakeOrderedAndProject"), s"stump plan:\n$st")
+  }
+
   test("scan evidence: filters push into parquet, projections prune columns") {
     val sf = "/root/testdata/sf0.001"
     // q1's shipdate range predicate reaches the scan as a pushed filter
