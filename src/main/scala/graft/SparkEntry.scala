@@ -770,6 +770,14 @@ object SparkEntry {
       Dedup.minhashEstimatorCard(T(s, dir, "documents"))
         .orderBy("bucket")),
 
+    // Winnowing fingerprint profile (k=3-gram hashes, w=4 windows,
+    // rightmost-min rule): the guaranteed-detection fingerprint family
+    // beside MinHash — any shared >= w+k-1-token run must share a
+    // fingerprint.
+    "dedup_winnowing" -> ((s, dir) =>
+      Dedup.winnowingFingerprints(T(s, dir, "documents"), 3, 4)
+        .orderBy("doc_id")),
+
     // Pigeonhole-blocked SimHash pairs; the ANSI-expressible token hash
     // (code-point polynomial + per-bit affine remix) lets the oracle
     // rebuild the 64-bit fingerprints and check the pair set exactly.
@@ -3266,6 +3274,45 @@ object SparkEntry {
   private val docToks =
     "SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents"
 
+  /** Winnowing oracle: the same 3-token shingles hashed with the 131-
+    * polynomial, a generate_series window explode, and the rightmost-
+    * min row_number — selection-for-selection identical to the Spark
+    * window.
+    */
+  private val winnowingOracle =
+    s"""WITH base AS ($docToks),
+       |toks AS (SELECT doc_id, unnest(toks) AS t,
+       |        generate_subscripts(toks, 1) AS i FROM base),
+       |sh AS (SELECT a.doc_id, CAST(a.i - 1 AS BIGINT) AS pos,
+       |        a.t || ' ' || b.t || ' ' || c.t AS s
+       |      FROM toks a JOIN toks b ON b.doc_id = a.doc_id
+       |        AND b.i = a.i + 1
+       |      JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+       |hs AS (SELECT doc_id, pos,
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split(s, ''),
+       |            cc -> CAST(ord(cc) AS BIGINT))),
+       |          (acc, x) -> (acc * 131 + x) % 2147483647) AS h FROM sh),
+       |mx AS (SELECT doc_id, max(pos) AS mx, count(*) AS n_grams
+       |      FROM hs GROUP BY 1),
+       |wnd AS (SELECT doc_id, pos, h,
+       |        unnest(generate_series(pos, least(pos + 3, mx))) AS e
+       |      FROM hs JOIN mx USING (doc_id)),
+       |wf AS (SELECT * FROM wnd WHERE e >= 3),
+       |sel AS (SELECT DISTINCT doc_id, pos, h FROM (
+       |      SELECT doc_id, pos, h, row_number() OVER (
+       |        PARTITION BY doc_id, e ORDER BY h, pos DESC) AS rn
+       |      FROM wf) WHERE rn = 1),
+       |fp AS (SELECT doc_id, count(*) AS n_fingerprints FROM sel
+       |      GROUP BY 1)
+       |SELECT mx.doc_id, n_grams,
+       |  greatest(n_grams - 3, 0) AS n_windows,
+       |  coalesce(n_fingerprints, 0) AS n_fingerprints,
+       |  CAST(round(CAST(CAST(coalesce(n_fingerprints, 0) AS DOUBLE)
+       |    / nullif(CAST(greatest(n_grams - 3, 0) AS DOUBLE), 0e0)
+       |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS density
+       |FROM mx LEFT JOIN fp USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Exact all-pairs trigram Jaccard ≥ 0.5 (oracle for both the exact
     * inverted-index query and the MinHash+LSH query — see above).
     */
@@ -4464,6 +4511,8 @@ object SparkEntry {
 
     // MinHash estimator card: same ANSI signatures, per-pair agreement
     // count over the p-aligned join, bias/RMSE per exact-j decile.
+    "dedup_winnowing" -> winnowingOracle,
+
     "dedup_minhash_est" ->
       s"""WITH base AS ($docToks),
          |toks AS (SELECT doc_id, unnest(toks) AS t,

@@ -1273,4 +1273,79 @@ object Dedup {
         round(sqrt(col("se2").cast("double") /
           col("n_pairs").cast("double")), 6).as("rmse"))
   }
+
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003, public literature) — the GUARANTEED-detection fingerprint
+    * family beside MinHash (probabilistic): slide a w-window over the
+    * k-gram hash sequence and record each window's minimum (ties → the
+    * RIGHTMOST position, the paper's robust-winnowing rule); any shared
+    * substring of length ≥ w+k−1 tokens between two documents is then
+    * certain to share a fingerprint — the property MinHash cannot give
+    * and the reason plagiarism/verbatim-reuse detection uses winnowing.
+    * This card emits the per-doc selection profile (fingerprint count
+    * and density, expected ≈ 2/(w+1)); the fingerprints feed the same
+    * hash-join pair machinery as the MinHash band buckets.
+    *
+    * Hashes are the ANSI-expressible 31-bit shingle polynomial
+    * ([[graft.expressions.ShingleUtil.tokenHash31]]) so the oracle
+    * reproduces every selection bit-for-bit. Shape: one shingle
+    * generate + hash, a w-factor position explode (w is 4 — constant),
+    * a (doc, window)-keyed argmin window, one distinct + count — all
+    * doc-partitioned, linear in tokens·w. Documents shorter than k
+    * tokens emit no row; shorter than w+k−1 have no full window and
+    * report 0 fingerprints.
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(w >= 1, s"need w >= 1, got $w")
+    def d6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    val mx = shingleHashPositions(docs, k, idCol, textCol).groupBy("doc_id")
+      .agg(max("pos").as("mx"), count(lit(1)).as("n_grams"))
+    val fp = winnowingSelections(docs, k, w, idCol, textCol)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"))
+    mx.join(fp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        greatest(col("n_grams") - (w - 1), lit(0L)).as("n_windows"),
+        coalesce(col("n_fingerprints"), lit(0L)).as("n_fingerprints"),
+        d6(try_divide(
+          coalesce(col("n_fingerprints"), lit(0L)).cast("double"),
+          greatest(col("n_grams") - (w - 1), lit(0L)).cast("double")))
+          .as("density"))
+  }
+
+  /** The winnowing SELECTION SET itself — `(doc_id, pos, h)` of every
+    * recorded fingerprint ([[winnowingFingerprints]] is its count
+    * profile; pair generation hash-joins this on `h` exactly like the
+    * MinHash band buckets). Public so the detection guarantee (shared
+    * ≥ w+k−1-token run ⇒ shared fingerprint) is testable directly.
+    */
+  def winnowingSelections(docs: DataFrame, k: Int = 3, w: Int = 4,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(w >= 1, s"need w >= 1, got $w")
+    val hs = shingleHashPositions(docs, k, idCol, textCol)
+    val mx = hs.groupBy("doc_id").agg(max("pos").as("mx"))
+    val wnd = hs.join(mx, "doc_id")
+      .select(col("doc_id"), col("pos"), col("h"),
+        explode(sequence(col("pos"),
+          least(col("pos") + (w - 1), col("mx")))).as("e"))
+      .filter(col("e") >= (w - 1))
+    val winW = Window.partitionBy("doc_id", "e")
+      .orderBy(col("h").asc, col("pos").desc)
+    wnd.withColumn("rn", row_number().over(winW))
+      .filter(col("rn") === 1).select("doc_id", "pos", "h").distinct()
+  }
+
+  private def shingleHashPositions(docs: DataFrame, k: Int, idCol: String,
+                                   textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(Fns.shingles(Fns.tokens(col(textCol)), k))
+          .as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        Sketch.stringHash(col("sh")).as("h"))
 }

@@ -555,4 +555,32 @@ class DedupSpec extends SparkSpec {
     assert(out.values.forall { case (_, b, r) =>
       math.abs(b) <= r + 1e-9 && r <= 1.0 })
   }
+
+  test("winnowing: count profile bounds, short docs, and the detection guarantee") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),   // 6 shingles, 3 windows
+      (2L, "a b c d"),           // 2 shingles < w: no full window
+      (3L, "a b")                // < k tokens: no shingles at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowingFingerprints(docs, 3, 4).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 emits no row
+    val d1 = out(0)
+    assert((d1._2, d1._3) == (6L, 3L))
+    assert(d1._4 >= 1L && d1._4 <= 3L) // >= 1 per window run, <= 1 per window
+    assert(out(1) == (2L, 2L, 0L, 0L)) // too short for any full window
+    // GUARANTEE: two docs sharing a >= w+k-1 = 6-token run must share a
+    // fingerprint HASH, whatever surrounds the run
+    val pair = Seq(
+      (10L, "p q r s t u v w x y z zz"),
+      (11L, "m1 m2 m3 s t u v w x n1 n2 n3"))
+      .toDF("doc_id", "text") // shared run: "s t u v w x"
+    val sel = Dedup.winnowingSelections(pair, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val h10 = sel.filter(_._1 == 10L).map(_._2).toSet
+    val h11 = sel.filter(_._1 == 11L).map(_._2).toSet
+    assert((h10 & h11).nonEmpty,
+      s"shared 6-token run produced disjoint fingerprints: $h10 vs $h11")
+  }
 }
