@@ -1995,6 +1995,14 @@ object SparkEntry {
       operators.DataQuality.chiSquaredUniform(
         T(s, dir, "events"), "event_type")),
 
+    // Calendar completeness per event type: days with data vs the
+    // first→last span, longest total-outage run — the silent-feed-gap
+    // detector volume z-scoring can't see.
+    "dq_calendar" -> ((s, dir) =>
+      operators.DataQuality.calendarAudit(
+        T(s, dir, "events"), "event_type", "ts")
+        .orderBy("event_type")),
+
     // Functional-dependency discovery over four orders columns (12
     // ordered pairs in ONE multi-distinct aggregate): o_orderkey -> *
     // comes out as the PK's exact FDs, the rest grade as near-FD
@@ -7139,6 +7147,29 @@ object SparkEntry {
          |UNION ALL ${one("events", "event_id")})
          |ORDER BY table_name""".stripMargin
     },
+
+    // Calendar audit: exact integer date arithmetic; the longest gap
+    // from the lag over ordered distinct days.
+    "dq_calendar" ->
+      """WITH days AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS d
+        |      FROM events WHERE ts IS NOT NULL),
+        |g AS (SELECT event_type, d,
+        |        date_diff('day', lag(d, 1) OVER (PARTITION BY event_type
+        |          ORDER BY d), d) - 1 AS gap
+        |      FROM days),
+        |a AS (SELECT event_type, count(*) AS n_days, min(d) AS first_day,
+        |        max(d) AS last_day, max(gap) AS mg
+        |      FROM g GROUP BY 1)
+        |SELECT event_type, n_days, first_day, last_day,
+        |  CAST(date_diff('day', first_day, last_day) + 1 AS BIGINT)
+        |    AS span_days,
+        |  CAST(date_diff('day', first_day, last_day) + 1 - n_days
+        |    AS BIGINT) AS missing_days,
+        |  CAST(coalesce(mg, 0) AS BIGINT) AS max_gap_days,
+        |  CAST(round(CAST(CAST(n_days AS DOUBLE)
+        |    / CAST(date_diff('day', first_day, last_day) + 1 AS DOUBLE)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS coverage
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // Chi2: 6-dp-quantized per-category contributions, exact DECIMAL
     // total; argmax mirrored as ORDER BY (c DESC, category DESC) LIMIT 1.

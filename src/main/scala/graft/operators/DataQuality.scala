@@ -732,6 +732,44 @@ object DataQuality {
     }.reduce(_ unionByName _)
   }
 
+  /** Calendar-completeness audit: per key, the days that SHOULD have
+    * data (first observed day through last) versus the days that do —
+    * the "silent feed outage" detector that row-count anomaly scoring
+    * ([[volumeAnomaly]]) misses when the gap is total rather than
+    * partial (zero rows contribute no z-scoreable count). Reports the
+    * observed-day count, the expected span, missing days and coverage;
+    * `max_gap_days` is the longest run of consecutive missing days
+    * (from the lag of the ordered distinct days — exact integer date
+    * arithmetic end to end).
+    *
+    * One distinct-day aggregate, one per-key lag window over the ≤
+    * span-many distinct days, one key aggregate — linear,
+    * key-partitioned, no calendar table materialized.
+    */
+  def calendarAudit(events: DataFrame, keyCol: String,
+                    tsCol: String): DataFrame = {
+    def d6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    val days = events.filter(col(tsCol).isNotNull)
+      .select(col(keyCol), to_date(col(tsCol)).as("d")).distinct()
+    val wo = Window.partitionBy(col(keyCol)).orderBy(col("d"))
+    days
+      .withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(wo)) - 1)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        min(col("d")).as("first_day"), max(col("d")).as("last_day"),
+        max(col("gap")).as("mg"))
+      .select(col(keyCol), col("n_days"), col("first_day"), col("last_day"),
+        (datediff(col("last_day"), col("first_day")) + 1).cast("long")
+          .as("span_days"),
+        (datediff(col("last_day"), col("first_day")) + 1 - col("n_days"))
+          .cast("long").as("missing_days"),
+        coalesce(col("mg"), lit(0)).cast("long").as("max_gap_days"),
+        d6(col("n_days").cast("double") /
+          (datediff(col("last_day"), col("first_day")) + 1).cast("double"))
+          .as("coverage"))
+  }
+
   /** Chi-squared goodness-of-fit card for a CATEGORICAL column against
     * the uniform expectation — the discrete companion to [[ksTest]]
     * (continuous) and [[psiDrift]] (binned): `χ² = Σ (O−E)²/E` with

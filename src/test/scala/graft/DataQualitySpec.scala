@@ -331,6 +331,25 @@ class DataQualitySpec extends SparkSpec {
     assert(ok.getLong(2) == 0L && ok.getBoolean(4))
   }
 
+  test("calendarAudit: span, missing days, longest gap, full-coverage key") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val df = Seq(
+      // key a: days 1,2,5,9 -> span 9, missing 5, longest gap 3 (days 6-8)
+      ("a", "2024-01-01 10:00:00"), ("a", "2024-01-02 11:00:00"),
+      ("a", "2024-01-02 12:00:00"), ("a", "2024-01-05 09:00:00"),
+      ("a", "2024-01-09 23:00:00"),
+      // key b: 3 consecutive days -> complete
+      ("b", "2024-02-01 00:00:00"), ("b", "2024-02-02 00:00:00"),
+      ("b", "2024-02-03 00:00:00"))
+      .toDF("k", "s").select($"k", to_timestamp($"s").as("ts"))
+    val out = DataQuality.calendarAudit(df, "k", "ts").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(out.toSeq == Seq(
+      ("a", 4L, 9L, 5L, 3L, 0.444444),
+      ("b", 3L, 3L, 0L, 0L, 1.0)))
+  }
+
   test("chiSquaredUniform: hand chi2, deterministic tie-break, zero on uniform") {
     // A:4, B:1 -> E=2.5, contribs 0.9 + 0.9 = 1.8; tie on contrib
     // breaks to the LARGER category (the max_by (c, category) order)
