@@ -61,7 +61,11 @@ object ScaleGate {
     // round-12-extra additions ≥ ~2.5 s on the 320-query profile:
     // the per-k assignment curve (broadcast-seed shape ×3) and the
     // per-seed BFS (frontier join shape)
-    "emb_inertia", "graph_closeness")
+    "emb_inertia", "graph_closeness",
+    // round-12-extra-b: winnowing's w-factor explode + (doc, window)
+    // argmin — 4.9 s on the 327-query profile, the one late addition
+    // over the ~3 s line
+    "dedup_winnowing")
 
   val AggregateMaxRatio = 3.0
   val PerQueryMaxRatio = 5.0
