@@ -778,6 +778,13 @@ object SparkEntry {
       Dedup.winnowingFingerprints(T(s, dir, "documents"), 3, 4)
         .orderBy("doc_id")),
 
+    // Verbatim-reuse candidates from the winnowing fingerprints:
+    // >= 2 shared selections, boilerplate hashes df-capped at 20 —
+    // guaranteed to surface any >= 6-token shared run.
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowingPairs(T(s, dir, "documents"), 3, 4, 2L, 20L)
+        .orderBy("doc_a", "doc_b")),
+
     // Pigeonhole-blocked SimHash pairs; the ANSI-expressible token hash
     // (code-point polynomial + per-bit affine remix) lets the oracle
     // rebuild the 64-bit fingerprints and check the pair set exactly.
@@ -3287,7 +3294,7 @@ object SparkEntry {
     * min row_number — selection-for-selection identical to the Spark
     * window.
     */
-  private val winnowingOracle =
+  private val winnowingCtes =
     s"""WITH base AS ($docToks),
        |toks AS (SELECT doc_id, unnest(toks) AS t,
        |        generate_subscripts(toks, 1) AS i FROM base),
@@ -3310,7 +3317,10 @@ object SparkEntry {
        |sel AS (SELECT DISTINCT doc_id, pos, h FROM (
        |      SELECT doc_id, pos, h, row_number() OVER (
        |        PARTITION BY doc_id, e ORDER BY h, pos DESC) AS rn
-       |      FROM wf) WHERE rn = 1),
+       |      FROM wf) WHERE rn = 1)""".stripMargin
+
+  private val winnowingOracle =
+    s"""$winnowingCtes,
        |fp AS (SELECT doc_id, count(*) AS n_fingerprints FROM sel
        |      GROUP BY 1)
        |SELECT mx.doc_id, n_grams,
@@ -3320,6 +3330,20 @@ object SparkEntry {
        |    / nullif(CAST(greatest(n_grams - 3, 0) AS DOUBLE), 0e0)
        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS density
        |FROM mx LEFT JOIN fp USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Winnowing PAIR oracle: fingerprint-set self-join over the same
+    * selections, df-capped at 20, shared-count ≥ 2.
+    */
+  private val winnowingPairsOracle =
+    s"""$winnowingCtes,
+       |ss AS (SELECT DISTINCT doc_id, h FROM sel),
+       |dfc AS (SELECT h FROM ss GROUP BY h HAVING count(*) <= 20),
+       |sf AS (SELECT ss.doc_id, ss.h FROM ss JOIN dfc USING (h))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(*) AS n_shared
+       |FROM sf a JOIN sf b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Exact all-pairs trigram Jaccard ≥ 0.5 (oracle for both the exact
     * inverted-index query and the MinHash+LSH query — see above).
@@ -4520,6 +4544,8 @@ object SparkEntry {
     // MinHash estimator card: same ANSI signatures, per-pair agreement
     // count over the p-aligned join, bias/RMSE per exact-j decile.
     "dedup_winnowing" -> winnowingOracle,
+
+    "dedup_winnow_pairs" -> winnowingPairsOracle,
 
     "dedup_minhash_est" ->
       s"""WITH base AS ($docToks),

@@ -1348,4 +1348,35 @@ object Dedup {
           .as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         Sketch.stringHash(col("sh")).as("h"))
+
+  /** Verbatim-reuse candidate pairs from the winnowing fingerprints:
+    * documents sharing ≥ `minShared` selected hashes — by the
+    * [[winnowingSelections]] guarantee, every pair with a common run of
+    * ≥ w+k−1 tokens appears here (MinHash can miss it; this cannot).
+    * Fingerprints selected by more than `maxDf` documents are dropped
+    * before the join — winnowing's min-rule over-selects globally
+    * small hashes, so boilerplate-grade fingerprints would otherwise
+    * quadratically dominate the bucket join, exactly the
+    * `maxShingleFreq` discipline of [[ngramJaccardPairs]]. Shape: the
+    * per-doc fingerprint-set distinct, one df aggregate, a
+    * fingerprint-keyed equi-self-join, a pair-keyed count — all hash
+    * shuffles, pair volume bounded by Σ df² over df ≤ maxDf.
+    */
+  def winnowingPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                     minShared: Long = 2L, maxDf: Long = 20L,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(minShared >= 1, s"need minShared >= 1, got $minShared")
+    require(maxDf >= 2, s"need maxDf >= 2, got $maxDf")
+    val sel = winnowingSelections(docs, k, w, idCol, textCol)
+      .select(col("doc_id"), col("h")).distinct()
+    val keep = sel.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val s2 = sel.join(keep, "h")
+    s2.as("a").join(s2.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

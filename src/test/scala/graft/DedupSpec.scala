@@ -582,5 +582,15 @@ class DedupSpec extends SparkSpec {
     val h11 = sel.filter(_._1 == 11L).map(_._2).toSet
     assert((h10 & h11).nonEmpty,
       s"shared 6-token run produced disjoint fingerprints: $h10 vs $h11")
+    // ...and the pair operator surfaces exactly that pair
+    val pairs = Dedup.winnowingPairs(pair, 3, 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((10L, 11L)))
+    // the df cap kills boilerplate-only matches: 5 identical docs share
+    // every fingerprint, but each hash's df (5) exceeds maxDf = 4
+    val boiler = (1L to 5L).map(i => (i, "b1 b2 b3 b4 b5 b6 b7 b8"))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowingPairs(boiler, 3, 4, 1L, maxDf = 4L)
+      .collect().isEmpty)
   }
 }
