@@ -292,6 +292,21 @@ class PlanGuardSpec extends SparkSpec {
     val st = SparkEntry.queries("ml_stump")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(st.contains("TakeOrderedAndProject"), s"stump plan:\n$st")
+    // winnowing and the calendar audit stay cartesian-free (the
+    // learning curve's scalar n_train attachments are broadcast
+    // single-row frames, so only CartesianProduct is banned there)
+    for (q <- Seq("dedup_winnowing", "dedup_winnow_pairs", "dq_calendar",
+        "ml_learning_curve")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
+    // the winnowing pair join must be a fingerprint-keyed equi-join
+    // (SortMerge/Hash), never a nested loop over documents
+    val wp = SparkEntry.queries("dedup_winnow_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!wp.contains("BroadcastNestedLoopJoin"),
+      s"winnow pairs nested loop:\n$wp")
   }
 
   test("scan evidence: filters push into parquet, projections prune columns") {
