@@ -646,7 +646,7 @@ object Similarity {
   }
 
   /** Cluster label purity — the EXTERNAL clustering-quality check that
-    * pairs with [[centroidSilhouette]]'s internal one: assign every
+    * pairs with [[silhouette]]'s internal one: assign every
     * vector to its nearest deterministic seed (the [[assignToSeeds]]
     * convention), then per cluster report the member count, the
     * majority ground-truth label (ties to the smaller label), its count
