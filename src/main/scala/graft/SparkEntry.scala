@@ -779,10 +779,10 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // Verbatim-reuse candidates from the winnowing fingerprints:
-    // >= 2 shared selections, boilerplate hashes df-capped at 20 —
+    // >= 2 shared selections, boilerplate hashes df-capped at 10 —
     // guaranteed to surface any >= 6-token shared run.
     "dedup_winnow_pairs" -> ((s, dir) =>
-      Dedup.winnowingPairs(T(s, dir, "documents"), 3, 4, 2L, 20L)
+      Dedup.winnowingPairs(T(s, dir, "documents"), 3, 4, 2L, 10L)
         .orderBy("doc_a", "doc_b")),
 
     // Pigeonhole-blocked SimHash pairs; the ANSI-expressible token hash
@@ -3332,12 +3332,12 @@ object SparkEntry {
        |FROM mx LEFT JOIN fp USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Winnowing PAIR oracle: fingerprint-set self-join over the same
-    * selections, df-capped at 20, shared-count ≥ 2.
+    * selections, df-capped at 10, shared-count ≥ 2.
     */
   private val winnowingPairsOracle =
     s"""$winnowingCtes,
        |ss AS (SELECT DISTINCT doc_id, h FROM sel),
-       |dfc AS (SELECT h FROM ss GROUP BY h HAVING count(*) <= 20),
+       |dfc AS (SELECT h FROM ss GROUP BY h HAVING count(*) <= 10),
        |sf AS (SELECT ss.doc_id, ss.h FROM ss JOIN dfc USING (h))
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  count(*) AS n_shared

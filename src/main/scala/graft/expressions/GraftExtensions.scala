@@ -57,6 +57,13 @@ object GraftFunctions {
         require(children.size == 1, "graft_strhash(s) takes one argument")
         StringHash31(children.head)
       }),
+    (FunctionIdentifier("graft_shingles31"),
+      new ExpressionInfo(classOf[Shingle31Hashes].getName, "graft_shingles31"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_shingles31(text, n) takes two arguments")
+        Shingle31Hashes(children.head, children(1))
+      }),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => {

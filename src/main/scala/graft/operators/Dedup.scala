@@ -1343,11 +1343,14 @@ object Dedup {
 
   private def shingleHashPositions(docs: DataFrame, k: Int, idCol: String,
                                    textCol: String): DataFrame =
+    // graft_shingles31: ONE codegen pass emits the positioned 131-poly
+    // hashes — the interpreted Fns.shingles + strhash formulation it
+    // replaced cost ~4–6 s per evaluation at sf0.1 (winnowing evaluates
+    // this subtree in several plan branches)
     docs.select(col(idCol).as("doc_id"),
-        posexplode(Fns.shingles(Fns.tokens(col(textCol)), k))
-          .as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        Sketch.stringHash(col("sh")).as("h"))
+        posexplode(call_function("graft_shingles31", col(textCol), lit(k)))
+          .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
 
   /** Verbatim-reuse candidate pairs from the winnowing fingerprints:
     * documents sharing ≥ `minShared` selected hashes — by the
@@ -1368,8 +1371,14 @@ object Dedup {
                      textCol: String = "text"): DataFrame = {
     require(minShared >= 1, s"need minShared >= 1, got $minShared")
     require(maxDf >= 2, s"need maxDf >= 2, got $maxDf")
+    // EAGER checkpoint: the selection set feeds THREE plan branches (the
+    // df cap and both join sides) — uncut, each re-runs the full
+    // shingle→window→argmin subtree (measured 10.5 s vs ~5 s at sf0.1).
+    // Eager, not lazy: the df-cap aggregate is broadcast-sized, and a
+    // broadcast subtree racing a lazy checkpoint deadlocks (the
+    // dedupClusters note).
     val sel = winnowingSelections(docs, k, w, idCol, textCol)
-      .select(col("doc_id"), col("h")).distinct()
+      .select(col("doc_id"), col("h")).distinct().localCheckpoint()
     val keep = sel.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
     val s2 = sel.join(keep, "h")

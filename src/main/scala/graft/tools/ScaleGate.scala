@@ -63,8 +63,9 @@ object ScaleGate {
     // per-seed BFS (frontier join shape)
     "emb_inertia", "graph_closeness",
     // round-12-extra-b: winnowing's w-factor explode + (doc, window)
-    // argmin — 4.9 s on the 327-query profile, the one late addition
-    // over the ~3 s line
+    // argmin. Entered at 4.9 s (interpreted shingle lambda); the
+    // graft_shingles31 native rewrite cut it to ~0.3 s — kept in the
+    // subset anyway, the explode+argmin shape is worth watching
     "dedup_winnowing")
 
   val AggregateMaxRatio = 3.0

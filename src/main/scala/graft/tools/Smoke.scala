@@ -27,16 +27,30 @@ object Smoke {
     }
 
     // Current investigation: tf-cosine cost decomposition at sf0.1 —
-    // Current investigation: cusumScan prefix/runmin decomposition on
-    // a hand series (level shift 10x0 then 10x2)
+    // Current investigation: winnow selection stage decomposition
     import org.apache.spark.sql.functions._
-    import spark.implicits._
-    val rows = (0 until 20).map(h =>
-        (1L, f"2024-01-01 $h%02d:00:00", if (h < 10) 0.0 else 2.0))
-      .toDF("user_id", "s", "value")
-      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
-    graft.operators.TimeSeries.cusumScan(rows, "user_id", "ts", "value")
-      .show(false)
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val hs = docs.select(col("doc_id"),
+        posexplode(graft.functions.Fns.shingles(
+          graft.functions.Fns.tokens(col("text")), 3)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        graft.operators.Sketch.stringHash(col("sh")).as("h"))
+    time("hs (shingle+hash)")(hs.count())
+    time("hs again (warm)")(hs.count())
+    val mx = hs.groupBy("doc_id").agg(max("pos").as("mx"))
+    val wnd = hs.join(mx, "doc_id")
+      .select(col("doc_id"), col("pos"), col("h"),
+        explode(sequence(col("pos"),
+          least(col("pos") + 3, col("mx")))).as("e"))
+      .filter(col("e") >= 3)
+    time("wnd explode")(wnd.count())
+    val winW = Window.partitionBy("doc_id", "e")
+      .orderBy(col("h").asc, col("pos").desc)
+    time("window+distinct")(wnd.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(winW))
+      .filter(col("rn") === 1).select("doc_id", "pos", "h")
+      .distinct().count())
     spark.stop()
   }
 }

@@ -105,4 +105,27 @@ class FnsSpec extends SparkSpec {
       .select(Fns.dotProduct($"a", $"b").as("d")).collect()
     assert(out(0).isNullAt(0)) // zip_with pads with null -> null product
   }
+
+  test("graft_shingles31 equals strhash over the concat_ws shingle strings, positions kept") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq("the quick brown fox jumps", "a a a a", "one two",
+      "  padded   tokens  here now ", "unicode héllo wörld tökens xx")
+    val df = texts.toDF("text")
+    val native = df.select(col("text"),
+        call_function("graft_shingles31", col("text"), lit(3)).as("hs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaStrings = df.select(col("text"),
+        transform(Fns.shingles(Fns.tokens(col("text")), 3),
+          s => call_function("graft_strhash", s)).as("hs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    texts.foreach { t =>
+      assert(native(t) == viaStrings(t),
+        s"mismatch for '$t': ${native(t)} vs ${viaStrings(t)}")
+    }
+    // duplicates preserved: "a a a" shingle appears at both positions
+    assert(native("a a a a").length == 2 &&
+      native("a a a a").distinct.length == 1)
+    // fewer than n tokens: empty, not null
+    assert(native("one two").isEmpty)
+  }
 }
