@@ -1691,6 +1691,25 @@ object SparkEntry {
       operators.Graph.modularity(edges, labels).orderBy("label")
     }),
 
+    // Conductance of the same 2-round LPA communities — the boundary-
+    // leakiness complement to graph_modularity's density contrast
+    // (cut over min volume, the Cheeger quantity).
+    "graph_conductance" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val init = nodes.select(col("node"), (col("node") % 3).as("label"))
+      val labels = operators.Graph.labelPropagate(edges, init, 2)
+      operators.Graph.conductance(edges, labels).orderBy("label")
+    }),
+
     // HITS hubs/authorities (2 L1-normalized iterations) over the same
     // directed event-type transition graph as ana_pagerank — hub =
     // "links to important types", authority = "linked from good hubs";
@@ -1789,6 +1808,13 @@ object SparkEntry {
     // profile (share of the source's distinct terms occurring once).
     "text_hapax" -> ((s, dir) =>
       TextAnalysis.hapaxProfile(T(s, dir, "documents")).orderBy("source")),
+
+    // Mean segmental TTR per source (8-token full segments): the
+    // document-length-invariant lexical-diversity scale that raw TTR
+    // (text_source_profile's mean_distinct_ratio) is not.
+    "text_msttr" -> ((s, dir) =>
+      TextAnalysis.msttr(T(s, dir, "documents"), segLen = 8)
+        .orderBy("source")),
 
     // Per-source character-class fractions (letters/digits/whitespace/
     // other) — the pre-tokenization script/garbage gate. Narrow regex
@@ -2105,6 +2131,15 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // Chance-corrected agreement over the same predictions: accuracy,
+    // Cohen's kappa, multiclass MCC (Gorodkin R_K) — one scalar row,
+    // marginal products on DECIMAL(38,0) so 100 TB counts never wrap.
+    "ml_mcc_kappa" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      operators.ML.mccKappa(
+        operators.ML.naiveBayesPredict(d, d, "lang"))
+    }),
+
     // Learning curve: NB generalization accuracy on the FIXED held-out
     // decile (doc_id % 10 == 9) as the training pool grows 25% → 50% →
     // 100% — "is more data still buying accuracy", the
@@ -2194,6 +2229,12 @@ object SparkEntry {
     "emb_norm_hist" -> ((s, dir) =>
       operators.Similarity.normHistogram(T(s, dir, "embeddings"), 10)
         .orderBy("bin")),
+
+    // Isotropy card: exact mean pairwise cosine from the sum-vector
+    // identity ‖Σv̂‖² − Σ‖v̂‖² — the all-pairs average with NO pair term
+    // (near 1 = embedding collapse, cosine retrieval stops working).
+    "emb_isotropy" -> ((s, dir) =>
+      operators.Similarity.isotropy(T(s, dir, "embeddings"))),
 
     // PQ codebook-quality card: per subspace, codes used + mean/max
     // assignment distortion over the emb_pq code table.
@@ -2905,6 +2946,31 @@ object SparkEntry {
     "ts_xcorr" -> ((s, dir) =>
       operators.TimeSeries.crossCorr(
           T(s, dir, "events"), "user_id", "ts", "value", lag = 1)
+        .orderBy("user_id")),
+
+    // Mann–Kendall monotone-trend test per user: exact integer S over
+    // the theilSen pair shape, tie-corrected Var(S), continuity-
+    // corrected z — "is there a trend" to ts_theil_sen's "how steep".
+    "ts_mann_kendall" -> ((s, dir) =>
+      operators.TimeSeries.mannKendall(
+          T(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id")),
+
+    // Wald–Wolfowitz runs test per user around the 6-dp-routed median:
+    // run counts from one ordered lag window, z vs the randomness
+    // expectation — serial randomness without a correlation model.
+    "ts_runs_test" -> ((s, dir) =>
+      operators.TimeSeries.runsTest(
+          T(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id")),
+
+    // Hurst exponent per user via rescaled-range analysis over dyadic
+    // windows {4,8,16,32}: exact scaled-deviation prefix sums, log2
+    // R/S slope — long-memory persistence vs mean reversion.
+    "ts_hurst" -> ((s, dir) =>
+      operators.TimeSeries.hurstExponent(
+          T(s, dir, "events"), "user_id", "ts", "value",
+          windows = Seq(4, 8, 16, 32))
         .orderBy("user_id")),
 
     // Hour-of-day seasonal strength per user: SSB/SST from per-phase
@@ -5346,6 +5412,44 @@ object SparkEntry {
         |  max(nrm) AS max_norm
         |FROM bb GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Isotropy: unit components DECIMAL-routed to 6 dp, so per-dim sums
+    // and the self term are exact and the sum-vector identity holds
+    // EXACTLY on the quantized vectors; only su^2 rides a routed double.
+    "emb_isotropy" ->
+      """WITH f AS (SELECT vec_id,
+        |        CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+        |        CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |n AS (SELECT vec_id, round(sqrt(CAST(sum(CAST(round(x * x, 6)
+        |          AS DECIMAL(18,6))) AS DOUBLE)), 6) AS nrm
+        |      FROM f GROUP BY 1 HAVING round(sqrt(CAST(sum(CAST(round(x * x, 6)
+        |          AS DECIMAL(18,6))) AS DOUBLE)), 6) > 0),
+        |u AS (SELECT f.vec_id, f.dim,
+        |        CAST(round(CAST(f.x / n.nrm AS DECIMAL(24,12)), 6)
+        |          AS DECIMAL(18,6)) AS u
+        |      FROM f JOIN n ON n.vec_id = f.vec_id),
+        |d AS (SELECT dim, CAST(sum(u) AS DECIMAL(38,6)) AS su,
+        |        CAST(sum(CAST(u * u AS DECIMAL(38,12))) AS DECIMAL(38,12))
+        |          AS self_d
+        |      FROM u GROUP BY 1),
+        |t AS (SELECT count(*) AS n_dims,
+        |        CAST(sum(CAST(round(CAST(CAST(su AS DOUBLE)
+        |          * CAST(su AS DOUBLE) AS DECIMAL(24,12)), 6)
+        |          AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS ss,
+        |        CAST(sum(self_d) AS DECIMAL(38,12)) AS self_sum
+        |      FROM d),
+        |c AS (SELECT count(*) AS n_vectors FROM n)
+        |SELECT n_vectors, n_dims,
+        |  CAST(round(CAST(CAST(ss AS DOUBLE) AS DECIMAL(24,12)), 6)
+        |    AS DOUBLE) AS norm_sum_sq,
+        |  CAST(round(CAST(CAST(self_sum AS DOUBLE) AS DECIMAL(24,12)), 6)
+        |    AS DOUBLE) AS self_cos_sum,
+        |  CAST(round(CAST(CASE WHEN n_vectors > 1 THEN
+        |      (CAST(ss AS DOUBLE) - CAST(self_sum AS DOUBLE))
+        |      / (CAST(n_vectors AS DOUBLE) * CAST(n_vectors - 1 AS DOUBLE))
+        |    ELSE NULL END AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |    AS mean_pairwise_cos
+        |FROM c CROSS JOIN t""".stripMargin,
+
     // Peak concurrency: ana_interval_union's interval arithmetic, ±1
     // deltas netted per second, ONE global running-sum window (sf-scale
     // stand-in for the two-level prefix), earliest peak second.
@@ -6771,6 +6875,28 @@ object SparkEntry {
         |    / nullif(count(*), 0), 6) AS hapax_ratio
         |FROM f GROUP BY 1 ORDER BY source""".stripMargin,
 
+    // MSTTR: 0-based positions (generate_subscripts is 1-based) chop
+    // into 8-token full segments; each segment TTR is a 6-dp DECIMAL
+    // term; the per-source mean is DECIMAL-routed.
+    "text_msttr" ->
+      """WITH base AS (SELECT source, doc_id,
+        |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |      FROM documents),
+        |t AS (SELECT source, doc_id, unnest(toks) AS term,
+        |        generate_subscripts(toks, 1) - 1 AS pos FROM base),
+        |sg AS (SELECT source, doc_id,
+        |        CAST(floor(pos / 8) AS BIGINT) AS seg,
+        |        count(*) AS n_tok,
+        |        CAST(count(DISTINCT term) AS BIGINT) AS n_distinct
+        |      FROM t GROUP BY 1, 2, 3 HAVING count(*) = 8)
+        |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  count(*) AS n_segments,
+        |  CAST(round(CAST(CAST(sum(CAST(round(CAST(n_distinct AS DOUBLE)
+        |      / 8.0, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / nullif(CAST(count(*) AS DOUBLE), 0.0) AS DECIMAL(24,12)), 6)
+        |    AS DOUBLE) AS msttr
+        |FROM sg GROUP BY 1 ORDER BY source""".stripMargin,
+
     "sample_curriculum" ->
       """WITH s AS (SELECT doc_id, source,
         |    coalesce(CAST(len(list_distinct(
@@ -7404,6 +7530,50 @@ object SparkEntry {
         |      / (coalesce(p, 0e0) + coalesce(r, 0e0)) END, 6) AS f1
         |FROM k ORDER BY label""".stripMargin,
 
+    // Kappa/MCC: marginal products on DECIMAL(19,0)x(19,0) -> (38,0)
+    // exact; kappa and R_K are DECIMAL-routed doubles of exact decimals.
+    "ml_mcc_kappa" ->
+      s"""$nbPredCtes,
+        |pl AS (SELECT d.lang AS y, pred
+        |      FROM pred JOIN documents d USING (doc_id)),
+        |tt AS (SELECT y AS label, count(*) AS tk FROM pl GROUP BY 1),
+        |pp AS (SELECT pred AS label, count(*) AS pk FROM pl GROUP BY 1),
+        |mm AS (SELECT coalesce(tk, 0) AS tk, coalesce(pk, 0) AS pk
+        |      FROM tt FULL OUTER JOIN pp ON tt.label = pp.label),
+        |mg AS (SELECT
+        |        CAST(sum(CAST(tk AS DECIMAL(19,0))
+        |          * CAST(pk AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS stp,
+        |        CAST(sum(CAST(tk AS DECIMAL(19,0))
+        |          * CAST(tk AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS stt,
+        |        CAST(sum(CAST(pk AS DECIMAL(19,0))
+        |          * CAST(pk AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS spp
+        |      FROM mm),
+        |bs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_correct,
+        |        CAST(count(DISTINCT y) AS BIGINT) AS n_classes_true,
+        |        CAST(count(DISTINCT pred) AS BIGINT) AS n_classes_pred
+        |      FROM pl),
+        |x AS (SELECT n, n_correct, n_classes_true, n_classes_pred,
+        |        CAST(CAST(n_correct AS DECIMAL(19,0))
+        |          * CAST(n AS DECIMAL(19,0)) - stp AS DOUBLE) AS num,
+        |        CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) AS s2,
+        |        stp, stt, spp
+        |      FROM bs CROSS JOIN mg)
+        |SELECT n, n_correct, n_classes_true, n_classes_pred,
+        |  CAST(round(CAST(CAST(n_correct AS DOUBLE)
+        |    / nullif(CAST(n AS DOUBLE), 0.0) AS DECIMAL(24,12)), 6)
+        |    AS DOUBLE) AS accuracy,
+        |  CAST(round(CAST(CASE WHEN CAST(s2 - stp AS DOUBLE) <> 0.0
+        |      THEN num / CAST(s2 - stp AS DOUBLE) ELSE NULL END
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS kappa,
+        |  CAST(round(CAST(CASE WHEN CAST(s2 - spp AS DOUBLE) > 0
+        |      AND CAST(s2 - stt AS DOUBLE) > 0
+        |      THEN num / sqrt(CAST(s2 - spp AS DOUBLE)
+        |        * CAST(s2 - stt AS DOUBLE)) ELSE NULL END
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS mcc
+        |FROM x""".stripMargin,
+
     // kNN: the bruteAnnOracle ranking convention (unrounded cosine,
     // neighbor-id ties) on the 1-in-10 query sample, majority vote tie
     // to smaller label.
@@ -8000,6 +8170,52 @@ object SparkEntry {
         |      * (CAST(coalesce(degree_sum, 0) AS DOUBLE)
         |      / nullif(CAST(m2 AS DOUBLE), 0.0)), 6) AS q_contrib
         |FROM sizes LEFT JOIN degs USING (label) CROSS JOIN m2
+        |ORDER BY label""".stripMargin,
+
+    // Conductance: same LPA CTE chain as graph_modularity; on the
+    // symmetrized edges a crossing undirected edge lands exactly once
+    // in the (lu in C, lv outside) count, so cut and volume share one
+    // aggregate; ratio DECIMAL-routed (1/128 is an exact 7-dp half).
+    "graph_conductance" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+        |      FROM lineitem),
+        |e AS (SELECT l.pt AS src, r.pt AS dst, count(*) AS c
+        |      FROM it l JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT src AS u, dst AS v FROM e
+        |      UNION SELECT dst, src FROM e),
+        |nodes AS (SELECT DISTINCT u AS node FROM und),
+        |l0 AS (SELECT node, node % 3 AS label FROM nodes),
+        |v1 AS (SELECT und.v AS node, l0.label AS label, count(*) AS c
+        |      FROM l0 JOIN und ON und.u = l0.node GROUP BY 1, 2),
+        |w1 AS (SELECT node, label AS new_label FROM (
+        |      SELECT node, label, row_number() OVER (PARTITION BY node
+        |        ORDER BY c DESC, label) AS rn FROM v1) WHERE rn = 1),
+        |l1 AS (SELECT l0.node, coalesce(w1.new_label, l0.label) AS label
+        |      FROM l0 LEFT JOIN w1 ON w1.node = l0.node),
+        |v2 AS (SELECT und.v AS node, l1.label AS label, count(*) AS c
+        |      FROM l1 JOIN und ON und.u = l1.node GROUP BY 1, 2),
+        |w2 AS (SELECT node, label AS new_label FROM (
+        |      SELECT node, label, row_number() OVER (PARTITION BY node
+        |        ORDER BY c DESC, label) AS rn FROM v2) WHERE rn = 1),
+        |lab AS (SELECT l1.node AS node, coalesce(w2.new_label, l1.label)
+        |        AS label FROM l1 LEFT JOIN w2 ON w2.node = l1.node),
+        |el AS (SELECT lu.label AS lu, lv.label AS lv
+        |      FROM und JOIN lab lu ON lu.node = und.u
+        |      JOIN lab lv ON lv.node = und.v),
+        |m2 AS (SELECT count(*) AS m2 FROM el),
+        |per AS (SELECT lu AS label, CAST(count(*) AS BIGINT) AS volume,
+        |        CAST(sum(CASE WHEN lu <> lv THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS cut
+        |      FROM el GROUP BY 1),
+        |sizes AS (SELECT label, count(*) AS n_nodes FROM lab GROUP BY 1)
+        |SELECT sizes.label AS label, n_nodes,
+        |  coalesce(volume, 0) AS volume, coalesce(cut, 0) AS cut,
+        |  CAST(round(CAST(CAST(coalesce(cut, 0) AS DOUBLE)
+        |    / nullif(CAST(least(coalesce(volume, 0),
+        |        m2 - coalesce(volume, 0)) AS DOUBLE), 0.0)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS conductance
+        |FROM sizes LEFT JOIN per USING (label) CROSS JOIN m2
         |ORDER BY label""".stripMargin,
 
     // HITS unrolled: each iteration = an authority half-step (DECIMAL
@@ -9126,6 +9342,162 @@ object SparkEntry {
         |  CAST(round(CAST(icept_raw AS DECIMAL(24,12)), 6) AS DOUBLE)
         |    AS intercept
         |FROM f ORDER BY user_id""".stripMargin,
+
+    // Mann–Kendall: S and the tie term are exact integers over the
+    // theil_sen pair CTEs; Var(S) and z are DECIMAL-routed doubles.
+    "ts_mann_kendall" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM events GROUP BY 1, 2),
+        |i AS (SELECT user_id AS k, v,
+        |        CAST(row_number() OVER (PARTITION BY user_id
+        |          ORDER BY bucket) - 1 AS BIGINT) AS t
+        |      FROM b WHERE v IS NOT NULL),
+        |ii AS (SELECT * FROM i WHERE t < 512),
+        |p AS (SELECT a.k, count(*) AS n_pairs,
+        |        CAST(sum(CAST(sign(CAST(b2.v AS DOUBLE)
+        |          - CAST(a.v AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_stat
+        |      FROM ii a JOIN ii b2 ON a.k = b2.k AND a.t < b2.t
+        |      GROUP BY 1),
+        |tg AS (SELECT k, v, count(*) AS tj FROM ii GROUP BY 1, 2),
+        |tt AS (SELECT k, CAST(sum(tj) AS BIGINT) AS nb,
+        |        CAST(sum(tj * (tj - 1) * (2 * tj + 5)) AS BIGINT)
+        |          AS tie_term
+        |      FROM tg GROUP BY 1),
+        |j AS (SELECT p.k, tt.nb, p.n_pairs, p.s_stat,
+        |        CAST(tt.nb * (tt.nb - 1) * (2 * tt.nb + 5)
+        |          - tt.tie_term AS DOUBLE) / 18.0 AS var_raw
+        |      FROM p JOIN tt ON p.k = tt.k)
+        |SELECT k AS user_id, nb AS n_buckets, n_pairs, s_stat,
+        |  CAST(round(CAST(var_raw AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |    AS var_s,
+        |  CAST(round(CAST(CASE WHEN var_raw > 0 THEN
+        |      CASE WHEN s_stat > 0
+        |             THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_raw)
+        |           WHEN s_stat < 0
+        |             THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_raw)
+        |           ELSE 0.0 END
+        |    ELSE NULL END AS DECIMAL(24,12)), 6) AS DOUBLE) AS z
+        |FROM j ORDER BY user_id""".stripMargin,
+
+    // Runs test: the above/below classification compares the exact-6-dp
+    // bucket value against the DECIMAL-routed median, so run counts are
+    // engine-exact; E[R] and z are fixed-order doubles of exact ints.
+    "ts_runs_test" ->
+      """WITH b AS (SELECT user_id AS k, date_trunc('hour', ts) AS bucket,
+        |        CAST(CAST(sum(CAST(value AS DECIMAL(18,6)))
+        |          AS DECIMAL(18,6)) AS DOUBLE) AS v
+        |      FROM events GROUP BY 1, 2),
+        |bb AS (SELECT * FROM b WHERE v IS NOT NULL),
+        |m AS (SELECT k, count(*) AS n_buckets,
+        |        CAST(round(CAST(quantile_cont(v, 0.5) AS DECIMAL(24,12)),
+        |          6) AS DOUBLE) AS med
+        |      FROM bb GROUP BY 1),
+        |c AS (SELECT bb.k, n_buckets, med, bucket, v > med AS above
+        |      FROM bb JOIN m ON bb.k = m.k WHERE v <> med),
+        |r AS (SELECT k, n_buckets, med, above,
+        |        CASE WHEN lag(above) OVER (PARTITION BY k ORDER BY bucket)
+        |            IS NULL OR above <> lag(above)
+        |            OVER (PARTITION BY k ORDER BY bucket)
+        |          THEN 1 ELSE 0 END AS brk
+        |      FROM c),
+        |a AS (SELECT k, n_buckets, med,
+        |        CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_above,
+        |        CAST(sum(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT)
+        |          AS n_below,
+        |        CAST(sum(brk) AS BIGINT) AS n_runs
+        |      FROM r GROUP BY 1, 2, 3)
+        |SELECT k AS user_id, n_buckets, med, n_above, n_below, n_runs,
+        |  CAST(round(CAST(1.0 + CAST(2 * n_above * n_below AS DOUBLE)
+        |      / CAST(n_above + n_below AS DOUBLE) AS DECIMAL(24,12)), 6)
+        |    AS DOUBLE) AS expected_runs,
+        |  CAST(round(CAST(CASE WHEN n_above + n_below > 1
+        |      AND 2 * n_above * n_below > n_above + n_below THEN
+        |      (CAST(n_runs AS DOUBLE) - (1.0
+        |        + CAST(2 * n_above * n_below AS DOUBLE)
+        |          / CAST(n_above + n_below AS DOUBLE)))
+        |      / sqrt(CAST(2 * n_above * n_below AS DOUBLE)
+        |        * CAST(2 * n_above * n_below - (n_above + n_below)
+        |            AS DOUBLE)
+        |        / (CAST(n_above + n_below AS DOUBLE)
+        |          * CAST(n_above + n_below AS DOUBLE)
+        |          * CAST(n_above + n_below - 1 AS DOUBLE)))
+        |    ELSE NULL END AS DECIMAL(24,12)), 6) AS DOUBLE) AS z
+        |FROM a ORDER BY user_id""".stripMargin,
+
+    // Hurst R/S: scaled deviations w·v − Σv keep prefix sums exact in
+    // DECIMAL; per-window variance 9-dp-routed before the S > 0 gate;
+    // R/S, per-size means and log2 points 6-dp-routed; OLS over exact
+    // DECIMAL sums with exact-integer x = log2(w).
+    "ts_hurst" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM events GROUP BY 1, 2),
+        |i AS (SELECT user_id AS k, v,
+        |        CAST(row_number() OVER (PARTITION BY user_id
+        |          ORDER BY bucket) - 1 AS BIGINT) AS t
+        |      FROM b WHERE v IS NOT NULL),
+        |ii AS (SELECT * FROM i WHERE t < 512),
+        |nb AS (SELECT k, count(*) AS n_buckets FROM ii GROUP BY 1),
+        |rep AS (SELECT k, t, v, w,
+        |        CAST(floor(CAST(t AS DOUBLE) / CAST(w AS DOUBLE))
+        |          AS BIGINT) AS chunk
+        |      FROM ii CROSS JOIN (SELECT unnest([4, 8, 16, 32]) AS w)),
+        |wc AS (SELECT k, w, chunk, t, v,
+        |        count(*) OVER (PARTITION BY k, w, chunk) AS cnt,
+        |        sum(v) OVER (PARTITION BY k, w, chunk) AS sv
+        |      FROM rep),
+        |fc AS (SELECT * FROM wc WHERE cnt = w),
+        |dv AS (SELECT k, w, chunk, t, v, sv, w * v - sv AS dev FROM fc),
+        |px AS (SELECT k, w, chunk, sv, v,
+        |        sum(dev) OVER (PARTITION BY k, w, chunk ORDER BY t) AS pfx
+        |      FROM dv),
+        |ch AS (SELECT k, w, chunk, sv,
+        |        max(pfx) - min(pfx) AS r_scaled,
+        |        CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DECIMAL(38,12))
+        |          AS svv
+        |      FROM px GROUP BY 1, 2, 3, 4),
+        |r1 AS (SELECT k, w, r_scaled,
+        |        CAST(round(CAST(CAST(svv AS DOUBLE) / CAST(w AS DOUBLE)
+        |          - (CAST(sv AS DOUBLE) / CAST(w AS DOUBLE))
+        |            * (CAST(sv AS DOUBLE) / CAST(w AS DOUBLE))
+        |          AS DECIMAL(24,12)), 9) AS DOUBLE) AS var9
+        |      FROM ch),
+        |r2 AS (SELECT k, w,
+        |        CAST(round(CAST(CAST(r_scaled AS DOUBLE)
+        |          / CAST(w AS DOUBLE) / sqrt(var9)
+        |          AS DECIMAL(24,12)), 6) AS DECIMAL(18,6)) AS rs6
+        |      FROM r1 WHERE var9 > 0),
+        |pw AS (SELECT k, w, count(*) AS n_chunks,
+        |        CAST(sum(rs6) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |          AS mrs_raw
+        |      FROM r2 GROUP BY 1, 2),
+        |p2 AS (SELECT k, w, n_chunks,
+        |        CAST(round(CAST(mrs_raw AS DECIMAL(24,12)), 6)
+        |          AS DECIMAL(18,6)) AS mrs
+        |      FROM pw),
+        |pt AS (SELECT k, n_chunks,
+        |        CASE w WHEN 4 THEN 2.0 WHEN 8 THEN 3.0 WHEN 16 THEN 4.0
+        |          WHEN 32 THEN 5.0 WHEN 64 THEN 6.0 END AS x,
+        |        CAST(round(CAST(ln(CAST(mrs AS DOUBLE)) / ln(2.0)
+        |          AS DECIMAL(24,12)), 6) AS DECIMAL(18,6)) AS y
+        |      FROM p2 WHERE mrs > 0),
+        |o AS (SELECT k, count(*) AS n_sizes,
+        |        CAST(sum(n_chunks) AS BIGINT) AS n_windows,
+        |        sum(CAST(x AS DECIMAL(18,6))) AS sx,
+        |        sum(y) AS sy,
+        |        sum(CAST(CAST(x AS DECIMAL(18,6)) * y AS DECIMAL(38,12)))
+        |          AS sxy,
+        |        sum(CAST(x * x AS DECIMAL(18,6))) AS sxx
+        |      FROM pt GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT o.k AS user_id, nb.n_buckets, n_sizes, n_windows,
+        |  CAST(round(CAST((CAST(n_sizes AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n_sizes AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS hurst
+        |FROM o JOIN nb ON o.k = nb.k ORDER BY user_id""".stripMargin,
 
     // CUSUM: exact DECIMAL prefix sums, running extrema as nested
     // windows, alarm from 6-dp-rounded excursions vs rounded sigma.

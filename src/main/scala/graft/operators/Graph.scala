@@ -663,6 +663,47 @@ object Graph {
             col("m2").cast("double")), 6).as("q_contrib"))
   }
 
+  /** Per-community conductance φ(C) = cut(C) / min(vol(C), vol(V∖C)) —
+    * the bottleneck measure complementing [[modularity]]: modularity
+    * says "denser inside than chance", conductance says "how leaky is
+    * the boundary" (low φ = well-separated community; the objective
+    * spectral partitioning approximates via Cheeger's inequality). On
+    * the symmetrized edge list a crossing undirected edge contributes
+    * exactly one (u-in-C, v-outside) row, so cut and volume come from
+    * the SAME label-keyed aggregate with no double-count correction.
+    *
+    * Scale shape: identical to [[modularity]] — two node-keyed label
+    * joins onto the symmetrized edges, one label-keyed aggregate, the
+    * scalar 2m broadcast back; no pair term. A community with
+    * min(vol, 2m − vol) = 0 (isolated, or the whole graph) reports
+    * NULL conductance via try_divide; the ratio is DECIMAL-routed
+    * before the 6-dp round (1/128 lands exactly on a 7-dp half).
+    */
+  def conductance(edges: DataFrame, labels: DataFrame,
+                  srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+    val lab = labels.select(col("node"), col("label"))
+    val el = und
+      .join(lab.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(lab.select(col("node").as("v"), col("label").as("lv")), "v")
+    val m2 = el.agg(count(lit(1)).as("m2"))
+    val per = el.groupBy(col("lu").as("label"))
+      .agg(count(lit(1)).as("volume"),
+        sum(when(col("lu") =!= col("lv"), 1L).otherwise(0L)).as("cut"))
+    lab.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+      .join(per, Seq("label"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("volume"), lit(0L)).as("volume"),
+        coalesce(col("cut"), lit(0L)).as("cut"),
+        round(try_divide(coalesce(col("cut"), lit(0L)).cast("double"),
+          least(coalesce(col("volume"), lit(0L)),
+            col("m2") - coalesce(col("volume"), lit(0L))).cast("double"))
+          .cast("decimal(24,12)"), 6).cast("double").as("conductance"))
+  }
+
   /** Directed-graph reciprocity card: of the distinct directed edges,
     * how many have their reverse edge present — `reciprocity` =
     * n_reciprocal / n_edges ∈ [0, 1], the first structural question on

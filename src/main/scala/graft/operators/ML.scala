@@ -254,6 +254,59 @@ object ML {
         .as("f1"))
   }
 
+  /** Chance-corrected agreement card over a `(y, pred)` prediction
+    * frame: accuracy, Cohen's κ, and the multiclass Matthews
+    * correlation (Gorodkin 2004's R_K) — the two standard statistics
+    * that expose an accuracy number inflated by class imbalance (a
+    * majority-class predictor scores κ = MCC = 0 however high its
+    * accuracy). One scalar row:
+    * κ = (c·s − Σ t_k p_k) / (s² − Σ t_k p_k),
+    * MCC = (c·s − Σ t_k p_k) / √((s² − Σ p_k²)(s² − Σ t_k²))
+    * with s total, c correct, t_k/p_k the truth/prediction marginals.
+    *
+    * Scale shape: two label-keyed marginal aggregates (cardinality =
+    * class count) full-outer-joined, one corpus aggregate — no pair
+    * term. Determinism: every product rides DECIMAL(19,0)×DECIMAL(19,0)
+    * → DECIMAL(38,0) (exact far past int64 at 100 TB marginals, the CMS
+    * join-size discipline); κ and MCC are fixed-order doubles of exact
+    * decimals, DECIMAL-routed before the 6-dp round; a degenerate
+    * denominator (single class on either side) reports NULL, not ±∞.
+    */
+  def mccKappa(predictions: DataFrame): DataFrame = {
+    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val t = predictions.groupBy(col("y").as("label"))
+      .agg(count(lit(1)).as("tk"))
+    val p = predictions.groupBy(col("pred").as("label"))
+      .agg(count(lit(1)).as("pk"))
+    val marg = t.join(p, Seq("label"), "full_outer")
+      .select(coalesce(col("tk"), lit(0L)).as("tk"),
+        coalesce(col("pk"), lit(0L)).as("pk"))
+      .agg(sum(d19(col("tk")) * d19(col("pk"))).as("stp"),
+        sum(d19(col("tk")) * d19(col("tk"))).as("stt"),
+        sum(d19(col("pk")) * d19(col("pk"))).as("spp"))
+    val base = predictions.agg(count(lit(1)).as("n"),
+      sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"),
+      countDistinct(col("y")).as("n_classes_true"),
+      countDistinct(col("pred")).as("n_classes_pred"))
+    val num = (d19(col("n_correct")) * d19(col("n")) - col("stp"))
+      .cast("double")
+    val s2 = d19(col("n")) * d19(col("n"))
+    base.crossJoin(broadcast(marg))
+      .select(col("n"), col("n_correct"), col("n_classes_true"),
+        col("n_classes_pred"),
+        d6(try_divide(col("n_correct").cast("double"),
+          col("n").cast("double"))).as("accuracy"),
+        d6(when((s2 - col("stp")).cast("double") =!= 0.0,
+            num / (s2 - col("stp")).cast("double"))
+          .otherwise(lit(null).cast("double"))).as("kappa"),
+        d6(when((s2 - col("spp")).cast("double") > 0 &&
+            (s2 - col("stt")).cast("double") > 0,
+            num / sqrt((s2 - col("spp")).cast("double") *
+              (s2 - col("stt")).cast("double")))
+          .otherwise(lit(null).cast("double"))).as("mcc"))
+  }
+
   /** k-NN classification accuracy over the embedding corpus:
     * leave-one-out majority vote among the `k` nearest (cosine)
     * neighbors of a deterministic 1-in-`sampleMod` query sample

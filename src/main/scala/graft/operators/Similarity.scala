@@ -1104,6 +1104,54 @@ object Similarity {
         max("nrm").as("max_norm"))
   }
 
+  /** Isotropy card: the corpus mean pairwise cosine via the sum-vector
+    * identity Σ_{i≠j} cos(v_i,v_j) = ‖Σ_i v̂_i‖² − Σ_i ‖v̂_i‖², so the
+    * all-pairs average — Ethayarajh (2019)'s anisotropy measure, the
+    * "do all my embeddings point the same way" health check that
+    * predicts when cosine retrieval stops discriminating — costs two
+    * dim-keyed aggregates and NO pair term at any corpus size. Near 0 =
+    * isotropic (directions spread), near 1 = collapsed.
+    *
+    * Determinism: per-vector norms come from exact DECIMAL sums of 6-dp
+    * squared components ([[normHistogram]]'s recipe); unit components
+    * are DECIMAL-routed to 6 dp, so per-dimension sums and the self-term
+    * are exact and the identity holds EXACTLY on the quantized vectors —
+    * the subtraction is decimal, not an ≈N assumption. Scale shape: one
+    * flatten, one vec-keyed aggregate joined back (norms), one dim-keyed
+    * aggregate (cardinality d), one single-row reduce.
+    */
+  def isotropy(embeddings: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    val flat = flatten(embeddings, idCol, vecCol)
+    val norms = flat.groupBy("vec_id")
+      .agg(sum(round(col("x") * col("x"), 6).cast("decimal(18,6)")).as("s2"))
+      .select(col("vec_id"),
+        round(sqrt(col("s2").cast("double")), 6).as("nrm"))
+      .filter(col("nrm") > 0)
+    val unit = flat.join(norms, "vec_id")
+      .select(col("vec_id"), col("dim"),
+        round((col("x") / col("nrm")).cast("decimal(24,12)"), 6)
+          .cast("decimal(18,6)").as("u"))
+    val dims = unit.groupBy("dim")
+      .agg(sum(col("u")).as("su"),
+        sum((col("u") * col("u")).cast("decimal(38,12)")).as("self_d"))
+    val tot = dims.agg(count(lit(1)).as("n_dims"),
+      sum(round((col("su").cast("double") * col("su").cast("double"))
+        .cast("decimal(24,12)"), 6).cast("decimal(18,6)")).as("ss"),
+      sum(col("self_d")).as("self_sum"))
+    val n = norms.agg(count(lit(1)).as("n_vectors"))
+    n.crossJoin(broadcast(tot))
+      .select(col("n_vectors"), col("n_dims"),
+        d6(col("ss").cast("double")).as("norm_sum_sq"),
+        d6(col("self_sum").cast("double")).as("self_cos_sum"),
+        d6(when(col("n_vectors") > 1,
+            (col("ss").cast("double") - col("self_sum").cast("double")) /
+            (col("n_vectors").cast("double") *
+              (col("n_vectors") - 1).cast("double")))
+          .otherwise(lit(null).cast("double"))).as("mean_pairwise_cos"))
+  }
+
   /** Embedding-distribution drift between two cohorts (time slices,
     * sources, pipeline versions): the cosine and L2 distance between
     * the cohorts' centroid (per-dimension mean) vectors — the cheap

@@ -590,6 +590,47 @@ object TextAnalysis {
         round(try_divide(col("n_hapax").cast("double"), col("n_terms")), 6)
           .as("hapax_ratio"))
 
+  /** Mean segmental type–token ratio (MSTTR) per source: chop each
+    * document's token stream into consecutive FULL segments of `segLen`
+    * tokens, take each segment's distinct-token ratio, and average —
+    * the lexical-diversity measure that, unlike the raw corpus TTR
+    * ([[sourceProfile]]'s mean_distinct_ratio), does not collapse as
+    * documents get longer (Johnson 1944), so sources of different
+    * document lengths compare on one scale. Partial tail segments are
+    * excluded by construction — that is what makes the statistic
+    * length-invariant.
+    *
+    * Scale shape: one posexplode, one hash aggregate on the
+    * (source, doc, segment) key — cardinality tokens/segLen, far below
+    * token count — then one per-source reduce; no windows, no joins.
+    * Determinism: counts are exact integers; each segment TTR is a
+    * 6-dp-rounded DECIMAL term, the mean DECIMAL-routed at the edge.
+    */
+  def msttr(docs: DataFrame, srcCol: String = "source",
+            textCol: String = "text", idCol: String = "doc_id",
+            segLen: Int = 50): DataFrame = {
+    require(segLen >= 2, s"need segLen >= 2, got $segLen")
+    val segs = docs
+      .select(col(srcCol).as("source"), col(idCol).as("doc_id"),
+        posexplode(Fns.tokens(col(textCol))))
+      .select(col("source"), col("doc_id"),
+        floor(col("pos") / lit(segLen)).cast("long").as("seg"),
+        col("col").as("term"))
+      .groupBy("source", "doc_id", "seg")
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("term")).as("n_distinct"))
+      .filter(col("n_tok") === segLen)
+    segs.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_segments"),
+        sum(round(col("n_distinct").cast("double") / lit(segLen.toDouble), 6)
+          .cast("decimal(18,6)")).as("st"))
+      .select(col("source"), col("n_docs"), col("n_segments"),
+        round(try_divide(col("st").cast("double"),
+          col("n_segments").cast("double")).cast("decimal(24,12)"), 6)
+          .cast("double").as("msttr"))
+  }
+
   /** Per-(source, language) corpus profile: document counts, token sums
     * and mean distinct-token ratio — the "dataset card" summary every
     * curated corpus ships with, and the input to mixture reweighting.

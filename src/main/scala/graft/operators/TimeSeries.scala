@@ -1047,4 +1047,216 @@ object TimeSeries {
         (greatest(col("cusum_up"), col("cusum_down")) >
           lit(h) * col("sigma")).as("alarm"))
   }
+
+  /** Mann–Kendall trend test per key: S = Σ_{i<j} sign(v_j − v_i) over
+    * the observed hourly buckets, tie-corrected variance
+    * Var(S) = (n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)) / 18, and the
+    * continuity-corrected normal statistic z — the nonparametric "is
+    * there a monotone trend" companion to [[theilSen]]'s "how steep"
+    * (Mann 1945; Kendall 1975). Agreeing signs of slope (ts_theil_sen)
+    * and z make a defensible trend call without distribution
+    * assumptions.
+    *
+    * Scale shape: the pair term is the [[theilSen]] per-key equi-self-
+    * join, O(n²) in per-key bucket count capped by `maxBuckets`; the tie
+    * term is one (key, value) hash aggregate. Determinism: bucket values
+    * are exact DECIMALs so every sign and both S and the tie term are
+    * exact integers; Var(S) and z are single fixed-order IEEE
+    * expressions of exact integers, DECIMAL-routed before the 6-dp
+    * round.
+    */
+  def mannKendall(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, stepSeconds: Long = 3600L,
+                  maxBuckets: Int = 512): DataFrame = {
+    require(maxBuckets >= 2, s"need maxBuckets >= 2, got $maxBuckets")
+    def d6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val idx = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .filter(col("v").isNotNull)
+      .withColumn("t", (row_number().over(w) - 1).cast("long"))
+      .filter(col("t") < maxBuckets)
+      .select(col(keyCol).as("k"), col("t"), col("v"))
+    val pairs = idx.as("a").join(idx.as("b"),
+        col("a.k") === col("b.k") && col("a.t") < col("b.t"))
+      .select(col("a.k").as("k"),
+        signum((col("b.v") - col("a.v")).cast("double")).cast("long").as("sgn"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("sgn")).as("s_stat"))
+    val ties = idx.groupBy(col("k"), col("v"))
+      .agg(count(lit(1)).as("tj"))
+      .groupBy("k")
+      .agg(sum(col("tj")).as("nb"),
+        sum(col("tj") * (col("tj") - 1) * (lit(2) * col("tj") + 5))
+          .as("tie_term"))
+    val varS = (col("nb") * (col("nb") - 1) * (lit(2) * col("nb") + 5) -
+      col("tie_term")).cast("double") / lit(18.0)
+    pairs.join(ties, "k")
+      .select(col("k"), col("nb"), col("n_pairs"), col("s_stat"),
+        varS.as("var_raw"))
+      .select(col("k").as(keyCol), col("nb").as("n_buckets"),
+        col("n_pairs"), col("s_stat"),
+        d6(col("var_raw")).as("var_s"),
+        d6(when(col("var_raw") > 0,
+            when(col("s_stat") > 0,
+              (col("s_stat") - 1).cast("double") / sqrt(col("var_raw")))
+              .when(col("s_stat") < 0,
+                (col("s_stat") + 1).cast("double") / sqrt(col("var_raw")))
+              .otherwise(lit(0.0)))
+          .otherwise(lit(null).cast("double"))).as("z"))
+  }
+
+  /** Wald–Wolfowitz runs test per key: classify each observed hourly
+    * bucket as above/below the key's median (exact-median buckets drop,
+    * the classic treatment), count the maximal same-side runs, and
+    * compare against the randomness expectation
+    * E[R] = 1 + 2·n₁n₂/n, Var[R] = 2n₁n₂(2n₁n₂−n) / (n²(n−1)) — "are
+    * the residuals serially random, or does the series wander"
+    * (the independence check [[autocorrByKey]] reads as a correlation).
+    *
+    * Scale shape: one per-key median aggregate broadcast back, one
+    * key-partitioned ordered window for the run-boundary lag, one final
+    * aggregate. Determinism: bucket values are exact 6-dp DECIMALs and
+    * the median is DECIMAL-routed to 6 dp before the above/below/equal
+    * membership decision, so the classification — and hence every run
+    * count — is engine-exact; E[R] and z are fixed-order expressions of
+    * exact integers, DECIMAL-routed before the 6-dp round.
+    */
+  def runsTest(events: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, stepSeconds: Long = 3600L): DataFrame = {
+    def d6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    val b = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .filter(col("v").isNotNull)
+      .select(col(keyCol).as("k"), col("bucket"),
+        col("v").cast("double").as("v"))
+    val med = b.groupBy("k").agg(
+      count(lit(1)).as("n_buckets"),
+      d6(expr("percentile(v, 0.5D)")).as("med"))
+    val w = Window.partitionBy(col("k")).orderBy(col("bucket"))
+    val cls = b.join(med, "k")
+      .filter(col("v") =!= col("med"))
+      .withColumn("above", col("v") > col("med"))
+      .withColumn("brk",
+        when(lag(col("above"), 1).over(w).isNull ||
+          col("above") =!= lag(col("above"), 1).over(w), 1L).otherwise(0L))
+    cls.groupBy(col("k"), col("n_buckets"), col("med"))
+      .agg(sum(when(col("above"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("above"), 0L).otherwise(1L)).as("n_below"),
+        sum(col("brk")).as("n_runs"))
+      .select(col("k"), col("n_buckets"), col("med"), col("n_above"),
+        col("n_below"), col("n_runs"),
+        (col("n_above") + col("n_below")).as("n"),
+        (lit(2) * col("n_above") * col("n_below")).as("nn2"))
+      .select(col("k").as(keyCol), col("n_buckets"), col("med"),
+        col("n_above"), col("n_below"), col("n_runs"),
+        d6(lit(1.0) + col("nn2").cast("double") / col("n").cast("double"))
+          .as("expected_runs"),
+        d6(when(col("n") > 1 && col("nn2") > col("n"),
+            (col("n_runs").cast("double") - (lit(1.0) +
+              col("nn2").cast("double") / col("n").cast("double"))) /
+            sqrt(col("nn2").cast("double") *
+              (col("nn2") - col("n")).cast("double") /
+              (col("n").cast("double") * col("n").cast("double") *
+                (col("n") - 1).cast("double"))))
+          .otherwise(lit(null).cast("double"))).as("z"))
+  }
+
+  /** Hurst exponent per key by rescaled-range (R/S) analysis: partition
+    * the observed-bucket series into consecutive full windows of each
+    * dyadic size in `windows`, compute each window's range-of-cumulative-
+    * deviations over standard deviation, average R/S per size, and fit
+    * H as the slope of log₂(mean R/S) against log₂(window size) —
+    * H ≈ 0.5 random walk, > 0.5 persistent/trending, < 0.5 mean-
+    * reverting (Hurst 1951; Mandelbrot & Wallis 1969). The long-memory
+    * summary that [[autocorrByKey]]'s fixed lags cannot see.
+    *
+    * Scale shape: the series replicates once per window size (≤ 4×
+    * maxBuckets rows per key), then two key×size×chunk-partitioned
+    * windows (chunk stats + prefix sum) and three hash aggregates —
+    * no joins, no quadratic term. Determinism: deviations are scaled by
+    * the window size (w·v − Σv) so prefix sums and ranges stay exact
+    * DECIMALs; the per-window variance is DECIMAL-routed to 9 dp before
+    * the S > 0 membership decision; R/S, its per-size mean, and the
+    * log₂ points are 6-dp-routed; the final OLS runs over exact-integer
+    * x = log₂(w) with exact DECIMAL sums.
+    */
+  def hurstExponent(events: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, stepSeconds: Long = 3600L,
+                    windows: Seq[Int] = Seq(8, 16, 32, 64),
+                    maxBuckets: Int = 512): DataFrame = {
+    require(windows.size >= 2, "need at least two window sizes")
+    windows.foreach { w =>
+      require(w >= 4 && (w & (w - 1)) == 0, s"window sizes must be dyadic >= 4, got $w")
+    }
+    def d6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    // exact log2 for the dyadic sizes (no libm in the x coordinate)
+    val log2w = windows.map(w => (w, (31 - Integer.numberOfLeadingZeros(w)).toDouble))
+      .foldLeft(lit(null).cast("double")) { case (acc, (w, x)) =>
+        when(col("w") === w, lit(x)).otherwise(acc)
+      }
+    val wk = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val idx = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .filter(col("v").isNotNull)
+      .withColumn("t", (row_number().over(wk) - 1).cast("long"))
+      .filter(col("t") < maxBuckets)
+      .select(col(keyCol).as("k"), col("t"), col("v"))
+    val nb = idx.groupBy("k").agg(count(lit(1)).as("n_buckets"))
+    val rep = idx
+      .select(col("k"), col("t"), col("v"),
+        explode(array(windows.map(lit): _*)).as("w"))
+      .withColumn("chunk", floor(col("t") / col("w")).cast("long"))
+    val wc = Window.partitionBy(col("k"), col("w"), col("chunk"))
+    val wo = wc.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = rep
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .filter(col("cnt") === col("w"))
+      .withColumn("sv", sum(col("v")).over(wc))
+      // scaled deviation w·v − Σv = w·(v − mean): exact DECIMAL, so the
+      // prefix sum and its range never touch IEEE accumulation order
+      .withColumn("dev", col("w") * col("v") - col("sv"))
+      .withColumn("pfx", sum(col("dev")).over(wo))
+      .groupBy(col("k"), col("w"), col("chunk"), col("sv"))
+      .agg((max(col("pfx")) - min(col("pfx"))).as("r_scaled"),
+        sum((col("v") * col("v")).cast("decimal(38,12)")).as("svv"))
+    val rs = chunks
+      .withColumn("var9",
+        round((col("svv").cast("double") / col("w").cast("double") -
+          (col("sv").cast("double") / col("w").cast("double")) *
+          (col("sv").cast("double") / col("w").cast("double")))
+          .cast("decimal(24,12)"), 9).cast("double"))
+      .filter(col("var9") > 0)
+      .withColumn("rs6",
+        round((col("r_scaled").cast("double") / col("w").cast("double") /
+          sqrt(col("var9"))).cast("decimal(24,12)"), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("k"), col("w"))
+      .agg(count(lit(1)).as("n_chunks"),
+        (sum(col("rs6")).cast("double") / count(lit(1)).cast("double"))
+          .as("mrs_raw"))
+      .withColumn("mrs", d6(col("mrs_raw")).cast("decimal(18,6)"))
+      .filter(col("mrs") > 0)
+    val pts = rs.select(col("k"), col("n_chunks"), log2w.as("x"),
+      round((log(col("mrs").cast("double")) / log(lit(2.0)))
+        .cast("decimal(24,12)"), 6).cast("decimal(18,6)").as("y"))
+    pts.groupBy("k")
+      .agg(count(lit(1)).as("n_sizes"),
+        sum(col("n_chunks")).as("n_windows"),
+        sum(col("x").cast("decimal(18,6)")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("x").cast("decimal(18,6)") * col("y"))
+          .cast("decimal(38,12)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(18,6)")).as("sxx"))
+      .filter(col("n_sizes") >= 2)
+      .join(nb, "k")
+      .select(col("k").as(keyCol), col("n_buckets"), col("n_sizes"),
+        col("n_windows"),
+        d6((col("n_sizes").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_sizes").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")))
+          .as("hurst"))
+  }
 }

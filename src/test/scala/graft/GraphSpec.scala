@@ -323,4 +323,20 @@ class GraphSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 1.0, 0.0), ("b", 0.0, 1.0)))
   }
 
+  test("conductance: 4-cycle split in half, plus an isolated community") {
+    // square 1-2-3-4-1; communities {1,2} / {3,4}: each side has
+    // volume 4 (two nodes of degree 2), cut 2 (the two crossing edges)
+    // -> phi = 2/min(4, 8-4) = 0.5; node 5 is edgeless -> NULL phi
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val lab = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 2L))
+      .toDF("node", "label")
+    val out = Graph.conductance(e, lab).orderBy("label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 4L, 2L, Some(0.5)),
+      (1L, 2L, 4L, 2L, Some(0.5)),
+      (2L, 1L, 0L, 0L, None)))
+  }
+
 }

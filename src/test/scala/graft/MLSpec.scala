@@ -202,4 +202,30 @@ class MLSpec extends SparkSpec {
     assert(d._4.get == 0.0 && d._5.isEmpty && d._6 == 0.0)
   }
 
+  test("mccKappa: perfect prediction scores 1; majority predictor scores 0 with NULL MCC") {
+    val perfect = Seq((1L, "a", "a"), (2L, "a", "a"), (3L, "b", "b"),
+      (4L, "b", "b")).toDF("doc_id", "y", "pred")
+    val p = ML.mccKappa(perfect).collect().head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3)) ==
+      (4L, 4L, 2L, 2L))
+    assert(p.getDouble(4) == 1.0 && p.getDouble(5) == 1.0 &&
+      p.getDouble(6) == 1.0)
+    // majority-class predictor: accuracy 0.75 but kappa 0 (chance
+    // agreement = accuracy) and MCC NULL (single predicted class makes
+    // the denominator 0 — the imbalance-inflation case the card exists
+    // to expose)
+    val maj = Seq((1L, "a", "a"), (2L, "a", "a"), (3L, "a", "a"),
+      (4L, "b", "a")).toDF("doc_id", "y", "pred")
+    val m = ML.mccKappa(maj).collect().head
+    assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3)) ==
+      (4L, 3L, 2L, 1L))
+    assert(m.getDouble(4) == 0.75 && m.getDouble(5) == 0.0 && m.isNullAt(6))
+    // anti-diagonal binary: everything wrong -> kappa = MCC = -1
+    val anti = Seq((1L, "a", "b"), (2L, "b", "a"), (3L, "a", "b"),
+      (4L, "b", "a")).toDF("doc_id", "y", "pred")
+    val a = ML.mccKappa(anti).collect().head
+    assert(a.getDouble(4) == 0.0 && a.getDouble(5) == -1.0 &&
+      a.getDouble(6) == -1.0)
+  }
+
 }

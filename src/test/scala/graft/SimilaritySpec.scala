@@ -584,4 +584,26 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r2.getDouble(3) - 2.0) < 1e-3)
   }
 
+  test("isotropy: orthogonal pair scores 0, collapsed pair scores 1, zero vector drops") {
+    // orthogonal unit vectors: sum vector (1,1), ||.||^2 = 2 = self term
+    val ortho = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val o = Similarity.isotropy(ortho).collect().head
+    assert((o.getLong(0), o.getLong(1)) == (2L, 2L))
+    assert(o.getDouble(2) == 2.0 && o.getDouble(3) == 2.0 &&
+      o.getDouble(4) == 0.0)
+    // identical vectors (norms 2, units (1,0)): ||sum||^2 = 4, self 2
+    // -> mean pairwise cos (4-2)/(2*1) = 1; the zero vector is excluded
+    // from both the sums and n_vectors
+    val coll = Seq((1L, Seq(2.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Similarity.isotropy(coll).collect().head
+    assert(c.getLong(0) == 2L)
+    assert(c.getDouble(2) == 4.0 && c.getDouble(3) == 2.0 &&
+      c.getDouble(4) == 1.0)
+    // single vector: pairwise mean undefined -> NULL, not 0/0
+    val one = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.isotropy(one).collect().head.isNullAt(4))
+  }
+
 }

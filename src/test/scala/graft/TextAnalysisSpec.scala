@@ -761,4 +761,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) == (2L, 2L, 1L, "red <unk>"))
   }
 
+  test("msttr: full segments only, segment TTRs hand-averaged per source") {
+    // doc 1 (2-token segments): [a b] TTR 1, [a a] TTR 0.5
+    // doc 2: [a b] TTR 1, trailing [c] is a partial segment -> dropped
+    // doc 3 (other source): one token -> no full segment, source absent
+    val docs = Seq((1L, "s1", "a b a a"), (2L, "s1", "a b c"),
+      (3L, "s2", "x")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.msttr(docs, segLen = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("s1", 2L, 3L, 0.833333)))
+  }
+
 }

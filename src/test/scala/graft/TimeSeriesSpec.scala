@@ -502,4 +502,57 @@ class TimeSeriesSpec extends SparkSpec {
     assert(up2 <= 1.0 + 1e-9 && s2 == 1.0 && !a2)
   }
 
+  test("mannKendall: hand-run S, tie-corrected variance, continuity-corrected z") {
+    def ev(u: Long, vs: Seq[Double]) = vs.zipWithIndex.map { case (v, h) =>
+      (u, f"2024-01-01 $h%02d:00:00", v) }
+    // u1: [1,3,2,2] -> S = +3 - 2 + 0 = 1, tie group {2,2} corrects Var
+    // u2: [1,2,3]   -> S = 3, no ties
+    // u3: single bucket -> no pairs, dropped
+    val rows = (ev(1L, Seq(1.0, 3.0, 2.0, 2.0)) ++ ev(2L, Seq(1.0, 2.0, 3.0)) ++
+        ev(3L, Seq(5.0)))
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    val out = TimeSeries.mannKendall(rows, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    // Var = (4*3*13 - 2*1*9)/18 = 138/18; z = (1-1)/sqrt(Var) = 0
+    assert(out(1L) == (4L, 6L, 1L, 7.666667, 0.0))
+    // Var = 66/18; z = (3-1)/sqrt(66/18)
+    assert(out(2L) == (3L, 3L, 3L, 3.666667, 1.044466))
+    assert(!out.contains(3L))
+  }
+
+  test("runsTest: alternating series runs hand-count; constant series drops") {
+    def ev(u: Long, vs: Seq[Double]) = vs.zipWithIndex.map { case (v, h) =>
+      (u, f"2024-01-01 $h%02d:00:00", v) }
+    // u1: [1,5,1,5,1,5] -> med 3, 6 runs of length 1, n1 = n2 = 3
+    // u2: constant [2,2,2] -> every bucket equals the median, no rows
+    val rows = (ev(1L, Seq(1.0, 5.0, 1.0, 5.0, 1.0, 5.0)) ++
+        ev(2L, Seq(2.0, 2.0, 2.0)))
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    val out = TimeSeries.runsTest(rows, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6), r.getDouble(7))).toMap
+    // E[R] = 1 + 2*9/6 = 4; Var = 18*12/(36*5) = 1.2; z = 2/sqrt(1.2)
+    assert(out(1L) == (6L, 3.0, 3L, 3L, 6L, 4.0, 1.825742))
+    assert(!out.contains(2L))
+  }
+
+  test("hurstExponent: ramp series hand-run R/S at two dyadic sizes") {
+    val rows = (0 until 8).map(h => (1L, f"2024-01-01 $h%02d:00:00", h.toDouble))
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    val out = TimeSeries.hurstExponent(rows, "user_id", "ts", "value",
+        windows = Seq(4, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // w=4: both chunks R=8/4=2, s=sqrt(1.25) -> rs 1.788854
+    // w=8: R=8, s=sqrt(5.25) -> rs 3.491486
+    // slope over (2, log2 1.788854), (3, log2 3.491486) = 0.964805
+    assert(out.toSeq == Seq((1L, 8L, 2L, 3L, 0.964805)))
+  }
+
 }
