@@ -154,6 +154,36 @@ class PlanGuardSpec extends SparkSpec {
     assert(og.contains("BroadcastExchange"), s"embeddingOutliers plan:\n$og")
   }
 
+  test("trend-test / isotropy / msttr batch keeps its scale shapes") {
+    import graft.operators.{Graph, Similarity, TextAnalysis, TimeSeries}
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ev = graft.etl.Ingest.readEvents(spark, sf)
+    // Mann–Kendall's pair term is a key-equi self-join (theilSen's cost
+    // class), never a cartesian over buckets
+    val mk = TimeSeries.mannKendall(ev, "user_id", "ts", "value")
+      .queryExecution.executedPlan.toString
+    assert(!mk.contains("CartesianProduct"), s"mannKendall cartesian:\n$mk")
+    // isotropy has NO pair term at all: no join wider than the vec-keyed
+    // norm join — specifically never a cartesian/nested-loop, and the
+    // single-row totals ride broadcasts
+    val iso = Similarity.isotropy(emb).queryExecution.executedPlan.toString
+    assert(!iso.contains("CartesianProduct"), s"isotropy cartesian:\n$iso")
+    assert(iso.contains("BroadcastExchange"), s"isotropy plan:\n$iso")
+    // msttr is generate + two hash aggregates — joins never appear
+    val ms = TextAnalysis.msttr(docs, segLen = 8)
+      .queryExecution.executedPlan.toString
+    assert(!ms.contains("Join"), s"msttr grew a join:\n$ms")
+    // conductance: the scalar 2m rides a broadcast; labels join by node
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val lab = Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("node", "label")
+    val cond = Graph.conductance(e, lab).queryExecution.executedPlan.toString
+    assert(cond.contains("BroadcastExchange"), s"conductance plan:\n$cond")
+    assert(!cond.contains("CartesianProduct"), s"conductance cartesian:\n$cond")
+  }
+
   test("round-12-late operators keep their scale shapes") {
     val sf = "/root/testdata/sf0.001"
     // dHash near-dup: the pair generator is the banded EQUI-self-join —
