@@ -1816,6 +1816,13 @@ object SparkEntry {
       TextAnalysis.msttr(T(s, dir, "documents"), segLen = 8)
         .orderBy("source")),
 
+    // Conditional character-bigram entropy H(c2|c1) per source — the
+    // sub-token gibberish detector (base64/OCR sludge approaches the
+    // unconditional alphabet entropy; natural text sits well below).
+    "text_char_bigram_entropy" -> ((s, dir) =>
+      TextAnalysis.charBigramEntropy(T(s, dir, "documents"))
+        .orderBy("source")),
+
     // Per-source character-class fractions (letters/digits/whitespace/
     // other) — the pre-tokenization script/garbage gate. Narrow regex
     // counts into one source-keyed aggregate.
@@ -1875,6 +1882,13 @@ object SparkEntry {
     "ana_top_paths" -> ((s, dir) =>
       Analytics.topPaths(T(s, dir, "events"), "30 minutes", 10)
         .orderBy(col("n_sessions").desc, col("sequence").asc)),
+
+    // Per-user session behavioural entropy (mean/max over sessions) —
+    // behavioural-diversity feature and bot signal (scripted sessions
+    // cluster at H = 0); ln n - (sum c ln c)/n, no p division.
+    "ana_session_entropy" -> ((s, dir) =>
+      Analytics.sessionEntropy(T(s, dir, "events"))
+        .orderBy("user_id")),
 
     // UNPIVOT/melt: wide metrics to (key, metric, value) rows — the
     // relational dual of pivot (which is covered elsewhere).
@@ -2235,6 +2249,13 @@ object SparkEntry {
     // (near 1 = embedding collapse, cosine retrieval stops working).
     "emb_isotropy" -> ((s, dir) =>
       operators.Similarity.isotropy(T(s, dir, "embeddings"))),
+
+    // All-but-the-top correction: subtract the mean and the top
+    // principal direction (emb_pca_power's component) — mean and PC
+    // pack into ONE broadcast row; the corpus never joins itself.
+    "emb_abtt" -> ((s, dir) =>
+      operators.Similarity.allButTheTop(T(s, dir, "embeddings"))
+        .orderBy("vec_id", "dim")),
 
     // PQ codebook-quality card: per subspace, codes used + mean/max
     // assignment distortion over the emb_pq code table.
@@ -2971,6 +2992,14 @@ object SparkEntry {
       operators.TimeSeries.hurstExponent(
           T(s, dir, "events"), "user_id", "ts", "value",
           windows = Seq(4, 8, 16, 32))
+        .orderBy("user_id")),
+
+    // Turning-point test per user: strict local-extrema count vs the
+    // i.i.d. expectation 2(n-2)/3 — the oscillation-rate member of the
+    // randomness panel (runs = levels, ACF = linear memory).
+    "ts_turning_points" -> ((s, dir) =>
+      operators.TimeSeries.turningPoints(
+          T(s, dir, "events"), "user_id", "ts", "value")
         .orderBy("user_id")),
 
     // Hour-of-day seasonal strength per user: SSB/SST from per-phase
@@ -6428,6 +6457,63 @@ object SparkEntry {
          |FROM x3 CROSS JOIN sgn CROSS JOIN n3 ORDER BY i""".stripMargin
     },
 
+    // ABTT: the emb_pca_power CTE chain (cov + 3 power iterations +
+    // sign fix) extended with the routed per-dim mean, the 9-dp DECIMAL
+    // projection fold, and the routed corrected components.
+    "emb_abtt" -> {
+      val covCtes =
+        s"""e AS ($embCte),
+           |xx AS (SELECT vec_id, unnest(v) AS xi,
+           |        generate_subscripts(v, 1) - 1 AS i FROM e),
+           |mm AS (SELECT i, sum(CAST(round(xi, 9) AS DECIMAL(28,9))) AS sx
+           |      FROM xx GROUP BY 1),
+           |pp AS (SELECT a.i AS i, b.i AS j,
+           |        sum(CAST(round(a.xi * b.xi * 1e9, 0) AS BIGINT)) AS sp,
+           |        count(*) AS n
+           |      FROM xx a JOIN xx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+           |cov AS (SELECT CAST(pp.i AS BIGINT) AS i, CAST(pp.j AS BIGINT) AS j,
+           |  round(CAST(sp AS DOUBLE) / 1e9 / n
+           |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n), 6)
+           |    + 0.0
+           |    AS cov
+           |FROM pp JOIN mm mi ON mi.i = pp.i JOIN mm mj ON mj.i = pp.j)""".stripMargin
+      val iterCtes = (1 to 3).map { k =>
+        val prev = if (k == 1) "x0" else s"x${k - 1}"
+        s"""y$k AS (SELECT c.i,
+           |  CAST(sum(CAST(round(c.cov * p.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS y
+           |  FROM cov c JOIN $prev p ON p.i = c.j GROUP BY 1),
+           |n$k AS (SELECT sqrt(CAST(sum(CAST(round(y * y, 9) AS DECIMAL(28,9)))
+           |  AS DOUBLE)) AS nrm FROM y$k),
+           |x$k AS (SELECT i, round(y / nrm, 9) AS x FROM y$k CROSS JOIN n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $covCtes,
+         |d AS (SELECT count(DISTINCT i) AS d FROM cov),
+         |x0 AS (SELECT DISTINCT i, 1.0 / sqrt(d) AS x FROM cov CROSS JOIN d),
+         |$iterCtes,
+         |sgn AS (SELECT CASE WHEN x > 0 THEN 1.0 WHEN x < 0 THEN -1.0
+         |               ELSE 0.0 END AS sgn
+         |        FROM x3 ORDER BY abs(x) DESC, i LIMIT 1),
+         |v AS (SELECT i, round(x * sgn, 6) AS loading
+         |      FROM x3 CROSS JOIN sgn),
+         |cn AS (SELECT i, count(*) AS n FROM xx GROUP BY 1),
+         |mu AS (SELECT mm.i,
+         |        CAST(round(CAST(CAST(mm.sx AS DOUBLE) / cn.n
+         |          AS DECIMAL(24,12)), 6) AS DOUBLE) AS mu
+         |      FROM mm JOIN cn ON cn.i = mm.i),
+         |xm AS (SELECT xx.vec_id, xx.i, xx.xi - mu.mu AS a,
+         |        v.loading AS b
+         |      FROM xx JOIN mu ON mu.i = xx.i JOIN v ON v.i = xx.i),
+         |dt AS (SELECT vec_id,
+         |        CAST(sum(CAST(round(a * b, 9) AS DECIMAL(28,9)))
+         |          AS DOUBLE) AS dot
+         |      FROM xm GROUP BY 1)
+         |SELECT xm.vec_id, CAST(xm.i + 1 AS BIGINT) AS dim,
+         |  CAST(round(CAST(xm.a - dt.dot * xm.b AS DECIMAL(24,12)), 6)
+         |    AS DOUBLE) AS x_abtt
+         |FROM xm JOIN dt ON dt.vec_id = xm.vec_id
+         |ORDER BY xm.vec_id, dim""".stripMargin
+    },
+
     // One Lloyd step: DECIMAL-exact distances -> argmin (ties -> lower
     // cid) -> DECIMAL centroid means; first-4-by-id seeds.
     "emb_kmeans_iter" ->
@@ -6897,6 +6983,41 @@ object SparkEntry {
         |    AS DOUBLE) AS msttr
         |FROM sg GROUP BY 1 ORDER BY source""".stripMargin,
 
+    // Conditional char-bigram entropy: chain rule with no p division —
+    // (sum c ln c over prefixes − over cells)/n, both 6-dp DECIMAL sums
+    // (the entropy discipline); per-doc H and the source mean routed.
+    "text_char_bigram_entropy" ->
+      """WITH d AS (SELECT source, doc_id, substr(text, 1, 256) AS s
+        |      FROM documents),
+        |g AS (SELECT source, doc_id,
+        |        unnest(list_transform(range(1, length(s)),
+        |          i -> substr(s, CAST(i AS INT), 2))) AS bg
+        |      FROM d WHERE length(s) >= 2),
+        |cells AS (SELECT source, doc_id, bg, count(*) AS c
+        |      FROM g GROUP BY 1, 2, 3),
+        |pre AS (SELECT source, doc_id, substr(bg, 1, 1) AS c1,
+        |        CAST(sum(c) AS BIGINT) AS c
+        |      FROM cells GROUP BY 1, 2, 3),
+        |a12 AS (SELECT source, doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+        |        CAST(sum(CAST(round(c * ln(c), 6) AS DECIMAL(18,6)))
+        |          AS DECIMAL(38,6)) AS s_bg
+        |      FROM cells GROUP BY 1, 2),
+        |a1 AS (SELECT source, doc_id,
+        |        CAST(sum(CAST(round(c * ln(c), 6) AS DECIMAL(18,6)))
+        |          AS DECIMAL(38,6)) AS s_c1
+        |      FROM pre GROUP BY 1, 2),
+        |pd AS (SELECT a12.source, a12.doc_id, n_bg,
+        |        CAST(round(CAST(CAST(s_c1 - s_bg AS DOUBLE)
+        |          / CAST(n_bg AS DOUBLE) AS DECIMAL(24,12)), 6)
+        |          AS DECIMAL(18,6)) AS h6
+        |      FROM a12 JOIN a1 USING (source, doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_bg) AS BIGINT) AS n_bigrams,
+        |  CAST(round(CAST(CAST(sum(h6) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |    AS mean_cond_entropy
+        |FROM pd GROUP BY 1 ORDER BY source""".stripMargin,
+
     "sample_curriculum" ->
       """WITH s AS (SELECT doc_id, source,
         |    coalesce(CAST(len(list_distinct(
@@ -6986,6 +7107,39 @@ object SparkEntry {
         |  round(avg(n_events), 6) AS avg_len
         |FROM seq GROUP BY 1
         |ORDER BY n_sessions DESC, sequence LIMIT 10""".stripMargin,
+
+    // Session entropy: the session CTE chain, then H = ln n −
+    // (Σ c·ln c)/n per session (6-dp DECIMAL terms), per-user mean
+    // routed and max taken on the quantized per-session values.
+    "ana_session_entropy" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |cells AS (SELECT user_id, sid, event_type, count(*) AS c
+        |      FROM s GROUP BY 1, 2, 3),
+        |se AS (SELECT user_id, sid, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(sum(CAST(round(c * ln(c), 6) AS DECIMAL(18,6)))
+        |          AS DECIMAL(38,6)) AS sclogc
+        |      FROM cells GROUP BY 1, 2),
+        |h AS (SELECT user_id, n,
+        |        CAST(round(CAST(ln(n) - CAST(sclogc AS DOUBLE)
+        |          / CAST(n AS DOUBLE) AS DECIMAL(24,12)), 6)
+        |          AS DECIMAL(18,6)) AS h6
+        |      FROM se)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(round(CAST(CAST(sum(h6) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |    AS mean_entropy,
+        |  CAST(max(h6) AS DOUBLE) AS max_entropy
+        |FROM h GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     // ORDER BY includes value: (orderkey, linenumber) has real duplicate
     // rows in this data, so the value column completes the total order.
@@ -9498,6 +9652,31 @@ object SparkEntry {
         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS hurst
         |FROM o JOIN nb ON o.k = nb.k ORDER BY user_id""".stripMargin,
+
+    // Turning points: strict comparisons on exact DECIMAL bucket values
+    // (ties break nothing), expectation/z DECIMAL-routed doubles.
+    "ts_turning_points" ->
+      """WITH b AS (SELECT user_id AS k, date_trunc('hour', ts) AS bucket,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM events GROUP BY 1, 2),
+        |bb AS (SELECT * FROM b WHERE v IS NOT NULL),
+        |t AS (SELECT k, v,
+        |        lag(v) OVER (PARTITION BY k ORDER BY bucket) AS pv,
+        |        lead(v) OVER (PARTITION BY k ORDER BY bucket) AS nv
+        |      FROM bb),
+        |a AS (SELECT k, count(*) AS n_buckets,
+        |        CAST(sum(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |            AND ((v > pv AND v > nv) OR (v < pv AND v < nv))
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+        |      FROM t GROUP BY 1 HAVING count(*) >= 3)
+        |SELECT k AS user_id, n_buckets, n_turning,
+        |  CAST(round(CAST(2.0 * CAST(n_buckets - 2 AS DOUBLE) / 3.0
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS expected,
+        |  CAST(round(CAST((CAST(n_turning AS DOUBLE)
+        |      - 2.0 * CAST(n_buckets - 2 AS DOUBLE) / 3.0)
+        |    / sqrt((16.0 * CAST(n_buckets AS DOUBLE) - 29.0) / 90.0)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS z
+        |FROM a ORDER BY user_id""".stripMargin,
 
     // CUSUM: exact DECIMAL prefix sums, running extrema as nested
     // windows, alarm from 6-dp-rounded excursions vs rounded sigma.

@@ -382,6 +382,60 @@ object Analytics {
         col("session_window.end").as("session_end"), col("n_events"),
         col("sequence"))
 
+  /** Per-user session behavioural entropy: Shannon entropy (nats) of
+    * each session's event-type distribution, reduced to the user's mean
+    * and max — "does this user's activity within a session look varied
+    * or single-purpose", the behavioural-diversity feature for
+    * segmentation and the bot signal (scripted sessions cluster at
+    * H = 0, one event type repeated). Rides [[sessionSequences]]'s
+    * session_window sessionization.
+    *
+    * Computed without any p division via H = ln n − (Σ c·ln c)/n
+    * (TextAnalysis.entropy's recipe): per-(session, type) counts are
+    * exact; Σ c·ln c rides a 6-dp-rounded DECIMAL sum; the per-user
+    * mean rides the same. Sessionization is the gap-rule islands form
+    * (new session when ts − prev > gap, microsecond-exact interval
+    * compare) — NOT a session_window aggregate, which would have to
+    * carry event_type in its grouping key and would therefore sessionize
+    * each type stream separately. Scale shape: two user-partitioned
+    * ordered windows (lag + running sum), then three hash aggregates —
+    * no joins.
+    */
+  def sessionEntropy(events: DataFrame, gap: String = "30 minutes",
+                     userCol: String = "user_id", typeCol: String = "event_type",
+                     tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    def d6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val sid = events
+      .withColumn("new_s",
+        when(lag(col(tsCol), 1).over(w).isNull ||
+          col(tsCol) > lag(col(tsCol), 1).over(w) + expr(s"INTERVAL $gap"), 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cells = sid
+      .groupBy(col(userCol), col("sid"), col(typeCol))
+      .agg(count(lit(1)).as("c"))
+    val sess = cells
+      .groupBy(col(userCol), col("sid"))
+      .agg(sum(col("c")).as("n"),
+        sum(round(col("c") * log(col("c")), 6).cast("decimal(18,6)"))
+          .as("sclogc"))
+      .select(col(userCol), col("n"),
+        round((log(col("n")) - col("sclogc").cast("double") /
+          col("n").cast("double")).cast("decimal(24,12)"), 6)
+          .cast("decimal(18,6)").as("h6"))
+    sess.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+        (sum(col("h6")).cast("double") / count(lit(1)).cast("double"))
+          .as("mraw"),
+        max(col("h6")).as("maxh"))
+      .select(col(userCol), col("n_sessions"), col("n_events"),
+        d6(col("mraw")).as("mean_entropy"),
+        col("maxh").cast("double").as("max_entropy"))
+  }
+
   /** Top-k most common session paths — the funnel-DISCOVERY step that
     * precedes [[funnel]]'s fixed-stage measurement: which exact ordered
     * event-type sequences do sessions actually follow, and how often?

@@ -983,6 +983,61 @@ object Similarity {
         round(col("nrm"), 6).as("eigenvalue_est"))
   }
 
+  /** All-but-the-top embedding post-processing (Mu & Viswanath 2018):
+    * x′ = (x − μ) − ((x − μ)·v)v with μ the corpus mean vector and v
+    * the top principal component from [[pcaPowerIteration]] — the
+    * cheap renormalization that removes the common-direction bias
+    * [[isotropy]] measures, and reliably buys retrieval quality on
+    * anisotropic encoder outputs. Output is flattened
+    * (vec_id, dim, x_abtt), [[standardize]]'s shape.
+    *
+    * Scale shape: μ is a d-key DECIMAL aggregate; μ and v pack into ONE
+    * broadcast row of two d-length arrays, so the correction is pure
+    * per-row array arithmetic — no vec-keyed join ever touches the
+    * corpus (the [[covarianceMatrix]] no-self-join rule). Determinism:
+    * the projection coefficient folds 9-dp-rounded DECIMAL terms
+    * per row (exact in any order — the oracle sums the same terms via
+    * a flattened aggregate), and the corrected components are
+    * DECIMAL-routed to 6 dp.
+    */
+  def allButTheTop(embeddings: DataFrame, iters: Int = 3,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val flat = flatten(embeddings, idCol, vecCol)
+    val mu = flat.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x"), 9).cast("decimal(28,9)")).as("sx"))
+      .select(col("dim"),
+        round((col("sx").cast("double") / col("n"))
+          .cast("decimal(24,12)"), 6).cast("double").as("mu"))
+    val pc = pcaPowerIteration(embeddings, iters, idCol, vecCol)
+      .select((col("i") + 1).cast("long").as("dim"), col("loading"))
+    val packed = mu.join(pc, "dim").agg(
+      transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+        s => s.getField("mu")).as("mus"),
+      transform(array_sort(collect_list(struct(col("dim"), col("loading")))),
+        s => s.getField("loading")).as("pcs"))
+    embeddings
+      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(packed))
+      .withColumn("xm", zip_with(col("v"), col("mus"), (a, b) => a - b))
+      .withColumn("dot",
+        // fold precision discipline: term (19,9) + acc (28,9) promotes
+        // to (29,9) — EXACT. A wider acc ((38,9) + (28,9) → capped
+        // (38,8)) silently rounds the 9th decimal at every partial sum.
+        aggregate(
+          zip_with(col("xm"), col("pcs"),
+            (a, b) => round(a * b, 9).cast("decimal(19,9)")),
+          lit(0).cast("decimal(28,9)"),
+          (acc, t) => (acc + t).cast("decimal(28,9)"))
+          .cast("double"))
+      .select(col("vec_id"), posexplode(
+        zip_with(col("xm"), col("pcs"), (a, b) => a - col("dot") * b)))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("col").cast("decimal(24,12)"), 6).cast("double")
+          .as("x_abtt"))
+  }
+
   /** Exact d×d covariance matrix of the embedding columns —
     * `cov(i,j) = Σ x_i·x_j / n − mean_i · mean_j` (population form) —
     * the input to PCA whitening, decorrelation diagnostics, and the

@@ -985,6 +985,56 @@ object TextAnalysis {
       round(try_divide(hRaw, log(col("n_distinct"))), 6).as("norm_entropy"))
   }
 
+  /** Per-source mean conditional character-bigram entropy H(c₂|c₁) over
+    * each document's first `maxChars` characters — the character-level
+    * gibberish detector: natural language has structured character
+    * transitions (low conditional entropy given the preceding char),
+    * while encoding noise, base64 blobs and OCR sludge approach the
+    * unconditional alphabet entropy. Complements [[entropy]] (token
+    * distribution) at the sub-token level where tokenizers see nothing.
+    *
+    * Computed per doc via the chain rule without any p = c/n division:
+    * H(c₁c₂) − H(c₁) = (Σ_{c₁} c·ln c − Σ_{cells} c·ln c)/n, each sum
+    * a 6-dp-rounded DECIMAL ([[entropy]]'s discipline) — order-free,
+    * engine-exact. Scale shape: the bigram explode is capped at
+    * `maxChars` per doc; two hash aggregates on (doc, cell) keys
+    * bounded by alphabet², then doc- and source-keyed reduces. No
+    * joins except the doc-keyed cell/prefix merge.
+    */
+  def charBigramEntropy(docs: DataFrame, srcCol: String = "source",
+                        textCol: String = "text", idCol: String = "doc_id",
+                        maxChars: Int = 256): DataFrame = {
+    require(maxChars >= 2, s"need maxChars >= 2, got $maxChars")
+    val cells = docs
+      .select(col(srcCol).as("source"), col(idCol).as("doc_id"),
+        substring(col(textCol), 1, maxChars).as("s"))
+      .filter(length(col("s")) >= 2)
+      .select(col("source"), col("doc_id"),
+        explode(expr("transform(sequence(1, length(s) - 1), i -> substr(s, i, 2))"))
+          .as("bg"))
+      .groupBy("source", "doc_id", "bg").agg(count(lit(1)).as("c"))
+    val pre = cells
+      .select(col("source"), col("doc_id"),
+        substring(col("bg"), 1, 1).as("c1"), col("c"))
+      .groupBy("source", "doc_id", "c1").agg(sum(col("c")).as("c"))
+    def slog(df: DataFrame, tag: String) = df.groupBy("source", "doc_id")
+      .agg(sum(col("c")).as(s"n_$tag"),
+        sum(round(col("c") * log(col("c")), 6).cast("decimal(18,6)"))
+          .as(s"s_$tag"))
+    val perDoc = slog(cells, "bg").join(slog(pre, "c1"), Seq("source", "doc_id"))
+      .select(col("source"), col("doc_id"), col("n_bg"),
+        round(((col("s_c1") - col("s_bg")).cast("double") /
+          col("n_bg").cast("double")).cast("decimal(24,12)"), 6)
+          .cast("decimal(18,6)").as("h6"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bg")).as("n_bigrams"),
+        (sum(col("h6")).cast("double") / count(lit(1)).cast("double"))
+          .as("mraw"))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        round(col("mraw").cast("decimal(24,12)"), 6).cast("double")
+          .as("mean_cond_entropy"))
+  }
+
   /** Per-document perplexity under the corpus unigram MLE language model:
     * `ln PP(d) = −(1/n_d)·Σ_w c_{d,w}·ln(c_w/N)` — the CCNet-style
     * "how surprising is this document to the corpus itself" filter

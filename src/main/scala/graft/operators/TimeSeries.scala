@@ -1162,6 +1162,49 @@ object TimeSeries {
           .otherwise(lit(null).cast("double"))).as("z"))
   }
 
+  /** Turning-point test per key: count interior buckets that are strict
+    * local extrema (higher than both neighbors or lower than both) and
+    * compare against the i.i.d. expectation E[T] = 2(n−2)/3,
+    * Var[T] = (16n−29)/90 (Kendall & Stuart) — the third member of the
+    * serial-randomness panel: [[runsTest]] sees level persistence,
+    * [[autocorrByKey]] sees linear correlation, turning points see
+    * local oscillation rate (too FEW = trending/sticky, too MANY =
+    * alternating/overdifferenced). Neighbor ties produce no turning
+    * point (strict inequalities).
+    *
+    * Scale shape: one key-partitioned ordered window (lag + lead), one
+    * aggregate — no joins. Determinism: bucket values are exact
+    * DECIMALs so every strict comparison — and hence T — is exact;
+    * E[T] and z are fixed-order doubles of exact integers,
+    * DECIMAL-routed before the 6-dp round.
+    */
+  def turningPoints(events: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, stepSeconds: Long = 3600L): DataFrame = {
+    def d6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    val b = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .filter(col("v").isNotNull)
+      .select(col(keyCol).as("k"), col("bucket"), col("v"))
+    val w = Window.partitionBy(col("k")).orderBy(col("bucket"))
+    val t = b
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .withColumn("nv", lead(col("v"), 1).over(w))
+      .withColumn("tp", when(col("pv").isNotNull && col("nv").isNotNull &&
+        ((col("v") > col("pv") && col("v") > col("nv")) ||
+          (col("v") < col("pv") && col("v") < col("nv"))), 1L)
+        .otherwise(0L))
+    t.groupBy("k")
+      .agg(count(lit(1)).as("n_buckets"), sum(col("tp")).as("n_turning"))
+      .filter(col("n_buckets") >= 3)
+      .select(col("k").as(keyCol), col("n_buckets"), col("n_turning"),
+        d6(lit(2.0) * (col("n_buckets") - 2).cast("double") / lit(3.0))
+          .as("expected"),
+        d6((col("n_turning").cast("double") -
+            lit(2.0) * (col("n_buckets") - 2).cast("double") / lit(3.0)) /
+          sqrt((lit(16.0) * col("n_buckets").cast("double") - lit(29.0)) /
+            lit(90.0))).as("z"))
+  }
+
   /** Hurst exponent per key by rescaled-range (R/S) analysis: partition
     * the observed-bucket series into consecutive full windows of each
     * dyadic size in `windows`, compute each window's range-of-cumulative-

@@ -528,4 +528,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 2.0 / 3.0) < 1e-6)
   }
 
+  test("sessionEntropy: hand per-session Shannon H; boundary event stays") {
+    val rows = Seq(
+      // u1 session 1: [A, B] -> H = ln 2; session 2 (gap 50 min):
+      // [A, A, B, B] -> H = ln 4 - 2*round(2 ln 2)/4 = ln 2
+      (1L, "2024-01-01 00:00:00", "A", 1L),
+      (1L, "2024-01-01 00:10:00", "B", 2L),
+      (1L, "2024-01-01 01:00:00", "A", 3L),
+      (1L, "2024-01-01 01:05:00", "A", 4L),
+      (1L, "2024-01-01 01:10:00", "B", 5L),
+      (1L, "2024-01-01 01:15:00", "B", 6L),
+      // u2: +30:00 exactly is NOT a new session (strict >); +31 is
+      (2L, "2024-01-01 00:00:00", "A", 7L),
+      (2L, "2024-01-01 00:30:00", "A", 8L),
+      (2L, "2024-01-01 01:01:00", "B", 9L))
+      .toDF("user_id", "s", "event_type", "event_id")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"event_type",
+        $"event_id")
+    val out = Analytics.sessionEntropy(rows).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    assert(out(1L) == (2L, 6L, 0.693147, 0.693147))
+    // u2: [A,A] H=0 and [B] H=0
+    assert(out(2L) == (2L, 3L, 0.0, 0.0))
+  }
+
 }

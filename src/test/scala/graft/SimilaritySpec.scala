@@ -606,4 +606,29 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.isotropy(one).collect().head.isNullAt(4))
   }
 
+  test("allButTheTop: collinear corpus collapses to zero; PC-orthogonal") {
+    // All variance along dim 1: x - mu is collinear with the top PC, so
+    // the correction removes everything (up to the 6-dp routing).
+    val line = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(3.0f, 0.0f)), (4L, Seq(4.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.allButTheTop(line).collect()
+    assert(z.length == 8)
+    assert(z.forall(r => math.abs(r.getDouble(2)) <= 1e-6))
+    // 2-dim spread: every corrected vector is orthogonal to the top PC
+    val emb = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 5.0f)),
+      (3L, Seq(2.0f, 1.0f)), (4L, Seq(4.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val pc = Similarity.pcaPowerIteration(emb).orderBy("i").collect()
+      .map(_.getDouble(1))
+    val byVec = Similarity.allButTheTop(emb).collect()
+      .groupBy(_.getLong(0)).view.mapValues(rs =>
+        rs.sortBy(_.getLong(1)).map(_.getDouble(2))).toMap
+    assert(byVec.size == 4)
+    byVec.values.foreach { v =>
+      val dot = v.zip(pc).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot) < 1e-4, s"residual projection $dot")
+    }
+  }
+
 }

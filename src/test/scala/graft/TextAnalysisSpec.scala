@@ -772,4 +772,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(("s1", 2L, 3L, 0.833333)))
   }
 
+  test("charBigramEntropy: hand conditional entropy; truncation; len<2 drop") {
+    // "abab": bigrams ab×2 ba×1 (s_bg 2 ln 2), prefixes a×2 b×1 (s_c1
+    // 2 ln 2) -> H = 0 (deterministic successor). "aabb": bigrams
+    // aa ab bb ×1 (s_bg 0), prefixes a×2 b×1 (s_c1 2 ln 2) ->
+    // H = round(2 ln 2, 6)/3 = 0.462098. Source mean = 0.231049.
+    val docs = Seq((1L, "s1", "abab"), (2L, "s1", "aabb"),
+      (3L, "s1", "x")) // len < 2 -> dropped entirely
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.charBigramEntropy(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("s1") == (2L, 6L, 0.231049))
+    // maxChars truncation: "abcdef" -> "abc" = bigrams ab bc, each
+    // prefix unique -> H = 0, and only 2 bigrams counted
+    val t = TextAnalysis.charBigramEntropy(
+        Seq((4L, "s2", "abcdef")).toDF("doc_id", "source", "text"),
+        maxChars = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(t.toSeq == Seq(("s2", 1L, 2L, 0.0)))
+  }
+
 }

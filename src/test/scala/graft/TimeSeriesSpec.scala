@@ -555,4 +555,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 8L, 2L, 3L, 0.964805)))
   }
 
+  test("turningPoints: hand peak/valley count; strict inequality; n>=3 gate") {
+    def ev(u: Long, vs: Seq[Double]) = vs.zipWithIndex.map { case (v, h) =>
+      (u, f"2024-01-01 $h%02d:00:00", v) }
+    // u1: [1,3,2,5,4] -> interior 3 (peak), 2 (valley), 5 (peak) = 3
+    // u2: monotone [1,2,3] -> 0 turning points
+    // u3: plateau [1,2,2] -> ties are not turning points
+    // u4: two buckets -> dropped by the n_buckets >= 3 gate
+    val rows = (ev(1L, Seq(1.0, 3.0, 2.0, 5.0, 4.0)) ++
+        ev(2L, Seq(1.0, 2.0, 3.0)) ++ ev(3L, Seq(1.0, 2.0, 2.0)) ++
+        ev(4L, Seq(1.0, 2.0)))
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    val out = TimeSeries.turningPoints(rows, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // E = 2(5-2)/3 = 2; z = (3-2)/sqrt((16*5-29)/90)
+    assert(out(1L) == (5L, 3L, 2.0, 1.328422))
+    assert(out(2L) == (3L, 0L, 0.666667, -1.450953))
+    assert(out(3L) == (3L, 0L, 0.666667, -1.450953))
+    assert(!out.contains(4L))
+  }
+
 }
