@@ -184,6 +184,36 @@ class PlanGuardSpec extends SparkSpec {
     assert(!cond.contains("CartesianProduct"), s"conductance cartesian:\n$cond")
   }
 
+  test("abtt / entropy batch keeps its scale shapes") {
+    import graft.analytics.Analytics
+    import graft.operators.{Similarity, TextAnalysis, TimeSeries}
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ev = graft.etl.Ingest.readEvents(spark, sf)
+    // allButTheTop: μ and the PC pack into ONE broadcast row — the
+    // correction never joins the corpus on vec_id and never goes
+    // cartesian
+    val ab = Similarity.allButTheTop(emb)
+      .queryExecution.executedPlan.toString
+    assert(ab.contains("BroadcastExchange"), s"allButTheTop plan:\n$ab")
+    assert(!ab.contains("CartesianProduct"), s"allButTheTop cartesian:\n$ab")
+    // sessionEntropy: user-window sessionization + two hash aggregates,
+    // no join ever
+    val se = Analytics.sessionEntropy(ev)
+      .queryExecution.executedPlan.toString
+    assert(!se.contains("Join"), s"sessionEntropy grew a join:\n$se")
+    // charBigramEntropy: the bigram/prefix tables meet on the
+    // (source, doc_id) equi key only
+    val cb = TextAnalysis.charBigramEntropy(docs)
+      .queryExecution.executedPlan.toString
+    assert(!cb.contains("CartesianProduct"), s"charBigramEntropy:\n$cb")
+    // turningPoints: per-key window + one aggregate, no join
+    val tp = TimeSeries.turningPoints(ev, "user_id", "ts", "value")
+      .queryExecution.executedPlan.toString
+    assert(!tp.contains("Join"), s"turningPoints grew a join:\n$tp")
+  }
+
   test("round-12-late operators keep their scale shapes") {
     val sf = "/root/testdata/sf0.001"
     // dHash near-dup: the pair generator is the banded EQUI-self-join —
