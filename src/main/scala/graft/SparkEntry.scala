@@ -655,6 +655,11 @@ object SparkEntry {
       Analytics.activityConcentration(T(s, dir, "events"))
         .orderBy("threshold")),
 
+    // Gini coefficient of per-user activity by event type — the
+    // inequality summary behind the concentration ladder.
+    "ana_gini" -> ((s, dir) =>
+      Analytics.giniIndex(T(s, dir, "events")).orderBy("event_type")),
+
     // Stage-to-stage funnel latency: median/p90 seconds from first
     // signup to first click to first purchase — the funnel as an SLA.
     "ana_stage_latency" -> ((s, dir) =>
@@ -1710,6 +1715,20 @@ object SparkEntry {
       operators.Graph.conductance(edges, labels).orderBy("label")
     }),
 
+    // k_nn(k) degree–neighbor-degree curve: the hub-and-spoke profile
+    // the assortativity scalar can hide.
+    "graph_knn_degree" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      operators.Graph.avgNeighborDegree(edges).orderBy("deg")
+    }),
+
     // HITS hubs/authorities (2 L1-normalized iterations) over the same
     // directed event-type transition graph as ana_pagerank — hub =
     // "links to important types", authority = "linked from good hubs";
@@ -2710,6 +2729,20 @@ object SparkEntry {
           Seq(col("l_partkey"), col("l_suppkey"), col("l_linenumber")), 20))
         .orderBy("zkey", "l_orderkey", "l_linenumber")),
 
+    // Zone-map skip estimator: the same point probes against the
+    // insertion-order layout and a user-clustered re-sort — the
+    // before/after numbers that justify the re-sort.
+    "layout_skipping" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val probes = Seq(7L, 42L, 120L)
+      Layout.skippingEstimate(ev, Seq(col("ts"), col("event_id")),
+          "user_id", probes, 500L, "by_time")
+        .unionByName(Layout.skippingEstimate(ev,
+          Seq(col("user_id"), col("event_id")),
+          "user_id", probes, 500L, "by_user"))
+        .orderBy("layout", "probe")
+    }),
+
     // Two-phase salted aggregation over the known-skewed event_type key
     // (Skew.saltedCount): hot keys spread across 16 reducers in the
     // partial phase, then the tiny partials collapse. Result — and the
@@ -3001,6 +3034,12 @@ object SparkEntry {
       operators.TimeSeries.turningPoints(
           T(s, dir, "events"), "user_id", "ts", "value")
         .orderBy("user_id")),
+
+    // Lag-1 Granger screen: does last hour's click volume improve the
+    // AR(1) forecast of purchase volume?
+    "ts_granger" -> ((s, dir) =>
+      operators.TimeSeries.grangerLite(
+        T(s, dir, "events"), "purchase", "click")),
 
     // Hour-of-day seasonal strength per user: SSB/SST from per-phase
     // exact aggregates (no windows at all); peak phase ranked by the
@@ -4318,6 +4357,25 @@ object SparkEntry {
          |    AS frac_events
          |FROM l CROSS JOIN tot ORDER BY threshold""".stripMargin
     },
+
+    // Gini by exact rank formula; rank×count sums ride DECIMAL(38,0).
+    "ana_gini" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS x
+        |      FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, x,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY x, user_id) AS i FROM c),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |        CAST(sum(x) AS BIGINT) AS n_events,
+        |        sum(CAST(i * x AS DECIMAL(38,0))) AS six
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, n_users, n_events,
+        |  CAST(round(CAST(
+        |    (2.0 * CAST(six AS DOUBLE) -
+        |      CAST(n_users + 1 AS DOUBLE) * CAST(n_events AS DOUBLE)) /
+        |    (CAST(n_users AS DOUBLE) * CAST(n_events AS DOUBLE))
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS gini
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "ana_transitions" ->
       """WITH s AS (SELECT event_type AS from_type,
@@ -8372,6 +8430,29 @@ object SparkEntry {
         |FROM sizes LEFT JOIN per USING (label) CROSS JOIN m2
         |ORDER BY label""".stripMargin,
 
+    // k_nn(k): per-node mean neighbor degree 12-dp-quantized before the
+    // per-degree-class mean (both engines average identical decimals).
+    "graph_knn_degree" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+        |      FROM lineitem),
+        |e AS (SELECT l.pt AS src, r.pt AS dst FROM it l
+        |      JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT DISTINCT u, v FROM (
+        |      SELECT src AS u, dst AS v FROM e
+        |      UNION ALL SELECT dst, src FROM e)),
+        |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+        |      FROM und GROUP BY 1),
+        |pn AS (SELECT und.u AS node, du.deg AS deg,
+        |        round(CAST(CAST(sum(CAST(dv.deg AS DECIMAL(38,0)))
+        |            AS DOUBLE) / count(*) AS DECIMAL(24,12)), 12) AS nn12
+        |      FROM und JOIN deg du ON du.node = und.u
+        |      JOIN deg dv ON dv.node = und.v GROUP BY 1, 2)
+        |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(round(CAST(CAST(sum(nn12) AS DOUBLE) / count(*)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS avg_nn_deg
+        |FROM pn GROUP BY deg ORDER BY deg""".stripMargin,
+
     // HITS unrolled: each iteration = an authority half-step (DECIMAL
     // in-sum of 12-dp hubs, exact L1 total, 12-dp quotient) then a hub
     // half-step over the fresh authorities — byte-identical to the
@@ -8703,6 +8784,36 @@ object SparkEntry {
                 Seq("l_partkey", "l_suppkey", "l_linenumber"), 20)} AS zkey
          |FROM lineitem
          |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin,
+
+    // Zone-map replay: same row_number file cut, min–max per file,
+    // point probes against [mn, mx].
+    "layout_skipping" -> {
+      def one(name: String, order: String) =
+        s"""SELECT '$name' AS layout, probe, n_files,
+           |  coalesce(h, 0) AS files_hit,
+           |  CAST(round(CAST(1.0 - CAST(coalesce(h, 0) AS DOUBLE)
+           |    / CAST(n_files AS DOUBLE) AS DECIMAL(24,12)), 6) AS DOUBLE)
+           |    AS skip_ratio
+           |FROM (VALUES (CAST(7 AS BIGINT)), (42), (120)) p(probe)
+           |LEFT JOIN (
+           |  SELECT probe, CAST(count(*) AS BIGINT) AS h
+           |  FROM (SELECT CAST(floor((rn - 1) / 500) AS BIGINT) AS f,
+           |          min(user_id) AS mn, max(user_id) AS mx
+           |        FROM (SELECT user_id,
+           |                row_number() OVER (ORDER BY $order) AS rn
+           |              FROM events) GROUP BY 1) fs
+           |  JOIN (VALUES (CAST(7 AS BIGINT)), (42), (120)) pp(probe)
+           |    ON probe BETWEEN mn AND mx
+           |  GROUP BY 1) USING (probe)
+           |CROSS JOIN (
+           |  SELECT CAST(count(DISTINCT CAST(floor((rn - 1) / 500) AS BIGINT))
+           |      AS BIGINT) AS n_files
+           |  FROM (SELECT row_number() OVER (ORDER BY $order) AS rn
+           |        FROM events))""".stripMargin
+      s"""SELECT * FROM (${one("by_time", "ts, event_id")}
+         |UNION ALL ${one("by_user", "user_id, event_id")})
+         |ORDER BY layout, probe""".stripMargin
+    },
 
     "mm_frames" ->
       """SELECT doc_id AS asset_id, i AS frame_idx,
@@ -9677,6 +9788,56 @@ object SparkEntry {
         |    / sqrt((16.0 * CAST(n_buckets AS DOUBLE) - 29.0) / 90.0)
         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS z
         |FROM a ORDER BY user_id""".stripMargin,
+
+    // Granger screen: n-scaled centered moments stay exact 128-bit
+    // integers (HUGEINT mirrors Spark's DECIMAL(38,0)); both engines
+    // then evaluate the identical double ratio.
+    "ts_granger" ->
+      """WITH b AS (SELECT event_type AS t,
+        |        CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bk,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM events WHERE event_type IN ('purchase', 'click')
+        |      GROUP BY 1, 2),
+        |span AS (SELECT min(bk) AS lo, max(bk) AS hi FROM b),
+        |spine AS (SELECT unnest(generate_series(lo, hi)) AS bk FROM span),
+        |grid AS (SELECT spine.bk, CAST(coalesce(a.c, 0) AS BIGINT) AS y,
+        |        CAST(coalesce(xx.c, 0) AS BIGINT) AS x
+        |      FROM spine
+        |      LEFT JOIN b a ON a.t = 'purchase' AND a.bk = spine.bk
+        |      LEFT JOIN b xx ON xx.t = 'click' AND xx.bk = spine.bk),
+        |l AS (SELECT y, lag(y) OVER (ORDER BY bk) AS u,
+        |        lag(x) OVER (ORDER BY bk) AS v FROM grid),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(y AS HUGEINT)) AS sy, sum(CAST(u AS HUGEINT)) AS su,
+        |        sum(CAST(v AS HUGEINT)) AS sv,
+        |        sum(CAST(y * y AS HUGEINT)) AS syy,
+        |        sum(CAST(u * u AS HUGEINT)) AS suu,
+        |        sum(CAST(v * v AS HUGEINT)) AS svv,
+        |        sum(CAST(u * y AS HUGEINT)) AS suy,
+        |        sum(CAST(v * y AS HUGEINT)) AS svy,
+        |        sum(CAST(u * v AS HUGEINT)) AS suv
+        |      FROM l WHERE u IS NOT NULL),
+        |s AS (SELECT n,
+        |        CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS cyy,
+        |        CAST(CAST(n AS HUGEINT) * suu - su * su AS DOUBLE) AS cuu,
+        |        CAST(CAST(n AS HUGEINT) * svv - sv * sv AS DOUBLE) AS cvv,
+        |        CAST(CAST(n AS HUGEINT) * suy - su * sy AS DOUBLE) AS cuy,
+        |        CAST(CAST(n AS HUGEINT) * svy - sv * sy AS DOUBLE) AS cvy,
+        |        CAST(CAST(n AS HUGEINT) * suv - su * sv AS DOUBLE) AS cuv
+        |      FROM m),
+        |r AS (SELECT n AS n_lags,
+        |        CAST(round(CAST((cuy * cuy) / nullif(cuu * cyy, 0.0)
+        |          AS DECIMAL(24,12)), 6) AS DOUBLE) AS r2_ar1,
+        |        CAST(round(CAST(
+        |          ((cuy * cvv - cvy * cuv) * cuy +
+        |           (cvy * cuu - cuy * cuv) * cvy)
+        |          / nullif((cuu * cvv - cuv * cuv) * cyy, 0.0)
+        |          AS DECIMAL(24,12)), 6) AS DOUBLE) AS r2_full
+        |      FROM s)
+        |SELECT n_lags, r2_ar1, r2_full,
+        |  CAST(round(CAST(r2_full - r2_ar1 AS DECIMAL(24,12)), 6)
+        |    AS DOUBLE) AS r2_gain
+        |FROM r""".stripMargin,
 
     // CUSUM: exact DECIMAL prefix sums, running extrema as nested
     // windows, alarm from 6-dp-rounded excursions vs rounded sigma.

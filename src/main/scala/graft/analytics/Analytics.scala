@@ -436,6 +436,41 @@ object Analytics {
         col("maxh").cast("double").as("max_entropy"))
   }
 
+  /** Gini coefficient of per-user activity, per event type: the
+    * inequality summary behind [[activityConcentration]]'s fixed
+    * thresholds — 0 is uniform engagement, → 1 is a whale economy,
+    * and the per-type split shows WHICH behaviors concentrate. Uses
+    * the exact rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over
+    * counts sorted ascending (tie order irrelevant: equal x make equal
+    * contributions under any rank assignment... rank ties broken by
+    * user for a total order anyway).
+    *
+    * Scale shape: events collapse to (type, user) counts FIRST (map-
+    * side combine), so the rank window runs over per-user aggregates —
+    * users, not events — partitioned by type. Sums ride DECIMAL(38,0)
+    * (rank×count products overflow int64 at ~10⁹ users); one rounded
+    * division per type.
+    */
+  def giniIndex(events: DataFrame, userCol: String = "user_id",
+                typeCol: String = "event_type"): DataFrame = {
+    val counts = events.groupBy(col(typeCol).as("t"), col(userCol).as("u"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("t")).orderBy(col("x"), col("u"))
+    counts
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("t").as(typeCol))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("n_events"),
+        sum((col("i") * col("x")).cast("decimal(38,0)")).as("six"))
+      .select(col(typeCol), col("n_users"), col("n_events"),
+        round(try_divide(
+          lit(2.0) * col("six").cast("double") -
+            (col("n_users") + 1L).cast("double") *
+              col("n_events").cast("double"),
+          col("n_users").cast("double") * col("n_events").cast("double"))
+          .cast("decimal(24,12)"), 6).cast("double").as("gini"))
+  }
+
   /** Top-k most common session paths — the funnel-DISCOVERY step that
     * precedes [[funnel]]'s fixed-stage measurement: which exact ordered
     * event-type sequences do sessions actually follow, and how often?

@@ -803,4 +803,39 @@ object Graph {
       .select(col("node"), round(col("hub"), 6).as("hub"),
         round(col("authority"), 6).as("authority"))
   }
+
+  /** Average nearest-neighbor degree per degree class — the k_nn(k)
+    * CURVE behind [[assortativity]]'s single coefficient (Pastor-
+    * Satorras et al. 2001): for each degree k, the mean over degree-k
+    * nodes of their mean neighbor degree. A falling curve exposes the
+    * hub-and-spoke topology (hubs touch leaves) that decides whether
+    * degree-keyed partitioning skews; the scalar r can hide a
+    * non-monotone mix.
+    *
+    * Cost: one degree aggregate joined onto both endpoints of the
+    * symmetric edge view, one node-keyed mean, one degree-keyed mean —
+    * all equi-keyed, output ≤ max-degree rows. Determinism: per-node
+    * means are exact integer sums divided once and 12-dp DECIMAL-
+    * quantized BEFORE the per-class mean (both engines average the
+    * same quantized values), the class mean 6-dp-routed.
+    */
+  def avgNeighborDegree(edges: DataFrame, srcCol: String = "src",
+                        dstCol: String = "dst"): DataFrame = {
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val perNode = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .groupBy(col("u").as("node"), col("du").as("deg"))
+      .agg(round((sum(col("dv").cast("decimal(38,0)")).cast("double") /
+          count(lit(1)).cast("double")).cast("decimal(24,12)"), 12)
+        .as("nn12"))
+    perNode.groupBy("deg")
+      .agg(count(lit(1)).as("n_nodes"),
+        round((sum(col("nn12")).cast("double") /
+            count(lit(1)).cast("double")).cast("decimal(24,12)"), 6)
+          .cast("double").as("avg_nn_deg"))
+  }
 }

@@ -97,6 +97,54 @@ object Layout {
     ranged.sortWithinPartitions(col("__zkey")).drop("__zkey")
   }
 
+  /** Zone-map skipping estimator: replay a candidate layout (a total
+    * `orderCols` order cut into `rowsPerFile`-row files), build each
+    * file's min–max zone map on `probeCol`, and report — per point
+    * probe — how many files a `probeCol = p` scan must touch. The
+    * number that justifies (or kills) a re-sort BEFORE paying for it:
+    * a layout clustered on the probe column skips all but ~1 file, the
+    * insertion order skips nothing.
+    *
+    * Scale shape: this is a PLANNING estimator — run it on the
+    * representative sample you'd plan a `ZORDER BY` from, not the full
+    * table (the file-id assignment is one global row_number; at full
+    * scale the same zone maps come free from parquet footer stats).
+    * Downstream of the window everything is file-granular: one
+    * min/max aggregate (files = rows/rowsPerFile), a broadcast probe
+    * join, one count per probe.
+    */
+  def skippingEstimate(df: DataFrame, orderCols: Seq[Column],
+                       probeCol: String, probes: Seq[Long],
+                       rowsPerFile: Long = 1000L,
+                       layoutName: String = "layout"): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    require(probes.nonEmpty, "need at least one probe value")
+    require(rowsPerFile >= 1, s"need rowsPerFile >= 1, got $rowsPerFile")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderCols: _*)
+    val fstats = df
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      // Column./ is double division — floor it back to the file ordinal
+      // (exact below 2^52 rows, far past any planning sample)
+      .withColumn("__f", floor((col("__rn") - 1L) / rowsPerFile).cast("long"))
+      .groupBy("__f")
+      .agg(min(col(probeCol)).as("mn"), max(col(probeCol)).as("mx"))
+    val nf = fstats.agg(count(lit(1)).as("n_files"))
+    val probeDf = df.sparkSession.range(1)
+      .select(explode(array(probes.map(lit(_)): _*)).as("probe"))
+    val hits = fstats
+      .join(broadcast(probeDf),
+        col("probe") >= col("mn") && col("probe") <= col("mx"))
+      .groupBy("probe").agg(count(lit(1)).as("h"))
+    probeDf.join(hits, Seq("probe"), "left")
+      .crossJoin(broadcast(nf))
+      .select(lit(layoutName).as("layout"), col("probe"), col("n_files"),
+        coalesce(col("h"), lit(0L)).as("files_hit"),
+        round((lit(1.0) - coalesce(col("h"), lit(0L)).cast("double") /
+          col("n_files").cast("double")).cast("decimal(24,12)"), 6)
+          .cast("double").as("skip_ratio"))
+  }
+
   /** Partition-layout plan for a write: given the partition columns,
     * report each partition's row count, share of the table, and the
     * file count at `targetRows` rows/file — the pre-write skew audit

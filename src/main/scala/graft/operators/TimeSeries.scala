@@ -1302,4 +1302,74 @@ object TimeSeries {
             col("sx").cast("double") * col("sx").cast("double")))
           .as("hurst"))
   }
+
+  /** Granger-style lead–lag test between two event-type count series:
+    * does knowing last hour's `typeX` volume improve the AR(1) forecast
+    * of `typeA`'s volume? Fits y_t ~ y_{t−1} (restricted) and
+    * y_t ~ y_{t−1} + x_{t−1} (full) by exact OLS over the zero-filled
+    * bucket grid and reports both R² plus the gain — the cheap
+    * "is B a leading indicator of A" screen behind [[xcorr]]'s
+    * symmetric correlation (Granger 1969, lag-1 F-test numerator).
+    *
+    * Determinism & scale: the series is ONE row per step over the
+    * observed span (sequence-exploded spine, zero-filled), so the lag
+    * window and the 10 moment sums run over time-range/step rows —
+    * bounded by the calendar, not the data. All moments are exact
+    * integers in DECIMAL(38,0) scaled by n (S_ab = n·Σab − Σa·Σb; the
+    * n factor cancels in every R² ratio), so both engines divide
+    * identical operands; R²s are 6-dp DECIMAL-routed, degenerate
+    * variance → NULL via try_divide.
+    */
+  def grangerLite(events: DataFrame, typeA: String, typeX: String,
+                  typeCol: String = "event_type", tsCol: String = "ts",
+                  stepSeconds: Long = 3600L): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    require(typeA != typeX, "need two distinct event types")
+    val b = events.filter(col(typeCol).isin(typeA, typeX))
+      .select(col(typeCol).as("t"),
+        floor(unix_timestamp(col(tsCol)) / stepSeconds).as("bk"))
+      .groupBy("t", "bk").agg(count(lit(1)).as("c"))
+    val span = b.agg(min(col("bk")).as("lo"), max(col("bk")).as("hi"))
+    val spine = span.select(explode(sequence(col("lo"), col("hi"))).as("bk"))
+    val grid = spine
+      .join(b.filter(col("t") === typeA).select(col("bk"), col("c").as("ya")),
+        Seq("bk"), "left")
+      .join(b.filter(col("t") === typeX).select(col("bk"), col("c").as("xb")),
+        Seq("bk"), "left")
+      .select(col("bk"), coalesce(col("ya"), lit(0L)).as("y"),
+        coalesce(col("xb"), lit(0L)).as("x"))
+    val w = Window.orderBy(col("bk"))
+    val lagged = grid
+      .withColumn("u", lag(col("y"), 1).over(w))
+      .withColumn("v", lag(col("x"), 1).over(w))
+      .filter(col("u").isNotNull)
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+    val m = lagged.agg(count(lit(1)).as("n"),
+      dsum(col("y")).as("sy"), dsum(col("u")).as("su"),
+      dsum(col("v")).as("sv"), dsum(col("y") * col("y")).as("syy"),
+      dsum(col("u") * col("u")).as("suu"),
+      dsum(col("v") * col("v")).as("svv"),
+      dsum(col("u") * col("y")).as("suy"),
+      dsum(col("v") * col("y")).as("svy"),
+      dsum(col("u") * col("v")).as("suv"))
+    // n-scaled centered moments — exact DECIMAL integers
+    def cS(ab: String, a: String, bb: String) =
+      (col("n").cast("decimal(38,0)") * col(ab) - col(a) * col(bb))
+        .cast("double")
+    val s = m.select(col("n"),
+      cS("syy", "sy", "sy").as("cyy"), cS("suu", "su", "su").as("cuu"),
+      cS("svv", "sv", "sv").as("cvv"), cS("suy", "su", "sy").as("cuy"),
+      cS("svy", "sv", "sy").as("cvy"), cS("suv", "su", "sv").as("cuv"))
+    def d6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    s.select(col("n").as("n_lags"),
+        d6(try_divide(col("cuy") * col("cuy"), col("cuu") * col("cyy")))
+          .as("r2_ar1"),
+        d6(try_divide(
+          (col("cuy") * col("cvv") - col("cvy") * col("cuv")) * col("cuy") +
+            (col("cvy") * col("cuu") - col("cuy") * col("cuv")) * col("cvy"),
+          (col("cuu") * col("cvv") - col("cuv") * col("cuv")) * col("cyy")))
+          .as("r2_full"))
+      .withColumn("r2_gain", d6(col("r2_full") - col("r2_ar1")))
+  }
 }

@@ -553,4 +553,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(2L) == (2L, 3L, 0.0, 0.0))
   }
 
+  test("giniIndex: hand rank formula; uniform 0; single user 0") {
+    // A: counts (1,1,2) -> G = (2*9 - 4*4)/(3*4) = 1/6
+    // B: counts (2,2,2) -> 0; C: one user -> 0
+    val rows = (Seq((1L, "A"), (2L, "A"), (3L, "A"), (3L, "A")) ++
+        Seq(1L, 1L, 2L, 2L, 3L, 3L).map((_, "B")) ++ Seq((1L, "C")))
+      .toDF("user_id", "event_type")
+    val out = Analytics.giniIndex(rows).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("A") == (3L, 4L, 0.166667))
+    assert(out("B") == (3L, 6L, 0.0))
+    assert(out("C") == (1L, 1L, 0.0))
+  }
+
 }

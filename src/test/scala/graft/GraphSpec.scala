@@ -339,4 +339,17 @@ class GraphSpec extends SparkSpec {
       (2L, 1L, 0L, 0L, None)))
   }
 
+  test("avgNeighborDegree: star and path k_nn(k) hand-computed") {
+    // star 1-{2,3,4}: hub (deg 3) sees leaves (deg 1) and vice versa
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val s = Graph.avgNeighborDegree(star).orderBy("deg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(s.toSeq == Seq((1L, 3L, 3.0), (3L, 1L, 1.0)))
+    // path 1-2-3: ends (deg 1) see the middle (deg 2); middle sees 1s
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Graph.avgNeighborDegree(path).orderBy("deg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(p.toSeq == Seq((1L, 2L, 2.0), (2L, 1L, 1.0)))
+  }
+
 }

@@ -100,4 +100,24 @@ class LayoutSpec extends SparkSpec {
     val e = Layout.partitionPlan(even, Seq(col("p")), 1000L).collect().head
     assert(e.getLong(2) == 2L && e.getDouble(4) == 1.0)
   }
+
+  test("skippingEstimate: clustered layout skips, scrambled layout can't") {
+    // 10 rows; probe column p is 1..10 in row order. Clustered on p:
+    // file0 = [1,5], file1 = [6,10] -> probe 5 touches 1 of 2 files.
+    val df = (1 to 10).map(i => (i.toLong, i.toLong)).toDF("o", "p")
+    val c = Layout.skippingEstimate(df, Seq(col("o")), "p",
+        Seq(5L, 100L), rowsPerFile = 5L, layoutName = "clustered")
+      .orderBy("probe").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(c.toSeq == Seq(("clustered", 5L, 2L, 1L, 0.5),
+      ("clustered", 100L, 2L, 0L, 1.0)))
+    // alternating p: both files span [1,10] -> probe 5 touches both
+    val alt = (1 to 10).map(i =>
+      (i.toLong, if (i % 2 == 0) 10L else 1L + (i % 5))).toDF("o", "p")
+    val a = Layout.skippingEstimate(alt, Seq(col("o")), "p",
+        Seq(5L), rowsPerFile = 5L, layoutName = "scrambled")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(a.toSeq == Seq((2L, 2L, 0.0)))
+  }
 }

@@ -577,4 +577,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("grangerLite: x perfectly leads y, zero-filled spine, hand moments") {
+    // hourly counts over buckets 0..4 (zero-filled): y = [0,1,0,0,1],
+    // x = [1,0,0,1,0] -> y_t = x_{t-1} exactly. Hand moments (n=4):
+    // cyy=4 cuu=3 cvv=4 cuy=-2 cvy=4 cuv=-2 -> R2_ar1 = 4/12,
+    // R2_full = 32/32 = 1.
+    val rows = Seq(("a", 1), ("a", 4), ("x", 0), ("x", 3))
+      .map { case (t, h) => (t, f"2024-01-01 $h%02d:30:00") }
+      .toDF("event_type", "s")
+      .select($"event_type", to_timestamp($"s").as("ts"))
+    val r = TimeSeries.grangerLite(rows, "a", "x").collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 0.333333)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 0.666667)
+  }
+
 }
