@@ -46,7 +46,16 @@ class PlanGuardSpec extends SparkSpec {
       // per-decile aggregate, never the scored rows (ML.liftDeciles
       // scaladoc: quantile-threshold binning precisely to avoid the
       // data-sized ntile rank)
-      "ml_lift")
+      "ml_lift",
+      // PLANNING estimator by contract (Layout.skippingEstimate scaladoc):
+      // the row_number file-cut replays a layout over the representative
+      // sample you'd plan a ZORDER from; at table scale the zone maps
+      // come from parquet footer stats, not this operator
+      "layout_skipping",
+      // the lag window runs over the zero-filled bucket SPINE —
+      // time-range/stepSeconds rows, bounded by the calendar, not the
+      // events (TimeSeries.grangerLite scaladoc)
+      "ts_granger")
 
   test("no registered query plans an unpartitioned ordered Window (bounded allowlist aside)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -212,6 +221,35 @@ class PlanGuardSpec extends SparkSpec {
     val tp = TimeSeries.turningPoints(ev, "user_id", "ts", "value")
       .queryExecution.executedPlan.toString
     assert(!tp.contains("Join"), s"turningPoints grew a join:\n$tp")
+  }
+
+  test("gini / knn-degree / skipping / granger batch keeps its shapes") {
+    import graft.analytics.Analytics
+    import graft.operators.{Layout, TimeSeries}
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.etl.Ingest.readEvents(spark, sf)
+    // giniIndex: type-partitioned rank window over per-user AGGREGATES —
+    // no join anywhere
+    val g = Analytics.giniIndex(ev).queryExecution.executedPlan.toString
+    assert(!g.contains("Join"), s"giniIndex grew a join:\n$g")
+    // avgNeighborDegree: degree attaches to both endpoints by equi key
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val nn = graft.operators.Graph.avgNeighborDegree(e)
+      .queryExecution.executedPlan.toString
+    assert(!nn.contains("CartesianProduct"), s"avgNeighborDegree:\n$nn")
+    // skippingEstimate: probes and the file total ride broadcasts
+    val sk = Layout.skippingEstimate(ev,
+        Seq(org.apache.spark.sql.functions.col("ts")), "user_id",
+        Seq(1L, 2L), 100L, "t")
+      .queryExecution.executedPlan.toString
+    assert(sk.contains("BroadcastExchange"), s"skippingEstimate:\n$sk")
+    assert(!sk.contains("CartesianProduct"), s"skippingEstimate:\n$sk")
+    // grangerLite: the spine joins the two count series on the bucket
+    // equi key only
+    val gr = TimeSeries.grangerLite(ev, "purchase", "click")
+      .queryExecution.executedPlan.toString
+    assert(!gr.contains("CartesianProduct"), s"grangerLite:\n$gr")
   }
 
   test("round-12-late operators keep their scale shapes") {
