@@ -660,6 +660,11 @@ object SparkEntry {
     "ana_gini" -> ((s, dir) =>
       Analytics.giniIndex(T(s, dir, "events")).orderBy("event_type")),
 
+    // Log-log price elasticity of demand per brand, with R² beside it.
+    "ana_elasticity" -> ((s, dir) =>
+      Analytics.priceElasticity(T(s, dir, "lineitem"), T(s, dir, "part"))
+        .orderBy("p_brand")),
+
     // Stage-to-stage funnel latency: median/p90 seconds from first
     // signup to first click to first purchase — the funnel as an SLA.
     "ana_stage_latency" -> ((s, dir) =>
@@ -1102,6 +1107,32 @@ object SparkEntry {
       val e = T(s, dir, "events").select(col("user_id").cast("string").as("key"))
       val sk = Sketch.cmsBuild(e, "key", 4, 64)
       Sketch.cmsTopK(sk, e, "key", 4, 64, 20)
+    }),
+
+    // CMS width-error sweep: the calibration curve (lsh_curve's sibling)
+    // that sizes the sketch — mean/max over-estimate and the exact-hit
+    // share at 16/64/256 buckets against true counts.
+    "sketch_cms_sweep" -> ((s, dir) => {
+      val e = T(s, dir, "events").select(col("user_id").cast("string").as("key"))
+      val exact = e.groupBy("key").agg(count(lit(1)).as("exact"))
+      def d6(c: org.apache.spark.sql.Column) =
+        round(c.cast("decimal(24,12)"), 6).cast("double")
+      Seq(16, 64, 256).map { w =>
+        val sk = Sketch.cmsBuild(e, "key", 4, w)
+        Sketch.cmsEstimate(sk, e.select("key").distinct(), "key", 4, w)
+          .join(exact, "key")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("est") - col("exact")).as("sover"),
+            max(col("est") - col("exact")).as("max_over"),
+            sum(when(col("est") === col("exact"), 1L).otherwise(0L))
+              .as("nex"))
+          .select(lit(w.toLong).as("width"), col("n_keys"),
+            d6(col("sover").cast("double") / col("n_keys").cast("double"))
+              .as("mean_over"),
+            col("max_over"),
+            d6(col("nex").cast("double") / col("n_keys").cast("double"))
+              .as("frac_exact"))
+      }.reduce(_ unionByName _).orderBy("width")
     }),
 
     // Histogram quantile sketch: 64 equi-width bins over l_extendedprice,
@@ -1727,6 +1758,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
         .select("src", "dst")
       operators.Graph.avgNeighborDegree(edges).orderBy("deg")
+    }),
+
+    // Weak ties of the co-purchase graph: edges closing no triangle.
+    "graph_local_bridges" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      operators.Graph.localBridges(edges).orderBy("src", "dst")
     }),
 
     // HITS hubs/authorities (2 L1-normalized iterations) over the same
@@ -2373,6 +2417,12 @@ object SparkEntry {
 
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(T(s, dir, "documents")).orderBy("doc_id")),
+
+    // langId measured against the labeled lang column: confusion counts
+    // + per-language recall shares.
+    "text_langid_eval" -> ((s, dir) =>
+      TextAnalysis.langIdEval(T(s, dir, "documents"))
+        .orderBy("lang_true", "lang_pred")),
 
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(T(s, dir, "documents")).orderBy("doc_id")),
@@ -3423,6 +3473,25 @@ object SparkEntry {
   private val docToks =
     "SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents"
 
+  /** Shared langId oracle pieces: per-language marker-count SELECT list
+    * and the priority-argmax CASE — the exact mirror of
+    * TextAnalysis.langId, used by text_langid and text_langid_eval.
+    */
+  private def langidScoreAndCase: (String, String) = {
+    val scores = TextAnalysis.langMarkers.map { case (lang, m) =>
+      val markers = m.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(toks, t -> list_contains($markers, t))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val cases = langs.zipWithIndex.map { case (lang, i) =>
+      val earlier = langs.take(i).map(l => s"s_$lang > s_$l")
+      val later = langs.drop(i + 1).map(l => s"s_$lang >= s_$l")
+      val conds = (earlier ++ later :+ s"s_$lang > 0").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString("\n    ")
+    (scores, cases)
+  }
+
   /** Winnowing oracle: the same 3-token shingles hashed with the 131-
     * polynomial, a generate_series window explode, and the rightmost-
     * min row_number — selection-for-selection identical to the Spark
@@ -4377,6 +4446,36 @@ object SparkEntry {
         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS gini
         |FROM a ORDER BY event_type""".stripMargin,
 
+    // Elasticity: 6-dp-quantized lns scaled to exact ×10⁶ integers
+    // (HUGEINT mirrors Spark's DECIMAL(38,0)); centered moments are
+    // exact, so zero variance is exactly NULL on both engines.
+    "ana_elasticity" ->
+      """WITH r AS (SELECT p_brand AS grp,
+        |        CAST(CAST(round(ln(CAST(l_extendedprice AS DOUBLE)
+        |            / CAST(l_quantity AS DOUBLE)), 6)
+        |          AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS x,
+        |        CAST(CAST(round(ln(CAST(l_quantity AS DOUBLE)), 6)
+        |          AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS y
+        |      FROM lineitem JOIN part ON p_partkey = l_partkey
+        |      WHERE CAST(l_quantity AS DOUBLE) > 0
+        |        AND CAST(l_extendedprice AS DOUBLE)
+        |          / CAST(l_quantity AS DOUBLE) > 0),
+        |m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |        sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+        |        sum(x * y) AS sxy, sum(y * y) AS syy
+        |      FROM r GROUP BY 1),
+        |c AS (SELECT grp AS p_brand, n,
+        |        CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS cxx,
+        |        CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS cxy,
+        |        CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS cyy
+        |      FROM m)
+        |SELECT p_brand, n,
+        |  CAST(round(CAST(cxy / nullif(cxx, 0.0) AS DECIMAL(24,12)), 6)
+        |    AS DOUBLE) AS elasticity,
+        |  CAST(round(CAST((cxy * cxy) / nullif(cxx * cyy, 0.0)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS r2
+        |FROM c ORDER BY p_brand""".stripMargin,
+
     "ana_transitions" ->
       """WITH s AS (SELECT event_type AS from_type,
         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -4532,6 +4631,53 @@ object SparkEntry {
          |FROM kb JOIN counts c ON kb.r = c.r AND kb.bucket = c.bucket
          |GROUP BY kb.key
          |ORDER BY est DESC, key LIMIT 20""".stripMargin
+    },
+
+    // Width sweep: the same hash chain at 16/64/256 buckets, error
+    // stats vs exact per-key counts.
+    "sketch_cms_sweep" -> {
+      val consts = (0 until 4).map(r =>
+        s"($r, ${1103515245L * (r + 1) % 2147483647L}, " +
+          s"${12345L * (r + 1) % 2147483647L})").mkString(", ")
+      def one(w: Int) =
+        s"""SELECT CAST($w AS BIGINT) AS width,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(round(CAST(CAST(sum(est - exact) AS DOUBLE) / count(*)
+           |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS mean_over,
+           |  CAST(max(est - exact) AS BIGINT) AS max_over,
+           |  CAST(round(CAST(CAST(sum(CASE WHEN est = exact THEN 1
+           |      ELSE 0 END) AS DOUBLE) / count(*)
+           |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS frac_exact
+           |FROM (
+           |  SELECT kb.key, min(c.cnt) AS est, min(ex.exact) AS exact
+           |  FROM (SELECT key, r,
+           |        ((((h * a + b) % 2147483647) * 2654435761)
+           |          % 4294967296) % $w AS bucket
+           |      FROM kh CROSS JOIN consts) kb
+           |  JOIN (SELECT kb2.r, kb2.bucket, count(*) AS cnt
+           |      FROM ev e JOIN (SELECT key, r,
+           |            ((((h * a + b) % 2147483647) * 2654435761)
+           |              % 4294967296) % $w AS bucket
+           |          FROM kh CROSS JOIN consts) kb2 ON e.key = kb2.key
+           |      GROUP BY kb2.r, kb2.bucket) c
+           |    ON kb.r = c.r AND kb.bucket = c.bucket
+           |  JOIN (SELECT key, count(*) AS exact FROM ev GROUP BY 1) ex
+           |    ON ex.key = kb.key
+           |  GROUP BY kb.key)""".stripMargin
+      s"""WITH consts(r, a, b) AS (VALUES $consts),
+         |keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key
+         |      FROM events),
+         |kh AS (
+         |  SELECT key,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(length(key)),
+         |        i -> ascii(substr(key, CAST(i + 1 AS INT), 1)))),
+         |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h
+         |  FROM keys),
+         |ev AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events)
+         |SELECT * FROM (${Seq(16, 64, 256).map(one).mkString(
+            "\nUNION ALL\n")})
+         |ORDER BY width""".stripMargin
     },
 
     // HLL registers from the Knuth 32-bit fold of event_id: bucket = low
@@ -5064,20 +5210,11 @@ object SparkEntry {
          |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
          |FROM base ORDER BY doc_id""".stripMargin,
 
+    // Same argmax-with-priority as TextAnalysis.langId: lang i wins iff
+    // its score beats (strictly) all earlier and (weakly) all later
+    // (langidScoreAndCase builds both SQL pieces).
     "text_langid" -> {
-      val scores = TextAnalysis.langMarkers.map { case (lang, m) =>
-        val markers = m.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"CAST(len(list_filter(toks, t -> list_contains($markers, t))) AS BIGINT) AS s_$lang"
-      }.mkString(",\n  ")
-      // Same argmax-with-priority as TextAnalysis.langId: lang i wins iff
-      // its score beats (strictly) all earlier and (weakly) all later.
-      val langs = TextAnalysis.langMarkers.map(_._1)
-      val cases = langs.zipWithIndex.map { case (lang, i) =>
-        val earlier = langs.take(i).map(l => s"s_$lang > s_$l")
-        val later = langs.drop(i + 1).map(l => s"s_$lang >= s_$l")
-        val conds = (earlier ++ later :+ s"s_$lang > 0").mkString(" AND ")
-        s"WHEN $conds THEN '$lang'"
-      }.mkString("\n    ")
+      val (scores, cases) = langidScoreAndCase
       s"""WITH base AS ($docToks),
          |scored AS (SELECT doc_id,
          |  $scores
@@ -5086,6 +5223,29 @@ object SparkEntry {
          |  CASE $cases
          |    ELSE 'und' END AS lang_pred
          |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    // Confusion of langId vs the labeled lang: counts + row-normalized
+    // recall shares.
+    "text_langid_eval" -> {
+      val (scores, cases) = langidScoreAndCase
+      s"""WITH base AS ($docToks),
+         |scored AS (SELECT doc_id,
+         |  $scores
+         |FROM base),
+         |pred AS (SELECT doc_id, CASE $cases
+         |    ELSE 'und' END AS lang_pred FROM scored),
+         |conf AS (SELECT d.lang AS lang_true, p.lang_pred,
+         |        CAST(count(*) AS BIGINT) AS n
+         |      FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+         |      GROUP BY 1, 2),
+         |tot AS (SELECT lang_true, CAST(sum(n) AS BIGINT) AS t
+         |      FROM conf GROUP BY 1)
+         |SELECT lang_true, lang_pred, n,
+         |  CAST(round(CAST(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS frac_of_true
+         |FROM conf JOIN tot USING (lang_true)
+         |ORDER BY lang_true, lang_pred""".stripMargin
     },
 
     // Same langid scaffolding joined back to the declared tag; an 'und'
@@ -8452,6 +8612,26 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(sum(nn12) AS DOUBLE) / count(*)
         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS avg_nn_deg
         |FROM pn GROUP BY deg ORDER BY deg""".stripMargin,
+
+    // Local bridges by the NAIVE common-neighbor anti-join — Spark's
+    // degree-oriented triangle-edge formulation must agree.
+    "graph_local_bridges" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+        |      FROM lineitem),
+        |e AS (SELECT l.pt AS src, r.pt AS dst FROM it l
+        |      JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT DISTINCT u, v FROM (
+        |      SELECT src AS u, dst AS v FROM e
+        |      UNION ALL SELECT dst, src FROM e)),
+        |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst)
+        |        AS b FROM e),
+        |closed AS (SELECT DISTINCT e0.a, e0.b FROM e0
+        |      JOIN und n1 ON n1.u = e0.a
+        |      JOIN und n2 ON n2.u = e0.b AND n2.v = n1.v)
+        |SELECT a AS src, b AS dst FROM e0
+        |ANTI JOIN closed USING (a, b)
+        |ORDER BY src, dst""".stripMargin,
 
     // HITS unrolled: each iteration = an authority half-step (DECIMAL
     // in-sum of 12-dp hubs, exact L1 total, 12-dp quotient) then a hub

@@ -436,6 +436,53 @@ object Analytics {
         col("maxh").cast("double").as("max_entropy"))
   }
 
+  /** Log–log price elasticity of demand per item group: the OLS slope
+    * of ln(quantity) on ln(unit price) across order lines — the classic
+    * "−1.2 means a 1% price rise costs 1.2% volume" retail coefficient,
+    * with R² beside it so a near-zero fit isn't mistaken for
+    * inelasticity. `items` (the part dim) broadcasts onto the fact by
+    * partkey; moments aggregate per group with map-side combine.
+    *
+    * Determinism: each ln is 6-dp-quantized then scaled to an EXACT
+    * integer (×10⁶, DECIMAL(38,0) — the grangerLite discipline), so
+    * the five moment sums and the n-scaled centered moments are exact
+    * integers: a zero-variance group yields cxx = 0 EXACTLY (→ NULL
+    * via try_divide, never a rounding-noise ratio), the ×10⁶ scale
+    * cancels in slope and R², and both engines divide identical
+    * doubles, 6-dp-routed.
+    */
+  def priceElasticity(lineitem: DataFrame, items: DataFrame,
+                      groupCol: String = "p_brand"): DataFrame = {
+    def scaled(c: Column) =
+      (round(log(c), 6).cast("decimal(18,6)") * lit(1000000L))
+        .cast("decimal(38,0)")
+    val rows = lineitem
+      .select(col("l_partkey"),
+        col("l_quantity").cast("double").as("q"),
+        (col("l_extendedprice").cast("double") /
+          col("l_quantity").cast("double")).as("pu"))
+      .filter(col("q") > 0 && col("pu") > 0)
+      .join(broadcast(items.select(col("p_partkey").as("l_partkey"),
+        col(groupCol).as("grp"))), "l_partkey")
+      .select(col("grp"), scaled(col("pu")).as("x"), scaled(col("q")).as("y"))
+    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    val m = rows.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    def cS(ab: String, a: String, b: String) =
+      (col("n").cast("decimal(38,0)") * col(ab) - col(a) * col(b))
+        .cast("double")
+    val c = m.select(col("grp").as(groupCol), col("n"),
+      cS("sxx", "sx", "sx").as("cxx"), cS("sxy", "sx", "sy").as("cxy"),
+      cS("syy", "sy", "sy").as("cyy"))
+    c.select(col(groupCol), col("n"),
+      d6(try_divide(col("cxy"), col("cxx"))).as("elasticity"),
+      d6(try_divide(col("cxy") * col("cxy"), col("cxx") * col("cyy")))
+        .as("r2"))
+  }
+
   /** Gini coefficient of per-user activity, per event type: the
     * inequality summary behind [[activityConcentration]]'s fixed
     * thresholds — 0 is uniform engagement, → 1 is a whale economy,

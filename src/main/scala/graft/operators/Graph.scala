@@ -804,6 +804,58 @@ object Graph {
         round(col("authority"), 6).as("authority"))
   }
 
+  /** Local bridges: edges whose endpoints share NO common neighbor —
+    * removing one lengthens its endpoints' shortest path beyond 2, so
+    * these are the weak ties carrying cross-community reach
+    * (Granovetter via Easley–Kleinberg's "span > 2" definition; a
+    * strict superset of true bridges). The edge list to protect in
+    * graph sparsification, and the inter-cluster seams a partitioner
+    * may safely cut LAST.
+    *
+    * Physical strategy: an edge is a local bridge iff it closes no
+    * triangle, so this reuses [[triangleCounts]]'s degree-oriented
+    * wedge join (O(m^1.5) wedges, hub-proof) to list triangle edges,
+    * then one left-anti join from the canonical edge set. The DuckDB
+    * oracle decides each edge by naive common-neighbor EXISTS —
+    * output equality across formulations is part of what the gate
+    * proves.
+    */
+  def localBridges(edges: DataFrame, srcCol: String = "src",
+                   dstCol: String = "dst"): DataFrame = {
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val oriented = e0
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(when(col("da") < col("db")
+          || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("w"), col("db").as("dw")))
+        .otherwise(struct(col("b").as("u"), col("a").as("w"), col("da").as("dw")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"), col("e.dw").as("dw"))
+    val wedges = oriented.as("p").join(oriented.as("q"),
+        col("p.u") === col("q.u") && (col("p.dw") < col("q.dw")
+          || (col("p.dw") === col("q.dw") && col("p.w") < col("q.w"))))
+      .select(col("p.u").as("x"), col("p.w").as("y"), col("q.w").as("z"))
+    val tri = wedges
+      .join(oriented.select(col("u").as("y"), col("w").as("z")), Seq("y", "z"))
+    val triEdges = tri
+      .select(explode(array(
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")),
+        struct(least(col("x"), col("z")).as("a"),
+          greatest(col("x"), col("z")).as("b")),
+        struct(least(col("y"), col("z")).as("a"),
+          greatest(col("y"), col("z")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b")).distinct()
+    e0.join(triEdges, Seq("a", "b"), "left_anti")
+      .select(col("a").as("src"), col("b").as("dst"))
+  }
+
   /** Average nearest-neighbor degree per degree class — the k_nn(k)
     * CURVE behind [[assortativity]]'s single coefficient (Pastor-
     * Satorras et al. 2001): for each degree k, the mean over degree-k

@@ -47,6 +47,34 @@ object TextAnalysis {
     scored.select((col("doc_id") +: langs.map(l => col(s"s_$l"))) :+ best.as("lang_pred"): _*)
   }
 
+  /** Confusion matrix of [[langId]] against a labeled language column —
+    * the eval card that turns the heuristic into a MEASURED component:
+    * per (labeled, predicted) pair the count plus its share of the
+    * labeled language (the row-normalized recall view; the diagonal is
+    * per-language recall). Run it whenever markers change or a new
+    * corpus arrives — a quality gate keyed on lang_pred is only as good
+    * as these numbers.
+    *
+    * Cost: the langId scan plus one doc-keyed equi-join against the
+    * labels and two small aggregates (output ≤ langs²). Shares are
+    * exact-integer divisions, 6-dp-routed.
+    */
+  def langIdEval(docs: DataFrame, langCol: String = "lang",
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val pred = langId(docs, textCol, idCol)
+      .select(col("doc_id"), col("lang_pred"))
+    val conf = docs
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang_true"))
+      .join(pred, "doc_id")
+      .groupBy("lang_true", "lang_pred").agg(count(lit(1)).as("n"))
+    val tot = conf.groupBy("lang_true").agg(sum(col("n")).as("t"))
+    conf.join(tot, "lang_true")
+      .select(col("lang_true"), col("lang_pred"), col("n"),
+        round((col("n").cast("double") / col("t").cast("double"))
+          .cast("decimal(24,12)"), 6).cast("double").as("frac_of_true"))
+  }
+
   /** Quality metrics: token counts, distinct ratio, average token length,
     * stopword ratio. All ratios are single exact-integer divisions →
     * bit-identical across engines.

@@ -566,4 +566,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("C") == (1L, 1L, 0.0))
   }
 
+  test("priceElasticity: exact -2 power law; zero price variance -> NULL") {
+    // unit prices 2/4/8 vs quantities 8/2/0.5: q = 32·pu^-2, so the
+    // log-log slope is -2 (−1.999999 after the 6-dp ln quantization)
+    val li = Seq((1L, 8.0, 16.0), (2L, 2.0, 8.0), (3L, 0.5, 4.0),
+      // group B: both lines at the same unit price -> cxx = 0
+      (4L, 1.0, 3.0), (5L, 2.0, 6.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"))
+      .toDF("p_partkey", "p_brand")
+    val out = Analytics.priceElasticity(li, part).collect().map(r =>
+      r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out("A") == (3L, Some(-1.999999), Some(1.0)))
+    assert(out("B") == (2L, None, None))
+  }
+
 }

@@ -352,4 +352,18 @@ class GraphSpec extends SparkSpec {
     assert(p.toSeq == Seq((1L, 2L, 2.0), (2L, 1L, 1.0)))
   }
 
+  test("localBridges: 4-cycle all bridges; chord closes them; pendant is one") {
+    // plain 4-cycle: no edge has a common neighbor
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val c = Graph.localBridges(cyc).orderBy("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(c.toSeq == Seq((1L, 2L), (1L, 4L), (2L, 3L), (3L, 4L)))
+    // chord (1,3) puts every cycle edge in a triangle; pendant (4,5)
+    // stays a bridge
+    val g = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (4L, 5L))).toDF("src", "dst")
+    val b = Graph.localBridges(g).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(b.toSeq == Seq((4L, 5L)))
+  }
+
 }

@@ -236,4 +236,26 @@ class SketchSpec extends SparkSpec {
       s"KMV estimate off by ${e.getDouble(5)}: ${e.getDouble(4)}")
   }
 
+  test("cms width sweep invariants: over-estimates shrink as width grows") {
+    // 200 singleton keys + one hot key: 16 buckets collide heavily,
+    // 256 mostly don't; CMS never under-estimates
+    val keys = ((0 until 200).flatMap(i => Seq(s"k$i")) ++
+      Seq.fill(100)("hot")).toDF("key")
+    val exact = keys.groupBy("key").agg(count(lit(1)).as("exact"))
+    def sweep(w: Int) = {
+      val sk = Sketch.cmsBuild(keys, "key", 4, w)
+      Sketch.cmsEstimate(sk, keys.select("key").distinct(), "key", 4, w)
+        .join(exact, "key")
+        .agg(count(lit(1)).as("n"),
+          sum(col("est") - col("exact")).as("sover"),
+          min(col("est") - col("exact")).as("mn"))
+        .collect().head
+    }
+    val (s16, s256) = (sweep(16), sweep(256))
+    assert(s16.getLong(0) == 201L && s256.getLong(0) == 201L)
+    assert(s16.getLong(2) >= 0L && s256.getLong(2) >= 0L) // no under-estimate
+    assert(s16.getLong(1) > s256.getLong(1),
+      s"16-bucket total over ${s16.getLong(1)} should exceed 256-bucket ${s256.getLong(1)}")
+  }
+
 }

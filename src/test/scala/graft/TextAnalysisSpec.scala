@@ -794,4 +794,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(t.toSeq == Seq(("s2", 1L, 2L, 0.0)))
   }
 
+  test("langIdEval: confusion counts and row-normalized recall shares") {
+    val docs = Seq(
+      (1L, "en", "the cat and the dog"),      // -> en (correct)
+      (2L, "en", "der hund und die katze"),   // -> de (miss)
+      (3L, "de", "der hund und die katze"),   // -> de (correct)
+      (4L, "de", "xyzzy qqq"))                // -> und (miss)
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langIdEval(docs).collect().map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(("en", "en")) == (1L, 0.5))
+    assert(out(("en", "de")) == (1L, 0.5))
+    assert(out(("de", "de")) == (1L, 0.5))
+    assert(out(("de", "und")) == (1L, 0.5))
+    assert(out.size == 4)
+  }
+
 }
