@@ -252,6 +252,30 @@ class PlanGuardSpec extends SparkSpec {
     assert(!gr.contains("CartesianProduct"), s"grangerLite:\n$gr")
   }
 
+  test("elasticity / langid-eval / bridges batch keeps its shapes") {
+    import graft.analytics.Analytics
+    import graft.operators.{Graph, TextAnalysis}
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val part = spark.read.parquet(s"$sf/part.parquet")
+    // priceElasticity: the item dim rides a broadcast onto the fact
+    val pe = Analytics.priceElasticity(li, part)
+      .queryExecution.executedPlan.toString
+    assert(pe.contains("BroadcastExchange"), s"priceElasticity:\n$pe")
+    assert(!pe.contains("CartesianProduct"), s"priceElasticity:\n$pe")
+    // localBridges: wedge + closure + anti joins are all equi-keyed
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val lb = Graph.localBridges(e).queryExecution.executedPlan.toString
+    assert(!lb.contains("CartesianProduct"), s"localBridges:\n$lb")
+    assert(lb.contains("LeftAnti"), s"localBridges anti-join:\n$lb")
+    // langIdEval: one doc-keyed equi-join, nothing global
+    val le = TextAnalysis.langIdEval(docs)
+      .queryExecution.executedPlan.toString
+    assert(!le.contains("CartesianProduct"), s"langIdEval:\n$le")
+  }
+
   test("round-12-late operators keep their scale shapes") {
     val sf = "/root/testdata/sf0.001"
     // dHash near-dup: the pair generator is the banded EQUI-self-join —
