@@ -1077,6 +1077,12 @@ object SparkEntry {
       Sampling.importanceWeights(T(s, dir, "documents"), "lang")
         .orderBy("lang")),
 
+    // word2vec negative sampler: k unigram^0.75 draws per doc by
+    // deterministic CDF inversion.
+    "sample_negatives" -> ((s, dir) =>
+      Sampling.negativeSampling(T(s, dir, "documents"))
+        .orderBy("doc_id", "j")),
+
     // ---- LLM-data-pipeline: mergeable sketches ----
 
     // Count-Min Sketch built INCREMENTALLY: register tables for the pre-
@@ -2417,6 +2423,12 @@ object SparkEntry {
 
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(T(s, dir, "documents")).orderBy("doc_id")),
+
+    // Deterministic BERT-style masking plan: ~15% of positions, 80/10/10
+    // mask/random/keep decided by (doc, pos) hash.
+    "text_mlm_masking" -> ((s, dir) =>
+      TextAnalysis.mlmMasking(T(s, dir, "documents"))
+        .orderBy("doc_id", "pos")),
 
     // langId measured against the labeled lang column: confusion counts
     // + per-language recall shares.
@@ -4004,6 +4016,39 @@ object SparkEntry {
 
     // Kish ESS from the G-row count aggregate: exact decimal x integer
     // products, every rounding edge on the DECIMAL(24,12) cast.
+    // Negative sampler: same double-Knuth 62-bit draw mod the exact
+    // x1e6 unigram^0.75 total, CDF membership by integer compares.
+    "sample_negatives" ->
+      s"""WITH base AS ($docToks),
+         |t AS (SELECT unnest(toks) AS term FROM base),
+         |c AS (SELECT term, count(*) AS freq FROM t GROUP BY 1),
+         |top AS (SELECT term, freq FROM c ORDER BY freq DESC, term
+         |      LIMIT 200),
+         |v AS (SELECT CAST(row_number() OVER (ORDER BY freq DESC, term)
+         |        - 1 AS BIGINT) AS term_id, term,
+         |        CAST(CAST(round(pow(CAST(freq AS DOUBLE), 0.75), 6)
+         |          AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS w6
+         |      FROM top),
+         |cdf AS (SELECT term_id, term, w6,
+         |        sum(w6) OVER (ORDER BY term_id) AS hi FROM v),
+         |cdf2 AS (SELECT term_id, term, hi - w6 AS lo, hi FROM cdf),
+         |tot AS (SELECT max(hi) AS w_total FROM cdf2),
+         |d AS (SELECT doc_id, CAST(j AS BIGINT) AS j
+         |      FROM documents CROSS JOIN range(4) r(j)),
+         |h AS (SELECT doc_id, j,
+         |    (((((doc_id % 2147483648) * 4 + j) % 2147483648)
+         |      * 2654435761) % 4294967296) // 2 AS ha,
+         |    (((((doc_id % 2147483648) * 4 + j) % 2147483648)
+         |      * 2246822519) % 4294967296) // 2 AS hb
+         |  FROM d),
+         |dr AS (SELECT doc_id, j,
+         |        (ha * 2147483648 + hb) % w_total AS t
+         |      FROM h CROSS JOIN tot)
+         |SELECT dr.doc_id, dr.j, term_id AS neg_term_id,
+         |  term AS neg_term
+         |FROM dr JOIN cdf2 ON t >= lo AND t < hi
+         |ORDER BY doc_id, j""".stripMargin,
+
     "sample_importance" ->
       """WITH c AS (SELECT lang AS grp, count(*) AS n_src FROM documents
         |      WHERE lang IS NOT NULL GROUP BY 1),
@@ -5224,6 +5269,35 @@ object SparkEntry {
          |    ELSE 'und' END AS lang_pred
          |FROM scored ORDER BY doc_id""".stripMargin
     },
+
+    // MLM plan: same (doc,pos) Knuth hash chain, 15%-cut at
+    // floor(0.15·2^32), 80/10/10 action split, vocab replacement by
+    // (h div 10) mod |vocab|.
+    "text_mlm_masking" ->
+      s"""WITH base AS ($docToks),
+         |tk AS (SELECT doc_id,
+         |        CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+         |        unnest(toks) AS token FROM base),
+         |hh AS (SELECT doc_id, pos, token,
+         |        (((((doc_id % 2147483648) * 2654435761) % 4294967296
+         |          + pos) % 2147483648) * 2654435761) % 4294967296 AS h
+         |      FROM tk),
+         |t AS (SELECT unnest(toks) AS term FROM base),
+         |c AS (SELECT term, count(*) AS freq FROM t GROUP BY 1),
+         |top AS (SELECT term, freq FROM c ORDER BY freq DESC, term
+         |      LIMIT 200),
+         |v AS (SELECT CAST(row_number() OVER (ORDER BY freq DESC, term)
+         |        - 1 AS BIGINT) AS term_id, term FROM top),
+         |vs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         |m AS (SELECT * FROM hh WHERE h < 644245094)
+         |SELECT m.doc_id, m.pos, m.token,
+         |  CASE WHEN h % 10 < 8 THEN 'mask'
+         |       WHEN h % 10 = 8 THEN 'random' ELSE 'keep' END AS action,
+         |  CASE WHEN h % 10 < 8 THEN '[MASK]'
+         |       WHEN h % 10 = 8 THEN v.term ELSE m.token END AS replacement
+         |FROM m CROSS JOIN vs
+         |LEFT JOIN v ON v.term_id = (m.h // 10) % vs.n
+         |ORDER BY doc_id, pos""".stripMargin,
 
     // Confusion of langId vs the labeled lang: counts + row-normalized
     // recall shares.

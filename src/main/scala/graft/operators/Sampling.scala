@@ -389,4 +389,55 @@ object Sampling {
         d6(col("n_total").cast("double") / col("sw2").cast("double"))
           .as("ess_ratio"))
   }
+
+  /** Deterministic word2vec-style negative sampling: `k` negatives per
+    * document, drawn from the top-`maxVocab` unigram distribution raised
+    * to the 3/4 power (Mikolov et al. 2013 — the tempering that keeps
+    * rare words reachable without letting stopwords dominate). Draws are
+    * (doc, j)-hash CDF inversions, so the sample is identical on every
+    * run, engine, and partitioning.
+    *
+    * Exactness: term weights are 6-dp-quantized freq^0.75 scaled to
+    * ×10⁶ integers, the CDF is an exact cumulative window over the
+    * ≤ maxVocab vocabulary, and each draw target is a 62-bit hash
+    * reduced mod the exact total — integer compares decide membership,
+    * nothing floats. Scale shape: the CDF table (maxVocab rows) rides
+    * ONE broadcast; the candidate scan per draw is bounded by the
+    * CONSTANT maxVocab, not the corpus (for 10⁵+ vocabularies swap the
+    * filter for a bucketed range join on a CDF-slot key).
+    */
+  def negativeSampling(docs: DataFrame, k: Int = 4, maxVocab: Int = 200,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val vocab = TextAnalysis.vocabulary(docs, maxVocab, textCol, idCol)
+      .select(col("term_id"), col("term"),
+        (round(pow(col("freq").cast("double"), 0.75), 6)
+          .cast("decimal(18,6)") * lit(1000000L)).cast("long").as("w6"))
+    val w = Window.orderBy(col("term_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = vocab.withColumn("hi", sum(col("w6")).over(w))
+      .withColumn("lo", col("hi") - col("w6"))
+    val tot = cdf.agg(max(col("hi")).as("w_total"))
+    val draws = docs.select(col(idCol).as("doc_id"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("w_total"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("j"))
+      // two 31-bit hashes under DIFFERENT multipliers (a shared
+      // multiplier would make hb an affine image of ha — 31 bits of
+      // entropy posing as 62) -> one 62-bit draw, mod the exact
+      // integer total (bias ≤ W/2^62, immaterial)
+      .withColumn("ha", shiftright(samplingHash(
+        pmod(col("doc_id"), lit(M31)) * lit(k.toLong) + col("j")), 1))
+      .withColumn("hb", shiftright(pmod(pmod(
+        pmod(col("doc_id"), lit(M31)) * lit(k.toLong) + col("j"),
+        lit(M31)) * 2246822519L, lit(M32)), 1))
+      .withColumn("t", pmod(col("ha") * lit(M31) + col("hb"),
+        col("w_total")))
+    draws.crossJoin(broadcast(cdf.select(col("term_id"), col("term"),
+        col("lo"), col("hi"))))
+      .filter(col("t") >= col("lo") && col("t") < col("hi"))
+      .select(col("doc_id"), col("j"), col("term_id").as("neg_term_id"),
+        col("term").as("neg_term"))
+  }
 }

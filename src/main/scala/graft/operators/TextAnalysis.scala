@@ -75,6 +75,51 @@ object TextAnalysis {
           .cast("decimal(24,12)"), 6).cast("double").as("frac_of_true"))
   }
 
+  /** Deterministic MLM masking plan (BERT-style): select ~`maskFrac` of
+    * token positions by a reproducible (doc, pos) hash and assign each
+    * the 80/10/10 action split — `[MASK]`, a pseudo-random vocabulary
+    * replacement, or keep-original — all decided by hash arithmetic so
+    * every run, engine, and partitioning produces the SAME masking plan
+    * (a `rand()` plan is neither reproducible nor auditable; this one
+    * can be joined back for loss-position bookkeeping).
+    *
+    * Scale shape: one narrow posexplode scan (no shuffle for the
+    * selection — the hash is per-row), the top-`maxVocab` replacement
+    * table packed into ONE broadcast row. Output is the masked-position
+    * plan (~15% of tokens), not the rewritten corpus — join it to apply.
+    */
+  def mlmMasking(docs: DataFrame, maskFrac: Double = 0.15,
+                 maxVocab: Int = 200, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(maskFrac > 0 && maskFrac <= 1, s"bad maskFrac $maskFrac")
+    val M31 = 2147483648L; val M32 = 4294967296L; val Knuth = 2654435761L
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(Fns.tokens(col(textCol))).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+    // TWO hash rounds — scatter the doc, then the position. A single
+    // affine round (doc·c + pos)·K is linear in both inputs, so
+    // neighboring docs would mask nearly the SAME positions (measured:
+    // docs 1 and 2 select identical position sets under one round).
+    val h1 = pmod(pmod(col("doc_id"), lit(M31)) * Knuth, lit(M32))
+    val h = pmod(pmod(h1 + col("pos"), lit(M31)) * Knuth, lit(M32))
+    val cut = (maskFrac * M32.toDouble).toLong
+    val vocabArr = vocabulary(docs, maxVocab, textCol, idCol)
+      .agg(transform(array_sort(collect_list(
+          struct(col("term_id"), col("term")))),
+        s => s.getField("term")).as("vocab"))
+    val hm = pmod(col("h"), lit(10L))
+    toks.withColumn("h", h).filter(col("h") < cut)
+      .crossJoin(broadcast(vocabArr))
+      .select(col("doc_id"), col("pos"), col("token"),
+        when(hm < 8L, lit("mask")).when(hm === 8L, lit("random"))
+          .otherwise(lit("keep")).as("action"),
+        when(hm < 8L, lit("[MASK]"))
+          .when(hm === 8L, element_at(col("vocab"),
+            (pmod(expr("h div 10"), size(col("vocab")).cast("long")) + 1L)
+              .cast("int")))
+          .otherwise(col("token")).as("replacement"))
+  }
+
   /** Quality metrics: token counts, distinct ratio, average token length,
     * stopword ratio. All ratios are single exact-integer divisions →
     * bit-identical across engines.

@@ -212,4 +212,19 @@ class SamplingSpec extends SparkSpec {
     assert(b.forall(r => r.getDouble(4) == 1.0 && r.getDouble(6) == 1.0))
     assert(b.head.getDouble(5) == 10.0)
   }
+
+  test("negativeSampling: hand CDF inversions over a 3-term unigram^0.75") {
+    // corpus: 'a'×8, 'b', 'c' -> w6 = 4756828 / 1000000 / 1000000;
+    // hand-run double-hash draws: doc 1 -> b,b,a,b; doc 2 -> a,a,a,a
+    val docs = Seq((1L, "a a a a b c"), (2L, "a a a a"))
+      .toDF("doc_id", "text")
+    val out = Sampling.negativeSampling(docs, k = 4)
+      .orderBy("doc_id", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1L, "b"), (1L, 1L, 1L, "b"), (1L, 2L, 0L, "a"),
+      (1L, 3L, 1L, "b"),
+      (2L, 0L, 0L, "a"), (2L, 1L, 0L, "a"), (2L, 2L, 0L, "a"),
+      (2L, 3L, 0L, "a")))
+  }
 }

@@ -794,6 +794,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(t.toSeq == Seq(("s2", 1L, 2L, 0.0)))
   }
 
+  test("mlmMasking: hand-hashed positions, 80/10/10 actions, decorrelated docs") {
+    val text = (0 until 20).map(i => f"w$i%02d").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val out = TextAnalysis.mlmMasking(docs).collect().map(r =>
+      (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getString(3), r.getString(4))).toMap
+    // doc 1 selects positions 1/9/17, doc 2 selects 5/13/18 — the
+    // two-round hash decorrelates documents (one round masked the SAME
+    // positions in both)
+    assert(out.keySet == Set((1L, 1L), (1L, 9L), (1L, 17L),
+      (2L, 5L), (2L, 13L), (2L, 18L)))
+    // h%10 = 8 at (1,1): random replacement = vocab[(h div 10) % 20] = w09
+    assert(out((1L, 1L)) == ("w01", "random", "w09"))
+    assert(out((1L, 9L)) == ("w09", "mask", "[MASK]"))
+    assert(out((2L, 18L)) == ("w18", "mask", "[MASK]"))
+  }
+
   test("langIdEval: confusion counts and row-normalized recall shares") {
     val docs = Seq(
       (1L, "en", "the cat and the dog"),      // -> en (correct)
