@@ -276,6 +276,25 @@ class PlanGuardSpec extends SparkSpec {
     assert(!le.contains("CartesianProduct"), s"langIdEval:\n$le")
   }
 
+  test("mlm-masking / negative-sampling batch keeps its shapes") {
+    import graft.operators.{Sampling, TextAnalysis}
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // mlmMasking: the vocab array rides ONE broadcast row; the token
+    // scan is narrow (selection is per-row hash arithmetic)
+    val mm = TextAnalysis.mlmMasking(docs)
+      .queryExecution.executedPlan.toString
+    assert(mm.contains("BroadcastExchange"), s"mlmMasking:\n$mm")
+    assert(!mm.contains("CartesianProduct"), s"mlmMasking:\n$mm")
+    // negativeSampling: the CDF table broadcasts; the candidate scan is
+    // the documented constant-maxVocab nested loop, never a shuffled
+    // cartesian
+    val ns = Sampling.negativeSampling(docs)
+      .queryExecution.executedPlan.toString
+    assert(ns.contains("BroadcastExchange"), s"negativeSampling:\n$ns")
+    assert(!ns.contains("CartesianProduct"), s"negativeSampling:\n$ns")
+  }
+
   test("round-12-late operators keep their scale shapes") {
     val sf = "/root/testdata/sf0.001"
     // dHash near-dup: the pair generator is the banded EQUI-self-join —
