@@ -34,8 +34,11 @@ class PlanGuardSpec extends SparkSpec {
       // decode composes encode + vocabulary — the same <= maxVocab
       // ranking above the limit, nothing new
       "text_decode",
-      // reuse vocabulary's ranking (<= 200 rows above the limit)
+      // reuse vocabulary's ranking (<= 200 rows above the limit);
+      // sample_negatives additionally runs its CDF window over the same
+      // <= maxVocab table
       "text_zipf_slope", "text_heaps_law", "text_gini",
+      "text_mlm_masking", "sample_negatives",
       // two-level prefix-sum/max carriers: the ONLY global window is the
       // <= `buckets` (32)-row bucket-offset table (DataQuality.rankedCounts
       // / quantileScoreByGroup, StreamingJobs.lateEvents — the documented
