@@ -87,6 +87,52 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q5-style: 6-table snowflake join (region/nation/supplier
+    // broadcast; customer co-keyed with supplier nation) + revenue agg.
+    "q5_region_volume" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem")
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      val su = T(s, dir, "supplier")
+      val n = T(s, dir, "nation")
+      val r = T(s, dir, "region")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(n, su("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,8)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // TPC-H Q18-style: large-order semi join (HAVING subquery) + top-k.
+    "q18_big_orders" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem")
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("qs"))
+        .filter(col("qs") > 300)
+        .select(col("l_orderkey").as("big_orderkey"))
+      l.join(big, l("l_orderkey") === big("big_orderkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)"))
+          .cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
     // Point-in-time join: each click gets the user's latest prior signup
     // value. Spark lacks a native as-of join; see operators/AsOfJoin.
     "asof_join" -> ((s, dir) => {
@@ -1516,6 +1562,11 @@ object SparkEntry {
     // use", no eigendecomposition (anisotropy-collapse alarm).
     "emb_effective_rank" -> ((s, dir) =>
       Similarity.effectiveRank(T(s, dir, "embeddings"))),
+
+    // λ₁/λ₂ by Hotelling deflation: one-dominant-direction vs
+    // no-preferred-axis, the top of the spectrum effectiveRank averages.
+    "emb_eigengap" -> ((s, dir) =>
+      Similarity.eigenGap(T(s, dir, "embeddings"))),
 
     // Leading principal direction via 3 power iterations on the
     // covariance matrix (9-dp-quantized trajectory, unrolled CTE oracle).
@@ -3876,6 +3927,38 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q5_region_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,8))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY 1
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total_qty
+        |FROM lineitem
+        |JOIN big USING (l_orderkey)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
 
     "asof_join" ->
       """SELECT l.event_id, l.user_id, r.value AS signup_value
@@ -6747,6 +6830,59 @@ object SparkEntry {
          |SELECT i, round(x * sgn, 6) AS loading,
          |  round(nrm, 6) AS eigenvalue_est
          |FROM x3 CROSS JOIN sgn CROSS JOIN n3 ORDER BY i""".stripMargin
+    },
+
+    // Eigengap: the pca_power chain run twice — once on cov, once on
+    // the 9-dp deflated residual cov − λ₁·v₁v₁ᵀ built from the SAME
+    // 6-dp published (loading, eigenvalue) values Spark deflates with.
+    "emb_eigengap" -> {
+      val covCtes =
+        s"""e AS ($embCte),
+           |xx AS (SELECT vec_id, unnest(v) AS xi,
+           |        generate_subscripts(v, 1) - 1 AS i FROM e),
+           |mm AS (SELECT i, sum(CAST(round(xi, 9) AS DECIMAL(28,9))) AS sx
+           |      FROM xx GROUP BY 1),
+           |pp AS (SELECT a.i AS i, b.i AS j,
+           |        sum(CAST(round(a.xi * b.xi * 1e9, 0) AS BIGINT)) AS sp,
+           |        count(*) AS n
+           |      FROM xx a JOIN xx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+           |cov AS (SELECT CAST(pp.i AS BIGINT) AS i, CAST(pp.j AS BIGINT) AS j,
+           |  round(CAST(sp AS DOUBLE) / 1e9 / n
+           |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n), 6)
+           |    + 0.0
+           |    AS cov
+           |FROM pp JOIN mm mi ON mi.i = pp.i JOIN mm mj ON mj.i = pp.j)""".stripMargin
+      def iterChain(covName: String, p: String) = (1 to 3).map { k =>
+        val prev = if (k == 1) s"${p}x0" else s"$p" + s"x${k - 1}"
+        s"""${p}y$k AS (SELECT c.i,
+           |  CAST(sum(CAST(round(c.cov * q.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS y
+           |  FROM $covName c JOIN $prev q ON q.i = c.j GROUP BY 1),
+           |${p}n$k AS (SELECT sqrt(CAST(sum(CAST(round(y * y, 9) AS DECIMAL(28,9)))
+           |  AS DOUBLE)) AS nrm FROM ${p}y$k),
+           |${p}x$k AS (SELECT i, round(CASE WHEN nrm = 0 THEN 0.0
+           |  ELSE y / nrm END, 9) AS x FROM ${p}y$k CROSS JOIN ${p}n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $covCtes,
+         |d AS (SELECT count(DISTINCT i) AS d FROM cov),
+         |ax0 AS (SELECT DISTINCT i, 1.0 / sqrt(d) AS x FROM cov CROSS JOIN d),
+         |${iterChain("cov", "a")},
+         |asgn AS (SELECT CASE WHEN x > 0 THEN 1.0 WHEN x < 0 THEN -1.0
+         |               ELSE 0.0 END AS sgn
+         |        FROM ax3 ORDER BY abs(x) DESC, i LIMIT 1),
+         |v1 AS (SELECT i, round(x * sgn, 6) AS v
+         |      FROM ax3 CROSS JOIN asgn),
+         |l1 AS (SELECT round(nrm, 6) AS lambda1 FROM an3),
+         |cov2 AS (SELECT c.i, c.j,
+         |        round(c.cov - l1.lambda1 * a.v * b.v, 9) + 0.0 AS cov
+         |      FROM cov c JOIN v1 a ON a.i = c.i JOIN v1 b ON b.i = c.j
+         |      CROSS JOIN l1),
+         |bx0 AS (SELECT DISTINCT i, 1.0 / sqrt(d) AS x FROM cov2 CROSS JOIN d),
+         |${iterChain("cov2", "b")},
+         |l2 AS (SELECT round(nrm, 6) AS lambda2 FROM bn3)
+         |SELECT lambda1, lambda2,
+         |  CAST(round(CAST(lambda1 / nullif(lambda2, 0.0)
+         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS gap_ratio
+         |FROM l1 CROSS JOIN l2""".stripMargin
     },
 
     // ABTT: the emb_pca_power CTE chain (cov + 3 power iterations +

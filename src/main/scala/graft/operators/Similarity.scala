@@ -958,6 +958,18 @@ object Similarity {
     // rows ONCE here so the iteration loop's repeated joins don't re-run
     // the corpus aggregate every round.
     val cov = covarianceMatrix(embeddings, idCol, vecCol).localCheckpoint()
+    powerLoop(cov, iters)
+  }
+
+  /** The power-iteration loop shared by [[pcaPowerIteration]] and
+    * [[eigenGap]]: iterate x ← Cx/‖Cx‖ from the uniform unit start over
+    * an already-checkpointed (i, j, cov) matrix, sign-normalize on the
+    * largest-|component| coordinate, and return (i, loading,
+    * eigenvalue_est) at 6 dp. Each round is one d²-row broadcast join +
+    * two tiny aggregates; d² rows re-checkpoint per round so plans stay
+    * constant-depth.
+    */
+  private def powerLoop(cov: DataFrame, iters: Int): DataFrame = {
     val d = cov.agg(countDistinct(col("i")).as("d")).head().getLong(0)
     val x0 = 1.0 / math.sqrt(d.toDouble)
     var x = cov.select(col("i")).distinct()
@@ -973,7 +985,11 @@ object Similarity {
           .as("nrm"))
       lastNorm = n.localCheckpoint()
       x = y.crossJoin(broadcast(lastNorm))
-        .select(col("i"), round(col("y") / col("nrm"), 9).as("x"))
+        // nrm = 0 (an exactly-deflated rank-1 residual) -> the zero
+        // vector, not a division error; the loop then fixes at 0 and
+        // reports eigenvalue 0
+        .select(col("i"), round(when(col("nrm") === 0.0, lit(0.0))
+          .otherwise(col("y") / col("nrm")), 9).as("x"))
         .localCheckpoint()
     }
     val sign = x.orderBy(abs(col("x")).desc, col("i").asc).limit(1)
@@ -981,6 +997,43 @@ object Similarity {
     x.crossJoin(broadcast(sign)).crossJoin(broadcast(lastNorm))
       .select(col("i"), round(col("x") * col("sgn"), 6).as("loading"),
         round(col("nrm"), 6).as("eigenvalue_est"))
+  }
+
+  /** Eigengap card: λ₁/λ₂ of the embedding covariance by Hotelling
+    * deflation — run [[pcaPowerIteration]]'s loop, subtract
+    * λ₁·v₁v₁ᵀ (the 6-dp published values, so the oracle replays the
+    * identical deflation), and power-iterate the residual for λ₂. A
+    * large ratio means one dominant direction (anisotropy [[abtt]]
+    * should remove — or a 2-cluster split [[kmeansIterate]] will find);
+    * near 1 means no preferred axis. Complements [[effectiveRank]]'s
+    * whole-spectrum summary with the top of the spectrum itself.
+    *
+    * Cost: two [[powerLoop]] runs over the same checkpointed d²-row
+    * matrix, plus one d²-row deflation join (v₁ broadcasts twice).
+    * λ₂ = 0 (rank-1 corpus) → NULL ratio via try_divide.
+    */
+  def eigenGap(embeddings: DataFrame, iters: Int = 3,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val cov = covarianceMatrix(embeddings, idCol, vecCol).localCheckpoint()
+    val top = powerLoop(cov, iters).localCheckpoint()
+    val lam1 = top.agg(max(col("eigenvalue_est")).as("lambda1"))
+    val cov2 = cov
+      .join(broadcast(top.select(col("i"), col("loading").as("vi"))), "i")
+      .join(broadcast(top.select(col("i").as("j"),
+        col("loading").as("vj"))), "j")
+      .crossJoin(broadcast(lam1))
+      .select(col("i"), col("j"),
+        (round(col("cov") - col("lambda1") * col("vi") * col("vj"), 9)
+          + lit(0.0)).as("cov"))
+      .localCheckpoint()
+    val lam2 = powerLoop(cov2, iters)
+      .agg(max(col("eigenvalue_est")).as("lambda2"))
+    lam1.crossJoin(broadcast(lam2))
+      .select(col("lambda1"), col("lambda2"),
+        round(try_divide(col("lambda1"), col("lambda2"))
+          .cast("decimal(24,12)"), 6).cast("double").as("gap_ratio"))
   }
 
   /** All-but-the-top embedding post-processing (Mu & Viswanath 2018):

@@ -631,4 +631,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("eigenGap: axis-aligned spectrum 2/0.5; rank-1 second eigenvalue ~0") {
+    // cov of {(±2,0),(0,±1)} = diag(2, 0.5): λ1/λ2 = 4
+    val emb = Seq((1L, Seq(2.0f, 0.0f)), (2L, Seq(-2.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.eigenGap(emb).collect().head
+    assert(math.abs(r.getDouble(0) - 2.0) < 0.02, s"lambda1 ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 0.5) < 0.02, s"lambda2 ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 4.0) < 0.3, s"ratio ${r.getDouble(2)}")
+    // rank-1 corpus: deflation leaves only 6-dp rounding dust
+    val r1 = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 6.0f)))
+      .toDF("vec_id", "embedding")
+    val o = Similarity.eigenGap(r1).collect().head
+    assert(math.abs(o.getDouble(0) - 5.0) < 1e-3)
+    assert(o.getDouble(1) < 0.01, s"lambda2 ${o.getDouble(1)}")
+    assert(o.isNullAt(2) || o.getDouble(2) > 100.0)
+  }
+
 }
