@@ -298,6 +298,22 @@ class PlanGuardSpec extends SparkSpec {
     assert(!ns.contains("CartesianProduct"), s"negativeSampling:\n$ns")
   }
 
+  test("q5/q18/eigengap batch keeps its shapes") {
+    val sf = "/root/testdata/sf0.001"
+    // Q5: the snowflake dims (region, nation, supplier) broadcast; the
+    // only shuffled join is fact-to-fact
+    val q5 = SparkEntry.queries("q5_region_volume")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q5.contains("BroadcastHashJoin"), s"q5 plan:\n$q5")
+    assert(!q5.contains("CartesianProduct"), s"q5 plan:\n$q5")
+    // Q18: the HAVING subquery becomes a keyed join, and the top-k is a
+    // heap cut, not a global sort
+    val q18 = SparkEntry.queries("q18_big_orders")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q18.contains("TakeOrderedAndProject"), s"q18 plan:\n$q18")
+    assert(!q18.contains("CartesianProduct"), s"q18 plan:\n$q18")
+  }
+
   test("round-12-late operators keep their scale shapes") {
     val sf = "/root/testdata/sf0.001"
     // dHash near-dup: the pair generator is the banded EQUI-self-join —
