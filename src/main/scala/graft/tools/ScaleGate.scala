@@ -66,7 +66,11 @@ object ScaleGate {
     // argmin. Entered at 4.9 s (interpreted shingle lambda); the
     // graft_shingles31 native rewrite cut it to ~0.3 s — kept in the
     // subset anyway, the explode+argmin shape is worth watching
-    "dedup_winnowing")
+    "dedup_winnowing",
+    // round-12-final-b additions ≥ ~2.5 s on the 352-query profile:
+    // the two double-power-iteration cards (cov + broadcast loops ×2),
+    // and the two degree-oriented graph joins
+    "emb_abtt", "emb_eigengap", "graph_knn_degree", "graph_local_bridges")
 
   val AggregateMaxRatio = 3.0
   val PerQueryMaxRatio = 5.0
