@@ -706,6 +706,11 @@ object SparkEntry {
     "ana_gini" -> ((s, dir) =>
       Analytics.giniIndex(T(s, dir, "events")).orderBy("event_type")),
 
+    // DAU + trailing-7-day distinct users per day (the WAU series) via
+    // membership explode — no distinct-over-window.
+    "ana_rolling_distinct" -> ((s, dir) =>
+      Analytics.rollingDistinct(T(s, dir, "events")).orderBy("day")),
+
     // Log-log price elasticity of demand per brand, with R² beside it.
     "ana_elasticity" -> ((s, dir) =>
       Analytics.priceElasticity(T(s, dir, "lineitem"), T(s, dir, "part"))
@@ -1567,6 +1572,25 @@ object SparkEntry {
     // no-preferred-axis, the top of the spectrum effectiveRank averages.
     "emb_eigengap" -> ((s, dir) =>
       Similarity.eigenGap(T(s, dir, "embeddings"))),
+
+    // Matryoshka truncation quality: recall@10 of prefix-dim cosine
+    // retrieval against the full-dim exact ranking (MRL deployment
+    // question: how many dims can the index drop?).
+    "emb_matryoshka" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(emb, q, 10)
+      def trunc(df: org.apache.spark.sql.DataFrame, p: Int) =
+        df.select(col("vec_id"),
+          slice(col("embedding"), 1, p).as("embedding"))
+      Seq(32, 16, 8).map { p =>
+        Similarity.recallAtK(
+            Similarity.bruteForceTopK(trunc(emb, p), trunc(q, p), 10),
+            exact)
+          .select(lit(p.toLong).as("prefix_dim"), col("n_queries"),
+            col("mean_recall"))
+      }.reduce(_ unionByName _).orderBy("prefix_dim")
+    }),
 
     // Leading principal direction via 3 power iterations on the
     // covariance matrix (9-dp-quantized trajectory, unrolled CTE oracle).
@@ -4555,6 +4579,23 @@ object SparkEntry {
          |FROM l CROSS JOIN tot ORDER BY threshold""".stripMargin
     },
 
+    // Rolling distinct via the same membership explode (0..6 day
+    // offsets), exact distinct per target day, observed days only.
+    "ana_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |      FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM ud),
+        |spread AS (SELECT u, d + CAST(off AS INTEGER) AS day
+        |      FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6))
+        |        AS off)),
+        |rolling AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT)
+        |        AS rolling_users FROM spread GROUP BY 1),
+        |dau AS (SELECT d AS day, CAST(count(DISTINCT u) AS BIGINT)
+        |        AS dau FROM ud GROUP BY 1)
+        |SELECT day, dau, rolling_users
+        |FROM days JOIN dau USING (day) JOIN rolling USING (day)
+        |ORDER BY day""".stripMargin,
+
     // Gini by exact rank formula; rank×count sums ride DECIMAL(38,0).
     "ana_gini" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS x
@@ -5325,6 +5366,42 @@ object SparkEntry {
          |  round(CAST(sum(CAST(round(CAST(hits AS DOUBLE) / k, 6)
          |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_recall
          |FROM m""".stripMargin,
+
+    // Matryoshka: the brute oracle re-ranked on list prefixes, each
+    // prefix's pairs recall-scored against the full-dim exact pairs.
+    "emb_matryoshka" -> {
+      def one(p: Int) =
+        s"""SELECT CAST($p AS BIGINT) AS prefix_dim,
+           |  CAST(count(*) AS BIGINT) AS n_queries,
+           |  round(CAST(sum(CAST(round(CAST(hits AS DOUBLE) / k, 6)
+           |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_recall
+           |FROM (SELECT b.query_id, count(t.neighbor_id) AS hits,
+           |        count(*) AS k
+           |      FROM b LEFT JOIN (
+           |        SELECT query_id, neighbor_id FROM (
+           |          SELECT query_id, c.vec_id AS neighbor_id,
+           |            list_cosine_similarity(qe[1:$p], c.v[1:$p]) AS cos
+           |          FROM q, e c WHERE c.vec_id <> query_id)
+           |        QUALIFY row_number() OVER (PARTITION BY query_id
+           |          ORDER BY cos DESC, neighbor_id) <= 10) t
+           |        ON t.query_id = b.query_id
+           |          AND t.neighbor_id = b.neighbor_id
+           |      GROUP BY 1)""".stripMargin
+      s"""WITH e AS (SELECT vec_id,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qe FROM e
+         |      WHERE vec_id < 8),
+         |b AS (SELECT query_id, neighbor_id FROM (
+         |      SELECT query_id, c.vec_id AS neighbor_id,
+         |        list_cosine_similarity(qe, c.v) AS cos
+         |      FROM q, e c WHERE c.vec_id <> query_id)
+         |      QUALIFY row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) <= 10)
+         |SELECT * FROM (${Seq(32, 16, 8).map(one).mkString(
+            "\nUNION ALL\n")})
+         |ORDER BY prefix_dim""".stripMargin
+    },
 
     "text_quality" ->
       s"""WITH base AS ($docToks)

@@ -436,6 +436,36 @@ object Analytics {
         col("maxh").cast("double").as("max_entropy"))
   }
 
+  /** Rolling distinct users: per observed day, DAU and the distinct
+    * users active in the trailing `windowDays` — the "weekly active"
+    * series a naive `COUNT(DISTINCT) OVER (RANGE 6 DAYS)` can't compute
+    * distributed (no mergeable distinct state in a window frame).
+    * Formulation: collapse to distinct (user, day) FIRST, explode each
+    * membership onto the ≤ windowDays future days it keeps the user
+    * "active" for, and count distinct per target day — work is
+    * windowDays × |user-days|, linear and shuffle-keyed by day, never a
+    * window over raw events. (At HLL-tolerance scale, swap the exact
+    * distinct for merged per-day registers — sketch_hll_grouped.)
+    */
+  def rollingDistinct(events: DataFrame, windowDays: Int = 7,
+                      userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    val ud = events.select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    val days = ud.select(col("d").as("day")).distinct()
+    val spread = ud
+      .select(col("u"), explode(sequence(lit(0),
+        lit(windowDays - 1))).as("off"), col("d"))
+      .select(col("u"), date_add(col("d"), col("off")).as("day"))
+    val rolling = spread.groupBy("day")
+      .agg(countDistinct(col("u")).as("rolling_users"))
+    val dau = ud.groupBy(col("d").as("day"))
+      .agg(countDistinct(col("u")).as("dau"))
+    days.join(dau, Seq("day")).join(rolling, Seq("day"))
+      .select(col("day"), col("dau"), col("rolling_users"))
+  }
+
   /** Log–log price elasticity of demand per item group: the OLS slope
     * of ln(quantity) on ln(unit price) across order lines — the classic
     * "−1.2 means a 1% price rise costs 1.2% volume" retail coefficient,

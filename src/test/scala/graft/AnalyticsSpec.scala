@@ -583,4 +583,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("B") == (2L, None, None))
   }
 
+  test("rollingDistinct: trailing-7-day membership, observed days only") {
+    val rows = Seq((1L, "2024-03-01"), (2L, "2024-03-01"),
+      (1L, "2024-03-03"), (1L, "2024-03-09"))
+      .toDF("user_id", "s")
+      .select($"user_id", to_timestamp($"s").as("ts"))
+    val out = Analytics.rollingDistinct(rows).orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    // 03-09 is day 9: u1's 03-03 activity still counts (offset 6), u2's
+    // 03-01 does not; gap days (02, 04..08) are not emitted
+    assert(out.toSeq == Seq(("2024-03-01", 2L, 2L),
+      ("2024-03-03", 1L, 2L), ("2024-03-09", 1L, 1L)))
+  }
+
 }

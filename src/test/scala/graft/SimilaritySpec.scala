@@ -649,4 +649,30 @@ class SimilaritySpec extends SparkSpec {
     assert(o.isNullAt(2) || o.getDouble(2) > 100.0)
   }
 
+  test("matryoshka truncation: prefix retrieval loses the tail signal") {
+    // query 0's full-dim nearest is 2 (tail dims dominate); the 2-dim
+    // prefix ranks 1 first (exact prefix match, tie -> lower id)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 10.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f, -10.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 10.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0L)
+    val exact = Similarity.bruteForceTopK(emb, q, 1)
+    def trunc(df: org.apache.spark.sql.DataFrame, p: Int) =
+      df.select($"vec_id",
+        org.apache.spark.sql.functions.slice($"embedding", 1, p)
+          .as("embedding"))
+    assert(exact.collect().head.getLong(2) == 2L)
+    val full = Similarity.recallAtK(
+      Similarity.bruteForceTopK(trunc(emb, 4), trunc(q, 4), 1), exact)
+      .collect().head
+    assert(full.getDouble(1) == 1.0)
+    val pre2 = Similarity.recallAtK(
+      Similarity.bruteForceTopK(trunc(emb, 2), trunc(q, 2), 1), exact)
+      .collect().head
+    assert(pre2.getDouble(1) == 0.0)
+  }
+
 }
