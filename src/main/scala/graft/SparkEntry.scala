@@ -767,6 +767,18 @@ object SparkEntry {
       Analytics.markovStationary(T(s, dir, "events"), 5)
         .orderBy("event_type")),
 
+    // Entropy rate of the event-type chain: how predictable the next
+    // event is in the long run, normalized by ln k.
+    "ana_markov_entropy" -> ((s, dir) =>
+      Analytics.markovEntropyRate(T(s, dir, "events"), 5)),
+
+    // Difference-in-differences over the odd/even user split at the
+    // mid-corpus cutoff — removes group gap AND common trend.
+    "ana_did" -> ((s, dir) =>
+      Analytics.diffInDiff(T(s, dir, "events"),
+        col("user_id") % 2 === 1,
+        col("ts") >= lit("2024-01-16").cast("timestamp"))),
+
     // Kaplan–Meier survival over user lifetimes: per daily step, the
     // at-risk / churned / censored counts and the product-limit survival
     // estimate (churn = 7 days dark before corpus end, horizon-clamped).
@@ -1852,6 +1864,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
         .select("src", "dst")
       operators.Graph.localBridges(edges).orderBy("src", "dst")
+    }),
+
+    // Deterministic DeepWalk corpus: 2 hash-driven walks x 3 steps per
+    // node over sorted-neighbor indices.
+    "graph_walks" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      operators.Graph.deterministicWalks(edges)
+        .orderBy("start_node", "walk", "step")
     }),
 
     // HITS hubs/authorities (2 L1-normalized iterations) over the same
@@ -7207,6 +7234,76 @@ object SparkEntry {
          |FROM p5 ORDER BY event_type""".stripMargin
     },
 
+    // Entropy rate: the stationary chain above, then
+    // −Σ π·p·ln p over observed transitions (12-dp DECIMAL terms).
+    "ana_markov_entropy" -> {
+      val iterCtes = (1 to 5).map { k =>
+        val prev = s"p${k - 1}"
+        s"""f$k AS (SELECT t.to_type AS state,
+           |        sum(CAST(round($prev.pi * t.p, 12) AS DECIMAL(18,12))) AS s
+           |      FROM t JOIN $prev ON $prev.state = t.from_type GROUP BY 1),
+           |d$k AS (SELECT coalesce(sum(CAST(round(pi, 12) AS DECIMAL(18,12))),
+           |          CAST(0 AS DECIMAL(18,12))) AS dm
+           |      FROM $prev WHERE state NOT IN (SELECT from_type FROM t)),
+           |p$k AS (SELECT st.state,
+           |        coalesce(CAST(f$k.s AS DOUBLE), 0e0)
+           |          + CAST(d$k.dm AS DOUBLE) / nn.k AS pi
+           |      FROM states st CROSS JOIN nn CROSS JOIN d$k
+           |      LEFT JOIN f$k ON f$k.state = st.state)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tr AS (SELECT from_type, to_type, count(*) AS n FROM (
+         |      SELECT event_type AS from_type,
+         |        lead(event_type) OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id) AS to_type
+         |      FROM events)
+         |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT from_type, sum(n) AS tot FROM tr GROUP BY 1),
+         |t AS (SELECT tr.from_type, tr.to_type,
+         |        round(CAST(tr.n AS DOUBLE) / tot.tot, 12) AS p
+         |      FROM tr JOIN tot USING (from_type)),
+         |states AS (SELECT from_type AS state FROM tr
+         |           UNION SELECT to_type FROM tr),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+         |p0 AS (SELECT state, 1e0 / nn.k AS pi FROM states CROSS JOIN nn),
+         |$iterCtes,
+         |pif AS (SELECT state, round(pi, 6) AS pi FROM p5),
+         |h AS (SELECT sum(CAST(round(pif.pi * t.p * ln(t.p), 12)
+         |          AS DECIMAL(18,12))) AS sh,
+         |        CAST(count(*) AS BIGINT) AS n_transitions
+         |      FROM t JOIN pif ON pif.state = t.from_type)
+         |SELECT nn.k AS n_states, h.n_transitions,
+         |  CAST(round(CAST(-CAST(sh AS DOUBLE) AS DECIMAL(24,12)), 6)
+         |    AS DOUBLE) AS entropy_rate,
+         |  CAST(round(CAST(-CAST(sh AS DOUBLE)
+         |    / nullif(ln(CAST(nn.k AS DOUBLE)), 0.0) AS DECIMAL(24,12)), 6)
+         |    AS DOUBLE) AS normalized
+         |FROM h CROSS JOIN nn""".stripMargin
+    },
+
+    // DiD: four 6-dp cell means, then the double difference of the
+    // published values.
+    "ana_did" -> {
+      def cell(cond: String, name: String) =
+        s"""(SELECT n AS n_$name, mean AS mean_$name FROM cells
+           | WHERE $cond) $name""".stripMargin
+      s"""WITH cells AS (SELECT (user_id % 2 = 1) AS treated,
+         |      (ts >= TIMESTAMP '2024-01-16 00:00:00') AS post,
+         |      CAST(count(*) AS BIGINT) AS n,
+         |      CAST(round(CAST(CAST(sum(CAST(value AS DECIMAL(24,6)))
+         |        AS DOUBLE) / count(*) AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |        AS mean
+         |    FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+         |SELECT n_t_pre, mean_t_pre, n_t_post, mean_t_post,
+         |  n_c_pre, mean_c_pre, n_c_post, mean_c_post,
+         |  CAST(round(CAST((mean_t_post - mean_t_pre)
+         |    - (mean_c_post - mean_c_pre) AS DECIMAL(24,12)), 6)
+         |    AS DOUBLE) AS did
+         |FROM ${cell("treated AND NOT post", "t_pre")}
+         |CROSS JOIN ${cell("treated AND post", "t_post")}
+         |CROSS JOIN ${cell("NOT treated AND NOT post", "c_pre")}
+         |CROSS JOIN ${cell("NOT treated AND post", "c_post")}""".stripMargin
+    },
+
     // Kaplan–Meier mirror: per-user spans → daily step + churn flag, then
     // the product-limit curve via running windows instead of the Spark
     // side's triangular join (same arithmetic: 6-dp-rounded ln factors
@@ -8919,6 +9016,43 @@ object SparkEntry {
         |SELECT a AS src, b AS dst FROM e0
         |ANTI JOIN closed USING (a, b)
         |ORDER BY src, dst""".stripMargin,
+
+    // Walk corpus: same sorted-neighbor indices and two-round Knuth hop
+    // hash, 3 unrolled steps.
+    "graph_walks" -> {
+      def hop(s: Int) =
+        s"(((((((f.start_node * 2 + f.walk) % 2147483648) * 2654435761) " +
+          s"% 4294967296 + $s) % 2147483648) * 2654435761) % 4294967296)"
+      val steps = (1 to 3).map { s =>
+        val prev = s"f${s - 1}"
+        s"""f$s AS (SELECT f.start_node, f.walk, CAST($s AS BIGINT) AS step,
+           |        a.v AS cur
+           |      FROM $prev f JOIN deg d ON d.node = f.cur
+           |      JOIN adj a ON a.u = f.cur
+           |        AND a.idx = ${hop(s)} % d.deg)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+         |      FROM lineitem),
+         |e AS (SELECT l.pt AS src, r.pt AS dst FROM it l
+         |      JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |und AS (SELECT DISTINCT u, v FROM (
+         |      SELECT src AS u, dst AS v FROM e
+         |      UNION ALL SELECT dst, src FROM e)),
+         |adj AS (SELECT u, v, CAST(row_number() OVER (PARTITION BY u
+         |        ORDER BY v) - 1 AS BIGINT) AS idx FROM und),
+         |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+         |      FROM adj GROUP BY 1),
+         |f0 AS (SELECT node AS start_node, CAST(w AS BIGINT) AS walk,
+         |        CAST(0 AS BIGINT) AS step, node AS cur
+         |      FROM deg CROSS JOIN range(2) r(w)),
+         |$steps
+         |SELECT start_node, walk, step, cur AS node FROM f0
+         |UNION ALL SELECT start_node, walk, step, cur FROM f1
+         |UNION ALL SELECT start_node, walk, step, cur FROM f2
+         |UNION ALL SELECT start_node, walk, step, cur FROM f3
+         |ORDER BY start_node, walk, step""".stripMargin
+    },
 
     // HITS unrolled: each iteration = an authority half-step (DECIMAL
     // in-sum of 12-dp hubs, exact L1 total, 12-dp quotient) then a hub

@@ -292,6 +292,82 @@ object Analytics {
     pi.select(col("state").as("event_type"), round(col("pi"), 6).as("pi"))
   }
 
+  /** Entropy rate of the [[transitions]] Markov chain:
+    * H = −Σᵢ πᵢ Σⱼ Pᵢⱼ·ln Pᵢⱼ over the OBSERVED transitions, with π
+    * from [[markovStationary]]'s published 6-dp values — how
+    * predictable the next event type is in the long run (0 =
+    * deterministic flows, ln k = uniform chaos), normalized by ln k
+    * beside it. The one-number sequel to the transition matrix that
+    * [[sessionEntropy]] (within-session mix) and the stationary vector
+    * (long-run occupancy) each miss.
+    *
+    * Cost: the transitions aggregate (the only corpus pass, run once
+    * more than markovStationary's own) + |types|²-row arithmetic;
+    * per-term contributions 12-dp-DECIMAL-summed.
+    */
+  def markovEntropyRate(events: DataFrame, iters: Int = 5,
+                        userCol: String = "user_id",
+                        typeCol: String = "event_type",
+                        tsCol: String = "ts",
+                        idCol: String = "event_id"): DataFrame = {
+    def d6(c: Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    val pi = markovStationary(events, iters, userCol, typeCol, tsCol, idCol)
+      .select(col("event_type").as("from_type"), col("pi"))
+    val t = transitions(events, userCol, typeCol, tsCol, idCol)
+    val tot = t.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    val p = t.join(tot, "from_type")
+      .select(col("from_type"),
+        round(col("n").cast("double") / col("tot"), 12).as("p"))
+    val h = p.join(pi, "from_type")
+      .agg(sum(round(col("pi") * col("p") * log(col("p")), 12)
+          .cast("decimal(18,12)")).as("sh"),
+        count(lit(1)).as("n_transitions"))
+    h.crossJoin(broadcast(pi.agg(count(lit(1)).as("n_states"))))
+      .select(col("n_states"), col("n_transitions"),
+        d6(-col("sh").cast("double")).as("entropy_rate"),
+        d6(try_divide(-col("sh").cast("double"),
+          log(col("n_states").cast("double")))).as("normalized"))
+  }
+
+  /** Difference-in-differences card: outcome means for the 2×2
+    * (group, period) design and the DiD estimate — the
+    * causal-adjustment counterpart of [[abTest]]'s single-period
+    * comparison, removing both the pre-existing group gap and the
+    * common time trend. `treatedExpr` and `postExpr` are caller
+    * predicates (any assignment rule); the estimate composes the four
+    * 6-dp-published cell means so both engines difference identical
+    * values.
+    *
+    * One corpus aggregate (4 cells, map-side combined), then
+    * constant-size arithmetic.
+    */
+  def diffInDiff(events: DataFrame, treatedExpr: Column, postExpr: Column,
+                 valueCol: String = "value"): DataFrame = {
+    def d6(c: Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    val cells = events
+      .filter(col(valueCol).isNotNull)
+      .groupBy(treatedExpr.cast("boolean").as("treated"),
+        postExpr.cast("boolean").as("post"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(24,6)")).as("sv"))
+      .select(col("treated"), col("post"), col("n"),
+        d6(col("sv").cast("double") / col("n").cast("double")).as("mean"))
+    def cell(tr: Boolean, po: Boolean, name: String) =
+      cells.filter(col("treated") === tr && col("post") === po)
+        .select(col("n").as(s"n_$name"), col("mean").as(s"mean_$name"))
+    cell(true, false, "t_pre")
+      .crossJoin(broadcast(cell(true, true, "t_post")))
+      .crossJoin(broadcast(cell(false, false, "c_pre")))
+      .crossJoin(broadcast(cell(false, true, "c_post")))
+      .select(col("n_t_pre"), col("mean_t_pre"), col("n_t_post"),
+        col("mean_t_post"), col("n_c_pre"), col("mean_c_pre"),
+        col("n_c_post"), col("mean_c_post"),
+        d6((col("mean_t_post") - col("mean_t_pre")) -
+          (col("mean_c_post") - col("mean_c_pre"))).as("did"))
+  }
+
   /** RFM segmentation: per-customer Recency (days since last order as of
     * `asOf`), Frequency (order count) and Monetary (exact DECIMAL revenue
     * sum), each bucketed into `nTiles` scores. Scoring deliberately avoids

@@ -856,6 +856,65 @@ object Graph {
       .select(col("a").as("src"), col("b").as("dst"))
   }
 
+  /** Deterministic random-walk corpus (DeepWalk/node2vec data prep):
+    * `walksPerNode` walks of `length` steps from every node, each hop
+    * chosen by a reproducible (walk, step) hash over the node's sorted
+    * neighbor list — the representation-learning walk corpus, with the
+    * property a `rand()` walk generator can't give: the SAME corpus on
+    * every run, engine, and partitioning, so downstream embeddings are
+    * reproducible and the walks auditable.
+    *
+    * Scale shape: the neighbor index is a per-node window over the
+    * adjacency (keyed by node, never global); each step is two
+    * equi-joins — frontier→degree (compute the pick) and
+    * frontier→(node, idx) adjacency row — so a step costs one
+    * edge-table shuffle, ∝ walks, not Σdeg². The hop hash is two
+    * Knuth rounds (walk scattered first, then step — the mlmMasking
+    * decorrelation argument). Output is the flattened
+    * (start_node, walk, step, node) corpus.
+    */
+  def deterministicWalks(edges: DataFrame, walksPerNode: Int = 2,
+                         length: Int = 3, srcCol: String = "src",
+                         dstCol: String = "dst"): DataFrame = {
+    require(walksPerNode >= 1 && length >= 1,
+      s"need walksPerNode/length >= 1, got $walksPerNode/$length")
+    val M31 = 2147483648L; val M32 = 4294967296L; val Knuth = 2654435761L
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+    val adjW = Window.partitionBy(col("u")).orderBy(col("v"))
+    val adj = und
+      .withColumn("idx", (row_number().over(adjW) - 1).cast("long"))
+      .localCheckpoint()
+    val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val starts = deg.select(col("node"))
+      .select(col("node"), explode(sequence(lit(0L),
+        lit(walksPerNode - 1L))).as("walk"))
+      .select(col("node").as("start_node"), col("walk"),
+        col("node").as("cur"))
+    var frontier = starts
+      .select(col("start_node"), col("walk"), lit(0L).as("step"),
+        col("cur"))
+      .localCheckpoint()
+    var corpus = frontier
+    for (s <- 1 to length) {
+      val h1 = pmod(pmod(col("start_node") * walksPerNode.toLong
+        + col("walk"), lit(M31)) * Knuth, lit(M32))
+      val h = pmod(pmod(h1 + lit(s.toLong), lit(M31)) * Knuth, lit(M32))
+      frontier = frontier
+        .join(deg, frontier("cur") === deg("node"))
+        .withColumn("pick", pmod(h, col("deg")))
+        .join(adj, col("cur") === adj("u") && col("pick") === adj("idx"))
+        .select(col("start_node"), col("walk"), lit(s.toLong).as("step"),
+          col("v").as("cur"))
+        .localCheckpoint()
+      corpus = corpus.unionByName(frontier)
+    }
+    corpus.select(col("start_node"), col("walk"), col("step"),
+      col("cur").as("node"))
+  }
+
   /** Average nearest-neighbor degree per degree class — the k_nn(k)
     * CURVE behind [[assortativity]]'s single coefficient (Pastor-
     * Satorras et al. 2001): for each degree k, the mean over degree-k

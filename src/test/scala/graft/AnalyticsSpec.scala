@@ -583,6 +583,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("B") == (2L, None, None))
   }
 
+  test("markovEntropyRate: deterministic chain 0; fair-coin chain ln 2") {
+    def ev(u: Long, types: Seq[String]) = types.zipWithIndex.map {
+      case (t, h) => (u, t, f"2024-01-01 $h%02d:00:00", h.toLong) }
+    // A,B,A,B,A: P(A->B) = P(B->A) = 1 -> H = 0
+    val det = ev(1L, Seq("A", "B", "A", "B", "A"))
+      .toDF("user_id", "event_type", "s", "event_id")
+      .select($"user_id", $"event_type", to_timestamp($"s").as("ts"),
+        $"event_id")
+    val d = Analytics.markovEntropyRate(det).collect().head
+    assert((d.getLong(0), d.getLong(1), d.getDouble(2), d.getDouble(3)) ==
+      (2L, 2L, 0.0, 0.0))
+    // A,A,B,B,A: all four transitions once -> P uniform, H = ln 2,
+    // normalized exactly 1
+    val coin = ev(1L, Seq("A", "A", "B", "B", "A"))
+      .toDF("user_id", "event_type", "s", "event_id")
+      .select($"user_id", $"event_type", to_timestamp($"s").as("ts"),
+        $"event_id")
+    val c = Analytics.markovEntropyRate(coin).collect().head
+    assert((c.getLong(0), c.getLong(1), c.getDouble(2), c.getDouble(3)) ==
+      (2L, 4L, 0.693147, 1.0))
+  }
+
+  test("diffInDiff: hand 2x2 cells, double difference") {
+    val cut = "2024-01-16"
+    val rows = Seq(
+      (1L, "2024-01-10", 1.0), (1L, "2024-01-11", 3.0), // t_pre mean 2
+      (3L, "2024-01-20", 5.0),                          // t_post mean 5
+      (2L, "2024-01-10", 2.0),                          // c_pre mean 2
+      (2L, "2024-01-20", 3.0))                          // c_post mean 3
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    val r = Analytics.diffInDiff(rows, $"user_id" % 2 === 1,
+      $"ts" >= to_timestamp(lit(cut))).collect().head
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 2.0)   // t_pre
+    assert(r.getLong(2) == 1L && r.getDouble(3) == 5.0)   // t_post
+    assert(r.getLong(4) == 1L && r.getDouble(5) == 2.0)   // c_pre
+    assert(r.getLong(6) == 1L && r.getDouble(7) == 3.0)   // c_post
+    assert(r.getDouble(8) == 2.0)                         // (5-2)-(3-2)
+  }
+
   test("rollingDistinct: trailing-7-day membership, observed days only") {
     val rows = Seq((1L, "2024-03-01"), (2L, "2024-03-01"),
       (1L, "2024-03-03"), (1L, "2024-03-09"))

@@ -366,4 +366,19 @@ class GraphSpec extends SparkSpec {
     assert(b.toSeq == Seq((4L, 5L)))
   }
 
+  test("deterministicWalks: hand-hashed hops on the 1-2-3 path graph") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.deterministicWalks(e).collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1))).view
+      .mapValues(rs => rs.sortBy(_.getLong(2)).map(_.getLong(3)).toSeq)
+      .toMap
+    assert(out.size == 6) // 3 nodes x 2 walks, each 4 positions
+    assert(out((1L, 0L)) == Seq(1L, 2L, 1L, 2L))
+    assert(out((1L, 1L)) == Seq(1L, 2L, 3L, 2L))
+    assert(out((2L, 0L)) == Seq(2L, 3L, 2L, 3L))
+    assert(out((2L, 1L)) == Seq(2L, 1L, 2L, 1L))
+    assert(out((3L, 0L)) == Seq(3L, 2L, 1L, 2L))
+    assert(out((3L, 1L)) == Seq(3L, 2L, 3L, 2L))
+  }
+
 }
