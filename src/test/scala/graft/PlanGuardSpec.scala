@@ -314,6 +314,30 @@ class PlanGuardSpec extends SparkSpec {
     assert(!q18.contains("CartesianProduct"), s"q18 plan:\n$q18")
   }
 
+  test("walks / did / entropy-rate batch keeps its shapes") {
+    import graft.analytics.Analytics
+    import spark.implicits._
+    val ev = graft.etl.Ingest.readEvents(spark, "/root/testdata/sf0.001")
+    // deterministicWalks: every hop is two equi-joins (degree, then
+    // (node, idx) adjacency) — never a fan-out-and-filter cartesian
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val wk = graft.operators.Graph.deterministicWalks(e)
+      .queryExecution.executedPlan.toString
+    assert(!wk.contains("CartesianProduct"), s"walks:\n$wk")
+    // diffInDiff: one 4-cell aggregate; the cells re-attach as
+    // broadcast scalars
+    val dd = Analytics.diffInDiff(ev,
+        org.apache.spark.sql.functions.col("user_id") % 2 === 1,
+        org.apache.spark.sql.functions.col("value") > 0)
+      .queryExecution.executedPlan.toString
+    assert(dd.contains("BroadcastExchange"), s"diffInDiff:\n$dd")
+    // entropy rate: |types|²-row arithmetic over the transitions
+    // aggregate, no cartesian
+    val me = Analytics.markovEntropyRate(ev)
+      .queryExecution.executedPlan.toString
+    assert(!me.contains("CartesianProduct"), s"entropyRate:\n$me")
+  }
+
   test("round-12-late operators keep their scale shapes") {
     val sf = "/root/testdata/sf0.001"
     // dHash near-dup: the pair generator is the banded EQUI-self-join —
