@@ -1146,6 +1146,12 @@ object SparkEntry {
       Sampling.negativeSampling(T(s, dir, "documents"))
         .orderBy("doc_id", "j")),
 
+    // Neyman optimal allocation of a 1000-row sample over languages,
+    // n_h ∝ N_h·σ(n_chars).
+    "sample_neyman" -> ((s, dir) =>
+      Sampling.neymanAllocation(T(s, dir, "documents"), "lang", "n_chars")
+        .orderBy("stratum")),
+
     // ---- LLM-data-pipeline: mergeable sketches ----
 
     // Count-Min Sketch built INCREMENTALLY: register tables for the pre-
@@ -1584,6 +1590,31 @@ object SparkEntry {
     // no-preferred-axis, the top of the spectrum effectiveRank averages.
     "emb_eigengap" -> ((s, dir) =>
       Similarity.eigenGap(T(s, dir, "embeddings"))),
+
+    // 1-bit (sign) binary quantization retrieval quality: Hamming top-10
+    // vs the exact cosine ranking — the 64×-compression recall question.
+    // Codes split into two 32-bit halves (bit 63 via single-long shifts
+    // overflows DuckDB's checked `<<`).
+    "emb_binary_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val codes = Similarity.binaryCodes(emb)
+      val q = codes.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+          col("hi").as("qhi"))
+      val scored = codes
+        .select(col("vec_id").as("neighbor_id"), col("lo").as("clo"),
+          col("hi").as("chi"))
+        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (expr("bit_count(qlo ^ clo)") + expr("bit_count(qhi ^ chi)"))
+            .as("ham"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("ham").asc, col("neighbor_id").asc)
+      val approx = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+      Similarity.recallAtK(approx,
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 10))
+    }),
 
     // Matryoshka truncation quality: recall@10 of prefix-dim cosine
     // retrieval against the full-dim exact ranking (MRL deployment
@@ -4150,6 +4181,32 @@ object SparkEntry {
 
     // Kish ESS from the G-row count aggregate: exact decimal x integer
     // products, every rounding edge on the DECIMAL(24,12) cast.
+    // Neyman: exact HUGEINT moments -> 6-dp sample sd; shares compose
+    // the published sds; allocations floor against the budget.
+    "sample_neyman" ->
+      """WITH m AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(n_chars AS HUGEINT)) AS sx,
+        |        sum(CAST(n_chars * n_chars AS HUGEINT)) AS sxx
+        |      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |sds AS (SELECT stratum, n,
+        |        CAST(round(CAST(sqrt(
+        |          CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+        |          / nullif(CAST(n * (n - 1) AS DOUBLE), 0.0))
+        |          AS DECIMAL(24,12)), 6) AS DOUBLE) AS sd
+        |      FROM m),
+        |ws AS (SELECT stratum, n, sd,
+        |        CAST(round(CAST(CAST(n AS DOUBLE) * sd
+        |          AS DECIMAL(38,12)), 6) AS DECIMAL(38,6)) AS w6
+        |      FROM sds),
+        |tot AS (SELECT sum(w6) AS w_total FROM ws)
+        |SELECT stratum, n, sd,
+        |  CAST(round(CAST(CAST(w6 AS DOUBLE) / CAST(w_total AS DOUBLE)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS alloc_share,
+        |  CAST(floor(1000.0 * CAST(round(CAST(CAST(w6 AS DOUBLE)
+        |    / CAST(w_total AS DOUBLE) AS DECIMAL(24,12)), 6) AS DOUBLE))
+        |    AS BIGINT) AS alloc_n
+        |FROM ws CROSS JOIN tot ORDER BY stratum""".stripMargin,
+
     // Negative sampler: same double-Knuth 62-bit draw mod the exact
     // x1e6 unigram^0.75 total, CDF membership by integer compares.
     "sample_negatives" ->
@@ -5388,6 +5445,40 @@ object SparkEntry {
          |        count(*) AS k
          |      FROM b LEFT JOIN l ON l.query_id = b.query_id
          |        AND l.neighbor_id = b.neighbor_id
+         |      GROUP BY 1)
+         |SELECT count(*) AS n_queries,
+         |  round(CAST(sum(CAST(round(CAST(hits AS DOUBLE) / k, 6)
+         |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_recall
+         |FROM m""".stripMargin,
+
+    // Binary-quantization recall: the same two-half sign codes, Hamming
+    // rank, recall vs the exact cosine pairs.
+    "emb_binary_recall" ->
+      s"""WITH e AS ($embCte),
+         |fl AS (SELECT vec_id, unnest(v) AS x,
+         |        generate_subscripts(v, 1) - 1 AS i FROM e),
+         |codes AS (SELECT vec_id,
+         |        bit_or(CASE WHEN x > 0 AND i < 32
+         |          THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+         |          ELSE CAST(0 AS BIGINT) END) AS lo,
+         |        bit_or(CASE WHEN x > 0 AND i >= 32
+         |          THEN CAST(1 AS BIGINT) << CAST(i - 32 AS INTEGER)
+         |          ELSE CAST(0 AS BIGINT) END) AS hi
+         |      FROM fl GROUP BY 1),
+         |q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+         |      FROM codes WHERE vec_id < 8),
+         |appx AS (SELECT query_id, neighbor_id FROM (
+         |      SELECT query_id, c.vec_id AS neighbor_id,
+         |        bit_count(xor(qlo, c.lo)) + bit_count(xor(qhi, c.hi))
+         |          AS ham
+         |      FROM q, codes c WHERE c.vec_id <> query_id)
+         |      QUALIFY row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ham, neighbor_id) <= 10),
+         |b AS (SELECT query_id, neighbor_id FROM ($bruteAnnOracle)),
+         |m AS (SELECT b.query_id, count(appx.neighbor_id) AS hits,
+         |        count(*) AS k
+         |      FROM b LEFT JOIN appx ON appx.query_id = b.query_id
+         |        AND appx.neighbor_id = b.neighbor_id
          |      GROUP BY 1)
          |SELECT count(*) AS n_queries,
          |  round(CAST(sum(CAST(round(CAST(hits AS DOUBLE) / k, 6)

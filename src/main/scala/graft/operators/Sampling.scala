@@ -390,6 +390,46 @@ object Sampling {
           .as("ess_ratio"))
   }
 
+  /** Neyman optimal allocation: for a fixed sample budget, how many
+    * rows to draw from each stratum — n_h ∝ N_h·σ_h (Neyman 1934), the
+    * design that minimizes the variance of the estimated mean vs
+    * proportional allocation whenever strata differ in spread. The
+    * "how should I sample this corpus for eval" card beside
+    * [[importanceWeights]]' "how should I reweight it".
+    *
+    * Per stratum: exact integer moments (DECIMAL(38,0) Σx, Σx²) feed
+    * the sample sd (6-dp-routed); shares compose the PUBLISHED 6-dp
+    * sds so both engines divide identical values; allocations floor
+    * (never round half) so the budget is a hard cap. One stratum-keyed
+    * aggregate over the corpus, then G-row arithmetic.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+                       valueCol: String, budget: Long = 1000L): DataFrame = {
+    require(budget >= 1, s"need budget >= 1, got $budget")
+    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    val m = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("sx"),
+        sum((col(valueCol) * col(valueCol)).cast("decimal(38,0)"))
+          .as("sxx"))
+      .select(col("stratum"), col("n"),
+        d6(sqrt(try_divide(
+          (col("n").cast("decimal(38,0)") * col("sxx") -
+            col("sx") * col("sx")).cast("double"),
+          (col("n") * (col("n") - 1L)).cast("double")))).as("sd"))
+    val w6 = round((col("n").cast("double") * col("sd"))
+      .cast("decimal(38,12)"), 6).cast("decimal(38,6)")
+    val weighted = m.withColumn("w6", w6)
+    val tot = weighted.agg(sum(col("w6")).as("w_total"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n"), col("sd"),
+        d6(try_divide(col("w6").cast("double"),
+          col("w_total").cast("double"))).as("alloc_share"))
+      .withColumn("alloc_n",
+        floor(lit(budget.toDouble) * col("alloc_share")).cast("long"))
+  }
+
   /** Deterministic word2vec-style negative sampling: `k` negatives per
     * document, drawn from the top-`maxVocab` unigram distribution raised
     * to the 3/4 power (Mikolov et al. 2013 — the tempering that keeps

@@ -999,6 +999,26 @@ object Similarity {
         round(col("nrm"), 6).as("eigenvalue_est"))
   }
 
+  /** 1-bit (sign) binary codes: bit i set iff component i > 0, packed
+    * as two 32-bit halves in BIGINTs (`lo` dims 0–31, `hi` dims 32–63)
+    * — a 64-bit half would need `1 << 63`, which checked-shift engines
+    * (DuckDB's oracle) reject. The 64×-compression index behind
+    * Hamming retrieval; pair with [[recallAtK]] to price the recall
+    * cost (emb_binary_recall). One narrow posexplode + a vec-keyed
+    * bit_or — no shuffle beyond the code aggregate, dims ≤ 64.
+    */
+  def binaryCodes(embeddings: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(idCol).as("vec_id"), posexplode(toDouble(col(vecCol))))
+      .groupBy("vec_id").agg(
+        expr("bit_or(CASE WHEN col > 0 AND pos < 32 THEN " +
+          "shiftleft(CAST(1 AS BIGINT), pos) ELSE CAST(0 AS BIGINT) END)")
+          .as("lo"),
+        expr("bit_or(CASE WHEN col > 0 AND pos >= 32 THEN " +
+          "shiftleft(CAST(1 AS BIGINT), pos - 32) ELSE CAST(0 AS BIGINT) END)")
+          .as("hi"))
+
   /** Eigengap card: λ₁/λ₂ of the embedding covariance by Hotelling
     * deflation — run [[pcaPowerIteration]]'s loop, subtract
     * λ₁·v₁v₁ᵀ (the 6-dp published values, so the oracle replays the

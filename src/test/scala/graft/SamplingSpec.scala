@@ -213,6 +213,21 @@ class SamplingSpec extends SparkSpec {
     assert(b.head.getDouble(5) == 10.0)
   }
 
+  test("neymanAllocation: spread-weighted shares; zero/undefined sd strata") {
+    // A: {1,3} sd = sqrt(2) = 1.414214 -> weight 2.828428
+    // B: {5,5,5} sd = 0 -> weight 0; C: single row -> sd NULL
+    val df = Seq(("A", 1L), ("A", 3L), ("B", 5L), ("B", 5L), ("B", 5L),
+      ("C", 7L)).toDF("g", "x")
+    val out = Sampling.neymanAllocation(df, "g", "x").collect().map(r =>
+      r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(out("A") == (2L, Some(1.414214), Some(1.0), Some(1000L)))
+    assert(out("B") == (3L, Some(0.0), Some(0.0), Some(0L)))
+    assert(out("C") == (1L, None, None, None))
+  }
+
   test("negativeSampling: hand CDF inversions over a 3-term unigram^0.75") {
     // corpus: 'a'×8, 'b', 'c' -> w6 = 4756828 / 1000000 / 1000000;
     // hand-run double-hash draws: doc 1 -> b,b,a,b; doc 2 -> a,a,a,a

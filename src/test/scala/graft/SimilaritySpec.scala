@@ -649,6 +649,20 @@ class SimilaritySpec extends SparkSpec {
     assert(o.isNullAt(2) || o.getDouble(2) > 100.0)
   }
 
+  test("binaryCodes: exact bit placement across the two halves") {
+    // 40-dim vector: positives at dims 0, 31, 32, 39 -> lo bits {0,31},
+    // hi bits {0, 7}; zeros and negatives never set a bit
+    val v = Array.fill(40)(-1.0f)
+    v(0) = 0.5f; v(31) = 2.0f; v(32) = 0.1f; v(39) = 3.0f
+    v(5) = 0.0f // zero is NOT positive
+    val emb = Seq((1L, v.toSeq), (2L, Seq.fill(40)(-1.0f).toSeq))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.binaryCodes(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((1L | (1L << 31), 1L | (1L << 7))))
+    assert(out(2L) == ((0L, 0L)))
+  }
+
   test("matryoshka truncation: prefix retrieval loses the tail signal") {
     // query 0's full-dim nearest is 2 (tail dims dominate); the 2-dim
     // prefix ranks 1 first (exact prefix match, tie -> lower id)
