@@ -1897,6 +1897,20 @@ object SparkEntry {
       operators.Graph.localBridges(edges).orderBy("src", "dst")
     }),
 
+    // Spectral bisection: deflated power iteration on c·I − L, sign
+    // split + algebraic connectivity — "how would I shard this graph".
+    "graph_fiedler" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      operators.Graph.fiedlerBisection(edges, 5)
+    }),
+
     // Deterministic DeepWalk corpus: 2 hash-driven walks x 3 steps per
     // node over sorted-neighbor indices.
     "graph_walks" -> ((s, dir) => {
@@ -9107,6 +9121,63 @@ object SparkEntry {
         |SELECT a AS src, b AS dst FROM e0
         |ANTI JOIN closed USING (a, b)
         |ORDER BY src, dst""".stripMargin,
+
+    // Fiedler: 5 unrolled deflated power rounds + the final half-step
+    // norm; 12-dp DECIMAL trajectory like the Spark loop.
+    "graph_fiedler" -> {
+      def half(k: Int, prev: String) =
+        s"""m$k AS MATERIALIZED (SELECT sx / nn.n AS mx FROM (
+           |        SELECT CAST(sum(CAST(round(x, 12) AS DECIMAL(28,12)))
+           |          AS DOUBLE) AS sx FROM $prev) CROSS JOIN nn),
+           |s$k AS MATERIALIZED (SELECT und.u AS node,
+           |        sum(CAST(round(p.x, 12) AS DECIMAL(28,12))) AS sn
+           |      FROM und JOIN $prev p ON p.node = und.v GROUP BY 1),
+           |y$k AS MATERIALIZED (SELECT d.node,
+           |        cc.c * p.x - (CAST(d.deg AS DOUBLE) * p.x
+           |          - coalesce(CAST(s$k.sn AS DOUBLE), 0.0))
+           |          - cc.c * m$k.mx AS y
+           |      FROM deg d JOIN $prev p ON p.node = d.node
+           |      LEFT JOIN s$k ON s$k.node = d.node
+           |      CROSS JOIN cc CROSS JOIN m$k),
+           |n$k AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(round(y * y, 12)
+           |        AS DECIMAL(28,12))) AS DOUBLE)) AS nrm FROM y$k)""".stripMargin
+      val rounds = (1 to 5).map { k =>
+        half(k, if (k == 1) "x0" else s"x${k - 1}") + s""",
+           |x$k AS MATERIALIZED (SELECT node, round(CASE WHEN nrm = 0
+           |  THEN 0.0 ELSE y / nrm END, 12) AS x
+           |  FROM y$k CROSS JOIN n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk,
+         |      l_partkey AS pt FROM lineitem),
+         |e AS MATERIALIZED (SELECT l.pt AS src, r.pt AS dst FROM it l
+         |      JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+         |      SELECT src AS u, dst AS v FROM e
+         |      UNION ALL SELECT dst, src FROM e)),
+         |deg AS MATERIALIZED (SELECT u AS node,
+         |      CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         |cc AS (SELECT CAST(2 * max(deg) AS DOUBLE) AS c FROM deg),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         |x0 AS (SELECT node, CAST(node % 2 AS DOUBLE) * 2.0 - 1.0 AS x
+         |      FROM deg),
+         |$rounds,
+         |${half(6, "x5")},
+         |sides AS (SELECT node, x > 0.0 AS pos FROM x5),
+         |sizes AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS n_pos,
+         |        CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
+         |          AS n_neg FROM sides),
+         |cut AS (SELECT CAST(sum(CASE WHEN a.pos <> b.pos THEN 1
+         |        ELSE 0 END) / 2 AS BIGINT) AS cut_edges
+         |      FROM und JOIN sides a ON a.node = und.u
+         |      JOIN sides b ON b.node = und.v)
+         |SELECT nn.n AS n_nodes, n_pos, n_neg, cut_edges,
+         |  CAST(round(CAST(cc.c - n6.nrm AS DECIMAL(24,12)), 6)
+         |    AS DOUBLE) AS lambda2_est
+         |FROM nn CROSS JOIN sizes CROSS JOIN cut
+         |CROSS JOIN n6 CROSS JOIN cc""".stripMargin
+    },
 
     // Walk corpus: same sorted-neighbor indices and two-round Knuth hop
     // hash, 3 unrolled steps.

@@ -856,6 +856,102 @@ object Graph {
       .select(col("a").as("src"), col("b").as("dst"))
   }
 
+  /** Spectral bisection card: approximate the Fiedler vector (second-
+    * smallest eigenvector of the graph Laplacian L = D − A) by power
+    * iteration on the shifted matrix B = c·I − L (c = 2·max-degree, so
+    * B ⪰ 0 and L's smallest eigenvalues become B's largest), deflating
+    * the trivial all-ones eigenvector IMPLICITLY each round
+    * (y = c·x − L·x − c·mean(x)·1 — the rank-1 correction stays a
+    * broadcast scalar; the matrix never densifies). The sign split of
+    * the converged vector is the classic 2-partition that minimizes
+    * edge cut per balance (Fiedler 1973; the principle under METIS-style
+    * partitioners) — the "how would I shard this graph" answer
+    * [[conductance]] can only evaluate after the fact.
+    *
+    * Per round: one edge-keyed join (Σ neighbor x), a node aggregate,
+    * two broadcast scalars (mean, norm) — pageRank's cost class, 12-dp
+    * DECIMAL-quantized trajectory so engines agree. Output: one row
+    * with the split sizes, cut edges, and λ₂ estimate (algebraic
+    * connectivity, 6 dp).
+    */
+  def fiedlerBisection(edges: DataFrame, iters: Int = 5,
+                       srcCol: String = "src",
+                       dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    def d6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 12).cast("decimal(28,12)"))
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct().localCheckpoint()
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val cShift = deg.agg((lit(2L) * max(col("deg"))).cast("double").as("c"))
+      .localCheckpoint()
+    val n = deg.agg(count(lit(1)).as("n")).localCheckpoint()
+    var x = deg.select(col("node"),
+        (pmod(col("node"), lit(2L)).cast("double") * 2.0 - 1.0).as("x"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val mean = x.agg((dsum(col("x")).cast("double")).as("sx"))
+        .crossJoin(broadcast(n))
+        .select((col("sx") / col("n").cast("double")).as("mx"))
+        .localCheckpoint()
+      val nbrSum = und
+        .join(x.select(col("node").as("v"), col("x").as("xv")), "v")
+        .groupBy(col("u").as("node")).agg(dsum(col("xv")).as("sn"))
+      val y = x.join(deg, "node")
+        .join(nbrSum, Seq("node"), "left")
+        .crossJoin(broadcast(cShift)).crossJoin(broadcast(mean))
+        .select(col("node"),
+          (col("c") * col("x")
+            - (col("deg").cast("double") * col("x")
+              - coalesce(col("sn").cast("double"), lit(0.0)))
+            - col("c") * col("mx")).as("y"))
+      val nrm = y.agg(sqrt(dsum(col("y") * col("y")).cast("double"))
+        .as("nrm")).localCheckpoint()
+      x = y.crossJoin(broadcast(nrm))
+        .select(col("node"), round(when(col("nrm") === 0.0, lit(0.0))
+          .otherwise(col("y") / col("nrm")), 12).as("x"))
+        .localCheckpoint()
+    }
+    // recompute the final norm for the λ₂ estimate: run one more
+    // half-step y = B'x and take ‖y‖ (the Rayleigh-quotient proxy the
+    // loop's last nrm already equals — reuse it via a final half pass)
+    val mean = x.agg(dsum(col("x")).cast("double").as("sx"))
+      .crossJoin(broadcast(n))
+      .select((col("sx") / col("n").cast("double")).as("mx"))
+    val nbrSum = und
+      .join(x.select(col("node").as("v"), col("x").as("xv")), "v")
+      .groupBy(col("u").as("node")).agg(dsum(col("xv")).as("sn"))
+    val y = x.join(deg, "node")
+      .join(nbrSum, Seq("node"), "left")
+      .crossJoin(broadcast(cShift)).crossJoin(broadcast(mean))
+      .select(col("node"),
+        (col("c") * col("x")
+          - (col("deg").cast("double") * col("x")
+            - coalesce(col("sn").cast("double"), lit(0.0)))
+          - col("c") * col("mx")).as("y"))
+    val nrm = y.agg(sqrt(dsum(col("y") * col("y")).cast("double"))
+      .as("nrm"))
+    val sides = x.select(col("node"), (col("x") > 0.0).as("pos"))
+      .localCheckpoint()
+    val sizes = sides.agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg"))
+    val cut = und
+      .join(sides.select(col("node").as("u"), col("pos").as("pu")), "u")
+      .join(sides.select(col("node").as("v"), col("pos").as("pv")), "v")
+      .agg((sum(when(col("pu") =!= col("pv"), 1L).otherwise(0L)) / 2L)
+        .cast("long").as("cut_edges"))
+    n.crossJoin(broadcast(sizes)).crossJoin(broadcast(cut))
+      .crossJoin(broadcast(nrm)).crossJoin(broadcast(cShift))
+      .select(col("n").as("n_nodes"), col("n_pos"), col("n_neg"),
+        col("cut_edges"),
+        d6(col("c") - col("nrm")).as("lambda2_est"))
+  }
+
   /** Deterministic random-walk corpus (DeepWalk/node2vec data prep):
     * `walksPerNode` walks of `length` steps from every node, each hop
     * chosen by a reproducible (walk, step) hash over the node's sorted

@@ -366,6 +366,20 @@ class GraphSpec extends SparkSpec {
     assert(b.toSeq == Seq((4L, 5L)))
   }
 
+  test("fiedlerBisection: barbell graph splits at the bridge") {
+    // two triangles {1,2,3} and {4,5,6} joined by (3,4): the spectral
+    // split is the triangles, cutting exactly the bridge
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.fiedlerBisection(e).collect().head
+    assert(r.getLong(0) == 6L)
+    assert(Set(r.getLong(1), r.getLong(2)) == Set(3L))
+    assert(r.getLong(1) + r.getLong(2) == 6L)
+    assert(r.getLong(3) == 1L, s"cut ${r.getLong(3)}")
+    val l2 = r.getDouble(4)
+    assert(l2 > 0.0 && l2 < 2.0, s"lambda2 $l2")
+  }
+
   test("deterministicWalks: hand-hashed hops on the 1-2-3 path graph") {
     val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val out = Graph.deterministicWalks(e).collect()
