@@ -1152,6 +1152,12 @@ object SparkEntry {
       Sampling.neymanAllocation(T(s, dir, "documents"), "lang", "n_chars")
         .orderBy("stratum")),
 
+    // Systematic PPS draw: 50 grid points over the exact n_chars
+    // cumulative line, inclusion probability exactly n·w/W.
+    "sample_pps" -> ((s, dir) =>
+      Sampling.ppsSystematic(T(s, dir, "documents"), "doc_id", "n_chars")
+        .orderBy("j")),
+
     // ---- LLM-data-pipeline: mergeable sketches ----
 
     // Count-Min Sketch built INCREMENTALLY: register tables for the pre-
@@ -4195,6 +4201,22 @@ object SparkEntry {
 
     // Kish ESS from the G-row count aggregate: exact decimal x integer
     // products, every rounding edge on the DECIMAL(24,12) cast.
+    // PPS: one ordered cum line (window is fine for the oracle), the
+    // same integer grid, interval membership by integer compares.
+    "sample_pps" ->
+      """WITH r AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+        |      FROM documents WHERE n_chars > 0),
+        |line AS (SELECT doc_id, w,
+        |        sum(w) OVER (ORDER BY doc_id) AS hi FROM r),
+        |l2 AS (SELECT doc_id, w, hi, hi - w AS lo FROM line),
+        |tot AS (SELECT max(hi) AS W FROM l2),
+        |grid AS (SELECT CAST(j AS BIGINT) AS j,
+        |        (2 * CAST(j AS BIGINT) + 1) * W // 100 AS t
+        |      FROM range(50) r(j) CROSS JOIN tot)
+        |SELECT j, doc_id, w AS weight
+        |FROM l2 JOIN grid ON t >= lo AND t < hi
+        |ORDER BY j""".stripMargin,
+
     // Neyman: exact HUGEINT moments -> 6-dp sample sd; shares compose
     // the published sds; allocations floor against the budget.
     "sample_neyman" ->

@@ -430,6 +430,61 @@ object Sampling {
         floor(lit(budget.toDouble) * col("alloc_share")).cast("long"))
   }
 
+  /** Systematic PPS (probability-proportional-to-size) sampling: lay a
+    * fixed grid of `nPicks` points t_j = (2j+1)·W/(2n) over the exact
+    * cumulative weight line and take the document covering each point —
+    * every row's inclusion probability is exactly n·w/W (the survey-
+    * sampling workhorse; a row heavier than W/n can legitimately be
+    * picked twice — PPS-with-replacement semantics, kept). Fully
+    * deterministic: fixed half-offset phase, integer arithmetic
+    * throughout, no RNG.
+    *
+    * Scale shape: the cumulative line is the [[graft.operators
+    * .TextAnalysis.packSequencesGlobal]] two-level prefix sum (id-range
+    * buckets → partitioned windows → ≤ buckets² offset join), never a
+    * global window; the n-row grid broadcasts onto the corpus and each
+    * row checks its own [lo, hi) interval against ≤ nPicks grid points
+    * (constant). Weights must be positive integers ≤ ~2^31 per row;
+    * (2n+1)·W stays under 2^63 for corpora to ~10¹⁵ total weight at
+    * n ≤ 10³ — past that, widen to DECIMAL.
+    */
+  def ppsSystematic(df: DataFrame, idCol: String, weightCol: String,
+                    nPicks: Int = 50, buckets: Int = 32): DataFrame = {
+    require(nPicks >= 1, s"need nPicks >= 1, got $nPicks")
+    val rows = df.select(col(idCol).as("id"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+    val key = col("id").cast("double")
+    val stats = rows.agg(min(key).as("__lo"), max(key).as("__hi"))
+    val bucketed = rows.crossJoin(broadcast(stats))
+      .withColumn("__bkt",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          floor((key - col("__lo")) * buckets /
+            (col("__hi") - col("__lo") + 1.0))))
+      .drop("__lo", "__hi")
+    val w = Window.partitionBy(col("__bkt")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("__cum", sum(col("w")).over(w))
+    val totals = bucketed.groupBy("__bkt").agg(sum(col("w")).as("__t"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.__bkt") < col("a.__bkt"), "left")
+      .groupBy(col("a.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("b.__t")), lit(0L)).as("__off"))
+    val line = local.join(broadcast(offsets), "__bkt")
+      .select(col("id"), col("w"),
+        (col("__off") + col("__cum")).as("hi"),
+        (col("__off") + col("__cum") - col("w")).as("lo"))
+    val tot = line.agg(max(col("hi")).as("W"))
+    val grid = tot.select(col("W"),
+        explode(sequence(lit(0L), lit(nPicks - 1L))).as("j"))
+      // integral div: Column./ is double division, imprecise past 2^53
+      .select(col("j"),
+        expr(s"(2 * j + 1) * W div ${2L * nPicks}").as("t"))
+    line.join(broadcast(grid),
+        col("t") >= col("lo") && col("t") < col("hi"))
+      .select(col("j"), col("id").as(idCol), col("w").as("weight"))
+  }
+
   /** Deterministic word2vec-style negative sampling: `k` negatives per
     * document, drawn from the top-`maxVocab` unigram distribution raised
     * to the 3/4 power (Mikolov et al. 2013 — the tempering that keeps

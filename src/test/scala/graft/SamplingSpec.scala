@@ -213,6 +213,17 @@ class SamplingSpec extends SparkSpec {
     assert(b.head.getDouble(5) == 10.0)
   }
 
+  test("ppsSystematic: hand grid inversion; heavy rows picked repeatedly") {
+    // weights 5/1/1/3, W=10, n=5 -> grid t = 1,3,5,7,9; intervals
+    // [0,5) [5,6) [6,7) [7,10)
+    val df = Seq((1L, 5L), (2L, 1L), (3L, 1L), (4L, 3L)).toDF("id", "w")
+    val out = Sampling.ppsSystematic(df, "id", "w", nPicks = 5)
+      .orderBy("j").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1L, 5L), (1L, 1L, 5L), (2L, 2L, 1L),
+      (3L, 4L, 3L), (4L, 4L, 3L)))
+  }
+
   test("neymanAllocation: spread-weighted shares; zero/undefined sd strata") {
     // A: {1,3} sd = sqrt(2) = 1.414214 -> weight 2.828428
     // B: {5,5,5} sd = 0 -> weight 0; C: single row -> sd NULL
