@@ -70,7 +70,11 @@ object ScaleGate {
     // round-12-final-b additions ≥ ~2.5 s on the 352-query profile:
     // the two double-power-iteration cards (cov + broadcast loops ×2),
     // and the two degree-oriented graph joins
-    "emb_abtt", "emb_eigengap", "graph_knn_degree", "graph_local_bridges")
+    "emb_abtt", "emb_eigengap", "graph_knn_degree", "graph_local_bridges",
+    // round-12-close additions ≥ ~2.5 s on the 361-query profile: the
+    // deflated-Laplacian iteration, the per-step walk joins, and the
+    // stationary+entropy chain
+    "graph_fiedler", "graph_walks", "ana_markov_entropy")
 
   val AggregateMaxRatio = 3.0
   val PerQueryMaxRatio = 5.0
