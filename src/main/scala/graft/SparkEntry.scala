@@ -1180,6 +1180,24 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Count Sketch (signed CMS): same incremental split-merge contract as
+    // sketch_cms, width 16 over ~12 keys so collisions are live — but
+    // signed, so they cancel instead of inflating; estimate = median of
+    // the 5 signed register reads. The hash-match proves register
+    // contents AND merge(build(A), build(B)) == build(A ∪ B) for the
+    // SIGNED sum.
+    "sketch_countsketch" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val cutoff = lit("2024-01-20").cast("timestamp")
+      val part1 = Sketch.countSketchBuild(e.filter(col("ts") < cutoff), "event_type", 5, 16)
+      val part2 = Sketch.countSketchBuild(e.filter(col("ts") >= cutoff), "event_type", 5, 16)
+      val merged = part1.unionByName(part2)
+        .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+      Sketch.countSketchEstimate(merged, e.select("event_type").distinct(),
+          "event_type", 5, 16)
+        .orderBy("event_type")
+    }),
+
     // CMS heavy hitters: top-20 users by estimated event count — 150
     // keys into 64 buckets, so collisions (and the min-over-rows bound)
     // are live, and the ranking is over ESTIMATES; integer-exact in both
@@ -1592,6 +1610,12 @@ object SparkEntry {
     "emb_effective_rank" -> ((s, dir) =>
       Similarity.effectiveRank(T(s, dir, "embeddings"))),
 
+    // TwoNN intrinsic dimension: d̂ = n / Σ ln(r₂/r₁) over each vector's
+    // two nearest neighbors — exact N² baseline (ann_knn_graph
+    // discipline: NOT in the scale gate; ANN candidates swap in at 100 TB).
+    "emb_intrinsic_dim" -> ((s, dir) =>
+      Similarity.intrinsicDimension(T(s, dir, "embeddings"))),
+
     // λ₁/λ₂ by Hotelling deflation: one-dominant-direction vs
     // no-preferred-axis, the top of the spectrum effectiveRank averages.
     "emb_eigengap" -> ((s, dir) =>
@@ -1917,6 +1941,38 @@ object SparkEntry {
       operators.Graph.fiedlerBisection(edges, 5)
     }),
 
+    // Katz centrality over the DIRECTED part co-purchase graph (low id →
+    // high id, parts sharing >= 2 orders): 3 unrolled rounds of
+    // x' = 1 + 0.05·Aᵀx — walk-counting endorsement centrality, no
+    // out-degree split (contrast ana_pagerank).
+    "graph_katz" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      operators.Graph.katzCentrality(edges, 3, 0.05).orderBy("node")
+    }),
+
+    // Link-prediction score panel (common neighbors / resource
+    // allocation / preferential attachment) for non-adjacent part pairs
+    // with >= 2 shared wedge apexes — one wedge enumeration, three
+    // scores; adamic_adar's sibling with the 1/deg weight.
+    "graph_link_pred" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      operators.Graph.linkPredictionScores(edges, 2).orderBy("x", "y")
+    }),
+
     // Deterministic DeepWalk corpus: 2 hash-driven walks x 3 steps per
     // node over sorted-neighbor indices.
     "graph_walks" -> ((s, dir) => {
@@ -2030,6 +2086,18 @@ object SparkEntry {
     // profile (share of the source's distinct terms occurring once).
     "text_hapax" -> ((s, dir) =>
       TextAnalysis.hapaxProfile(T(s, dir, "documents")).orderBy("source")),
+
+    // Yule's K per source: 10⁴·(Σf² − N)/N² — the length-invariant
+    // repetitiveness constant (corpus-level cousin of text_repetition).
+    "text_yule_k" -> ((s, dir) =>
+      TextAnalysis.yuleK(T(s, dir, "documents")).orderBy("source")),
+
+    // Church–Gale term burstiness: Fano factor (variance/mean of the
+    // per-doc count, absences as zeros) for the top-200 corpus terms —
+    // content words clump, function words are ~Poisson.
+    "text_burstiness" -> ((s, dir) =>
+      TextAnalysis.termBurstiness(T(s, dir, "documents"), 200)
+        .orderBy("term")),
 
     // Mean segmental TTR per source (8-token full segments): the
     // document-length-invariant lexical-diversity scale that raw TTR
@@ -3190,6 +3258,22 @@ object SparkEntry {
     // DECIMAL — BIGINT would overflow on a billion-bucket key).
     "ts_ols" -> ((s, dir) =>
       operators.TimeSeries.olsTrend(
+          T(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id")),
+
+    // Bollinger bands: trailing-24-bucket mean ± 2·sd envelope + %B per
+    // hourly bucket — exact ×10⁶ integer window moments, so a flat
+    // window gets sd exactly 0 (NULL %B), never rounding noise.
+    "ts_bollinger" -> ((s, dir) =>
+      operators.TimeSeries.bollingerBands(
+          T(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id", "bucket")),
+
+    // Dickey–Fuller unit-root stat per user: OLS of Δv on v_{t-1} from
+    // exact integer moments; reject flag compares the ROUNDED t to
+    // -2.86 so the boolean can't straddle an engine rounding edge.
+    "ts_adf" -> ((s, dir) =>
+      operators.TimeSeries.dickeyFuller(
           T(s, dir, "events"), "user_id", "ts", "value")
         .orderBy("user_id")),
 
@@ -4890,6 +4974,43 @@ object SparkEntry {
          |FROM kb JOIN counts c ON kb.r = c.r AND kb.bucket = c.bucket
          |GROUP BY kb.event_type
          |ORDER BY kb.event_type""".stripMargin
+    },
+
+    // Count Sketch: one-shot rebuild of the same signed registers (merge
+    // associativity is what the match proves); bucket chain as sketch_cms,
+    // sign chain with its own (a, b) pair and the second multiplier;
+    // median = quantile_disc 0.5 over the 5 signed reads (3rd of 5 —
+    // exactly Spark's sorted element_at).
+    "sketch_countsketch" -> {
+      val consts = (0 until 5).map(r =>
+        s"($r, ${1103515245L * (r + 1) % 2147483647L}, " +
+          s"${12345L * (r + 1) % 2147483647L}, " +
+          s"${1103515245L * (r + 101) % 2147483647L}, " +
+          s"${12345L * (r + 101) % 2147483647L})").mkString(", ")
+      s"""WITH consts(r, a, b, sa, sb) AS (VALUES $consts),
+         |kh AS (
+         |  SELECT event_type,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(length(event_type)),
+         |        i -> ascii(substr(event_type, CAST(i + 1 AS INT), 1)))),
+         |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h
+         |  FROM (SELECT DISTINCT event_type FROM events) k),
+         |kb AS (
+         |  SELECT event_type, r,
+         |    ((((h * a + b) % 2147483647) * 2654435761) % 4294967296)
+         |      % 16 AS bucket,
+         |    1 - 2 * (((((h * sa + sb) % 2147483647) * 2246822519)
+         |      % 4294967296) % 2) AS sign
+         |  FROM kh CROSS JOIN consts),
+         |regs AS (
+         |  SELECT kb.r, kb.bucket, sum(kb.sign) AS cnt
+         |  FROM events e JOIN kb ON e.event_type = kb.event_type
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT kb.event_type, kb.sign * coalesce(regs.cnt, 0) AS est_r
+         |  FROM kb LEFT JOIN regs ON regs.r = kb.r AND regs.bucket = kb.bucket)
+         |SELECT event_type, CAST(quantile_disc(est_r, 0.5) AS BIGINT) AS est
+         |FROM est GROUP BY 1 ORDER BY event_type""".stripMargin
     },
 
     // Same ANSI hash chain as sketch_cms at width 64 over stringified
@@ -7020,6 +7141,31 @@ object SparkEntry {
          |    / nullif(CAST(fr2 AS DOUBLE), 0.0), 6) AS effective_rank
          |FROM a""".stripMargin,
 
+    // TwoNN: squared-L2 via the identical ‖a‖²+‖b‖²−2a·b double algebra
+    // (list_dot_product matches the fused graft_dot accumulation order);
+    // ln μ terms 9-dp DECIMAL-summed, MLE one division.
+    "emb_intrinsic_dim" ->
+      s"""WITH e AS ($embCte),
+         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+         |p AS (SELECT a.vec_id AS id, b.vec_id AS nid,
+         |        a.n2 + b.n2 - 2.0 * list_dot_product(a.v, b.v) AS d2
+         |      FROM n a, n b WHERE a.vec_id <> b.vec_id),
+         |r AS (SELECT id, d2, row_number() OVER (PARTITION BY id
+         |        ORDER BY d2, nid) AS rk
+         |      FROM p QUALIFY rk <= 2),
+         |g AS (SELECT id, min(CASE WHEN rk = 1 THEN d2 END) AS d1,
+         |        min(CASE WHEN rk = 2 THEN d2 END) AS dn
+         |      FROM r GROUP BY 1),
+         |f AS (SELECT CAST(round(0.5 * ln(dn / d1), 9) AS DECIMAL(18,9))
+         |        AS t
+         |      FROM g WHERE d1 > 0 AND dn IS NOT NULL)
+         |SELECT CAST(count(*) AS BIGINT) AS n_points,
+         |  CAST(round(sum(t), 6) AS DOUBLE) AS sum_log_mu,
+         |  CAST(round(CAST(CAST(count(*) AS DOUBLE)
+         |    / nullif(CAST(sum(t) AS DOUBLE), 0.0)
+         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS id_twonn
+         |FROM f""".stripMargin,
+
     // Unrolled power iteration on the SAME cov CTE as emb_covariance:
     // each round is a j-keyed matrix-vector product with 9-dp DECIMAL
     // sums, then a 9-dp normalized vector — the identical quantized
@@ -7689,6 +7835,50 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / nullif(count(*), 0), 6) AS hapax_ratio
         |FROM f GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Yule's K: Σf² in HUGEINT mirrors the DECIMAL(38,0) sum; one double
+    // division, DECIMAL(24,12)-routed.
+    "text_yule_k" ->
+      """WITH t AS (SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS f
+        |      FROM t GROUP BY 1, 2),
+        |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+        |        CAST(sum(f) AS BIGINT) AS n_tokens,
+        |        sum(CAST(f AS HUGEINT) * CAST(f AS HUGEINT)) AS sff
+        |      FROM tc GROUP BY 1)
+        |SELECT source, n_terms, n_tokens,
+        |  CAST(round(CAST(10000.0 * (CAST(sff AS DOUBLE)
+        |      - CAST(n_tokens AS DOUBLE))
+        |    / nullif(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE),
+        |      0.0) AS DECIMAL(24,12)), 6) AS DOUBLE) AS yule_k
+        |FROM m ORDER BY source""".stripMargin,
+
+    // Burstiness: same top-200 vocabulary cut (freq DESC, term) as
+    // text_vocab; centered moment n·Σc² − (Σc)² formed exactly in
+    // HUGEINT (a term at exactly 1/doc everywhere → numerator 0).
+    "text_burstiness" ->
+      """WITH base AS (SELECT doc_id,
+        |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |      FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+        |pd AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+        |      FROM tok GROUP BY 1, 2),
+        |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+        |      FROM tok GROUP BY 1),
+        |top AS (SELECT term FROM cnt ORDER BY freq DESC, term LIMIT 200),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |m AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |        CAST(sum(c) AS BIGINT) AS sc,
+        |        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS scc
+        |      FROM pd WHERE term IN (SELECT term FROM top) GROUP BY 1)
+        |SELECT term, df, sc AS total,
+        |  CAST(round(CAST(CAST(CAST(n_docs AS HUGEINT) * scc
+        |      - CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT) AS DOUBLE)
+        |    / nullif(CAST(n_docs AS DOUBLE) * CAST(sc AS DOUBLE), 0.0)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS fano
+        |FROM m CROSS JOIN nd ORDER BY term""".stripMargin,
 
     // MSTTR: 0-based positions (generate_subscripts is 1-based) chop
     // into 8-token full segments; each segment TTR is a 6-dp DECIMAL
@@ -9201,6 +9391,64 @@ object SparkEntry {
          |CROSS JOIN n6 CROSS JOIN cc""".stripMargin
     },
 
+    // Katz: 3 materialized rounds (ADVICE: unrolled chains materialize
+    // per round), per-hop contributions 12-dp DECIMAL(18,12) exact.
+    "graph_katz" -> {
+      val iterCtes = (1 to 3).map { k =>
+        val prev = s"x${k - 1}"
+        s"""c$k AS MATERIALIZED (SELECT e.dst AS node,
+           |        sum(CAST(round(0.05 * p.x, 12) AS DECIMAL(18,12))) AS s
+           |      FROM e JOIN $prev p ON p.node = e.src GROUP BY 1),
+           |x$k AS MATERIALIZED (SELECT n.node,
+           |        1e0 + coalesce(CAST(c$k.s AS DOUBLE), 0e0) AS x
+           |      FROM nodes n LEFT JOIN c$k ON c$k.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk,
+         |      l_partkey AS pt FROM lineitem),
+         |e AS MATERIALIZED (SELECT l.pt AS src, r.pt AS dst FROM it l
+         |      JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM e
+         |      UNION SELECT dst FROM e),
+         |x0 AS (SELECT node, 1e0 AS x FROM nodes),
+         |$iterCtes
+         |SELECT node, CAST(round(CAST(x AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |  AS katz
+         |FROM x3 ORDER BY node""".stripMargin
+    },
+
+    // Link-prediction panel: same wedge algebra as graph_adamic_adar
+    // with 1/deg weights; RA rounded on the DECIMAL before the cast.
+    "graph_link_pred" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+        |      FROM lineitem),
+        |e AS (SELECT l.pt AS src, r.pt AS dst, count(*) AS c
+        |      FROM it l JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT DISTINCT u, v FROM (
+        |      SELECT src AS u, dst AS v FROM e
+        |      UNION ALL SELECT dst, src FROM e)),
+        |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+        |      FROM und GROUP BY 1),
+        |ww AS (SELECT und.u, und.v,
+        |        CAST(round(1.0 / CAST(deg AS DOUBLE), 9)
+        |          AS DECIMAL(28,9)) AS w
+        |      FROM und JOIN deg ON deg.node = und.v
+        |      WHERE deg >= 2),
+        |pr AS (SELECT a.u AS x, b.u AS y,
+        |        CAST(count(*) AS BIGINT) AS common, sum(a.w) AS ra
+        |      FROM ww a JOIN ww b ON a.v = b.v AND a.u < b.u
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |np AS (SELECT pr.* FROM pr
+        |      WHERE NOT EXISTS (SELECT 1 FROM und
+        |        WHERE und.u = pr.x AND und.v = pr.y))
+        |SELECT np.x, np.y, np.common,
+        |  CAST(round(ra, 6) AS DOUBLE) AS resource_alloc,
+        |  dx.deg * dy.deg AS pref_attach
+        |FROM np JOIN deg dx ON dx.node = np.x
+        |JOIN deg dy ON dy.node = np.y
+        |ORDER BY np.x, np.y""".stripMargin,
+
     // Walk corpus: same sorted-neighbor indices and two-round Knuth hop
     // hash, 3 unrolled steps.
     "graph_walks" -> {
@@ -10359,6 +10607,80 @@ object SparkEntry {
         |      THEN cov * cov / (dent * denv) END
         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS r2
         |FROM s ORDER BY user_id""".stripMargin,
+
+    // Bollinger: HUGEINT window moments mirror the ×10⁶ DECIMAL(38,0)
+    // sums; band arithmetic is the identical double expression; %B via
+    // nullif mirrors try_divide (flat window -> exact-0 sd -> NULL).
+    "ts_bollinger" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, bucket, v,
+        |        CAST(v * 1000000 AS HUGEINT) AS x6 FROM b),
+        |ws AS (SELECT user_id, bucket, v,
+        |        count(x6) OVER wf AS nw,
+        |        sum(x6) OVER wf AS sv6,
+        |        sum(x6 * x6) OVER wf AS svv6
+        |      FROM r WINDOW wf AS (PARTITION BY user_id ORDER BY bucket
+        |        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT user_id, bucket, CAST(v AS DOUBLE) AS v, nw,
+        |        CAST(sv6 AS DOUBLE) / CAST(nw AS DOUBLE) / 1000000.0 AS ma,
+        |        CASE WHEN nw >= 2 THEN
+        |          sqrt(CAST(nw * svv6 - sv6 * sv6 AS DOUBLE)
+        |            / (CAST(nw AS DOUBLE) * (CAST(nw AS DOUBLE) - 1.0)))
+        |            / 1000000.0
+        |        END AS sd
+        |      FROM ws)
+        |SELECT user_id, bucket, v, CAST(nw AS BIGINT) AS n_window,
+        |  CAST(round(CAST(ma AS DECIMAL(24,12)), 6) AS DOUBLE) AS ma,
+        |  CAST(round(CAST(ma + 2.0 * sd AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |    AS upper,
+        |  CAST(round(CAST(ma - 2.0 * sd AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |    AS lower,
+        |  CAST(round(CAST((v - (ma - 2.0 * sd))
+        |    / nullif((ma + 2.0 * sd) - (ma - 2.0 * sd), 0.0)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS pct_b
+        |FROM c ORDER BY user_id, bucket""".stripMargin,
+
+    // Dickey–Fuller: exact HUGEINT moments of (x = v_lag, y = Δv) ×10⁶,
+    // n-scaled centered moments as exact integers, one double closed
+    // form; greatest(·,0) and nullif mirror the Spark guards.
+    "ts_adf" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+        |      FROM events GROUP BY 1, 2),
+        |p AS (SELECT user_id, v,
+        |        lag(v) OVER (PARTITION BY user_id ORDER BY bucket) AS xv
+        |      FROM b),
+        |q AS (SELECT user_id, CAST(xv * 1000000 AS HUGEINT) AS x,
+        |        CAST((v - xv) * 1000000 AS HUGEINT) AS y
+        |      FROM p WHERE xv IS NOT NULL AND v IS NOT NULL),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |        sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+        |        sum(x * y) AS sxy, sum(y * y) AS syy
+        |      FROM q GROUP BY 1),
+        |c AS (SELECT user_id, n,
+        |        CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+        |        CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+        |        CAST(n * syy - sy * sy AS DOUBLE) AS cyy FROM m),
+        |g AS (SELECT user_id, n, cxx, cxy, cyy,
+        |        cxy / nullif(cxx, 0.0) AS gamma FROM c),
+        |t AS (SELECT user_id, n, gamma,
+        |        CASE WHEN n >= 3 THEN gamma / nullif(sqrt(greatest(
+        |          (cyy - gamma * cxy)
+        |            / ((CAST(n AS DOUBLE) - 2.0) * cxx), 0.0)), 0.0)
+        |        END AS t_raw
+        |      FROM g),
+        |f AS (SELECT user_id, n AS n_obs,
+        |        CAST(round(CAST(gamma AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |          AS gamma,
+        |        CAST(round(CAST(t_raw AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |          AS t_stat
+        |      FROM t)
+        |SELECT user_id, n_obs, gamma, t_stat,
+        |  CASE WHEN t_stat IS NOT NULL THEN t_stat < -2.86 END
+        |    AS reject_unit_root
+        |FROM f ORDER BY user_id""".stripMargin,
 
     // Theil–Sen: median pairwise slope over ≤ 512 observed buckets, then
     // median residual; interpolated quantiles route DECIMAL(24,12)

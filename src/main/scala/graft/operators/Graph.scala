@@ -1045,4 +1045,90 @@ object Graph {
             count(lit(1)).cast("double")).cast("decimal(24,12)"), 6)
           .cast("double").as("avg_nn_deg"))
   }
+
+  /** Katz centrality, unrolled: x⁰ = β on every node, then
+    * x^{t+1}(v) = β + α·Σ_{(u,v)∈E} x^t(u) over the DIRECTED edge set —
+    * the walk-counting centrality (every incoming walk of length k
+    * contributes α^k). With α well under 1/λ_max it converges fast, and
+    * unlike PageRank it needs no out-degree normalization, so hubs pass
+    * their full mass downstream — the right notion when an edge is an
+    * endorsement rather than a split vote (citation graphs, reply
+    * graphs, co-purchase direction).
+    *
+    * Scale shape: the [[pageRankRun]] loop without the degree join or
+    * dangling-mass pass — per iteration one edge×rank equi-join and one
+    * dst-keyed sum, lazy chained (iters is small and fixed; no
+    * convergence probe, so no driver action at all). Determinism: each
+    * contribution α·x is 12-dp-rounded into DECIMAL(18,12) and summed
+    * order-free, mirroring the oracle's per-round materialized CTEs.
+    */
+  def katzCentrality(edges: DataFrame, iters: Int = 3, alpha: Double = 0.05,
+                     beta: Double = 1.0, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(alpha > 0.0 && alpha < 1.0, s"need 0 < alpha < 1, got $alpha")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 12).cast("decimal(18,12)"))
+    var x = nodes.select(col("node"), lit(beta).as("x"))
+    for (_ <- 1 to iters) {
+      val inSum = e
+        .join(x.select(col("node").as("src"), col("x")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(dsum(lit(alpha) * col("x")).as("s"))
+      x = nodes.join(inSum, Seq("node"), "left")
+        .select(col("node"),
+          (lit(beta) + coalesce(col("s").cast("double"), lit(0.0))).as("x"))
+    }
+    x.select(col("node"), round(col("x").cast("decimal(24,12)"), 6)
+      .cast("double").as("katz"))
+  }
+
+  /** Link-prediction score panel for non-adjacent pairs: common-neighbor
+    * count, resource allocation RA = Σ_{z ∈ N(x)∩N(y)} 1/deg(z)
+    * (Zhou–Lü–Zhang 2009 — the empirically strongest of the simple
+    * local scores), and preferential attachment PA = deg(x)·deg(y).
+    * Complements [[adamicAdar]] (the 1/ln deg variant) and
+    * [[nodeJaccard]]: a recommender backtests all of them side by side,
+    * so the panel rides ONE wedge enumeration instead of three.
+    *
+    * Scale shape: identical wedge join to [[adamicAdar]] — the RA weight
+    * joins onto the apex z BEFORE pair expansion, pair cost is the wedge
+    * count Σ deg(z)² (never |V|²), adjacency removed by one left-anti
+    * join, endpoint degrees attached by two node-keyed joins after the
+    * pair aggregate (so the joins see pair-count rows, not wedge rows).
+    * Determinism: RA weights 9-dp-rounded into DECIMAL(28,9), order-free
+    * sums; PA is an exact integer product.
+    */
+  def linkPredictionScores(edges: DataFrame, minCommon: Long = 2L,
+                           srcCol: String = "src",
+                           dstCol: String = "dst"): DataFrame = {
+    require(minCommon >= 1, s"need minCommon >= 1, got $minCommon")
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val withW = und.join(deg.select(col("node").as("v"), col("deg")), "v")
+      .filter(col("deg") >= 2)
+      .select(col("u"), col("v"),
+        round(lit(1.0) / col("deg").cast("double"), 9)
+          .cast("decimal(28,9)").as("w"))
+    val pairs = withW.as("a").join(withW.as("b"),
+        col("a.v") === col("b.v") && col("a.u") < col("b.u"))
+      .groupBy(col("a.u").as("x"), col("b.u").as("y"))
+      .agg(count(lit(1)).as("common"), sum(col("a.w")).as("ra_dec"))
+      .filter(col("common") >= minCommon)
+    pairs
+      .join(und.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_anti")
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), "y")
+      .select(col("x"), col("y"), col("common"),
+        // round the exact DECIMAL(28,9) sum, THEN cast: no double-repr
+        // rounding edge can appear (ADVICE half-value convention)
+        round(col("ra_dec"), 6).cast("double").as("resource_alloc"),
+        (col("dx") * col("dy")).as("pref_attach"))
+  }
 }

@@ -1417,4 +1417,54 @@ object Similarity {
           col("tr").cast("double") * col("tr").cast("double"),
           col("fr2").cast("double")), 6).as("effective_rank"))
   }
+
+  /** TwoNN intrinsic-dimension estimate (Facco et al. 2017): for each
+    * vector the ratio μ = r₂/r₁ of its two nearest-neighbor distances
+    * follows Pareto(d) with d the INTRINSIC dimension, so the MLE is
+    * d̂ = n / Σ ln μᵢ — the "how many dimensions do these embeddings
+    * really use" scalar (d̂ ≪ ambient dim means aggressive PQ/Matryoshka
+    * truncation is safe; see [[embMatryoshka]]/[[productQuantize]]).
+    * Exact duplicates (r₁ = 0) are dropped, the standard TwoNN
+    * preprocessing.
+    *
+    * This is the EXACT all-pairs baseline (the [[bruteForceTopK]] /
+    * mutualKnnGraph discipline): O(N²) by definition, deliberately NOT
+    * in the scale-gate subset; the 100 TB path feeds the same rank→μ→MLE
+    * tail from [[lshAnnTopK]]/[[ivfTopK]] candidate lists (2-NN from a
+    * candidate set is the same window). Distances are squared-L2 via
+    * ‖a‖² + ‖b‖² − 2a·b (norms computed once per vector BEFORE the pair
+    * join — the pair row carries two scalars and one fused native dot),
+    * and μ needs no sqrt: ln μ = ½·ln(d₂²/d₁²), 9-dp-rounded into a
+    * DECIMAL sum (order-free).
+    */
+  def intrinsicDimension(embeddings: DataFrame, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .select(col("id"), col("v"),
+        Fns.dotProduct(col("v"), col("v")).as("n2"))
+    val pairs = e.as("a").join(broadcast(e.as("b")),
+        col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("nid"),
+        (col("a.n2") + col("b.n2") - lit(2.0) *
+          Fns.dotProduct(col("a.v"), col("b.v"))).as("d2"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("d2").asc, col("nid").asc)
+    val top2 = pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy("id")
+      .agg(min(when(col("rk") === 1, col("d2"))).as("d1"),
+        min(when(col("rk") === 2, col("d2"))).as("dn"))
+      .filter(col("d1") > 0 && col("dn").isNotNull)
+    top2
+      .select(round(lit(0.5) * log(col("dn") / col("d1")), 9)
+        .cast("decimal(18,9)").as("t"))
+      .agg(count(lit(1)).as("n_points"), sum(col("t")).as("slm"))
+      .select(col("n_points"),
+        // round the exact DECIMAL(38,9) sum, THEN cast (ADVICE
+        // half-value convention for new double outputs)
+        round(col("slm"), 6).cast("double").as("sum_log_mu"),
+        round(try_divide(col("n_points").cast("double"),
+            col("slm").cast("double")).cast("decimal(24,12)"), 6)
+          .cast("double").as("id_twonn"))
+  }
 }

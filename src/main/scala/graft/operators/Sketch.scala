@@ -428,4 +428,66 @@ object Sketch {
         round(try_divide(col("e"), col("n_exact").cast("double")) - 1.0, 6)
           .as("rel_error"))
   }
+
+  /** Count-Sketch ±1 sign for row `r`: an INDEPENDENT hash round over
+    * the same base key hash — its own (a, b) pair (row offset +101) AND
+    * the repo's second multiplier 2246822519 (ADVICE: draws that must be
+    * independent never share both the affine inner chain and the outer
+    * multiplier), then the low bit → {−1, +1}.
+    */
+  def csSign(baseHash: Column, row: Int): Column = {
+    val a = 1103515245L * (row + 101) % P31
+    val b = 12345L * (row + 101) % P31
+    lit(1L) - lit(2L) *
+      (Fns.pmod(Fns.pmod(baseHash * a + b, lit(P31)) * 2246822519L,
+        lit(M32)) % 2)
+  }
+
+  /** Count Sketch build (Charikar–Chen–Farach-Colton 2002): like
+    * [[cmsBuild]] but each increment carries a ±1 sign, so collisions
+    * CANCEL in expectation instead of always inflating — the estimator
+    * is unbiased (CMS is an upper bound) and survives signed updates
+    * (deletions, CDC diffs), which a CMS cannot. Same register/shuffle
+    * shape: one d-struct explode, one (row, bucket) hash aggregation
+    * with map-side combine, ≤ d·width rows out; registers of two
+    * corpora union-merge by summing `cnt` (signed sums are associative
+    * — the merge IS the build of the union, proved by the registered
+    * query's oracle).
+    */
+  def countSketchBuild(df: DataFrame, keyCol: String, depth: Int,
+                       width: Int): DataFrame = {
+    val h = stringHash(col(keyCol))
+    df.select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("row"), cmsBucket(h, r, width).as("bucket"),
+          csSign(h, r).as("sign"))): _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(sum(col("rb.sign")).as("cnt"))
+  }
+
+  /** Count-Sketch point estimate: per probe key the MEDIAN over the d
+    * rows of sign_r · cnt[r, bucket_r] — the median (use odd `depth`)
+    * kills the unbounded two-sided collision noise a mean would pass
+    * through. Registers the probe never touched count as 0 (left join +
+    * coalesce). The per-key median is an exact integer order statistic
+    * over d values (sort_array + element_at — d is a constant, the
+    * array never scales with data), engine-identical.
+    */
+  def countSketchEstimate(sketch: DataFrame, probes: DataFrame,
+                          keyCol: String, depth: Int,
+                          width: Int): DataFrame = {
+    require(depth % 2 == 1, s"need odd depth for an integer median, got $depth")
+    val h = stringHash(col(keyCol))
+    val probeBuckets = probes
+      .select(col(keyCol), explode(array((0 until depth).map(r =>
+        struct(lit(r).as("row"), cmsBucket(h, r, width).as("bucket"),
+          csSign(h, r).as("sign"))): _*)).as("rb"))
+      .select(col(keyCol), col("rb.row").as("row"),
+        col("rb.bucket").as("bucket"), col("rb.sign").as("sign"))
+    broadcast(probeBuckets).join(sketch, Seq("row", "bucket"), "left")
+      .select(col(keyCol),
+        (col("sign") * coalesce(col("cnt"), lit(0L))).as("est_r"))
+      .groupBy(keyCol)
+      .agg(element_at(sort_array(collect_list(col("est_r"))),
+        (depth + 1) / 2).as("est"))
+  }
 }

@@ -1796,4 +1796,82 @@ object TextAnalysis {
         round(col("jd").cast("double"), 6).as("jsd"),
         round(sqrt(col("jd").cast("double")), 6).as("jsd_distance"))
   }
+
+  /** Yule's characteristic K per source: 10⁴·(Σf² − N)/N² over the
+    * source's term frequencies f (N = token count) — the classic
+    * length-invariant vocabulary-repetitiveness constant (Yule 1944;
+    * ~Simpson's index ×10⁴ on terms). Low K ≈ rich diction; a template
+    * farm or boilerplate-heavy source runs an order of magnitude higher
+    * — the corpus-level cousin of [[repetitionScore]], and the cheap
+    * pre-filter before per-doc scoring. Since Σ m²·V_m = Σ f², no
+    * frequency-of-frequency pass is needed.
+    *
+    * Two hash aggregates ((source, term) counts, then the source
+    * rollup); Σf² rides DECIMAL(38,0) (BIGINT would overflow once a
+    * source's top term passes ~3·10⁹ occurrences); one double division,
+    * DECIMAL(24,12)-routed. Sources of < 2 tokens get NULL via
+    * try_divide.
+    */
+  def yuleK(docs: DataFrame, srcCol: String = "source",
+            textCol: String = "text"): DataFrame =
+    docs
+      .select(col(srcCol).as("source"),
+        explode(Fns.tokens(col(textCol))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("f"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"), sum(col("f")).as("n_tokens"),
+        sum(col("f").cast("decimal(19,0)") * col("f").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("sff"))
+      .select(col("source"), col("n_terms"), col("n_tokens"),
+        round(try_divide(
+            lit(10000.0) * (col("sff").cast("double") -
+              col("n_tokens").cast("double")),
+            col("n_tokens").cast("double") * col("n_tokens").cast("double"))
+          .cast("decimal(24,12)"), 6).cast("double").as("yule_k"))
+
+  /** Term burstiness (Fano factor) for the top `maxVocab` corpus terms:
+    * variance-to-mean ratio of the term's PER-DOCUMENT count over ALL
+    * documents (absences count as zeros — that is the point). Content
+    * words clump (a doc about a topic repeats its nouns: Fano ≫ 1),
+    * function words spread evenly (Fano ≈ 1, Poisson); the
+    * Church–Gale burstiness signal that separates keyword-stuffed spam
+    * from natural prose and calibrates df-based IDF against tf-based
+    * scores. Zero-count docs enter through the closed form — only n is
+    * needed, never materialized zero rows.
+    *
+    * Determinism: with integer counts, Fano =
+    * (n·Σc² − (Σc)²)/(n·Σc) — centered moment formed EXACTLY in
+    * DECIMAL(38,0) (ADVICE discipline: a term appearing once per doc
+    * everywhere yields numerator exactly 0, never rounding noise), one
+    * double division out. Scale shape: one (term, doc) hash aggregate
+    * (cardinality ≤ postings, map-side combined), a vocab-level
+    * semi-join against the top-k table, one term rollup, one broadcast
+    * doc-count scalar.
+    */
+  def termBurstiness(docs: DataFrame, maxVocab: Int = 200,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(maxVocab >= 1, s"need maxVocab >= 1, got $maxVocab")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(Fns.tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+    val top = vocabulary(docs, maxVocab, textCol, idCol)
+      .select(col("term"))
+    val m = perDoc.join(top, Seq("term"), "left_semi")
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum(col("c")).as("sc"),
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("scc"))
+      .crossJoin(broadcast(nDocs))
+    val cxx = (col("n_docs").cast("decimal(38,0)") * col("scc") -
+      col("sc").cast("decimal(38,0)") * col("sc").cast("decimal(38,0)"))
+      .cast("double")
+    m.select(col("term"), col("df"), col("sc").as("total"),
+      round(try_divide(cxx,
+          col("n_docs").cast("double") * col("sc").cast("double"))
+        .cast("decimal(24,12)"), 6).cast("double").as("fano"))
+  }
 }

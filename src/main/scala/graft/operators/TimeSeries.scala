@@ -1372,4 +1372,112 @@ object TimeSeries {
           .as("r2_full"))
       .withColumn("r2_gain", d6(col("r2_full") - col("r2_ar1")))
   }
+
+  /** Bollinger bands over each key's bucketed value series: rolling mean
+    * ± `mult`·(rolling sample sd) over the trailing `window` OBSERVED
+    * buckets, plus %B = (v − lower)/(upper − lower) — the canonical
+    * volatility envelope (Bollinger 1992), and the anomaly gate that
+    * adapts its threshold to local variance where [[rollingZscore]]
+    * standardizes against it.
+    *
+    * Determinism: the window sums ride the DECIMAL(18,6) bucket value
+    * exactly (Σv and Σv² are exact decimals — no float accumulation
+    * order), so mean/sd/%B are each ONE double expression over
+    * identical operands in both engines, DECIMAL(24,12)-routed out.
+    * Buckets seen fewer than 2 times get NULL bands; a locally-flat
+    * window (sd = 0 exactly, since the centered moment is an exact
+    * decimal zero) gets NULL %B via try_divide.
+    *
+    * Scale shape: one hash aggregation + one per-key bounded-frame
+    * window — partitioned on the key, frame length `window`, no
+    * cross-key traffic.
+    */
+  def bollingerBands(events: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, window: Int = 24,
+                     mult: Double = 2.0,
+                     stepSeconds: Long = 3600L): DataFrame = {
+    require(window >= 2, s"need window >= 2, got $window")
+    require(mult > 0.0, s"need mult > 0, got $mult")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(-(window - 1).toLong, Window.currentRow)
+    def d6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    // ×10⁶-scaled exact integer moments (priceElasticity discipline): a
+    // flat window yields a centered moment of EXACTLY zero — sd 0, %B
+    // NULL — never the sqrt of double rounding noise.
+    val rolled = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .withColumn("x6", (col("v") * lit(1000000L)).cast("decimal(38,0)"))
+      .withColumn("nw", count(col("x6")).over(w))
+      .withColumn("sv6", sum(col("x6")).over(w))
+      .withColumn("svv6", sum(col("x6") * col("x6")).over(w))
+    val nd = col("nw").cast("double")
+    val cxx = (col("nw").cast("decimal(38,0)") * col("svv6") -
+      col("sv6") * col("sv6")).cast("double")
+    val sd = when(col("nw") >= 2,
+      sqrt(cxx / (nd * (nd - lit(1.0)))) / lit(1000000.0))
+    val ma = col("sv6").cast("double") / nd / lit(1000000.0)
+    val upper = ma + lit(mult) * sd
+    val lower = ma - lit(mult) * sd
+    rolled.select(col(keyCol), col("bucket"),
+      col("v").cast("double").as("v"), col("nw").as("n_window"),
+      d6(ma).as("ma"), d6(upper).as("upper"), d6(lower).as("lower"),
+      d6(try_divide(col("v").cast("double") - lower, upper - lower))
+        .as("pct_b"))
+  }
+
+  /** Dickey–Fuller unit-root statistic per key: OLS of Δv_t on v_{t−1}
+    * (with intercept) over the observed bucket series — γ̂ near 0 means
+    * a random walk (unit root: differences are the stationary object),
+    * strongly negative t means mean-reversion. The stationarity gate in
+    * front of any trend/correlation feature: regressing two random
+    * walks on each other fabricates correlation, so a pipeline checks
+    * DF first. Not augmented (no Δ lags) — the right first test at
+    * bucket granularity, and the lag-free stat is exact-moment
+    * computable.
+    *
+    * Determinism: x = v_{t−1} and y = Δv_t are exact DECIMAL(18,6)
+    * bucket values, ×10⁶-scaled to exact integers; the five moment sums
+    * and the n-scaled centered moments C_xx, C_xy, C_yy are EXACT
+    * integers in DECIMAL(38,0) (the priceElasticity/grangerLite
+    * discipline), the ×10⁶ cancels in γ̂ = C_xy/C_xx, and
+    * t = γ̂ / √((C_yy − γ̂·C_xy)/((n−2)·C_xx)) — the n·scale factors
+    * cancel — is one double expression over identical operands.
+    * `reject_unit_root` compares the 6-dp-ROUNDED t to the 5% critical
+    * value −2.86, so the boolean can't straddle an engine rounding
+    * edge. Keys with n < 3 or zero lag-variance report NULLs.
+    *
+    * Scale shape: one hash aggregation, one per-key lag window, one
+    * per-key moment aggregation — all key-partitioned, map-side
+    * combined.
+    */
+  def dickeyFuller(events: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, stepSeconds: Long = 3600L): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    def d6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(24,12)"), 6).cast("double")
+    val pairs = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
+      .withColumn("xv", functions.lag(col("v"), 1).over(w))
+      .filter(col("xv").isNotNull && col("v").isNotNull)
+      .select(col(keyCol),
+        (col("xv") * lit(1000000L)).cast("decimal(38,0)").as("x"),
+        ((col("v") - col("xv")) * lit(1000000L)).cast("decimal(38,0)").as("y"))
+    val m = pairs.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    def cS(ab: String, a: String, b: String) =
+      (col("n").cast("decimal(38,0)") * col(ab) - col(a) * col(b))
+        .cast("double")
+    val c = m.select(col(keyCol), col("n"), cS("sxx", "sx", "sx").as("cxx"),
+      cS("sxy", "sx", "sy").as("cxy"), cS("syy", "sy", "sy").as("cyy"))
+    val gamma = try_divide(col("cxy"), col("cxx"))
+    val tRaw = when(col("n") >= 3,
+      try_divide(gamma,
+        sqrt(greatest((col("cyy") - gamma * col("cxy")) /
+          ((col("n").cast("double") - lit(2.0)) * col("cxx")), lit(0.0)))))
+    c.select(col(keyCol), col("n").as("n_obs"),
+        d6(gamma).as("gamma"), d6(tRaw).as("t_stat"))
+      .withColumn("reject_unit_root",
+        when(col("t_stat").isNotNull, col("t_stat") < lit(-2.86)))
+  }
 }

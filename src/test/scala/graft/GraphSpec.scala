@@ -395,4 +395,41 @@ class GraphSpec extends SparkSpec {
     assert(out((3L, 1L)) == Seq(3L, 2L, 3L, 2L))
   }
 
+  test("katzCentrality: hand-computed two rounds on a directed path; no deg split") {
+    // a -> b -> c, alpha 0.5, beta 1:
+    // x0 = (1,1,1); x1 = (1, 1.5, 1.5); x2 = (1, 1.5, 1.75)
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val out = Graph.katzCentrality(e, iters = 2, alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 1.0, "b" -> 1.5, "c" -> 1.75))
+  }
+
+  test("katzCentrality: a hub fed by k spokes scores beta + k*alpha*beta") {
+    val star = Seq(("s1", "hub"), ("s2", "hub"), ("s3", "hub")).toDF("src", "dst")
+    val out = Graph.katzCentrality(star, iters = 1, alpha = 0.1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // full mass per edge — NOT divided by out-degree like PageRank
+    assert(out("hub") == 1.3 && out("s1") == 1.0)
+  }
+
+  test("linkPredictionScores: path and square hand-computed; adjacent excluded") {
+    // path a-b-c-d: candidates (a,c) via b and (b,d) via c, one common
+    // neighbor each, RA 1/2, PA deg(x)*deg(y)
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val p = Graph.linkPredictionScores(path, minCommon = 1L)
+      .orderBy("x", "y").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(p.toSeq == Seq(("a", "c", 1L, 0.5, 2L), ("b", "d", 1L, 0.5, 2L)))
+    // 4-cycle a-b-c-d-a: diagonals share TWO neighbors, RA 1, PA 4;
+    // adjacent pairs never appear
+    val square = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val q = Graph.linkPredictionScores(square, minCommon = 2L)
+      .orderBy("x", "y").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(q.toSeq == Seq(("a", "c", 2L, 1.0, 4L), ("b", "d", 2L, 1.0, 4L)))
+  }
+
 }

@@ -689,4 +689,26 @@ class SimilaritySpec extends SparkSpec {
     assert(pre2.getDouble(1) == 0.0)
   }
 
+  test("intrinsicDimension: hand-computed 1-D line MLE; exact duplicates dropped") {
+    // points 0, 1, 3 on a line (2-D ambient): μ² ratios 9, 4, 9/4 →
+    // Σ ln μ = ln 9, d̂ = 3/ln 9 ≈ 1.3654 — a 1-D manifold, not the
+    // ambient 2
+    val line = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 0.0)), (3L, Seq(3.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.intrinsicDimension(line).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(math.abs(r.getDouble(1) - math.log(9.0)) < 1e-6)
+    assert(math.abs(r.getDouble(2) - 3.0 / math.log(9.0)) < 1e-5)
+
+    // an exact duplicate pair has r₁ = 0: both copies drop; point 1 now
+    // sees the two copies at equal distance (μ = 1 contributes 0), point
+    // 3 keeps ln 1.5
+    val withDup = line.unionByName(
+      Seq((99L, Seq(0.0, 0.0))).toDF("vec_id", "embedding"))
+    val d = Similarity.intrinsicDimension(withDup).collect().head
+    assert(d.getLong(0) == 2L)
+    assert(math.abs(d.getDouble(1) - math.log(1.5)) < 1e-6)
+  }
+
 }

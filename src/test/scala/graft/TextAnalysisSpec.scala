@@ -828,4 +828,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("yuleK: hand-computed K; uniform text scores high, rich text low") {
+    val docs = Seq(
+      (1L, "a a b", "s1"),      // f = (2,1): N=3, Σf²=5, K = 1e4·2/9
+      (2L, "x x x x", "s2"))    // f = (4):   N=4, Σf²=16, K = 1e4·12/16
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.yuleK(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("s1") == ((2L, 3L, 2222.222222)))
+    assert(out("s2") == ((1L, 4L, 7500.0)))
+  }
+
+  test("termBurstiness: clumped term Fano > spread term; absences count as zeros") {
+    val docs = Seq(
+      (1L, "a a a"), (2L, "a"), (3L, "b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.termBurstiness(docs, maxVocab = 10).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // a: per-doc counts (3,1,0): Fano = (3·10−16)/(3·4) = 14/12
+    assert(out("a") == ((2L, 4L, 1.166667)))
+    // b: counts (0,0,1): Fano = (3·1−1)/(3·1) = 2/3
+    assert(out("b") == ((1L, 1L, 0.666667)))
+  }
+
 }

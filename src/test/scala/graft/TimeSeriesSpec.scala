@@ -593,4 +593,49 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.666667)
   }
 
+  test("bollingerBands: hand-computed envelope; flat window sd exactly 0, NULL %B") {
+    val ev = hourly(
+      (1L, "2024-01-01 10:30:00", 10.0), (1L, "2024-01-01 11:30:00", 10.0),
+      (1L, "2024-01-01 12:30:00", 10.0), (1L, "2024-01-01 13:30:00", 14.0))
+    val out = TimeSeries.bollingerBands(ev, "user_id", "ts", "value",
+        window = 3, mult = 2.0)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(3), Option(r.get(4)), Option(r.get(5)),
+        Option(r.get(6)), Option(r.get(7))))
+    // t0: single obs -> NULL bands; t1/t2: flat window -> sd EXACTLY 0,
+    // upper == lower == ma, %B NULL (0/0 via try_divide, never noise)
+    assert(out(0) == ((1L, Some(10.0), None, None, None)))
+    assert(out(1) == ((2L, Some(10.0), Some(10.0), Some(10.0), None)))
+    assert(out(2) == ((3L, Some(10.0), Some(10.0), Some(10.0), None)))
+    // t3: window (10,10,14): ma 34/3, sd sqrt(16/3); %B hand-computed
+    assert(out(3)._1 == 3L)
+    assert(out(3)._2.contains(11.333333))
+    assert(out(3)._3.contains(15.952135))
+    assert(out(3)._4.contains(6.714531))
+    assert(out(3)._5.contains(0.788675))
+  }
+
+  test("dickeyFuller: mean-reverting series hand-computed; random-walk-exact NULL t") {
+    val ev = hourly(
+      // key 1: near-perfect alternation -> strong mean reversion
+      (1L, "2024-01-01 10:30:00", 10.0), (1L, "2024-01-01 11:30:00", 0.0),
+      (1L, "2024-01-01 12:30:00", 9.0), (1L, "2024-01-01 13:30:00", 1.0),
+      (1L, "2024-01-01 14:30:00", 10.0),
+      // key 2: perfect linear trend -> Δv constant, zero residual
+      // variance AND zero Δv variance: gamma 0, t NULL (0/0)
+      (2L, "2024-01-01 10:30:00", 1.0), (2L, "2024-01-01 11:30:00", 2.0),
+      (2L, "2024-01-01 12:30:00", 3.0), (2L, "2024-01-01 13:30:00", 4.0))
+    val out = TimeSeries.dickeyFuller(ev, "user_id", "ts", "value")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4))))
+    // key 1: x=(10,0,9,1), y=(-10,9,-8,9): Cxx=328, Cxy=-652, Cyy=1304
+    // gamma = -652/328 = -1.987805; t = gamma/sqrt(7.95122/656) = -18.0554
+    assert(out(0)._1 == 1L && out(0)._2 == 4L)
+    assert(out(0)._3.contains(-1.987805))
+    assert(math.abs(out(0)._4.get.asInstanceOf[Double] - (-18.0554)) < 0.01)
+    assert(out(0)._5.contains(true))
+    assert(out(1) == ((2L, 3L, Some(0.0), None, None)))
+  }
+
 }
