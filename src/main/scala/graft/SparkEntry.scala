@@ -1158,6 +1158,15 @@ object SparkEntry {
       Sampling.ppsSystematic(T(s, dir, "documents"), "doc_id", "n_chars")
         .orderBy("j")),
 
+    // Hansen–Hurwitz total-of-tokens estimate from the n_chars-PPS draw,
+    // beside the exact total — the corpus-stats-without-a-full-scan
+    // calibration card (chars ∝ tokens ⇒ small rel_error).
+    "sample_ht_total" -> ((s, dir) =>
+      Sampling.hansenHurwitzTotal(
+        T(s, dir, "documents")
+          .withColumn("y", size(Fns.tokens(col("text"))).cast("long")),
+        "doc_id", "n_chars", "y")),
+
     // ---- LLM-data-pipeline: mergeable sketches ----
 
     // Count-Min Sketch built INCREMENTALLY: register tables for the pre-
@@ -1615,6 +1624,18 @@ object SparkEntry {
     // discipline: NOT in the scale gate; ANN candidates swap in at 100 TB).
     "emb_intrinsic_dim" -> ((s, dir) =>
       Similarity.intrinsicDimension(T(s, dir, "embeddings"))),
+
+    // JL distortion audit of the ±1 signed projection: projected vs
+    // original squared distance (÷ outDims) over the id-adjacent pair
+    // chain — all-integer distances, mean ≈ 1 is the JL promise.
+    "emb_jl_distortion" -> ((s, dir) =>
+      Similarity.jlDistortion(T(s, dir, "embeddings"), dim = 64, outDims = 8)),
+
+    // Greedy k-center (farthest-point) seeding, k = 4: deterministic
+    // spread-out kmeans++ stand-in; per round one broadcast seed join +
+    // scalar max, 9-dp-quantized argmax ties to lowest id.
+    "emb_kcenter" -> ((s, dir) =>
+      Similarity.kCenterSeeds(T(s, dir, "embeddings"), 4).orderBy("round")),
 
     // λ₁/λ₂ by Hotelling deflation: one-dominant-direction vs
     // no-preferred-axis, the top of the spectrum effectiveRank averages.
@@ -4300,6 +4321,38 @@ object SparkEntry {
         |SELECT j, doc_id, w AS weight
         |FROM l2 JOIN grid ON t >= lo AND t < hi
         |ORDER BY j""".stripMargin,
+
+    // Hansen–Hurwitz: the same PPS line + grid, y = token count joined
+    // onto each draw; per-draw terms y·W/w 9-dp DECIMAL-summed, the /n
+    // and error divisions DECIMAL(24,12)-routed.
+    "sample_ht_total" ->
+      """WITH r AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |        CAST(len(list_filter(string_split(text, ' '),
+        |          x -> x <> '')) AS BIGINT) AS y
+        |      FROM documents WHERE n_chars > 0),
+        |line AS (SELECT doc_id, w, y,
+        |        sum(w) OVER (ORDER BY doc_id) AS hi FROM r),
+        |l2 AS (SELECT doc_id, w, y, hi, hi - w AS lo FROM line),
+        |tot AS (SELECT max(hi) AS W FROM l2),
+        |yt AS (SELECT CAST(sum(y) AS BIGINT) AS y_true,
+        |        CAST(sum(w) AS BIGINT) AS sw FROM r),
+        |grid AS (SELECT CAST(j AS BIGINT) AS j,
+        |        (2 * CAST(j AS BIGINT) + 1) * W // 100 AS t
+        |      FROM range(50) g(j) CROSS JOIN tot),
+        |dr AS (SELECT CAST(l2.y AS DOUBLE) * CAST(yt.sw AS DOUBLE)
+        |          / CAST(l2.w AS DOUBLE) AS term, yt.y_true
+        |      FROM l2 JOIN grid ON t >= lo AND t < hi CROSS JOIN yt),
+        |g AS (SELECT y_true, CAST(count(*) AS BIGINT) AS n_draws,
+        |        sum(CAST(round(term, 9) AS DECIMAL(28,9))) AS st
+        |      FROM dr GROUP BY 1)
+        |SELECT n_draws,
+        |  CAST(round(CAST(CAST(st AS DOUBLE) / CAST(n_draws AS DOUBLE)
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS hh_total,
+        |  y_true AS true_total,
+        |  CAST(round(CAST(CAST(st AS DOUBLE)
+        |      / (CAST(n_draws AS DOUBLE) * CAST(y_true AS DOUBLE)) - 1.0
+        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS rel_error
+        |FROM g""".stripMargin,
 
     // Neyman: exact HUGEINT moments -> 6-dp sample sd; shares compose
     // the published sds; allocations floor against the budget.
@@ -7165,6 +7218,87 @@ object SparkEntry {
          |    / nullif(CAST(sum(t) AS DOUBLE), 0.0)
          |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS id_twonn
          |FROM f""".stripMargin,
+
+    // JL audit: the emb_project quantize+sign chain, integer distances
+    // on both sides of the ratio (projected sum of 8 squared diffs;
+    // original via per-i diffs — equals the dot identity exactly, all
+    // < 2^53), 9-dp DECIMAL mean.
+    "emb_jl_distortion" -> {
+      val signs = Similarity.projectionSigns(64, 8)
+      val projSums = (0 until 8).map { j =>
+        s"CAST(sum(qi * ([${signs(j).mkString(",")}])[i]) AS BIGINT) AS proj_$j"
+      }.mkString(",\n  ")
+      val dpExpr = (0 until 8)
+        .map(j => s"(a.proj_$j - b.proj_$j) * (a.proj_$j - b.proj_$j)")
+        .mkString("\n      + ")
+      s"""WITH e AS ($embCte),
+         |s AS (SELECT vec_id, v,
+         |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+         |      FROM e),
+         |q AS (SELECT vec_id, i,
+         |        CAST(floor(v[i] * CAST(127.0 AS DOUBLE) / scale
+         |          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qi
+         |      FROM s CROSS JOIN range(1, 65) t(i) WHERE scale > 0),
+         |pj AS (SELECT vec_id,
+         |  $projSums
+         |  FROM q GROUP BY vec_id),
+         |dq AS (SELECT a.vec_id AS ida,
+         |        CAST(sum((a.qi - b.qi) * (a.qi - b.qi)) AS BIGINT) AS dq
+         |      FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+         |      GROUP BY 1),
+         |dp AS (SELECT a.vec_id AS ida,
+         |      $dpExpr AS dp
+         |      FROM pj a JOIN pj b ON b.vec_id = a.vec_id + 1),
+         |r AS (SELECT CAST(dp.dp AS DOUBLE)
+         |        / (8.0 * CAST(dq.dq AS DOUBLE)) AS ratio
+         |      FROM dq JOIN dp ON dp.ida = dq.ida WHERE dq.dq > 0)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(round(CAST(CAST(sum(CAST(round(ratio, 9) AS DECIMAL(18,9)))
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS mean_ratio,
+         |  CAST(round(CAST(min(ratio) AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |    AS min_ratio,
+         |  CAST(round(CAST(max(ratio) AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |    AS max_ratio
+         |FROM r""".stripMargin
+    },
+
+    // Greedy k-center: 3 materialized rounds (ADVICE: unrolled chains
+    // materialize per round) of max-of-9-dp-min-distance with lowest-id
+    // ties, the identical quantized trajectory the Scala loop walks.
+    "emb_kcenter" -> {
+      val rounds = (1 to 3).map { r =>
+        val prev = s"d${r - 1}"
+        s"""m$r AS (SELECT max(d9) AS m FROM $prev),
+           |c$r AS (SELECT min(id) AS nid, max(m) AS nd
+           |      FROM $prev CROSS JOIN m$r WHERE d9 = m),
+           |s$r AS MATERIALIZED (SELECT p.id, p.v, p.n2, c$r.nd
+           |      FROM $prev p JOIN c$r ON p.id = c$r.nid),
+           |d$r AS MATERIALIZED (SELECT p.id, p.v, p.n2,
+           |        least(p.d9, round(p.n2 + s.n2
+           |          - 2.0 * list_dot_product(p.v, s.v), 9)) AS d9
+           |      FROM $prev p CROSS JOIN s$r s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS ($embCte),
+         |n AS MATERIALIZED (SELECT vec_id AS id, v,
+         |      list_dot_product(v, v) AS n2 FROM e),
+         |s0 AS MATERIALIZED (SELECT id, v, n2 FROM n
+         |      WHERE id = (SELECT min(id) FROM n)),
+         |d0 AS MATERIALIZED (SELECT n.id, n.v, n.n2,
+         |        round(n.n2 + s.n2 - 2.0 * list_dot_product(n.v, s.v), 9)
+         |          AS d9
+         |      FROM n CROSS JOIN s0 s),
+         |$rounds
+         |SELECT 0 AS round, id AS vec_id, CAST(NULL AS DOUBLE) AS dist2
+         |FROM s0
+         |UNION ALL SELECT 1, id,
+         |  CAST(round(CAST(nd AS DECIMAL(24,12)), 6) AS DOUBLE) FROM s1
+         |UNION ALL SELECT 2, id,
+         |  CAST(round(CAST(nd AS DECIMAL(24,12)), 6) AS DOUBLE) FROM s2
+         |UNION ALL SELECT 3, id,
+         |  CAST(round(CAST(nd AS DECIMAL(24,12)), 6) AS DOUBLE) FROM s3
+         |ORDER BY round""".stripMargin
+    },
 
     // Unrolled power iteration on the SAME cov CTE as emb_covariance:
     // each round is a j-keyed matrix-vector product with 9-dp DECIMAL

@@ -535,4 +535,49 @@ object Sampling {
       .select(col("doc_id"), col("j"), col("term_id").as("neg_term_id"),
         col("term").as("neg_term"))
   }
+
+  /** Hansen–Hurwitz total estimator from the [[ppsSystematic]] draw:
+    * ŷ = (1/n)·Σ_draws y_i·W/w_i — "estimate the corpus total of an
+    * EXPENSIVE quantity y (token count, quality score) from the n-point
+    * PPS sample keyed on a CHEAP size proxy w" — the survey-sampling
+    * backbone of every corpus-stats-without-a-full-scan report. With
+    * multiplicity draws (a heavy unit grabbing several grid points) the
+    * HH form, not plain Horvitz–Thompson, is the unbiased one. Reported
+    * beside the exact total and the relative error, so the registered
+    * query doubles as a calibration card (y ∝ w ⇒ error ≈ 0; the less
+    * correlated, the wider).
+    *
+    * Scale shape: the sample is `nPicks` rows joined back to the
+    * (id, w, y) frame by id — broadcast of the tiny sample; the exact
+    * total is one map-side-combined aggregate of the SAME frame (at
+    * true scale you'd skip it — it exists to expose the error). Per-draw
+    * terms y·W/w are one double division each, 9-dp-rounded into a
+    * DECIMAL sum; the ×1/n and error divisions ride DECIMAL(24,12).
+    */
+  def hansenHurwitzTotal(df: DataFrame, idCol: String, weightCol: String,
+                         yCol: String, nPicks: Int = 50,
+                         buckets: Int = 32): DataFrame = {
+    val pop = df.select(col(idCol).as("id"),
+        col(weightCol).cast("long").as("w"), col(yCol).cast("long").as("y"))
+      .filter(col("w") > 0)
+    val tot = pop.agg(sum(col("w")).as("bigW"), sum(col("y")).as("y_true"))
+    val draws = ppsSystematic(df, idCol, weightCol, nPicks, buckets)
+      .select(col("j"), col(idCol).as("id"))
+      .join(pop, "id")
+      .crossJoin(broadcast(tot))
+      .select((col("y").cast("double") * col("bigW").cast("double") /
+        col("w").cast("double")).as("term"), col("y_true"))
+    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    draws
+      .groupBy(col("y_true"))
+      .agg(count(lit(1)).as("n_draws"),
+        sum(round(col("term"), 9).cast("decimal(28,9)")).as("st"))
+      .select(col("n_draws"),
+        d6(try_divide(col("st").cast("double"),
+          col("n_draws").cast("double"))).as("hh_total"),
+        col("y_true").as("true_total"),
+        d6(try_divide(col("st").cast("double"),
+          col("n_draws").cast("double") * col("y_true").cast("double"))
+          - lit(1.0)).as("rel_error"))
+  }
 }

@@ -1418,6 +1418,108 @@ object Similarity {
           col("fr2").cast("double")), 6).as("effective_rank"))
   }
 
+  /** Johnson–Lindenstrauss distortion audit of [[signedProjection]]:
+    * for consecutive-id vector pairs, the ratio of projected to original
+    * squared distance, normalized by outDims (sign projections satisfy
+    * E[‖Δproj‖²] = outDims·‖Δq‖²) — the empirical check that the
+    * database-friendly ±1 projection (Achlioptas 2003) preserves
+    * geometry before a pipeline swaps it in for the full vectors.
+    * Reported: pair count, mean/min/max ratio (mean ≈ 1 is the JL
+    * promise; min/max bound the worst pair).
+    *
+    * Everything is EXACT integers until the final ratios: both distances
+    * ride the int8-quantized codes (‖Δq‖² via the dot-product identity —
+    * three fused native dots per pair, values ≤ 64·254² ≪ 2⁵³ so the
+    * double arithmetic is exact), the projected distance is a sum of
+    * `outDims` squared long differences. The pair set is the id-adjacent
+    * chain — one self-join on vec_id+1, linear in the corpus, never N².
+    */
+  def jlDistortion(embeddings: DataFrame, dim: Int, outDims: Int = 8,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val proj = signedProjection(embeddings, dim, outDims, idCol, vecCol)
+    val codes = quantizeInt8(embeddings, idCol, vecCol)
+      .select(col("vec_id"), col("q").cast("array<double>").as("qd"))
+      .join(proj, "vec_id")
+    val b = codes.columns.foldLeft(codes)((d, c) =>
+      d.withColumnRenamed(c, s"b_$c"))
+    val pairs = codes.join(b, col("vec_id") + 1 === col("b_vec_id"))
+    val d2q = Fns.dotProduct(col("qd"), col("qd")) +
+      Fns.dotProduct(col("b_qd"), col("b_qd")) -
+      lit(2.0) * Fns.dotProduct(col("qd"), col("b_qd"))
+    val d2p = (0 until outDims).map(j =>
+        (col(s"proj_$j") - col(s"b_proj_$j")) *
+          (col(s"proj_$j") - col(s"b_proj_$j")))
+      .reduce(_ + _)
+    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    pairs
+      .select(d2q.as("dq"), d2p.cast("double").as("dp"))
+      .filter(col("dq") > 0)
+      .select((col("dp") / (lit(outDims.toDouble) * col("dq"))).as("ratio"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("ratio"), 9).cast("decimal(18,9)")).as("sr"),
+        min(col("ratio")).as("mn"), max(col("ratio")).as("mx"))
+      .select(col("n_pairs"),
+        d6(try_divide(col("sr").cast("double"),
+          col("n_pairs").cast("double"))).as("mean_ratio"),
+        d6(col("mn")).as("min_ratio"), d6(col("mx")).as("max_ratio"))
+  }
+
+  /** Greedy k-center (farthest-point) seeding: seed₀ = lowest id, then
+    * k−1 rounds of "the point farthest from its nearest chosen seed"
+    * (Gonzalez 1985 — the 2-approximation for the k-center radius, and
+    * the deterministic stand-in for kmeans++ where the pipeline needs
+    * reproducible seeds; feeds [[kmeansIterate]]/[[productQuantize]] a
+    * spread-out start instead of the lowest-id convention).
+    *
+    * Scale shape per round: one broadcast of the single new seed row
+    * onto the corpus (distance via the ‖a‖²+‖b‖²−2a·b native-dot
+    * identity, norms precomputed once), a running per-point min, one
+    * scalar max aggregate broadcast back, one id-min aggregate — no
+    * global sort, no collect; k is small and fixed, the plan chains
+    * k rounds lazily. Determinism: distances are 9-dp-quantized BEFORE
+    * the max/equality compare (membership-decision discipline), argmax
+    * ties break to the lowest id.
+    */
+  def kCenterSeeds(embeddings: DataFrame, k: Int = 4,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val base = embeddings
+      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .select(col("id"), col("v"), Fns.dotProduct(col("v"), col("v")).as("n2"))
+    val first = base.crossJoin(broadcast(base.agg(min(col("id")).as("sid"))))
+      .filter(col("id") === col("sid"))
+      .select(col("id"), col("v"), col("n2"))
+    var seeds = first.select(lit(0).as("round"), col("id").as("vec_id"),
+      lit(null).cast("double").as("dist2"))
+    var cur = base.crossJoin(broadcast(first.select(col("id").as("s_id"),
+        col("v").as("s_v"), col("n2").as("s_n2"))))
+      .select(col("id"), col("v"), col("n2"),
+        round(col("n2") + col("s_n2") -
+          lit(2.0) * Fns.dotProduct(col("v"), col("s_v")), 9).as("d9"))
+    for (r <- 1 until k) {
+      val m = cur.agg(max(col("d9")).as("m"))
+      val nextId = cur.crossJoin(broadcast(m))
+        .filter(col("d9") === col("m"))
+        .agg(min(col("id")).as("n_id"), max(col("m")).as("n_d"))
+      val seedRow = cur.join(broadcast(nextId), col("id") === col("n_id"))
+        .select(col("id"), col("v"), col("n2"), col("n_d"))
+      seeds = seeds.unionByName(seedRow.select(lit(r).as("round"),
+        col("id").as("vec_id"),
+        round(col("n_d").cast("decimal(24,12)"), 6).cast("double").as("dist2")))
+      if (r < k - 1) {
+        val sb = broadcast(seedRow.select(col("id").as("s_id"),
+          col("v").as("s_v"), col("n2").as("s_n2")))
+        cur = cur.crossJoin(sb)
+          .select(col("id"), col("v"), col("n2"),
+            least(col("d9"), round(col("n2") + col("s_n2") -
+              lit(2.0) * Fns.dotProduct(col("v"), col("s_v")), 9)).as("d9"))
+      }
+    }
+    seeds
+  }
+
   /** TwoNN intrinsic-dimension estimate (Facco et al. 2017): for each
     * vector the ratio μ = r₂/r₁ of its two nearest-neighbor distances
     * follows Pareto(d) with d the INTRINSIC dimension, so the MLE is

@@ -253,4 +253,23 @@ class SamplingSpec extends SparkSpec {
       (2L, 0L, 0L, "a"), (2L, 1L, 0L, "a"), (2L, 2L, 0L, "a"),
       (2L, 3L, 0L, "a")))
   }
+
+  test("hansenHurwitzTotal: y ∝ w estimates exactly; a zeroed unit shifts by its draw share") {
+    // W = 100, grid t = 1, 3, …, 99; intervals: doc1 [0,10) doc2 [10,40)
+    // doc3 [40,45) doc4 [45,100) -> 5/15/2/28 draws
+    val docs = Seq((1L, 10L, 20L), (2L, 30L, 60L), (3L, 5L, 10L),
+      (4L, 55L, 110L)).toDF("doc_id", "w", "y")
+    val r = Sampling.hansenHurwitzTotal(docs, "doc_id", "w", "y")
+      .collect().head
+    // y = 2w everywhere: every term is 2W = 200, estimate exact
+    assert((r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)) ==
+      ((50L, 200.0, 200L, 0.0)))
+    // zero doc4's y: its 28 draws contribute 0 -> ŷ = 200·22/50 = 88
+    val skew = Seq((1L, 10L, 20L), (2L, 30L, 60L), (3L, 5L, 10L),
+      (4L, 55L, 0L)).toDF("doc_id", "w", "y")
+    val s = Sampling.hansenHurwitzTotal(skew, "doc_id", "w", "y")
+      .collect().head
+    assert((s.getLong(0), s.getDouble(1), s.getLong(2), s.getDouble(3)) ==
+      ((50L, 88.0, 90L, -0.022222)))
+  }
 }

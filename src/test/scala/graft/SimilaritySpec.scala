@@ -711,4 +711,38 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(d.getDouble(1) - math.log(1.5)) < 1e-6)
   }
 
+  test("jlDistortion: axis-aligned pairs reproduce the sign-table algebra exactly") {
+    // quantization is identity on these (max |v| = 127), so
+    // Δq between consecutive axis vectors is (±127, ∓127, 0, 0)-shaped:
+    // ratio_pair(i) = Σ_j (s_j,i − s_j,i+1)² / (outDims · 2)
+    val vecs = Seq(
+      (0L, Seq(127.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 127.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 127.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val signs = Similarity.projectionSigns(4, 2)
+    def expect(i: Int) =
+      (0 until 2).map(j => math.pow(signs(j)(i) - signs(j)(i + 1), 2)).sum /
+        (2.0 * 2.0)
+    val r = Similarity.jlDistortion(vecs, dim = 4, outDims = 2)
+      .collect().head
+    assert(r.getLong(0) == 2L)
+    val exp = Seq(expect(0), expect(1))
+    assert(math.abs(r.getDouble(1) - (exp.sum / 2.0)) < 1e-6)
+    assert(r.getDouble(2) == exp.min && r.getDouble(3) == exp.max)
+  }
+
+  test("kCenterSeeds: farthest-point rounds on a 1-D layout, ties to lowest id") {
+    // positions 0, 1, 10, 11: seed 0 -> farthest 11 (d²=121) ->
+    // remaining max-min-d² is 1, tied between ids 1 and 2 -> id 1, then 2
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 0.0)),
+      (2L, Seq(10.0, 0.0)), (3L, Seq(11.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterSeeds(vecs, 4).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.get(2))))
+    assert(out.toSeq == Seq(
+      (0, 0L, None), (1, 3L, Some(121.0)),
+      (2, 1L, Some(1.0)), (3, 2L, Some(1.0))))
+  }
+
 }
