@@ -2814,6 +2814,20 @@ object SparkEntry {
       Multimodal.lumaStats(s, assets).orderBy("asset_id")
     }),
 
+    // Audio modality through the REAL javax.sound codec path: synthetic
+    // 16-bit PCM WAVs (closed-form waveform per doc id) encoded with the
+    // RIFF writer, decoded back, and reduced to duration/RMS/DC/peak/ZCR
+    // — the oracle recomputes the exact waveform arithmetically, so the
+    // encode→decode→stat chain is hash-checked end to end.
+    "mm_audio_stats" -> ((s, dir) => {
+      import s.implicits._
+      val assets = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          Multimodal.Asset(id, "audio", Multimodal.syntheticWav(id))))
+        .toDF()
+      Multimodal.audioStats(s, assets).orderBy("asset_id")
+    }),
+
     // ---- ingestion / warehouse plumbing, end-to-end ----
 
     // Ops 1+2+14 against REAL JSON files (the COPY statements'
@@ -10079,6 +10093,39 @@ object SparkEntry {
         |    AS std_luma,
         |  min_luma, max_luma
         |FROM a ORDER BY asset_id""".stripMargin,
+
+    // Audio: recompute the synthetic PCM waveform from the closed form
+    // and reduce with the same integer sums / one-shot double closed
+    // forms the decoder path emits.
+    "mm_audio_stats" ->
+      """WITH d AS (SELECT doc_id AS asset_id, 64 + doc_id % 64 AS n
+        |      FROM documents),
+        |sm AS (SELECT asset_id, i.i AS i,
+        |        ((asset_id * 37 + 11 * i.i * i.i) % 4096) - 2048 AS s
+        |      FROM d CROSS JOIN range(128) i(i) WHERE i.i < n),
+        |zc AS (SELECT asset_id,
+        |        CAST(sum(CASE WHEN s * lead_s < 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS z
+        |      FROM (SELECT asset_id, s, lead(s) OVER (PARTITION BY asset_id
+        |              ORDER BY i) AS lead_s FROM sm)
+        |      WHERE lead_s IS NOT NULL GROUP BY 1),
+        |a AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |        CAST(sum(s) AS BIGINT) AS ss,
+        |        CAST(sum(s * s) AS BIGINT) AS s2,
+        |        CAST(max(abs(s)) AS BIGINT) AS peak
+        |      FROM sm GROUP BY 1)
+        |SELECT a.asset_id, 8000 AS sample_rate, n_samples,
+        |  round(CAST(n_samples AS DOUBLE) * 1000.0 / 8000.0, 6)
+        |    AS duration_ms,
+        |  round(sqrt(CAST(s2 AS DOUBLE) / CAST(n_samples AS DOUBLE)), 6)
+        |    AS rms,
+        |  round(CAST(ss AS DOUBLE) / CAST(n_samples AS DOUBLE), 6)
+        |    AS dc_offset,
+        |  peak, coalesce(z, CAST(0 AS BIGINT)) AS zero_cross,
+        |  round(CAST(coalesce(z, CAST(0 AS BIGINT)) AS DOUBLE)
+        |    / greatest(CAST(n_samples AS DOUBLE) - 1.0, 1.0), 6) AS zcr
+        |FROM a LEFT JOIN zc ON zc.asset_id = a.asset_id
+        |ORDER BY a.asset_id""".stripMargin,
 
     "merge_upsert" ->
       """SELECT user_id, ts, event_id, value FROM (

@@ -455,4 +455,83 @@ object Multimodal {
         lit(0.0))), 6).as("std_luma"),
       col("min_luma"), col("max_luma"))
   }
+
+  final case class AudioSums(asset_id: Long, sample_rate: Int,
+                             n_samples: Long, sum_s: Long, sum_sq: Long,
+                             peak: Long, zero_cross: Long)
+
+  /** Deterministic PCM WAV fixture: 16-bit signed mono at 8 kHz,
+    * 64 + (id mod 64) samples, sample_i = ((id·37 + 11·i²) mod 4096) −
+    * 2048 — the quadratic phase gives every clip real sign structure
+    * (zero crossings vary per id), and the closed form lets the DuckDB
+    * oracle recompute the exact waveform arithmetically, so the whole
+    * encode→decode→stat path is hash-checked like the PNG fixtures.
+    * Encoded through javax.sound.sampled.AudioSystem (the real RIFF/WAVE
+    * writer), not a handcrafted header.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = 64 + (id % 64).toInt
+    val bytes = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((id * 37 + 11L * i * i) % 4096) - 2048).toInt
+      bytes(2 * i) = (s & 0xff).toByte         // little-endian
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Per-clip audio statistics from the REAL decode path
+    * (javax.sound.sampled — format sniff, header parse, PCM frame
+    * stream): duration, RMS level, peak, DC offset, zero-crossing rate —
+    * the audio-corpus health probe (a silent family pins RMS at 0, a
+    * clipped one pins peak at full scale, ZCR is the crude
+    * speech/music/noise discriminator every audio curation pipeline
+    * computes first). Same contract as [[lumaStats]]: the codec
+    * `mapPartitions` emits only EXACT integer sums (Σs² ≤ 2048²·frames —
+    * longs hold hours of audio), all float math happens once per clip in
+    * declarative closed forms, checkable against the arithmetic oracle
+    * on the synthetic waveform. Undecodable payloads are skipped
+    * (log-and-continue, the Ingest.quarantine discipline).
+    */
+  def audioStats(spark: SparkSession, assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sums = assets.as[Asset].mapPartitions(_.flatMap { a =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var s = 0L; var s2 = 0L; var peak = 0L; var zc = 0L
+        var prev = 0; var i = 0
+        while (i < n) {
+          val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          s += v; s2 += v.toLong * v
+          if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+          if (i > 0 && prev.toLong * v < 0) zc += 1
+          prev = v; i += 1
+        }
+        Some(AudioSums(a.asset_id, fmt.getSampleRate.toInt, n.toLong,
+          s, s2, peak, zc))
+      } catch { case _: Exception => None }
+    }).toDF()
+    val nd = col("n_samples").cast("double")
+    val mean = col("sum_s").cast("double") / nd
+    sums.select(col("asset_id"), col("sample_rate"), col("n_samples"),
+      round(nd * lit(1000.0) / col("sample_rate").cast("double"), 6)
+        .as("duration_ms"),
+      round(sqrt(col("sum_sq").cast("double") / nd), 6).as("rms"),
+      round(mean, 6).as("dc_offset"),
+      col("peak"), col("zero_cross"),
+      round(col("zero_cross").cast("double") /
+        greatest(nd - lit(1.0), lit(1.0)), 6).as("zcr"))
+  }
 }

@@ -195,4 +195,26 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - std) < 1e-5)
     assert(r.getInt(6) == vals.min && r.getInt(7) == vals.max)
   }
+
+  test("audioStats: WAV encode→decode roundtrips the closed-form waveform; garbage skipped") {
+    val id = 7L
+    val n = 64 + (id % 64).toInt
+    val s = Array.tabulate(n)(i => (((id * 37 + 11L * i * i) % 4096) - 2048).toInt)
+    val assets = Seq(
+      Multimodal.Asset(id, "audio", Multimodal.syntheticWav(id)),
+      Multimodal.Asset(99L, "audio", Array[Byte](1, 2, 3, 4))) // not a WAV
+      .toDF()
+    val out = Multimodal.audioStats(spark, assets).collect()
+    assert(out.length == 1) // the garbage payload is skipped, not fatal
+    val r = out.head
+    val mean = s.sum.toDouble / n
+    val rms = math.sqrt(s.map(v => v.toDouble * v).sum / n)
+    val zc = s.sliding(2).count(p => p(0).toLong * p(1) < 0)
+    assert((r.getLong(0), r.getInt(1), r.getLong(2)) == ((id, 8000, n.toLong)))
+    assert(math.abs(r.getDouble(3) - n * 1000.0 / 8000.0) < 1e-9) // duration_ms
+    assert(math.abs(r.getDouble(4) - rms) < 1e-5)
+    assert(math.abs(r.getDouble(5) - mean) < 1e-6)
+    assert(r.getLong(6) == s.map(math.abs).max.toLong)
+    assert(r.getLong(7) == zc.toLong)
+  }
 }
