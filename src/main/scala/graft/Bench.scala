@@ -1,12 +1,50 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** A profile whose START loadavg (1-min or 5-min) exceeds this is
+    * CONTAMINATED by construction — r11 and r12 both committed dirty
+    * round artifacts (start loadavg 8.63 in r12; `ana_funnel` 0.49→6.56 s
+    * on unchanged code) because nothing refused to record one. Now the
+    * JSON self-stamps `"contaminated":true` and the run exits non-zero,
+    * so a dirty profile cannot silently become the round artifact.
+    * Override knobs: SPARK_GRAFT_LOADAVG_MAX (threshold, default 2.0),
+    * SPARK_GRAFT_ALLOW_DIRTY=1 (record anyway, exit 0 — for debugging
+    * only; the stamp stays in the JSON either way).
+    */
+  val LoadavgMax = 2.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // The harness environment is local[32] (32 executor threads); honor an
     // explicit override, otherwise use all cores up to 32.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    // (1-min, 5-min) system load from /proc/loadavg — recorded before each
+    // pass and at the end, so an inflated profile is diagnosable as
+    // sandbox cross-talk (r5/r7 both saw ~2.5x run-level inflation on
+    // unchanged queries) instead of being misread as a code regression.
+    def loadavg(): (Double, Double) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")
+        (f(0).toDouble, f(1).toDouble)
+      } catch { case _: Throwable => (-1.0, -1.0) }
+    val loadMax = sys.env.get("SPARK_GRAFT_LOADAVG_MAX")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(LoadavgMax)
+    val (start1, start5) = loadavg()
+    // Gate BEFORE the expensive run: a contaminated profile is useless, so
+    // refuse up front (timings-to-be would be noise) rather than after
+    // spending 4+ minutes producing numbers nobody should trust.
+    val contaminated = start1 > loadMax || start5 > loadMax
+    val allowDirty = sys.env.get("SPARK_GRAFT_ALLOW_DIRTY").contains("1")
+    if (contaminated && !allowDirty) {
+      val msg = f"""{"metric":"total","error":"contaminated","contaminated":true,"clean":false,"loadavg_start":[$start1%.2f,$start5%.2f],"loadavg_max":$loadMax%.2f,"hint":"system load too high for a trustworthy profile; retry when idle or set SPARK_GRAFT_ALLOW_DIRTY=1"}"""
+      println(msg)
+      System.err.println(s"bench: REFUSING to run — start loadavg " +
+        f"($start1%.2f 1-min / $start5%.2f 5-min) exceeds $loadMax%.2f. " +
+        "A profile started under load is noise (see BENCH_HISTORY.jsonl " +
+        "r11/r12 incidents). Retry when idle, or SPARK_GRAFT_ALLOW_DIRTY=1.")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,14 +64,6 @@ object Bench {
       try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    // 1-minute system load (from /proc/loadavg) — recorded before each
-    // pass and at the end, so an inflated profile is diagnosable as
-    // sandbox cross-talk (r5/r7 both saw ~2.5x run-level inflation on
-    // unchanged queries) instead of being misread as a code regression.
-    def loadavg(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
     // (name, seconds, error) — a throwing query must NOT be recorded as a
     // normal fast timing; it gets an entry in "errors" instead.
     // Optional subset run (scale tests): SPARK_GRAFT_BENCH_ONLY is an
@@ -51,48 +81,34 @@ object Bench {
               Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
           (name, (System.nanoTime() - t0) / 1e9, err)
         }
-    // Two full passes, min per query. BENCH_r05 showed 5-7x swings on four
-    // queries whose code did not change since r4 — transient cross-talk
-    // (page-cache / GC pressure from the write-heavy alphabetical
-    // neighbors op_csv_roundtrip / op_bucketed_join, or sandbox load).
-    // min-of-2 reports each query's achievable cost, not whatever the
-    // neighbor left behind. All write queries are idempotent (drop-if-
-    // exists / overwrite / pid-scoped temp dirs), so a second pass is safe.
-    val load0 = loadavg()
+    // TIERED passes (round 13): with 373+ registered queries, flat
+    // min-of-2 + a 3rd micro pass costs 6-8 min clean and grows every
+    // round. The variance that min-of-N exists to suppress only matters
+    // where it moves the total — the MACRO tier (>= 1 s on pass 1, ~60
+    // queries carrying ~85% of wall time) — so macro queries run twice
+    // (min), micro queries run once. A pass-1 failure joins the retry
+    // tier regardless of time, preserving the flaky-vs-error distinction:
+    //  - both passes succeed       -> min time
+    //  - exactly one pass succeeds -> that pass's time, flagged flaky
+    //    (a throw-time is never recorded as a timing)
+    //  - both fail                 -> error (second pass's message)
+    val MacroThresholdSec = 1.0
     val p1 = pass()
-    val load1 = loadavg()
-    val p2 = pass()
-    val load2 = loadavg()
-    // Third pass for SUB-SECOND queries only: at the 0.2-1 s floor the
-    // dominant variance is JIT/GC noise, and min-of-2 left one 1.66x
-    // run-to-run outlier between otherwise-clean consecutive profiles
-    // (r8's q_profile_stats). A third sample for micro queries makes the
-    // 1.5x agreement gate meaningfully strict there too, at ~30 s extra
-    // wall cost (the slow queries — the ones that dominate the total —
-    // still run exactly twice).
-    val micro = p1.zip(p2).collect {
-      case ((n, t1, e1), (_, t2, e2))
-        if e1.isEmpty && e2.isEmpty && math.min(t1, t2) < 1.0 => n
+    val (mid1, mid5) = loadavg()
+    val retry = p1.collect {
+      case (n, t, e) if e.isDefined || t >= MacroThresholdSec => n
     }.toSet
-    val p3 = pass(micro).map(r => r._1 -> r).toMap
-    val load3 = loadavg()
-    // Merge the passes per query:
-    //  - both succeeded        → min time (and the 3rd sample when taken
-    //    and itself clean), success
-    //  - exactly one succeeded → THAT pass's time, success, flagged flaky
-    //    (the failing pass's throw-time must never be the recorded timing)
-    //  - both failed           → error (second pass's message)
-    val results = p1.zip(p2).map { case ((n, t1, e1), (_, t2, e2)) =>
-      (e1, e2) match {
-        case (None, None) =>
-          p3.get(n) match {
-            case Some((_, t3, None)) => (n, math.min(math.min(t1, t2), t3), None, false)
-            case Some((_, _, Some(_))) => (n, math.min(t1, t2), None, true)
-            case None => (n, math.min(t1, t2), None, false)
-          }
-        case (None, Some(_))    => (n, t1, None, true)
-        case (Some(_), None)    => (n, t2, None, true)
-        case (Some(_), Some(e)) => (n, t1.min(t2), Some(e), false)
+    val p2 = pass(retry).map(r => r._1 -> r).toMap
+    val (end1, end5) = loadavg()
+    val results = p1.map { case (n, t1, e1) =>
+      p2.get(n) match {
+        case None => (n, t1, e1, false)
+        case Some((_, t2, e2)) => (e1, e2) match {
+          case (None, None)       => (n, math.min(t1, t2), None, false)
+          case (None, Some(_))    => (n, t1, None, true)
+          case (Some(_), None)    => (n, t2, None, true)
+          case (Some(_), Some(e)) => (n, t1.min(t2), Some(e), false)
+        }
       }
     }
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -118,9 +134,10 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, None, _) => v }.sum
     val nOk = results.count(_._3.isEmpty)
-    // "passes":2 records the min-of-2 methodology (introduced round 6) so
-    // round-over-round totals aren't read as comparable to the single-pass
-    // rounds 1-5: min-of-2 is systematically lower.
+    // "passes":"tiered-2" records the round-13 methodology (macro tier
+    // min-of-2, micro single-pass) so totals aren't read as comparable to
+    // the flat min-of-2 rounds 6-12 (flat min-of-2 is systematically
+    // lower on the micro tail) or the single-pass rounds 1-5.
     // Repo root: user.dir when it looks like this sbt project (sbt runMain
     // sets it to the project root), overridable via SPARK_GRAFT_REPO,
     // /root/repo as the sandbox fallback — no hardcoded absolute path on
@@ -130,16 +147,22 @@ object Bench {
         .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d, "build.sbt"))))
       .getOrElse("/root/repo")
     val fullPath = s"$repoRoot/BENCH_FULL.json"
-    val loads = f"""[$load0%.2f,$load1%.2f,$load2%.2f,$load3%.2f]"""
+    // Provenance: "clean" is the machine-readable verdict (start load
+    // under threshold), so the driver/judge selects the authoritative
+    // profile without loadavg archaeology. loadavg = [start, mid, end]
+    // 1-min values; loadavg5 the 5-min values at the same instants.
+    val loads = f"""[$start1%.2f,$mid1%.2f,$end1%.2f]"""
+    val loads5 = f"""[$start5%.2f,$mid5%.2f,$end5%.2f]"""
+    val clean = !contaminated
     val onlyTag = only.map(r => s""","only":${jq(r)}""").getOrElse("")
     val line =
-      s"""{"metric":"total","unit":"sec","passes":2,"micro_passes":3,"n_micro":${micro.size},"loadavg":$loads,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}$onlyTag}"""
+      s"""{"metric":"total","unit":"sec","passes":"tiered-2","macro_threshold_sec":$MacroThresholdSec,"n_macro":${retry.size},"clean":$clean,"contaminated":$contaminated,"loadavg_max":$loadMax,"loadavg":$loads,"loadavg5":$loads5,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}$onlyTag}"""
     println(line)
     // Short line: slowest-first entries until the byte budget is spent.
     val budget = 1600
     val desc = asc.reverse.collect { case (k, v, None, _) =>
       jq(k) + ":" + f"$v%.3f" }
-    val header = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","passes":2,"micro_passes":3,"loadavg":$loads,"n_ok":$nOk,"sf":"$sfDir","errors":$errs,"full":${jq(fullPath)},"queries_omitted":@OMIT@,"queries":{"""
+    val header = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","passes":"tiered-2","clean":$clean,"loadavg":$loads,"n_ok":$nOk,"sf":"$sfDir","errors":$errs,"full":${jq(fullPath)},"queries_omitted":@OMIT@,"queries":{"""
     var used = header.length + 60
     val kept = desc.takeWhile { e => used += e.length + 1; used <= budget }
     val short = header.replace("@OMIT@", (nOk - kept.length).toString) +
@@ -160,7 +183,8 @@ object Bench {
     }
     // Append-only history: consecutive committed profiles are how
     // run-to-run variance is told apart from real regressions (each line
-    // carries its epoch + loadavg). Never truncated, one JSON per run.
+    // carries its epoch + loadavg + the "clean" provenance bit).
+    // Never truncated, one JSON per run.
     val histLine = "{\"epoch\":" + (System.currentTimeMillis() / 1000) + "," +
       line.drop(1) + "\n"
     if (only.isEmpty)
@@ -171,5 +195,6 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"bench: could not append history: ${e.getMessage}") }
     spark.stop()
+    if (contaminated) sys.exit(2)
   }
 }

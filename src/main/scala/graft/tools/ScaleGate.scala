@@ -96,6 +96,27 @@ object ScaleGate {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val sf1 = args.lift(1).getOrElse("/tmp/sf1")
     val outJson = args.lift(2).getOrElse("SCALE_GATE.json")
+    // Same contamination refusal as graft.Bench (r11/r12 both committed
+    // profiles started at loadavg > 8 — pure noise): a gate verdict from
+    // a loaded machine is untrustworthy in BOTH directions (noise can
+    // breach a ratio or mask one), so refuse up front.
+    def loadavg2(): (Double, Double) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")
+        (f(0).toDouble, f(1).toDouble)
+      } catch { case _: Throwable => (-1.0, -1.0) }
+    val loadMax = sys.env.get("SPARK_GRAFT_LOADAVG_MAX")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(graft.Bench.LoadavgMax)
+    val (start1, start5) = loadavg2()
+    if ((start1 > loadMax || start5 > loadMax) &&
+        !sys.env.get("SPARK_GRAFT_ALLOW_DIRTY").contains("1")) {
+      println(f"""{"gate":"scale","pass":false,"error":"contaminated","loadavg_start":[$start1%.2f,$start5%.2f],"loadavg_max":$loadMax%.2f}""")
+      System.err.println(f"[scalegate] REFUSING to run — start loadavg " +
+        f"($start1%.2f/$start5%.2f) exceeds $loadMax%.2f; retry when idle " +
+        "or set SPARK_GRAFT_ALLOW_DIRTY=1")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
