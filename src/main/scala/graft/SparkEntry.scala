@@ -1295,6 +1295,53 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // The registered 100 TB swap for ann_knn_graph: the SAME
+    // mutualKnnGraph over lshSelfTopK — per-vector top-5 among SRP
+    // bucket-mates from a plain (tbl, bucket)-keyed self-join, no
+    // broadcast, no N² stage. 4 planes × 8 tables: the fixture's
+    // embeddings are near-isotropic (d̂≈35 in 64 dims — LSH's hardest
+    // regime), so the operating point leans recall (~0.7 measured by
+    // the agree row below); at scale nPlanes grows ∝ log N to hold
+    // bucket occupancy constant, and real clustered corpora sit far
+    // above this recall at the same cost.
+    "ann_knn_graph_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      // nPlanes from a corpus count (4 at the 500-vector oracle scale,
+      // matching the static DuckDB mirror) — fixed planes would make
+      // the bucket self-join quadratic in data growth; see srpAutoPlanes.
+      val nPlanes = Similarity.srpAutoPlanes(emb.count())
+      Similarity.mutualKnnGraph(
+          Similarity.lshSelfTopK(emb, 5, dim = 64, nPlanes = nPlanes, nTables = 8))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Edge-overlap agreement of the LSH graph against the brute graph —
+    // the recallAtK discipline applied to graph construction: recall of
+    // exact edges plus the symmetric Jaccard. This row is WHY the swap
+    // above is trustworthy.
+    "ann_knn_graph_agree" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val ex = Similarity.mutualKnnGraph(Similarity.bruteForceTopK(emb, emb, 5))
+        .select(col("id_a"), col("id_b"))
+      val an = Similarity.mutualKnnGraph(
+          Similarity.lshSelfTopK(emb, 5, dim = 64,
+            nPlanes = Similarity.srpAutoPlanes(emb.count()), nTables = 8))
+        .select(col("id_a"), col("id_b"))
+      val j = ex.withColumn("ex", lit(1L))
+        .join(an.withColumn("an", lit(1L)), Seq("id_a", "id_b"), "full_outer")
+      j.agg(
+          sum(col("ex")).as("ne"), sum(col("an")).as("na"),
+          sum(when(col("ex").isNotNull && col("an").isNotNull, 1L)
+            .otherwise(0L)).as("nc"))
+        .select(col("ne").as("n_exact_edges"), col("na").as("n_ann_edges"),
+          col("nc").as("n_common"),
+          round(try_divide(col("nc").cast("double"),
+            col("ne").cast("double")), 6).as("edge_recall"),
+          round(try_divide(col("nc").cast("double"),
+            col("ne").cast("double") + col("na").cast("double")
+              - col("nc").cast("double")), 6).as("jaccard"))
+    }),
+
     // Exact max-inner-product top-10 for the same 8 probes — the
     // magnitude-aware retrieval semantic (recommendation scoring);
     // the exact baseline the norm-augmented ANN path measures against.
@@ -1624,6 +1671,37 @@ object SparkEntry {
     // discipline: NOT in the scale gate; ANN candidates swap in at 100 TB).
     "emb_intrinsic_dim" -> ((s, dir) =>
       Similarity.intrinsicDimension(T(s, dir, "embeddings"))),
+
+    // The registered 100 TB swap for emb_intrinsic_dim: the IDENTICAL
+    // rank→μ→MLE tail fed from SRP bucket-mate candidates (linear in the
+    // candidate list) instead of the N² all-pairs join. This, not the
+    // brute baseline, is the form in the scale gate. 5 planes × 8
+    // tables: TwoNN only needs each point's 2-NN, so this point spends
+    // ~¼ of the all-pairs dot products for a d̂ within a few percent of
+    // exact (the agree row below measures it).
+    "emb_intrinsic_dim_ann" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.intrinsicDimensionFromCandidates(
+        Similarity.lshSelfCandidates(emb, dim = 64,
+          nPlanes = Similarity.srpAutoPlanes(emb.count()), nTables = 8))
+    }),
+
+    // Estimator agreement: d̂ from the exact baseline and from the ANN
+    // candidate feed side by side (|Δ| on the two 6-dp estimates) — the
+    // measured claim that the scale path estimates the same quantity.
+    "emb_intrinsic_dim_agree" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val ex = Similarity.intrinsicDimension(emb)
+        .select(col("n_points").as("n_exact"), col("id_twonn").as("d_exact"))
+      val an = Similarity.intrinsicDimensionFromCandidates(
+          Similarity.lshSelfCandidates(emb, dim = 64,
+            nPlanes = Similarity.srpAutoPlanes(emb.count()), nTables = 8))
+        .select(col("n_points").as("n_ann"), col("id_twonn").as("d_ann"))
+      // two single-row aggregates — the broadcast-scalar crossJoin shape
+      ex.crossJoin(an)
+        .select(col("n_exact"), col("n_ann"), col("d_exact"), col("d_ann"),
+          round(abs(col("d_ann") - col("d_exact")), 6).as("abs_diff"))
+    }),
 
     // JL distortion audit of the ±1 signed projection: projected vs
     // original squared distance (÷ outDims) over the id-adjacent pair
@@ -4074,15 +4152,27 @@ object SparkEntry {
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
       |ORDER BY query_id, rank""".stripMargin
 
-  private val srpAnnOracle: String = {
+  /** SQL for the exploded SRP bucket table over relation `e` (vec_id, v):
+    * one SELECT per hash table with the seed-42 hyperplanes embedded as
+    * literal double arrays (java.util.Random's algorithm is pinned by
+    * the Java spec and Double.toString round-trips exactly) — mirrors
+    * `Similarity.lshBuckets`. Shared by every oracle that reproduces an
+    * SRP candidate set (ann_lsh_topk, the self-join kNN graph, the
+    * ANN-fed TwoNN).
+    */
+  private def srpBucketTablesSql(dim: Int, nPlanes: Int, nTables: Int): String = {
     def planeLit(pl: Array[Double]) = pl.map(_.toString).mkString("[", ", ", "]")
-    val tables = (0 until 2).map { t =>
-      val planes = Similarity.hyperplanes(64, 8, 42L, t)
-      val bucket = (0 until 8).map { h =>
+    (0 until nTables).map { t =>
+      val planes = Similarity.hyperplanes(dim, nPlanes, 42L, t)
+      val bucket = (0 until nPlanes).map { h =>
         s"(CASE WHEN list_dot_product(v, ${planeLit(planes(h))}) >= 0 THEN ${1L << h} ELSE 0 END)"
       }.mkString("\n     + ")
       s"SELECT vec_id, v, $t AS tbl, $bucket AS bucket FROM e"
     }.mkString("\nUNION ALL\n")
+  }
+
+  private val srpAnnOracle: String = {
+    val tables = srpBucketTablesSql(64, 8, 2)
     s"""WITH e AS ($embCte),
        |b AS ($tables),
        |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -4099,6 +4189,109 @@ object SparkEntry {
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Directed all-corpus SRP candidate pairs (the
+    * `Similarity.lshSelfCandidates` mirror): relation `cand` (id, nid),
+    * multi-table collisions collapsed by the GROUP BY. Shared by the
+    * self-kNN-graph and ANN-TwoNN oracles (each at its own recall/cost
+    * operating point — see the query comments).
+    */
+  private def srpSelfCandCte(nPlanes: Int, nTables: Int): String =
+    s"""b AS (${srpBucketTablesSql(64, nPlanes, nTables)}),
+       |cand AS (SELECT q.vec_id AS id, c.vec_id AS nid
+       |         FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |         WHERE q.vec_id <> c.vec_id
+       |         GROUP BY 1, 2)""".stripMargin
+
+  /** TwoNN exact-baseline oracle (shared with the agreement row). */
+  private val twoNNExactOracle: String =
+    s"""WITH e AS ($embCte),
+       |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+       |p AS (SELECT a.vec_id AS id, b.vec_id AS nid,
+       |        a.n2 + b.n2 - 2.0 * list_dot_product(a.v, b.v) AS d2
+       |      FROM n a, n b WHERE a.vec_id <> b.vec_id),
+       |r AS (SELECT id, d2, row_number() OVER (PARTITION BY id
+       |        ORDER BY d2, nid) AS rk
+       |      FROM p QUALIFY rk <= 2),
+       |g AS (SELECT id, min(CASE WHEN rk = 1 THEN d2 END) AS d1,
+       |        min(CASE WHEN rk = 2 THEN d2 END) AS dn
+       |      FROM r GROUP BY 1),
+       |f AS (SELECT CAST(round(0.5 * ln(dn / d1), 9) AS DECIMAL(18,9))
+       |        AS t
+       |      FROM g WHERE d1 > 0 AND dn IS NOT NULL)
+       |SELECT CAST(count(*) AS BIGINT) AS n_points,
+       |  CAST(round(sum(t), 6) AS DOUBLE) AS sum_log_mu,
+       |  CAST(round(CAST(CAST(count(*) AS DOUBLE)
+       |    / nullif(CAST(sum(t) AS DOUBLE), 0.0)
+       |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS id_twonn
+       |FROM f""".stripMargin
+
+  /** ANN-fed TwoNN oracle: SRP self-candidates → per-pair squared-L2 via
+    * the same dot identity (per-pair dots — identical accumulation order
+    * to the fused graft_dot) → the IDENTICAL rank→μ→MLE tail as the
+    * exact baseline.
+    */
+  private val twoNNAnnOracle: String =
+    s"""WITH e AS ($embCte),
+       |${srpSelfCandCte(4, 8)},
+       |p AS (SELECT cand.id, cand.nid,
+       |        list_dot_product(qe.v, qe.v) + list_dot_product(ce.v, ce.v)
+       |          - 2.0 * list_dot_product(qe.v, ce.v) AS d2
+       |      FROM cand JOIN e qe ON qe.vec_id = cand.id
+       |                JOIN e ce ON ce.vec_id = cand.nid),
+       |r AS (SELECT id, d2, nid, row_number() OVER (PARTITION BY id
+       |        ORDER BY d2, nid) AS rk
+       |      FROM p QUALIFY rk <= 2),
+       |g AS (SELECT id, min(CASE WHEN rk = 1 THEN d2 END) AS d1,
+       |        min(CASE WHEN rk = 2 THEN d2 END) AS dn
+       |      FROM r GROUP BY 1),
+       |f AS (SELECT CAST(round(0.5 * ln(dn / d1), 9) AS DECIMAL(18,9))
+       |        AS t
+       |      FROM g WHERE d1 > 0 AND dn IS NOT NULL)
+       |SELECT CAST(count(*) AS BIGINT) AS n_points,
+       |  CAST(round(sum(t), 6) AS DOUBLE) AS sum_log_mu,
+       |  CAST(round(CAST(CAST(count(*) AS DOUBLE)
+       |    / nullif(CAST(sum(t) AS DOUBLE), 0.0)
+       |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS id_twonn
+       |FROM f""".stripMargin
+
+  /** Exact mutual-5-NN-graph oracle (shared with the agreement row). */
+  private val knnGraphExactOracle: String =
+    """WITH e AS (SELECT vec_id,
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings),
+      |s AS (SELECT a.vec_id AS qid, c.vec_id AS nid,
+      |        list_cosine_similarity(a.v, c.v) AS cos
+      |      FROM e a, e c WHERE a.vec_id <> c.vec_id),
+      |k AS (SELECT qid, nid, cos FROM s WHERE cos IS NOT NULL
+      |      QUALIFY row_number() OVER (PARTITION BY qid
+      |        ORDER BY cos DESC, nid) <= 5)
+      |SELECT a.qid AS id_a, a.nid AS id_b, round(a.cos, 6) AS cosine
+      |FROM k a JOIN k b ON a.qid = b.nid AND a.nid = b.qid
+      |  AND a.qid < a.nid
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** LSH-fed mutual-5-NN-graph oracle: the same mutuality filter over
+    * per-vector top-5 among SRP bucket-mates. A zero-norm vector yields
+    * NaN from list_cosine_similarity (sorts above everything in DuckDB);
+    * Spark's graft_cosine returns NULL there and lshSelfTopK drops it —
+    * the isnan guard filters identically.
+    */
+  private val knnGraphLshOracle: String =
+    s"""WITH e AS ($embCte),
+       |${srpSelfCandCte(4, 8)},
+       |s AS (SELECT cand.id AS qid, cand.nid,
+       |        list_cosine_similarity(qe.v, ce.v) AS cos
+       |      FROM cand JOIN e qe ON qe.vec_id = cand.id
+       |                JOIN e ce ON ce.vec_id = cand.nid),
+       |k AS (SELECT qid, nid, cos FROM s
+       |      WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |      QUALIFY row_number() OVER (PARTITION BY qid
+       |        ORDER BY cos DESC, nid) <= 5)
+       |SELECT a.qid AS id_a, a.nid AS id_b, round(a.cos, 6) AS cosine
+       |FROM k a JOIN k b ON a.qid = b.nid AND a.nid = b.qid
+       |  AND a.qid < a.nid
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** LSH embedding-dedup oracle: rebuild the augmented corpus (original ∪
     * ε-perturbed copies — same hash noise, same operation order as
@@ -5545,20 +5738,32 @@ object SparkEntry {
 
     // Mutual 5-NN graph: exact brute k-NN per vector, then the pair
     // survives only when membership is mutual (a < b).
-    "ann_knn_graph" ->
-      """WITH e AS (SELECT vec_id,
-        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |      FROM embeddings),
-        |s AS (SELECT a.vec_id AS qid, c.vec_id AS nid,
-        |        list_cosine_similarity(a.v, c.v) AS cos
-        |      FROM e a, e c WHERE a.vec_id <> c.vec_id),
-        |k AS (SELECT qid, nid, cos FROM s WHERE cos IS NOT NULL
-        |      QUALIFY row_number() OVER (PARTITION BY qid
-        |        ORDER BY cos DESC, nid) <= 5)
-        |SELECT a.qid AS id_a, a.nid AS id_b, round(a.cos, 6) AS cosine
-        |FROM k a JOIN k b ON a.qid = b.nid AND a.nid = b.qid
-        |  AND a.qid < a.nid
-        |ORDER BY id_a, id_b""".stripMargin,
+    "ann_knn_graph" -> knnGraphExactOracle,
+
+    // LSH-fed mutual 5-NN graph: identical mutuality filter, SRP
+    // bucket-mate candidates instead of all pairs.
+    "ann_knn_graph_lsh" -> knnGraphLshOracle,
+
+    // Edge-overlap agreement of the LSH graph vs the brute graph: three
+    // scalar counts over the two committed graph oracles.
+    "ann_knn_graph_agree" ->
+      s"""WITH ex AS (SELECT id_a, id_b FROM ($knnGraphExactOracle)),
+         |an AS (SELECT id_a, id_b FROM ($knnGraphLshOracle))
+         |SELECT
+         |  (SELECT count(*) FROM ex) AS n_exact_edges,
+         |  (SELECT count(*) FROM an) AS n_ann_edges,
+         |  (SELECT count(*) FROM ex JOIN an USING (id_a, id_b))
+         |    AS n_common,
+         |  round(CAST((SELECT count(*) FROM ex JOIN an USING (id_a, id_b))
+         |      AS DOUBLE)
+         |    / nullif(CAST((SELECT count(*) FROM ex) AS DOUBLE), 0.0), 6)
+         |    AS edge_recall,
+         |  round(CAST((SELECT count(*) FROM ex JOIN an USING (id_a, id_b))
+         |      AS DOUBLE)
+         |    / nullif(CAST((SELECT count(*) FROM ex) AS DOUBLE)
+         |      + CAST((SELECT count(*) FROM an) AS DOUBLE)
+         |      - CAST((SELECT count(*) FROM ex JOIN an USING (id_a, id_b))
+         |          AS DOUBLE), 0.0), 6) AS jaccard""".stripMargin,
 
     // MIPS mirror: list_inner_product for graft_dot, 6-dp-rounded
     // before the rank window (same membership discipline as cosine).
@@ -7211,27 +7416,20 @@ object SparkEntry {
     // TwoNN: squared-L2 via the identical ‖a‖²+‖b‖²−2a·b double algebra
     // (list_dot_product matches the fused graft_dot accumulation order);
     // ln μ terms 9-dp DECIMAL-summed, MLE one division.
-    "emb_intrinsic_dim" ->
-      s"""WITH e AS ($embCte),
-         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
-         |p AS (SELECT a.vec_id AS id, b.vec_id AS nid,
-         |        a.n2 + b.n2 - 2.0 * list_dot_product(a.v, b.v) AS d2
-         |      FROM n a, n b WHERE a.vec_id <> b.vec_id),
-         |r AS (SELECT id, d2, row_number() OVER (PARTITION BY id
-         |        ORDER BY d2, nid) AS rk
-         |      FROM p QUALIFY rk <= 2),
-         |g AS (SELECT id, min(CASE WHEN rk = 1 THEN d2 END) AS d1,
-         |        min(CASE WHEN rk = 2 THEN d2 END) AS dn
-         |      FROM r GROUP BY 1),
-         |f AS (SELECT CAST(round(0.5 * ln(dn / d1), 9) AS DECIMAL(18,9))
-         |        AS t
-         |      FROM g WHERE d1 > 0 AND dn IS NOT NULL)
-         |SELECT CAST(count(*) AS BIGINT) AS n_points,
-         |  CAST(round(sum(t), 6) AS DOUBLE) AS sum_log_mu,
-         |  CAST(round(CAST(CAST(count(*) AS DOUBLE)
-         |    / nullif(CAST(sum(t) AS DOUBLE), 0.0)
-         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS id_twonn
-         |FROM f""".stripMargin,
+    "emb_intrinsic_dim" -> twoNNExactOracle,
+
+    // ANN-fed TwoNN: SRP self-candidates, identical MLE tail.
+    "emb_intrinsic_dim_ann" -> twoNNAnnOracle,
+
+    // Estimator agreement: exact vs ANN-fed d̂ side by side, abs diff
+    // of the two committed 6-dp estimates.
+    "emb_intrinsic_dim_agree" ->
+      s"""WITH ex AS ($twoNNExactOracle),
+         |an AS ($twoNNAnnOracle)
+         |SELECT ex.n_points AS n_exact, an.n_points AS n_ann,
+         |  ex.id_twonn AS d_exact, an.id_twonn AS d_ann,
+         |  round(abs(an.id_twonn - ex.id_twonn), 6) AS abs_diff
+         |FROM ex, an""".stripMargin,
 
     // JL audit: the emb_project quantize+sign chain, integer distances
     // on both sides of the ratio (projected sum of 8 squared diffs;

@@ -1549,6 +1549,19 @@ object Similarity {
       .select(col("a.id").as("id"), col("b.id").as("nid"),
         (col("a.n2") + col("b.n2") - lit(2.0) *
           Fns.dotProduct(col("a.v"), col("b.v"))).as("d2"))
+    twoNNMleTail(pairs)
+  }
+
+  /** The shared TwoNN rank→μ→MLE tail: from ANY (id, nid, d2)
+    * squared-distance pair table, each id's two smallest distances feed
+    * ln μ = ½·ln(d₂²/d₁²), 9-dp-rounded into an exact DECIMAL sum, and
+    * d̂ = n / Σ ln μᵢ. Factored out so the exact all-pairs baseline
+    * ([[intrinsicDimension]]) and the ANN-candidate-fed scale path
+    * ([[intrinsicDimensionFromCandidates]]) are THE SAME estimator —
+    * only the pair generator differs, which is exactly the claim the
+    * agreement query verifies.
+    */
+  private def twoNNMleTail(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("d2").asc, col("nid").asc)
     val top2 = pairs.withColumn("rk", row_number().over(w))
@@ -1569,4 +1582,91 @@ object Similarity {
             col("slm").cast("double")).cast("decimal(24,12)"), 6)
           .cast("double").as("id_twonn"))
   }
+
+  /** All-corpus SRP-LSH candidate pairs WITHOUT a broadcast: every
+    * directed (query, neighbor) pair that collides in at least one hash
+    * table. This is the self-join sibling of [[lshAnnTopK]]'s
+    * probe-broadcast shape — when the query set IS the corpus (kNN
+    * graphs, TwoNN, SemDeDup-style carving), broadcasting it would ship
+    * the whole corpus to every task, so instead both sides come from ONE
+    * [[lshBuckets]] pass and meet in a plain hash shuffle keyed on
+    * (tbl, bucket): bucket-local joins, 2^nPlanes-fold smaller than
+    * all-pairs, horizontal at any corpus size (grow nPlanes with N to
+    * hold expected bucket size constant). Multi-table collisions are
+    * deduped on the id pair — each collision row carries the identical
+    * vectors, so the dedup is deterministic.
+    */
+  /** The SRP plane count that holds expected bucket occupancy near
+    * `target` for an `n`-vector corpus: ⌈log₂(n / target)⌉, clamped.
+    * This is the knob the bucket-local self-join's cost rides on —
+    * candidate work is Σ occupancy² per bucket ≈ n·target per table, so
+    * FIXING nPlanes while n grows makes the join quadratic in the
+    * growth factor (the exact cliff the scale gate exists to catch),
+    * while growing planes ∝ log n keeps it linear. Callers that bucket
+    * a whole corpus ([[lshSelfCandidates]] consumers) should derive
+    * nPlanes from a corpus count — one scalar aggregate job, the same
+    * statistics-driven dispatch as Dedup's vocab-component strategy.
+    */
+  def srpAutoPlanes(n: Long, target: Double = 32.0,
+                    minPlanes: Int = 2, maxPlanes: Int = 24): Int = {
+    val raw = math.ceil(
+      math.log(math.max(n, 1L).toDouble / target) / math.log(2.0)).toInt
+    math.min(maxPlanes, math.max(minPlanes, raw))
+  }
+
+  def lshSelfCandidates(corpus: DataFrame, dim: Int, nPlanes: Int = 6,
+                        nTables: Int = 4, seed: Long = 42L,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = lshBuckets(corpus, dim, nPlanes, nTables, seed, idCol, vecCol)
+    b.as("q").join(b.as("c"),
+        col("q.tbl") === col("c.tbl") && col("q.bucket") === col("c.bucket") &&
+          col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        col("q.v").as("qv"), col("c.v").as("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
+  /** ANN top-k where the query set is the whole corpus: rank each
+    * vector's [[lshSelfCandidates]] bucket-mates by exact cosine. Same
+    * output contract as [[lshAnnTopK]]/[[bruteForceTopK]]
+    * (`query_id, rank, neighbor_id, cosine`), so [[mutualKnnGraph]] /
+    * [[recallAtK]] compose unchanged — this is the registered scale
+    * path that replaces the brute N² self-kNN at 100 TB.
+    */
+  def lshSelfTopK(corpus: DataFrame, k: Int, dim: Int, nPlanes: Int = 6,
+                  nTables: Int = 4, seed: Long = 42L,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    lshSelfCandidates(corpus, dim, nPlanes, nTables, seed, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"),
+        Fns.cosine(col("qv"), col("cv")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** TwoNN intrinsic dimension from an ANN candidate list — the 100 TB
+    * path the exact baseline's scaladoc names: squared-L2 distances over
+    * `(query_id, neighbor_id, qv, cv)` candidate pairs (the
+    * [[lshSelfCandidates]] shape), then the IDENTICAL rank→μ→MLE tail as
+    * [[intrinsicDimension]]. A point whose candidate set misses its true
+    * 2-NN contributes a slightly inflated μ, and a point with fewer than
+    * two candidates drops out of the estimate (`n_points` reports the
+    * surviving count) — the `emb_intrinsic_dim_agree` registry row
+    * measures the resulting |d̂_ann − d̂_exact| against the exact
+    * baseline, the [[recallAtK]] discipline applied to the estimator.
+    *
+    * Scale shape: linear in the candidate list (N·c rows), one window
+    * partition per id, one DECIMAL aggregate — no all-pairs stage
+    * anywhere. d2 is the same ‖a‖²+‖b‖²−2a·b algebra as the baseline,
+    * three fused native dots per candidate row.
+    */
+  def intrinsicDimensionFromCandidates(candidates: DataFrame): DataFrame =
+    twoNNMleTail(candidates.select(
+      col("query_id").as("id"), col("neighbor_id").as("nid"),
+      (Fns.dotProduct(col("qv"), col("qv")) +
+        Fns.dotProduct(col("cv"), col("cv")) -
+        lit(2.0) * Fns.dotProduct(col("qv"), col("cv"))).as("d2")))
 }

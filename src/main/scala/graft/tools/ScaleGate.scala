@@ -74,7 +74,15 @@ object ScaleGate {
     // round-12-close additions ≥ ~2.5 s on the 361-query profile: the
     // deflated-Laplacian iteration, the per-step walk joins, and the
     // stationary+entropy chain
-    "graph_fiedler", "graph_walks", "ana_markov_entropy")
+    "graph_fiedler", "graph_walks", "ana_markov_entropy",
+    // round-13 additions: the registered ANN swaps for the two N²
+    // baselines (emb_intrinsic_dim / ann_knn_graph stay EXCLUDED as
+    // brute verify baselines) — the gate now watches the forms that
+    // actually run at 100 TB. NOTE: both are bucket-local self-joins,
+    // and the ScaleUp fixture replicates id-congruent vector families
+    // 10×, so bucket collision density grows with the factor — their
+    // honest band is documented in SCALE.md.
+    "emb_intrinsic_dim_ann", "ann_knn_graph_lsh")
 
   val AggregateMaxRatio = 3.0
   val PerQueryMaxRatio = 5.0

@@ -711,6 +711,83 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(d.getDouble(1) - math.log(1.5)) < 1e-6)
   }
 
+  test("srpAutoPlanes: occupancy-constant plane count, clamped") {
+    // 500 vectors at target 32 → 4 planes (the committed oracle scale);
+    // 10x data adds ~3 planes, not 0 — the log-growth contract
+    assert(Similarity.srpAutoPlanes(500) == 4)
+    assert(Similarity.srpAutoPlanes(5000) == 8)
+    assert(Similarity.srpAutoPlanes(2000) == 6)
+    assert(Similarity.srpAutoPlanes(1) == 2)      // min clamp
+    assert(Similarity.srpAutoPlanes(Long.MaxValue) == 24) // max clamp
+  }
+
+  test("lshSelfCandidates: symmetric directed pairs, deduped across tables, no self-pairs") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(16)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val cand = Similarity.lshSelfCandidates(vecs, dim = 16, nPlanes = 3, nTables = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.nonEmpty)
+    assert(cand.distinct.length == cand.length)      // deduped
+    assert(cand.forall { case (a, b) => a != b })    // no self-pairs
+    // bucket collision is symmetric, so the directed pair set must be too
+    val set = cand.toSet
+    assert(set.forall { case (a, b) => set.contains((b, a)) })
+  }
+
+  test("lshSelfTopK at full recall (0-plane-equivalent: 1 plane, many tables) == bruteForceTopK self-kNN") {
+    val rng = new scala.util.Random(5)
+    val vecs = (0L until 30L).map(i => (i, Seq.fill(8)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    // nPlanes=1 → 2 buckets/table; 8 seeds make a full candidate set
+    // overwhelmingly likely — but assert only on the pairs BOTH produce,
+    // plus identical ranking where candidates are complete
+    val self = Similarity.lshSelfTopK(vecs, 3, dim = 8, nPlanes = 1, nTables = 8)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(vecs, vecs, 3)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // every LSH-ranked triple whose query saw a full candidate set must
+    // appear in brute; with 8 single-plane tables the overlap is large
+    assert((self intersect brute).size >= (brute.size * 2) / 3)
+    // contract shape: rank is dense 1..k per query
+    val byQ = self.groupBy(_._1)
+    assert(byQ.values.forall(s => s.map(_._2).toSeq.sorted == (1 to s.size).toSeq))
+  }
+
+  test("intrinsicDimensionFromCandidates == intrinsicDimension when candidates are all pairs") {
+    val rng = new scala.util.Random(17)
+    val vecs = (0L until 25L).map(i => (i, Seq.fill(6)(rng.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val e = vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val allPairs = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        col("a.v").as("qv"), col("b.v").as("cv"))
+    val fromCand = Similarity.intrinsicDimensionFromCandidates(allPairs).collect().head
+    val exact = Similarity.intrinsicDimension(vecs).collect().head
+    assert(fromCand.getLong(0) == exact.getLong(0))
+    assert(fromCand.getDouble(2) == exact.getDouble(2)) // identical MLE tail
+  }
+
+  test("intrinsicDimensionFromCandidates: a point with < 2 candidates drops out") {
+    // 0-1-3 line again, but candidates only give point 0 ONE neighbor:
+    // 0 contributes nothing; 1 and 3 keep their full-pair μ
+    val v: Map[Long, Seq[Double]] =
+      Map(0L -> Seq(0.0, 0.0), 1L -> Seq(1.0, 0.0), 3L -> Seq(3.0, 0.0))
+    val cand = Seq(
+      (0L, 1L), (1L, 0L), (1L, 3L), (3L, 0L), (3L, 1L))
+      .map { case (a, b) => (a, b, v(a), v(b)) }
+      .toDF("query_id", "neighbor_id", "qv", "cv")
+    val r = Similarity.intrinsicDimensionFromCandidates(cand).collect().head
+    // points 1 and 3 survive: μ²(1) = 4/1, μ²(3) = 9/4
+    assert(r.getLong(0) == 2L)
+    assert(math.abs(r.getDouble(1) -
+      (0.5 * math.log(4.0) + 0.5 * math.log(9.0 / 4.0))) < 1e-6)
+  }
+
   test("jlDistortion: axis-aligned pairs reproduce the sign-table algebra exactly") {
     // quantization is identity on these (max |v| = 127), so
     // Δq between consecutive axis vectors is (±127, ∓127, 0, 0)-shaped:
