@@ -1329,8 +1329,12 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
       val j = ex.withColumn("ex", lit(1L))
         .join(an.withColumn("an", lit(1L)), Seq("id_a", "id_b"), "full_outer")
+      // coalesce: sum() over an empty/all-NULL side yields NULL where the
+      // DuckDB oracle's count(*) yields 0 — a degenerate-fixture (empty
+      // graph) divergence the hash comparison would flag spuriously.
       j.agg(
-          sum(col("ex")).as("ne"), sum(col("an")).as("na"),
+          coalesce(sum(col("ex")), lit(0L)).as("ne"),
+          coalesce(sum(col("an")), lit(0L)).as("na"),
           sum(when(col("ex").isNotNull && col("an").isNotNull, 1L)
             .otherwise(0L)).as("nc"))
         .select(col("ne").as("n_exact_edges"), col("na").as("n_ann_edges"),
@@ -1675,8 +1679,9 @@ object SparkEntry {
     // The registered 100 TB swap for emb_intrinsic_dim: the IDENTICAL
     // rank→μ→MLE tail fed from SRP bucket-mate candidates (linear in the
     // candidate list) instead of the N² all-pairs join. This, not the
-    // brute baseline, is the form in the scale gate. 5 planes × 8
-    // tables: TwoNN only needs each point's 2-NN, so this point spends
+    // brute baseline, is the form in the scale gate. srpAutoPlanes
+    // planes (4 at the 500-vector fixture scale) × 8 tables: TwoNN only
+    // needs each point's 2-NN, so this point spends
     // ~¼ of the all-pairs dot products for a d̂ within a few percent of
     // exact (the agree row below measures it).
     "emb_intrinsic_dim_ann" -> ((s, dir) => {
@@ -2904,6 +2909,25 @@ object SparkEntry {
           Multimodal.Asset(id, "audio", Multimodal.syntheticWav(id))))
         .toDF()
       Multimodal.audioStats(s, assets).orderBy("asset_id")
+    }),
+
+    // REAL ISO-BMFF (MP4) container probe over per-doc synthesized
+    // video payloads: the fixture writes genuinely valid box structure
+    // (ftyp/moov[mvhd,trak/tkhd]/free/mdat, with mvhd v1 64-bit and
+    // mdat largesize variants on id-residue subsets), the probe walks
+    // the real binary tree, and the oracle recomputes every metadata
+    // field from the id closed forms — hash equality proves the
+    // encode→parse round-trip including the v1 and largesize paths.
+    // This is the scan-side pre-filter of a 100 TB video pipeline:
+    // narrow mapPartitions, a few hundred header bytes of signal out,
+    // raw payloads never shuffle.
+    "mm_video_probe" -> ((s, dir) => {
+      import s.implicits._
+      val assets = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          Multimodal.Asset(id, "video", Multimodal.syntheticMp4(id))))
+        .toDF()
+      Multimodal.videoProbe(s, assets).toDF().orderBy("asset_id")
     }),
 
     // ---- ingestion / warehouse plumbing, end-to-end ----
@@ -4196,6 +4220,17 @@ object SparkEntry {
     * self-kNN-graph and ANN-TwoNN oracles (each at its own recall/cost
     * operating point — see the query comments).
     */
+  /** Embedding-corpus size of the CORRECTNESS fixtures (sf0.001 and
+    * sf0.01 both carry 500 vectors — TESTDATA.md). The static DuckDB
+    * oracles below must mirror the Spark side's statistics-driven
+    * `srpAutoPlanes(emb.count())`, so they derive their plane count from
+    * the SAME formula over this constant instead of hardcoding it; at a
+    * different sf (sf0.1 has 2000 vectors → 6 planes) the harness would
+    * mismatch, which EntrySpec guards by pinning srpAutoPlanes(500)=4.
+    */
+  private[graft] val OracleEmbCount = 500L
+  private val OracleSrpPlanes = Similarity.srpAutoPlanes(OracleEmbCount)
+
   private def srpSelfCandCte(nPlanes: Int, nTables: Int): String =
     s"""b AS (${srpBucketTablesSql(64, nPlanes, nTables)}),
        |cand AS (SELECT q.vec_id AS id, c.vec_id AS nid
@@ -4233,7 +4268,7 @@ object SparkEntry {
     */
   private val twoNNAnnOracle: String =
     s"""WITH e AS ($embCte),
-       |${srpSelfCandCte(4, 8)},
+       |${srpSelfCandCte(OracleSrpPlanes, 8)},
        |p AS (SELECT cand.id, cand.nid,
        |        list_dot_product(qe.v, qe.v) + list_dot_product(ce.v, ce.v)
        |          - 2.0 * list_dot_product(qe.v, ce.v) AS d2
@@ -4279,7 +4314,7 @@ object SparkEntry {
     */
   private val knnGraphLshOracle: String =
     s"""WITH e AS ($embCte),
-       |${srpSelfCandCte(4, 8)},
+       |${srpSelfCandCte(OracleSrpPlanes, 8)},
        |s AS (SELECT cand.id AS qid, cand.nid,
        |        list_cosine_similarity(qe.v, ce.v) AS cos
        |      FROM cand JOIN e qe ON qe.vec_id = cand.id
@@ -10324,6 +10359,32 @@ object SparkEntry {
         |    / greatest(CAST(n_samples AS DOUBLE) - 1.0, 1.0), 6) AS zcr
         |FROM a LEFT JOIN zc ON zc.asset_id = a.asset_id
         |ORDER BY a.asset_id""".stripMargin,
+
+    // Mirrors syntheticMp4's closed forms, including the two container
+    // variants: mvhd version 1 (ids ≡ 0 mod 5) adds 12 bytes (three
+    // 64-bit fields replace 32-bit), mdat largesize (ids ≡ 0 mod 7)
+    // adds 8 header bytes. Base layout: ftyp 20 + moov 216 + free
+    // (8 + id%32) + mdat (8 + id%100) = 252 + residues.
+    "mm_video_probe" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(252 + doc_id % 32 + doc_id % 100
+        |       + CASE WHEN doc_id % 5 = 0 THEN 12 ELSE 0 END
+        |       + CASE WHEN doc_id % 7 = 0 THEN 8 ELSE 0 END
+        |    AS BIGINT) AS n_bytes,
+        |  CAST(4 AS INT) AS n_boxes,
+        |  'ftyp,moov,free,mdat' AS boxes,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'isom'
+        |       WHEN 1 THEN 'mp41' WHEN 2 THEN 'mp42'
+        |       ELSE 'avc1' END AS major_brand,
+        |  CAST(doc_id % 512 AS BIGINT) AS minor_version,
+        |  CAST(600 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+        |  CAST(600 * (1 + doc_id % 4) * (5 + doc_id % 120) AS BIGINT)
+        |    AS duration,
+        |  round(CAST(5 + doc_id % 120 AS DOUBLE), 6) AS duration_sec,
+        |  CAST(160 + 16 * (doc_id % 54) AS INT) AS width,
+        |  CAST(120 + 9 * (doc_id % 54) AS INT) AS height,
+        |  CAST(doc_id % 100 AS BIGINT) AS mdat_bytes
+        |FROM documents ORDER BY asset_id""".stripMargin,
 
     "merge_upsert" ->
       """SELECT user_id, ts, event_id, value FROM (

@@ -1057,23 +1057,45 @@ object Graph {
     *
     * Scale shape: the [[pageRankRun]] loop without the degree join or
     * dangling-mass pass — per iteration one edge×rank equi-join and one
-    * dst-keyed sum, lazy chained (iters is small and fixed; no
-    * convergence probe, so no driver action at all). Determinism: each
+    * dst-keyed sum, with the SAME eager localCheckpoint + L1-delta
+    * convergence probe as PageRank (`tol > 0` enables the early stop;
+    * the checkpoint keeps a long convergence run's plan shallow instead
+    * of lazy-chaining hundreds of join stages, and being EAGER avoids
+    * the broadcast-vs-scheduler race on lazy checkpoint materialization
+    * documented at [[Dedup.dedupClusters]]). Determinism: each
     * contribution α·x is 12-dp-rounded into DECIMAL(18,12) and summed
     * order-free, mirroring the oracle's per-round materialized CTEs.
     */
   def katzCentrality(edges: DataFrame, iters: Int = 3, alpha: Double = 0.05,
                      beta: Double = 1.0, srcCol: String = "src",
-                     dstCol: String = "dst"): DataFrame = {
+                     dstCol: String = "dst", tol: Double = 0.0): DataFrame =
+    katzRun(edges, iters, alpha, beta, srcCol, dstCol, tol)._1
+
+  /** [[katzCentrality]] plus the iteration count actually run — the
+    * convergence early-stop's observable, mirroring [[pageRankRun]].
+    * Since α < 1/λ_max contracts the iteration geometrically, the L1
+    * delta `Σ_v |x'(v) − x(v)|` shrinks by ~α·λ_max per round; the probe
+    * is one exact DECIMAL aggregate per iteration and only runs when the
+    * caller opted into `tol > 0` (a fixed-iteration call does zero
+    * driver actions beyond the checkpoints).
+    */
+  private[graft] def katzRun(edges: DataFrame, iters: Int, alpha: Double,
+                             beta: Double, srcCol: String, dstCol: String,
+                             tol: Double): (DataFrame, Int) = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(alpha > 0.0 && alpha < 1.0, s"need 0 < alpha < 1, got $alpha")
+    require(tol >= 0.0, s"need tol >= 0, got $tol")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     def dsum(c: org.apache.spark.sql.Column) =
       sum(round(c, 12).cast("decimal(18,12)"))
-    var x = nodes.select(col("node"), lit(beta).as("x"))
-    for (_ <- 1 to iters) {
+    var x = nodes.select(col("node"), lit(beta).as("x")).localCheckpoint()
+    var itersRun = 0
+    var converged = false
+    while (itersRun < iters && !converged) {
+      val prev = x
       val inSum = e
         .join(x.select(col("node").as("src"), col("x")), "src")
         .groupBy(col("dst").as("node"))
@@ -1081,9 +1103,19 @@ object Graph {
       x = nodes.join(inSum, Seq("node"), "left")
         .select(col("node"),
           (lit(beta) + coalesce(col("s").cast("double"), lit(0.0))).as("x"))
+        .localCheckpoint()
+      itersRun += 1
+      if (tol > 0.0 && itersRun < iters) {
+        val delta = x
+          .join(prev.select(col("node"), col("x").as("prev_x")), "node")
+          .agg(coalesce(dsum(abs(col("x") - col("prev_x"))),
+            lit(0).cast("decimal(18,12)")).as("d"))
+          .head().getDecimal(0)
+        if (delta.doubleValue <= tol) converged = true
+      }
     }
-    x.select(col("node"), round(col("x").cast("decimal(24,12)"), 6)
-      .cast("double").as("katz"))
+    (x.select(col("node"), round(col("x").cast("decimal(24,12)"), 6)
+      .cast("double").as("katz")), itersRun)
   }
 
   /** Link-prediction score panel for non-adjacent pairs: common-neighbor

@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * `mapPartitions`, feature shape — is real and tested. Decode dispatch:
   * payloads whose container `javax.imageio` recognizes (PNG/BMP/GIF/JPEG —
   * all JDK built-ins, no external library) take the REAL codec path
-  * ([[decodeImage]]); anything else (video containers, audio, arbitrary
-  * bytes) falls back to the clearly-labeled deterministic stub
-  * ([[decodeStub]]) so the pipeline stays testable end-to-end. Swap the
-  * fallback for a richer codec (javacv / TwelveMonkeys) without touching
-  * anything else.
+  * ([[decodeImage]]); audio takes the real `javax.sound` RIFF/WAVE path
+  * ([[audioStats]]); video takes the real ISO-BMFF box parser
+  * ([[probeMp4]] — container metadata only; FRAME decode needs an
+  * H.264/HEVC codec the JDK lacks, so sample payloads stay opaque bytes).
+  * Anything else (arbitrary bytes) falls back to the clearly-labeled
+  * deterministic stub ([[decodeStub]]) so the pipeline stays testable
+  * end-to-end. Swap the fallback for a richer codec (javacv /
+  * TwelveMonkeys) without touching anything else.
   *
   * Scale notes: payloads never pass through a shuffle here — decode is a
   * narrow mapPartitions, so 100 TB of media decodes at scan parallelism.
@@ -533,5 +536,163 @@ object Multimodal {
       col("peak"), col("zero_cross"),
       round(col("zero_cross").cast("double") /
         greatest(nd - lit(1.0), lit(1.0)), 6).as("zcr"))
+  }
+
+  // ---- video: ISO-BMFF (MP4) container probe ----
+
+  final case class VideoProbe(asset_id: Long, n_bytes: Long, n_boxes: Int,
+                              boxes: String, major_brand: String,
+                              minor_version: Long, timescale: Long,
+                              duration: Long, duration_sec: Double,
+                              width: Int, height: Int, mdat_bytes: Long)
+
+  /** Deterministic ISO-BMFF (MP4) fixture — genuinely VALID box
+    * structure per ISO/IEC 14496-12: big-endian 32-bit size + fourcc
+    * headers, `ftyp` (major/minor/compatible brands), `moov` holding a
+    * real `mvhd` (timescale/duration, unity matrix) and a `trak`/`tkhd`
+    * (16.16 fixed-point width/height), a `free` padding box, and an
+    * `mdat` payload. Two container variants exercise the format's edge
+    * paths: ids ≡ 0 (mod 5) write `mvhd` VERSION 1 (64-bit
+    * creation/modification/duration), and ids ≡ 0 (mod 7) write `mdat`
+    * with the size==1 LARGESIZE 64-bit header. Every field is a closed
+    * form of `id` so the DuckDB oracle recomputes the expected metadata
+    * arithmetically and the hash check proves the binary round-trip —
+    * the [[syntheticWav]] discipline applied to video.
+    *
+    * What stays out of scope: FRAME decode. ISO-BMFF carries codec
+    * payloads (H.264/HEVC) the JDK has no decoder for, so sample-level
+    * work (`mm_frames`' byte-window fingerprints) still treats the mdat
+    * as opaque — that boundary is inherent to the container/codec split,
+    * not a stub: the container layer here is fully real.
+    */
+  def syntheticMp4(id: Long): Array[Byte] = {
+    def be(vals: (Int, Long)*): Array[Byte] = {          // (byteWidth, value)*
+      val bos = new java.io.ByteArrayOutputStream()
+      vals.foreach { case (w, v) =>
+        var i = w - 1
+        while (i >= 0) { bos.write(((v >> (8 * i)) & 0xff).toInt); i -= 1 }
+      }
+      bos.toByteArray
+    }
+    def box(tp: String, body: Array[Byte], large: Boolean = false): Array[Byte] = {
+      val hdr =
+        if (large) be((4, 1L)) ++ tp.getBytes("US-ASCII") ++ be((8, 16L + body.length))
+        else be((4, 8L + body.length)) ++ tp.getBytes("US-ASCII")
+      hdr ++ body
+    }
+    val brands = Array("isom", "mp41", "mp42", "avc1")
+    val major = brands((id % 4).toInt)
+    val minor = id % 512
+    val timescale = 600L * (1 + id % 4)
+    val durSec = 5L + id % 120
+    val duration = timescale * durSec
+    val width = 160 + 16 * (id % 54).toInt
+    val height = 120 + 9 * (id % 54).toInt
+    val unity = be((4, 0x10000L), (4, 0L), (4, 0L), (4, 0L), (4, 0x10000L),
+      (4, 0L), (4, 0L), (4, 0L), (4, 0x40000000L))
+    val mvhd =
+      if (id % 5 == 0)                                   // version 1: 64-bit times
+        box("mvhd", be((4, 0x01000000L), (8, 0L), (8, 0L), (4, timescale),
+          (8, duration), (4, 0x00010000L), (2, 0x0100L), (2, 0L), (8, 0L)) ++
+          unity ++ be((4, 0L), (4, 0L), (4, 0L), (4, 0L), (4, 0L), (4, 0L), (4, 2L)))
+      else
+        box("mvhd", be((4, 0L), (4, 0L), (4, 0L), (4, timescale),
+          (4, duration), (4, 0x00010000L), (2, 0x0100L), (2, 0L), (8, 0L)) ++
+          unity ++ be((4, 0L), (4, 0L), (4, 0L), (4, 0L), (4, 0L), (4, 0L), (4, 2L)))
+    val tkhd = box("tkhd", be((4, 3L), (4, 0L), (4, 0L), (4, 1L), (4, 0L),
+      (4, duration), (8, 0L), (2, 0L), (2, 0L), (2, 0L), (2, 0L)) ++ unity ++
+      be((4, width.toLong << 16), (4, height.toLong << 16)))
+    val ftyp = box("ftyp", major.getBytes("US-ASCII") ++ be((4, minor)) ++
+      "isom".getBytes("US-ASCII"))
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    val free = box("free", new Array[Byte]((id % 32).toInt))
+    val mdatBody = Array.tabulate((id % 100).toInt)(i =>
+      ((id * 31 + i * 7) % 251).toByte)
+    val mdat = box("mdat", mdatBody, large = id % 7 == 0)
+    ftyp ++ moov ++ free ++ mdat
+  }
+
+  /** REAL ISO-BMFF metadata probe: walks the box tree of each payload —
+    * 32-bit and largesize (size==1, 64-bit) headers, nested
+    * `moov`→`mvhd` (version 0 AND 1 layouts) and `moov`→`trak`→`tkhd`
+    * (16.16 fixed-point geometry) — and emits the per-asset container
+    * metadata a video curation pipeline filters on BEFORE any codec
+    * work: brand, movie timescale/duration, display geometry, payload
+    * size. This is the cheap scan-side gate at 100 TB: a corrupt or
+    * wrong-brand file dies here for the cost of reading a few hundred
+    * header bytes, never reaching a decoder. Narrow `mapPartitions`
+    * (payloads never shuffle); unparseable payloads are skipped
+    * (log-and-continue, the Ingest.quarantine discipline).
+    */
+  def videoProbe(spark: SparkSession, assets: DataFrame): Dataset[VideoProbe] = {
+    import spark.implicits._
+    assets.as[Asset].mapPartitions(_.flatMap { a =>
+      try Some(probeMp4(a.asset_id, a.payload)) catch { case _: Exception => None }
+    })
+  }
+
+  /** Single-payload ISO-BMFF parse; throws on any structural violation
+    * (truncated box, size under 8, trailing garbage) — [[videoProbe]]
+    * turns throws into skips.
+    */
+  def probeMp4(id: Long, bytes: Array[Byte]): VideoProbe = {
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def fourcc(o: Int): String =
+      new String(bytes, o, 4, "US-ASCII")
+    // (type, bodyStart, bodyEnd) for each box in [from, to); validates
+    // declared sizes tile the range exactly.
+    def walk(from: Int, to: Int): Seq[(String, Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var o = from
+      while (o < to) {
+        require(o + 8 <= to, s"truncated box header at $o")
+        val sz32 = u32(o)
+        val tp = fourcc(o + 4)
+        val (bodyStart, end) =
+          if (sz32 == 1L) {                              // 64-bit largesize
+            require(o + 16 <= to, s"truncated largesize at $o")
+            (o + 16, o + u64(o + 8))
+          } else if (sz32 == 0L) (o + 8, to.toLong)      // box runs to EOF
+          else (o + 8, o + sz32)
+        require(end >= bodyStart && end <= to, s"box $tp overruns at $o")
+        out += ((tp, bodyStart, end.toInt))
+        o = end.toInt
+      }
+      out.toSeq
+    }
+    val top = walk(0, bytes.length)
+    val (ftS, ftE) = top.find(_._1 == "ftyp")
+      .map(b => (b._2, b._3)).getOrElse(sys.error("no ftyp"))
+    require(ftE - ftS >= 8, "ftyp too short")
+    val majorBrand = fourcc(ftS)
+    val minorVersion = u32(ftS + 4)
+    val (mvS, mvE) = top.find(_._1 == "moov")
+      .map(b => (b._2, b._3)).getOrElse(sys.error("no moov"))
+    val moovKids = walk(mvS, mvE)
+    val (hS, _) = moovKids.find(_._1 == "mvhd")
+      .map(b => (b._2, b._3)).getOrElse(sys.error("no mvhd"))
+    val mvhdVersion = bytes(hS) & 0xff
+    val (timescale, duration) =
+      if (mvhdVersion == 1) (u32(hS + 20), u64(hS + 24))
+      else (u32(hS + 12), u32(hS + 16))
+    val (w, h) = moovKids.find(_._1 == "trak").map { trak =>
+      val (tS, _) = walk(trak._2, trak._3).find(_._1 == "tkhd")
+        .map(b => (b._2, b._3)).getOrElse(sys.error("no tkhd"))
+      val tkhdVersion = bytes(tS) & 0xff
+      val geomOff = if (tkhdVersion == 1) tS + 88 else tS + 76
+      // 16.16 fixed point — integer part only
+      ((u32(geomOff) >> 16).toInt, (u32(geomOff + 4) >> 16).toInt)
+    }.getOrElse(sys.error("no trak"))
+    val mdatBytes = top.find(_._1 == "mdat")
+      .map(b => (b._3 - b._2).toLong).getOrElse(0L)
+    VideoProbe(id, bytes.length.toLong, top.size,
+      top.map(_._1).mkString(","), majorBrand, minorVersion,
+      timescale, duration,
+      BigDecimal(duration.toDouble / timescale)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      w, h, mdatBytes)
   }
 }

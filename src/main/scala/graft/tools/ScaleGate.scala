@@ -104,27 +104,35 @@ object ScaleGate {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val sf1 = args.lift(1).getOrElse("/tmp/sf1")
     val outJson = args.lift(2).getOrElse("SCALE_GATE.json")
-    // Same contamination refusal as graft.Bench (r11/r12 both committed
-    // profiles started at loadavg > 8 — pure noise): a gate verdict from
-    // a loaded machine is untrustworthy in BOTH directions (noise can
-    // breach a ratio or mask one), so refuse up front.
-    def loadavg2(): (Double, Double) =
-      try {
-        val f = scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")
-        (f(0).toDouble, f(1).toDouble)
-      } catch { case _: Throwable => (-1.0, -1.0) }
+    // Same wait-for-idle policy as graft.Bench (the r13 hard refusal
+    // cost a round its bench artifact): a gate verdict from a loaded
+    // machine is untrustworthy in BOTH directions (noise can breach a
+    // ratio or mask one), so poll the 1-min loadavg until it settles or
+    // the budget runs out, then run regardless — a verdict with a dirty
+    // provenance stamp beats no verdict.
+    def loadavg2(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val loadMax = sys.env.get("SPARK_GRAFT_LOADAVG_MAX")
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
       .getOrElse(graft.Bench.LoadavgMax)
-    val (start1, start5) = loadavg2()
-    if ((start1 > loadMax || start5 > loadMax) &&
-        !sys.env.get("SPARK_GRAFT_ALLOW_DIRTY").contains("1")) {
-      println(f"""{"gate":"scale","pass":false,"error":"contaminated","loadavg_start":[$start1%.2f,$start5%.2f],"loadavg_max":$loadMax%.2f}""")
-      System.err.println(f"[scalegate] REFUSING to run — start loadavg " +
-        f"($start1%.2f/$start5%.2f) exceeds $loadMax%.2f; retry when idle " +
-        "or set SPARK_GRAFT_ALLOW_DIRTY=1")
-      sys.exit(2)
+    val waitBudget = sys.env.get("SPARK_GRAFT_WAIT_BUDGET_SEC")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(graft.Bench.WaitBudgetSec)
+    var waited = 0
+    var start1 = loadavg2()
+    while (start1 > loadMax && waited < waitBudget) {
+      System.err.println(f"[scalegate] loadavg $start1%.2f > $loadMax%.2f " +
+        f"— waiting for idle (${waited}s/${waitBudget}s)")
+      Thread.sleep(graft.Bench.PollSec * 1000L)
+      waited += graft.Bench.PollSec
+      start1 = loadavg2()
     }
+    val startClean = start1 <= loadMax
+    if (!startClean)
+      System.err.println(f"[scalegate] proceeding DIRTY — loadavg " +
+        f"$start1%.2f still > $loadMax%.2f after ${waited}s")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -204,7 +212,7 @@ object ScaleGate {
         s""""exempt":$ex,"ok":$ok}"""
     }.mkString("{", ",", "}")
     val line =
-      f"""{"gate":"scale","pass":$pass,"agg_ratio":$aggRatio%.3f,""" +
+      f"""{"gate":"scale","pass":$pass,"clean":$startClean,"agg_ratio":$aggRatio%.3f,""" +
         f""""agg_max":$AggregateMaxRatio,"per_query_max":$PerQueryMaxRatio,""" +
         f""""total_sf01":$totalSmall%.2f,"total_sf1":$totalBig%.2f,""" +
         f""""loadavg":[$load0%.2f,$load1%.2f,$load2%.2f],""" +

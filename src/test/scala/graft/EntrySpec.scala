@@ -36,6 +36,21 @@ class EntrySpec extends SparkSpec {
       s"COVERAGE.md claims ${documented.group(2)} oracle-checked, registry has ${SparkEntry.oracleSql.size}")
   }
 
+  test("SRP oracle plane count agrees with the Spark side at fixture scale") {
+    // The DuckDB ANN oracles (twoNNAnnOracle / knnGraphLshOracle) are
+    // static SQL deriving nPlanes from srpAutoPlanes(OracleEmbCount),
+    // while the Spark rows derive it from srpAutoPlanes(emb.count()).
+    // They agree iff the correctness fixtures actually hold
+    // OracleEmbCount vectors — pin that here so a regenerated fixture
+    // (or a driver switch to sf0.1, 2000 vectors → 6 planes) fails
+    // loudly instead of hash-mismatching in CORRECTNESS_r{N}.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      assert(n == SparkEntry.OracleEmbCount,
+        s"$dir/embeddings has $n vectors; oracles assume ${SparkEntry.OracleEmbCount}")
+    }
+  }
+
   test("all registered queries execute at sf0.001 and are non-degenerate") {
     val allowedEmpty = Set("dedup_ngram_jaccard", "dedup_ngram_prefix",
       "dedup_minhash_lsh", "dedup_simhash", "dedup_embed_cosine")

@@ -412,6 +412,27 @@ class GraphSpec extends SparkSpec {
     assert(out("hub") == 1.3 && out("s1") == 1.0)
   }
 
+  test("katz: tol early-stop converges a directed cycle to beta/(1-alpha)") {
+    // On a directed cycle every node obeys x = beta + alpha*x, fixed
+    // point beta/(1-alpha) = 2.0 at alpha=0.5. The iteration's L1 delta
+    // is 3*0.5^t, so tol=1e-9 stops near t=32 — far short of 60 — and
+    // the 6-dp result equals the closed form.
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val (out, itersRun) =
+      Graph.katzRun(cycle, iters = 60, alpha = 0.5, beta = 1.0,
+        "src", "dst", tol = 1e-9)
+    assert(itersRun < 60, s"expected early exit, ran all $itersRun iterations")
+    val got = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 2.0, "b" -> 2.0, "c" -> 2.0))
+  }
+
+  test("katz: tol=0 keeps the exact fixed-iteration contract") {
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val (_, itersRun) =
+      Graph.katzRun(e, iters = 4, alpha = 0.5, beta = 1.0, "src", "dst", tol = 0.0)
+    assert(itersRun == 4)
+  }
+
   test("linkPredictionScores: path and square hand-computed; adjacent excluded") {
     // path a-b-c-d: candidates (a,c) via b and (b,d) via c, one common
     // neighbor each, RA 1/2, PA deg(x)*deg(y)

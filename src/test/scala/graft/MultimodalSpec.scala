@@ -217,4 +217,43 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(6) == s.map(math.abs).max.toLong)
     assert(r.getLong(7) == zc.toLong)
   }
+
+  test("probeMp4: hand-computed metadata for both container variants") {
+    // id=0 takes BOTH edge paths: mvhd version 1 (0 % 5 == 0, +12 bytes)
+    // and mdat largesize (0 % 7 == 0, +8 bytes). Base layout 252 bytes.
+    val p0 = Multimodal.probeMp4(0L, Multimodal.syntheticMp4(0L))
+    assert(p0.n_bytes == 272L && p0.n_boxes == 4)
+    assert(p0.boxes == "ftyp,moov,free,mdat")
+    assert(p0.major_brand == "isom" && p0.minor_version == 0L)
+    assert(p0.timescale == 600L && p0.duration == 3000L)
+    assert(p0.duration_sec == 5.0)
+    assert(p0.width == 160 && p0.height == 120 && p0.mdat_bytes == 0L)
+    // id=3 takes neither: plain v0 mvhd, 32-bit mdat size.
+    val p3 = Multimodal.probeMp4(3L, Multimodal.syntheticMp4(3L))
+    assert(p3.n_bytes == 258L)                       // 252 + 3%32 + 3%100
+    assert(p3.major_brand == "avc1" && p3.minor_version == 3L)
+    assert(p3.timescale == 2400L && p3.duration == 2400L * 8)
+    assert(p3.duration_sec == 8.0)
+    assert(p3.width == 208 && p3.height == 147 && p3.mdat_bytes == 3L)
+  }
+
+  test("videoProbe: valid payloads parse, garbage is skipped (quarantine)") {
+    val assets = Seq(
+      Multimodal.Asset(7L, "video", Multimodal.syntheticMp4(7L)),
+      Multimodal.Asset(99L, "video", "not an mp4 at all".getBytes("UTF-8")),
+      Multimodal.Asset(11L, "video", Multimodal.syntheticMp4(11L))).toDF()
+    val out = Multimodal.videoProbe(spark, assets).collect()
+      .map(p => p.asset_id -> p).toMap
+    assert(out.keySet == Set(7L, 11L))               // garbage dropped
+    assert(out(7L).major_brand == "avc1")            // 7 % 4 == 3
+    assert(out(11L).duration_sec == (5 + 11 % 120).toDouble)
+  }
+
+  test("probeMp4 rejects truncated and overrunning boxes") {
+    val ok = Multimodal.syntheticMp4(4L)
+    intercept[Exception](Multimodal.probeMp4(4L, ok.dropRight(3)))
+    val corrupt = ok.clone()
+    corrupt(0) = 0x7f.toByte                         // ftyp size overruns file
+    intercept[Exception](Multimodal.probeMp4(4L, corrupt))
+  }
 }
