@@ -1057,14 +1057,20 @@ object Graph {
     *
     * Scale shape: the [[pageRankRun]] loop without the degree join or
     * dangling-mass pass — per iteration one edge×rank equi-join and one
-    * dst-keyed sum, with the SAME eager localCheckpoint + L1-delta
-    * convergence probe as PageRank (`tol > 0` enables the early stop;
-    * the checkpoint keeps a long convergence run's plan shallow instead
-    * of lazy-chaining hundreds of join stages, and being EAGER avoids
-    * the broadcast-vs-scheduler race on lazy checkpoint materialization
-    * documented at [[Dedup.dedupClusters]]). Determinism: each
-    * contribution α·x is 12-dp-rounded into DECIMAL(18,12) and summed
-    * order-free, mirroring the oracle's per-round materialized CTEs.
+    * dst-keyed sum, with the SAME eager-localCheckpoint + L1-delta
+    * convergence probe as PageRank when `tol > 0`. Unlike PageRank the
+    * checkpoints are CONDITIONAL on the probe: with `tol == 0` the
+    * fixed iteration count is small by contract and nothing ever
+    * re-executes the chain, so lazy chaining is strictly cheaper
+    * (checkpointing unconditionally measured +1.6 s on the sf0.1
+    * 3-iteration registry row); with `tol > 0` each round's delta probe
+    * is an ACTION over both the new and previous frame, so without a
+    * materialization boundary round t would recompute rounds 1..t-1 —
+    * O(iters²) — and being EAGER avoids the broadcast-vs-scheduler race
+    * on lazy checkpoint materialization documented at
+    * [[Dedup.dedupClusters]]. Determinism: each contribution α·x is
+    * 12-dp-rounded into DECIMAL(18,12) and summed order-free, mirroring
+    * the oracle's per-round materialized CTEs.
     */
   def katzCentrality(edges: DataFrame, iters: Int = 3, alpha: Double = 0.05,
                      beta: Double = 1.0, srcCol: String = "src",
@@ -1085,13 +1091,15 @@ object Graph {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(alpha > 0.0 && alpha < 1.0, s"need 0 < alpha < 1, got $alpha")
     require(tol >= 0.0, s"need tol >= 0, got $tol")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-      .localCheckpoint()
+    val ckpt: DataFrame => DataFrame =
+      if (tol > 0.0) _.localCheckpoint() else identity
+    val e = ckpt(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     def dsum(c: org.apache.spark.sql.Column) =
       sum(round(c, 12).cast("decimal(18,12)"))
-    var x = nodes.select(col("node"), lit(beta).as("x")).localCheckpoint()
+    var x = ckpt(nodes.select(col("node"), lit(beta).as("x")))
     var itersRun = 0
     var converged = false
     while (itersRun < iters && !converged) {
@@ -1100,10 +1108,9 @@ object Graph {
         .join(x.select(col("node").as("src"), col("x")), "src")
         .groupBy(col("dst").as("node"))
         .agg(dsum(lit(alpha) * col("x")).as("s"))
-      x = nodes.join(inSum, Seq("node"), "left")
+      x = ckpt(nodes.join(inSum, Seq("node"), "left")
         .select(col("node"),
-          (lit(beta) + coalesce(col("s").cast("double"), lit(0.0))).as("x"))
-        .localCheckpoint()
+          (lit(beta) + coalesce(col("s").cast("double"), lit(0.0))).as("x")))
       itersRun += 1
       if (tol > 0.0 && itersRun < iters) {
         val delta = x
