@@ -2632,6 +2632,14 @@ object SparkEntry {
     "sketch_kmv" -> ((s, dir) =>
       Sketch.kmvCard(T(s, dir, "events"), "event_id", 1024)),
 
+    // MinHash register-min union: per-source 16-perm signatures folded
+    // into the corpus-union signature by elementwise MIN (exact in
+    // sketch space — the third mergeable fold beside CMS add and HLL
+    // max), each source's agreement-ĵ calibrated against its exact
+    // containment Jaccard |S_src|/|S_union|.
+    "sketch_minhash_union" -> ((s, dir) =>
+      Sketch.minhashUnionCard(T(s, dir, "documents")).orderBy("source")),
+
     // Embedding L2-norm histogram — the encoder-health monitor
     // (collapsed or bimodal norms read off the 10-bin card).
     "emb_norm_hist" -> ((s, dir) =>
@@ -3761,6 +3769,24 @@ object SparkEntry {
       Sampling.weightedSample(T(s, dir, "documents"), "doc_id", "n_chars", 60)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
+
+    // Priority sampling (Duffield–Lund–Thorup): top-60 by w/u priority
+    // with the τ-threshold estimator ŵ = max(w, τ) attached — the
+    // fixed-k sample that PRESERVES subset weight sums, planned as
+    // TakeOrderedAndProject (per-partition heap, no global sort).
+    "sample_priority" -> ((s, dir) =>
+      Sampling.prioritySample(
+          T(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "doc_id", "n_chars", 60)
+        .orderBy("doc_id")),
+
+    // The estimator's one-row witness: Σŵ over the 60-sample vs the
+    // true Σw over all documents, relative error reported — the
+    // "estimate a 100 TB total from k kept rows" calibration.
+    "sample_priority_total" -> ((s, dir) =>
+      Sampling.prioritySampleTotalCard(
+        T(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", 60)),
 
     // Distributed Poisson bootstrap: 95% CI on the per-type mean value
     // from 50 deterministic Poisson(1) resamples — error bars on a 100 TB
@@ -6408,6 +6434,48 @@ object SparkEntry {
     // KMV: the avalanche32 chain (Knuth fold, xor-shift finisher) in
     // ANSI integer ops, k smallest distinct hashes, (k-1)*2^32/h_(k);
     // < k distinct hashes -> the count is exact by construction.
+    // Rebuilds the per-source 16-perm signatures bit-for-bit (the
+    // dedup_lsh_curve shingle/hash SQL, grouped by source), folds the
+    // union signature with min(m) per p, and mirrors the agreement and
+    // containment-Jaccard arithmetic.
+    "sketch_minhash_union" ->
+      s"""WITH base AS ($docToks),
+         |toks AS (SELECT doc_id, unnest(toks) AS t,
+         |        generate_subscripts(toks, 1) AS i FROM base),
+         |sh0 AS (SELECT DISTINCT a.doc_id,
+         |        a.t || ' ' || b.t || ' ' || c.t AS shingle
+         |      FROM toks a
+         |      JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |      JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+         |gsh AS (SELECT DISTINCT d.source AS g, s.shingle
+         |      FROM sh0 s JOIN documents d ON d.doc_id = s.doc_id),
+         |xh AS (SELECT g, shingle,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(range(length(shingle)),
+         |            i -> ascii(substr(shingle, CAST(i + 1 AS INT), 1)))),
+         |          (acc, c) -> (acc * 131 + c) % 2147483647) AS x
+         |      FROM gsh),
+         |pm AS (SELECT CAST(p AS BIGINT) AS p FROM range(16) t(p)),
+         |hp AS (SELECT g, p,
+         |        (x * ((1103515245 * (p + 1)) % 2147483647)
+         |          + ((12345 * (p + 1)) % 2147483647)) % 2147483647 AS h
+         |      FROM xh CROSS JOIN pm),
+         |sig AS (SELECT g, p, min(h) AS m FROM hp GROUP BY 1, 2),
+         |un AS (SELECT p, min(m) AS mu FROM sig GROUP BY 1),
+         |ag AS (SELECT g, CAST(sum(CASE WHEN m = mu THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_agree
+         |      FROM sig JOIN un USING (p) GROUP BY 1),
+         |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n_shingles
+         |      FROM gsh GROUP BY 1),
+         |us AS (SELECT CAST(count(DISTINCT shingle) AS BIGINT) AS n_union
+         |      FROM gsh)
+         |SELECT sz.g AS source, n_shingles, n_union, n_agree,
+         |  round(CAST(n_agree AS DOUBLE) / 16.0, 6) AS est_jaccard,
+         |  round(CAST(n_shingles AS DOUBLE) / CAST(n_union AS DOUBLE), 6)
+         |    AS exact_jaccard
+         |FROM sz JOIN ag ON ag.g = sz.g CROSS JOIN us
+         |ORDER BY source""".stripMargin,
+
     "sketch_kmv" ->
       """WITH keys AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS key
         |      FROM events WHERE event_id IS NOT NULL),
@@ -11890,6 +11958,48 @@ object SparkEntry {
         |  FROM documents WHERE n_chars > 0),
         |k AS (SELECT doc_id, source, n_chars FROM u ORDER BY clock, doc_id LIMIT 60)
         |SELECT doc_id, source, n_chars FROM k ORDER BY doc_id""".stripMargin,
+
+    // Priority = w / u with the same Knuth-hash uniform as
+    // sample_weighted; τ = min over the top-61 frame (0 when the
+    // population is smaller), ŵ = max(w, τ).
+    "sample_priority" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(n_chars AS DOUBLE) /
+        |      ((((doc_id % 2147483648) * 2654435761) % 4294967296 + 1)
+        |        / CAST(4294967296.0 AS DOUBLE)) AS priority
+        |  FROM documents WHERE n_chars > 0),
+        |t AS (SELECT * FROM u ORDER BY priority DESC, doc_id LIMIT 61),
+        |tau AS (SELECT CASE WHEN count(*) > 60 THEN min(priority)
+        |          ELSE 0.0 END AS tau FROM t),
+        |s AS (SELECT * FROM t ORDER BY priority DESC, doc_id LIMIT 60)
+        |SELECT doc_id, source, n_chars, round(priority, 6) AS priority,
+        |  round(greatest(CAST(n_chars AS DOUBLE), tau), 6) AS w_hat
+        |FROM s CROSS JOIN tau ORDER BY doc_id""".stripMargin,
+
+    "sample_priority_total" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(n_chars AS DOUBLE) /
+        |      ((((doc_id % 2147483648) * 2654435761) % 4294967296 + 1)
+        |        / CAST(4294967296.0 AS DOUBLE)) AS priority
+        |  FROM documents WHERE n_chars > 0),
+        |t AS (SELECT * FROM u ORDER BY priority DESC, doc_id LIMIT 61),
+        |tau AS (SELECT CASE WHEN count(*) > 60 THEN min(priority)
+        |          ELSE 0.0 END AS tau FROM t),
+        |s AS (SELECT doc_id, n_chars FROM t ORDER BY priority DESC, doc_id
+        |      LIMIT 60),
+        |est AS (SELECT sum(CAST(round(greatest(CAST(n_chars AS DOUBLE),
+        |          tau), 6) AS DECIMAL(28,6))) AS est_total
+        |      FROM s CROSS JOIN tau),
+        |tr AS (SELECT sum(CAST(n_chars AS DECIMAL(28,6))) AS true_total
+        |      FROM documents WHERE n_chars > 0)
+        |SELECT CAST(60 AS INT) AS k,
+        |  CAST(round(est_total, 6) AS DOUBLE) AS est_total,
+        |  CAST(round(true_total, 6) AS DOUBLE) AS true_total,
+        |  round(CAST(est_total - true_total AS DOUBLE)
+        |    / CAST(true_total AS DOUBLE), 6) AS rel_error
+        |FROM est CROSS JOIN tr""".stripMargin,
 
     // Poisson bootstrap: per-(row, rep) Poisson(1) weight from the exact
     // integer CDF thresholds at the Knuth hash of (id, rep); resample

@@ -580,4 +580,68 @@ object Sampling {
           col("n_draws").cast("double") * col("y_true").cast("double"))
           - lit(1.0)).as("rel_error"))
   }
+
+  /** Priority sampling (Duffield–Lund–Thorup, "Priority sampling for
+    * estimation of arbitrary subset sums", JACM 2007 — public
+    * literature): each row draws a deterministic uniform u ∈ (0, 1]
+    * from its key hash, gets priority q = w/u, and the k HIGHEST
+    * priorities are the sample; with τ = the (k+1)-th priority, the
+    * per-row estimator ŵ = max(w, τ) makes Σŵ over the sample an
+    * (essentially) unbiased estimate of ANY subset's weight sum — the
+    * one-pass bounded-memory answer to "keep k rows but preserve
+    * per-slice totals", which neither uniform nor threshold sampling
+    * gives. Complements [[weightedSample]] (Efraimidis–Spirakis
+    * membership, no estimator) and [[ppsSystematic]] (fixed-rate, not
+    * fixed-k).
+    *
+    * Scale shape: priorities are a narrow projection; the top-(k+1) cut
+    * is `orderBy(...).limit(k+1)` — Spark plans TakeOrderedAndProject
+    * (per-partition heap top-k, one tiny merge), NEVER a global sort;
+    * τ is an aggregate over the checkpointed (k+1)-row frame. All
+    * decisive arithmetic is integer-hash → one IEEE division, identical
+    * across engines; ties at the cut break by key.
+    */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val u = (samplingHash(col(keyCol)) + 1).cast("double") / lit(M32.toDouble)
+    val base = df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("priority", col(weightCol).cast("double") / u)
+    // k+1 rows, eagerly checkpointed: both the τ aggregate and the
+    // final k-cut read it, and without the cut the two consumers would
+    // each re-run the top-k scan (the only full-data pass here).
+    val top = base.orderBy(col("priority").desc, col(keyCol).asc)
+      .limit(k + 1).localCheckpoint()
+    // τ = (k+1)-th largest priority = min over the (k+1)-frame; 0 when
+    // the population is ≤ k (the whole population is the sample and
+    // ŵ = w is exact — no estimation error at all).
+    val tau = top.agg(
+      when(count(lit(1)) > k, min(col("priority"))).otherwise(lit(0.0))
+        .as("tau"))
+    top.orderBy(col("priority").desc, col(keyCol).asc).limit(k)
+      .crossJoin(broadcast(tau))
+      .select(df.columns.map(col) ++ Seq(
+        round(col("priority"), 6).as("priority"),
+        round(greatest(col(weightCol).cast("double"), col("tau")), 6)
+          .as("w_hat")): _*)
+  }
+
+  /** Estimator calibration card for [[prioritySample]]: Σŵ over the
+    * k-sample against the true Σw, with the relative error — the
+    * one-row witness that max(w, τ) really reconstructs the total from
+    * k rows. Sums are DECIMAL-routed (order-free, engine-identical).
+    */
+  def prioritySampleTotalCard(df: DataFrame, keyCol: String,
+                              weightCol: String, k: Int): DataFrame = {
+    val est = prioritySample(df, keyCol, weightCol, k)
+      .agg(sum(col("w_hat").cast("decimal(28,6)")).as("est_total"))
+    val truth = df.filter(col(weightCol).cast("double") > 0)
+      .agg(sum(col(weightCol).cast("decimal(28,6)")).as("true_total"))
+    est.crossJoin(broadcast(truth))
+      .select(lit(k).as("k"),
+        round(col("est_total"), 6).cast("double").as("est_total"),
+        round(col("true_total"), 6).cast("double").as("true_total"),
+        round((col("est_total") - col("true_total")).cast("double") /
+          col("true_total").cast("double"), 6).as("rel_error"))
+  }
 }

@@ -490,4 +490,61 @@ object Sketch {
       .agg(element_at(sort_array(collect_list(col("est_r"))),
         (depth + 1) / 2).as("est"))
   }
+
+  /** Permutation `p` of the 16-permutation ANSI MinHash family: the
+    * affine map `(x·A_p + B_p) mod 2³¹−1` with `A_p = 1103515245·(p+1)
+    * mod p31`, `B_p = 12345·(p+1) mod p31` — the [[cmsBucket]] constant
+    * convention, so an oracle rebuilds every register bit-for-bit.
+    * Shared with the Dedup MinHash cards (reference: the MinHash LSH
+    * calibration discipline of Dedup.lshCalibrationCurve).
+    */
+  def minhashPerm(x: Column, p: Column): Column =
+    Fns.pmod(x * Fns.pmod(lit(1103515245L) * (p + lit(1L)), lit(P31)) +
+      Fns.pmod(lit(12345L) * (p + lit(1L)), lit(P31)), lit(P31))
+
+  /** MinHash register-min union card — the third mergeable-sketch fold
+    * beside CMS register-ADD ([[cmsMerge]]) and HLL register-MAX
+    * ([[hllMerge]]): a MinHash signature merges by elementwise MIN, and
+    * the merged vector is EXACTLY the signature of the shingle-set
+    * union (min over A ∪ B = min(min over A, min over B) — no
+    * approximation in sketch space, the same closure property HLL union
+    * has). That is what makes MinHash shippable at 100 TB: each
+    * source/shard/day computes its 16-register signature independently,
+    * a coordinator folds them with one tiny min-aggregate, and
+    * source-vs-corpus similarity never touches the raw shingles again.
+    *
+    * Per group: its distinct-trigram-shingle count, the corpus-union
+    * count, the signature-agreement estimate ĵ(group, corpus) =
+    * #{p : m_g[p] = m_∪[p]}/16, and — because every group's shingle set
+    * is a SUBSET of the union — the exact Jaccard |S_g|/|S_∪| the
+    * estimate is calibrated against (containment makes the exact side
+    * two counts instead of a pair join).
+    *
+    * Scale shape: one shingle explode + (group, shingle) distinct, then
+    * everything is (group, p)- or p-keyed aggregation — the union fold
+    * aggregates |G|·16 rows to 16, joined back via a 16-row broadcast;
+    * no pair joins anywhere.
+    */
+  def minhashUnionCard(docs: DataFrame, groupCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val gsh = docs.select(col(groupCol).as("g"),
+        explode(Fns.shingles(Fns.tokens(col(textCol)), 3)).as("shingle"))
+      .distinct()
+    val hp = gsh.select(col("g"), stringHash(col("shingle")).as("x"))
+      .withColumn("p", explode(sequence(lit(0L), lit(15L))))
+      .select(col("g"), col("p"), minhashPerm(col("x"), col("p")).as("h"))
+    val sigG = hp.groupBy("g", "p").agg(min(col("h")).as("m"))
+    val sigU = sigG.groupBy("p").agg(min(col("m")).as("mu"))
+    val agree = sigG.join(broadcast(sigU), "p")
+      .groupBy("g")
+      .agg(sum(when(col("m") === col("mu"), 1L).otherwise(0L)).as("n_agree"))
+    val sizes = gsh.groupBy("g").agg(count(lit(1)).as("n_shingles"))
+    val uSize = gsh.agg(count_distinct(col("shingle")).as("n_union"))
+    sizes.join(agree, "g").crossJoin(broadcast(uSize))
+      .select(col("g").as(groupCol), col("n_shingles"), col("n_union"),
+        col("n_agree"),
+        round(col("n_agree").cast("double") / 16.0, 6).as("est_jaccard"),
+        round(col("n_shingles").cast("double") /
+          col("n_union").cast("double"), 6).as("exact_jaccard"))
+  }
 }

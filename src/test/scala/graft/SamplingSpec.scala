@@ -272,4 +272,43 @@ class SamplingSpec extends SparkSpec {
     assert((s.getLong(0), s.getDouble(1), s.getLong(2), s.getDouble(3)) ==
       ((50L, 88.0, 90L, -0.022222)))
   }
+
+  test("prioritySample: population <= k is returned whole with w_hat = w (tau 0)") {
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 5L)).toDF("id", "w")
+    val out = Sampling.prioritySample(docs, "id", "w", 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // tau = 0 -> the estimator degenerates to the exact weight
+    assert(out == Map(1L -> ((10L, 10.0)), 2L -> ((30L, 30.0)),
+      3L -> ((5L, 5.0))))
+  }
+
+  test("prioritySample: tau is the (k+1)-th priority and w_hat = max(w, tau)") {
+    // Replicate the deterministic uniform u = (knuthHash(id)+1)/2^32 and
+    // the q = w/u priority; with k = 2 over 4 rows the sample is the two
+    // highest priorities, tau the third, each w_hat = max(w, tau), and
+    // the DLT identity E[sum w_hat] = total holds per-draw up to the
+    // below-tau terms (checked via the explicit formula, not re-derived
+    // from the operator).
+    def u(id: Long): Double =
+      (((id % 2147483648L) * 2654435761L % 4294967296L) + 1).toDouble / 4294967296.0
+    val rows = Seq((1L, 10L), (2L, 30L), (3L, 5L), (4L, 55L))
+    val pri = rows.map { case (id, w) => (id, w, w.toDouble / u(id)) }
+    val sorted = pri.sortBy { case (id, _, q) => (-q, id) }
+    val tau = sorted(2)._3
+    val expect = sorted.take(2).map { case (id, w, q) =>
+      id -> (BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(math.max(w.toDouble, tau))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val out = Sampling.prioritySample(rows.toDF("id", "w"), "id", "w", 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out == expect)
+  }
+
+  test("prioritySampleTotalCard: k >= population reconstructs the total exactly") {
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 5L)).toDF("id", "w")
+    val r = Sampling.prioritySampleTotalCard(docs, "id", "w", 10).collect().head
+    assert(r.getInt(0) == 10 && r.getDouble(1) == 45.0 &&
+      r.getDouble(2) == 45.0 && r.getDouble(3) == 0.0)
+  }
 }

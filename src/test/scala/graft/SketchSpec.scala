@@ -287,4 +287,29 @@ class SketchSpec extends SparkSpec {
     assert(est == Map("x" -> 5L, "y" -> 4L))
   }
 
+  test("minhashUnionCard: subset source's registers ARE the union's (est=exact=1)") {
+    // Source B's trigram set {"a b c","b c d","c d e"} strictly contains
+    // source A's {"a b c","b c d"}: the union signature is exactly B's
+    // (register-min closure), so B's agreement estimate and containment
+    // Jaccard are both 1.0 with NO dependence on hash values; A's exact
+    // Jaccard is 2/3 and its estimate is a valid [0,1] multiple of 1/16.
+    val docs = Seq(
+      (1L, "a b c d", "A"),
+      (2L, "a b c d e", "B")).toDF("doc_id", "text", "source")
+    val out = Sketch.minhashUnionCard(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out("B") == ((3L, 3L, 16L, 1.0, 1.0)))
+    val (na, nu, agree, est, exact) = out("A")
+    assert(na == 2L && nu == 3L && exact == 0.666667)
+    assert(agree >= 0L && agree <= 16L && est == agree / 16.0)
+    // identical corpora in two groups -> both signatures equal the union
+    val same = Seq((1L, "x y z w", "g1"), (2L, "x y z w", "g2"))
+      .toDF("doc_id", "text", "source")
+    Sketch.minhashUnionCard(same).collect().foreach { r =>
+      assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0)
+    }
+  }
+
 }
