@@ -502,6 +502,35 @@ object Sketch {
     Fns.pmod(x * Fns.pmod(lit(1103515245L) * (p + lit(1L)), lit(P31)) +
       Fns.pmod(lit(12345L) * (p + lit(1L)), lit(P31)), lit(P31))
 
+  private def registersFromShingles(gsh: DataFrame): DataFrame =
+    gsh.select(col("g"), stringHash(col("shingle")).as("x"))
+      .withColumn("p", explode(sequence(lit(0L), lit(15L))))
+      .select(col("g"), col("p"), minhashPerm(col("x"), col("p")).as("h"))
+      .groupBy("g", "p").agg(min(col("h")).as("m"))
+
+  /** Per-group 16-register MinHash signature table (g, p, m) — the
+    * MERGEABLE STATE behind [[minhashUnionCard]]. Registers of any two
+    * corpora (micro-batches, shards, days) fold with [[minhashMerge]]
+    * and the result is bit-identical to building the signature over the
+    * concatenated corpus — the property the StreamingSpec fold test
+    * executes (each batch's partial registers min-folded into running
+    * state ≡ the one-shot build).
+    */
+  def minhashRegisters(docs: DataFrame, groupCol: String = "source",
+                       textCol: String = "text"): DataFrame =
+    registersFromShingles(
+      docs.select(col(groupCol).as("g"),
+          explode(Fns.shingles(Fns.tokens(col(textCol)), 3)).as("shingle"))
+        .distinct())
+
+  /** Register-min fold of MinHash signature states: `min` is
+    * associative, commutative, and idempotent, so any merge tree —
+    * streaming micro-batches, a shard reduce, re-merging overlapping
+    * corpora — lands on the same registers.
+    */
+  def minhashMerge(states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _).groupBy("g", "p").agg(min("m").as("m"))
+
   /** MinHash register-min union card — the third mergeable-sketch fold
     * beside CMS register-ADD ([[cmsMerge]]) and HLL register-MAX
     * ([[hllMerge]]): a MinHash signature merges by elementwise MIN, and
@@ -527,13 +556,16 @@ object Sketch {
     */
   def minhashUnionCard(docs: DataFrame, groupCol: String = "source",
                        textCol: String = "text"): DataFrame = {
+    // EAGER checkpoint: the (group, shingle) set feeds FOUR plan
+    // branches (signatures, agreement, sizes, union count) — uncut,
+    // each re-tokenizes the corpus (plan audit showed 4 parquet scans).
+    // Eager rather than lazy because two consumers sit under broadcast
+    // exchanges, the materialization race documented at
+    // Dedup.dedupClusters.
     val gsh = docs.select(col(groupCol).as("g"),
         explode(Fns.shingles(Fns.tokens(col(textCol)), 3)).as("shingle"))
-      .distinct()
-    val hp = gsh.select(col("g"), stringHash(col("shingle")).as("x"))
-      .withColumn("p", explode(sequence(lit(0L), lit(15L))))
-      .select(col("g"), col("p"), minhashPerm(col("x"), col("p")).as("h"))
-    val sigG = hp.groupBy("g", "p").agg(min(col("h")).as("m"))
+      .distinct().localCheckpoint()
+    val sigG = registersFromShingles(gsh)
     val sigU = sigG.groupBy("p").agg(min(col("m")).as("mu"))
     val agree = sigG.join(broadcast(sigU), "p")
       .groupBy("g")

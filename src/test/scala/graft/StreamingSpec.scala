@@ -330,6 +330,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._1) == Seq("a", "b", "c") && got.head._2 == 4.75)
   }
 
+  test("foreachBatch MinHash register-min fold == one-shot signature build") {
+    // The streaming face of Sketch.minhashRegisters: each micro-batch's
+    // partial signatures min-fold into running state; idempotent
+    // associative min makes the final registers bit-identical to the
+    // one-shot build over all documents — including doc 3 re-delivering
+    // doc 1's text (duplicate delivery collapses under min).
+    import graft.operators.Sketch
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "text", "source")
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val partial = Sketch.minhashRegisters(batch.toDF())
+        val next = state.map(s => Sketch.minhashMerge(s, partial))
+          .getOrElse(partial)
+          .localCheckpoint(true)
+        state = Some(next)
+    }.start()
+    val all = Seq(
+      (1L, "a b c d e", "s1"), (2L, "c d e f g", "s2"),
+      (3L, "a b c d e", "s1"), (4L, "x y z w q", "s2"))
+    try {
+      mem.addData(all(0)); q.processAllAvailable()
+      mem.addData(all(1), all(2)); q.processAllAvailable()
+      mem.addData(all(3)); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1)) -> r.getLong(2)
+    val folded = state.get.collect().map(key).toMap
+    val oneShot = Sketch.minhashRegisters(
+      all.toDF("doc_id", "text", "source")).collect().map(key).toMap
+    assert(folded == oneShot && folded.size == 32) // 2 groups x 16 perms
+  }
+
   test("lateEvents: hand-computed watermark drops, bucket-invariant") {
     val rows = Seq(
       (1L, 100L, "a"), (2L, 200L, "a"), (3L, 50L, "a"),
