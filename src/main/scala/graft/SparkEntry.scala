@@ -2632,6 +2632,15 @@ object SparkEntry {
     "sketch_kmv" -> ((s, dir) =>
       Sketch.kmvCard(T(s, dir, "events"), "event_id", 1024)),
 
+    // Sketch-driven winsorized mean per event_type: p05/p95 cutoffs from
+    // a 64-bin equi-width histogram (two scans + bounded bin aggregate,
+    // no per-group sort), values clamped, robust mean beside raw — the
+    // heavy-tail-taming aggregate of a 100 TB metric pipeline.
+    "sketch_winsorized" -> ((s, dir) =>
+      Sketch.winsorizedMeanCard(T(s, dir, "events"), "event_type", "value",
+          64, 0.05, 0.95)
+        .orderBy("event_type")),
+
     // MinHash register-min union: per-source 16-perm signatures folded
     // into the corpus-union signature by elementwise MIN (exact in
     // sketch space — the third mergeable fold beside CMS add and HLL
@@ -6434,6 +6443,44 @@ object SparkEntry {
     // KMV: the avalanche32 chain (Knuth fold, xor-shift finisher) in
     // ANSI integer ops, k smallest distinct hashes, (k-1)*2^32/h_(k);
     // < k distinct hashes -> the count is exact by construction.
+    // Mirrors winsorizedMeanCard's two-stage arithmetic: per-group
+    // bounds, 64-bin assignment with the identical (v-lo)/((hi-lo)/64)
+    // IEEE op order, cumulative bin counts, min-bin cut at each target
+    // rank, clamp, DECIMAL(28,6) sums.
+    "sketch_winsorized" ->
+      """WITH clean AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |      FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT g, min(v) AS lo, max(v) AS hi,
+        |        CAST(count(*) AS BIGINT) AS n FROM clean GROUP BY 1),
+        |bn AS (SELECT c.g,
+        |        CASE WHEN b.hi = b.lo THEN 0
+        |          ELSE least(CAST(floor((c.v - b.lo)
+        |            / ((b.hi - b.lo) / 64)) AS BIGINT), 63) END AS bin,
+        |        b.lo, b.hi, b.n
+        |      FROM clean c JOIN b ON b.g = c.g),
+        |bc AS (SELECT g, bin, lo, hi, n, count(*) AS c
+        |      FROM bn GROUP BY 1, 2, 3, 4, 5),
+        |cm AS (SELECT g, bin, lo, hi, n,
+        |        sum(c) OVER (PARTITION BY g ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM bc),
+        |clo AS (SELECT g,
+        |        round(lo + (min(bin) + 1) * ((hi - lo) / 64), 6) AS cut_lo
+        |      FROM cm WHERE cum >= ceil(0.05 * n) GROUP BY g, lo, hi),
+        |chi AS (SELECT g,
+        |        round(lo + (min(bin) + 1) * ((hi - lo) / 64), 6) AS cut_hi
+        |      FROM cm WHERE cum >= ceil(0.95 * n) GROUP BY g, lo, hi),
+        |w AS (SELECT c.g, c.v, clo.cut_lo, chi.cut_hi,
+        |        greatest(least(c.v, chi.cut_hi), clo.cut_lo) AS cv
+        |      FROM clean c JOIN clo ON clo.g = c.g JOIN chi ON chi.g = c.g)
+        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(cut_lo) AS cut_lo, min(cut_hi) AS cut_hi,
+        |  round(CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS mean_raw,
+        |  round(CAST(sum(CAST(round(cv, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS mean_winsorized
+        |FROM w GROUP BY g ORDER BY event_type""".stripMargin,
+
     // Rebuilds the per-source 16-perm signatures bit-for-bit (the
     // dedup_lsh_curve shingle/hash SQL, grouped by source), folds the
     // union signature with min(m) per p, and mirrors the agreement and

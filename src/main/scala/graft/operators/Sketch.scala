@@ -531,6 +531,63 @@ object Sketch {
   def minhashMerge(states: DataFrame*): DataFrame =
     states.reduce(_ unionByName _).groupBy("g", "p").agg(min("m").as("m"))
 
+  /** Sketch-driven winsorized mean per group: estimate the pLo/pHi
+    * quantile cutoffs from a per-group `nBins` equi-width histogram (the
+    * [[histQuantiles]] estimator — bin upper edge at the target rank,
+    * error ≤ one bin width), clamp every value into [cut_lo, cut_hi],
+    * and report the robust mean beside the raw one. This is how a
+    * 100 TB metric pipeline tames heavy tails WITHOUT an exact quantile
+    * (which needs a per-group sort): two scans and a bounded
+    * (group × nBins) aggregate, versus the textbook winsorize that
+    * materializes a global rank. The (group, bin) window runs over at
+    * most nBins rows per group — bounded domain, never data-sized.
+    *
+    * Determinism: bin arithmetic is closed-form IEEE on exact bounds;
+    * clamped values are 6-dp-rounded into DECIMAL(28,6) and summed
+    * order-free; both means divide by the same exact count.
+    */
+  def winsorizedMeanCard(df: DataFrame, groupCol: String, valueCol: String,
+                         nBins: Int = 64, pLo: Double = 0.05,
+                         pHi: Double = 0.95): DataFrame = {
+    require(nBins > 0, s"need nBins > 0, got $nBins")
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val clean = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    val bounds = clean.groupBy("g").agg(min(col("v")).as("lo"),
+      max(col("v")).as("hi"), count(lit(1)).as("n"))
+    val width = (col("hi") - col("lo")) / nBins
+    val bin = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor((col("v") - col("lo")) / width).cast("long"),
+        lit(nBins - 1L)))
+    val binned = clean.join(broadcast(bounds), "g")
+      .select(col("g"), bin.as("bin"), col("lo"), col("hi"), col("n"))
+      .groupBy("g", "bin", "lo", "hi", "n").agg(count(lit(1)).as("c"))
+    val cumW = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = binned.withColumn("cum", sum(col("c")).over(cumW))
+    def cutAt(p: Double, name: String) =
+      cum.filter(col("cum") >= ceil(lit(p) * col("n")))
+        .groupBy("g", "lo", "hi").agg(min(col("bin")).as("bin"))
+        .select(col("g"),
+          round(col("lo") + (col("bin") + 1) *
+            ((col("hi") - col("lo")) / nBins), 6).as(name))
+    val cuts = cutAt(pLo, "cut_lo").join(cutAt(pHi, "cut_hi"), "g")
+    val clamped = greatest(least(col("v"), col("cut_hi")), col("cut_lo"))
+    def dsum(c: Column) = sum(round(c, 6).cast("decimal(28,6)"))
+    clean.join(broadcast(cuts), "g")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        min(col("cut_lo")).as("cut_lo"), min(col("cut_hi")).as("cut_hi"),
+        dsum(col("v")).as("sv"), dsum(clamped).as("sw"))
+      .select(col("g").as(groupCol), col("n"), col("cut_lo"), col("cut_hi"),
+        round(col("sv").cast("double") / col("n").cast("double"), 6)
+          .as("mean_raw"),
+        round(col("sw").cast("double") / col("n").cast("double"), 6)
+          .as("mean_winsorized"))
+  }
+
   /** MinHash register-min union card — the third mergeable-sketch fold
     * beside CMS register-ADD ([[cmsMerge]]) and HLL register-MAX
     * ([[hllMerge]]): a MinHash signature merges by elementwise MIN, and

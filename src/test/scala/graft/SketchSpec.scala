@@ -287,6 +287,21 @@ class SketchSpec extends SparkSpec {
     assert(est == Map("x" -> 5L, "y" -> 4L))
   }
 
+  test("winsorizedMeanCard: hand-computed cutoffs tame an outlier; constant group exact") {
+    // Group a: 0..8 plus outlier 100, 100 bins of width 1. Cut ranks:
+    // ceil(0.01*10)=1 -> bin 0 -> cut_lo = 1.0; ceil(0.9*10)=9 ->
+    // bin 8 -> cut_hi = 9.0. Clamped sum 1+(1..8)+9 = 46 -> 4.6 vs raw
+    // 13.6. Group b is constant: lo==hi guard pins everything to 5.
+    val df = ((0 to 8).map(v => ("a", v.toDouble)) :+ (("a", 100.0)) :+
+      (("b", 5.0)) :+ (("b", 5.0))).toDF("g", "v")
+    val out = Sketch.winsorizedMeanCard(df, "g", "v", 100, 0.01, 0.9)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out("a") == ((10L, 1.0, 9.0, 13.6, 4.6)))
+    assert(out("b") == ((2L, 5.0, 5.0, 5.0, 5.0)))
+  }
+
   test("minhashUnionCard: subset source's registers ARE the union's (est=exact=1)") {
     // Source B's trigram set {"a b c","b c d","c d e"} strictly contains
     // source A's {"a b c","b c d"}: the union signature is exactly B's
