@@ -82,7 +82,12 @@ object ScaleGate {
     // and the ScaleUp fixture replicates id-congruent vector families
     // 10×, so bucket collision density grows with the factor — their
     // honest band is documented in SCALE.md.
-    "emb_intrinsic_dim_ann", "ann_knn_graph_lsh")
+    "emb_intrinsic_dim_ann", "ann_knn_graph_lsh",
+    // round-14 addition: the MinHash register-min union card entered at
+    // 5.9 s on the 382-query clean profile (shingle distinct + 16-perm
+    // explode dominate; group-keyed aggregates only, no pair joins —
+    // expected strongly sub-linear)
+    "sketch_minhash_union")
 
   val AggregateMaxRatio = 3.0
   val PerQueryMaxRatio = 5.0
