@@ -83,8 +83,8 @@ class FnsSpec extends SparkSpec {
     val rng = new scala.util.Random(7)
     val rows = Seq.fill(200)((Seq.fill(32)(rng.nextGaussian()), Seq.fill(32)(rng.nextGaussian())))
     val df = rows.toDF("a", "b").select(
-      call_function("graft_dot", $"a", $"b").as("fast"),
-      Fns.dotProduct($"a", $"b").as("ref"))
+      Fns.dotProduct($"a", $"b").as("fast"),
+      Fns.dotProductInterpreted($"a", $"b").as("ref"))
     assert(df.filter(!($"fast" <=> $"ref")).count() == 0)
   }
 
@@ -100,10 +100,12 @@ class FnsSpec extends SparkSpec {
     assert(v >= 0 && v < Fns.FpMod)
   }
 
-  test("dotProduct via zip_with handles unequal lengths as NULL sum") {
+  test("dotProduct handles unequal lengths as NULL on both paths") {
     val out = Seq((Seq(1.0, 2.0), Seq(3.0))).toDF("a", "b")
-      .select(Fns.dotProduct($"a", $"b").as("d")).collect()
-    assert(out(0).isNullAt(0)) // zip_with pads with null -> null product
+      .select(Fns.dotProduct($"a", $"b").as("d"),
+        Fns.dotProductInterpreted($"a", $"b").as("ref")).collect()
+    assert(out(0).isNullAt(0)) // native: length mismatch -> NULL
+    assert(out(0).isNullAt(1)) // zip_with pads with null -> null product
   }
 
   test("graft_shingles31 equals strhash over the concat_ws shingle strings, positions kept") {
