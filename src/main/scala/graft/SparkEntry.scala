@@ -2127,6 +2127,23 @@ object SparkEntry {
       operators.Graph.clusteringCoefficients(edges).orderBy("node")
     }),
 
+    // Connected components via alternating large-star/small-star
+    // contraction (Kiveris et al. 2014) on the co-purchase graph —
+    // O(log² n) rounds regardless of diameter (vs label-prop's
+    // O(diameter)), the bounded-job-count CC for unknown similarity
+    // graphs. Oracle: exact transitive-closure min per node.
+    "graph_cc_stars" -> ((s, dir) => {
+      val it = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+        .distinct()
+      val edges = it.as("l").join(it.as("r"),
+          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("src", "dst")
+      operators.Graph.connectedComponentsStars(edges).orderBy("node")
+    }),
+
     // Inverted postings index: term -> df + sorted doc-id list (the
     // search-index build; df-capped against stopword skew — uncapped here,
     // the corpus vocabulary is tiny). The public operator returns the
@@ -7889,6 +7906,24 @@ object SparkEntry {
         |    AS clustering_coeff
         |FROM deg LEFT JOIN tc ON tc.node = deg.v
         |ORDER BY node""".stripMargin,
+
+    // Exact connected components: transitive-closure min per node over
+    // the same co-purchase edges (the clusterLabelsCte discipline) — the
+    // star-contraction result must equal the true components exactly.
+    "graph_cc_stars" ->
+      """WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS pt
+        |      FROM lineitem),
+        |e AS (SELECT l.pt AS src, r.pt AS dst, count(*) AS c
+        |      FROM it l JOIN it r ON l.bk = r.bk AND l.pt < r.pt
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT src AS u, dst AS v FROM e
+        |      UNION SELECT dst, src FROM e),
+        |reach AS (
+        |  SELECT u, v FROM und
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u)
+        |SELECT u AS node, least(u, min(v)) AS component
+        |FROM reach GROUP BY u ORDER BY node""".stripMargin,
 
     // + the identical double update expression ((1-d) and d as the same
     // IEEE doubles Spark computes — 1e0-0.85e0, not a decimal literal).

@@ -453,4 +453,40 @@ class GraphSpec extends SparkSpec {
     assert(q.toSeq == Seq(("a", "c", 2L, 1.0, 4L), ("b", "d", 2L, 1.0, 4L)))
   }
 
+  test("connectedComponentsStars: cliques, a bridge, and a separate pair") {
+    // component {1,2,3,4} (triangle 1-2-3 bridged to 4) and pair {7,9}
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (9L, 7L))
+      .toDF("src", "dst")
+    val out = Graph.connectedComponentsStars(e).orderBy("node").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponentsStars: 64-node path converges in O(log n) rounds") {
+    // label-prop min propagation needs 63 rounds on this graph; the
+    // alternating-star contraction's round count must be logarithmic —
+    // the whole reason the operator exists.
+    val path = (1L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = Graph.connectedComponentsStarsRun(path, maxRounds = 16)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 64 && got.forall(_._2 == 1L))
+    assert(rounds <= 8, s"expected logarithmic convergence, took $rounds rounds")
+  }
+
+  test("connectedComponentsStars: self-loops and duplicate edges are ignored") {
+    val e = Seq((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L)).toDF("src", "dst")
+    val out = Graph.connectedComponentsStars(e).orderBy("node").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toSeq == Seq(5L -> 5L, 6L -> 5L))
+  }
+
+  test("connectedComponentsStars: strict mode throws when rounds are exhausted") {
+    val path = (1L until 32L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Graph.connectedComponentsStarsRun(path, maxRounds = 1, "src", "dst",
+        strict = true)
+    }
+  }
+
 }
