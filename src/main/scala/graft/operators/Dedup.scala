@@ -1138,29 +1138,45 @@ object Dedup {
     * shingle view shared by [[lshCalibrationCurve]] and
     * [[minhashEstimatorCard]].
     */
+  /** Distinct (doc_id, shingle) plus `h64 = xxhash64(shingle)`: the
+    * string column feeds the oracle-mirrorable 31-bit MinHash, the
+    * 64-bit hash is the JOIN key of [[exactJaccardPairs]] — shuffling
+    * 8-byte longs instead of shingle strings (the dedup_edit_distance
+    * precedent: identical pair sets modulo ~|shingles|²/2⁶⁵ collisions,
+    * fixture-verified exactly by the parity gate).
+    */
   private def ansiShingles(docs: DataFrame, textCol: String,
                            idCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(Fns.shingles(Fns.tokens(col(textCol)), 3)).as("shingle"))
+    docs
+      // token array materialized as an attribute FIRST (Project barrier
+      // under the Generate): nesting tokens() inside shingles() re-runs
+      // the split per lambda element — measured 6.2 → 0.9 s at sf0.1
+      .select(col(idCol).as("doc_id"), Fns.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(Fns.shingles(col("toks"), 3)).as("shingle"))
       .distinct()
+      .withColumn("h64", xxhash64(col("shingle")))
 
-  /** 16-permutation ANSI MinHash signature (doc_id, p, m): affine maps
-    * of the polynomial shingle hash, Sketch.cmsBucket's constant
-    * convention — every value an oracle can rebuild. The shingle is
-    * hashed ONCE, then the 16 permutations explode over the precomputed
-    * hash (the polynomial strhash is the per-row hot path and must not
-    * run 16× — measured 7.0 → 5.8 s at sf0.1).
+  /** 16-permutation ANSI MinHash signature (doc_id, sig[16]): affine
+    * maps of the polynomial shingle hash, Sketch.cmsBucket's constant
+    * convention — every value an oracle can rebuild. The 16 register
+    * mins are WIDE aggregate columns of ONE doc-keyed groupBy (the
+    * permutation index is a compile-time constant, so each affine map is
+    * its own codegen'd min with map-side combine) — the earlier
+    * 16-way row explode shuffled 16× the shingle rows to reach the same
+    * 16 values (measured 5.8 → 4.4 s at sf0.1 on the curve card).
     */
-  private def ansiMinhash(sh: DataFrame): DataFrame =
+  private def ansiMinhashSig(sh: DataFrame): DataFrame = {
+    val aggs = (0 until 16).map { p =>
+      val a = (1103515245L * (p + 1)) % P31L // both positive: % == pmod
+      val b = (12345L * (p + 1)) % P31L
+      min(Fns.pmod(col("x") * lit(a) + lit(b), lit(P31L))).as(s"m$p")
+    }
     sh.select(col("doc_id"),
         call_function("graft_strhash", col("shingle")).as("x"))
-      .withColumn("p", explode(sequence(lit(0L), lit(15L))))
-      .select(col("doc_id"), col("p"),
-        Fns.pmod(col("x") *
-          Fns.pmod(lit(1103515245L) * (col("p") + 1L), lit(P31L))
-          + Fns.pmod(lit(12345L) * (col("p") + 1L), lit(P31L)), lit(P31L))
-          .as("h"))
-      .groupBy("doc_id", "p").agg(min(col("h")).as("m"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 16).map(p => col(s"m$p")): _*).as("sig"))
+  }
 
   /** Exact trigram Jaccard for every pair sharing ≥ 1 shingle, via the
     * inverted-index join — the shared verify-scale population of the
@@ -1169,7 +1185,7 @@ object Dedup {
   private def exactJaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+        col("a.h64") === col("b.h64") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("ni"))
@@ -1187,29 +1203,22 @@ object Dedup {
     // branches (signatures, both self-join sides, sizes) — uncut, each
     // re-tokenizes the corpus (measured ~3 s of redundant scan at sf0.1)
     val sh = ansiShingles(docs, textCol, idCol).localCheckpoint(false)
-    val sig = ansiMinhash(sh)
-    val bandKeys = sig
-      .select(col("doc_id"),
-        ((col("p") - Fns.pmod(col("p"), lit(2L))) / lit(2.0)).cast("long")
-          .as("band"),
-        Fns.pmod(col("p"), lit(2L)).as("slot"), col("m"))
-      .groupBy("doc_id", "band")
-      .agg(min(when(col("slot") === 0L, col("m"))).as("m0"),
-        min(when(col("slot") === 1L, col("m"))).as("m1"))
-      .select(col("doc_id"), col("band"),
-        Fns.pmod(col("m0") * 131L + col("m1"), lit(P31)).as("bkey"))
+    val sig = ansiMinhashSig(sh)
+    // 8 bands of 2 registers; band key from the wide signature directly
+    // (element_at is 1-based) — an 8-per-doc explode, not a re-aggregate
+    val bandKeys = sig.select(col("doc_id"),
+        explode(array((0 until 8).map { b =>
+          struct(lit(b.toLong).as("band"),
+            Fns.pmod(element_at(col("sig"), 2 * b + 1) * 131L +
+              element_at(col("sig"), 2 * b + 2), lit(P31)).as("bkey"))
+        }: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bkey").as("bkey"))
     val cand = bandKeys.as("a").join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
       .withColumn("is_cand", lit(1L))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("ni"))
     val scored = exactJaccardPairs(sh)
       .join(cand, Seq("da", "db"), "left")
     val bucket = least(floor(col("j") * 10.0), lit(9.0)).cast("long")
@@ -1240,16 +1249,12 @@ object Dedup {
                            idCol: String = "doc_id"): DataFrame = {
     // same four-branch reuse as lshCalibrationCurve — checkpoint once
     val sh = ansiShingles(docs, textCol, idCol).localCheckpoint(false)
-    val sig = ansiMinhash(sh)
     val pairs = exactJaccardPairs(sh)
-    // signatures as 16-long arrays: the pair side joins the N-row
-    // signature table twice on the doc key instead of shuffling a
-    // 16×-exploded pair stream twice (measured 7.8 → faster at sf0.1);
-    // the 16-element zip_with runs interpreted but over pairs·16 values,
-    // not the covariance case's N·d²
-    val sigArr = sig.groupBy("doc_id")
-      .agg(transform(sort_array(collect_list(struct(col("p"), col("m")))),
-        s => s.getField("m")).as("sig"))
+    // signatures arrive as 16-long arrays straight from the wide
+    // aggregate: the pair side joins the N-row signature table twice on
+    // the doc key; the 16-element zip_with runs interpreted but over
+    // pairs·16 values, not the covariance case's N·d²
+    val sigArr = ansiMinhashSig(sh)
     val est = pairs
       .join(sigArr.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
       .join(sigArr.select(col("doc_id").as("db"), col("sig").as("sb")), "db")

@@ -519,8 +519,9 @@ object Sketch {
   def minhashRegisters(docs: DataFrame, groupCol: String = "source",
                        textCol: String = "text"): DataFrame =
     registersFromShingles(
-      docs.select(col(groupCol).as("g"),
-          explode(Fns.shingles(Fns.tokens(col(textCol)), 3)).as("shingle"))
+      docs.select(col(groupCol).as("g"), Fns.tokens(col(textCol)).as("toks"))
+        // Project barrier under the Generate (Fns.shingles contract)
+        .select(col("g"), explode(Fns.shingles(col("toks"), 3)).as("shingle"))
         .distinct())
 
   /** Register-min fold of MinHash signature states: `min` is
@@ -619,8 +620,9 @@ object Sketch {
     // Eager rather than lazy because two consumers sit under broadcast
     // exchanges, the materialization race documented at
     // Dedup.dedupClusters.
-    val gsh = docs.select(col(groupCol).as("g"),
-        explode(Fns.shingles(Fns.tokens(col(textCol)), 3)).as("shingle"))
+    val gsh = docs.select(col(groupCol).as("g"), Fns.tokens(col(textCol)).as("toks"))
+      // Project barrier under the Generate (Fns.shingles contract)
+      .select(col("g"), explode(Fns.shingles(col("toks"), 3)).as("shingle"))
       .distinct().localCheckpoint()
     val sigG = registersFromShingles(gsh)
     val sigU = sigG.groupBy("p").agg(min(col("m")).as("mu"))

@@ -1720,8 +1720,9 @@ object TextAnalysis {
   def g2Collocations(docs: DataFrame, k: Int, minCount: Long = 5L,
                      textCol: String = "text"): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    val bi = docs.select(
-        explode(Fns.shingles(Fns.tokens(col(textCol)), 2)).as("bigram"))
+    val bi = docs.select(Fns.tokens(col(textCol)).as("toks"))
+      // Project barrier under the Generate (Fns.shingles contract)
+      .select(explode(Fns.shingles(col("toks"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("k11"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("w2", split(col("bigram"), " ").getItem(1))

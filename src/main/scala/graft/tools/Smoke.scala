@@ -26,53 +26,49 @@ object Smoke {
       r
     }
 
-    // Current investigation: tf-cosine cost decomposition at sf0.1 —
-    // Current investigation: emb_abtt 1e-6 parity diffs — dump the
-    // Spark-side projection coefficient (dot) per vec for comparison
-    // against the DuckDB oracle chain.
+    // Current investigation: lsh-curve / minhash-est cost decomposition.
     import org.apache.spark.sql.functions._
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val flat = emb.select(col("vec_id"),
-        posexplode(col("embedding").cast("array<double>")))
-      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
-        col("col").as("x"))
-    val mu = flat.groupBy("dim")
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("x"), 9).cast("decimal(28,9)")).as("sx"))
-      .select(col("dim"),
-        round((col("sx").cast("double") / col("n"))
-          .cast("decimal(24,12)"), 6).cast("double").as("mu"))
-    val pc = graft.operators.Similarity.pcaPowerIteration(emb)
-      .select((col("i") + 1).cast("long").as("dim"), col("loading"))
-    val packed = mu.join(pc, "dim").agg(
-      transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
-        s => s.getField("mu")).as("mus"),
-      transform(array_sort(collect_list(struct(col("dim"), col("loading")))),
-        s => s.getField("loading")).as("pcs"))
-    val dots = emb
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .crossJoin(broadcast(packed))
-      .withColumn("xm", zip_with(col("v"), col("mus"), (a, b) => a - b))
-      .withColumn("dot",
-        aggregate(
-          zip_with(col("xm"), col("pcs"),
-            (a, b) => round(a * b, 9).cast("decimal(28,9)")),
-          lit(0).cast("decimal(38,9)"),
-          (acc, t) => (acc + t).cast("decimal(38,9)"))
-          .cast("double"))
-      .select("vec_id", "dot")
-    emb.filter(col("vec_id") === 19L)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .crossJoin(broadcast(packed))
-      .withColumn("xm", zip_with(col("v"), col("mus"), (a, b) => a - b))
-      .select(posexplode(zip_with(col("xm"), col("pcs"),
-        (a, b) => round(a * b, 9))))
-      .collect().foreach(r => println(s"[smoke] term ${r.getInt(0)} ${r.getDouble(1)}"))
-    dots.filter(col("vec_id").isin(11L, 18L, 19L, 20L)).orderBy("vec_id")
-      .collect().foreach(r => println(s"[smoke] dot ${r.getLong(0)} = ${r.getDouble(1)}"))
-    packed.select(col("mus")(18).as("mu19"), col("pcs")(18).as("pc19"),
-        col("mus")(6), col("pcs")(6)).collect()
-      .foreach(r => println(s"[smoke] packed $r"))
+    import graft.functions.Fns
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    time("warmup small")(docs.limit(10).count())
+    val sh0 = docs.select(col("doc_id"),
+        explode(Fns.shingles(Fns.tokens(col("text")), 3)).as("shingle"))
+      .distinct()
+      .withColumn("h64", xxhash64(col("shingle")))
+    time("shingles distinct")(sh0.count())
+    val shM = docs
+      .select(col("doc_id"), Fns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Fns.shingles(col("toks"), 3)).as("shingle"))
+      .distinct()
+      .withColumn("h64", xxhash64(col("shingle")))
+    time("shingles mat-toks")(shM.count())
+    time("shingles mat-toks rep2")(shM.count())
+    val sh = time("checkpoint")(sh0.localCheckpoint(true))
+    val x = sh.select(col("doc_id"),
+      call_function("graft_strhash", col("shingle")).as("x"))
+    time("strhash only")(x.count())
+    val P31 = 2147483647L
+    val aggs = (0 until 16).map { p =>
+      val a = (1103515245L * (p + 1)) % P31
+      val b = (12345L * (p + 1)) % P31
+      min(Fns.pmod(col("x") * lit(a) + lit(b), lit(P31))).as(s"m$p")
+    }
+    val sig = x.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    time("minhash wide sig")(sig.count())
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.h64") === col("b.h64") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("ni"))
+    time("pair join+agg")(pairs.count())
+    val j = pairs
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+    time("pair sizes joins")(j.count())
+    time("full curve card")(
+      graft.operators.Dedup.lshCalibrationCurve(docs).count())
+    time("full est card")(
+      graft.operators.Dedup.minhashEstimatorCard(docs).count())
     spark.stop()
   }
 }
