@@ -121,11 +121,19 @@ object Bench {
     // joins the retry tier regardless (flaky-vs-error distinction).
     val VerifyBaselines = Set("emb_intrinsic_dim", "emb_intrinsic_dim_agree",
       "ann_knn_graph", "ann_knn_graph_agree")
+    // Queries at/above this pass-1 time also run single-pass: they span
+    // dozens of jobs, so JIT/scheduling jitter is percentage-level (the
+    // thing min-of-2 suppresses is the multi-X noise on sub-second
+    // single-job queries), while doubling the ~45 slowest queries costs
+    // ~3 min of wall per profile. Cross-round regression detection for
+    // this band rides BENCH_HISTORY.jsonl, which has one line per round.
+    val MacroSinglePassAboveSec = 3.0
     val p1 = pass()
     val (mid1, mid5) = loadavg()
     val retry = p1.collect {
       case (n, t, e) if e.isDefined ||
-        (t >= MacroThresholdSec && !VerifyBaselines(n)) => n
+        (t >= MacroThresholdSec && t < MacroSinglePassAboveSec &&
+          !VerifyBaselines(n)) => n
     }.toSet
     val p2 = pass(retry).map(r => r._1 -> r).toMap
     val (end1, end5) = loadavg()

@@ -87,7 +87,12 @@ object ScaleGate {
     // 5.9 s on the 382-query clean profile (shingle distinct + 16-perm
     // explode dominate; group-keyed aggregates only, no pair joins —
     // expected strongly sub-linear)
-    "sketch_minhash_union")
+    "sketch_minhash_union",
+    // round-14 addition: alternating star-contraction CC (4.6 s probe at
+    // sf0.1) — round count is O(log² n) and the 10× fixture replicates
+    // disjoint id-shifted copies, so rounds stay constant and per-round
+    // work is linear; expected near-linear
+    "graph_cc_stars")
 
   val AggregateMaxRatio = 3.0
   val PerQueryMaxRatio = 5.0
