@@ -2020,10 +2020,15 @@ object SparkEntry {
     // contraction (Kiveris et al. 2014) on the co-purchase graph —
     // O(log² n) rounds regardless of diameter (vs label-prop's
     // O(diameter)), the bounded-job-count CC for unknown similarity
-    // graphs. Oracle: exact transitive-closure min per node.
+    // graphs. Oracle: exact transitive-closure min per node. strict=true:
+    // oracle parity assumes EXACT components, so a no-fixed-point-within-
+    // maxRounds run must fail loudly here, not return under-merged labels
+    // with only a stderr note (the lenient default stays for exploratory
+    // callers).
     "graph_cc_stars" -> ((s, dir) => {
       val edges = copurchaseEdges(s, dir)
-      operators.Graph.connectedComponentsStars(edges).orderBy("node")
+      operators.Graph.connectedComponentsStars(edges, strict = true)
+        .orderBy("node")
     }),
 
     // Inverted postings index: term -> df + sorted doc-id list (the

@@ -119,10 +119,34 @@ object GraftFunctions {
           children.head, children(1))
       }))
 
-  /** Idempotent runtime registration into an existing session. */
-  def register(spark: SparkSession): Unit =
-    all.foreach { case (ident, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  /** Idempotent runtime registration into an existing session. Fast-path
+    * exits on the last-registered name so per-Column-construction calls
+    * from [[ensureRegistered]] cost one registry lookup, not twelve puts.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(all.last._1))
+      all.foreach { case (ident, info, builder) =>
+        reg.registerFunction(ident, info, builder)
+      }
+  }
+
+  /** Best-effort lazy registration against the thread's active session
+    * (or the JVM default) — called at Column-construction time by
+    * [[graft.functions.Fns.callGraft]] so library callers who never go
+    * through a harness entry point still resolve `graft_*` functions.
+    * A caller constructing columns against a DataFrame necessarily has
+    * one of the two sessions set; when neither exists this returns
+    * false and the caller picks its fallback (interpreted formulation,
+    * or let analysis fail with the registry's own unresolved-function
+    * error). Multi-session caveat: registration lands on the ACTIVE
+    * session — a caller juggling several sessions should still call
+    * [[register]] on each explicitly.
+    */
+  def ensureRegistered(): Boolean =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(s) => register(s); true
+      case None => false
     }
 
   /** Runtime (post-creation) injection of the graft optimizer rules —

@@ -32,17 +32,43 @@ object Fns {
         concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
       .otherwise(array())
 
+  /** `call_function` for graft's native expressions, with best-effort
+    * lazy registration against the thread's active (or JVM default)
+    * session first — so a library caller who builds columns with
+    * [[dotProduct]]/[[cosine]] etc. WITHOUT going through a harness
+    * entry point (which all call `GraftFunctions.register` explicitly)
+    * still resolves `graft_*` at analysis. The ensure is one registry
+    * lookup when already registered; a no-op without a live session.
+    */
+  def callGraft(name: String, args: Column*): Column = {
+    graft.expressions.GraftFunctions.ensureRegistered()
+    call_function(name, args: _*)
+  }
+
+  /** [[callGraft]] for functions with an interpreted twin: when NO
+    * session is visible at Column-construction time (so lazy
+    * registration has nowhere to land), return the semantically
+    * identical interpreted formulation instead of a column that will
+    * fail analysis — the library-caller safety net the native fast
+    * path sits behind.
+    */
+  private def callGraftOr(name: String, fallback: => Column,
+                          args: Column*): Column =
+    if (graft.expressions.GraftFunctions.ensureRegistered())
+      call_function(name, args: _*)
+    else fallback
+
   /** Dot product of two double arrays — the native codegen'd expression
     * [[graft.expressions.ArrayDot]] (one fused loop, left-to-right IEEE
     * accumulation: bit-identical to [[dotProductInterpreted]], ~20×
     * faster — this sits inside every O(pairs) distance join, where the
     * interpreted fold was the measured bench bottleneck). NULL on NULL
     * input, length mismatch, or NULL element — the zip_with null algebra.
-    * Requires [[graft.expressions.GraftFunctions.register]] on the
-    * session (all harness entry points do this).
+    * Registration is lazy via [[callGraft]]; no explicit
+    * `GraftFunctions.register` call is required of the caller.
     */
   def dotProduct(a: Column, b: Column): Column =
-    call_function("graft_dot", a, b)
+    callGraftOr("graft_dot", dotProductInterpreted(a, b), a, b)
 
   /** Reference formulation of [[dotProduct]] via built-in higher-order
     * functions — interpreted, kept as the semantic oracle for tests.
@@ -59,12 +85,10 @@ object Fns {
     * bit-identical results). NULL (not NaN) when either vector has zero
     * norm — NaN sorts above every value in Spark, so an unguarded zero
     * vector would pass `>= threshold` filters and take rank 1 in top-k;
-    * NULL drops out of both. Requires
-    * [[graft.expressions.GraftFunctions.register]] on the session (all
-    * harness entry points do this).
+    * NULL drops out of both. Registration is lazy via [[callGraft]].
     */
   def cosine(a: Column, b: Column): Column =
-    call_function("graft_cosine", a, b)
+    callGraftOr("graft_cosine", cosineInterpreted(a, b), a, b)
 
   /** Reference formulation of [[cosine]] via built-in higher-order
     * functions — interpreted, kept as the semantic oracle for tests.

@@ -57,7 +57,7 @@ object Dedup {
   def shingleSets(docs: DataFrame, n: Int,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(call_function("graft_shingles", col(textCol), lit(n))).as("shingle"))
+        explode(Fns.callGraft("graft_shingles", col(textCol), lit(n))).as("shingle"))
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via inverted-index join.
     * `maxShingleFreq`, when set, drops shingles appearing in more than that
@@ -189,7 +189,7 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, n: Int, numPerms: Int,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        call_function("graft_minhash", col(textCol), lit(n), lit(numPerms)).as("sig"))
+        Fns.callGraft("graft_minhash", col(textCol), lit(n), lit(numPerms)).as("sig"))
       .filter(col("sig").isNotNull)
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
@@ -277,7 +277,7 @@ object Dedup {
   def simhash64(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.filter(size(Fns.tokens(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
-        call_function("graft_simhash", col(textCol)).as("simhash"))
+        Fns.callGraft("graft_simhash", col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
     * pigeonhole blocking: split 64 bits into (maxHamming+1) blocks — any
@@ -649,7 +649,7 @@ object Dedup {
       .select(col("lab"), col("doc_id"),
         transform(col("__vocab"), t =>
           coalesce(element_at(col("__m"), t), lit(0L)).cast("double")).as("v"))
-      .withColumn("sq", call_function("graft_dot", col("v"), col("v")))
+      .withColumn("sq", Fns.callGraft("graft_dot", col("v"), col("v")))
       .localCheckpoint(false)
     val cosOf = (dot: org.apache.spark.sql.Column) =>
       dot / (sqrt(col("sq_a")) * sqrt(col("sq_b")))
@@ -660,7 +660,7 @@ object Dedup {
         col("a.lab") === col("b.lab") && col("a.bk") === col("b.bk")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        call_function("graft_dot", col("a.v"), col("b.v")).as("dot"),
+        Fns.callGraft("graft_dot", col("a.v"), col("b.v")).as("dot"),
         col("a.sq").as("sq_a"), col("b.sq").as("sq_b"))
       .filter(cosOf(col("dot")) >= threshold)
       .select(col("doc_a"), col("doc_b"), round(cosOf(col("dot")), 6).as("tf_cosine"))
@@ -699,7 +699,7 @@ object Dedup {
       .select(col("doc_id"),
         transform(col("__vocab"), t =>
           coalesce(element_at(col("__m"), t), lit(0L)).cast("double")).as("v"))
-      .withColumn("sq", call_function("graft_dot", col("v"), col("v")))
+      .withColumn("sq", Fns.callGraft("graft_dot", col("v"), col("v")))
       // lazy materialize-once: the frame feeds BOTH sides of the self-join
       // (broadcast build + stream), which would otherwise each re-run the
       // tokenize/aggregate/densify subtree.
@@ -708,7 +708,7 @@ object Dedup {
       dot / (sqrt(col("sq_a")) * sqrt(col("sq_b")))
     dense.as("a").join(broadcast(dense.as("b")), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        call_function("graft_dot", col("a.v"), col("b.v")).as("dot"),
+        Fns.callGraft("graft_dot", col("a.v"), col("b.v")).as("dot"),
         col("a.sq").as("sq_a"), col("b.sq").as("sq_b"))
       .filter(cosOf(col("dot")) >= threshold)
       .select(col("doc_a"), col("doc_b"), round(cosOf(col("dot")), 6).as("tf_cosine"))
@@ -907,7 +907,7 @@ object Dedup {
     // unmaterialized plan would re-run the full-corpus shingle scan each
     // time.
     val sets = docs.select(col(sourceCol).as("source"),
-        explode(call_function("graft_shingles", col(textCol), lit(n)))
+        explode(Fns.callGraft("graft_shingles", col(textCol), lit(n)))
           .as("shingle"))
       .distinct()
       .localCheckpoint()
@@ -1172,7 +1172,7 @@ object Dedup {
       min(Fns.pmod(col("x") * lit(a) + lit(b), lit(P31L))).as(s"m$p")
     }
     sh.select(col("doc_id"),
-        call_function("graft_strhash", col("shingle")).as("x"))
+        Fns.callGraft("graft_strhash", col("shingle")).as("x"))
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until 16).map(p => col(s"m$p")): _*).as("sig"))
@@ -1353,7 +1353,7 @@ object Dedup {
     // replaced cost ~4–6 s per evaluation at sf0.1 (winnowing evaluates
     // this subtree in several plan branches)
     docs.select(col(idCol).as("doc_id"),
-        posexplode(call_function("graft_shingles31", col(textCol), lit(k)))
+        posexplode(Fns.callGraft("graft_shingles31", col(textCol), lit(k)))
           .as(Seq("pos", "h")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
 

@@ -600,6 +600,16 @@ object Sampling {
     * τ is an aggregate over the checkpointed (k+1)-row frame. All
     * decisive arithmetic is integer-hash → one IEEE division, identical
     * across engines; ties at the cut break by key.
+    *
+    * CONTRACT: `keyCol` must be UNIQUE. Duplicate keys share the same
+    * hash-derived u, so (a) their priority AND key tiebreak tuples are
+    * identical and `orderBy(...).limit` keeps an arbitrary subset of
+    * the tied rows — the documented engine-identical determinism breaks
+    * exactly there; and (b) their draws are perfectly correlated, which
+    * biases the DLT estimator's variance guarantees (the paper assumes
+    * independent per-item uniforms). Pre-aggregate to one row per key
+    * (the natural form for "keep k keys, preserve subset sums") or
+    * synthesize a unique key before sampling.
     */
   def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
                      k: Int): DataFrame = {

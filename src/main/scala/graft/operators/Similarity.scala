@@ -124,11 +124,11 @@ object Similarity {
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
     def prep(df: DataFrame, idAs: String, pfx: String): DataFrame = {
-      val unit = call_function("graft_l2norm", toDouble(col(vecCol)))
+      val unit = Fns.callGraft("graft_l2norm", toDouble(col(vecCol)))
       df.select(col(idCol).as(idAs), unit.as(s"${pfx}v"))
         .filter(col(s"${pfx}v").isNotNull)
         .select(col(idAs), col(s"${pfx}v"),
-          call_function("graft_quant8", col(s"${pfx}v")).as("s"))
+          Fns.callGraft("graft_quant8", col(s"${pfx}v")).as("s"))
         .select(col(idAs), col(s"${pfx}v"),
           col("s").getField("scale").as(s"${pfx}scale"),
           col("s").getField("q").cast("array<double>").as(s"${pfx}q"))
@@ -144,7 +144,7 @@ object Similarity {
       .join(broadcast(q.select(col("query_id"), col("qq"), col("qscale"))),
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (call_function("graft_dot", col("cq"), col("qq")) *
+        (Fns.callGraft("graft_dot", col("cq"), col("qq")) *
           col("cscale") * col("qscale")).as("coarse"))
     val cw = Window.partitionBy(col("query_id"))
       .orderBy(col("coarse").desc, col("neighbor_id").asc)
@@ -175,7 +175,7 @@ object Similarity {
     val planes = hyperplanes(dim, nPlanes, seed, table)
     val v = toDouble(vec) // accept float or double arrays
     val bits = (0 until nPlanes).map { h =>
-      val dot = call_function("graft_dot", v, typedlit(planes(h).toSeq))
+      val dot = Fns.callGraft("graft_dot", v, typedlit(planes(h).toSeq))
       when(dot >= 0, lit(1L << h)).otherwise(lit(0L))
     }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
     when(size(vec) === dim, bits)
@@ -198,7 +198,7 @@ object Similarity {
   def normalizeL2(embeddings: DataFrame,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     embeddings.select(col(idCol).as("vec_id"),
-      call_function("graft_l2norm", toDouble(col(vecCol))).as("unit"))
+      Fns.callGraft("graft_l2norm", toDouble(col(vecCol))).as("unit"))
 
   def quantizeInt8(embeddings: DataFrame,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -210,7 +210,7 @@ object Similarity {
     // Contract: a vector containing any NULL element quantizes to NULL
     // scale AND codes (the whole row, not per-element NULLs as the old
     // HOF form produced) — same rule as the zero/empty cases.
-    val s = call_function("graft_quant8", toDouble(col(vecCol)))
+    val s = Fns.callGraft("graft_quant8", toDouble(col(vecCol)))
     embeddings.select(col(idCol).as("vec_id"),
       s.getField("scale").as("scale"), s.getField("q").as("q"))
   }
@@ -298,7 +298,7 @@ object Similarity {
     // times, and the composed per-plane srpBucket tree is too large for
     // codegen (it falls back to interpreted eval; see SrpBuckets docs).
     base
-      .select(posexplode(call_function("graft_srp", col("v"),
+      .select(posexplode(Fns.callGraft("graft_srp", col("v"),
           lit(dim), lit(nPlanes), lit(nTables), lit(seed))),
         col("id"), col("v"))
       .select(col("pos").as("tbl"), col("col").as("bucket"), col("id"), col("v"))

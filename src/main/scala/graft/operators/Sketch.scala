@@ -38,7 +38,7 @@ object Sketch {
     * [[graft.expressions.GraftFunctions.register]] on the session (all
     * harness entry points do this).
     */
-  def stringHash(s: Column): Column = call_function("graft_strhash", s)
+  def stringHash(s: Column): Column = Fns.callGraft("graft_strhash", s)
 
   /** Reference HOF formulation of [[stringHash]] — interpreted; tested
     * equal to the native expression in SketchSpec. Operands stay < 2³¹ so
@@ -574,7 +574,16 @@ object Sketch {
         .select(col("g"),
           round(col("lo") + (col("bin") + 1) *
             ((col("hi") - col("lo")) / nBins), 6).as(name))
-    val cuts = cutAt(pLo, "cut_lo").join(cutAt(pHi, "cut_hi"), "g")
+    // Boundary percentiles are exact no-ops, not histogram estimates:
+    // cutAt returns the occupied bin's UPPER edge, so pLo=0 would still
+    // clamp every value in the lowest bin upward. At p=0 (p=1) the cut
+    // is the group's exact min (max) — unrounded, so the clamp is the
+    // identity on every value.
+    val cutLo = if (pLo <= 0.0) bounds.select(col("g"), col("lo").as("cut_lo"))
+                else cutAt(pLo, "cut_lo")
+    val cutHi = if (pHi >= 1.0) bounds.select(col("g"), col("hi").as("cut_hi"))
+                else cutAt(pHi, "cut_hi")
+    val cuts = cutLo.join(cutHi, "g")
     val clamped = greatest(least(col("v"), col("cut_hi")), col("cut_lo"))
     def dsum(c: Column) = sum(round(c, 6).cast("decimal(28,6)"))
     clean.join(broadcast(cuts), "g")

@@ -173,7 +173,7 @@ object TextAnalysis {
     val nToks = size(Fns.tokens(col(textCol))).cast("long")
     def dupRatio(n: Int): Column = {
       val total = greatest(nToks - (n - 1), lit(0L))
-      val distinctN = size(call_function("graft_shingles", col(textCol), lit(n))).cast("long")
+      val distinctN = size(Fns.callGraft("graft_shingles", col(textCol), lit(n))).cast("long")
       when(total > 0, lit(1.0) - distinctN.cast("double") / total)
     }
     docs.select(col(idCol).as("doc_id"), nToks.as("n_tokens"),
@@ -384,7 +384,7 @@ object TextAnalysis {
     docs
       .select(col(idCol).as("doc_id"), explode(Fns.tokens(col(textCol))).as("term"))
       .select(col("doc_id"),
-        Fns.pmod(call_function("graft_strhash", col("term")), lit(dim.toLong)).as("slot"))
+        Fns.pmod(Fns.callGraft("graft_strhash", col("term")), lit(dim.toLong)).as("slot"))
       .groupBy("doc_id", "slot").agg(count(lit(1)).as("cnt"))
   }
 

@@ -130,4 +130,25 @@ class FnsSpec extends SparkSpec {
     // fewer than n tokens: empty, not null
     assert(native("one two").isEmpty)
   }
+  test("dotProduct/cosine resolve on a session that never ran GraftFunctions.register") {
+    // A library caller's session: newSession() has its OWN function
+    // registry, so graft_dot/graft_cosine are absent until the lazy
+    // ensureRegistered hook (callGraft) lands them on the active
+    // session at Column-construction time. Before the hook this threw
+    // an unresolved-function AnalysisException at collect().
+    val ns = spark.newSession()
+    assert(!ns.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(ns)
+    try {
+      val df = ns.createDataFrame(Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))))
+        .toDF("a", "b")
+      val row = df.select(Fns.dotProduct(col("a"), col("b")).as("d"),
+        Fns.cosine(col("a"), col("a")).as("c")).collect()(0)
+      assert(row.getDouble(0) == 32.0 && math.abs(row.getDouble(1) - 1.0) < 1e-12)
+      assert(ns.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+    } finally prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+  }
 }

@@ -302,6 +302,20 @@ class SketchSpec extends SparkSpec {
     assert(out("b") == ((2L, 5.0, 5.0, 5.0, 5.0)))
   }
 
+  test("winsorizedMeanCard: pLo=0/pHi=1 are exact no-ops (cuts = min/max)") {
+    // Boundary percentiles must clamp nothing: cut_lo = the group's
+    // exact min and cut_hi = its exact max (not a bin upper edge, which
+    // would pull the whole lowest bin upward at pLo=0).
+    val df = Seq(("a", 0.25), ("a", 1.0), ("a", 2.0), ("a", 100.5))
+      .toDF("g", "v")
+    val r = Sketch.winsorizedMeanCard(df, "g", "v", 4, 0.0, 1.0).collect()(0)
+    assert(r.getDouble(2) == 0.25 && r.getDouble(3) == 100.5) // cuts
+    assert(r.getDouble(4) == r.getDouble(5)) // winsorized == raw
+    // one-sided: pLo=0 exact low cut, pHi still a histogram estimate
+    val r2 = Sketch.winsorizedMeanCard(df, "g", "v", 4, 0.0, 0.75).collect()(0)
+    assert(r2.getDouble(2) == 0.25 && r2.getDouble(3) < 100.5)
+  }
+
   test("minhashUnionCard: subset source's registers ARE the union's (est=exact=1)") {
     // Source B's trigram set {"a b c","b c d","c d e"} strictly contains
     // source A's {"a b c","b c d"}: the union signature is exactly B's
