@@ -11,7 +11,13 @@ object Bench {
     * a missing profile cannot. So the guard now WAITS for idle — polling
     * /proc/loadavg every 30 s for up to 10 min — then runs REGARDLESS,
     * stamping `"clean":false` if load never settled. Exit code is 0 in
-    * all cases; `clean` is the machine-readable trust verdict.
+    * all cases; `clean` is the machine-readable trust verdict. Since
+    * round 15 BOTH the 1-min and 5-min averages gate the wait AND the
+    * stamp: r14's driver profile started at 1-min 1.88 / 5-min 2.4 and
+    * carried clean:true while four graph queries ran 5–8× their idle
+    * times. A second defense, the history-aware retry (see
+    * HistRetryFactor below), re-runs outliers vs the last clean profile
+    * so one hot pass can't become the committed number.
     * Override knobs: SPARK_GRAFT_LOADAVG_MAX (threshold, default 2.0),
     * SPARK_GRAFT_WAIT_BUDGET_SEC (idle-wait budget, default 600; 0 to
     * skip waiting entirely).
@@ -39,19 +45,22 @@ object Bench {
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(LoadavgMax)
     // Wait-for-idle BEFORE the expensive run: a profile started under
     // load is noise (r11/r12 incidents in BENCH_HISTORY.jsonl), but a
-    // refused run is a lost round artifact (r13 incident). Poll the 1-min
-    // loadavg until it settles under the threshold or the budget runs
-    // out, then run regardless. Only the 1-min value gates the wait: the
-    // 5-min average lags ~10 min behind an idle system, so waiting on it
-    // would burn the whole budget after any recent sweep even when the
-    // machine is actually quiet.
+    // refused run is a lost round artifact (r13 incident). Poll BOTH
+    // loadavg windows until they settle under the threshold or the
+    // budget runs out, then run regardless. The 5-min average joined
+    // the gate in r15: r14's driver profile started at 1-min 1.88 but
+    // 5-min 2.37–2.61 (minutes after the correctness sweep) and carried
+    // clean:true while four graph queries ran 5–8× their idle times —
+    // residual sweep threads the 1-min window had already forgotten.
+    // From ~2.5 an idle machine's 5-min average decays under 2.0 in
+    // ~1–2 min (exponential, 300 s constant), well inside the budget.
     val waitBudget = sys.env.get("SPARK_GRAFT_WAIT_BUDGET_SEC")
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(WaitBudgetSec)
     var waited = 0
     var (cur1, cur5) = loadavg()
-    while (cur1 > loadMax && waited < waitBudget) {
-      System.err.println(f"bench: loadavg $cur1%.2f > $loadMax%.2f — " +
-        f"waiting for idle (${waited}s/${waitBudget}s)")
+    while ((cur1 > loadMax || cur5 > loadMax) && waited < waitBudget) {
+      System.err.println(f"bench: loadavg $cur1%.2f/$cur5%.2f (1m/5m) > " +
+        f"$loadMax%.2f — waiting for idle (${waited}s/${waitBudget}s)")
       Thread.sleep(PollSec * 1000L)
       waited += PollSec
       val l = loadavg(); cur1 = l._1; cur5 = l._2
@@ -59,7 +68,9 @@ object Bench {
     val (start1, start5) = (cur1, cur5)
     // Provenance only — the run proceeds either way. `contaminated` means
     // "load never settled; discount these numbers", not "no numbers".
-    val contaminated = start1 > loadMax
+    // BOTH windows must be under threshold for clean:true (the r14
+    // lesson above).
+    val contaminated = start1 > loadMax || start5 > loadMax
     if (contaminated)
       System.err.println(f"bench: proceeding DIRTY — loadavg $start1%.2f " +
         f"still > $loadMax%.2f after ${waited}s; profile will carry clean:false")
@@ -82,6 +93,66 @@ object Bench {
       try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
+    // Repo root: user.dir when it looks like this sbt project (sbt runMain
+    // sets it to the project root), overridable via SPARK_GRAFT_REPO,
+    // /root/repo as the sandbox fallback — no hardcoded absolute path on
+    // foreign checkouts.
+    val repoRoot = sys.env.get("SPARK_GRAFT_REPO")
+      .orElse(Option(System.getProperty("user.dir"))
+        .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d, "build.sbt"))))
+      .getOrElse("/root/repo")
+    // Per-query reference timings from the most recent CLEAN full profile
+    // in BENCH_HISTORY.jsonl (fallback: BENCH_FULL.json whatever its
+    // provenance) — the yardstick for the history-aware retry below.
+    // Parsing is a targeted substring scan of our own writer's format:
+    // the "queries" object holds only identifier keys and bare numbers,
+    // so the first '}' after the key closes it.
+    def parseQueries(line: String): Map[String, Double] = {
+      val key = "\"queries\":{"
+      val i = line.indexOf(key)
+      if (i < 0) Map.empty
+      else {
+        val start = i + key.length
+        val end = line.indexOf('}', start)
+        if (end < 0) Map.empty
+        else line.substring(start, end).split(",").iterator.flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) => scala.util.Try(
+              k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+              .toOption
+            case _ => None
+          }
+        }.toMap
+      }
+    }
+    val histTimes: Map[String, Double] = try {
+      val histPath = java.nio.file.Paths.get(s"$repoRoot/BENCH_HISTORY.jsonl")
+      // Apply the r15 both-windows rule RETROACTIVELY when picking the
+      // yardstick: pre-r15 lines could stamp clean:true with a hot 5-min
+      // average (the r14 driver profile is exactly such a line, with
+      // 5–8× inflated graph timings — useless as an outlier baseline).
+      def start5Of(l: String): Double = {
+        val k = "\"loadavg5\":["
+        val i = l.indexOf(k)
+        if (i < 0) 0.0
+        else scala.util.Try(
+          l.substring(i + k.length, l.indexOf(',', i + k.length)).toDouble)
+          .getOrElse(0.0)
+      }
+      val lastClean =
+        if (java.nio.file.Files.exists(histPath))
+          scala.io.Source.fromFile(histPath.toFile).getLines().toSeq.reverse
+            .find(l => l.contains("\"clean\":true") && !l.contains("\"only\":") &&
+              start5Of(l) <= loadMax)
+        else None
+      lastClean.map(parseQueries).filter(_.nonEmpty).getOrElse {
+        val fullPath = java.nio.file.Paths.get(s"$repoRoot/BENCH_FULL.json")
+        if (java.nio.file.Files.exists(fullPath))
+          parseQueries(new String(java.nio.file.Files.readAllBytes(fullPath),
+            java.nio.charset.StandardCharsets.UTF_8))
+        else Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
     // (name, seconds, error) — a throwing query must NOT be recorded as a
     // normal fast timing; it gets an entry in "errors" instead.
     // Optional subset run (scale tests): SPARK_GRAFT_BENCH_ONLY is an
@@ -128,13 +199,37 @@ object Bench {
     // ~3 min of wall per profile. Cross-round regression detection for
     // this band rides BENCH_HISTORY.jsonl, which has one line per round.
     val MacroSinglePassAboveSec = 3.0
+    // History-aware outlier defense (round 15): the single-pass tiers
+    // above are blind exactly where contention hits hardest — r14's
+    // driver profile recorded graph_powerlaw at 16.6 s (8× its idle
+    // 2.1 s) verbatim because a >3 s pass-1 was final. Any ≥1 s query
+    // whose pass-1 time exceeds HistRetryFactor× its timing in the last
+    // CLEAN committed profile joins the retry tier REGARDLESS of its
+    // single-pass classification (verify-baselines included — the
+    // retry only fires on divergence, so their quarantine cost is
+    // untouched on quiet runs); the min is recorded, and a query whose
+    // FINAL time still exceeds the factor lands in "suspect" — the
+    // machine-readable "treat this number with care" flag.
+    val HistRetryFactor = 2.5
+    def histOutlier(n: String, t: Double): Boolean =
+      t >= MacroThresholdSec &&
+        histTimes.get(n).exists(h => h > 0 && t > HistRetryFactor * h)
     val p1 = pass()
     val (mid1, mid5) = loadavg()
     val retry = p1.collect {
       case (n, t, e) if e.isDefined ||
         (t >= MacroThresholdSec && t < MacroSinglePassAboveSec &&
-          !VerifyBaselines(n)) => n
+          !VerifyBaselines(n)) ||
+        histOutlier(n, t) => n
     }.toSet
+    val histRetries = p1.collect {
+      case (n, t, e) if e.isEmpty && histOutlier(n, t) &&
+        !(t < MacroSinglePassAboveSec && !VerifyBaselines(n)) => n
+    }
+    if (histRetries.nonEmpty)
+      System.err.println(s"bench: history-aware retry for " +
+        s"${histRetries.size} outlier(s) vs last clean profile: " +
+        histRetries.sorted.mkString(", "))
     val p2 = pass(retry).map(r => r._1 -> r).toMap
     val (end1, end5) = loadavg()
     val results = p1.map { case (n, t1, e1) =>
@@ -171,18 +266,16 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, None, _) => v }.sum
     val nOk = results.count(_._3.isEmpty)
+    // Queries whose FINAL (post-retry) time still exceeds the history
+    // factor: either a real regression or contention that outlived two
+    // passes — either way the number deserves a flag, not silence.
+    val suspect = results.collect {
+      case (n, t, None, _) if histOutlier(n, t) => jq(n)
+    }.sorted.mkString("[", ",", "]")
     // "passes":"tiered-2" records the round-13 methodology (macro tier
     // min-of-2, micro single-pass) so totals aren't read as comparable to
     // the flat min-of-2 rounds 6-12 (flat min-of-2 is systematically
     // lower on the micro tail) or the single-pass rounds 1-5.
-    // Repo root: user.dir when it looks like this sbt project (sbt runMain
-    // sets it to the project root), overridable via SPARK_GRAFT_REPO,
-    // /root/repo as the sandbox fallback — no hardcoded absolute path on
-    // foreign checkouts.
-    val repoRoot = sys.env.get("SPARK_GRAFT_REPO")
-      .orElse(Option(System.getProperty("user.dir"))
-        .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d, "build.sbt"))))
-      .getOrElse("/root/repo")
     val fullPath = s"$repoRoot/BENCH_FULL.json"
     // Provenance: "clean" is the machine-readable verdict (start load
     // under threshold), so the driver/judge selects the authoritative
@@ -193,7 +286,7 @@ object Bench {
     val clean = !contaminated
     val onlyTag = only.map(r => s""","only":${jq(r)}""").getOrElse("")
     val line =
-      s"""{"metric":"total","unit":"sec","passes":"tiered-2","macro_threshold_sec":$MacroThresholdSec,"n_macro":${retry.size},"clean":$clean,"contaminated":$contaminated,"loadavg_max":$loadMax,"waited_sec":$waited,"loadavg":$loads,"loadavg5":$loads5,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}$onlyTag}"""
+      s"""{"metric":"total","unit":"sec","passes":"tiered-2","macro_threshold_sec":$MacroThresholdSec,"n_macro":${retry.size},"hist_retry_factor":$HistRetryFactor,"hist_retries":${histRetries.map(jq).sorted.mkString("[", ",", "]")},"suspect":$suspect,"clean":$clean,"contaminated":$contaminated,"loadavg_max":$loadMax,"waited_sec":$waited,"loadavg":$loads,"loadavg5":$loads5,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}$onlyTag}"""
     println(line)
     // Short line: slowest-first entries until the byte budget is spent.
     val budget = 1600
