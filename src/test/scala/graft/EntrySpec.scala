@@ -51,6 +51,19 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("memoized copurchaseEdges: edge-set parity with a fresh derivation, same frame reused") {
+    val dir = "/root/testdata/sf0.001"
+    val memo1 = SparkEntry.copurchaseEdges(spark, dir)
+    val memo2 = SparkEntry.copurchaseEdges(spark, dir)
+    // second call returns the SAME checkpointed frame — no re-derivation
+    assert(memo1 eq memo2)
+    val fresh = SparkEntry.copurchaseEdgesFresh(spark, dir)
+    assert(memo1.count() == fresh.count() &&
+      memo1.join(fresh, Seq("src", "dst"), "left_anti").isEmpty &&
+      fresh.join(memo1, Seq("src", "dst"), "left_anti").isEmpty,
+      "memoized edge set diverges from a fresh derivation")
+  }
+
   test("all registered queries execute at sf0.001 and are non-degenerate") {
     val allowedEmpty = Set("dedup_ngram_jaccard", "dedup_ngram_prefix",
       "dedup_minhash_lsh", "dedup_simhash", "dedup_embed_cosine")
