@@ -976,13 +976,11 @@ object SparkEntry {
     // Cluster resolution: pairwise near-dup output → per-doc cluster_id
     // (min reachable id; keep = doc_id == cluster_id). Oracle computes
     // the true transitive closure with a recursive CTE, so the
-    // convergence-checked min-propagation is checked against exact
-    // connected components. The operator probes for a fixed point every
-    // 2nd round and stops at the first unchanged check, so this corpus
-    // (cliques/triples, diameter ≤ 2 — proven by the closure oracle)
-    // costs 4 propagation rounds regardless of maxIter, while
-    // chain-shaped components at corpus scale keep iterating up to
-    // maxIter instead of silently splitting.
+    // production path — alternating star contraction since round 15,
+    // O(log² n) rounds regardless of component diameter — is checked
+    // against exact connected components. The propagation formulation
+    // survives as Dedup.dedupClustersPropagation, the spec-level parity
+    // oracle.
     "dedup_clusters" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       Dedup.dedupClusters(docs, Dedup.ngramJaccardPairs(docs, 3, 0.5))

@@ -410,6 +410,44 @@ object Dedup {
     * (its own id when unpaired) — the step that turns pairwise dedup
     * output into keep/drop decisions (keep = doc_id == cluster_id).
     *
+    * PRODUCTION PATH (round 15): alternating large-star/small-star
+    * contraction ([[Graph.connectedComponentsStars]], Kiveris et al.
+    * SoCC 2014) — O(log² n) rounds regardless of component diameter,
+    * versus min-label propagation's O(diameter). Near-dup components
+    * are usually cliques (either path labels them in a handful of
+    * rounds), but chain-shaped components — doc A≈B≈C≈… from iterative
+    * crawls — are exactly the 100 TB shape where propagation needs a
+    * round per hop and contraction stays logarithmic (GraphSpec drives
+    * a 64-node path in 5 star rounds vs 63 propagation steps). Labels
+    * are identical by construction on ANY graph (both compute the exact
+    * min-id per component; DedupSpec executes the parity). `maxIter`
+    * bounds the star rounds; on exhaustion without a fixed point the
+    * behavior follows `strict` (throw vs log), matching the propagation
+    * contract. Docs that appear in no pair never enter the edge list —
+    * the left join restores them as singletons (cluster_id = own id).
+    *
+    * The propagation formulation stays available as
+    * [[dedupClustersPropagation]] — an independently-implemented twin
+    * kept as the spec-level oracle (and the better pick when components
+    * are KNOWN to be shallow and the per-round constant matters).
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 16,
+                    idCol: String = "doc_id", strict: Boolean = false): DataFrame = {
+    require(maxIter >= 1, s"need maxIter >= 1, got $maxIter")
+    val labels = Graph.connectedComponentsStars(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      maxRounds = maxIter, strict = strict)
+    docs.select(col(idCol)).join(labels, col(idCol) === col("node"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+  }
+
+  /** [[dedupClusters]] via iterative min-label propagation — the
+    * original formulation, O(diameter) rounds. Kept as the production
+    * path's independently-implemented oracle (DedupSpec proves label
+    * parity) and for shallow-component corpora where its cheaper
+    * per-round work wins.
+    *
     * Iterative min-label propagation: each round, a doc's label becomes
     * the min of its own and its neighbors' labels — one hash join + one
     * groupBy per round, all keyed shuffles, nothing driver-side but the
@@ -451,8 +489,9 @@ object Dedup {
     * calling thread, so every broadcast subtree only ever READS an
     * already-materialized checkpoint — no hold-and-wait cycle.
     */
-  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 8,
-                    idCol: String = "doc_id", strict: Boolean = false): DataFrame = {
+  def dedupClustersPropagation(docs: DataFrame, pairs: DataFrame,
+                               maxIter: Int = 8, idCol: String = "doc_id",
+                               strict: Boolean = false): DataFrame = {
     require(maxIter >= 1, s"need maxIter >= 1, got $maxIter")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -483,7 +522,7 @@ object Dedup {
       }
     }
     if (!converged) {
-      val msg = s"dedupClusters did not converge within maxIter=$maxIter " +
+      val msg = s"dedupClustersPropagation did not converge within maxIter=$maxIter " +
         "rounds; a component with diameter > maxIter may be split into " +
         "several clusters. Raise maxIter."
       if (strict) throw new IllegalStateException(msg)

@@ -101,45 +101,60 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L, "train", "held"))) // within-group pairs dropped
   }
 
-  test("dedupClusters: min-propagation labels chains, cliques, and singletons exactly") {
+  test("dedupClusters (star path) and dedupClustersPropagation label chains, cliques, singletons identically") {
     val docs = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     // chain 0-1-2-3 (diameter 3), clique {5,6,7}, singleton 4, pair 8-9
     val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L), (5L, 7L), (6L, 7L), (8L, 9L))
       .toDF("doc_a", "doc_b")
-    val labels = Dedup.dedupClusters(docs, pairs).collect()
+    val expected = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 8L)
+    // production path (star contraction) and its independently-
+    // implemented oracle (min-label propagation) must agree exactly
+    val star = Dedup.dedupClusters(docs, pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L,
-      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 8L))
+    val prop = Dedup.dedupClustersPropagation(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == expected && prop == expected)
     // survivors = docs whose id equals their cluster id
-    assert(labels.count { case (d, c) => d == c } == 4)
+    assert(star.count { case (d, c) => d == c } == 4)
   }
 
-  test("dedupClusters: convergence check labels a chain deeper than a fixed maxIter=4") {
-    // 9-node chain 0-1-…-8: node 8 is at distance 8 from the min label, so
-    // any fixed 4-round propagation leaves it mislabeled (min within
-    // distance 4 = node 4). The convergence-checked loop keeps iterating
-    // until the fixed point and labels the whole chain 0.
+  test("dedupClusters star path labels a deep chain that propagation truncates at maxIter=4") {
+    // 9-node chain 0-1-…-8: node 8 is at distance 8 from the min label,
+    // so 4 PROPAGATION rounds leave it mislabeled (min within distance
+    // 4) — while 4 STAR rounds are plenty (O(log² n) convergence), the
+    // exact reason star contraction is the production path.
     val docs = (0L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val truncated = Dedup.dedupClusters(docs, pairs, maxIter = 4).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truncated = Dedup.dedupClustersPropagation(docs, pairs, maxIter = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(truncated(8L) != 0L) // the honest failure mode of a fixed bound
-    val full = Dedup.dedupClusters(docs, pairs, maxIter = 20).collect()
+    val star = Dedup.dedupClusters(docs, pairs, maxIter = 4).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == (0L to 8L).map(_ -> 0L).toMap)
+    val full = Dedup.dedupClustersPropagation(docs, pairs, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(full == (0L to 8L).map(_ -> 0L).toMap) // early-stops at the fixed point
   }
 
-  test("dedupClusters strict=true raises when maxIter is hit unconverged") {
+  test("both cluster paths raise under strict=true when rounds are exhausted") {
     val docs = (0L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      Dedup.dedupClusters(docs, pairs, maxIter = 4, strict = true)
+      Dedup.dedupClustersPropagation(docs, pairs, maxIter = 4, strict = true)
     }
     assert(e.getMessage.contains("did not converge"))
-    // strict mode on a convergent run stays silent and exact
-    val ok = Dedup.dedupClusters(docs, pairs, maxIter = 20, strict = true)
+    intercept[IllegalStateException] {
+      Dedup.dedupClusters(docs, pairs, maxIter = 1, strict = true)
+    }
+    // strict mode on a convergent run stays silent and exact — both paths
+    val ok = Dedup.dedupClustersPropagation(docs, pairs, maxIter = 20,
+        strict = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ok(8L) == 0L)
+    val okStar = Dedup.dedupClusters(docs, pairs, strict = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(okStar(8L) == 0L)
   }
 
   test("dedupClusters on the seeded corpus: exact+near dup triples collapse to base id") {
