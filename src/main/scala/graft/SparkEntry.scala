@@ -3215,6 +3215,25 @@ object SparkEntry {
       StreamingJobs.sessionize(T(s, dir, "events"), "30 minutes")
         .orderBy("user_id", "session_start")),
 
+    // Streaming incremental near-dup admission, batch-unified: two
+    // arrival waves (doc_id%5=0, then %5=1) gate against a standing
+    // corpus (%5>=2) via Dedup.admitWave — wave 2's corpus includes
+    // wave 1's ADMITTED docs, so the oracle proves the stateful chain,
+    // not just one admission round. The foreachBatch wiring (corpus
+    // state + MinHash register fold per batch) runs in StreamingSpec
+    // with stream ≡ sequential-wave parity.
+    "stream_dedup_incr" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (v1, corpus1) = Dedup.admitWave(
+        docs.filter(col("doc_id") % 5 >= 2),
+        docs.filter(col("doc_id") % 5 === 0), 3, 0.5)
+      val (v2, _) = Dedup.admitWave(corpus1,
+        docs.filter(col("doc_id") % 5 === 1), 3, 0.5)
+      v1.withColumn("wave", lit(1L)).unionByName(v2.withColumn("wave", lit(2L)))
+        .select("wave", "doc_id", "n_corpus_dups", "n_batch_dups", "verdict")
+        .orderBy("wave", "doc_id")
+    }),
+
     // Declarative data-quality audit across the TPC-H-ish schema: one
     // composed job of not-null / uniqueness / referential checks. The
     // lineitem uniqueness check fires on real duplicates in the data.
@@ -12116,6 +12135,75 @@ object SparkEntry {
          |LEFT JOIN cd ON cd.doc_id = d.doc_id
          |LEFT JOIN bd ON bd.d = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Two chained admission waves: wave-2's corpus is c0 plus wave-1's
+    // ADMITTED docs — the stateful foreachBatch chain, proven exactly.
+    "stream_dedup_incr" ->
+      s"""WITH base AS ($docToks),
+         |toks AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM base),
+         |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS shingle
+         |       FROM toks a
+         |       JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |       JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |w1 AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+         |w2 AS (SELECT * FROM sh WHERE doc_id % 5 = 1),
+         |c0 AS (SELECT * FROM sh WHERE doc_id % 5 >= 2),
+         |xc1 AS (SELECT b.doc_id AS da, c.doc_id AS db, count(*) AS ni
+         |        FROM w1 b JOIN c0 c ON b.shingle = c.shingle GROUP BY 1, 2),
+         |xcp1 AS (SELECT da FROM xc1
+         |         JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |         WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5),
+         |cd1 AS (SELECT da AS doc_id, count(*) AS n_corpus_dups FROM xcp1 GROUP BY 1),
+         |ib1 AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS ni
+         |        FROM w1 x JOIN w1 y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |        GROUP BY 1, 2),
+         |ibp1 AS (SELECT da, db FROM ib1
+         |         JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |         WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5),
+         |bd1 AS (SELECT d, count(*) AS n_batch_dups FROM
+         |          (SELECT da AS d FROM ibp1 UNION ALL SELECT db FROM ibp1) u
+         |        GROUP BY 1),
+         |v1 AS (SELECT d.doc_id,
+         |         coalesce(cd1.n_corpus_dups, 0) AS n_corpus_dups,
+         |         coalesce(bd1.n_batch_dups, 0) AS n_batch_dups,
+         |         CASE WHEN coalesce(cd1.n_corpus_dups, 0) > 0 THEN 'dup_of_corpus'
+         |              WHEN coalesce(bd1.n_batch_dups, 0) > 0 THEN 'needs_batch_dedup'
+         |              ELSE 'admitted' END AS verdict
+         |       FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |       LEFT JOIN cd1 ON cd1.doc_id = d.doc_id
+         |       LEFT JOIN bd1 ON bd1.d = d.doc_id),
+         |c1 AS (SELECT * FROM c0 UNION ALL
+         |       SELECT * FROM w1
+         |       WHERE doc_id IN (SELECT doc_id FROM v1 WHERE verdict = 'admitted')),
+         |xc2 AS (SELECT b.doc_id AS da, c.doc_id AS db, count(*) AS ni
+         |        FROM w2 b JOIN c1 c ON b.shingle = c.shingle GROUP BY 1, 2),
+         |xcp2 AS (SELECT da FROM xc2
+         |         JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |         WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5),
+         |cd2 AS (SELECT da AS doc_id, count(*) AS n_corpus_dups FROM xcp2 GROUP BY 1),
+         |ib2 AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS ni
+         |        FROM w2 x JOIN w2 y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |        GROUP BY 1, 2),
+         |ibp2 AS (SELECT da, db FROM ib2
+         |         JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |         WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5),
+         |bd2 AS (SELECT d, count(*) AS n_batch_dups FROM
+         |          (SELECT da AS d FROM ibp2 UNION ALL SELECT db FROM ibp2) u
+         |        GROUP BY 1),
+         |v2 AS (SELECT d.doc_id,
+         |         coalesce(cd2.n_corpus_dups, 0) AS n_corpus_dups,
+         |         coalesce(bd2.n_batch_dups, 0) AS n_batch_dups,
+         |         CASE WHEN coalesce(cd2.n_corpus_dups, 0) > 0 THEN 'dup_of_corpus'
+         |              WHEN coalesce(bd2.n_batch_dups, 0) > 0 THEN 'needs_batch_dedup'
+         |              ELSE 'admitted' END AS verdict
+         |       FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 1) d
+         |       LEFT JOIN cd2 ON cd2.doc_id = d.doc_id
+         |       LEFT JOIN bd2 ON bd2.d = d.doc_id)
+         |SELECT CAST(1 AS BIGINT) AS wave, doc_id, n_corpus_dups, n_batch_dups, verdict FROM v1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS wave, doc_id, n_corpus_dups, n_batch_dups, verdict FROM v2
+         |ORDER BY wave, doc_id""".stripMargin,
 
     // The oracle reads the SOURCE table — content preservation through
     // the 48-file write + compaction rewrite is exactly what's asserted.

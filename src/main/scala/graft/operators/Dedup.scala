@@ -405,6 +405,44 @@ object Dedup {
           .otherwise("admitted"))
   }
 
+  /** One admission WAVE of the streaming dedup loop: classify `batch`
+    * against the standing `corpus` ([[admitIncremental]]) and return
+    * (verdicts, nextCorpus) where nextCorpus = corpus ∪ the batch docs
+    * whose verdict is `admitted`. This is the foreachBatch body of a
+    * continuously-fed pipeline — each micro-batch pays batch-
+    * proportional cost, the state grows only by what was admitted, and
+    * chaining waves is associative with one-shot admission over the
+    * same arrival order (StreamingSpec executes the parity).
+    *
+    * Admission policy is the CONSERVATIVE gate: only `admitted` docs
+    * enter the corpus. `dup_of_corpus` is rejected outright;
+    * `needs_batch_dedup` groups are held for the offline
+    * [[dedupClusters]]+[[keepBest]] resolution (admitting a survivor
+    * inline would make wave results depend on intra-batch resolution
+    * order — the held docs re-arrive in a later wave if still wanted).
+    *
+    * Both returned frames read an EAGER localCheckpoint of the verdicts:
+    * the verdict subtree (two pair joins) feeds the wave output AND the
+    * nextCorpus semi-join, and the NEXT wave's mining subtree would
+    * otherwise re-evaluate this wave's entire plan — the unbounded
+    * plan-growth trap of any iterative DataFrame loop (the
+    * [[dedupClustersPropagation]] lineage-cut lesson; eager for its
+    * broadcast-deadlock note too). `batch` and `corpus` must share a
+    * schema (unionByName).
+    */
+  def admitWave(corpus: DataFrame, batch: DataFrame, n: Int,
+                threshold: Double, textCol: String = "text",
+                idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val verdicts =
+      admitIncremental(corpus, batch, n, threshold, textCol, idCol)
+        .localCheckpoint()
+    val admittedIds = verdicts.filter(col("verdict") === "admitted")
+      .select(col("doc_id").as("__adm_id"))
+    val nextCorpus = corpus.unionByName(
+      batch.join(admittedIds, batch(idCol) === col("__adm_id"), "left_semi"))
+    (verdicts, nextCorpus)
+  }
+
   /** Connected components over near-dup pairs: every document gets the
     * smallest doc id reachable through the pair graph as `cluster_id`
     * (its own id when unpaired) — the step that turns pairwise dedup

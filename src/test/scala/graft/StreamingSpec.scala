@@ -412,4 +412,67 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01T01:00:00Z", "z", 1L, 1L)))
   }
 
+  test("foreachBatch incremental admission: stream chain == sequential waves, registers fold to corpus signature") {
+    // The streaming face of Dedup.admitWave: each micro-batch gates
+    // against the standing corpus, the corpus state grows only by
+    // ADMITTED docs, and the corpus's MinHash registers fold
+    // incrementally (minhashMerge) instead of re-scanning. Hand-checked
+    // fixture: doc 10 mirrors corpus doc 1 (dup_of_corpus); 12/13 are an
+    // in-batch near-dup pair (needs_batch_dedup — HELD, not admitted);
+    // wave-2 doc 20 mirrors wave-1's ADMITTED doc 11 (dup_of_corpus —
+    // proves the state chained) while doc 21 mirrors the HELD doc 12
+    // and is admitted (proves held docs did NOT enter the corpus).
+    import graft.operators.{Dedup, Sketch}
+    implicit val sqlCtx = spark.sqlContext
+    val corpus0 = Seq((1L, "a b c d e", "s1"), (2L, "p q r s t", "s1"))
+      .toDF("doc_id", "text", "source")
+    val b1 = Seq((10L, "a b c d e", "s1"), (11L, "u v w x y", "s2"),
+      (12L, "m n o p x", "s1"), (13L, "m n o p y", "s1"))
+    val b2 = Seq((20L, "u v w x y", "s2"), (21L, "m n o p x", "s2"))
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "text", "source")
+    var corpus = corpus0.localCheckpoint(true)
+    var regs = Sketch.minhashRegisters(corpus0).localCheckpoint(true)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val (v, next) = Dedup.admitWave(corpus, batch.toDF(), 3, 0.5)
+          got ++= v.collect().map(r => r.getLong(0) -> r.getString(3))
+          corpus = next.localCheckpoint(true)
+          val admitted = batch.toDF().join(
+            v.filter(col("verdict") === "admitted").select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          regs = Sketch.minhashMerge(regs, Sketch.minhashRegisters(admitted))
+            .localCheckpoint(true)
+        }
+    }.start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toMap == Map(
+      10L -> "dup_of_corpus", 11L -> "admitted",
+      12L -> "needs_batch_dedup", 13L -> "needs_batch_dedup",
+      20L -> "dup_of_corpus", 21L -> "admitted"))
+    // stream-fed chain == sequential admitWave over the same waves
+    val (v1, c1) = Dedup.admitWave(corpus0,
+      b1.toDF("doc_id", "text", "source"), 3, 0.5)
+    val (v2, c2) = Dedup.admitWave(c1,
+      b2.toDF("doc_id", "text", "source"), 3, 0.5)
+    val seq = (v1.collect() ++ v2.collect())
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(seq == got.toMap)
+    val streamIds = corpus.select("doc_id").collect().map(_.getLong(0)).sorted
+    val seqIds = c2.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(streamIds.toSeq == seqIds.toSeq &&
+      streamIds.toSeq == Seq(1L, 2L, 11L, 21L))
+    // incrementally folded registers == one-shot build over final corpus
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1)) -> r.getLong(2)
+    val folded = regs.collect().map(key).toMap
+    val oneShot = Sketch.minhashRegisters(corpus).collect().map(key).toMap
+    assert(folded == oneShot && folded.size == 32) // 2 sources x 16 perms
+  }
+
 }
