@@ -2567,6 +2567,16 @@ object SparkEntry {
           64, 0.05, 0.95)
         .orderBy("event_type")),
 
+    // Grouped robust-stats card from the same histogram machinery:
+    // trimmed mean (drop outside [p05,p95] instead of clamping),
+    // histogram median, and MAD via a second bounded histogram over
+    // |v - median| whose bounds are closed-form — location AND scale
+    // robustly, with no per-group sort anywhere.
+    "sketch_robust_stats" -> ((s, dir) =>
+      Sketch.robustStatsCard(T(s, dir, "events"), "event_type", "value",
+          64, 0.05, 0.95)
+        .orderBy("event_type")),
+
     // MinHash register-min union: per-source 16-perm signatures folded
     // into the corpus-union signature by elementwise MIN (exact in
     // sketch space — the third mergeable fold beside CMS add and HLL
@@ -6425,6 +6435,70 @@ object SparkEntry {
         |  round(CAST(sum(CAST(round(cv, 6) AS DECIMAL(28,6))) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6) AS mean_winsorized
         |FROM w GROUP BY g ORDER BY event_type""".stripMargin,
+
+    // Mirrors robustStatsCard: the sketch_winsorized histogram blocks
+    // plus the 0.5 cut (median), the trim-window filter, and the
+    // closed-form-bounded deviation histogram for MAD — identical IEEE
+    // op order throughout.
+    "sketch_robust_stats" ->
+      """WITH clean AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |      FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT g, min(v) AS lo, max(v) AS hi,
+        |        CAST(count(*) AS BIGINT) AS n FROM clean GROUP BY 1),
+        |bn AS (SELECT c.g,
+        |        CASE WHEN b.hi = b.lo THEN 0
+        |          ELSE least(CAST(floor((c.v - b.lo)
+        |            / ((b.hi - b.lo) / 64)) AS BIGINT), 63) END AS bin,
+        |        b.lo, b.hi, b.n
+        |      FROM clean c JOIN b ON b.g = c.g),
+        |bc AS (SELECT g, bin, lo, hi, n, count(*) AS c
+        |      FROM bn GROUP BY 1, 2, 3, 4, 5),
+        |cm AS (SELECT g, bin, lo, hi, n,
+        |        sum(c) OVER (PARTITION BY g ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM bc),
+        |clo AS (SELECT g,
+        |        round(lo + (min(bin) + 1) * ((hi - lo) / 64), 6) AS cut_lo
+        |      FROM cm WHERE cum >= ceil(0.05 * n) GROUP BY g, lo, hi),
+        |chi AS (SELECT g,
+        |        round(lo + (min(bin) + 1) * ((hi - lo) / 64), 6) AS cut_hi
+        |      FROM cm WHERE cum >= ceil(0.95 * n) GROUP BY g, lo, hi),
+        |cmed AS (SELECT g,
+        |        round(lo + (min(bin) + 1) * ((hi - lo) / 64), 6) AS median_est
+        |      FROM cm WHERE cum >= ceil(0.5 * n) GROUP BY g, lo, hi),
+        |w AS (SELECT c.g, c.v, clo.cut_lo, chi.cut_hi, cmed.median_est,
+        |        b.lo, b.hi, b.n
+        |      FROM clean c JOIN clo ON clo.g = c.g JOIN chi ON chi.g = c.g
+        |      JOIN cmed ON cmed.g = c.g JOIN b ON b.g = c.g),
+        |dbn AS (SELECT g, n,
+        |        greatest(median_est - lo, hi - median_est) AS dhi,
+        |        CASE WHEN greatest(median_est - lo, hi - median_est) <= 0 THEN 0
+        |          ELSE least(CAST(floor(abs(v - median_est)
+        |            / (greatest(median_est - lo, hi - median_est) / 64))
+        |            AS BIGINT), 63) END AS bin
+        |      FROM w),
+        |dbc AS (SELECT g, bin, dhi, n, count(*) AS c
+        |      FROM dbn GROUP BY 1, 2, 3, 4),
+        |dcm AS (SELECT g, bin, dhi, n,
+        |        sum(c) OVER (PARTITION BY g ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM dbc),
+        |mad AS (SELECT g, round((min(bin) + 1) * (dhi / 64), 6) AS mad_est
+        |      FROM dcm WHERE cum >= ceil(0.5 * n) GROUP BY g, dhi),
+        |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |        min(cut_lo) AS cut_lo, min(cut_hi) AS cut_hi,
+        |        min(median_est) AS median_est,
+        |        round(CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |          / CAST(count(*) AS DOUBLE), 6) AS mean_raw,
+        |        CAST(sum(CASE WHEN v BETWEEN cut_lo AND cut_hi
+        |          THEN CAST(round(v, 6) AS DECIMAL(28,6)) END) AS DOUBLE) AS st,
+        |        CAST(sum(CASE WHEN v BETWEEN cut_lo AND cut_hi
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed
+        |      FROM w GROUP BY g)
+        |SELECT agg.g AS event_type, n, cut_lo, cut_hi, median_est, mean_raw,
+        |  round(st / nullif(CAST(n_trimmed AS DOUBLE), 0.0), 6) AS mean_trimmed,
+        |  n_trimmed, mad_est
+        |FROM agg JOIN mad ON mad.g = agg.g ORDER BY event_type""".stripMargin,
 
     // Rebuilds the per-source 16-perm signatures bit-for-bit (the
     // dedup_lsh_curve shingle/hash SQL, grouped by source), folds the

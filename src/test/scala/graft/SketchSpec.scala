@@ -302,6 +302,24 @@ class SketchSpec extends SparkSpec {
     assert(out("b") == ((2L, 5.0, 5.0, 5.0, 5.0)))
   }
 
+  test("robustStatsCard: hand-computed median/trimmed-mean/MAD; constant group degenerates to zeros") {
+    // Group a (0..8 plus outlier 100, 100 bins): cuts as the winsorize
+    // test (1.0 / 9.0); median rank ceil(0.5*10)=5 -> bin 4 -> 5.0;
+    // trimmed keeps {1..8} -> 36/8 = 4.5 over n_trimmed=8. MAD: dhi =
+    // max(5-0, 100-5) = 95, dev bin width .95; devs {0,1,1,2,2,3,3,4,
+    // 5,95} put rank-5 in dev-bin 2 -> (2+1)*.95 = 2.85 (true MAD 2.5,
+    // within one bin width). Group b constant: all cuts pin to 5, MAD 0.
+    val df = ((0 to 8).map(v => ("a", v.toDouble)) :+ (("a", 100.0)) :+
+      (("b", 5.0)) :+ (("b", 5.0))).toDF("g", "v")
+    val out = Sketch.robustStatsCard(df, "g", "v", 100, 0.01, 0.9)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getLong(7), r.getDouble(8)))
+      .toMap
+    assert(out("a") == ((10L, 1.0, 9.0, 5.0, 13.6, 4.5, 8L, 2.85)))
+    assert(out("b") == ((2L, 5.0, 5.0, 5.0, 5.0, 5.0, 2L, 0.0)))
+  }
+
   test("winsorizedMeanCard: pLo=0/pHi=1 are exact no-ops (cuts = min/max)") {
     // Boundary percentiles must clamp nothing: cut_lo = the group's
     // exact min and cut_hi = its exact max (not a bin upper edge, which
