@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""End-of-round artifact self-check (VERDICT r14 item 7).
+
+Validates that the per-round machine artifacts parse and agree with the
+docs BEFORE they are committed, so process regressions (r13's refused
+bench, stale counts) are caught in-round instead of by the judge:
+
+  1. BENCH_FULL.json parses; carries clean/queries/n_ok/value.
+  2. Every BENCH_HISTORY.jsonl line parses.
+  3. The latest BENCH_r{N}.json / CORRECTNESS_r{N}.json parse;
+     correctness rows are all-green (rows+schema+hash, no err).
+  4. SCALE_GATE.json parses.
+  5. README.md's "N named queries" == COVERAGE.md's "Totals: N
+     registered queries" (the registry size itself is pinned to these
+     by EntrySpec; this check catches editing one doc but not the other
+     without a test run).
+  6. ADVICE.md file:line citations point at files that exist and are
+     long enough (warning only — the advisor wrote them against an
+     older HEAD, so line drift is expected).
+
+Hard failures exit 1; warnings print but exit 0.
+Usage: python3 tools/artifact_check.py [repo_root]
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+root = sys.argv[1] if len(sys.argv) > 1 else os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))
+fails, warns = [], []
+
+
+def latest(pattern):
+    paths = glob.glob(os.path.join(root, pattern))
+    if not paths:
+        return None
+    def n(p):
+        m = re.search(r"_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+    return max(paths, key=n)
+
+
+# 1. BENCH_FULL.json
+bf = os.path.join(root, "BENCH_FULL.json")
+if os.path.exists(bf):
+    try:
+        d = json.load(open(bf))
+        for k in ("clean", "queries", "n_ok", "value"):
+            if k not in d:
+                fails.append(f"BENCH_FULL.json missing key {k!r}")
+        if d.get("errors"):
+            warns.append(f"BENCH_FULL.json has errors: {sorted(d['errors'])}")
+        if not d.get("clean", False):
+            warns.append("BENCH_FULL.json is stamped clean:false")
+        if d.get("suspect"):
+            warns.append(f"BENCH_FULL.json suspect timings: {d['suspect']}")
+        bench_n_ok = d.get("n_ok")
+    except Exception as e:
+        fails.append(f"BENCH_FULL.json unparseable: {e}")
+        bench_n_ok = None
+else:
+    warns.append("BENCH_FULL.json absent")
+    bench_n_ok = None
+
+# 2. BENCH_HISTORY.jsonl
+hist = os.path.join(root, "BENCH_HISTORY.jsonl")
+if os.path.exists(hist):
+    for i, line in enumerate(open(hist), 1):
+        if line.strip():
+            try:
+                json.loads(line)
+            except Exception as e:
+                fails.append(f"BENCH_HISTORY.jsonl line {i} unparseable: {e}")
+
+# 3. latest per-round artifacts
+br = latest("BENCH_r*.json")
+if br:
+    try:
+        json.load(open(br))
+    except Exception as e:
+        fails.append(f"{os.path.basename(br)} unparseable: {e}")
+cr = latest("CORRECTNESS_r*.json")
+if cr:
+    try:
+        rows = json.load(open(cr))
+        bad = [q for q, r in rows.items()
+               if not (r.get("rows_match") and r.get("schema_match")
+                       and r.get("hash_match")) or r.get("err")]
+        if bad:
+            warns.append(
+                f"{os.path.basename(cr)}: {len(bad)} non-green rows "
+                f"(e.g. {sorted(bad)[:5]})")
+    except Exception as e:
+        fails.append(f"{os.path.basename(cr)} unparseable: {e}")
+
+# 4. SCALE_GATE.json
+sg = os.path.join(root, "SCALE_GATE.json")
+if os.path.exists(sg):
+    try:
+        json.load(open(sg))
+    except Exception as e:
+        fails.append(f"SCALE_GATE.json unparseable: {e}")
+
+# 5. doc-count agreement
+try:
+    readme = open(os.path.join(root, "README.md"), encoding="utf-8").read()
+    coverage = open(os.path.join(root, "COVERAGE.md"), encoding="utf-8").read()
+    rm = re.search(r"(\d+) named queries", readme)
+    cm = re.search(r"Totals: (\d+) registered queries", coverage)
+    if not rm or not cm:
+        fails.append("count line missing in README.md or COVERAGE.md")
+    elif rm.group(1) != cm.group(1):
+        fails.append(f"README says {rm.group(1)} queries, "
+                     f"COVERAGE says {cm.group(1)}")
+    elif bench_n_ok is not None and bench_n_ok != int(rm.group(1)):
+        warns.append(f"BENCH_FULL n_ok={bench_n_ok} != documented "
+                     f"{rm.group(1)} (stale profile after a query add?)")
+except Exception as e:
+    fails.append(f"doc-count check failed: {e}")
+
+# 6. ADVICE.md citations (warnings only — advisor wrote vs older HEAD)
+adv = os.path.join(root, "ADVICE.md")
+if os.path.exists(adv):
+    for m in re.finditer(r"(src/[\w/.]+\.scala):(\d+)",
+                         open(adv, encoding="utf-8").read()):
+        p, ln = m.group(1), int(m.group(2))
+        fp = os.path.join(root, p)
+        if not os.path.exists(fp):
+            warns.append(f"ADVICE cites missing file {p}")
+        elif sum(1 for _ in open(fp, encoding="utf-8")) < ln:
+            warns.append(f"ADVICE cites {p}:{ln} beyond EOF (line drift)")
+
+for w in warns:
+    print(f"WARN  {w}")
+for f in fails:
+    print(f"FAIL  {f}")
+print(f"artifact_check: {len(fails)} failure(s), {len(warns)} warning(s)")
+sys.exit(1 if fails else 0)
