@@ -98,6 +98,29 @@ object SparkEntry {
         copurchaseEdgesFresh(s, dir).localCheckpoint())
     }
 
+  /** Near-dup cluster labels over the documents table (trigram Jaccard
+    * ≥ 0.5 pairs → star-contraction components) — the second shared
+    * derivation behind a (session, dir) memo: four queries
+    * (`dedup_clusters`, `dedup_cluster_stats`, `dedup_keep_best`,
+    * `sample_split`) consume the IDENTICAL label frame, and a real
+    * pipeline materializes cluster labels once. Same lifetime/purity
+    * contract as [[copurchaseEdges]]; parity vs a fresh derivation is
+    * asserted in EntrySpec.
+    */
+  private[graft] def docClustersFresh(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dedup.dedupClusters(docs, Dedup.ngramJaccardPairs(docs, 3, 0.5))
+  }
+
+  private val clusterMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def docClusters(s: SparkSession, dir: String): DataFrame =
+    clusterMemo.synchronized {
+      clusterMemo.getOrElseUpdate((s, dir),
+        docClustersFresh(s, dir).localCheckpoint())
+    }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing")(spark, "/root/testdata/sf0.001")
@@ -981,11 +1004,8 @@ object SparkEntry {
     // against exact connected components. The propagation formulation
     // survives as Dedup.dedupClustersPropagation, the spec-level parity
     // oracle.
-    "dedup_clusters" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      Dedup.dedupClusters(docs, Dedup.ngramJaccardPairs(docs, 3, 0.5))
-        .orderBy("doc_id")
-    }),
+    "dedup_clusters" -> ((s, dir) =>
+      docClusters(s, dir).orderBy("doc_id")),
 
     // Digest-level exact dedup: only 16-byte md5 digests shuffle, never
     // payloads — the binary-asset dedup shape (run here over text as the
@@ -998,13 +1018,11 @@ object SparkEntry {
     // in clusters of size s) — the report that says "dedup removed X% and
     // the worst template family has N copies". Two tiny aggregates over
     // the cluster labels.
-    "dedup_cluster_stats" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      Dedup.dedupClusters(docs, Dedup.ngramJaccardPairs(docs, 3, 0.5))
+    "dedup_cluster_stats" -> ((s, dir) =>
+      docClusters(s, dir)
         .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-        .orderBy("cluster_size")
-    }),
+        .orderBy("cluster_size")),
 
     // Character-level near-dup: exact-Jaccard >= 0.3 candidates verified
     // by exact Levenshtein <= 10. The candidate definition MATCHES the
@@ -1051,9 +1069,7 @@ object SparkEntry {
     // cluster (score = n_chars, exact integer — tie by doc_id).
     "dedup_keep_best" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val clusters = Dedup.dedupClusters(docs,
-        Dedup.ngramJaccardPairs(docs, 3, 0.5))
-      Dedup.keepBest(clusters, docs.select(col("doc_id"),
+      Dedup.keepBest(docClusters(s, dir), docs.select(col("doc_id"),
           col("n_chars").cast("long").as("n_chars")), "n_chars")
         .select(col("cluster_id"), col("keep_id"), col("n_members"),
           col("best_score"))
@@ -1062,14 +1078,10 @@ object SparkEntry {
 
     // Leak-free split: hash the CLUSTER id, not the doc id, so near-dups
     // can never straddle the train/eval boundary.
-    "sample_split" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val clusters = Dedup.dedupClusters(docs,
-        Dedup.ngramJaccardPairs(docs, 3, 0.5))
-      Sampling.assignSplit(clusters, "cluster_id", 0.1, 0.1)
+    "sample_split" -> ((s, dir) =>
+      Sampling.assignSplit(docClusters(s, dir), "cluster_id", 0.1, 0.1)
         .select(col("doc_id"), col("cluster_id"), col("split"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Column-level completeness profile: rows / non-null / exact
     // distinct per column, reshaped one-row-per-column with stack() —

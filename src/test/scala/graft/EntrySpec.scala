@@ -64,6 +64,17 @@ class EntrySpec extends SparkSpec {
       "memoized edge set diverges from a fresh derivation")
   }
 
+  test("memoized docClusters: label parity with a fresh derivation, same frame reused") {
+    val dir = "/root/testdata/sf0.001"
+    val memo1 = SparkEntry.docClusters(spark, dir)
+    assert(memo1 eq SparkEntry.docClusters(spark, dir))
+    val fresh = SparkEntry.docClustersFresh(spark, dir)
+    assert(memo1.count() == fresh.count() &&
+      memo1.join(fresh, Seq("doc_id", "cluster_id"), "left_anti").isEmpty &&
+      fresh.join(memo1, Seq("doc_id", "cluster_id"), "left_anti").isEmpty,
+      "memoized cluster labels diverge from a fresh derivation")
+  }
+
   test("all registered queries execute at sf0.001 and are non-degenerate") {
     val allowedEmpty = Set("dedup_ngram_jaccard", "dedup_ngram_prefix",
       "dedup_minhash_lsh", "dedup_simhash", "dedup_embed_cosine")
