@@ -121,6 +121,21 @@ object SparkEntry {
         docClustersFresh(s, dir).localCheckpoint())
     }
 
+  /** Drop all (session, dir) memo entries. Measurement harnesses call
+    * this to keep recorded times honest: Bench clears per PASS (each
+    * pass's total contains every shared derivation exactly once — the
+    * materialize-once pipeline shape — and a min-of-2 retry can never
+    * record a memo hit as the query's cost), ScaleGate per MEASUREMENT
+    * (gate ratios must include the derivation's own scaling). The
+    * checkpointed blocks themselves live until their session stops;
+    * clearing only forgets the handles, which is fine for the handful
+    * of entries a harness process creates.
+    */
+  private[graft] def clearMemos(): Unit = {
+    edgeMemo.synchronized(edgeMemo.clear())
+    clusterMemo.synchronized(clusterMemo.clear())
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing")(spark, "/root/testdata/sf0.001")

@@ -174,6 +174,13 @@ object ScaleGate {
     }
 
     def time(name: String, dir: String): Double = {
+      // The (session, dir) memos (copurchaseEdges, docClusters) would
+      // otherwise let the second sample and every later family member
+      // read pre-materialized blocks — recording near-zero and hiding
+      // the derivation's scaling from exactly the gate that watches it.
+      // Clear per measurement: every gate timing includes the FULL
+      // derivation, keeping ratios comparable with pre-memo rounds.
+      graft.SparkEntry.clearMemos()
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime(); fn(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
