@@ -121,6 +121,22 @@ object SparkEntry {
         docClustersFresh(s, dir).localCheckpoint())
     }
 
+  /** The d×d embedding covariance matrix — the third shared derivation:
+    * five emb_* queries (covariance, pca_power, eigengap, abtt,
+    * effective_rank) all start from the identical (i, j, cov) frame,
+    * which costs one full corpus pass each time. Same lifetime/purity
+    * contract as [[copurchaseEdges]]; parity is free (covarianceMatrix
+    * is deterministic and the memo IS its checkpoint).
+    */
+  private val covMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def embCov(s: SparkSession, dir: String): DataFrame =
+    covMemo.synchronized {
+      covMemo.getOrElseUpdate((s, dir),
+        Similarity.covarianceMatrix(T(s, dir, "embeddings")).localCheckpoint())
+    }
+
   /** Drop all (session, dir) memo entries. Measurement harnesses call
     * this to keep recorded times honest: Bench clears per PASS (each
     * pass's total contains every shared derivation exactly once — the
@@ -134,6 +150,7 @@ object SparkEntry {
   private[graft] def clearMemos(): Unit = {
     edgeMemo.synchronized(edgeMemo.clear())
     clusterMemo.synchronized(clusterMemo.clear())
+    covMemo.synchronized(covMemo.clear())
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
@@ -1740,13 +1757,13 @@ object SparkEntry {
     // input): row-local outer products -> d^2-key aggregate with map-side
     // combine; no self-join, no N-proportional shuffle.
     "emb_covariance" -> ((s, dir) =>
-      Similarity.covarianceMatrix(T(s, dir, "embeddings"))
-        .orderBy("i", "j")),
+      embCov(s, dir).orderBy("i", "j")),
 
     // Effective rank trace(C)²/‖C‖²_F — "how many dimensions are in
     // use", no eigendecomposition (anisotropy-collapse alarm).
     "emb_effective_rank" -> ((s, dir) =>
-      Similarity.effectiveRank(T(s, dir, "embeddings"))),
+      Similarity.effectiveRank(T(s, dir, "embeddings"),
+        precomputedCov = Some(embCov(s, dir)))),
 
     // TwoNN intrinsic dimension: d̂ = n / Σ ln(r₂/r₁) over each vector's
     // two nearest neighbors — exact N² baseline (ann_knn_graph
@@ -1801,7 +1818,8 @@ object SparkEntry {
     // λ₁/λ₂ by Hotelling deflation: one-dominant-direction vs
     // no-preferred-axis, the top of the spectrum effectiveRank averages.
     "emb_eigengap" -> ((s, dir) =>
-      Similarity.eigenGap(T(s, dir, "embeddings"))),
+      Similarity.eigenGap(T(s, dir, "embeddings"),
+        precomputedCov = Some(embCov(s, dir)))),
 
     // 1-bit (sign) binary quantization retrieval quality: Hamming top-10
     // vs the exact cosine ranking — the 64×-compression recall question.
@@ -1850,7 +1868,8 @@ object SparkEntry {
     // Leading principal direction via 3 power iterations on the
     // covariance matrix (9-dp-quantized trajectory, unrolled CTE oracle).
     "emb_pca_power" -> ((s, dir) =>
-      Similarity.pcaPowerIteration(T(s, dir, "embeddings"), 3)
+      Similarity.pcaPowerIteration(T(s, dir, "embeddings"), 3,
+          cov = Some(embCov(s, dir)))
         .orderBy("i")),
 
     // PageRank (3 power iterations, d=0.85) over the event-type
@@ -2628,7 +2647,8 @@ object SparkEntry {
     // principal direction (emb_pca_power's component) — mean and PC
     // pack into ONE broadcast row; the corpus never joins itself.
     "emb_abtt" -> ((s, dir) =>
-      operators.Similarity.allButTheTop(T(s, dir, "embeddings"))
+      operators.Similarity.allButTheTop(T(s, dir, "embeddings"),
+          cov = Some(embCov(s, dir)))
         .orderBy("vec_id", "dim")),
 
     // PQ codebook-quality card: per subspace, codes used + mean/max

@@ -649,23 +649,29 @@ object Analytics {
     * least `minSupport` baskets, the classic support / confidence / lift
     * triple, top `k` by lift — the co-purchase (or co-occurrence) miner.
     *
-    * Shuffle shape: baskets collapse to DISTINCT (basket, item) first;
-    * the pair generation is a self-equi-join ON THE BASKET KEY (work ∝
-    * Σ basket_size², the true output — baskets are small by nature);
-    * item frequencies and the basket total ride broadcastable
-    * aggregates. All ratios are single divisions of exact BIGINTs,
-    * rounded to 6 dp — engine-identical; ordering ties break on the
-    * item pair.
+    * Shuffle shape (round 15 — the `copurchaseEdges` derivation): ONE
+    * basket-keyed groupBy collapses each basket to its sorted distinct
+    * item set, pairs expand IN MEMORY per basket (sorted array →
+    * ordered (i1 < i2) pairs, work ∝ Σ basket_size² — the true output;
+    * baskets are small by nature and the cap bounds the worst case),
+    * and one (i1, i2) aggregate counts co-occurrence. That is 2 keyed
+    * shuffles where the previous distinct + basket-key self-join +
+    * pair-aggregate chain paid 4 (pair multiset proven identical —
+    * same sorted-distinct sets, same ordered pairs). Item frequencies
+    * and the basket total ride the same collected frame, so no second
+    * scan of `lines` either. All ratios are single divisions of exact
+    * BIGINTs, rounded to 6 dp — engine-identical; ordering ties break
+    * on the item pair.
     *
     * `maxBasketSize` is the mega-basket guard: one pathological basket
     * (a bot session touching every item, a default/placeholder basket
-    * key) costs size² pairs in the self-join AND carries no association
+    * key) costs size² pairs in the expansion AND carries no association
     * signal — every pair trivially co-occurs, flattening lift. Baskets
     * with more than `maxBasketSize` distinct items are excluded WHOLE
-    * (one size aggregate + a basket-keyed semi-join, cheap vs the pair
-    * join they would have exploded), and the exclusion applies before
-    * the denominator and item frequencies so support/confidence/lift
-    * stay internally consistent over the capped universe. Default
+    * (now a `size(...)` filter on the collected set — no extra
+    * aggregate or semi-join), and the exclusion applies before the
+    * denominator and item frequencies so support/confidence/lift stay
+    * internally consistent over the capped universe. Default
     * `Long.MaxValue` = no cap (the exact miner).
     */
   def basketPairs(lines: DataFrame, basketCol: String, itemCol: String,
@@ -673,18 +679,22 @@ object Analytics {
                   maxBasketSize: Long = Long.MaxValue): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(maxBasketSize >= 2, s"need maxBasketSize >= 2, got $maxBasketSize")
-    val all = lines.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
-    val items =
-      if (maxBasketSize == Long.MaxValue) all
-      else all.join(
-        all.groupBy("b").agg(count(lit(1)).as("__bs"))
-          .filter(col("__bs") <= maxBasketSize).select("b"),
-        Seq("b"), "left_semi")
-    val nb = items.agg(countDistinct(col("b")).as("n_baskets"))
-    val freq = items.groupBy("i").agg(count(lit(1)).as("c"))
-    val pairs = items.as("l").join(items.as("r"),
-        col("l.b") === col("r.b") && col("l.i") < col("r.i"))
-      .groupBy(col("l.i").as("i1"), col("r.i").as("i2"))
+    val collected = lines.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .groupBy("b").agg(sort_array(collect_set(col("i"))).as("is"))
+    val baskets =
+      (if (maxBasketSize == Long.MaxValue) collected
+       else collected.filter(size(col("is")) <= maxBasketSize))
+        .localCheckpoint() // 3 consumers (nb, freq, pairs) — scan once
+    val nb = baskets.agg(count(lit(1)).as("n_baskets"))
+    val freq = baskets.select(explode(col("is")).as("i"))
+      .groupBy("i").agg(count(lit(1)).as("c"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("is"), (x, idx) =>
+        transform(slice(col("is"), idx + lit(2),
+            greatest(size(col("is")) - idx - 1, lit(0))), y =>
+          struct(x.as("i1"), y.as("i2")))))).as("e"))
+      .select(col("e.i1").as("i1"), col("e.i2").as("i2"))
+      .groupBy("i1", "i2")
       .agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= minSupport)
     pairs

@@ -952,13 +952,18 @@ object Similarity {
     * sign is otherwise arbitrary).
     */
   def pcaPowerIteration(embeddings: DataFrame, iters: Int = 3,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        cov: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     // covarianceMatrix is lazy (single-pass plan) — checkpoint its d²
     // rows ONCE here so the iteration loop's repeated joins don't re-run
-    // the corpus aggregate every round.
-    val cov = covarianceMatrix(embeddings, idCol, vecCol).localCheckpoint()
-    powerLoop(cov, iters)
+    // the corpus aggregate every round. Callers holding an already-
+    // materialized (i, j, cov) frame (the harness memoizes ONE per
+    // (session, dir) across the five emb_* covariance consumers) pass
+    // it via `cov` — it must be cheap to re-read, i.e. checkpointed.
+    val covF = cov.getOrElse(
+      covarianceMatrix(embeddings, idCol, vecCol).localCheckpoint())
+    powerLoop(covF, iters)
   }
 
   /** The power-iteration loop shared by [[pcaPowerIteration]] and
@@ -1034,9 +1039,11 @@ object Similarity {
     */
   def eigenGap(embeddings: DataFrame, iters: Int = 3,
                idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding",
+               precomputedCov: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val cov = covarianceMatrix(embeddings, idCol, vecCol).localCheckpoint()
+    val cov = precomputedCov.getOrElse(
+      covarianceMatrix(embeddings, idCol, vecCol).localCheckpoint())
     val top = powerLoop(cov, iters).localCheckpoint()
     val lam1 = top.agg(max(col("eigenvalue_est")).as("lambda1"))
     val cov2 = cov
@@ -1075,7 +1082,8 @@ object Similarity {
     */
   def allButTheTop(embeddings: DataFrame, iters: Int = 3,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
+                   vecCol: String = "embedding",
+                   cov: Option[DataFrame] = None): DataFrame = {
     val flat = flatten(embeddings, idCol, vecCol)
     val mu = flat.groupBy("dim")
       .agg(count(lit(1)).as("n"),
@@ -1083,7 +1091,7 @@ object Similarity {
       .select(col("dim"),
         round((col("sx").cast("double") / col("n"))
           .cast("decimal(24,12)"), 6).cast("double").as("mu"))
-    val pc = pcaPowerIteration(embeddings, iters, idCol, vecCol)
+    val pc = pcaPowerIteration(embeddings, iters, idCol, vecCol, cov)
       .select((col("i") + 1).cast("long").as("dim"), col("loading"))
     val packed = mu.join(pc, "dim").agg(
       transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
@@ -1402,8 +1410,9 @@ object Similarity {
     * a 9-dp-rounded square sum.
     */
   def effectiveRank(embeddings: DataFrame, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
-    val cov = covarianceMatrix(embeddings, idCol, vecCol)
+                    vecCol: String = "embedding",
+                    precomputedCov: Option[DataFrame] = None): DataFrame = {
+    val cov = precomputedCov.getOrElse(covarianceMatrix(embeddings, idCol, vecCol))
     cov.agg(
         count(lit(1)).as("n_entries"),
         sum(when(col("i") === col("j"), col("cov").cast("decimal(18,6)")))
