@@ -827,11 +827,16 @@ object TimeSeries {
                maxBuckets: Int = 512): DataFrame = {
     require(maxBuckets >= 2, s"need maxBuckets >= 2, got $maxBuckets")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    // Eagerly checkpointed: the indexed-bucket frame feeds THREE plan
+    // branches (both sides of the pair self-join and the residual join),
+    // so an uncut plan re-runs bucketize's scan + keyed window per
+    // branch. The frame is ≤ keys × maxBuckets rows — tiny.
     val idx = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
       .filter(col("v").isNotNull)
       .withColumn("t", (row_number().over(w) - 1).cast("long"))
       .filter(col("t") < maxBuckets)
       .select(col(keyCol).as("k"), col("t"), col("v"))
+      .localCheckpoint()
     val pairs = idx.as("a").join(idx.as("b"),
         col("a.k") === col("b.k") && col("a.t") < col("b.t"))
       .select(col("a.k").as("k"),
@@ -1077,6 +1082,8 @@ object TimeSeries {
       .withColumn("t", (row_number().over(w) - 1).cast("long"))
       .filter(col("t") < maxBuckets)
       .select(col(keyCol).as("k"), col("t"), col("v"))
+      // 3 consumers (both self-join sides + ties) — the theilSen cut
+      .localCheckpoint()
     val pairs = idx.as("a").join(idx.as("b"),
         col("a.k") === col("b.k") && col("a.t") < col("b.t"))
       .select(col("a.k").as("k"),

@@ -500,6 +500,23 @@ class PlanGuardSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(q1.contains("PushedFilters:") && q1.contains("l_shipdate"),
       s"q1 scan lost its pushdown:\n${q1.take(2000)}")
+    // round-15 shapes: basketPairs must keep the collect_set + in-memory
+    // pair expansion (a Generate over the checkpointed basket frame) and
+    // the top-k heap — never the old basket-key SELF-join (two scans of
+    // the item table joined on b) or a global sort
+    val bp15 = graft.analytics.Analytics.basketPairs(
+        spark.read.parquet(s"$sf/lineitem.parquet"),
+        "l_orderkey", "l_partkey", minSupport = 2L)
+      .queryExecution.executedPlan.toString
+    assert(bp15.contains("Generate"),
+      s"basketPairs lost its pair-expansion Generate:\n$bp15")
+    assert(bp15.contains("TakeOrderedAndProject"),
+      s"basketPairs lost its top-k heap:\n$bp15")
+    // the streaming-admission chain joins on shingle/doc keys only
+    val sdi = SparkEntry.queries("stream_dedup_incr")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!sdi.contains("CartesianProduct"),
+      s"stream_dedup_incr went cartesian:\n$sdi")
     // top-parts aggregates ONE column; the scan must not read the other 10
     val tp = SparkEntry.queries("ana_top_parts")(spark, sf)
       .queryExecution.executedPlan.toString
