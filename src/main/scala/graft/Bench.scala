@@ -139,18 +139,23 @@ object Bench {
           l.substring(i + k.length, l.indexOf(',', i + k.length)).toDouble)
           .getOrElse(0.0)
       }
+      // Same-sf lines only: a full run at another scale factor would
+      // otherwise poison the yardstick (10× times mask every real
+      // regression; 0.1× times flag every healthy macro as an outlier).
+      val sfTag = s""""sf":"$sfDir""""
       val lastClean =
         if (java.nio.file.Files.exists(histPath))
           scala.io.Source.fromFile(histPath.toFile).getLines().toSeq.reverse
             .find(l => l.contains("\"clean\":true") && !l.contains("\"only\":") &&
-              start5Of(l) <= loadMax)
+              l.contains(sfTag) && start5Of(l) <= loadMax)
         else None
       lastClean.map(parseQueries).filter(_.nonEmpty).getOrElse {
         val fullPath = java.nio.file.Paths.get(s"$repoRoot/BENCH_FULL.json")
-        if (java.nio.file.Files.exists(fullPath))
-          parseQueries(new String(java.nio.file.Files.readAllBytes(fullPath),
-            java.nio.charset.StandardCharsets.UTF_8))
-        else Map.empty
+        if (java.nio.file.Files.exists(fullPath)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(fullPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          if (txt.contains(sfTag)) parseQueries(txt) else Map.empty
+        } else Map.empty
       }
     } catch { case _: Throwable => Map.empty }
     // (name, seconds, error) — a throwing query must NOT be recorded as a

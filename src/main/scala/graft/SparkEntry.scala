@@ -92,11 +92,24 @@ object SparkEntry {
   private val edgeMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
-  private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    edgeMemo.synchronized {
-      edgeMemo.getOrElseUpdate((s, dir),
-        copurchaseEdgesFresh(s, dir).localCheckpoint())
+  /** Memo lookup with the derivation OUTSIDE the monitor: the build is
+    * a multi-second Spark job, and holding the map lock through it
+    * would serialize concurrent callers of UNRELATED keys (parallel
+    * suites in one JVM). A rare duplicate race derives twice and keeps
+    * the first insert — the loser's checkpoint blocks idle until the
+    * session stops, a bounded leak traded for never blocking a Spark
+    * job on a map monitor.
+    */
+  private def memoized(memo: scala.collection.mutable.Map[(SparkSession, String), DataFrame],
+                       s: SparkSession, dir: String)
+                      (build: => DataFrame): DataFrame =
+    memo.synchronized(memo.get((s, dir))).getOrElse {
+      val built = build.localCheckpoint()
+      memo.synchronized(memo.getOrElseUpdate((s, dir), built))
     }
+
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    memoized(edgeMemo, s, dir)(copurchaseEdgesFresh(s, dir))
 
   /** Near-dup cluster labels over the documents table (trigram Jaccard
     * ≥ 0.5 pairs → star-contraction components) — the second shared
@@ -109,17 +122,18 @@ object SparkEntry {
     */
   private[graft] def docClustersFresh(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
-    Dedup.dedupClusters(docs, Dedup.ngramJaccardPairs(docs, 3, 0.5))
+    // strict: the four consumers' oracles assume EXACT components (the
+    // graph_cc_stars rationale), and the memo would otherwise pin one
+    // under-merged derivation for the process lifetime.
+    Dedup.dedupClusters(docs, Dedup.ngramJaccardPairs(docs, 3, 0.5),
+      strict = true)
   }
 
   private val clusterMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   private[graft] def docClusters(s: SparkSession, dir: String): DataFrame =
-    clusterMemo.synchronized {
-      clusterMemo.getOrElseUpdate((s, dir),
-        docClustersFresh(s, dir).localCheckpoint())
-    }
+    memoized(clusterMemo, s, dir)(docClustersFresh(s, dir))
 
   /** The d×d embedding covariance matrix — the third shared derivation:
     * five emb_* queries (covariance, pca_power, eigengap, abtt,
@@ -132,10 +146,8 @@ object SparkEntry {
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   private[graft] def embCov(s: SparkSession, dir: String): DataFrame =
-    covMemo.synchronized {
-      covMemo.getOrElseUpdate((s, dir),
-        Similarity.covarianceMatrix(T(s, dir, "embeddings")).localCheckpoint())
-    }
+    memoized(covMemo, s, dir)(
+      Similarity.covarianceMatrix(T(s, dir, "embeddings")))
 
   /** Drop all (session, dir) memo entries. Measurement harnesses call
     * this to keep recorded times honest: Bench clears per PASS (each

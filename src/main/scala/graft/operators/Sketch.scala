@@ -647,8 +647,16 @@ object Sketch {
         .select(col("g"),
           round(col("lo") + (col("bin") + 1) *
             ((col("hi") - col("lo")) / nBins), 6).as(name))
-    val cuts = cutAt(pLo, "cut_lo").join(cutAt(pHi, "cut_hi"), "g")
-      .join(cutAt(0.5, "median_est"), "g")
+    // Boundary percentiles are exact no-ops on the trim window, same
+    // special-case as [[winsorizedMeanCard]]: at pLo=0 (pHi=1) the cut
+    // is the group's exact min (max) — trimming, which DROPS rows
+    // outside the window, would otherwise lose up to a bin's worth of
+    // mass at each boundary.
+    val cutLo = if (pLo <= 0.0) bounds.select(col("g"), col("lo").as("cut_lo"))
+                else cutAt(pLo, "cut_lo")
+    val cutHi = if (pHi >= 1.0) bounds.select(col("g"), col("hi").as("cut_hi"))
+                else cutAt(pHi, "cut_hi")
+    val cuts = cutLo.join(cutHi, "g").join(cutAt(0.5, "median_est"), "g")
     val withCuts = clean.join(broadcast(cuts.join(bounds, "g")), "g")
     // Deviation histogram around the median estimate. median_est is a
     // 6-dp-rounded bin edge, so it can sit an epsilon outside [lo, hi]

@@ -62,6 +62,9 @@ class EntrySpec extends SparkSpec {
       memo1.join(fresh, Seq("src", "dst"), "left_anti").isEmpty &&
       fresh.join(memo1, Seq("src", "dst"), "left_anti").isEmpty,
       "memoized edge set diverges from a fresh derivation")
+    // key-uniqueness pin: (src, dst) is unique (the derivation ends in a
+    // groupBy), so set equality above IS full-frame equality
+    assert(memo1.count() == memo1.select("src", "dst").distinct().count())
   }
 
   test("memoized docClusters: label parity with a fresh derivation, same frame reused") {

@@ -320,6 +320,19 @@ class SketchSpec extends SparkSpec {
     assert(out("b") == ((2L, 5.0, 5.0, 5.0, 5.0, 5.0, 2L, 0.0)))
   }
 
+  test("robustStatsCard: pLo=0/pHi=1 trim nothing (cuts = exact min/max)") {
+    // Trimming DROPS rows outside the window, so boundary percentiles
+    // must be exact min/max no-ops — a bin-edge cut would silently lose
+    // up to a bin's worth of mass at each boundary (the winsorize
+    // boundary fix, which matters MORE here).
+    val df = Seq(("a", 0.25), ("a", 1.0), ("a", 2.0), ("a", 100.5))
+      .toDF("g", "v")
+    val r = Sketch.robustStatsCard(df, "g", "v", 4, 0.0, 1.0).collect()(0)
+    assert(r.getDouble(2) == 0.25 && r.getDouble(3) == 100.5) // cuts
+    assert(r.getLong(7) == 4L)                   // n_trimmed = all rows
+    assert(r.getDouble(5) == r.getDouble(6))     // trimmed == raw mean
+  }
+
   test("winsorizedMeanCard: pLo=0/pHi=1 are exact no-ops (cuts = min/max)") {
     // Boundary percentiles must clamp nothing: cut_lo = the group's
     // exact min and cut_hi = its exact max (not a bin upper edge, which
