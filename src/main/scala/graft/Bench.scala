@@ -41,6 +41,22 @@ object Bench {
         val f = scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")
         (f(0).toDouble, f(1).toDouble)
       } catch { case _: Throwable => (-1.0, -1.0) }
+    // (steal, total) jiffies from /proc/stat's aggregate cpu line. Steal
+    // is the contention signal loadavg CANNOT see: cycles the hypervisor
+    // gave to other tenants while our runnable threads waited. Round-15
+    // forensics: two clean-stamped profiles on identical code measured
+    // 274 s vs 343 s with a uniform ~1.25× per-query factor across
+    // unrelated queries — invisible to both loadavg windows, exactly the
+    // signature of cross-tenant steal. Recorded per pass as provenance;
+    // once a couple of rounds establish the band, `clean` can gate on it.
+    def cpuTicks(): (Long, Long) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } catch { case _: Throwable => (0L, 0L) }
+    def stealPct(a: (Long, Long), b: (Long, Long)): Double =
+      if (b._2 > a._2) 100.0 * (b._1 - a._1) / (b._2 - a._2) else -1.0
     val loadMax = sys.env.get("SPARK_GRAFT_LOADAVG_MAX")
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(LoadavgMax)
     // Wait-for-idle BEFORE the expensive run: a profile started under
@@ -225,8 +241,10 @@ object Bench {
     def histOutlier(n: String, t: Double): Boolean =
       t >= MacroThresholdSec &&
         histTimes.get(n).exists(h => h > 0 && t > HistRetryFactor * h)
+    val ticks0 = cpuTicks()
     val p1 = pass()
     val (mid1, mid5) = loadavg()
+    val ticksMid = cpuTicks()
     val retry = p1.collect {
       case (n, t, e) if e.isDefined ||
         (t >= MacroThresholdSec && t < MacroSinglePassAboveSec &&
@@ -243,6 +261,9 @@ object Bench {
         histRetries.sorted.mkString(", "))
     val p2 = pass(retry).map(r => r._1 -> r).toMap
     val (end1, end5) = loadavg()
+    val ticksEnd = cpuTicks()
+    // steal over [pass1, pass2] — the in-run external-contention record
+    val steals = f"""[${stealPct(ticks0, ticksMid)}%.2f,${stealPct(ticksMid, ticksEnd)}%.2f]"""
     val results = p1.map { case (n, t1, e1) =>
       p2.get(n) match {
         case None => (n, t1, e1, false)
@@ -297,7 +318,7 @@ object Bench {
     val clean = !contaminated
     val onlyTag = only.map(r => s""","only":${jq(r)}""").getOrElse("")
     val line =
-      s"""{"metric":"total","unit":"sec","passes":"tiered-2","macro_threshold_sec":$MacroThresholdSec,"n_macro":${retry.size},"hist_retry_factor":$HistRetryFactor,"hist_retries":${histRetries.map(jq).sorted.mkString("[", ",", "]")},"suspect":$suspect,"clean":$clean,"contaminated":$contaminated,"loadavg_max":$loadMax,"waited_sec":$waited,"loadavg":$loads,"loadavg5":$loads5,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}$onlyTag}"""
+      s"""{"metric":"total","unit":"sec","passes":"tiered-2","macro_threshold_sec":$MacroThresholdSec,"n_macro":${retry.size},"hist_retry_factor":$HistRetryFactor,"hist_retries":${histRetries.map(jq).sorted.mkString("[", ",", "]")},"suspect":$suspect,"clean":$clean,"contaminated":$contaminated,"loadavg_max":$loadMax,"waited_sec":$waited,"loadavg":$loads,"loadavg5":$loads5,"steal_pct":$steals,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}$onlyTag}"""
     println(line)
     // Short line: slowest-first entries until the byte budget is spent.
     val budget = 1600
