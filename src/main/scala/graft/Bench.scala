@@ -158,14 +158,29 @@ object Bench {
       // Same-sf lines only: a full run at another scale factor would
       // otherwise poison the yardstick (10× times mask every real
       // regression; 0.1× times flag every healthy macro as an outlier).
+      // Per-query MIN over the last FIVE clean lines, not just the last
+      // one: round-15 measured clean-stamped profiles on identical code
+      // ranging 274–398 s (host-level variance invisible to loadavg AND
+      // steal) — the best recent honest time is the right "is this pass
+      // contaminated" denominator, where the merely-latest one inherits
+      // whatever slow window it ran in.
       val sfTag = s""""sf":"$sfDir""""
-      val lastClean =
+      val cleanLines =
         if (java.nio.file.Files.exists(histPath))
           scala.io.Source.fromFile(histPath.toFile).getLines().toSeq.reverse
-            .find(l => l.contains("\"clean\":true") && !l.contains("\"only\":") &&
+            .filter(l => l.contains("\"clean\":true") && !l.contains("\"only\":") &&
               l.contains(sfTag) && start5Of(l) <= loadMax)
-        else None
-      lastClean.map(parseQueries).filter(_.nonEmpty).getOrElse {
+            .take(5)
+        else Seq.empty
+      val fromHist = cleanLines.map(parseQueries).filter(_.nonEmpty)
+        .foldLeft(Map.empty[String, Double]) { (acc, m) =>
+          (acc.keySet ++ m.keySet).iterator.map { k =>
+            k -> math.min(acc.getOrElse(k, Double.MaxValue),
+              m.getOrElse(k, Double.MaxValue))
+          }.toMap
+        }
+      if (fromHist.nonEmpty) fromHist
+      else {
         val fullPath = java.nio.file.Paths.get(s"$repoRoot/BENCH_FULL.json")
         if (java.nio.file.Files.exists(fullPath)) {
           val txt = new String(java.nio.file.Files.readAllBytes(fullPath),
