@@ -1211,6 +1211,16 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // Training-mixture composition: target source weights w(srcK)=K%4+1
+    // + a 10k-token budget → per-source deterministic sampling rates and
+    // the target-vs-achieved mixture card (the Pile/Dolma dataset-card
+    // step). Oracle derives the same weights from the source name.
+    "sample_mixture_card" -> ((s, dir) =>
+      Sampling.mixtureCard(T(s, dir, "documents"),
+          (0 until 20).map(k => s"src$k" -> (k % 4 + 1).toDouble).toMap,
+          10000L)
+        .orderBy("source")),
+
     // Deterministic training-order shuffle: the output's ROW ORDER is the
     // shuffle (the driver's hash-compare is order-sensitive, so the
     // pseudorandom permutation itself is what's verified).
@@ -5260,6 +5270,44 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) <= 40
         |ORDER BY doc_id""".stripMargin,
+
+    // Mixture card: weights reconstructed from the source name
+    // (w = substr(source,4)%4 + 1, Σw = 50 over src0..src19), the same
+    // Bernoulli hash rule as sample_deterministic, identical IEEE op
+    // order for target/rate/threshold.
+    "sample_mixture_card" ->
+      """WITH base AS (SELECT source,
+        |        ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h,
+        |        CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |          AS BIGINT) AS n_tok
+        |      FROM documents),
+        |w AS (SELECT source,
+        |        CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS DOUBLE) AS w
+        |      FROM (SELECT DISTINCT source FROM documents)),
+        |tot AS (SELECT source, count(*) AS n_docs,
+        |        CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |      FROM base GROUP BY 1),
+        |p AS (SELECT t.source, n_docs, total_tokens, w.w,
+        |        10000.0 * w.w / 50.0 AS target_raw,
+        |        least(1.0, (10000.0 * w.w / 50.0)
+        |          / CAST(total_tokens AS DOUBLE)) AS rate
+        |      FROM tot t JOIN w ON w.source = t.source),
+        |kept AS (SELECT b.source, count(*) AS kept_docs,
+        |        CAST(sum(b.n_tok) AS BIGINT) AS kept_tokens
+        |      FROM base b JOIN p ON p.source = b.source
+        |      WHERE b.h < CAST(floor(p.rate * 4294967296) AS BIGINT)
+        |      GROUP BY 1),
+        |tk AS (SELECT sum(kept_tokens) AS tk FROM kept)
+        |SELECT p.source, n_docs, total_tokens,
+        |  round(target_raw, 2) AS target_tokens,
+        |  round(rate, 6) AS rate,
+        |  coalesce(kept_docs, 0) AS kept_docs,
+        |  CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+        |  round(p.w / 50.0, 6) AS target_share,
+        |  round(CAST(coalesce(kept_tokens, 0) AS DOUBLE)
+        |    / nullif(CAST(tk AS DOUBLE), 0.0), 6) AS achieved_share
+        |FROM p LEFT JOIN kept USING (source) CROSS JOIN tk
+        |ORDER BY p.source""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_md5

@@ -654,4 +654,64 @@ object Sampling {
         round((col("est_total") - col("true_total")).cast("double") /
           col("true_total").cast("double"), 6).as("rel_error"))
   }
+
+  /** Training-data MIXTURE composition (the Pile/Dolma-style source
+    * weighting step every LLM pretraining pipeline runs): given target
+    * source `weights` (relative, normalized internally) and a total
+    * `tokenBudget`, compute each source's deterministic sampling rate
+    * rate_s = min(1, budget·w_s/Σw / tokens_s), sample documents by the
+    * [[samplingHash]] Bernoulli rule, and emit the per-source mixture
+    * card — target vs achieved token shares — that a dataset card
+    * publishes. Sources missing from `weights` are excluded (no target,
+    * no rows); a source whose corpus is smaller than its target keeps
+    * everything (rate caps at 1 — the card shows the shortfall in
+    * `achieved_share`).
+    *
+    * Scale shape: ONE tokenize pass over the corpus (eagerly
+    * checkpointed — both the totals aggregate and the keep filter read
+    * it), per-source aggregates of |sources| rows riding broadcasts,
+    * and the keep decision is a narrow hash-threshold filter — no
+    * shuffle touches document text. Determinism: the threshold is
+    * floor(rate·2³²) of closed-form IEEE doubles on exact aggregates —
+    * the same rows survive on any engine or partitioning.
+    */
+  def mixtureCard(docs: DataFrame, weights: Map[String, Double],
+                  tokenBudget: Long, sourceCol: String = "source",
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(tokenBudget > 0, s"need tokenBudget > 0, got $tokenBudget")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0) &&
+      weights.values.sum > 0.0, "weights must be non-negative, sum > 0")
+    val wSum = weights.values.sum
+    val s = docs.sparkSession
+    import s.implicits._
+    val wdf = weights.toSeq.toDF("__src", "w")
+    val base = docs.select(col(sourceCol).as("src"),
+        samplingHash(col(idCol)).as("h"),
+        size(graft.functions.Fns.tokens(col(textCol))).cast("long").as("n_tok"))
+      .localCheckpoint()
+    val totals = base.groupBy("src")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+    val plan = totals.join(broadcast(wdf), col("src") === col("__src"))
+      .select(col("src"), col("n_docs"), col("total_tokens"), col("w"),
+        (lit(tokenBudget.toDouble) * col("w") / wSum).as("target_raw"))
+      .withColumn("rate", least(lit(1.0),
+        try_divide(col("target_raw"), col("total_tokens").cast("double"))))
+      .withColumn("thr", floor(col("rate") * M32.toDouble).cast("long"))
+    val kept = base.join(broadcast(plan.select("src", "thr")), "src")
+      .filter(col("h") < col("thr"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tok")).as("kept_tokens"))
+    val totKept = kept.agg(sum(col("kept_tokens")).as("tk"))
+    plan.join(kept, Seq("src"), "left")
+      .crossJoin(broadcast(totKept))
+      .select(col("src").as(sourceCol), col("n_docs"), col("total_tokens"),
+        round(col("target_raw"), 2).as("target_tokens"),
+        round(col("rate"), 6).as("rate"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        round(col("w") / wSum, 6).as("target_share"),
+        round(try_divide(coalesce(col("kept_tokens"), lit(0L)).cast("double"),
+          col("tk").cast("double")), 6).as("achieved_share"))
+  }
 }

@@ -311,4 +311,30 @@ class SamplingSpec extends SparkSpec {
     assert(r.getInt(0) == 10 && r.getDouble(1) == 45.0 &&
       r.getDouble(2) == 45.0 && r.getDouble(3) == 0.0)
   }
+
+  test("mixtureCard: hand-computed rates, thresholds, and achieved shares") {
+    // A: docs 1,2,3 with 4 tokens each (12 total); B: docs 4,5 with 5
+    // tokens each (10 total). weights A:3 B:1 (Σ=4), budget 8 →
+    // targets 6/2, rates 0.5/0.2 exactly. Hash walk (Knuth fold mod
+    // 2³²): h(1)=2654435761 ≥ .5·2³² drop; h(2)=1014575226 keep;
+    // h(3)=3668339987 drop; h(4)=2027808452 ≥ .2·2³² drop;
+    // h(5)=387276917 < 858993459 keep. So A keeps doc 2 (4 tokens),
+    // B keeps doc 5 (5 tokens); achieved shares 4/9 and 5/9.
+    val docs = Seq(
+      (1L, "t t t t", "A"), (2L, "t t t t", "A"), (3L, "t t t t", "A"),
+      (4L, "t t t t t", "B"), (5L, "t t t t t", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.mixtureCard(docs, Map("A" -> 3.0, "B" -> 1.0), 8L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7), r.getDouble(8)))
+      .toMap
+    assert(out("A") == ((3L, 12L, 6.0, 0.5, 1L, 4L, 0.75, 0.444444)))
+    assert(out("B") == ((2L, 10L, 2.0, 0.2, 1L, 5L, 0.25, 0.555556)))
+    // a source absent from the weights map contributes no card row
+    val extra = docs.unionByName(Seq((9L, "x y", "C"))
+      .toDF("doc_id", "text", "source"))
+    assert(Sampling.mixtureCard(extra, Map("A" -> 1.0), 8L)
+      .select("source").collect().map(_.getString(0)).toSeq == Seq("A"))
+  }
 }
