@@ -132,4 +132,33 @@ class EdgeCaseSpec extends SparkSpec {
       .orderBy("stage_idx").collect().map(_.getLong(2))
     assert(wf.toSeq == Seq(0L, 0L))
   }
+
+  test("round-15 operators: degenerate inputs stay exact, no ANSI errors") {
+    import org.apache.spark.sql.functions._
+    // robustStatsCard: all-NULL values -> no groups, empty out
+    val allNull = Seq(("a", null.asInstanceOf[java.lang.Double]))
+      .toDF("g", "v")
+    assert(Sketch.robustStatsCard(allNull, "g", "v").isEmpty)
+    // mixtureCard: budget >= corpus -> rate caps at 1, EVERYTHING kept,
+    // achieved share then reflects corpus proportions, not targets
+    val docs = Seq((1L, "a b c", "A"), (2L, "d e", "B"))
+      .toDF("doc_id", "text", "source")
+    val full = graft.operators.Sampling
+      .mixtureCard(docs, Map("A" -> 1.0, "B" -> 1.0), 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(4), r.getLong(5), r.getDouble(8))).toMap
+    assert(full("A") == ((1.0, 1L, 0.6)) && full("B") == ((1.0, 1L, 0.4)))
+    // admitWave: empty batch -> zero verdicts, corpus passes through
+    val corpus = Seq((10L, "x y z w", "s")).toDF("doc_id", "text", "source")
+    val emptyBatch = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    val (v, next) = Dedup.admitWave(corpus, emptyBatch, 3, 0.5)
+    assert(v.isEmpty && next.count() == 1)
+    // dedupClusters (star path): no pairs -> every doc its own singleton
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val singletons = Dedup.dedupClusters(
+        Seq((1L, "t"), (2L, "t")).toDF("doc_id", "text"), noPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(singletons == Map(1L -> 1L, 2L -> 2L))
+  }
 }
