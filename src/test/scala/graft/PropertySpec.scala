@@ -228,4 +228,23 @@ class PropertySpec extends SparkSpec {
     assert(out(1L) == out(2L) && out(2L) == out(3L),
       s"monotone transforms changed the ordinal profile: $out")
   }
+
+  test("mixtureCard is partitioning-invariant and its target shares sum to 1") {
+    // random corpus over 4 sources: the deterministic hash rule must
+    // select the SAME rows (hence identical card) regardless of how the
+    // input is partitioned, and normalized targets must sum to 1
+    val words = samples(Gen.choose(1, 9), 600)
+    val docs = words.grouped(3).zipWithIndex.map { case (ws, i) =>
+      (i.toLong, ws.mkString("w", " w", ""), s"s${i % 4}") }.toSeq
+      .toDF("doc_id", "text", "source")
+    val weights = Map("s0" -> 4.0, "s1" -> 3.0, "s2" -> 2.0, "s3" -> 1.0)
+    def card(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.mixtureCard(df, weights, 120L)
+        .orderBy("source").collect().map(_.toSeq).toSeq
+    val base = card(docs)
+    assert(base == card(docs.repartition(7)), "card depends on partitioning")
+    assert(base == card(docs.repartition(1)), "card depends on partitioning")
+    val shareSum = base.map(_(7).asInstanceOf[Double]).sum
+    assert(math.abs(shareSum - 1.0) < 1e-6, s"target shares sum to $shareSum")
+  }
 }
