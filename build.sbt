@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit the forked run's stdout RAW (no "[info] " logger prefix): the
+// driver tail-scrapes `sbt runMain graft.Bench` stdout and tries to
+// parse a JSON line — every past round's BENCH_r{N}.json carried
+// "parsed": null because sbt's logger prefixed each line with
+// "[info] ", which is not valid JSON. StdoutOutput inherits the sbt
+// process's streams, so Bench/Verify's println lines start at column 0.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -99,11 +99,21 @@ object SparkEntry {
     * the first insert — the loser's checkpoint blocks idle until the
     * session stops, a bounded leak traded for never blocking a Spark
     * job on a map monitor.
+    *
+    * Each access first EVICTS entries whose owning session has been
+    * stopped: their checkpoint blocks are gone with the SparkContext,
+    * so the handles are dead weight — and a long-lived embedder that
+    * churns through many short-lived sessions would otherwise
+    * accumulate them for the JVM lifetime (the "handful of sessions"
+    * assumption holds for the harness, not for library users).
     */
   private def memoized(memo: scala.collection.mutable.Map[(SparkSession, String), DataFrame],
                        s: SparkSession, dir: String)
                       (build: => DataFrame): DataFrame =
-    memo.synchronized(memo.get((s, dir))).getOrElse {
+    memo.synchronized {
+      memo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      memo.get((s, dir))
+    }.getOrElse {
       val built = build.localCheckpoint()
       memo.synchronized(memo.getOrElseUpdate((s, dir), built))
     }
@@ -149,6 +159,56 @@ object SparkEntry {
     memoized(covMemo, s, dir)(
       Similarity.covarianceMatrix(T(s, dir, "embeddings")))
 
+  /** The exact brute-force 5-NN neighbor list over the embeddings —
+    * the fourth shared derivation: it is the N² verify BASELINE that
+    * both `ann_knn_graph` (the graph itself) and `ann_knn_graph_agree`
+    * (the graph's overlap with the LSH swap) consume, and at ~5 s per
+    * derivation it topped every r15 profile twice. Deterministic
+    * (cosine ties break on neighbor id), so the memo IS its
+    * checkpoint; parity vs a fresh derivation is asserted in EntrySpec.
+    */
+  private val knnMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def knnExactFresh(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb, 5)
+  }
+
+  private[graft] def knnExact(s: SparkSession, dir: String): DataFrame =
+    memoized(knnMemo, s, dir)(knnExactFresh(s, dir))
+
+  /** The exact TwoNN intrinsic-dimension estimate (one row) — the fifth
+    * shared derivation: `emb_intrinsic_dim` returns it verbatim and
+    * `emb_intrinsic_dim_agree` diffs the ANN estimate against it, so
+    * the N² all-pairs distance pass behind it ran twice per profile.
+    * Deterministic single-row output; same contract as [[knnExact]].
+    */
+  private val twoNNMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def twoNNExact(s: SparkSession, dir: String): DataFrame =
+    memoized(twoNNMemo, s, dir)(
+      Similarity.intrinsicDimension(T(s, dir, "embeddings")))
+
+  /** The shared derivations as NAMED bench lines: graft.Bench times
+    * each one per pass (after clearMemos) under its `_derive_*` name,
+    * so consumers record only their marginal work — r15 attributed each
+    * derivation's full cost to its alphabetically-first consumer, which
+    * made per-query history inside memo families order-dependent noise
+    * (`dedup_cluster_stats` carried 3.59 s of cluster derivation its
+    * three siblings then read for ~0.05 s). NOT part of the
+    * `queries`/`oracleSql` correctness contract — these are timings of
+    * internal materializations, each already parity-checked in
+    * EntrySpec and consumed by oracle-checked queries.
+    */
+  private[graft] val derivations: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "_derive_copurchase_edges" -> ((s, d) => copurchaseEdges(s, d)),
+    "_derive_doc_clusters" -> ((s, d) => docClusters(s, d)),
+    "_derive_emb_cov" -> ((s, d) => embCov(s, d)),
+    "_derive_knn_exact" -> ((s, d) => knnExact(s, d)),
+    "_derive_twonn_exact" -> ((s, d) => twoNNExact(s, d)))
+
   /** Drop all (session, dir) memo entries. Measurement harnesses call
     * this to keep recorded times honest: Bench clears per PASS (each
     * pass's total contains every shared derivation exactly once — the
@@ -163,6 +223,8 @@ object SparkEntry {
     edgeMemo.synchronized(edgeMemo.clear())
     clusterMemo.synchronized(clusterMemo.clear())
     covMemo.synchronized(covMemo.clear())
+    knnMemo.synchronized(knnMemo.clear())
+    twoNNMemo.synchronized(twoNNMemo.clear())
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
@@ -1406,11 +1468,9 @@ object SparkEntry {
     // SemDeDup-style carving consume. Exact brute k-NN here (the verify
     // baseline); at 100 TB feed mutualKnnGraph the lshAnnTopK / ivfTopK
     // neighbor list instead — the graph construction is input-agnostic.
-    "ann_knn_graph" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.mutualKnnGraph(Similarity.bruteForceTopK(emb, emb, 5))
-        .orderBy("id_a", "id_b")
-    }),
+    "ann_knn_graph" -> ((s, dir) =>
+      Similarity.mutualKnnGraph(knnExact(s, dir))
+        .orderBy("id_a", "id_b")),
 
     // The registered 100 TB swap for ann_knn_graph: the SAME
     // mutualKnnGraph over lshSelfTopK — per-vector top-5 among SRP
@@ -1438,7 +1498,7 @@ object SparkEntry {
     // above is trustworthy.
     "ann_knn_graph_agree" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val ex = Similarity.mutualKnnGraph(Similarity.bruteForceTopK(emb, emb, 5))
+      val ex = Similarity.mutualKnnGraph(knnExact(s, dir))
         .select(col("id_a"), col("id_b"))
       val an = Similarity.mutualKnnGraph(
           Similarity.lshSelfTopK(emb, 5, dim = 64,
@@ -1790,8 +1850,7 @@ object SparkEntry {
     // TwoNN intrinsic dimension: d̂ = n / Σ ln(r₂/r₁) over each vector's
     // two nearest neighbors — exact N² baseline (ann_knn_graph
     // discipline: NOT in the scale gate; ANN candidates swap in at 100 TB).
-    "emb_intrinsic_dim" -> ((s, dir) =>
-      Similarity.intrinsicDimension(T(s, dir, "embeddings"))),
+    "emb_intrinsic_dim" -> ((s, dir) => twoNNExact(s, dir)),
 
     // The registered 100 TB swap for emb_intrinsic_dim: the IDENTICAL
     // rank→μ→MLE tail fed from SRP bucket-mate candidates (linear in the
@@ -1813,7 +1872,7 @@ object SparkEntry {
     // measured claim that the scale path estimates the same quantity.
     "emb_intrinsic_dim_agree" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val ex = Similarity.intrinsicDimension(emb)
+      val ex = twoNNExact(s, dir)
         .select(col("n_points").as("n_exact"), col("id_twonn").as("d_exact"))
       val an = Similarity.intrinsicDimensionFromCandidates(
           Similarity.lshSelfCandidates(emb, dim = 64,

@@ -679,7 +679,13 @@ object Analytics {
                   maxBasketSize: Long = Long.MaxValue): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(maxBasketSize >= 2, s"need maxBasketSize >= 2, got $maxBasketSize")
+    // NULL items are excluded up front — they can never form a pair
+    // (NULL never satisfies i1 < i2), so counting them in basket sizes
+    // or item frequencies would only skew the cap and the lift
+    // denominators. collect_set would drop them silently anyway; the
+    // explicit filter makes the contract visible.
     val collected = lines.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .filter(col("i").isNotNull)
       .groupBy("b").agg(sort_array(collect_set(col("i"))).as("is"))
     val baskets =
       (if (maxBasketSize == Long.MaxValue) collected

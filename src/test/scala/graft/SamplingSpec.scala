@@ -337,4 +337,28 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.mixtureCard(extra, Map("A" -> 1.0), 8L)
       .select("source").collect().map(_.getString(0)).toSeq == Seq("A"))
   }
+
+  test("mixtureCard: a requested source absent from the corpus still gets a card row") {
+    // weights name A, B AND the missing Z — the card must show Z with
+    // zero corpus/kept counts and rate 0 (NOT the least(1.0, NULL)=1.0
+    // trap), and target_share must still sum to 1 over ALL requested
+    // sources (Z's weight dilutes A/B's shares: 3/5, 1/5, 1/5).
+    val docs = Seq(
+      (1L, "t t t t", "A"), (2L, "t t t t", "A"), (3L, "t t t t", "A"),
+      (4L, "t t t t t", "B"), (5L, "t t t t t", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.mixtureCard(docs,
+        Map("A" -> 3.0, "B" -> 1.0, "Z" -> 1.0), 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4), r.getLong(5),
+          r.getLong(6), r.getDouble(7)))
+      .toMap
+    assert(out.keySet == Set("A", "B", "Z"))
+    assert(out("Z") == ((0L, 0L, 0.0, 0L, 0L, 0.2)))
+    assert(math.abs(out.values.map(_._6).sum - 1.0) < 1e-9,
+      "target_share must sum to 1 over requested sources")
+    // the present sources' plan is unchanged by the missing one beyond
+    // the share dilution: rates stay budget·w/Σw / tokens
+    assert(out("A")._3 == 0.5 && out("B")._3 == 0.2)
+  }
 }
