@@ -3421,6 +3421,24 @@ object SparkEntry {
       operators.DocPipeline.prepareAndEval(T(s, dir, "documents"))
         .orderBy("label")),
 
+    // The LLM-PRETRAINING flagship (north-star counterpart of
+    // op17_pipeline_e2e): near-dup cluster dedup (the shared
+    // star-contraction label frame) → 4-gram eval-set decontamination
+    // (eval = src0/src1; trigrams would wipe 404/428 of the synthetic
+    // corpus — 4-grams drop a meaningful ~70 docs and leave a real
+    // training set) → Pile/Dolma-style mixture sampling (w(srcK)=K%4+1
+    // over the 18 train sources, 10k-token budget → per-source rates
+    // strictly inside (0,1), so the hash-threshold rule is genuinely
+    // exercised) → per-lang sequence packing. Every stage is an
+    // independently-green operator; this row proves the handoffs —
+    // schemas and end-to-end determinism across five stage boundaries.
+    "pipeline_llm_e2e" -> ((s, dir) =>
+      operators.DocPipeline.prepareLlm(T(s, dir, "documents"),
+          docClusters(s, dir), Seq("src0", "src1"),
+          (2 until 20).map(k => s"src$k" -> (k % 4 + 1).toDouble).toMap,
+          10000L)
+        .orderBy("doc_id")),
+
     // Gap-fill resample: per-user hourly grid, forward-filled values
     // (n = 0 marks filled buckets). User subset keeps the grid bounded.
     "ts_resample" -> ((s, dir) =>
@@ -10898,6 +10916,66 @@ object SparkEntry {
          |  round(CAST(sum(CASE WHEN pred = sp.lang THEN 1 ELSE 0 END)
          |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
          |FROM pred JOIN sp USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // LLM-pretraining pipeline chain: exact connected-component cluster
+    // labels (recursive CTE) → cluster representatives → 4-gram
+    // decontamination vs src0/src1 (string 4-grams vs 64-bit shingle
+    // hashes on the Spark side — the text_decontaminate parity argument)
+    // → the mixture plan's closed-form rates and hash-threshold keep →
+    // the per-lang packing cumsum. Static wt from range(2,20) mirrors
+    // the Spark side's literal weights map, so the Σw denominator is
+    // independent of which sources survive the earlier stages.
+    "pipeline_llm_e2e" ->
+      s"""WITH RECURSIVE $clusterLabelsCte,
+         |reps AS (SELECT d.doc_id, d.text, d.source, d.lang
+         |         FROM documents d JOIN clusters c USING (doc_id)
+         |         WHERE c.cluster_id = d.doc_id),
+         |tkall AS (SELECT doc_id, unnest(toks) AS t,
+         |            generate_subscripts(toks, 1) AS i
+         |          FROM ($docToks) b),
+         |sh AS (SELECT DISTINCT a.doc_id,
+         |         a.t || ' ' || b.t || ' ' || c.t || ' ' || e.t AS shingle
+         |       FROM tkall a
+         |       JOIN tkall b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |       JOIN tkall c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+         |       JOIN tkall e ON e.doc_id = a.doc_id AND e.i = a.i + 3),
+         |ev AS (SELECT DISTINCT sh.shingle FROM sh
+         |       JOIN documents d ON d.doc_id = sh.doc_id
+         |       WHERE d.source IN ('src0', 'src1')),
+         |contaminated AS (SELECT DISTINCT sh.doc_id FROM sh
+         |       JOIN reps r ON r.doc_id = sh.doc_id
+         |       WHERE r.source NOT IN ('src0', 'src1')
+         |         AND sh.shingle IN (SELECT shingle FROM ev)),
+         |train AS (SELECT * FROM reps
+         |          WHERE source NOT IN ('src0', 'src1')
+         |            AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |wt AS (SELECT 'src' || CAST(k AS VARCHAR) AS source,
+         |              CAST((k % 4) + 1 AS DOUBLE) AS w
+         |       FROM range(2, 20) t(k)),
+         |tot AS (SELECT source, CAST(sum(len(list_filter(
+         |              string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+         |            AS total_tokens
+         |        FROM train GROUP BY 1),
+         |p AS (SELECT w.source,
+         |        CASE WHEN coalesce(total_tokens, 0) > 0
+         |          THEN least(1.0, (10000.0 * w.w / (SELECT sum(w) FROM wt))
+         |                 / CAST(total_tokens AS DOUBLE))
+         |          ELSE 0.0 END AS rate
+         |      FROM wt w LEFT JOIN tot ON tot.source = w.source),
+         |samp AS (SELECT tr.* FROM train tr JOIN p ON p.source = tr.source
+         |         WHERE ((tr.doc_id % 2147483648) * 2654435761) % 4294967296
+         |               < CAST(floor(p.rate * 4294967296) AS BIGINT)),
+         |pk AS (SELECT doc_id, lang AS shard,
+         |         CAST(len(regexp_extract_all(text,
+         |           '${TextAnalysis.subwordPattern}')) AS BIGINT) AS n_subwords
+         |       FROM samp),
+         |c2 AS (SELECT doc_id, shard, n_subwords,
+         |         sum(n_subwords) OVER (PARTITION BY shard ORDER BY doc_id
+         |                               ROWS UNBOUNDED PRECEDING) AS cum
+         |       FROM pk)
+         |SELECT doc_id, shard, n_subwords,
+         |  CAST(floor((cum - n_subwords) / 400.0) AS BIGINT) AS seq_id
+         |FROM c2 ORDER BY doc_id""".stripMargin,
 
     "ts_resample" ->
       """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS bucket, value

@@ -40,6 +40,48 @@ object DocPipeline {
     TextAnalysis.packSequencesSharded(split, budget, "split")
   }
 
+  /** The LLM-pretraining face of the pipeline — the round-16 north-star
+    * chain over the now-complete stages, each individually verified:
+    *
+    *   near-dup dedup (star-contraction cluster labels → keep each
+    *   cluster's representative) → eval-set decontamination (drop any
+    *   train doc sharing ≥ 1 n-gram with the held-out sources) →
+    *   mixture sampling ([[Sampling.mixtureSample]]: Pile/Dolma-style
+    *   source weights + token budget → deterministic hash-threshold
+    *   keep) → per-shard sequence packing.
+    *
+    * `clusters` is the (doc_id, cluster_id) label frame (the
+    * [[Dedup.dedupClusters]] output — callers with a materialized label
+    * table pass it directly, which is also what keeps the expensive
+    * pair derivation shared). Eval-source documents are excluded from
+    * the training corpus AND their n-grams poison matching train docs.
+    *
+    * Output: one row per packed surviving document —
+    * (doc_id, shard, n_subwords, seq_id).
+    *
+    * Scale shape: every stage is the verified operator's own shape —
+    * nothing quadratic, one postings join against the (small) eval
+    * side, a |sources|-row broadcast plan, and the per-shard packing
+    * cumsum. The chain proves the handoffs compose: schemas line up,
+    * and end-to-end determinism survives five stage boundaries.
+    */
+  def prepareLlm(docs: DataFrame, clusters: DataFrame,
+                 evalSources: Seq[String], weights: Map[String, Double],
+                 tokenBudget: Long, seqBudget: Int = 400,
+                 shardCol: String = "lang", ngramN: Int = 4): DataFrame = {
+    val reps = docs.join(
+      clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+      "doc_id")
+    val isEval = col("source").isin(evalSources: _*)
+    val train = reps.filter(!isEval)
+    val contaminated = Dedup
+      .decontaminateNgram(train, docs.filter(isEval), ngramN)
+      .select("doc_id")
+    val cleanTrain = train.join(contaminated, Seq("doc_id"), "left_anti")
+    val sampled = Sampling.mixtureSample(cleanTrain, weights, tokenBudget)
+    TextAnalysis.packSequencesSharded(sampled, seqBudget, shardCol)
+  }
+
   /** The ML face of the pipeline: the same scrub → quality-gate → exact
     * dedup → leak-free split front end, then a Naive Bayes language
     * classifier TRAINED on the train shard and EVALUATED on the test

@@ -687,29 +687,13 @@ object Sampling {
     require(weights.nonEmpty && weights.values.forall(_ >= 0.0) &&
       weights.values.sum > 0.0, "weights must be non-negative, sum > 0")
     val wSum = weights.values.sum
-    val s = docs.sparkSession
-    import s.implicits._
-    val wdf = weights.toSeq.toDF("__src", "w")
     val base = docs.select(col(sourceCol).as("src"),
         samplingHash(col(idCol)).as("h"),
         size(graft.functions.Fns.tokens(col(textCol))).cast("long").as("n_tok"))
       .localCheckpoint()
     val totals = base.groupBy("src")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
-    // weights-side outer join: every requested source gets a plan row
-    // even when the corpus has none of it (rate pinned to 0 explicitly —
-    // least(1.0, NULL) would skip the NULL and claim rate 1). totals is
-    // the broadcast side — |sources| aggregate rows — because a left
-    // join can only broadcast its non-preserved (right) side.
-    val plan = wdf.join(broadcast(totals), col("__src") === col("src"), "left")
-      .select(col("__src").as("src"),
-        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"), col("w"),
-        (lit(tokenBudget.toDouble) * col("w") / wSum).as("target_raw"))
-      .withColumn("rate", when(col("total_tokens") > 0, least(lit(1.0),
-        try_divide(col("target_raw"), col("total_tokens").cast("double"))))
-        .otherwise(lit(0.0)))
-      .withColumn("thr", floor(col("rate") * M32.toDouble).cast("long"))
+    val plan = mixturePlanFromTotals(totals, weights, tokenBudget)
     val kept = base.join(broadcast(plan.select("src", "thr")), "src")
       .filter(col("h") < col("thr"))
       .groupBy("src")
@@ -725,5 +709,62 @@ object Sampling {
         round(col("w") / wSum, 6).as("target_share"),
         round(try_divide(coalesce(col("kept_tokens"), lit(0L)).cast("double"),
           col("tk").cast("double")), 6).as("achieved_share"))
+  }
+
+  /** The per-source sampling plan shared by [[mixtureCard]] and
+    * [[mixtureSample]]: weights-side outer join onto the corpus totals,
+    * so every REQUESTED source gets a plan row even when the corpus has
+    * none of it — rate pinned to 0 explicitly (least(1.0, NULL) would
+    * skip the NULL and claim rate 1). `totals` is the broadcast side —
+    * |sources| aggregate rows — because a left join can only broadcast
+    * its non-preserved (right) side. Columns:
+    * (src, n_docs, total_tokens, w, target_raw, rate, thr).
+    */
+  private def mixturePlanFromTotals(totals: DataFrame,
+                                    weights: Map[String, Double],
+                                    tokenBudget: Long): DataFrame = {
+    val wSum = weights.values.sum
+    val s = totals.sparkSession
+    import s.implicits._
+    val wdf = weights.toSeq.toDF("__src", "w")
+    wdf.join(broadcast(totals), col("__src") === col("src"), "left")
+      .select(col("__src").as("src"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"), col("w"),
+        (lit(tokenBudget.toDouble) * col("w") / wSum).as("target_raw"))
+      .withColumn("rate", when(col("total_tokens") > 0, least(lit(1.0),
+        try_divide(col("target_raw"), col("total_tokens").cast("double"))))
+        .otherwise(lit(0.0)))
+      .withColumn("thr", floor(col("rate") * M32.toDouble).cast("long"))
+  }
+
+  /** The documents KEPT under the [[mixtureCard]] plan — identical
+    * weights → rates → [[samplingHash]] Bernoulli rule, returning the
+    * surviving rows with all their original columns: the card REPORTS
+    * the composition; this emits the composed corpus for downstream
+    * stages (see [[DocPipeline.prepareLlm]]).
+    *
+    * Scale shape: one tokenize pass aggregated to |sources| totals, the
+    * |sources|-row plan broadcast back onto the corpus, and the keep
+    * decision is a narrow hash-threshold filter — no shuffle ever
+    * touches document text, and the same rows survive on any engine or
+    * partitioning (the mixtureCard determinism argument).
+    */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+                    tokenBudget: Long, sourceCol: String = "source",
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(tokenBudget > 0, s"need tokenBudget > 0, got $tokenBudget")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0) &&
+      weights.values.sum > 0.0, "weights must be non-negative, sum > 0")
+    val totals = docs.select(col(sourceCol).as("src"),
+        size(graft.functions.Fns.tokens(col(textCol))).cast("long").as("n_tok"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+    val plan = mixturePlanFromTotals(totals, weights, tokenBudget)
+    docs.join(broadcast(plan.select("src", "thr")),
+        docs(sourceCol) === col("src"))
+      .filter(samplingHash(col(idCol)) < col("thr"))
+      .drop("src", "thr")
   }
 }

@@ -56,6 +56,12 @@ if os.path.exists(bf):
             warns.append("BENCH_FULL.json is stamped clean:false")
         if d.get("suspect"):
             warns.append(f"BENCH_FULL.json suspect timings: {d['suspect']}")
+        steals = [s for s in d.get("steal_pct", []) if s >= 0]
+        steal_max = d.get("steal_max_pct", 0.5)
+        if steals and max(steals) > steal_max:
+            warns.append(
+                f"BENCH_FULL.json recorded high hypervisor steal "
+                f"{d['steal_pct']} (gate {steal_max}%) — discount timings")
         bench_n_ok = d.get("n_ok")
     except Exception as e:
         fails.append(f"BENCH_FULL.json unparseable: {e}")
@@ -95,11 +101,26 @@ if cr:
     except Exception as e:
         fails.append(f"{os.path.basename(cr)} unparseable: {e}")
 
-# 4. SCALE_GATE.json
+# 4. SCALE_GATE.json, and SCALE.md's quoted agg must match it (the
+# round-15 drift: SCALE.md said 1.757x while the committed gate said
+# 1.877x — same pattern as the README/COVERAGE count guard).
 sg = os.path.join(root, "SCALE_GATE.json")
 if os.path.exists(sg):
     try:
-        json.load(open(sg))
+        gate = json.load(open(sg))
+        if not gate.get("pass", False):
+            warns.append(f"SCALE_GATE.json pass=false: {gate.get('failures')}")
+        sm = os.path.join(root, "SCALE.md")
+        if os.path.exists(sm) and "agg_ratio" in gate:
+            quoted = re.findall(r"agg ratio \*\*([\d.]+)×\*\*",
+                                open(sm, encoding="utf-8").read())
+            if not quoted:
+                fails.append("SCALE.md has no 'agg ratio **N×**' line to "
+                             "cross-check against SCALE_GATE.json")
+            elif abs(float(quoted[-1]) - gate["agg_ratio"]) > 0.0005:
+                fails.append(
+                    f"SCALE.md quotes agg ratio {quoted[-1]}x but "
+                    f"SCALE_GATE.json says {gate['agg_ratio']}x — sync them")
     except Exception as e:
         fails.append(f"SCALE_GATE.json unparseable: {e}")
 
