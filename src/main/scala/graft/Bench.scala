@@ -122,6 +122,23 @@ object Bench {
       try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
+    // Host-speed CANARY: a fixed pure-CPU job (64M xxhash64 folds across
+    // the configured cores, zero I/O — no page-cache preload of benched
+    // data), min-of-3, timed before pass 1. Round-15 measured a uniform
+    // ~1.25-1.45× per-query factor across clean-stamped profiles on
+    // identical code — host-level variance invisible to loadavg AND
+    // (sometimes) steal. canary_sec is the divisor that makes totals
+    // comparable across rounds: value_per_canary = value / canary_sec
+    // cancels any uniform host-speed factor. Recorded, not gated — the
+    // steal gate handles in-run contention; this handles the quiet-but-
+    // slow host window.
+    def canaryRun(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 64L * 1000 * 1000, 1L, cpus.toInt)
+        .selectExpr("sum(xxhash64(id)) AS h").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canarySec = Seq.fill(3)(canaryRun()).min
     // Repo root: user.dir when it looks like this sbt project (sbt runMain
     // sets it to the project root), overridable via SPARK_GRAFT_REPO,
     // /root/repo as the sandbox fallback — no hardcoded absolute path on
@@ -378,7 +395,7 @@ object Bench {
     val clean = !contaminated && !stealHigh
     val onlyTag = only.map(r => s""","only":${jq(r)}""").getOrElse("")
     val line =
-      s"""{"metric":"total","unit":"sec","passes":"tiered-2","macro_threshold_sec":$MacroThresholdSec,"n_macro":${retry.size},"hist_retry_factor":$HistRetryFactor,"hist_retries":${histRetries.map(jq).sorted.mkString("[", ",", "]")},"suspect":$suspect,"clean":$clean,"contaminated":$contaminated,"loadavg_max":$loadMax,"waited_sec":$waited,"loadavg":$loads,"loadavg5":$loads5,"steal_pct":$steals,"steal_max_pct":$stealMax,"steal_high":$stealHigh,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}$onlyTag}"""
+      s"""{"metric":"total","unit":"sec","passes":"tiered-2","macro_threshold_sec":$MacroThresholdSec,"n_macro":${retry.size},"hist_retry_factor":$HistRetryFactor,"hist_retries":${histRetries.map(jq).sorted.mkString("[", ",", "]")},"suspect":$suspect,"clean":$clean,"contaminated":$contaminated,"loadavg_max":$loadMax,"waited_sec":$waited,"loadavg":$loads,"loadavg5":$loads5,"steal_pct":$steals,"steal_max_pct":$stealMax,"steal_high":$stealHigh,"canary_sec":${f"$canarySec%.3f"},"value_per_canary":${f"${total / math.max(canarySec, 1e-9)}%.2f"},"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}$onlyTag}"""
     println(line)
     // Short line: slowest-first entries until the byte budget is spent.
     val budget = 1600
