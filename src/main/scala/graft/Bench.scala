@@ -122,7 +122,7 @@ object Bench {
       try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    // Host-speed CANARY: a fixed pure-CPU job (64M xxhash64 folds across
+    // Host-speed CANARY: a fixed pure-CPU job (512M xxhash64 folds across
     // the configured cores, zero I/O — no page-cache preload of benched
     // data), min-of-3, timed before pass 1. Round-15 measured a uniform
     // ~1.25-1.45× per-query factor across clean-stamped profiles on
@@ -134,8 +134,10 @@ object Bench {
     // slow host window.
     def canaryRun(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0L, 64L * 1000 * 1000, 1L, cpus.toInt)
-        .selectExpr("sum(xxhash64(id)) AS h").collect()
+      // bit_xor, not sum: summing 64M xxhash64 longs overflows under
+      // ANSI mode; xor folds are overflow-free and equally unprunable.
+      spark.range(0L, 512L * 1000 * 1000, 1L, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) AS h").collect()
       (System.nanoTime() - t0) / 1e9
     }
     val canarySec = Seq.fill(3)(canaryRun()).min
