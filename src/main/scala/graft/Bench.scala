@@ -122,7 +122,7 @@ object Bench {
       try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    // Host-speed CANARY: a fixed pure-CPU job (512M xxhash64 folds across
+    // Host-speed CANARY: a fixed pure-CPU job (2048M xxhash64 folds across
     // the configured cores, zero I/O — no page-cache preload of benched
     // data), min-of-3, timed before pass 1. Round-15 measured a uniform
     // ~1.25-1.45× per-query factor across clean-stamped profiles on
@@ -136,7 +136,7 @@ object Bench {
       val t0 = System.nanoTime()
       // bit_xor, not sum: summing 64M xxhash64 longs overflows under
       // ANSI mode; xor folds are overflow-free and equally unprunable.
-      spark.range(0L, 512L * 1000 * 1000, 1L, cpus.toInt)
+      spark.range(0L, 2048L * 1000 * 1000, 1L, cpus.toInt)
         .selectExpr("bit_xor(xxhash64(id)) AS h").collect()
       (System.nanoTime() - t0) / 1e9
     }
