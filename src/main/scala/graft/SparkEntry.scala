@@ -191,6 +191,45 @@ object SparkEntry {
     memoized(twoNNMemo, s, dir)(
       Similarity.intrinsicDimension(T(s, dir, "embeddings")))
 
+  /** The LSH self-top-5 neighbor list (the registered 100 TB swap for
+    * the brute kNN) — sixth shared derivation: `ann_knn_graph_lsh`
+    * consumes it directly and `ann_knn_graph_agree` re-derived the
+    * identical frame for its ANN side (~3.5 s each at sf0.1). Same
+    * determinism argument as [[knnExact]] (ties break on neighbor id;
+    * SRP planes and plane COUNT derive from fixed seeds and the corpus
+    * count). ScaleGate still clears memos per measurement, so the gate
+    * ratio for ann_knn_graph_lsh keeps paying the full derivation.
+    */
+  private val knnLshMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def knnLshFresh(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.lshSelfTopK(emb, 5, dim = 64,
+      nPlanes = Similarity.srpAutoPlanes(emb.count()), nTables = 8)
+  }
+
+  private[graft] def knnLsh(s: SparkSession, dir: String): DataFrame =
+    memoized(knnLshMemo, s, dir)(knnLshFresh(s, dir))
+
+  /** The ANN-fed TwoNN estimate (one row) — seventh shared derivation:
+    * `emb_intrinsic_dim_ann` returns it verbatim and
+    * `emb_intrinsic_dim_agree` re-ran the identical candidate pass for
+    * its ANN side. Memoizing the ESTIMATE (not the candidate pair
+    * frame) keeps the checkpoint a single row instead of N·c vector
+    * pairs.
+    */
+  private val twoNNAnnMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def twoNNAnn(s: SparkSession, dir: String): DataFrame =
+    memoized(twoNNAnnMemo, s, dir) {
+      val emb = T(s, dir, "embeddings")
+      Similarity.intrinsicDimensionFromCandidates(
+        Similarity.lshSelfCandidates(emb, dim = 64,
+          nPlanes = Similarity.srpAutoPlanes(emb.count()), nTables = 8))
+    }
+
   /** The shared derivations as NAMED bench lines: graft.Bench times
     * each one per pass (after clearMemos) under its `_derive_*` name,
     * so consumers record only their marginal work — r15 attributed each
@@ -207,7 +246,9 @@ object SparkEntry {
     "_derive_doc_clusters" -> ((s, d) => docClusters(s, d)),
     "_derive_emb_cov" -> ((s, d) => embCov(s, d)),
     "_derive_knn_exact" -> ((s, d) => knnExact(s, d)),
-    "_derive_twonn_exact" -> ((s, d) => twoNNExact(s, d)))
+    "_derive_knn_lsh" -> ((s, d) => knnLsh(s, d)),
+    "_derive_twonn_exact" -> ((s, d) => twoNNExact(s, d)),
+    "_derive_twonn_ann" -> ((s, d) => twoNNAnn(s, d)))
 
   /** Drop all (session, dir) memo entries. Measurement harnesses call
     * this to keep recorded times honest: Bench clears per PASS (each
@@ -224,7 +265,9 @@ object SparkEntry {
     clusterMemo.synchronized(clusterMemo.clear())
     covMemo.synchronized(covMemo.clear())
     knnMemo.synchronized(knnMemo.clear())
+    knnLshMemo.synchronized(knnLshMemo.clear())
     twoNNMemo.synchronized(twoNNMemo.clear())
+    twoNNAnnMemo.synchronized(twoNNAnnMemo.clear())
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
@@ -1481,28 +1524,22 @@ object SparkEntry {
     // the agree row below); at scale nPlanes grows ∝ log N to hold
     // bucket occupancy constant, and real clustered corpora sit far
     // above this recall at the same cost.
-    "ann_knn_graph_lsh" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      // nPlanes from a corpus count (4 at the 500-vector oracle scale,
-      // matching the static DuckDB mirror) — fixed planes would make
-      // the bucket self-join quadratic in data growth; see srpAutoPlanes.
-      val nPlanes = Similarity.srpAutoPlanes(emb.count())
-      Similarity.mutualKnnGraph(
-          Similarity.lshSelfTopK(emb, 5, dim = 64, nPlanes = nPlanes, nTables = 8))
-        .orderBy("id_a", "id_b")
-    }),
+    // nPlanes from a corpus count (4 at the 500-vector oracle scale,
+    // matching the static DuckDB mirror) — fixed planes would make
+    // the bucket self-join quadratic in data growth; see srpAutoPlanes
+    // (the derivation lives in knnLsh).
+    "ann_knn_graph_lsh" -> ((s, dir) =>
+      Similarity.mutualKnnGraph(knnLsh(s, dir))
+        .orderBy("id_a", "id_b")),
 
     // Edge-overlap agreement of the LSH graph against the brute graph —
     // the recallAtK discipline applied to graph construction: recall of
     // exact edges plus the symmetric Jaccard. This row is WHY the swap
     // above is trustworthy.
     "ann_knn_graph_agree" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
       val ex = Similarity.mutualKnnGraph(knnExact(s, dir))
         .select(col("id_a"), col("id_b"))
-      val an = Similarity.mutualKnnGraph(
-          Similarity.lshSelfTopK(emb, 5, dim = 64,
-            nPlanes = Similarity.srpAutoPlanes(emb.count()), nTables = 8))
+      val an = Similarity.mutualKnnGraph(knnLsh(s, dir))
         .select(col("id_a"), col("id_b"))
       val j = ex.withColumn("ex", lit(1L))
         .join(an.withColumn("an", lit(1L)), Seq("id_a", "id_b"), "full_outer")
@@ -1860,23 +1897,15 @@ object SparkEntry {
     // needs each point's 2-NN, so this point spends
     // ~¼ of the all-pairs dot products for a d̂ within a few percent of
     // exact (the agree row below measures it).
-    "emb_intrinsic_dim_ann" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.intrinsicDimensionFromCandidates(
-        Similarity.lshSelfCandidates(emb, dim = 64,
-          nPlanes = Similarity.srpAutoPlanes(emb.count()), nTables = 8))
-    }),
+    "emb_intrinsic_dim_ann" -> ((s, dir) => twoNNAnn(s, dir)),
 
     // Estimator agreement: d̂ from the exact baseline and from the ANN
     // candidate feed side by side (|Δ| on the two 6-dp estimates) — the
     // measured claim that the scale path estimates the same quantity.
     "emb_intrinsic_dim_agree" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
       val ex = twoNNExact(s, dir)
         .select(col("n_points").as("n_exact"), col("id_twonn").as("d_exact"))
-      val an = Similarity.intrinsicDimensionFromCandidates(
-          Similarity.lshSelfCandidates(emb, dim = 64,
-            nPlanes = Similarity.srpAutoPlanes(emb.count()), nTables = 8))
+      val an = twoNNAnn(s, dir)
         .select(col("n_points").as("n_ann"), col("id_twonn").as("d_ann"))
       // two single-row aggregates — the broadcast-scalar crossJoin shape
       ex.crossJoin(an)

@@ -92,6 +92,31 @@ class EntrySpec extends SparkSpec {
       "memoized exact-kNN list diverges from a fresh derivation")
   }
 
+  test("memoized knnLsh: neighbor-list parity with a fresh derivation, same frame reused") {
+    val dir = "/root/testdata/sf0.001"
+    val memo1 = SparkEntry.knnLsh(spark, dir)
+    assert(memo1 eq SparkEntry.knnLsh(spark, dir))
+    val fresh = SparkEntry.knnLshFresh(spark, dir)
+    val cols = Seq("query_id", "rank", "neighbor_id", "cosine")
+    assert(memo1.count() == fresh.count() &&
+      memo1.join(fresh, cols, "left_anti").isEmpty &&
+      fresh.join(memo1, cols, "left_anti").isEmpty,
+      "memoized LSH-kNN list diverges from a fresh derivation")
+  }
+
+  test("memoized twoNNAnn: estimate parity with a fresh derivation, same frame reused") {
+    val dir = "/root/testdata/sf0.001"
+    val memo1 = SparkEntry.twoNNAnn(spark, dir)
+    assert(memo1 eq SparkEntry.twoNNAnn(spark, dir))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val fresh = graft.operators.Similarity.intrinsicDimensionFromCandidates(
+      graft.operators.Similarity.lshSelfCandidates(emb, dim = 64,
+        nPlanes = graft.operators.Similarity.srpAutoPlanes(emb.count()),
+        nTables = 8))
+    assert(memo1.collect().toSeq == fresh.collect().toSeq,
+      "memoized ANN TwoNN estimate diverges from a fresh derivation")
+  }
+
   test("memoized twoNNExact: estimate parity with a fresh derivation, same frame reused") {
     val dir = "/root/testdata/sf0.001"
     val memo1 = SparkEntry.twoNNExact(spark, dir)
