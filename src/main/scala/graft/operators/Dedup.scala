@@ -569,6 +569,83 @@ object Dedup {
     labels.select(col("id").as(idCol), col("cluster_id"))
   }
 
+  /** Adaptive cluster resolution — the dispatch between
+    * [[dedupClusters]] (star contraction, O(log² n) rounds) and the
+    * cheaper-per-round propagation: run `probeRounds` rounds of
+    * min-label propagation and convergence-check; near-dup components
+    * are USUALLY cliques or tiny families (exact dups are diameter 1),
+    * where propagation is a fixed point after one round and the probe
+    * IS the answer — two keyed joins total, no contraction machinery.
+    * When the probe does NOT converge (chain-shaped components from
+    * iterative crawls), the graph is CONTRACTED through the probe
+    * labels (edges mapped label→label, self-loops dropped — every
+    * probe round merged whole neighborhoods, so the contracted graph
+    * is strictly smaller) and alternating star contraction finishes in
+    * its usual O(log² n) rounds. The probe is therefore never wasted
+    * work: its rounds double as the first contraction steps.
+    *
+    * No tuned threshold: the dispatch signal is "did propagation reach
+    * a fixed point", which is exact — min-propagation is monotone
+    * non-increasing, so an unchanged round IS convergence, and both
+    * branches compute the exact min-id per component (label parity
+    * with [[dedupClusters]] AND [[dedupClustersPropagation]] on any
+    * graph; DedupSpec drives both branches). `maxIter` bounds the star
+    * rounds of the fallback branch; `strict` follows the
+    * [[dedupClusters]] contract. Eager checkpoints throughout (the
+    * [[dedupClustersPropagation]] deadlock rationale); like that
+    * method, CALLING this runs the probe jobs.
+    */
+  def dedupClustersAdaptive(docs: DataFrame, pairs: DataFrame,
+                            maxIter: Int = 16, idCol: String = "doc_id",
+                            strict: Boolean = false,
+                            probeRounds: Int = 2): DataFrame = {
+    require(maxIter >= 1, s"need maxIter >= 1, got $maxIter")
+    require(probeRounds >= 1, s"need probeRounds >= 1, got $probeRounds")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id"))
+      .distinct().select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var r = 0
+    while (r < probeRounds && !converged) {
+      r += 1
+      val prop = edges.join(labels, col("dst") === col("id"))
+        .groupBy("src").agg(min("lbl").as("nb"))
+      val next = labels.join(prop, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next.as("a")
+        .join(labels.as("b"), col("a.id") === col("b.id"))
+        .filter(col("a.lbl") =!= col("b.lbl")).isEmpty
+      labels = next
+    }
+    val comp =
+      if (converged) labels.select(col("id").as("node"), col("lbl").as("component"))
+      else {
+        val byId = labels.select(col("id"), col("lbl"))
+        val contracted = edges
+          .join(byId.withColumnRenamed("id", "src").withColumnRenamed("lbl", "lsrc"), "src")
+          .join(byId.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "ldst"), "dst")
+          .select(col("lsrc").as("src"), col("ldst").as("dst"))
+        val cc = Graph.connectedComponentsStars(contracted,
+          maxRounds = maxIter, strict = strict)
+        // Map every node through its probe label's component; labels
+        // that became self-loop-only under contraction (their whole
+        // neighborhood merged in the probe) are absent from cc — they
+        // ARE their component.
+        labels.join(cc, col("lbl") === col("node"), "left")
+          .select(col("id").as("node"),
+            coalesce(col("component"), col("lbl")).as("component"))
+      }
+    docs.select(col(idCol)).join(comp, col(idCol) === col("node"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+  }
+
   /** Bag-of-words TF cosine near-dup ≥ threshold — the vector-space twin
     * of the Jaccard family, sensitive to repetition (a doc repeating one
     * paragraph five times scores high here and low on set-based Jaccard).

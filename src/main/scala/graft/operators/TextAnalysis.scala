@@ -1137,6 +1137,80 @@ object TextAnalysis {
       round(exp(lnPp), 6).as("perplexity"))
   }
 
+  /** Per-document perplexity under a Jelinek–Mercer interpolated corpus
+    * BIGRAM language model — the CCNet-style quality filter one order up
+    * from [[perplexity]]: `p(w_i | w_{i−1}) = λ·c(w_{i−1} w_i)/c(w_{i−1}·)
+    * + (1−λ)·c(w_i)/N`, scored over every in-document bigram event and
+    * folded to `ln PP(d) = −(1/m_d)·Σ ln p`. The unigram back-off term
+    * keeps every bigram in-vocabulary (the corpus trains the model, so
+    * `c(w_i) ≥ 1` always) — no zero-probability events, no ad-hoc floors.
+    * Repetitive/templated text scores LOW (its bigrams dominate their
+    * contexts), disfluent or shuffled text scores HIGH even when its
+    * unigram mix looks normal — exactly the failure mode the unigram
+    * filter cannot see. Docs with < 2 tokens have no bigram events and
+    * drop out (callers union them back with a policy verdict if needed).
+    *
+    * Determinism: per-(doc, bigram-type) contributions are 6-dp-rounded
+    * and DECIMAL-summed (order-free); λ is a binary-exact literal and the
+    * probability is assembled with a fixed association
+    * (`λ·(cb/cp) + (1−λ)·(cw/N)`) so both engines execute the identical
+    * IEEE sequence. The FINAL 6-dp rounding of `−slogp/m` is done in
+    * exact BIGINT arithmetic (`(2x + m) div 2m` half-up on the
+    * 10⁶-scaled sum), NOT on the double quotient: slogp is a 6-dp
+    * decimal, so the quotient lands EXACTLY on the 0.5×10⁻⁶ rounding
+    * tie whenever the scaled sum ≡ m/2 (mod m) — about one doc in m —
+    * and two engines' double rounding is allowed to disagree there
+    * (observed twice at sf0.1). Shuffle shape at scale: one doc-keyed shuffle for the
+    * lag window (docs are bounded, so partitions stay balanced), map-side
+    * combined (doc, prev, cur) counts, then three vocabulary-sized model
+    * joins — bigram types, context totals, unigram totals — that AQE
+    * broadcasts at small vocabularies and hash-joins on bounded keys
+    * otherwise. The model tables are corpus-global and reusable: at
+    * 100 TB they are built once and joined against any slice.
+    */
+  def perplexityBigram(docs: DataFrame, lambda: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, "lambda must be in (0, 1)")
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), posexplode(Fns.tokens(col(textCol))))
+      .select(col("doc_id"), col("pos").as("i"), col("col").as("term"))
+    // Per-doc bigram term frequencies: ONE doc-keyed window shuffle, then
+    // map-side-combined counts on (doc, prev, cur). Eagerly checkpointed:
+    // the model tables (cb, cp) AND the scoring join all read it, and
+    // without the cut each consumer would re-run the tokenize + window
+    // pass (3× the corpus scan — the mixtureCard precedent).
+    val docBg = toks
+      .withColumn("prev", lag(col("term"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("doc_id"), col("prev"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    // Corpus model tables, all derived from frames already shuffled on
+    // their keys: bigram-type counts, context totals, unigram totals.
+    val cb = docBg.groupBy("prev", "term").agg(sum(col("c")).as("cb"))
+    val cp = cb.groupBy("prev").agg(sum(col("cb")).as("cp"))
+    val uni = toks.groupBy("term").agg(count(lit(1)).as("cw"))
+    val n = uni.agg(sum(col("cw")).as("n_corpus"))
+    val p = lit(lambda) * (col("cb").cast("double") / col("cp")) +
+      lit(1.0 - lambda) * (col("cw").cast("double") / col("n_corpus"))
+    val agg = docBg
+      .join(cb, Seq("prev", "term")).join(cp, Seq("prev"))
+      .join(uni, Seq("term")).crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(round(col("c") * log(p), 6).cast("decimal(18,6)")).as("slogp"))
+    // x = −slogp in exact 10⁻⁶ units (ln p ≤ 0 always, so x ≥ 0); the
+    // 6-dp half-up round of x/m is the tie-exact integer (2x+m) div 2m.
+    val lnPp6 = agg
+      .withColumn("x", (-col("slogp") * lit(1000000)).cast("long"))
+      .withColumn("lnpp6", expr("(x * 2 + n_bigrams) div (n_bigrams * 2)"))
+    val lnPpRaw = -(col("slogp").cast("double")) / col("n_bigrams")
+    lnPp6.select(col("doc_id"), col("n_bigrams"),
+      (col("lnpp6").cast("double") / 1000000.0).as("log_perplexity"),
+      round(exp(lnPpRaw), 6).as("perplexity"))
+  }
+
   /** Length-quantile bucketing: assign each document to one of `nTiles`
     * token-length buckets split at exact corpus quartile boundaries — the
     * sequence-length batching step that keeps padding waste down in

@@ -97,7 +97,13 @@ object ScaleGate {
     // r15 queries join as normal entries; stream_dedup_incr joins as a
     // REASON-EXEMPT entry (see ExemptReasons) so every r15 query is
     // either gated or carries its exemption machine-readably.
-    "sketch_robust_stats", "sample_mixture_card", "stream_dedup_incr")
+    "sketch_robust_stats", "sample_mixture_card", "stream_dedup_incr",
+    // round-16 addition: interpolated bigram-LM perplexity — one
+    // doc-keyed lag-window shuffle + three vocabulary-sized model joins;
+    // both the event count and the bigram vocabulary grow ~linearly on
+    // the ScaleUp fixture (disjoint id-shifted copies), expected
+    // sub-linear like text_perplexity
+    "text_perplexity_bigram")
 
   val AggregateMaxRatio = 3.0
   val PerQueryMaxRatio = 5.0

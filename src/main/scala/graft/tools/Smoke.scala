@@ -26,78 +26,36 @@ object Smoke {
       r
     }
 
-    // Current investigation: co-purchase edge derivation — 4-shuffle
-    // distinct+self-join chain vs 2-shuffle collect_set+pair-expansion.
+    // Current investigation: cluster resolution on the REAL sf0.1
+    // near-dup graph — star contraction vs the adaptive probe dispatch
+    // vs propagation, on pre-materialized pairs (mining cost excluded).
     import org.apache.spark.sql.functions._
-    import graft.functions.Fns
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    time("warmup li")(li.limit(10).count())
-    val it = li.select(col("l_orderkey").as("bk"), col("l_partkey").as("pt"))
-      .distinct()
-    val edgesOld = it.as("l").join(it.as("r"),
-        col("l.bk") === col("r.bk") && col("l.pt") < col("r.pt"))
-      .groupBy(col("l.pt").as("src"), col("r.pt").as("dst"))
-      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-      .select("src", "dst")
-    time("edges old (4-shuffle)")(edgesOld.count())
-    time("edges old rep2")(edgesOld.count())
-    val parts = li.groupBy(col("l_orderkey").as("bk"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-    val edgesNew = parts
-      .select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + lit(2),
-            greatest(size(col("ps")) - i - 1, lit(0))), y =>
-          struct(x.as("src"), y.as("dst")))))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .groupBy("src", "dst")
-      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-      .select("src", "dst")
-    time("edges new (2-shuffle)")(edgesNew.count())
-    time("edges new rep2")(edgesNew.count())
-    val diff = edgesOld.unionByName(edgesNew)
-      .groupBy("src", "dst").agg(count(lit(1)).as("k"))
-      .filter(col("k") =!= 2).count()
-    println(s"[smoke] edge-set diff rows: $diff")
+    import graft.operators.Dedup
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    time("warmup small")(docs.limit(10).count())
-    val sh0 = docs.select(col("doc_id"),
-        explode(Fns.shingles(Fns.tokens(col("text")), 3)).as("shingle"))
-      .distinct()
-      .withColumn("h64", xxhash64(col("shingle")))
-    time("shingles distinct")(sh0.count())
-    val shM = docs
-      .select(col("doc_id"), Fns.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(Fns.shingles(col("toks"), 3)).as("shingle"))
-      .distinct()
-      .withColumn("h64", xxhash64(col("shingle")))
-    time("shingles mat-toks")(shM.count())
-    time("shingles mat-toks rep2")(shM.count())
-    val sh = time("checkpoint")(sh0.localCheckpoint(true))
-    val x = sh.select(col("doc_id"),
-      call_function("graft_strhash", col("shingle")).as("x"))
-    time("strhash only")(x.count())
-    val P31 = 2147483647L
-    val aggs = (0 until 16).map { p =>
-      val a = (1103515245L * (p + 1)) % P31
-      val b = (12345L * (p + 1)) % P31
-      min(Fns.pmod(col("x") * lit(a) + lit(b), lit(P31))).as(s"m$p")
-    }
-    val sig = x.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    time("minhash wide sig")(sig.count())
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.h64") === col("b.h64") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("ni"))
-    time("pair join+agg")(pairs.count())
-    val j = pairs
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-    time("pair sizes joins")(j.count())
-    time("full curve card")(
-      graft.operators.Dedup.lshCalibrationCurve(docs).count())
-    time("full est card")(
-      graft.operators.Dedup.minhashEstimatorCard(docs).count())
+    time("warmup")(docs.limit(10).count())
+    val pairs = time("mine pairs (excluded)")(
+      Dedup.ngramJaccardPairs(docs, 3, 0.5).localCheckpoint(true))
+    println(s"[smoke] pairs: ${pairs.count()}")
+    val star = time("star contraction")(
+      Dedup.dedupClusters(docs, pairs, strict = true)
+        .agg(countDistinct("cluster_id")).collect()(0).getLong(0))
+    val adaptive = time("adaptive dispatch")(
+      Dedup.dedupClustersAdaptive(docs, pairs, strict = true)
+        .agg(countDistinct("cluster_id")).collect()(0).getLong(0))
+    val prop = time("propagation")(
+      Dedup.dedupClustersPropagation(docs, pairs, strict = true)
+        .agg(countDistinct("cluster_id")).collect()(0).getLong(0))
+    println(s"[smoke] clusters star=$star adaptive=$adaptive prop=$prop")
+    // second rep each, warm
+    time("star rep2")(
+      Dedup.dedupClusters(docs, pairs, strict = true)
+        .agg(countDistinct("cluster_id")).collect())
+    time("adaptive rep2")(
+      Dedup.dedupClustersAdaptive(docs, pairs, strict = true)
+        .agg(countDistinct("cluster_id")).collect())
+    time("propagation rep2")(
+      Dedup.dedupClustersPropagation(docs, pairs, strict = true)
+        .agg(countDistinct("cluster_id")).collect())
     spark.stop()
   }
 }

@@ -119,6 +119,43 @@ class DedupSpec extends SparkSpec {
     assert(star.count { case (d, c) => d == c } == 4)
   }
 
+  test("dedupClustersAdaptive: both branches agree with star and propagation") {
+    val docs = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // chain 0-1-2-3 forces the probe PAST 2 rounds -> contraction branch
+    val deep = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L), (5L, 7L), (6L, 7L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    val expected = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 8L)
+    val viaContract = Dedup.dedupClustersAdaptive(docs, deep)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaContract == expected)
+    // cliques + pairs only (diameter <= 2): the probe converges and the
+    // propagation branch IS the answer
+    val shallow = Seq((5L, 6L), (5L, 7L), (6L, 7L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    val viaProbe = Dedup.dedupClustersAdaptive(docs, shallow)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaProbe == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 8L))
+    // probeRounds=1 on the deep graph still contracts to exact labels
+    val oneRound = Dedup.dedupClustersAdaptive(docs, deep, probeRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneRound == expected)
+    // empty pair set: every doc is its own singleton
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val singletons = Dedup.dedupClustersAdaptive(docs, empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(singletons == (0L to 9L).map(i => i -> i).toMap)
+  }
+
+  test("dedupClustersAdaptive: deep 16-node chain is exact via the contraction branch") {
+    val docs = (0L to 15L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val adaptive = Dedup.dedupClustersAdaptive(docs, pairs, maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(adaptive == (0L to 15L).map(_ -> 0L).toMap)
+  }
+
   test("dedupClusters star path labels a deep chain that propagation truncates at maxIter=4") {
     // 9-node chain 0-1-…-8: node 8 is at distance 8 from the min label,
     // so 4 PROPAGATION rounds leave it mislabeled (min within distance

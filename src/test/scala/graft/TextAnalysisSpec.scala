@@ -328,6 +328,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_tokens") == 2L)
   }
 
+  test("perplexityBigram: hand-computed interpolated bigram-LM surprise") {
+    // doc1 "a b a b": bigrams (a,b)×2, (b,a)×1; doc2 "a c": (a,c)×1;
+    // doc3 "solo": no bigram events -> no row, but its token still
+    // trains the unigram back-off (N counts ALL corpus tokens).
+    // Corpus: N=7, c_a=3, c_b=2, c_c=1, c_solo=1; cb(a,b)=2, cb(b,a)=1,
+    // cb(a,c)=1; context totals cp(a)=3, cp(b)=1. λ=0.75:
+    //   p(a,b)=.75·(2/3)+.25·(2/7)=4/7, p(b,a)=.75·1+.25·(3/7)=6/7,
+    //   p(a,c)=.75·(1/3)+.25·(1/7)=2/7.
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBigram(docs).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_bigrams") == 3L)
+    val lnPp1 = -(2.0 * math.log(4.0 / 7) + math.log(6.0 / 7)) / 3
+    assert(math.abs(out(0).getAs[Double]("log_perplexity") - lnPp1) < 1e-5)
+    // doc2: lnPP = -ln(2/7), PP = 3.5 exactly
+    assert(out(1).getAs[Long]("n_bigrams") == 1L)
+    assert(math.abs(out(1).getAs[Double]("perplexity") - 3.5) < 1e-5)
+  }
+
+  test("perplexityBigram: shuffled text scores higher than its templated twin") {
+    // Same unigram bag in every doc -> the unigram filter can't separate
+    // them; the bigram model prefers the corpus-dominant word ORDER.
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"), (4L, "mat the on sat cat the")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBigram(docs).orderBy("doc_id").collect()
+    val pp = out.map(_.getAs[Double]("perplexity"))
+    assert(pp(3) > pp(0) * 1.5)
+    assert(pp(0) == pp(1) && pp(1) == pp(2))
+  }
+
   test("lengthBuckets: quartile boundaries split 1..4 into four buckets") {
     val docs = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"))
       .toDF("doc_id", "text")
