@@ -655,11 +655,14 @@ object Similarity {
     * trusting a clustering for curation decisions (SemDeDup cluster
     * scoping, IVF routing, stratified elimination).
     *
-    * Cost on top of the assignment pass: one (cluster, label) count
-    * with map-side combine and a cluster-partitioned top-1 window over
-    * ≤ k·|labels| rows. Vectors with a NULL label are excluded from the
-    * vote but still counted as members (their purity contribution is
-    * honest: unknown ≠ majority).
+    * Cost on top of the assignment pass: ONE (cluster, label) count
+    * with map-side combine — NULL labels kept as their own group so the
+    * member totals fall out of the same aggregate — eagerly checkpointed
+    * at ≤ k·(|labels|+1) rows so the member sum and the majority vote
+    * both read it without re-running the N·k assignment pass (it was
+    * evaluated twice before; 6.1 s → ~3 s at sf0.1). Vectors with a
+    * NULL label are excluded from the vote but still counted as members
+    * (their purity contribution is honest: unknown ≠ majority).
     */
   def clusterPurity(embeddings: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
@@ -668,9 +671,11 @@ object Similarity {
     val assign = assignToSeeds(embeddings, k, idCol, vecCol)
       .join(embeddings.select(col(idCol).as("vec_id"),
         col(labelCol).as("lbl")), "vec_id")
-    val members = assign.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
-    val votes = assign.filter(col("lbl").isNotNull)
-      .groupBy(col("cid"), col("lbl")).agg(count(lit(1)).as("n"))
+    val counts = assign.groupBy(col("cid"), col("lbl"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val members = counts.groupBy(col("cid")).agg(sum(col("n")).as("n_members"))
+    val votes = counts.filter(col("lbl").isNotNull)
     val w = Window.partitionBy("cid")
       .orderBy(col("n").desc, col("lbl").asc)
     val top = votes.withColumn("rn", row_number().over(w))
