@@ -247,4 +247,43 @@ class PropertySpec extends SparkSpec {
     val shareSum = base.map(_(7).asInstanceOf[Double]).sum
     assert(math.abs(shareSum - 1.0) < 1e-6, s"target shares sum to $shareSum")
   }
+
+  test("all three cluster-resolution paths agree on random graphs") {
+    // random edge lists over 40 nodes: star contraction, min-label
+    // propagation, and the adaptive probe dispatch each compute the
+    // exact min-id per component — parity must hold on ANY graph shape
+    // (sparse chains, dense blobs, isolated nodes), not just the
+    // hand-built spec fixtures.
+    import graft.operators.Dedup
+    val docs = (0L to 39L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    for (seed <- 0 until 3) {
+      val nEdges = 12 + seed * 18 // sparse -> moderately dense
+      val es = samples(Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L)), nEdges)
+        .filter { case (a, b) => a != b }
+      val pairs = es.toDF("doc_a", "doc_b")
+      val star = Dedup.dedupClusters(docs, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = Dedup.dedupClustersPropagation(docs, pairs, maxIter = 40)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val adaptive = Dedup.dedupClustersAdaptive(docs, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == prop, s"star != propagation at seed $seed")
+      assert(adaptive == star, s"adaptive != star at seed $seed")
+    }
+  }
+
+  test("perplexityBigram is partitioning-invariant and positive") {
+    // the DECIMAL fold + tie-exact integer round must produce identical
+    // rows on any physical layout; perplexity >= 1 always (probabilities
+    // are <= 1 so ln PP >= 0)
+    val words = samples(Gen.choose(1, 6), 900)
+    val docs = words.grouped(5).zipWithIndex.map { case (ws, i) =>
+      (i.toLong, ws.mkString("w", " w", "")) }.toSeq.toDF("doc_id", "text")
+    def pp(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.perplexityBigram(df)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val base = pp(docs)
+    assert(base == pp(docs.repartition(11)), "bigram PP depends on partitioning")
+    assert(base.forall(_(3).asInstanceOf[Double] >= 1.0), "PP < 1 impossible")
+  }
 }
