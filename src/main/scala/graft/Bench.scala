@@ -134,12 +134,17 @@ object Bench {
     // slow host window.
     def canaryRun(): Double = {
       val t0 = System.nanoTime()
-      // bit_xor, not sum: summing 64M xxhash64 longs overflows under
+      // bit_xor, not sum: summing 2048M xxhash64 longs overflows under
       // ANSI mode; xor folds are overflow-free and equally unprunable.
       spark.range(0L, 2048L * 1000 * 1000, 1L, cpus.toInt)
         .selectExpr("bit_xor(xxhash64(id)) AS h").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Steal is measured around the canary too: canary_sec is the
+    // cross-round normalization DIVISOR, so a steal burst here would
+    // silently deflate value_per_canary while the passes run quiet —
+    // the one corruption the clean stamp would otherwise miss.
+    val ticksCan = cpuTicks()
     val canarySec = Seq.fill(3)(canaryRun()).min
     // Repo root: user.dir when it looks like this sbt project (sbt runMain
     // sets it to the project root), overridable via SPARK_GRAFT_REPO,
@@ -236,24 +241,33 @@ object Bench {
     // line instead of whichever consumer happened to run first. Each
     // pass's total still pays every derivation exactly once — the
     // materialize-once pipeline shape — it's just attributed explicitly.
-    // `allDerivs` (the retry pass) re-derives everything `only` admits
-    // even when no consumer retried it, so a retried consumer's second
-    // sample is marginal like its first; min-merge keeps the honest
-    // minimum for the derivation lines themselves.
+    // The retry pass re-derives ONLY the derivations its retried
+    // consumers actually read in pass 1 (`extraDerivs`, discovered at
+    // run time via SparkEntry.drainTouchedDerivations — no hand-written
+    // consumer map to drift), so a retried consumer's second sample is
+    // marginal like its first WITHOUT re-paying the quarantined N²
+    // baselines no retried query touches. Alongside the timings, each
+    // pass returns the query → touched-derivations map it observed.
     def pass(keep: String => Boolean = _ => true,
-             allDerivs: Boolean = false): Seq[(String, Double, Option[String])] = {
+             extraDerivs: Set[String] = Set.empty)
+        : (Seq[(String, Double, Option[String])], Map[String, Set[String]]) = {
       SparkEntry.clearMemos()
       val derivs = SparkEntry.derivations
-        .filter(kv => only.forall(kv._1.matches) && (allDerivs || keep(kv._1)))
+        .filter(kv => only.forall(kv._1.matches) &&
+          (keep(kv._1) || extraDerivs(kv._1)))
       val queries = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(kv => only.forall(kv._1.matches) && keep(kv._1))
-      (derivs ++ queries).map { case (name, fn) =>
+      val touchedBy = scala.collection.mutable.Map.empty[String, Set[String]]
+      val times = (derivs ++ queries).map { case (name, fn) =>
+        SparkEntry.drainTouchedDerivations()
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
           catch { case e: Throwable =>
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
+        touchedBy(name) = SparkEntry.drainTouchedDerivations() - name
         (name, (System.nanoTime() - t0) / 1e9, err)
       }
+      (times, touchedBy.toMap)
     }
     // TIERED passes (round 13): with 373+ registered queries, flat
     // min-of-2 + a 3rd micro pass costs 6-8 min clean and grows every
@@ -301,7 +315,7 @@ object Bench {
       t >= MacroThresholdSec &&
         histTimes.get(n).exists(h => h > 0 && t > HistRetryFactor * h)
     val ticks0 = cpuTicks()
-    val p1 = pass()
+    val (p1, touchedBy) = pass()
     val (mid1, mid5) = loadavg()
     val ticksMid = cpuTicks()
     val retry = p1.collect {
@@ -318,7 +332,8 @@ object Bench {
       System.err.println(s"bench: history-aware retry for " +
         s"${histRetries.size} outlier(s) vs last clean profile: " +
         histRetries.sorted.mkString(", "))
-    val p2 = pass(retry, allDerivs = retry.nonEmpty).map(r => r._1 -> r).toMap
+    val retryDerivs = retry.flatMap(n => touchedBy.getOrElse(n, Set.empty))
+    val p2 = pass(retry, extraDerivs = retryDerivs)._1.map(r => r._1 -> r).toMap
     val (end1, end5) = loadavg()
     val ticksEnd = cpuTicks()
     // steal over [pass1, pass2] — the in-run external-contention record,
@@ -328,15 +343,28 @@ object Bench {
     // looked. -1 (unreadable /proc/stat) never trips the gate — an
     // unmeasurable signal downgrades to the loadavg-only stamp rather
     // than poisoning every profile on hosts without the counter.
+    val stealCan = stealPct(ticksCan, ticks0)
     val steal1 = stealPct(ticks0, ticksMid)
     val steal2 = stealPct(ticksMid, ticksEnd)
     val stealMax = sys.env.get("SPARK_GRAFT_STEAL_MAX")
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(StealMaxPct)
-    val stealHigh = math.max(steal1, steal2) > stealMax
+    // A window below ~5 s of aggregate jiffies (32 cpus × 100 Hz × ms) is
+    // quantization noise — a SINGLE stolen jiffy in a near-empty pass-2
+    // window would read as >1% and stamp a quiet subset run dirty — so
+    // tiny windows are recorded but never gate (same downgrade-not-poison
+    // rule as the -1 unreadable-/proc/stat sentinel). The canary window
+    // gates too: canary_sec is the cross-round divisor, and a steal burst
+    // there deflates value_per_canary while both passes look quiet.
+    val MinStealWindowJiffies = 500L
+    def gates(a: (Long, Long), b: (Long, Long), s: Double): Boolean =
+      b._2 - a._2 >= MinStealWindowJiffies && s > stealMax
+    val stealHigh = gates(ticksCan, ticks0, stealCan) ||
+      gates(ticks0, ticksMid, steal1) || gates(ticksMid, ticksEnd, steal2)
     if (stealHigh)
-      System.err.println(f"bench: hypervisor steal $steal1%.2f%%/$steal2%.2f%% " +
-        f"> $stealMax%.2f%% — profile will carry clean:false")
-    val steals = f"""[$steal1%.2f,$steal2%.2f]"""
+      System.err.println(f"bench: hypervisor steal $stealCan%.2f%%(canary)/" +
+        f"$steal1%.2f%%/$steal2%.2f%% > $stealMax%.2f%% — profile will " +
+        "carry clean:false")
+    val steals = f"""[$stealCan%.2f,$steal1%.2f,$steal2%.2f]"""
     val results = p1.map { case (n, t1, e1) =>
       p2.get(n) match {
         case None => (n, t1, e1, false)

@@ -108,18 +108,45 @@ object SparkEntry {
     * assumption holds for the harness, not for library users).
     */
   private def memoized(memo: scala.collection.mutable.Map[(SparkSession, String), DataFrame],
-                       s: SparkSession, dir: String)
-                      (build: => DataFrame): DataFrame =
-    memo.synchronized {
-      memo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      memo.get((s, dir))
-    }.getOrElse {
+                       name: String, s: SparkSession, dir: String)
+                      (build: => DataFrame): DataFrame = {
+    touched.synchronized(touched += name)
+    sweepDead(memo, sess => sess.sparkContext.isStopped)
+    memo.synchronized(memo.get((s, dir))).getOrElse {
       val built = build.localCheckpoint()
       memo.synchronized(memo.getOrElseUpdate((s, dir), built))
     }
+  }
+
+  /** The eviction sweep, factored out so the PREDICATE path is unit-
+    * testable without stopping a SparkContext (one JVM = one context, so
+    * a test can't hold both a stopped and a live session; EntrySpec
+    * instead pins that entries leave exactly when the predicate says
+    * dead, and the single production call site above binds the predicate
+    * to `sparkContext.isStopped`).
+    */
+  private[graft] def sweepDead(
+      memo: scala.collection.mutable.Map[(SparkSession, String), DataFrame],
+      isDead: SparkSession => Boolean): Unit =
+    memo.synchronized {
+      memo.filterInPlace { case ((sess, _), _) => !isDead(sess) }
+    }
+
+  /** `_derive_*` names touched since the last drain — how graft.Bench
+    * discovers memo-family membership AT RUN TIME: pass 1 drains after
+    * each timed query, so pass 2 can re-derive exactly the derivations
+    * its retried consumers actually read (re-deriving ALL of them paid
+    * the quarantined N² baselines twice on every profile with a
+    * non-empty retry set — ~17 s of a ~300 s profile). A hand-written
+    * consumer map would drift the first time a query gains or loses a
+    * memo read; recording at the accessor can't.
+    */
+  private val touched = scala.collection.mutable.Set.empty[String]
+  private[graft] def drainTouchedDerivations(): Set[String] =
+    touched.synchronized { val t = touched.toSet; touched.clear(); t }
 
   private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    memoized(edgeMemo, s, dir)(copurchaseEdgesFresh(s, dir))
+    memoized(edgeMemo, "_derive_copurchase_edges", s, dir)(copurchaseEdgesFresh(s, dir))
 
   /** Near-dup cluster labels over the documents table (trigram Jaccard
     * ≥ 0.5 pairs → star-contraction components) — the second shared
@@ -148,7 +175,7 @@ object SparkEntry {
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   private[graft] def docClusters(s: SparkSession, dir: String): DataFrame =
-    memoized(clusterMemo, s, dir)(docClustersFresh(s, dir))
+    memoized(clusterMemo, "_derive_doc_clusters", s, dir)(docClustersFresh(s, dir))
 
   /** The d×d embedding covariance matrix — the third shared derivation:
     * five emb_* queries (covariance, pca_power, eigengap, abtt,
@@ -161,7 +188,7 @@ object SparkEntry {
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   private[graft] def embCov(s: SparkSession, dir: String): DataFrame =
-    memoized(covMemo, s, dir)(
+    memoized(covMemo, "_derive_emb_cov", s, dir)(
       Similarity.covarianceMatrix(T(s, dir, "embeddings")))
 
   /** The exact brute-force 5-NN neighbor list over the embeddings —
@@ -181,7 +208,7 @@ object SparkEntry {
   }
 
   private[graft] def knnExact(s: SparkSession, dir: String): DataFrame =
-    memoized(knnMemo, s, dir)(knnExactFresh(s, dir))
+    memoized(knnMemo, "_derive_knn_exact", s, dir)(knnExactFresh(s, dir))
 
   /** The exact TwoNN intrinsic-dimension estimate (one row) — the fifth
     * shared derivation: `emb_intrinsic_dim` returns it verbatim and
@@ -193,7 +220,7 @@ object SparkEntry {
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   private[graft] def twoNNExact(s: SparkSession, dir: String): DataFrame =
-    memoized(twoNNMemo, s, dir)(
+    memoized(twoNNMemo, "_derive_twonn_exact", s, dir)(
       Similarity.intrinsicDimension(T(s, dir, "embeddings")))
 
   /** The LSH self-top-5 neighbor list (the registered 100 TB swap for
@@ -215,7 +242,7 @@ object SparkEntry {
   }
 
   private[graft] def knnLsh(s: SparkSession, dir: String): DataFrame =
-    memoized(knnLshMemo, s, dir)(knnLshFresh(s, dir))
+    memoized(knnLshMemo, "_derive_knn_lsh", s, dir)(knnLshFresh(s, dir))
 
   /** The ANN-fed TwoNN estimate (one row) — seventh shared derivation:
     * `emb_intrinsic_dim_ann` returns it verbatim and
@@ -228,7 +255,7 @@ object SparkEntry {
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   private[graft] def twoNNAnn(s: SparkSession, dir: String): DataFrame =
-    memoized(twoNNAnnMemo, s, dir) {
+    memoized(twoNNAnnMemo, "_derive_twonn_ann", s, dir) {
       val emb = T(s, dir, "embeddings")
       Similarity.intrinsicDimensionFromCandidates(
         Similarity.lshSelfCandidates(emb, dim = 64,

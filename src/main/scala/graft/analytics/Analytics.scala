@@ -683,7 +683,12 @@ object Analytics {
     // (NULL never satisfies i1 < i2), so counting them in basket sizes
     // or item frequencies would only skew the cap and the lift
     // denominators. collect_set would drop them silently anyway; the
-    // explicit filter makes the contract visible.
+    // explicit filter makes the contract visible. CONSEQUENCE (r16,
+    // pinned in AnalyticsSpec): a basket whose items are ALL NULL
+    // leaves the universe entirely — it does not count in n_baskets,
+    // so support/lift denominators cover only baskets with at least
+    // one identifiable item (the pre-r15 self-join formulation counted
+    // such baskets in the denominator).
     val collected = lines.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .filter(col("i").isNotNull)
       .groupBy("b").agg(sort_array(collect_set(col("i"))).as("is"))

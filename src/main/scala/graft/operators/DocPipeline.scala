@@ -77,7 +77,12 @@ object DocPipeline {
     val contaminated = Dedup
       .decontaminateNgram(train, docs.filter(isEval), ngramN)
       .select("doc_id")
+    // Eagerly checkpointed: mixtureSample reads its input TWICE (the
+    // per-source totals under the broadcast plan, then the keep filter),
+    // and without the cut each read re-runs the rep-join + n-gram
+    // decontamination subchain — the chain's dominant cost, paid double.
     val cleanTrain = train.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val sampled = Sampling.mixtureSample(cleanTrain, weights, tokenBudget)
     TextAnalysis.packSequencesSharded(sampled, seqBudget, shardCol)
   }

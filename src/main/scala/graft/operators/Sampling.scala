@@ -749,6 +749,14 @@ object Sampling {
     * decision is a narrow hash-threshold filter — no shuffle ever
     * touches document text, and the same rows survive on any engine or
     * partitioning (the mixtureCard determinism argument).
+    *
+    * NOTE the input is read TWICE (the totals aggregate under the
+    * broadcast plan, then the keep filter) — cheap when `docs` is a
+    * scan, but a caller whose input is an expensive derived plan should
+    * checkpoint/cache it first (the [[DocPipeline.prepareLlm]]
+    * precedent); checkpointing unconditionally here would force a
+    * full-corpus materialization on callers who read straight off
+    * parquet.
     */
   def mixtureSample(docs: DataFrame, weights: Map[String, Double],
                     tokenBudget: Long, sourceCol: String = "source",

@@ -162,6 +162,22 @@ class AnalyticsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("basketPairs: NULL items never pair or count; an all-NULL basket leaves the universe") {
+    val lines = Seq(
+      (1L, Some("A")), (1L, Some("B")), (1L, None), // null item in a live basket
+      (2L, Some("A")), (2L, Some("B")),
+      (3L, None), (3L, None)                        // all-NULL basket
+    ).toDF("order", "part")
+    val out = Analytics.basketPairs(lines, "order", "part", minSupport = 1L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5), r.getDouble(7))).toMap
+    assert(out.keySet == Set(("A", "B"))) // null forms no pair
+    val (c12, sup, lift) = out(("A", "B"))
+    // denominator = 2 baskets: basket 3 (all NULL) is NOT a basket
+    assert(c12 == 2L && sup == 1.0)
+    assert(math.abs(lift - 2.0 * 2 / (2 * 2)) < 1e-6) // cA=cB=2, N=2
+  }
+
   test("basketPairs: maxBasketSize excludes a pathological mega-basket whole") {
     // Baskets 1..3 are normal; basket 99 is a bot touching 30 items —
     // uncapped it contributes 435 pairs and inflates every frequency.

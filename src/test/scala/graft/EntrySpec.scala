@@ -136,16 +136,41 @@ class EntrySpec extends SparkSpec {
       "derivation names must not collide with registered query names")
   }
 
-  test("memo eviction: entries of a stopped session are dropped on access") {
+  test("memo eviction: entries leave exactly when the predicate marks their session dead") {
     val dir = "/root/testdata/sf0.001"
-    // an isolated session so stopping it can't break the shared fixture
     val s2 = spark.newSession()
-    // newSession shares the SparkContext, so fabricate the condition the
-    // eviction guards: same context (isStopped=false) means the entry
-    // SURVIVES; the eviction path itself is exercised by every access.
     val before = SparkEntry.copurchaseEdges(s2, dir)
     assert(before eq SparkEntry.copurchaseEdges(s2, dir),
       "live-session memo entry must survive an eviction sweep")
+    // One JVM = one SparkContext, so a test can't hold a stopped session
+    // beside a live one — pin the sweep itself on a scratch map instead:
+    // entries must leave exactly when the predicate says dead (the
+    // production call site binds the predicate to sparkContext.isStopped).
+    val scratch = scala.collection.mutable.Map[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]((s2, dir) -> before, (spark, dir) -> before)
+    SparkEntry.sweepDead(scratch, _ => false)
+    assert(scratch.size == 2, "all-alive predicate must evict nothing")
+    SparkEntry.sweepDead(scratch, _ eq s2)
+    assert(scratch.keySet == Set((spark, dir)),
+      "dead predicate must evict exactly the dead session's entries")
+    SparkEntry.sweepDead(scratch, _ => true)
+    assert(scratch.isEmpty, "all-dead predicate must evict everything")
+  }
+
+  test("memo-family membership is discoverable via drainTouchedDerivations") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.clearMemos()
+    SparkEntry.drainTouchedDerivations() // discard touches from other tests
+    SparkEntry.queries("dedup_clusters")(spark, dir).count()
+    val touched = SparkEntry.drainTouchedDerivations()
+    assert(touched("_derive_doc_clusters"),
+      s"dedup_clusters must record its cluster-memo read, got $touched")
+    assert(SparkEntry.drainTouchedDerivations().isEmpty,
+      "drain must clear the touch set")
+    // a memo-free query records nothing
+    SparkEntry.queries("q1_pricing")(spark, dir).count()
+    assert(SparkEntry.drainTouchedDerivations().isEmpty,
+      "q1_pricing touches no derivation memo")
   }
 
   test("all registered queries execute at sf0.001 and are non-degenerate") {

@@ -56,9 +56,14 @@ if os.path.exists(bf):
             warns.append("BENCH_FULL.json is stamped clean:false")
         if d.get("suspect"):
             warns.append(f"BENCH_FULL.json suspect timings: {d['suspect']}")
+        # Prefer the stamp's own window-aware verdict (r16: tiny windows
+        # are quantization noise and never gate); fall back to a raw max
+        # for pre-r16 artifacts that lack the steal_high field.
         steals = [s for s in d.get("steal_pct", []) if s >= 0]
         steal_max = d.get("steal_max_pct", 0.5)
-        if steals and max(steals) > steal_max:
+        steal_high = d.get("steal_high",
+                           bool(steals and max(steals) > steal_max))
+        if steal_high:
             warns.append(
                 f"BENCH_FULL.json recorded high hypervisor steal "
                 f"{d['steal_pct']} (gate {steal_max}%) — discount timings")
