@@ -143,20 +143,26 @@ object Bench {
     // cancels any uniform host-speed factor. Recorded, not gated — the
     // steal gate handles in-run contention; this handles the quiet-but-
     // slow host window.
-    def canaryRun(): Double = {
+    // Steal is measured around EACH canary run: canary_sec is the
+    // cross-round normalization DIVISOR, so a steal burst here would
+    // silently deflate value_per_canary while the passes run quiet —
+    // the one corruption the clean stamp would otherwise miss. Min-of-3
+    // keeps the FASTEST run's time, so only THAT run's own window
+    // gates: a burst during a discarded run is already absorbed by the
+    // min (observed live — a 6.29% burst in run 1's window while the
+    // kept run and both passes were quiet would have dirtied the whole
+    // profile under a span-wide gate).
+    def canaryRun(): (Double, Double) = {
+      val a = cpuTicks()
       val t0 = System.nanoTime()
       // bit_xor, not sum: summing 2048M xxhash64 longs overflows under
       // ANSI mode; xor folds are overflow-free and equally unprunable.
       spark.range(0L, 2048L * 1000 * 1000, 1L, cpus.toInt)
         .selectExpr("bit_xor(xxhash64(id)) AS h").collect()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, stealPct(a, cpuTicks()))
     }
-    // Steal is measured around the canary too: canary_sec is the
-    // cross-round normalization DIVISOR, so a steal burst here would
-    // silently deflate value_per_canary while the passes run quiet —
-    // the one corruption the clean stamp would otherwise miss.
-    val ticksCan = cpuTicks()
-    val canarySec = Seq.fill(3)(canaryRun()).min
+    val (canarySec, stealCan) = Seq.fill(3)(canaryRun()).minBy(_._1)
     // Repo root: user.dir when it looks like this sbt project (sbt runMain
     // sets it to the project root), overridable via SPARK_GRAFT_REPO,
     // /root/repo as the sandbox fallback — no hardcoded absolute path on
@@ -354,7 +360,6 @@ object Bench {
     // looked. -1 (unreadable /proc/stat) never trips the gate — an
     // unmeasurable signal downgrades to the loadavg-only stamp rather
     // than poisoning every profile on hosts without the counter.
-    val stealCan = stealPct(ticksCan, ticks0)
     val steal1 = stealPct(ticks0, ticksMid)
     val steal2 = stealPct(ticksMid, ticksEnd)
     val stealMax = sys.env.get("SPARK_GRAFT_STEAL_MAX")
@@ -373,7 +378,9 @@ object Bench {
     def gates(a: (Long, Long), b: (Long, Long), s: Double,
               max: Double): Boolean =
       b._2 - a._2 >= MinStealWindowJiffies && s > max
-    val stealHigh = gates(ticksCan, ticks0, stealCan, canaryStealMax) ||
+    // The kept canary run's ~0.5 s × cpus window is always above the
+    // jiffy floor; -1 (unreadable /proc/stat) never gates.
+    val stealHigh = (stealCan >= 0 && stealCan > canaryStealMax) ||
       gates(ticks0, ticksMid, steal1, stealMax) ||
       gates(ticksMid, ticksEnd, steal2, stealMax)
     if (stealHigh)
