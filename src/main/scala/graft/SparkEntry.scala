@@ -302,6 +302,39 @@ object SparkEntry {
     twoNNAnnMemo.synchronized(twoNNAnnMemo.clear())
   }
 
+  /** Tie-free 8-dp quantization of a COMPUTED double, engine-identical.
+    * `cast(x AS DECIMAL(18,8))` is NOT: Spark casts through the
+    * double's SHORTEST decimal representation (BigDecimal.valueOf)
+    * while DuckDB rounds the exact binary value, and a product whose
+    * shortest repr lands exactly on a 0.5×10⁻⁸ boundary rounds apart —
+    * one lineitem row did at sf0.1, moving q1's sum_disc_price by one
+    * ulp. Scaling into the integer domain first removes the ambiguity:
+    * for |x|·10⁸ < 2⁵², every half IS exactly representable, so both
+    * engines' scale-0 round (half away from zero) agree bit-for-bit,
+    * and k/10⁸ recovers the same 8-dp decimal on both (the grid point
+    * is ≫ one ulp from any cast tie). DuckDB mirror:
+    * `CAST(round(x * 100000000) / 100000000 AS DECIMAL(18,8))`.
+    * Same family as perplexityBigram's `(2x+m) div 2m` final round.
+    */
+  private def q8(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (round(c * lit(1e8)) / lit(1e8)).cast("decimal(18,8)")
+
+  /** DECIMAL(·,8) aggregate → DOUBLE, engine-identical even when the
+    * UNSCALED value exceeds 2⁵³: a plain cast is correctly rounded by
+    * Spark (BigDecimal.doubleValue over the full rational) but DuckDB
+    * rounds the unscaled integer to a double FIRST and then divides —
+    * q1's sum_disc_price (unscaled ≈ 2.7×10¹⁷) came out one ulp apart
+    * at sf0.1. Splitting into whole + fraction/10⁸ makes both addends
+    * exactly representable (whole < 2⁵³ after the integer division,
+    * fraction < 10⁸), so the one IEEE add yields the identical double
+    * on both engines. DuckDB mirror:
+    * `CAST(l // 100000000 AS DOUBLE) + CAST(l % 100000000 AS DOUBLE)
+    * / 1e8` over `l = CAST(s * 100000000 AS BIGINT)`.
+    */
+  private def dec8ToDouble(name: String): org.apache.spark.sql.Column =
+    expr(s"cast(cast($name * 100000000 as bigint) div 100000000 as double)" +
+      s" + cast(cast($name * 100000000 as bigint) % 100000000 as double) / 1e8")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing")(spark, "/root/testdata/sf0.001")
@@ -319,11 +352,11 @@ object SparkEntry {
         .agg(
           sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,8)")).cast("double").as("sum_disc_price"),
+          sum(q8(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sdp_dec"),
           (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") / count(lit(1)))
             .as("avg_qty"),
           count(lit(1)).as("n_rows"))
+        .withColumn("sum_disc_price", dec8ToDouble("sdp_dec")).drop("sdp_dec")
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -337,9 +370,9 @@ object SparkEntry {
         .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("c_custkey"))
         .agg(
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,8)")).cast("double").as("revenue"),
+          sum(q8(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_dec"),
           count(lit(1)).as("n_items"))
+        .withColumn("revenue", dec8ToDouble("rev_dec")).drop("rev_dec")
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
@@ -364,9 +397,9 @@ object SparkEntry {
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .groupBy(col("n_name"))
         .agg(
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,8)")).cast("double").as("revenue"),
+          sum(q8(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_dec"),
           count(lit(1)).as("n_items"))
+        .withColumn("revenue", dec8ToDouble("rev_dec")).drop("rev_dec")
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
@@ -4561,7 +4594,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS sum_disc_price,
+        |  (CAST(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100000000) / 100000000 AS DECIMAL(18,8))) * 100000000 AS BIGINT) // 100000000 AS DOUBLE) + CAST(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100000000) / 100000000 AS DECIMAL(18,8))) * 100000000 AS BIGINT) % 100000000 AS DOUBLE) / 1e8) AS sum_disc_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem
@@ -4570,7 +4603,7 @@ object SparkEntry {
 
     "q3_top_orders" ->
       """SELECT l_orderkey, o_orderdate, c_custkey,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS revenue,
+        |  (CAST(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100000000) / 100000000 AS DECIMAL(18,8))) * 100000000 AS BIGINT) // 100000000 AS DOUBLE) + CAST(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100000000) / 100000000 AS DECIMAL(18,8))) * 100000000 AS BIGINT) % 100000000 AS DOUBLE) / 1e8) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -4582,8 +4615,10 @@ object SparkEntry {
 
     "q5_region_volume" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |    AS DECIMAL(18,8))) AS DOUBLE) AS revenue,
+        |  (CAST(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |    * 100000000) / 100000000 AS DECIMAL(18,8))) * 100000000 AS BIGINT) // 100000000 AS DOUBLE)
+        |    + CAST(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |    * 100000000) / 100000000 AS DECIMAL(18,8))) * 100000000 AS BIGINT) % 100000000 AS DOUBLE) / 1e8) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -7822,15 +7857,17 @@ object SparkEntry {
          |          - (CAST(mi.sx AS DOUBLE) / n)
          |          * (CAST(mj.sx AS DOUBLE) / n), 6) + 0.0 AS cov
          |      FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j),
+         |k6 AS (SELECT i, j, cov,
+         |        CAST(round(cov * 1e6) AS BIGINT) AS k FROM cv),
          |a AS (SELECT count(*) AS n_entries,
          |        sum(CASE WHEN i = j
          |          THEN CAST(cov AS DECIMAL(18,6)) END) AS tr,
-         |        sum(CAST(round(cov * cov, 9) AS DECIMAL(28,9))) AS fr2
-         |      FROM cv)
+         |        CAST(sum((k * k + 500) // 1000) AS BIGINT) AS fr2i
+         |      FROM k6)
          |SELECT n_entries, round(CAST(tr AS DOUBLE), 6) AS trace,
-         |  round(sqrt(CAST(fr2 AS DOUBLE)), 6) AS frob_norm,
+         |  round(sqrt(CAST(fr2i AS DOUBLE) / 1e9), 6) AS frob_norm,
          |  round(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)
-         |    / nullif(CAST(fr2 AS DOUBLE), 0.0), 6) AS effective_rank
+         |    / nullif(CAST(fr2i AS DOUBLE) / 1e9, 0.0), 6) AS effective_rank
          |FROM a""".stripMargin,
 
     // TwoNN: squared-L2 via the identical ‖a‖²+‖b‖²−2a·b double algebra
@@ -9670,15 +9707,17 @@ object SparkEntry {
          |      FROM ee GROUP BY 1),
          |rr AS (SELECT cid, round(e3 / CAST(se AS DOUBLE), 9) AS r,
          |        cid = hard AS is_hard
-         |      FROM ee JOIN se USING (vec_id))
+         |      FROM ee JOIN se USING (vec_id)),
+         |r6t AS (SELECT cid, is_hard,
+         |        (CAST(round(r * 1e9) AS BIGINT) + 500) // 1000 AS r6
+         |      FROM rr)
          |SELECT CAST(cid AS BIGINT) AS cid, count(*) AS n_vecs,
-         |  round(CAST(sum(CAST(round(r, 6) AS DECIMAL(18,6)))
-         |    AS DOUBLE), 6) AS soft_count,
+         |  CAST(CAST(sum(r6) AS BIGINT) AS DOUBLE) / 1e6 AS soft_count,
          |  CAST(sum(CASE WHEN is_hard THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_hard,
-         |  round(CAST(sum(CAST(round(r, 6) AS DECIMAL(18,6))) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE), 6) AS avg_resp
-         |FROM rr GROUP BY 1 ORDER BY cid""".stripMargin,
+         |  CAST((CAST(sum(r6) AS BIGINT) * 2 + count(*))
+         |    // (count(*) * 2) AS DOUBLE) / 1e6 AS avg_resp
+         |FROM r6t GROUP BY 1 ORDER BY cid""".stripMargin,
 
     "ml_ridge" ->
       """WITH s AS (SELECT CAST(l_quantity AS DOUBLE) AS x1,

@@ -540,18 +540,28 @@ object ML {
       sum(col("e").cast("decimal(28,9)")).as("se"),
       // hard assignment = nearest centroid, ties to the lower cid
       min(when(col("is_min"), col("cid"))).as("hard"))
+    // r is an exact 9-dp value, so its 6-dp re-round and the avg_resp
+    // division are done in exact BIGINT arithmetic: round(r·10⁹)
+    // recovers the 9-dp integer bit-exactly on both engines, (k+500)
+    // div 1000 is the half-up 6-dp cut (a DOUBLE re-round lands exactly
+    // on the 0.5×10⁻⁶ tie whenever the last three digits are 500 —
+    // ~1/1000 of rows, observed at sf0.1 — and engines round double
+    // ties apart), and (2·sc6+n) div 2n is the tie-exact mean (the
+    // perplexityBigram rationale).
     e.join(se, "vec_id")
       .select(col("cid"),
         round(col("e") / col("se").cast("double"), 9).as("r"),
         (col("cid") === col("hard")).as("is_hard"))
+      .withColumn("r6",
+        expr("(cast(round(r * 1e9) as bigint) + 500) div 1000"))
       .groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"),
-        sum(round(col("r"), 6).cast("decimal(18,6)")).as("sc"),
+        sum(col("r6")).as("sc6"),
         sum(when(col("is_hard"), 1L).otherwise(0L)).as("n_hard"))
       .select(col("cid").cast("long").as("cid"), col("n_vecs"),
-        round(col("sc").cast("double"), 6).as("soft_count"),
+        (col("sc6").cast("double") / lit(1e6)).as("soft_count"),
         col("n_hard"),
-        round(col("sc").cast("double") / col("n_vecs").cast("double"), 6)
-          .as("avg_resp"))
+        (expr("(sc6 * 2 + n_vecs) div (n_vecs * 2)").cast("double") /
+          lit(1e6)).as("avg_resp"))
   }
 }

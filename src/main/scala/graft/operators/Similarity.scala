@@ -1418,18 +1418,27 @@ object Similarity {
                     vecCol: String = "embedding",
                     precomputedCov: Option[DataFrame] = None): DataFrame = {
     val cov = precomputedCov.getOrElse(covarianceMatrix(embeddings, idCol, vecCol))
-    cov.agg(
+    // cov is an exact 6-dp value (covarianceMatrix rounds it), so its
+    // square's 9-dp quantization runs in exact BIGINT arithmetic:
+    // k = cov·10⁶ is recovered bit-exactly, k² is the square in 10⁻¹²
+    // units, and (k²+500) div 1000 is the half-up 9-dp cut.
+    // `round(cov*cov, 9)` on the DOUBLE lands exactly on the 0.5×10⁻⁹
+    // tie whenever k² ≡ 500 (mod 1000) — one of the 4096 cells did at
+    // sf0.1, and the engines' double-tie disagreement moved
+    // effective_rank by 3×10⁻⁵ through the fr2 quotient.
+    cov.withColumn("k", expr("cast(round(cov * 1e6) as bigint)"))
+      .agg(
         count(lit(1)).as("n_entries"),
         sum(when(col("i") === col("j"), col("cov").cast("decimal(18,6)")))
           .as("tr"),
-        sum(round(col("cov") * col("cov"), 9).cast("decimal(28,9)"))
-          .as("fr2"))
+        sum(expr("(k * k + 500) div 1000").cast("decimal(28,0)"))
+          .as("fr2i"))
       .select(col("n_entries"),
         round(col("tr").cast("double"), 6).as("trace"),
-        round(sqrt(col("fr2").cast("double")), 6).as("frob_norm"),
+        round(sqrt(col("fr2i").cast("double") / lit(1e9)), 6).as("frob_norm"),
         round(try_divide(
           col("tr").cast("double") * col("tr").cast("double"),
-          col("fr2").cast("double")), 6).as("effective_rank"))
+          col("fr2i").cast("double") / lit(1e9)), 6).as("effective_rank"))
   }
 
   /** Johnson–Lindenstrauss distortion audit of [[signedProjection]]:
