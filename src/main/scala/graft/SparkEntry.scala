@@ -325,15 +325,29 @@ object SparkEntry {
     * rounds the unscaled integer to a double FIRST and then divides —
     * q1's sum_disc_price (unscaled ≈ 2.7×10¹⁷) came out one ulp apart
     * at sf0.1. Splitting into whole + fraction/10⁸ makes both addends
-    * exactly representable (whole < 2⁵³ after the integer division,
-    * fraction < 10⁸), so the one IEEE add yields the identical double
-    * on both engines. DuckDB mirror:
-    * `CAST(l // 100000000 AS DOUBLE) + CAST(l % 100000000 AS DOUBLE)
-    * / 1e8` over `l = CAST(s * 100000000 AS BIGINT)`.
+    * exactly representable, so the one IEEE add yields the identical
+    * double on both engines.
+    *
+    * The split works on the UNSCALED decimal directly — `s - (s % 1)`
+    * and `(s % 1) · 10⁸` — never scaling the whole aggregate into
+    * BIGINT: the r16 form `cast(s * 10⁸ as bigint)` overflowed 2⁶³ once
+    * the aggregate passed ~9.2×10¹⁰ (sf ≈ 2 for q1's largest group —
+    * ADVICE r16 medium). Now only the integral part rides a BIGINT
+    * (overflow at an aggregate of 9.2×10¹⁸, sf ≈ 10⁸, and ANSI mode
+    * fails loudly there) and the fraction is < 10⁸ by construction.
+    * Both engines' `%` follows the dividend's sign, so the two addends
+    * reconstruct negatives identically too. The intermediate
+    * `decimal(9,8)` cast keeps the fraction's ×10⁸ product inside
+    * precision 38 (an unbounded decimal times 10⁸ would trip Spark's
+    * precision cap into scale-6 TRUNCATION — 2 fractional digits lost).
+    * DuckDB mirror: `CAST(CAST(s - (s % 1) AS BIGINT) AS DOUBLE) +
+    * CAST(CAST(CAST(s % 1 AS DECIMAL(9,8)) * 100000000 AS BIGINT) AS
+    * DOUBLE) / 1e8`.
     */
-  private def dec8ToDouble(name: String): org.apache.spark.sql.Column =
-    expr(s"cast(cast($name * 100000000 as bigint) div 100000000 as double)" +
-      s" + cast(cast($name * 100000000 as bigint) % 100000000 as double) / 1e8")
+  private[graft] def dec8ToDouble(name: String): org.apache.spark.sql.Column =
+    expr(s"cast(cast($name - ($name % 1) as bigint) as double)" +
+      s" + cast(cast(cast($name % 1 as decimal(9,8)) * 100000000 as bigint)" +
+      s" as double) / 1e8")
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
@@ -4420,8 +4434,10 @@ object SparkEntry {
     * SRP candidate set (ann_lsh_topk, the self-join kNN graph, the
     * ANN-fed TwoNN).
     */
+  private def planeLit(pl: Array[Double]) =
+    pl.map(_.toString).mkString("[", ", ", "]")
+
   private def srpBucketTablesSql(dim: Int, nPlanes: Int, nTables: Int): String = {
-    def planeLit(pl: Array[Double]) = pl.map(_.toString).mkString("[", ", ", "]")
     (0 until nTables).map { t =>
       val planes = Similarity.hyperplanes(dim, nPlanes, 42L, t)
       val bucket = (0 until nPlanes).map { h =>
@@ -4456,19 +4472,52 @@ object SparkEntry {
     * self-kNN-graph and ANN-TwoNN oracles (each at its own recall/cost
     * operating point — see the query comments).
     */
-  /** Embedding-corpus size of the CORRECTNESS fixtures (sf0.001 and
-    * sf0.01 both carry 500 vectors — TESTDATA.md). The static DuckDB
-    * oracles below must mirror the Spark side's statistics-driven
-    * `srpAutoPlanes(emb.count())`, so they derive their plane count from
-    * the SAME formula over this constant instead of hardcoding it; at a
-    * different sf (sf0.1 has 2000 vectors → 6 planes) the harness would
-    * mismatch, which EntrySpec guards by pinning srpAutoPlanes(500)=4.
+  /** Largest SRP plane count the self-candidate oracles embed hyperplane
+    * literals for. The Spark side derives its plane count from the live
+    * corpus (`srpAutoPlanes(emb.count())`), so the DuckDB mirror must
+    * too — through round 16 it instead pinned the count to the 500-vector
+    * correctness fixtures, which made the 4 LSH-family rows fail BY
+    * DESIGN on any other corpus size (sf0.1's 2,000 vectors → 6 planes
+    * vs the pinned 4; r16 judge item 2). Now the SQL computes
+    * `np = min p in [2, 16] with 32·2ᵖ ≥ count(*)` — the integer-domain
+    * mirror of [[Similarity.srpAutoPlanes]] — and masks the embedded
+    * plane terms to the first np. `hyperplanes` draws row-major from one
+    * PRNG stream per table, so the np-plane set IS the prefix of the
+    * 16-plane set for every np ≤ 16. 16 planes covers corpora up to
+    * 32·2¹⁶ ≈ 2.1M vectors (sf ≈ 1000); beyond that the SQL raises via
+    * DuckDB `error()` instead of silently under-bucketing.
     */
-  private[graft] val OracleEmbCount = 500L
-  private val OracleSrpPlanes = Similarity.srpAutoPlanes(OracleEmbCount)
+  private val MaxOraclePlanes = 16
 
-  private def srpSelfCandCte(nPlanes: Int, nTables: Int): String =
-    s"""b AS (${srpBucketTablesSql(64, nPlanes, nTables)}),
+  /** Corpus-derived plane count as a 1-row CTE: the all-integer mirror of
+    * `srpAutoPlanes(count, target = 32)` (both sides pick the smallest p
+    * with 32·2ᵖ ≥ n — no floating log₂ whose power-of-two ties could
+    * ceil apart across engines).
+    */
+  private val srpNpCte: String =
+    s"""np AS (SELECT coalesce(
+       |  (SELECT min(p) FROM range(2, ${MaxOraclePlanes + 1}) t(p)
+       |   WHERE 32 * (1::BIGINT << p) >= (SELECT count(*) FROM embeddings)),
+       |  CAST(error('corpus needs > $MaxOraclePlanes SRP planes; extend MaxOraclePlanes') AS INT)) AS np)""".stripMargin
+
+  /** Exploded SRP bucket table with the plane count taken from the `np`
+    * CTE at query time: every table embeds all $MaxOraclePlanes seed-42
+    * hyperplanes and each plane h contributes its 2ʰ bit only when
+    * h < np, so the bucket value equals `Similarity.lshBuckets` run with
+    * `srpAutoPlanes(count)` planes at ANY corpus size in the domain.
+    */
+  private def srpBucketTablesDynSql(dim: Int, nTables: Int): String =
+    (0 until nTables).map { t =>
+      val planes = Similarity.hyperplanes(dim, MaxOraclePlanes, 42L, t)
+      val bucket = (0 until MaxOraclePlanes).map { h =>
+        s"(CASE WHEN $h < np AND list_dot_product(v, ${planeLit(planes(h))}) >= 0 THEN ${1L << h} ELSE 0 END)"
+      }.mkString("\n     + ")
+      s"SELECT vec_id, v, $t AS tbl, $bucket AS bucket FROM e, np"
+    }.mkString("\nUNION ALL\n")
+
+  private def srpSelfCandCte(nTables: Int): String =
+    s"""$srpNpCte,
+       |b AS (${srpBucketTablesDynSql(64, nTables)}),
        |cand AS (SELECT q.vec_id AS id, c.vec_id AS nid
        |         FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
        |         WHERE q.vec_id <> c.vec_id
@@ -4504,7 +4553,7 @@ object SparkEntry {
     */
   private val twoNNAnnOracle: String =
     s"""WITH e AS ($embCte),
-       |${srpSelfCandCte(OracleSrpPlanes, 8)},
+       |${srpSelfCandCte(8)},
        |p AS (SELECT cand.id, cand.nid,
        |        list_dot_product(qe.v, qe.v) + list_dot_product(ce.v, ce.v)
        |          - 2.0 * list_dot_product(qe.v, ce.v) AS d2
@@ -4550,7 +4599,7 @@ object SparkEntry {
     */
   private val knnGraphLshOracle: String =
     s"""WITH e AS ($embCte),
-       |${srpSelfCandCte(OracleSrpPlanes, 8)},
+       |${srpSelfCandCte(8)},
        |s AS (SELECT cand.id AS qid, cand.nid,
        |        list_cosine_similarity(qe.v, ce.v) AS cos
        |      FROM cand JOIN e qe ON qe.vec_id = cand.id
@@ -4594,7 +4643,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  (CAST(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100000000) / 100000000 AS DECIMAL(18,8))) * 100000000 AS BIGINT) // 100000000 AS DOUBLE) + CAST(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100000000) / 100000000 AS DECIMAL(18,8))) * 100000000 AS BIGINT) % 100000000 AS DOUBLE) / 1e8) AS sum_disc_price,
+        |  (CAST(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100000000) / 100000000 AS DECIMAL(18,8))) - (SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100000000) / 100000000 AS DECIMAL(18,8))) % 1) AS BIGINT) AS DOUBLE) + CAST(CAST(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100000000) / 100000000 AS DECIMAL(18,8))) % 1 AS DECIMAL(9,8)) * 100000000 AS BIGINT) AS DOUBLE) / 1e8) AS sum_disc_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem
@@ -4603,7 +4652,7 @@ object SparkEntry {
 
     "q3_top_orders" ->
       """SELECT l_orderkey, o_orderdate, c_custkey,
-        |  (CAST(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100000000) / 100000000 AS DECIMAL(18,8))) * 100000000 AS BIGINT) // 100000000 AS DOUBLE) + CAST(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100000000) / 100000000 AS DECIMAL(18,8))) * 100000000 AS BIGINT) % 100000000 AS DOUBLE) / 1e8) AS revenue,
+        |  (CAST(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100000000) / 100000000 AS DECIMAL(18,8))) - (SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100000000) / 100000000 AS DECIMAL(18,8))) % 1) AS BIGINT) AS DOUBLE) + CAST(CAST(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100000000) / 100000000 AS DECIMAL(18,8))) % 1 AS DECIMAL(9,8)) * 100000000 AS BIGINT) AS DOUBLE) / 1e8) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -4616,9 +4665,10 @@ object SparkEntry {
     "q5_region_volume" ->
       """SELECT n_name,
         |  (CAST(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
-        |    * 100000000) / 100000000 AS DECIMAL(18,8))) * 100000000 AS BIGINT) // 100000000 AS DOUBLE)
-        |    + CAST(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
-        |    * 100000000) / 100000000 AS DECIMAL(18,8))) * 100000000 AS BIGINT) % 100000000 AS DOUBLE) / 1e8) AS revenue,
+        |    * 100000000) / 100000000 AS DECIMAL(18,8))) - (SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |    * 100000000) / 100000000 AS DECIMAL(18,8))) % 1) AS BIGINT) AS DOUBLE)
+        |    + CAST(CAST(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |    * 100000000) / 100000000 AS DECIMAL(18,8))) % 1 AS DECIMAL(9,8)) * 100000000 AS BIGINT) AS DOUBLE) / 1e8) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -7862,7 +7912,8 @@ object SparkEntry {
          |a AS (SELECT count(*) AS n_entries,
          |        sum(CASE WHEN i = j
          |          THEN CAST(cov AS DECIMAL(18,6)) END) AS tr,
-         |        CAST(sum((k * k + 500) // 1000) AS BIGINT) AS fr2i
+         |        CAST(sum((CAST(k AS HUGEINT) * k + 500) // 1000)
+         |          AS DECIMAL(38,0)) AS fr2i
          |      FROM k6)
          |SELECT n_entries, round(CAST(tr AS DOUBLE), 6) AS trace,
          |  round(sqrt(CAST(fr2i AS DOUBLE) / 1e9), 6) AS frob_norm,

@@ -1198,6 +1198,15 @@ object TextAnalysis {
       .join(cb, Seq("prev", "term")).join(cp, Seq("prev"))
       .join(uni, Seq("term")).crossJoin(broadcast(n))
       .groupBy("doc_id")
+      // Tie exposure (documented, accepted): round(c·ln p, 6) on a DOUBLE
+      // is the shortest-repr-vs-exact-binary rounding class fixed
+      // elsewhere in the integer domain (SparkEntry.q8) — IF c·ln p's
+      // shortest decimal repr lands exactly on a 0.5×10⁻⁶ boundary the
+      // engines can split. Unlike q8's products of 2-dp inputs, ln of a
+      // rational is transcendental (never exactly a 7-dp half), so a tie
+      // needs the DOUBLE's shortest repr to terminate at the boundary —
+      // none across sf0.001–0.1 and the perturbed-seed sweep. Same
+      // accepted exposure as the unigram perplexity's contribution round.
       .agg(sum(col("c")).as("n_bigrams"),
         sum(round(col("c") * log(p), 6).cast("decimal(18,6)")).as("slogp"))
     // x = −slogp in exact 10⁻⁶ units (ln p ≤ 0 always, so x ≥ 0); the

@@ -584,6 +584,21 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r2.getDouble(3) - 2.0) < 1e-3)
   }
 
+  test("effectiveRank: |cov| > 3e3 no longer overflows the k-squared cut") {
+    // ADVICE r16: k = round(cov·1e6) made k·k exceed 2^63 past
+    // |cov| ≈ 3×10³ and throw under ANSI; the square now rides
+    // DECIMAL(38,0), overflow-free for every bigint k. Hand numbers:
+    // diag(5000, 5000) -> trace 10⁴, ‖C‖²_F = 5×10⁷, rank 10⁸/5×10⁷ = 2.
+    val cov = Seq((0, 0, 5000.0), (0, 1, 0.0), (1, 0, 0.0), (1, 1, 5000.0))
+      .toDF("i", "j", "cov")
+    val r = Similarity.effectiveRank(spark.emptyDataFrame,
+      precomputedCov = Some(cov)).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 10000.0)
+    assert(math.abs(r.getDouble(2) - math.sqrt(5.0e7)) < 1e-4)
+    assert(r.getDouble(3) == 2.0)
+  }
+
   test("isotropy: orthogonal pair scores 0, collapsed pair scores 1, zero vector drops") {
     // orthogonal unit vectors: sum vector (1,1), ||.||^2 = 2 = self term
     val ortho = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
