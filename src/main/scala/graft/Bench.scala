@@ -40,8 +40,8 @@ object Bench {
     * 0.51/0.52% on back-to-back runs whose pass windows read
     * 0.01–0.15%) — a systematic full-load artifact, not tenant noise.
     * The gate exists to catch bursts like r15's 1.9%, which would
-    * deflate the cross-round divisor; 2% separates the two regimes
-    * while min-of-3 already blunts sub-burst noise. Override:
+    * corrupt the recorded host-speed provenance; 2% separates the two
+    * regimes while min-of-3 already blunts sub-burst noise. Override:
     * SPARK_GRAFT_CANARY_STEAL_MAX.
     */
   val CanaryStealMaxPct = 2.0
@@ -133,36 +133,56 @@ object Bench {
       try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    // Host-speed CANARY: a fixed pure-CPU job (2048M xxhash64 folds across
-    // the configured cores, zero I/O — no page-cache preload of benched
-    // data), min-of-3, timed before pass 1. Round-15 measured a uniform
-    // ~1.25-1.45× per-query factor across clean-stamped profiles on
-    // identical code — host-level variance invisible to loadavg AND
-    // (sometimes) steal. canary_sec is the divisor that makes totals
-    // comparable across rounds: value_per_canary = value / canary_sec
-    // cancels any uniform host-speed factor. Recorded, not gated — the
-    // steal gate handles in-run contention; this handles the quiet-but-
-    // slow host window.
-    // Steal is measured around EACH canary run: canary_sec is the
-    // cross-round normalization DIVISOR, so a steal burst here would
-    // silently deflate value_per_canary while the passes run quiet —
-    // the one corruption the clean stamp would otherwise miss. Min-of-3
-    // keeps the FASTEST run's time, so only THAT run's own window
-    // gates: a burst during a discarded run is already absorbed by the
-    // min (observed live — a 6.29% burst in run 1's window while the
-    // kept run and both passes were quiet would have dirtied the whole
-    // profile under a span-wide gate).
-    def canaryRun(): (Double, Double) = {
+    // Host-speed CANARY — PROVENANCE ONLY since round 17. The r16 field
+    // value_per_canary was built as a cross-round comparator, but its two
+    // clean same-code r16 profiles disagreed by 18% while the raw totals
+    // disagreed by 8%: a pure-CPU spin doesn't share the bench's
+    // sensitivity profile (shuffle, memory bandwidth, JIT state), so
+    // dividing by it ANTI-corrected — the slower profile got the LARGER
+    // normalized value (r16 judge item 1). The field is gone; no one
+    // should divide by one component. What remains is a THREE-component
+    // host-speed vector, recorded so a future round with >= 4 clean
+    // same-code profiles can calibrate the mix that actually minimizes
+    // clean-profile variance before anything cites it as a comparator:
+    //  - cpu:     2048M xxhash64 folds (register-bound, zero I/O)
+    //  - shuffle: 64M-row modulo-keyed groupBy through a real exchange
+    //  - membw:   2 GiB of per-row long-array builds + reductions
+    //    (allocation + stream bandwidth; sequence(id, ...) keeps it
+    //    off the constant-folding path)
+    // All are fixed-size, deterministic, and touch none of the benched
+    // data (no page-cache preload). Min-of-3 each.
+    // Steal is measured around EACH run and the KEPT (fastest) run's own
+    // window still gates the clean stamp: a burst inside a kept canary
+    // window corrupts the recorded provenance values and lands seconds
+    // before pass 1 — the dirty-environment signal itself. A burst in a
+    // DISCARDED run is already absorbed by the min (observed live — a
+    // 6.29% burst in run 1's window while the kept run and both passes
+    // were quiet would have dirtied the whole profile under a span-wide
+    // gate).
+    def canaryRun(job: () => Unit): (Double, Double) = {
       val a = cpuTicks()
       val t0 = System.nanoTime()
-      // bit_xor, not sum: summing 2048M xxhash64 longs overflows under
-      // ANSI mode; xor folds are overflow-free and equally unprunable.
-      spark.range(0L, 2048L * 1000 * 1000, 1L, cpus.toInt)
-        .selectExpr("bit_xor(xxhash64(id)) AS h").collect()
+      job()
       val sec = (System.nanoTime() - t0) / 1e9
       (sec, stealPct(a, cpuTicks()))
     }
-    val (canarySec, stealCan) = Seq.fill(3)(canaryRun()).minBy(_._1)
+    def minOf3(job: () => Unit): (Double, Double) =
+      Seq.fill(3)(canaryRun(job)).minBy(_._1)
+    // bit_xor, not sum: summing 2048M xxhash64 longs overflows under
+    // ANSI mode; xor folds are overflow-free and equally unprunable.
+    val (canarySec, stealCan) = minOf3(() =>
+      spark.range(0L, 2048L * 1000 * 1000, 1L, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) AS h").collect())
+    val (canaryShufSec, stealShuf) = minOf3(() =>
+      spark.range(0L, 64L * 1000 * 1000, 1L, cpus.toInt)
+        .selectExpr("id % 1000000 AS k")
+        .groupBy("k").count()
+        .selectExpr("bit_xor(xxhash64(k, count)) AS h").collect())
+    val (canaryMembwSec, stealMembw) = minOf3(() =>
+      spark.range(0L, 4096L, 1L, cpus.toInt)
+        .selectExpr(
+          "aggregate(sequence(id, id + 65535), 0L, (a, x) -> a + x) AS s")
+        .selectExpr("bit_xor(s) AS h").collect())
     // Repo root: user.dir when it looks like this sbt project (sbt runMain
     // sets it to the project root), overridable via SPARK_GRAFT_REPO,
     // /root/repo as the sandbox fallback — no hardcoded absolute path on
@@ -219,11 +239,20 @@ object Bench {
       // contaminated" denominator, where the merely-latest one inherits
       // whatever slow window it ran in.
       val sfTag = s""""sf":"$sfDir""""
+      // Schema cutover (r16 judge item 7): profiles BEFORE the r16
+      // derivation split attribute `_derive_*` cost to whichever consumer
+      // ran first alphabetically, so their per-query times are not
+      // comparable to post-split marginal-cost times — a retry yardstick
+      // built on them either masks regressions (consumer lines inflated)
+      // or cries wolf (derivation lines absent). Post-split profiles are
+      // self-identifying: their queries object contains `_derive_` keys.
+      // No epoch constant to maintain.
       val cleanLines =
         if (java.nio.file.Files.exists(histPath))
           scala.io.Source.fromFile(histPath.toFile).getLines().toSeq.reverse
             .filter(l => l.contains("\"clean\":true") && !l.contains("\"only\":") &&
-              l.contains(sfTag) && start5Of(l) <= loadMax)
+              l.contains(sfTag) && l.contains("\"_derive_") &&
+              start5Of(l) <= loadMax)
             .take(5)
         else Seq.empty
       val fromHist = cleanLines.map(parseQueries).filter(_.nonEmpty)
@@ -239,7 +268,9 @@ object Bench {
         if (java.nio.file.Files.exists(fullPath)) {
           val txt = new String(java.nio.file.Files.readAllBytes(fullPath),
             java.nio.charset.StandardCharsets.UTF_8)
-          if (txt.contains(sfTag)) parseQueries(txt) else Map.empty
+          if (txt.contains(sfTag) && txt.contains("\"_derive_"))
+            parseQueries(txt)
+          else Map.empty
         } else Map.empty
       }
     } catch { case _: Throwable => Map.empty }
@@ -368,9 +399,9 @@ object Bench {
     // quantization noise — a SINGLE stolen jiffy in a near-empty pass-2
     // window would read as >1% and stamp a quiet subset run dirty — so
     // tiny windows are recorded but never gate (same downgrade-not-poison
-    // rule as the -1 unreadable-/proc/stat sentinel). The canary window
-    // gates too: canary_sec is the cross-round divisor, and a steal burst
-    // there deflates value_per_canary while both passes look quiet.
+    // rule as the -1 unreadable-/proc/stat sentinel). The kept canary
+    // windows gate too: a burst there corrupts the recorded host-speed
+    // provenance and signals contamination seconds before pass 1.
     val MinStealWindowJiffies = 500L
     val canaryStealMax = sys.env.get("SPARK_GRAFT_CANARY_STEAL_MAX")
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
@@ -378,15 +409,26 @@ object Bench {
     def gates(a: (Long, Long), b: (Long, Long), s: Double,
               max: Double): Boolean =
       b._2 - a._2 >= MinStealWindowJiffies && s > max
-    // The kept canary run's ~0.5 s × cpus window is always above the
-    // jiffy floor; -1 (unreadable /proc/stat) never gates.
-    val stealHigh = (stealCan >= 0 && stealCan > canaryStealMax) ||
-      gates(ticks0, ticksMid, steal1, stealMax) ||
-      gates(ticksMid, ticksEnd, steal2, stealMax)
-    if (stealHigh)
-      System.err.println(f"bench: hypervisor steal $stealCan%.2f%%(canary)/" +
-        f"$steal1%.2f%%/$steal2%.2f%% > $stealMax%.2f%% — profile will " +
-        "carry clean:false")
+    // The kept canary runs' windows are always above the jiffy floor;
+    // -1 (unreadable /proc/stat) never gates.
+    val canaryHigh = Seq("cpu" -> stealCan, "shuffle" -> stealShuf,
+        "membw" -> stealMembw)
+      .filter { case (_, s) => s >= 0 && s > canaryStealMax }
+    val pass1High = gates(ticks0, ticksMid, steal1, stealMax)
+    val pass2High = gates(ticksMid, ticksEnd, steal2, stealMax)
+    val stealHigh = canaryHigh.nonEmpty || pass1High || pass2High
+    // Forensics names the window(s) that actually fired with each one's
+    // OWN threshold — the r16 message always printed the pass gate's
+    // 0.5% even when only the 2% canary gate tripped (ADVICE r16).
+    if (stealHigh) {
+      val fired =
+        canaryHigh.map { case (n, s) =>
+          f"canary-$n $s%.2f%% > $canaryStealMax%.2f%%" } ++
+        (if (pass1High) Seq(f"pass1 $steal1%.2f%% > $stealMax%.2f%%") else Nil) ++
+        (if (pass2High) Seq(f"pass2 $steal2%.2f%% > $stealMax%.2f%%") else Nil)
+      System.err.println("bench: hypervisor steal " +
+        fired.mkString(", ") + " — profile will carry clean:false")
+    }
     val steals = f"""[$stealCan%.2f,$steal1%.2f,$steal2%.2f]"""
     val results = p1.map { case (n, t1, e1) =>
       p2.get(n) match {
@@ -448,7 +490,7 @@ object Bench {
     val clean = !contaminated && !stealHigh
     val onlyTag = only.map(r => s""","only":${jq(r)}""").getOrElse("")
     val line =
-      s"""{"metric":"total","unit":"sec","passes":"tiered-2","macro_threshold_sec":$MacroThresholdSec,"n_macro":${retry.size},"hist_retry_factor":$HistRetryFactor,"hist_retries":${histRetries.map(jq).sorted.mkString("[", ",", "]")},"suspect":$suspect,"clean":$clean,"contaminated":$contaminated,"loadavg_max":$loadMax,"waited_sec":$waited,"loadavg":$loads,"loadavg5":$loads5,"steal_pct":$steals,"steal_max_pct":$stealMax,"steal_high":$stealHigh,"canary_sec":${f"$canarySec%.3f"},"value_per_canary":${f"${total / math.max(canarySec, 1e-9)}%.2f"},"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}$onlyTag}"""
+      s"""{"metric":"total","unit":"sec","passes":"tiered-2","macro_threshold_sec":$MacroThresholdSec,"n_macro":${retry.size},"hist_retry_factor":$HistRetryFactor,"hist_retries":${histRetries.map(jq).sorted.mkString("[", ",", "]")},"suspect":$suspect,"clean":$clean,"contaminated":$contaminated,"loadavg_max":$loadMax,"waited_sec":$waited,"loadavg":$loads,"loadavg5":$loads5,"steal_pct":$steals,"steal_max_pct":$stealMax,"steal_high":$stealHigh,"canary_sec":${f"$canarySec%.3f"},"canary_shuffle_sec":${f"$canaryShufSec%.3f"},"canary_membw_sec":${f"$canaryMembwSec%.3f"},"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}$onlyTag}"""
     println(line)
     // Short line: slowest-first entries until the byte budget is spent.
     val budget = 1600

@@ -129,6 +129,44 @@ if os.path.exists(sg):
     except Exception as e:
         fails.append(f"SCALE_GATE.json unparseable: {e}")
 
+# 4b. scale-gate TREND guard (VERDICT r16 item 3): each run passes the
+# 3.0 gate in isolation while the clean agg ratio drifted 1.445x (r14)
+# -> 1.757/1.877x (r15) -> 1.784x (r16) with nothing watching the slope.
+# Diff the working-tree SCALE_GATE.json against the last committed one:
+# warn when agg_ratio rises > 0.3 on a comparable entry set (>= 80%
+# query overlap — a deliberate mix change legitimately moves the
+# aggregate and should be acknowledged in SCALE.md instead), and
+# per-query when a shared non-exempt entry's ratio more than doubles.
+if os.path.exists(sg):
+    try:
+        import subprocess
+        prev_txt = subprocess.run(
+            ["git", "-C", root, "show", "HEAD:SCALE_GATE.json"],
+            capture_output=True, text=True).stdout
+        cur = json.load(open(sg))
+        prev = json.loads(prev_txt) if prev_txt.strip() else None
+        if prev and "agg_ratio" in prev and "agg_ratio" in cur:
+            pq, cq = set(prev.get("queries", {})), set(cur.get("queries", {}))
+            shared = pq & cq
+            comparable = pq and cq and \
+                len(shared) >= 0.8 * max(len(pq), len(cq))
+            rise = cur["agg_ratio"] - prev["agg_ratio"]
+            if comparable and rise > 0.3:
+                warns.append(
+                    f"SCALE_GATE agg_ratio rose {prev['agg_ratio']}x -> "
+                    f"{cur['agg_ratio']}x (+{rise:.3f}) on a comparable "
+                    f"query set — investigate or acknowledge in SCALE.md")
+            for q in sorted(shared):
+                p, c = prev["queries"][q], cur["queries"][q]
+                if (not c.get("exempt") and p.get("ratio", 0) > 0
+                        and c.get("ratio", 0) > 2 * p["ratio"]
+                        and c.get("ratio", 0) >= 1.0):
+                    warns.append(
+                        f"SCALE_GATE {q} ratio doubled: {p['ratio']}x -> "
+                        f"{c['ratio']}x")
+    except Exception as e:
+        warns.append(f"scale-gate trend check skipped: {e}")
+
 # 5. doc-count agreement
 try:
     readme = open(os.path.join(root, "README.md"), encoding="utf-8").read()
