@@ -7812,9 +7812,11 @@ object SparkEntry {
          |own AS (SELECT vec_id, cid, d2,
          |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
          |      FROM d),
-         |o AS (SELECT vec_id, cid, round(sqrt(CAST(d2 AS DOUBLE)), 6) AS dist
+         |o AS (SELECT vec_id, cid,
+         |        round(sqrt(CAST(d2 AS DOUBLE)) * 1000000) / 1000000 AS dist
          |      FROM own WHERE rn = 1),
-         |t AS (SELECT cid, round(quantile_cont(dist, 0.9), 6) AS thr
+         |t AS (SELECT cid,
+         |        round(quantile_cont(dist, 0.9) * 1000000) / 1000000 AS thr
          |      FROM o GROUP BY 1)
          |SELECT o.vec_id, CAST(o.cid AS BIGINT) AS cluster_id, o.dist, t.thr,
          |  o.dist > t.thr AS is_outlier
@@ -7827,7 +7829,7 @@ object SparkEntry {
       s"""WITH ${assignCtes(8)},
          |cent AS (SELECT a.cid, f.dim,
          |    round(CAST(sum(CAST(round(f.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
-         |      / count(*), 6) AS cc
+         |      / count(*) * 1000000) / 1000000 AS cc
          |  FROM a JOIN f USING (vec_id) GROUP BY 1, 2),
          |dd AS (SELECT f.vec_id, cent.cid,
          |    sqrt(CAST(sum(CAST(round((f.x - cent.cc) * (f.x - cent.cc), 6)
@@ -7838,9 +7840,11 @@ object SparkEntry {
          |    min(CASE WHEN dd.cid <> a.cid THEN dist END) AS bd
          |  FROM dd JOIN a ON a.vec_id = dd.vec_id GROUP BY 1, 2)
          |SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
-         |  round(ad, 6) AS a_dist, round(bd, 6) AS b_dist,
-         |  round(CASE WHEN greatest(ad, bd) = 0 THEN 0.0
-         |        ELSE (bd - ad) / greatest(ad, bd) END, 6) AS silhouette
+         |  round(ad * 1000000) / 1000000 AS a_dist,
+         |  round(bd * 1000000) / 1000000 AS b_dist,
+         |  round((CASE WHEN greatest(ad, bd) = 0 THEN 0.0
+         |        ELSE (bd - ad) / greatest(ad, bd) END) * 1000000) / 1000000
+         |    AS silhouette
          |FROM ab ORDER BY vec_id""".stripMargin,
 
     // Label-centroid margin: silhouette's DECIMAL distance recipe with
@@ -7853,11 +7857,11 @@ object SparkEntry {
         |      FROM embeddings),
         |cent AS (SELECT lbl AS clbl, dim,
         |        round(CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6)))
-        |          AS DOUBLE) / count(*), 6) AS c
+        |          AS DOUBLE) / count(*) * 1000000) / 1000000 AS c
         |      FROM f JOIN lab USING (vec_id) GROUP BY 1, 2),
         |d AS (SELECT vec_id, clbl,
         |        round(sqrt(CAST(sum(CAST(round((x - c) * (x - c), 6)
-        |          AS DECIMAL(18,6))) AS DOUBLE)), 6) AS dist
+        |          AS DECIMAL(18,6))) AS DOUBLE)) * 1000000) / 1000000 AS dist
         |      FROM f JOIN cent USING (dim) GROUP BY 1, 2),
         |m AS (SELECT d.vec_id, lbl,
         |        min(CASE WHEN clbl = lbl THEN dist END) AS own,
@@ -7865,9 +7869,10 @@ object SparkEntry {
         |      FROM d JOIN lab ON d.vec_id = lab.vec_id GROUP BY 1, 2)
         |SELECT lbl AS label, count(*) AS n_vecs,
         |  round(CAST(sum(CAST(round(other - own, 6) AS DECIMAL(18,6)))
-        |    AS DOUBLE) / count(*), 6) AS mean_margin,
+        |    AS DOUBLE) / count(*) * 1000000) / 1000000 AS mean_margin,
         |  round(CAST(sum(CASE WHEN own <= other THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS frac_correct
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000) / 1000000
+        |    AS frac_correct
         |FROM m GROUP BY 1 ORDER BY label""".stripMargin,
 
     // Products are 9-dp-quantized as scaled int64s (round(x*1e9) ->

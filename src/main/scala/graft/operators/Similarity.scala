@@ -35,6 +35,20 @@ object Similarity {
 
   private def toDouble(vec: Column): Column = vec.cast("array<double>")
 
+  /** Tie-free 6-dp round of a COMPUTED double (SparkEntry.q8's class):
+    * `round(x, 6)` rounds Spark's SHORTEST decimal repr while DuckDB
+    * rounds the exact binary value, and a sqrt/quotient/percentile
+    * result whose shortest repr terminates exactly on a 0.5×10⁻⁶
+    * boundary rounds apart — the r17 alternate-seed sweep caught one
+    * silhouette a_dist and one outlier threshold doing exactly that.
+    * x·10⁶ is ONE IEEE multiply (identical on both engines) and the
+    * scale-0 round of the same double is engine-identical, so
+    * round(x·10⁶)/10⁶ never splits. Mirror:
+    * `round(x * 1000000) / 1000000`. Domain: |x|·10⁶ ≲ 2⁵² (distances
+    * and ratios here are O(1)).
+    */
+  private def q6(c: Column): Column = round(c * lit(1e6)) / lit(1e6)
+
   /** Exact cosine top-k for each query vector. `queries` must be small
     * enough to broadcast (it is hinted); corpus side streams.
     */
@@ -766,9 +780,9 @@ object Similarity {
     val own = d2.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"),
-        round(sqrt(col("d2").cast("double")), 6).as("dist"))
+        q6(sqrt(col("d2").cast("double"))).as("dist"))
     val thr = own.groupBy("cid")
-      .agg(round(percentile(col("dist"), lit(p)), 6).as("thr"))
+      .agg(q6(percentile(col("dist"), lit(p))).as("thr"))
     own.join(broadcast(thr), "cid")
       .select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
         col("dist"), col("thr"), (col("dist") > col("thr")).as("is_outlier"))
@@ -880,7 +894,7 @@ object Similarity {
       .agg(sum(round(col("x"), 6).cast("decimal(18,6)")).as("s"),
         count(lit(1)).as("nm"))
       .select(col("cid"), col("dim"),
-        round(col("s").cast("double") / col("nm"), 6).as("c"))
+        q6(col("s").cast("double") / col("nm")).as("c"))
     val dist = flat.join(broadcast(cent), "dim")
       .groupBy("vec_id", "cid")
       .agg(sum(round((col("x") - col("c")) * (col("x") - col("c")), 6)
@@ -891,9 +905,9 @@ object Similarity {
       .agg(min(when(col("cid") === col("own"), col("dist"))).as("a"),
         min(when(col("cid") =!= col("own"), col("dist"))).as("b"))
       .select(col("vec_id"), col("own").cast("long").as("cluster_id"),
-        round(col("a"), 6).as("a_dist"), round(col("b"), 6).as("b_dist"),
-        round(when(greatest(col("a"), col("b")) === 0, lit(0.0))
-          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))), 6)
+        q6(col("a")).as("a_dist"), q6(col("b")).as("b_dist"),
+        q6(when(greatest(col("a"), col("b")) === 0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
           .as("silhouette"))
   }
 
@@ -1381,13 +1395,13 @@ object Similarity {
       .agg(sum(round(col("x"), 6).cast("decimal(18,6)")).as("s"),
         count(lit(1)).as("nm"))
       .select(col("lbl").as("clbl"), col("dim"),
-        round(col("s").cast("double") / col("nm"), 6).as("c"))
+        q6(col("s").cast("double") / col("nm")).as("c"))
     val dist = flat.join(broadcast(cent), "dim")
       .groupBy("vec_id", "clbl")
       .agg(sum(round((col("x") - col("c")) * (col("x") - col("c")), 6)
         .cast("decimal(18,6)")).as("d2"))
       .select(col("vec_id"), col("clbl"),
-        round(sqrt(col("d2").cast("double")), 6).as("dist"))
+        q6(sqrt(col("d2").cast("double"))).as("dist"))
     dist.join(lab, "vec_id")
       .groupBy("vec_id", "lbl")
       .agg(min(when(col("clbl") === col("lbl"), col("dist"))).as("own"),
@@ -1398,8 +1412,8 @@ object Similarity {
           .as("sm"),
         sum(when(col("own") <= col("other"), 1L).otherwise(0L)).as("nc"))
       .select(col("label"), col("n_vecs"),
-        round(col("sm").cast("double") / col("n_vecs"), 6).as("mean_margin"),
-        round(col("nc").cast("double") / col("n_vecs").cast("double"), 6)
+        q6(col("sm").cast("double") / col("n_vecs")).as("mean_margin"),
+        q6(col("nc").cast("double") / col("n_vecs").cast("double"))
           .as("frac_correct"))
   }
 
