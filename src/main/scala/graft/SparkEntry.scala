@@ -5924,7 +5924,8 @@ object SparkEntry {
          |  round(CAST(sum(CAST(round(est - j, 6) AS DECIMAL(18,6)))
          |    AS DOUBLE) / count(*), 6) AS mean_bias,
          |  round(sqrt(CAST(sum(CAST(round((est - j) * (est - j), 9)
-         |    AS DECIMAL(28,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6)
+         |    AS DECIMAL(28,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |    * 1000000) / 1000000
          |    AS rmse
          |FROM bk2 GROUP BY 1 ORDER BY bucket""".stripMargin,
 
@@ -6909,8 +6910,8 @@ object SparkEntry {
         |      GROUP BY 1, 2),
         |p0 AS (SELECT 0 AS stage_idx, 'signup' AS from_stage,
         |        'click' AS to_stage, count(*) AS n_users,
-        |        round(quantile_cont(dt_s, 0.5), 6) AS median_s,
-        |        round(quantile_cont(dt_s, 0.9), 6) AS p90_s
+        |        round(quantile_cont(dt_s, 0.5) * 1000000) / 1000000 AS median_s,
+        |        round(quantile_cont(dt_s, 0.9) * 1000000) / 1000000 AS p90_s
         |      FROM (SELECT ((b.t - a.t) - (b.t - a.t) % 1000000)
         |              // 1000000 AS dt_s
         |            FROM f a JOIN f b ON a.u = b.u
@@ -6918,8 +6919,8 @@ object SparkEntry {
         |            WHERE b.t > a.t)),
         |p1 AS (SELECT 1 AS stage_idx, 'click' AS from_stage,
         |        'purchase' AS to_stage, count(*) AS n_users,
-        |        round(quantile_cont(dt_s, 0.5), 6) AS median_s,
-        |        round(quantile_cont(dt_s, 0.9), 6) AS p90_s
+        |        round(quantile_cont(dt_s, 0.5) * 1000000) / 1000000 AS median_s,
+        |        round(quantile_cont(dt_s, 0.9) * 1000000) / 1000000 AS p90_s
         |      FROM (SELECT ((b.t - a.t) - (b.t - a.t) % 1000000)
         |              // 1000000 AS dt_s
         |            FROM f a JOIN f b ON a.u = b.u
@@ -6934,7 +6935,7 @@ object SparkEntry {
       """WITH f AS (SELECT vec_id,
         |        CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
         |n AS (SELECT vec_id, round(sqrt(CAST(sum(CAST(round(x * x, 6)
-        |          AS DECIMAL(18,6))) AS DOUBLE)), 6) AS nrm
+        |          AS DECIMAL(18,6))) AS DOUBLE)) * 1000000) / 1000000 AS nrm
         |      FROM f GROUP BY 1),
         |b AS (SELECT CAST(min(nrm) AS DOUBLE) AS lo,
         |        CAST(max(nrm) AS DOUBLE) AS hi FROM n),
@@ -6953,9 +6954,9 @@ object SparkEntry {
         |        CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
         |        CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
         |n AS (SELECT vec_id, round(sqrt(CAST(sum(CAST(round(x * x, 6)
-        |          AS DECIMAL(18,6))) AS DOUBLE)), 6) AS nrm
+        |          AS DECIMAL(18,6))) AS DOUBLE)) * 1000000) / 1000000 AS nrm
         |      FROM f GROUP BY 1 HAVING round(sqrt(CAST(sum(CAST(round(x * x, 6)
-        |          AS DECIMAL(18,6))) AS DOUBLE)), 6) > 0),
+        |          AS DECIMAL(18,6))) AS DOUBLE)) * 1000000) / 1000000 > 0),
         |u AS (SELECT f.vec_id, f.dim,
         |        CAST(round(CAST(f.x / n.nrm AS DECIMAL(24,12)), 6)
         |          AS DECIMAL(18,6)) AS u
@@ -7287,8 +7288,9 @@ object SparkEntry {
         |          AS DECIMAL(18,9))) AS jd
         |      FROM f GROUP BY 1, 2)
         |SELECT sa AS source_a, sb AS source_b, n_terms_union,
-        |  round(CAST(jd AS DOUBLE), 6) AS jsd,
-        |  round(sqrt(CAST(jd AS DOUBLE)), 6) AS jsd_distance
+        |  round(CAST(jd AS DOUBLE) * 1000000) / 1000000 AS jsd,
+        |  round(sqrt(CAST(jd AS DOUBLE)) * 1000000) / 1000000
+        |    AS jsd_distance
         |FROM a ORDER BY source_a, source_b""".stripMargin,
 
     // Hot-bigram boilerplate removal: mask every token position covered
@@ -7450,9 +7452,9 @@ object SparkEntry {
         |        round(CAST(len(list_distinct(list_filter(string_split(text, ' '),
         |            x -> x <> ''))) AS DOUBLE)
         |          / nullif(len(list_filter(string_split(text, ' '),
-        |            x -> x <> '')), 0), 6) AS score
+        |            x -> x <> '')), 0) * 1000000) / 1000000 AS score
         |      FROM documents),
-        |t AS (SELECT source, round(quantile_cont(score, 0.25), 6) AS thr
+        |t AS (SELECT source, round(quantile_cont(score, 0.25) * 1000000) / 1000000 AS thr
         |      FROM sc GROUP BY 1)
         |SELECT sc.doc_id, sc.source, sc.score, t.thr,
         |  coalesce(sc.score >= t.thr, false) AS kept
@@ -7921,9 +7923,11 @@ object SparkEntry {
          |          AS DECIMAL(38,0)) AS fr2i
          |      FROM k6)
          |SELECT n_entries, round(CAST(tr AS DOUBLE), 6) AS trace,
-         |  round(sqrt(CAST(fr2i AS DOUBLE) / 1e9), 6) AS frob_norm,
+         |  round(sqrt(CAST(fr2i AS DOUBLE) / 1e9) * 1000000) / 1000000
+         |    AS frob_norm,
          |  round(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)
-         |    / nullif(CAST(fr2i AS DOUBLE) / 1e9, 0.0), 6) AS effective_rank
+         |    / nullif(CAST(fr2i AS DOUBLE) / 1e9, 0.0) * 1000000) / 1000000
+         |    AS effective_rank
          |FROM a""".stripMargin,
 
     // TwoNN: squared-L2 via the identical ‖a‖²+‖b‖²−2a·b double algebra
@@ -9069,9 +9073,10 @@ object SparkEntry {
         s"""SELECT '$a' AS col_a, '$b' AS col_b,
            |  q.n, q.k_a, q.k_b,
            |  round(q.n + q.ts, 6) AS chi2,
-           |  round(CASE WHEN least(q.k_a, q.k_b) = 1 THEN NULL
+           |  round((CASE WHEN least(q.k_a, q.k_b) = 1 THEN NULL
            |    ELSE sqrt((q.n + q.ts)
-           |      / ((least(q.k_a, q.k_b) - 1) * q.n)) END, 6) AS cramers_v
+           |      / ((least(q.k_a, q.k_b) - 1) * q.n)) END) * 1000000)
+           |    / 1000000 AS cramers_v
            |FROM (
            |  SELECT any_value(tt.n) AS n, any_value(tt.k_a) AS k_a,
            |    any_value(tt.k_b) AS k_b,
@@ -9835,8 +9840,8 @@ object SparkEntry {
         |          AS DECIMAL(18,6))) AS DOUBLE) AS d2
         |      FROM ma JOIN mb USING (dim))
         |SELECT n_a, n_b,
-        |  round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cosine,
-        |  round(sqrt(d2), 6) AS l2 FROM agg""".stripMargin,
+        |  round(dot / (sqrt(na2) * sqrt(nb2)) * 1000000) / 1000000 AS cosine,
+        |  round(sqrt(d2) * 1000000) / 1000000 AS l2 FROM agg""".stripMargin,
 
     // Readability: len(regexp_extract_all) counts, the two formulas
     // transcribed in the Spark side's operation order.
@@ -10854,8 +10859,8 @@ object SparkEntry {
         |    AS mean_luma,
         |  round(sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_pixels AS DOUBLE)
         |    - (CAST(s AS DOUBLE) / CAST(n_pixels AS DOUBLE))
-        |    * (CAST(s AS DOUBLE) / CAST(n_pixels AS DOUBLE)), 0.0)), 6)
-        |    AS std_luma,
+        |    * (CAST(s AS DOUBLE) / CAST(n_pixels AS DOUBLE)), 0.0)) * 1000000)
+        |    / 1000000 AS std_luma,
         |  min_luma, max_luma
         |FROM a ORDER BY asset_id""".stripMargin,
 
@@ -10882,8 +10887,8 @@ object SparkEntry {
         |SELECT a.asset_id, 8000 AS sample_rate, n_samples,
         |  round(CAST(n_samples AS DOUBLE) * 1000.0 / 8000.0, 6)
         |    AS duration_ms,
-        |  round(sqrt(CAST(s2 AS DOUBLE) / CAST(n_samples AS DOUBLE)), 6)
-        |    AS rms,
+        |  round(sqrt(CAST(s2 AS DOUBLE) / CAST(n_samples AS DOUBLE))
+        |    * 1000000) / 1000000 AS rms,
         |  round(CAST(ss AS DOUBLE) / CAST(n_samples AS DOUBLE), 6)
         |    AS dc_offset,
         |  peak, coalesce(z, CAST(0 AS BIGINT)) AS zero_cross,
@@ -11282,8 +11287,8 @@ object SparkEntry {
         |        CAST(sum(CAST(cb AS DECIMAL(28,6))) AS DOUBLE) AS b
         |      FROM terms GROUP BY 1, 2)
         |SELECT k AS event_type, harmonic, n_hours,
-        |  round(sqrt(a * a + b * b) / CAST(n_hours AS DOUBLE), 6)
-        |    AS amplitude
+        |  round(sqrt(a * a + b * b) / CAST(n_hours AS DOUBLE) * 1000000)
+        |    / 1000000 AS amplitude
         |FROM agg ORDER BY event_type, harmonic""".stripMargin,
 
     // Spectral entropy over the SAME dft chain: normalized 9-dp powers,
@@ -11313,7 +11318,8 @@ object SparkEntry {
         |      FROM terms GROUP BY 1, 2),
         |p2 AS (SELECT k, round(amplitude * amplitude, 9) AS p2 FROM (
         |      SELECT k, round(sqrt(a * a + b * b)
-        |        / CAST(n_hours AS DOUBLE), 6) AS amplitude FROM agg)),
+        |        / CAST(n_hours AS DOUBLE) * 1000000) / 1000000
+        |        AS amplitude FROM agg)),
         |t AS (SELECT k, count(*) AS n_harmonics,
         |        sum(CAST(p2 AS DECIMAL(28,9))) AS tot FROM p2 GROUP BY 1),
         |t2 AS (SELECT p2.k, n_harmonics,
@@ -12010,7 +12016,7 @@ object SparkEntry {
         |        round(sqrt(greatest(svv / CAST(n_buckets AS DOUBLE)
         |          - (CAST(sv AS DOUBLE) / CAST(n_buckets AS DOUBLE))
         |          * (CAST(sv AS DOUBLE) / CAST(n_buckets AS DOUBLE)),
-        |          0.0)), 6) AS sigma
+        |          0.0)) * 1000000) / 1000000 AS sigma
         |      FROM a)
         |SELECT k AS user_id, n_buckets, cusum_up, cusum_down, sigma,
         |  greatest(cusum_up, cusum_down) > 4.0 * sigma AS alarm
@@ -12387,16 +12393,17 @@ object SparkEntry {
     // score NULL and never flag.
     "ana_outliers_mad" ->
       """WITH med AS (SELECT event_type,
-        |        round(quantile_cont(value, 0.5), 6) AS med
+        |        round(quantile_cont(value, 0.5) * 1000000) / 1000000 AS med
         |      FROM events GROUP BY 1),
         |mad AS (SELECT e.event_type, any_value(m.med) AS med,
-        |        round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |        round(quantile_cont(abs(e.value - m.med), 0.5) * 1000000) / 1000000 AS mad
         |      FROM events e JOIN med m USING (event_type)
         |      GROUP BY e.event_type),
         |s AS (SELECT e.event_id, e.event_type, e.value,
         |        m.med AS group_median, m.mad AS group_mad,
-        |        round(CASE WHEN m.mad = 0 THEN NULL
-        |          ELSE abs(e.value - m.med) / m.mad END, 6) AS mad_score
+        |        round((CASE WHEN m.mad = 0 THEN NULL
+        |          ELSE abs(e.value - m.med) / m.mad END) * 1000000)
+        |          / 1000000 AS mad_score
         |      FROM events e JOIN mad m USING (event_type))
         |SELECT * FROM s WHERE mad_score > 3.0
         |ORDER BY event_id""".stripMargin,

@@ -877,14 +877,16 @@ object Analytics {
                   groupCol: String = "event_type", valCol: String = "value",
                   idCol: String = "event_id"): DataFrame = {
     val med = events.groupBy(col(groupCol))
-      .agg(round(percentile(col(valCol), lit(0.5)), 6).as("med"))
+      .agg(graft.functions.Fns.q6(percentile(col(valCol), lit(0.5))).as("med"))
     val mad = events.join(broadcast(med), groupCol)
       .groupBy(col(groupCol))
       .agg(first(col("med")).as("med"),
-        round(percentile(abs(col(valCol) - col("med")), lit(0.5)), 6).as("mad"))
+        graft.functions.Fns.q6(
+          percentile(abs(col(valCol) - col("med")), lit(0.5))).as("mad"))
     events.join(broadcast(mad), groupCol)
       .withColumn("score",
-        round(try_divide(abs(col(valCol) - col("med")), col("mad")), 6))
+        graft.functions.Fns.q6(
+          try_divide(abs(col(valCol) - col("med")), col("mad"))))
       .filter(col("score") > kThreshold)
       .select(col(idCol), col(groupCol), col(valCol),
         col("med").as("group_median"), col("mad").as("group_mad"),
@@ -1107,8 +1109,10 @@ object Analytics {
       fa.join(fb, "u").filter(col("tb") > col("ta"))
         .select(((d - d % 1000000L) / 1000000L).cast("long").as("dt_s"))
         .agg(count(lit(1)).as("n_users"),
-          round(percentile(col("dt_s"), lit(0.5)), 6).as("median_s"),
-          round(percentile(col("dt_s"), lit(0.9)), 6).as("p90_s"))
+          graft.functions.Fns.q6(percentile(col("dt_s"), lit(0.5)))
+            .as("median_s"),
+          graft.functions.Fns.q6(percentile(col("dt_s"), lit(0.9)))
+            .as("p90_s"))
         .select(lit(i).as("stage_idx"), lit(a).as("from_stage"),
           lit(b).as("to_stage"), col("n_users"), col("median_s"),
           col("p90_s"))

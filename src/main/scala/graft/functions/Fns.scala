@@ -10,6 +10,18 @@ import org.apache.spark.sql.functions._
   */
 object Fns {
 
+  /** Tie-free 6-dp round of a COMPUTED double: `round(x, 6)` rounds
+    * Spark's SHORTEST decimal repr while DuckDB rounds the exact binary
+    * value, so a sqrt/quotient/percentile result whose shortest repr
+    * terminates exactly on a 0.5×10⁻⁶ boundary rounds apart (tie class
+    * 4, SCALE.md round-17 section). x·10⁶ is ONE IEEE multiply —
+    * identical on both engines — and the scale-0 round of the same
+    * double is engine-identical, so round(x·10⁶)/10⁶ never splits.
+    * DuckDB mirror: `round(x * 1000000) / 1000000`. Domain:
+    * |x|·10⁶ ≲ 2⁵².
+    */
+  def q6(c: Column): Column = round(c * lit(1e6)) / lit(1e6)
+
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))

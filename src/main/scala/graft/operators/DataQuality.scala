@@ -388,8 +388,8 @@ object DataQuality {
         .agg(sum(col("term").cast("decimal(28,6)")).as("ts"))
         .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
           col("k_a"), col("k_b"), round(chi2, 6).as("chi2"),
-          round(sqrt(try_divide(chi2,
-            (least(col("k_a"), col("k_b")) - 1) * col("n"))), 6)
+          graft.functions.Fns.q6(sqrt(try_divide(chi2,
+            (least(col("k_a"), col("k_b")) - 1) * col("n"))))
             .as("cramers_v"))
     }.reduce(_ unionByName _)
   }

@@ -1429,8 +1429,8 @@ object Dedup {
       .select(col("bucket"), col("n_pairs"),
         round(col("sbias").cast("double") / col("n_pairs"), 6)
           .as("mean_bias"),
-        round(sqrt(col("se2").cast("double") /
-          col("n_pairs").cast("double")), 6).as("rmse"))
+        Fns.q6(sqrt(col("se2").cast("double") /
+          col("n_pairs").cast("double"))).as("rmse"))
   }
 
   /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,

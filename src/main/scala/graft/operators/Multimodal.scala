@@ -454,8 +454,9 @@ object Multimodal {
     sums.select(col("asset_id"), col("width"), col("height"),
       col("n_pixels"),
       round(mean, 6).as("mean_luma"),
-      round(sqrt(greatest(col("sum_sq").cast("double") / nd - mean * mean,
-        lit(0.0))), 6).as("std_luma"),
+      graft.functions.Fns.q6(
+        sqrt(greatest(col("sum_sq").cast("double") / nd - mean * mean,
+          lit(0.0)))).as("std_luma"),
       col("min_luma"), col("max_luma"))
   }
 
@@ -531,7 +532,8 @@ object Multimodal {
     sums.select(col("asset_id"), col("sample_rate"), col("n_samples"),
       round(nd * lit(1000.0) / col("sample_rate").cast("double"), 6)
         .as("duration_ms"),
-      round(sqrt(col("sum_sq").cast("double") / nd), 6).as("rms"),
+      graft.functions.Fns.q6(sqrt(col("sum_sq").cast("double") / nd))
+        .as("rms"),
       round(mean, 6).as("dc_offset"),
       col("peak"), col("zero_cross"),
       round(col("zero_cross").cast("double") /

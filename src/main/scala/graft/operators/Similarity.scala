@@ -35,19 +35,11 @@ object Similarity {
 
   private def toDouble(vec: Column): Column = vec.cast("array<double>")
 
-  /** Tie-free 6-dp round of a COMPUTED double (SparkEntry.q8's class):
-    * `round(x, 6)` rounds Spark's SHORTEST decimal repr while DuckDB
-    * rounds the exact binary value, and a sqrt/quotient/percentile
-    * result whose shortest repr terminates exactly on a 0.5×10⁻⁶
-    * boundary rounds apart — the r17 alternate-seed sweep caught one
-    * silhouette a_dist and one outlier threshold doing exactly that.
-    * x·10⁶ is ONE IEEE multiply (identical on both engines) and the
-    * scale-0 round of the same double is engine-identical, so
-    * round(x·10⁶)/10⁶ never splits. Mirror:
-    * `round(x * 1000000) / 1000000`. Domain: |x|·10⁶ ≲ 2⁵² (distances
-    * and ratios here are O(1)).
+  /** Tie-free 6-dp round of a COMPUTED double — [[Fns.q6]]; caught live
+    * by the r17 alternate-seed sweep on a silhouette a_dist and an
+    * outlier threshold.
     */
-  private def q6(c: Column): Column = round(c * lit(1e6)) / lit(1e6)
+  private def q6(c: Column): Column = Fns.q6(c)
 
   /** Exact cosine top-k for each query vector. `queries` must be small
     * enough to broadcast (it is hinted); corpus side streams.
@@ -1246,7 +1238,7 @@ object Similarity {
     val norms = flatten(embeddings, idCol, vecCol)
       .groupBy("vec_id")
       .agg(sum(round(col("x") * col("x"), 6).cast("decimal(18,6)")).as("s2"))
-      .select(round(sqrt(col("s2").cast("double")), 6).as("nrm"))
+      .select(q6(sqrt(col("s2").cast("double"))).as("nrm"))
     val bounds = norms.agg(min("nrm").as("lo"), max("nrm").as("hi"))
     norms.crossJoin(broadcast(bounds))
       .withColumn("bin",
@@ -1282,7 +1274,7 @@ object Similarity {
     val norms = flat.groupBy("vec_id")
       .agg(sum(round(col("x") * col("x"), 6).cast("decimal(18,6)")).as("s2"))
       .select(col("vec_id"),
-        round(sqrt(col("s2").cast("double")), 6).as("nrm"))
+        q6(sqrt(col("s2").cast("double"))).as("nrm"))
       .filter(col("nrm") > 0)
     val unit = flat.join(norms, "vec_id")
       .select(col("vec_id"), col("dim"),
@@ -1337,9 +1329,9 @@ object Similarity {
         dsum(col("m_b") * col("m_b")).as("nb2"),
         dsum((col("m_a") - col("m_b")) * (col("m_a") - col("m_b"))).as("d2"))
       .select(col("n_a"), col("n_b"),
-        round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6)
+        q6(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))))
           .as("cosine"),
-        round(sqrt(col("d2")), 6).as("l2"))
+        q6(sqrt(col("d2"))).as("l2"))
   }
 
   /** Mutual k-NN graph edges from ANY neighbor list shaped like the ANN
@@ -1456,10 +1448,10 @@ object Similarity {
           .as("fr2i"))
       .select(col("n_entries"),
         round(col("tr").cast("double"), 6).as("trace"),
-        round(sqrt(col("fr2i").cast("double") / lit(1e9)), 6).as("frob_norm"),
-        round(try_divide(
+        q6(sqrt(col("fr2i").cast("double") / lit(1e9))).as("frob_norm"),
+        q6(try_divide(
           col("tr").cast("double") * col("tr").cast("double"),
-          col("fr2i").cast("double") / lit(1e9)), 6).as("effective_rank"))
+          col("fr2i").cast("double") / lit(1e9))).as("effective_rank"))
   }
 
   /** Johnson–Lindenstrauss distortion audit of [[signedProjection]]:

@@ -760,10 +760,10 @@ object TextAnalysis {
     require(p > 0 && p < 1, s"need p in (0,1), got $p")
     val toks = Fns.tokens(col(textCol))
     val scored = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
-      round(try_divide(size(array_distinct(toks)).cast("double"), size(toks)), 6)
+      Fns.q6(try_divide(size(array_distinct(toks)).cast("double"), size(toks)))
         .as("score"))
     val thr = scored.groupBy("source")
-      .agg(round(percentile(col("score"), lit(p)), 6).as("thr"))
+      .agg(Fns.q6(percentile(col("score"), lit(p))).as("thr"))
     scored.join(broadcast(thr), "source")
       .select(col("doc_id"), col("source"), col("score"), col("thr"),
         coalesce(col("score") >= col("thr"), lit(false)).as("kept"))
@@ -1877,8 +1877,8 @@ object TextAnalysis {
         sum(round(lit(0.5) * (half(col("pa"), col("pb")) +
           half(col("pb"), col("pa"))), 9).cast("decimal(18,9)")).as("jd"))
       .select(col("source_a"), col("source_b"), col("n_terms_union"),
-        round(col("jd").cast("double"), 6).as("jsd"),
-        round(sqrt(col("jd").cast("double")), 6).as("jsd_distance"))
+        Fns.q6(col("jd").cast("double")).as("jsd"),
+        Fns.q6(sqrt(col("jd").cast("double"))).as("jsd_distance"))
   }
 
   /** Yule's characteristic K per source: 10⁴·(Σf² − N)/N² over the

@@ -725,8 +725,9 @@ object TimeSeries {
         d6sum(col("vh") * cos(arg)).as("a"),
         d6sum(col("vh") * sin(arg)).as("b"))
       .select(col("k"), col("harmonic"), col("n_hours"),
-        round(sqrt(col("a") * col("a") + col("b") * col("b")) /
-          col("n_hours").cast("double"), 6).as("amplitude"))
+        graft.functions.Fns.q6(
+          sqrt(col("a") * col("a") + col("b") * col("b")) /
+            col("n_hours").cast("double")).as("amplitude"))
   }
 
   /** LTTB-style visual downsampling (Steinarsson's
@@ -1042,11 +1043,11 @@ object TimeSeries {
       .select(col("k"), col("n_buckets"),
         round(col("up"), 6).as("cusum_up"),
         round(col("down"), 6).as("cusum_down"),
-        round(sqrt(greatest(
+        graft.functions.Fns.q6(sqrt(greatest(
           col("svv") / col("n_buckets").cast("double") -
           (col("sv").cast("double") / col("n_buckets").cast("double")) *
           (col("sv").cast("double") / col("n_buckets").cast("double")),
-          lit(0.0))), 6).as("sigma"))
+          lit(0.0)))).as("sigma"))
       .select(col("k").as(keyCol), col("n_buckets"), col("cusum_up"),
         col("cusum_down"), col("sigma"),
         (greatest(col("cusum_up"), col("cusum_down")) >
