@@ -151,14 +151,14 @@ object Bench {
     //    off the constant-folding path)
     // All are fixed-size, deterministic, and touch none of the benched
     // data (no page-cache preload). Min-of-3 each.
-    // Steal is measured around EACH run and the KEPT (fastest) run's own
-    // window still gates the clean stamp: a burst inside a kept canary
-    // window corrupts the recorded provenance values and lands seconds
-    // before pass 1 — the dirty-environment signal itself. A burst in a
-    // DISCARDED run is already absorbed by the min (observed live — a
-    // 6.29% burst in run 1's window while the kept run and both passes
-    // were quiet would have dirtied the whole profile under a span-wide
-    // gate).
+    // Steal is measured around EACH run; the CPU canary's kept (fastest)
+    // window still gates the clean stamp (its systematic steal level is
+    // calibrated — see CanaryStealMaxPct), while the shuffle/membw
+    // windows are recorded in canary_steal_pct but never gate: see the
+    // gate-site comment. A burst in a DISCARDED run is already absorbed
+    // by the min (observed live — a 6.29% burst in run 1's window while
+    // the kept run and both passes were quiet would have dirtied the
+    // whole profile under a span-wide gate).
     def canaryRun(job: () => Unit): (Double, Double) = {
       val a = cpuTicks()
       val t0 = System.nanoTime()
@@ -409,10 +409,18 @@ object Bench {
     def gates(a: (Long, Long), b: (Long, Long), s: Double,
               max: Double): Boolean =
       b._2 - a._2 >= MinStealWindowJiffies && s > max
-    // The kept canary runs' windows are always above the jiffy floor;
-    // -1 (unreadable /proc/stat) never gates.
-    val canaryHigh = Seq("cpu" -> stealCan, "shuffle" -> stealShuf,
-        "membw" -> stealMembw)
+    // Only the CPU canary gates: its ~0.5% systematic full-load steal is
+    // CALIBRATED (CanaryStealMaxPct scaladoc), so 2% separates artifact
+    // from burst. The r17 shuffle/membw components measured 3.25–8%
+    // steal in their kept windows on a QUIET host (cpu canary 0.00,
+    // pass windows 0.08–0.15% in the same profile, twice in a row) —
+    // their windows are short (0.5–2 s) and bursty (shuffle fetch
+    // threads, allocation spikes), and this hypervisor charges the
+    // scheduling churn as steal. Until a signal's clean-window spread is
+    // characterized it records, it does not gate — the same demotion
+    // rule the canary normalizer itself got this round. All three are
+    // recorded per kept window in canary_steal_pct for forensics.
+    val canaryHigh = Seq("cpu" -> stealCan)
       .filter { case (_, s) => s >= 0 && s > canaryStealMax }
     val pass1High = gates(ticks0, ticksMid, steal1, stealMax)
     val pass2High = gates(ticksMid, ticksEnd, steal2, stealMax)
@@ -430,6 +438,8 @@ object Bench {
         fired.mkString(", ") + " — profile will carry clean:false")
     }
     val steals = f"""[$stealCan%.2f,$steal1%.2f,$steal2%.2f]"""
+    val canarySteals =
+      f"""[$stealCan%.2f,$stealShuf%.2f,$stealMembw%.2f]"""
     val results = p1.map { case (n, t1, e1) =>
       p2.get(n) match {
         case None => (n, t1, e1, false)
@@ -490,7 +500,7 @@ object Bench {
     val clean = !contaminated && !stealHigh
     val onlyTag = only.map(r => s""","only":${jq(r)}""").getOrElse("")
     val line =
-      s"""{"metric":"total","unit":"sec","passes":"tiered-2","macro_threshold_sec":$MacroThresholdSec,"n_macro":${retry.size},"hist_retry_factor":$HistRetryFactor,"hist_retries":${histRetries.map(jq).sorted.mkString("[", ",", "]")},"suspect":$suspect,"clean":$clean,"contaminated":$contaminated,"loadavg_max":$loadMax,"waited_sec":$waited,"loadavg":$loads,"loadavg5":$loads5,"steal_pct":$steals,"steal_max_pct":$stealMax,"steal_high":$stealHigh,"canary_sec":${f"$canarySec%.3f"},"canary_shuffle_sec":${f"$canaryShufSec%.3f"},"canary_membw_sec":${f"$canaryMembwSec%.3f"},"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}$onlyTag}"""
+      s"""{"metric":"total","unit":"sec","passes":"tiered-2","macro_threshold_sec":$MacroThresholdSec,"n_macro":${retry.size},"hist_retry_factor":$HistRetryFactor,"hist_retries":${histRetries.map(jq).sorted.mkString("[", ",", "]")},"suspect":$suspect,"clean":$clean,"contaminated":$contaminated,"loadavg_max":$loadMax,"waited_sec":$waited,"loadavg":$loads,"loadavg5":$loads5,"steal_pct":$steals,"steal_max_pct":$stealMax,"steal_high":$stealHigh,"canary_sec":${f"$canarySec%.3f"},"canary_shuffle_sec":${f"$canaryShufSec%.3f"},"canary_membw_sec":${f"$canaryMembwSec%.3f"},"canary_steal_pct":$canarySteals,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}$onlyTag}"""
     println(line)
     // Short line: slowest-first entries until the byte budget is spent.
     val budget = 1600
