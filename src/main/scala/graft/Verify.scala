@@ -26,10 +26,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    // Manifest of attempted/failed keys: a query that throws must not
+    // silently vanish from the sweep's denominator (the dump dir simply
+    // wouldn't exist and parity.py would count what's left — ADVICE r17
+    // medium). parity.py fails when failed is non-empty or a swept key
+    // has no dump directory.
+    val swept = SparkEntry.queries.keys.filter(keep).toSeq.sorted
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    swept.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -48,6 +56,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def arr(ss: Seq[String]) = ss.map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      s"""{"swept": ${arr(swept)}, "failed": ${arr(failed.toSeq)}}""")
     spark.stop()
   }
 }

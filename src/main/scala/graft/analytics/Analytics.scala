@@ -945,14 +945,19 @@ object Analytics {
       round(log(lit(1.0) - col("b.d").cast("double") /
         (col("n_total") - col("b.prior")).cast("double")), 6))
       .otherwise(lit(0.0)).cast("decimal(18,6)")
-    val withPrior = perStep.as("x").join(perStep.as("y"),
+    // Both triangular joins carry an explicit broadcast of the <=
+    // (horizon+1)-row side: without the hint Spark has no stats to see
+    // the aggregate is tiny and plans the non-equi inner join as a
+    // CartesianProduct (r18 registry plan lint) — bounded here, but the
+    // broadcast form is the shape the scaladoc promises.
+    val withPrior = perStep.as("x").join(broadcast(perStep.as("y")),
         col("y.step") < col("x.step"), "left")
       .groupBy(col("x.step").as("step"))
       .agg(first(col("x.d")).as("d"), first(col("x.c")).as("c"),
         coalesce(sum(col("y.d") + col("y.c")), lit(0L)).as("prior"))
     val curve = withPrior.as("a").join(
-        withPrior.select(col("step").as("bstep"), col("d"), col("c"),
-          col("prior")).as("b"),
+        broadcast(withPrior.select(col("step").as("bstep"), col("d"),
+          col("c"), col("prior")).as("b")),
         col("b.bstep") <= col("a.step"))
       .crossJoin(broadcast(total))
       .groupBy(col("a.step").as("step"))

@@ -1433,18 +1433,24 @@ object Similarity {
     // sf0.1, and the engines' double-tie disagreement moved
     // effective_rank by 3×10⁻⁵ through the fr2 quotient.
     // k² runs in DECIMAL, not BIGINT: (19,0)×(19,0) caps at DECIMAL(38,0)
-    // so the square is overflow-free for EVERY bigint k (the r16 bigint
-    // form threw ANSI overflow past |cov| ≈ 3×10³ — ADVICE r16). The /1000
-    // lands on DECIMAL(38,6), exact for a ≤3-fractional-digit quotient,
-    // and floor replicates `div`'s half-up-then-truncate for the always-
-    // positive k²+500. DuckDB mirror squares through HUGEINT (128-bit).
+    // so the SQUARE is overflow-free for every bigint k (the r16 bigint
+    // form threw ANSI overflow past |cov| ≈ 3×10³ — ADVICE r16). The
+    // half-up cut subtracts (k²+500) % 1000 FIRST so the /1000 quotient
+    // is integral and therefore exact in the DECIMAL(38,6) the division
+    // resolves to (32 integral digits under Spark's precision-loss
+    // adjustment). Real bound (ADVICE r17): the quotient overflows those
+    // 32 integral digits once k² ≳ 10³⁵, i.e. |k| ≳ 3.2×10¹⁷ ⇔
+    // |cov| ≳ 3.2×10¹¹ — ANSI-loud on the Spark side while the DuckDB
+    // HUGEINT mirror (128-bit) would still succeed; float-embedding
+    // covariances sit ~11 orders of magnitude below the cliff.
     cov.withColumn("k", expr("cast(round(cov * 1e6) as bigint)"))
+      .withColumn("kk",
+        expr("cast(k as decimal(19,0)) * cast(k as decimal(19,0)) + 500"))
       .agg(
         count(lit(1)).as("n_entries"),
         sum(when(col("i") === col("j"), col("cov").cast("decimal(18,6)")))
           .as("tr"),
-        sum(expr("floor((cast(k as decimal(19,0)) * cast(k as decimal(19,0))" +
-            " + 500) / 1000)").cast("decimal(38,0)"))
+        sum(expr("(kk - kk % 1000) / 1000").cast("decimal(38,0)"))
           .as("fr2i"))
       .select(col("n_entries"),
         round(col("tr").cast("double"), 6).as("trace"),

@@ -34,13 +34,23 @@ import org.apache.spark.sql.functions._
   * TIMESTAMP (the oracle SQL's literal comparisons stay TZ-free) and
   * Ingest.readEvents' NTZ branch normalizes on the Spark side.
   *
-  * Usage: runMain graft.tools.Perturb <srcDir> <outDir>
+  * Usage: runMain graft.tools.Perturb <srcDir> <outDir> [seed]
   * Then:  bash tools/parity_sweep.sh <outDir>
+  *
+  * The optional seed (any string; default "" = the r17 draw) is folded
+  * into every xxhash salt, so each seed is an INDEPENDENT draw with the
+  * same schemas/sizes/structure — each one re-rolls the residual
+  * quotient-round tie dice (SCALE.md round-17 section) for free
+  * (VERDICT r17 item 3).
   */
 object Perturb {
 
+  /** Seed folded into every hash salt; "" reproduces the r17 fixture. */
+  private var seed: String = ""
+
   def main(args: Array[String]): Unit = {
     val Array(src, out) = args.take(2)
+    seed = if (args.length > 2) args(2) else ""
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -55,9 +65,9 @@ object Perturb {
     spark.stop()
   }
 
-  /** hash in [0, m) keyed on (cols..., salt) — the draw primitive. */
+  /** hash in [0, m) keyed on (cols..., salt+seed) — the draw primitive. */
   private def h(m: Int, salt: String, cols: org.apache.spark.sql.Column*) =
-    pmod(xxhash64((cols :+ lit(salt)): _*), lit(m))
+    pmod(xxhash64((cols :+ lit(salt + seed)): _*), lit(m))
 
   def generate(spark: SparkSession, src: String, out: String): Unit = {
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
@@ -91,7 +101,7 @@ object Perturb {
       .withColumn("l_discount", h(11, "d", lk: _*) / lit(100.0))
       .withColumn("l_tax", h(9, "t", lk: _*) / lit(100.0))
       .withColumn("l_shipdate",
-        expr("timestampadd(DAY, pmod(xxhash64(l_orderkey, l_linenumber, 's'), 61) - 30, l_shipdate)")
+        expr(s"timestampadd(DAY, pmod(xxhash64(l_orderkey, l_linenumber, 's$seed'), 61) - 30, l_shipdate)")
           .cast("timestamp_ntz")), "lineitem")
 
     wr(rd("orders")
@@ -99,7 +109,7 @@ object Perturb {
         round(col("o_totalprice") *
           (lit(0.9) + h(2001, "p", col("o_orderkey")) / lit(1e4)), 2))
       .withColumn("o_orderdate",
-        expr("timestampadd(DAY, pmod(xxhash64(o_orderkey, 's'), 61) - 30, o_orderdate)")
+        expr(s"timestampadd(DAY, pmod(xxhash64(o_orderkey, 's$seed'), 61) - 30, o_orderdate)")
           .cast("timestamp_ntz")), "orders")
 
     wr(graft.etl.Ingest.readEvents(spark, src)
@@ -107,19 +117,26 @@ object Perturb {
         round(col("value") *
           (lit(0.8) + h(4001, "v", col("event_id")) / lit(1e4)), 3))
       .withColumn("ts",
-        expr("timestampadd(SECOND, pmod(xxhash64(event_id, 'ts'), 7201) - 3600, ts)")
+        expr(s"timestampadd(SECOND, pmod(xxhash64(event_id, 'ts$seed'), 7201) - 3600, ts)")
           .cast("timestamp_ntz")), "events")
 
+    // Empty tokens (consecutive/leading/trailing spaces) must pass
+    // through unchanged: Fns.tokens drops empties, so suffixing them
+    // would ADD tokens and break the preserved-Jaccard-structure
+    // invariant (ADVICE r17) — latent while fixtures are single-spaced,
+    // but the remap should be bijective on the token multiset by
+    // construction, not by fixture luck.
     wr(rd("documents")
       .withColumn("text", when(length(col("text")) === 0, col("text"))
         .otherwise(array_join(transform(split(col("text"), " "),
-          t => concat(t, lit("y"), pmod(xxhash64(t, lit("seed2")), lit(7)))),
+          t => when(t === lit(""), t).otherwise(
+            concat(t, lit("y"), pmod(xxhash64(t, lit("seed2" + seed)), lit(7))))),
           " ")))
       .withColumn("n_chars", length(col("text")).cast("long")), "documents")
 
     wr(rd("embeddings")
       .withColumn("embedding", transform(col("embedding"), (x, i) =>
-        (x + (pmod(xxhash64(col("vec_id") * 64 + i, lit("e")), lit(2001))
+        (x + (pmod(xxhash64(col("vec_id") * 64 + i, lit("e" + seed)), lit(2001))
           - lit(1000)) / lit(1e4)).cast("float"))), "embeddings")
   }
 }

@@ -79,6 +79,91 @@ class PlanGuardSpec extends SparkSpec {
     assert(stale.isEmpty, s"allowlist entries no longer needed: $stale")
   }
 
+  /** Queries whose PHYSICAL plan legitimately contains `Scan ExistingRDD`
+    * barriers — every entry is a deliberate EAGER `.localCheckpoint()` at
+    * a documented operator site (the checkpoint cuts lineage that 2+
+    * downstream consumers or a fixed-point loop would otherwise replay;
+    * see each site's scaladoc). Grouped by the checkpoint site:
+    *  - graph_* fixed-point loops (PageRank/Katz/HITS/label-prop/k-core/
+    *    BFS/closeness/CC-stars/Fiedler/...): per-round snapshot breaks
+    *    the exponentially-deep lineage (Graph.scala 142–1254);
+    *  - graph one-shot edge canonicalizations shared by 2+ consumers
+    *    (adamic_adar, assortativity, clustering, conductance, degree_hist,
+    *    knn_degree, link_pred, local_bridges, modularity, node_jaccard,
+    *    powerlaw, rich_club, triangles, walks — Graph.scala 769–939);
+    *  - dedup cluster resolution + shingle index reuse (Dedup.scala
+    *    100–1540): the verdict/edge/shingle frames feed 2–3 consumers;
+    *  - ann kNN-graph / intrinsic-dim (Similarity.scala 682): the banded
+    *    candidate index is built once and read by graph + agree variants;
+    *  - covariance consumers (emb_covariance/effective_rank/pca_power/
+    *    eigengap/abtt/cluster_purity/intrinsic_dim*: Similarity.scala
+    *    976–1068) checkpoint the d² cov table / power-iteration state;
+    *  - Markov/transition frames with 2–3 consumers (Analytics.scala
+    *    263–290), basket collect_set frame (Analytics.scala 698);
+    *  - BPE merge loop (TextAnalysis.scala 454–498), bigram-LM model
+    *    (TextAnalysis.scala 1188);
+    *  - Theil–Sen / Mann–Kendall indexed bucket frame (TimeSeries.scala
+    *    840–1087); minhash union sketch (Sketch.scala 733); priority /
+    *    split / mixture-card samples (Sampling.scala 624–693);
+    *  - pipeline_llm_e2e / stream_dedup_incr compose the checkpointed
+    *    dedup stages (DocPipeline.scala 85).
+    * A query NOT in this set that grows an ExistingRDD barrier fails the
+    * lint — that is the accidental-eager-materialization class (an RDD
+    * round-trip also severs Catalyst pushdown, so it must always be a
+    * reviewed, documented decision).
+    */
+  private val checkpointBarrierAllowlist = Set(
+    "ana_basket", "ana_basket_capped", "ana_markov_entropy",
+    "ana_markov_stationary", "ana_pagerank", "ana_pagerank_pers",
+    "ann_knn_graph", "ann_knn_graph_agree", "ann_knn_graph_lsh",
+    "dedup_cluster_stats", "dedup_clusters", "dedup_keep_best",
+    "dedup_lsh_curve", "dedup_minhash_est", "dedup_ngram_prefix",
+    "dedup_source_overlap", "dedup_tf_cosine", "dedup_winnow_pairs",
+    "emb_abtt", "emb_cluster_purity", "emb_covariance",
+    "emb_effective_rank", "emb_eigengap", "emb_intrinsic_dim",
+    "emb_intrinsic_dim_agree", "emb_intrinsic_dim_ann", "emb_pca_power",
+    "graph_adamic_adar", "graph_assortativity", "graph_bfs_hops",
+    "graph_cc_stars", "graph_closeness", "graph_clustering",
+    "graph_conductance", "graph_degree_hist", "graph_fiedler",
+    "graph_hits", "graph_katz", "graph_kcore", "graph_knn_degree",
+    "graph_label_prop", "graph_link_pred", "graph_local_bridges",
+    "graph_modularity", "graph_node_jaccard", "graph_powerlaw",
+    "graph_rich_club", "graph_triangles", "graph_walks",
+    "pipeline_llm_e2e", "sample_mixture_card", "sample_priority",
+    "sample_priority_total", "sample_split", "sketch_minhash_union",
+    "stream_dedup_incr", "text_bpe_merges", "text_perplexity_bigram",
+    "ts_mann_kendall", "ts_theil_sen")
+
+  test("registry-wide physical-plan lint: no CartesianProduct anywhere, " +
+      "ExistingRDD barriers only at documented checkpoint sites") {
+    // VERDICT r17 item 2: the exchange census pins 10 plans; this walks
+    // ALL registered queries' PHYSICAL plans at sf0.001 (the logical-plan
+    // window lint above already covers unpartitioned windows registry-
+    // wide). Node-line matching, so a ReusedExchange's inline reference
+    // text can't count (ADVICE r17).
+    val sf = "/root/testdata/sf0.001"
+    var cart = Set.empty[String]
+    var rdd = Set.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val nodeLines = fn(spark, sf).queryExecution.executedPlan.toString
+        .linesIterator
+        .map(_.dropWhile(c => " :+-*(0123456789)".contains(c))).toSeq
+      if (nodeLines.exists(_.startsWith("CartesianProduct"))) cart += name
+      if (nodeLines.exists(_.startsWith("Scan ExistingRDD"))) rdd += name
+    }
+    assert(cart.isEmpty,
+      s"queries planning a CartesianProduct (unbounded pair blow-up at " +
+        s"scale — broadcast the provably-tiny side or re-key the join): $cart")
+    val unexpected = rdd -- checkpointBarrierAllowlist
+    assert(unexpected.isEmpty,
+      s"queries with an UNDOCUMENTED ExistingRDD eager barrier: $unexpected — " +
+        "either remove the accidental materialization or document the " +
+        "checkpoint at the operator site and extend the allowlist")
+    // Keep the allowlist honest, same rule as the window lint above.
+    val stale = checkpointBarrierAllowlist -- rdd
+    assert(stale.isEmpty, s"checkpoint allowlist entries no longer needed: $stale")
+  }
+
   test("round-8 operator plan shapes: top-k heaps, broadcasts, single-pass aggregate") {
     import graft.operators.{DataQuality, Similarity, TextAnalysis}
     val sf = "/root/testdata/sf0.001"
@@ -578,14 +663,26 @@ class PlanGuardSpec extends SparkSpec {
       // agg + top-k: 4 shuffles; frequency/total bounds broadcast
       ("ana_basket", 4, 3, 0))
     val sf = "/root/testdata/sf0.001"
-    val shufRe = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
-    val bcRe = "(?<!Reused)BroadcastExchange".r
-    val smjRe = "SortMergeJoin".r
+    // Count plan-tree NODE lines, not substring hits: a ReusedExchange
+    // node renders its referenced exchange inline after a comma
+    // ("ReusedExchange [...], Exchange hashpartitioning(...)"), which
+    // the old whole-string regexes also matched — and the old
+    // `(?<!Reused)` lookbehind guarded a contiguous
+    // "ReusedBroadcastExchange" token that never occurs (ADVICE r17).
+    // Node-line counting means these pins EXCLUDE reuse by construction
+    // (recounted via graft.tools.Smoke with the same nodeLines body:
+    // identical to the old values — none of the 10 plans contains a
+    // ReusedExchange today, so only the semantics changed, not counts).
     val got = expected.map { case (name, _, _, _) =>
-      val plan = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.executedPlan.toString
-      (name, shufRe.findAllIn(plan).size, bcRe.findAllIn(plan).size,
-        smjRe.findAllIn(plan).size)
+      val nodeLines = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString.linesIterator
+        .map(_.dropWhile(c => " :+-*(0123456789)".contains(c))).toSeq
+      (name,
+        nodeLines.count(l => l.startsWith("Exchange hashpartitioning")
+          || l.startsWith("Exchange rangepartitioning")
+          || l.startsWith("Exchange SinglePartition")),
+        nodeLines.count(_.startsWith("BroadcastExchange")),
+        nodeLines.count(_.startsWith("SortMergeJoin")))
     }
     assert(got == expected,
       s"exchange census drifted:\n  got      $got\n  expected $expected")

@@ -184,6 +184,58 @@ try:
 except Exception as e:
     fails.append(f"doc-count check failed: {e}")
 
+# 7. per-round parity ritual (VERDICT r17 item 6): the round close must
+# carry full parity_sweep.sh certifications — sf0.01, sf0.1, and >= 1
+# alternate-seed fixture — recorded in PARITY_SWEEPS.jsonl by the sweep
+# script itself, keyed by a fingerprint of the src/main + tools state
+# (index blobs + unstaged diff + untracked status; commit-invariant).
+# A code change after the sweeps invalidates them HARD: re-run the three
+# sweeps. SCALE.md's latest round section must also quote three n/n
+# sweep lines so the human-readable record matches the ledger.
+try:
+    import subprocess
+
+    def _run(args):
+        return subprocess.run(["git", "-C", root] + args,
+                              capture_output=True, text=True).stdout
+
+    import hashlib
+    blob = (_run(["ls-files", "-s", "--", "src/main", "tools"])
+            + _run(["diff", "--", "src/main", "tools"])
+            + _run(["status", "--porcelain", "--", "src/main", "tools"]))
+    fp = hashlib.sha1(blob.encode()).hexdigest()[:16]
+    ledger_path = os.path.join(root, "PARITY_SWEEPS.jsonl")
+    entries = []
+    if os.path.exists(ledger_path):
+        for line in open(ledger_path):
+            if line.strip():
+                entries.append(json.loads(line))
+    mine = [e for e in entries if e.get("src_fp") == fp
+            and e.get("green") == e.get("total") and e.get("total", 0) > 0]
+    swept_dirs = {e["sf"].rstrip("/") for e in mine}
+    have_001 = any(d.endswith("sf0.01") for d in swept_dirs)
+    have_01 = any(d.endswith("sf0.1") for d in swept_dirs)
+    have_alt = any(not d.endswith(("sf0.01", "sf0.1", "sf0.001"))
+                   for d in swept_dirs)
+    if not (have_001 and have_01 and have_alt):
+        fails.append(
+            f"parity ritual incomplete for current code state (src_fp={fp}): "
+            f"green full sweeps found for {sorted(swept_dirs) or 'none'} — "
+            f"need sf0.01, sf0.1, and an alternate-seed dir "
+            f"(run bash tools/parity_sweep.sh for each)")
+    sm_txt = open(os.path.join(root, "SCALE.md"), encoding="utf-8").read()
+    secs = re.split(r"^## ", sm_txt, flags=re.M)
+    last_round = [s for s in secs if re.match(r"Round-\d+", s)][-1]
+    sweep_lines = re.findall(r"parity_sweep[^\n]*?(\d+)/(\d+) green",
+                             last_round)
+    ok_lines = [(a, b) for a, b in sweep_lines if a == b]
+    if len(ok_lines) < 3:
+        fails.append(
+            f"SCALE.md's latest round section quotes {len(ok_lines)} green "
+            f"parity_sweep lines — must quote >= 3 (sf0.01, sf0.1, alt seed)")
+except Exception as e:
+    fails.append(f"parity-ritual check failed: {e}")
+
 # 6. ADVICE.md citations (warnings only — advisor wrote vs older HEAD)
 adv = os.path.join(root, "ADVICE.md")
 if os.path.exists(adv):

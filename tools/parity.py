@@ -19,7 +19,26 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 keys = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
 fails = []
+# Verify's manifest makes a Spark-side query crash loud (ADVICE r17):
+# a thrown query has no dump dir, so without this the denominator would
+# silently shrink and the sweep would print e.g. "387/387 green".
+mpath = f"{out_dir}/manifest.json"
+if os.path.exists(mpath):
+    man = json.load(open(mpath))
+    for k in man.get("failed", []):
+        print(f"{k:24s} SPARK QUERY FAILED (see Verify log)")
+        fails.append(k)
+    missing = sorted(set(man.get("swept", [])) - set(keys) - set(man.get("failed", [])))
+    for k in missing:
+        print(f"{k:24s} MISSING DUMP (swept but no parquet dir)")
+        fails.append(k)
+    keys = sorted(set(keys) | set(fails))
+else:
+    print("WARNING: no manifest.json — crashed queries would be invisible; "
+          "re-run graft.Verify from current HEAD")
 for k in keys:
+    if k in fails:
+        continue  # failed/missing per manifest — already reported above
     spark_files = glob.glob(f"{out_dir}/{k}/*.parquet")
     sdf = con.sql(f"SELECT * FROM read_parquet({spark_files!r})").df()
     if k not in oracle:
