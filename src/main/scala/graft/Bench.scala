@@ -45,6 +45,28 @@ object Bench {
     * SPARK_GRAFT_CANARY_STEAL_MAX.
     */
   val CanaryStealMaxPct = 2.0
+  /** Max PRE-RUN membw-canary seconds for a `clean:true` stamp — the
+    * round-18 promotion of the r17 host-speed vector's one earned gate.
+    * Calibration dataset (BENCH_HISTORY, 10 same-code r17 profiles +
+    * r18's 4th clean profile): every quiet-window reading sits in
+    * 0.666–0.692 s; mildly-contaminated (steal-dirty) profiles read
+    * 0.74–1.09 s; the two contended events read 2.33 s (28% steal
+    * burst) and 7.29 s — the driver's 352.6 s profile, which carried
+    * clean:true under the steal gate while running +16% slower than
+    * same-code quiet profiles (304/323 s) with the cpu canary flat.
+    * That is memory-bandwidth contention the steal counter CANNOT see
+    * (a neighbor saturating the memory controller steals no jiffies),
+    * and the membw canary is the only component that tracked it. 2.0 s
+    * = ~3× the quiet-band max, above every mildly-dirty reading, 3.6×
+    * under the contended event — band-separated on 10 calibration
+    * points, vs the normalize-the-total option which would need a
+    * fitted slope that one contended point cannot give (SCALE.md
+    * round-18 calibration table). Only the PRE-run reading gates: the
+    * post-run re-measure below records until its own quiet band is
+    * characterized (heap/GC state after 388 queries could inflate it
+    * independently of the host). Override: SPARK_GRAFT_MEMBW_MAX.
+    */
+  val MembwMaxSec = 2.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -246,7 +268,9 @@ object Bench {
       // built on them either masks regressions (consumer lines inflated)
       // or cries wolf (derivation lines absent). Post-split profiles are
       // self-identifying: their queries object contains `_derive_` keys.
-      // No epoch constant to maintain.
+      // No epoch constant to maintain. (Since r18 lines also carry
+      // "schema_version":4 — future schema cutovers should dispatch on
+      // that int instead of adding another substring sniff.)
       val cleanLines =
         if (java.nio.file.Files.exists(histPath))
           scala.io.Source.fromFile(histPath.toFile).getLines().toSeq.reverse
@@ -384,6 +408,18 @@ object Bench {
     val p2 = pass(retry, extraDerivs = retryDerivs)._1.map(r => r._1 -> r).toMap
     val (end1, end5) = loadavg()
     val ticksEnd = cpuTicks()
+    // POST-run membw re-measure (r18): the pre-run canary only certifies
+    // the host at t=0; bandwidth contention starting mid-run would be
+    // invisible to it AND to the steal gate. Recorded, NOT gating — a
+    // post-388-query JVM's allocation behavior hasn't been characterized
+    // against the pre-run quiet band yet (same record-until-calibrated
+    // rule as the shuffle window). Placed after ticksEnd so the pass-2
+    // steal window stays pure.
+    val (canaryMembwEndSec, stealMembwEnd) = minOf3(() =>
+      spark.range(0L, 4096L, 1L, cpus.toInt)
+        .selectExpr(
+          "aggregate(sequence(id, id + 65535), 0L, (a, x) -> a + x) AS s")
+        .selectExpr("bit_xor(s) AS h").collect())
     // steal over [pass1, pass2] — the in-run external-contention record,
     // and since round 16 a `clean` gate: either pass above StealMaxPct
     // means a neighboring tenant ate a measurable slice of our cycles
@@ -425,6 +461,16 @@ object Bench {
     val pass1High = gates(ticks0, ticksMid, steal1, stealMax)
     val pass2High = gates(ticksMid, ticksEnd, steal2, stealMax)
     val stealHigh = canaryHigh.nonEmpty || pass1High || pass2High
+    // Membw-canary TIME gate (r18, see MembwMaxSec scaladoc): marks
+    // memory-bandwidth contention that steals no jiffies. Pre-run
+    // reading only; min-of-3 already absorbed any single burst.
+    val membwMax = sys.env.get("SPARK_GRAFT_MEMBW_MAX")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(MembwMaxSec)
+    val membwHigh = canaryMembwSec > membwMax
+    if (membwHigh)
+      System.err.println(f"bench: membw canary $canaryMembwSec%.2f s > " +
+        f"$membwMax%.2f s quiet-band gate — memory-bandwidth contention " +
+        "the steal counter cannot see; profile will carry clean:false")
     // Forensics names the window(s) that actually fired with each one's
     // OWN threshold — the r16 message always printed the pass gate's
     // 0.5% even when only the 2% canary gate tripped (ADVICE r16).
@@ -438,8 +484,9 @@ object Bench {
         fired.mkString(", ") + " — profile will carry clean:false")
     }
     val steals = f"""[$stealCan%.2f,$steal1%.2f,$steal2%.2f]"""
+    // 4th entry since r18: the post-run membw re-measure's kept window.
     val canarySteals =
-      f"""[$stealCan%.2f,$stealShuf%.2f,$stealMembw%.2f]"""
+      f"""[$stealCan%.2f,$stealShuf%.2f,$stealMembw%.2f,$stealMembwEnd%.2f]"""
     val results = p1.map { case (n, t1, e1) =>
       p2.get(n) match {
         case None => (n, t1, e1, false)
@@ -496,11 +543,17 @@ object Bench {
     val loads = f"""[$start1%.2f,$mid1%.2f,$end1%.2f]"""
     val loads5 = f"""[$start5%.2f,$mid5%.2f,$end5%.2f]"""
     // clean = start loadavg (both windows) under threshold AND in-run
-    // hypervisor steal under StealMaxPct — the full trust verdict.
-    val clean = !contaminated && !stealHigh
+    // hypervisor steal under StealMaxPct AND the pre-run membw canary
+    // inside its calibrated quiet band — the full trust verdict.
+    val clean = !contaminated && !stealHigh && !membwHigh
     val onlyTag = only.map(r => s""","only":${jq(r)}""").getOrElse("")
+    // schema_version (r17 judge polish): BENCH_HISTORY spans three
+    // generations of line schema; tooling should dispatch on this int
+    // instead of substring-sniffing. 4 = tiered-2 passes + per-derivation
+    // `_derive_*` lines (r16 split) + 3-component canary vector (r17) +
+    // this tag. Absent field = version <= 3 (pre-r18).
     val line =
-      s"""{"metric":"total","unit":"sec","passes":"tiered-2","macro_threshold_sec":$MacroThresholdSec,"n_macro":${retry.size},"hist_retry_factor":$HistRetryFactor,"hist_retries":${histRetries.map(jq).sorted.mkString("[", ",", "]")},"suspect":$suspect,"clean":$clean,"contaminated":$contaminated,"loadavg_max":$loadMax,"waited_sec":$waited,"loadavg":$loads,"loadavg5":$loads5,"steal_pct":$steals,"steal_max_pct":$stealMax,"steal_high":$stealHigh,"canary_sec":${f"$canarySec%.3f"},"canary_shuffle_sec":${f"$canaryShufSec%.3f"},"canary_membw_sec":${f"$canaryMembwSec%.3f"},"canary_steal_pct":$canarySteals,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}$onlyTag}"""
+      s"""{"schema_version":4,"metric":"total","unit":"sec","passes":"tiered-2","macro_threshold_sec":$MacroThresholdSec,"n_macro":${retry.size},"hist_retry_factor":$HistRetryFactor,"hist_retries":${histRetries.map(jq).sorted.mkString("[", ",", "]")},"suspect":$suspect,"clean":$clean,"contaminated":$contaminated,"loadavg_max":$loadMax,"waited_sec":$waited,"loadavg":$loads,"loadavg5":$loads5,"steal_pct":$steals,"steal_max_pct":$stealMax,"steal_high":$stealHigh,"canary_sec":${f"$canarySec%.3f"},"canary_shuffle_sec":${f"$canaryShufSec%.3f"},"canary_membw_sec":${f"$canaryMembwSec%.3f"},"canary_membw_end_sec":${f"$canaryMembwEndSec%.3f"},"membw_max_sec":$membwMax,"membw_high":$membwHigh,"canary_steal_pct":$canarySteals,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}$onlyTag}"""
     println(line)
     // Short line: slowest-first entries until the byte budget is spent.
     val budget = 1600
