@@ -1181,19 +1181,32 @@ object SparkEntry {
       Dedup.sourceDupReport(T(s, dir, "documents"))
         .orderBy("source")),
 
-    // SemDeDup: coarse-cluster (8 lowest-id seeds) then drop any vector
+    // SemDeDup: coarse-cluster (k lowest-id seeds) then drop any vector
     // with a lower-id cluster-mate at cosine >= 0.4 — the quadratic pair
-    // term is bounded per cluster, the kept verdict is deterministic.
-    "dedup_semantic" -> ((s, dir) =>
-      Dedup.semanticDedup(T(s, dir, "embeddings"), 8, 0.4)
-        .orderBy("vec_id")),
+    // term is bounded per cluster and the kept verdict is deterministic.
+    // k is DERIVED from the corpus size (Dedup.semanticK: smallest
+    // k >= 8 with 125k² >= 4n — exactly 8 at every committed fixture,
+    // ~√(n/31.25) beyond), because round-18's second scale decade
+    // measured the pinned-k=8 form at 62x for 10x data: with fixed k
+    // the within-cluster pair term is n²/k by construction. The oracle
+    // derives the same k in BIGINT arithmetic (assignCtesDerivedK), so
+    // parity holds at any corpus size, not just the fixtures'.
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Dedup.semanticDedup(emb, Dedup.semanticK(emb.count()), 0.4)
+        .orderBy("vec_id")
+    }),
 
     // Threshold calibration for the semantic dedup: within-cluster pair
     // counts at each candidate cosine threshold, from ONE pair pass.
-    "dedup_threshold_sweep" -> ((s, dir) =>
-      Dedup.cosineThresholdSweep(T(s, dir, "embeddings"), 8,
+    // Same derived k as dedup_semantic (the calibration must sweep the
+    // clustering the dedup will actually run).
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Dedup.cosineThresholdSweep(emb, Dedup.semanticK(emb.count()),
           Seq(0.2, 0.3, 0.4, 0.5))
-        .orderBy("threshold")),
+        .orderBy("threshold")
+    }),
 
     // The SRP-LSH scale path for embedding near-dup, against the exact
     // all-pairs oracle. The synthetic embeddings are isotropic (pairwise
@@ -4252,6 +4265,38 @@ object SparkEntry {
        |           ORDER BY d2, cid) AS rn FROM d)
        |      WHERE rn = 1)""".stripMargin
 
+  /** [[assignCtes]] with the seed count DERIVED from the corpus size —
+    * the all-BIGINT mirror of `Dedup.semanticK` (smallest k ≥ 8 with
+    * 125·k² ≥ 4·n; the float sqrt only seeds a ±3 search window, the
+    * verdict is integer — the srpAutoPlanes precedent). Keeps the two
+    * semantic-dedup oracles provable at ANY corpus size instead of
+    * pinning the fixtures' k = 8 (n = 500 and n = 2000 both derive
+    * exactly 8, so fixture results are unchanged). 125·c·c on BIGINT
+    * throws loudly past n ≈ 2.3×10¹⁵ in both engines.
+    */
+  private def assignCtesDerivedK: String =
+    s"""n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |kk AS (SELECT min(c) AS k FROM
+       |         (SELECT greatest(8, CAST(floor(sqrt(CAST(4*n AS DOUBLE)/125))
+       |            AS BIGINT) - 1) + x AS c, n
+       |          FROM n, unnest([0, 1, 2, 3]) AS u(x))
+       |       WHERE c >= 8 AND 125*c*c >= 4*n),
+       |e AS ($embCte),
+       |f AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+       |        unnest(v) AS x FROM e),
+       |seeds AS (SELECT vec_id FROM e ORDER BY vec_id
+       |          LIMIT (SELECT k FROM kk)),
+       |c AS (SELECT f.vec_id AS cid, f.dim, f.x AS cx
+       |      FROM f JOIN seeds USING (vec_id)),
+       |d AS (SELECT f.vec_id, c.cid,
+       |        sum(CAST(round((f.x - c.cx) * (f.x - c.cx), 6)
+       |          AS DECIMAL(18,6))) AS d2
+       |      FROM f JOIN c USING (dim) GROUP BY 1, 2),
+       |a AS (SELECT vec_id, cid FROM
+       |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY d2, cid) AS rn FROM d)
+       |      WHERE rn = 1)""".stripMargin
+
   /** Multinomial-NB model + per-doc argmax prediction CTE chain
     * (documents self-train, +1 smoothing, 6-dp score quantization,
     * ties to the smaller label) — shared by the ml_nb_accuracy /
@@ -6165,15 +6210,17 @@ object SparkEntry {
         |    AS dup_rate
         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
 
-    // SemDeDup mirror: same assignment CTEs as emb_kmeans_iter (k=8),
-    // then the one-pass "any lower-id cluster-mate within cosine 0.4"
-    // drop rule — cluster-scoped pairs only, exactly the Spark join.
-    // A zero-norm vector yields NaN from list_cosine_similarity and
-    // DuckDB sorts/compares NaN as greater than everything; Spark's
-    // graft_cosine returns NULL there (never a duplicate) — the CASE
-    // maps NaN -> NULL so `NULL >= 0.4` filters the pair identically.
+    // SemDeDup mirror: assignment CTEs with the corpus-DERIVED seed
+    // count (assignCtesDerivedK — BIGINT recurrence, k = 8 at every
+    // committed fixture), then the one-pass "any lower-id cluster-mate
+    // within cosine 0.4" drop rule — cluster-scoped pairs only, exactly
+    // the Spark join. A zero-norm vector yields NaN from
+    // list_cosine_similarity and DuckDB sorts/compares NaN as greater
+    // than everything; Spark's graft_cosine returns NULL there (never a
+    // duplicate) — the CASE maps NaN -> NULL so `NULL >= 0.4` filters
+    // the pair identically.
     "dedup_semantic" ->
-      s"""WITH ${assignCtes(8)},
+      s"""WITH $assignCtesDerivedK,
          |v AS (SELECT e.vec_id, a.cid, e.v FROM e JOIN a USING (vec_id)),
          |dup AS (SELECT DISTINCT b.vec_id
          |        FROM v x JOIN v b ON x.cid = b.cid AND x.vec_id < b.vec_id
@@ -6186,10 +6233,10 @@ object SparkEntry {
          |ORDER BY v.vec_id""".stripMargin,
 
     // Threshold-sweep mirror: the same cluster-scoped pair pass as
-    // dedup_semantic (6-dp-rounded cosines, NaN → NULL matches nothing),
-    // counted once per candidate threshold.
+    // dedup_semantic (derived-k assignment, 6-dp-rounded cosines,
+    // NaN → NULL matches nothing), counted once per candidate threshold.
     "dedup_threshold_sweep" ->
-      s"""WITH ${assignCtes(8)},
+      s"""WITH $assignCtesDerivedK,
          |v AS (SELECT e.vec_id, a.cid, e.v FROM e JOIN a USING (vec_id)),
          |p AS (SELECT round(CASE WHEN isnan(list_cosine_similarity(x.v, y.v))
          |          THEN NULL

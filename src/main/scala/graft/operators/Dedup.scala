@@ -1146,10 +1146,13 @@ object Dedup {
     * deduplication"): coarse-cluster the corpus, then mark as duplicate
     * every vector with a higher-priority (lower-id) cluster-mate at
     * cosine ≥ `threshold`. The point of the clustering is the quadratic
-    * term: candidate pairs are Σ cluster_size² instead of N² — at
-    * web scale k is chosen so the expected cluster is a few thousand
-    * docs, which keeps the within-cluster verification embarrassingly
-    * parallel (it is keyed on cid; a pathologically hot cluster is AQE
+    * term: candidate pairs are Σ cluster_size² instead of N² — so k must
+    * GROW with the corpus (a pinned k leaves n²/k, which round-18's
+    * second scale decade measured at 62× for 10× data). [[semanticK]]
+    * is the recommended schedule (k ≈ √(n/31.25), balancing assignment
+    * against pair verification at ~n^1.5; the registered queries use
+    * it); the within-cluster verification stays embarrassingly parallel
+    * (it is keyed on cid; a pathologically hot cluster is AQE
     * skew-split like any hot join key).
     *
     * Dedup rule (deterministic, one pass): a vector is dropped iff ANY
@@ -1167,6 +1170,33 @@ object Dedup {
     * for production centroids. Returns every vector with its cluster and
     * verdict: (vec_id, cluster_id, kept).
     */
+  /** Scale-aware seed count for [[semanticDedup]] / [[cosineThresholdSweep]]:
+    * the smallest k ≥ 8 with 125·k² ≥ 4·n — i.e. k ≈ √(n/31.25), expected
+    * cluster size ≈ √(31.25·n). With a FIXED k the within-cluster pair
+    * term is Σ size² ≈ n²/k — genuinely quadratic, which round-18's
+    * second scale decade measured directly (dedup_threshold_sweep 62×
+    * for 10× data at k=8, SCALE.md round-18); the √n schedule balances
+    * the n·d·k assignment join against the n²/k pair term at ~n^1.5
+    * total, the classic IVF operating point. At the committed fixtures
+    * nothing moves: n = 500 and n = 2000 both land exactly on k = 8
+    * (125·8² = 8000 = 4·2000), so every existing oracle/spec value is
+    * unchanged and the schedule only engages beyond sf0.1.
+    *
+    * Integer-exact in both engines (the srpAutoPlanes precedent): a
+    * float sqrt only SEEDS the search, the verdict 125·k² ≥ 4·n is
+    * BIGINT arithmetic, mirrored verbatim in the oracle CTE. Loud
+    * beyond n ≈ 2.3×10¹⁵ vectors where 125·k² would overflow a BIGINT
+    * (ANSI/DuckDB both throw rather than under-cluster).
+    */
+  def semanticK(n: Long): Int = {
+    require(n >= 0, s"need n >= 0, got $n")
+    require(n < 2300000000000000L,
+      s"semanticK domain is < 2.3e15 vectors (BIGINT 125*k*k), got $n")
+    var k = math.max(8L, math.floor(math.sqrt(4.0 * n / 125)).toLong - 1)
+    while (!(k >= 8 && 125 * k * k >= 4 * n)) k += 1 // <= 3 steps from the seed
+    k.toInt
+  }
+
   def semanticDedup(embeddings: DataFrame, k: Int, threshold: Double,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")

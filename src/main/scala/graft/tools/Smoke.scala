@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Scratch profiling main (dev tool, not harness contract) — edit the
   * body to time whatever operator is under investigation, run with
@@ -23,37 +24,27 @@ object Smoke {
     spark.sparkContext.setLogLevel("ERROR")
     graft.expressions.GraftFunctions.register(spark)
 
-    // Current investigation: registry-wide physical-plan inventory
-    // (r18 plan-lint prep) + node-line exchange census of the 10 pinned
-    // bench queries (reused-reference-free counts, ADVICE r17).
-    def nodeLines(plan: String): Seq[String] = plan.linesIterator
-      .map(_.dropWhile(c => " :+-*(0123456789)".contains(c))).toSeq
-    val top = Seq("ts_theil_sen", "ts_pipeline_e2e", "ts_motif",
-      "ana_markov_entropy", "dedup_tf_cosine", "dedup_ngram_prefix",
-      "emb_silhouette", "emb_kcenter", "q_corr", "ana_basket")
-    top.foreach { name =>
-      val nl = nodeLines(graft.SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.executedPlan.toString)
-      val shuffles = nl.count(l => l.startsWith("Exchange hashpartitioning")
-        || l.startsWith("Exchange rangepartitioning")
-        || l.startsWith("Exchange SinglePartition"))
-      val bcasts = nl.count(_.startsWith("BroadcastExchange"))
-      val reused = nl.count(_.startsWith("ReusedExchange"))
-      val smj = nl.count(_.startsWith("SortMergeJoin"))
-      println(s"[smoke] $name shuffles=$shuffles bcast=$bcasts reused=$reused smj=$smj")
+    // Current investigation: decompose _derive_doc_clusters' decade-2
+    // super-linearity at sf10 — pair mining vs cluster resolution.
+    import graft.operators.Dedup
+    val docs = graft.etl.Ingest.readTable(spark, sfDir, "documents")
+    def t(name: String)(job: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = job
+      println(f"[smoke] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
     }
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val nl = nodeLines(fn(spark, sfDir).queryExecution.executedPlan.toString)
-        val cart = nl.count(_.startsWith("CartesianProduct"))
-        val rdd = nl.count(_.contains("ExistingRDD"))
-        val bnlj = nl.count(_.startsWith("BroadcastNestedLoopJoin"))
-        if (cart + rdd + bnlj > 0)
-          println(s"[lint] $name cartesian=$cart existingRdd=$rdd bnlj=$bnlj")
-      } catch { case e: Throwable =>
-        println(s"[lint] $name PLAN BUILD FAILED: ${e.getMessage}")
-      }
-    }
+    t("docs.count warm")(docs.count())
+    val lazyPairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+    t("lazy pairs: union+filter+eager-ckpt (the adaptive edges shape)")(
+      lazyPairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(lazyPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .localCheckpoint().count())
+    val p2 = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+    t("pairs.count alone (single evaluation)")(p2.count())
+    t("adaptive on LAZY pairs (docClustersFresh shape)")(
+      Dedup.dedupClustersAdaptive(docs,
+        Dedup.ngramJaccardPairs(docs, 3, 0.5), strict = true).count())
     spark.stop()
   }
 }

@@ -565,6 +565,27 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((0.5, 4L), (0.9, 1L)))
   }
 
+  test("semanticK: integer recurrence, fixture boundaries, sqrt schedule") {
+    import graft.operators.Dedup.semanticK
+    // floor at 8 for every small corpus, incl. the sf0.01 fixture (500)
+    assert(Seq(0L, 1L, 8L, 500L, 1000L).map(semanticK).forall(_ == 8))
+    // n = 2000 (sf0.1) lands EXACTLY on the k=8 boundary: 125*64 = 4*2000
+    assert(semanticK(2000L) == 8)
+    // one vector past the boundary engages the schedule
+    assert(semanticK(2001L) == 9)
+    // sf1/sf10-equivalent corpora: k ~= sqrt(n/31.25)
+    assert(semanticK(20000L) == 26)   // 125*26^2 = 84500 >= 80000; 25^2 falls short
+    assert(semanticK(200000L) == 80)  // 125*6400 = 800000 = 4*200000 exactly
+    // recurrence minimality: k-1 always fails the bound when k > 8
+    for (n <- Seq(2001L, 20000L, 123456L, 200000L, 987654321L)) {
+      val k = semanticK(n).toLong
+      assert(125 * k * k >= 4 * n)
+      if (k > 8) assert(125 * (k - 1) * (k - 1) < 4 * n, s"n=$n k=$k not minimal")
+    }
+    // loud beyond the BIGINT 125*k*k domain
+    intercept[IllegalArgumentException](semanticK(3000000000000000L))
+  }
+
   test("lshCalibrationCurve: identical docs are always candidates; low buckets rarely") {
     // docs 1,2 identical (j=1 -> bucket 9); docs 3,4 share one shingle in
     // ten (j~0.05 -> bucket 0); singletons pad the corpus
