@@ -8098,14 +8098,16 @@ object SparkEntry {
            |    + 0.0
            |    AS cov
            |FROM pp JOIN mm mi ON mi.i = pp.i JOIN mm mj ON mj.i = pp.j)""".stripMargin
+      // q9/q6 forms in lockstep with Similarity.powerLoop (r18 seed-3
+      // fired the plain-round form: grid-product/quotient/sqrt rounds).
       val iterCtes = (1 to 3).map { k =>
         val prev = if (k == 1) "x0" else s"x${k - 1}"
         s"""y$k AS (SELECT c.i,
-           |  CAST(sum(CAST(round(c.cov * p.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS y
+           |  CAST(sum(CAST(round(c.cov * p.x * 1e9) / 1e9 AS DECIMAL(28,9))) AS DOUBLE) AS y
            |  FROM cov c JOIN $prev p ON p.i = c.j GROUP BY 1),
-           |n$k AS (SELECT sqrt(CAST(sum(CAST(round(y * y, 9) AS DECIMAL(28,9)))
+           |n$k AS (SELECT sqrt(CAST(sum(CAST(round(y * y * 1e9) / 1e9 AS DECIMAL(28,9)))
            |  AS DOUBLE)) AS nrm FROM y$k),
-           |x$k AS (SELECT i, round(y / nrm, 9) AS x FROM y$k CROSS JOIN n$k)""".stripMargin
+           |x$k AS (SELECT i, round(y / nrm * 1e9) / 1e9 AS x FROM y$k CROSS JOIN n$k)""".stripMargin
       }.mkString(",\n")
       s"""WITH $covCtes,
          |d AS (SELECT count(DISTINCT i) AS d FROM cov),
@@ -8114,8 +8116,8 @@ object SparkEntry {
          |sgn AS (SELECT CASE WHEN x > 0 THEN 1.0 WHEN x < 0 THEN -1.0
          |               ELSE 0.0 END AS sgn
          |        FROM x3 ORDER BY abs(x) DESC, i LIMIT 1)
-         |SELECT i, round(x * sgn, 6) AS loading,
-         |  round(nrm, 6) AS eigenvalue_est
+         |SELECT i, round(x * sgn * 1000000) / 1000000 AS loading,
+         |  round(nrm * 1000000) / 1000000 AS eigenvalue_est
          |FROM x3 CROSS JOIN sgn CROSS JOIN n3 ORDER BY i""".stripMargin
     },
 
@@ -8139,15 +8141,19 @@ object SparkEntry {
            |    + 0.0
            |    AS cov
            |FROM pp JOIN mm mi ON mi.i = pp.i JOIN mm mj ON mj.i = pp.j)""".stripMargin
+      // q9/q6 forms in lockstep with Similarity.powerLoop/eigenGap —
+      // seed-3 of the r18 multi-seed sweep fired the plain-round form
+      // HERE (λ₂ 0.022742 vs 0.022743): grid-product, quotient, sqrt
+      // and deflation rounds all ride round(x·10^k)/10^k now.
       def iterChain(covName: String, p: String) = (1 to 3).map { k =>
         val prev = if (k == 1) s"${p}x0" else s"$p" + s"x${k - 1}"
         s"""${p}y$k AS (SELECT c.i,
-           |  CAST(sum(CAST(round(c.cov * q.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS y
+           |  CAST(sum(CAST(round(c.cov * q.x * 1e9) / 1e9 AS DECIMAL(28,9))) AS DOUBLE) AS y
            |  FROM $covName c JOIN $prev q ON q.i = c.j GROUP BY 1),
-           |${p}n$k AS (SELECT sqrt(CAST(sum(CAST(round(y * y, 9) AS DECIMAL(28,9)))
+           |${p}n$k AS (SELECT sqrt(CAST(sum(CAST(round(y * y * 1e9) / 1e9 AS DECIMAL(28,9)))
            |  AS DOUBLE)) AS nrm FROM ${p}y$k),
-           |${p}x$k AS (SELECT i, round(CASE WHEN nrm = 0 THEN 0.0
-           |  ELSE y / nrm END, 9) AS x FROM ${p}y$k CROSS JOIN ${p}n$k)""".stripMargin
+           |${p}x$k AS (SELECT i, round((CASE WHEN nrm = 0 THEN 0.0
+           |  ELSE y / nrm END) * 1e9) / 1e9 AS x FROM ${p}y$k CROSS JOIN ${p}n$k)""".stripMargin
       }.mkString(",\n")
       s"""WITH $covCtes,
          |d AS (SELECT count(DISTINCT i) AS d FROM cov),
@@ -8156,19 +8162,19 @@ object SparkEntry {
          |asgn AS (SELECT CASE WHEN x > 0 THEN 1.0 WHEN x < 0 THEN -1.0
          |               ELSE 0.0 END AS sgn
          |        FROM ax3 ORDER BY abs(x) DESC, i LIMIT 1),
-         |v1 AS (SELECT i, round(x * sgn, 6) AS v
+         |v1 AS (SELECT i, round(x * sgn * 1000000) / 1000000 AS v
          |      FROM ax3 CROSS JOIN asgn),
-         |l1 AS (SELECT round(nrm, 6) AS lambda1 FROM an3),
+         |l1 AS (SELECT round(nrm * 1000000) / 1000000 AS lambda1 FROM an3),
          |cov2 AS (SELECT c.i, c.j,
-         |        round(c.cov - l1.lambda1 * a.v * b.v, 9) + 0.0 AS cov
+         |        round((c.cov - l1.lambda1 * a.v * b.v) * 1e9) / 1e9 + 0.0 AS cov
          |      FROM cov c JOIN v1 a ON a.i = c.i JOIN v1 b ON b.i = c.j
          |      CROSS JOIN l1),
          |bx0 AS (SELECT DISTINCT i, 1.0 / sqrt(d) AS x FROM cov2 CROSS JOIN d),
          |${iterChain("cov2", "b")},
-         |l2 AS (SELECT round(nrm, 6) AS lambda2 FROM bn3)
+         |l2 AS (SELECT round(nrm * 1000000) / 1000000 AS lambda2 FROM bn3)
          |SELECT lambda1, lambda2,
-         |  CAST(round(CAST(lambda1 / nullif(lambda2, 0.0)
-         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS gap_ratio
+         |  round(lambda1 / nullif(lambda2, 0.0) * 1000000) / 1000000
+         |    AS gap_ratio
          |FROM l1 CROSS JOIN l2""".stripMargin
     },
 
@@ -8192,14 +8198,19 @@ object SparkEntry {
            |    + 0.0
            |    AS cov
            |FROM pp JOIN mm mi ON mi.i = pp.i JOIN mm mj ON mj.i = pp.j)""".stripMargin
+      // q9/q6 iteration forms in lockstep with Similarity.powerLoop
+      // (r18 multi-seed tie-class elimination; the mu/dt/final sites
+      // below stay plain — their inputs are raw-float combinations
+      // whose 17-significant-digit shortest reprs cannot terminate on
+      // a short half).
       val iterCtes = (1 to 3).map { k =>
         val prev = if (k == 1) "x0" else s"x${k - 1}"
         s"""y$k AS (SELECT c.i,
-           |  CAST(sum(CAST(round(c.cov * p.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS y
+           |  CAST(sum(CAST(round(c.cov * p.x * 1e9) / 1e9 AS DECIMAL(28,9))) AS DOUBLE) AS y
            |  FROM cov c JOIN $prev p ON p.i = c.j GROUP BY 1),
-           |n$k AS (SELECT sqrt(CAST(sum(CAST(round(y * y, 9) AS DECIMAL(28,9)))
+           |n$k AS (SELECT sqrt(CAST(sum(CAST(round(y * y * 1e9) / 1e9 AS DECIMAL(28,9)))
            |  AS DOUBLE)) AS nrm FROM y$k),
-           |x$k AS (SELECT i, round(y / nrm, 9) AS x FROM y$k CROSS JOIN n$k)""".stripMargin
+           |x$k AS (SELECT i, round(y / nrm * 1e9) / 1e9 AS x FROM y$k CROSS JOIN n$k)""".stripMargin
       }.mkString(",\n")
       s"""WITH $covCtes,
          |d AS (SELECT count(DISTINCT i) AS d FROM cov),
@@ -8208,7 +8219,7 @@ object SparkEntry {
          |sgn AS (SELECT CASE WHEN x > 0 THEN 1.0 WHEN x < 0 THEN -1.0
          |               ELSE 0.0 END AS sgn
          |        FROM x3 ORDER BY abs(x) DESC, i LIMIT 1),
-         |v AS (SELECT i, round(x * sgn, 6) AS loading
+         |v AS (SELECT i, round(x * sgn * 1000000) / 1000000 AS loading
          |      FROM x3 CROSS JOIN sgn),
          |cn AS (SELECT i, count(*) AS n FROM xx GROUP BY 1),
          |mu AS (SELECT mm.i,

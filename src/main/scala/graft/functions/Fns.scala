@@ -22,6 +22,17 @@ object Fns {
     */
   def q6(c: Column): Column = round(c * lit(1e6)) / lit(1e6)
 
+  /** [[q6]] at 9 dp — for the power-iteration chain, whose per-round
+    * 9-dp quantizations round PRODUCTS/QUOTIENTS OF GRID VALUES (6-dp
+    * cov cells × 9-dp vector components): unlike raw-float products
+    * (17-significant-digit shortest reprs, never on a short half), a
+    * grid×grid product's shortest repr has ≤ 15 fractional digits and
+    * CAN terminate exactly on a 0.5×10⁻⁹ boundary — seed-3 of the r18
+    * multi-seed sweep fired exactly this in emb_eigengap's λ₂. DuckDB
+    * mirror: `round(x * 1e9) / 1e9`. Domain: |x|·10⁹ ≲ 2⁵².
+    */
+  def q9(c: Column): Column = round(c * lit(1e9)) / lit(1e9)
+
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))

@@ -984,6 +984,14 @@ object Similarity {
     * eigenvalue_est) at 6 dp. Each round is one d²-row broadcast join +
     * two tiny aggregates; d² rows re-checkpoint per round so plans stay
     * constant-depth.
+    *
+    * Every quantization in the chain is tie-free ([[Fns.q9]]/`q6`):
+    * cov·x and y² are GRID×GRID products (6-dp cells × 9-dp components)
+    * whose shortest reprs can terminate on a 0.5×10⁻⁹ half, y/‖y‖ is a
+    * quotient, and ‖y‖ is a sqrt — r18's seed-3 parity draw fired the
+    * plain-round form in emb_eigengap's λ₂ (Spark 0.022742 vs DuckDB
+    * 0.022743), the same class-4 mechanism r17 eliminated elsewhere.
+    * DuckDB mirrors use `round(x·10⁹)/10⁹` in lockstep.
     */
   private def powerLoop(cov: DataFrame, iters: Int): DataFrame = {
     val d = cov.agg(countDistinct(col("i")).as("d")).head().getLong(0)
@@ -994,25 +1002,25 @@ object Similarity {
     for (_ <- 1 to iters) {
       val y = cov.join(broadcast(x.select(col("i").as("j"), col("x"))), "j")
         .groupBy("i")
-        .agg(sum(round(col("cov") * col("x"), 9).cast("decimal(28,9)")).as("y"))
+        .agg(sum(Fns.q9(col("cov") * col("x")).cast("decimal(28,9)")).as("y"))
         .select(col("i"), col("y").cast("double").as("y"))
       val n = y.agg(
-        sqrt(sum(round(col("y") * col("y"), 9).cast("decimal(28,9)")).cast("double"))
+        sqrt(sum(Fns.q9(col("y") * col("y")).cast("decimal(28,9)")).cast("double"))
           .as("nrm"))
       lastNorm = n.localCheckpoint()
       x = y.crossJoin(broadcast(lastNorm))
         // nrm = 0 (an exactly-deflated rank-1 residual) -> the zero
         // vector, not a division error; the loop then fixes at 0 and
         // reports eigenvalue 0
-        .select(col("i"), round(when(col("nrm") === 0.0, lit(0.0))
-          .otherwise(col("y") / col("nrm")), 9).as("x"))
+        .select(col("i"), Fns.q9(when(col("nrm") === 0.0, lit(0.0))
+          .otherwise(col("y") / col("nrm"))).as("x"))
         .localCheckpoint()
     }
     val sign = x.orderBy(abs(col("x")).desc, col("i").asc).limit(1)
       .select(signum(col("x")).as("sgn"))
     x.crossJoin(broadcast(sign)).crossJoin(broadcast(lastNorm))
-      .select(col("i"), round(col("x") * col("sgn"), 6).as("loading"),
-        round(col("nrm"), 6).as("eigenvalue_est"))
+      .select(col("i"), q6(col("x") * col("sgn")).as("loading"),
+        q6(col("nrm")).as("eigenvalue_est"))
   }
 
   /** 1-bit (sign) binary codes: bit i set iff component i > 0, packed
@@ -1062,16 +1070,20 @@ object Similarity {
       .join(broadcast(top.select(col("i").as("j"),
         col("loading").as("vj"))), "j")
       .crossJoin(broadcast(lam1))
+      // q9: the deflation is 6-dp-grid arithmetic (cov − λ₁·v₁v₁ᵀ with
+      // every factor on a decimal grid) — tie-exposed like the loop's
+      // own rounds; +0.0 normalizes −0.0.
       .select(col("i"), col("j"),
-        (round(col("cov") - col("lambda1") * col("vi") * col("vj"), 9)
+        (Fns.q9(col("cov") - col("lambda1") * col("vi") * col("vj"))
           + lit(0.0)).as("cov"))
       .localCheckpoint()
     val lam2 = powerLoop(cov2, iters)
       .agg(max(col("eigenvalue_est")).as("lambda2"))
     lam1.crossJoin(broadcast(lam2))
+      // q6 on the λ₁/λ₂ quotient of two 6-dp grid values (the old
+      // decimal(24,12)-cast cut rode the shortest-repr path twice).
       .select(col("lambda1"), col("lambda2"),
-        round(try_divide(col("lambda1"), col("lambda2"))
-          .cast("decimal(24,12)"), 6).cast("double").as("gap_ratio"))
+        q6(try_divide(col("lambda1"), col("lambda2"))).as("gap_ratio"))
   }
 
   /** All-but-the-top embedding post-processing (Mu & Viswanath 2018):
