@@ -1208,6 +1208,24 @@ object SparkEntry {
         .orderBy("threshold")
     }),
 
+    // The CAPPED (linear) SemDeDup mode — the last decade of the 100 TB
+    // posture: k ∝ n hash-chosen seeds (constant expected cluster size
+    // 125), vectors find their seed by SRP-LSH ANN (plane count derived
+    // from the SEED count, so seeds-per-bucket stays ~32 at any scale),
+    // then the identical drop pass. Total work is ~linear in n where the
+    // derived-k mode above is ~n^1.5 (its designed IVF operating point).
+    // The oracle mirrors the whole chain: BIGINT seed predicate +
+    // embedded seed-42 hyperplane prefix + fused-dot d2 (cappedAssignCtes).
+    "dedup_semantic_capped" -> ((s, dir) =>
+      Dedup.semanticDedupCapped(T(s, dir, "embeddings"), 0.4).orderBy("vec_id")),
+
+    // Threshold calibration for the capped mode — sweeps the SAME capped
+    // clustering the dedup runs, one pair pass, per-threshold counters.
+    "dedup_threshold_sweep_capped" -> ((s, dir) =>
+      Dedup.cosineThresholdSweepCapped(T(s, dir, "embeddings"),
+          Seq(0.2, 0.3, 0.4, 0.5))
+        .orderBy("threshold")),
+
     // The SRP-LSH scale path for embedding near-dup, against the exact
     // all-pairs oracle. The synthetic embeddings are isotropic (pairwise
     // cosines ≲ 0.62 — no natural near-dups), so the query plants them:
@@ -4297,6 +4315,49 @@ object SparkEntry {
        |           ORDER BY d2, cid) AS rn FROM d)
        |      WHERE rn = 1)""".stripMargin
 
+  /** CAPPED-mode assignment CTE chain — the all-SQL mirror of
+    * `Dedup.cappedAssign` (targetClusterSize 125, 4 tables): BIGINT
+    * Knuth-hash seed predicate, SRP plane count derived from the SEED
+    * count (the srpAutoPlanes integer recurrence over the seed set, not
+    * the corpus), buckets from the embedded seed-42 hyperplane prefix
+    * (srpBucketTablesDynSql — bucket values equal `Similarity.lshBuckets`
+    * at any np ≤ MaxOraclePlanes), candidates = vector×seed bucket-mates,
+    * exact d2 via the fused-dot identity (per-pair accumulation order
+    * identical to graft_dot — the TwoNN oracle precedent), argmin ties to
+    * the lower seed id, bucket-orphans coalesce to their own singleton
+    * cluster. Defines relations `e` (vec_id, v) and `a` (vec_id, cid) —
+    * the same contract as [[assignCtesDerivedK]], so the dedup/sweep
+    * tails are shared verbatim. Loud (DuckDB error()) past the
+    * MaxOraclePlanes domain instead of silently under-bucketing.
+    */
+  private def cappedAssignCtes: String = {
+    val seedPred =
+      "((vec_id % 2147483648) * 2654435761) % 4294967296 % 125 = 0"
+    s"""e AS ($embCte),
+       |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM embeddings
+       |       WHERE $seedPred),
+       |np AS (SELECT coalesce(
+       |  (SELECT min(p) FROM range(2, ${MaxOraclePlanes + 1}) t(p)
+       |   WHERE 32 * (1::BIGINT << p) >= (SELECT k FROM kk)),
+       |  CAST(error('seed set needs > $MaxOraclePlanes SRP planes; extend MaxOraclePlanes') AS INT)) AS np),
+       |ball AS (${srpBucketTablesDynSql(64, 4)}),
+       |bs AS (SELECT * FROM ball WHERE $seedPred),
+       |cand AS (SELECT q.vec_id AS id, c.vec_id AS cid
+       |         FROM ball q JOIN bs c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |         GROUP BY 1, 2),
+       |dd AS (SELECT cand.id, cand.cid,
+       |        list_dot_product(qe.v, qe.v) + list_dot_product(ce.v, ce.v)
+       |          - 2.0 * list_dot_product(qe.v, ce.v) AS d2
+       |      FROM cand JOIN e qe ON qe.vec_id = cand.id
+       |                JOIN e ce ON ce.vec_id = cand.cid),
+       |best AS (SELECT id, cid FROM
+       |           (SELECT id, cid, row_number() OVER (PARTITION BY id
+       |              ORDER BY d2, cid) AS rn FROM dd)
+       |         WHERE rn = 1),
+       |a AS (SELECT e.vec_id, coalesce(best.cid, e.vec_id) AS cid
+       |      FROM e LEFT JOIN best ON best.id = e.vec_id)""".stripMargin
+  }
+
   /** Multinomial-NB model + per-doc argmax prediction CTE chain
     * (documents self-train, +1 smoothing, 6-dp score quantization,
     * ties to the smaller label) — shared by the ml_nb_accuracy /
@@ -6237,6 +6298,39 @@ object SparkEntry {
     // NaN → NULL matches nothing), counted once per candidate threshold.
     "dedup_threshold_sweep" ->
       s"""WITH $assignCtesDerivedK,
+         |v AS (SELECT e.vec_id, a.cid, e.v FROM e JOIN a USING (vec_id)),
+         |p AS (SELECT round(CASE WHEN isnan(list_cosine_similarity(x.v, y.v))
+         |          THEN NULL
+         |          ELSE list_cosine_similarity(x.v, y.v) END, 6) AS cos
+         |      FROM v x JOIN v y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |t AS (SELECT CAST(unnest([0.2, 0.3, 0.4, 0.5]) AS DOUBLE)
+         |        AS threshold)
+         |SELECT threshold, CAST(count(p.cos) AS BIGINT) AS n_pairs
+         |FROM t LEFT JOIN p ON p.cos >= t.threshold
+         |GROUP BY 1 ORDER BY threshold""".stripMargin,
+
+    // Capped-mode SemDeDup mirror: cappedAssignCtes (hash seeds, SRP ANN
+    // assignment with the plane count derived from the seed count,
+    // bucket-orphans as singletons) + the IDENTICAL drop-pass tail as
+    // dedup_semantic — the mode is entirely a clustering choice, and
+    // both sides share their tails verbatim.
+    "dedup_semantic_capped" ->
+      s"""WITH $cappedAssignCtes,
+         |v AS (SELECT e.vec_id, a.cid, e.v FROM e JOIN a USING (vec_id)),
+         |dup AS (SELECT DISTINCT b.vec_id
+         |        FROM v x JOIN v b ON x.cid = b.cid AND x.vec_id < b.vec_id
+         |        WHERE (CASE WHEN isnan(list_cosine_similarity(x.v, b.v))
+         |                 THEN NULL
+         |                 ELSE list_cosine_similarity(x.v, b.v) END) >= 0.4)
+         |SELECT v.vec_id, CAST(v.cid AS BIGINT) AS cluster_id,
+         |  dup.vec_id IS NULL AS kept
+         |FROM v LEFT JOIN dup ON dup.vec_id = v.vec_id
+         |ORDER BY v.vec_id""".stripMargin,
+
+    // Capped-mode threshold-sweep mirror: same capped clustering, same
+    // 6-dp-rounded pair-cosine counters as dedup_threshold_sweep.
+    "dedup_threshold_sweep_capped" ->
+      s"""WITH $cappedAssignCtes,
          |v AS (SELECT e.vec_id, a.cid, e.v FROM e JOIN a USING (vec_id)),
          |p AS (SELECT round(CASE WHEN isnan(list_cosine_similarity(x.v, y.v))
          |          THEN NULL

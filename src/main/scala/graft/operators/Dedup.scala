@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
@@ -1202,9 +1202,24 @@ object Dedup {
     require(k >= 1, s"need k >= 1, got $k")
     require(threshold > 0 && threshold <= 1, s"need threshold in (0,1], got $threshold")
     val assign = Similarity.assignToSeeds(embeddings, k, idCol, vecCol)
-    val v = embeddings
+    semanticDropPass(clusteredVectors(embeddings, assign, idCol, vecCol), threshold)
+  }
+
+  /** (vec_id, v, cid) join of a corpus with its cluster assignment — the
+    * shared input shape of [[semanticDropPass]] / [[sweepPairCosines]].
+    */
+  private def clusteredVectors(embeddings: DataFrame, assign: DataFrame,
+                               idCol: String, vecCol: String): DataFrame =
+    embeddings
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .join(assign, "vec_id")
+
+  /** The SemDeDup one-pass drop rule over clustered vectors `v`
+    * (vec_id, v, cid): a vector is dropped iff ANY lower-id cluster-mate
+    * sits at cosine ≥ `threshold`. Shared verbatim by the derived-k and
+    * capped modes — the mode is entirely a clustering choice.
+    */
+  private def semanticDropPass(v: DataFrame, threshold: Double): DataFrame = {
     // NULL cosine (zero-norm vector) fails the >= filter, so zero vectors
     // never mark anything (nor each other) as duplicates.
     val dups = v.as("a").join(v.as("b"),
@@ -1234,9 +1249,14 @@ object Dedup {
     require(k >= 1, s"need k >= 1, got $k")
     require(thresholds.nonEmpty, "need at least one threshold")
     val assign = Similarity.assignToSeeds(embeddings, k, idCol, vecCol)
-    val v = embeddings
-      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
-      .join(assign, "vec_id")
+    sweepTail(clusteredVectors(embeddings, assign, idCol, vecCol), thresholds)
+  }
+
+  /** The one-pass per-threshold pair counters over clustered vectors —
+    * shared by the derived-k and capped sweep modes.
+    */
+  private def sweepTail(v: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
     val cos = v.as("a").join(v.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .select(round(Fns.cosine(col("a.v"), col("b.v")), 6).as("cos"))
@@ -1247,6 +1267,102 @@ object Dedup {
       s"CAST($t AS DOUBLE), `${f"n_$t%.2f"}`").mkString(", ")
     wide.selectExpr(
       s"stack(${thresholds.size}, $stacked) AS (threshold, n_pairs)")
+  }
+
+  /** Seed predicate of the CAPPED (linear) semantic-dedup mode: a vector
+    * seeds a cluster iff samplingHash(id) ≡ 0 (mod targetClusterSize) —
+    * a pure per-row filter, so the seed SET needs no global sort/limit
+    * (the lowest-id seeding of [[semanticDedup]] rides `LIMIT k`, which
+    * funnels k rows through one partition — fine for k = O(√n), a
+    * bottleneck once k ∝ n). Expected seed count n/C for dense OR sparse
+    * ids; the multiplicative hash decorrelates the choice from id order.
+    */
+  private def cappedSeedPred(id: Column, targetClusterSize: Int): Column =
+    pmod(Sampling.samplingHash(id), lit(targetClusterSize.toLong)) === 0
+
+  /** CAPPED-cluster assignment — the ~linear step past [[semanticK]]'s
+    * ~n^1.5 IVF operating point (SCALE.md round-18 named it; this builds
+    * it): k ∝ n hash-chosen seeds (expected cluster size = the CONSTANT
+    * `targetClusterSize`), and because a k ∝ n seed set can neither be
+    * broadcast nor crossJoined, vectors find their seed by ANN — the
+    * existing SRP bucketing ([[Similarity.lshBuckets]]) applied to seeds
+    * and corpus alike, with the plane count derived from the SEED count
+    * ([[Similarity.srpAutoPlanes]]) so expected seeds-per-bucket stays
+    * ~32 at any scale. Per vector: O(nTables·32) candidate seeds, one
+    * exact L2 argmin (d2 via the fused-dot identity ‖q‖²+‖c‖²−2q·c —
+    * per-pair accumulation order identical in both engines, the TwoNN
+    * oracle precedent), ties to the lower seed id. A vector sharing no
+    * bucket with any seed becomes its own singleton cluster (cid = own
+    * id) — deterministic, and for dedup the safe direction (singletons
+    * are always kept). Every stage is a hash shuffle keyed on
+    * (tbl, bucket) or id: total work ~n·(nTables·32)·dim — LINEAR in n
+    * where the derived-k mode's assignment join is n·d·k ≈ n^1.5.
+    *
+    * A hot seed can exceed the target size (nearest-seed assignment has
+    * no hard cap); expected size is C and a pathological cluster is AQE
+    * skew-split like any hot join key — same posture as [[semanticDedup]].
+    * Returns (vec_id, cid).
+    */
+  private[operators] def cappedAssign(embeddings: DataFrame, dim: Int,
+                                      targetClusterSize: Int, nTables: Int,
+                                      idCol: String, vecCol: String): DataFrame = {
+    require(targetClusterSize >= 1, s"need targetClusterSize >= 1, got $targetClusterSize")
+    require(nTables >= 1, s"need nTables >= 1, got $nTables")
+    // One scalar job: the seed count drives the SRP plane schedule (the
+    // srpAutoPlanes statistics-driven dispatch). Seeds-per-bucket ~32.
+    val kActual = embeddings.filter(cappedSeedPred(col(idCol), targetClusterSize)).count()
+    val np = Similarity.srpAutoPlanes(kActual)
+    // Bucket the corpus ONCE; the seed side is the same frame re-filtered
+    // by the pure predicate — no join, no second corpus pass.
+    val b = Similarity.lshBuckets(embeddings, dim, np, nTables, 42L, idCol, vecCol)
+    val sb = b.filter(cappedSeedPred(col("id"), targetClusterSize))
+    val cand = b.as("q").join(sb.as("c"),
+        col("q.tbl") === col("c.tbl") && col("q.bucket") === col("c.bucket"))
+      .select(col("q.id").as("vec_id"), col("c.id").as("cid"),
+        col("q.v").as("qv"), col("c.v").as("cv"))
+      .dropDuplicates("vec_id", "cid") // multi-table collisions carry identical vectors
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
+    val best = cand
+      .withColumn("d2", Fns.dotProduct(col("qv"), col("qv")) +
+        Fns.dotProduct(col("cv"), col("cv")) -
+        lit(2.0) * Fns.dotProduct(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    embeddings.select(col(idCol).as("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("cid"), col("vec_id")).as("cid"))
+  }
+
+  /** [[semanticDedup]] in the CAPPED (linear) mode: [[cappedAssign]]
+    * clustering (k ∝ n, constant expected cluster size, ANN seed lookup)
+    * followed by the IDENTICAL drop pass. Within-cluster pair work is
+    * Σ size² ≈ n·targetClusterSize — linear, vs the derived-k mode's
+    * ~n^1.5 — at the price of ANN-approximate cluster membership (a
+    * vector whose true near-dup sits in a different bucket keeps both;
+    * LSH misses only ever UNDER-drop, never corrupt). The registered
+    * default (targetClusterSize 125, 4 tables) matches the derived-k
+    * fixtures' expected cluster scale so the two modes are comparable
+    * on the same corpus.
+    */
+  def semanticDedupCapped(embeddings: DataFrame, threshold: Double, dim: Int = 64,
+                          targetClusterSize: Int = 125, nTables: Int = 4,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"need threshold in (0,1], got $threshold")
+    val assign = cappedAssign(embeddings, dim, targetClusterSize, nTables, idCol, vecCol)
+    semanticDropPass(clusteredVectors(embeddings, assign, idCol, vecCol), threshold)
+  }
+
+  /** [[cosineThresholdSweep]] in the CAPPED (linear) mode — the
+    * calibration must sweep the clustering the capped dedup will
+    * actually run, so it shares [[cappedAssign]] verbatim.
+    */
+  def cosineThresholdSweepCapped(embeddings: DataFrame, thresholds: Seq[Double],
+                                 dim: Int = 64, targetClusterSize: Int = 125,
+                                 nTables: Int = 4, idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): DataFrame = {
+    val assign = cappedAssign(embeddings, dim, targetClusterSize, nTables, idCol, vecCol)
+    sweepTail(clusteredVectors(embeddings, assign, idCol, vecCol), thresholds)
   }
 
   /** Embedding-cosine near-dup pairs at scale: SRP-LSH bucketing via

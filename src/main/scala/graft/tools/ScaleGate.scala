@@ -103,7 +103,14 @@ object ScaleGate {
     // both the event count and the bigram vocabulary grow ~linearly on
     // the ScaleUp fixture (disjoint id-shifted copies), expected
     // sub-linear like text_perplexity
-    "text_perplexity_bigram")
+    "text_perplexity_bigram",
+    // round-19 additions: the CAPPED (linear) SemDeDup mode — k ∝ n
+    // hash-chosen seeds, SRP-ANN seed assignment, constant expected
+    // cluster size. These are the designed ~linear forms whose decade
+    // curve the round-19 third-decade measurement pins (SCALE.md);
+    // the derived-k dedup_semantic/dedup_threshold_sweep stay gated
+    // too at their documented ~n^1.5 IVF operating point.
+    "dedup_semantic_capped", "dedup_threshold_sweep_capped")
 
   val AggregateMaxRatio = 3.0
   val PerQueryMaxRatio = 5.0

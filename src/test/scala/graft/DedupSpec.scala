@@ -586,6 +586,56 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](semanticK(3000000000000000L))
   }
 
+  test("semanticDedupCapped: identical-to-seed members force their cluster; drop pass identical") {
+    // Knuth-hash seed predicate: h(id) % 125 == 0 holds for ids 0 and 65
+    // (and NOT for 1, 66, 200 — verified against the samplingHash spec
+    // values). A member with a vector IDENTICAL to a seed's shares every
+    // SRP bucket in every table (same signs), so its candidacy is
+    // hyperplane-draw-independent, and d2 = 0 makes the argmin forced.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // seed: cluster 0
+      (65L, Seq(0.0f, 1.0f)),  // seed: cluster 65
+      (1L, Seq(1.0f, 0.0f)),   // = seed 0 -> cluster 0, cos 1 -> dropped
+      (66L, Seq(0.0f, 1.0f)),  // = seed 65 -> cluster 65, cos 1 -> dropped
+      (200L, Seq(1.0f, 0.0f))  // = seed 0 -> cluster 0, dropped (not lowest)
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupCapped(emb, 0.9, dim = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, true), (1L, 0L, false), (65L, 65L, true), (66L, 65L, false),
+      (200L, 0L, false)))
+  }
+
+  test("semanticDedupCapped: a corpus with no hash-chosen seed degrades to all-kept singletons") {
+    // none of ids 1..3 satisfy h(id) % 125 == 0, so every vector is a
+    // bucket-orphan: cid = own id (coalesce), trivially kept — the
+    // documented deterministic degenerate case of the capped mode.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupCapped(emb, 0.5, dim = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((1L, 1L, true), (2L, 2L, true), (3L, 3L, true)))
+  }
+
+  test("cosineThresholdSweepCapped: per-threshold counts over the capped clustering") {
+    import spark.implicits._
+    // ids 1, 2 carry vectors identical to seed 0's -> forced into cluster
+    // 0 with pair cosines all 1.0 (3 pairs). id 3 is orthogonal: whether
+    // its draw-dependent buckets reach seed 0 or leave it a singleton,
+    // its pair cosines (0.0) clear no threshold — counts are invariant.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.cosineThresholdSweepCapped(emb, Seq(0.5, 0.9), dim = 2)
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0.5, 3L), (0.9, 3L)))
+  }
+
   test("lshCalibrationCurve: identical docs are always candidates; low buckets rarely") {
     // docs 1,2 identical (j=1 -> bucket 9); docs 3,4 share one shingle in
     // ten (j~0.05 -> bucket 0); singletons pad the corpus
