@@ -2763,9 +2763,8 @@ object SparkEntry {
           .crossJoin(broadcast(nTrain))
           .select(lit(frac).as("train_frac"), col("n_train"),
             col("n_test"), col("n_correct"),
-            round(try_divide(col("n_correct").cast("double"),
-              col("n_test").cast("double")).cast("decimal(24,12)"), 6)
-              .cast("double").as("accuracy"))
+            Fns.q6(try_divide(col("n_correct").cast("double"),
+              col("n_test").cast("double"))).as("accuracy"))
       }
       acc(0.25, pool.filter(Fns.pmod(col("doc_id"), lit(4L)) === 0))
         .unionByName(acc(0.5, pool.filter(Fns.pmod(col("doc_id"), lit(2L)) === 0)))
@@ -4448,9 +4447,9 @@ object SparkEntry {
        |        CAST(count(*) AS BIGINT) AS n_test,
        |        CAST(sum(CASE WHEN pred = d.lang THEN 1 ELSE 0 END)
        |          AS BIGINT) AS n_correct,
-       |        CAST(round(CAST(CAST(sum(CASE WHEN pred = d.lang
-       |            THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-       |          AS DECIMAL(24,12)), 6) AS DOUBLE) AS accuracy
+       |        round((CAST(sum(CASE WHEN pred = d.lang
+       |            THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+       |          * 1000000) / 1000000 AS accuracy
        |      FROM ${p}pred JOIN documents d USING (doc_id))""".stripMargin
 
   /** SimHash oracle: rebuild the 64-bit fingerprints from the
@@ -7250,14 +7249,14 @@ object SparkEntry {
         |      FROM events WHERE value IS NOT NULL),
         |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1),
         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM byv),
-        |rk AS (SELECT v, round((CAST(coalesce(sum(c) OVER (ORDER BY v
+        |rk AS (SELECT v, round(((CAST(coalesce(sum(c) OVER (ORDER BY v
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |          AS DOUBLE) + CAST(c + 1 AS DOUBLE) / 2.0)
-        |        / CAST(n AS DOUBLE), 6) AS q
+        |        / CAST(n AS DOUBLE)) * 1000000) / 1000000 AS q
         |      FROM byv CROSS JOIN tot)
         |SELECT grp AS event_type, count(*) AS n_rows,
-        |  round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
-        |    AS mean_quantile
+        |  round((CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+        |    * 1000000) / 1000000 AS mean_quantile
         |FROM r JOIN rk USING (v) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Pattern scan over JSON props — nonzero counts prove the match
@@ -7691,8 +7690,9 @@ object SparkEntry {
             yield s"${ds(s"${cols(i)} * ${cols(j)}")} AS p${i}_$j")
       val pairRows = (for { i <- cols.indices; j <- cols.indices if i < j } yield
         s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
-           |  round((n * p${i}_$j - s$i * s$j) /
-           |    (sqrt(n * q$i - s$i * s$i) * sqrt(n * q$j - s$j * s$j)), 6) AS r
+           |  round(((n * p${i}_$j - s$i * s$j) /
+           |    (sqrt(n * q$i - s$i * s$i) * sqrt(n * q$j - s$j * s$j)))
+           |    * 1000000) / 1000000 AS r
            |FROM a""".stripMargin).mkString("\nUNION ALL\n")
       s"""WITH a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
          |  ${moments.mkString(",\n  ")}
@@ -9235,10 +9235,11 @@ object SparkEntry {
            |    CAST(sum(CAST(tt.term AS DECIMAL(28,6))) AS DOUBLE) AS ts
            |  FROM (
            |    SELECT t.n, t.k_a, t.k_b,
-           |      round((c.o - CAST(r.ra AS DOUBLE) * ct.cb / t.n)
+           |      round(((c.o - CAST(r.ra AS DOUBLE) * ct.cb / t.n)
            |        * (c.o - CAST(r.ra AS DOUBLE) * ct.cb / t.n)
            |        / (CAST(r.ra AS DOUBLE) * ct.cb / t.n)
-           |        - CAST(r.ra AS DOUBLE) * ct.cb / t.n, 6) AS term
+           |        - CAST(r.ra AS DOUBLE) * ct.cb / t.n) * 1000000)
+           |        / 1000000 AS term
            |    FROM (SELECT $a AS va, $b AS vb, count(*) AS o
            |          FROM lineitem GROUP BY 1, 2) c
            |    JOIN (SELECT $a AS va, CAST(count(*) AS BIGINT) AS ra
@@ -9274,9 +9275,10 @@ object SparkEntry {
         |t AS (SELECT digit, c, exp_share,
         |        CAST(sum(c) OVER () AS BIGINT) AS n FROM j),
         |t2 AS (SELECT digit, c,
-        |        round(CAST(c AS DOUBLE) / n, 6) AS obs_share, exp_share,
-        |        round((c - n * exp_share) * (c - n * exp_share)
-        |          / (n * exp_share), 6) AS chi2_term
+        |        round((CAST(c AS DOUBLE) / n) * 1000000) / 1000000
+        |          AS obs_share, exp_share,
+        |        round(((c - n * exp_share) * (c - n * exp_share)
+        |          / (n * exp_share)) * 1000000) / 1000000 AS chi2_term
         |      FROM t),
         |tot AS (SELECT CAST(sum(CAST(chi2_term AS DECIMAL(28,6))) AS DOUBLE)
         |        AS chi2 FROM t2)
@@ -9317,8 +9319,9 @@ object SparkEntry {
         |      FROM terms),
         |tpsi AS (SELECT CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
         |        AS psi FROM t2)
-        |SELECT bin, c_ref, c_cur, round(p_ref, 6) AS p_ref,
-        |  round(p_cur, 6) AS p_cur, term, psi
+        |SELECT bin, c_ref, c_cur,
+        |  round(p_ref * 1000000) / 1000000 AS p_ref,
+        |  round(p_cur * 1000000) / 1000000 AS p_cur, term, psi
         |FROM t2 CROSS JOIN tpsi ORDER BY bin""".stripMargin,
 
     // KS: exact-integer cumulative counts over distinct values (the
@@ -9337,8 +9340,8 @@ object SparkEntry {
         |        CAST(sum(cc) AS BIGINT) AS n_cur FROM byv),
         |g AS (SELECT v, n_ref, n_cur,
         |        round(abs(CAST(sum(cr) OVER w AS DOUBLE) / CAST(n_ref AS DOUBLE)
-        |          - CAST(sum(cc) OVER w AS DOUBLE) / CAST(n_cur AS DOUBLE)), 6)
-        |          AS gap
+        |          - CAST(sum(cc) OVER w AS DOUBLE) / CAST(n_cur AS DOUBLE))
+        |          * 1000000) / 1000000 AS gap
         |      FROM byv CROSS JOIN tot
         |      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
         |        AND CURRENT ROW)),
@@ -9364,8 +9367,9 @@ object SparkEntry {
         |          AS BIGINT) + cn) AS num2 FROM byv),
         |n2 AS (SELECT CAST(sum(num2) AS BIGINT) AS num2 FROM g)
         |SELECT n_pos, n_neg,
-        |  round(CAST(num2 AS DOUBLE) /
-        |    (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+        |  round((CAST(num2 AS DOUBLE) /
+        |    (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+        |    * 1000000) / 1000000 AS auc
         |FROM tot CROSS JOIN n2""".stripMargin,
 
     // Calibration: PSI's reference-anchored equal-width binning
@@ -9384,8 +9388,10 @@ object SparkEntry {
         |        sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS sv
         |      FROM bb GROUP BY 1)
         |SELECT bin, n, n_pos,
-        |  round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_score,
-        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate
+        |  round((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) / 1000000
+        |    AS mean_score,
+        |  round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000)
+        |    / 1000000 AS pos_rate
         |FROM agg ORDER BY bin""".stripMargin,
 
     // MI: every ln argument is a ratio of exact integer counts composed
@@ -9417,7 +9423,7 @@ object SparkEntry {
         |        AS DECIMAL(18,6))) AS DOUBLE) AS h_b FROM cb CROSS JOIN tot)
         |SELECT n, k_a, k_b, round(mi, 6) AS mi,
         |  round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
-        |  round(mi / sqrt(h_a * h_b), 6) AS nmi
+        |  round((mi / sqrt(h_a * h_b)) * 1000000) / 1000000 AS nmi
         |FROM mi0 CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot""".stripMargin,
 
     // PK uniqueness: one grouped count per declared key, unioned.
@@ -9536,8 +9542,9 @@ object SparkEntry {
       }.mkString("\nUNION ALL ")
       s"""SELECT lhs, rhs, n_distinct_lhs, n_distinct_pair,
          |  n_distinct_pair = n_distinct_lhs AS fd_holds,
-         |  round(CAST(n_distinct_lhs AS DOUBLE)
-         |    / nullif(CAST(n_distinct_pair AS DOUBLE), 0.0), 6) AS strength
+         |  round((CAST(n_distinct_lhs AS DOUBLE)
+         |    / nullif(CAST(n_distinct_pair AS DOUBLE), 0.0)) * 1000000)
+         |    / 1000000 AS strength
          |FROM ($sels)
          |ORDER BY lhs, rhs""".stripMargin
     },
@@ -9561,8 +9568,8 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS v4
         |  FROM events)
         |SELECT rule_idx, rule, n_rows, n_violations,
-        |  round(CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
-        |    AS violation_rate,
+        |  round((CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE))
+        |    * 1000000) / 1000000 AS violation_rate,
         |  n_violations = 0 AS passed
         |FROM (
         |  SELECT 0 AS rule_idx, 'value_non_negative' AS rule,
@@ -9599,8 +9606,8 @@ object SparkEntry {
         |        ON l.l_partkey = p.p_partkey
         |      WHERE l.l_partkey IS NOT NULL)
         |SELECT relation, n_child, n_orphans,
-        |  round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6)
-        |    AS orphan_rate,
+        |  round((CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE))
+        |    * 1000000) / 1000000 AS orphan_rate,
         |  n_orphans = 0 AS intact
         |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
         |      UNION ALL SELECT * FROM r3)
@@ -9615,8 +9622,9 @@ object SparkEntry {
         |SELECT d.lang AS label, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN pred = d.lang THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_correct,
-        |  round(CAST(sum(CASE WHEN pred = d.lang THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+        |  round((CAST(sum(CASE WHEN pred = d.lang THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000) / 1000000
+        |    AS recall
         |FROM pred JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -9643,7 +9651,8 @@ object SparkEntry {
         |tot AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_label
         |      FROM cm GROUP BY 1)
         |SELECT label, pred, n,
-        |  round(CAST(n AS DOUBLE) / CAST(n_label AS DOUBLE), 6) AS row_share
+        |  round((CAST(n AS DOUBLE) / CAST(n_label AS DOUBLE)) * 1000000)
+        |    / 1000000 AS row_share
         |FROM cm JOIN tot USING (label) ORDER BY label, pred""".stripMargin,
 
     // Per-class P/R/F1: truth-side and prediction-side counts
@@ -9665,10 +9674,12 @@ object SparkEntry {
         |        CAST(tp AS DOUBLE) / nullif(CAST(n_true AS DOUBLE), 0.0) AS r
         |      FROM j)
         |SELECT label, n_true, n_pred, tp,
-        |  round(p, 6) AS "precision", round(r, 6) AS recall,
-        |  round(CASE WHEN coalesce(p, 0e0) + coalesce(r, 0e0) = 0e0 THEN 0e0
+        |  round(p * 1000000) / 1000000 AS "precision",
+        |  round(r * 1000000) / 1000000 AS recall,
+        |  round((CASE WHEN coalesce(p, 0e0) + coalesce(r, 0e0) = 0e0 THEN 0e0
         |    ELSE 2e0 * coalesce(p, 0e0) * coalesce(r, 0e0)
-        |      / (coalesce(p, 0e0) + coalesce(r, 0e0)) END, 6) AS f1
+        |      / (coalesce(p, 0e0) + coalesce(r, 0e0)) END) * 1000000)
+        |    / 1000000 AS f1
         |FROM k ORDER BY label""".stripMargin,
 
     // Kappa/MCC: marginal products on DECIMAL(19,0)x(19,0) -> (38,0)
@@ -9702,17 +9713,17 @@ object SparkEntry {
         |        stp, stt, spp
         |      FROM bs CROSS JOIN mg)
         |SELECT n, n_correct, n_classes_true, n_classes_pred,
-        |  CAST(round(CAST(CAST(n_correct AS DOUBLE)
-        |    / nullif(CAST(n AS DOUBLE), 0.0) AS DECIMAL(24,12)), 6)
-        |    AS DOUBLE) AS accuracy,
-        |  CAST(round(CAST(CASE WHEN CAST(s2 - stp AS DOUBLE) <> 0.0
-        |      THEN num / CAST(s2 - stp AS DOUBLE) ELSE NULL END
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS kappa,
-        |  CAST(round(CAST(CASE WHEN CAST(s2 - spp AS DOUBLE) > 0
+        |  round((CAST(n_correct AS DOUBLE)
+        |    / nullif(CAST(n AS DOUBLE), 0.0)) * 1000000) / 1000000
+        |    AS accuracy,
+        |  round((CASE WHEN CAST(s2 - stp AS DOUBLE) <> 0.0
+        |      THEN num / CAST(s2 - stp AS DOUBLE) ELSE NULL END)
+        |    * 1000000) / 1000000 AS kappa,
+        |  round((CASE WHEN CAST(s2 - spp AS DOUBLE) > 0
         |      AND CAST(s2 - stt AS DOUBLE) > 0
         |      THEN num / sqrt(CAST(s2 - spp AS DOUBLE)
-        |        * CAST(s2 - stt AS DOUBLE)) ELSE NULL END
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS mcc
+        |        * CAST(s2 - stt AS DOUBLE)) ELSE NULL END)
+        |    * 1000000) / 1000000 AS mcc
         |FROM x""".stripMargin,
 
     // kNN: the bruteAnnOracle ranking convention (unrounded cosine,
@@ -9739,8 +9750,9 @@ object SparkEntry {
         |SELECT qlabel AS label, count(*) AS n,
         |  CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_correct,
-        |  round(CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy
+        |  round((CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000) / 1000000
+        |    AS accuracy
         |FROM pred JOIN q USING (query_id) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Logreg: the two GD steps unrolled CTE-for-plan — step 1's margins
@@ -9759,7 +9771,7 @@ object SparkEntry {
         |g1 AS (SELECT dim, CAST(sum(CAST(round(r * x, 6) AS DECIMAL(18,6)))
         |          AS DOUBLE) AS g
         |      FROM flat JOIN r1 USING (vec_id) GROUP BY 1),
-        |w1 AS (SELECT dim, round(0.0 - 0.5 * g / n, 6) AS w
+        |w1 AS (SELECT dim, round((0.0 - 0.5 * g / n) * 1000000) / 1000000 AS w
         |      FROM g1 CROSS JOIN n),
         |m2 AS (SELECT vec_id, round(CAST(sum(CAST(round(x * w, 6)
         |          AS DECIMAL(18,6))) AS DOUBLE), 6) AS margin
@@ -9770,7 +9782,7 @@ object SparkEntry {
         |g2 AS (SELECT dim, CAST(sum(CAST(round(r * x, 6) AS DECIMAL(18,6)))
         |          AS DOUBLE) AS g
         |      FROM flat JOIN r2 USING (vec_id) GROUP BY 1)
-        |SELECT w1.dim, round(w - 0.5 * g / n, 6) AS weight
+        |SELECT w1.dim, round((w - 0.5 * g / n) * 1000000) / 1000000 AS weight
         |FROM w1 JOIN g2 USING (dim) CROSS JOIN n ORDER BY dim""".stripMargin,
 
     // Ridge: the nine 6-dp-quantized DECIMAL(38,6) Gram sums and the
@@ -9796,12 +9808,15 @@ object SparkEntry {
          |  FROM events),
          |l AS ($rows)
          |SELECT threshold, n, pos, tp, fp,
-         |  round(CAST(tp AS DOUBLE)
-         |    / nullif(CAST(tp + fp AS DOUBLE), 0.0), 6) AS precision,
-         |  round(CAST(tp AS DOUBLE)
-         |    / nullif(CAST(pos AS DOUBLE), 0.0), 6) AS recall,
-         |  round(2.0 * CAST(tp AS DOUBLE)
-         |    / nullif(CAST(tp + fp + pos AS DOUBLE), 0.0), 6) AS f1
+         |  round((CAST(tp AS DOUBLE)
+         |    / nullif(CAST(tp + fp AS DOUBLE), 0.0)) * 1000000) / 1000000
+         |    AS precision,
+         |  round((CAST(tp AS DOUBLE)
+         |    / nullif(CAST(pos AS DOUBLE), 0.0)) * 1000000) / 1000000
+         |    AS recall,
+         |  round((2.0 * CAST(tp AS DOUBLE)
+         |    / nullif(CAST(tp + fp + pos AS DOUBLE), 0.0)) * 1000000)
+         |    / 1000000 AS f1
          |FROM l ORDER BY threshold""".stripMargin
     },
 
@@ -9811,11 +9826,11 @@ object SparkEntry {
     "ml_lift" -> {
       val ps = (1 to 9).map(i => s"0.$i").mkString(", ")
       val below = (1 to 9).map(i =>
-        s"""CASE WHEN s > CAST(round(CAST(qs[$i] AS DECIMAL(24,12)), 6)
-           |      AS DOUBLE) THEN 1 ELSE 0 END""".stripMargin)
+        s"""CASE WHEN s > round(qs[$i] * 1000000) / 1000000
+           |      THEN 1 ELSE 0 END""".stripMargin)
         .mkString("\n    + ")
       s"""WITH base AS (SELECT
-         |    CAST(round(CAST(value AS DECIMAL(24,12)), 6) AS DOUBLE) AS s,
+         |    round(CAST(value AS DOUBLE) * 1000000) / 1000000 AS s,
          |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
          |  FROM events
          |  WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
@@ -9832,14 +9847,14 @@ object SparkEntry {
          |      FROM g WINDOW w AS (ORDER BY decile
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          |SELECT decile, n_rows, n_pos, cum_n, cum_pos,
-         |  CAST(round(CAST(CAST(cum_pos AS DOUBLE)
-         |    / nullif(CAST(t_pos AS DOUBLE), 0e0)
-         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS gain,
-         |  CAST(round(CAST((CAST(cum_pos AS DOUBLE)
+         |  round((CAST(cum_pos AS DOUBLE)
+         |    / nullif(CAST(t_pos AS DOUBLE), 0e0)) * 1000000) / 1000000
+         |    AS gain,
+         |  round(((CAST(cum_pos AS DOUBLE)
          |      / nullif(CAST(cum_n AS DOUBLE), 0e0))
          |    / nullif(CAST(t_pos AS DOUBLE)
-         |      / nullif(CAST(t_n AS DOUBLE), 0e0), 0e0)
-         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS lift
+         |      / nullif(CAST(t_n AS DOUBLE), 0e0), 0e0)) * 1000000)
+         |    / 1000000 AS lift
          |FROM c CROSS JOIN t ORDER BY decile""".stripMargin
     },
 
@@ -9849,7 +9864,7 @@ object SparkEntry {
     "ml_stump" -> {
       val ps = (1 to 9).map(i => s"0.$i").mkString(", ")
       s"""WITH base AS (SELECT
-         |    CAST(round(CAST(value AS DECIMAL(24,12)), 6) AS DOUBLE) AS s,
+         |    round(CAST(value AS DOUBLE) * 1000000) / 1000000 AS s,
          |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
          |  FROM events
          |  WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
@@ -9857,8 +9872,8 @@ object SparkEntry {
          |tot AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
          |      FROM base),
          |cand AS (SELECT DISTINCT
-         |        CAST(round(CAST(qs[CAST(i AS INTEGER)] AS DECIMAL(24,12)),
-         |          6) AS DOUBLE) AS threshold
+         |        round(qs[CAST(i AS INTEGER)] * 1000000) / 1000000
+         |          AS threshold
          |      FROM th, range(1, 10) t(i)),
          |cnt AS (SELECT c.threshold,
          |        CAST(sum(CASE WHEN b.s <= c.threshold THEN 1 ELSE 0 END)
@@ -9874,22 +9889,18 @@ object SparkEntry {
          |      FROM cnt CROSS JOIN tot
          |      WHERE n_left > 0 AND n_left < n),
          |fin AS (SELECT threshold, n, pos, n_left, pos_left,
-         |        CAST(round(CAST(pl AS DECIMAL(24,12)), 6) AS DOUBLE)
-         |          AS p_left,
-         |        CAST(round(CAST(pr AS DECIMAL(24,12)), 6) AS DOUBLE)
-         |          AS p_right,
-         |        CAST(round(CAST(2e0 * proot * (1e0 - proot)
-         |          AS DECIMAL(24,12)), 6) AS DOUBLE) AS gini_root,
-         |        CAST(round(CAST((CAST(n_left AS DOUBLE)
+         |        round(pl * 1000000) / 1000000 AS p_left,
+         |        round(pr * 1000000) / 1000000 AS p_right,
+         |        round((2e0 * proot * (1e0 - proot)) * 1000000) / 1000000
+         |          AS gini_root,
+         |        round(((CAST(n_left AS DOUBLE)
          |            * (2e0 * pl * (1e0 - pl))
          |            + CAST(n - n_left AS DOUBLE) * (2e0 * pr * (1e0 - pr)))
-         |          / CAST(n AS DOUBLE) AS DECIMAL(24,12)), 6) AS DOUBLE)
-         |          AS gini_split,
-         |        CAST(round(CAST(2e0 * proot * (1e0 - proot)
+         |          / CAST(n AS DOUBLE)) * 1000000) / 1000000 AS gini_split,
+         |        round((2e0 * proot * (1e0 - proot)
          |          - (CAST(n_left AS DOUBLE) * (2e0 * pl * (1e0 - pl))
          |            + CAST(n - n_left AS DOUBLE) * (2e0 * pr * (1e0 - pr)))
-         |          / CAST(n AS DOUBLE) AS DECIMAL(24,12)), 9) AS DOUBLE)
-         |          AS gain
+         |          / CAST(n AS DOUBLE)) * 1000000000) / 1000000000 AS gain
          |      FROM sc)
          |SELECT * FROM fin ORDER BY gain DESC, threshold LIMIT 1""".stripMargin
     },
@@ -9907,9 +9918,10 @@ object SparkEntry {
          |        CAST(sum(CAST(round((x - c) * (x - c), 6)
          |          AS DECIMAL(18,6))) AS DOUBLE) AS d2
          |      FROM f JOIN cent USING (dim) GROUP BY 1, 2),
-         |s2 AS (SELECT round(CAST(sum(CAST(round(d2, 6)
+         |s2 AS (SELECT round((CAST(sum(CAST(round(d2, 6)
          |          AS DECIMAL(18,6))) AS DOUBLE)
-         |        / CAST(count(*) AS DOUBLE), 6) AS s2 FROM d2),
+         |        / CAST(count(*) AS DOUBLE)) * 1000000) / 1000000
+         |        AS s2 FROM d2),
          |dm AS (SELECT vec_id, min(d2) AS dmin FROM d2 GROUP BY 1),
          |ee AS (SELECT d2.vec_id, cid,
          |        round(exp(-(d2 - dmin) / (2.0 * s2)), 9) AS e3,
@@ -9918,7 +9930,8 @@ object SparkEntry {
          |se AS (SELECT vec_id, sum(CAST(e3 AS DECIMAL(28,9))) AS se,
          |        min(CASE WHEN is_min THEN cid END) AS hard
          |      FROM ee GROUP BY 1),
-         |rr AS (SELECT cid, round(e3 / CAST(se AS DOUBLE), 9) AS r,
+         |rr AS (SELECT cid, round((e3 / CAST(se AS DOUBLE)) * 1000000000)
+         |          / 1000000000 AS r,
          |        cid = hard AS is_hard
          |      FROM ee JOIN se USING (vec_id)),
          |r6t AS (SELECT cid, is_hard,
@@ -9954,15 +9967,18 @@ object SparkEntry {
         |          - a12 * (a12 * a33 - a23 * a13)
         |          + a13 * (a12 * a23 - a22 * a13) AS dA FROM m)
         |SELECT n,
-        |  round((sy * (a22 * a33 - a23 * a23)
+        |  round(((sy * (a22 * a33 - a23 * a23)
         |    - a12 * (s1y * a33 - a23 * s2y)
-        |    + a13 * (s1y * a23 - a22 * s2y)) / dA, 6) AS beta0,
-        |  round((a11 * (s1y * a33 - a23 * s2y)
+        |    + a13 * (s1y * a23 - a22 * s2y)) / dA) * 1000000) / 1000000
+        |    AS beta0,
+        |  round(((a11 * (s1y * a33 - a23 * s2y)
         |    - sy * (a12 * a33 - a23 * a13)
-        |    + a13 * (a12 * s2y - s1y * a13)) / dA, 6) AS beta1,
-        |  round((a11 * (a22 * s2y - s1y * a23)
+        |    + a13 * (a12 * s2y - s1y * a13)) / dA) * 1000000) / 1000000
+        |    AS beta1,
+        |  round(((a11 * (a22 * s2y - s1y * a23)
         |    - a12 * (a12 * s2y - s1y * a13)
-        |    + sy * (a12 * a23 - a22 * a13)) / dA, 6) AS beta2
+        |    + sy * (a12 * a23 - a22 * a13)) / dA) * 1000000) / 1000000
+        |    AS beta2
         |FROM d""".stripMargin,
 
     // Centroid drift: per-cohort dim-keyed DECIMAL means (6-dp-rounded
@@ -11266,8 +11282,9 @@ object SparkEntry {
          |SELECT sp.lang AS label, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN pred = sp.lang THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_correct,
-         |  round(CAST(sum(CASE WHEN pred = sp.lang THEN 1 ELSE 0 END)
-         |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+         |  round((CAST(sum(CASE WHEN pred = sp.lang THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000) / 1000000
+         |    AS recall
          |FROM pred JOIN sp USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // LLM-pretraining pipeline chain: exact connected-component cluster
@@ -11530,8 +11547,8 @@ object SparkEntry {
     "dq_key_entropy" -> {
       def one(c: String) =
         s"""SELECT '$c' AS "column", n, n_distinct,
-           |  round(CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE), 6)
-           |    AS uniq_ratio,
+           |  round((CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000)
+           |    / 1000000 AS uniq_ratio,
            |  round(h, 6) AS entropy,
            |  round(h / ln(CAST(n_distinct AS DOUBLE)), 6) AS norm_entropy
            |FROM (SELECT CAST(min(n) AS BIGINT) AS n,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Fns
 
 /** Declarative data-quality audit (the dbt-test / expectation-suite
   * shape): not-null, uniqueness and referential-integrity checks declared
@@ -130,7 +131,7 @@ object DataQuality {
       val den = sqrt(d("n") * d(s"q_$i") - d(s"s_$i") * d(s"s_$i")) *
         sqrt(d("n") * d(s"q_$j") - d(s"s_$j") * d(s"s_$j"))
       struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
-        round(try_divide(num, den), 6).as("r"))
+        Fns.q6(try_divide(num, den)).as("r"))
     }
     a.select(explode(array(pairStructs: _*)).as("p")).select(col("p.*"))
   }
@@ -251,7 +252,7 @@ object DataQuality {
       sum(col("term").cast("decimal(18,6)")).cast("double").as("psi"))
     terms
       .select(col("bin"), col("c_ref"), col("c_cur"),
-        round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
+        Fns.q6(col("p_ref")).as("p_ref"), Fns.q6(col("p_cur")).as("p_cur"),
         col("term"))
       .crossJoin(broadcast(total))
   }
@@ -302,11 +303,11 @@ object DataQuality {
       .select(col("digit"), coalesce(col("c"), lit(0L)).as("c"),
         col("exp_share"))
       .withColumn("n", n)
-      .withColumn("obs_share", round(col("c").cast("double") / col("n"), 6))
+      .withColumn("obs_share", Fns.q6(col("c").cast("double") / col("n")))
       .withColumn("chi2_term",
-        round((col("c") - col("n") * col("exp_share"))
+        Fns.q6((col("c") - col("n") * col("exp_share"))
           * (col("c") - col("n") * col("exp_share"))
-          / (col("n") * col("exp_share")), 6))
+          / (col("n") * col("exp_share"))))
     val total = terms.agg(
       sum(col("chi2_term").cast("decimal(28,6)")).cast("double").as("chi2"))
     terms.select(col("digit"), col("c"), col("obs_share"), col("exp_share"),
@@ -383,7 +384,7 @@ object DataQuality {
         .join(broadcast(colTot), "vb")
         .crossJoin(broadcast(tot))
         .select(col("n"), col("k_a"), col("k_b"),
-          round((col("o") - e) * (col("o") - e) / e - e, 6).as("term"))
+          Fns.q6((col("o") - e) * (col("o") - e) / e - e).as("term"))
         .groupBy("n", "k_a", "k_b")
         .agg(sum(col("term").cast("decimal(28,6)")).as("ts"))
         .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
@@ -456,8 +457,8 @@ object DataQuality {
              buckets: Int = 32): DataFrame = {
     val gaps = rankedCounts(ref, cur, valueCol, buckets)
       .select(col("v"), col("n_ref"), col("n_cur"),
-        round(abs(col("cum_r").cast("double") / col("n_ref").cast("double") -
-          col("cum_c").cast("double") / col("n_cur").cast("double")), 6)
+        Fns.q6(abs(col("cum_r").cast("double") / col("n_ref").cast("double") -
+          col("cum_c").cast("double") / col("n_cur").cast("double")))
           .as("gap"))
     val mx = gaps.agg(max("gap").as("ks_stat"))
     gaps.crossJoin(broadcast(mx)).filter(col("gap") === col("ks_stat"))
@@ -488,9 +489,9 @@ object DataQuality {
       .groupBy("n_pos", "n_neg")
       .agg(sum("num2").as("num2"))
       .select(col("n_pos"), col("n_neg"),
-        round(col("num2").cast("double") /
-          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
-          6).as("auc"))
+        Fns.q6(col("num2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"))
   }
 
   /** Reliability (calibration) bins: scores bucketed into `bins`
@@ -518,9 +519,9 @@ object DataQuality {
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
         sum(round(col("v"), 6).cast("decimal(28,6)")).as("sv"))
       .select(col("bin"), col("n"), col("n_pos"),
-        round(col("sv").cast("double") / col("n").cast("double"), 6)
+        Fns.q6(col("sv").cast("double") / col("n").cast("double"))
           .as("mean_score"),
-        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+        Fns.q6(col("n_pos").cast("double") / col("n").cast("double"))
           .as("pos_rate"))
   }
 
@@ -549,7 +550,7 @@ object DataQuality {
         .agg(dsum(col("cnt").cast("double") / col("n").cast("double") *
           log(col("n").cast("double") / col("cnt").cast("double"))).as("h"))
         .select(lit(c).as("column"), col("n"), col("n_distinct"),
-          round(col("n_distinct").cast("double") / col("n").cast("double"), 6)
+          Fns.q6(col("n_distinct").cast("double") / col("n").cast("double"))
             .as("uniq_ratio"),
           round(col("h"), 6).as("entropy"),
           round(try_divide(col("h"), log(col("n_distinct").cast("double"))), 6)
@@ -595,15 +596,15 @@ object DataQuality {
     val ranks = bucketed.join(broadcast(offsets), "bucket")
       .withColumn("cum_excl", coalesce(sum("c").over(wIn), lit(0L)) + col("off"))
       .select(col("v"),
-        round((col("cum_excl").cast("double") +
-          (col("c") + 1L).cast("double") / 2.0) / col("n").cast("double"), 6)
+        Fns.q6((col("cum_excl").cast("double") +
+          (col("c") + 1L).cast("double") / 2.0) / col("n").cast("double"))
           .as("q"))
     rows.join(ranks, "v")
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("q").cast("decimal(18,6)")).as("s"))
       .select(col("grp").as(groupCol), col("n_rows"),
-        round(col("s").cast("double") / col("n_rows"), 6).as("mean_quantile"))
+        Fns.q6(col("s").cast("double") / col("n_rows")).as("mean_quantile"))
   }
 
   /** Mutual information (nats) between two categorical columns, with the
@@ -642,7 +643,7 @@ object DataQuality {
       .select(col("n"), col("k_a"), col("k_b"),
         round(col("mi"), 6).as("mi"),
         round(col("h_a"), 6).as("h_a"), round(col("h_b"), 6).as("h_b"),
-        round(try_divide(col("mi"), sqrt(col("h_a") * col("h_b"))), 6)
+        Fns.q6(try_divide(col("mi"), sqrt(col("h_a") * col("h_b"))))
           .as("nmi"))
   }
 
@@ -672,8 +673,8 @@ object DataQuality {
     one.select(col("n_rows"), explode(array(entries: _*)).as("e"))
       .select(col("e.rule_idx").as("rule_idx"), col("e.rule").as("rule"),
         col("n_rows"), col("e.n_violations").as("n_violations"),
-        round(try_divide(col("e.n_violations").cast("double"),
-          col("n_rows").cast("double")), 6).as("violation_rate"),
+        Fns.q6(try_divide(col("e.n_violations").cast("double"),
+          col("n_rows").cast("double"))).as("violation_rate"),
         (col("e.n_violations") === 0).as("passed"))
   }
 
@@ -726,8 +727,8 @@ object DataQuality {
       ck.agg(count(lit(1)).as("n_child"))
         .crossJoin(broadcast(orphans))
         .select(lit(name).as("relation"), col("n_child"), col("n_orphans"),
-          round(try_divide(col("n_orphans").cast("double"),
-            col("n_child").cast("double")), 6).as("orphan_rate"),
+          Fns.q6(try_divide(col("n_orphans").cast("double"),
+            col("n_child").cast("double"))).as("orphan_rate"),
           (col("n_orphans") === 0).as("intact"))
     }.reduce(_ unionByName _)
   }
@@ -889,7 +890,7 @@ object DataQuality {
       .select(col("lhs"), col("rhs"), col("n_distinct_lhs"),
         col("n_distinct_pair"),
         (col("n_distinct_pair") === col("n_distinct_lhs")).as("fd_holds"),
-        round(try_divide(col("n_distinct_lhs").cast("double"),
-          col("n_distinct_pair").cast("double")), 6).as("strength"))
+        Fns.q6(try_divide(col("n_distinct_lhs").cast("double"),
+          col("n_distinct_pair").cast("double"))).as("strength"))
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Fns
 
 /** Distributed training steps for the quality-classifier models every
   * large-scale data pipeline ends up fitting over its own corpus (a
@@ -60,7 +61,7 @@ object ML {
         .groupBy("dim").agg(d6sum(col("r") * col("x")).as("g"))
       w = w.join(grad, "dim").crossJoin(broadcast(n))
         .select(col("dim"),
-          round(col("w") - lit(lr) * col("g") / col("n"), 6).as("w"))
+          Fns.q6(col("w") - lit(lr) * col("g") / col("n")).as("w"))
     }
     w.select(col("dim"), col("w").as("weight"))
   }
@@ -105,9 +106,9 @@ object ML {
     val d1 = det3(a11, col("sy"), a13, a12, col("s1y"), a23, a13, col("s2y"), a33)
     val d2 = det3(a11, a12, col("sy"), a12, a22, col("s1y"), a13, a23, col("s2y"))
     a.select(col("n"),
-      round(d0 / dA, 6).as("beta0"),
-      round(d1 / dA, 6).as("beta1"),
-      round(d2 / dA, 6).as("beta2"))
+      Fns.q6(d0 / dA).as("beta0"),
+      Fns.q6(d1 / dA).as("beta1"),
+      Fns.q6(d2 / dA).as("beta2"))
   }
 
   /** Multinomial Naive Bayes, trained and evaluated in one lazy plan:
@@ -150,8 +151,8 @@ object ML {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))
       .select(col("label"), col("n_docs"), col("n_correct"),
-        round(col("n_correct").cast("double") / col("n_docs").cast("double"),
-          6).as("recall"))
+        Fns.q6(col("n_correct").cast("double") / col("n_docs").cast("double"))
+          .as("recall"))
 
   /** The per-document leg of [[naiveBayesEval]]: train the multinomial
     * NB model on `train`, score every `test` doc, and emit
@@ -219,7 +220,7 @@ object ML {
       .agg(count(lit(1)).as("n_label"))
     cells.join(broadcast(totals), "label")
       .select(col("label"), col("pred"), col("n"),
-        round(col("n").cast("double") / col("n_label").cast("double"), 6)
+        Fns.q6(col("n").cast("double") / col("n_label").cast("double"))
           .as("row_share"))
   }
 
@@ -248,9 +249,9 @@ object ML {
     val rec = try_divide(col("tp").cast("double"), col("n_true").cast("double"))
     def z(c: Column) = coalesce(c, lit(0.0))
     j.select(col("label"), col("n_true"), col("n_pred"), col("tp"),
-      round(prec, 6).as("precision"), round(rec, 6).as("recall"),
-      round(when(z(prec) + z(rec) === 0.0, lit(0.0))
-        .otherwise(lit(2.0) * z(prec) * z(rec) / (z(prec) + z(rec))), 6)
+      Fns.q6(prec).as("precision"), Fns.q6(rec).as("recall"),
+      Fns.q6(when(z(prec) + z(rec) === 0.0, lit(0.0))
+        .otherwise(lit(2.0) * z(prec) * z(rec) / (z(prec) + z(rec))))
         .as("f1"))
   }
 
@@ -273,7 +274,7 @@ object ML {
     * denominator (single class on either side) reports NULL, not ±∞.
     */
   def mccKappa(predictions: DataFrame): DataFrame = {
-    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: Column) = Fns.q6(c)
     def d19(c: Column) = c.cast("decimal(19,0)")
     val t = predictions.groupBy(col("y").as("label"))
       .agg(count(lit(1)).as("tk"))
@@ -341,7 +342,7 @@ object ML {
         sum(when(col("pred") === col("label"), 1L).otherwise(0L))
           .as("n_correct"))
       .select(col("label"), col("n"), col("n_correct"),
-        round(col("n_correct").cast("double") / col("n").cast("double"), 6)
+        Fns.q6(col("n_correct").cast("double") / col("n").cast("double"))
           .as("accuracy"))
   }
 
@@ -388,12 +389,12 @@ object ML {
       .select(col("e.threshold").as("threshold"), col("n"), col("pos"),
         col("e.tp").as("tp"), col("e.fp").as("fp"))
       .select(col("threshold"), col("n"), col("pos"), col("tp"), col("fp"),
-        round(try_divide(col("tp").cast("double"),
-          (col("tp") + col("fp")).cast("double")), 6).as("precision"),
-        round(try_divide(col("tp").cast("double"),
-          col("pos").cast("double")), 6).as("recall"),
-        round(try_divide(lit(2.0) * col("tp").cast("double"),
-          (col("tp") + col("fp") + col("pos")).cast("double")), 6)
+        Fns.q6(try_divide(col("tp").cast("double"),
+          (col("tp") + col("fp")).cast("double"))).as("precision"),
+        Fns.q6(try_divide(col("tp").cast("double"),
+          col("pos").cast("double"))).as("recall"),
+        Fns.q6(try_divide(lit(2.0) * col("tp").cast("double"),
+          (col("tp") + col("fp") + col("pos")).cast("double")))
           .as("f1"))
   }
 
@@ -421,7 +422,7 @@ object ML {
   def liftDeciles(df: DataFrame, scoreCol: String, label: Column,
                   deciles: Int = 10): DataFrame = {
     require(deciles >= 2, s"need deciles >= 2, got $deciles")
-    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: Column) = Fns.q6(c)
     val base = df.select(d6(col(scoreCol)).as("s"),
         when(label, 1L).otherwise(0L).as("y"))
       .filter(col("s").isNotNull)
@@ -470,8 +471,8 @@ object ML {
   def decisionStump(df: DataFrame, scoreCol: String, label: Column,
                     deciles: Int = 10): DataFrame = {
     require(deciles >= 2, s"need deciles >= 2, got $deciles")
-    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
-    def d9(c: Column) = round(c.cast("decimal(24,12)"), 9).cast("double")
+    def d6(c: Column) = Fns.q6(c)
+    def d9(c: Column) = Fns.q9(c)
     val base = df.select(d6(col(scoreCol)).as("s"),
         when(label, 1L).otherwise(0L).as("y"))
       .filter(col("s").isNotNull)
@@ -529,7 +530,7 @@ object ML {
       .agg(sum(round((col("x") - col("c")) * (col("x") - col("c")), 6)
         .cast("decimal(18,6)")).cast("double").as("d2"))
     val sigma2 = d2.agg(
-      round(d6sum(col("d2")) / count(lit(1)).cast("double"), 6).as("s2"))
+      Fns.q6(d6sum(col("d2")) / count(lit(1)).cast("double")).as("s2"))
     val dmin = d2.groupBy("vec_id").agg(min(col("d2")).as("dmin"))
     val e = d2.join(dmin, "vec_id").crossJoin(broadcast(sigma2))
       .select(col("vec_id"), col("cid"),
@@ -550,7 +551,7 @@ object ML {
     // perplexityBigram rationale).
     e.join(se, "vec_id")
       .select(col("cid"),
-        round(col("e") / col("se").cast("double"), 9).as("r"),
+        Fns.q9(col("e") / col("se").cast("double")).as("r"),
         (col("cid") === col("hard")).as("is_hard"))
       .withColumn("r6",
         expr("(cast(round(r * 1e9) as bigint) + 500) div 1000"))
