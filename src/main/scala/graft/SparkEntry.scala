@@ -8403,8 +8403,9 @@ object SparkEntry {
         |SELECT deg.v AS node, deg.d AS degree,
         |  coalesce(tc.n_triangles, 0) AS n_triangles,
         |  CASE WHEN deg.d <= 1 THEN NULL
-        |    ELSE round(CAST(coalesce(tc.n_triangles, 0) AS DOUBLE) * 2
-        |      / (CAST(deg.d AS DOUBLE) * (deg.d - 1)), 6) END
+        |    ELSE round((CAST(coalesce(tc.n_triangles, 0) AS DOUBLE) * 2
+        |      / (CAST(deg.d AS DOUBLE) * (deg.d - 1))) * 1000000)
+        |      / 1000000 END
         |    AS clustering_coeff
         |FROM deg LEFT JOIN tc ON tc.node = deg.v
         |ORDER BY node""".stripMargin,
@@ -8434,11 +8435,12 @@ object SparkEntry {
       val iterCtes = (1 to 3).map { k =>
         val prev = s"r${k - 1}"
         s"""c$k AS (SELECT e.dst AS node,
-           |        sum(CAST(round($prev.rank / deg.outdeg, 12)
+           |        sum(CAST(round(($prev.rank / deg.outdeg) * 1e12) / 1e12
            |          AS DECIMAL(18,12))) AS s
            |      FROM e JOIN $prev ON $prev.node = e.src
            |      JOIN deg ON deg.src = e.src GROUP BY 1),
-           |d$k AS (SELECT coalesce(sum(CAST(round(rank, 12) AS DECIMAL(18,12))),
+           |d$k AS (SELECT coalesce(sum(CAST(round(rank * 1e12) / 1e12
+           |            AS DECIMAL(18,12))),
            |          CAST(0 AS DECIMAL(18,12))) AS dm
            |      FROM $prev WHERE node NOT IN (SELECT src FROM deg)),
            |r$k AS (SELECT n.node,
@@ -8459,7 +8461,8 @@ object SparkEntry {
          |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
          |r0 AS (SELECT node, 1e0 / nn.n AS rank FROM nodes CROSS JOIN nn),
          |$iterCtes
-         |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin
+         |SELECT node, round(rank * 1000000) / 1000000 AS rank
+         |FROM r3 ORDER BY node""".stripMargin
     },
 
     // Same iteration algebra as ana_pagerank with the teleport vector
@@ -8469,11 +8472,12 @@ object SparkEntry {
       val iterCtes = (1 to 3).map { k =>
         val prev = s"r${k - 1}"
         s"""c$k AS (SELECT e.dst AS node,
-           |        sum(CAST(round($prev.rank / deg.outdeg, 12)
+           |        sum(CAST(round(($prev.rank / deg.outdeg) * 1e12) / 1e12
            |          AS DECIMAL(18,12))) AS s
            |      FROM e JOIN $prev ON $prev.node = e.src
            |      JOIN deg ON deg.src = e.src GROUP BY 1),
-           |d$k AS (SELECT coalesce(sum(CAST(round(rank, 12) AS DECIMAL(18,12))),
+           |d$k AS (SELECT coalesce(sum(CAST(round(rank * 1e12) / 1e12
+           |            AS DECIMAL(18,12))),
            |          CAST(0 AS DECIMAL(18,12))) AS dm
            |      FROM $prev WHERE node NOT IN (SELECT src FROM deg)),
            |r$k AS (SELECT n.node,
@@ -8499,7 +8503,8 @@ object SparkEntry {
          |         FROM nodes CROSS JOIN ns),
          |r0 AS (SELECT node, p AS rank FROM pers),
          |$iterCtes
-         |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin
+         |SELECT node, round(rank * 1000000) / 1000000 AS rank
+         |FROM r3 ORDER BY node""".stripMargin
     },
 
     // Markov stationary distribution: 5 unrolled pi' = pi*P rounds on the
@@ -10054,8 +10059,9 @@ object SparkEntry {
         |        CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
         |      FROM j)
         |SELECT m AS n_directed_edges,
-        |  round((CAST(m AS DOUBLE) * sxy - sx * sx)
-        |    / nullif(CAST(m AS DOUBLE) * sxx - sx * sx, 0.0), 6)
+        |  round(((CAST(m AS DOUBLE) * sxy - sx * sx)
+        |    / nullif(CAST(m AS DOUBLE) * sxx - sx * sx, 0.0)) * 1000000)
+        |    / 1000000
         |    AS assortativity
         |FROM a""".stripMargin,
 
@@ -10084,8 +10090,8 @@ object SparkEntry {
         |na AS (SELECT wg.* FROM wg LEFT JOIN und
         |        ON und.u = wg.x AND und.v = wg.y
         |      WHERE und.u IS NULL)
-        |SELECT x, y, common, round(CAST(aa AS DOUBLE), 6) AS adamic_adar
-        |FROM na WHERE round(CAST(aa AS DOUBLE), 6) >= 1.0
+        |SELECT x, y, common, CAST(round(aa, 6) AS DOUBLE) AS adamic_adar
+        |FROM na WHERE CAST(round(aa, 6) AS DOUBLE) >= 1.0
         |ORDER BY x, y""".stripMargin,
 
     // Rich club: per-k induced-subgraph density via two semijoins.
@@ -10109,9 +10115,10 @@ object SparkEntry {
          |      FROM und GROUP BY 1),
          |l AS (${Seq(2L, 4L, 8L).map(one).mkString("\nUNION ALL ")})
          |SELECT k, n_club, e_club,
-         |  round(2.0 * CAST(e_club AS DOUBLE)
+         |  round((2.0 * CAST(e_club AS DOUBLE)
          |    / nullif(CAST(n_club AS DOUBLE)
-         |      * CAST(n_club - 1 AS DOUBLE), 0.0), 6) AS phi
+         |      * CAST(n_club - 1 AS DOUBLE), 0.0)) * 1000000) / 1000000
+         |    AS phi
          |FROM l ORDER BY k""".stripMargin
     },
 
@@ -10132,10 +10139,12 @@ object SparkEntry {
         |          AS DECIMAL(28,9))) AS slog
         |      FROM deg WHERE deg >= 5)
         |SELECT n_nodes, n_tail, CAST(5 AS BIGINT) AS xmin,
-        |  round(CAST(n_tail AS DOUBLE)
-        |    / nullif(CAST(n_nodes AS DOUBLE), 0.0), 6) AS tail_frac,
-        |  round(1.0 + CAST(n_tail AS DOUBLE)
-        |    / nullif(CAST(slog AS DOUBLE), 0.0), 6) AS alpha_hill
+        |  round((CAST(n_tail AS DOUBLE)
+        |    / nullif(CAST(n_nodes AS DOUBLE), 0.0)) * 1000000) / 1000000
+        |    AS tail_frac,
+        |  round((1.0 + CAST(n_tail AS DOUBLE)
+        |    / nullif(CAST(slog AS DOUBLE), 0.0)) * 1000000) / 1000000
+        |    AS alpha_hill
         |FROM a CROSS JOIN t""".stripMargin,
 
     // k-core: three unrolled pruning rounds — degree within the
@@ -10178,8 +10187,9 @@ object SparkEntry {
         |      FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
         |      GROUP BY 1, 2),
         |j AS (SELECT x, y, common,
-        |        round(CAST(common AS DOUBLE)
-        |          / CAST(dx.deg + dy.deg - common AS DOUBLE), 6) AS jaccard
+        |        round((CAST(common AS DOUBLE)
+        |          / CAST(dx.deg + dy.deg - common AS DOUBLE)) * 1000000)
+        |          / 1000000 AS jaccard
         |      FROM cmn JOIN deg dx ON dx.node = x
         |      JOIN deg dy ON dy.node = y)
         |SELECT x, y, common, jaccard FROM j WHERE jaccard >= 0.25
@@ -10242,16 +10252,16 @@ object SparkEntry {
         |        JOIN und ON und.u = b2.node) GROUP BY 1, 2),
         |a AS (SELECT seed, count(*) AS n_reached,
         |        CAST(sum(dist) AS BIGINT) AS total_dist,
-        |        CAST(sum(CAST(round(1e0 / dist, 9) AS DECIMAL(18,9)))
+        |        CAST(sum(CAST(round((1e0 / dist) * 1000000000) / 1000000000
+        |            AS DECIMAL(18,9)))
         |          AS DOUBLE) AS h
         |      FROM b3 WHERE dist > 0 GROUP BY 1)
         |SELECT s0.seed AS node, coalesce(n_reached, 0) AS n_reached,
         |  coalesce(total_dist, 0) AS total_dist,
-        |  CAST(round(CAST(CAST(n_reached AS DOUBLE)
-        |    / nullif(CAST(total_dist AS DOUBLE), 0e0)
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS closeness,
-        |  CAST(round(CAST(coalesce(h, 0e0) AS DECIMAL(24,12)), 6)
-        |    AS DOUBLE) AS harmonic
+        |  round((CAST(n_reached AS DOUBLE)
+        |    / nullif(CAST(total_dist AS DOUBLE), 0e0)) * 1000000)
+        |    / 1000000 AS closeness,
+        |  round(coalesce(h, 0e0) * 1000000) / 1000000 AS harmonic
         |FROM s0 LEFT JOIN a USING (seed) ORDER BY node""".stripMargin,
 
     // LPA: two unrolled synchronous rounds, argmax by (count DESC,
@@ -10322,12 +10332,13 @@ object SparkEntry {
         |SELECT sizes.label AS label, n_nodes,
         |  coalesce(intra_directed, 0) AS intra_directed,
         |  coalesce(degree_sum, 0) AS degree_sum,
-        |  round(CAST(coalesce(intra_directed, 0) AS DOUBLE)
+        |  round((CAST(coalesce(intra_directed, 0) AS DOUBLE)
         |      / nullif(CAST(m2 AS DOUBLE), 0.0)
         |    - (CAST(coalesce(degree_sum, 0) AS DOUBLE)
         |      / nullif(CAST(m2 AS DOUBLE), 0.0))
         |      * (CAST(coalesce(degree_sum, 0) AS DOUBLE)
-        |      / nullif(CAST(m2 AS DOUBLE), 0.0)), 6) AS q_contrib
+        |      / nullif(CAST(m2 AS DOUBLE), 0.0))) * 1000000) / 1000000
+        |    AS q_contrib
         |FROM sizes LEFT JOIN degs USING (label) CROSS JOIN m2
         |ORDER BY label""".stripMargin,
 
@@ -10370,10 +10381,10 @@ object SparkEntry {
         |sizes AS (SELECT label, count(*) AS n_nodes FROM lab GROUP BY 1)
         |SELECT sizes.label AS label, n_nodes,
         |  coalesce(volume, 0) AS volume, coalesce(cut, 0) AS cut,
-        |  CAST(round(CAST(CAST(coalesce(cut, 0) AS DOUBLE)
+        |  round((CAST(coalesce(cut, 0) AS DOUBLE)
         |    / nullif(CAST(least(coalesce(volume, 0),
-        |        m2 - coalesce(volume, 0)) AS DOUBLE), 0.0)
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS conductance
+        |        m2 - coalesce(volume, 0)) AS DOUBLE), 0.0)) * 1000000)
+        |    / 1000000 AS conductance
         |FROM sizes LEFT JOIN per USING (label) CROSS JOIN m2
         |ORDER BY label""".stripMargin,
 
@@ -10391,13 +10402,14 @@ object SparkEntry {
         |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
         |      FROM und GROUP BY 1),
         |pn AS (SELECT und.u AS node, du.deg AS deg,
-        |        round(CAST(CAST(sum(CAST(dv.deg AS DECIMAL(38,0)))
-        |            AS DOUBLE) / count(*) AS DECIMAL(24,12)), 12) AS nn12
+        |        CAST(round((CAST(sum(CAST(dv.deg AS DECIMAL(38,0)))
+        |            AS DOUBLE) / count(*)) * 1e12) / 1e12
+        |          AS DECIMAL(24,12)) AS nn12
         |      FROM und JOIN deg du ON du.node = und.u
         |      JOIN deg dv ON dv.node = und.v GROUP BY 1, 2)
         |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes,
-        |  CAST(round(CAST(CAST(sum(nn12) AS DOUBLE) / count(*)
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS avg_nn_deg
+        |  round((CAST(sum(nn12) AS DOUBLE) / count(*)) * 1000000) / 1000000
+        |    AS avg_nn_deg
         |FROM pn GROUP BY deg ORDER BY deg""".stripMargin,
 
     // Local bridges by the NAIVE common-neighbor anti-join — Spark's
@@ -10425,10 +10437,10 @@ object SparkEntry {
     "graph_fiedler" -> {
       def half(k: Int, prev: String) =
         s"""m$k AS MATERIALIZED (SELECT sx / nn.n AS mx FROM (
-           |        SELECT CAST(sum(CAST(round(x, 12) AS DECIMAL(28,12)))
+           |        SELECT CAST(sum(CAST(round(x * 1e12) / 1e12 AS DECIMAL(28,12)))
            |          AS DOUBLE) AS sx FROM $prev) CROSS JOIN nn),
            |s$k AS MATERIALIZED (SELECT und.u AS node,
-           |        sum(CAST(round(p.x, 12) AS DECIMAL(28,12))) AS sn
+           |        sum(CAST(round(p.x * 1e12) / 1e12 AS DECIMAL(28,12))) AS sn
            |      FROM und JOIN $prev p ON p.node = und.v GROUP BY 1),
            |y$k AS MATERIALIZED (SELECT d.node,
            |        cc.c * p.x - (CAST(d.deg AS DOUBLE) * p.x
@@ -10437,12 +10449,12 @@ object SparkEntry {
            |      FROM deg d JOIN $prev p ON p.node = d.node
            |      LEFT JOIN s$k ON s$k.node = d.node
            |      CROSS JOIN cc CROSS JOIN m$k),
-           |n$k AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(round(y * y, 12)
-           |        AS DECIMAL(28,12))) AS DOUBLE)) AS nrm FROM y$k)""".stripMargin
+           |n$k AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(round((y * y) * 1e12)
+           |        / 1e12 AS DECIMAL(28,12))) AS DOUBLE)) AS nrm FROM y$k)""".stripMargin
       val rounds = (1 to 5).map { k =>
         half(k, if (k == 1) "x0" else s"x${k - 1}") + s""",
-           |x$k AS MATERIALIZED (SELECT node, round(CASE WHEN nrm = 0
-           |  THEN 0.0 ELSE y / nrm END, 12) AS x
+           |x$k AS MATERIALIZED (SELECT node, round((CASE WHEN nrm = 0
+           |  THEN 0.0 ELSE y / nrm END) * 1e12) / 1e12 AS x
            |  FROM y$k CROSS JOIN n$k)""".stripMargin
       }.mkString(",\n")
       s"""WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk,
@@ -10471,8 +10483,7 @@ object SparkEntry {
          |      FROM und JOIN sides a ON a.node = und.u
          |      JOIN sides b ON b.node = und.v)
          |SELECT nn.n AS n_nodes, n_pos, n_neg, cut_edges,
-         |  CAST(round(CAST(cc.c - n6.nrm AS DECIMAL(24,12)), 6)
-         |    AS DOUBLE) AS lambda2_est
+         |  round((cc.c - n6.nrm) * 1000000) / 1000000 AS lambda2_est
          |FROM nn CROSS JOIN sizes CROSS JOIN cut
          |CROSS JOIN n6 CROSS JOIN cc""".stripMargin
     },
@@ -10483,7 +10494,8 @@ object SparkEntry {
       val iterCtes = (1 to 3).map { k =>
         val prev = s"x${k - 1}"
         s"""c$k AS MATERIALIZED (SELECT e.dst AS node,
-           |        sum(CAST(round(0.05 * p.x, 12) AS DECIMAL(18,12))) AS s
+           |        sum(CAST(round((0.05 * p.x) * 1e12) / 1e12
+           |          AS DECIMAL(18,12))) AS s
            |      FROM e JOIN $prev p ON p.node = e.src GROUP BY 1),
            |x$k AS MATERIALIZED (SELECT n.node,
            |        1e0 + coalesce(CAST(c$k.s AS DOUBLE), 0e0) AS x
@@ -10498,8 +10510,7 @@ object SparkEntry {
          |      UNION SELECT dst FROM e),
          |x0 AS (SELECT node, 1e0 AS x FROM nodes),
          |$iterCtes
-         |SELECT node, CAST(round(CAST(x AS DECIMAL(24,12)), 6) AS DOUBLE)
-         |  AS katz
+         |SELECT node, round(x * 1000000) / 1000000 AS katz
          |FROM x3 ORDER BY node""".stripMargin
     },
 
@@ -10517,8 +10528,8 @@ object SparkEntry {
         |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
         |      FROM und GROUP BY 1),
         |ww AS (SELECT und.u, und.v,
-        |        CAST(round(1.0 / CAST(deg AS DOUBLE), 9)
-        |          AS DECIMAL(28,9)) AS w
+        |        CAST(round((1.0 / CAST(deg AS DOUBLE)) * 1000000000)
+        |          / 1000000000 AS DECIMAL(28,9)) AS w
         |      FROM und JOIN deg ON deg.node = und.v
         |      WHERE deg >= 2),
         |pr AS (SELECT a.u AS x, b.u AS y,
@@ -10580,23 +10591,25 @@ object SparkEntry {
       val iterCtes = (1 to 2).map { k =>
         val prev = if (k == 1) "hb0" else s"hb${k - 1}"
         s"""a${k}r AS (SELECT e.dst AS node,
-           |        sum(CAST(round(h.hub, 12) AS DECIMAL(18,12))) AS s
+           |        sum(CAST(round(h.hub * 1e12) / 1e12 AS DECIMAL(18,12))) AS s
            |      FROM e JOIN $prev h ON h.node = e.src GROUP BY 1),
            |a${k}t AS (SELECT coalesce(sum(s), CAST(0 AS DECIMAL(28,12)))
            |        AS tot FROM a${k}r),
            |a$k AS (SELECT n.node, CASE WHEN a${k}t.tot = 0 THEN 0e0 ELSE
-           |        round(coalesce(CAST(r.s AS DOUBLE), 0e0)
-           |          / CAST(a${k}t.tot AS DOUBLE), 12) END AS authority
+           |        round((coalesce(CAST(r.s AS DOUBLE), 0e0)
+           |          / CAST(a${k}t.tot AS DOUBLE)) * 1e12) / 1e12 END
+           |        AS authority
            |      FROM nodes n CROSS JOIN a${k}t
            |      LEFT JOIN a${k}r r ON r.node = n.node),
            |h${k}r AS (SELECT e.src AS node,
-           |        sum(CAST(round(a.authority, 12) AS DECIMAL(18,12))) AS s
+           |        sum(CAST(round(a.authority * 1e12) / 1e12 AS DECIMAL(18,12))) AS s
            |      FROM e JOIN a$k a ON a.node = e.dst GROUP BY 1),
            |h${k}t AS (SELECT coalesce(sum(s), CAST(0 AS DECIMAL(28,12)))
            |        AS tot FROM h${k}r),
            |hb$k AS (SELECT n.node, CASE WHEN h${k}t.tot = 0 THEN 0e0 ELSE
-           |        round(coalesce(CAST(r.s AS DOUBLE), 0e0)
-           |          / CAST(h${k}t.tot AS DOUBLE), 12) END AS hub
+           |        round((coalesce(CAST(r.s AS DOUBLE), 0e0)
+           |          / CAST(h${k}t.tot AS DOUBLE)) * 1e12) / 1e12 END
+           |        AS hub
            |      FROM nodes n CROSS JOIN h${k}t
            |      LEFT JOIN h${k}r r ON r.node = n.node)""".stripMargin
       }.mkString(",\n")
@@ -10610,7 +10623,8 @@ object SparkEntry {
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
          |hb0 AS (SELECT node, 1e0 / nn.n AS hub FROM nodes CROSS JOIN nn),
          |$iterCtes
-         |SELECT node, round(hub, 6) AS hub, round(authority, 6) AS authority
+         |SELECT node, round(hub * 1000000) / 1000000 AS hub,
+         |  round(authority * 1000000) / 1000000 AS authority
          |FROM hb2 JOIN a2 USING (node) ORDER BY node""".stripMargin
     },
 
@@ -10627,9 +10641,9 @@ object SparkEntry {
         |        WHERE e2.src = e.dst AND e2.dst = e.src)),
         |n AS (SELECT count(*) AS n_edges FROM e)
         |SELECT n_edges, n_reciprocal,
-        |  CAST(round(CAST(CAST(n_reciprocal AS DOUBLE)
-        |    / nullif(CAST(n_edges AS DOUBLE), 0e0)
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS reciprocity
+        |  round((CAST(n_reciprocal AS DOUBLE)
+        |    / nullif(CAST(n_edges AS DOUBLE), 0e0)) * 1000000) / 1000000
+        |    AS reciprocity
         |FROM n CROSS JOIN r""".stripMargin,
 
     // min_by/max_by with the tie-proof composite ordering key

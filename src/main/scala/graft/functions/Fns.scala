@@ -33,6 +33,22 @@ object Fns {
     */
   def q9(c: Column): Column = round(c * lit(1e9)) / lit(1e9)
 
+  /** [[q6]] at 12 dp — for the graph fixed-point chains (pagerank /
+    * katz / HITS / Fiedler / Markov), whose per-cell 12-dp quantizations
+    * round QUOTIENTS AND PRODUCTS OF GRID VALUES (a 12-dp rank over an
+    * integer out-degree, α × a 12-dp score): rank/deg with deg = 2ᵃ5ᵇ
+    * terminates at 13 fractional digits ending in 5 (deg = 2: m·5·10⁻¹³
+    * for odd m), the exact shortest-repr-vs-binary divergence class the
+    * r19 static census targets — and an iterated chain amplifies one
+    * divergent cell into whole-vector drift. DuckDB mirror:
+    * `round(x * 1e12) / 1e12`. Exactness domain: |x|·10¹² ≲ 2⁵²
+    * (|x| ≲ 4.5e3 — all chain values here are ≤ O(1) scores); beyond it
+    * the form stays ENGINE-DETERMINISTIC (both engines run the same two
+    * IEEE ops on the same double) but no longer implements a true 12-dp
+    * round.
+    */
+  def q12(c: Column): Column = round(c * lit(1e12)) / lit(1e12)
+
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))

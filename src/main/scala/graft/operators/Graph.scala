@@ -89,9 +89,9 @@ object Graph {
       .select(col("v").as("node"), col("d").as("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("d") <= 1, lit(null).cast("double"))
-          .otherwise(round(
+          .otherwise(graft.functions.Fns.q6(
             coalesce(col("n_triangles"), lit(0L)).cast("double") * 2
-              / (col("d").cast("double") * (col("d") - 1)), 6))
+              / (col("d").cast("double") * (col("d") - 1))))
           .as("clustering_coeff"))
   }
 
@@ -147,7 +147,7 @@ object Graph {
       .join(nodes, Seq("node"), "left_semi")
     val nS = s0.agg(count(lit(1)).as("n_s"))
     def dsum(c: org.apache.spark.sql.Column) =
-      sum(round(c, 12).cast("decimal(18,12)"))
+      sum(graft.functions.Fns.q12(c).cast("decimal(18,12)"))
     var ranks = nodes
       .join(s0.withColumn("__in_s", lit(1)), Seq("node"), "left")
       .crossJoin(broadcast(nS))
@@ -174,7 +174,7 @@ object Graph {
               col("dm").cast("double") * col("p"))).as("rank"))
         .localCheckpoint()
     }
-    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+    ranks.select(col("node"), graft.functions.Fns.q6(col("rank")).as("rank"))
   }
 
   /** [[pageRank]] plus the number of iterations actually run — the
@@ -250,7 +250,7 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nn = nodes.agg(count(lit(1)).as("n_nodes"))
     def dsum(c: org.apache.spark.sql.Column) =
-      sum(round(c, 12).cast("decimal(18,12)"))
+      sum(graft.functions.Fns.q12(c).cast("decimal(18,12)"))
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"), col("n_nodes"))
       .localCheckpoint()
@@ -285,7 +285,7 @@ object Graph {
         if (delta.doubleValue <= tol) converged = true
       }
     }
-    (ranks.select(col("node"), round(col("rank"), 6).as("rank")), itersRun)
+    (ranks.select(col("node"), graft.functions.Fns.q6(col("rank")).as("rank")), itersRun)
   }
 
   /** Truncated BFS: exact minimum hop distance (≤ `hops`) from a seed
@@ -345,8 +345,7 @@ object Graph {
                     srcCol: String = "src", dstCol: String = "dst",
                     seedCol: String = "node"): DataFrame = {
     require(hops >= 1, s"need hops >= 1, got $hops")
-    def d6(c: org.apache.spark.sql.Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: org.apache.spark.sql.Column) = graft.functions.Fns.q6(c)
     val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
@@ -363,7 +362,7 @@ object Graph {
     }
     val agg = dist.filter(col("dist") > 0).groupBy("seed")
       .agg(count(lit(1)).as("n_reached"), sum("dist").as("total_dist"),
-        sum(round(lit(1.0) / col("dist"), 9).cast("decimal(18,9)")).as("h"))
+        sum(graft.functions.Fns.q9(lit(1.0) / col("dist")).cast("decimal(18,9)")).as("h"))
     s0.join(agg, Seq("seed"), "left")
       .select(col("seed").as("node"),
         coalesce(col("n_reached"), lit(0L)).as("n_reached"),
@@ -435,8 +434,8 @@ object Graph {
       .join(deg.select(col("node").as("x"), col("deg").as("dx")), "x")
       .join(deg.select(col("node").as("y"), col("deg").as("dy")), "y")
       .select(col("x"), col("y"), col("common"),
-        round(col("common").cast("double") /
-          (col("dx") + col("dy") - col("common")).cast("double"), 6)
+        graft.functions.Fns.q6(col("common").cast("double") /
+          (col("dx") + col("dy") - col("common")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
@@ -467,9 +466,9 @@ object Graph {
       .select(col("m").as("n_directed_edges"),
         // try_divide: a degree-regular graph has zero degree variance —
         // assortativity is undefined there, reported as NULL
-        round(try_divide(
+        graft.functions.Fns.q6(try_divide(
           col("m").cast("double") * col("sxy") - col("sx") * col("sx"),
-          col("m").cast("double") * col("sxx") - col("sx") * col("sx")), 6)
+          col("m").cast("double") * col("sxx") - col("sx") * col("sx")))
           .as("assortativity"))
   }
 
@@ -551,7 +550,7 @@ object Graph {
       .join(und.select(col("u").as("x"), col("v").as("y")),
         Seq("x", "y"), "left_anti")
       .select(col("x"), col("y"), col("common"),
-        round(col("aa_dec").cast("double"), 6).as("adamic_adar"))
+        round(col("aa_dec"), 6).cast("double").as("adamic_adar"))
       .filter(col("adamic_adar") >= minScore)
   }
 
@@ -583,10 +582,10 @@ object Graph {
       .select(col("n_nodes"), col("n_tail"), lit(xmin).as("xmin"),
         // try_divide: an edgeless graph has n_nodes = 0 — NULL frac,
         // not an ANSI divide-by-zero
-        round(try_divide(col("n_tail").cast("double"),
-          col("n_nodes").cast("double")), 6).as("tail_frac"),
-        round(lit(1.0) + try_divide(col("n_tail").cast("double"),
-          col("slog").cast("double")), 6).as("alpha_hill"))
+        graft.functions.Fns.q6(try_divide(col("n_tail").cast("double"),
+          col("n_nodes").cast("double"))).as("tail_frac"),
+        graft.functions.Fns.q6(lit(1.0) + try_divide(col("n_tail").cast("double"),
+          col("slog").cast("double"))).as("alpha_hill"))
   }
 
   /** Rich-club coefficient φ(k) for a ladder of degree thresholds: the
@@ -613,9 +612,9 @@ object Graph {
       club.agg(count(lit(1)).as("n_club"))
         .crossJoin(broadcast(ek))
         .select(lit(k).as("k"), col("n_club"), col("e_club"),
-          round(try_divide(lit(2.0) * col("e_club").cast("double"),
+          graft.functions.Fns.q6(try_divide(lit(2.0) * col("e_club").cast("double"),
             col("n_club").cast("double") *
-            (col("n_club") - 1L).cast("double")), 6).as("phi"))
+            (col("n_club") - 1L).cast("double"))).as("phi"))
     }.reduce(_ unionByName _)
   }
 
@@ -655,12 +654,12 @@ object Graph {
         coalesce(col("degree_sum"), lit(0L)).as("degree_sum"),
         // try_divide: an edgeless labeling (m2 = 0) reports NULL, not
         // an ANSI divide-by-zero
-        round(try_divide(coalesce(col("intra_directed"), lit(0L))
+        graft.functions.Fns.q6(try_divide(coalesce(col("intra_directed"), lit(0L))
             .cast("double"), col("m2").cast("double")) -
           try_divide(coalesce(col("degree_sum"), lit(0L)).cast("double"),
             col("m2").cast("double")) *
           try_divide(coalesce(col("degree_sum"), lit(0L)).cast("double"),
-            col("m2").cast("double")), 6).as("q_contrib"))
+            col("m2").cast("double"))).as("q_contrib"))
   }
 
   /** Per-community conductance φ(C) = cut(C) / min(vol(C), vol(V∖C)) —
@@ -698,10 +697,10 @@ object Graph {
       .select(col("label"), col("n_nodes"),
         coalesce(col("volume"), lit(0L)).as("volume"),
         coalesce(col("cut"), lit(0L)).as("cut"),
-        round(try_divide(coalesce(col("cut"), lit(0L)).cast("double"),
+        graft.functions.Fns.q6(try_divide(coalesce(col("cut"), lit(0L)).cast("double"),
           least(coalesce(col("volume"), lit(0L)),
-            col("m2") - coalesce(col("volume"), lit(0L))).cast("double"))
-          .cast("decimal(24,12)"), 6).cast("double").as("conductance"))
+            col("m2") - coalesce(col("volume"), lit(0L))).cast("double")))
+          .as("conductance"))
   }
 
   /** Directed-graph reciprocity card: of the distinct directed edges,
@@ -728,9 +727,8 @@ object Graph {
     e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(broadcast(rec))
       .select(col("n_edges"), col("n_reciprocal"),
-        round(try_divide(col("n_reciprocal").cast("double"),
-          col("n_edges").cast("double")).cast("decimal(24,12)"), 6)
-          .cast("double").as("reciprocity"))
+        graft.functions.Fns.q6(try_divide(col("n_reciprocal").cast("double"),
+          col("n_edges").cast("double"))).as("reciprocity"))
   }
 
   /** HITS (Kleinberg): mutually-reinforcing hub and authority scores over
@@ -771,7 +769,7 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
     val nn = nodes.agg(count(lit(1)).as("n_nodes"))
     def dsum(c: org.apache.spark.sql.Column) =
-      sum(round(c, 12).cast("decimal(18,12)"))
+      sum(graft.functions.Fns.q12(c).cast("decimal(18,12)"))
     def normalized(raw: DataFrame, out: String): DataFrame = {
       // raw: (node, s DECIMAL) covering only nodes with a nonzero in/out
       // sum; total over the DECIMALs is exact, so the quotient is the
@@ -782,8 +780,8 @@ object Graph {
         .crossJoin(broadcast(tot))
         .select(col("node"),
           when(col("tot") === 0, lit(0.0)).otherwise(
-            round(coalesce(col("s").cast("double"), lit(0.0)) /
-              col("tot").cast("double"), 12)).as(out))
+            graft.functions.Fns.q12(coalesce(col("s").cast("double"), lit(0.0)) /
+              col("tot").cast("double"))).as(out))
     }
     var hubs = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("hub"))
@@ -800,8 +798,8 @@ object Graph {
       hubs = normalized(hRaw, "hub").localCheckpoint()
     }
     hubs.join(auths, "node")
-      .select(col("node"), round(col("hub"), 6).as("hub"),
-        round(col("authority"), 6).as("authority"))
+      .select(col("node"), graft.functions.Fns.q6(col("hub")).as("hub"),
+        graft.functions.Fns.q6(col("authority")).as("authority"))
   }
 
   /** Local bridges: edges whose endpoints share NO common neighbor —
@@ -878,10 +876,9 @@ object Graph {
                        srcCol: String = "src",
                        dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    def d6(c: org.apache.spark.sql.Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: org.apache.spark.sql.Column) = graft.functions.Fns.q6(c)
     def dsum(c: org.apache.spark.sql.Column) =
-      sum(round(c, 12).cast("decimal(28,12)"))
+      sum(graft.functions.Fns.q12(c).cast("decimal(28,12)"))
     val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct().localCheckpoint()
@@ -912,8 +909,8 @@ object Graph {
       val nrm = y.agg(sqrt(dsum(col("y") * col("y")).cast("double"))
         .as("nrm")).localCheckpoint()
       x = y.crossJoin(broadcast(nrm))
-        .select(col("node"), round(when(col("nrm") === 0.0, lit(0.0))
-          .otherwise(col("y") / col("nrm")), 12).as("x"))
+        .select(col("node"), graft.functions.Fns.q12(when(col("nrm") === 0.0, lit(0.0))
+          .otherwise(col("y") / col("nrm"))).as("x"))
         .localCheckpoint()
     }
     // recompute the final norm for the λ₂ estimate: run one more
@@ -1036,14 +1033,13 @@ object Graph {
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
       .groupBy(col("u").as("node"), col("du").as("deg"))
-      .agg(round((sum(col("dv").cast("decimal(38,0)")).cast("double") /
-          count(lit(1)).cast("double")).cast("decimal(24,12)"), 12)
+      .agg(graft.functions.Fns.q12(sum(col("dv").cast("decimal(38,0)")).cast("double") /
+          count(lit(1)).cast("double")).cast("decimal(24,12)")
         .as("nn12"))
     perNode.groupBy("deg")
       .agg(count(lit(1)).as("n_nodes"),
-        round((sum(col("nn12")).cast("double") /
-            count(lit(1)).cast("double")).cast("decimal(24,12)"), 6)
-          .cast("double").as("avg_nn_deg"))
+        graft.functions.Fns.q6(sum(col("nn12")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_nn_deg"))
   }
 
   /** Katz centrality, unrolled: x⁰ = β on every node, then
@@ -1098,7 +1094,7 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     def dsum(c: org.apache.spark.sql.Column) =
-      sum(round(c, 12).cast("decimal(18,12)"))
+      sum(graft.functions.Fns.q12(c).cast("decimal(18,12)"))
     var x = ckpt(nodes.select(col("node"), lit(beta).as("x")))
     var itersRun = 0
     var converged = false
@@ -1121,8 +1117,7 @@ object Graph {
         if (delta.doubleValue <= tol) converged = true
       }
     }
-    (x.select(col("node"), round(col("x").cast("decimal(24,12)"), 6)
-      .cast("double").as("katz")), itersRun)
+    (x.select(col("node"), graft.functions.Fns.q6(col("x")).as("katz")), itersRun)
   }
 
   /** Link-prediction score panel for non-adjacent pairs: common-neighbor
@@ -1152,7 +1147,7 @@ object Graph {
     val withW = und.join(deg.select(col("node").as("v"), col("deg")), "v")
       .filter(col("deg") >= 2)
       .select(col("u"), col("v"),
-        round(lit(1.0) / col("deg").cast("double"), 9)
+        graft.functions.Fns.q9(lit(1.0) / col("deg").cast("double"))
           .cast("decimal(28,9)").as("w"))
     val pairs = withW.as("a").join(withW.as("b"),
         col("a.v") === col("b.v") && col("a.u") < col("b.u"))
