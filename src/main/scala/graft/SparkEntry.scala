@@ -4195,9 +4195,9 @@ object SparkEntry {
        |SELECT mx.doc_id, n_grams,
        |  greatest(n_grams - 3, 0) AS n_windows,
        |  coalesce(n_fingerprints, 0) AS n_fingerprints,
-       |  CAST(round(CAST(CAST(coalesce(n_fingerprints, 0) AS DOUBLE)
+       |  CAST(round((CAST(coalesce(n_fingerprints, 0) AS DOUBLE)
        |    / nullif(CAST(greatest(n_grams - 3, 0) AS DOUBLE), 0e0)
-       |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS density
+       |   ) * 1000000) / 1000000 AS DOUBLE) AS density
        |FROM mx LEFT JOIN fp USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Winnowing PAIR oracle: fingerprint-set self-join over the same
@@ -4646,9 +4646,9 @@ object SparkEntry {
        |      FROM g WHERE d1 > 0 AND dn IS NOT NULL)
        |SELECT CAST(count(*) AS BIGINT) AS n_points,
        |  CAST(round(sum(t), 6) AS DOUBLE) AS sum_log_mu,
-       |  CAST(round(CAST(CAST(count(*) AS DOUBLE)
+       |  CAST(round((CAST(count(*) AS DOUBLE)
        |    / nullif(CAST(sum(t) AS DOUBLE), 0.0)
-       |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS id_twonn
+       |   ) * 1000000) / 1000000 AS DOUBLE) AS id_twonn
        |FROM f""".stripMargin
 
   /** ANN-fed TwoNN oracle: SRP self-candidates → per-pair squared-L2 via
@@ -4675,9 +4675,9 @@ object SparkEntry {
        |      FROM g WHERE d1 > 0 AND dn IS NOT NULL)
        |SELECT CAST(count(*) AS BIGINT) AS n_points,
        |  CAST(round(sum(t), 6) AS DOUBLE) AS sum_log_mu,
-       |  CAST(round(CAST(CAST(count(*) AS DOUBLE)
+       |  CAST(round((CAST(count(*) AS DOUBLE)
        |    / nullif(CAST(sum(t) AS DOUBLE), 0.0)
-       |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS id_twonn
+       |   ) * 1000000) / 1000000 AS DOUBLE) AS id_twonn
        |FROM f""".stripMargin
 
   /** Exact mutual-5-NN-graph oracle (shared with the agreement row). */
@@ -4833,13 +4833,13 @@ object SparkEntry {
         |      FROM l ASOF LEFT JOIN r
         |        ON l.user_id = r.user_id AND l.ts <= r.ts)
         |SELECT l.event_id, l.user_id,
-        |  CAST(round(CAST(CASE WHEN pv IS NULL THEN nv
+        |  CAST(round((CASE WHEN pv IS NULL THEN nv
         |             WHEN nv IS NULL THEN pv
         |             WHEN epoch_us(nt) = epoch_us(pt) THEN pv
         |             ELSE pv + (nv - pv)
         |                    * CAST(epoch_us(l.ts) - epoch_us(pt) AS DOUBLE)
         |                    / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE) END
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS purchase_at_click
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS purchase_at_click
         |FROM l JOIN b USING (event_id) JOIN f USING (event_id)
         |ORDER BY event_id""".stripMargin,
 
@@ -4928,7 +4928,7 @@ object SparkEntry {
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents
         |           GROUP BY 1),
         |w AS (SELECT source, n_docs,
-        |        round(CAST(power(n_docs, 0.5) AS DECIMAL(24,12)), 6) AS w
+        |        round((power(n_docs, 0.5)) * 1000000) / 1000000 AS w
         |      FROM c),
         |t AS (SELECT sum(n_docs) AS n_total,
         |        sum(CAST(w AS DECIMAL(24,6))) AS w_total FROM w)
@@ -4981,12 +4981,12 @@ object SparkEntry {
         |        sum(CAST(round(term, 9) AS DECIMAL(28,9))) AS st
         |      FROM dr GROUP BY 1)
         |SELECT n_draws,
-        |  CAST(round(CAST(CAST(st AS DOUBLE) / CAST(n_draws AS DOUBLE)
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS hh_total,
+        |  CAST(round((CAST(st AS DOUBLE) / CAST(n_draws AS DOUBLE)
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS hh_total,
         |  y_true AS true_total,
-        |  CAST(round(CAST(CAST(st AS DOUBLE)
+        |  CAST(round((CAST(st AS DOUBLE)
         |      / (CAST(n_draws AS DOUBLE) * CAST(y_true AS DOUBLE)) - 1.0
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS rel_error
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS rel_error
         |FROM g""".stripMargin,
 
     // Neyman: exact HUGEINT moments -> 6-dp sample sd; shares compose
@@ -4997,10 +4997,10 @@ object SparkEntry {
         |        sum(CAST(n_chars * n_chars AS HUGEINT)) AS sxx
         |      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
         |sds AS (SELECT stratum, n,
-        |        CAST(round(CAST(sqrt(
+        |        CAST(round((sqrt(
         |          CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
         |          / nullif(CAST(n * (n - 1) AS DOUBLE), 0.0))
-        |          AS DECIMAL(24,12)), 6) AS DOUBLE) AS sd
+        |         ) * 1000000) / 1000000 AS DOUBLE) AS sd
         |      FROM m),
         |ws AS (SELECT stratum, n, sd,
         |        CAST(round(CAST(CAST(n AS DOUBLE) * sd
@@ -5008,10 +5008,10 @@ object SparkEntry {
         |      FROM sds),
         |tot AS (SELECT sum(w6) AS w_total FROM ws)
         |SELECT stratum, n, sd,
-        |  CAST(round(CAST(CAST(w6 AS DOUBLE) / CAST(w_total AS DOUBLE)
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS alloc_share,
-        |  CAST(floor(1000.0 * CAST(round(CAST(CAST(w6 AS DOUBLE)
-        |    / CAST(w_total AS DOUBLE) AS DECIMAL(24,12)), 6) AS DOUBLE))
+        |  CAST(round((CAST(w6 AS DOUBLE) / CAST(w_total AS DOUBLE)
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS alloc_share,
+        |  CAST(floor(1000.0 * CAST(round((CAST(w6 AS DOUBLE)
+        |    / CAST(w_total AS DOUBLE)) * 1000000) / 1000000 AS DOUBLE))
         |    AS BIGINT) AS alloc_n
         |FROM ws CROSS JOIN tot ORDER BY stratum""".stripMargin,
 
@@ -5054,23 +5054,23 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_total,
         |        count(*) AS n_groups FROM c),
         |w AS (SELECT grp, n_src, n_total, n_groups,
-        |        CAST(round(CAST(CAST(n_total AS DOUBLE)
+        |        CAST(round((CAST(n_total AS DOUBLE)
         |          / CAST(n_groups * n_src AS DOUBLE)
-        |          AS DECIMAL(24,12)), 9) AS DOUBLE) AS weight
+        |         ) * 1000000000) / 1000000000 AS DOUBLE) AS weight
         |      FROM c CROSS JOIN t),
         |s AS (SELECT CAST(sum(CAST(
-        |        round(CAST(weight * weight AS DECIMAL(24,12)), 9) * n_src
+        |        round((weight * weight) * 1000000000) / 1000000000 * n_src
         |        AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sw2 FROM w)
         |SELECT grp AS lang, n_src,
-        |  CAST(round(CAST(CAST(n_src AS DOUBLE) / CAST(n_total AS DOUBLE)
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS source_share,
-        |  CAST(round(CAST(1e0 / CAST(n_groups AS DOUBLE)
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS target_share,
+        |  CAST(round((CAST(n_src AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS source_share,
+        |  CAST(round((1e0 / CAST(n_groups AS DOUBLE)
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS target_share,
         |  weight,
-        |  CAST(round(CAST(CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
-        |    / CAST(sw2 AS DOUBLE) AS DECIMAL(24,12)), 6) AS DOUBLE) AS ess,
-        |  CAST(round(CAST(CAST(n_total AS DOUBLE) / CAST(sw2 AS DOUBLE)
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS ess_ratio
+        |  CAST(round((CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |    / CAST(sw2 AS DOUBLE)) * 1000000) / 1000000 AS DOUBLE) AS ess,
+        |  CAST(round((CAST(n_total AS DOUBLE) / CAST(sw2 AS DOUBLE)
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS ess_ratio
         |FROM w CROSS JOIN s ORDER BY lang""".stripMargin,
 
     "stream_dedup" ->
@@ -5500,11 +5500,11 @@ object SparkEntry {
         |        sum(CAST(i * x AS DECIMAL(38,0))) AS six
         |      FROM r GROUP BY 1)
         |SELECT event_type, n_users, n_events,
-        |  CAST(round(CAST(
+        |  CAST(round((
         |    (2.0 * CAST(six AS DOUBLE) -
         |      CAST(n_users + 1 AS DOUBLE) * CAST(n_events AS DOUBLE)) /
         |    (CAST(n_users AS DOUBLE) * CAST(n_events AS DOUBLE))
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS gini
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS gini
         |FROM a ORDER BY event_type""".stripMargin,
 
     // Elasticity: 6-dp-quantized lns scaled to exact ×10⁶ integers
@@ -5531,10 +5531,10 @@ object SparkEntry {
         |        CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS cyy
         |      FROM m)
         |SELECT p_brand, n,
-        |  CAST(round(CAST(cxy / nullif(cxx, 0.0) AS DECIMAL(24,12)), 6)
+        |  CAST(round((cxy / nullif(cxx, 0.0)) * 1000000) / 1000000
         |    AS DOUBLE) AS elasticity,
-        |  CAST(round(CAST((cxy * cxy) / nullif(cxx * cyy, 0.0)
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS r2
+        |  CAST(round(((cxy * cxy) / nullif(cxx * cyy, 0.0)
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS r2
         |FROM c ORDER BY p_brand""".stripMargin,
 
     "ana_transitions" ->
@@ -5778,12 +5778,12 @@ object SparkEntry {
       def one(w: Int) =
         s"""SELECT CAST($w AS BIGINT) AS width,
            |  CAST(count(*) AS BIGINT) AS n_keys,
-           |  CAST(round(CAST(CAST(sum(est - exact) AS DOUBLE) / count(*)
-           |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS mean_over,
+           |  CAST(round((CAST(sum(est - exact) AS DOUBLE) / count(*)
+           |   ) * 1000000) / 1000000 AS DOUBLE) AS mean_over,
            |  CAST(max(est - exact) AS BIGINT) AS max_over,
-           |  CAST(round(CAST(CAST(sum(CASE WHEN est = exact THEN 1
+           |  CAST(round((CAST(sum(CASE WHEN est = exact THEN 1
            |      ELSE 0 END) AS DOUBLE) / count(*)
-           |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS frac_exact
+           |   ) * 1000000) / 1000000 AS DOUBLE) AS frac_exact
            |FROM (
            |  SELECT kb.key, min(c.cnt) AS est, min(ex.exact) AS exact
            |  FROM (SELECT key, r,
@@ -6525,8 +6525,8 @@ object SparkEntry {
          |tot AS (SELECT lang_true, CAST(sum(n) AS BIGINT) AS t
          |      FROM conf GROUP BY 1)
          |SELECT lang_true, lang_pred, n,
-         |  CAST(round(CAST(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
-         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS frac_of_true
+         |  round((CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000) / 1000000
+         |    AS frac_of_true
          |FROM conf JOIN tot USING (lang_true)
          |ORDER BY lang_true, lang_pred""".stripMargin
     },
@@ -6697,8 +6697,9 @@ object SparkEntry {
          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
          |        CAST(sum(freq) AS BIGINT) AS total FROM v)
          |SELECT n_terms, total,
-         |  round(CAST(sum(freq * (n_terms - 2 * term_id - 1)) AS DOUBLE) /
-         |    (CAST(n_terms AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini
+         |  round((CAST(sum(freq * (n_terms - 2 * term_id - 1)) AS DOUBLE) /
+         |    (CAST(n_terms AS DOUBLE) * CAST(total AS DOUBLE))) * 1000000)
+         |    / 1000000 AS gini
          |FROM v CROSS JOIN tot GROUP BY n_terms, total""".stripMargin,
 
     // Keyness: the vocabulary CTE, a sources×vocab spine, the four
@@ -7098,7 +7099,7 @@ object SparkEntry {
         |      FROM f GROUP BY 1 HAVING round(sqrt(CAST(sum(CAST(round(x * x, 6)
         |          AS DECIMAL(18,6))) AS DOUBLE)) * 1000000) / 1000000 > 0),
         |u AS (SELECT f.vec_id, f.dim,
-        |        CAST(round(CAST(f.x / n.nrm AS DECIMAL(24,12)), 6)
+        |        CAST(round((f.x / n.nrm) * 1000000) / 1000000
         |          AS DECIMAL(18,6)) AS u
         |      FROM f JOIN n ON n.vec_id = f.vec_id),
         |d AS (SELECT dim, CAST(sum(u) AS DECIMAL(38,6)) AS su,
@@ -7106,21 +7107,21 @@ object SparkEntry {
         |          AS self_d
         |      FROM u GROUP BY 1),
         |t AS (SELECT count(*) AS n_dims,
-        |        CAST(sum(CAST(round(CAST(CAST(su AS DOUBLE)
-        |          * CAST(su AS DOUBLE) AS DECIMAL(24,12)), 6)
+        |        CAST(sum(CAST(round((CAST(su AS DOUBLE)
+        |          * CAST(su AS DOUBLE)) * 1000000) / 1000000
         |          AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS ss,
         |        CAST(sum(self_d) AS DECIMAL(38,12)) AS self_sum
         |      FROM d),
         |c AS (SELECT count(*) AS n_vectors FROM n)
         |SELECT n_vectors, n_dims,
-        |  CAST(round(CAST(CAST(ss AS DOUBLE) AS DECIMAL(24,12)), 6)
+        |  CAST(round((CAST(ss AS DOUBLE)) * 1000000) / 1000000
         |    AS DOUBLE) AS norm_sum_sq,
-        |  CAST(round(CAST(CAST(self_sum AS DOUBLE) AS DECIMAL(24,12)), 6)
+        |  CAST(round((CAST(self_sum AS DOUBLE)) * 1000000) / 1000000
         |    AS DOUBLE) AS self_cos_sum,
-        |  CAST(round(CAST(CASE WHEN n_vectors > 1 THEN
+        |  CAST(round((CASE WHEN n_vectors > 1 THEN
         |      (CAST(ss AS DOUBLE) - CAST(self_sum AS DOUBLE))
         |      / (CAST(n_vectors AS DOUBLE) * CAST(n_vectors - 1 AS DOUBLE))
-        |    ELSE NULL END AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |    ELSE NULL END) * 1000000) / 1000000 AS DOUBLE)
         |    AS mean_pairwise_cos
         |FROM c CROSS JOIN t""".stripMargin,
 
@@ -7194,10 +7195,11 @@ object SparkEntry {
         |        CAST(sum(c) AS BIGINT) AS freq,
         |        CAST(sum(c * c) AS BIGINT) AS s2 FROM dt GROUP BY 1)
         |SELECT term, df, freq,
-        |  round((CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE)
+        |  round(((CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE)
         |    - (CAST(freq AS DOUBLE) / CAST(nd AS DOUBLE))
         |      * (CAST(freq AS DOUBLE) / CAST(nd AS DOUBLE)))
-        |    / (CAST(freq AS DOUBLE) / CAST(nd AS DOUBLE)), 6) AS vmr
+        |    / (CAST(freq AS DOUBLE) / CAST(nd AS DOUBLE))) * 1000000)
+        |    / 1000000 AS vmr
         |FROM agg CROSS JOIN nd ORDER BY term""".stripMargin,
 
     // Seasonal-naive backtest: the dft hour-index convention, a
@@ -7211,7 +7213,7 @@ object SparkEntry {
         |        count(*) AS nh,
         |        sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS sv
         |      FROM e JOIN bd ON bd.k = e.k GROUP BY 1, 2),
-        |hr AS (SELECT k, h, round(CAST(sv AS DOUBLE) / nh, 6) AS vh FROM hh),
+        |hr AS (SELECT k, h, round((CAST(sv AS DOUBLE) / nh) * 1000000) / 1000000 AS vh FROM hh),
         |hm AS (SELECT k, max(h) AS hmax FROM hr GROUP BY 1),
         |test AS (SELECT hr.k, h, vh FROM hr JOIN hm ON hm.k = hr.k
         |      WHERE h > hmax - 48),
@@ -7497,8 +7499,8 @@ object SparkEntry {
          |SELECT sh.doc_id, count(*) AS n_grams,
          |  CAST(sum(CASE WHEN fst.first_doc = sh.doc_id THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_novel,
-         |  round(CAST(sum(CASE WHEN fst.first_doc = sh.doc_id THEN 1 ELSE 0 END)
-         |    AS DOUBLE) / count(*), 6) AS novelty
+         |  round((CAST(sum(CASE WHEN fst.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*)) * 1000000) / 1000000 AS novelty
          |FROM sh JOIN fst USING (shingle)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
@@ -7581,10 +7583,10 @@ object SparkEntry {
          |j AS (SELECT t.doc_id, df.df FROM t JOIN df USING (term))
          |SELECT doc_id, count(*) AS n_tokens,
          |  CAST(sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
-         |  round(CAST(sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / count(*), 6) AS rare_ratio,
-         |  round(CAST(sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / count(*), 6) > 0.5 AS flagged
+         |  round((CAST(sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*)) * 1000000) / 1000000 AS rare_ratio,
+         |  round((CAST(sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*)) * 1000000) / 1000000 > 0.5 AS flagged
          |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "text_quality_gate" ->
@@ -7648,7 +7650,8 @@ object SparkEntry {
          |  list_sort($arr, 'DESC') AS sv, $total AS total
          |FROM scored)
          |SELECT doc_id, lang_pred, sv[1] AS top1, sv[1] - sv[2] AS margin,
-         |  round(CAST(sv[1] AS DOUBLE) / nullif(total, 0), 6) AS share
+         |  round((CAST(sv[1] AS DOUBLE) / nullif(total, 0)) * 1000000)
+         |    / 1000000 AS share
          |FROM m ORDER BY doc_id""".stripMargin
     },
 
@@ -7778,8 +7781,8 @@ object SparkEntry {
          |        ORDER BY n DESC, lbl) AS rn FROM v) WHERE rn = 1)
          |SELECT mem.cid AS cluster_id, n_members, majority_label,
          |  coalesce(n_majority, 0) AS n_majority,
-         |  CAST(round(CAST(CAST(coalesce(n_majority, 0) AS DOUBLE)
-         |    / CAST(n_members AS DOUBLE) AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |  CAST(round((CAST(coalesce(n_majority, 0) AS DOUBLE)
+         |    / CAST(n_members AS DOUBLE)) * 1000000) / 1000000 AS DOUBLE)
          |    AS purity
          |FROM mem LEFT JOIN top USING (cid) ORDER BY cluster_id""".stripMargin,
 
@@ -7818,13 +7821,13 @@ object SparkEntry {
          |${frobCtes("yy", "fy", "fy", "sy", "sy")},
          |np AS (SELECT count(*) AS n_pairs FROM pr)
          |SELECT n_pairs,
-         |  CAST(round(CAST(sqrt(fxx.f2) AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |  CAST(round((sqrt(fxx.f2)) * 1000000) / 1000000 AS DOUBLE)
          |    AS x_norm,
-         |  CAST(round(CAST(sqrt(fyy.f2) AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |  CAST(round((sqrt(fyy.f2)) * 1000000) / 1000000 AS DOUBLE)
          |    AS y_norm,
-         |  CAST(round(CAST(fxy.f2
+         |  CAST(round((fxy.f2
          |    / nullif(sqrt(fxx.f2) * sqrt(fyy.f2), 0e0)
-         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS cka
+         |   ) * 1000000) / 1000000 AS DOUBLE) AS cka
          |FROM np CROSS JOIN fxy CROSS JOIN fxx CROSS JOIN fyy""".stripMargin
     },
 
@@ -8123,12 +8126,12 @@ object SparkEntry {
          |        / (8.0 * CAST(dq.dq AS DOUBLE)) AS ratio
          |      FROM dq JOIN dp ON dp.ida = dq.ida WHERE dq.dq > 0)
          |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-         |  CAST(round(CAST(CAST(sum(CAST(round(ratio, 9) AS DECIMAL(18,9)))
+         |  CAST(round((CAST(sum(CAST(round(ratio, 9) AS DECIMAL(18,9)))
          |      AS DOUBLE) / CAST(count(*) AS DOUBLE)
-         |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS mean_ratio,
-         |  CAST(round(CAST(min(ratio) AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |   ) * 1000000) / 1000000 AS DOUBLE) AS mean_ratio,
+         |  CAST(round((min(ratio)) * 1000000) / 1000000 AS DOUBLE)
          |    AS min_ratio,
-         |  CAST(round(CAST(max(ratio) AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |  CAST(round((max(ratio)) * 1000000) / 1000000 AS DOUBLE)
          |    AS max_ratio
          |FROM r""".stripMargin
     },
@@ -8162,11 +8165,11 @@ object SparkEntry {
          |SELECT 0 AS round, id AS vec_id, CAST(NULL AS DOUBLE) AS dist2
          |FROM s0
          |UNION ALL SELECT 1, id,
-         |  CAST(round(CAST(nd AS DECIMAL(24,12)), 6) AS DOUBLE) FROM s1
+         |  CAST(round((nd) * 1000000) / 1000000 AS DOUBLE) FROM s1
          |UNION ALL SELECT 2, id,
-         |  CAST(round(CAST(nd AS DECIMAL(24,12)), 6) AS DOUBLE) FROM s2
+         |  CAST(round((nd) * 1000000) / 1000000 AS DOUBLE) FROM s2
          |UNION ALL SELECT 3, id,
-         |  CAST(round(CAST(nd AS DECIMAL(24,12)), 6) AS DOUBLE) FROM s3
+         |  CAST(round((nd) * 1000000) / 1000000 AS DOUBLE) FROM s3
          |ORDER BY round""".stripMargin
     },
 
@@ -8317,8 +8320,8 @@ object SparkEntry {
          |      FROM x3 CROSS JOIN sgn),
          |cn AS (SELECT i, count(*) AS n FROM xx GROUP BY 1),
          |mu AS (SELECT mm.i,
-         |        CAST(round(CAST(CAST(mm.sx AS DOUBLE) / cn.n
-         |          AS DECIMAL(24,12)), 6) AS DOUBLE) AS mu
+         |        CAST(round((CAST(mm.sx AS DOUBLE) / cn.n
+         |         ) * 1000000) / 1000000 AS DOUBLE) AS mu
          |      FROM mm JOIN cn ON cn.i = mm.i),
          |xm AS (SELECT xx.vec_id, xx.i, xx.xi - mu.mu AS a,
          |        v.loading AS b
@@ -8328,7 +8331,7 @@ object SparkEntry {
          |          AS DOUBLE) AS dot
          |      FROM xm GROUP BY 1)
          |SELECT xm.vec_id, CAST(xm.i + 1 AS BIGINT) AS dim,
-         |  CAST(round(CAST(xm.a - dt.dot * xm.b AS DECIMAL(24,12)), 6)
+         |  CAST(round((xm.a - dt.dot * xm.b) * 1000000) / 1000000
          |    AS DOUBLE) AS x_abtt
          |FROM xm JOIN dt ON dt.vec_id = xm.vec_id
          |ORDER BY xm.vec_id, dim""".stripMargin
@@ -8583,10 +8586,10 @@ object SparkEntry {
          |        CAST(count(*) AS BIGINT) AS n_transitions
          |      FROM t JOIN pif ON pif.state = t.from_type)
          |SELECT nn.k AS n_states, h.n_transitions,
-         |  CAST(round(CAST(-CAST(sh AS DOUBLE) AS DECIMAL(24,12)), 6)
+         |  CAST(round((-CAST(sh AS DOUBLE)) * 1000000) / 1000000
          |    AS DOUBLE) AS entropy_rate,
-         |  CAST(round(CAST(-CAST(sh AS DOUBLE)
-         |    / nullif(ln(CAST(nn.k AS DOUBLE)), 0.0) AS DECIMAL(24,12)), 6)
+         |  CAST(round((-CAST(sh AS DOUBLE)
+         |    / nullif(ln(CAST(nn.k AS DOUBLE)), 0.0)) * 1000000) / 1000000
          |    AS DOUBLE) AS normalized
          |FROM h CROSS JOIN nn""".stripMargin
     },
@@ -8600,14 +8603,14 @@ object SparkEntry {
       s"""WITH cells AS (SELECT (user_id % 2 = 1) AS treated,
          |      (ts >= TIMESTAMP '2024-01-16 00:00:00') AS post,
          |      CAST(count(*) AS BIGINT) AS n,
-         |      CAST(round(CAST(CAST(sum(CAST(value AS DECIMAL(24,6)))
-         |        AS DOUBLE) / count(*) AS DECIMAL(24,12)), 6) AS DOUBLE)
+         |      CAST(round((CAST(sum(CAST(value AS DECIMAL(24,6)))
+         |        AS DOUBLE) / count(*)) * 1000000) / 1000000 AS DOUBLE)
          |        AS mean
          |    FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
          |SELECT n_t_pre, mean_t_pre, n_t_post, mean_t_post,
          |  n_c_pre, mean_c_pre, n_c_post, mean_c_post,
-         |  CAST(round(CAST((mean_t_post - mean_t_pre)
-         |    - (mean_c_post - mean_c_pre) AS DECIMAL(24,12)), 6)
+         |  CAST(round(((mean_t_post - mean_t_pre)
+         |    - (mean_c_post - mean_c_pre)) * 1000000) / 1000000
          |    AS DOUBLE) AS did
          |FROM ${cell("treated AND NOT post", "t_pre")}
          |CROSS JOIN ${cell("treated AND post", "t_post")}
@@ -8671,10 +8674,10 @@ object SparkEntry {
         |      * (1.0 / n_a + 1.0 / n_b)) END AS zv
         |  FROM m)
         |SELECT n_a, x_a, n_b, x_b,
-        |  CAST(round(CAST(pa AS DECIMAL(24,12)), 6) AS DOUBLE) AS rate_a,
-        |  CAST(round(CAST(pb AS DECIMAL(24,12)), 6) AS DOUBLE) AS rate_b,
-        |  CAST(round(CAST(pa - pb AS DECIMAL(24,12)), 6) AS DOUBLE) AS lift,
-        |  CAST(round(CAST(zv AS DECIMAL(24,12)), 6) AS DOUBLE) AS z,
+        |  CAST(round((pa) * 1000000) / 1000000 AS DOUBLE) AS rate_a,
+        |  CAST(round((pb) * 1000000) / 1000000 AS DOUBLE) AS rate_b,
+        |  CAST(round((pa - pb) * 1000000) / 1000000 AS DOUBLE) AS lift,
+        |  CAST(round((zv) * 1000000) / 1000000 AS DOUBLE) AS z,
         |  coalesce(abs(zv) > 1.96, false) AS significant
         |FROM z ORDER BY n_a""".stripMargin,
 
@@ -8726,7 +8729,7 @@ object SparkEntry {
          |rk AS (SELECT term, next, n, row_number() OVER (PARTITION BY term
          |         ORDER BY n DESC, next) AS rn FROM pr)
          |SELECT rk.term, next, CAST(n AS BIGINT) AS n,
-         |  round(CAST(n AS DOUBLE) / n_term, 6) AS p
+         |  round((CAST(n AS DOUBLE) / n_term) * 1000000) / 1000000 AS p
          |FROM rk JOIN tot USING (term) WHERE rn = 1 ORDER BY term""".stripMargin,
 
     "text_zipf_slope" ->
@@ -8741,15 +8744,17 @@ object SparkEntry {
          |s AS (SELECT count(*) AS n_terms,
          |        sum(CAST(x AS DECIMAL(28,6))) AS sx,
          |        sum(CAST(y AS DECIMAL(28,6))) AS sy,
-         |        sum(CAST(round(x * y, 6) AS DECIMAL(28,6))) AS sxy,
-         |        sum(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS sxx
+         |        sum(CAST(round((x * y) * 1000000) / 1000000
+         |          AS DECIMAL(28,6))) AS sxy,
+         |        sum(CAST(round((x * x) * 1000000) / 1000000
+         |          AS DECIMAL(28,6))) AS sxx
          |      FROM xy)
          |SELECT CAST(n_terms AS BIGINT) AS n_terms,
-         |  round((CAST(sxy AS DOUBLE)
+         |  round(((CAST(sxy AS DOUBLE)
          |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n_terms)
          |    / (CAST(sxx AS DOUBLE)
-         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_terms), 6)
-         |    AS zipf_slope
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_terms))
+         |    * 1000000) / 1000000 AS zipf_slope
          |FROM s""".stripMargin,
 
     // Char-class mirror: length-difference counts per regex class ('g'
@@ -8790,8 +8795,9 @@ object SparkEntry {
         |  FROM f GROUP BY 1)
         |SELECT source, n_tokens, n_types,
         |  CASE WHEN n_tokens > 1 THEN
-        |    round(1.0 - CAST(rep_mass AS DOUBLE)
-        |      / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)), 6)
+        |    round((1.0 - CAST(rep_mass AS DOUBLE)
+        |      / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)))
+        |      * 1000000) / 1000000
         |  END AS simpson_diversity
         |FROM m ORDER BY source""".stripMargin,
 
@@ -8821,15 +8827,17 @@ object SparkEntry {
          |s AS (SELECT count(*) AS n_points,
          |        sum(CAST(x AS DECIMAL(28,6))) AS sx,
          |        sum(CAST(y AS DECIMAL(28,6))) AS sy,
-         |        sum(CAST(round(x * y, 6) AS DECIMAL(28,6))) AS sxy,
-         |        sum(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS sxx
+         |        sum(CAST(round((x * y) * 1000000) / 1000000
+         |          AS DECIMAL(28,6))) AS sxy,
+         |        sum(CAST(round((x * x) * 1000000) / 1000000
+         |          AS DECIMAL(28,6))) AS sxx
          |      FROM pts)
          |SELECT CAST(n_points AS BIGINT) AS n_points,
-         |  round((CAST(sxy AS DOUBLE)
+         |  round(((CAST(sxy AS DOUBLE)
          |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n_points)
          |    / (CAST(sxx AS DOUBLE)
-         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_points), 6)
-         |    AS heaps_beta
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_points))
+         |    * 1000000) / 1000000 AS heaps_beta
          |FROM s""".stripMargin,
 
     "text_postings" ->
@@ -8859,8 +8867,10 @@ object SparkEntry {
          |SELECT lang, count(*) AS n_docs,
          |  CAST(sum(w) AS BIGINT) AS n_words,
          |  CAST(sum(s) AS BIGINT) AS n_subwords,
-         |  round(CAST(sum(s) AS DOUBLE) / nullif(sum(w), 0), 6) AS fertility,
-         |  round(CAST(sum(c) AS DOUBLE) / nullif(sum(s), 0), 6) AS chars_per_subword
+         |  round((CAST(sum(s) AS DOUBLE) / nullif(sum(w), 0)) * 1000000)
+         |    / 1000000 AS fertility,
+         |  round((CAST(sum(c) AS DOUBLE) / nullif(sum(s), 0)) * 1000000)
+         |    / 1000000 AS chars_per_subword
          |FROM p GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "text_hapax" ->
@@ -8870,8 +8880,8 @@ object SparkEntry {
         |f AS (SELECT source, term, count(*) AS f FROM t GROUP BY 1, 2)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
         |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-        |  round(CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / nullif(count(*), 0), 6) AS hapax_ratio
+        |  round((CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / nullif(count(*), 0)) * 1000000) / 1000000 AS hapax_ratio
         |FROM f GROUP BY 1 ORDER BY source""".stripMargin,
 
     // Yule's K: Σf² in HUGEINT mirrors the DECIMAL(38,0) sum; one double
@@ -8887,10 +8897,10 @@ object SparkEntry {
         |        sum(CAST(f AS HUGEINT) * CAST(f AS HUGEINT)) AS sff
         |      FROM tc GROUP BY 1)
         |SELECT source, n_terms, n_tokens,
-        |  CAST(round(CAST(10000.0 * (CAST(sff AS DOUBLE)
+        |  round((10000.0 * (CAST(sff AS DOUBLE)
         |      - CAST(n_tokens AS DOUBLE))
         |    / nullif(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE),
-        |      0.0) AS DECIMAL(24,12)), 6) AS DOUBLE) AS yule_k
+        |      0.0)) * 1000000) / 1000000 AS yule_k
         |FROM m ORDER BY source""".stripMargin,
 
     // Burstiness: same top-200 vocabulary cut (freq DESC, term) as
@@ -8912,10 +8922,10 @@ object SparkEntry {
         |        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS scc
         |      FROM pd WHERE term IN (SELECT term FROM top) GROUP BY 1)
         |SELECT term, df, sc AS total,
-        |  CAST(round(CAST(CAST(CAST(n_docs AS HUGEINT) * scc
+        |  round((CAST(CAST(n_docs AS HUGEINT) * scc
         |      - CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT) AS DOUBLE)
-        |    / nullif(CAST(n_docs AS DOUBLE) * CAST(sc AS DOUBLE), 0.0)
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS fano
+        |    / nullif(CAST(n_docs AS DOUBLE) * CAST(sc AS DOUBLE), 0.0))
+        |    * 1000000) / 1000000 AS fano
         |FROM m CROSS JOIN nd ORDER BY term""".stripMargin,
 
     // MSTTR: 0-based positions (generate_subscripts is 1-based) chop
@@ -8934,10 +8944,10 @@ object SparkEntry {
         |      FROM t GROUP BY 1, 2, 3 HAVING count(*) = 8)
         |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  count(*) AS n_segments,
-        |  CAST(round(CAST(CAST(sum(CAST(round(CAST(n_distinct AS DOUBLE)
-        |      / 8.0, 6) AS DECIMAL(18,6))) AS DOUBLE)
-        |    / nullif(CAST(count(*) AS DOUBLE), 0.0) AS DECIMAL(24,12)), 6)
-        |    AS DOUBLE) AS msttr
+        |  round((CAST(sum(CAST(round((CAST(n_distinct AS DOUBLE)
+        |      / 8.0) * 1000000) / 1000000 AS DECIMAL(18,6))) AS DOUBLE)
+        |    / nullif(CAST(count(*) AS DOUBLE), 0.0)) * 1000000) / 1000000
+        |    AS msttr
         |FROM sg GROUP BY 1 ORDER BY source""".stripMargin,
 
     // Conditional char-bigram entropy: chain rule with no p division —
@@ -8964,14 +8974,14 @@ object SparkEntry {
         |          AS DECIMAL(38,6)) AS s_c1
         |      FROM pre GROUP BY 1, 2),
         |pd AS (SELECT a12.source, a12.doc_id, n_bg,
-        |        CAST(round(CAST(CAST(s_c1 - s_bg AS DOUBLE)
-        |          / CAST(n_bg AS DOUBLE) AS DECIMAL(24,12)), 6)
+        |        CAST(round((CAST(s_c1 - s_bg AS DOUBLE)
+        |          / CAST(n_bg AS DOUBLE)) * 1000000) / 1000000
         |          AS DECIMAL(18,6)) AS h6
         |      FROM a12 JOIN a1 USING (source, doc_id))
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_bg) AS BIGINT) AS n_bigrams,
-        |  CAST(round(CAST(CAST(sum(h6) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE) AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |  CAST(round((CAST(sum(h6) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) * 1000000) / 1000000 AS DOUBLE)
         |    AS mean_cond_entropy
         |FROM pd GROUP BY 1 ORDER BY source""".stripMargin,
 
@@ -9007,7 +9017,8 @@ object SparkEntry {
          |          AS DECIMAL(18,6))) AS slogp
          |      FROM tf JOIN tot USING (term) CROSS JOIN n GROUP BY 1)
          |SELECT doc_id, n_tokens,
-         |  round(-CAST(slogp AS DOUBLE) / n_tokens, 6) AS log_perplexity,
+         |  round((-CAST(slogp AS DOUBLE) / n_tokens) * 1000000) / 1000000
+         |    AS log_perplexity,
          |  round(exp(-CAST(slogp AS DOUBLE) / n_tokens), 6) AS perplexity
          |FROM a ORDER BY doc_id""".stripMargin,
 
@@ -9120,14 +9131,14 @@ object SparkEntry {
         |          AS DECIMAL(38,6)) AS sclogc
         |      FROM cells GROUP BY 1, 2),
         |h AS (SELECT user_id, n,
-        |        CAST(round(CAST(ln(n) - CAST(sclogc AS DOUBLE)
-        |          / CAST(n AS DOUBLE) AS DECIMAL(24,12)), 6)
+        |        CAST(round((ln(n) - CAST(sclogc AS DOUBLE)
+        |          / CAST(n AS DOUBLE)) * 1000000) / 1000000
         |          AS DECIMAL(18,6)) AS h6
         |      FROM se)
         |SELECT user_id, count(*) AS n_sessions,
         |  CAST(sum(n) AS BIGINT) AS n_events,
-        |  CAST(round(CAST(CAST(sum(h6) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE) AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |  CAST(round((CAST(sum(h6) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) * 1000000) / 1000000 AS DOUBLE)
         |    AS mean_entropy,
         |  CAST(max(h6) AS DOUBLE) AS max_entropy
         |FROM h GROUP BY 1 ORDER BY user_id""".stripMargin,
@@ -9470,9 +9481,9 @@ object SparkEntry {
         |  CAST(date_diff('day', first_day, last_day) + 1 - n_days
         |    AS BIGINT) AS missing_days,
         |  CAST(coalesce(mg, 0) AS BIGINT) AS max_gap_days,
-        |  CAST(round(CAST(CAST(n_days AS DOUBLE)
+        |  CAST(round((CAST(n_days AS DOUBLE)
         |    / CAST(date_diff('day', first_day, last_day) + 1 AS DOUBLE)
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS coverage
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS coverage
         |FROM a ORDER BY event_type""".stripMargin,
 
     // Chi2: 6-dp-quantized per-category contributions, exact DECIMAL
@@ -9487,15 +9498,15 @@ object SparkEntry {
         |        CAST(n_rows AS DOUBLE) / k AS expected
         |      FROM c CROSS JOIN t),
         |g AS (SELECT category, n_rows, k,
-        |        CAST(round(CAST((CAST(n_obs AS DOUBLE) - expected)
+        |        CAST(round(((CAST(n_obs AS DOUBLE) - expected)
         |          * (CAST(n_obs AS DOUBLE) - expected) / expected
-        |          AS DECIMAL(24,12)), 6) AS DOUBLE) AS c2 FROM x)
+        |         ) * 1000000) / 1000000 AS DOUBLE) AS c2 FROM x)
         |SELECT max(n_rows) AS n_rows,
         |  CAST(max(k) AS BIGINT) AS n_categories,
         |  CAST(max(k) - 1 AS BIGINT) AS dof,
         |  CAST(sum(CAST(c2 AS DECIMAL(24,6))) AS DOUBLE) AS chi2,
-        |  CAST(round(CAST(CAST(sum(CAST(c2 AS DECIMAL(24,6))) AS DOUBLE)
-        |    / CAST(max(k) - 1 AS DOUBLE) AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |  CAST(round((CAST(sum(CAST(c2 AS DECIMAL(24,6))) AS DOUBLE)
+        |    / CAST(max(k) - 1 AS DOUBLE)) * 1000000) / 1000000 AS DOUBLE)
         |    AS chi2_per_dof,
         |  (SELECT category FROM g ORDER BY c2 DESC, category DESC LIMIT 1)
         |    AS top_category,
@@ -9524,9 +9535,9 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN nr > 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_keys_with_regressions,
         |  max(mb) AS max_backstep_us,
-        |  CAST(round(CAST(1e0 - CAST(sum(nr) AS DOUBLE)
+        |  CAST(round((1e0 - CAST(sum(nr) AS DOUBLE)
         |    / nullif(CAST(sum(np) AS DOUBLE), 0e0)
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS ordered_rate
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS ordered_rate
         |FROM k""".stripMargin,
 
     // FD discovery: per-pair distinct counts as scalar subqueries (the
@@ -10029,13 +10040,13 @@ object SparkEntry {
         |      AS BIGINT) AS n_syllables
         |  FROM documents)
         |SELECT doc_id, n_words, n_sentences, n_syllables,
-        |  round(206.835
+        |  round((206.835
         |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
-        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
-        |    6) AS flesch_ease,
-        |  round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+        |    * 1000000) / 1000000 AS flesch_ease,
+        |  round((0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
         |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
-        |    - 15.59, 6) AS fk_grade
+        |    - 15.59) * 1000000) / 1000000 AS fk_grade
         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
 
     // Assortativity: symmetric directed-edge view, five DECIMAL(38,0)
@@ -10772,8 +10783,10 @@ object SparkEntry {
         |      FROM p)
         |SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-        |  round(CAST(sum(CAST(round(ratio, 6) AS DECIMAL(18,6))) AS DOUBLE)
-        |    / nullif(count(ratio), 0), 6) AS mean_distinct_ratio
+        |  round((CAST(sum(CAST(round(ratio * 1000000) / 1000000
+        |      AS DECIMAL(18,6))) AS DOUBLE)
+        |    / nullif(count(ratio), 0)) * 1000000) / 1000000
+        |    AS mean_distinct_ratio
         |FROM r GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
 
     "text_pack" ->
@@ -10815,8 +10828,9 @@ object SparkEntry {
          |      FROM c)
          |SELECT shard, CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
          |  count(*) AS n_docs, CAST(sum(n_subwords) AS BIGINT) AS n_tokens,
-         |  round(CAST(sum(n_subwords) AS DOUBLE)
-         |    / nullif(count(DISTINCT seq_id) * 400.0, 0), 6) AS utilization
+         |  round((CAST(sum(n_subwords) AS DOUBLE)
+         |    / nullif(count(DISTINCT seq_id) * 400.0, 0)) * 1000000)
+         |    / 1000000 AS utilization
          |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
 
     "op01_02_json_copy" ->
@@ -10924,8 +10938,8 @@ object SparkEntry {
       def one(name: String, order: String) =
         s"""SELECT '$name' AS layout, probe, n_files,
            |  coalesce(h, 0) AS files_hit,
-           |  CAST(round(CAST(1.0 - CAST(coalesce(h, 0) AS DOUBLE)
-           |    / CAST(n_files AS DOUBLE) AS DECIMAL(24,12)), 6) AS DOUBLE)
+           |  CAST(round((1.0 - CAST(coalesce(h, 0) AS DOUBLE)
+           |    / CAST(n_files AS DOUBLE)) * 1000000) / 1000000 AS DOUBLE)
            |    AS skip_ratio
            |FROM (VALUES (CAST(7 AS BIGINT)), (42), (120)) p(probe)
            |LEFT JOIN (
@@ -11411,7 +11425,7 @@ object SparkEntry {
         |        CAST(((t - tmin) * 16) // (tmax - tmin + 1) AS INT) AS bucket
         |      FROM e JOIN bd ON bd.k = e.k),
         |an AS (SELECT k, bucket,
-        |        round(CAST(sum(dt) AS DOUBLE) / count(*), 6) AS mt,
+        |        round((CAST(sum(dt) AS DOUBLE) / count(*)) * 1000000) / 1000000 AS mt,
         |        round(CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6)))
         |          AS DOUBLE) / count(*), 6) AS mv
         |      FROM b GROUP BY 1, 2),
@@ -11455,7 +11469,7 @@ object SparkEntry {
         |        count(*) AS nh,
         |        sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS sv
         |      FROM e JOIN bd ON bd.k = e.k GROUP BY 1, 2),
-        |hr AS (SELECT k, h, round(CAST(sv AS DOUBLE) / nh, 6) AS vh FROM hh),
+        |hr AS (SELECT k, h, round((CAST(sv AS DOUBLE) / nh) * 1000000) / 1000000 AS vh FROM hh),
         |n AS (SELECT k, max(h) + 1 AS n FROM hr GROUP BY 1),
         |sp AS (SELECT CAST(harmonic AS BIGINT) AS harmonic
         |      FROM range(1, 5) t(harmonic)),
@@ -11485,7 +11499,7 @@ object SparkEntry {
         |        count(*) AS nh,
         |        sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS sv
         |      FROM e JOIN bd ON bd.k = e.k GROUP BY 1, 2),
-        |hr AS (SELECT k, h, round(CAST(sv AS DOUBLE) / nh, 6) AS vh FROM hh),
+        |hr AS (SELECT k, h, round((CAST(sv AS DOUBLE) / nh) * 1000000) / 1000000 AS vh FROM hh),
         |n AS (SELECT k, max(h) + 1 AS n FROM hr GROUP BY 1),
         |sp AS (SELECT CAST(harmonic AS BIGINT) AS harmonic
         |      FROM range(1, 5) t(harmonic)),
@@ -11499,7 +11513,7 @@ object SparkEntry {
         |        CAST(sum(CAST(ca AS DECIMAL(28,6))) AS DOUBLE) AS a,
         |        CAST(sum(CAST(cb AS DECIMAL(28,6))) AS DOUBLE) AS b
         |      FROM terms GROUP BY 1, 2),
-        |p2 AS (SELECT k, round(amplitude * amplitude, 9) AS p2 FROM (
+        |p2 AS (SELECT k, round((amplitude * amplitude) * 1000000000) / 1000000000 AS p2 FROM (
         |      SELECT k, round(sqrt(a * a + b * b)
         |        / CAST(n_hours AS DOUBLE) * 1000000) / 1000000
         |        AS amplitude FROM agg)),
@@ -11515,7 +11529,7 @@ object SparkEntry {
         |        sum(CAST(round(term, 9) AS DECIMAL(28,9))) AS h
         |      FROM t2 GROUP BY 1, 2)
         |SELECT k AS event_type, n_harmonics,
-        |  round(CAST(h AS DOUBLE), 6) AS spectral_entropy,
+        |  round(CAST(h AS DOUBLE) * 1000000) / 1000000 AS spectral_entropy,
         |  round(CAST(h AS DOUBLE) / ln(CAST(n_harmonics AS DOUBLE)), 6)
         |    AS norm_entropy
         |FROM h ORDER BY event_type""".stripMargin,
@@ -11608,11 +11622,11 @@ object SparkEntry {
         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ne
         |      FROM j)
         |SELECT user_id, bucket, n,
-        |  CAST(round(CAST(CASE WHEN pv IS NULL THEN nv
+        |  CAST(round((CASE WHEN pv IS NULL THEN nv
         |             WHEN nv IS NULL THEN pv
         |             WHEN ne = pe THEN pv
         |             ELSE pv + (nv - pv) * (ep - pe) / (ne - pe) END
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS v_interp
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS v_interp
         |FROM w ORDER BY user_id, bucket""".stripMargin,
 
     // Weights are the operator's 8-dp-quantized β^j ladder (β = 1/2, so
@@ -11636,7 +11650,7 @@ object SparkEntry {
         |          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS m
         |      FROM f WINDOW w AS (PARTITION BY user_id ORDER BY bucket))
         |SELECT user_id, bucket, n, CAST(v AS DOUBLE) AS v,
-        |  CAST(round(CAST(CAST(
+        |  CAST(round((CAST(
         |      coalesce(CAST(v  * CAST(1.00000000 AS DECIMAL(18,8)) AS DECIMAL(38,14)), 0)
         |    + coalesce(CAST(v1 * CAST(0.50000000 AS DECIMAL(18,8)) AS DECIMAL(38,14)), 0)
         |    + coalesce(CAST(v2 * CAST(0.25000000 AS DECIMAL(18,8)) AS DECIMAL(38,14)), 0)
@@ -11649,7 +11663,7 @@ object SparkEntry {
         |    / CASE m WHEN 1 THEN 1.0 WHEN 2 THEN 1.5 WHEN 3 THEN 1.75
         |             WHEN 4 THEN 1.875 WHEN 5 THEN 1.9375 WHEN 6 THEN 1.96875
         |             WHEN 7 THEN 1.984375 ELSE 1.9921875 END
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS ewma
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS ewma
         |FROM l ORDER BY user_id, bucket""".stripMargin,
 
     "ts_zscore" ->
@@ -11674,7 +11688,7 @@ object SparkEntry {
         |        CASE WHEN std > 0 THEN (v - mean) / std END AS z
         |      FROM d)
         |SELECT user_id, bucket, n, v, nw,
-        |  CAST(round(CAST(z AS DECIMAL(24,12)), 6) AS DOUBLE) AS z,
+        |  CAST(round((z) * 1000000) / 1000000 AS DOUBLE) AS z,
         |  coalesce(abs(z) > 3.0, false) AS is_anomaly
         |FROM z ORDER BY user_id, bucket""".stripMargin,
 
@@ -11694,11 +11708,11 @@ object SparkEntry {
         |      FROM q GROUP BY 1),
         |n AS (SELECT *, CAST(n_pairs AS DOUBLE) AS nd FROM a)
         |SELECT user_id, n_pairs,
-        |  CAST(round(CAST(
+        |  CAST(round((
         |    CASE WHEN nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0 THEN
         |      (nd * sxy - sx * sy)
         |        / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)) END
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS autocorr
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS autocorr
         |FROM n ORDER BY user_id""".stripMargin,
 
     // ACF (12-dp DECIMAL-quantized centered products, exact sums) + the
@@ -11712,8 +11726,8 @@ object SparkEntry {
         |        count(*) OVER (PARTITION BY user_id) AS nb,
         |        sum(v) OVER (PARTITION BY user_id) AS sv FROM b),
         |c AS (SELECT user_id, bucket,
-        |        CAST(round(CAST(CAST(v AS DOUBLE) - CAST(sv AS DOUBLE) / nb
-        |          AS DECIMAL(24,12)), 9) AS DOUBLE) AS c
+        |        CAST(round((CAST(v AS DOUBLE) - CAST(sv AS DOUBLE) / nb
+        |         ) * 1000000000) / 1000000000 AS DOUBLE) AS c
         |      FROM m),
         |l AS (SELECT user_id, c,
         |        lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2,
@@ -11726,24 +11740,24 @@ object SparkEntry {
         |        CAST(sum(CAST(c * c3 AS DECIMAL(38,12))) AS DOUBLE) AS s3
         |      FROM l GROUP BY 1),
         |r AS (SELECT user_id, n_buckets,
-        |        CAST(round(CAST(s1 / nullif(s0, 0e0) AS DECIMAL(24,12)), 9)
+        |        CAST(round((s1 / nullif(s0, 0e0)) * 1000000000) / 1000000000
         |          AS DOUBLE) AS r1,
-        |        CAST(round(CAST(s2 / nullif(s0, 0e0) AS DECIMAL(24,12)), 9)
+        |        CAST(round((s2 / nullif(s0, 0e0)) * 1000000000) / 1000000000
         |          AS DOUBLE) AS r2,
-        |        CAST(round(CAST(s3 / nullif(s0, 0e0) AS DECIMAL(24,12)), 9)
+        |        CAST(round((s3 / nullif(s0, 0e0)) * 1000000000) / 1000000000
         |          AS DOUBLE) AS r3 FROM a),
         |d AS (SELECT *, (r2 - r1 * r1) / nullif(1e0 - r1 * r1, 0e0)
         |        AS phi22 FROM r),
         |d2 AS (SELECT *, r1 * (1e0 - phi22) AS phi21 FROM d)
         |SELECT user_id, n_buckets,
-        |  CAST(round(CAST(r1 AS DECIMAL(24,12)), 6) AS DOUBLE) AS rho1,
-        |  CAST(round(CAST(r2 AS DECIMAL(24,12)), 6) AS DOUBLE) AS rho2,
-        |  CAST(round(CAST(r3 AS DECIMAL(24,12)), 6) AS DOUBLE) AS rho3,
-        |  CAST(round(CAST(r1 AS DECIMAL(24,12)), 6) AS DOUBLE) AS pacf1,
-        |  CAST(round(CAST(phi22 AS DECIMAL(24,12)), 6) AS DOUBLE) AS pacf2,
-        |  CAST(round(CAST((r3 - phi21 * r2 - phi22 * r1)
+        |  CAST(round((r1) * 1000000) / 1000000 AS DOUBLE) AS rho1,
+        |  CAST(round((r2) * 1000000) / 1000000 AS DOUBLE) AS rho2,
+        |  CAST(round((r3) * 1000000) / 1000000 AS DOUBLE) AS rho3,
+        |  CAST(round((r1) * 1000000) / 1000000 AS DOUBLE) AS pacf1,
+        |  CAST(round((phi22) * 1000000) / 1000000 AS DOUBLE) AS pacf2,
+        |  CAST(round(((r3 - phi21 * r2 - phi22 * r1)
         |    / nullif(1e0 - phi21 * r1 - phi22 * r2, 0e0)
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS pacf3
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS pacf3
         |FROM d2 ORDER BY user_id""".stripMargin,
 
     // TWA: exact decimal values x exact micro intervals; (us, vq) tie
@@ -11762,11 +11776,11 @@ object SparkEntry {
         |        sum(vq) AS vsum
         |      FROM l GROUP BY 1)
         |SELECT user_id, n_samples, coalesce(dur_us, 0) AS duration_us,
-        |  CAST(round(CAST(CAST(wsum AS DOUBLE)
+        |  CAST(round((CAST(wsum AS DOUBLE)
         |    / nullif(CAST(dur_us AS DOUBLE), 0e0)
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS twa,
-        |  CAST(round(CAST(CAST(vsum AS DOUBLE) / n_samples
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS mean_simple
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS twa,
+        |  CAST(round((CAST(vsum AS DOUBLE) / n_samples
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS mean_simple
         |FROM a ORDER BY user_id""".stripMargin,
 
     "ts_changepoint" ->
@@ -11790,9 +11804,9 @@ object SparkEntry {
         |best AS (SELECT *, row_number() OVER (PARTITION BY user_id
         |           ORDER BY score DESC, bucket) AS rk FROM s)
         |SELECT user_id, bucket AS split_bucket, nk AS n_buckets,
-        |  CAST(round(CAST(score AS DECIMAL(24,12)), 6) AS DOUBLE) AS score,
-        |  CAST(round(CAST(lm AS DECIMAL(24,12)), 6) AS DOUBLE) AS left_mean,
-        |  CAST(round(CAST(rm AS DECIMAL(24,12)), 6) AS DOUBLE) AS right_mean
+        |  CAST(round((score) * 1000000) / 1000000 AS DOUBLE) AS score,
+        |  CAST(round((lm) * 1000000) / 1000000 AS DOUBLE) AS left_mean,
+        |  CAST(round((rm) * 1000000) / 1000000 AS DOUBLE) AS right_mean
         |FROM best WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     "ts_ols" ->
@@ -11821,12 +11835,12 @@ object SparkEntry {
         |s AS (SELECT *, CASE WHEN n_buckets >= 2 AND dent > 0
         |                     THEN cov / dent END AS slope FROM c)
         |SELECT user_id, n_buckets,
-        |  CAST(round(CAST(slope AS DECIMAL(24,12)), 6) AS DOUBLE) AS slope,
-        |  CAST(round(CAST((sv - slope * CAST(st AS DOUBLE)) / nd
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS intercept,
-        |  CAST(round(CAST(CASE WHEN slope IS NOT NULL AND denv > 0
+        |  CAST(round((slope) * 1000000) / 1000000 AS DOUBLE) AS slope,
+        |  CAST(round(((sv - slope * CAST(st AS DOUBLE)) / nd
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS intercept,
+        |  CAST(round((CASE WHEN slope IS NOT NULL AND denv > 0
         |      THEN cov * cov / (dent * denv) END
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS r2
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS r2
         |FROM s ORDER BY user_id""".stripMargin,
 
     // Bollinger: HUGEINT window moments mirror the ×10⁶ DECIMAL(38,0)
@@ -11853,14 +11867,14 @@ object SparkEntry {
         |        END AS sd
         |      FROM ws)
         |SELECT user_id, bucket, v, CAST(nw AS BIGINT) AS n_window,
-        |  CAST(round(CAST(ma AS DECIMAL(24,12)), 6) AS DOUBLE) AS ma,
-        |  CAST(round(CAST(ma + 2.0 * sd AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |  CAST(round((ma) * 1000000) / 1000000 AS DOUBLE) AS ma,
+        |  CAST(round((ma + 2.0 * sd) * 1000000) / 1000000 AS DOUBLE)
         |    AS upper,
-        |  CAST(round(CAST(ma - 2.0 * sd AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |  CAST(round((ma - 2.0 * sd) * 1000000) / 1000000 AS DOUBLE)
         |    AS lower,
-        |  CAST(round(CAST((v - (ma - 2.0 * sd))
+        |  CAST(round(((v - (ma - 2.0 * sd))
         |    / nullif((ma + 2.0 * sd) - (ma - 2.0 * sd), 0.0)
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS pct_b
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS pct_b
         |FROM c ORDER BY user_id, bucket""".stripMargin,
 
     // Dickey–Fuller: exact HUGEINT moments of (x = v_lag, y = Δv) ×10⁶,
@@ -11893,9 +11907,9 @@ object SparkEntry {
         |        END AS t_raw
         |      FROM g),
         |f AS (SELECT user_id, n AS n_obs,
-        |        CAST(round(CAST(gamma AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |        CAST(round((gamma) * 1000000) / 1000000 AS DOUBLE)
         |          AS gamma,
-        |        CAST(round(CAST(t_raw AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |        CAST(round((t_raw) * 1000000) / 1000000 AS DOUBLE)
         |          AS t_stat
         |      FROM t)
         |SELECT user_id, n_obs, gamma, t_stat,
@@ -11916,23 +11930,24 @@ object SparkEntry {
         |      FROM b WHERE v IS NOT NULL),
         |ii AS (SELECT * FROM i WHERE t < 512),
         |p AS (SELECT a.k,
-        |        round((CAST(b2.v AS DOUBLE) - CAST(a.v AS DOUBLE))
-        |          / CAST(b2.t - a.t AS DOUBLE), 9) AS ps
+        |        round(((CAST(b2.v AS DOUBLE) - CAST(a.v AS DOUBLE))
+        |          / CAST(b2.t - a.t AS DOUBLE)) * 1000000000) / 1000000000 AS ps
         |      FROM ii a JOIN ii b2 ON a.k = b2.k AND a.t < b2.t),
         |s AS (SELECT k, count(*) AS n_pairs,
         |        quantile_cont(ps, 0.5) AS slope_raw
         |      FROM p GROUP BY 1),
         |rs AS (SELECT i2.k, s.n_pairs, s.slope_raw,
-        |        round(CAST(i2.v AS DOUBLE)
-        |          - s.slope_raw * CAST(i2.t AS DOUBLE), 9) AS r
+        |        round((CAST(i2.v AS DOUBLE)
+        |          - s.slope_raw * CAST(i2.t AS DOUBLE)) * 1000000000)
+        |          / 1000000000 AS r
         |      FROM ii i2 JOIN s ON i2.k = s.k),
         |f AS (SELECT k, n_pairs, slope_raw, count(*) AS n_buckets,
         |        quantile_cont(r, 0.5) AS icept_raw
         |      FROM rs GROUP BY 1, 2, 3)
         |SELECT k AS user_id, n_buckets, n_pairs,
-        |  CAST(round(CAST(slope_raw AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |  CAST(round((slope_raw) * 1000000) / 1000000 AS DOUBLE)
         |    AS slope,
-        |  CAST(round(CAST(icept_raw AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |  CAST(round((icept_raw) * 1000000) / 1000000 AS DOUBLE)
         |    AS intercept
         |FROM f ORDER BY user_id""".stripMargin,
 
@@ -11962,15 +11977,15 @@ object SparkEntry {
         |          - tt.tie_term AS DOUBLE) / 18.0 AS var_raw
         |      FROM p JOIN tt ON p.k = tt.k)
         |SELECT k AS user_id, nb AS n_buckets, n_pairs, s_stat,
-        |  CAST(round(CAST(var_raw AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |  CAST(round((var_raw) * 1000000) / 1000000 AS DOUBLE)
         |    AS var_s,
-        |  CAST(round(CAST(CASE WHEN var_raw > 0 THEN
+        |  CAST(round((CASE WHEN var_raw > 0 THEN
         |      CASE WHEN s_stat > 0
         |             THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_raw)
         |           WHEN s_stat < 0
         |             THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_raw)
         |           ELSE 0.0 END
-        |    ELSE NULL END AS DECIMAL(24,12)), 6) AS DOUBLE) AS z
+        |    ELSE NULL END) * 1000000) / 1000000 AS DOUBLE) AS z
         |FROM j ORDER BY user_id""".stripMargin,
 
     // Runs test: the above/below classification compares the exact-6-dp
@@ -12002,10 +12017,10 @@ object SparkEntry {
         |        CAST(sum(brk) AS BIGINT) AS n_runs
         |      FROM r GROUP BY 1, 2, 3)
         |SELECT k AS user_id, n_buckets, med, n_above, n_below, n_runs,
-        |  CAST(round(CAST(1.0 + CAST(2 * n_above * n_below AS DOUBLE)
-        |      / CAST(n_above + n_below AS DOUBLE) AS DECIMAL(24,12)), 6)
+        |  CAST(round((1.0 + CAST(2 * n_above * n_below AS DOUBLE)
+        |      / CAST(n_above + n_below AS DOUBLE)) * 1000000) / 1000000
         |    AS DOUBLE) AS expected_runs,
-        |  CAST(round(CAST(CASE WHEN n_above + n_below > 1
+        |  CAST(round((CASE WHEN n_above + n_below > 1
         |      AND 2 * n_above * n_below > n_above + n_below THEN
         |      (CAST(n_runs AS DOUBLE) - (1.0
         |        + CAST(2 * n_above * n_below AS DOUBLE)
@@ -12016,7 +12031,7 @@ object SparkEntry {
         |        / (CAST(n_above + n_below AS DOUBLE)
         |          * CAST(n_above + n_below AS DOUBLE)
         |          * CAST(n_above + n_below - 1 AS DOUBLE)))
-        |    ELSE NULL END AS DECIMAL(24,12)), 6) AS DOUBLE) AS z
+        |    ELSE NULL END) * 1000000) / 1000000 AS DOUBLE) AS z
         |FROM a ORDER BY user_id""".stripMargin,
 
     // Hurst R/S: scaled deviations w·v − Σv keep prefix sums exact in
@@ -12052,29 +12067,29 @@ object SparkEntry {
         |          AS svv
         |      FROM px GROUP BY 1, 2, 3, 4),
         |r1 AS (SELECT k, w, r_scaled,
-        |        CAST(round(CAST(CAST(svv AS DOUBLE) / CAST(w AS DOUBLE)
+        |        CAST(round((CAST(svv AS DOUBLE) / CAST(w AS DOUBLE)
         |          - (CAST(sv AS DOUBLE) / CAST(w AS DOUBLE))
         |            * (CAST(sv AS DOUBLE) / CAST(w AS DOUBLE))
-        |          AS DECIMAL(24,12)), 9) AS DOUBLE) AS var9
+        |         ) * 1000000000) / 1000000000 AS DOUBLE) AS var9
         |      FROM ch),
         |r2 AS (SELECT k, w,
-        |        CAST(round(CAST(CAST(r_scaled AS DOUBLE)
+        |        CAST(round((CAST(r_scaled AS DOUBLE)
         |          / CAST(w AS DOUBLE) / sqrt(var9)
-        |          AS DECIMAL(24,12)), 6) AS DECIMAL(18,6)) AS rs6
+        |         ) * 1000000) / 1000000 AS DECIMAL(18,6)) AS rs6
         |      FROM r1 WHERE var9 > 0),
         |pw AS (SELECT k, w, count(*) AS n_chunks,
         |        CAST(sum(rs6) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |          AS mrs_raw
         |      FROM r2 GROUP BY 1, 2),
         |p2 AS (SELECT k, w, n_chunks,
-        |        CAST(round(CAST(mrs_raw AS DECIMAL(24,12)), 6)
+        |        CAST(round((mrs_raw) * 1000000) / 1000000
         |          AS DECIMAL(18,6)) AS mrs
         |      FROM pw),
         |pt AS (SELECT k, n_chunks,
         |        CASE w WHEN 4 THEN 2.0 WHEN 8 THEN 3.0 WHEN 16 THEN 4.0
         |          WHEN 32 THEN 5.0 WHEN 64 THEN 6.0 END AS x,
-        |        CAST(round(CAST(ln(CAST(mrs AS DOUBLE)) / ln(2.0)
-        |          AS DECIMAL(24,12)), 6) AS DECIMAL(18,6)) AS y
+        |        CAST(round((ln(CAST(mrs AS DOUBLE)) / ln(2.0)
+        |         ) * 1000000) / 1000000 AS DECIMAL(18,6)) AS y
         |      FROM p2 WHERE mrs > 0),
         |o AS (SELECT k, count(*) AS n_sizes,
         |        CAST(sum(n_chunks) AS BIGINT) AS n_windows,
@@ -12085,11 +12100,11 @@ object SparkEntry {
         |        sum(CAST(x * x AS DECIMAL(18,6))) AS sxx
         |      FROM pt GROUP BY 1 HAVING count(*) >= 2)
         |SELECT o.k AS user_id, nb.n_buckets, n_sizes, n_windows,
-        |  CAST(round(CAST((CAST(n_sizes AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |  CAST(round(((CAST(n_sizes AS DOUBLE) * CAST(sxy AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / (CAST(n_sizes AS DOUBLE) * CAST(sxx AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS hurst
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS hurst
         |FROM o JOIN nb ON o.k = nb.k ORDER BY user_id""".stripMargin,
 
     // Turning points: strict comparisons on exact DECIMAL bucket values
@@ -12109,12 +12124,12 @@ object SparkEntry {
         |          THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
         |      FROM t GROUP BY 1 HAVING count(*) >= 3)
         |SELECT k AS user_id, n_buckets, n_turning,
-        |  CAST(round(CAST(2.0 * CAST(n_buckets - 2 AS DOUBLE) / 3.0
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS expected,
-        |  CAST(round(CAST((CAST(n_turning AS DOUBLE)
+        |  CAST(round((2.0 * CAST(n_buckets - 2 AS DOUBLE) / 3.0
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS expected,
+        |  CAST(round(((CAST(n_turning AS DOUBLE)
         |      - 2.0 * CAST(n_buckets - 2 AS DOUBLE) / 3.0)
         |    / sqrt((16.0 * CAST(n_buckets AS DOUBLE) - 29.0) / 90.0)
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS z
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS z
         |FROM a ORDER BY user_id""".stripMargin,
 
     // Granger screen: n-scaled centered moments stay exact 128-bit
@@ -12154,16 +12169,16 @@ object SparkEntry {
         |        CAST(CAST(n AS HUGEINT) * suv - su * sv AS DOUBLE) AS cuv
         |      FROM m),
         |r AS (SELECT n AS n_lags,
-        |        CAST(round(CAST((cuy * cuy) / nullif(cuu * cyy, 0.0)
-        |          AS DECIMAL(24,12)), 6) AS DOUBLE) AS r2_ar1,
-        |        CAST(round(CAST(
+        |        CAST(round(((cuy * cuy) / nullif(cuu * cyy, 0.0)
+        |         ) * 1000000) / 1000000 AS DOUBLE) AS r2_ar1,
+        |        CAST(round((
         |          ((cuy * cvv - cvy * cuv) * cuy +
         |           (cvy * cuu - cuy * cuv) * cvy)
         |          / nullif((cuu * cvv - cuv * cuv) * cyy, 0.0)
-        |          AS DECIMAL(24,12)), 6) AS DOUBLE) AS r2_full
+        |         ) * 1000000) / 1000000 AS DOUBLE) AS r2_full
         |      FROM s)
         |SELECT n_lags, r2_ar1, r2_full,
-        |  CAST(round(CAST(r2_full - r2_ar1 AS DECIMAL(24,12)), 6)
+        |  CAST(round((r2_full - r2_ar1) * 1000000) / 1000000
         |    AS DOUBLE) AS r2_gain
         |FROM r""".stripMargin,
 
@@ -12179,8 +12194,8 @@ object SparkEntry {
         |        CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS svv
         |      FROM bb GROUP BY 1),
         |wm AS (SELECT bb.k, bucket, n_buckets, sv, svv,
-        |        CAST(round(CAST(CAST(v AS DOUBLE) - CAST(sv AS DOUBLE)
-        |          / CAST(n_buckets AS DOUBLE) AS DECIMAL(24,12)), 6)
+        |        CAST(round((CAST(v AS DOUBLE) - CAST(sv AS DOUBLE)
+        |          / CAST(n_buckets AS DOUBLE)) * 1000000) / 1000000
         |          AS DECIMAL(18,6)) AS dev
         |      FROM bb JOIN st ON st.k = bb.k),
         |p1 AS (SELECT k, n_buckets, sv, svv, bucket,
@@ -12225,16 +12240,17 @@ object SparkEntry {
         |        AND v2 IS NOT NULL AND v3 IS NOT NULL),
         |nw AS (SELECT k, count(*) AS n_windows FROM s2 GROUP BY 1),
         |p AS (SELECT a.k, a.t AS pos_a, b2.t AS pos_b,
-        |        round((a.v0 - b2.v0) * (a.v0 - b2.v0)
+        |        round(((a.v0 - b2.v0) * (a.v0 - b2.v0)
         |          + (a.v1 - b2.v1) * (a.v1 - b2.v1)
         |          + (a.v2 - b2.v2) * (a.v2 - b2.v2)
-        |          + (a.v3 - b2.v3) * (a.v3 - b2.v3), 9) AS dist2
+        |          + (a.v3 - b2.v3) * (a.v3 - b2.v3)) * 1000000000)
+        |          / 1000000000 AS dist2
         |      FROM s2 a JOIN s2 b2 ON a.k = b2.k AND b2.t >= a.t + 4),
         |r AS (SELECT k, pos_a, pos_b, dist2 FROM p
         |      QUALIFY row_number() OVER (PARTITION BY k
         |        ORDER BY dist2, pos_a, pos_b) = 1)
         |SELECT r.k AS user_id, n_windows, pos_a, pos_b,
-        |  round(dist2, 6) AS dist2
+        |  round(dist2 * 1000000) / 1000000 AS dist2
         |FROM r JOIN nw ON r.k = nw.k ORDER BY user_id""".stripMargin,
 
     "ts_xcorr" ->
@@ -12261,10 +12277,10 @@ object SparkEntry {
         |          - sx * CAST(sy AS DOUBLE) AS cov
         |      FROM a)
         |SELECT user_id, n_pairs,
-        |  CAST(round(CAST(
+        |  CAST(round((
         |    CASE WHEN den1 > 0 AND den2 > 0
         |         THEN cov / (sqrt(den1) * sqrt(den2)) END
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS xcorr
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS xcorr
         |FROM c ORDER BY user_id""".stripMargin,
 
     "ts_seasonal" ->
@@ -12278,12 +12294,12 @@ object SparkEntry {
         |       FROM per GROUP BY 1, 2),
         |pk AS (SELECT user_id, phase AS peak_phase,
         |         row_number() OVER (PARTITION BY user_id
-        |           ORDER BY round(CAST(sp AS DOUBLE) / np, 6) DESC, phase ASC) AS rk
+        |           ORDER BY round((CAST(sp AS DOUBLE) / np) * 1000000) / 1000000 DESC, phase ASC) AS rk
         |       FROM pp),
         |a AS (SELECT user_id, CAST(sum(np) AS BIGINT) AS n_rows,
         |        count(*) AS n_phases,
         |        CAST(sum(sp) AS DOUBLE) AS s, CAST(sum(sp2) AS DOUBLE) AS s2,
-        |        CAST(sum(CAST(round(CAST(sp * sp AS DOUBLE) / np, 6)
+        |        CAST(sum(CAST(round((CAST(sp * sp AS DOUBLE) / np) * 1000000) / 1000000
         |          AS DECIMAL(38,6))) AS DOUBLE) AS ssb_raw
         |      FROM pp GROUP BY 1),
         |c AS (SELECT user_id, n_rows, n_phases,
@@ -12291,9 +12307,9 @@ object SparkEntry {
         |        ssb_raw - s * s / n_rows AS ssb
         |      FROM a)
         |SELECT c.user_id, c.n_rows, c.n_phases, pk.peak_phase,
-        |  CAST(round(CAST(
+        |  CAST(round((
         |    CASE WHEN sst > 0 THEN greatest(least(ssb / sst, 1.0), 0.0) END
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS strength
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS strength
         |FROM c JOIN pk ON c.user_id = pk.user_id AND pk.rk = 1
         |ORDER BY c.user_id""".stripMargin,
 
@@ -12312,8 +12328,8 @@ object SparkEntry {
         |z AS (SELECT f.user_id, st.nk,
         |        CAST(row_number() OVER (PARTITION BY f.user_id ORDER BY bucket) - 1
         |          AS BIGINT) AS i,
-        |        CAST(round(CAST((CAST(v AS DOUBLE) - mu) / sigma
-        |          AS DECIMAL(24,12)), 6) AS DECIMAL(18,6)) AS zz
+        |        CAST(round(((CAST(v AS DOUBLE) - mu) / sigma
+        |         ) * 1000000) / 1000000 AS DECIMAL(18,6)) AS zz
         |      FROM f JOIN st ON f.user_id = st.user_id
         |      WHERE sigma IS NOT NULL),
         |sg AS (SELECT user_id, max(nk) AS nk,
@@ -12360,11 +12376,11 @@ object SparkEntry {
         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ne
         |      FROM j),
         |filled AS (SELECT user_id, bucket,
-        |  CAST(round(CAST(CASE WHEN pv IS NULL THEN nv
+        |  CAST(round((CASE WHEN pv IS NULL THEN nv
         |             WHEN nv IS NULL THEN pv
         |             WHEN ne = pe THEN pv
         |             ELSE pv + (nv - pv) * (ep - pe) / (ne - pe) END
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS v_interp
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS v_interp
         |  FROM w),
         |per AS (SELECT user_id,
         |        CAST(floor((epoch(bucket) % 86400) / 3600) AS BIGINT) AS phase,
@@ -12376,12 +12392,12 @@ object SparkEntry {
         |       FROM per GROUP BY 1, 2),
         |pk AS (SELECT user_id, phase AS peak_phase,
         |         row_number() OVER (PARTITION BY user_id
-        |           ORDER BY round(CAST(sp AS DOUBLE) / np, 6) DESC, phase ASC) AS rk
+        |           ORDER BY round((CAST(sp AS DOUBLE) / np) * 1000000) / 1000000 DESC, phase ASC) AS rk
         |       FROM pp),
         |a AS (SELECT user_id, CAST(sum(np) AS BIGINT) AS n_rows,
         |        count(*) AS n_phases,
         |        CAST(sum(sp) AS DOUBLE) AS s, CAST(sum(sp2) AS DOUBLE) AS s2,
-        |        CAST(sum(CAST(round(CAST(sp * sp AS DOUBLE) / np, 6)
+        |        CAST(sum(CAST(round((CAST(sp * sp AS DOUBLE) / np) * 1000000) / 1000000
         |          AS DECIMAL(38,6))) AS DOUBLE) AS ssb_raw
         |      FROM pp GROUP BY 1),
         |c AS (SELECT user_id, n_rows, n_phases,
@@ -12389,9 +12405,9 @@ object SparkEntry {
         |        ssb_raw - s * s / n_rows AS ssb
         |      FROM a),
         |seas AS (SELECT c.user_id, c.n_rows, c.n_phases, pk.peak_phase,
-        |  CAST(round(CAST(
+        |  CAST(round((
         |    CASE WHEN sst > 0 THEN greatest(least(ssb / sst, 1.0), 0.0) END
-        |    AS DECIMAL(24,12)), 6) AS DOUBLE) AS strength
+        |   ) * 1000000) / 1000000 AS DOUBLE) AS strength
         |  FROM c JOIN pk ON c.user_id = pk.user_id AND pk.rk = 1),
         |sb AS (SELECT user_id, bucket,
         |        CAST(sum(CAST(v_interp AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
@@ -12407,8 +12423,8 @@ object SparkEntry {
         |z AS (SELECT f.user_id, st.nk,
         |        CAST(row_number() OVER (PARTITION BY f.user_id ORDER BY bucket) - 1
         |          AS BIGINT) AS i,
-        |        CAST(round(CAST((CAST(v AS DOUBLE) - mu) / sigma
-        |          AS DECIMAL(24,12)), 6) AS DECIMAL(18,6)) AS zz
+        |        CAST(round(((CAST(v AS DOUBLE) - mu) / sigma
+        |         ) * 1000000) / 1000000 AS DECIMAL(18,6)) AS zz
         |      FROM f JOIN st ON f.user_id = st.user_id
         |      WHERE sigma IS NOT NULL),
         |sg AS (SELECT user_id, max(nk) AS nk,
@@ -12746,10 +12762,10 @@ object SparkEntry {
         |        CAST(sum(v) AS DECIMAL(38,6)) AS sv FROM base GROUP BY 1)
         |SELECT pt.g AS event_type, n_rows, n_resamples,
         |  round(CAST(sv AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS mean,
-        |  CAST(round(CAST(qlo AS DECIMAL(24,12)), 6) AS DOUBLE) AS ci_lo,
-        |  CAST(round(CAST(qmed AS DECIMAL(24,12)), 6) AS DOUBLE)
+        |  CAST(round((qlo) * 1000000) / 1000000 AS DOUBLE) AS ci_lo,
+        |  CAST(round((qmed) * 1000000) / 1000000 AS DOUBLE)
         |    AS ci_median,
-        |  CAST(round(CAST(qhi AS DECIMAL(24,12)), 6) AS DOUBLE) AS ci_hi
+        |  CAST(round((qhi) * 1000000) / 1000000 AS DOUBLE) AS ci_hi
         |FROM pt JOIN ci ON pt.g = ci.g
         |ORDER BY event_type""".stripMargin,
 

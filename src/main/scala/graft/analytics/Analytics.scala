@@ -311,7 +311,7 @@ object Analytics {
                         tsCol: String = "ts",
                         idCol: String = "event_id"): DataFrame = {
     def d6(c: Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+      graft.functions.Fns.q6(c)
     val pi = markovStationary(events, iters, userCol, typeCol, tsCol, idCol)
       .select(col("event_type").as("from_type"), col("pi"))
     val t = transitions(events, userCol, typeCol, tsCol, idCol)
@@ -345,7 +345,7 @@ object Analytics {
   def diffInDiff(events: DataFrame, treatedExpr: Column, postExpr: Column,
                  valueCol: String = "value"): DataFrame = {
     def d6(c: Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+      graft.functions.Fns.q6(c)
     val cells = events
       .filter(col(valueCol).isNotNull)
       .groupBy(treatedExpr.cast("boolean").as("treated"),
@@ -481,7 +481,7 @@ object Analytics {
                      userCol: String = "user_id", typeCol: String = "event_type",
                      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
     def d6(c: org.apache.spark.sql.Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+      graft.functions.Fns.q6(c)
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
     val sid = events
       .withColumn("new_s",
@@ -571,7 +571,7 @@ object Analytics {
       .join(broadcast(items.select(col("p_partkey").as("l_partkey"),
         col(groupCol).as("grp"))), "l_partkey")
       .select(col("grp"), scaled(col("pu")).as("x"), scaled(col("q")).as("y"))
-    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: Column) = graft.functions.Fns.q6(c)
     val m = rows.groupBy("grp")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
@@ -616,12 +616,12 @@ object Analytics {
         sum(col("x")).as("n_events"),
         sum((col("i") * col("x")).cast("decimal(38,0)")).as("six"))
       .select(col(typeCol), col("n_users"), col("n_events"),
-        round(try_divide(
+        graft.functions.Fns.q6(try_divide(
           lit(2.0) * col("six").cast("double") -
             (col("n_users") + 1L).cast("double") *
               col("n_events").cast("double"),
           col("n_users").cast("double") * col("n_events").cast("double"))
-          .cast("decimal(24,12)"), 6).cast("double").as("gini"))
+          ).as("gini"))
   }
 
   /** Top-k most common session paths — the funnel-DISCOVERY step that
@@ -998,10 +998,10 @@ object Analytics {
       (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
     val z = when(se > 0, (pa - pb) / se)
     agg.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
-      round(pa.cast("decimal(24,12)"), 6).cast("double").as("rate_a"),
-      round(pb.cast("decimal(24,12)"), 6).cast("double").as("rate_b"),
-      round((pa - pb).cast("decimal(24,12)"), 6).cast("double").as("lift"),
-      round(z.cast("decimal(24,12)"), 6).cast("double").as("z"),
+      graft.functions.Fns.q6(pa).as("rate_a"),
+      graft.functions.Fns.q6(pb).as("rate_b"),
+      graft.functions.Fns.q6((pa - pb)).as("lift"),
+      graft.functions.Fns.q6(z).as("z"),
       coalesce(abs(z) > 1.96, lit(false)).as("significant"))
   }
 

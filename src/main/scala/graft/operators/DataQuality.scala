@@ -750,7 +750,7 @@ object DataQuality {
   def calendarAudit(events: DataFrame, keyCol: String,
                     tsCol: String): DataFrame = {
     def d6(c: org.apache.spark.sql.Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+      graft.functions.Fns.q6(c)
     val days = events.filter(col(tsCol).isNotNull)
       .select(col(keyCol), to_date(col(tsCol)).as("d")).distinct()
     val wo = Window.partitionBy(col(keyCol)).orderBy(col("d"))
@@ -784,7 +784,7 @@ object DataQuality {
     */
   def chiSquaredUniform(df: DataFrame, colName: String): DataFrame = {
     def d6(c: org.apache.spark.sql.Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+      graft.functions.Fns.q6(c)
     val counts = df.filter(col(colName).isNotNull)
       .groupBy(col(colName).cast("string").as("category"))
       .agg(count(lit(1)).as("n_obs"))
@@ -827,7 +827,7 @@ object DataQuality {
   def sequenceAudit(df: DataFrame, keyCol: String, orderCol: String,
                     tsCol: String): DataFrame = {
     def d6(c: org.apache.spark.sql.Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+      graft.functions.Fns.q6(c)
     val wo = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
     val rows = df.select(col(keyCol), col(orderCol),
         unix_micros(col(tsCol)).as("us"))

@@ -1607,7 +1607,7 @@ object Dedup {
     require(k >= 1, s"need k >= 1, got $k")
     require(w >= 1, s"need w >= 1, got $w")
     def d6(c: org.apache.spark.sql.Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+      graft.functions.Fns.q6(c)
     val mx = shingleHashPositions(docs, k, idCol, textCol).groupBy("doc_id")
       .agg(max("pos").as("mx"), count(lit(1)).as("n_grams"))
     val fp = winnowingSelections(docs, k, w, idCol, textCol)

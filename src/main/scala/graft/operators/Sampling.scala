@@ -315,11 +315,11 @@ object Sampling {
         // DECIMAL(24,12) routing before the 6-dp round (interpolated
         // percentiles land on 6-dp half boundaries; the
         // resampleInterpolate discipline).
-        round(col("q").getItem(0).cast("decimal(24,12)"), 6).cast("double")
+        graft.functions.Fns.q6(col("q").getItem(0))
           .as("ci_lo"),
-        round(col("q").getItem(1).cast("decimal(24,12)"), 6).cast("double")
+        graft.functions.Fns.q6(col("q").getItem(1))
           .as("ci_median"),
-        round(col("q").getItem(2).cast("decimal(24,12)"), 6).cast("double")
+        graft.functions.Fns.q6(col("q").getItem(2))
           .as("ci_hi"))
   }
 
@@ -366,8 +366,8 @@ object Sampling {
     * constant-size work.
     */
   def importanceWeights(df: DataFrame, groupCol: String): DataFrame = {
-    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
-    def d9(c: Column) = round(c.cast("decimal(24,12)"), 9).cast("double")
+    def d6(c: Column) = graft.functions.Fns.q6(c)
+    def d9(c: Column) = graft.functions.Fns.q9(c)
     val counts = df.filter(col(groupCol).isNotNull)
       .groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n_src"))
     val tot = counts.agg(sum(col("n_src")).as("n_total"),
@@ -406,7 +406,7 @@ object Sampling {
   def neymanAllocation(df: DataFrame, stratumCol: String,
                        valueCol: String, budget: Long = 1000L): DataFrame = {
     require(budget >= 1, s"need budget >= 1, got $budget")
-    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: Column) = graft.functions.Fns.q6(c)
     val m = df.filter(col(valueCol).isNotNull)
       .groupBy(col(stratumCol).as("stratum"))
       .agg(count(lit(1)).as("n"),
@@ -567,7 +567,7 @@ object Sampling {
       .crossJoin(broadcast(tot))
       .select((col("y").cast("double") * col("bigW").cast("double") /
         col("w").cast("double")).as("term"), col("y_true"))
-    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: Column) = graft.functions.Fns.q6(c)
     draws
       .groupBy(col("y_true"))
       .agg(count(lit(1)).as("n_draws"),

@@ -638,7 +638,7 @@ object Similarity {
           .as("q"))
         .agg((sum(col("q") * col("q")).cast("double") / 1e12).as("f2"))
     }
-    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: Column) = graft.functions.Fns.q6(c)
     base.agg(count(lit(1)).as("n_pairs"))
       .crossJoin(broadcast(frob2("xv", "yv")
         .select(col("f2").as("f_xy"))))
@@ -1112,8 +1112,8 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         sum(round(col("x"), 9).cast("decimal(28,9)")).as("sx"))
       .select(col("dim"),
-        round((col("sx").cast("double") / col("n"))
-          .cast("decimal(24,12)"), 6).cast("double").as("mu"))
+        graft.functions.Fns.q6((col("sx").cast("double") / col("n"))
+          ).as("mu"))
     val pc = pcaPowerIteration(embeddings, iters, idCol, vecCol, cov)
       .select((col("i") + 1).cast("long").as("dim"), col("loading"))
     val packed = mu.join(pc, "dim").agg(
@@ -1138,7 +1138,7 @@ object Similarity {
       .select(col("vec_id"), posexplode(
         zip_with(col("xm"), col("pcs"), (a, b) => a - col("dot") * b)))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
-        round(col("col").cast("decimal(24,12)"), 6).cast("double")
+        graft.functions.Fns.q6(col("col"))
           .as("x_abtt"))
   }
 
@@ -1281,7 +1281,7 @@ object Similarity {
     */
   def isotropy(embeddings: DataFrame, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
-    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: Column) = graft.functions.Fns.q6(c)
     val flat = flatten(embeddings, idCol, vecCol)
     val norms = flat.groupBy("vec_id")
       .agg(sum(round(col("x") * col("x"), 6).cast("decimal(18,6)")).as("s2"))
@@ -1505,7 +1505,7 @@ object Similarity {
         (col(s"proj_$j") - col(s"b_proj_$j")) *
           (col(s"proj_$j") - col(s"b_proj_$j")))
       .reduce(_ + _)
-    def d6(c: Column) = round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: Column) = graft.functions.Fns.q6(c)
     pairs
       .select(d2q.as("dq"), d2p.cast("double").as("dp"))
       .filter(col("dq") > 0)
@@ -1561,7 +1561,7 @@ object Similarity {
         .select(col("id"), col("v"), col("n2"), col("n_d"))
       seeds = seeds.unionByName(seedRow.select(lit(r).as("round"),
         col("id").as("vec_id"),
-        round(col("n_d").cast("decimal(24,12)"), 6).cast("double").as("dist2")))
+        graft.functions.Fns.q6(col("n_d")).as("dist2")))
       if (r < k - 1) {
         val sb = broadcast(seedRow.select(col("id").as("s_id"),
           col("v").as("s_v"), col("n2").as("s_n2")))

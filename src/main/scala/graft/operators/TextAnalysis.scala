@@ -71,8 +71,8 @@ object TextAnalysis {
     val tot = conf.groupBy("lang_true").agg(sum(col("n")).as("t"))
     conf.join(tot, "lang_true")
       .select(col("lang_true"), col("lang_pred"), col("n"),
-        round((col("n").cast("double") / col("t").cast("double"))
-          .cast("decimal(24,12)"), 6).cast("double").as("frac_of_true"))
+        Fns.q6(col("n").cast("double") / col("t").cast("double"))
+          .as("frac_of_true"))
   }
 
   /** Deterministic MLM masking plan (BERT-style): select ~`maskFrac` of
@@ -557,7 +557,7 @@ object TextAnalysis {
       .filter(col("__rn") === 1 && col("n") >= minCount)
       .join(totals, "term")
       .select(col("term"), col("next"), col("n"),
-        round(col("n").cast("double") / col("n_term"), 6).as("p"))
+        Fns.q6(col("n").cast("double") / col("n_term")).as("p"))
   }
 
   /** Zipf-slope corpus-health metric: the least-squares slope of
@@ -577,17 +577,17 @@ object TextAnalysis {
         col("freq").cast("double").as("f"))
       .select(round(log(col("r")), 6).as("x"), round(log(col("f")), 6).as("y"))
     def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(28,6)")
-    def d12(c: org.apache.spark.sql.Column) = round(c, 6).cast("decimal(28,6)")
+    def d12(c: org.apache.spark.sql.Column) = Fns.q6(c).cast("decimal(28,6)")
     v.agg(count(lit(1)).as("n_terms"),
         sum(d6(col("x"))).as("sx"), sum(d6(col("y"))).as("sy"),
         sum(d12(col("x") * col("y"))).as("sxy"),
         sum(d12(col("x") * col("x"))).as("sxx"))
       .select(col("n_terms"),
-        round((col("sxy").cast("double") -
+        Fns.q6((col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double") / col("n_terms")) /
           (col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double") / col("n_terms")),
-          6).as("zipf_slope"))
+            col("sx").cast("double") * col("sx").cast("double") / col("n_terms")))
+          .as("zipf_slope"))
   }
 
   /** Packing-efficiency report over [[packSequencesSharded]] output: per
@@ -606,8 +606,8 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(col("n_subwords")).as("n_tokens"))
       .select(col(shardCol), col("n_seqs"), col("n_docs"), col("n_tokens"),
-        round(try_divide(col("n_tokens").cast("double"),
-          col("n_seqs").cast("double") * budget), 6).as("utilization"))
+        Fns.q6(try_divide(col("n_tokens").cast("double"),
+          col("n_seqs").cast("double") * budget)).as("utilization"))
   }
 
   /** Tokenizer fertility per language: subwords-per-word (how many
@@ -637,9 +637,9 @@ object TextAnalysis {
         sum(col("s")).as("n_subwords"),
         sum(col("c")).as("n_chars"))
       .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
-        round(try_divide(col("n_subwords").cast("double"), col("n_words")), 6)
+        Fns.q6(try_divide(col("n_subwords").cast("double"), col("n_words")))
           .as("fertility"),
-        round(try_divide(col("n_chars").cast("double"), col("n_subwords")), 6)
+        Fns.q6(try_divide(col("n_chars").cast("double"), col("n_subwords")))
           .as("chars_per_subword"))
 
   /** Hapax-legomenon profile per source: of the source's distinct terms,
@@ -660,7 +660,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"),
         sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"))
       .select(col("source"), col("n_terms"), col("n_hapax"),
-        round(try_divide(col("n_hapax").cast("double"), col("n_terms")), 6)
+        Fns.q6(try_divide(col("n_hapax").cast("double"), col("n_terms")))
           .as("hapax_ratio"))
 
   /** Mean segmental type–token ratio (MSTTR) per source: chop each
@@ -696,12 +696,11 @@ object TextAnalysis {
     segs.groupBy("source")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_segments"),
-        sum(round(col("n_distinct").cast("double") / lit(segLen.toDouble), 6)
+        sum(Fns.q6(col("n_distinct").cast("double") / lit(segLen.toDouble))
           .cast("decimal(18,6)")).as("st"))
       .select(col("source"), col("n_docs"), col("n_segments"),
-        round(try_divide(col("st").cast("double"),
-          col("n_segments").cast("double")).cast("decimal(24,12)"), 6)
-          .cast("double").as("msttr"))
+        Fns.q6(try_divide(col("st").cast("double"),
+          col("n_segments").cast("double"))).as("msttr"))
   }
 
   /** Per-(source, language) corpus profile: document counts, token sums
@@ -725,10 +724,10 @@ object TextAnalysis {
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"),
-        sum(round(col("ratio"), 6).cast("decimal(18,6)")).as("sr"),
+        sum(Fns.q6(col("ratio")).cast("decimal(18,6)")).as("sr"),
         count(col("ratio")).as("nr"))
       .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
-        round(try_divide(col("sr").cast("double"), col("nr")), 6).as("mean_distinct_ratio"))
+        Fns.q6(try_divide(col("sr").cast("double"), col("nr"))).as("mean_distinct_ratio"))
   }
 
   /** Per-source quality gate — the quantile-thresholded filter every
@@ -816,7 +815,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_rare"))
       .select(col("doc_id"), col("n_tokens"), col("n_rare"),
-        round(col("n_rare").cast("double") / col("n_tokens"), 6).as("rare_ratio"))
+        Fns.q6(col("n_rare").cast("double") / col("n_tokens")).as("rare_ratio"))
       .withColumn("flagged", col("rare_ratio") > maxRatio)
   }
 
@@ -1096,15 +1095,15 @@ object TextAnalysis {
           .as(s"s_$tag"))
     val perDoc = slog(cells, "bg").join(slog(pre, "c1"), Seq("source", "doc_id"))
       .select(col("source"), col("doc_id"), col("n_bg"),
-        round(((col("s_c1") - col("s_bg")).cast("double") /
-          col("n_bg").cast("double")).cast("decimal(24,12)"), 6)
+        Fns.q6((col("s_c1") - col("s_bg")).cast("double") /
+          col("n_bg").cast("double"))
           .cast("decimal(18,6)").as("h6"))
     perDoc.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_bg")).as("n_bigrams"),
         (sum(col("h6")).cast("double") / count(lit(1)).cast("double"))
           .as("mraw"))
       .select(col("source"), col("n_docs"), col("n_bigrams"),
-        round(col("mraw").cast("decimal(24,12)"), 6).cast("double")
+        graft.functions.Fns.q6(col("mraw"))
           .as("mean_cond_entropy"))
   }
 
@@ -1133,7 +1132,7 @@ object TextAnalysis {
           .cast("decimal(18,6)")).as("slogp"))
     val lnPp = -(col("slogp").cast("double")) / col("n_tokens")
     agg.select(col("doc_id"), col("n_tokens"),
-      round(lnPp, 6).as("log_perplexity"),
+      Fns.q6(lnPp).as("log_perplexity"),
       round(exp(lnPp), 6).as("perplexity"))
   }
 
@@ -1422,7 +1421,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
       .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+        Fns.q6(col("n_novel").cast("double") / col("n_grams")).as("novelty"))
   }
 
   /** WITHIN-document repeated-span removal — the intra-doc counterpart
@@ -1491,7 +1490,7 @@ object TextAnalysis {
     scored.select(col("doc_id"), col("lang_pred"),
       element_at(arr, 1).as("top1"),
       (element_at(arr, 1) - element_at(arr, 2)).as("margin"),
-      round(try_divide(element_at(arr, 1).cast("double"), total), 6).as("share"))
+      Fns.q6(try_divide(element_at(arr, 1).cast("double"), total)).as("share"))
   }
 
   /** Corpus-wide token-length histogram: one narrow explode, one
@@ -1522,7 +1521,7 @@ object TextAnalysis {
     def cnt(re: String) =
       (length(col(textCol)) - length(regexp_replace(col(textCol), re, ""))).cast("long")
     def frac(c: Column, n: Column) =
-      round(try_divide(c.cast("double"), n.cast("double")), 6)
+      Fns.q6(try_divide(c.cast("double"), n.cast("double")))
     val agg = docs.groupBy(col(srcCol).as("source"))
       .agg(sum(length(col(textCol)).cast("long")).as("n_chars"),
         sum(cnt("[A-Za-z]")).as("n_alpha"),
@@ -1561,9 +1560,9 @@ object TextAnalysis {
         sum(col("f").cast("decimal(19,0)") *
           (col("f") - 1).cast("decimal(19,0)")).as("rep_mass"))
       .select(col("source"), col("n_tokens"), col("n_types"),
-        round(lit(1.0) - try_divide(col("rep_mass").cast("double"),
+        Fns.q6(lit(1.0) - try_divide(col("rep_mass").cast("double"),
           col("n_tokens").cast("double") *
-            (col("n_tokens") - 1).cast("double")), 6)
+            (col("n_tokens") - 1).cast("double")))
           .as("simpson_diversity"))
   }
 
@@ -1604,17 +1603,17 @@ object TextAnalysis {
       .select(round(log(col("cum_tokens").cast("double")), 6).as("x"),
         round(log(col("cum_types").cast("double")), 6).as("y"))
     def d6(c: Column) = c.cast("decimal(28,6)")
-    def d12(c: Column) = round(c, 6).cast("decimal(28,6)")
+    def d12(c: Column) = Fns.q6(c).cast("decimal(28,6)")
     pts.agg(count(lit(1)).as("n_points"),
         sum(d6(col("x"))).as("sx"), sum(d6(col("y"))).as("sy"),
         sum(d12(col("x") * col("y"))).as("sxy"),
         sum(d12(col("x") * col("x"))).as("sxx"))
       .select(col("n_points"),
-        round((col("sxy").cast("double") -
+        Fns.q6((col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double") / col("n_points")) /
           (col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double") / col("n_points")),
-          6).as("heaps_beta"))
+            col("sx").cast("double") * col("sx").cast("double") / col("n_points")))
+          .as("heaps_beta"))
   }
 
   /** Readability scores per document: Flesch reading-ease and
@@ -1642,15 +1641,15 @@ object TextAnalysis {
       .filter(col("n_words") > 0L)
       .select(col("doc_id"), col("n_words"), col("n_sentences"),
         col("n_syllables"),
-        round(lit(206.835) -
+        Fns.q6(lit(206.835) -
           lit(1.015) * (col("n_words").cast("double") /
             col("n_sentences").cast("double")) -
           lit(84.6) * (col("n_syllables").cast("double") /
-            col("n_words").cast("double")), 6).as("flesch_ease"),
-        round(lit(0.39) * (col("n_words").cast("double") /
+            col("n_words").cast("double"))).as("flesch_ease"),
+        Fns.q6(lit(0.39) * (col("n_words").cast("double") /
             col("n_sentences").cast("double")) +
           lit(11.8) * (col("n_syllables").cast("double") /
-            col("n_words").cast("double")) - lit(15.59), 6)
+            col("n_words").cast("double")) - lit(15.59))
           .as("fk_grade"))
   }
 
@@ -1681,10 +1680,10 @@ object TextAnalysis {
         sum(col("c") * col("c")).as("s2"))
       .crossJoin(broadcast(nDocs))
       .select(col("term"), col("df"), col("freq"),
-        round((col("s2").cast("double") / col("nd").cast("double") -
+        Fns.q6((col("s2").cast("double") / col("nd").cast("double") -
           (col("freq").cast("double") / col("nd").cast("double")) *
             (col("freq").cast("double") / col("nd").cast("double"))) /
-          (col("freq").cast("double") / col("nd").cast("double")), 6)
+          (col("freq").cast("double") / col("nd").cast("double")))
           .as("vmr"))
   }
 
@@ -1780,8 +1779,8 @@ object TextAnalysis {
         sum(col("freq") * (col("n_terms") - lit(2L) * col("term_id") - lit(1L)))
           .as("num"))
       .select(col("n_terms"), col("total"),
-        round(col("num").cast("double") /
-          (col("n_terms").cast("double") * col("total").cast("double")), 6)
+        Fns.q6(col("num").cast("double") /
+          (col("n_terms").cast("double") * col("total").cast("double")))
           .as("gini"))
   }
 
@@ -1907,11 +1906,11 @@ object TextAnalysis {
         sum(col("f").cast("decimal(19,0)") * col("f").cast("decimal(19,0)"))
           .cast("decimal(38,0)").as("sff"))
       .select(col("source"), col("n_terms"), col("n_tokens"),
-        round(try_divide(
+        Fns.q6(try_divide(
             lit(10000.0) * (col("sff").cast("double") -
               col("n_tokens").cast("double")),
-            col("n_tokens").cast("double") * col("n_tokens").cast("double"))
-          .cast("decimal(24,12)"), 6).cast("double").as("yule_k"))
+            col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          .as("yule_k"))
 
   /** Term burstiness (Fano factor) for the top `maxVocab` corpus terms:
     * variance-to-mean ratio of the term's PER-DOCUMENT count over ALL
@@ -1954,8 +1953,8 @@ object TextAnalysis {
       col("sc").cast("decimal(38,0)") * col("sc").cast("decimal(38,0)"))
       .cast("double")
     m.select(col("term"), col("df"), col("sc").as("total"),
-      round(try_divide(cxx,
-          col("n_docs").cast("double") * col("sc").cast("double"))
-        .cast("decimal(24,12)"), 6).cast("double").as("fano"))
+      Fns.q6(try_divide(cxx,
+          col("n_docs").cast("double") * col("sc").cast("double")))
+        .as("fano"))
   }
 }

@@ -122,15 +122,14 @@ object TimeSeries {
         first(col("v"), ignoreNulls = true).over(wb).as("__nv"),
         first(obsEp, ignoreNulls = true).over(wb).as("__ne"))
       .select(col(keyCol), col("bucket"), col("n"),
-        round(
+        graft.functions.Fns.q6(
           when(col("__pv").isNull, col("__nv"))
             .when(col("__nv").isNull, col("__pv"))
             .when(col("__ne") === col("__pe"), col("__pv"))
             .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
               (col("__e") - col("__pe")).cast("double") /
-              (col("__ne") - col("__pe")).cast("double"))
-            .cast("decimal(24,12)"),
-          6).cast("double").as("v_interp"))
+              (col("__ne") - col("__pe")).cast("double")))
+          .as("v_interp"))
   }
 
   /** Exponentially-weighted moving average over each key's bucketed
@@ -176,7 +175,7 @@ object TimeSeries {
       .filter(col("v").isNotNull)
       .withColumn("__arr", collect_list(col("v")).over(w))
       .select(col(keyCol), col("bucket"), col("n"), col("v").cast("double").as("v"),
-        round(
+        graft.functions.Fns.q6(
           (aggregate(
             // __arr is oldest..newest; element i (0-based) has age m-1-i,
             // so its weight is wArr(m-1-i) -> 1-based element_at(m-i).
@@ -188,9 +187,8 @@ object TimeSeries {
             transform(col("__arr"), (x, i) => x * element_at(wArr, m - i)),
             lit(BigDecimal(0).bigDecimal).cast("decimal(38,14)"),
             (acc, x) => (acc + x).cast("decimal(38,14)"))
-            .cast("double") / element_at(wTotArr, m).cast("double"))
-            .cast("decimal(24,12)"),
-          6).cast("double").as("ewma"))
+            .cast("double") / element_at(wTotArr, m).cast("double")))
+          .as("ewma"))
   }
 
   /** The 8-dp-quantized weight ladder `β^j, j = 0..memory-1` — shared
@@ -231,7 +229,7 @@ object TimeSeries {
     val z = when(std > 0, (col("v").cast("double") - mean) / std)
     b.select(col(keyCol), col("bucket"), col("n"), col("v").cast("double").as("v"),
       col("nw"),
-      round(z.cast("decimal(24,12)"), 6).cast("double").as("z"),
+      graft.functions.Fns.q6(z).as("z"),
       coalesce(abs(z) > threshold, lit(false)).as("is_anomaly"))
   }
 
@@ -269,7 +267,7 @@ object TimeSeries {
     val r = when(den1 > 0 && den2 > 0,
       (nd * col("sxy") - col("sx") * col("sy")) / (sqrt(den1) * sqrt(den2)))
     agg.select(col(keyCol), col("n_pairs"),
-      round(r.cast("decimal(24,12)"), 6).cast("double").as("autocorr"))
+      graft.functions.Fns.q6(r).as("autocorr"))
   }
 
   /** ACF + PACF card to lag 3 per key — the ARIMA order-selection
@@ -301,15 +299,13 @@ object TimeSeries {
     // cast first (the autocorr convention) — rounding happens in decimal
     // space, so a value sitting exactly on a .5 boundary can't round
     // differently across engines
-    def d6(c: org.apache.spark.sql.Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: org.apache.spark.sql.Column) = graft.functions.Fns.q6(c)
     def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,12)"))
     val centered = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
       .withColumn("nb", count(lit(1)).over(wk))
       .withColumn("sv", sum(col("v")).over(wk))
-      .withColumn("c", round((col("v").cast("double") -
-        col("sv").cast("double") / col("nb")).cast("decimal(24,12)"), 9)
-        .cast("double"))
+      .withColumn("c", graft.functions.Fns.q9(col("v").cast("double") -
+        col("sv").cast("double") / col("nb")))
     val agg = centered
       .withColumn("c1", functions.lag(col("c"), 1).over(wo))
       .withColumn("c2", functions.lag(col("c"), 2).over(wo))
@@ -321,8 +317,7 @@ object TimeSeries {
         dsum(col("c") * col("c2")).as("s2"),
         dsum(col("c") * col("c3")).as("s3"))
     def rho(s: String) =
-      round(try_divide(col(s).cast("double"), col("s0").cast("double"))
-        .cast("decimal(24,12)"), 9).cast("double")
+      graft.functions.Fns.q9(try_divide(col(s).cast("double"), col("s0").cast("double")))
     val r = agg.select(col(keyCol), col("n_buckets"),
       rho("s1").as("r1"), rho("s2").as("r2"), rho("s3").as("r3"))
     val phi22 = try_divide(col("r2") - col("r1") * col("r1"),
@@ -358,8 +353,7 @@ object TimeSeries {
     */
   def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
                       valueCol: String): DataFrame = {
-    def d6(c: org.apache.spark.sql.Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: org.apache.spark.sql.Column) = graft.functions.Fns.q6(c)
     // (us, vq) ordering: microsecond ties break on the quantized value,
     // and rows identical in BOTH are interchangeable — so the v·dt
     // pairing is deterministic without needing an id column
@@ -417,9 +411,9 @@ object TimeSeries {
       .withColumn("__rk", row_number().over(wBest))
       .filter(col("__rk") === 1)
       .select(col(keyCol), col("bucket").as("split_bucket"), col("nk").as("n_buckets"),
-        round(col("__score").cast("decimal(24,12)"), 6).cast("double").as("score"),
-        round(col("__lm").cast("decimal(24,12)"), 6).cast("double").as("left_mean"),
-        round(col("__rm").cast("decimal(24,12)"), 6).cast("double").as("right_mean"))
+        graft.functions.Fns.q6(col("__score")).as("score"),
+        graft.functions.Fns.q6(col("__lm")).as("left_mean"),
+        graft.functions.Fns.q6(col("__rm")).as("right_mean"))
   }
 
   /** Per-key OLS trend line of the bucketed value over the OBSERVED-bucket
@@ -460,9 +454,9 @@ object TimeSeries {
     val intercept = (col("sv") - slope * col("st").cast("double")) / nd
     val r2 = when(slope.isNotNull && denv > 0, cov * cov / (dent * denv))
     agg.select(col(keyCol), col("n_buckets"),
-      round(slope.cast("decimal(24,12)"), 6).cast("double").as("slope"),
-      round(intercept.cast("decimal(24,12)"), 6).cast("double").as("intercept"),
-      round(r2.cast("decimal(24,12)"), 6).cast("double").as("r2"))
+      graft.functions.Fns.q6(slope).as("slope"),
+      graft.functions.Fns.q6(intercept).as("intercept"),
+      graft.functions.Fns.q6(r2).as("r2"))
   }
 
   /** Lagged cross-correlation between each key's bucketed value-sum
@@ -500,7 +494,7 @@ object TimeSeries {
       (nd * col("sxy") - col("sx") * col("sy").cast("double")) /
         (sqrt(den1) * sqrt(den2)))
     agg.select(col(keyCol), col("n_pairs"),
-      round(r.cast("decimal(24,12)"), 6).cast("double").as("xcorr"))
+      graft.functions.Fns.q6(r).as("xcorr"))
   }
 
   /** Seasonal-strength decomposition: buckets are phased by
@@ -539,19 +533,19 @@ object TimeSeries {
       sum(col("sp2")).cast("double").as("s2"),
       // Σ_p s_p²/n_p: per-phase float division then a 6-dp DECIMAL sum so
       // the total is order-free.
-      sum(round((col("sp") * col("sp")).cast("double") / col("np"), 6)
+      sum(graft.functions.Fns.q6((col("sp") * col("sp")).cast("double") / col("np"))
         .cast("decimal(38,6)")).cast("double").as("ssb_raw"),
       // Peak-phase sort key is the 6-dp-rounded DOUBLE mean (not the raw
       // decimal ratio, whose quotient scale is engine-specific) so any
       // engine ranks phases identically; ties break to the earliest phase.
       max_by(col("phase"),
-        struct(round(col("sp").cast("double") / col("np"), 6), -col("phase")))
+        struct(graft.functions.Fns.q6(col("sp").cast("double") / col("np")), -col("phase")))
         .as("peak_phase"))
     val sst = col("s2") - col("s") * col("s") / col("n_rows")
     val ssb = col("ssb_raw") - col("s") * col("s") / col("n_rows")
     val strength = when(sst > 0, greatest(least(ssb / sst, lit(1.0)), lit(0.0)))
     agg.select(col(keyCol), col("n_rows"), col("n_phases"), col("peak_phase"),
-      round(strength.cast("decimal(24,12)"), 6).cast("double").as("strength"))
+      graft.functions.Fns.q6(strength).as("strength"))
   }
 
   /** SAX symbolization: each key's bucketed series, z-normalized with the
@@ -594,8 +588,8 @@ object TimeSeries {
       // integer division here.
       .withColumn("__seg", floor(col("__i") * segments / col("nk")).cast("long"))
       .withColumn("__z",
-        round(((col("v").cast("double") - col("mu")) / col("sigma"))
-          .cast("decimal(24,12)"), 6).cast("decimal(18,6)"))
+        graft.functions.Fns.q6((col("v").cast("double") - col("mu")) / col("sigma"))
+          .cast("decimal(18,6)"))
       .groupBy(col(keyCol), col("__seg"))
       .agg(count(lit(1)).as("ns"), sum(col("__z")).cast("double").as("sz"),
         first(col("nk")).as("nk"))
@@ -663,7 +657,7 @@ object TimeSeries {
       .agg(count(lit(1)).as("nh"),
         sum(round(col("v"), 6).cast("decimal(28,6)")).as("sv"))
       .select(col("k"), col("h"),
-        round(col("sv").cast("double") / col("nh"), 6).as("vh"))
+        graft.functions.Fns.q6(col("sv").cast("double") / col("nh")).as("vh"))
     val hmax = hourly.groupBy("k").agg(max("h").as("hmax"))
     val test = hourly.join(hmax, "k")
       .filter(col("h") > col("hmax") - testHours)
@@ -676,7 +670,7 @@ object TimeSeries {
         sum(round(abs(col("vh") - col("pred")), 6).cast("decimal(28,6)"))
           .as("sae"))
       .select(col("k"), col("n_test"),
-        round(col("sae").cast("double") / col("n_test"), 6).as("mae"))
+        graft.functions.Fns.q6(col("sae").cast("double") / col("n_test")).as("mae"))
   }
 
   /** Discrete-Fourier spectral fingerprint: per key, the DFT amplitude
@@ -711,7 +705,7 @@ object TimeSeries {
       .agg(count(lit(1)).as("nh"),
         sum(round(col("v"), 6).cast("decimal(28,6)")).as("sv"))
       .select(col("k"), col("h"),
-        round(col("sv").cast("double") / col("nh"), 6).as("vh"))
+        graft.functions.Fns.q6(col("sv").cast("double") / col("nh")).as("vh"))
     val n = hourly.groupBy("k").agg((max("h") + 1L).as("n"))
     val spine = hourly.sparkSession.range(1, harmonics + 1)
       .select(col("id").as("harmonic"))
@@ -766,8 +760,8 @@ object TimeSeries {
       .agg(count(lit(1)).as("n"), sum(col("dt")).as("st"),
         sum(round(col("v"), 6).cast("decimal(28,6)")).as("sv"))
       .select(col("k"), col("bucket"),
-        round(col("st").cast("double") / col("n"), 6).as("mt"),
-        round(col("sv").cast("double") / col("n"), 6).as("mv"))
+        graft.functions.Fns.q6(col("st").cast("double") / col("n")).as("mt"),
+        graft.functions.Fns.q6(col("sv").cast("double") / col("n")).as("mv"))
     val withA = b
       .join(anchors.select(col("k"), (col("bucket") + 1).as("bucket"),
         col("mt").as("lt0"), col("mv").as("lv0")), Seq("k", "bucket"), "left")
@@ -841,15 +835,15 @@ object TimeSeries {
     val pairs = idx.as("a").join(idx.as("b"),
         col("a.k") === col("b.k") && col("a.t") < col("b.t"))
       .select(col("a.k").as("k"),
-        round((col("b.v").cast("double") - col("a.v").cast("double")) /
-          (col("b.t") - col("a.t")).cast("double"), 9).as("ps"))
+        graft.functions.Fns.q9((col("b.v").cast("double") - col("a.v").cast("double")) /
+          (col("b.t") - col("a.t")).cast("double")).as("ps"))
     val slope = pairs.groupBy("k").agg(
       count(lit(1)).as("n_pairs"),
       expr("percentile(ps, 0.5D)").as("slope_raw"))
     idx.join(slope, "k")
       .select(col("k"), col("n_pairs"), col("slope_raw"),
-        round(col("v").cast("double") - col("slope_raw") *
-          col("t").cast("double"), 9).as("r"))
+        graft.functions.Fns.q9(col("v").cast("double") - col("slope_raw") *
+          col("t").cast("double")).as("r"))
       .groupBy(col("k"), col("n_pairs"), col("slope_raw"))
       .agg(count(lit(1)).as("n_buckets"),
         expr("percentile(r, 0.5D)").as("icept_raw"))
@@ -857,9 +851,9 @@ object TimeSeries {
         // DECIMAL(24,12) routing before the 6-dp round: the interpolated
         // percentile is a double whose 6-dp half-boundary ties Spark and
         // DuckDB round differently (the resampleInterpolate discipline).
-        round(col("slope_raw").cast("decimal(24,12)"), 6).cast("double")
+        graft.functions.Fns.q6(col("slope_raw"))
           .as("slope"),
-        round(col("icept_raw").cast("decimal(24,12)"), 6).cast("double")
+        graft.functions.Fns.q6(col("icept_raw"))
           .as("intercept"))
   }
 
@@ -903,13 +897,13 @@ object TimeSeries {
     val pairs = sub.as("a").join(sub.as("b"),
         col("a.k") === col("b.k") && col("b.t") >= col("a.t") + m)
       .select(col("a.k").as("k"), col("a.t").as("pos_a"),
-        col("b.t").as("pos_b"), round(d2, 9).as("dist2"))
+        col("b.t").as("pos_b"), graft.functions.Fns.q9(d2).as("dist2"))
     val rw = Window.partitionBy(col("k"))
       .orderBy(col("dist2").asc, col("pos_a").asc, col("pos_b").asc)
     pairs.withColumn("rn", row_number().over(rw)).filter(col("rn") === 1)
       .join(nw, "k")
       .select(col("k").as(keyCol), col("n_windows"), col("pos_a"),
-        col("pos_b"), round(col("dist2"), 6).as("dist2"))
+        col("pos_b"), graft.functions.Fns.q6(col("dist2")).as("dist2"))
   }
 
   /** Spectral entropy per key: Shannon entropy of the normalized power
@@ -926,7 +920,7 @@ object TimeSeries {
                       valueCol: String, harmonics: Int = 4): DataFrame = {
     val spec = dftSpectrum(events, keyCol, tsCol, valueCol, harmonics)
       .select(col("k"),
-        round(col("amplitude") * col("amplitude"), 9).as("p2"))
+        graft.functions.Fns.q9(col("amplitude") * col("amplitude")).as("p2"))
     val tot = spec.groupBy("k").agg(
       count(lit(1)).as("n_harmonics"),
       sum(col("p2").cast("decimal(28,9)")).as("tot"))
@@ -938,7 +932,7 @@ object TimeSeries {
       .groupBy("k", "n_harmonics")
       .agg(sum(round(col("term"), 9).cast("decimal(28,9)")).as("h"))
       .select(col("k").as(keyCol), col("n_harmonics"),
-        round(col("h").cast("double"), 6).as("spectral_entropy"),
+        graft.functions.Fns.q6(col("h").cast("double")).as("spectral_entropy"),
         round(col("h").cast("double") /
           log(col("n_harmonics").cast("double")), 6).as("norm_entropy"))
   }
@@ -1024,9 +1018,8 @@ object TimeSeries {
         // DECIMAL(24,12) routing before the 6-dp round: v − mean can
         // land exactly on a 6-dp half boundary, where the engines'
         // double-rounding disagrees (the resampleInterpolate discipline)
-        round((col("v").cast("double") -
+        graft.functions.Fns.q6(col("v").cast("double") -
           col("sv").cast("double") / col("n_buckets").cast("double"))
-          .cast("decimal(24,12)"), 6)
           .cast("decimal(18,6)").as("dev"))
     val wOrd = Window.partitionBy(col("k")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1075,8 +1068,7 @@ object TimeSeries {
                   valueCol: String, stepSeconds: Long = 3600L,
                   maxBuckets: Int = 512): DataFrame = {
     require(maxBuckets >= 2, s"need maxBuckets >= 2, got $maxBuckets")
-    def d6(c: org.apache.spark.sql.Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: org.apache.spark.sql.Column) = graft.functions.Fns.q6(c)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
     val idx = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
       .filter(col("v").isNotNull)
@@ -1132,8 +1124,7 @@ object TimeSeries {
     */
   def runsTest(events: DataFrame, keyCol: String, tsCol: String,
                valueCol: String, stepSeconds: Long = 3600L): DataFrame = {
-    def d6(c: org.apache.spark.sql.Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: org.apache.spark.sql.Column) = graft.functions.Fns.q6(c)
     val b = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
       .filter(col("v").isNotNull)
       .select(col(keyCol).as("k"), col("bucket"),
@@ -1188,8 +1179,7 @@ object TimeSeries {
     */
   def turningPoints(events: DataFrame, keyCol: String, tsCol: String,
                     valueCol: String, stepSeconds: Long = 3600L): DataFrame = {
-    def d6(c: org.apache.spark.sql.Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: org.apache.spark.sql.Column) = graft.functions.Fns.q6(c)
     val b = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
       .filter(col("v").isNotNull)
       .select(col(keyCol).as("k"), col("bucket"), col("v"))
@@ -1240,8 +1230,7 @@ object TimeSeries {
     windows.foreach { w =>
       require(w >= 4 && (w & (w - 1)) == 0, s"window sizes must be dyadic >= 4, got $w")
     }
-    def d6(c: org.apache.spark.sql.Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: org.apache.spark.sql.Column) = graft.functions.Fns.q6(c)
     // exact log2 for the dyadic sizes (no libm in the x coordinate)
     val log2w = windows.map(w => (w, (31 - Integer.numberOfLeadingZeros(w)).toDouble))
       .foldLeft(lit(null).cast("double")) { case (acc, (w, x)) =>
@@ -1274,14 +1263,13 @@ object TimeSeries {
         sum((col("v") * col("v")).cast("decimal(38,12)")).as("svv"))
     val rs = chunks
       .withColumn("var9",
-        round((col("svv").cast("double") / col("w").cast("double") -
+        graft.functions.Fns.q9(col("svv").cast("double") / col("w").cast("double") -
           (col("sv").cast("double") / col("w").cast("double")) *
-          (col("sv").cast("double") / col("w").cast("double")))
-          .cast("decimal(24,12)"), 9).cast("double"))
+          (col("sv").cast("double") / col("w").cast("double"))))
       .filter(col("var9") > 0)
       .withColumn("rs6",
-        round((col("r_scaled").cast("double") / col("w").cast("double") /
-          sqrt(col("var9"))).cast("decimal(24,12)"), 6)
+        graft.functions.Fns.q6(col("r_scaled").cast("double") / col("w").cast("double") /
+          sqrt(col("var9")))
           .cast("decimal(18,6)"))
       .groupBy(col("k"), col("w"))
       .agg(count(lit(1)).as("n_chunks"),
@@ -1368,8 +1356,7 @@ object TimeSeries {
       cS("syy", "sy", "sy").as("cyy"), cS("suu", "su", "su").as("cuu"),
       cS("svv", "sv", "sv").as("cvv"), cS("suy", "su", "sy").as("cuy"),
       cS("svy", "sv", "sy").as("cvy"), cS("suv", "su", "sv").as("cuv"))
-    def d6(c: org.apache.spark.sql.Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: org.apache.spark.sql.Column) = graft.functions.Fns.q6(c)
     s.select(col("n").as("n_lags"),
         d6(try_divide(col("cuy") * col("cuy"), col("cuu") * col("cyy")))
           .as("r2_ar1"),
@@ -1408,8 +1395,7 @@ object TimeSeries {
     require(mult > 0.0, s"need mult > 0, got $mult")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
       .rowsBetween(-(window - 1).toLong, Window.currentRow)
-    def d6(c: org.apache.spark.sql.Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: org.apache.spark.sql.Column) = graft.functions.Fns.q6(c)
     // ×10⁶-scaled exact integer moments (priceElasticity discipline): a
     // flat window yields a centered moment of EXACTLY zero — sd 0, %B
     // NULL — never the sqrt of double rounding noise.
@@ -1461,8 +1447,7 @@ object TimeSeries {
   def dickeyFuller(events: DataFrame, keyCol: String, tsCol: String,
                    valueCol: String, stepSeconds: Long = 3600L): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
-    def d6(c: org.apache.spark.sql.Column) =
-      round(c.cast("decimal(24,12)"), 6).cast("double")
+    def d6(c: org.apache.spark.sql.Column) = graft.functions.Fns.q6(c)
     val pairs = bucketize(events, keyCol, tsCol, valueCol, stepSeconds)
       .withColumn("xv", functions.lag(col("v"), 1).over(w))
       .filter(col("xv").isNotNull && col("v").isNotNull)
