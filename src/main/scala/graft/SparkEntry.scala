@@ -1663,11 +1663,11 @@ object SparkEntry {
             .otherwise(0L)).as("nc"))
         .select(col("ne").as("n_exact_edges"), col("na").as("n_ann_edges"),
           col("nc").as("n_common"),
-          round(try_divide(col("nc").cast("double"),
-            col("ne").cast("double")), 6).as("edge_recall"),
-          round(try_divide(col("nc").cast("double"),
+          Fns.q6(try_divide(col("nc").cast("double"),
+            col("ne").cast("double"))).as("edge_recall"),
+          Fns.q6(try_divide(col("nc").cast("double"),
             col("ne").cast("double") + col("na").cast("double")
-              - col("nc").cast("double")), 6).as("jaccard"))
+              - col("nc").cast("double"))).as("jaccard"))
     }),
 
     // Exact max-inner-product top-10 for the same 8 probes — the
@@ -3970,7 +3970,7 @@ object SparkEntry {
         orders.filter(col("o_orderdate") >= cutoff), Seq("o_custkey"), "o_totalprice")
       Merge.finalizeAggState(Merge.mergeAggStates(Seq("o_custkey"), base, delta))
         .select(col("o_custkey"), col("total"), col("cnt"),
-          round(col("mean"), 6).as("mean"))
+          Fns.q6(col("mean")).as("mean"))
         .orderBy("o_custkey")
     }),
 
@@ -4919,7 +4919,7 @@ object SparkEntry {
         |t AS (SELECT min(CAST(n_avail AS DOUBLE) / w) AS t_max FROM j)
         |SELECT source, n_avail, round(w, 6) AS target_w,
         |  CAST(floor(w * t_max) AS BIGINT) AS take_n,
-        |  round(CAST(floor(w * t_max) AS DOUBLE) / n_avail, 6) AS rate
+        |  round((CAST(floor(w * t_max) AS DOUBLE) / n_avail) * 1000000) / 1000000 AS rate
         |FROM j CROSS JOIN t ORDER BY source""".stripMargin,
 
     // n^0.5 routes through DECIMAL(24,12) -> 6dp on both engines; shares
@@ -4933,10 +4933,14 @@ object SparkEntry {
         |t AS (SELECT sum(n_docs) AS n_total,
         |        sum(CAST(w AS DECIMAL(24,6))) AS w_total FROM w)
         |SELECT source, n_docs,
-        |  round(CAST(n_docs AS DOUBLE) / n_total, 6) AS raw_share,
-        |  round(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE), 6) AS temp_share,
-        |  round(round(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE), 6)
-        |    / round(CAST(n_docs AS DOUBLE) / n_total, 6), 6) AS boost
+        |  round((CAST(n_docs AS DOUBLE) / n_total) * 1000000) / 1000000
+        |    AS raw_share,
+        |  round((CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)) * 1000000)
+        |    / 1000000 AS temp_share,
+        |  round(((round((CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE))
+        |        * 1000000) / 1000000)
+        |    / (round((CAST(n_docs AS DOUBLE) / n_total) * 1000000)
+        |        / 1000000)) * 1000000) / 1000000 AS boost
         |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
 
     // Kish ESS from the G-row count aggregate: exact decimal x integer
@@ -5113,7 +5117,7 @@ object SparkEntry {
         |-- doesn't — both engines must do the cutoff in identical arithmetic.
         |qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
         |SELECT q,
-        |  round(lo + (bin + 1) * ((hi - lo) / 64), 6) AS est,
+        |  round((lo + (bin + 1) * ((hi - lo) / 64)) * 1000000) / 1000000 AS est,
         |  bin, n
         |FROM (SELECT q, lo, hi, n, min(bin) AS bin
         |      FROM qs CROSS JOIN cum
@@ -5464,9 +5468,9 @@ object SparkEntry {
          |        CAST(sum(n) AS BIGINT) AS n_events FROM ua),
          |l AS (${Seq(1L, 2L, 4L, 8L, 16L).map(one).mkString("\nUNION ALL ")})
          |SELECT threshold, users_ge, events_ge,
-         |  round(CAST(users_ge AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+         |  round((CAST(users_ge AS DOUBLE) / CAST(n_users AS DOUBLE)) * 1000000) / 1000000
          |    AS frac_users,
-         |  round(CAST(events_ge AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+         |  round((CAST(events_ge AS DOUBLE) / CAST(n_events AS DOUBLE)) * 1000000) / 1000000
          |    AS frac_events
          |FROM l CROSS JOIN tot ORDER BY threshold""".stripMargin
     },
@@ -5637,9 +5641,9 @@ object SparkEntry {
         |  round(rate, 6) AS rate,
         |  coalesce(kept_docs, 0) AS kept_docs,
         |  CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
-        |  round(p.w / 50.0, 6) AS target_share,
-        |  round(CAST(coalesce(kept_tokens, 0) AS DOUBLE)
-        |    / nullif(CAST(tk AS DOUBLE), 0.0), 6) AS achieved_share
+        |  round((p.w / 50.0) * 1000000) / 1000000 AS target_share,
+        |  round((CAST(coalesce(kept_tokens, 0) AS DOUBLE)
+        |    / nullif(CAST(tk AS DOUBLE), 0.0)) * 1000000) / 1000000 AS achieved_share
         |FROM p LEFT JOIN kept USING (source) CROSS JOIN tk
         |ORDER BY p.source""".stripMargin,
 
@@ -5843,7 +5847,8 @@ object SparkEntry {
          |  round(CASE WHEN CAST('$alphaM2' AS DOUBLE) / (s + (64 - nonzero)) <= 160
          |               AND nonzero < 64
          |        THEN 64 * ln(CAST(64 AS DOUBLE) / (64 - nonzero))
-         |        ELSE CAST('$alphaM2' AS DOUBLE) / (s + (64 - nonzero)) END, 4) AS est
+         |        ELSE CAST('$alphaM2' AS DOUBLE) / (s + (64 - nonzero)) END
+         |    * 10000) / 10000 AS est
          |FROM agg""".stripMargin
     },
 
@@ -5875,7 +5880,8 @@ object SparkEntry {
          |  round(CASE WHEN CAST('$alphaM2' AS DOUBLE) / (s + (64 - nonzero)) <= 160
          |               AND nonzero < 64
          |        THEN 64 * ln(CAST(64 AS DOUBLE) / (64 - nonzero))
-         |        ELSE CAST('$alphaM2' AS DOUBLE) / (s + (64 - nonzero)) END, 4) AS est
+         |        ELSE CAST('$alphaM2' AS DOUBLE) / (s + (64 - nonzero)) END
+         |    * 10000) / 10000 AS est
          |FROM agg ORDER BY event_type""".stripMargin
     },
 
@@ -5951,8 +5957,8 @@ object SparkEntry {
          |        AND x2.doc_id < y2.doc_id
          |      GROUP BY 1, 2),
          |scored AS (SELECT i2.da, i2.db,
-         |        round(CAST(ni AS DOUBLE)
-         |          / CAST(sa.n + sb.n - ni AS DOUBLE), 6) AS j,
+         |        round((CAST(ni AS DOUBLE)
+         |          / CAST(sa.n + sb.n - ni AS DOUBLE)) * 1000000) / 1000000 AS j,
          |        CASE WHEN cand.da IS NOT NULL THEN 1 ELSE 0 END AS c
          |      FROM inter i2
          |      JOIN sizes sa ON sa.doc_id = i2.da
@@ -5970,7 +5976,7 @@ object SparkEntry {
          |SELECT bucket,
          |  round((CAST(bucket AS DOUBLE) + 0.5) / 10.0, 2) AS s_mid,
          |  n_pairs, n_candidates,
-         |  round(CAST(n_candidates AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+         |  round((CAST(n_candidates AS DOUBLE) / CAST(n_pairs AS DOUBLE)) * 1000000) / 1000000
          |    AS measured_rate,
          |  round(1.0 - (y * y) * (y * y) * ((y * y) * (y * y)), 6)
          |    AS theoretical_rate
@@ -6010,8 +6016,8 @@ object SparkEntry {
          |        AND x2.doc_id < y2.doc_id
          |      GROUP BY 1, 2),
          |pj AS (SELECT i2.da, i2.db,
-         |        round(CAST(ni AS DOUBLE)
-         |          / CAST(sa.n + sb.n - ni AS DOUBLE), 6) AS j
+         |        round((CAST(ni AS DOUBLE)
+         |          / CAST(sa.n + sb.n - ni AS DOUBLE)) * 1000000) / 1000000 AS j
          |      FROM inter i2
          |      JOIN sizes sa ON sa.doc_id = i2.da
          |      JOIN sizes sb ON sb.doc_id = i2.db),
@@ -6022,13 +6028,13 @@ object SparkEntry {
          |      JOIN sig b ON b.doc_id = pj.db AND b.p = a.p
          |      GROUP BY 1, 2, 3),
          |es AS (SELECT j,
-         |        round(CAST(n_agree AS DOUBLE) / 16.0, 6) AS est FROM ag),
+         |        round((CAST(n_agree AS DOUBLE) / 16.0) * 1000000) / 1000000 AS est FROM ag),
          |bk2 AS (SELECT CAST(least(floor(j * 10.0), 9.0) AS BIGINT)
          |        AS bucket, j, est FROM es)
          |SELECT bucket, count(*) AS n_pairs,
-         |  round(CAST(sum(CAST(round(est - j, 6) AS DECIMAL(18,6)))
-         |    AS DOUBLE) / count(*), 6) AS mean_bias,
-         |  round(sqrt(CAST(sum(CAST(round((est - j) * (est - j), 9)
+         |  round((CAST(sum(CAST(round((est - j) * 1000000) / 1000000 AS DECIMAL(18,6)))
+         |    AS DOUBLE) / count(*)) * 1000000) / 1000000 AS mean_bias,
+         |  round(sqrt(CAST(sum(CAST(round(((est - j) * (est - j)) * 1000000000) / 1000000000
          |    AS DECIMAL(28,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
          |    * 1000000) / 1000000
          |    AS rmse
@@ -6155,10 +6161,10 @@ object SparkEntry {
         |      FROM sizes x JOIN sizes y ON x.source < y.source)
         |SELECT sp.source_a, sp.source_b, n_a, n_b,
         |  coalesce(shared, 0) AS shared,
-        |  round(CAST(coalesce(shared, 0) AS DOUBLE)
-        |    / (n_a + n_b - coalesce(shared, 0)), 6) AS jaccard,
-        |  round(CAST(coalesce(shared, 0) AS DOUBLE)
-        |    / least(n_a, n_b), 6) AS containment
+        |  round((CAST(coalesce(shared, 0) AS DOUBLE)
+        |    / (n_a + n_b - coalesce(shared, 0))) * 1000000) / 1000000 AS jaccard,
+        |  round((CAST(coalesce(shared, 0) AS DOUBLE)
+        |    / least(n_a, n_b)) * 1000000) / 1000000 AS containment
         |FROM sp LEFT JOIN shared USING (source_a, source_b)
         |ORDER BY source_a, source_b""".stripMargin,
 
@@ -6221,16 +6227,16 @@ object SparkEntry {
          |  (SELECT count(*) FROM an) AS n_ann_edges,
          |  (SELECT count(*) FROM ex JOIN an USING (id_a, id_b))
          |    AS n_common,
-         |  round(CAST((SELECT count(*) FROM ex JOIN an USING (id_a, id_b))
+         |  round((CAST((SELECT count(*) FROM ex JOIN an USING (id_a, id_b))
          |      AS DOUBLE)
-         |    / nullif(CAST((SELECT count(*) FROM ex) AS DOUBLE), 0.0), 6)
+         |    / nullif(CAST((SELECT count(*) FROM ex) AS DOUBLE), 0.0)) * 1000000) / 1000000
          |    AS edge_recall,
-         |  round(CAST((SELECT count(*) FROM ex JOIN an USING (id_a, id_b))
+         |  round((CAST((SELECT count(*) FROM ex JOIN an USING (id_a, id_b))
          |      AS DOUBLE)
          |    / nullif(CAST((SELECT count(*) FROM ex) AS DOUBLE)
          |      + CAST((SELECT count(*) FROM an) AS DOUBLE)
          |      - CAST((SELECT count(*) FROM ex JOIN an USING (id_a, id_b))
-         |          AS DOUBLE), 0.0), 6) AS jaccard""".stripMargin,
+         |          AS DOUBLE), 0.0)) * 1000000) / 1000000 AS jaccard""".stripMargin,
 
     // MIPS mirror: list_inner_product for graft_dot, 6-dp-rounded
     // before the rank window (same membership discipline as cosine).
@@ -6266,7 +6272,7 @@ object SparkEntry {
     "dedup_source_report" ->
       """SELECT source, count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS n_unique,
-        |  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6)
+        |  round((1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*)) * 1000000) / 1000000
         |    AS dup_rate
         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
 
@@ -6378,8 +6384,9 @@ object SparkEntry {
          |        AND l.neighbor_id = b.neighbor_id
          |      GROUP BY 1)
          |SELECT count(*) AS n_queries,
-         |  round(CAST(sum(CAST(round(CAST(hits AS DOUBLE) / k, 6)
-         |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_recall
+         |  round((CAST(sum(CAST(round((CAST(hits AS DOUBLE) / k) * 1000000)
+         |    / 1000000 AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1000000)
+         |    / 1000000 AS mean_recall
          |FROM m""".stripMargin,
 
     // Binary-quantization recall: the same two-half sign codes, Hamming
@@ -6412,8 +6419,9 @@ object SparkEntry {
          |        AND appx.neighbor_id = b.neighbor_id
          |      GROUP BY 1)
          |SELECT count(*) AS n_queries,
-         |  round(CAST(sum(CAST(round(CAST(hits AS DOUBLE) / k, 6)
-         |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_recall
+         |  round((CAST(sum(CAST(round((CAST(hits AS DOUBLE) / k) * 1000000)
+         |    / 1000000 AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1000000)
+         |    / 1000000 AS mean_recall
          |FROM m""".stripMargin,
 
     // Matryoshka: the brute oracle re-ranked on list prefixes, each
@@ -6422,8 +6430,9 @@ object SparkEntry {
       def one(p: Int) =
         s"""SELECT CAST($p AS BIGINT) AS prefix_dim,
            |  CAST(count(*) AS BIGINT) AS n_queries,
-           |  round(CAST(sum(CAST(round(CAST(hits AS DOUBLE) / k, 6)
-           |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_recall
+           |  round((CAST(sum(CAST(round((CAST(hits AS DOUBLE) / k) * 1000000)
+           |    / 1000000 AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1000000)
+         |    / 1000000 AS mean_recall
            |FROM (SELECT b.query_id, count(t.neighbor_id) AS hits,
            |        count(*) AS k
            |      FROM b LEFT JOIN (
@@ -6656,7 +6665,7 @@ object SparkEntry {
     "emb_normalize" ->
       s"""WITH e AS ($embCte),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-         |SELECT vec_id, CAST(i - 1 AS BIGINT) AS i, round(v[i] / nrm, 6) AS x
+         |SELECT vec_id, CAST(i - 1 AS BIGINT) AS i, round((v[i] / nrm) * 1000000) / 1000000 AS x
          |FROM n CROSS JOIN range(1, 65) t(i)
          |WHERE nrm > 0
          |ORDER BY vec_id, i""".stripMargin,
@@ -6812,8 +6821,8 @@ object SparkEntry {
            |    round(CASE WHEN CAST('$alphaM2' AS DOUBLE)
            |          / (s + ($m - nonzero)) <= ${2.5 * m} AND nonzero < $m
            |      THEN $m * ln(CAST($m AS DOUBLE) / ($m - nonzero))
-           |      ELSE CAST('$alphaM2' AS DOUBLE) / (s + ($m - nonzero)) END,
-           |      4) AS est FROM ${nm}_agg)""".stripMargin
+           |      ELSE CAST('$alphaM2' AS DOUBLE) / (s + ($m - nonzero)) END
+           |      * 10000) / 10000 AS est FROM ${nm}_agg)""".stripMargin
       s"""WITH ${reg("a", "event_id % 10 < 6")},
          |${reg("b", "event_id % 10 >= 4")},
          |u_reg AS (SELECT bucket, max(max_rho) AS max_rho FROM (
@@ -6824,10 +6833,10 @@ object SparkEntry {
          |${est("u", "u_reg")}
          |SELECT a_est.est AS est_a, b_est.est AS est_b,
          |  u_est.est AS est_union,
-         |  round(greatest(a_est.est + b_est.est - u_est.est, 0.0), 4)
-         |    AS est_intersection,
-         |  round(greatest(a_est.est + b_est.est - u_est.est, 0.0)
-         |    / u_est.est, 4) AS jaccard_est
+         |  round(greatest(a_est.est + b_est.est - u_est.est, 0.0) * 10000)
+         |    / 10000 AS est_intersection,
+         |  round((greatest(a_est.est + b_est.est - u_est.est, 0.0)
+         |    / u_est.est) * 10000) / 10000 AS jaccard_est
          |FROM a_est CROSS JOIN b_est CROSS JOIN u_est""".stripMargin
     },
 
@@ -6865,10 +6874,10 @@ object SparkEntry {
         |SELECT CAST(16384 AS BIGINT) AS m_bits, CAST(3 AS BIGINT)
         |    AS k_hashes,
         |  n_inserted, bits_set,
-        |  round(CAST(bits_set AS DOUBLE) / 16384.0, 6) AS fill_ratio,
+        |  round((CAST(bits_set AS DOUBLE) / 16384.0) * 1000000) / 1000000 AS fill_ratio,
         |  n_probes, n_false_pos,
-        |  round(CAST(n_false_pos AS DOUBLE)
-        |    / nullif(CAST(n_probes AS DOUBLE), 0.0), 6) AS measured_fpr,
+        |  round((CAST(n_false_pos AS DOUBLE)
+        |    / nullif(CAST(n_probes AS DOUBLE), 0.0)) * 1000000) / 1000000 AS measured_fpr,
         |  round(exp(3.0 * ln(1.0 - exp(3.0 * CAST(n_inserted AS DOUBLE)
         |    * ln(1.0 - 0.00006103515625)))), 6) AS theoretical_fpr
         |FROM fp CROSS JOIN ni CROSS JOIN nb""".stripMargin,
@@ -6898,20 +6907,20 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |      FROM bc),
         |clo AS (SELECT g,
-        |        round(lo + (min(bin) + 1) * ((hi - lo) / 64), 6) AS cut_lo
+        |        round((lo + (min(bin) + 1) * ((hi - lo) / 64)) * 1000000) / 1000000 AS cut_lo
         |      FROM cm WHERE cum >= ceil(0.05 * n) GROUP BY g, lo, hi),
         |chi AS (SELECT g,
-        |        round(lo + (min(bin) + 1) * ((hi - lo) / 64), 6) AS cut_hi
+        |        round((lo + (min(bin) + 1) * ((hi - lo) / 64)) * 1000000) / 1000000 AS cut_hi
         |      FROM cm WHERE cum >= ceil(0.95 * n) GROUP BY g, lo, hi),
         |w AS (SELECT c.g, c.v, clo.cut_lo, chi.cut_hi,
         |        greatest(least(c.v, chi.cut_hi), clo.cut_lo) AS cv
         |      FROM clean c JOIN clo ON clo.g = c.g JOIN chi ON chi.g = c.g)
         |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
         |  min(cut_lo) AS cut_lo, min(cut_hi) AS cut_hi,
-        |  round(CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE), 6) AS mean_raw,
-        |  round(CAST(sum(CAST(round(cv, 6) AS DECIMAL(28,6))) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE), 6) AS mean_winsorized
+        |  round((CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) * 1000000) / 1000000 AS mean_raw,
+        |  round((CAST(sum(CAST(round(cv, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) * 1000000) / 1000000 AS mean_winsorized
         |FROM w GROUP BY g ORDER BY event_type""".stripMargin,
 
     // Mirrors robustStatsCard: the sketch_winsorized histogram blocks
@@ -6936,13 +6945,13 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |      FROM bc),
         |clo AS (SELECT g,
-        |        round(lo + (min(bin) + 1) * ((hi - lo) / 64), 6) AS cut_lo
+        |        round((lo + (min(bin) + 1) * ((hi - lo) / 64)) * 1000000) / 1000000 AS cut_lo
         |      FROM cm WHERE cum >= ceil(0.05 * n) GROUP BY g, lo, hi),
         |chi AS (SELECT g,
-        |        round(lo + (min(bin) + 1) * ((hi - lo) / 64), 6) AS cut_hi
+        |        round((lo + (min(bin) + 1) * ((hi - lo) / 64)) * 1000000) / 1000000 AS cut_hi
         |      FROM cm WHERE cum >= ceil(0.95 * n) GROUP BY g, lo, hi),
         |cmed AS (SELECT g,
-        |        round(lo + (min(bin) + 1) * ((hi - lo) / 64), 6) AS median_est
+        |        round((lo + (min(bin) + 1) * ((hi - lo) / 64)) * 1000000) / 1000000 AS median_est
         |      FROM cm WHERE cum >= ceil(0.5 * n) GROUP BY g, lo, hi),
         |w AS (SELECT c.g, c.v, clo.cut_lo, chi.cut_hi, cmed.median_est,
         |        b.lo, b.hi, b.n
@@ -6961,20 +6970,20 @@ object SparkEntry {
         |        sum(c) OVER (PARTITION BY g ORDER BY bin
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |      FROM dbc),
-        |mad AS (SELECT g, round((min(bin) + 1) * (dhi / 64), 6) AS mad_est
+        |mad AS (SELECT g, round(((min(bin) + 1) * (dhi / 64)) * 1000000) / 1000000 AS mad_est
         |      FROM dcm WHERE cum >= ceil(0.5 * n) GROUP BY g, dhi),
         |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
         |        min(cut_lo) AS cut_lo, min(cut_hi) AS cut_hi,
         |        min(median_est) AS median_est,
-        |        round(CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE)
-        |          / CAST(count(*) AS DOUBLE), 6) AS mean_raw,
+        |        round((CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |          / CAST(count(*) AS DOUBLE)) * 1000000) / 1000000 AS mean_raw,
         |        CAST(sum(CASE WHEN v BETWEEN cut_lo AND cut_hi
         |          THEN CAST(round(v, 6) AS DECIMAL(28,6)) END) AS DOUBLE) AS st,
         |        CAST(sum(CASE WHEN v BETWEEN cut_lo AND cut_hi
         |          THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed
         |      FROM w GROUP BY g)
         |SELECT agg.g AS event_type, n, cut_lo, cut_hi, median_est, mean_raw,
-        |  round(st / nullif(CAST(n_trimmed AS DOUBLE), 0.0), 6) AS mean_trimmed,
+        |  round((st / nullif(CAST(n_trimmed AS DOUBLE), 0.0)) * 1000000) / 1000000 AS mean_trimmed,
         |  n_trimmed, mad_est
         |FROM agg JOIN mad ON mad.g = agg.g ORDER BY event_type""".stripMargin,
 
@@ -7014,8 +7023,8 @@ object SparkEntry {
          |us AS (SELECT CAST(count(DISTINCT shingle) AS BIGINT) AS n_union
          |      FROM gsh)
          |SELECT sz.g AS source, n_shingles, n_union, n_agree,
-         |  round(CAST(n_agree AS DOUBLE) / 16.0, 6) AS est_jaccard,
-         |  round(CAST(n_shingles AS DOUBLE) / CAST(n_union AS DOUBLE), 6)
+         |  round((CAST(n_agree AS DOUBLE) / 16.0) * 1000000) / 1000000 AS est_jaccard,
+         |  round((CAST(n_shingles AS DOUBLE) / CAST(n_union AS DOUBLE)) * 1000000) / 1000000
          |    AS exact_jaccard
          |FROM sz JOIN ag ON ag.g = sz.g CROSS JOIN us
          |ORDER BY source""".stripMargin,
@@ -7038,7 +7047,7 @@ object SparkEntry {
         |      FROM st CROSS JOIN ex)
         |SELECT CAST(1024 AS BIGINT) AS k, n_min, kth_min, n_exact,
         |  round(e, 6) AS est_distinct,
-        |  round(e / nullif(CAST(n_exact AS DOUBLE), 0.0) - 1e0, 6)
+        |  round((e / nullif(CAST(n_exact AS DOUBLE), 0.0) - 1e0) * 1000000) / 1000000
         |    AS rel_error
         |FROM est""".stripMargin,
 
@@ -7157,10 +7166,10 @@ object SparkEntry {
         |        count(*) AS n_active_days,
         |        CAST(sum(dau) AS BIGINT) AS sdau FROM dau GROUP BY 1)
         |SELECT md.month AS month, n_active_days, mau,
-        |  round(CAST(sdau AS DOUBLE) / CAST(n_active_days AS DOUBLE), 6)
+        |  round((CAST(sdau AS DOUBLE) / CAST(n_active_days AS DOUBLE)) * 1000000) / 1000000
         |    AS avg_dau,
-        |  round(CAST(sdau AS DOUBLE) / CAST(n_active_days AS DOUBLE)
-        |    / CAST(mau AS DOUBLE), 6) AS stickiness
+        |  round((CAST(sdau AS DOUBLE) / CAST(n_active_days AS DOUBLE)
+        |    / CAST(mau AS DOUBLE)) * 1000000) / 1000000 AS stickiness
         |FROM md JOIN mau ON md.month = mau.month
         |ORDER BY month""".stripMargin,
 
@@ -7173,8 +7182,8 @@ object SparkEntry {
         |      FROM tu a JOIN tu b ON a.u = b.u AND a.et < b.et
         |      GROUP BY 1, 2)
         |SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
-        |  round(CAST(n_both AS DOUBLE)
-        |    / CAST(ta.n + tb.n - n_both AS DOUBLE), 6) AS jaccard
+        |  round((CAST(n_both AS DOUBLE)
+        |    / CAST(ta.n + tb.n - n_both AS DOUBLE)) * 1000000) / 1000000 AS jaccard
         |FROM i JOIN tot ta ON ta.et = type_a JOIN tot tb ON tb.et = type_b
         |ORDER BY type_a, type_b""".stripMargin,
 
@@ -7219,8 +7228,8 @@ object SparkEntry {
         |      WHERE h > hmax - 48),
         |fc AS (SELECT k, h + 24 AS h, vh AS pred FROM hr)
         |SELECT t2.k AS event_type, count(*) AS n_test,
-        |  round(CAST(sum(CAST(round(abs(vh - pred), 6) AS DECIMAL(28,6)))
-        |    AS DOUBLE) / count(*), 6) AS mae
+        |  round((CAST(sum(CAST(round(abs(vh - pred), 6) AS DECIMAL(28,6)))
+        |    AS DOUBLE) / count(*)) * 1000000) / 1000000 AS mae
         |FROM test t2 JOIN fc ON fc.k = t2.k AND fc.h = t2.h
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -7521,9 +7530,10 @@ object SparkEntry {
         |      FROM dly d JOIN m USING (event_type) GROUP BY 1),
         |st AS (SELECT event_type, mean,
         |        sqrt(CAST(ss AS DOUBLE) / (n - 1)) AS sd FROM s)
-        |SELECT d.day, d.event_type, d.cnt, round(st.mean, 6) AS group_mean,
-        |  round(st.sd, 6) AS group_sd,
-        |  round((d.cnt - st.mean) / st.sd, 6) AS zscore
+        |SELECT d.day, d.event_type, d.cnt,
+        |  round(st.mean * 1000000) / 1000000 AS group_mean,
+        |  round(st.sd * 1000000) / 1000000 AS group_sd,
+        |  round(((d.cnt - st.mean) / st.sd) * 1000000) / 1000000 AS zscore
         |FROM dly d JOIN st USING (event_type)
         |WHERE st.sd <> 0 AND abs((d.cnt - st.mean) / st.sd) > 2
         |ORDER BY day, event_type""".stripMargin,
@@ -7713,7 +7723,7 @@ object SparkEntry {
         |top AS (SELECT key, cnt FROM f ORDER BY cnt DESC, key LIMIT 10)
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT)
         |    AS rank,
-        |  key, cnt, round(CAST(cnt AS DOUBLE) / n_rows, 6) AS share,
+        |  key, cnt, round((CAST(cnt AS DOUBLE) / n_rows) * 1000000) / 1000000 AS share,
         |  n_rows, n_keys
         |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin,
 
@@ -7732,7 +7742,7 @@ object SparkEntry {
          |      FROM f JOIN m USING (dim) GROUP BY 1),
          |st AS (SELECT dim, mean, sqrt(CAST(ss AS DOUBLE) / (n - 1)) AS sd
          |       FROM s)
-         |SELECT f.vec_id, f.dim, round((f.x - st.mean) / st.sd, 6) AS z
+         |SELECT f.vec_id, f.dim, round(((f.x - st.mean) / st.sd) * 1000000) / 1000000 AS z
          |FROM f JOIN st USING (dim) ORDER BY vec_id, dim""".stripMargin,
 
     // Spherical k-means mirror: argmax-cosine assignment (ties -> lower
@@ -7756,7 +7766,7 @@ object SparkEntry {
            |           ORDER BY d2, cid) AS rn FROM d$k) WHERE rn = 1),
            |i$k AS (SELECT CAST($k AS BIGINT) AS k, count(*) AS n_vectors,
            |        round(CAST(sum(d2) AS DOUBLE), 6) AS inertia,
-           |        round(CAST(sum(d2) AS DOUBLE) / count(*), 6) AS mean_d2
+           |        round((CAST(sum(d2) AS DOUBLE) / count(*)) * 1000000) / 1000000 AS mean_d2
            |      FROM a$k)""".stripMargin
       }.mkString(",\n")
       s"""WITH e AS ($embCte),
@@ -7796,9 +7806,10 @@ object SparkEntry {
            |        sum(CAST(round(a.x * b.x * 1e9, 0) AS BIGINT)) AS sp,
            |        count(*) AS n
            |      FROM $aF a JOIN $bF b ON a.pid = b.pid GROUP BY 1, 2),
-           |g$tag AS (SELECT round(CAST(sp AS DOUBLE) / 1e9 / n
+           |g$tag AS (SELECT round((CAST(sp AS DOUBLE) / 1e9 / n
            |          - (CAST(sa.s AS DOUBLE) / n)
-           |          * (CAST(sb.s AS DOUBLE) / n), 6) + 0.0 AS g
+           |          * (CAST(sb.s AS DOUBLE) / n)) * 1000000) / 1000000
+           |          + 0.0 AS g
            |      FROM p$tag JOIN $aS sa ON sa.i = p$tag.i
            |      JOIN $bS sb ON sb.i = p$tag.j),
            |f$tag AS (SELECT CAST(sum(CAST(CAST(round(g * 1e6, 0) AS BIGINT)
@@ -7849,14 +7860,14 @@ object SparkEntry {
          |          ORDER BY cos DESC NULLS LAST, cid) AS rn FROM sc)
          |      WHERE rn = 1),
          |mm AS (SELECT a.cid, f.dim, count(*) AS n_members,
-         |        round(CAST(sum(CAST(round(f.x, 6) AS DECIMAL(18,6)))
-         |          AS DOUBLE) / count(*), 6) AS m
+         |        round((CAST(sum(CAST(round(f.x, 6) AS DECIMAL(18,6)))
+         |          AS DOUBLE) / count(*)) * 1000000) / 1000000 AS m
          |      FROM a JOIN f USING (vec_id) GROUP BY 1, 2),
          |nn AS (SELECT cid, sqrt(CAST(sum(CAST(round(m * m, 6)
          |          AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
          |      FROM mm GROUP BY 1)
          |SELECT mm.cid AS cluster_id, mm.dim,
-         |  round(mm.m / nullif(nn.nrm, 0), 6) AS centroid, mm.n_members
+         |  round((mm.m / nullif(nn.nrm, 0)) * 1000000) / 1000000 AS centroid, mm.n_members
          |FROM mm JOIN nn USING (cid) ORDER BY cluster_id, dim""".stripMargin,
 
     // PQ mirror: per-subspace argmin-L2 against the 4 lowest-id vectors'
@@ -7907,8 +7918,8 @@ object SparkEntry {
          |      FROM r WHERE rn = 1)
          |SELECT sub AS subspace, count(*) AS n,
          |  count(DISTINCT cid) AS codes_used,
-         |  round(CAST(sum(CAST(distortion AS DECIMAL(28,6))) AS DOUBLE)
-         |    / count(*), 6) AS mean_distortion,
+         |  round((CAST(sum(CAST(distortion AS DECIMAL(28,6))) AS DOUBLE)
+         |    / count(*)) * 1000000) / 1000000 AS mean_distortion,
          |  max(distortion) AS max_distortion
          |FROM pq GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -8034,8 +8045,8 @@ object SparkEntry {
          |        count(*) AS n
          |      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2)
          |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
-         |  round(CAST(sp AS DOUBLE) / 1e9 / n
-         |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n), 6)
+         |  round((CAST(sp AS DOUBLE) / 1e9 / n
+         |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n)) * 1000000) / 1000000
          |    + 0.0
          |    AS cov
          |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j
@@ -8054,9 +8065,9 @@ object SparkEntry {
          |        count(*) AS n
          |      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
          |cv AS (SELECT p.i, p.j,
-         |        round(CAST(sp AS DOUBLE) / 1e9 / n
+         |        round((CAST(sp AS DOUBLE) / 1e9 / n
          |          - (CAST(mi.sx AS DOUBLE) / n)
-         |          * (CAST(mj.sx AS DOUBLE) / n), 6) + 0.0 AS cov
+         |          * (CAST(mj.sx AS DOUBLE) / n)) * 1000000) / 1000000 + 0.0 AS cov
          |      FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j),
          |k6 AS (SELECT i, j, cov,
          |        CAST(round(cov * 1e6) AS BIGINT) AS k FROM cv),
@@ -8190,8 +8201,8 @@ object SparkEntry {
            |        count(*) AS n
            |      FROM xx a JOIN xx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
            |cov AS (SELECT CAST(pp.i AS BIGINT) AS i, CAST(pp.j AS BIGINT) AS j,
-           |  round(CAST(sp AS DOUBLE) / 1e9 / n
-           |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n), 6)
+           |  round((CAST(sp AS DOUBLE) / 1e9 / n
+           |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n)) * 1000000) / 1000000
            |    + 0.0
            |    AS cov
            |FROM pp JOIN mm mi ON mi.i = pp.i JOIN mm mj ON mj.i = pp.j)""".stripMargin
@@ -8233,8 +8244,8 @@ object SparkEntry {
            |        count(*) AS n
            |      FROM xx a JOIN xx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
            |cov AS (SELECT CAST(pp.i AS BIGINT) AS i, CAST(pp.j AS BIGINT) AS j,
-           |  round(CAST(sp AS DOUBLE) / 1e9 / n
-           |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n), 6)
+           |  round((CAST(sp AS DOUBLE) / 1e9 / n
+           |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n)) * 1000000) / 1000000
            |    + 0.0
            |    AS cov
            |FROM pp JOIN mm mi ON mi.i = pp.i JOIN mm mj ON mj.i = pp.j)""".stripMargin
@@ -8290,8 +8301,8 @@ object SparkEntry {
            |        count(*) AS n
            |      FROM xx a JOIN xx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
            |cov AS (SELECT CAST(pp.i AS BIGINT) AS i, CAST(pp.j AS BIGINT) AS j,
-           |  round(CAST(sp AS DOUBLE) / 1e9 / n
-           |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n), 6)
+           |  round((CAST(sp AS DOUBLE) / 1e9 / n
+           |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n)) * 1000000) / 1000000
            |    + 0.0
            |    AS cov
            |FROM pp JOIN mm mi ON mi.i = pp.i JOIN mm mj ON mj.i = pp.j)""".stripMargin
@@ -8342,8 +8353,8 @@ object SparkEntry {
     "emb_kmeans_iter" ->
       s"""WITH ${assignCtes(4)}
          |SELECT a.cid AS cluster_id, f.dim,
-         |  round(CAST(sum(CAST(round(f.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
-         |    / count(*), 6) AS centroid,
+         |  round((CAST(sum(CAST(round(f.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |    / count(*)) * 1000000) / 1000000 AS centroid,
          |  count(*) AS n_members
          |FROM a JOIN f USING (vec_id)
          |GROUP BY 1, 2 ORDER BY cluster_id, dim""".stripMargin,
@@ -8518,9 +8529,11 @@ object SparkEntry {
       val iterCtes = (1 to 5).map { k =>
         val prev = s"p${k - 1}"
         s"""f$k AS (SELECT t.to_type AS state,
-           |        sum(CAST(round($prev.pi * t.p, 12) AS DECIMAL(18,12))) AS s
+           |        sum(CAST(round(($prev.pi * t.p) * 1e12) / 1e12
+           |          AS DECIMAL(18,12))) AS s
            |      FROM t JOIN $prev ON $prev.state = t.from_type GROUP BY 1),
-           |d$k AS (SELECT coalesce(sum(CAST(round(pi, 12) AS DECIMAL(18,12))),
+           |d$k AS (SELECT coalesce(sum(CAST(round(pi * 1e12) / 1e12
+           |            AS DECIMAL(18,12))),
            |          CAST(0 AS DECIMAL(18,12))) AS dm
            |      FROM $prev WHERE state NOT IN (SELECT from_type FROM t)),
            |p$k AS (SELECT st.state,
@@ -8537,14 +8550,14 @@ object SparkEntry {
          |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
          |tot AS (SELECT from_type, sum(n) AS tot FROM tr GROUP BY 1),
          |t AS (SELECT tr.from_type, tr.to_type,
-         |        round(CAST(tr.n AS DOUBLE) / tot.tot, 12) AS p
+         |        round((CAST(tr.n AS DOUBLE) / tot.tot) * 1e12) / 1e12 AS p
          |      FROM tr JOIN tot USING (from_type)),
          |states AS (SELECT from_type AS state FROM tr
          |           UNION SELECT to_type FROM tr),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
          |p0 AS (SELECT state, 1e0 / nn.k AS pi FROM states CROSS JOIN nn),
          |$iterCtes
-         |SELECT state AS event_type, round(pi, 6) AS pi
+         |SELECT state AS event_type, round(pi * 1000000) / 1000000 AS pi
          |FROM p5 ORDER BY event_type""".stripMargin
     },
 
@@ -8554,9 +8567,11 @@ object SparkEntry {
       val iterCtes = (1 to 5).map { k =>
         val prev = s"p${k - 1}"
         s"""f$k AS (SELECT t.to_type AS state,
-           |        sum(CAST(round($prev.pi * t.p, 12) AS DECIMAL(18,12))) AS s
+           |        sum(CAST(round(($prev.pi * t.p) * 1e12) / 1e12
+           |          AS DECIMAL(18,12))) AS s
            |      FROM t JOIN $prev ON $prev.state = t.from_type GROUP BY 1),
-           |d$k AS (SELECT coalesce(sum(CAST(round(pi, 12) AS DECIMAL(18,12))),
+           |d$k AS (SELECT coalesce(sum(CAST(round(pi * 1e12) / 1e12
+           |            AS DECIMAL(18,12))),
            |          CAST(0 AS DECIMAL(18,12))) AS dm
            |      FROM $prev WHERE state NOT IN (SELECT from_type FROM t)),
            |p$k AS (SELECT st.state,
@@ -8573,14 +8588,14 @@ object SparkEntry {
          |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
          |tot AS (SELECT from_type, sum(n) AS tot FROM tr GROUP BY 1),
          |t AS (SELECT tr.from_type, tr.to_type,
-         |        round(CAST(tr.n AS DOUBLE) / tot.tot, 12) AS p
+         |        round((CAST(tr.n AS DOUBLE) / tot.tot) * 1e12) / 1e12 AS p
          |      FROM tr JOIN tot USING (from_type)),
          |states AS (SELECT from_type AS state FROM tr
          |           UNION SELECT to_type FROM tr),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
          |p0 AS (SELECT state, 1e0 / nn.k AS pi FROM states CROSS JOIN nn),
          |$iterCtes,
-         |pif AS (SELECT state, round(pi, 6) AS pi FROM p5),
+         |pif AS (SELECT state, round(pi * 1000000) / 1000000 AS pi FROM p5),
          |h AS (SELECT sum(CAST(round(pif.pi * t.p * ln(t.p), 12)
          |          AS DECIMAL(18,12))) AS sh,
          |        CAST(count(*) AS BIGINT) AS n_transitions
@@ -8699,7 +8714,7 @@ object SparkEntry {
         |  WHERE touch_s <= conv_s AND conv_s - touch_s <= 604800),
         |tot AS (SELECT conv_id, sum(w) AS wsum FROM pairs GROUP BY 1),
         |cr AS (SELECT channel,
-        |    CAST(round(CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 6)
+        |    CAST(round((CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE)) * 1000000) / 1000000
         |      AS DECIMAL(18,6)) AS credit
         |  FROM pairs JOIN tot USING (conv_id))
         |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
@@ -8774,11 +8789,11 @@ object SparkEntry {
         |      AS n_space
         |  FROM documents GROUP BY 1)
         |SELECT source, n_chars,
-        |  round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS frac_alpha,
-        |  round(CAST(n_digit AS DOUBLE) / n_chars, 6) AS frac_digit,
-        |  round(CAST(n_space AS DOUBLE) / n_chars, 6) AS frac_space,
-        |  round(CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE)
-        |    / n_chars, 6) AS frac_other
+        |  round((CAST(n_alpha AS DOUBLE) / n_chars) * 1000000) / 1000000 AS frac_alpha,
+        |  round((CAST(n_digit AS DOUBLE) / n_chars) * 1000000) / 1000000 AS frac_digit,
+        |  round((CAST(n_space AS DOUBLE) / n_chars) * 1000000) / 1000000 AS frac_space,
+        |  round((CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE)
+        |    / n_chars) * 1000000) / 1000000 AS frac_other
         |FROM c ORDER BY source""".stripMargin,
 
     // Simpson mirror: exact integer moments (DECIMAL(19)×DECIMAL(19)
@@ -9106,7 +9121,7 @@ object SparkEntry {
         |    string_agg(event_type, ' ' ORDER BY ts, event_id) AS sequence
         |  FROM s GROUP BY user_id, sid)
         |SELECT sequence, count(*) AS n_sessions,
-        |  round(avg(n_events), 6) AS avg_len
+        |  round(avg(n_events) * 1000000) / 1000000 AS avg_len
         |FROM seq GROUP BY 1
         |ORDER BY n_sessions DESC, sequence LIMIT 10""".stripMargin,
 
@@ -10007,19 +10022,19 @@ object SparkEntry {
         |          AS dim, CAST(unnest(embedding) AS DOUBLE) AS x
         |      FROM embeddings WHERE vec_id % 2 = 1),
         |ma AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_a,
-        |        round(CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6)))
-        |          AS DOUBLE) / count(*), 6) AS m_a FROM fa GROUP BY 1),
+        |        round((CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6)))
+        |          AS DOUBLE) / count(*)) * 1000000) / 1000000 AS m_a FROM fa GROUP BY 1),
         |mb AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_b,
-        |        round(CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6)))
-        |          AS DOUBLE) / count(*), 6) AS m_b FROM fb GROUP BY 1),
+        |        round((CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6)))
+        |          AS DOUBLE) / count(*)) * 1000000) / 1000000 AS m_b FROM fb GROUP BY 1),
         |agg AS (SELECT CAST(min(n_a) AS BIGINT) AS n_a,
         |        CAST(min(n_b) AS BIGINT) AS n_b,
-        |        CAST(sum(CAST(round(m_a * m_b, 6) AS DECIMAL(18,6)))
-        |          AS DOUBLE) AS dot,
-        |        CAST(sum(CAST(round(m_a * m_a, 6) AS DECIMAL(18,6)))
-        |          AS DOUBLE) AS na2,
-        |        CAST(sum(CAST(round(m_b * m_b, 6) AS DECIMAL(18,6)))
-        |          AS DOUBLE) AS nb2,
+        |        CAST(sum(CAST(round((m_a * m_b) * 1000000) / 1000000
+        |          AS DECIMAL(18,6))) AS DOUBLE) AS dot,
+        |        CAST(sum(CAST(round((m_a * m_a) * 1000000) / 1000000
+        |          AS DECIMAL(18,6))) AS DOUBLE) AS na2,
+        |        CAST(sum(CAST(round((m_b * m_b) * 1000000) / 1000000
+        |          AS DECIMAL(18,6))) AS DOUBLE) AS nb2,
         |        CAST(sum(CAST(round((m_a - m_b) * (m_a - m_b), 6)
         |          AS DECIMAL(18,6))) AS DOUBLE) AS d2
         |      FROM ma JOIN mb USING (dim))
@@ -10913,10 +10928,10 @@ object SparkEntry {
         |        count(*) AS n_partitions FROM c)
         |SELECT p_date, event_type, n_rows,
         |  CAST(floor((n_rows + 999) / 1000.0) AS BIGINT) AS n_files,
-        |  round(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |  round((CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) / 1000000
         |    AS frac_of_total,
-        |  round(CAST(n_rows AS DOUBLE) * CAST(n_partitions AS DOUBLE)
-        |    / CAST(total AS DOUBLE), 6) AS skew_vs_even
+        |  round((CAST(n_rows AS DOUBLE) * CAST(n_partitions AS DOUBLE)
+        |    / CAST(total AS DOUBLE)) * 1000000) / 1000000 AS skew_vs_even
         |FROM c CROSS JOIN t ORDER BY p_date, event_type""".stripMargin,
 
     "layout_zorder" ->
@@ -11051,7 +11066,7 @@ object SparkEntry {
         |        CAST(max(v) AS INT) AS max_luma
         |      FROM px GROUP BY 1)
         |SELECT asset_id, width, height, n_pixels,
-        |  round(CAST(s AS DOUBLE) / CAST(n_pixels AS DOUBLE), 6)
+        |  round((CAST(s AS DOUBLE) / CAST(n_pixels AS DOUBLE)) * 1000000) / 1000000
         |    AS mean_luma,
         |  round(sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_pixels AS DOUBLE)
         |    - (CAST(s AS DOUBLE) / CAST(n_pixels AS DOUBLE))
@@ -11081,15 +11096,15 @@ object SparkEntry {
         |        CAST(max(abs(s)) AS BIGINT) AS peak
         |      FROM sm GROUP BY 1)
         |SELECT a.asset_id, 8000 AS sample_rate, n_samples,
-        |  round(CAST(n_samples AS DOUBLE) * 1000.0 / 8000.0, 6)
+        |  round((CAST(n_samples AS DOUBLE) * 1000.0 / 8000.0) * 1000000) / 1000000
         |    AS duration_ms,
         |  round(sqrt(CAST(s2 AS DOUBLE) / CAST(n_samples AS DOUBLE))
         |    * 1000000) / 1000000 AS rms,
-        |  round(CAST(ss AS DOUBLE) / CAST(n_samples AS DOUBLE), 6)
+        |  round((CAST(ss AS DOUBLE) / CAST(n_samples AS DOUBLE)) * 1000000) / 1000000
         |    AS dc_offset,
         |  peak, coalesce(z, CAST(0 AS BIGINT)) AS zero_cross,
-        |  round(CAST(coalesce(z, CAST(0 AS BIGINT)) AS DOUBLE)
-        |    / greatest(CAST(n_samples AS DOUBLE) - 1.0, 1.0), 6) AS zcr
+        |  round((CAST(coalesce(z, CAST(0 AS BIGINT)) AS DOUBLE)
+        |    / greatest(CAST(n_samples AS DOUBLE) - 1.0, 1.0)) * 1000000) / 1000000 AS zcr
         |FROM a LEFT JOIN zc ON zc.asset_id = a.asset_id
         |ORDER BY a.asset_id""".stripMargin,
 
@@ -11426,8 +11441,8 @@ object SparkEntry {
         |      FROM e JOIN bd ON bd.k = e.k),
         |an AS (SELECT k, bucket,
         |        round((CAST(sum(dt) AS DOUBLE) / count(*)) * 1000000) / 1000000 AS mt,
-        |        round(CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6)))
-        |          AS DOUBLE) / count(*), 6) AS mv
+        |        round((CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6)))
+        |          AS DOUBLE) / count(*)) * 1000000) / 1000000 AS mv
         |      FROM b GROUP BY 1, 2),
         |wa AS (SELECT b.k, b.bucket, b.t, CAST(b.dt AS DOUBLE) AS dtd,
         |        b.v, b.id,
@@ -12521,9 +12536,9 @@ object SparkEntry {
         |      FROM it l JOIN it r ON l.b = r.b AND l.i < r.i
         |      GROUP BY 1, 2 HAVING count(*) >= 3)
         |SELECT p.i1, p.i2, p.c12, f1.c AS c1, f2.c AS c2,
-        |  round(CAST(p.c12 AS DOUBLE) / n_baskets, 6) AS support,
-        |  round(CAST(p.c12 AS DOUBLE) / f1.c, 6) AS confidence,
-        |  round(CAST(p.c12 AS DOUBLE) * n_baskets / (f1.c * f2.c), 6) AS lift
+        |  round((CAST(p.c12 AS DOUBLE) / n_baskets) * 1000000) / 1000000 AS support,
+        |  round((CAST(p.c12 AS DOUBLE) / f1.c) * 1000000) / 1000000 AS confidence,
+        |  round((CAST(p.c12 AS DOUBLE) * n_baskets / (f1.c * f2.c)) * 1000000) / 1000000 AS lift
         |FROM p
         |JOIN f f1 ON f1.i = p.i1
         |JOIN f f2 ON f2.i = p.i2
@@ -12541,9 +12556,9 @@ object SparkEntry {
         |      FROM it l JOIN it r ON l.b = r.b AND l.i < r.i
         |      GROUP BY 1, 2 HAVING count(*) >= 3)
         |SELECT p.i1, p.i2, p.c12, f1.c AS c1, f2.c AS c2,
-        |  round(CAST(p.c12 AS DOUBLE) / n_baskets, 6) AS support,
-        |  round(CAST(p.c12 AS DOUBLE) / f1.c, 6) AS confidence,
-        |  round(CAST(p.c12 AS DOUBLE) * n_baskets / (f1.c * f2.c), 6) AS lift
+        |  round((CAST(p.c12 AS DOUBLE) / n_baskets) * 1000000) / 1000000 AS support,
+        |  round((CAST(p.c12 AS DOUBLE) / f1.c) * 1000000) / 1000000 AS confidence,
+        |  round((CAST(p.c12 AS DOUBLE) * n_baskets / (f1.c * f2.c)) * 1000000) / 1000000 AS lift
         |FROM p
         |JOIN f f1 ON f1.i = p.i1
         |JOIN f f2 ON f2.i = p.i2
@@ -12581,7 +12596,7 @@ object SparkEntry {
         |        sqrt(CAST(ss AS DOUBLE) / (n - 1)) AS sd FROM s)
         |SELECT e.event_id, e.event_type, e.value,
         |  round(st.mean, 6) AS group_mean, round(st.sd, 6) AS group_sd,
-        |  round((e.value - st.mean) / st.sd, 6) AS zscore
+        |  round(((e.value - st.mean) / st.sd) * 1000000) / 1000000 AS zscore
         |FROM events e JOIN st USING (event_type)
         |WHERE abs((e.value - st.mean) / st.sd) > 2.0
         |ORDER BY e.event_id""".stripMargin,
@@ -12614,8 +12629,8 @@ object SparkEntry {
       """SELECT o_custkey,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
         |  count(o_totalprice) AS cnt,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-        |    / count(o_totalprice), 6) AS mean
+        |  round((CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(o_totalprice)) * 1000000) / 1000000 AS mean
         |FROM orders GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
 
@@ -12727,8 +12742,8 @@ object SparkEntry {
         |SELECT CAST(60 AS INT) AS k,
         |  CAST(round(est_total, 6) AS DOUBLE) AS est_total,
         |  CAST(round(true_total, 6) AS DOUBLE) AS true_total,
-        |  round(CAST(est_total - true_total AS DOUBLE)
-        |    / CAST(true_total AS DOUBLE), 6) AS rel_error
+        |  round((CAST(est_total - true_total AS DOUBLE)
+        |    / CAST(true_total AS DOUBLE)) * 1000000) / 1000000 AS rel_error
         |FROM est CROSS JOIN tr""".stripMargin,
 
     // Poisson bootstrap: per-(row, rep) Poisson(1) weight from the exact
@@ -12751,7 +12766,7 @@ object SparkEntry {
         |        CAST(sum(v * w) AS DECIMAL(38,6)) AS swv
         |      FROM w GROUP BY 1, 2),
         |mm AS (SELECT g,
-        |        round(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE), 9) AS m
+        |        round((CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE)) * 1000000000) / 1000000000 AS m
         |      FROM m WHERE sw > 0),
         |ci AS (SELECT g, count(*) AS n_resamples,
         |        quantile_cont(m, 0.025) AS qlo,
@@ -12761,7 +12776,7 @@ object SparkEntry {
         |pt AS (SELECT g, count(*) AS n_rows,
         |        CAST(sum(v) AS DECIMAL(38,6)) AS sv FROM base GROUP BY 1)
         |SELECT pt.g AS event_type, n_rows, n_resamples,
-        |  round(CAST(sv AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS mean,
+        |  round((CAST(sv AS DOUBLE) / CAST(n_rows AS DOUBLE)) * 1000000) / 1000000 AS mean,
         |  CAST(round((qlo) * 1000000) / 1000000 AS DOUBLE) AS ci_lo,
         |  CAST(round((qmed) * 1000000) / 1000000 AS DOUBLE)
         |    AS ci_median,
@@ -12780,7 +12795,7 @@ object SparkEntry {
         |t AS (SELECT fold, CAST(sum(n) AS BIGINT) AS fold_total
         |      FROM c GROUP BY 1)
         |SELECT c.fold AS fold, label, n, fold_total,
-        |  round(CAST(n AS DOUBLE) / CAST(fold_total AS DOUBLE), 6)
+        |  round((CAST(n AS DOUBLE) / CAST(fold_total AS DOUBLE)) * 1000000) / 1000000
         |    AS frac_in_fold
         |FROM c JOIN t ON c.fold = t.fold
         |ORDER BY c.fold, label""".stripMargin,

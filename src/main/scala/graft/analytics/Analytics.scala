@@ -175,10 +175,10 @@ object Analytics {
         .select(lit(k).as("threshold"),
           col("users_ge"),
           coalesce(col("events_ge"), lit(0L)).as("events_ge"),
-          round(col("users_ge").cast("double") /
-            col("n_users").cast("double"), 6).as("frac_users"),
-          round(coalesce(col("events_ge"), lit(0L)).cast("double") /
-            col("n_events").cast("double"), 6).as("frac_events"))
+          graft.functions.Fns.q6(col("users_ge").cast("double") /
+            col("n_users").cast("double")).as("frac_users"),
+          graft.functions.Fns.q6(coalesce(col("events_ge"), lit(0L)).cast("double") /
+            col("n_events").cast("double")).as("frac_events"))
     }
     rows.reduce(_ unionByName _)
   }
@@ -195,11 +195,11 @@ object Analytics {
       .agg(count(lit(1)).as("n_active_days"), sum(col("dau")).as("sdau"))
       .join(mau, "month")
       .select(col("month"), col("n_active_days"), col("mau"),
-        round(col("sdau").cast("double") /
-          col("n_active_days").cast("double"), 6).as("avg_dau"),
-        round(col("sdau").cast("double") /
+        graft.functions.Fns.q6(col("sdau").cast("double") /
+          col("n_active_days").cast("double")).as("avg_dau"),
+        graft.functions.Fns.q6(col("sdau").cast("double") /
           col("n_active_days").cast("double") /
-          col("mau").cast("double"), 6).as("stickiness"))
+          col("mau").cast("double")).as("stickiness"))
   }
 
   /** Weekly cohort retention: users bucketed by first-activity week, one
@@ -264,11 +264,12 @@ object Analytics {
     val tot = t.groupBy("from_type").agg(sum(col("n")).as("tot"))
     val p = t.join(tot, "from_type")
       .select(col("from_type"), col("to_type"),
-        round(col("n").cast("double") / col("tot"), 12).as("p"))
+        graft.functions.Fns.q12(col("n").cast("double") / col("tot")).as("p"))
     val types = t.select(col("from_type").as("state"))
       .union(t.select(col("to_type").as("state"))).distinct()
     val k = types.agg(count(lit(1)).as("k"))
-    def dsum(c: Column) = sum(round(c, 12).cast("decimal(18,12)"))
+    def dsum(c: Column) =
+      sum(graft.functions.Fns.q12(c).cast("decimal(18,12)"))
     var pi = types.crossJoin(broadcast(k))
       .select(col("state"), (lit(1.0) / col("k")).as("pi"))
       .localCheckpoint()
@@ -289,7 +290,8 @@ object Analytics {
             col("dm").cast("double") / col("k")).as("pi"))
         .localCheckpoint()
     }
-    pi.select(col("state").as("event_type"), round(col("pi"), 6).as("pi"))
+    pi.select(col("state").as("event_type"),
+      graft.functions.Fns.q6(col("pi")).as("pi"))
   }
 
   /** Entropy rate of the [[transitions]] Markov chain:
@@ -318,7 +320,7 @@ object Analytics {
     val tot = t.groupBy("from_type").agg(sum(col("n")).as("tot"))
     val p = t.join(tot, "from_type")
       .select(col("from_type"),
-        round(col("n").cast("double") / col("tot"), 12).as("p"))
+        graft.functions.Fns.q12(col("n").cast("double") / col("tot")).as("p"))
     val h = p.join(pi, "from_type")
       .agg(sum(round(col("pi") * col("p") * log(col("p")), 12)
           .cast("decimal(18,12)")).as("sh"),
@@ -499,8 +501,8 @@ object Analytics {
         sum(round(col("c") * log(col("c")), 6).cast("decimal(18,6)"))
           .as("sclogc"))
       .select(col(userCol), col("n"),
-        round((log(col("n")) - col("sclogc").cast("double") /
-          col("n").cast("double")).cast("decimal(24,12)"), 6)
+        graft.functions.Fns.q6((log(col("n")) - col("sclogc").cast("double") /
+          col("n").cast("double")))
           .cast("decimal(18,6)").as("h6"))
     sess.groupBy(col(userCol))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
@@ -640,7 +642,7 @@ object Analytics {
     sessionSequences(events, gap, userCol, typeCol, tsCol, idCol)
       .groupBy("sequence")
       .agg(count(lit(1)).as("n_sessions"),
-        round(avg(col("n_events")), 6).as("avg_len"))
+        graft.functions.Fns.q6(avg(col("n_events"))).as("avg_len"))
       .orderBy(col("n_sessions").desc, col("sequence").asc)
       .limit(k)
   }
@@ -713,9 +715,9 @@ object Analytics {
       .join(freq.select(col("i").as("i2"), col("c").as("c2")), "i2")
       .crossJoin(broadcast(nb))
       .select(col("i1"), col("i2"), col("c12"), col("c1"), col("c2"),
-        round(col("c12").cast("double") / col("n_baskets"), 6).as("support"),
-        round(col("c12").cast("double") / col("c1"), 6).as("confidence"),
-        round(col("c12").cast("double") * col("n_baskets") / (col("c1") * col("c2")), 6)
+        graft.functions.Fns.q6(col("c12").cast("double") / col("n_baskets")).as("support"),
+        graft.functions.Fns.q6(col("c12").cast("double") / col("c1")).as("confidence"),
+        graft.functions.Fns.q6(col("c12").cast("double") * col("n_baskets") / (col("c1") * col("c2")))
           .as("lift"))
       .orderBy(col("lift").desc, col("i1").asc, col("i2").asc)
       .limit(k)
@@ -845,8 +847,9 @@ object Analytics {
       .withColumn("z", try_divide(col(valCol) - col("mean"), col("sd")))
       .filter(abs(col("z")) > zThreshold)
       .select(col(idCol), col(groupCol), col(valCol),
-        round(col("mean"), 6).as("group_mean"), round(col("sd"), 6).as("group_sd"),
-        round(col("z"), 6).as("zscore"))
+        graft.functions.Fns.q6(col("mean")).as("group_mean"),
+        graft.functions.Fns.q6(col("sd")).as("group_sd"),
+        graft.functions.Fns.q6(col("z")).as("zscore"))
   }
 
   /** Robust per-group outliers via median absolute deviation — the
@@ -1053,7 +1056,7 @@ object Analytics {
       // double ÷ double of two exactly-shared DECIMAL inputs: one IEEE op,
       // bit-identical across engines (decimal division scale rules differ).
       .withColumn("credit",
-        round(col("w").cast("double") / col("wsum").cast("double"), 6)
+        graft.functions.Fns.q6(col("w").cast("double") / col("wsum").cast("double"))
           .cast("decimal(18,6)"))
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_touches"),
@@ -1188,8 +1191,8 @@ object Analytics {
         "type_b")
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
         col("n_both"),
-        round(col("n_both").cast("double") /
-          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+        graft.functions.Fns.q6(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"))
           .as("jaccard"))
   }
 

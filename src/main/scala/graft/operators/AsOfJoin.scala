@@ -126,14 +126,12 @@ object AsOfJoin {
     val nv = col(s"${valueCol}__f")
     both
       .withColumn(valueCol,
-        round(
+        graft.functions.Fns.q6(
           when(pv.isNull, nv)
             .when(nv.isNull, pv)
             .when(ne === pe, pv)
             .otherwise(pv + (nv - pv) *
-              (lt - pe).cast("double") / (ne - pe).cast("double"))
-            .cast("decimal(24,12)"),
-          6).cast("double"))
+              (lt - pe).cast("double") / (ne - pe).cast("double"))))
       .drop(s"${valueCol}__b", s"${valueCol}__f", "__rt_b", "__rt_f")
   }
 

@@ -1078,10 +1078,10 @@ object Dedup {
       .withColumn("shared", coalesce(col("shared"), lit(0L)))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
         col("shared"),
-        round(col("shared").cast("double")
-          / (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"),
-        round(col("shared").cast("double")
-          / least(col("n_a"), col("n_b")), 6).as("containment"))
+        graft.functions.Fns.q6(col("shared").cast("double")
+          / (col("n_a") + col("n_b") - col("shared"))).as("jaccard"),
+        graft.functions.Fns.q6(col("shared").cast("double")
+          / least(col("n_a"), col("n_b"))).as("containment"))
   }
 
   /** Per-cluster survivor selection — the step after cluster resolution in
@@ -1138,7 +1138,7 @@ object Dedup {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_unique"))
       .select(col("source"), col("n_docs"), col("n_unique"),
-        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
+        graft.functions.Fns.q6(lit(1.0) - col("n_unique").cast("double") / col("n_docs"))
           .as("dup_rate"))
 
   /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
@@ -1492,8 +1492,8 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .select(col("da"), col("db"),
-        round(col("ni").cast("double") /
-          (col("na") + col("nb") - col("ni")).cast("double"), 6).as("j"))
+        graft.functions.Fns.q6(col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double")).as("j"))
   }
 
   def lshCalibrationCurve(docs: DataFrame, textCol: String = "text",
@@ -1531,8 +1531,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"), sum(col("c")).as("n_candidates"))
       .select(col("bucket"), round(sMid, 2).as("s_mid"),
         col("n_pairs"), col("n_candidates"),
-        round(col("n_candidates").cast("double") /
-          col("n_pairs").cast("double"), 6).as("measured_rate"),
+        graft.functions.Fns.q6(col("n_candidates").cast("double") /
+          col("n_pairs").cast("double")).as("measured_rate"),
         round(lit(1.0) - y8, 6).as("theoretical_rate"))
   }
 
@@ -1568,12 +1568,12 @@ object Dedup {
     est.select(bucket.as("bucket"), col("j"), col("est"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_pairs"),
-        sum(round(col("est") - col("j"), 6).cast("decimal(18,6)"))
+        sum(Fns.q6(col("est") - col("j")).cast("decimal(18,6)"))
           .as("sbias"),
-        sum(round((col("est") - col("j")) * (col("est") - col("j")), 9)
+        sum(Fns.q9((col("est") - col("j")) * (col("est") - col("j")))
           .cast("decimal(28,9)")).as("se2"))
       .select(col("bucket"), col("n_pairs"),
-        round(col("sbias").cast("double") / col("n_pairs"), 6)
+        graft.functions.Fns.q6(col("sbias").cast("double") / col("n_pairs"))
           .as("mean_bias"),
         Fns.q6(sqrt(col("se2").cast("double") /
           col("n_pairs").cast("double"))).as("rmse"))

@@ -140,8 +140,8 @@ object Layout {
       .crossJoin(broadcast(nf))
       .select(lit(layoutName).as("layout"), col("probe"), col("n_files"),
         coalesce(col("h"), lit(0L)).as("files_hit"),
-        round((lit(1.0) - coalesce(col("h"), lit(0L)).cast("double") /
-          col("n_files").cast("double")).cast("decimal(24,12)"), 6)
+        graft.functions.Fns.q6((lit(1.0) - coalesce(col("h"), lit(0L)).cast("double") /
+          col("n_files").cast("double")))
           .cast("double").as("skip_ratio"))
   }
 
@@ -167,10 +167,10 @@ object Layout {
       .withColumn("n_files",
         floor((col("n_rows") + (targetRows - 1L)) / targetRows).cast("long"))
       .withColumn("frac_of_total",
-        round(col("n_rows").cast("double") / col("total").cast("double"), 6))
+        graft.functions.Fns.q6(col("n_rows").cast("double") / col("total").cast("double")))
       .withColumn("skew_vs_even",
-        round(col("n_rows").cast("double") * col("n_partitions").cast("double")
-          / col("total").cast("double"), 6))
+        graft.functions.Fns.q6(col("n_rows").cast("double") * col("n_partitions").cast("double")
+          / col("total").cast("double")))
       .drop("total", "n_partitions")
   }
 }

@@ -453,7 +453,7 @@ object Multimodal {
     val mean = col("sum_luma").cast("double") / nd
     sums.select(col("asset_id"), col("width"), col("height"),
       col("n_pixels"),
-      round(mean, 6).as("mean_luma"),
+      graft.functions.Fns.q6(mean).as("mean_luma"),
       graft.functions.Fns.q6(
         sqrt(greatest(col("sum_sq").cast("double") / nd - mean * mean,
           lit(0.0)))).as("std_luma"),
@@ -530,14 +530,14 @@ object Multimodal {
     val nd = col("n_samples").cast("double")
     val mean = col("sum_s").cast("double") / nd
     sums.select(col("asset_id"), col("sample_rate"), col("n_samples"),
-      round(nd * lit(1000.0) / col("sample_rate").cast("double"), 6)
+      graft.functions.Fns.q6(nd * lit(1000.0) / col("sample_rate").cast("double"))
         .as("duration_ms"),
       graft.functions.Fns.q6(sqrt(col("sum_sq").cast("double") / nd))
         .as("rms"),
-      round(mean, 6).as("dc_offset"),
+      graft.functions.Fns.q6(mean).as("dc_offset"),
       col("peak"), col("zero_cross"),
-      round(col("zero_cross").cast("double") /
-        greatest(nd - lit(1.0), lit(1.0)), 6).as("zcr"))
+      graft.functions.Fns.q6(col("zero_cross").cast("double") /
+        greatest(nd - lit(1.0), lit(1.0))).as("zcr"))
   }
 
   // ---- video: ISO-BMFF (MP4) container probe ----

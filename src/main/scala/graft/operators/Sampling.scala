@@ -149,17 +149,16 @@ object Sampling {
     val counts = df.groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w",
-        round(pow(col("n_docs").cast("double"), lit(alpha))
-          .cast("decimal(24,12)"), 6))
+        graft.functions.Fns.q6(pow(col("n_docs").cast("double"), lit(alpha))))
     val tot = counts.agg(sum(col("n_docs")).as("n_total"),
       sum(col("w").cast("decimal(24,6)")).as("w_total"))
     counts.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"),
-        round(col("n_docs").cast("double") / col("n_total"), 6).as("raw_share"),
-        round(col("w").cast("double") / col("w_total").cast("double"), 6)
+        graft.functions.Fns.q6(col("n_docs").cast("double") / col("n_total")).as("raw_share"),
+        graft.functions.Fns.q6(col("w").cast("double") / col("w_total").cast("double"))
           .as("temp_share"))
       .withColumn("boost",
-        round(col("temp_share") / col("raw_share"), 6))
+        graft.functions.Fns.q6(col("temp_share") / col("raw_share")))
   }
 
   /** Weighted sample WITHOUT replacement, k rows, inclusion probability
@@ -221,7 +220,7 @@ object Sampling {
       .select(col("source"), col("n_avail"), round(col("w"), 6).as("target_w"),
         floor(col("w") * col("t_max")).cast("long").as("take_n"))
       .select(col("source"), col("n_avail"), col("target_w"), col("take_n"),
-        round(try_divide(col("take_n").cast("double"), col("n_avail")), 6)
+        graft.functions.Fns.q6(try_divide(col("take_n").cast("double"), col("n_avail")))
           .as("rate"))
   }
 
@@ -299,7 +298,7 @@ object Sampling {
         sum(col("v") * col("w")).cast("decimal(38,6)").as("swv"))
       .filter(col("sw") > 0)
       .select(col("g"),
-        round(col("swv").cast("double") / col("sw").cast("double"), 9)
+        graft.functions.Fns.q9(col("swv").cast("double") / col("sw").cast("double"))
           .as("m"))
     val cis = repMeans.groupBy("g").agg(
       count(lit(1)).as("n_resamples"),
@@ -310,7 +309,7 @@ object Sampling {
           .cast("decimal(38,6)").as("sv"))
     point.join(broadcast(cis), "g")
       .select(col("g").as(groupCol), col("n_rows"), col("n_resamples"),
-        round(col("sv").cast("double") / col("n_rows").cast("double"), 6)
+        graft.functions.Fns.q6(col("sv").cast("double") / col("n_rows").cast("double"))
           .as("mean"),
         // DECIMAL(24,12) routing before the 6-dp round (interpolated
         // percentiles land on 6-dp half boundaries; the
@@ -342,7 +341,7 @@ object Sampling {
     val totals = cells.groupBy("fold").agg(sum(col("n")).as("fold_total"))
     cells.join(totals, "fold")
       .select(col("fold"), col("label"), col("n"), col("fold_total"),
-        round(col("n").cast("double") / col("fold_total").cast("double"), 6)
+        graft.functions.Fns.q6(col("n").cast("double") / col("fold_total").cast("double"))
           .as("frac_in_fold"))
   }
 
@@ -375,8 +374,7 @@ object Sampling {
     val w = counts.crossJoin(broadcast(tot))
       .withColumn("weight", d9(col("n_total").cast("double") /
         (col("n_groups") * col("n_src")).cast("double")))
-    val sw2 = w.agg(sum((round((col("weight") * col("weight"))
-        .cast("decimal(24,12)"), 9) * col("n_src"))
+    val sw2 = w.agg(sum((graft.functions.Fns.q9((col("weight") * col("weight"))) * col("n_src"))
         .cast("decimal(38,12)")).as("sw2"))
     w.crossJoin(broadcast(sw2))
       .select(col("grp").as(groupCol), col("n_src"),
@@ -651,8 +649,8 @@ object Sampling {
       .select(lit(k).as("k"),
         round(col("est_total"), 6).cast("double").as("est_total"),
         round(col("true_total"), 6).cast("double").as("true_total"),
-        round((col("est_total") - col("true_total")).cast("double") /
-          col("true_total").cast("double"), 6).as("rel_error"))
+        graft.functions.Fns.q6((col("est_total") - col("true_total")).cast("double") /
+          col("true_total").cast("double")).as("rel_error"))
   }
 
   /** Training-data MIXTURE composition (the Pile/Dolma-style source
@@ -706,9 +704,9 @@ object Sampling {
         round(col("rate"), 6).as("rate"),
         coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-        round(col("w") / wSum, 6).as("target_share"),
-        round(try_divide(coalesce(col("kept_tokens"), lit(0L)).cast("double"),
-          col("tk").cast("double")), 6).as("achieved_share"))
+        graft.functions.Fns.q6(col("w") / wSum).as("target_share"),
+        graft.functions.Fns.q6(try_divide(coalesce(col("kept_tokens"), lit(0L)).cast("double"),
+          col("tk").cast("double"))).as("achieved_share"))
   }
 
   /** The per-source sampling plan shared by [[mixtureCard]] and

@@ -399,8 +399,9 @@ object Similarity {
       .groupBy("q")
       .agg(count(col("__an")).as("hits"), count(lit(1)).as("k"))
     m.agg(count(lit(1)).as("n_queries"),
-      round(sum(round(col("hits").cast("double") / col("k"), 6)
-          .cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+      graft.functions.Fns.q6(
+        sum(graft.functions.Fns.q6(col("hits").cast("double") / col("k"))
+          .cast("decimal(18,6)")).cast("double") / count(lit(1)))
         .as("mean_recall"))
   }
 
@@ -442,7 +443,7 @@ object Similarity {
         sqrt(col("ss").cast("double") / (col("n") - 1)).as("sd"))
     flat.join(broadcast(stats), "dim")
       .select(col("vec_id"), col("dim"),
-        round(try_divide(col("x") - col("mean"), col("sd")), 6).as("z"))
+        graft.functions.Fns.q6(try_divide(col("x") - col("mean"), col("sd"))).as("z"))
   }
 
   /** One Lloyd iteration of k-means over the embedding corpus: seed
@@ -471,7 +472,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"),
         sum(round(col("x"), 6).cast("decimal(18,6)")).as("s"))
       .select(col("cid").as("cluster_id"), col("dim"),
-        round(col("s").cast("double") / col("n_members"), 6).as("centroid"),
+        graft.functions.Fns.q6(col("s").cast("double") / col("n_members")).as("centroid"),
         col("n_members"))
   }
 
@@ -513,13 +514,13 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"),
         sum(round(col("x"), 6).cast("decimal(18,6)")).as("s"))
       .select(col("cid"), col("dim"), col("n_members"),
-        round(col("s").cast("double") / col("n_members"), 6).as("m"))
+        graft.functions.Fns.q6(col("s").cast("double") / col("n_members")).as("m"))
     val norms = means.groupBy("cid")
       .agg(sqrt(sum(round(col("m") * col("m"), 6).cast("decimal(18,6)"))
         .cast("double")).as("nrm"))
     means.join(broadcast(norms), "cid")
       .select(col("cid").as("cluster_id"), col("dim"),
-        round(try_divide(col("m"), col("nrm")), 6).as("centroid"),
+        graft.functions.Fns.q6(try_divide(col("m"), col("nrm"))).as("centroid"),
         col("n_members"))
   }
 
@@ -582,7 +583,7 @@ object Similarity {
         .agg(count(lit(1)).as("n_vectors"), sum(col("d2")).as("s"))
         .select(lit(k.toLong).as("k"), col("n_vectors"),
           round(col("s").cast("double"), 6).as("inertia"),
-          round(col("s").cast("double") / col("n_vectors"), 6).as("mean_d2"))
+          graft.functions.Fns.q6(col("s").cast("double") / col("n_vectors")).as("mean_d2"))
     }.reduce(_ unionByName _)
   }
 
@@ -631,9 +632,9 @@ object Similarity {
         .groupBy("i", "j").agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
         .join(broadcast(sa.select(col("i"), col("s").as("si"))), "i")
         .join(broadcast(sb.select(col("i").as("j"), col("s").as("sj"))), "j")
-        .select((round(col("sp").cast("double") / 1e9 / col("n")
+        .select((graft.functions.Fns.q6(col("sp").cast("double") / 1e9 / col("n")
           - (col("si").cast("double") / col("n"))
-          * (col("sj").cast("double") / col("n")), 6) + lit(0.0)).as("g"))
+          * (col("sj").cast("double") / col("n"))) + lit(0.0)).as("g"))
         .select(round(col("g") * 1e6, 0).cast("long").cast("decimal(38,0)")
           .as("q"))
         .agg((sum(col("q") * col("q")).cast("double") / 1e12).as("f2"))
@@ -692,8 +693,8 @@ object Similarity {
       .select(col("cid").as("cluster_id"), col("n_members"),
         col("majority_label"),
         coalesce(col("n_majority"), lit(0L)).as("n_majority"),
-        round((coalesce(col("n_majority"), lit(0L)).cast("double") /
-          col("n_members").cast("double")).cast("decimal(24,12)"), 6)
+        graft.functions.Fns.q6((coalesce(col("n_majority"), lit(0L)).cast("double") /
+          col("n_members").cast("double")))
           .cast("double").as("purity"))
   }
 
@@ -734,7 +735,7 @@ object Similarity {
         sum(col("distortion").cast("decimal(28,6)")).as("s"),
         max(col("distortion")).as("max_distortion"))
       .select(col("subspace"), col("n"), col("codes_used"),
-        round(col("s").cast("double") / col("n"), 6).as("mean_distortion"),
+        graft.functions.Fns.q6(col("s").cast("double") / col("n")).as("mean_distortion"),
         col("max_distortion"))
 
   /** Per-cluster distance-percentile outlier gate on the embedding
@@ -1229,9 +1230,9 @@ object Similarity {
       .join(broadcast(means.select(col("i"), col("sx").as("si"))), "i")
       .join(broadcast(means.select(col("i").as("j"), col("sx").as("sj"))), "j")
       .select(col("i"), col("j"),
-        (round(col("sp").cast("double") / 1e9 / col("n")
+        (graft.functions.Fns.q6(col("sp").cast("double") / 1e9 / col("n")
           - (col("si").cast("double") / col("n"))
-          * (col("sj").cast("double") / col("n")), 6) + lit(0.0)).as("cov"))
+          * (col("sj").cast("double") / col("n"))) + lit(0.0)).as("cov"))
   }
 
   /** Embedding L2-norm histogram: per-vector norms bucketed into
@@ -1290,14 +1291,13 @@ object Similarity {
       .filter(col("nrm") > 0)
     val unit = flat.join(norms, "vec_id")
       .select(col("vec_id"), col("dim"),
-        round((col("x") / col("nrm")).cast("decimal(24,12)"), 6)
+        graft.functions.Fns.q6((col("x") / col("nrm")))
           .cast("decimal(18,6)").as("u"))
     val dims = unit.groupBy("dim")
       .agg(sum(col("u")).as("su"),
         sum((col("u") * col("u")).cast("decimal(38,12)")).as("self_d"))
     val tot = dims.agg(count(lit(1)).as("n_dims"),
-      sum(round((col("su").cast("double") * col("su").cast("double"))
-        .cast("decimal(24,12)"), 6).cast("decimal(18,6)")).as("ss"),
+      sum(graft.functions.Fns.q6((col("su").cast("double") * col("su").cast("double"))).cast("decimal(18,6)")).as("ss"),
       sum(col("self_d")).as("self_sum"))
     val n = norms.agg(count(lit(1)).as("n_vectors"))
     n.crossJoin(broadcast(tot))
@@ -1332,8 +1332,9 @@ object Similarity {
       .agg(count(lit(1)).as(s"n_$tag"),
         sum(round(col("x"), 6).cast("decimal(18,6)")).as("s"))
       .select(col("dim"), col(s"n_$tag"),
-        round(col("s").cast("double") / col(s"n_$tag"), 6).as(s"m_$tag"))
-    def dsum(c: Column) = sum(round(c, 6).cast("decimal(18,6)")).cast("double")
+        graft.functions.Fns.q6(col("s").cast("double") / col(s"n_$tag")).as(s"m_$tag"))
+    def dsum(c: Column) =
+      sum(graft.functions.Fns.q6(c).cast("decimal(18,6)")).cast("double")
     means(a, "a").join(means(b, "b"), "dim")
       .agg(min("n_a").as("n_a"), min("n_b").as("n_b"),
         dsum(col("m_a") * col("m_b")).as("dot"),
@@ -1632,8 +1633,8 @@ object Similarity {
         // round the exact DECIMAL(38,9) sum, THEN cast (ADVICE
         // half-value convention for new double outputs)
         round(col("slm"), 6).cast("double").as("sum_log_mu"),
-        round(try_divide(col("n_points").cast("double"),
-            col("slm").cast("double")).cast("decimal(24,12)"), 6)
+        graft.functions.Fns.q6(try_divide(col("n_points").cast("double"),
+            col("slm").cast("double")))
           .cast("double").as("id_twonn"))
   }
 

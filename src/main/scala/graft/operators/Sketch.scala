@@ -208,12 +208,12 @@ object Sketch {
         // buckets + zeros·2^(Wmax+1); matches Σ2^−M_j scaled by 2^(Wmax+1)
         ((col("sum_inv_nz") + (lit(m) - col("nonzero"))) * scale)
           .cast("long").as("sum_inv_scaled"),
-        round(
+        (round(
           when((lit(alpha * m * m) / (col("sum_inv_nz") + (lit(m) - col("nonzero")))) <= 2.5 * m
               && col("nonzero") < m,
             lit(m) * log(lit(m).cast("double") / (lit(m) - col("nonzero"))))
-          .otherwise(lit(alpha * m * m) / (col("sum_inv_nz") + (lit(m) - col("nonzero")))),
-          4).as("est")): _*)
+          .otherwise(lit(alpha * m * m) / (col("sum_inv_nz") + (lit(m) - col("nonzero"))))
+          * lit(1e4)) / lit(1e4)).as("est")): _*)
   }
 
   /** Equi-width histogram quantile sketch: bin counts are the sketch
@@ -260,7 +260,7 @@ object Sketch {
       .groupBy("q", "lo", "hi", "n")
       .agg(min(col("bin")).as("bin"))
       .select(col("q"),
-        round(col("lo") + (col("bin") + 1) * ((col("hi") - col("lo")) / nBins), 6)
+        graft.functions.Fns.q6(col("lo") + (col("bin") + 1) * ((col("hi") - col("lo")) / nBins))
           .as("est"),
         col("bin"), col("n"))
   }
@@ -332,8 +332,9 @@ object Sketch {
     est(ra, "est_a").crossJoin(broadcast(est(rb, "est_b")))
       .crossJoin(broadcast(est(ru, "est_union")))
       .select(col("est_a"), col("est_b"), col("est_union"),
-        round(inter, 4).as("est_intersection"),
-        round(try_divide(inter, col("est_union")), 4).as("jaccard_est"))
+        (round(inter * lit(1e4)) / lit(1e4)).as("est_intersection"),
+        (round(try_divide(inter, col("est_union")) * lit(1e4)) / lit(1e4))
+          .as("jaccard_est"))
   }
 
   /** Bloom-filter calibration card: build an m-bit / k-hash Bloom filter
@@ -383,11 +384,11 @@ object Sketch {
     fp.crossJoin(broadcast(nIns)).crossJoin(broadcast(nBits))
       .select(lit(mBits.toLong).as("m_bits"), lit(k.toLong).as("k_hashes"),
         col("n_inserted"), col("bits_set"),
-        round(col("bits_set").cast("double") / mBits.toDouble, 6)
+        graft.functions.Fns.q6(col("bits_set").cast("double") / mBits.toDouble)
           .as("fill_ratio"),
         col("n_probes"), col("n_false_pos"),
-        round(try_divide(col("n_false_pos").cast("double"),
-          col("n_probes").cast("double")), 6).as("measured_fpr"),
+        graft.functions.Fns.q6(try_divide(col("n_false_pos").cast("double"),
+          col("n_probes").cast("double"))).as("measured_fpr"),
         round(theory, 6).as("theoretical_fpr"))
   }
 
@@ -425,7 +426,7 @@ object Sketch {
             col("kth_min").cast("double")).as("e"))
       .select(col("k"), col("n_min"), col("kth_min"), col("n_exact"),
         round(col("e"), 6).as("est_distinct"),
-        round(try_divide(col("e"), col("n_exact").cast("double")) - 1.0, 6)
+        graft.functions.Fns.q6(try_divide(col("e"), col("n_exact").cast("double")) - 1.0)
           .as("rel_error"))
   }
 
@@ -572,8 +573,8 @@ object Sketch {
       cum.filter(col("cum") >= ceil(lit(p) * col("n")))
         .groupBy("g", "lo", "hi").agg(min(col("bin")).as("bin"))
         .select(col("g"),
-          round(col("lo") + (col("bin") + 1) *
-            ((col("hi") - col("lo")) / nBins), 6).as(name))
+          graft.functions.Fns.q6(col("lo") + (col("bin") + 1) *
+            ((col("hi") - col("lo")) / nBins)).as(name))
     // Boundary percentiles are exact no-ops, not histogram estimates:
     // cutAt returns the occupied bin's UPPER edge, so pLo=0 would still
     // clamp every value in the lowest bin upward. At p=0 (p=1) the cut
@@ -592,9 +593,9 @@ object Sketch {
         min(col("cut_lo")).as("cut_lo"), min(col("cut_hi")).as("cut_hi"),
         dsum(col("v")).as("sv"), dsum(clamped).as("sw"))
       .select(col("g").as(groupCol), col("n"), col("cut_lo"), col("cut_hi"),
-        round(col("sv").cast("double") / col("n").cast("double"), 6)
+        graft.functions.Fns.q6(col("sv").cast("double") / col("n").cast("double"))
           .as("mean_raw"),
-        round(col("sw").cast("double") / col("n").cast("double"), 6)
+        graft.functions.Fns.q6(col("sw").cast("double") / col("n").cast("double"))
           .as("mean_winsorized"))
   }
 
@@ -645,8 +646,8 @@ object Sketch {
       cum.filter(col("cum") >= ceil(lit(p) * col("n")))
         .groupBy("g", "lo", "hi").agg(min(col("bin")).as("bin"))
         .select(col("g"),
-          round(col("lo") + (col("bin") + 1) *
-            ((col("hi") - col("lo")) / nBins), 6).as(name))
+          graft.functions.Fns.q6(col("lo") + (col("bin") + 1) *
+            ((col("hi") - col("lo")) / nBins)).as(name))
     // Boundary percentiles are exact no-ops on the trim window, same
     // special-case as [[winsorizedMeanCard]]: at pLo=0 (pHi=1) the cut
     // is the group's exact min (max) — trimming, which DROPS rows
@@ -675,7 +676,7 @@ object Sketch {
     val mad = dCum.filter(col("cum") >= ceil(lit(0.5) * col("n")))
       .groupBy("g", "dhi").agg(min(col("bin")).as("bin"))
       .select(col("g"),
-        round((col("bin") + 1) * (col("dhi") / nBins), 6).as("mad_est"))
+        graft.functions.Fns.q6((col("bin") + 1) * (col("dhi") / nBins)).as("mad_est"))
     def dsum(c: Column) = sum(round(c, 6).cast("decimal(28,6)"))
     val inTrim = col("v").between(col("cut_lo"), col("cut_hi"))
     withCuts
@@ -689,10 +690,10 @@ object Sketch {
       .join(mad, "g")
       .select(col("g").as(groupCol), col("n"), col("cut_lo"), col("cut_hi"),
         col("median_est"),
-        round(col("sv").cast("double") / col("n").cast("double"), 6)
+        graft.functions.Fns.q6(col("sv").cast("double") / col("n").cast("double"))
           .as("mean_raw"),
-        round(try_divide(col("st").cast("double"),
-          col("n_trimmed").cast("double")), 6).as("mean_trimmed"),
+        graft.functions.Fns.q6(try_divide(col("st").cast("double"),
+          col("n_trimmed").cast("double"))).as("mean_trimmed"),
         col("n_trimmed"), col("mad_est"))
   }
 
@@ -741,8 +742,8 @@ object Sketch {
     sizes.join(agree, "g").crossJoin(broadcast(uSize))
       .select(col("g").as(groupCol), col("n_shingles"), col("n_union"),
         col("n_agree"),
-        round(col("n_agree").cast("double") / 16.0, 6).as("est_jaccard"),
-        round(col("n_shingles").cast("double") /
-          col("n_union").cast("double"), 6).as("exact_jaccard"))
+        graft.functions.Fns.q6(col("n_agree").cast("double") / 16.0).as("est_jaccard"),
+        graft.functions.Fns.q6(col("n_shingles").cast("double") /
+          col("n_union").cast("double")).as("exact_jaccard"))
   }
 }

@@ -74,7 +74,7 @@ object Skew {
     top.withColumn("rank", row_number().over(w).cast("long"))
       .crossJoin(broadcast(tot))
       .select(col("rank"), col("key"), col("cnt"),
-        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        graft.functions.Fns.q6(col("cnt").cast("double") / col("n_rows")).as("share"),
         col("n_rows"), col("n_keys"))
   }
 }

@@ -1278,8 +1278,7 @@ object TimeSeries {
       .withColumn("mrs", d6(col("mrs_raw")).cast("decimal(18,6)"))
       .filter(col("mrs") > 0)
     val pts = rs.select(col("k"), col("n_chunks"), log2w.as("x"),
-      round((log(col("mrs").cast("double")) / log(lit(2.0)))
-        .cast("decimal(24,12)"), 6).cast("decimal(18,6)").as("y"))
+      graft.functions.Fns.q6((log(col("mrs").cast("double")) / log(lit(2.0)))).cast("decimal(18,6)").as("y"))
     pts.groupBy("k")
       .agg(count(lit(1)).as("n_sizes"),
         sum(col("n_chunks")).as("n_windows"),
