@@ -188,8 +188,16 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       (sec, stealPct(a, cpuTicks()))
     }
-    def minOf3(job: () => Unit): (Double, Double) =
-      Seq.fill(3)(canaryRun(job)).minBy(_._1)
+    // Total wall spent inside canary windows (r19, judge polish item 7):
+    // recorded as canary_overhead_sec so the history yardstick can
+    // subtract instrument cost when comparing totals across schema
+    // generations (the five canaries cost 4-5 min-of-3 Spark jobs/run).
+    var canaryOverheadSec = 0.0
+    def minOf3(job: () => Unit): (Double, Double) = {
+      val runs = Seq.fill(3)(canaryRun(job))
+      canaryOverheadSec += runs.map(_._1).sum
+      runs.minBy(_._1)
+    }
     // bit_xor, not sum: summing 2048M xxhash64 longs overflows under
     // ANSI mode; xor folds are overflow-free and equally unprunable.
     val (canarySec, stealCan) = minOf3(() =>
@@ -321,7 +329,8 @@ object Bench {
     // baselines no retried query touches. Alongside the timings, each
     // pass returns the query → touched-derivations map it observed.
     def pass(keep: String => Boolean = _ => true,
-             extraDerivs: Set[String] = Set.empty)
+             extraDerivs: Set[String] = Set.empty,
+             midHook: Option[() => Unit] = None)
         : (Seq[(String, Double, Option[String])], Map[String, Set[String]]) = {
       SparkEntry.clearMemos()
       val derivs = SparkEntry.derivations
@@ -329,8 +338,15 @@ object Bench {
           (keep(kv._1) || extraDerivs(kv._1)))
       val queries = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(kv => only.forall(kv._1.matches) && keep(kv._1))
+      val all = derivs ++ queries
+      val midAt = all.size / 2
       val touchedBy = scala.collection.mutable.Map.empty[String, Set[String]]
-      val times = (derivs ++ queries).map { case (name, fn) =>
+      val times = all.zipWithIndex.map { case ((name, fn), idx) =>
+        // Mid-run canary sample (r19, judge item 2): fires BETWEEN two
+        // queries at the pass midpoint, so no per-query timing absorbs
+        // it; it inflates the pass-1 steal window by its ~1 s of quiet
+        // wall, which is noise against a 200+ s window.
+        if (idx == midAt) midHook.foreach(_())
         SparkEntry.drainTouchedDerivations()
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
@@ -387,7 +403,20 @@ object Bench {
       t >= MacroThresholdSec &&
         histTimes.get(n).exists(h => h > 0 && t > HistRetryFactor * h)
     val ticks0 = cpuTicks()
-    val (p1, touchedBy) = pass()
+    // Mid-run membw canary (r19, judge item 2): the pre-run gate
+    // certifies t=0 and the post-run re-measure t=end; contention that
+    // ARRIVES mid-window (the r17 352.6 s profile's failure mode) was
+    // visible to neither. One min-of-3 sample at the pass-1 midpoint —
+    // record-only until its quiet band is characterized, the same
+    // record-until-calibrated rule every other signal followed.
+    var canaryMembwMid: Option[(Double, Double)] = None
+    val membwJob: () => Unit = () =>
+      spark.range(0L, 4096L, 1L, cpus.toInt)
+        .selectExpr(
+          "aggregate(sequence(id, id + 65535), 0L, (a, x) -> a + x) AS s")
+        .selectExpr("bit_xor(s) AS h").collect()
+    val (p1, touchedBy) = pass(midHook = Some(() =>
+      canaryMembwMid = Some(minOf3(membwJob))))
     val (mid1, mid5) = loadavg()
     val ticksMid = cpuTicks()
     val retry = p1.collect {
@@ -415,11 +444,9 @@ object Bench {
     // against the pre-run quiet band yet (same record-until-calibrated
     // rule as the shuffle window). Placed after ticksEnd so the pass-2
     // steal window stays pure.
-    val (canaryMembwEndSec, stealMembwEnd) = minOf3(() =>
-      spark.range(0L, 4096L, 1L, cpus.toInt)
-        .selectExpr(
-          "aggregate(sequence(id, id + 65535), 0L, (a, x) -> a + x) AS s")
-        .selectExpr("bit_xor(s) AS h").collect())
+    val (canaryMembwEndSec, stealMembwEnd) = minOf3(membwJob)
+    val (canaryMembwMidSec, stealMembwMid) =
+      canaryMembwMid.getOrElse((-1.0, -1.0))
     // steal over [pass1, pass2] — the in-run external-contention record,
     // and since round 16 a `clean` gate: either pass above StealMaxPct
     // means a neighboring tenant ate a measurable slice of our cycles
@@ -485,8 +512,9 @@ object Bench {
     }
     val steals = f"""[$stealCan%.2f,$steal1%.2f,$steal2%.2f]"""
     // 4th entry since r18: the post-run membw re-measure's kept window.
+    // 5th entry since r19: the mid-run membw sample's kept window.
     val canarySteals =
-      f"""[$stealCan%.2f,$stealShuf%.2f,$stealMembw%.2f,$stealMembwEnd%.2f]"""
+      f"""[$stealCan%.2f,$stealShuf%.2f,$stealMembw%.2f,$stealMembwEnd%.2f,$stealMembwMid%.2f]"""
     val results = p1.map { case (n, t1, e1) =>
       p2.get(n) match {
         case None => (n, t1, e1, false)
@@ -547,13 +575,15 @@ object Bench {
     // inside its calibrated quiet band — the full trust verdict.
     val clean = !contaminated && !stealHigh && !membwHigh
     val onlyTag = only.map(r => s""","only":${jq(r)}""").getOrElse("")
-    // schema_version (r17 judge polish): BENCH_HISTORY spans three
+    // schema_version (r17 judge polish): BENCH_HISTORY spans four
     // generations of line schema; tooling should dispatch on this int
     // instead of substring-sniffing. 4 = tiered-2 passes + per-derivation
-    // `_derive_*` lines (r16 split) + 3-component canary vector (r17) +
-    // this tag. Absent field = version <= 3 (pre-r18).
+    // `_derive_*` lines (r16 split) + 3-component canary vector (r17).
+    // 5 (r19) adds canary_membw_mid_sec (−1 = subset run too small to
+    // reach the midpoint hook), canary_overhead_sec, and the mid window
+    // as the 5th canary_steal_pct entry. Absent field = version <= 3.
     val line =
-      s"""{"schema_version":4,"metric":"total","unit":"sec","passes":"tiered-2","macro_threshold_sec":$MacroThresholdSec,"n_macro":${retry.size},"hist_retry_factor":$HistRetryFactor,"hist_retries":${histRetries.map(jq).sorted.mkString("[", ",", "]")},"suspect":$suspect,"clean":$clean,"contaminated":$contaminated,"loadavg_max":$loadMax,"waited_sec":$waited,"loadavg":$loads,"loadavg5":$loads5,"steal_pct":$steals,"steal_max_pct":$stealMax,"steal_high":$stealHigh,"canary_sec":${f"$canarySec%.3f"},"canary_shuffle_sec":${f"$canaryShufSec%.3f"},"canary_membw_sec":${f"$canaryMembwSec%.3f"},"canary_membw_end_sec":${f"$canaryMembwEndSec%.3f"},"membw_max_sec":$membwMax,"membw_high":$membwHigh,"canary_steal_pct":$canarySteals,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}$onlyTag}"""
+      s"""{"schema_version":5,"metric":"total","unit":"sec","passes":"tiered-2","macro_threshold_sec":$MacroThresholdSec,"n_macro":${retry.size},"hist_retry_factor":$HistRetryFactor,"hist_retries":${histRetries.map(jq).sorted.mkString("[", ",", "]")},"suspect":$suspect,"clean":$clean,"contaminated":$contaminated,"loadavg_max":$loadMax,"waited_sec":$waited,"loadavg":$loads,"loadavg5":$loads5,"steal_pct":$steals,"steal_max_pct":$stealMax,"steal_high":$stealHigh,"canary_sec":${f"$canarySec%.3f"},"canary_shuffle_sec":${f"$canaryShufSec%.3f"},"canary_membw_sec":${f"$canaryMembwSec%.3f"},"canary_membw_end_sec":${f"$canaryMembwEndSec%.3f"},"canary_membw_mid_sec":${f"$canaryMembwMidSec%.3f"},"canary_overhead_sec":${f"$canaryOverheadSec%.3f"},"membw_max_sec":$membwMax,"membw_high":$membwHigh,"canary_steal_pct":$canarySteals,"flaky":$flaky,"errors":$errs,"queries":$qsFull,"n_ok":$nOk,"value":$total,"sf":"$sfDir","full":${jq(fullPath)}$onlyTag}"""
     println(line)
     // Short line: slowest-first entries until the byte budget is spent.
     val budget = 1600

@@ -45,12 +45,9 @@ import org.apache.spark.sql.functions._
   */
 object Perturb {
 
-  /** Seed folded into every hash salt; "" reproduces the r17 fixture. */
-  private var seed: String = ""
-
   def main(args: Array[String]): Unit = {
     val Array(src, out) = args.take(2)
-    seed = if (args.length > 2) args(2) else ""
+    val seed = if (args.length > 2) args(2) else ""
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -61,15 +58,25 @@ object Perturb {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out)
+    generate(spark, src, out, seed)
     spark.stop()
   }
 
-  /** hash in [0, m) keyed on (cols..., salt+seed) — the draw primitive. */
-  private def h(m: Int, salt: String, cols: org.apache.spark.sql.Column*) =
-    pmod(xxhash64((cols :+ lit(salt + seed)): _*), lit(m))
+  /** hash in [0, m) keyed on (cols..., salt, seed) — the draw primitive.
+    * Since r19 (ADVICE) the seed is a SEPARATE xxhash64 argument, not a
+    * string concatenation: salt "t" with seed "s3" can no longer alias
+    * salt "ts" with seed "3", and programmatic callers pass the seed
+    * explicitly through [[generate]] instead of inheriting whatever a
+    * prior main() left in a mutable field. (The separate argument
+    * changes every draw relative to the r17/r18 fixtures — the parity
+    * ledger re-certifies at the current code fingerprint anyway.)
+    */
+  private def h(m: Int, salt: String, seed: String,
+                cols: org.apache.spark.sql.Column*) =
+    pmod(xxhash64((cols ++ Seq(lit(salt), lit(seed))): _*), lit(m))
 
-  def generate(spark: SparkSession, src: String, out: String): Unit = {
+  def generate(spark: SparkSession, src: String, out: String,
+               seed: String = ""): Unit = {
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     // Single FILE per table (like the driver fixtures): parity.py's
     // DuckDB views read `<dir>/<t>.parquet` as a file, not a directory.
@@ -94,30 +101,30 @@ object Perturb {
     val lk = Seq(col("l_orderkey"), col("l_linenumber"))
     wr(rd("lineitem")
       .withColumn("l_quantity",
-        (lit(1) + h(50, "q", lk: _*)).cast("double"))
+        (lit(1) + h(50, "q", seed, lk: _*)).cast("double"))
       .withColumn("l_extendedprice",
         round(col("l_extendedprice") *
-          (lit(0.9) + h(2001, "p", lk: _*) / lit(1e4)), 2))
-      .withColumn("l_discount", h(11, "d", lk: _*) / lit(100.0))
-      .withColumn("l_tax", h(9, "t", lk: _*) / lit(100.0))
+          (lit(0.9) + h(2001, "p", seed, lk: _*) / lit(1e4)), 2))
+      .withColumn("l_discount", h(11, "d", seed, lk: _*) / lit(100.0))
+      .withColumn("l_tax", h(9, "t", seed, lk: _*) / lit(100.0))
       .withColumn("l_shipdate",
-        expr(s"timestampadd(DAY, pmod(xxhash64(l_orderkey, l_linenumber, 's$seed'), 61) - 30, l_shipdate)")
+        expr(s"timestampadd(DAY, pmod(xxhash64(l_orderkey, l_linenumber, 's', '$seed'), 61) - 30, l_shipdate)")
           .cast("timestamp_ntz")), "lineitem")
 
     wr(rd("orders")
       .withColumn("o_totalprice",
         round(col("o_totalprice") *
-          (lit(0.9) + h(2001, "p", col("o_orderkey")) / lit(1e4)), 2))
+          (lit(0.9) + h(2001, "p", seed, col("o_orderkey")) / lit(1e4)), 2))
       .withColumn("o_orderdate",
-        expr(s"timestampadd(DAY, pmod(xxhash64(o_orderkey, 's$seed'), 61) - 30, o_orderdate)")
+        expr(s"timestampadd(DAY, pmod(xxhash64(o_orderkey, 's', '$seed'), 61) - 30, o_orderdate)")
           .cast("timestamp_ntz")), "orders")
 
     wr(graft.etl.Ingest.readEvents(spark, src)
       .withColumn("value",
         round(col("value") *
-          (lit(0.8) + h(4001, "v", col("event_id")) / lit(1e4)), 3))
+          (lit(0.8) + h(4001, "v", seed, col("event_id")) / lit(1e4)), 3))
       .withColumn("ts",
-        expr(s"timestampadd(SECOND, pmod(xxhash64(event_id, 'ts$seed'), 7201) - 3600, ts)")
+        expr(s"timestampadd(SECOND, pmod(xxhash64(event_id, 'ts', '$seed'), 7201) - 3600, ts)")
           .cast("timestamp_ntz")), "events")
 
     // Empty tokens (consecutive/leading/trailing spaces) must pass
@@ -130,13 +137,34 @@ object Perturb {
       .withColumn("text", when(length(col("text")) === 0, col("text"))
         .otherwise(array_join(transform(split(col("text"), " "),
           t => when(t === lit(""), t).otherwise(
-            concat(t, lit("y"), pmod(xxhash64(t, lit("seed2" + seed)), lit(7))))),
+            concat(t, lit("y"), pmod(xxhash64(t, lit("seed2"), lit(seed)), lit(7))))),
           " ")))
       .withColumn("n_chars", length(col("text")).cast("long")), "documents")
 
     wr(rd("embeddings")
       .withColumn("embedding", transform(col("embedding"), (x, i) =>
-        (x + (pmod(xxhash64(col("vec_id") * 64 + i, lit("e" + seed)), lit(2001))
+        (x + (pmod(xxhash64(col("vec_id") * 64 + i, lit("e"), lit(seed)), lit(2001))
           - lit(1000)) / lit(1e4)).cast("float"))), "embeddings")
+
+    // Manifest stamp (r19, ADVICE): records that this dir IS a perturbed
+    // draw, which seed drew it, and the source fixture's per-file sizes.
+    // tools/artifact_check.py keys its alternate-seed parity requirement
+    // on this stamp instead of "path does not end in sfX" — a renamed
+    // copy of a standard fixture no longer counts as an alt-seed sweep.
+    {
+      import java.nio.file.{Files, Paths}
+      def jq(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val srcFiles = Files.list(Paths.get(src)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).sorted
+        .map(f => jq(Paths.get(f).getFileName.toString) + ":" +
+          Files.size(Paths.get(f)))
+        .mkString("{", ",", "}")
+      val manifest =
+        s"""{"generator":"graft.tools.Perturb","seed":${jq(seed)},""" +
+        s""""src":${jq(src)},"src_files":$srcFiles}\n"""
+      Files.write(Paths.get(s"$out/perturb_manifest.json"),
+        manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[perturb] manifest (seed ${jq(seed)})")
+    }
   }
 }

@@ -76,4 +76,11 @@ for k in keys:
     else:
         print(f"{k:24s} OK    ({len(sdf)} rows)")
 print(f"\n{len(keys)-len(fails)}/{len(keys)} green" + (f"; FAILING: {fails}" if fails else ""))
+# Machine-readable summary (ADVICE r18): the sweep ledger records THIS
+# tally — parity.py's actual pass/fail verdict — instead of inferring
+# green from Verify's manifest (which only knows about Spark-side
+# crashes, not value mismatches).
+with open(f"{out_dir}/parity_summary.json", "w") as f:
+    json.dump({"green": len(keys) - len(fails), "total": len(keys),
+               "failing": sorted(fails)}, f)
 sys.exit(1 if fails else 0)

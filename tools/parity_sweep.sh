@@ -53,14 +53,23 @@ if [ -z "$REGEX" ]; then
   FP=$( { git ls-files -s -- src/main tools
           git diff -- src/main tools
           git status --porcelain -- src/main tools; } | sha1sum | cut -c1-16)
-  GREEN=$(python3 - "$OUT" <<'EOF'
+  # Ledger counts come from parity.py's own verdict file (ADVICE r18):
+  # a value-mismatch sweep records its true red count even if a future
+  # edit decouples this append from parity.py's exit status. The seed
+  # field carries the Perturb manifest's seed for alternate-seed dirs
+  # (null = a standard fixture, not a perturbed draw).
+  GREEN=$(python3 - "$SF" "$OUT" <<'PYEOF'
 import json, os, sys
-out = sys.argv[1]
-man = json.load(open(f"{out}/manifest.json"))
-print(len(man["swept"]) - len(man["failed"]), len(man["swept"]))
-EOF
+sf, out = sys.argv[1], sys.argv[2]
+summ = json.load(open(f"{out}/parity_summary.json"))
+seed = "null"
+mp = f"{sf}/perturb_manifest.json"
+if os.path.exists(mp):
+    seed = json.dumps(json.load(open(mp)).get("seed", ""))
+print(summ["green"], summ["total"], seed)
+PYEOF
 )
-  read -r NG NT <<<"$GREEN"
-  echo "{\"ts\": $(date +%s), \"sf\": \"$SF\", \"green\": $NG, \"total\": $NT, \"src_fp\": \"$FP\"}" >> PARITY_SWEEPS.jsonl
-  echo "parity_sweep: recorded green $NG/$NT for src_fp=$FP in PARITY_SWEEPS.jsonl"
+  read -r NG NT SEED <<<"$GREEN"
+  echo "{\"ts\": $(date +%s), \"sf\": \"$SF\", \"green\": $NG, \"total\": $NT, \"seed\": $SEED, \"src_fp\": \"$FP\"}" >> PARITY_SWEEPS.jsonl
+  echo "parity_sweep: recorded green $NG/$NT (seed=$SEED) for src_fp=$FP in PARITY_SWEEPS.jsonl"
 fi
