@@ -49,6 +49,50 @@ object Fns {
     */
   def q12(c: Column): Column = round(c * lit(1e12)) / lit(1e12)
 
+  /** Raise a frame's parallelism to the session default BEFORE
+    * compute-heavy per-row work (r19 optimization round, guide §2.5
+    * "input skew / unsplittable file: repartition immediately after the
+    * read"): the harness fixtures are single-row-group parquet files, so
+    * every scan is ONE task and everything upstream of the first
+    * exchange — N² broadcast-join probes, posexplode'd covariance
+    * products, wide DECIMAL aggregates — ran serially on 1 of 32 cores
+    * (measured: brute-force kNN 5.24 s → 0.69 s, covariance-input
+    * spread similar, corr 2.49 s → 0.89 s at sf0.1).
+    *
+    * Scale-adaptive by construction: a round-robin repartition UP to
+    * `defaultParallelism`, applied only when the frame has FEWER
+    * partitions than that — a 100 TB scan already has thousands of
+    * splits and passes through untouched, so no cluster-scale plan
+    * pays a shuffle for this. Use ONLY where downstream results are
+    * order-independent (fully-ordered windows, DECIMAL/integer sums,
+    * per-row IEEE arithmetic — the repo-wide determinism discipline).
+    *
+    * Hash-partitioned on xxhash64 of every (hashable) column rather
+    * than round-robin: a keyless `repartition(n)` first pays Spark's
+    * sort-before-repartition local sort of the full rows (measured
+    * +0.5 s on the 600k-row lineitem frame), while an expression
+    * repartition is one codegen'd hash per row, retry-deterministic
+    * because the key is a pure function of the row.
+    */
+  def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else {
+      // MapType is unhashable in Spark; rows here always carry id/value
+      // columns, so the hashable subset is never empty in practice —
+      // fall back to round-robin if it ever is.
+      def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => true
+        case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+        case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+        case _ => false
+      }
+      val hashable = df.schema.fields.filterNot(f => hasMap(f.dataType))
+      if (hashable.isEmpty) df.repartition(p)
+      else df.repartition(p, xxhash64(hashable.map(f => col(f.name)).toSeq: _*))
+    }
+  }
+
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))

@@ -124,7 +124,10 @@ object DataQuality {
         cols.zipWithIndex.flatMap { case (c, i) =>
           Seq(dsum(col(c)).as(s"s_$i"), dsum(col(c) * col(c)).as(s"q_$i")) } ++
         pairs.map { case (i, j) => dsum(col(cols(i)) * col(cols(j))).as(s"p_${i}_$j") }
-    val a = df.agg(aggs.head, aggs.tail: _*)
+    // spread the projected input: the wide DECIMAL moment aggregate is
+    // the whole cost and otherwise runs map-side on the fixture's 1–3
+    // scan splits (Fns.spread scaladoc; order-free DECIMAL sums)
+    val a = Fns.spread(df.select(cols.map(col): _*)).agg(aggs.head, aggs.tail: _*)
     def d(name: String) = col(name).cast("double")
     val pairStructs = pairs.map { case (i, j) =>
       val num = d("n") * d(s"p_${i}_$j") - d(s"s_$i") * d(s"s_$j")

@@ -46,7 +46,10 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    // corpus side streams the |Q|·N probe loop — spread it so the probe
+    // work parallelizes on single-split inputs (no-op at scale)
+    val c = Fns.spread(
+      corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv")))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -76,7 +79,8 @@ object Similarity {
     */
   def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val c = Fns.spread(
+      corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv")))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -104,7 +108,8 @@ object Similarity {
     */
   def rangeSearch(corpus: DataFrame, queries: DataFrame, threshold: Double,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val c = Fns.spread(
+      corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv")))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -409,11 +414,24 @@ object Similarity {
     * DuckDB `generate_subscripts` mirror matches. Narrow explode, no
     * shuffle until an aggregation keys on something.
     */
-  private[operators] def flatten(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
-    embeddings
-      .select(col(idCol).as("vec_id"), posexplode(toDouble(col(vecCol))))
+  /** `spread = true` raises parallelism BEFORE the d-fold explode
+    * ([[Fns.spread]]): on the harness's single-split scans the explode
+    * and everything map-side above the first exchange otherwise runs in
+    * one task. Opt-IN per call site because the extra exchange only pays
+    * for itself where the downstream per-row work is heavy — measured
+    * at sf0.1: silhouette 3.2→2.0 s, outliers 2.8→1.7 s, purity
+    * 2.6→1.7 s, inertia 2.6→2.3 s WITH it, but standardize 0.7→1.3 s
+    * and labelMargin 1.0→1.6 s AGAINST it (light aggregates — the
+    * exchange costs more than the serial explode).
+    */
+  private[operators] def flatten(embeddings: DataFrame, idCol: String, vecCol: String,
+                                 spread: Boolean = false): DataFrame = {
+    val base = embeddings.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+    (if (spread) Fns.spread(base) else base)
+      .select(col("vec_id"), posexplode(col("v")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
         col("col").as("x"))
+  }
 
   /** Per-dimension z-score standardization of the embedding corpus — the
     * feature-scaling pre-pass before distance-based ops when dimensions
@@ -465,7 +483,7 @@ object Similarity {
   def kmeansIterate(embeddings: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    val flat = flatten(embeddings, idCol, vecCol)
+    val flat = flatten(embeddings, idCol, vecCol, spread = true)
     val assign = assignToSeeds(embeddings, k, idCol, vecCol)
     assign.join(flat, "vec_id")
       .groupBy("cid", "dim")
@@ -568,7 +586,7 @@ object Similarity {
     require(ks.nonEmpty, "need at least one k")
     require(ks.forall(_ >= 1), s"every k must be >= 1, got $ks")
     require(ks.distinct.size == ks.size, s"k values must be unique, got $ks")
-    val flat = flatten(embeddings, idCol, vecCol)
+    val flat = flatten(embeddings, idCol, vecCol, spread = true)
     ks.map { k =>
       val seeds = embeddings.select(col(idCol).as("vec_id"))
         .orderBy("vec_id").limit(k)
@@ -761,7 +779,7 @@ object Similarity {
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(p > 0 && p < 1, s"need p in (0,1), got $p")
-    val flat = flatten(embeddings, idCol, vecCol)
+    val flat = flatten(embeddings, idCol, vecCol, spread = true)
     val seeds = embeddings.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
     val cent = flat.join(seeds, "vec_id")
       .select(col("vec_id").as("cid"), col("dim"), col("x").as("c"))
@@ -847,7 +865,7 @@ object Similarity {
     */
   private[operators] def assignToSeeds(embeddings: DataFrame, k: Int,
                                        idCol: String, vecCol: String): DataFrame = {
-    val flat = flatten(embeddings, idCol, vecCol)
+    val flat = flatten(embeddings, idCol, vecCol, spread = true)
     val seeds = embeddings.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
     val cent = flat.join(seeds, "vec_id")
       .select(col("vec_id").as("cid"), col("dim"), col("x").as("c"))
@@ -880,7 +898,7 @@ object Similarity {
   def silhouette(embeddings: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 2, s"need k >= 2, got $k")
-    val flat = flatten(embeddings, idCol, vecCol)
+    val flat = flatten(embeddings, idCol, vecCol, spread = true)
     val assign = assignToSeeds(embeddings, k, idCol, vecCol)
     val cent = assign.join(flat, "vec_id")
       .groupBy("cid", "dim")
@@ -924,7 +942,8 @@ object Similarity {
     require(k >= 1, s"need k >= 1, got $k")
     require(nClusters >= 2, s"need nClusters >= 2, got $nClusters")
     val assign = assignToSeeds(corpus, nClusters, idCol, vecCol)
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val c = Fns.spread(
+        corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv")))
       .join(assign.select(col("vec_id").as("neighbor_id"), col("cid").as("ncid")),
         "neighbor_id")
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
@@ -1199,7 +1218,7 @@ object Similarity {
     // inner position j0 is relative to the slice, so the absolute
     // column is j = i + j0. Both generators and the arithmetic are
     // whole-stage-codegen'd (no lambda HOFs — see scaladoc).
-    val pairs = embeddings.select(v.as("v"))
+    val pairs = Fns.spread(embeddings.select(v.as("v")))
       .select(col("v"), posexplode(col("v")).as(Seq("i0", "xi")))
       .select(col("i0"), col("xi"),
         posexplode(slice(col("v"), col("i0") + 1, size(col("v")) - col("i0")))
@@ -1219,8 +1238,8 @@ object Similarity {
         .otherwise(array(cell, mirror))).as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"),
         col("e.sp").as("sp"), col("e.n").as("n"))
-    val means = embeddings
-      .select(posexplode(v).as(Seq("i", "x")))
+    val means = Fns.spread(embeddings.select(v.as("v")))
+      .select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("i")
       .agg(sum(round(col("x"), 9).cast("decimal(28,9)")).as("sx"))
       .select(col("i").cast("long").as("i"), col("sx"))
@@ -1531,10 +1550,19 @@ object Similarity {
     * onto the corpus (distance via the ‖a‖²+‖b‖²−2a·b native-dot
     * identity, norms precomputed once), a running per-point min, one
     * scalar max aggregate broadcast back, one id-min aggregate — no
-    * global sort, no collect; k is small and fixed, the plan chains
-    * k rounds lazily. Determinism: distances are 9-dp-quantized BEFORE
-    * the max/equality compare (membership-decision discipline), argmax
-    * ties break to the lowest id.
+    * global sort, no collect; k is small and fixed. Determinism:
+    * distances are 9-dp-quantized BEFORE the max/equality compare
+    * (membership-decision discipline), argmax ties break to the lowest
+    * id.
+    *
+    * Each round's running-min frame is EAGERLY localCheckpoint'd (r19
+    * optimization round): the round body reads `cur` from THREE branches
+    * (the scalar max, the argmax id, the seed row) and rebuilds the next
+    * `cur` on top, so the uncheckpointed plan re-evaluated an
+    * exponentially-branching crossJoin chain — measured 3.0 s warm at
+    * sf0.1 for k = 4 over 2,000 vectors, 1.0 s with the per-round cut
+    * (identical output; the fixed-point-loop checkpoint discipline of
+    * Graph.pageRank).
     */
   def kCenterSeeds(embeddings: DataFrame, k: Int = 4,
                    idCol: String = "vec_id",
@@ -1553,6 +1581,7 @@ object Similarity {
       .select(col("id"), col("v"), col("n2"),
         round(col("n2") + col("s_n2") -
           lit(2.0) * Fns.dotProduct(col("v"), col("s_v")), 9).as("d9"))
+      .localCheckpoint()
     for (r <- 1 until k) {
       val m = cur.agg(max(col("d9")).as("m"))
       val nextId = cur.crossJoin(broadcast(m))
@@ -1570,6 +1599,7 @@ object Similarity {
           .select(col("id"), col("v"), col("n2"),
             least(col("d9"), round(col("n2") + col("s_n2") -
               lit(2.0) * Fns.dotProduct(col("v"), col("s_v")), 9)).as("d9"))
+          .localCheckpoint()
       }
     }
     seeds
@@ -1596,7 +1626,8 @@ object Similarity {
     */
   def intrinsicDimension(embeddings: DataFrame, idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
-    val e = embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    // spread: the N² probe loop streams this side (see bruteForceTopK)
+    val e = Fns.spread(embeddings.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v")))
       .select(col("id"), col("v"),
         Fns.dotProduct(col("v"), col("v")).as("n2"))
     val pairs = e.as("a").join(broadcast(e.as("b")),
