@@ -262,6 +262,40 @@ object SparkEntry {
           nPlanes = Similarity.srpAutoPlanes(emb.count()), nTables = 8))
     }
 
+  /** The per-user event-type transition matrix — eighth shared
+    * derivation (r19 optimization round): SEVEN queries read the
+    * identical frame (ana_transitions verbatim; ana_markov_stationary /
+    * ana_markov_entropy as their chain matrix — entropy previously paid
+    * the corpus pass TWICE, once inside its stationary call and once for
+    * its own entropy terms; ana_pagerank / ana_pagerank_pers /
+    * graph_hits / graph_reciprocity as their edge list), each paying the
+    * events scan + user-keyed window + pair count (~0.5–1 s at sf0.1).
+    * Deterministic (the window orders by (ts, event_id)); same
+    * lifetime/purity contract as [[copurchaseEdges]].
+    */
+  private val transMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def eventTransitions(s: SparkSession, dir: String): DataFrame =
+    memoized(transMemo, "_derive_event_transitions", s, dir)(
+      Analytics.transitions(T(s, dir, "events")))
+
+  /** The self-consistency NB prediction frame (doc_id, y, pred) over the
+    * documents corpus — ninth shared derivation (r19): ml_nb_accuracy /
+    * ml_confusion / ml_class_report / ml_mcc_kappa each re-trained and
+    * re-scored the identical model (~2.4 s apiece at sf0.1) to then run
+    * a sub-100 ms aggregate. Deterministic (6-dp score quantization,
+    * ties → lower label); same contract as [[copurchaseEdges]].
+    */
+  private val nbPredMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def nbPred(s: SparkSession, dir: String): DataFrame =
+    memoized(nbPredMemo, "_derive_nb_pred", s, dir) {
+      val d = T(s, dir, "documents")
+      operators.ML.naiveBayesPredict(d, d, "lang")
+    }
+
   /** The shared derivations as NAMED bench lines: graft.Bench times
     * each one per pass (after clearMemos) under its `_derive_*` name,
     * so consumers record only their marginal work — r15 attributed each
@@ -280,7 +314,9 @@ object SparkEntry {
     "_derive_knn_exact" -> ((s, d) => knnExact(s, d)),
     "_derive_knn_lsh" -> ((s, d) => knnLsh(s, d)),
     "_derive_twonn_exact" -> ((s, d) => twoNNExact(s, d)),
-    "_derive_twonn_ann" -> ((s, d) => twoNNAnn(s, d)))
+    "_derive_twonn_ann" -> ((s, d) => twoNNAnn(s, d)),
+    "_derive_event_transitions" -> ((s, d) => eventTransitions(s, d)),
+    "_derive_nb_pred" -> ((s, d) => nbPred(s, d)))
 
   /** Drop all (session, dir) memo entries. Measurement harnesses call
     * this to keep recorded times honest: Bench clears per PASS (each
@@ -300,6 +336,8 @@ object SparkEntry {
     knnLshMemo.synchronized(knnLshMemo.clear())
     twoNNMemo.synchronized(twoNNMemo.clear())
     twoNNAnnMemo.synchronized(twoNNAnnMemo.clear())
+    transMemo.synchronized(transMemo.clear())
+    nbPredMemo.synchronized(nbPredMemo.clear())
   }
 
   /** Tie-free 8-dp quantization of a COMPUTED double, engine-identical.
@@ -1060,7 +1098,7 @@ object SparkEntry {
     // Event-type transition matrix in per-user event-time order (the
     // Markov-chain behavior profile).
     "ana_transitions" -> ((s, dir) =>
-      Analytics.transitions(T(s, dir, "events"))
+      eventTransitions(s, dir)
         .orderBy("from_type", "to_type")),
 
     // Long-run occupancy of the event-type Markov chain: 5 unrolled
@@ -1068,13 +1106,15 @@ object SparkEntry {
     // DECIMAL per-round sums) — the chain-level summary raw transition
     // counts can't give.
     "ana_markov_stationary" -> ((s, dir) =>
-      Analytics.markovStationary(T(s, dir, "events"), 5)
+      Analytics.markovStationary(T(s, dir, "events"), 5,
+          precomputedTransitions = Some(eventTransitions(s, dir)))
         .orderBy("event_type")),
 
     // Entropy rate of the event-type chain: how predictable the next
     // event is in the long run, normalized by ln k.
     "ana_markov_entropy" -> ((s, dir) =>
-      Analytics.markovEntropyRate(T(s, dir, "events"), 5)),
+      Analytics.markovEntropyRate(T(s, dir, "events"), 5,
+        precomputedTransitions = Some(eventTransitions(s, dir)))),
 
     // Difference-in-differences over the odd/even user split at the
     // mid-corpus cutoff — removes group gap AND common trend.
@@ -2096,7 +2136,7 @@ object SparkEntry {
     // transition graph — DECIMAL in-sums + dangling mass each round, the
     // oracle unrolls the identical iterations CTE by CTE.
     "ana_pagerank" -> ((s, dir) => {
-      val edges = Analytics.transitions(T(s, dir, "events"))
+      val edges = eventTransitions(s, dir)
         .filter(col("from_type") =!= col("to_type"))
         .select(col("from_type").as("src"), col("to_type").as("dst"))
       operators.Graph.pageRank(edges, 3).orderBy("node")
@@ -2106,7 +2146,7 @@ object SparkEntry {
     // relevance-to-the-seed-set scoring over the same transition graph.
     "ana_pagerank_pers" -> ((s, dir) => {
       import s.implicits._
-      val edges = Analytics.transitions(T(s, dir, "events"))
+      val edges = eventTransitions(s, dir)
         .filter(col("from_type") =!= col("to_type"))
         .select(col("from_type").as("src"), col("to_type").as("dst"))
       val seeds = Seq("click", "view").toDF("node")
@@ -2281,7 +2321,7 @@ object SparkEntry {
     // "links to important types", authority = "linked from good hubs";
     // the oracle unrolls the four half-steps CTE by CTE.
     "graph_hits" -> ((s, dir) => {
-      val edges = Analytics.transitions(T(s, dir, "events"))
+      val edges = eventTransitions(s, dir)
         .filter(col("from_type") =!= col("to_type"))
         .select(col("from_type").as("src"), col("to_type").as("dst"))
       operators.Graph.hits(edges, 2).orderBy("node")
@@ -2291,7 +2331,7 @@ object SparkEntry {
     // whose reverse also occurs — near 1 the graph is effectively
     // undirected and the direction-aware scores lose meaning.
     "graph_reciprocity" -> ((s, dir) => {
-      val edges = Analytics.transitions(T(s, dir, "events"))
+      val edges = eventTransitions(s, dir)
         .filter(col("from_type") =!= col("to_type"))
         .select(col("from_type").as("src"), col("to_type").as("dst"))
       operators.Graph.reciprocity(edges)
@@ -2715,36 +2755,27 @@ object SparkEntry {
     // the corpus in one lazy plan: per-lang recall rows (model-card
     // sanity, not a generalization claim).
     "ml_nb_accuracy" -> ((s, dir) =>
-      operators.ML.naiveBayesAccuracy(T(s, dir, "documents"), "lang")
+      operators.ML.naiveBayesEvalFromPredictions(nbPred(s, dir))
         .orderBy("label")),
 
     // Confusion matrix of the same NB language classifier — sparse
     // (label, pred, n, row_share) cells: WHERE the misclassifications
     // go, which the aggregate recall hides.
-    "ml_confusion" -> ((s, dir) => {
-      val d = T(s, dir, "documents")
-      operators.ML.confusionMatrix(
-        operators.ML.naiveBayesPredict(d, d, "lang"))
-        .orderBy("label", "pred")
-    }),
+    "ml_confusion" -> ((s, dir) =>
+      operators.ML.confusionMatrix(nbPred(s, dir))
+        .orderBy("label", "pred")),
 
     // Per-class precision/recall/F1 report over the same predictions —
     // the sklearn classification_report as a distributed aggregate.
-    "ml_class_report" -> ((s, dir) => {
-      val d = T(s, dir, "documents")
-      operators.ML.classReport(
-        operators.ML.naiveBayesPredict(d, d, "lang"))
-        .orderBy("label")
-    }),
+    "ml_class_report" -> ((s, dir) =>
+      operators.ML.classReport(nbPred(s, dir))
+        .orderBy("label")),
 
     // Chance-corrected agreement over the same predictions: accuracy,
     // Cohen's kappa, multiclass MCC (Gorodkin R_K) — one scalar row,
     // marginal products on DECIMAL(38,0) so 100 TB counts never wrap.
-    "ml_mcc_kappa" -> ((s, dir) => {
-      val d = T(s, dir, "documents")
-      operators.ML.mccKappa(
-        operators.ML.naiveBayesPredict(d, d, "lang"))
-    }),
+    "ml_mcc_kappa" -> ((s, dir) =>
+      operators.ML.mccKappa(nbPred(s, dir))),
 
     // Learning curve: NB generalization accuracy on the FIXED held-out
     // decile (doc_id % 10 == 9) as the training pool grows 25% → 50% →

@@ -258,9 +258,16 @@ object Analytics {
     */
   def markovStationary(events: DataFrame, iters: Int = 5,
                        userCol: String = "user_id", typeCol: String = "event_type",
-                       tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+                       tsCol: String = "ts", idCol: String = "event_id",
+                       precomputedTransitions: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val t = transitions(events, userCol, typeCol, tsCol, idCol).localCheckpoint()
+    // precomputedTransitions: the eigenGap precedent — callers that
+    // share the transition matrix across queries (SparkEntry's
+    // _derive_event_transitions memo) pass the already-checkpointed
+    // frame instead of paying the corpus pass again. Semantics
+    // identical: the memo builds the same [[transitions]] frame.
+    val t = precomputedTransitions.getOrElse(
+      transitions(events, userCol, typeCol, tsCol, idCol).localCheckpoint())
     val tot = t.groupBy("from_type").agg(sum(col("n")).as("tot"))
     val p = t.join(tot, "from_type")
       .select(col("from_type"), col("to_type"),
@@ -311,12 +318,19 @@ object Analytics {
                         userCol: String = "user_id",
                         typeCol: String = "event_type",
                         tsCol: String = "ts",
-                        idCol: String = "event_id"): DataFrame = {
+                        idCol: String = "event_id",
+                        precomputedTransitions: Option[DataFrame] = None): DataFrame = {
     def d6(c: Column) =
       graft.functions.Fns.q6(c)
-    val pi = markovStationary(events, iters, userCol, typeCol, tsCol, idCol)
+    // One transitions frame for BOTH legs (r19): the stationary chain
+    // and the per-edge entropy terms read the identical matrix; without
+    // the shared frame this operator paid the corpus pass twice.
+    val t0 = precomputedTransitions.getOrElse(
+      transitions(events, userCol, typeCol, tsCol, idCol).localCheckpoint())
+    val pi = markovStationary(events, iters, userCol, typeCol, tsCol, idCol,
+        precomputedTransitions = Some(t0))
       .select(col("event_type").as("from_type"), col("pi"))
-    val t = transitions(events, userCol, typeCol, tsCol, idCol)
+    val t = t0
     val tot = t.groupBy("from_type").agg(sum(col("n")).as("tot"))
     val p = t.join(tot, "from_type")
       .select(col("from_type"),

@@ -146,7 +146,17 @@ object ML {
   def naiveBayesEval(train: DataFrame, test: DataFrame,
                      labelCol: String = "lang", textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame =
-    naiveBayesPredict(train, test, labelCol, textCol, idCol)
+    naiveBayesEvalFromPredictions(
+      naiveBayesPredict(train, test, labelCol, textCol, idCol))
+
+  /** The per-class recall aggregate of [[naiveBayesEval]] alone, over an
+    * already-computed `(doc_id, y, pred)` frame — so a caller holding a
+    * shared prediction materialization (SparkEntry's `_derive_nb_pred`
+    * memo) pays only this tiny aggregate. Splitting the method changes
+    * no byte of the output (naiveBayesEval delegates here).
+    */
+  def naiveBayesEvalFromPredictions(predictions: DataFrame): DataFrame =
+    predictions
       .groupBy(col("y").as("label"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))

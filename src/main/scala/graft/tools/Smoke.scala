@@ -1,7 +1,7 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Scratch profiling main (dev tool, not harness contract) — edit the
   * body to time whatever operator is under investigation, run with
@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions.col
   */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -23,28 +23,28 @@ object Smoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.expressions.GraftFunctions.register(spark)
+    import graft.etl.Ingest
+    import graft.operators.Similarity
 
-    // Current investigation: decompose _derive_doc_clusters' decade-2
-    // super-linearity at sf10 — pair mining vs cluster resolution.
-    import graft.operators.Dedup
-    val docs = graft.etl.Ingest.readTable(spark, sfDir, "documents")
     def t(name: String)(job: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = job
       println(f"[smoke] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
     }
-    t("docs.count warm")(docs.count())
-    val lazyPairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
-    t("lazy pairs: union+filter+eager-ckpt (the adaptive edges shape)")(
-      lazyPairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(lazyPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .filter(col("src") =!= col("dst"))
-        .localCheckpoint().count())
-    val p2 = Dedup.ngramJaccardPairs(docs, 3, 0.5)
-    t("pairs.count alone (single evaluation)")(p2.count())
-    t("adaptive on LAZY pairs (docClustersFresh shape)")(
-      Dedup.dedupClustersAdaptive(docs,
-        Dedup.ngramJaccardPairs(docs, 3, 0.5), strict = true).count())
+    // r19 opt: post-spread timings of the touched operators (each twice).
+    val emb = Ingest.readTable(spark, sfDir, "embeddings")
+    val li = Ingest.readTable(spark, sfDir, "lineitem")
+    for (round <- 1 to 2) {
+      t(s"knn_exact r$round")(Similarity.bruteForceTopK(emb, emb, 5).count())
+      t(s"twonn r$round")(Similarity.intrinsicDimension(emb).count())
+      t(s"emb_cov r$round")(Similarity.covarianceMatrix(emb).count())
+      t(s"q_corr r$round")(graft.operators.DataQuality.corrMatrix(
+        li, Seq("l_discount", "l_extendedprice", "l_quantity")).count())
+      t(s"silhouette r$round")(Similarity.silhouette(emb, 8).count())
+      t(s"inertia r$round")(Similarity.inertiaCurve(emb, Seq(2, 4, 8)).count())
+      t(s"outliers r$round")(Similarity.embeddingOutliers(emb, 8, 0.9).count())
+      t(s"purity r$round")(Similarity.clusterPurity(emb, 8).count())
+    }
     spark.stop()
   }
 }

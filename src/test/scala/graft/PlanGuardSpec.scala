@@ -119,9 +119,18 @@ class PlanGuardSpec extends SparkSpec {
     "dedup_cluster_stats", "dedup_clusters", "dedup_keep_best",
     "dedup_lsh_curve", "dedup_minhash_est", "dedup_ngram_prefix",
     "dedup_source_overlap", "dedup_tf_cosine", "dedup_winnow_pairs",
+    // r19: consumers of the _derive_event_transitions / _derive_nb_pred
+    // memos (SparkEntry scaladocs) — the checkpointed shared frame IS
+    // the barrier
+    "ana_transitions", "graph_reciprocity",
+    "ml_nb_accuracy", "ml_confusion", "ml_class_report", "ml_mcc_kappa",
     "emb_abtt", "emb_cluster_purity", "emb_covariance",
     "emb_effective_rank", "emb_eigengap", "emb_intrinsic_dim",
-    "emb_intrinsic_dim_agree", "emb_intrinsic_dim_ann", "emb_pca_power",
+    "emb_intrinsic_dim_agree", "emb_intrinsic_dim_ann",
+    // r19: kCenterSeeds checkpoints its per-round running-min frame
+    // (Similarity.kCenterSeeds scaladoc — the plan otherwise re-evaluates
+    // an exponentially-branching crossJoin chain)
+    "emb_kcenter", "emb_pca_power",
     "graph_adamic_adar", "graph_assortativity", "graph_bfs_hops",
     "graph_cc_stars", "graph_closeness", "graph_clustering",
     "graph_conductance", "graph_degree_hist", "graph_fiedler",
@@ -192,12 +201,17 @@ class PlanGuardSpec extends SparkSpec {
       li.select("l_quantity"), "l_quantity", 4)
       .queryExecution.executedPlan.toString
     assert(psi.contains("BroadcastExchange"), s"psiDrift plan:\n$psi")
-    // corrMatrix is ONE aggregation pass: exactly one shuffle in the plan
+    // corrMatrix is ONE aggregation pass: a single SinglePartition
+    // exchange under the final aggregate, plus (since r19) the
+    // Fns.spread parallelism-raising repartition above the scan — which
+    // is a no-op at scale (it only fires when the scan has fewer
+    // partitions than defaultParallelism), so exactly two here
     val corr = DataQuality.corrMatrix(li, Seq("l_quantity", "l_discount"))
       .queryExecution.executedPlan.toString
     val nShuffles = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
       .findAllIn(corr).size
-    assert(nShuffles == 1, s"corrMatrix should shuffle exactly once:\n$corr")
+    assert(nShuffles == 2, s"corrMatrix should shuffle exactly twice " +
+      s"(spread + single aggregation pass):\n$corr")
   }
 
   test("round-11 operator plan shapes: codegen explode, no eager barriers, bounded joins") {
@@ -431,8 +445,12 @@ class PlanGuardSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!dh.contains("CartesianProduct"), s"dhash cartesian:\n$dh")
     // NB: the per-label model rows ride a broadcast into the tf table;
-    // no cartesian anywhere in train+score
-    val nb = SparkEntry.queries("ml_nb_accuracy")(spark, sf)
+    // no cartesian anywhere in train+score. Pinned on the OPERATOR
+    // (naiveBayesEval) since r19: the registered ml_nb_accuracy is now a
+    // tiny aggregate over the checkpointed _derive_nb_pred frame, so the
+    // train+score plan this pin guards lives in the derivation.
+    val docsNb = spark.read.parquet(s"$sf/documents.parquet")
+    val nb = graft.operators.ML.naiveBayesEval(docsNb, docsNb, "lang")
       .queryExecution.executedPlan.toString
     assert(nb.contains("BroadcastExchange"), s"nb plan:\n$nb")
     assert(!nb.contains("CartesianProduct"), s"nb cartesian:\n$nb")
@@ -637,8 +655,11 @@ class PlanGuardSpec extends SparkSpec {
       ("ts_motif", 7, 2, 0),
       // 5 unrolled DECIMAL power-iteration rounds over the <= 25-entry
       // transition matrix: each round's matrix-vector agg is a tiny
-      // hash shuffle; 3 broadcasts carry the state vector back
-      ("ana_markov_entropy", 7, 3, 0),
+      // hash shuffle; 3 broadcasts carry the state vector back. 7 → 3
+      // in r19: the transitions matrix is the checkpointed
+      // _derive_event_transitions memo (one window pass shared by 7
+      // queries instead of TWO private ones inside this single query)
+      ("ana_markov_entropy", 3, 3, 0),
       // prefix-blocked TF-cosine: ONE (block-key) shuffle joins doc
       // vectors post-checkpoint; the idf/norm model table broadcasts
       ("dedup_tf_cosine", 1, 1, 0),
@@ -648,17 +669,20 @@ class PlanGuardSpec extends SparkSpec {
       // assign-to-seeds + centroid agg + per-(vec, cid) distance agg +
       // margin window: 8 shuffles; centroids/seeds broadcast 6 times;
       // the ONE sort-merge join is vec-keyed data-vs-data (assign x
-      // flat), correctly NOT broadcast — both sides are corpus-sized
-      ("emb_silhouette", 8, 6, 1),
-      // unrolled k=4 farthest-first loop whose union replays each
-      // round's full lineage: the count is set by k (and the round-2
-      // census below), not the data — per round the corpus is scanned
-      // a bounded number of times and every join side above it is a
-      // <= 1-row aggregate riding a broadcast
-      ("emb_kcenter", 107, 187, 0),
+      // flat), correctly NOT broadcast — both sides are corpus-sized.
+      // 8 → 14 in r19: the Fns.spread parallelism-raising repartition
+      // above each flatten branch (no-op at scale; measured 3.2 → 2.0 s
+      // at sf0.1 — the d-fold explode was single-task on the fixture)
+      ("emb_silhouette", 14, 6, 1),
+      // k=4 farthest-first loop: 107/187 exchanges/broadcasts → 8/7 in
+      // r19, when the per-round running-min frame gained an eager
+      // localCheckpoint (kCenterSeeds scaladoc) — the union had been
+      // replaying an exponentially-branching crossJoin lineage
+      ("emb_kcenter", 8, 7, 0),
       // corrMatrix is ONE aggregation pass by contract (round-8 pin):
-      // a single shuffle, no joins at all
-      ("q_corr", 1, 0, 0),
+      // the SinglePartition aggregate shuffle plus, since r19, the
+      // Fns.spread repartition above the scan (no-op at scale)
+      ("q_corr", 2, 0, 0),
       // collect_set basket build + pair-expansion Generate + support
       // agg + top-k: 4 shuffles; frequency/total bounds broadcast
       ("ana_basket", 4, 3, 0))
