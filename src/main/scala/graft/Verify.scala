@@ -19,6 +19,11 @@ object Verify {
       // events.parquet stores ts as timestamp[ns]; read as long nanos
       // (Ingest.readEvents truncates to micros, matching DuckDB).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same AQE coalescing floor as graft.Bench (see the rationale
+      // there) — results are partitioning-independent by the repo's
+      // determinism discipline; this only speeds the sweep up
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
       // catalog DDL queries must not depend on the driver's CWD
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)

@@ -1,7 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
 /** Scratch profiling main (dev tool, not harness contract) — edit the
   * body to time whatever operator is under investigation, run with
@@ -19,31 +18,37 @@ object Smoke {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.expressions.GraftFunctions.register(spark)
-    import graft.etl.Ingest
-    import graft.operators.Similarity
 
-    def t(name: String)(job: => Long): Unit = {
+    // r19 investigation: does AQE's post-shuffle coalescing (default
+    // minPartitionSize 1m) serialize small-but-compute-heavy shuffles?
+    val all = graft.SparkEntry.queries ++ graft.SparkEntry.derivations.toMap
+    val names = Seq("ts_theil_sen", "ts_motif", "ts_hurst",
+      "ts_pipeline_e2e", "dedup_tf_cosine", "dedup_ngram_prefix",
+      "dedup_ngram_jaccard", "stream_dedup_incr", "text_bpe_merges",
+      "graph_fiedler", "graph_cc_stars", "ana_basket",
+      "pipeline_ml_e2e", "_derive_doc_clusters", "_derive_knn_lsh",
+      "_derive_copurchase_edges", "dedup_semantic", "dedup_threshold_sweep")
+    def t(tag: String, name: String): Unit = {
+      graft.SparkEntry.clearMemos()
       val t0 = System.nanoTime()
-      val n = job
-      println(f"[smoke] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      val n = all(name)(spark, sfDir).count()
+      println(f"[smoke] $name $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
     }
-    // r19 opt: post-spread timings of the touched operators (each twice).
-    val emb = Ingest.readTable(spark, sfDir, "embeddings")
-    val li = Ingest.readTable(spark, sfDir, "lineitem")
-    for (round <- 1 to 2) {
-      t(s"knn_exact r$round")(Similarity.bruteForceTopK(emb, emb, 5).count())
-      t(s"twonn r$round")(Similarity.intrinsicDimension(emb).count())
-      t(s"emb_cov r$round")(Similarity.covarianceMatrix(emb).count())
-      t(s"q_corr r$round")(graft.operators.DataQuality.corrMatrix(
-        li, Seq("l_discount", "l_extendedprice", "l_quantity")).count())
-      t(s"silhouette r$round")(Similarity.silhouette(emb, 8).count())
-      t(s"inertia r$round")(Similarity.inertiaCurve(emb, Seq(2, 4, 8)).count())
-      t(s"outliers r$round")(Similarity.embeddingOutliers(emb, 8, 0.9).count())
-      t(s"purity r$round")(Similarity.clusterPurity(emb, 8).count())
+    // warm JIT once with the default conf, then interleaved A/B/A/B per
+    // query so host-load drift cancels
+    names.foreach(n => t("warmup", n))
+    val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    names.foreach { n =>
+      for (rep <- 1 to 2) {
+        spark.conf.set(key, "1m"); t(s"default$rep", n)
+        spark.conf.set(key, "64k"); t(s"min64k-$rep", n)
+      }
     }
     spark.stop()
   }
