@@ -143,23 +143,25 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE post-shuffle coalescing floor (r19 optimization round,
       // measured): the default 1m floor coalesces small-but-compute-
-      // heavy shuffles (pair self-joins over per-key indexed buckets,
-      // TF vectors, fixed-point states — a 2–3 MB exchange feeding
-      // millions of generated pairs) down to 2–3 tasks, serializing the
-      // pair expansion on a 32-core host. 64k keeps those stages at the
-      // session's parallelism; interleaved min-of-2 A/B at sf0.1:
-      // ts_theil_sen 4.39→1.41 s, ts_motif 4.08→1.53 s, ts_hurst
-      // 2.81→1.01 s, dedup_tf_cosine 3.51→1.16 s, dedup_ngram_prefix
-      // 2.63→1.20 s; −11.7 s over the 18-query probe set, no loss
-      // beyond noise elsewhere. Scale posture: coalescing stays ON
-      // (disabling it measured 15 s graph loops — 32 tiny tasks per
-      // round), and parallelismFirst already divides by the cluster's
-      // defaultParallelism for data-sized shuffles, so at 100 TB the
-      // floor only binds on KB-scale loop states — where keeping
-      // parallelism is equally right. Env-overridable like every other
-      // scale-dependent knob here.
+      // heavy shuffles (the 2–3 MB per-key indexed-bucket exchanges
+      // feeding MILLIONS of generated pair rows in theilSen / motif /
+      // TF-cosine / PPJoin) down to 2–3 tasks, serializing the pair
+      // expansion on a 32-core host. 256k chosen by a three-way
+      // interleaved min-of-2 A/B at sf0.1 (1m / 256k / 64k):
+      // ts_theil_sen 4.18/1.77/1.10 s, ts_motif 3.81/1.61/1.06,
+      // dedup_tf_cosine 3.69/1.77/1.22, dedup_ngram_prefix
+      // 3.11/1.51/1.35 — but 64k REGRESSES the fixed-point-loop family
+      // (emb_eigengap 3.41/3.38/4.84, emb_pca_power 1.97/1.99/2.95:
+      // their KB-scale per-round states fragment into extra tasks ×
+      // dozens of stages), and disabling coalescing outright measured
+      // 15 s graph loops. 256k keeps the pair-expansion win with the
+      // loop family flat (probe-set total 44.3/35.9/37.1 s). Scale
+      // posture: parallelismFirst already divides data-sized shuffles
+      // by the cluster's defaultParallelism, far above this floor, so
+      // at 100 TB it binds only on sub-MB loop states. Env-overridable
+      // like every other scale-dependent knob here.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "256k"))
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")

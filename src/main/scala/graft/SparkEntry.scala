@@ -257,9 +257,11 @@ object SparkEntry {
   private[graft] def twoNNAnn(s: SparkSession, dir: String): DataFrame =
     memoized(twoNNAnnMemo, "_derive_twonn_ann", s, dir) {
       val emb = T(s, dir, "embeddings")
-      Similarity.intrinsicDimensionFromCandidates(
-        Similarity.lshSelfCandidates(emb, dim = 64,
-          nPlanes = Similarity.srpAutoPlanes(emb.count()), nTables = 8))
+      // the fused collisions→d2→dedup form: byte-identical to composing
+      // intrinsicDimensionFromCandidates(lshSelfCandidates(...)), but the
+      // pair-dedup shuffle carries a scalar d2 instead of both vectors
+      Similarity.intrinsicDimensionLshSelf(emb, dim = 64,
+        nPlanes = Similarity.srpAutoPlanes(emb.count()), nTables = 8)
     }
 
   /** The per-user event-type transition matrix — eighth shared

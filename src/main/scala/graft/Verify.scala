@@ -23,7 +23,7 @@ object Verify {
       // there) — results are partitioning-independent by the repo's
       // determinism discipline; this only speeds the sweep up
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "256k"))
       // catalog DDL queries must not depend on the driver's CWD
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)

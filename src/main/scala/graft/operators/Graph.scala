@@ -890,11 +890,18 @@ object Graph {
     var x = deg.select(col("node"),
         (pmod(col("node"), lit(2L)).cast("double") * 2.0 - 1.0).as("x"))
       .localCheckpoint()
+    // One eager checkpoint per round — on y, the only corpus-sized
+    // frame (r19 optimization round): the previous shape also
+    // checkpointed the 1-row mean and norm aggregates, paying three
+    // full job launches per round for a tiny graph state. mean/nrm now
+    // ride inline broadcast subtrees over the PREVIOUS round's
+    // checkpointed y (x is a cheap projection of it), so re-evaluation
+    // is a scan of materialized blocks, never a lineage replay.
+    // Arithmetic (q12 per cell, DECIMAL sums) is unchanged.
     for (_ <- 1 to iters) {
       val mean = x.agg((dsum(col("x")).cast("double")).as("sx"))
         .crossJoin(broadcast(n))
         .select((col("sx") / col("n").cast("double")).as("mx"))
-        .localCheckpoint()
       val nbrSum = und
         .join(x.select(col("node").as("v"), col("x").as("xv")), "v")
         .groupBy(col("u").as("node")).agg(dsum(col("xv")).as("sn"))
@@ -906,12 +913,12 @@ object Graph {
             - (col("deg").cast("double") * col("x")
               - coalesce(col("sn").cast("double"), lit(0.0)))
             - col("c") * col("mx")).as("y"))
+        .localCheckpoint()
       val nrm = y.agg(sqrt(dsum(col("y") * col("y")).cast("double"))
-        .as("nrm")).localCheckpoint()
+        .as("nrm"))
       x = y.crossJoin(broadcast(nrm))
         .select(col("node"), graft.functions.Fns.q12(when(col("nrm") === 0.0, lit(0.0))
           .otherwise(col("y") / col("nrm"))).as("x"))
-        .localCheckpoint()
     }
     // recompute the final norm for the λ₂ estimate: run one more
     // half-step y = B'x and take ‖y‖ (the Rayleigh-quotient proxy the

@@ -1014,31 +1014,39 @@ object Similarity {
     * DuckDB mirrors use `round(x·10⁹)/10⁹` in lockstep.
     */
   private def powerLoop(cov: DataFrame, iters: Int): DataFrame = {
-    val d = cov.agg(countDistinct(col("i")).as("d")).head().getLong(0)
-    val x0 = 1.0 / math.sqrt(d.toDouble)
+    // x0 = 1/sqrt(d) computed IN-PLAN (identical IEEE value to the old
+    // driver-side head(): one exact sqrt + one division) — the blocking
+    // countDistinct action was one extra job per powerLoop call.
+    val dAgg = cov.agg(countDistinct(col("i")).cast("double").as("d"))
     var x = cov.select(col("i")).distinct()
-      .select(col("i"), lit(x0).as("x")).localCheckpoint()
-    var lastNorm: DataFrame = null
+      .crossJoin(broadcast(dAgg))
+      .select(col("i"), (lit(1.0) / sqrt(col("d"))).as("x")).localCheckpoint()
+    // One eager checkpoint per round, on y only (the fiedlerBisection
+    // r19 discipline): the norm rides an inline broadcast aggregate
+    // over the freshly checkpointed y, and x is a cheap projection of
+    // it — the previous shape paid two job launches per round for a
+    // d-row state. Arithmetic (q9 per cell, DECIMAL sums) unchanged.
+    var lastY: DataFrame = null
+    def nrmOf(y: DataFrame): org.apache.spark.sql.DataFrame = y.agg(
+      sqrt(sum(Fns.q9(col("y") * col("y")).cast("decimal(28,9)")).cast("double"))
+        .as("nrm"))
     for (_ <- 1 to iters) {
       val y = cov.join(broadcast(x.select(col("i").as("j"), col("x"))), "j")
         .groupBy("i")
         .agg(sum(Fns.q9(col("cov") * col("x")).cast("decimal(28,9)")).as("y"))
         .select(col("i"), col("y").cast("double").as("y"))
-      val n = y.agg(
-        sqrt(sum(Fns.q9(col("y") * col("y")).cast("decimal(28,9)")).cast("double"))
-          .as("nrm"))
-      lastNorm = n.localCheckpoint()
-      x = y.crossJoin(broadcast(lastNorm))
+        .localCheckpoint()
+      lastY = y
+      x = y.crossJoin(broadcast(nrmOf(y)))
         // nrm = 0 (an exactly-deflated rank-1 residual) -> the zero
         // vector, not a division error; the loop then fixes at 0 and
         // reports eigenvalue 0
         .select(col("i"), Fns.q9(when(col("nrm") === 0.0, lit(0.0))
           .otherwise(col("y") / col("nrm"))).as("x"))
-        .localCheckpoint()
     }
     val sign = x.orderBy(abs(col("x")).desc, col("i").asc).limit(1)
       .select(signum(col("x")).as("sgn"))
-    x.crossJoin(broadcast(sign)).crossJoin(broadcast(lastNorm))
+    x.crossJoin(broadcast(sign)).crossJoin(broadcast(nrmOf(lastY)))
       .select(col("i"), q6(col("x") * col("sgn")).as("loading"),
         q6(col("nrm")).as("eigenvalue_est"))
   }
@@ -1708,17 +1716,34 @@ object Similarity {
     p
   }
 
-  def lshSelfCandidates(corpus: DataFrame, dim: Int, nPlanes: Int = 6,
-                        nTables: Int = 4, seed: Long = 42L,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The raw multi-table collision rows BEFORE the id-pair dedup —
+    * (query_id, neighbor_id, qv, cv), one row per (table, bucket)
+    * collision. Consumers that reduce the vectors to a scalar (cosine,
+    * squared-L2) should do so ON THIS FRAME and dedup the scalar rows:
+    * deduping first forces the (query, neighbor)-keyed exchange to
+    * carry both full vectors per pair (~2·dim doubles ≈ 1 KB/row, the
+    * dominant shuffle of the kNN-LSH path at sf0.1), while every
+    * duplicate collision row carries the IDENTICAL vectors — so scoring
+    * first shuffles a 24-byte scalar row instead, and the duplicate
+    * scores are equal by construction (guide-§2.3 "shuffle metadata,
+    * not payloads"; r19 optimization round).
+    */
+  private def lshSelfCollisions(corpus: DataFrame, dim: Int, nPlanes: Int,
+                                nTables: Int, seed: Long,
+                                idCol: String, vecCol: String): DataFrame = {
     val b = lshBuckets(corpus, dim, nPlanes, nTables, seed, idCol, vecCol)
     b.as("q").join(b.as("c"),
         col("q.tbl") === col("c.tbl") && col("q.bucket") === col("c.bucket") &&
           col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
         col("q.v").as("qv"), col("c.v").as("cv"))
-      .dropDuplicates("query_id", "neighbor_id")
   }
+
+  def lshSelfCandidates(corpus: DataFrame, dim: Int, nPlanes: Int = 6,
+                        nTables: Int = 4, seed: Long = 42L,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lshSelfCollisions(corpus, dim, nPlanes, nTables, seed, idCol, vecCol)
+      .dropDuplicates("query_id", "neighbor_id")
 
   /** ANN top-k where the query set is the whole corpus: rank each
     * vector's [[lshSelfCandidates]] bucket-mates by exact cosine. Same
@@ -1732,9 +1757,13 @@ object Similarity {
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    lshSelfCandidates(corpus, dim, nPlanes, nTables, seed, idCol, vecCol)
+    // cosine BEFORE the pair dedup ([[lshSelfCollisions]] scaladoc):
+    // duplicate collision rows carry identical vectors, so the scores
+    // are equal and the dedup shuffle carries scalars, not vectors
+    lshSelfCollisions(corpus, dim, nPlanes, nTables, seed, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"),
         Fns.cosine(col("qv"), col("cv")).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
       .filter(col("cosine").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -1763,4 +1792,23 @@ object Similarity {
       (Fns.dotProduct(col("qv"), col("qv")) +
         Fns.dotProduct(col("cv"), col("cv")) -
         lit(2.0) * Fns.dotProduct(col("qv"), col("cv"))).as("d2")))
+
+  /** [[intrinsicDimensionFromCandidates]] over the corpus's own SRP
+    * buckets, with the d2 computed BEFORE the pair dedup (the
+    * [[lshSelfCollisions]] shuffle-scalars-not-vectors discipline;
+    * duplicate collision rows carry identical vectors so the d2s are
+    * equal — result is byte-identical to composing
+    * `intrinsicDimensionFromCandidates(lshSelfCandidates(...))`).
+    */
+  def intrinsicDimensionLshSelf(corpus: DataFrame, dim: Int, nPlanes: Int = 6,
+                                nTables: Int = 4, seed: Long = 42L,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame =
+    twoNNMleTail(
+      lshSelfCollisions(corpus, dim, nPlanes, nTables, seed, idCol, vecCol)
+        .select(col("query_id").as("id"), col("neighbor_id").as("nid"),
+          (Fns.dotProduct(col("qv"), col("qv")) +
+            Fns.dotProduct(col("cv"), col("cv")) -
+            lit(2.0) * Fns.dotProduct(col("qv"), col("cv"))).as("d2"))
+        .dropDuplicates("id", "nid"))
 }

@@ -45,9 +45,8 @@ object Plans {
       "_derive_knn_lsh" -> ((s, d) => graft.SparkEntry.knnLshFresh(s, d)),
       "_derive_twonn_exact" -> ((s, _) => Similarity.intrinsicDimension(emb(s))),
       "_derive_twonn_ann" -> ((s, _) =>
-        Similarity.intrinsicDimensionFromCandidates(
-          Similarity.lshSelfCandidates(emb(s), dim = 64,
-            nPlanes = Similarity.srpAutoPlanes(emb(s).count()), nTables = 8))))
+        Similarity.intrinsicDimensionLshSelf(emb(s), dim = 64,
+          nPlanes = Similarity.srpAutoPlanes(emb(s).count()), nTables = 8)))
     val all: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       graft.SparkEntry.queries ++ fresh
     names.foreach { name =>

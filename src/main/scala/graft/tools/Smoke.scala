@@ -29,11 +29,10 @@ object Smoke {
     // minPartitionSize 1m) serialize small-but-compute-heavy shuffles?
     val all = graft.SparkEntry.queries ++ graft.SparkEntry.derivations.toMap
     val names = Seq("ts_theil_sen", "ts_motif", "ts_hurst",
-      "ts_pipeline_e2e", "dedup_tf_cosine", "dedup_ngram_prefix",
-      "dedup_ngram_jaccard", "stream_dedup_incr", "text_bpe_merges",
-      "graph_fiedler", "graph_cc_stars", "ana_basket",
-      "pipeline_ml_e2e", "_derive_doc_clusters", "_derive_knn_lsh",
-      "_derive_copurchase_edges", "dedup_semantic", "dedup_threshold_sweep")
+      "dedup_tf_cosine", "dedup_ngram_prefix", "text_bpe_merges",
+      "graph_bfs_hops", "graph_label_prop", "graph_kcore",
+      "graph_link_pred", "graph_conductance", "emb_eigengap",
+      "emb_pca_power", "graph_fiedler", "ana_basket", "ts_pipeline_e2e")
     def t(tag: String, name: String): Unit = {
       graft.SparkEntry.clearMemos()
       val t0 = System.nanoTime()
@@ -47,6 +46,7 @@ object Smoke {
     names.foreach { n =>
       for (rep <- 1 to 2) {
         spark.conf.set(key, "1m"); t(s"default$rep", n)
+        spark.conf.set(key, "256k"); t(s"min256k$rep", n)
         spark.conf.set(key, "64k"); t(s"min64k-$rep", n)
       }
     }
